@@ -1,0 +1,91 @@
+package graft
+
+/** DuckDB-dialect oracle SQL for the operators whose logic is too long to
+  * inline — generated here so the Spark implementation and the oracle share
+  * the exact same constants (marker lists, band layout, hex math).
+  */
+object Oracles {
+
+  /** Shared tokenizer: distinct lower-case alnum words per doc. */
+  private def tokCte(where: String): String =
+    s"tok AS (SELECT DISTINCT doc_id, w FROM (SELECT doc_id, " +
+      "unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w " +
+      s"FROM documents $where))"
+
+  /** Q22 oracle — word-3-gram shingles, 8 md5 min-hashes, 4 bands of 2. */
+  val minHashBands: String = {
+    val mins = (0 until 8).map(i => s"min(md5('$i|' || sh)) AS h$i").mkString(", ")
+    "WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), " +
+      "x -> x <> '') AS w FROM documents), " +
+      "sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, " +
+      "unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh " +
+      "FROM w WHERE len(w) >= 3)), " +
+      s"mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id) " +
+      "SELECT doc_id, md5(h0 || h1) AS b0, md5(h2 || h3) AS b1, " +
+      "md5(h4 || h5) AS b2, md5(h6 || h7) AS b3 FROM mh"
+  }
+
+  /** Hex prefix of md5 -> 32-bit integer, written with only +,*,strpos so
+    * it evaluates identically in any engine.
+    */
+  private val hexVal: String = (0 until 8).map { j =>
+    val mult = math.pow(16, 7 - j).toLong
+    s"(strpos('0123456789abcdef', substr(md5(w), ${j + 1}, 1)) - 1) * $mult"
+  }.mkString(" + ")
+
+  /** Q23 oracle — 32-bit SimHash over distinct words, doc_id < 2000. */
+  val simHash: String =
+    s"WITH ${tokCte("WHERE doc_id < 2000")}, " +
+      s"h AS (SELECT doc_id, CAST($hexVal AS BIGINT) AS h FROM tok), " +
+      "bits AS (SELECT doc_id, b, sum(CASE WHEN CAST(floor(h / power(2.0, b)) AS BIGINT) % 2 = 1 " +
+      "THEN 1 ELSE -1 END) AS s FROM h, (SELECT unnest(range(32)) AS b) bs GROUP BY doc_id, b) " +
+      "SELECT doc_id, CAST(sum(CASE WHEN s >= 0 THEN power(2.0, b) ELSE 0 END) AS BIGINT) " +
+      "AS simhash FROM bits GROUP BY doc_id"
+
+  /** Q24 oracle — exact word-set Jaccard pairs >= 0.5, doc_id < 300. */
+  val jaccardPairs: String =
+    s"WITH ${tokCte("WHERE doc_id < 300")}, " +
+      "sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id), " +
+      "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c " +
+      "FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+      "SELECT doc_a, doc_b, round(CAST(c AS DOUBLE) / (na + nb - c), 6) AS jac FROM " +
+      "(SELECT doc_a, doc_b, c, sa.n AS na, sb.n AS nb FROM inter " +
+      "JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b) " +
+      "WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5"
+
+  /** Marker-word occurrence count via the length-difference trick. */
+  private def occ(m: String): String = {
+    val p = s" $m "
+    s"(length(t) - length(replace(t, ' $m ', ''))) / ${p.length}"
+  }
+  private def score(ms: Seq[String]): String = ms.map(occ).mkString(" + ")
+
+  /** Q27 oracle — marker-word language ID, argmax with fixed tie order.
+    * Marker lists must stay in sync with operators/Text.q27LangId.
+    */
+  val langId: String = {
+    val sEn = score(Seq("the", "a", "of"))
+    val sDe = score(Seq("der", "und", "die"))
+    val sEs = score(Seq("el", "la", "los"))
+    val sFr = score(Seq("le", "les", "des"))
+    val sZh = score(Seq("的", "是"))
+    "WITH s AS (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents), " +
+      s"sc AS (SELECT doc_id, $sEn AS s_en, $sDe AS s_de, $sEs AS s_es, " +
+      s"$sFr AS s_fr, $sZh AS s_zh FROM s) " +
+      "SELECT doc_id, CASE " +
+      "WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en' " +
+      "WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de' " +
+      "WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es' " +
+      "WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr' " +
+      "ELSE 'zh' END AS detected FROM sc"
+  }
+
+  /** Q28 oracle — quality scoring from token statistics. */
+  val quality: String =
+    "WITH b AS (SELECT doc_id, " +
+      "len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS n_tokens, " +
+      "length(replace(text, ' ', '')) AS cns FROM documents) " +
+      "SELECT doc_id, n_tokens, round(CAST(cns AS DOUBLE) / n_tokens, 6) AS avg_token_len, " +
+      "round(least(1.0, n_tokens / 50.0) * 0.5 + " +
+      "least(1.0, (CAST(cns AS DOUBLE) / n_tokens) / 5.0) * 0.5, 6) AS quality FROM b"
+}

@@ -1,13 +1,149 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Dedup, Relational, Similarity, Text}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 has a `queries` entry; those with
+  * deterministic SQL-expressible semantics also carry a DuckDB oracle in
+  * `oracleSql` (same column names, same arithmetic — money/measure sums go
+  * through DECIMAL so partial-agg order can't change results).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q11JoinRevenue(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_project" -> (Relational.q01Project _),
+    "q02_json" -> (Relational.q02JsonExtract _),
+    "q03_filter" -> (Relational.q03Filter _),
+    "q04_age_sec" -> (Relational.q04AgeSec _),
+    "q05_global_agg" -> (Relational.q05GlobalAgg _),
+    "q06_keyed_agg" -> (Relational.q06KeyedAgg _),
+    "q07_topk" -> (Relational.q07TopK _),
+    "q08_mask_email" -> (Relational.q08MaskEmail _),
+    "q09_dedup_first" -> (Relational.q09DedupFirst _),
+    "q10_join_dims" -> (Relational.q10JoinDims _),
+    "q11_join_revenue" -> (Relational.q11JoinRevenue _),
+    "q12_anti_join" -> (Relational.q12AntiJoin _),
+    "q13_window_rownum" -> (Relational.q13WindowRowNum _),
+    "q14_tumbling_window" -> (Relational.q14TumblingWindow _),
+    "q15_setops" -> (Relational.q15SetOps _),
+    "q16_rollup" -> (Relational.q16Rollup _),
+    "q17_text_stats" -> (Text.q17TextStats _),
+    "q18_date_trunc" -> (Relational.q18DateTrunc _),
+    "q19_cosine_topk" -> (Similarity.q19CosineTopK _),
+    "q20_distinct_agg" -> (Text.q20DistinctAgg _),
+    "q21_exact_dedup" -> (Dedup.q21ExactDedup _),
+    "q22_minhash_bands" -> (Dedup.q22MinHashBands _),
+    "q23_simhash" -> (Dedup.q23SimHash _),
+    "q24_jaccard_pairs" -> (Dedup.q24JaccardPairs _),
+    "q25_embed_top_pairs" -> (Similarity.q25TopPairs _),
+    "q26_ann_lsh" -> (Similarity.q26AnnLsh _),
+    "q27_lang_id" -> (Text.q27LangId _),
+    "q28_quality" -> (Text.q28Quality _),
+    "q29_token_count" -> (Text.q29TokenCount _),
+    "q30_fingerprint" -> (Text.q30Fingerprint _),
+    "q31_approx_distinct" -> (Dedup.q31ApproxDistinct _),
+  )
+
+  /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
+    * q26_ann_lsh (approximate by construction),
+    * q31_approx_distinct (HLL estimate),
+    * — both verified in ScalaTest against exact baselines instead.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_project" ->
+      "SELECT event_id, event_type, value FROM events",
+    "q02_json" ->
+      "SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events",
+    "q03_filter" ->
+      "SELECT event_id, value FROM events WHERE event_type = 'purchase' AND value > 100",
+    "q04_age_sec" ->
+      ("SELECT event_id, CASE WHEN ts IS NOT NULL THEN " +
+        "date_diff('second', ts, TIMESTAMP '2024-02-01 00:00:00') END AS age_sec FROM events"),
+    "q05_global_agg" ->
+      ("SELECT round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)/count(*), 6) AS avg_value, " +
+        "min(value) AS min_value, max(value) AS max_value, count(*) AS cnt FROM events " +
+        "WHERE ts >= TIMESTAMP '2024-02-01 00:00:00' - INTERVAL 31 DAY " +
+        "AND ts <= TIMESTAMP '2024-02-01 00:00:00'"),
+    "q06_keyed_agg" ->
+      ("SELECT event_type, count(*) AS cnt, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value " +
+        "FROM events GROUP BY event_type"),
+    "q07_topk" ->
+      ("SELECT event_id, event_type, date_trunc('second', ts) AS ts FROM events " +
+        "ORDER BY date_trunc('second', ts) DESC, event_id DESC LIMIT 20"),
+    "q08_mask_email" ->
+      ("WITH e AS (SELECT c_custkey, lower(replace(c_name, ' ', '.')) || '@example.com' AS email " +
+        "FROM customer) SELECT c_custkey, CASE WHEN email IS NULL THEN NULL " +
+        "WHEN strpos(email, '@') = 0 THEN '***' " +
+        "ELSE substr(email, 1, 1) || '***' || substr(email, strpos(email, '@')) END AS masked FROM e"),
+    "q09_dedup_first" ->
+      "SELECT user_id, event_type, min(event_id) AS event_id FROM events GROUP BY user_id, event_type",
+    "q10_join_dims" ->
+      ("SELECT r_name, n_name, count(*) AS customers FROM customer " +
+        "JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY r_name, n_name"),
+    "q11_join_revenue" ->
+      ("SELECT o_orderpriority, round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority"),
+    "q12_anti_join" ->
+      ("SELECT c_custkey FROM customer WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)"),
+    "q13_window_rownum" ->
+      ("SELECT o_custkey, o_orderkey FROM (SELECT o_custkey, o_orderkey, row_number() OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders) " +
+        "WHERE rn = 1"),
+    "q14_tumbling_window" ->
+      ("SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type, " +
+        "count(*) AS cnt FROM events GROUP BY 1, 2"),
+    "q15_setops" ->
+      ("WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'), " +
+        "er AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error') " +
+        "SELECT 'except' AS op, user_id FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM er) " +
+        "UNION ALL SELECT 'union' AS op, user_id FROM (SELECT user_id FROM p UNION SELECT user_id FROM er)"),
+    "q16_rollup" ->
+      ("SELECT r_name, n_name, count(*) AS cnt FROM customer " +
+        "JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY ROLLUP(r_name, n_name)"),
+    "q17_text_stats" ->
+      ("SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
+        "max(length(text)) AS max_len FROM documents GROUP BY lang"),
+    "q18_date_trunc" ->
+      ("SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, count(*) AS cnt " +
+        "FROM events GROUP BY 1"),
+    "q19_cosine_topk" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "q AS (SELECT v AS qv FROM e WHERE vec_id = 0) " +
+        "SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS sim FROM e, q " +
+        "ORDER BY list_cosine_similarity(v, qv) DESC, vec_id ASC LIMIT 10"),
+    "q20_distinct_agg" ->
+      "SELECT count(*) AS total, count(DISTINCT text) AS distinct_texts FROM documents",
+    "q21_exact_dedup" ->
+      ("SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dup_count " +
+        "FROM documents GROUP BY md5(text)"),
+    "q22_minhash_bands" -> Oracles.minHashBands,
+    "q23_simhash" -> Oracles.simHash,
+    "q24_jaccard_pairs" -> Oracles.jaccardPairs,
+    "q25_embed_top_pairs" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200) " +
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+        "round(list_cosine_similarity(a.v, b.v), 6) AS sim " +
+        "FROM e a JOIN e b ON a.vec_id < b.vec_id " +
+        "ORDER BY list_cosine_similarity(a.v, b.v) DESC, vec_a ASC, vec_b ASC LIMIT 20"),
+    "q27_lang_id" -> Oracles.langId,
+    "q28_quality" -> Oracles.quality,
+    "q29_token_count" ->
+      ("SELECT doc_id, len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), " +
+        "x -> x <> '')) AS n_ws_tokens, " +
+        "len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens " +
+        "FROM documents"),
+    "q30_fingerprint" ->
+      "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM documents",
+  )
 }

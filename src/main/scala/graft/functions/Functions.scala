@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar building blocks re-expressing the reference's expression surface
+  * with codegen'd Spark builtins — no UDFs anywhere (SURVEY.md §7.2).
+  */
+object Masking {
+  /** Email masking with the exact semantics of the reference policy
+    * (reference sql/05_masking_policy.sql:10-16):
+    * NULL -> NULL; no '@' -> '***'; else first char + "***" + from-'@'.
+    * e.g. alice@ex.com -> a***@ex.com
+    */
+  def maskEmail(v: Column): Column =
+    when(v.isNull, lit(null).cast("string"))
+      .when(instr(v, "@") === 0, lit("***"))
+      .otherwise(concat(substring(v, 1, 1), lit("***"),
+        v.substr(instr(v, "@"), length(v))))
+
+  /** Privileged roles that bypass masking
+    * (reference sql/05_masking_policy.sql:12).
+    */
+  val PrivilegedRoles: Set[String] =
+    Set("ACCOUNTADMIN", "R_TRANSFORM", "R_INGEST")
+}
+
+object SyntheticEmail {
+  /** Deterministic synthetic email, exact parity with the reference
+    * (reference ingestion/utils.py:8-11):
+    * "user_" + sha1(utf8(name or "unknown")).hexdigest()[:10] + "@" + domain.
+    * Spark's `sha1` is the same hex digest as Python hashlib — builtin only.
+    */
+  def syntheticEmail(name: Column, domain: String = "example.com"): Column =
+    concat(lit("user_"),
+      substring(sha1(coalesce(name, lit("unknown")).cast("string")), 1, 10),
+      lit("@" + domain))
+}
+
+object VectorOps {
+  /** Element-wise ops over ArrayType(Double) columns, composed from
+    * codegen'd higher-order functions (zip_with/aggregate) — stays inside
+    * whole-stage codegen, no UDF serialization cost at 100 TB scale.
+    */
+  def toDoubleArray(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  /** Cosine similarity; matches DuckDB list_cosine_similarity shape
+    * dot/(|a|*|b|).
+    */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+}
+
+object TextOps {
+  /** Lower-cased alphanumeric word tokens (empty strings filtered). */
+  def words(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), w => w =!= "")
+
+  /** Count of non-overlapping occurrences of literal `pat` in `s` via the
+    * length-difference trick — identical semantics in any SQL engine, so it
+    * doubles as the oracle formula.
+    */
+  def occurrences(s: Column, pat: String): Column =
+    (length(s) - length(replace(s, lit(pat), lit("")))) / pat.length
+}

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextOps.words
+
+/** Document deduplication operators: exact (hash groupBy), MinHash+LSH
+  * banding, SimHash, and n-gram Jaccard. All hashing is md5-based so the
+  * scheme is engine-portable (identical in DuckDB for the oracle) and
+  * needs no driver-side randomness — every stage is a pure column
+  * expression followed by a keyed aggregate, which is exactly the shape
+  * that scales: shuffle keys are doc_id (narrow) or band/shingle hashes
+  * (uniformly distributed).
+  */
+object Dedup {
+
+  /** Q21: exact dedup by content hash — keep min doc_id per identical text. */
+  def q21ExactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Distinct word-3-gram shingles per doc: (doc_id, sh). */
+  private def shingles3(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(col("w")) - 3),
+          i => concat_ws(" ",
+            element_at(col("w"), i + 1),
+            element_at(col("w"), i + 2),
+            element_at(col("w"), i + 3)))).as("sh"))
+      .distinct()
+
+  /** Q22: MinHash signatures (k=8 permutations via md5(i|shingle), min per
+    * doc) folded into 4 LSH bands of 2 rows each. Near-dup candidates are
+    * docs sharing any band value — that join is downstream (bandPairs);
+    * the contract checks the signature computation itself.
+    */
+  def q22MinHashBands(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val sh = shingles3(Tables.load(spark, dir, "documents"))
+    val hashed = sh.select(
+      col("doc_id") +:
+        (0 until k).map(i => md5(concat(lit(i + "|"), col("sh"))).as(s"h$i")): _*)
+    val sig = hashed.groupBy("doc_id")
+      .agg(min(col("h0")).as("h0"), (1 until k).map(i => min(col(s"h$i")).as(s"h$i")): _*)
+    sig.select(
+      col("doc_id"),
+      md5(concat(col("h0"), col("h1"))).as("b0"),
+      md5(concat(col("h2"), col("h3"))).as("b1"),
+      md5(concat(col("h4"), col("h5"))).as("b2"),
+      md5(concat(col("h6"), col("h7"))).as("b3"))
+  }
+
+  /** LSH candidate pairs: docs sharing any band value (self-join keyed by
+    * the band hash — the scale path, no O(n²) pair enumeration).
+    */
+  def bandPairs(bands: DataFrame): DataFrame = {
+    val long = bands.selectExpr("doc_id",
+      "stack(4, 'b0', b0, 'b1', b1, 'b2', b2, 'b3', b3) AS (band, bv)")
+    val a = long.select(col("band"), col("bv"), col("doc_id").as("doc_a"))
+    val b = long.select(col("band"), col("bv"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "bv")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** 32-bit word hash from the md5 hex prefix — portable across engines. */
+  private def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Q23: 32-bit SimHash over distinct words (doc_id < 2000 keeps the
+    * bit-expansion bounded at bench scale). bit b of the hash contributes
+    * ±1; sign of the per-bit sum forms the signature bit.
+    */
+  def q23SimHash(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") < 2000)
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .distinct()
+      .withColumn("h", h32(col("w")))
+    val bits = tokens.select(col("doc_id"), col("h"),
+      explode(sequence(lit(0), lit(31))).as("b"))
+      .withColumn("contrib",
+        when(floor(col("h") / pow(lit(2.0), col("b"))).cast("long") % 2 === 1, 1)
+          .otherwise(-1))
+    bits.groupBy("doc_id", "b")
+      .agg(sum("contrib").as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") >= 0, pow(lit(2.0), col("b"))).otherwise(lit(0.0)))
+        .cast("long").as("simhash"))
+  }
+
+  /** Q24: exact word-set Jaccard pairs (doc_id < 300 bounds the pair join
+    * at any scale factor; the unbounded path goes through MinHash bands).
+    */
+  def q24JaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .distinct()
+    val sizes = tokens.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = tokens.select(col("doc_id").as("doc_a"), col("w"))
+    val b = tokens.select(col("doc_id").as("doc_b"), col("w"))
+    val inter = a.join(b, "w").filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+    val sa = sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))
+    val sb = sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))
+    inter.join(broadcast(sa), "doc_a").join(broadcast(sb), "doc_b")
+      .withColumn("jac",
+        col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("jac") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
+  }
+
+  /** Q31: approximate distinct (HLL++) — no exact oracle; checked against
+    * Q20 exact counts within tolerance in tests.
+    */
+  def q31ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .agg(approx_count_distinct(col("text")).as("approx_distinct_texts"))
+}

@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.functions.Masking
+
+/** Relational contract queries Q01-Q16/Q18 (SURVEY.md §2.7).
+  *
+  * Scale notes baked into each plan:
+  *  - dim joins (nation/region) are explicitly `broadcast()` — no shuffle
+  *    of the fact side; lineitem⨝orders is a shuffle join on the key both
+  *    sides are already bucketable by at 100 TB.
+  *  - money aggregates go through DECIMAL so partial-aggregation order
+  *    (map-side combine across any number of partitions) cannot change the
+  *    result — double sums are order-dependent, decimal sums are exact.
+  *  - top-k uses orderBy+limit which Spark plans as TakeOrderedAndProject
+  *    (per-partition heap, no global sort).
+  */
+object Relational {
+  private val anchor = to_timestamp(lit(Tables.Anchor))
+
+  /** Q01: projection pushdown straight to the parquet scan. */
+  def q01Project(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events").select("event_id", "event_type", "value")
+
+  /** Q02: JSON path extraction + safe cast (ref sql/04_views_curated.sql:29-35). */
+  def q02JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events").select(
+      col("event_id"),
+      expr("try_cast(get_json_object(props, '$.k') AS int)").as("k"))
+
+  /** Q03: conjunctive filter, pushed to the scan (ref sql/04_views_curated.sql:58-60). */
+  def q03Filter(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase" && col("value") > 100)
+      .select("event_id", "value")
+
+  /** Q04: NULL-safe seconds-between (ref sql/04_views_curated.sql:39-42).
+    * unix_timestamp diff == boundary-counting DATEDIFF('second') semantics.
+    */
+  def q04AgeSec(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events").select(
+      col("event_id"),
+      when(col("ts").isNotNull,
+        unix_timestamp(anchor) - unix_timestamp(col("ts"))).as("age_sec"))
+
+  /** Q05: global filtered aggregate — the VW_LATENCY KPI generalized
+    * (ref sql/04_views_curated.sql:48-60), anchor-parameterized.
+    */
+  def q05GlobalAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .filter(col("ts") >= anchor - expr("INTERVAL 31 DAYS") && col("ts") <= anchor)
+      .agg(
+        round(sum(col("value").cast(DecimalType(18, 4))).cast("double")
+          / count(lit(1)), 6).as("avg_value"),
+        min("value").as("min_value"),
+        max("value").as("max_value"),
+        count(lit(1)).as("cnt"))
+
+  /** Q06: keyed hash aggregate (partial+final, map-side combine). */
+  def q06KeyedAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
+
+  /** Q07: top-k recent (ref app/home.py:202-208) — TakeOrderedAndProject,
+    * second-truncated ts so µs-vs-ns parquet precision can't reorder ties.
+    */
+  def q07TopK(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("ts"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(20)
+
+  /** Q08: email build + mask expression (ref sql/05_masking_policy.sql:10-16). */
+  def q08MaskEmail(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"),
+        concat(lower(replace(col("c_name"), lit(" "), lit("."))),
+          lit("@example.com")).as("email"))
+      .select(col("c_custkey"), Masking.maskEmail(col("email")).as("masked"))
+
+  /** Q09: first-per-key dedup (ref `_LOAD_ID` dedup, schema.py:47) — min is
+    * an order-insensitive reduction, safe under any partitioning.
+    */
+  def q09DedupFirst(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy("user_id", "event_type")
+      .agg(min("event_id").as("event_id"))
+
+  /** Q10: star-schema enrichment — both dims broadcast, zero fact shuffle
+    * until the final small agg.
+    */
+  def q10JoinDims(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer")
+    val nation = Tables.load(spark, dir, "nation")
+    val region = Tables.load(spark, dir, "region")
+    customer
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("customers"))
+  }
+
+  /** Q11: large fact-fact equi join + decimal revenue agg. At 100 TB both
+    * sides would be bucketed by orderkey; here AQE picks the join strategy.
+    */
+  def q11JoinRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val lineitem = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1).cast(DecimalType(18, 4)) - col("l_discount").cast(DecimalType(18, 4))))
+          .as("disc_price"))
+    val orders = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_orderpriority")
+    lineitem.join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(round(sum(col("disc_price")).cast("double"), 2).as("revenue"))
+  }
+
+  /** Q12: customers with no orders — left-anti join (null-safe, no shuffle
+    * of the build side when broadcastable).
+    */
+  def q12AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer")
+    val orders = Tables.load(spark, dir, "orders").select("o_custkey")
+    customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+      .select("c_custkey")
+  }
+
+  /** Q13: per-key top-1 via row_number (ref T1 generalized per key). */
+  def q13WindowRowNum(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.load(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("o_custkey", "o_orderkey")
+  }
+
+  /** Q14: tumbling 1-hour event-time window, run in batch (ref A2/ST3);
+    * same `window()` works under readStream with a watermark.
+    */
+  def q14TumblingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("cnt"))
+
+  /** Q15: distinct set ops — EXCEPT and UNION branches tagged and stacked. */
+  def q15SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    def users(t: String) =
+      events.filter(col("event_type") === t).select("user_id").distinct()
+    val purch = users("purchase")
+    val err = users("error")
+    purch.except(err).withColumn("op", lit("except"))
+      .unionByName(purch.union(err).distinct().withColumn("op", lit("union")))
+      .select("op", "user_id")
+  }
+
+  /** Q16: ROLLUP over the star join (grouping-set expansion after the
+    * broadcast joins, one shuffle).
+    */
+  def q16Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer")
+    val nation = Tables.load(spark, dir, "nation")
+    val region = Tables.load(spark, dir, "region")
+    customer
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .rollup("r_name", "n_name")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Q18: calendar bucketing (ref P11 generalized). */
+  def q18DateTrunc(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("d"))
+      .agg(count(lit(1)).as("cnt"))
+}
