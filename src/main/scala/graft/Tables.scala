@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-provided parquet corpus (TESTDATA.md).
   *
@@ -18,7 +19,16 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      // The corpus stores events.ts as INT64 TIMESTAMP(NANOS) parquet, which
+      // Spark 4 rejects outright (PARQUET_TYPE_ILLEGAL). Read the raw int64
+      // nanos via the legacy conf and convert to a µs timestamp here so every
+      // consumer sees a plain TimestampType column. Runtime-settable SQLConf,
+      // so the fix lives in the loader regardless of who built the session.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every corpus table as a temp view (idempotent). */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -21,7 +21,11 @@ object Dedup {
       .groupBy(md5(col("text")).as("h"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** Distinct word-3-gram shingles per doc: (doc_id, sh). */
+  /** Word-3-gram shingles per doc: (doc_id, sh). NOT deduplicated — the
+    * only consumer takes min(md5(...)) per doc, which is insensitive to
+    * duplicates, so a distinct here would be a wasted full shuffle of the
+    * exploded (~n_tokens per doc) set.
+    */
   private def shingles3(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), words(col("text")).as("w"))
@@ -32,7 +36,6 @@ object Dedup {
             element_at(col("w"), i + 1),
             element_at(col("w"), i + 2),
             element_at(col("w"), i + 3)))).as("sh"))
-      .distinct()
 
   /** Q22: MinHash signatures (k=8 permutations via md5(i|shingle), min per
     * doc) folded into 4 LSH bands of 2 rows each. Near-dup candidates are
@@ -72,25 +75,29 @@ object Dedup {
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
   /** Q23: 32-bit SimHash over distinct words (doc_id < 2000 keeps the
-    * bit-expansion bounded at bench scale). bit b of the hash contributes
-    * ±1; sign of the per-bit sum forms the signature bit.
+    * bounded contract deterministic across scale factors). bit b of the
+    * word hash contributes ±1; sign of the per-bit sum forms the signature.
+    *
+    * One shuffle, no row blowup: each of the 32 per-bit sums is its own
+    * narrow aggregate column in a single groupBy(doc_id) — vs the naive
+    * explode(0..31) shape, which multiplies the token table ×32 and needs
+    * a second shuffled aggregation.
     */
   def q23SimHash(spark: SparkSession, dir: String): DataFrame = {
     val tokens = Tables.load(spark, dir, "documents")
       .filter(col("doc_id") < 2000)
-      .select(col("doc_id"), explode(words(col("text"))).as("w"))
-      .distinct()
+      // per-doc distinct is narrow: array_distinct before the explode —
+      // no shuffle, unlike .distinct() on the exploded rows
+      .select(col("doc_id"), explode(array_distinct(words(col("text")))).as("w"))
       .withColumn("h", h32(col("w")))
-    val bits = tokens.select(col("doc_id"), col("h"),
-      explode(sequence(lit(0), lit(31))).as("b"))
-      .withColumn("contrib",
-        when(floor(col("h") / pow(lit(2.0), col("b"))).cast("long") % 2 === 1, 1)
-          .otherwise(-1))
-    bits.groupBy("doc_id", "b")
-      .agg(sum("contrib").as("s"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("s") >= 0, pow(lit(2.0), col("b"))).otherwise(lit(0.0)))
-        .cast("long").as("simhash"))
+    val bitSums = (0 until 32).map(b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"s$b"))
+    tokens.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(b =>
+          when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).cast("long").as("simhash"))
   }
 
   /** Q24: exact word-set Jaccard pairs (doc_id < 300 bounds the pair join
@@ -99,8 +106,7 @@ object Dedup {
   def q24JaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val tokens = Tables.load(spark, dir, "documents")
       .filter(col("doc_id") < 300)
-      .select(col("doc_id"), explode(words(col("text"))).as("w"))
-      .distinct()
+      .select(col("doc_id"), explode(array_distinct(words(col("text")))).as("w"))
     val sizes = tokens.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = tokens.select(col("doc_id").as("doc_a"), col("w"))
     val b = tokens.select(col("doc_id").as("doc_b"), col("w"))

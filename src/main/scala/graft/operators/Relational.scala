@@ -165,18 +165,20 @@ object Relational {
       .select("op", "user_id")
   }
 
-  /** Q16: ROLLUP over the star join (grouping-set expansion after the
-    * broadcast joins, one shuffle).
+  /** Q16: ROLLUP over the star join, expressed through the SQL surface.
+    * (The Dataset `.rollup` API trips Spark 4.1's ambiguous-self-join
+    * detection when the grouping-set expansion duplicates a join child —
+    * SQL resolution has no dataset-id tags, and the dims still broadcast
+    * under the auto threshold.)
     */
   def q16Rollup(spark: SparkSession, dir: String): DataFrame = {
-    val customer = Tables.load(spark, dir, "customer")
-    val nation = Tables.load(spark, dir, "nation")
-    val region = Tables.load(spark, dir, "region")
-    customer
-      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
-      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
-      .rollup("r_name", "n_name")
-      .agg(count(lit(1)).as("cnt"))
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT r_name, n_name, count(*) AS cnt
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin)
   }
 
   /** Q18: calendar bucketing (ref P11 generalized). */
