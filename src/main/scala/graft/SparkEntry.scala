@@ -51,9 +51,10 @@ object SparkEntry {
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
-    * q26_ann_lsh (approximate by construction),
-    * q31_approx_distinct (HLL estimate),
-    * — both verified in ScalaTest against exact baselines instead.
+    * q26_ann_lsh (approximate by construction — recall >= 0.8 gated in
+    * AnnRecallSpec against the brute-force top-k),
+    * q31_approx_distinct (HLL estimate — 5% tolerance vs q20 exact in
+    * ApproxDistinctSpec).
     */
   def oracleSql: Map[String, String] = Map(
     "q01_project" ->

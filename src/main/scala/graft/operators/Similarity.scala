@@ -48,21 +48,21 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("sim_raw"), 6).as("sim"))
   }
 
-  /** Approximate NN via deterministic random-hyperplane LSH: `nbits`
-    * sign-bits per vector form a bucket key; candidates = same-bucket
-    * vectors; exact cosine re-rank inside the bucket. Hyperplanes are
-    * derived from a hash of (plane, dim) so the scheme needs no driver-side
-    * randomness and both sides of a join bucket identically.
+  /** Random-hyperplane LSH sign-bits: `nbits` bits per vector form a bucket
+    * key. Hyperplane weights are ±1 from a murmur3 hash of (plane, dim) so
+    * the scheme needs no driver-side randomness and both sides of any join
+    * bucket identically. `band` offsets the plane indices so independent
+    * band tables use independent hyperplane sets.
     *
     * Scale path: bucket key is a shuffle key — same-bucket co-location
     * replaces the O(n²) pair join with per-bucket joins.
     */
-  def lshBuckets(vectors: DataFrame, vecCol: String, nbits: Int): DataFrame = {
-    // plane p, dim d weight = ±1 from murmur3 hash parity — deterministic.
+  def lshBuckets(vectors: DataFrame, vecCol: String, nbits: Int, band: Int = 0): DataFrame = {
     val bits = (0 until nbits).map { p =>
+      val plane = band * nbits + p
       val proj = aggregate(
         zip_with(col(vecCol), sequence(lit(0), size(col(vecCol)) - 1),
-          (x, i) => when(pmod(hash(lit(p), i), lit(2)) === 0, x).otherwise(-x)),
+          (x, i) => when(pmod(hash(lit(plane), i), lit(2)) === 0, x).otherwise(-x)),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1)).otherwise(lit(0)).as(s"bit$p")
     }
@@ -72,18 +72,55 @@ object Similarity {
       .drop((0 until nbits).map(p => s"bit$p"): _*)
   }
 
-  /** ANN top-k per query within shared LSH buckets (approximate —
-    * verified by recall tests against brute force, not a SQL oracle).
+  /** (band, bucket, vec_id) assignment across `bands` independent LSH
+    * tables — the narrow fan-out table the candidate join runs on. Vectors
+    * themselves are NOT carried through the fan-out; they're re-joined by
+    * id after pair dedup, so the shuffled band rows stay a few bytes wide.
+    *
+    * `bucketCap` bounds any one (band, bucket) group: a hot bucket (skewed
+    * hash region — the 100 TB failure mode, where one bucket goes quadratic)
+    * deterministically keeps only the `bucketCap` lowest-hashed members.
     */
-  def annCosine(spark: SparkSession, dir: String, nbits: Int = 8, k: Int = 5): DataFrame = {
+  def bandAssignments(vectors: DataFrame, vecCol: String, nbits: Int,
+                      bands: Int, bucketCap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val banded = (0 until bands).map { b =>
+      lshBuckets(vectors, vecCol, nbits, b)
+        .select(lit(b).as("band"), col("bucket"), col("vec_id"))
+    }.reduce(_.unionByName(_))
+    val w = Window.partitionBy("band", "bucket")
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    banded.withColumn("rnb", row_number().over(w))
+      .filter(col("rnb") <= bucketCap)
+      .drop("rnb")
+  }
+
+  /** ANN top-k per query over multi-band LSH (approximate — verified by a
+    * ScalaTest recall gate against the brute-force top-k, not a SQL
+    * oracle; see AnnRecallSpec). Defaults tuned for the corpus's
+    * near-orthogonal embeddings: 8 bands × 3 bits ⇒ measured recall ≥ 0.8.
+    *
+    * Pipeline: narrow band fan-out → per-bucket self-join → pair dedup
+    * across bands → re-join vectors by id → exact cosine re-rank → per-query
+    * top-k window. Every shuffle key (band+bucket, vec_id) is
+    * uniformly-distributed-by-construction except bucket skew, which
+    * `bucketCap` bounds.
+    */
+  def annCosine(spark: SparkSession, dir: String, nbits: Int = 3, bands: Int = 8,
+                k: Int = 5, bucketCap: Int = 4096): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
-    val bucketed = lshBuckets(e, "v", nbits)
-    val cand = bucketed.select(col("vec_id").as("cand_id"), col("v").as("cv"), col("bucket"))
-    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cand_id").asc)
-    bucketed.join(cand, Seq("bucket"))
+    val assign = bandAssignments(e, "v", nbits, bands, bucketCap)
+    val cand = assign.select(col("band"), col("bucket"), col("vec_id").as("cand_id"))
+    val pairIds = assign.join(cand, Seq("band", "bucket"))
       .filter(col("vec_id") =!= col("cand_id"))
+      .select("vec_id", "cand_id")
+      .distinct()
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cand_id").asc)
+    pairIds
+      .join(e, "vec_id")
+      .join(e.select(col("vec_id").as("cand_id"), col("v").as("cv")), "cand_id")
       .withColumn("sim", cosine(col("v"), col("cv")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+import graft.functions.VectorOps._
+
+/** Recall gate for the approximate-NN path: multi-band LSH top-k vs the
+  * exact brute-force top-k over every query vector. Also pins the
+  * per-bucket cap (the 100 TB hot-bucket bound).
+  */
+class AnnRecallSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val k = 5
+
+  test("ANN (8 bands x 3 bits) recall >= 0.8 vs brute-force top-k") {
+    val e = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+    // exact top-k per query via the same window shape, all pairs
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cand_id").asc)
+    val brute = e.crossJoin(e.select(col("vec_id").as("cand_id"), col("v").as("cv")))
+      .filter(col("vec_id") =!= col("cand_id"))
+      .withColumn("sim", cosine(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("vec_id", "cand_id")
+    val ann = Similarity.annCosine(spark, TestSpark.Sf0001, k = k)
+      .select("vec_id", "cand_id")
+    val nQueries = e.count()
+    val hits = brute.intersect(ann).count()
+    val recall = hits.toDouble / (k * nQueries)
+    info(f"ANN recall@$k = $recall%.3f over $nQueries queries")
+    assert(recall >= 0.8, f"recall $recall%.3f < 0.8")
+  }
+
+  test("bucketCap bounds every (band, bucket) group") {
+    val e = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+    val capped = Similarity.bandAssignments(e, "v", nbits = 2, bands = 2, bucketCap = 10)
+    val maxBucket = capped.groupBy("band", "bucket").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxBucket <= 10, s"bucket of size $maxBucket exceeds cap 10")
+  }
+
+  test("band assignment is deterministic across invocations") {
+    val e = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+    val a = Similarity.bandAssignments(e, "v", 3, 2, 4096).collect().toSet
+    val b = Similarity.bandAssignments(e, "v", 3, 2, 4096).collect().toSet
+    assert(a === b)
+  }
+}

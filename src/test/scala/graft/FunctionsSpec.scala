@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{Masking, SyntheticEmail}
+import graft.functions.TextOps.occurrences
+
+/** Expression-level vectors from FIXTURES.md A4/A5 (reference
+  * sql/05_masking_policy.sql:10-16 and ingestion/utils.py:8-11,
+  * tests/unit/test_utils.py:4-14).
+  */
+class FunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("maskEmail matches the reference policy vectors (A5)") {
+    val out = Seq(
+      Some("alice@ex.com"), Some("no-at-sign"), None, Some("@lead.com"))
+      .toDF("email")
+      .select(Masking.maskEmail(col("email")).as("masked"))
+      .as[Option[String]].collect()
+    assert(out(0).contains("a***@ex.com"))
+    assert(out(1).contains("***"))
+    assert(out(2).isEmpty) // NULL -> NULL
+    // '@' at position 1: first char is '@' itself, suffix from '@'
+    assert(out(3).contains("@***@lead.com"))
+  }
+
+  test("privileged roles set matches the reference policy") {
+    assert(Masking.PrivilegedRoles ===
+      Set("ACCOUNTADMIN", "R_TRANSFORM", "R_INGEST"))
+  }
+
+  test("syntheticEmail matches Python hashlib.sha1 vectors (A4)") {
+    val out = Seq(Some("Alice Smith"), None, Some("Bob")).toDF("name")
+      .select(SyntheticEmail.syntheticEmail(col("name")).as("e"))
+      .as[String].collect()
+    // hashlib.sha1(b"Alice Smith").hexdigest()[:10] == "99b060e16d"
+    assert(out(0) === "user_99b060e16d@example.com")
+    // None -> sha1(b"unknown")[:10] == "50d8b4a941"
+    assert(out(1) === "user_50d8b4a941@example.com")
+    assert(out(2) === "user_da6645f6e2@example.com")
+  }
+
+  test("syntheticEmail is deterministic and honors domain override") {
+    val df = Seq("Alice Smith").toDF("name")
+    val a = df.select(SyntheticEmail.syntheticEmail(col("name"), "corp.io")).as[String].head()
+    val b = df.select(SyntheticEmail.syntheticEmail(col("name"), "corp.io")).as[String].head()
+    assert(a === b)
+    assert(a === "user_99b060e16d@corp.io")
+  }
+
+  test("occurrences counts non-overlapping literal matches") {
+    val n = Seq(" the cat the hat the ").toDF("s")
+      .select(occurrences(col("s"), " the ").as("n"))
+      .as[Double].head()
+    // positions 0, 8, 16 — each " the " has its own flanking spaces
+    assert(n === 3.0)
+    val n2 = Seq(" the the x ").toDF("s")
+      .select(occurrences(col("s"), " the ").as("n"))
+      .as[Double].head()
+    // overlapping case: the shared middle space is consumed by the first
+    // match, so " the the " counts once — same as the oracle formula
+    assert(n2 === 1.0)
+  }
+}
