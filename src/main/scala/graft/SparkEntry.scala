@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Relational, Similarity, Text}
+import graft.ingest.Envelope
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, SqlSurface, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -48,6 +49,9 @@ object SparkEntry {
     "q29_token_count" -> (Text.q29TokenCount _),
     "q30_fingerprint" -> (Text.q30Fingerprint _),
     "q31_approx_distinct" -> (Dedup.q31ApproxDistinct _),
+    "q32_envelope" -> (Envelope.q32Envelope _),
+    "q33_binary_meta" -> (Multimodal.q33BinaryMeta _),
+    "q34_sql_views" -> (SqlSurface.q34SqlViews _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -146,5 +150,24 @@ object SparkEntry {
         "FROM documents"),
     "q30_fingerprint" ->
       "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM documents",
+    "q32_envelope" ->
+      ("SELECT 'W' || c_custkey AS id, " +
+        "CASE WHEN c_custkey % 2 = 0 THEN '10.1/' || c_custkey END AS doi, " +
+        "c_name AS title, CAST(1990 + c_nationkey AS INTEGER) AS publication_year, " +
+        "c_mktsegment AS host_venue, c_name AS primary_author, " +
+        "lower(c_name) || '@ex.com' AS email, " +
+        "TIMESTAMP '2024-02-01 00:00:00' AS event_ts, " +
+        "TIMESTAMP '2024-02-01 00:00:00' AS ingest_ts, " +
+        "'openalex' AS source, 'L' || c_custkey AS load_id FROM customer"),
+    "q33_binary_meta" ->
+      ("SELECT doc_id, md5(text) AS fp, octet_length(encode(text)) AS n_bytes, " +
+        "CASE WHEN substr(text, 1, 1) = '{' THEN 'json' " +
+        "WHEN substr(text, 1, 1) = '<' THEN 'markup' ELSE 'raw' END AS container " +
+        "FROM documents"),
+    "q34_sql_views" ->
+      ("SELECT event_type, count(*) AS cnt, " +
+        "round(avg(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)), 6) AS avg_k, " +
+        "round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value " +
+        "FROM events WHERE ts <= TIMESTAMP '2024-02-01 00:00:00' GROUP BY event_type"),
   )
 }

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** The landing plane: NDJSON envelope lines → a schema-agnostic lake table
+  * `(record string, record_metadata struct<IngestionTime: timestamp>)`
+  * partitioned by `landed_date`, mirroring the reference's
+  * Firehose→warehouse delivery (infra/main.tf:159-186,
+  * sql/03_tables_raw.sql:5-8):
+  *
+  *  - each micro-batch commit ≈ one Firehose delivery (ST1)
+  *  - `record_metadata.IngestionTime` = commit time (ST2's landed_ts)
+  *  - within-delivery `_LOAD_ID` dedup (ST5 at-least-once; the curated
+  *    view dedups across deliveries, see Bootstrap)
+  *  - unparseable lines go to a dated DLQ path instead of failing the
+  *    batch (S5; reference errors/yyyy/MM/dd S3 prefix, main.tf:178-186)
+  *
+  * At 100 TB the date partitioning makes the curated layer's time filters
+  * physical partition pruning, and appends never rewrite history.
+  */
+object Landing {
+
+  /** Minimal wire validation schema — only `_LOAD_ID` is *required* on a
+    * line for it to land; everything else stays schema-agnostic (the raw
+    * JSON string is what's stored, typed-ness comes from curated views).
+    */
+  private val wireSchema = new StructType().add("_LOAD_ID", "string")
+
+  /** Land one batch of raw NDJSON lines (column `value`).
+    * `ingestionTime` is injectable for reproducible tests; production uses
+    * the default commit-time clock.
+    */
+  def landBatch(
+      lines: DataFrame,
+      landingDir: String,
+      dlqDir: Option[String] = None,
+      ingestionTime: Column = current_timestamp()): Unit = {
+    val parsed = lines
+      .select(col("value").as("record"),
+        from_json(col("value"), wireSchema).as("p"))
+    // a line is DLQ-bound if it isn't JSON at all or carries no load id —
+    // without one, at-least-once redelivery could never be deduped
+    val bad = parsed.filter(col("p").isNull || col("p._LOAD_ID").isNull)
+    dlqDir.foreach { d =>
+      bad.select(
+        col("record"),
+        lit("unparseable or missing _LOAD_ID").as("error"),
+        to_date(ingestionTime).as("error_date"))
+        .write.mode("append").partitionBy("error_date").parquet(d)
+    }
+    parsed
+      .filter(col("p").isNotNull && col("p._LOAD_ID").isNotNull)
+      .withColumn("_load_id", col("p._LOAD_ID"))
+      // within-delivery dedup: retries inside one put cannot double-land
+      .dropDuplicates("_load_id")
+      .select(
+        col("record"),
+        struct(ingestionTime.as("IngestionTime")).as("record_metadata"),
+        col("_load_id"),
+        to_date(ingestionTime).as("landed_date"))
+      .write.mode("append").partitionBy("landed_date").parquet(landingDir)
+  }
+
+  /** Structured Streaming ingestion: watch `inputDir` for NDJSON files and
+    * land each micro-batch through the same `landBatch` the batch path
+    * uses — batch ≡ stream by construction (one code path).
+    */
+  def landStream(
+      spark: SparkSession,
+      inputDir: String,
+      landingDir: String,
+      checkpointDir: String,
+      dlqDir: Option[String] = None,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream
+      .format("text")
+      .load(inputDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        landBatch(batch, landingDir, dlqDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+}
