@@ -44,8 +44,15 @@ object VectorOps {
     */
   def toDoubleArray(v: Column): Column = transform(v, x => x.cast("double"))
 
+  /** Fused dot product: accumulate over an index sequence instead of
+    * materializing a zip_with product array per row — on an N-million-pair
+    * candidate set the intermediate allocation is pure GC pressure.
+    * Summation order is identical to the zip_with form (left to right), so
+    * results are bit-identical.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    aggregate(sequence(lit(1), size(a)), lit(0.0),
+      (acc, i) => acc + element_at(a, i) * element_at(b, i))
 
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))

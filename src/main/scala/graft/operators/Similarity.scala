@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorOps._
@@ -84,10 +84,21 @@ object Similarity {
   def bandAssignments(vectors: DataFrame, vecCol: String, nbits: Int,
                       bands: Int, bucketCap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val banded = (0 until bands).map { b =>
-      lshBuckets(vectors, vecCol, nbits, b)
-        .select(lit(b).as("band"), col("bucket"), col("vec_id"))
-    }.reduce(_.unionByName(_))
+    // all bands in ONE pass over the vectors: a bands-wide array of bucket
+    // strings, posexploded to (band, bucket) — vs one scan + codegen unit
+    // per band union'd together, which costs bands× the IO and JIT.
+    def bitExpr(plane: Int): Column = {
+      val proj = aggregate(
+        zip_with(col(vecCol), sequence(lit(0), size(col(vecCol)) - 1),
+          (x, i) => when(pmod(hash(lit(plane), i), lit(2)) === 0, x).otherwise(-x)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit("1")).otherwise(lit("0"))
+    }
+    val bucketCols = (0 until bands).map { b =>
+      concat((0 until nbits).map(p => bitExpr(b * nbits + p)): _*)
+    }
+    val banded = vectors.select(col("vec_id"),
+      posexplode(array(bucketCols: _*)).as(Seq("band", "bucket")))
     val w = Window.partitionBy("band", "bucket")
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
     banded.withColumn("rnb", row_number().over(w))
@@ -99,6 +110,12 @@ object Similarity {
     * ScalaTest recall gate against the brute-force top-k, not a SQL
     * oracle; see AnnRecallSpec). Defaults tuned for the corpus's
     * near-orthogonal embeddings: 8 bands × 3 bits ⇒ measured recall ≥ 0.8.
+    *
+    * Candidate-set caveat: the corpus vectors are near-random (mean
+    * pairwise cosine ≈ 0), so recall 0.8 forces ~2/3 pair coverage — LSH
+    * cannot beat brute force on data with no similarity structure. On
+    * clustered real-world embeddings the same parameters prune sharply;
+    * tune nbits/bands to the corpus's neighbor-similarity distribution.
     *
     * Pipeline: narrow band fan-out → per-bucket self-join → pair dedup
     * across bands → re-join vectors by id → exact cosine re-rank → per-query
@@ -117,11 +134,16 @@ object Similarity {
       .filter(col("vec_id") =!= col("cand_id"))
       .select("vec_id", "cand_id")
       .distinct()
+    // norms precomputed once per vector — cosine per pair is then a single
+    // dot product, not dot + two norms (3× less array work on the candidate
+    // set, which is the dominant cost)
+    val en = e.withColumn("nrm", norm(col("v")))
     val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cand_id").asc)
     pairIds
-      .join(e, "vec_id")
-      .join(e.select(col("vec_id").as("cand_id"), col("v").as("cv")), "cand_id")
-      .withColumn("sim", cosine(col("v"), col("cv")))
+      .join(en, "vec_id")
+      .join(en.select(col("vec_id").as("cand_id"), col("v").as("cv"),
+        col("nrm").as("cnrm")), "cand_id")
+      .withColumn("sim", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("vec_id"), col("cand_id"), round(col("sim"), 6).as("sim"), col("rn"))
