@@ -53,6 +53,19 @@ object Oracles {
       "JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b) " +
       "WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5"
 
+  /** Q35 oracle — candidate pairs sharing any LSH band (built on the q22
+    * band oracle so the md5 scheme stays in lockstep).
+    */
+  val lshPairs: String = {
+    val unpivot = (0 until 4)
+      .map(i => s"SELECT doc_id, $i AS band, b$i AS bv FROM bands")
+      .mkString(" UNION ALL ")
+    s"WITH bands AS ($minHashBands), long AS ($unpivot) " +
+      "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+      "FROM long a JOIN long b ON a.band = b.band AND a.bv = b.bv " +
+      "AND a.doc_id < b.doc_id"
+  }
+
   /** Marker-word occurrence count via the length-difference trick. */
   private def occ(m: String): String = {
     val p = s" $m "

@@ -52,6 +52,7 @@ object SparkEntry {
     "q32_envelope" -> (Envelope.q32Envelope _),
     "q33_binary_meta" -> (Multimodal.q33BinaryMeta _),
     "q34_sql_views" -> (SqlSurface.q34SqlViews _),
+    "q35_lsh_pairs" -> (Dedup.q35LshPairs _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -169,5 +170,6 @@ object SparkEntry {
         "round(avg(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)), 6) AS avg_k, " +
         "round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value " +
         "FROM events WHERE ts <= TIMESTAMP '2024-02-01 00:00:00' GROUP BY event_type"),
+    "q35_lsh_pairs" -> Oracles.lshPairs,
   )
 }

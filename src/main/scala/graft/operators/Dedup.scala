@@ -70,6 +70,14 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** Q35: the full near-dup candidate flow — minhash signatures → LSH
+    * bands → candidate pairs sharing any band. This is the unbounded-scale
+    * alternative to the exact O(n²) Jaccard join (q24): the only join key
+    * is a band hash, uniformly distributed by construction.
+    */
+  def q35LshPairs(spark: SparkSession, dir: String): DataFrame =
+    bandPairs(q22MinHashBands(spark, dir))
+
   /** 32-bit word hash from the md5 hex prefix — portable across engines. */
   private def h32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
