@@ -81,6 +81,22 @@ object Bootstrap {
          |  END AS latency_seconds
          |FROM dedup WHERE _rn = 1""".stripMargin)
 
+    // the rule-gated twin: defined CLEAR so graft.plans.MaskingRule can
+    // decide masked-vs-clear per read from the session role. Secure
+    // fallback: if the extension is NOT installed in this session, define
+    // it with the same role-gated expression as vw_works — a session
+    // without the rule must never expose the clear column to analysts.
+    val ruleInstalled = spark.sessionState.analyzer.extendedResolutionRules
+      .exists(_.isInstanceOf[graft.plans.MaskingRule])
+    val gatedEmail = if (ruleInstalled) emailRaw else emailExpr
+    spark.sql(
+      s"""CREATE OR REPLACE TEMP VIEW vw_works_gated AS
+         |SELECT get_json_object(record, '$$.id') AS id,
+         |  get_json_object(record, '$$.title') AS title,
+         |  $gatedEmail AS email,
+         |  _load_id AS load_id
+         |FROM $LandingView""".stripMargin)
+
     // KPI over the trailing 5 minutes; the anchor is injectable
     // (spark.graft.anchor) for deterministic runs, wall-clock otherwise.
     val anchor = spark.conf.getOption(AnchorConf)
