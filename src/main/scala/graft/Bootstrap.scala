@@ -107,6 +107,8 @@ object Bootstrap {
          |  round(avg(latency_seconds), 3) AS avg_sec_5m,
          |  min(latency_seconds) AS min_sec_5m,
          |  max(latency_seconds) AS max_sec_5m,
+         |  approx_percentile(latency_seconds, 0.5) AS p50_sec_5m,
+         |  approx_percentile(latency_seconds, 0.95) AS p95_sec_5m,
          |  count(*) AS events_5m,
          |  $anchor - INTERVAL 5 MINUTES AS window_start,
          |  $anchor AS window_end

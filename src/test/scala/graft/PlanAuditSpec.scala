@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Relational, Similarity}
+
+/** Physical-plan regressions locked in CI: filters reach the parquet scan,
+  * projections prune the read schema, small dims broadcast, top-k plans as
+  * TakeOrderedAndProject. A future edit that silently loses one of these
+  * turns a map-side operator into a full-table cost at 100 TB.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q03 filter is pushed to the parquet scan") {
+    val p = plan(Relational.q03Filter(spark, TestSpark.Sf0001))
+    assert(p.contains("PushedFilters: ["))
+    assert(p.contains("IsNotNull(event_type)") || p.contains("EqualTo(event_type"))
+  }
+
+  test("q01 projection prunes the read schema to the 3 selected columns") {
+    val p = plan(Relational.q01Project(spark, TestSpark.Sf0001))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("event_id"))
+    assert(readSchema.contains("event_type"))
+    assert(readSchema.contains("value"))
+    assert(!readSchema.contains("props"), s"props not pruned: $readSchema")
+    assert(!readSchema.contains("user_id"), s"user_id not pruned: $readSchema")
+  }
+
+  test("q10 dims broadcast; q07 top-k avoids a global sort") {
+    assert(plan(Relational.q10JoinDims(spark, TestSpark.Sf0001))
+      .contains("BroadcastHashJoin"))
+    assert(plan(Relational.q07TopK(spark, TestSpark.Sf0001))
+      .contains("TakeOrderedAndProject"))
+  }
+
+  test("q26 vector lookups broadcast and top-k is group-limited below the shuffle") {
+    val p = plan(Similarity.annCosine(spark, TestSpark.Sf0001))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("WindowGroupLimit"))
+  }
+}

@@ -48,6 +48,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("watermark drops events later than the allowed lateness (ST4)") {
+    // Append mode is where the drop guarantee holds (update mode only
+    // evicts state — a too-late row can re-emit a fresh count). Each file
+    // is its own AvailableNow RUN over a shared checkpoint, so the
+    // watermark persists between runs (deterministic batch order + real
+    // checkpoint recovery; in-flight file ordering by mod time is not):
+    //   run1: events at 11:00, 12:00   → checkpointed watermark = 11:50
+    //   run2: 11:55 (within lateness) + 10:00 (too late → filtered)
+    //   run3: 13:30 pushes the watermark past the open windows → emit
+    val base = Files.createTempDirectory("graft_wm").toString
+    val in = s"$base/in"; new java.io.File(in).mkdirs()
+    def line(id: Int, ts: String) = s"""{"event_id":$id,"ts":"$ts"}"""
+    def runOnce(name: String, ls: Seq[String]): Unit = {
+      Files.write(java.nio.file.Paths.get(s"$in/$name"), ls.mkString("\n").getBytes)
+      val agg = spark.readStream
+        .schema(StructType(Seq(StructField("event_id", LongType), StructField("ts", StringType))))
+        .json(in)
+        .withColumn("ts", to_timestamp(col("ts")))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").cast("string").as("h"), col("cnt"))
+      val q = agg.writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    runOnce("b1.ndjson", Seq(line(1, "2024-01-01 11:00:00"), line(2, "2024-01-01 12:00:00")))
+    runOnce("b2.ndjson", Seq(line(3, "2024-01-01 11:55:00"), line(4, "2024-01-01 10:00:00")))
+    runOnce("b3.ndjson", Seq(line(5, "2024-01-01 13:30:00")))
+    val byWindow = spark.read.parquet(s"$base/out")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 11:00 window closed with events 1 + 3 (late-but-in-lateness counted)
+    assert(byWindow.get("2024-01-01 11:00:00").contains(2L))
+    assert(byWindow.get("2024-01-01 12:00:00").contains(1L))
+    // the too-late 10:00 event was dropped: its window never emitted
+    assert(!byWindow.contains("2024-01-01 10:00:00"))
+    // 13:00 window still open at termination — append emitted nothing for it
+    assert(!byWindow.contains("2024-01-01 13:00:00"))
+  }
+
   test("IngestCounters sees every landed row and batch") {
     val counters = new IngestCounters
     spark.streams.addListener(counters)
