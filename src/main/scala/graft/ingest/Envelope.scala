@@ -16,6 +16,12 @@ object Envelope {
   /** Parse raw JSON work records (one JSON doc per row in `jsonCol`) into
     * the typed work shape. Unknown fields are dropped by the closed schema;
     * malformed JSON yields a NULL struct (PERMISSIVE), never an error.
+    *
+    * Note the consequence downstream: a garbage input line becomes an
+    * all-null work and flows on as an envelope with only synthetic fields
+    * (matching the reference's never-fail contract). A deployment that
+    * wants to reject such records filters `id IS NULL` between parse and
+    * wire — the landing DLQ only catches wire-level corruption.
     */
   def parseWorks(raw: DataFrame, jsonCol: String): DataFrame =
     raw.select(from_json(col(jsonCol), OpenAlexWork.schema).as("w"))

@@ -1,0 +1,155 @@
+package graft.sources
+
+import java.util
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import graft.ingest.{FetchResult, Got, RetryAfter}
+
+/** Full-fidelity DataSource V2 streaming source for cursor-paginated pulls
+  * (reference ingestion/openalex_client.py:22-70): the pagination cursor IS
+  * the streaming offset, so checkpoint recovery resumes exactly where the
+  * last committed micro-batch left off — the property the reference gets
+  * from re-passing `meta.next_cursor`.
+  *
+  * Driver-side: `latestOffset` advances the cursor up to
+  * `maxPagesPerTrigger` pages per micro-batch (backpressure, ST6),
+  * buffering fetched pages; `planInputPartitions` ships each page's records
+  * in its partition so executors never need the fetcher. 429 push-back
+  * retries the same cursor after the advertised delay (S2).
+  *
+  * Fetchers are registered by name (`CursorPagedSource.register`) because
+  * DSv2 options are strings; a live deployment registers an HTTP fetcher at
+  * startup, tests register stubs.
+  *
+  * Usage:
+  * {{{
+  * CursorPagedSource.register("myapi", cursor => ...)
+  * spark.readStream.format("graft.sources.CursorPagedSource")
+  *   .option("fetcher", "myapi").option("maxPagesPerTrigger", "2").load()
+  * }}}
+  */
+class CursorPagedSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    CursorPagedSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new CursorPagedTable(new CaseInsensitiveStringMap(properties))
+}
+
+object CursorPagedSource {
+  val schema: StructType = new StructType().add("value", StringType)
+
+  private val fetchers = TrieMap.empty[String, String => FetchResult]
+
+  def register(name: String, fetch: String => FetchResult): Unit =
+    fetchers(name) = fetch
+
+  private[sources] def fetcher(name: String): String => FetchResult =
+    fetchers.getOrElse(name,
+      throw new IllegalArgumentException(s"no fetcher registered under '$name'"))
+}
+
+private class CursorPagedTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = "cursor_paged_source"
+  override def schema(): StructType = CursorPagedSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = CursorPagedSource.schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new CursorPagedStream(
+            CursorPagedSource.fetcher(options.get("fetcher")),
+            Option(options.get("startCursor")).getOrElse("*"),
+            Option(options.get("maxPagesPerTrigger")).map(_.toInt).getOrElse(1))
+      }
+    }
+}
+
+/** Offset = (number of pages consumed, cursor to fetch next; None when the
+  * upstream is exhausted). JSON-serialized for the checkpoint log.
+  */
+case class CursorOffset(pages: Long, cursor: Option[String]) extends Offset {
+  override def json(): String = {
+    val c = cursor.map(s =>
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\"").getOrElse("null")
+    s"""{"pages":$pages,"cursor":$c}"""
+  }
+}
+
+object CursorOffset {
+  private val Re = """\{"pages":(\d+),"cursor":(null|".*")\}""".r
+  def fromJson(j: String): CursorOffset = j match {
+    case Re(p, "null") => CursorOffset(p.toLong, None)
+    case Re(p, c) =>
+      CursorOffset(p.toLong,
+        Some(c.substring(1, c.length - 1).replace("\\\"", "\"").replace("\\\\", "\\")))
+    case other => throw new IllegalArgumentException(s"bad offset json: $other")
+  }
+}
+
+private class CursorPagedStream(
+    fetch: String => FetchResult,
+    startCursor: String,
+    maxPagesPerTrigger: Int) extends MicroBatchStream {
+
+  // driver-side buffer of fetched pages: page index -> records
+  private val buffered = TrieMap.empty[Long, Seq[String]]
+  @volatile private var head = CursorOffset(0, Some(startCursor))
+
+  override def initialOffset(): Offset = CursorOffset(0, Some(startCursor))
+
+  override def latestOffset(): Offset = {
+    var n = 0
+    while (n < maxPagesPerTrigger && head.cursor.isDefined) {
+      fetch(head.cursor.get) match {
+        case RetryAfter(s) =>
+          Thread.sleep(s * 1000L) // politeness: retry the SAME cursor
+        case Got(page) =>
+          buffered(head.pages) = page.results
+          head = CursorOffset(head.pages + 1, page.nextCursor)
+          n += 1
+      }
+    }
+    head
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[CursorOffset].pages
+    val e = end.asInstanceOf[CursorOffset].pages
+    (s until e).map(i => PageInputPartition(buffered.getOrElse(i, Seq.empty)): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => new PartitionReader[InternalRow] {
+      private val it = partition.asInstanceOf[PageInputPartition].records.iterator
+      private var current: String = _
+      override def next(): Boolean = { val h = it.hasNext; if (h) current = it.next(); h }
+      override def get(): InternalRow =
+        InternalRow(UTF8String.fromString(current))
+      override def close(): Unit = ()
+    }
+
+  override def deserializeOffset(json: String): Offset = CursorOffset.fromJson(json)
+
+  override def commit(end: Offset): Unit = {
+    // committed pages can never be replanned — free the buffer
+    val upTo = end.asInstanceOf[CursorOffset].pages
+    buffered.keys.filter(_ < upTo).foreach(buffered.remove)
+  }
+
+  override def stop(): Unit = buffered.clear()
+}
+
+private case class PageInputPartition(records: Seq[String]) extends InputPartition

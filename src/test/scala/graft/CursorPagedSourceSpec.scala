@@ -1,0 +1,66 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ingest.{FetchResult, Got, Page, RetryAfter}
+import graft.sources.{CursorOffset, CursorPagedSource}
+
+/** The DSv2 streaming source: cursor-as-offset semantics, A6 pagination
+  * vectors through a real streaming query, per-trigger page limits, and
+  * offset JSON round-trip (what the checkpoint log persists).
+  */
+class CursorPagedSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("A6 vectors through a streaming query: 429 retried, pages in order") {
+    val calls = new AtomicInteger(0)
+    CursorPagedSource.register("a6", c => (calls.incrementAndGet(), c) match {
+      case (1, "*") => RetryAfter(0)
+      case (_, "*") => Got(Page(Seq("""{"n":1}""", """{"n":2}"""), Some("abc")))
+      case (_, "abc") => Got(Page(Seq("""{"n":3}"""), None))
+      case (_, other) => fail(s"unexpected cursor $other")
+    })
+    val q = spark.readStream
+      .format("graft.sources.CursorPagedSource")
+      .option("fetcher", "a6")
+      .option("maxPagesPerTrigger", "1")
+      .load()
+      .writeStream.format("memory").queryName("cursor_src")
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("cursor_src").collect().map(_.getString(0))
+      assert(rows.toSeq === Seq("""{"n":1}""", """{"n":2}""", """{"n":3}"""))
+      // 1 retry + 2 successful pages
+      assert(calls.get() === 3)
+    } finally q.stop()
+  }
+
+  test("maxPagesPerTrigger bounds each micro-batch (backpressure)") {
+    CursorPagedSource.register("paged", c =>
+      if (c.length < 5) Got(Page(Seq(c), Some(c + "+"))) else Got(Page(Seq(c), None)))
+    val q = spark.readStream
+      .format("graft.sources.CursorPagedSource")
+      .option("fetcher", "paged")
+      .option("maxPagesPerTrigger", "2")
+      .load()
+      .writeStream.format("memory").queryName("cursor_paged")
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("cursor_paged").collect().map(_.getString(0))
+      assert(rows.toSeq === Seq("*", "*+", "*++", "*+++", "*++++"))
+      // 5 pages at ≤2/trigger ⇒ at least 3 micro-batches
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
+    } finally q.stop()
+  }
+
+  test("offset JSON round-trips, including cursors needing escapes") {
+    for (o <- Seq(
+        CursorOffset(0, Some("*")),
+        CursorOffset(42, None),
+        CursorOffset(7, Some("""cu"rs\or""")))) {
+      assert(CursorOffset.fromJson(o.json()) === o)
+    }
+  }
+}
