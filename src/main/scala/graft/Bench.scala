@@ -34,6 +34,36 @@ object Bench {
           None
       }
     }
+    // streaming SLO analog (BASELINE.md: p50 <= 20s / p95 <= 60s rolling):
+    // push envelopes through the real source->producer->landing->curated
+    // path on wall-clock time and read the KPI percentiles back.
+    val slo: String = try {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val base = java.nio.file.Files.createTempDirectory("bench_slo").toString
+      val in = s"$base/in"; new java.io.File(in).mkdirs()
+      val n = 500
+      var put = 0
+      ingest.Producer.run(spark,
+        Iterator.tabulate(n)(i => s"""{"id":"W$i","title":"T$i"}"""),
+        batchSize = 100,
+        sink = df => {
+          put += 1
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$in/put$put.ndjson"),
+            df.as[String].collect().mkString("\n").getBytes("UTF-8"))
+        })
+      val q = streaming.Landing.landStream(spark, in, s"$base/landing", s"$base/ckpt")
+      q.awaitTermination(120000)
+      Bootstrap.initLanding(spark, s"$base/landing")
+      val kpi = spark.sql(
+        "SELECT p50_sec_5m, p95_sec_5m, events_5m FROM vw_latency").head()
+      s"""{"p50_sec":${kpi.get(0)},"p95_sec":${kpi.get(1)},"events":${kpi.get(2)}}"""
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] streaming SLO measurement failed: ${e.getMessage}")
+        "null"
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -41,7 +71,7 @@ object Bench {
     val failedJson = failed.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"streaming_slo":$slo,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -22,6 +22,14 @@ object Bootstrap {
   def role(spark: SparkSession): String =
     spark.conf.get(RoleConf, "R_ANALYST")
 
+  /** G3 compute-isolation analog: the reference gives each role its own
+    * warehouse (ingestion/transform/analyst); on a shared Spark cluster the
+    * equivalent isolation knob is a fair-scheduler pool per role — jobs
+    * submitted after this call are scheduled under `pool`'s weight/minShare.
+    */
+  def usePool(spark: SparkSession, pool: String): Unit =
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
+
   /** Register the parquet corpus tables (idempotent). */
   def initCorpus(spark: SparkSession, dir: String): Unit =
     Tables.registerAll(spark, dir)

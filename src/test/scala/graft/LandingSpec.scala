@@ -109,6 +109,24 @@ class LandingSpec extends AnyFunSuite {
     spark.conf.unset(Bootstrap.AnchorConf)
   }
 
+  test("cross-delivery redelivery dedups in the curated view (ST5)") {
+    // the same wire line landed by two separate deliveries (e.g. a retry
+    // after an ack was lost) → two physical rows, one logical record
+    val base = Files.createTempDirectory("graft_redeliver").toString
+    val one = fixtureLines.head
+    Landing.landBatch(Seq(one).toDF("value"), s"$base/landing", None,
+      to_timestamp(lit("2024-01-01 12:00:30")))
+    Landing.landBatch(Seq(one).toDF("value"), s"$base/landing", None,
+      to_timestamp(lit("2024-01-01 12:01:30")))
+    assert(spark.read.parquet(s"$base/landing").count() === 2) // at-least-once at rest
+    spark.conf.set(Bootstrap.AnchorConf, "2024-01-01 12:05:00")
+    Bootstrap.initLanding(spark, s"$base/landing")
+    val rows = spark.sql("SELECT load_id, landed_ts FROM vw_works").collect()
+    assert(rows.length === 1) // first landing wins
+    assert(rows.head.getTimestamp(1).toString.startsWith("2024-01-01 12:00:30"))
+    spark.conf.unset(Bootstrap.AnchorConf)
+  }
+
   test("SqlScriptRunner applies statements in file-name order; dry-run executes nothing") {
     val scripts = Seq(
       "02_second.sql" -> "CREATE OR REPLACE TEMP VIEW ssr_b AS SELECT * FROM ssr_a",
