@@ -53,6 +53,7 @@ object SparkEntry {
     "q33_binary_meta" -> (Multimodal.q33BinaryMeta _),
     "q34_sql_views" -> (SqlSurface.q34SqlViews _),
     "q35_lsh_pairs" -> (Dedup.q35LshPairs _),
+    "q36_ann_ivf" -> (Similarity.q36AnnIvf _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):

@@ -154,4 +154,57 @@ object Similarity {
     */
   def q26AnnLsh(spark: SparkSession, dir: String): DataFrame =
     annCosine(spark, dir)
+
+  /** IVF-style ANN: vectors are assigned to Voronoi cells around seed
+    * centroids; each query probes its `nProbe` nearest cells and re-ranks
+    * exactly within them. The complementary scale path to LSH: cells adapt
+    * to data density (strong on clustered embeddings), the centroid table
+    * broadcasts, and every vector lives in exactly ONE cell so the
+    * candidate set needs no dedup shuffle.
+    *
+    * Centroids are a deterministic hash-ordered sample of the vectors —
+    * a real deployment k-means-refines them; the assignment/probe/re-rank
+    * plumbing (what runs at 100 TB) is identical either way.
+    */
+  def ivfCosine(spark: SparkSession, dir: String, nCells: Int = 16,
+                nProbe: Int = 10, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+    val centroids = e
+      .withColumn("r", md5(col("vec_id").cast("string")))
+      .orderBy("r").limit(nCells)
+      .select(col("vec_id").as("cell_id"), col("v").as("cv"))
+    // rank every (vector, cell) by centroid similarity — rn=1 is the
+    // vector's home cell, rn<=nProbe are the cells its queries probe
+    val wCell = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cell_id").asc)
+    val ranked = e.crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine(col("v"), col("cv")))
+      .select(col("vec_id"), col("cell_id"), col("csim"))
+      .withColumn("rn", row_number().over(wCell))
+    val home = ranked.filter(col("rn") === 1)
+      .select(col("vec_id").as("cand_id"), col("cell_id"))
+    val probes = ranked.filter(col("rn") <= nProbe)
+      .select(col("vec_id"), col("cell_id"))
+    val pairIds = probes.join(home, "cell_id")
+      .filter(col("vec_id") =!= col("cand_id"))
+      .select("vec_id", "cand_id") // one home cell per cand ⇒ no dup pairs
+    val en = e.withColumn("nrm", norm(col("v")))
+    val wTop = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cand_id").asc)
+    pairIds
+      .join(en, "vec_id")
+      .join(en.select(col("vec_id").as("cand_id"), col("v").as("cv"),
+        col("nrm").as("cnrm")), "cand_id")
+      .withColumn("sim", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .select(col("vec_id"), col("cand_id"), round(col("sim"), 6).as("sim"), col("rn"))
+  }
+
+  /** queries()-shaped wrapper for the IVF path (rows-only check; recall
+    * gated in AnnRecallSpec like the LSH path).
+    */
+  def q36AnnIvf(spark: SparkSession, dir: String): DataFrame =
+    ivfCosine(spark, dir)
 }

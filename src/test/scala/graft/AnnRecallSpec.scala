@@ -34,6 +34,31 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(recall >= 0.8, f"recall $recall%.3f < 0.8")
   }
 
+  test("IVF (16 cells, probe 10) recall >= 0.8 vs brute-force top-k") {
+    val e = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cand_id").asc)
+    val brute = e.crossJoin(e.select(col("vec_id").as("cand_id"), col("v").as("cv")))
+      .filter(col("vec_id") =!= col("cand_id"))
+      .withColumn("sim", cosine(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("vec_id", "cand_id")
+    val ivf = Similarity.ivfCosine(spark, TestSpark.Sf0001, k = k)
+      .select("vec_id", "cand_id")
+    val nQueries = e.count()
+    val recall = brute.intersect(ivf).count().toDouble / (k * nQueries)
+    info(f"IVF recall@$k = $recall%.3f over $nQueries queries")
+    assert(recall >= 0.8, f"recall $recall%.3f < 0.8")
+  }
+
+  test("IVF candidate pairs need no dedup: every pair appears once") {
+    val pairs = Similarity.ivfCosine(spark, TestSpark.Sf0001)
+      .select("vec_id", "cand_id")
+    assert(pairs.count() === pairs.distinct().count())
+  }
+
   test("bucketCap bounds every (band, bucket) group") {
     val e = Tables.load(spark, TestSpark.Sf0001, "embeddings")
       .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
