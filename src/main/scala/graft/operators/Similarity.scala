@@ -130,10 +130,16 @@ object Similarity {
       .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
     val assign = bandAssignments(e, "v", nbits, bands, bucketCap)
     val cand = assign.select(col("band"), col("bucket"), col("vec_id").as("cand_id"))
+    // dedup AFTER repartitioning by vec_id: HashPartitioning(vec_id)
+    // satisfies the (vec_id, cand_id) dedup's clustering requirement, so
+    // this one exchange serves the dedup, spreads the heavy dot-product
+    // stage uniformly over queries, AND pre-satisfies the final top-k
+    // window — vs a two-key distinct + a second exchange for the window.
     val pairIds = assign.join(cand, Seq("band", "bucket"))
       .filter(col("vec_id") =!= col("cand_id"))
       .select("vec_id", "cand_id")
-      .distinct()
+      .repartition(col("vec_id"))
+      .dropDuplicates(Seq("vec_id", "cand_id"))
     // norms precomputed once per vector — cosine per pair is then a single
     // dot product, not dot + two norms (3× less array work on the candidate
     // set, which is the dominant cost)
@@ -166,8 +172,8 @@ object Similarity {
     * a real deployment k-means-refines them; the assignment/probe/re-rank
     * plumbing (what runs at 100 TB) is identical either way.
     */
-  def ivfCosine(spark: SparkSession, dir: String, nCells: Int = 16,
-                nProbe: Int = 10, k: Int = 5): DataFrame = {
+  def ivfCosine(spark: SparkSession, dir: String, nCells: Int = 32,
+                nProbe: Int = 20, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
@@ -190,6 +196,10 @@ object Similarity {
     val pairIds = probes.join(home, "cell_id")
       .filter(col("vec_id") =!= col("cand_id"))
       .select("vec_id", "cand_id") // one home cell per cand ⇒ no dup pairs
+      // the cell_id join leaves pairs clustered on nCells keys — far fewer
+      // than cores; spread the heavy dot-product stage by query id (which
+      // the final top-k window needs anyway)
+      .repartition(col("vec_id"))
     val en = e.withColumn("nrm", norm(col("v")))
     val wTop = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cand_id").asc)
     pairIds

@@ -34,7 +34,7 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(recall >= 0.8, f"recall $recall%.3f < 0.8")
   }
 
-  test("IVF (16 cells, probe 10) recall >= 0.8 vs brute-force top-k") {
+  test("IVF (32 cells, probe 20) recall >= 0.8 vs brute-force top-k") {
     val e = Tables.load(spark, TestSpark.Sf0001, "embeddings")
       .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
     import org.apache.spark.sql.expressions.Window
