@@ -89,6 +89,48 @@ object Bootstrap {
          |  END AS latency_seconds
          |FROM dedup WHERE _rn = 1""".stripMargin)
 
+    // Spark-4-native twin of vw_works: the landing JSON parses ONCE into a
+    // VariantType value and every typed column is a variant_get over it —
+    // one parse per row instead of one get_json_object re-parse per column,
+    // which is the plan you want when the curated layer projects many
+    // columns at 100 TB. try_* keeps the never-fail contract.
+    val emailV = "try_variant_get(var, '$.email', 'string')"
+    val emailVExpr =
+      if (Masking.PrivilegedRoles(role(spark))) emailV else maskSql(emailV)
+    val eventTsV = "try_cast(try_variant_get(var, '$.event_ts', 'string') AS TIMESTAMP)"
+    val landedTsV =
+      "coalesce(record_metadata.IngestionTime, " +
+        "try_cast(try_variant_get(var, '$.ingest_ts', 'string') AS TIMESTAMP), " +
+        "current_timestamp())"
+    spark.sql(
+      s"""CREATE OR REPLACE TEMP VIEW vw_works_v AS
+         |WITH dedup AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY _load_id ORDER BY record_metadata.IngestionTime) AS _rn
+         |  FROM $LandingView
+         |),
+         |v AS (
+         |  SELECT try_parse_json(record) AS var, record_metadata, _load_id
+         |  FROM dedup WHERE _rn = 1
+         |)
+         |SELECT
+         |  try_variant_get(var, '$$.id', 'string') AS id,
+         |  try_variant_get(var, '$$.doi', 'string') AS doi,
+         |  try_variant_get(var, '$$.title', 'string') AS title,
+         |  try_variant_get(var, '$$.publication_year', 'int') AS publication_year,
+         |  try_variant_get(var, '$$.host_venue', 'string') AS host_venue,
+         |  try_variant_get(var, '$$.primary_author', 'string') AS primary_author,
+         |  $emailVExpr AS email,
+         |  $eventTsV AS event_ts,
+         |  try_cast(try_variant_get(var, '$$.ingest_ts', 'string') AS TIMESTAMP) AS ingest_ts,
+         |  try_variant_get(var, '$$.source', 'string') AS source,
+         |  _load_id AS load_id,
+         |  $landedTsV AS landed_ts,
+         |  CASE WHEN $eventTsV IS NOT NULL
+         |       THEN unix_timestamp($landedTsV) - unix_timestamp($eventTsV)
+         |  END AS latency_seconds
+         |FROM v""".stripMargin)
+
     // the rule-gated twin: defined CLEAR so graft.plans.MaskingRule can
     // decide masked-vs-clear per read from the session role. Secure
     // fallback: if the extension is NOT installed in this session, define

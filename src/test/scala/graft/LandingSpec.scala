@@ -109,6 +109,20 @@ class LandingSpec extends AnyFunSuite {
     spark.conf.unset(Bootstrap.AnchorConf)
   }
 
+  test("variant-based curated view agrees column-for-column with the JSON-path view") {
+    val base = Files.createTempDirectory("graft_variant").toString
+    Landing.landBatch(fixtureLines.toDF("value"), s"$base/landing", None, fixedIngest)
+    spark.conf.set(Bootstrap.AnchorConf, "2024-01-01 12:05:00")
+    Bootstrap.initLanding(spark, s"$base/landing")
+    val cols = "id, doi, title, publication_year, host_venue, primary_author, " +
+      "email, event_ts, ingest_ts, source, load_id, latency_seconds"
+    val jsonPath = spark.sql(s"SELECT $cols FROM vw_works").collect().toSet
+    val variant = spark.sql(s"SELECT $cols FROM vw_works_v").collect().toSet
+    assert(variant === jsonPath)
+    assert(jsonPath.nonEmpty)
+    spark.conf.unset(Bootstrap.AnchorConf)
+  }
+
   test("cross-delivery redelivery dedups in the curated view (ST5)") {
     // the same wire line landed by two separate deliveries (e.g. a retry
     // after an ack was lost) → two physical rows, one logical record
