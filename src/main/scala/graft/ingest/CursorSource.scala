@@ -52,3 +52,12 @@ final class CursorSource(
   /** Lazily yields one raw record per element, in page order. */
   def records: Iterator[String] = pages.flatMap(_.results)
 }
+
+object CursorSource {
+  /** Config-driven construction: page cap and inter-page politeness come
+    * from the validated settings object (the sleeper also honors 429s).
+    */
+  def fromConfig(fetch: String => FetchResult, cfg: IngestConfig): CursorSource =
+    new CursorSource(fetch, maxPages = cfg.maxPages,
+      sleeper = s => Thread.sleep(math.max(s, cfg.sleepSeconds) * 1000L))
+}

@@ -19,6 +19,13 @@ object Producer {
 
   final case class Totals(sent: Long, failed: Long, batches: Long)
 
+  /** Config-driven entry point: batch size and source tag come from the
+    * validated settings object.
+    */
+  def run(spark: SparkSession, records: Iterator[String], cfg: IngestConfig,
+          sink: DataFrame => Unit): Totals =
+    run(spark, records, cfg.batchSize, sink, cfg.source)
+
   def run(
       spark: SparkSession,
       records: Iterator[String],
