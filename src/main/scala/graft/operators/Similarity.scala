@@ -84,20 +84,22 @@ object Similarity {
   def bandAssignments(vectors: DataFrame, vecCol: String, nbits: Int,
                       bands: Int, bucketCap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // all bands in ONE pass over the vectors: a bands-wide array of bucket
-    // strings, posexploded to (band, bucket) — vs one scan + codegen unit
-    // per band union'd together, which costs bands× the IO and JIT.
-    def bitExpr(plane: Int): Column = {
+    // all bands in ONE pass over the vectors AND one lambda: the plane
+    // index is the transform variable, so the generated code is a single
+    // loop nest over (plane × dim) instead of bands×nbits unrolled
+    // aggregate expressions — identical values (hash(plane, dim) is
+    // value-based), far smaller codegen unit to JIT.
+    val allBits = transform(sequence(lit(0), lit(bands * nbits - 1)), p => {
       val proj = aggregate(
         zip_with(col(vecCol), sequence(lit(0), size(col(vecCol)) - 1),
-          (x, i) => when(pmod(hash(lit(plane), i), lit(2)) === 0, x).otherwise(-x)),
+          (x, i) => when(pmod(hash(p, i), lit(2)) === 0, x).otherwise(-x)),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit("1")).otherwise(lit("0"))
-    }
-    val bucketCols = (0 until bands).map { b =>
-      concat((0 until nbits).map(p => bitExpr(b * nbits + p)): _*)
-    }
-    val banded = vectors.select(col("vec_id"),
+    })
+    val withBits = vectors.select(col("vec_id"), allBits.as("_bits"))
+    val bucketCols = (0 until bands).map(b =>
+      concat_ws("", slice(col("_bits"), b * nbits + 1, nbits)))
+    val banded = withBits.select(col("vec_id"),
       posexplode(array(bucketCols: _*)).as(Seq("band", "bucket")))
     val w = Window.partitionBy("band", "bucket")
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
