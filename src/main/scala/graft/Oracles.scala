@@ -66,6 +66,20 @@ object Oracles {
       "AND a.doc_id < b.doc_id"
   }
 
+  /** Q37 oracle — connected components of the q35 pair graph via a
+    * recursive reachability CTE; component label = min reachable doc_id.
+    * (Tractable in DuckDB because the oracle corpus's pair graph is tiny;
+    * the Spark side uses iterative label propagation instead.)
+    */
+  val dedupClusters: String =
+    s"WITH RECURSIVE pairs AS ($lshPairs), " +
+      "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
+      "UNION SELECT doc_b, doc_a FROM pairs), " +
+      "verts AS (SELECT DISTINCT src AS v FROM edges), " +
+      "reach(v, r) AS (SELECT v, v FROM verts " +
+      "UNION SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.v) " +
+      "SELECT v AS doc_id, min(r) AS cluster FROM reach GROUP BY v"
+
   /** Marker-word occurrence count via the length-difference trick. */
   private def occ(m: String): String = {
     val p = s" $m "

@@ -54,6 +54,7 @@ object SparkEntry {
     "q34_sql_views" -> (SqlSurface.q34SqlViews _),
     "q35_lsh_pairs" -> (Dedup.q35LshPairs _),
     "q36_ann_ivf" -> (Similarity.q36AnnIvf _),
+    "q37_dedup_clusters" -> (Dedup.q37DedupClusters _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -172,5 +173,6 @@ object SparkEntry {
         "round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value " +
         "FROM events WHERE ts <= TIMESTAMP '2024-02-01 00:00:00' GROUP BY event_type"),
     "q35_lsh_pairs" -> Oracles.lshPairs,
+    "q37_dedup_clusters" -> Oracles.dedupClusters,
   )
 }

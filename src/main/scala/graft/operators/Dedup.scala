@@ -78,6 +78,49 @@ object Dedup {
   def q35LshPairs(spark: SparkSession, dir: String): DataFrame =
     bandPairs(q22MinHashBands(spark, dir))
 
+  /** Connected components over a pair list by iterative min-label
+    * propagation: every doc's label converges to the smallest doc_id
+    * reachable through the pair graph. Each iteration is one join + one
+    * aggregate — the shape that scales (no driver-side graph); iteration
+    * count is bounded by the component diameter, and the loop exits as
+    * soon as a round changes nothing.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // candidate label per doc = min over (its own label, neighbors' labels)
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min("cluster").as("n_cluster"))
+      val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("n_cluster"), col("cluster"))).as("cluster"))
+        // cache per round: the next iteration and the convergence check
+        // both consume it, and lineage would otherwise grow exponentially
+        .localCheckpoint(true)
+      converged = next.select(col("doc_id"), col("cluster").as("new_cluster"))
+        .join(labels, "doc_id")
+        .filter(col("new_cluster") =!= col("cluster")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** Q37: near-dup clusters — the step after candidate generation in a
+    * dedup pipeline: group the q35 candidate pairs into components and
+    * label every member with its canonical (minimum) doc id. Downstream,
+    * keeping rows where doc_id = cluster IS the deduplicated corpus.
+    */
+  def q37DedupClusters(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(q35LshPairs(spark, dir))
+
   /** 32-bit word hash from the md5 hex prefix — portable across engines. */
   private def h32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
