@@ -62,6 +62,7 @@ object Bench {
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] streaming SLO measurement failed: ${e.getMessage}")
+        failed :+= ("streaming_slo" -> String.valueOf(e.getMessage).take(200))
         "null"
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -44,15 +44,15 @@ object VectorOps {
     */
   def toDoubleArray(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Fused dot product: accumulate over an index sequence instead of
-    * materializing a zip_with product array per row — on an N-million-pair
-    * candidate set the intermediate allocation is pure GC pressure.
-    * Summation order is identical to the zip_with form (left to right), so
-    * results are bit-identical.
+  /** Dot product via zip_with + aggregate. The index-sequence formulation
+    * (aggregate over sequence(1, size) with element_at) is NOT safe here:
+    * sequence(1, 0) on an empty array yields the DESCENDING [1, 0] and
+    * element_at(_, 0) throws, and ANSI element_at throws on any length
+    * mismatch — whereas zip_with pads with nulls, degrading a malformed
+    * vector to a NULL similarity instead of failing the job.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(sequence(lit(1), size(a)), lit(0.0),
-      (acc, i) => acc + element_at(a, i) * element_at(b, i))
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))

@@ -14,7 +14,9 @@ final case class Got(page: Page) extends FetchResult
 final case class RetryAfter(seconds: Int) extends FetchResult
 
 /** Driver-side cursor-paginated source with politeness semantics:
-  * a RetryAfter response sleeps then retries the SAME cursor; the cursor
+  * a RetryAfter response sleeps then retries the SAME cursor; a successful
+  * page is followed by the `interPageSleep` pause before the next fetch
+  * (the reference sleeps between every page, not only on 429s); the cursor
   * only advances on a successful page; iteration stops when the cursor is
   * exhausted or `maxPages` is reached.
   *
@@ -28,6 +30,7 @@ final class CursorSource(
     fetch: String => FetchResult,
     startCursor: String = "*",
     maxPages: Option[Int] = None,
+    interPageSleep: Int = 0,
     sleeper: Int => Unit = s => Thread.sleep(s * 1000L)) {
 
   def pages: Iterator[Page] = new Iterator[Page] {
@@ -45,6 +48,9 @@ final class CursorSource(
       val p = pull(cursor.getOrElse(throw new NoSuchElementException("cursor exhausted")))
       fetched += 1
       cursor = p.nextCursor
+      // politeness pause between pages — skipped after the final page
+      if (interPageSleep > 0 && cursor.isDefined && maxPages.forall(fetched < _))
+        sleeper(interPageSleep)
       p
     }
   }
@@ -55,9 +61,9 @@ final class CursorSource(
 
 object CursorSource {
   /** Config-driven construction: page cap and inter-page politeness come
-    * from the validated settings object (the sleeper also honors 429s).
+    * from the validated settings object.
     */
   def fromConfig(fetch: String => FetchResult, cfg: IngestConfig): CursorSource =
     new CursorSource(fetch, maxPages = cfg.maxPages,
-      sleeper = s => Thread.sleep(math.max(s, cfg.sleepSeconds) * 1000L))
+      interPageSleep = cfg.sleepSeconds)
 }

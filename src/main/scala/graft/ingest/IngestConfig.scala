@@ -18,6 +18,8 @@ final case class IngestConfig(
     s"batchSize must be in 1..${Producer.MaxPut}, got $batchSize")
   require(perPage > 0 && perPage <= 200, s"perPage must be in 1..200, got $perPage")
   require(sleepSeconds >= 0, s"sleepSeconds must be >= 0, got $sleepSeconds")
+  maxPages.foreach(m =>
+    require(m > 0, s"maxPages must be positive when set, got $m"))
 }
 
 object IngestConfig {

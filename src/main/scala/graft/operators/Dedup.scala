@@ -110,6 +110,11 @@ object Dedup {
       labels = next
       i += 1
     }
+    // an unconverged exit would return silently WRONG clusters (a long
+    // chain still carrying intermediate labels) — fail loudly instead
+    require(converged,
+      s"connectedComponents did not converge in $maxIter iterations — " +
+        "raise maxIter (component diameter exceeds it)")
     labels
   }
 

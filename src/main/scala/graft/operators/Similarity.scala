@@ -48,34 +48,13 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("sim_raw"), 6).as("sim"))
   }
 
-  /** Random-hyperplane LSH sign-bits: `nbits` bits per vector form a bucket
-    * key. Hyperplane weights are ±1 from a murmur3 hash of (plane, dim) so
-    * the scheme needs no driver-side randomness and both sides of any join
-    * bucket identically. `band` offsets the plane indices so independent
-    * band tables use independent hyperplane sets.
-    *
-    * Scale path: bucket key is a shuffle key — same-bucket co-location
-    * replaces the O(n²) pair join with per-bucket joins.
-    */
-  def lshBuckets(vectors: DataFrame, vecCol: String, nbits: Int, band: Int = 0): DataFrame = {
-    val bits = (0 until nbits).map { p =>
-      val plane = band * nbits + p
-      val proj = aggregate(
-        zip_with(col(vecCol), sequence(lit(0), size(col(vecCol)) - 1),
-          (x, i) => when(pmod(hash(lit(plane), i), lit(2)) === 0, x).otherwise(-x)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1)).otherwise(lit(0)).as(s"bit$p")
-    }
-    val withBits = vectors.select(col("*") +: bits: _*)
-    withBits.withColumn("bucket",
-      concat_ws("", (0 until nbits).map(p => col(s"bit$p")): _*))
-      .drop((0 until nbits).map(p => s"bit$p"): _*)
-  }
-
   /** (band, bucket, vec_id) assignment across `bands` independent LSH
-    * tables — the narrow fan-out table the candidate join runs on. Vectors
-    * themselves are NOT carried through the fan-out; they're re-joined by
-    * id after pair dedup, so the shuffled band rows stay a few bytes wide.
+    * tables — the narrow fan-out table the candidate join runs on.
+    * Random-hyperplane sign-bits: hyperplane weights are ±1 from a murmur3
+    * hash of (plane, dim), so the scheme needs no driver-side randomness
+    * and both sides of any join bucket identically. Vectors themselves are
+    * NOT carried through the fan-out; they're re-joined by id after pair
+    * dedup, so the shuffled band rows stay a few bytes wide.
     *
     * `bucketCap` bounds any one (band, bucket) group: a hot bucket (skewed
     * hash region — the 100 TB failure mode, where one bucket goes quadratic)

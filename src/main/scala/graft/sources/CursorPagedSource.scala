@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.types.{StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -72,7 +72,8 @@ private class CursorPagedTable(options: CaseInsensitiveStringMap)
           new CursorPagedStream(
             CursorPagedSource.fetcher(options.get("fetcher")),
             Option(options.get("startCursor")).getOrElse("*"),
-            Option(options.get("maxPagesPerTrigger")).map(_.toInt).getOrElse(1))
+            Option(options.get("maxPagesPerTrigger")).map(_.toInt).getOrElse(1),
+            Option(options.get("maxPages")).map(_.toLong))
       }
     }
 }
@@ -102,7 +103,8 @@ object CursorOffset {
 private class CursorPagedStream(
     fetch: String => FetchResult,
     startCursor: String,
-    maxPagesPerTrigger: Int) extends MicroBatchStream {
+    maxPagesPerTrigger: Int,
+    maxPages: Option[Long] = None) extends MicroBatchStream with SupportsAdmissionControl {
 
   // driver-side buffer of fetched pages: page index -> records
   private val buffered = TrieMap.empty[Long, Seq[String]]
@@ -110,12 +112,22 @@ private class CursorPagedStream(
 
   override def initialOffset(): Offset = CursorOffset(0, Some(startCursor))
 
-  override def latestOffset(): Offset = {
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Admission-control variant: Spark passes the current start position,
+    * which after a restart is the CHECKPOINTED offset — adopting it when
+    * this (fresh) instance is behind is what makes recovery resume at the
+    * committed cursor instead of re-pulling the feed from the start.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[CursorOffset]
+    if (s.pages > head.pages) head = s
     var n = 0
-    while (n < maxPagesPerTrigger && head.cursor.isDefined) {
+    while (n < maxPagesPerTrigger && head.cursor.isDefined &&
+        maxPages.forall(head.pages < _)) {
       fetch(head.cursor.get) match {
-        case RetryAfter(s) =>
-          Thread.sleep(s * 1000L) // politeness: retry the SAME cursor
+        case RetryAfter(w) =>
+          Thread.sleep(w * 1000L) // politeness: retry the SAME cursor
         case Got(page) =>
           buffered(head.pages) = page.results
           head = CursorOffset(head.pages + 1, page.nextCursor)
@@ -125,10 +137,32 @@ private class CursorPagedStream(
     head
   }
 
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[CursorOffset].pages
-    val e = end.asInstanceOf[CursorOffset].pages
-    (s until e).map(i => PageInputPartition(buffered.getOrElse(i, Seq.empty)): InputPartition).toArray
+    val s = start.asInstanceOf[CursorOffset]
+    val e = end.asInstanceOf[CursorOffset]
+    // WAL replay after a restart: pages in a batch that was written to the
+    // offset log but not committed are gone from this instance's buffer —
+    // re-pull the range from the start offset's cursor (a cursor API can't
+    // seek by page index, but the start offset carries the right token)
+    if ((s.pages until e.pages).exists(i => !buffered.contains(i))) {
+      var cursor = s.cursor
+      var idx = s.pages
+      while (idx < e.pages && cursor.isDefined) {
+        fetch(cursor.get) match {
+          case RetryAfter(w) => Thread.sleep(w * 1000L)
+          case Got(page) =>
+            if (!buffered.contains(idx)) buffered(idx) = page.results
+            cursor = page.nextCursor
+            idx += 1
+        }
+      }
+    }
+    (s.pages until e.pages)
+      .map(i => PageInputPartition(buffered.getOrElse(i, Seq.empty)): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

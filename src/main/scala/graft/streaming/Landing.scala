@@ -30,38 +30,47 @@ object Landing {
   private val wireSchema = new StructType().add("_LOAD_ID", "string")
 
   /** Land one batch of raw NDJSON lines (column `value`).
-    * `ingestionTime` is injectable for reproducible tests; production uses
-    * the default commit-time clock.
+    * `ingestionTime` is injectable for reproducible tests; when omitted it
+    * is snapshotted ONCE per call (not `current_timestamp()` per action),
+    * so the DLQ write and the landing write of one delivery agree on the
+    * date even across a midnight boundary.
     */
   def landBatch(
       lines: DataFrame,
       landingDir: String,
       dlqDir: Option[String] = None,
-      ingestionTime: Column = current_timestamp()): Unit = {
+      ingestionTime: Column = null): Unit = {
+    val ts = Option(ingestionTime)
+      .getOrElse(lit(new java.sql.Timestamp(System.currentTimeMillis())))
+    // parsed feeds two writes (DLQ + landing) — cache so the batch source
+    // is scanned and JSON-validated once, not once per sink
     val parsed = lines
       .select(col("value").as("record"),
         from_json(col("value"), wireSchema).as("p"))
-    // a line is DLQ-bound if it isn't JSON at all or carries no load id —
-    // without one, at-least-once redelivery could never be deduped
-    val bad = parsed.filter(col("p").isNull || col("p._LOAD_ID").isNull)
-    dlqDir.foreach { d =>
-      bad.select(
-        col("record"),
-        lit("unparseable or missing _LOAD_ID").as("error"),
-        to_date(ingestionTime).as("error_date"))
-        .write.mode("append").partitionBy("error_date").parquet(d)
-    }
-    parsed
-      .filter(col("p").isNotNull && col("p._LOAD_ID").isNotNull)
-      .withColumn("_load_id", col("p._LOAD_ID"))
-      // within-delivery dedup: retries inside one put cannot double-land
-      .dropDuplicates("_load_id")
-      .select(
-        col("record"),
-        struct(ingestionTime.as("IngestionTime")).as("record_metadata"),
-        col("_load_id"),
-        to_date(ingestionTime).as("landed_date"))
-      .write.mode("append").partitionBy("landed_date").parquet(landingDir)
+      .persist()
+    try {
+      // a line is DLQ-bound if it isn't JSON at all or carries no load id —
+      // without one, at-least-once redelivery could never be deduped
+      val bad = parsed.filter(col("p").isNull || col("p._LOAD_ID").isNull)
+      dlqDir.foreach { d =>
+        bad.select(
+          col("record"),
+          lit("unparseable or missing _LOAD_ID").as("error"),
+          to_date(ts).as("error_date"))
+          .write.mode("append").partitionBy("error_date").parquet(d)
+      }
+      parsed
+        .filter(col("p").isNotNull && col("p._LOAD_ID").isNotNull)
+        .withColumn("_load_id", col("p._LOAD_ID"))
+        // within-delivery dedup: retries inside one put cannot double-land
+        .dropDuplicates("_load_id")
+        .select(
+          col("record"),
+          struct(ts.as("IngestionTime")).as("record_metadata"),
+          col("_load_id"),
+          to_date(ts).as("landed_date"))
+        .write.mode("append").partitionBy("landed_date").parquet(landingDir)
+    } finally parsed.unpersist()
   }
 
   /** Structured Streaming ingestion: watch `inputDir` for NDJSON files and

@@ -55,6 +55,40 @@ class CursorPagedSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("restart resumes at the checkpointed cursor, no re-pull, no duplicates") {
+    val base = java.nio.file.Files.createTempDirectory("graft_resume").toString
+    def fourPages(allowed: Set[String]): String => FetchResult = c => {
+      assert(allowed(c), s"refetched already-committed cursor '$c' after restart")
+      c match {
+        case "*" => Got(Page(Seq("r0"), Some("c1")))
+        case "c1" => Got(Page(Seq("r1"), Some("c2")))
+        case "c2" => Got(Page(Seq("r2"), Some("c3")))
+        case "c3" => Got(Page(Seq("r3"), None))
+      }
+    }
+    def run(name: String, maxPages: Int): Seq[String] = {
+      val q = spark.readStream
+        .format("graft.sources.CursorPagedSource")
+        .option("fetcher", "resume")
+        .option("maxPagesPerTrigger", "1")
+        .option("maxPages", maxPages.toString)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+      spark.read.parquet(s"$base/out").collect().map(_.getString(0)).toSeq.sorted
+    }
+    // run 1: bounded to 2 pages, commits offset (pages=2, cursor=c2)
+    CursorPagedSource.register("resume", fourPages(Set("*", "c1", "c2")))
+    assert(run("r1", 2) === Seq("r0", "r1"))
+    // run 2: NEW stream instance, same checkpoint; the fetcher now refuses
+    // the committed-range cursors — resumption must start at c2
+    CursorPagedSource.register("resume", fourPages(Set("c2", "c3")))
+    assert(run("r2", 4) === Seq("r0", "r1", "r2", "r3"))
+  }
+
   test("offset JSON round-trips, including cursors needing escapes") {
     for (o <- Seq(
         CursorOffset(0, Some("*")),
