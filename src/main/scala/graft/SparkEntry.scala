@@ -55,6 +55,7 @@ object SparkEntry {
     "q35_lsh_pairs" -> (Dedup.q35LshPairs _),
     "q36_ann_ivf" -> (Similarity.q36AnnIvf _),
     "q37_dedup_clusters" -> (Dedup.q37DedupClusters _),
+    "q38_session_window" -> (Relational.q38SessionWindow _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -174,5 +175,14 @@ object SparkEntry {
         "FROM events WHERE ts <= TIMESTAMP '2024-02-01 00:00:00' GROUP BY event_type"),
     "q35_lsh_pairs" -> Oracles.lshPairs,
     "q37_dedup_clusters" -> Oracles.dedupClusters,
+    "q38_session_window" ->
+      ("WITH o AS (SELECT user_id, ts, " +
+        "CASE WHEN lag(ts) OVER w IS NULL " +
+        "OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
+        "s AS (SELECT user_id, ts, sum(new_s) OVER " +
+        "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM o) " +
+        "SELECT user_id, CAST(date_trunc('second', min(ts)) AS TIMESTAMP) AS session_start, " +
+        "count(*) AS cnt FROM s GROUP BY user_id, sid"),
   )
 }

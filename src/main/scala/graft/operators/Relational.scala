@@ -186,4 +186,18 @@ object Relational {
     Tables.load(spark, dir, "events")
       .groupBy(date_trunc("day", col("ts")).as("d"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** Q38: session windows — per-user activity sessions that close after a
+    * 30-minute gap (`session_window` is the stateful streaming builtin;
+    * in batch it groups by the same gap semantics: a session spans
+    * [first_ts, last_ts + gap)). Output truncated to seconds so µs-vs-ns
+    * parquet precision can't shift a boundary between engines.
+    */
+  def q38SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"),
+        date_trunc("second", col("session_window.start")).as("session_start"),
+        col("cnt"))
 }

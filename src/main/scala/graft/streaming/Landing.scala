@@ -73,6 +73,44 @@ object Landing {
     } finally parsed.unpersist()
   }
 
+  /** Stateful exactly-once landing: streaming `dropDuplicates` on
+    * `_LOAD_ID` keeps dedup state ACROSS micro-batches, so an at-least-once
+    * redelivery in a later delivery never lands twice — upgrade over the
+    * within-delivery dedup in `landBatch` (whose cross-delivery guard is
+    * the curated view). The file sink + checkpoint makes the whole path
+    * end-to-end exactly-once. At 100 TB the dedup state is bounded by
+    * watermarking in a real deployment; unbounded here since the corpus
+    * replays are finite.
+    */
+  def landStreamDeduped(
+      spark: SparkSession,
+      inputDir: String,
+      landingDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val ts = new java.sql.Timestamp(System.currentTimeMillis())
+    spark.readStream
+      .format("text")
+      .load(inputDir)
+      .select(col("value").as("record"),
+        from_json(col("value"), wireSchema).as("p"))
+      .filter(col("p").isNotNull && col("p._LOAD_ID").isNotNull)
+      .withColumn("_load_id", col("p._LOAD_ID"))
+      .dropDuplicates("_load_id") // stateful: survives across micro-batches
+      .select(
+        col("record"),
+        struct(lit(ts).as("IngestionTime")).as("record_metadata"),
+        col("_load_id"),
+        to_date(lit(ts)).as("landed_date"))
+      .writeStream
+      .format("parquet")
+      .option("path", landingDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("landed_date")
+      .trigger(trigger)
+      .start()
+  }
+
   /** Structured Streaming ingestion: watch `inputDir` for NDJSON files and
     * land each micro-batch through the same `landBatch` the batch path
     * uses — batch ≡ stream by construction (one code path).

@@ -92,6 +92,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(!byWindow.contains("2024-01-01 13:00:00"))
   }
 
+  test("stateful landing dedups a redelivery arriving in a LATER micro-batch (ST5)") {
+    val base = Files.createTempDirectory("graft_stateful").toString
+    val in = s"$base/in"; new java.io.File(in).mkdirs()
+    Files.write(java.nio.file.Paths.get(s"$in/d1.ndjson"),
+      Seq("""{"_LOAD_ID":"A","n":1}""", """{"_LOAD_ID":"B","n":2}""").mkString("\n").getBytes)
+    Thread.sleep(1100)
+    // second delivery redelivers A (lost ack) plus a new record
+    Files.write(java.nio.file.Paths.get(s"$in/d2.ndjson"),
+      Seq("""{"_LOAD_ID":"A","n":1}""", """{"_LOAD_ID":"C","n":3}""").mkString("\n").getBytes)
+
+    val q = spark.readStream.format("text")
+      .option("maxFilesPerTrigger", 1) // force separate micro-batches
+      .load(in)
+      .select(col("value").as("record"),
+        from_json(col("value"), new org.apache.spark.sql.types.StructType()
+          .add("_LOAD_ID", "string")).as("p"))
+      .filter(col("p._LOAD_ID").isNotNull)
+      .withColumn("_load_id", col("p._LOAD_ID"))
+      .dropDuplicates("_load_id")
+      .select("record", "_load_id")
+      .writeStream.format("parquet")
+      .option("path", s"$base/landing")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val ids = spark.read.parquet(s"$base/landing")
+      .select("_load_id").collect().map(_.getString(0)).sorted
+    assert(ids.toSeq === Seq("A", "B", "C")) // A landed exactly once
+
+    // and the library entry point does the same end-to-end
+    val base2 = Files.createTempDirectory("graft_stateful2").toString
+    val in2 = s"$base2/in"; new java.io.File(in2).mkdirs()
+    Files.write(java.nio.file.Paths.get(s"$in2/d.ndjson"),
+      Seq("""{"_LOAD_ID":"X"}""", """{"_LOAD_ID":"X"}""", """{"_LOAD_ID":"Y"}""")
+        .mkString("\n").getBytes)
+    val q2 = Landing.landStreamDeduped(spark, in2, s"$base2/landing", s"$base2/ckpt")
+    q2.awaitTermination(60000)
+    val landed2 = spark.read.parquet(s"$base2/landing")
+    assert(landed2.count() === 2)
+    assert(landed2.columns.toSet ===
+      Set("record", "record_metadata", "_load_id", "landed_date"))
+  }
+
   test("IngestCounters sees every landed row and batch") {
     val counters = new IngestCounters
     spark.streams.addListener(counters)
