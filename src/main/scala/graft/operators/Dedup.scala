@@ -86,8 +86,20 @@ object Dedup {
     * soon as a round changes nothing.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
+    // every iteration builds FRESH tiny plans — whole-stage codegen would
+    // JIT a new generated class per round for a label table of a few
+    // thousand rows, dominating the loop's wall time; interpreted mode is
+    // strictly cheaper here. Restored to the previous setting afterwards.
+    val prevCodegen = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+    // materialize the edge list ONCE — every iteration joins against it,
+    // and without this the full upstream pipeline that produced the pairs
+    // (e.g. the whole minhash→bands→pair join) replays per round
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id"))
     var converged = false
@@ -116,6 +128,7 @@ object Dedup {
       s"connectedComponents did not converge in $maxIter iterations — " +
         "raise maxIter (component diameter exceeds it)")
     labels
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prevCodegen)
   }
 
   /** Q37: near-dup clusters — the step after candidate generation in a
