@@ -40,6 +40,10 @@ final class CursorSource(
     def hasNext: Boolean = cursor.isDefined && maxPages.forall(fetched < _)
 
     def next(): Page = {
+      // politeness pause BEFORE the follow-up fetch, not after the previous
+      // one — data already in hand is returned immediately, and a consumer
+      // that stops early never pays a sleep for pages it won't request
+      if (interPageSleep > 0 && fetched > 0) sleeper(interPageSleep)
       @annotation.tailrec
       def pull(c: String): Page = fetch(c) match {
         case RetryAfter(s) => sleeper(s); pull(c)
@@ -48,9 +52,6 @@ final class CursorSource(
       val p = pull(cursor.getOrElse(throw new NoSuchElementException("cursor exhausted")))
       fetched += 1
       cursor = p.nextCursor
-      // politeness pause between pages — skipped after the final page
-      if (interPageSleep > 0 && cursor.isDefined && maxPages.forall(fetched < _))
-        sleeper(interPageSleep)
       p
     }
   }

@@ -91,6 +91,11 @@ object Dedup {
     // JIT a new generated class per round for a label table of a few
     // thousand rows, dominating the loop's wall time; interpreted mode is
     // strictly cheaper here. Restored to the previous setting afterwards.
+    // CAVEAT: session confs are session-global — queries running
+    // CONCURRENTLY on the same SparkSession while this loop iterates are
+    // also planned without codegen. Fine for a dedicated job session (the
+    // Verify/Bench context); a multi-tenant server should call this on its
+    // own session.
     val prevCodegen = spark.conf.get("spark.sql.codegen.wholeStage", "true")
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     try {
@@ -102,6 +107,10 @@ object Dedup {
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id"))
+    // previous round's checkpointed labels — safe to free once the round
+    // that consumed them (join + convergence check) is done, else up to
+    // maxIter materialized label tables pile up in block storage
+    var retired: Option[DataFrame] = None
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -119,6 +128,8 @@ object Dedup {
       converged = next.select(col("doc_id"), col("cluster").as("new_cluster"))
         .join(labels, "doc_id")
         .filter(col("new_cluster") =!= col("cluster")).isEmpty
+      retired.foreach(_.unpersist())
+      if (i > 0) retired = Some(labels) // round-0 labels aren't checkpointed
       labels = next
       i += 1
     }
@@ -127,6 +138,8 @@ object Dedup {
     require(converged,
       s"connectedComponents did not converge in $maxIter iterations — " +
         "raise maxIter (component diameter exceeds it)")
+    retired.foreach(_.unpersist())
+    edges.unpersist() // the returned labels are checkpointed independently
     labels
     } finally spark.conf.set("spark.sql.codegen.wholeStage", prevCodegen)
   }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.{StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -104,15 +104,42 @@ private class CursorPagedStream(
     fetch: String => FetchResult,
     startCursor: String,
     maxPagesPerTrigger: Int,
-    maxPages: Option[Long] = None) extends MicroBatchStream with SupportsAdmissionControl {
+    maxPages: Option[Long] = None) extends MicroBatchStream
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   // driver-side buffer of fetched pages: page index -> records
   private val buffered = TrieMap.empty[Long, Seq[String]]
+  // cursor token that fetches page N (so any intermediate offset can carry
+  // a real resume token, not just the head's)
+  private val cursorAt = TrieMap[Long, Option[String]](0L -> Some(startCursor))
   @volatile private var head = CursorOffset(0, Some(startCursor))
+  // Trigger.AvailableNow target: set at prepare time, caps this run
+  @volatile private var availableNowEnd: Option[CursorOffset] = None
 
   override def initialOffset(): Offset = CursorOffset(0, Some(startCursor))
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Trigger.AvailableNow contract: snapshot "everything available now"
+    * so the run processes exactly that and terminates. A cursor feed's
+    * only way to know what's available is to pull it — drain (bounded by
+    * `maxPages`) into the buffer up front; the per-batch latestOffset then
+    * paces toward this target in maxPagesPerTrigger steps. Without this
+    * method Spark would wrap the stream and call latestOffset exactly once,
+    * silently capping the whole run at one trigger's worth of pages.
+    */
+  override def prepareForTriggerAvailableNow(): Unit = {
+    while (head.cursor.isDefined && maxPages.forall(head.pages < _)) {
+      fetch(head.cursor.get) match {
+        case RetryAfter(w) => Thread.sleep(w * 1000L)
+        case Got(page) =>
+          buffered(head.pages) = page.results
+          cursorAt(head.pages + 1) = page.nextCursor
+          head = CursorOffset(head.pages + 1, page.nextCursor)
+      }
+    }
+    availableNowEnd = Some(head)
+  }
 
   /** Admission-control variant: Spark passes the current start position,
     * which after a restart is the CHECKPOINTED offset — adopting it when
@@ -121,20 +148,31 @@ private class CursorPagedStream(
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[CursorOffset]
-    if (s.pages > head.pages) head = s
-    var n = 0
-    while (n < maxPagesPerTrigger && head.cursor.isDefined &&
-        maxPages.forall(head.pages < _)) {
-      fetch(head.cursor.get) match {
-        case RetryAfter(w) =>
-          Thread.sleep(w * 1000L) // politeness: retry the SAME cursor
-        case Got(page) =>
-          buffered(head.pages) = page.results
-          head = CursorOffset(head.pages + 1, page.nextCursor)
-          n += 1
-      }
+    availableNowEnd match {
+      case Some(end) =>
+        // AvailableNow run: everything is buffered; pace in trigger-sized
+        // steps toward the prepared end, each intermediate offset carrying
+        // its page's REAL cursor token so a mid-run stop stays resumable
+        val p = math.min(s.pages + maxPagesPerTrigger, end.pages)
+        if (p >= end.pages) end
+        else CursorOffset(p, cursorAt.getOrElse(p, None))
+      case None =>
+        if (s.pages > head.pages) head = s
+        var n = 0
+        while (n < maxPagesPerTrigger && head.cursor.isDefined &&
+            maxPages.forall(head.pages < _)) {
+          fetch(head.cursor.get) match {
+            case RetryAfter(w) =>
+              Thread.sleep(w * 1000L) // politeness: retry the SAME cursor
+            case Got(page) =>
+              buffered(head.pages) = page.results
+              cursorAt(head.pages + 1) = page.nextCursor
+              head = CursorOffset(head.pages + 1, page.nextCursor)
+              n += 1
+          }
+        }
+        head
     }
-    head
   }
 
   override def latestOffset(): Offset =
@@ -156,13 +194,20 @@ private class CursorPagedStream(
           case RetryAfter(w) => Thread.sleep(w * 1000L)
           case Got(page) =>
             if (!buffered.contains(idx)) buffered(idx) = page.results
+            cursorAt(idx + 1) = page.nextCursor
             cursor = page.nextCursor
             idx += 1
         }
       }
     }
+    // a page the replay could not reproduce (expired cursor, shortened
+    // feed) must FAIL the batch, not silently land as an empty partition
+    val missing = (s.pages until e.pages).filterNot(buffered.contains)
+    require(missing.isEmpty,
+      s"cannot reproduce pages ${missing.mkString(",")} of committed range " +
+        s"[${s.pages}, ${e.pages}) — upstream cursor ${s.cursor} no longer replays them")
     (s.pages until e.pages)
-      .map(i => PageInputPartition(buffered.getOrElse(i, Seq.empty)): InputPartition).toArray
+      .map(i => PageInputPartition(buffered(i)): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -178,9 +223,11 @@ private class CursorPagedStream(
   override def deserializeOffset(json: String): Offset = CursorOffset.fromJson(json)
 
   override def commit(end: Offset): Unit = {
-    // committed pages can never be replanned — free the buffer
+    // committed pages can never be replanned — free the buffer (the
+    // committed page's own cursor entry stays: it is the resume token)
     val upTo = end.asInstanceOf[CursorOffset].pages
     buffered.keys.filter(_ < upTo).foreach(buffered.remove)
+    cursorAt.keys.filter(_ < upTo).foreach(cursorAt.remove)
   }
 
   override def stop(): Unit = buffered.clear()

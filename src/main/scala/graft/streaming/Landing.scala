@@ -29,6 +29,22 @@ object Landing {
     */
   private val wireSchema = new StructType().add("_LOAD_ID", "string")
 
+  /** Parse + validate raw lines: (record, p) where p is NULL for non-JSON. */
+  private def parseWire(lines: DataFrame): DataFrame =
+    lines.select(col("value").as("record"),
+      from_json(col("value"), wireSchema).as("p"))
+
+  /** The landing-row shape, shared by every entry point so the batch and
+    * streaming paths cannot drift: record + metadata struct + load id +
+    * date partition, all stamped from one `ts` expression.
+    */
+  private def landingProjection(validated: DataFrame, ts: Column): DataFrame =
+    validated.select(
+      col("record"),
+      struct(ts.as("IngestionTime")).as("record_metadata"),
+      col("_load_id"),
+      to_date(ts).as("landed_date"))
+
   /** Land one batch of raw NDJSON lines (column `value`).
     * `ingestionTime` is injectable for reproducible tests; when omitted it
     * is snapshotted ONCE per call (not `current_timestamp()` per action),
@@ -44,10 +60,7 @@ object Landing {
       .getOrElse(lit(new java.sql.Timestamp(System.currentTimeMillis())))
     // parsed feeds two writes (DLQ + landing) — cache so the batch source
     // is scanned and JSON-validated once, not once per sink
-    val parsed = lines
-      .select(col("value").as("record"),
-        from_json(col("value"), wireSchema).as("p"))
-      .persist()
+    val parsed = parseWire(lines).persist()
     try {
       // a line is DLQ-bound if it isn't JSON at all or carries no load id —
       // without one, at-least-once redelivery could never be deduped
@@ -59,16 +72,12 @@ object Landing {
           to_date(ts).as("error_date"))
           .write.mode("append").partitionBy("error_date").parquet(d)
       }
-      parsed
+      val validated = parsed
         .filter(col("p").isNotNull && col("p._LOAD_ID").isNotNull)
         .withColumn("_load_id", col("p._LOAD_ID"))
         // within-delivery dedup: retries inside one put cannot double-land
         .dropDuplicates("_load_id")
-        .select(
-          col("record"),
-          struct(ts.as("IngestionTime")).as("record_metadata"),
-          col("_load_id"),
-          to_date(ts).as("landed_date"))
+      landingProjection(validated, ts)
         .write.mode("append").partitionBy("landed_date").parquet(landingDir)
     } finally parsed.unpersist()
   }
@@ -78,9 +87,17 @@ object Landing {
     * redelivery in a later delivery never lands twice — upgrade over the
     * within-delivery dedup in `landBatch` (whose cross-delivery guard is
     * the curated view). The file sink + checkpoint makes the whole path
-    * end-to-end exactly-once. At 100 TB the dedup state is bounded by
+    * end-to-end exactly-once. `current_timestamp()` in a streaming query
+    * evaluates per micro-batch, so a long-running query stamps each
+    * delivery's own time. At 100 TB the dedup state is bounded by
     * watermarking in a real deployment; unbounded here since the corpus
     * replays are finite.
+    *
+    * Limitation vs `landStream`: unparseable / `_LOAD_ID`-less lines are
+    * DROPPED here — a single streaming query cannot fork a second DLQ sink
+    * (that needs `foreachBatch`). When bad records must be preserved for
+    * replay, use `landStream` with a dlqDir; observe the drop rate via
+    * `IngestCounters` input-rows vs landed counts.
     */
   def landStreamDeduped(
       spark: SparkSession,
@@ -88,20 +105,12 @@ object Landing {
       landingDir: String,
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val ts = new java.sql.Timestamp(System.currentTimeMillis())
-    spark.readStream
-      .format("text")
-      .load(inputDir)
-      .select(col("value").as("record"),
-        from_json(col("value"), wireSchema).as("p"))
+    val validated = parseWire(
+      spark.readStream.format("text").load(inputDir))
       .filter(col("p").isNotNull && col("p._LOAD_ID").isNotNull)
       .withColumn("_load_id", col("p._LOAD_ID"))
       .dropDuplicates("_load_id") // stateful: survives across micro-batches
-      .select(
-        col("record"),
-        struct(lit(ts).as("IngestionTime")).as("record_metadata"),
-        col("_load_id"),
-        to_date(lit(ts)).as("landed_date"))
+    landingProjection(validated, current_timestamp())
       .writeStream
       .format("parquet")
       .option("path", landingDir)

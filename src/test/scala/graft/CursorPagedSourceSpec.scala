@@ -55,6 +55,25 @@ class CursorPagedSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the whole feed in trigger-sized batches") {
+    CursorPagedSource.register("avnow", c =>
+      if (c.length < 7) Got(Page(Seq(c), Some(c + "+"))) else Got(Page(Seq(c), None)))
+    val q = spark.readStream
+      .format("graft.sources.CursorPagedSource")
+      .option("fetcher", "avnow")
+      .option("maxPagesPerTrigger", "2")
+      .load()
+      .writeStream.format("memory").queryName("cursor_avnow")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000)
+      val rows = spark.table("cursor_avnow").collect().map(_.getString(0))
+      // 7 pages ("*" through "*++++++") — ALL ingested, not just one trigger's worth
+      assert(rows.toSeq === (0 to 6).map(i => "*" + "+" * i))
+    } finally q.stop()
+  }
+
   test("restart resumes at the checkpointed cursor, no re-pull, no duplicates") {
     val base = java.nio.file.Files.createTempDirectory("graft_resume").toString
     def fourPages(allowed: Set[String]): String => FetchResult = c => {
