@@ -54,7 +54,13 @@ object Bench {
             df.as[String].collect().mkString("\n").getBytes("UTF-8"))
         })
       val q = streaming.Landing.landStream(spark, in, s"$base/landing", s"$base/ckpt")
-      q.awaitTermination(120000)
+      val finished = q.awaitTermination(120000)
+      if (!finished) {
+        q.stop()
+        // a partial landing would yield plausible-looking but WRONG
+        // percentiles — fail the measurement instead
+        throw new RuntimeException("landing query did not finish within 120s")
+      }
       Bootstrap.initLanding(spark, s"$base/landing")
       val kpi = spark.sql(
         "SELECT p50_sec_5m, p95_sec_5m, events_5m FROM vw_latency").head()

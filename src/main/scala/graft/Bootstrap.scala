@@ -40,7 +40,14 @@ object Bootstrap {
     createCuratedViews(spark)
   }
 
-  /** The P9 mask as SQL, over an arbitrary email expression. */
+  /** The P9 mask as SQL, over an arbitrary email expression. This is one
+    * of three implementations of the policy (Column: Masking.maskEmail;
+    * Catalyst: plans/MaskingRule.maskExpr) — Spark 4's Column API exposes
+    * no expression printer to derive one from another, so parity is pinned
+    * instead by the shared A5 fixture vectors asserted in FunctionsSpec,
+    * LandingSpec and MaskingRuleSpec; a policy change that misses a copy
+    * fails those suites.
+    */
   private def maskSql(e: String): String =
     s"CASE WHEN $e IS NULL THEN NULL " +
       s"WHEN instr($e, '@') = 0 THEN '***' " +
@@ -149,8 +156,18 @@ object Bootstrap {
 
     // KPI over the trailing 5 minutes; the anchor is injectable
     // (spark.graft.anchor) for deterministic runs, wall-clock otherwise.
+    // Validated as a timestamp BEFORE splicing into view SQL — a malformed
+    // (or hostile) conf value must fail fast, not parse-error every view
+    // reader or inject SQL into the view body.
     val anchor = spark.conf.getOption(AnchorConf)
-      .map(a => s"TIMESTAMP '$a'").getOrElse("current_timestamp()")
+      .map { a =>
+        try java.sql.Timestamp.valueOf(a)
+        catch {
+          case _: IllegalArgumentException => throw new IllegalArgumentException(
+            s"$AnchorConf must be 'yyyy-MM-dd HH:mm:ss[.f...]', got '$a'")
+        }
+        s"TIMESTAMP '$a'"
+      }.getOrElse("current_timestamp()")
     spark.sql(
       s"""CREATE OR REPLACE TEMP VIEW vw_latency AS
          |SELECT
@@ -173,8 +190,25 @@ object Bootstrap {
   * dry-run lists instead of executing.
   */
 object SqlScriptRunner {
-  def splitStatements(script: String): Seq[String] =
-    script.split(";").map(_.trim).filter(_.nonEmpty).toSeq
+  /** Split on ';' EXCEPT inside single-quoted SQL string literals
+    * (with '' escaping) — a literal like 'a;b' must not break a statement
+    * in two and leave the session half-applied.
+    */
+  def splitStatements(script: String): Seq[String] = {
+    val stmts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inString = false
+    var i = 0
+    while (i < script.length) {
+      val c = script(i)
+      if (c == '\'') { inString = !inString; cur += c }
+      else if (c == ';' && !inString) { stmts += cur.toString; cur.clear() }
+      else cur += c
+      i += 1
+    }
+    stmts += cur.toString
+    stmts.map(_.trim).filter(_.nonEmpty).toSeq
+  }
 
   /** Returns the statements executed (or that would be, under dryRun). */
   def run(spark: SparkSession, scriptsByName: Seq[(String, String)],

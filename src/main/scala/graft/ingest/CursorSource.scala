@@ -67,4 +67,11 @@ object CursorSource {
   def fromConfig(fetch: String => FetchResult, cfg: IngestConfig): CursorSource =
     new CursorSource(fetch, maxPages = cfg.maxPages,
       interPageSleep = cfg.sleepSeconds)
+
+  /** For fetchers that honor a page-size parameter (the reference passes
+    * per_page on every request): cfg.perPage is partially applied so the
+    * validated knob actually reaches the HTTP layer.
+    */
+  def fromConfig(fetch: (String, Int) => FetchResult, cfg: IngestConfig): CursorSource =
+    fromConfig(c => fetch(c, cfg.perPage), cfg)
 }

@@ -98,19 +98,23 @@ object Dedup {
     // own session.
     val prevCodegen = spark.conf.get("spark.sql.codegen.wholeStage", "true")
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    // intermediate checkpoints to release on ANY exit (incl. the
+    // non-convergence throw); the RETURNED labels checkpoint is the
+    // caller's to release once consumed
+    var edges: DataFrame = null
+    var retired: Option[DataFrame] = None
     try {
     // materialize the edge list ONCE — every iteration joins against it,
     // and without this the full upstream pipeline that produced the pairs
     // (e.g. the whole minhash→bands→pair join) replays per round
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id"))
-    // previous round's checkpointed labels — safe to free once the round
-    // that consumed them (join + convergence check) is done, else up to
-    // maxIter materialized label tables pile up in block storage
-    var retired: Option[DataFrame] = None
+    // `retired` = previous round's checkpointed labels — safe to free once
+    // the round that consumed them (join + convergence check) is done,
+    // else up to maxIter materialized label tables pile up in storage
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -138,10 +142,14 @@ object Dedup {
     require(converged,
       s"connectedComponents did not converge in $maxIter iterations — " +
         "raise maxIter (component diameter exceeds it)")
-    retired.foreach(_.unpersist())
-    edges.unpersist() // the returned labels are checkpointed independently
     labels
-    } finally spark.conf.set("spark.sql.codegen.wholeStage", prevCodegen)
+    } finally {
+      // release intermediates on success AND failure paths; the returned
+      // labels checkpoint is independent of both
+      retired.foreach(_.unpersist())
+      if (edges != null) edges.unpersist()
+      spark.conf.set("spark.sql.codegen.wholeStage", prevCodegen)
+    }
   }
 
   /** Q37: near-dup clusters — the step after candidate generation in a

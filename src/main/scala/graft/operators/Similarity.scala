@@ -154,7 +154,7 @@ object Similarity {
     * plumbing (what runs at 100 TB) is identical either way.
     */
   def ivfCosine(spark: SparkSession, dir: String, nCells: Int = 32,
-                nProbe: Int = 20, k: Int = 5): DataFrame = {
+                nProbe: Int = 20, k: Int = 5, cellCap: Int = 4096): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
@@ -163,15 +163,27 @@ object Similarity {
       .orderBy("r").limit(nCells)
       .select(col("vec_id").as("cell_id"), col("v").as("cv"))
     // rank every (vector, cell) by centroid similarity — rn=1 is the
-    // vector's home cell, rn<=nProbe are the cells its queries probe
+    // vector's home cell, rn<=nProbe are the cells its queries probe.
+    // NOTE on defaults: probing 20 of 32 cells is tuned for the corpus's
+    // near-random vectors, where recall 0.8 forces dense coverage (same
+    // caveat as the LSH path); real clustered embeddings want
+    // nProbe << nCells for the candidate set to stay sub-quadratic.
     val wCell = Window.partitionBy("vec_id")
       .orderBy(col("csim").desc, col("cell_id").asc)
     val ranked = e.crossJoin(broadcast(centroids))
       .withColumn("csim", cosine(col("v"), col("cv")))
       .select(col("vec_id"), col("cell_id"), col("csim"))
       .withColumn("rn", row_number().over(wCell))
+    // cellCap bounds a hot Voronoi cell (dense region on clustered data)
+    // exactly like the LSH bucketCap — deterministic keep of the
+    // lowest-hashed members
+    val wCap = Window.partitionBy("cell_id")
+      .orderBy(md5(col("cand_id").cast("string")), col("cand_id"))
     val home = ranked.filter(col("rn") === 1)
       .select(col("vec_id").as("cand_id"), col("cell_id"))
+      .withColumn("rc", row_number().over(wCap))
+      .filter(col("rc") <= cellCap)
+      .drop("rc")
     val probes = ranked.filter(col("rn") <= nProbe)
       .select(col("vec_id"), col("cell_id"))
     val pairIds = probes.join(home, "cell_id")

@@ -83,19 +83,39 @@ private class CursorPagedTable(options: CaseInsensitiveStringMap)
   */
 case class CursorOffset(pages: Long, cursor: Option[String]) extends Offset {
   override def json(): String = {
-    val c = cursor.map(s =>
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\"").getOrElse("null")
+    // Spark's offset log is LINE-oriented: any raw control character in a
+    // cursor token (a newline especially) would split the entry and corrupt
+    // the checkpoint — escape everything below 0x20 as \uXXXX
+    val c = cursor.map(s => "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case ch if ch < ' ' => f"\\u${ch.toInt}%04x"
+      case ch => ch.toString
+    } + "\"").getOrElse("null")
     s"""{"pages":$pages,"cursor":$c}"""
   }
 }
 
 object CursorOffset {
   private val Re = """\{"pages":(\d+),"cursor":(null|".*")\}""".r
+
+  private def unescape(s: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == '\\' && i + 1 < s.length) s(i + 1) match {
+        case 'u' =>
+          out += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+        case c => out += c; i += 2
+      } else { out += s(i); i += 1 }
+    }
+    out.toString
+  }
+
   def fromJson(j: String): CursorOffset = j match {
     case Re(p, "null") => CursorOffset(p.toLong, None)
     case Re(p, c) =>
-      CursorOffset(p.toLong,
-        Some(c.substring(1, c.length - 1).replace("\\\"", "\"").replace("\\\\", "\\")))
+      CursorOffset(p.toLong, Some(unescape(c.substring(1, c.length - 1))))
     case other => throw new IllegalArgumentException(s"bad offset json: $other")
   }
 }
@@ -113,7 +133,12 @@ private class CursorPagedStream(
   // a real resume token, not just the head's)
   private val cursorAt = TrieMap[Long, Option[String]](0L -> Some(startCursor))
   @volatile private var head = CursorOffset(0, Some(startCursor))
-  // Trigger.AvailableNow target: set at prepare time, caps this run
+  // Trigger.AvailableNow: prepare only raises the flag — the drain happens
+  // lazily on the first latestOffset call, which is the earliest point the
+  // CHECKPOINTED start offset is visible (prepare has no arguments), so a
+  // restarted AvailableNow run resumes at the committed cursor instead of
+  // re-pulling the feed from page 0
+  @volatile private var availableNowRequested = false
   @volatile private var availableNowEnd: Option[CursorOffset] = None
 
   override def initialOffset(): Offset = CursorOffset(0, Some(startCursor))
@@ -122,55 +147,54 @@ private class CursorPagedStream(
 
   /** Trigger.AvailableNow contract: snapshot "everything available now"
     * so the run processes exactly that and terminates. A cursor feed's
-    * only way to know what's available is to pull it — drain (bounded by
-    * `maxPages`) into the buffer up front; the per-batch latestOffset then
-    * paces toward this target in maxPagesPerTrigger steps. Without this
-    * method Spark would wrap the stream and call latestOffset exactly once,
-    * silently capping the whole run at one trigger's worth of pages.
+    * only way to know what's available is to pull it — the drain (bounded
+    * by `maxPages`) runs at the first latestOffset, from the restored
+    * start position; the per-batch latestOffset then paces toward the
+    * target in maxPagesPerTrigger steps. Without this interface Spark
+    * would wrap the stream and call latestOffset exactly once, silently
+    * capping the whole run at one trigger's worth of pages.
     */
-  override def prepareForTriggerAvailableNow(): Unit = {
-    while (head.cursor.isDefined && maxPages.forall(head.pages < _)) {
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowRequested = true
+
+  /** Pull pages into the buffer starting at the current head, up to
+    * `limitPages` (None = until cursor exhaustion / maxPages).
+    */
+  private def drain(limitPages: Option[Int]): Unit = {
+    var n = 0
+    while (limitPages.forall(n < _) && head.cursor.isDefined &&
+        maxPages.forall(head.pages < _)) {
       fetch(head.cursor.get) match {
-        case RetryAfter(w) => Thread.sleep(w * 1000L)
+        case RetryAfter(w) =>
+          Thread.sleep(w * 1000L) // politeness: retry the SAME cursor
         case Got(page) =>
           buffered(head.pages) = page.results
           cursorAt(head.pages + 1) = page.nextCursor
           head = CursorOffset(head.pages + 1, page.nextCursor)
+          n += 1
       }
     }
-    availableNowEnd = Some(head)
   }
 
-  /** Admission-control variant: Spark passes the current start position,
-    * which after a restart is the CHECKPOINTED offset — adopting it when
-    * this (fresh) instance is behind is what makes recovery resume at the
-    * committed cursor instead of re-pulling the feed from the start.
-    */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[CursorOffset]
+    // adopt the checkpointed position: a fresh instance after restart is
+    // behind the committed offset and must resume there, not at page 0
+    if (s.pages > head.pages) { head = s; cursorAt(s.pages) = s.cursor }
+    if (availableNowRequested && availableNowEnd.isEmpty) {
+      drain(None) // snapshot "available now" from the RESTORED position
+      availableNowEnd = Some(head)
+    }
     availableNowEnd match {
       case Some(end) =>
-        // AvailableNow run: everything is buffered; pace in trigger-sized
-        // steps toward the prepared end, each intermediate offset carrying
-        // its page's REAL cursor token so a mid-run stop stays resumable
+        // pace in trigger-sized steps toward the snapshot target, each
+        // intermediate offset carrying its page's REAL cursor token so a
+        // mid-run stop stays resumable
         val p = math.min(s.pages + maxPagesPerTrigger, end.pages)
         if (p >= end.pages) end
         else CursorOffset(p, cursorAt.getOrElse(p, None))
       case None =>
-        if (s.pages > head.pages) head = s
-        var n = 0
-        while (n < maxPagesPerTrigger && head.cursor.isDefined &&
-            maxPages.forall(head.pages < _)) {
-          fetch(head.cursor.get) match {
-            case RetryAfter(w) =>
-              Thread.sleep(w * 1000L) // politeness: retry the SAME cursor
-            case Got(page) =>
-              buffered(head.pages) = page.results
-              cursorAt(head.pages + 1) = page.nextCursor
-              head = CursorOffset(head.pages + 1, page.nextCursor)
-              n += 1
-          }
-        }
+        drain(Some(maxPagesPerTrigger))
         head
     }
   }
