@@ -63,7 +63,7 @@ object Bench {
       }
       Bootstrap.initLanding(spark, s"$base/landing")
       val kpi = spark.sql(
-        "SELECT p50_sec_5m, p95_sec_5m, events_5m FROM vw_latency").head()
+        "SELECT p50_sec_5m, p95_sec_5m, samples_5m FROM vw_latency").head()
       s"""{"p50_sec":${kpi.get(0)},"p95_sec":${kpi.get(1)},"events":${kpi.get(2)}}"""
     } catch {
       case e: Throwable =>

@@ -79,11 +79,11 @@ object Bootstrap {
          |  FROM $LandingView
          |)
          |SELECT
-         |  get_json_object(record, '$$.id') AS id,
+         |  get_json_object(record, '$$.id') AS work_id,
          |  get_json_object(record, '$$.doi') AS doi,
          |  get_json_object(record, '$$.title') AS title,
          |  try_cast(get_json_object(record, '$$.publication_year') AS INT) AS publication_year,
-         |  get_json_object(record, '$$.host_venue') AS host_venue,
+         |  get_json_object(record, '$$.host_venue') AS venue,
          |  get_json_object(record, '$$.primary_author') AS primary_author,
          |  $emailExpr AS email,
          |  $eventTs AS event_ts,
@@ -121,11 +121,11 @@ object Bootstrap {
          |  FROM dedup WHERE _rn = 1
          |)
          |SELECT
-         |  try_variant_get(var, '$$.id', 'string') AS id,
+         |  try_variant_get(var, '$$.id', 'string') AS work_id,
          |  try_variant_get(var, '$$.doi', 'string') AS doi,
          |  try_variant_get(var, '$$.title', 'string') AS title,
          |  try_variant_get(var, '$$.publication_year', 'int') AS publication_year,
-         |  try_variant_get(var, '$$.host_venue', 'string') AS host_venue,
+         |  try_variant_get(var, '$$.host_venue', 'string') AS venue,
          |  try_variant_get(var, '$$.primary_author', 'string') AS primary_author,
          |  $emailVExpr AS email,
          |  $eventTsV AS event_ts,
@@ -148,7 +148,7 @@ object Bootstrap {
     val gatedEmail = if (ruleInstalled) emailRaw else emailExpr
     spark.sql(
       s"""CREATE OR REPLACE TEMP VIEW vw_works_gated AS
-         |SELECT get_json_object(record, '$$.id') AS id,
+         |SELECT get_json_object(record, '$$.id') AS work_id,
          |  get_json_object(record, '$$.title') AS title,
          |  $gatedEmail AS email,
          |  _load_id AS load_id
@@ -176,7 +176,7 @@ object Bootstrap {
          |  max(latency_seconds) AS max_sec_5m,
          |  approx_percentile(latency_seconds, 0.5) AS p50_sec_5m,
          |  approx_percentile(latency_seconds, 0.95) AS p95_sec_5m,
-         |  count(*) AS events_5m,
+         |  count(*) AS samples_5m,
          |  $anchor - INTERVAL 5 MINUTES AS window_start,
          |  $anchor AS window_end
          |FROM vw_works

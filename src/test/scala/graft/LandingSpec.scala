@@ -85,7 +85,7 @@ class LandingSpec extends AnyFunSuite {
     spark.conf.set(Bootstrap.AnchorConf, "2024-01-01 12:05:00")
     Bootstrap.initLanding(spark, s"$base/landing")
     val analyst = spark.sql(
-      "SELECT id, email, latency_seconds FROM vw_works ORDER BY id")
+      "SELECT work_id, email, latency_seconds FROM vw_works ORDER BY work_id")
       .collect()
     assert(analyst.length === 2)
     assert(analyst(0).getAs[String]("email") === "a***@ex.com")
@@ -95,13 +95,13 @@ class LandingSpec extends AnyFunSuite {
     assert(analyst.forall(_.getAs[Long]("latency_seconds") === 30L))
 
     val kpi = spark.sql("SELECT * FROM vw_latency").head()
-    assert(kpi.getAs[Long]("events_5m") === 2L)
+    assert(kpi.getAs[Long]("samples_5m") === 2L)
     assert(kpi.getAs[Double]("avg_sec_5m") === 30.0)
 
     // privileged role: same query, clear emails
     spark.conf.set(Bootstrap.RoleConf, "R_TRANSFORM")
     Bootstrap.createCuratedViews(spark)
-    val priv = spark.sql("SELECT email FROM vw_works ORDER BY id")
+    val priv = spark.sql("SELECT email FROM vw_works ORDER BY work_id")
       .as[String].collect()
     assert(priv(0) === "alice@ex.com")
     assert(priv(1) === "user_da6645f6e2@example.com") // sha1("Bob") synthetic
@@ -114,7 +114,7 @@ class LandingSpec extends AnyFunSuite {
     Landing.landBatch(fixtureLines.toDF("value"), s"$base/landing", None, fixedIngest)
     spark.conf.set(Bootstrap.AnchorConf, "2024-01-01 12:05:00")
     Bootstrap.initLanding(spark, s"$base/landing")
-    val cols = "id, doi, title, publication_year, host_venue, primary_author, " +
+    val cols = "work_id, doi, title, publication_year, venue, primary_author, " +
       "email, event_ts, ingest_ts, source, load_id, latency_seconds"
     val jsonPath = spark.sql(s"SELECT $cols FROM vw_works").collect().toSet
     val variant = spark.sql(s"SELECT $cols FROM vw_works_v").collect().toSet

@@ -44,7 +44,7 @@ class MaskingRuleSpec extends AnyFunSuite {
       Bootstrap.initLanding(gated, s"$dir/landing")
 
       def emails(): Seq[String] =
-        gated.sql("SELECT email FROM vw_works_gated ORDER BY id")
+        gated.sql("SELECT email FROM vw_works_gated ORDER BY work_id")
           .collect().map(_.getString(0)).toSeq
 
       // analyst by default: masked at read time
@@ -63,8 +63,8 @@ class MaskingRuleSpec extends AnyFunSuite {
       gated.conf.unset(Bootstrap.RoleConf)
       val joined = gated.sql(
         """SELECT a.email AS ea, b.email AS eb
-          |FROM vw_works_gated a JOIN vw_works_gated b ON a.id = b.id
-          |WHERE a.id = 'W1'""".stripMargin).head()
+          |FROM vw_works_gated a JOIN vw_works_gated b ON a.work_id = b.work_id
+          |WHERE a.work_id = 'W1'""".stripMargin).head()
       assert(joined.getString(0) === "a***@ex.com")
       assert(joined.getString(1) === "a***@ex.com")
 
