@@ -19,6 +19,19 @@ object Bootstrap {
   val RoleConf = "spark.graft.role"
   val AnchorConf = "spark.graft.anchor"
 
+  /** Comma-separated lake paths holding RAW data. Sessions with
+    * plans.GraftExtensions installed deny direct scans of these paths to
+    * non-privileged roles (plans.RbacCheckRule) — the curated views are
+    * the only analyst-reachable window onto them.
+    */
+  val RawPathsConf = "spark.graft.raw.paths"
+
+  private def recordRawPath(spark: SparkSession, path: String): Unit = {
+    val prev = spark.conf.get(RawPathsConf, "")
+      .split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+    spark.conf.set(RawPathsConf, (prev :+ path).distinct.mkString(","))
+  }
+
   def role(spark: SparkSession): String =
     spark.conf.get(RoleConf, "R_ANALYST")
 
@@ -34,10 +47,45 @@ object Bootstrap {
   def initCorpus(spark: SparkSession, dir: String): Unit =
     Tables.registerAll(spark, dir)
 
-  /** Register the landing table + curated views over it. */
+  /** Register the landing table + curated views over it — the TRANSFORM
+    * entry point (reference: R_TRANSFORM owns RAW reads and creates the
+    * curated views, sql/02_rbac_policies.sql). Run it under a privileged
+    * role; the raw path is recorded last so a governed session can flip to
+    * R_ANALYST afterwards and lose direct raw access while the curated
+    * views keep working.
+    */
   def initLanding(spark: SparkSession, landingDir: String): Unit = {
     spark.read.parquet(landingDir).createOrReplaceTempView(LandingView)
     createCuratedViews(spark)
+    recordRawPath(spark, landingDir)
+  }
+
+  /** Analyst entry point (G2): registers ONLY the curated views — no
+    * `raw_works_landing`, no corpus temp views. The views read the landing
+    * parquet by path inside their own definitions (definer's rights), so
+    * an analyst session has no raw relation to name, and with
+    * plans.GraftExtensions installed the raw path itself is unreadable
+    * outside the curated views. Masking is decided with the ANALYST role
+    * regardless of what the session conf says at call time.
+    */
+  def initAnalyst(spark: SparkSession, landingDir: String): Unit = {
+    val prevRole = spark.conf.getOption(RoleConf)
+    val prevRaw = spark.conf.getOption(RawPathsConf)
+    spark.conf.set(RoleConf, "R_ANALYST")
+    // view creation analyzes the body before any View wrapper exists, so
+    // the raw-path check must be suspended for the definition step
+    // (definer writes the view; the check governs readers) — restored and
+    // extended in the finally, keeping re-bootstraps idempotent.
+    spark.conf.unset(RawPathsConf)
+    try createCuratedViews(spark, s"parquet.`$landingDir`")
+    finally {
+      prevRole match {
+        case Some(r) => spark.conf.set(RoleConf, r)
+        case None => spark.conf.unset(RoleConf)
+      }
+      prevRaw.foreach(spark.conf.set(RawPathsConf, _))
+      recordRawPath(spark, landingDir)
+    }
   }
 
   /** The P9 mask as SQL, over an arbitrary email expression. This is one
@@ -61,8 +109,17 @@ object Bootstrap {
     * - landed_ts COALESCE chain (delivery metadata → producer ingest_ts →
     *   now), latency as NULL-safe seconds diff
     * - email column role-gated at definition time
+    *
+    * Views are registered PLAN-BASED (`spark.sql(body)
+    * .createOrReplaceTempView`) rather than via CREATE TEMP VIEW text on
+    * purpose: a text view re-analyzes its body on every read, and that
+    * nested analysis presents the raw scan to checkAnalysis with no `View`
+    * wrapper yet — plans.RbacCheckRule could not tell it from a direct
+    * analyst read. A plan-based view analyzes its body exactly once, here,
+    * under the definer's role, and every later read resolves to the stored
+    * plan wrapped in the unforgeable `View` node the check rule trusts.
     */
-  def createCuratedViews(spark: SparkSession): Unit = {
+  def createCuratedViews(spark: SparkSession, from: String = LandingView): Unit = {
     val emailRaw = "get_json_object(record, '$.email')"
     val emailExpr =
       if (Masking.PrivilegedRoles(role(spark))) emailRaw else maskSql(emailRaw)
@@ -72,11 +129,10 @@ object Bootstrap {
         "current_timestamp())"
     val eventTs = "try_cast(get_json_object(record, '$.event_ts') AS TIMESTAMP)"
     spark.sql(
-      s"""CREATE OR REPLACE TEMP VIEW vw_works AS
-         |WITH dedup AS (
+      s"""WITH dedup AS (
          |  SELECT *, row_number() OVER (
          |    PARTITION BY _load_id ORDER BY record_metadata.IngestionTime) AS _rn
-         |  FROM $LandingView
+         |  FROM $from
          |)
          |SELECT
          |  get_json_object(record, '$$.id') AS work_id,
@@ -95,6 +151,7 @@ object Bootstrap {
          |       THEN unix_timestamp($landedTs) - unix_timestamp($eventTs)
          |  END AS latency_seconds
          |FROM dedup WHERE _rn = 1""".stripMargin)
+      .createOrReplaceTempView("vw_works")
 
     // Spark-4-native twin of vw_works: the landing JSON parses ONCE into a
     // VariantType value and every typed column is a variant_get over it —
@@ -110,11 +167,10 @@ object Bootstrap {
         "try_cast(try_variant_get(var, '$.ingest_ts', 'string') AS TIMESTAMP), " +
         "current_timestamp())"
     spark.sql(
-      s"""CREATE OR REPLACE TEMP VIEW vw_works_v AS
-         |WITH dedup AS (
+      s"""WITH dedup AS (
          |  SELECT *, row_number() OVER (
          |    PARTITION BY _load_id ORDER BY record_metadata.IngestionTime) AS _rn
-         |  FROM $LandingView
+         |  FROM $from
          |),
          |v AS (
          |  SELECT try_parse_json(record) AS var, record_metadata, _load_id
@@ -137,6 +193,7 @@ object Bootstrap {
          |       THEN unix_timestamp($landedTsV) - unix_timestamp($eventTsV)
          |  END AS latency_seconds
          |FROM v""".stripMargin)
+      .createOrReplaceTempView("vw_works_v")
 
     // the rule-gated twin: defined CLEAR so graft.plans.MaskingRule can
     // decide masked-vs-clear per read from the session role. Secure
@@ -147,12 +204,12 @@ object Bootstrap {
       .exists(_.isInstanceOf[graft.plans.MaskingRule])
     val gatedEmail = if (ruleInstalled) emailRaw else emailExpr
     spark.sql(
-      s"""CREATE OR REPLACE TEMP VIEW vw_works_gated AS
-         |SELECT get_json_object(record, '$$.id') AS work_id,
+      s"""SELECT get_json_object(record, '$$.id') AS work_id,
          |  get_json_object(record, '$$.title') AS title,
          |  $gatedEmail AS email,
          |  _load_id AS load_id
-         |FROM $LandingView""".stripMargin)
+         |FROM $from""".stripMargin)
+      .createOrReplaceTempView("vw_works_gated")
 
     // KPI over the trailing 5 minutes; the anchor is injectable
     // (spark.graft.anchor) for deterministic runs, wall-clock otherwise.
@@ -169,8 +226,7 @@ object Bootstrap {
         s"TIMESTAMP '$a'"
       }.getOrElse("current_timestamp()")
     spark.sql(
-      s"""CREATE OR REPLACE TEMP VIEW vw_latency AS
-         |SELECT
+      s"""SELECT
          |  round(avg(latency_seconds), 3) AS avg_sec_5m,
          |  min(latency_seconds) AS min_sec_5m,
          |  max(latency_seconds) AS max_sec_5m,
@@ -182,6 +238,7 @@ object Bootstrap {
          |FROM vw_works
          |WHERE event_ts IS NOT NULL
          |  AND landed_ts >= $anchor - INTERVAL 5 MINUTES""".stripMargin)
+      .createOrReplaceTempView("vw_latency")
   }
 }
 

@@ -83,8 +83,13 @@ object MaskingRule {
 /** Session extension entry point:
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions`
   * or `SparkSession.builder.withExtensions(new GraftExtensions)`.
+  *
+  * Installs the governance plane: read-time column masking (G1) and the
+  * raw-namespace RBAC check (G2).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(session => new MaskingRule(session))
+    ext.injectCheckRule(session => new RbacCheckRule(session))
+  }
 }

@@ -68,7 +68,10 @@ class MaskingRuleSpec extends AnyFunSuite {
       assert(joined.getString(0) === "a***@ex.com")
       assert(joined.getString(1) === "a***@ex.com")
 
-      // un-gated relations are untouched by the rule
+      // un-gated relations are untouched by the rule — probe as a
+      // privileged role (the RBAC check rule denies analysts any direct
+      // raw read; that behavior is pinned in RbacSpec)
+      gated.conf.set(Bootstrap.RoleConf, "R_TRANSFORM")
       gated.read.parquet(s"$dir/landing").createOrReplaceTempView("raw_probe")
       val raw = gated.sql(
         "SELECT get_json_object(record, '$.email') FROM raw_probe " +
