@@ -170,11 +170,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(drySinkCalls === 0)
   }
 
-  test("Producer: a throwing sink fails that chunk only and keeps totals") {
+  test("Producer: transient sink failure is retried with backoff, zero failed") {
+    // Sink fails twice then succeeds (reference firehose_client.py:11-15
+    // retries x5): the chunk must land with NO failed records, and the two
+    // backoff sleeps (1s then 2s) must be taken between attempts.
     var call = 0
+    var slept = List.empty[Long]
+    val totals = Producer.run(spark, Iterator.tabulate(4)(i => s"""{"id":"W$i"}"""),
+      batchSize = 4,
+      sink = _ => { call += 1; if (call <= 2) throw new RuntimeException("boom") },
+      sleeper = ms => slept :+= ms)
+    assert(totals === Producer.Totals(4, 0, 1))
+    assert(call === 3)
+    assert(slept === List(1000L, 2000L))
+  }
+
+  test("Producer: a permanently failing sink exhausts 5 attempts then moves on") {
+    var call = 0
+    var slept = List.empty[Long]
     val totals = Producer.run(spark, Iterator.tabulate(6)(i => s"""{"id":"W$i"}"""),
       batchSize = 2,
-      sink = df => { call += 1; if (call == 2) throw new RuntimeException("boom"); df.count(): Unit })
+      sink = df => {
+        call += 1
+        // chunk 2 (records W2,W3) always fails; others succeed first try
+        if (df.as[String](org.apache.spark.sql.Encoders.STRING)
+              .head().contains("\"W2\"")) throw new RuntimeException("boom")
+      },
+      sleeper = ms => slept :+= ms)
     assert(totals === Producer.Totals(4, 2, 3))
+    // 1 (chunk1) + 5 exhausted attempts (chunk2) + 1 (chunk3)
+    assert(call === 7)
+    // four backoffs between the five chunk-2 attempts, none after the last
+    assert(slept === List(1000L, 2000L, 4000L, 8000L))
+  }
+
+  test("Producer: backoff is exponential from 1s, capped at 20s") {
+    assert((1 to 6).map(Producer.backoffMillis) ===
+      Seq(1000L, 2000L, 4000L, 8000L, 16000L, 20000L))
   }
 }
