@@ -149,19 +149,19 @@ object Similarity {
     * broadcasts, and every vector lives in exactly ONE cell so the
     * candidate set needs no dedup shuffle.
     *
-    * Centroids are a deterministic hash-ordered sample of the vectors —
-    * a real deployment k-means-refines them; the assignment/probe/re-rank
-    * plumbing (what runs at 100 TB) is identical either way.
+    * Centroids: a deterministic hash-stratified sample (`seedCentroids`)
+    * refined by `kmeansRounds` Lloyd iterations (`kmeansRound`). Both
+    * stages are aggregation trees — no global sort, no single-partition
+    * top-N anywhere in seeding, so the 100 TB plan shape is safe.
     */
   def ivfCosine(spark: SparkSession, dir: String, nCells: Int = 32,
-                nProbe: Int = 20, k: Int = 5, cellCap: Int = 4096): DataFrame = {
+                nProbe: Int = 20, k: Int = 5, cellCap: Int = 4096,
+                kmeansRounds: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
-    val centroids = e
-      .withColumn("r", md5(col("vec_id").cast("string")))
-      .orderBy("r").limit(nCells)
-      .select(col("vec_id").as("cell_id"), col("v").as("cv"))
+    val centroids = (1 to kmeansRounds)
+      .foldLeft(seedCentroids(e, nCells))((c, _) => kmeansRound(e, c))
     // rank every (vector, cell) by centroid similarity — rn=1 is the
     // vector's home cell, rn<=nProbe are the cells its queries probe.
     // NOTE on defaults: probing 20 of 32 cells is tuned for the corpus's
@@ -203,6 +203,49 @@ object Similarity {
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= k)
       .select(col("vec_id"), col("cand_id"), round(col("sim"), 6).as("sim"), col("rn"))
+  }
+
+  /** Deterministic hash-stratified centroid seed: the id space is split
+    * into `nCells` hash strata and each stratum elects its lowest-md5
+    * member. One partial+final aggregation over `nCells` keys — every
+    * partition contributes local candidates, nothing funnels through a
+    * single-partition top-N (the failure mode of a global
+    * `orderBy(hash).limit(n)` sample at 100 TB). Deterministic regardless
+    * of physical partitioning, so both sides of any downstream join seed
+    * identically. (A stratum of a tiny table can be empty → fewer cells;
+    * with n ≫ nCells the strata are ~n/nCells each.)
+    */
+  private def seedCentroids(vectors: DataFrame, nCells: Int): DataFrame =
+    vectors
+      .groupBy(pmod(hash(col("vec_id")), lit(nCells)).as("g"))
+      .agg(min_by(struct(col("vec_id"), col("v")),
+        struct(md5(col("vec_id").cast("string")), col("vec_id"))).as("c"))
+      .select(col("c.vec_id").as("cell_id"), col("c.v").as("cv"))
+
+  /** One Lloyd iteration: assign every vector to its nearest centroid
+    * (broadcast join — the vectors never shuffle), then average each
+    * cell's members element-wise. The mean is computed by exploding to
+    * (cell, dim, x) and aggregating — a 64× narrow fan-out feeding a
+    * partial-agg tree over nCells×dim keys, which scales where a
+    * collect-and-average on the driver would not. A cell that captures no
+    * vectors disappears (standard Lloyd degeneracy; with stratified seeds
+    * every seed starts with its own member, so it is rare).
+    */
+  private def kmeansRound(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wNearest = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cell_id").asc)
+    val assigned = vectors.crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(wNearest))
+      .filter(col("rn") === 1)
+      .select(col("cell_id"), col("v"))
+    assigned
+      .select(col("cell_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cell_id", "pos").agg(avg(col("x")).as("m"))
+      .groupBy("cell_id")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        _.getField("m")).as("cv"))
   }
 
   /** queries()-shaped wrapper for the IVF path (rows-only check; recall

@@ -89,9 +89,13 @@ object Landing {
     * the curated view). The file sink + checkpoint makes the whole path
     * end-to-end exactly-once. `current_timestamp()` in a streaming query
     * evaluates per micro-batch, so a long-running query stamps each
-    * delivery's own time. At 100 TB the dedup state is bounded by
-    * watermarking in a real deployment; unbounded here since the corpus
-    * replays are finite.
+    * delivery's own time.
+    *
+    * OPT-IN: this variant keeps `_LOAD_ID` state FOREVER — dedup state
+    * grows with total ids ever landed, which only works for finite replays
+    * (tests, bounded backfills). The production path is
+    * `landStreamBounded`, whose state is evicted after the replay window,
+    * matching the reference's bounded 300 s retry guarantee.
     *
     * Limitation vs `landStream`: unparseable / `_LOAD_ID`-less lines are
     * DROPPED here — a single streaming query cannot fork a second DLQ sink
@@ -116,6 +120,58 @@ object Landing {
       .option("path", landingDir)
       .option("checkpointLocation", checkpointDir)
       .partitionBy("landed_date")
+      .trigger(trigger)
+      .start()
+  }
+
+  /** Bounded-state stateful landing — the production composition of the
+    * other two entry points: cross-batch `_LOAD_ID` dedup whose state is
+    * EVICTED after `replayWindow`, *and* DLQ preservation of bad lines.
+    *
+    *  - Every line gets a dedup key: its `_LOAD_ID`, or for unparseable /
+    *    id-less lines a synthetic `__dlq__:sha256(record)` key so they pass
+    *    through the dedup operator and still reach the DLQ fork (identical
+    *    bad lines inside one replay window collapse to one DLQ row —
+    *    content-identical garbage carries no extra replay information).
+    *  - The watermark column is the ARRIVAL time (`current_timestamp()`,
+    *    evaluated per micro-batch). That makes the bound a wall-clock
+    *    replay window — exactly the reference's semantics, where Firehose
+    *    retries a failed delivery for `snowflake_retry_seconds = 300`
+    *    (infra/variables.tf:77-81): a redelivery always arrives within a
+    *    bounded wall-clock interval of the first attempt, so event-time
+    *    lateness is irrelevant and no record can ever be "too late".
+    *  - `dropDuplicatesWithinWatermark` guarantees: a redelivery arriving
+    *    within `replayWindow` of the first arrival never double-lands;
+    *    after the window the state is gone and the path degrades to
+    *    at-least-once — which the curated view's `row_number` dedup
+    *    (Bootstrap) still absorbs downstream. State size is bounded by
+    *    (arrival rate × window), independent of total history — the
+    *    property that makes this runnable forever at 100 TB/day.
+    *  - Survivors land through the same `landBatch` as every other path
+    *    (one code path: DLQ fork + within-delivery dedup + projection).
+    */
+  def landStreamBounded(
+      spark: SparkSession,
+      inputDir: String,
+      landingDir: String,
+      checkpointDir: String,
+      dlqDir: Option[String] = None,
+      replayWindow: String = "300 seconds",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val deduped = parseWire(spark.readStream.format("text").load(inputDir))
+      .withColumn("_dedup_key",
+        coalesce(col("p._LOAD_ID"),
+          concat(lit("__dlq__:"), sha2(col("record").cast("binary"), 256))))
+      .withColumn("_arrival_ts", current_timestamp())
+      .withWatermark("_arrival_ts", replayWindow)
+      .dropDuplicatesWithinWatermark("_dedup_key")
+    deduped
+      .select(col("record").as("value"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        landBatch(batch, landingDir, dlqDir)
+      }
+      .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
   }

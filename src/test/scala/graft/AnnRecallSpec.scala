@@ -53,6 +53,16 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(recall >= 0.8, f"recall $recall%.3f < 0.8")
   }
 
+  test("IVF seeding has no single-partition top-N anywhere in the plan") {
+    // the old seed was orderBy(md5).limit(nCells) — a global sort funneling
+    // every partition's sample through one task; the stratified min_by seed
+    // plus the k-means round must plan as aggregation trees only
+    val plan = Similarity.ivfCosine(spark, TestSpark.Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("TakeOrderedAndProject"), plan.linesIterator.take(30).mkString("\n"))
+    assert(!plan.contains("GlobalLimit"), plan.linesIterator.take(30).mkString("\n"))
+  }
+
   test("IVF candidate pairs need no dedup: every pair appears once") {
     val pairs = Similarity.ivfCosine(spark, TestSpark.Sf0001)
       .select("vec_id", "cand_id")

@@ -136,6 +136,52 @@ class StreamingSpec extends AnyFunSuite {
       Set("record", "record_metadata", "_load_id", "landed_date"))
   }
 
+  test("bounded landing: DLQ preserved, redelivery deduped, state evicted after window") {
+    // landStreamBounded with a 2s replay window, three AvailableNow runs
+    // over one checkpoint (wall-clock arrival-time watermark):
+    //   run1: A, B, dup-A, malformed, id-less  → lands {A,B}; DLQ ×2
+    //   run2 (after 5s): redeliver A, new C    → A deduped (state not yet
+    //         evicted: the watermark lags one batch, still at t1-2s), so
+    //         only C lands; afterwards the watermark passes A's expiry
+    //   run3 (after 5s): redeliver A and C     → A RE-LANDS (state evicted
+    //         — the bound is real), C still deduped (inside its window)
+    val base = Files.createTempDirectory("graft_bounded").toString
+    val in = s"$base/in"; new java.io.File(in).mkdirs()
+    def runOnce(name: String, ls: Seq[String]): Unit = {
+      Files.write(java.nio.file.Paths.get(s"$in/$name"), ls.mkString("\n").getBytes)
+      val q = Landing.landStreamBounded(spark, in, s"$base/landing", s"$base/ckpt",
+        dlqDir = Some(s"$base/dlq"), replayWindow = "2 seconds")
+      q.awaitTermination(60000)
+    }
+    runOnce("d1.ndjson", Seq(
+      """{"_LOAD_ID":"A","n":1}""", """{"_LOAD_ID":"B","n":2}""",
+      """{"_LOAD_ID":"A","n":1}""", // within-delivery duplicate
+      "not json at all", """{"no_id":1}"""))
+    val landed1 = spark.read.parquet(s"$base/landing")
+      .select("_load_id").collect().map(_.getString(0)).sorted.toSeq
+    assert(landed1 === Seq("A", "B"))
+    // both bad lines reached the DLQ despite passing through the dedup op
+    val dlq = spark.read.parquet(s"$base/dlq")
+    assert(dlq.count() === 2)
+    assert(dlq.columns.toSet === Set("record", "error", "error_date"))
+
+    Thread.sleep(5000)
+    runOnce("d2.ndjson", Seq(
+      """{"_LOAD_ID":"A","n":1}""", // redelivery inside the window → dropped
+      """{"_LOAD_ID":"C","n":3}"""))
+    val landed2 = spark.read.parquet(s"$base/landing")
+      .select("_load_id").collect().map(_.getString(0)).sorted.toSeq
+    assert(landed2 === Seq("A", "B", "C"))
+
+    Thread.sleep(5000)
+    runOnce("d3.ndjson", Seq(
+      """{"_LOAD_ID":"A","n":1}""", // state evicted → lands again
+      """{"_LOAD_ID":"C","n":3}""")) // still inside C's window → dropped
+    val landed3 = spark.read.parquet(s"$base/landing")
+      .select("_load_id").collect().map(_.getString(0)).sorted.toSeq
+    assert(landed3 === Seq("A", "A", "B", "C"))
+  }
+
   test("IngestCounters sees every landed row and batch") {
     val counters = new IngestCounters
     spark.streams.addListener(counters)
