@@ -56,6 +56,7 @@ object SparkEntry {
     "q36_ann_ivf" -> (Similarity.q36AnnIvf _),
     "q37_dedup_clusters" -> (Dedup.q37DedupClusters _),
     "q38_session_window" -> (Relational.q38SessionWindow _),
+    "q39_png_meta" -> (Multimodal.q39PngMeta _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -184,5 +185,17 @@ object SparkEntry {
         "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM o) " +
         "SELECT user_id, CAST(date_trunc('second', min(ts)) AS TIMESTAMP) AS session_start, " +
         "count(*) AS cnt FROM s GROUP BY user_id, sid"),
+    // q39: Spark synthesizes byte-exact PNG/JPEG headers from doc_id and
+    // parses them back; the oracle recomputes the expected struct from the
+    // same residue arithmetic — independent of the byte path, so an
+    // offset/endianness bug on the Spark side cannot cancel out.
+    "q39_png_meta" ->
+      ("SELECT doc_id, " +
+        "CASE WHEN doc_id % 7 IN (0, 1, 2) THEN NULL " +
+        "ELSE CAST(doc_id % 1920 + 1 AS INTEGER) END AS width, " +
+        "CASE WHEN doc_id % 7 IN (0, 1, 2) THEN NULL " +
+        "ELSE CAST(doc_id % 1080 + 1 AS INTEGER) END AS height, " +
+        "CASE WHEN doc_id % 7 = 0 THEN 'jpeg' WHEN doc_id % 7 = 1 THEN 'unknown' " +
+        "ELSE 'png' END AS format FROM documents"),
   )
 }

@@ -32,17 +32,37 @@ object Multimodal {
         .otherwise("raw").as("container"))
   }
 
-  /** STUB — deterministic fake decode. A real deployment replaces this
-    * with an image/audio codec behind the same column contract
-    * (`binary -> struct<width,height,format>`); the codec libraries are
-    * not present in this environment, so dimensions are derived from a
-    * crc32 of the payload to keep every downstream stage (schema,
-    * partitioning, batching) real and testable.
+  /** PNG 8-byte signature, uppercase hex (Spark's `hex` emits uppercase). */
+  private val PngSigHex = "89504E470D0A1A0A"
+  /** "IHDR" — the chunk type that the PNG spec REQUIRES first, so
+    * width/height always live at fixed offsets 17-20 / 21-24 (1-based).
     */
-  def decodeImageMetaStub(bin: Column): Column = struct(
-    (pmod(crc32(bin), lit(1920)) + 1).cast("int").as("width"),
-    (pmod(crc32(reverse(bin)), lit(1080)) + 1).cast("int").as("height"),
-    when(pmod(crc32(bin), lit(2)) === 0, "png").otherwise("jpeg").as("format"))
+  private val IhdrHex = "49484452"
+
+  /** REAL image-header decode — `binary -> struct<width,height,format>`,
+    * pure codegen'd column expressions, no codec library.
+    *
+    * - PNG (spec: 8-byte signature, then the mandatory IHDR chunk):
+    *   width = big-endian uint32 at bytes 17-20, height at 21-24, parsed
+    *   with `substring` on the binary + `conv(hex, 16, 10)`. A payload
+    *   with the signature but a truncated/corrupt IHDR keeps
+    *   format='png' with NULL dims instead of a garbage parse.
+    * - JPEG: SOI sniff (FF D8 FF). Dimensions need a SOF marker scan
+    *   (variable offset) — out of scope; NULL dims.
+    * - anything else: format='unknown', NULL dims.
+    */
+  def decodeImageMeta(bin: Column): Column = {
+    val isPng = hex(substring(bin, 1, 8)) === PngSigHex
+    val ihdrOk = isPng && octet_length(bin) >= 24 &&
+      hex(substring(bin, 13, 4)) === IhdrHex
+    def be32(off: Int) = conv(hex(substring(bin, off, 4)), 16, 10).cast("int")
+    struct(
+      when(ihdrOk, be32(17)).as("width"),
+      when(ihdrOk, be32(21)).as("height"),
+      when(isPng, "png")
+        .when(hex(substring(bin, 1, 3)) === "FFD8FF", "jpeg")
+        .otherwise("unknown").as("format"))
+  }
 
   /** Feature-extraction plumbing: repartition so each task sees a bounded
     * batch of payloads (decode memory is payload-count-bound, not
@@ -51,5 +71,31 @@ object Multimodal {
     */
   def withDecodedMeta(df: DataFrame, binCol: String, partitions: Int): DataFrame =
     df.repartition(partitions)
-      .withColumn("media_meta", decodeImageMetaStub(col(binCol)))
+      .withColumn("media_meta", decodeImageMeta(col(binCol)))
+
+  /** Q39: the decode contract query. The corpus ships no image table, so
+    * the payloads are synthesized IN the query — byte-exact PNG
+    * signature+IHDR headers (and JPEG SOI / raw payloads on the other
+    * residue classes) built from `doc_id` with `unhex`, then parsed back
+    * by [[decodeImageMeta]]. The oracle recomputes the expected
+    * dimensions from the same residue arithmetic, so any byte-offset or
+    * endianness slip in the parser breaks the hash match.
+    */
+  def q39PngMeta(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val width = (col("doc_id") % 1920 + 1).cast("int")
+    val height = (col("doc_id") % 1080 + 1).cast("int")
+    val pngHex = concat(
+      lit(PngSigHex), lit("0000000D"), lit(IhdrHex),
+      lpad(hex(width), 8, "0"), lpad(hex(height), 8, "0"),
+      lit("0806000000"))
+    val payload =
+      when(col("doc_id") % 7 === 0, unhex(lit("FFD8FFE000104A464946"))) // JPEG SOI+APP0
+        .when(col("doc_id") % 7 === 1, col("text").cast("binary"))       // raw text
+        .when(col("doc_id") % 7 === 2, unhex(lit(PngSigHex)))            // truncated PNG
+        .otherwise(unhex(pngHex))
+    docs.select(col("doc_id"), decodeImageMeta(payload).as("m"))
+      .select(col("doc_id"), col("m.width").as("width"),
+        col("m.height").as("height"), col("m.format").as("format"))
+  }
 }

@@ -4,28 +4,74 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Multimodal
 
-/** The multimodal plumbing contract: deterministic stub decode, bounded
-  * dimensions, schema shape, and payload-column prunability.
+/** The multimodal decode contract: a REAL PNG header parser (signature +
+  * IHDR big-endian dims), JPEG SOI sniffing, honest NULLs on everything
+  * undecodable, and payload-column prunability.
   */
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  test("decode stub is deterministic with bounded dims and closed format set") {
-    val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-    val a = Multimodal.withDecodedMeta(docs, "payload", 4)
-      .select("doc_id", "media_meta.width", "media_meta.height", "media_meta.format")
-    val rows = a.collect()
+  /** Byte-exact PNG prefix per the spec: 8-byte signature, IHDR length
+    * (13), "IHDR", then big-endian width and height — built by hand so
+    * the parser is tested against REAL bytes, not its own synthesis.
+    */
+  private def pngHeader(width: Int, height: Int): Array[Byte] = {
+    val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    val ihdrLen = Array(0, 0, 0, 13).map(_.toByte)
+    val ihdr = "IHDR".getBytes("US-ASCII")
+    def be32(v: Int) = Array(v >>> 24, (v >>> 16) & 0xFF, (v >>> 8) & 0xFF, v & 0xFF).map(_.toByte)
+    sig ++ ihdrLen ++ ihdr ++ be32(width) ++ be32(height) ++ Array[Byte](8, 6, 0, 0, 0)
+  }
+
+  private def decodeOne(payload: Array[Byte]): (Option[Int], Option[Int], String) = {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("payload BINARY")
+    val df = spark.createDataFrame(
+      Seq(org.apache.spark.sql.Row(payload)).asJava, schema)
+    val r = df.select(Multimodal.decodeImageMeta(col("payload")).as("m"))
+      .select("m.width", "m.height", "m.format").head()
+    (Option(r.get(0)).map(_.asInstanceOf[Int]),
+      Option(r.get(1)).map(_.asInstanceOf[Int]), r.getString(2))
+  }
+
+  test("PNG IHDR dims parse from real header bytes") {
+    assert(decodeOne(pngHeader(640, 480)) === ((Some(640), Some(480), "png")))
+    assert(decodeOne(pngHeader(1, 1)) === ((Some(1), Some(1), "png")))
+    // dims that need every byte of the big-endian u32 lanes
+    assert(decodeOne(pngHeader(65537, 16777216 + 42)) ===
+      ((Some(65537), Some(16777216 + 42), "png")))
+  }
+
+  test("truncated/corrupt PNG keeps format but yields NULL dims") {
+    // signature only — no IHDR to parse
+    assert(decodeOne(pngHeader(9, 9).take(8)) === ((None, None, "png")))
+    // signature + garbage where IHDR should be
+    val corrupt = pngHeader(9, 9).take(8) ++ Array.fill[Byte](16)(0x41)
+    assert(decodeOne(corrupt) === ((None, None, "png")))
+  }
+
+  test("JPEG SOI sniff and unknown fallback") {
+    val jpeg = Array(0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x10).map(_.toByte)
+    assert(decodeOne(jpeg) === ((None, None, "jpeg")))
+    assert(decodeOne("plain text".getBytes("UTF-8")) === ((None, None, "unknown")))
+    assert(decodeOne(Array.emptyByteArray) === ((None, None, "unknown")))
+  }
+
+  test("q39 round-trips synthesized headers through the parser") {
+    val rows = Multimodal.q39PngMeta(spark, TestSpark.Sf0001).collect()
     assert(rows.length === 500)
-    assert(rows.forall { r =>
-      val (w, h) = (r.getInt(1), r.getInt(2))
-      w >= 1 && w <= 1920 && h >= 1 && h <= 1080 &&
-        Set("png", "jpeg")(r.getString(3))
-    })
-    // deterministic across invocations
-    val b = Multimodal.withDecodedMeta(docs, "payload", 4)
-      .select("doc_id", "media_meta.width", "media_meta.height", "media_meta.format")
-    assert(a.collect().toSet === b.collect().toSet)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      (id % 7) match {
+        case 0 => assert(r.getString(3) === "jpeg" && r.isNullAt(1))
+        case 1 => assert(r.getString(3) === "unknown" && r.isNullAt(1))
+        case 2 => assert(r.getString(3) === "png" && r.isNullAt(1) && r.isNullAt(2))
+        case _ =>
+          assert(r.getString(3) === "png")
+          assert(r.getInt(1) === (id % 1920 + 1).toInt)
+          assert(r.getInt(2) === (id % 1080 + 1).toInt)
+      }
+    }
   }
 
   test("metadata survives payload pruning (heavy column dropped downstream)") {
@@ -36,7 +82,8 @@ class MultimodalSpec extends AnyFunSuite {
       .groupBy(col("media_meta.format").as("format"))
       .count()
     val byFormat = pruned.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(byFormat.keySet.subsetOf(Set("png", "jpeg")))
+    // utf-8 text payloads can never carry a PNG/JPEG magic
+    assert(byFormat.keySet === Set("unknown"))
     assert(byFormat.values.sum === 500L)
   }
 }
