@@ -3,7 +3,10 @@ package graft.plans
 import org.apache.spark.SparkException
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, View}
+import org.apache.spark.sql.execution.command.{AlterViewAsCommand, CreateViewCommand, ResetCommand, SetCommand}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, FileTable}
+import org.apache.spark.sql.execution.streaming.{StreamingRelation, StreamingRelationV2}
 import graft.functions.Masking
 
 /** G2 RBAC namespacing as a Catalyst check rule — the analog of the
@@ -12,19 +15,29 @@ import graft.functions.Masking
   * schema at all, while R_TRANSFORM/R_INGEST/ACCOUNTADMIN read RAW freely.
   *
   * Mechanics: `Bootstrap.initLanding`/`initAnalyst` record the landing
-  * directory under `spark.graft.raw.paths`. After analysis of every query,
-  * this rule walks the plan; a file scan rooted under a raw path is denied
-  * for non-privileged sessions UNLESS it is reached through one of the
-  * curated `View`s — Spark's `View` node cannot be constructed through the
-  * public DataFrame API (an `.alias("vw_works")` spoof only makes a
-  * `SubqueryAlias`), so the exemption is definer's-rights: the view text
-  * written at bootstrap is the only analyst path to the raw bytes, exactly
-  * like the reference's view grants.
+  * directory (filesystem-qualified) under `spark.graft.raw.paths`. After
+  * analysis of every query this rule walks the plan; a file scan rooted
+  * under a raw path — batch v1, batch DSv2 (`FileTable`), or streaming —
+  * is denied for non-privileged sessions UNLESS it is reached through a
+  * TRUSTED curated `View`.
   *
-  * Scope note: this governs the SQL surface of one session, like the
-  * reference's warehouse does; it is not an OS-level sandbox (a user with
-  * JVM access can always open files). The reference has the same shape —
-  * RBAC stops at the warehouse boundary.
+  * Trust is PLAN IDENTITY, not view name: bootstrap registers the
+  * canonicalized plan of each curated view body in [[RbacTrust]] (JVM
+  * session state — unreachable from SQL), and a `View` node is exempt only
+  * when its child matches the registered plan. A spoof that re-creates
+  * `vw_works` over the raw path produces a `View` with a different child
+  * and falls through to the scan denial. Definition-time escapes are
+  * closed too: `CREATE/ALTER VIEW` commands are `AnalysisOnlyCommand`s
+  * whose children are cleared before check rules run, so the rule walks
+  * their STORED body plan explicitly — an analyst cannot even define a
+  * view over the raw path, let alone read through it.
+  *
+  * The role/paths confs are themselves governed at the SQL surface:
+  * `SET`/`RESET` on `spark.graft.*` is denied for non-privileged sessions
+  * (a bare `RESET` would clear the recorded raw paths, so it is denied
+  * too). JVM-level `conf.set` remains cooperative — the same boundary as
+  * the reference, whose RBAC stops at the warehouse: a user with cluster
+  * submit rights was never inside the threat model.
   */
 class RbacCheckRule(session: SparkSession) extends (LogicalPlan => Unit) {
 
@@ -32,30 +45,72 @@ class RbacCheckRule(session: SparkSession) extends (LogicalPlan => Unit) {
     session.conf.get(graft.Bootstrap.RawPathsConf, "")
       .split(",").iterator.map(_.trim.stripSuffix("/")).filter(_.nonEmpty).toSeq
 
+  /** Compare filesystem-qualified URIs on both sides: recorded paths are
+    * qualified at record time, and scan roots are re-qualified here, so a
+    * scheme-qualified (`file:///...`) or relative spelling of the same
+    * directory cannot slip past a string comparison.
+    */
+  private def underRaw(pathStr: String, raw: Seq[String]): Boolean = {
+    val q = graft.Bootstrap.qualifyRawPath(session, pathStr)
+    raw.exists(r => q == r || q.startsWith(r + "/"))
+  }
+
   private def scansRaw(lr: LogicalRelation, raw: Seq[String]): Boolean =
     lr.relation match {
       case fs: HadoopFsRelation =>
-        fs.location.rootPaths.exists { p =>
-          val path = p.toUri.getPath
-          raw.exists(r => path == r || path.startsWith(r + "/"))
-        }
+        fs.location.rootPaths.exists(p => underRaw(p.toString, raw))
       case _ => false
     }
+
+  private def deny(role: String): Nothing =
+    throw new SparkException(
+      s"[GRAFT_RBAC] role $role is not allowed to read the raw " +
+        s"landing data directly; query the curated views " +
+        s"(${RbacCheckRule.CuratedViews.toSeq.sorted.mkString(", ")}) instead")
 
   override def apply(plan: LogicalPlan): Unit = {
     val role = session.conf.get(graft.Bootstrap.RoleConf, "R_ANALYST")
     if (!Masking.PrivilegedRoles(role)) {
+      // conf governance first: it must hold even before any raw path is
+      // recorded, or an analyst could pre-escalate the role (masking
+      // bypass) or clear the paths list the scan check relies on
+      plan.foreach {
+        case SetCommand(Some((k, _)))
+            if k.toLowerCase.startsWith("spark.graft.") =>
+          throw new SparkException(
+            s"[GRAFT_RBAC] role $role may not SET governed conf $k")
+        case ResetCommand(key) if key.forall(_.toLowerCase.startsWith("spark.graft.")) =>
+          // RESET spark.graft.x, and bare RESET (which would clear ALL
+          // confs including the recorded raw paths)
+          throw new SparkException(
+            s"[GRAFT_RBAC] role $role may not RESET governed confs" +
+              key.map(k => s" ($k)").getOrElse(""))
+        case _ => ()
+      }
       val raw = rawPaths
       if (raw.nonEmpty) {
         def walk(p: LogicalPlan): Unit = p match {
-          case v: View
-              if RbacCheckRule.CuratedViews(v.desc.identifier.table.toLowerCase) =>
-            () // definer's rights: the curated view text may read RAW
-          case lr: LogicalRelation if scansRaw(lr, raw) =>
-            throw new SparkException(
-              s"[GRAFT_RBAC] role $role is not allowed to read the raw " +
-                s"landing data directly; query the curated views " +
-                s"(${RbacCheckRule.CuratedViews.toSeq.sorted.mkString(", ")}) instead")
+          case v: View if RbacTrust.isTrusted(session, v.child) =>
+            () // definer's rights: the registered curated plan may read RAW
+          case lr: LogicalRelation if scansRaw(lr, raw) => deny(role)
+          case sr: StreamingRelation
+              if (sr.dataSource.paths ++ sr.dataSource.options.get("path"))
+                .exists(underRaw(_, raw)) => deny(role)
+          case s2: StreamingRelationV2 =>
+            s2.table match {
+              case ft: FileTable if ft.paths.exists(underRaw(_, raw)) => deny(role)
+              case _ => s2.children.foreach(walk)
+            }
+          case d2: DataSourceV2Relation =>
+            d2.table match {
+              case ft: FileTable if ft.paths.exists(underRaw(_, raw)) => deny(role)
+              case _ => d2.children.foreach(walk)
+            }
+          // AnalysisOnlyCommands hide their analyzed children from check
+          // rules (markAsAnalyzed) — walk the stored body explicitly so a
+          // view DEFINITION over the raw path is denied, not just its reads
+          case c: CreateViewCommand => walk(c.plan)
+          case a: AlterViewAsCommand => walk(a.query)
           case other =>
             other.subqueries.foreach(walk)
             other.children.foreach(walk)
@@ -69,7 +124,37 @@ class RbacCheckRule(session: SparkSession) extends (LogicalPlan => Unit) {
 object RbacCheckRule {
   /** The views R_ANALYST is "granted" (reference sql/02_rbac_policies.sql
     * grants SELECT on CURATED to R_ANALYST; these are the curated surface).
+    * Used for the denial message; the actual exemption is plan identity
+    * via [[RbacTrust]].
     */
   val CuratedViews: Set[String] =
     Set("vw_works", "vw_works_v", "vw_works_gated", "vw_latency")
+}
+
+/** JVM-side registry of TRUSTED curated-view plans, keyed weakly by
+  * session. Registered by `Bootstrap.createCuratedViews` with the plan the
+  * temp-view catalog actually stored; compared canonicalized, so exprId
+  * renumbering (e.g. `DeduplicateRelations` on a self-join of a curated
+  * view) cannot break the match. Living outside the conf map makes it
+  * unreachable — and unforgeable — from the SQL surface.
+  */
+object RbacTrust {
+  private val trusted =
+    new java.util.WeakHashMap[SparkSession, java.util.ArrayList[LogicalPlan]]()
+
+  def register(session: SparkSession, analyzed: LogicalPlan): Unit =
+    synchronized {
+      val l = trusted.computeIfAbsent(session, _ => new java.util.ArrayList)
+      val c = analyzed.canonicalized
+      if (!l.contains(c)) l.add(c)
+    }
+
+  def isTrusted(session: SparkSession, child: LogicalPlan): Boolean =
+    synchronized {
+      val l = trusted.get(session)
+      l != null && l.contains(child.canonicalized)
+    }
+
+  /** Drop a session's registrations (re-bootstrap hygiene in tests). */
+  def clear(session: SparkSession): Unit = synchronized { trusted.remove(session) }
 }
