@@ -26,10 +26,22 @@ object Bootstrap {
     */
   val RawPathsConf = "spark.graft.raw.paths"
 
+  /** Filesystem-qualify a lake path (scheme + authority + normalized) so
+    * privilege checks compare canonical spellings on both sides — a
+    * relative or `file:`-prefixed spelling of the same directory must not
+    * slip past a string comparison (plans.RbacCheckRule.underRaw).
+    */
+  private[graft] def qualifyRawPath(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.makeQualified(p).toString.stripSuffix("/")
+  }
+
   private def recordRawPath(spark: SparkSession, path: String): Unit = {
+    val q = qualifyRawPath(spark, path)
     val prev = spark.conf.get(RawPathsConf, "")
       .split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq
-    spark.conf.set(RawPathsConf, (prev :+ path).distinct.mkString(","))
+    spark.conf.set(RawPathsConf, (prev :+ q).distinct.mkString(","))
   }
 
   def role(spark: SparkSession): String =
@@ -120,6 +132,15 @@ object Bootstrap {
     * plan wrapped in the unforgeable `View` node the check rule trusts.
     */
   def createCuratedViews(spark: SparkSession, from: String = LandingView): Unit = {
+    // Register the view AND record its stored body plan as TRUSTED
+    // (plans.RbacTrust): the check rule exempts a `View` node only when its
+    // child matches a plan registered here, so a name spoof re-creating
+    // `vw_works` over the raw path carries a different child and falls
+    // through to the raw-scan denial.
+    def createTrustedView(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      df.createOrReplaceTempView(name)
+      graft.plans.RbacTrust.register(spark, df.queryExecution.analyzed)
+    }
     val emailRaw = "get_json_object(record, '$.email')"
     val emailExpr =
       if (Masking.PrivilegedRoles(role(spark))) emailRaw else maskSql(emailRaw)
@@ -128,7 +149,7 @@ object Bootstrap {
         "try_cast(get_json_object(record, '$.ingest_ts') AS TIMESTAMP), " +
         "current_timestamp())"
     val eventTs = "try_cast(get_json_object(record, '$.event_ts') AS TIMESTAMP)"
-    spark.sql(
+    createTrustedView("vw_works", spark.sql(
       s"""WITH dedup AS (
          |  SELECT *, row_number() OVER (
          |    PARTITION BY _load_id ORDER BY record_metadata.IngestionTime) AS _rn
@@ -150,8 +171,8 @@ object Bootstrap {
          |  CASE WHEN $eventTs IS NOT NULL
          |       THEN unix_timestamp($landedTs) - unix_timestamp($eventTs)
          |  END AS latency_seconds
-         |FROM dedup WHERE _rn = 1""".stripMargin)
-      .createOrReplaceTempView("vw_works")
+         |FROM dedup WHERE _rn = 1""".stripMargin))
+
 
     // Spark-4-native twin of vw_works: the landing JSON parses ONCE into a
     // VariantType value and every typed column is a variant_get over it —
@@ -166,7 +187,7 @@ object Bootstrap {
       "coalesce(record_metadata.IngestionTime, " +
         "try_cast(try_variant_get(var, '$.ingest_ts', 'string') AS TIMESTAMP), " +
         "current_timestamp())"
-    spark.sql(
+    createTrustedView("vw_works_v", spark.sql(
       s"""WITH dedup AS (
          |  SELECT *, row_number() OVER (
          |    PARTITION BY _load_id ORDER BY record_metadata.IngestionTime) AS _rn
@@ -192,8 +213,8 @@ object Bootstrap {
          |  CASE WHEN $eventTsV IS NOT NULL
          |       THEN unix_timestamp($landedTsV) - unix_timestamp($eventTsV)
          |  END AS latency_seconds
-         |FROM v""".stripMargin)
-      .createOrReplaceTempView("vw_works_v")
+         |FROM v""".stripMargin))
+
 
     // the rule-gated twin: defined CLEAR so graft.plans.MaskingRule can
     // decide masked-vs-clear per read from the session role. Secure
@@ -203,13 +224,13 @@ object Bootstrap {
     val ruleInstalled = spark.sessionState.analyzer.extendedResolutionRules
       .exists(_.isInstanceOf[graft.plans.MaskingRule])
     val gatedEmail = if (ruleInstalled) emailRaw else emailExpr
-    spark.sql(
+    createTrustedView("vw_works_gated", spark.sql(
       s"""SELECT get_json_object(record, '$$.id') AS work_id,
          |  get_json_object(record, '$$.title') AS title,
          |  $gatedEmail AS email,
          |  _load_id AS load_id
-         |FROM $from""".stripMargin)
-      .createOrReplaceTempView("vw_works_gated")
+         |FROM $from""".stripMargin))
+
 
     // KPI over the trailing 5 minutes; the anchor is injectable
     // (spark.graft.anchor) for deterministic runs, wall-clock otherwise.
@@ -225,7 +246,7 @@ object Bootstrap {
         }
         s"TIMESTAMP '$a'"
       }.getOrElse("current_timestamp()")
-    spark.sql(
+    createTrustedView("vw_latency", spark.sql(
       s"""SELECT
          |  round(avg(latency_seconds), 3) AS avg_sec_5m,
          |  min(latency_seconds) AS min_sec_5m,
@@ -237,8 +258,8 @@ object Bootstrap {
          |  $anchor AS window_end
          |FROM vw_works
          |WHERE event_ts IS NOT NULL
-         |  AND landed_ts >= $anchor - INTERVAL 5 MINUTES""".stripMargin)
-      .createOrReplaceTempView("vw_latency")
+         |  AND landed_ts >= $anchor - INTERVAL 5 MINUTES""".stripMargin))
+
   }
 }
 

@@ -133,11 +133,15 @@ object IngestMain {
       .appName("graft-ingest")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try {
-      val t = run(spark, cfg, o)
-      println(s"[ingest] sent=${t.sent} failed=${t.failed} batches=${t.batches}" +
-        (if (o.dryRun) " (dry-run)" else ""))
-      if (t.failed > 0) sys.exit(2)
-    } finally spark.stop()
+    // sys.exit does not unwind a finally block — compute the code first,
+    // stop the session, THEN exit, so cleanup runs on the failure path too.
+    val code =
+      try {
+        val t = run(spark, cfg, o)
+        println(s"[ingest] sent=${t.sent} failed=${t.failed} batches=${t.batches}" +
+          (if (o.dryRun) " (dry-run)" else ""))
+        if (t.failed > 0) 2 else 0
+      } finally spark.stop()
+    if (code != 0) sys.exit(code)
   }
 }

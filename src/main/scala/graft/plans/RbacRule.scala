@@ -5,8 +5,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, View}
 import org.apache.spark.sql.execution.command.{AlterViewAsCommand, CreateViewCommand, ResetCommand, SetCommand}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, FileTable}
-import org.apache.spark.sql.execution.streaming.{StreamingRelation, StreamingRelationV2}
+import org.apache.spark.sql.execution.streaming.runtime.StreamingRelation
 import graft.functions.Masking
 
 /** G2 RBAC namespacing as a Catalyst check rule — the analog of the
@@ -62,6 +63,9 @@ class RbacCheckRule(session: SparkSession) extends (LogicalPlan => Unit) {
       case _ => false
     }
 
+  private def scansRawV2(ft: FileTable, raw: Seq[String]): Boolean =
+    ft.fileIndex.rootPaths.exists(p => underRaw(p.toString, raw))
+
   private def deny(role: String): Nothing =
     throw new SparkException(
       s"[GRAFT_RBAC] role $role is not allowed to read the raw " +
@@ -98,12 +102,12 @@ class RbacCheckRule(session: SparkSession) extends (LogicalPlan => Unit) {
                 .exists(underRaw(_, raw)) => deny(role)
           case s2: StreamingRelationV2 =>
             s2.table match {
-              case ft: FileTable if ft.paths.exists(underRaw(_, raw)) => deny(role)
+              case ft: FileTable if scansRawV2(ft, raw) => deny(role)
               case _ => s2.children.foreach(walk)
             }
           case d2: DataSourceV2Relation =>
             d2.table match {
-              case ft: FileTable if ft.paths.exists(underRaw(_, raw)) => deny(role)
+              case ft: FileTable if scansRawV2(ft, raw) => deny(role)
               case _ => d2.children.foreach(walk)
             }
           // AnalysisOnlyCommands hide their analyzed children from check
@@ -142,11 +146,25 @@ object RbacTrust {
   private val trusted =
     new java.util.WeakHashMap[SparkSession, java.util.ArrayList[LogicalPlan]]()
 
+  /** checkAnalysis CTE-INLINES the plan before running extended check
+    * rules, so the `View` child the rule compares is not the stored
+    * `WithCTE` shape — register the inlined canonical forms (both
+    * dangling-relation modes, the flag differs across Spark minors)
+    * alongside the raw one.
+    */
+  private def forms(analyzed: LogicalPlan): Seq[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.optimizer.InlineCTE
+    Seq(
+      analyzed,
+      InlineCTE(alwaysInline = true, keepDanglingRelations = false)(analyzed),
+      InlineCTE(alwaysInline = true, keepDanglingRelations = true)(analyzed)
+    ).map(_.canonicalized).distinct
+  }
+
   def register(session: SparkSession, analyzed: LogicalPlan): Unit =
     synchronized {
       val l = trusted.computeIfAbsent(session, _ => new java.util.ArrayList)
-      val c = analyzed.canonicalized
-      if (!l.contains(c)) l.add(c)
+      forms(analyzed).foreach(c => if (!l.contains(c)) l.add(c))
     }
 
   def isTrusted(session: SparkSession, child: LogicalPlan): Boolean =

@@ -95,6 +95,82 @@ class RbacSpec extends AnyFunSuite {
     } finally restoreDefault()
   }
 
+  test("trust is plan identity: a spoofed vw_works over the raw path is denied") {
+    val dir = landedFixture()
+    val s = governedSession()
+    try {
+      s.conf.set(Bootstrap.RoleConf, "R_TRANSFORM")
+      Bootstrap.initLanding(s, s"$dir/landing")
+      val sch = s.read.parquet(s"$dir/landing").schema // while privileged
+      s.conf.set(Bootstrap.RoleConf, "R_ANALYST")
+
+      // SQL spoof: CREATE VIEW over the raw path is denied at DEFINITION
+      // time (the rule walks CreateViewCommand's stored body plan)
+      val e1 = intercept[SparkException] {
+        s.sql(s"CREATE OR REPLACE TEMPORARY VIEW vw_works AS " +
+          s"SELECT * FROM parquet.`$dir/landing`")
+      }
+      assert(e1.getMessage.contains("GRAFT_RBAC"))
+
+      // alternate SPELLINGS of the raw path: scheme-qualified and
+      // non-normalized — both must qualify to the same URI and be denied
+      val e2 = intercept[SparkException] {
+        s.read.parquet(s"file://$dir/landing").collect()
+      }
+      assert(e2.getMessage.contains("GRAFT_RBAC"))
+      val e3 = intercept[SparkException] {
+        s.read.parquet(s"$dir/./landing").collect()
+      }
+      assert(e3.getMessage.contains("GRAFT_RBAC"))
+
+      // a STREAMING read of the raw path is denied too (StreamingRelation)
+      val e4 = intercept[SparkException] {
+        s.readStream.schema(sch).parquet(s"$dir/landing")
+      }
+      assert(e4.getMessage.contains("GRAFT_RBAC"))
+
+      // the genuine curated views keep working throughout
+      assert(s.sql("SELECT count(*) FROM vw_works").head().getLong(0) === 2L)
+    } finally restoreDefault()
+  }
+
+  test("conf governance: analyst may not SET/RESET spark.graft.* via SQL") {
+    val dir = landedFixture()
+    val s = governedSession()
+    try {
+      s.conf.set(Bootstrap.RoleConf, "R_TRANSFORM")
+      Bootstrap.initLanding(s, s"$dir/landing")
+
+      // privileged: the SQL surface works
+      s.sql(s"SET ${Bootstrap.AnchorConf}=2024-01-01 12:00:00")
+      s.sql(s"RESET ${Bootstrap.AnchorConf}")
+
+      s.conf.set(Bootstrap.RoleConf, "R_ANALYST")
+
+      // role escalation via SQL SET is denied
+      val e1 = intercept[SparkException] {
+        s.sql(s"SET ${Bootstrap.RoleConf}=R_TRANSFORM")
+      }
+      assert(e1.getMessage.contains("may not SET"))
+
+      // clearing the recorded raw paths is denied: targeted and bare RESET
+      val e2 = intercept[SparkException] {
+        s.sql(s"RESET ${Bootstrap.RawPathsConf}")
+      }
+      assert(e2.getMessage.contains("may not RESET"))
+      val e3 = intercept[SparkException] { s.sql("RESET") }
+      assert(e3.getMessage.contains("may not RESET"))
+
+      // non-governed confs stay SET-able for everyone
+      s.sql("SET spark.sql.ansi.enabled=false")
+
+      // and the denials really did not take effect
+      assert(s.conf.get(Bootstrap.RoleConf) === "R_ANALYST")
+      assert(s.conf.get(Bootstrap.RawPathsConf).nonEmpty)
+      assert(s.sql("SELECT count(*) FROM vw_works").head().getLong(0) === 2L)
+    } finally restoreDefault()
+  }
+
   test("analyst entry point registers curated views only; raw relation unnameable") {
     val dir = landedFixture()
     val s = governedSession()
