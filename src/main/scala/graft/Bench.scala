@@ -104,8 +104,23 @@ object Bench {
     val failedJson = failed.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2._2).sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"detail":$detail,"reps":$reps,"load_avg":{"before":$loadBefore,"after":$loadAfter},"failed":$failedJson,"streaming_slo":$slo,"sf":"$sfDir"}""")
+    // Variance guard: a query whose max/min spread exceeds the threshold
+    // was measured under unstable load (or has a nondeterministic plan) —
+    // its median is untrustworthy, so the run fails loudly rather than
+    // publishing a number the next round would regress against.
+    val varThreshold = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXVAR", "3.0").toDouble
+    val varViolations = results.collect {
+      case (k, (mn, _, mx)) if mx / math.max(mn, 1e-9) > varThreshold =>
+        k -> mx / math.max(mn, 1e-9)
+    }
+    val guardJson = varViolations.map { case (k, r) => "\"" + k + "\":" + f(r) }
+      .mkString(s"""{"threshold":$varThreshold,"violations":{""", ",", "}}")
+    varViolations.foreach { case (k, r) =>
+      System.err.println(f"[bench] VARIANCE GUARD: $k max/min = $r%.2fx > ${varThreshold}x")
+    }
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"detail":$detail,"reps":$reps,"load_avg":{"before":$loadBefore,"after":$loadAfter},"failed":$failedJson,"variance_guard":$guardJson,"streaming_slo":$slo,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
+    if (varViolations.nonEmpty) sys.exit(3)
   }
 }
