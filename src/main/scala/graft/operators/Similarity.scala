@@ -105,26 +105,41 @@ object Similarity {
     * `bucketCap` bounds.
     */
   def annCosine(spark: SparkSession, dir: String, nbits: Int = 3, bands: Int = 8,
-                k: Int = 5, bucketCap: Int = 4096): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val e = Tables.load(spark, dir, "embeddings")
-      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
-    val assign = bandAssignments(e, "v", nbits, bands, bucketCap)
+                k: Int = 5, bucketCap: Int = 4096): DataFrame =
+    annCosineOn(
+      Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), toDoubleArray(col("embedding")).as("v")),
+      nbits, bands, k, bucketCap)
+
+  /** The deduped LSH candidate-pair set over any (vec_id, v) frame — split
+    * out so the scale spec can measure candidate growth on a synthesized
+    * corpus through the exact operator path q26 runs.
+    */
+  def annCandidatePairs(vectors: DataFrame, nbits: Int, bands: Int,
+                        bucketCap: Int): DataFrame = {
+    val assign = bandAssignments(vectors, "v", nbits, bands, bucketCap)
     val cand = assign.select(col("band"), col("bucket"), col("vec_id").as("cand_id"))
     // dedup AFTER repartitioning by vec_id: HashPartitioning(vec_id)
     // satisfies the (vec_id, cand_id) dedup's clustering requirement, so
     // this one exchange serves the dedup, spreads the heavy dot-product
     // stage uniformly over queries, AND pre-satisfies the final top-k
     // window — vs a two-key distinct + a second exchange for the window.
-    val pairIds = assign.join(cand, Seq("band", "bucket"))
+    assign.join(cand, Seq("band", "bucket"))
       .filter(col("vec_id") =!= col("cand_id"))
       .select("vec_id", "cand_id")
       .repartition(col("vec_id"))
       .dropDuplicates(Seq("vec_id", "cand_id"))
+  }
+
+  /** q26's pipeline over an arbitrary (vec_id, v: Array[Double]) frame. */
+  def annCosineOn(vectors: DataFrame, nbits: Int, bands: Int,
+                  k: Int, bucketCap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairIds = annCandidatePairs(vectors, nbits, bands, bucketCap)
     // norms precomputed once per vector — cosine per pair is then a single
     // dot product, not dot + two norms (3× less array work on the candidate
     // set, which is the dominant cost)
-    val en = e.withColumn("nrm", norm(col("v")))
+    val en = vectors.withColumn("nrm", norm(col("v")))
     val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cand_id").asc)
     pairIds
       .join(en, "vec_id")

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.Tag
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+
+/** Marker for the minutes-scale proofs (run by default; filterable with
+  * `testOnly -- -l graft.Slow` when iterating).
+  */
+object Slow extends Tag("graft.Slow")
+
+/** The 10× scale proof for the ANN path: on a corpus ten times sf0.1's
+  * embedding count, the bucketCap must BIND — candidate pairs and wall
+  * time may not grow anywhere near quadratically. This is the mechanism
+  * that keeps q26's plan alive at 100 TB (a hot LSH bucket is the one
+  * place the pipeline could go O(n²)); proven here with numbers over the
+  * exact operator path q26 runs, not asserted in comments.
+  */
+class AnnScaleSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  /** Deterministic pseudo-random 64-dim vectors in [-1, 1): murmur3 of
+    * (id, dim) — same near-random shape as the testdata embeddings, no
+    * driver-side RNG, generated distributed (no collect, no parallelize
+    * of driver arrays).
+    */
+  private def synth(n: Int): DataFrame =
+    spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        d => pmod(hash(col("id"), d), lit(100000)).cast("double") / 50000.0 - 1.0)
+        .as("v"))
+
+  // sf0.1 carries 2k embeddings; the scale corpus is 10× that
+  private val nBase = 2000
+  private val nBig = 20000
+  private val cap = 256 // ~bucket occupancy at nBase, so it binds at nBig
+
+  test("bucketCap bounds LSH candidate growth at 10x the corpus", Slow) {
+    val c1 = Similarity.annCandidatePairs(synth(nBase), nbits = 3, bands = 8,
+      bucketCap = cap).count()
+    val c2 = Similarity.annCandidatePairs(synth(nBig), nbits = 3, bands = 8,
+      bucketCap = cap).count()
+    assert(c1 > 0 && c2 > 0)
+    val ratio = c2.toDouble / c1
+    // uncapped, pairs grow ~(10x)^2 = 100x; with the cap binding, each
+    // (band, bucket) group is bounded so the candidate set stays ~flat.
+    // <= 10x is the "no worse than linear" line the plan must hold.
+    assert(ratio <= 10.0,
+      s"candidate pairs grew ${ratio}x from n=$nBase ($c1) to n=$nBig ($c2) — bucketCap not binding")
+  }
+
+  test("q26-shape wall time within 10x at 10x the corpus", Slow) {
+    def timeOnce(n: Int): Double = {
+      val t0 = System.nanoTime()
+      Similarity.annCosineOn(synth(n), nbits = 3, bands = 8, k = 5,
+        bucketCap = cap).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    timeOnce(nBase) // warmup: JIT + codegen cache for the shared plan shape
+    val tBase = timeOnce(nBase)
+    val tBig = timeOnce(nBig)
+    // the 2s floor keeps the bound meaningful when the base run is so fast
+    // that scheduler noise dominates the ratio
+    val bound = 10.0 * math.max(tBase, 2.0)
+    assert(tBig <= bound,
+      f"10x corpus took $tBig%.1fs vs $tBase%.1fs at base — over the ${bound}%.1fs bound")
+  }
+}
