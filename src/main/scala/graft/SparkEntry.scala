@@ -195,7 +195,7 @@ object SparkEntry {
         "ELSE CAST(doc_id % 1920 + 1 AS INTEGER) END AS width, " +
         "CASE WHEN doc_id % 7 IN (0, 1, 2) THEN NULL " +
         "ELSE CAST(doc_id % 1080 + 1 AS INTEGER) END AS height, " +
-        "CASE WHEN doc_id % 7 = 0 THEN 'jpeg' WHEN doc_id % 7 = 1 THEN 'unknown' " +
+        "CASE WHEN doc_id % 7 IN (0, 3) THEN 'jpeg' WHEN doc_id % 7 = 1 THEN 'unknown' " +
         "ELSE 'png' END AS format FROM documents"),
   )
 }

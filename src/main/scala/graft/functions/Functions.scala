@@ -77,6 +77,18 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 }
 
+object ImageOps {
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  /** JPEG frame dimensions as `(width << 32) | height` via the codegen'd
+    * marker-segment scan ([[JpegDims]]); NULL when the payload is not a
+    * JPEG or carries no SOF segment. Callers split the packed long with
+    * codegen'd bit ops (shiftright / bitwiseAND).
+    */
+  def jpegDims(bin: Column): Column =
+    ColumnBridge.column(JpegDims(ColumnBridge.expression(bin.cast("binary"))))
+}
+
 object TextOps {
   /** Lower-cased alphanumeric word tokens (empty strings filtered). */
   def words(text: Column): Column =

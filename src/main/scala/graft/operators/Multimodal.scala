@@ -47,20 +47,27 @@ object Multimodal {
     *   with `substring` on the binary + `conv(hex, 16, 10)`. A payload
     *   with the signature but a truncated/corrupt IHDR keeps
     *   format='png' with NULL dims instead of a garbage parse.
-    * - JPEG: SOI sniff (FF D8 FF). Dimensions need a SOF marker scan
-    *   (variable offset) — out of scope; NULL dims.
+    * - JPEG (SOI sniff FF D8 FF): dimensions live in a SOF segment at a
+    *   VARIABLE offset, found by the codegen'd marker-segment walk
+    *   [[graft.functions.JpegDims]] (ImageOps.jpegDims). A JPEG whose
+    *   chain ends (SOS/EOI/corruption) before any SOF keeps format='jpeg'
+    *   with NULL dims.
     * - anything else: format='unknown', NULL dims.
     */
   def decodeImageMeta(bin: Column): Column = {
     val isPng = hex(substring(bin, 1, 8)) === PngSigHex
     val ihdrOk = isPng && octet_length(bin) >= 24 &&
       hex(substring(bin, 13, 4)) === IhdrHex
+    val isJpeg = hex(substring(bin, 1, 3)) === "FFD8FF"
+    val jd = graft.functions.ImageOps.jpegDims(bin)
     def be32(off: Int) = conv(hex(substring(bin, off, 4)), 16, 10).cast("int")
     struct(
-      when(ihdrOk, be32(17)).as("width"),
-      when(ihdrOk, be32(21)).as("height"),
+      when(ihdrOk, be32(17))
+        .when(isJpeg, shiftright(jd, 32).cast("int")).as("width"),
+      when(ihdrOk, be32(21))
+        .when(isJpeg, jd.bitwiseAND(lit(0xFFFFFFFFL)).cast("int")).as("height"),
       when(isPng, "png")
-        .when(hex(substring(bin, 1, 3)) === "FFD8FF", "jpeg")
+        .when(isJpeg, "jpeg")
         .otherwise("unknown").as("format"))
   }
 
@@ -89,10 +96,19 @@ object Multimodal {
       lit(PngSigHex), lit("0000000D"), lit(IhdrHex),
       lpad(hex(width), 8, "0"), lpad(hex(height), 8, "0"),
       lit("0806000000"))
+    // full JPEG prelude: SOI, a standard 16-byte APP0/JFIF segment, then a
+    // 3-component SOF0 whose height/width the marker walk must dig out from
+    // behind the APP0 (variable offset — the case fixed-offset parsing
+    // cannot reach)
+    val jpegHex = concat(
+      lit("FFD8" + "FFE000104A46494600010100000100010000" + "FFC0001108"),
+      lpad(hex(height), 4, "0"), lpad(hex(width), 4, "0"),
+      lit("03012200021101031101"))
     val payload =
-      when(col("doc_id") % 7 === 0, unhex(lit("FFD8FFE000104A464946"))) // JPEG SOI+APP0
+      when(col("doc_id") % 7 === 0, unhex(lit("FFD8FFE000104A464946"))) // JPEG, truncated pre-SOF
         .when(col("doc_id") % 7 === 1, col("text").cast("binary"))       // raw text
         .when(col("doc_id") % 7 === 2, unhex(lit(PngSigHex)))            // truncated PNG
+        .when(col("doc_id") % 7 === 3, unhex(jpegHex))                   // full JPEG with SOF0
         .otherwise(unhex(pngHex))
     docs.select(col("doc_id"), decodeImageMeta(payload).as("m"))
       .select(col("doc_id"), col("m.width").as("width"),

@@ -57,6 +57,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(decodeOne(Array.emptyByteArray) === ((None, None, "unknown")))
   }
 
+  private def hexBytes(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  /** SOI + standard 16-byte APP0/JFIF + 3-component SOF0 — dims sit behind
+    * a variable-length segment, so fixed offsets cannot reach them.
+    */
+  private def jpegHeader(width: Int, height: Int): Array[Byte] =
+    hexBytes("FFD8" + "FFE000104A46494600010100000100010000" +
+      "FFC0001108" + f"$height%04X" + f"$width%04X" + "03012200021101031101")
+
+  test("JPEG SOF dims parse through the marker-segment walk") {
+    assert(decodeOne(jpegHeader(640, 480)) === ((Some(640), Some(480), "jpeg")))
+    assert(decodeOne(jpegHeader(1, 65535)) === ((Some(1), Some(65535), "jpeg")))
+    // fill bytes (repeated FF), a standalone TEM and an RST marker before
+    // the SOF are all stepped over per the spec's marker grammar
+    val filled = hexBytes("FFD8" + "FFFFFF01" + "FFD0" +
+      "FFC0001108" + "01E0" + "0280" + "03012200021101031101")
+    assert(decodeOne(filled) === ((Some(640), Some(480), "jpeg")))
+    // SOS reached with no SOF: entropy data follows, dims stay NULL
+    assert(decodeOne(hexBytes("FFD8" + "FFDA0004AABB")) === ((None, None, "jpeg")))
+    // payload truncated mid-SOF: no garbage parse
+    assert(decodeOne(jpegHeader(640, 480).take(24)) === ((None, None, "jpeg")))
+  }
+
+  test("JpegDims interpreted eval agrees with the codegen'd column path") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.BinaryType
+    val vectors = Seq(jpegHeader(123, 45), jpegHeader(1920, 1080),
+      hexBytes("FFD8FFDA0004AABB"), "not a jpeg".getBytes("UTF-8"))
+    vectors.foreach { bytes =>
+      val interp = graft.functions.JpegDims(Literal(bytes, BinaryType)).eval(null)
+      val codegen = spark.range(1)
+        .select(graft.functions.ImageOps.jpegDims(lit(bytes)).as("d"))
+        .head().get(0)
+      assert(interp === codegen, s"parity broke on ${bytes.take(4).mkString(",")}")
+    }
+  }
+
   test("q39 round-trips synthesized headers through the parser") {
     val rows = Multimodal.q39PngMeta(spark, TestSpark.Sf0001).collect()
     assert(rows.length === 500)
@@ -66,6 +104,10 @@ class MultimodalSpec extends AnyFunSuite {
         case 0 => assert(r.getString(3) === "jpeg" && r.isNullAt(1))
         case 1 => assert(r.getString(3) === "unknown" && r.isNullAt(1))
         case 2 => assert(r.getString(3) === "png" && r.isNullAt(1) && r.isNullAt(2))
+        case 3 =>
+          assert(r.getString(3) === "jpeg")
+          assert(r.getInt(1) === (id % 1920 + 1).toInt)
+          assert(r.getInt(2) === (id % 1080 + 1).toInt)
         case _ =>
           assert(r.getString(3) === "png")
           assert(r.getInt(1) === (id % 1920 + 1).toInt)

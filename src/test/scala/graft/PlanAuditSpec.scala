@@ -42,4 +42,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"))
     assert(p.contains("WindowGroupLimit"))
   }
+
+  test("the codegen'd graft_dot kernel carries the vector queries") {
+    // a refactor that silently falls back to the interpreted HOF twin
+    // re-opens the r2/r3 ~100x ANN regression (BENCH_NOTES.md) — pin the
+    // kernel's presence in every vector query's physical plan
+    for ((name, df) <- Seq(
+      "q19" -> Similarity.q19CosineTopK(spark, TestSpark.Sf0001),
+      "q25" -> Similarity.q25TopPairs(spark, TestSpark.Sf0001),
+      "q26" -> Similarity.annCosine(spark, TestSpark.Sf0001),
+      "q36" -> Similarity.ivfCosine(spark, TestSpark.Sf0001))) {
+      assert(plan(df).contains("graft_dot"), s"$name lost the codegen'd kernel")
+    }
+  }
 }
