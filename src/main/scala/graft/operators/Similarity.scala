@@ -171,10 +171,20 @@ object Similarity {
     */
   def ivfCosine(spark: SparkSession, dir: String, nCells: Int = 32,
                 nProbe: Int = 20, k: Int = 5, cellCap: Int = 4096,
-                kmeansRounds: Int = 1): DataFrame = {
+                kmeansRounds: Int = 1): DataFrame =
+    ivfCosineOn(
+      Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), toDoubleArray(col("embedding")).as("v")),
+      nCells, nProbe, k, cellCap, kmeansRounds)
+
+  /** The IVF probe-join candidate set over any (vec_id, v) frame — split
+    * out so the scale spec can measure cellCap's linear bound on a
+    * synthesized corpus through the exact operator path q36 runs.
+    */
+  def ivfCandidatePairs(vectors: DataFrame, nCells: Int, nProbe: Int,
+                        cellCap: Int, kmeansRounds: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = Tables.load(spark, dir, "embeddings")
-      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+    val e = vectors
     val centroids = (1 to kmeansRounds)
       .foldLeft(seedCentroids(e, nCells))((c, _) => kmeansRound(e, c))
     // rank every (vector, cell) by centroid similarity — rn=1 is the
@@ -201,14 +211,21 @@ object Similarity {
       .drop("rc")
     val probes = ranked.filter(col("rn") <= nProbe)
       .select(col("vec_id"), col("cell_id"))
-    val pairIds = probes.join(home, "cell_id")
+    probes.join(home, "cell_id")
       .filter(col("vec_id") =!= col("cand_id"))
       .select("vec_id", "cand_id") // one home cell per cand ⇒ no dup pairs
       // the cell_id join leaves pairs clustered on nCells keys — far fewer
       // than cores; spread the heavy dot-product stage by query id (which
       // the final top-k window needs anyway)
       .repartition(col("vec_id"))
-    val en = e.withColumn("nrm", norm(col("v")))
+  }
+
+  /** q36's pipeline over an arbitrary (vec_id, v: Array[Double]) frame. */
+  def ivfCosineOn(vectors: DataFrame, nCells: Int, nProbe: Int, k: Int,
+                  cellCap: Int, kmeansRounds: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairIds = ivfCandidatePairs(vectors, nCells, nProbe, cellCap, kmeansRounds)
+    val en = vectors.withColumn("nrm", norm(col("v")))
     val wTop = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cand_id").asc)
     pairIds
       .join(en, "vec_id")

@@ -51,6 +51,20 @@ class AnnScaleSpec extends AnyFunSuite {
       s"candidate pairs grew ${ratio}x from n=$nBase ($c1) to n=$nBig ($c2) — bucketCap not binding")
   }
 
+  test("cellCap bounds IVF candidate growth to ~linear at 10x the corpus", Slow) {
+    // cellCap 64 binds at both sizes (strata are ~n/32 members), so each
+    // query's candidate set is <= nProbe * cellCap regardless of n — total
+    // candidates grow ~linearly in n, never with n^2
+    val c1 = Similarity.ivfCandidatePairs(synth(nBase), nCells = 32,
+      nProbe = 4, cellCap = 64).count()
+    val c2 = Similarity.ivfCandidatePairs(synth(nBig), nCells = 32,
+      nProbe = 4, cellCap = 64).count()
+    assert(c1 > 0 && c2 > 0)
+    val ratio = c2.toDouble / c1
+    assert(ratio <= 15.0,
+      s"candidate pairs grew ${ratio}x from n=$nBase ($c1) to n=$nBig ($c2) — cellCap not binding")
+  }
+
   test("q26-shape wall time within 10x at 10x the corpus", Slow) {
     def timeOnce(n: Int): Double = {
       val t0 = System.nanoTime()
