@@ -54,18 +54,29 @@ object Multimodal {
     *   with NULL dims.
     * - anything else: format='unknown', NULL dims.
     */
-  def decodeImageMeta(bin: Column): Column = {
+  def decodeImageMeta(bin: Column): Column =
+    decodeImageMetaFrom(bin, graft.functions.ImageOps.jpegDims(bin))
+
+  /** The struct builder with the packed JPEG dims passed IN. The packed
+    * long is referenced twice (width and height split), so callers on a
+    * hot path should pre-project it into its own column — an attribute
+    * reference duplicates for free, while inlining the scan expression
+    * here would run the marker walk once per referencing field (Catalyst
+    * does not subexpression-eliminate across conditional branches, and
+    * `CollapseProject` refuses to inline a non-cheap expression used
+    * twice, which is exactly what makes the pre-projection stick).
+    */
+  def decodeImageMetaFrom(bin: Column, jpegPacked: Column): Column = {
     val isPng = hex(substring(bin, 1, 8)) === PngSigHex
     val ihdrOk = isPng && octet_length(bin) >= 24 &&
       hex(substring(bin, 13, 4)) === IhdrHex
     val isJpeg = hex(substring(bin, 1, 3)) === "FFD8FF"
-    val jd = graft.functions.ImageOps.jpegDims(bin)
     def be32(off: Int) = conv(hex(substring(bin, off, 4)), 16, 10).cast("int")
     struct(
       when(ihdrOk, be32(17))
-        .when(isJpeg, shiftright(jd, 32).cast("int")).as("width"),
+        .when(isJpeg, shiftright(jpegPacked, 32).cast("int")).as("width"),
       when(ihdrOk, be32(21))
-        .when(isJpeg, jd.bitwiseAND(lit(0xFFFFFFFFL)).cast("int")).as("height"),
+        .when(isJpeg, jpegPacked.bitwiseAND(lit(0xFFFFFFFFL)).cast("int")).as("height"),
       when(isPng, "png")
         .when(isJpeg, "jpeg")
         .otherwise("unknown").as("format"))
@@ -78,7 +89,10 @@ object Multimodal {
     */
   def withDecodedMeta(df: DataFrame, binCol: String, partitions: Int): DataFrame =
     df.repartition(partitions)
-      .withColumn("media_meta", decodeImageMeta(col(binCol)))
+      .withColumn("_jpeg_packed", graft.functions.ImageOps.jpegDims(col(binCol)))
+      .withColumn("media_meta",
+        decodeImageMetaFrom(col(binCol), col("_jpeg_packed")))
+      .drop("_jpeg_packed")
 
   /** Q39: the decode contract query. The corpus ships no image table, so
     * the payloads are synthesized IN the query — byte-exact PNG
@@ -110,7 +124,13 @@ object Multimodal {
         .when(col("doc_id") % 7 === 2, unhex(lit(PngSigHex)))            // truncated PNG
         .when(col("doc_id") % 7 === 3, unhex(jpegHex))                   // full JPEG with SOF0
         .otherwise(unhex(pngHex))
-    docs.select(col("doc_id"), decodeImageMeta(payload).as("m"))
+    // payload and packed dims pre-projected into their own columns: the
+    // struct-field extraction below would otherwise duplicate the payload
+    // synthesis and the JPEG scan into every output column after
+    // SimplifyExtractValueOps (attribute references duplicate for free)
+    docs.select(col("doc_id"), payload.as("_p"))
+      .withColumn("_jd", graft.functions.ImageOps.jpegDims(col("_p")))
+      .select(col("doc_id"), decodeImageMetaFrom(col("_p"), col("_jd")).as("m"))
       .select(col("doc_id"), col("m.width").as("width"),
         col("m.height").as("height"), col("m.format").as("format"))
   }

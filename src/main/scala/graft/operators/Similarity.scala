@@ -131,14 +131,15 @@ object Similarity {
       .dropDuplicates(Seq("vec_id", "cand_id"))
   }
 
-  /** q26's pipeline over an arbitrary (vec_id, v: Array[Double]) frame. */
-  def annCosineOn(vectors: DataFrame, nbits: Int, bands: Int,
-                  k: Int, bucketCap: Int): DataFrame = {
+  /** Exact cosine re-rank of a candidate-pair set, shared by the LSH and
+    * IVF pipelines: join the vectors back by id on both pair ends, score,
+    * and keep each query's top-k via a group-limited window. Norms are
+    * precomputed once per vector — cosine per pair is then a single dot
+    * product, not dot + two norms (3× less array work on the candidate
+    * set, which is the dominant cost).
+    */
+  private def rerankTopK(pairIds: DataFrame, vectors: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairIds = annCandidatePairs(vectors, nbits, bands, bucketCap)
-    // norms precomputed once per vector — cosine per pair is then a single
-    // dot product, not dot + two norms (3× less array work on the candidate
-    // set, which is the dominant cost)
     val en = vectors.withColumn("nrm", norm(col("v")))
     val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cand_id").asc)
     pairIds
@@ -150,6 +151,11 @@ object Similarity {
       .filter(col("rn") <= k)
       .select(col("vec_id"), col("cand_id"), round(col("sim"), 6).as("sim"), col("rn"))
   }
+
+  /** q26's pipeline over an arbitrary (vec_id, v: Array[Double]) frame. */
+  def annCosineOn(vectors: DataFrame, nbits: Int, bands: Int,
+                  k: Int, bucketCap: Int): DataFrame =
+    rerankTopK(annCandidatePairs(vectors, nbits, bands, bucketCap), vectors, k)
 
   /** queries()-shaped wrapper for the ANN path (rows-only check — results
     * are approximate by construction).
@@ -222,20 +228,9 @@ object Similarity {
 
   /** q36's pipeline over an arbitrary (vec_id, v: Array[Double]) frame. */
   def ivfCosineOn(vectors: DataFrame, nCells: Int, nProbe: Int, k: Int,
-                  cellCap: Int, kmeansRounds: Int = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val pairIds = ivfCandidatePairs(vectors, nCells, nProbe, cellCap, kmeansRounds)
-    val en = vectors.withColumn("nrm", norm(col("v")))
-    val wTop = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cand_id").asc)
-    pairIds
-      .join(en, "vec_id")
-      .join(en.select(col("vec_id").as("cand_id"), col("v").as("cv"),
-        col("nrm").as("cnrm")), "cand_id")
-      .withColumn("sim", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-      .withColumn("rn", row_number().over(wTop))
-      .filter(col("rn") <= k)
-      .select(col("vec_id"), col("cand_id"), round(col("sim"), 6).as("sim"), col("rn"))
-  }
+                  cellCap: Int, kmeansRounds: Int = 1): DataFrame =
+    rerankTopK(ivfCandidatePairs(vectors, nCells, nProbe, cellCap, kmeansRounds),
+      vectors, k)
 
   /** Deterministic hash-stratified centroid seed: the id space is split
     * into `nCells` hash strata and each stratum elects its lowest-md5

@@ -41,6 +41,8 @@ import graft.functions.Masking
   * submit rights was never inside the threat model.
   */
 class RbacCheckRule(session: SparkSession) extends (LogicalPlan => Unit) {
+  import org.apache.hadoop.conf.Configuration
+  import org.apache.hadoop.fs.Path
 
   private def rawPaths: Seq[String] =
     session.conf.get(graft.Bootstrap.RawPathsConf, "")
@@ -49,22 +51,43 @@ class RbacCheckRule(session: SparkSession) extends (LogicalPlan => Unit) {
   /** Compare filesystem-qualified URIs on both sides: recorded paths are
     * qualified at record time, and scan roots are re-qualified here, so a
     * scheme-qualified (`file:///...`) or relative spelling of the same
-    * directory cannot slip past a string comparison.
+    * directory cannot slip past a string comparison. The Hadoop conf is
+    * built ONCE per rule invocation (apply) — newHadoopConf copies the
+    * whole SQL conf, far too heavy for once-per-scan-path in the
+    * analysis hot path.
     */
-  private def underRaw(pathStr: String, raw: Seq[String]): Boolean = {
-    val q = graft.Bootstrap.qualifyRawPath(session, pathStr)
+  private def underRaw(hc: Configuration, pathStr: String, raw: Seq[String]): Boolean = {
+    val p = new Path(pathStr)
+    val q = p.getFileSystem(hc).makeQualified(p).toString.stripSuffix("/")
     raw.exists(r => q == r || q.startsWith(r + "/"))
   }
 
-  private def scansRaw(lr: LogicalRelation, raw: Seq[String]): Boolean =
+  /** USER-SUPPLIED source paths (the v1 streaming relation holds them
+    * verbatim) may contain globs the relation has not expanded yet — a
+    * `land*` spelling of the landing dir would sail past the qualified
+    * prefix comparison. Expand first; a pattern matching nothing falls
+    * back to its literal spelling. (Batch relations need none of this:
+    * their HadoopFsRelation/FileTable rootPaths are already expanded.)
+    */
+  private def underRawUserPath(hc: Configuration, pathStr: String,
+                               raw: Seq[String]): Boolean = {
+    val p = new Path(pathStr)
+    val matched =
+      try Option(p.getFileSystem(hc).globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+      catch { case _: Exception => Seq.empty }
+    if (matched.isEmpty) underRaw(hc, pathStr, raw)
+    else matched.exists(st => underRaw(hc, st.getPath.toString, raw))
+  }
+
+  private def scansRaw(hc: Configuration, lr: LogicalRelation, raw: Seq[String]): Boolean =
     lr.relation match {
       case fs: HadoopFsRelation =>
-        fs.location.rootPaths.exists(p => underRaw(p.toString, raw))
+        fs.location.rootPaths.exists(p => underRaw(hc, p.toString, raw))
       case _ => false
     }
 
-  private def scansRawV2(ft: FileTable, raw: Seq[String]): Boolean =
-    ft.fileIndex.rootPaths.exists(p => underRaw(p.toString, raw))
+  private def scansRawV2(hc: Configuration, ft: FileTable, raw: Seq[String]): Boolean =
+    ft.fileIndex.rootPaths.exists(p => underRaw(hc, p.toString, raw))
 
   private def deny(role: String): Nothing =
     throw new SparkException(
@@ -93,21 +116,22 @@ class RbacCheckRule(session: SparkSession) extends (LogicalPlan => Unit) {
       }
       val raw = rawPaths
       if (raw.nonEmpty) {
+        val hc = session.sessionState.newHadoopConf()
         def walk(p: LogicalPlan): Unit = p match {
           case v: View if RbacTrust.isTrusted(session, v.child) =>
             () // definer's rights: the registered curated plan may read RAW
-          case lr: LogicalRelation if scansRaw(lr, raw) => deny(role)
+          case lr: LogicalRelation if scansRaw(hc, lr, raw) => deny(role)
           case sr: StreamingRelation
               if (sr.dataSource.paths ++ sr.dataSource.options.get("path"))
-                .exists(underRaw(_, raw)) => deny(role)
+                .exists(underRawUserPath(hc, _, raw)) => deny(role)
           case s2: StreamingRelationV2 =>
             s2.table match {
-              case ft: FileTable if scansRawV2(ft, raw) => deny(role)
+              case ft: FileTable if scansRawV2(hc, ft, raw) => deny(role)
               case _ => s2.children.foreach(walk)
             }
           case d2: DataSourceV2Relation =>
             d2.table match {
-              case ft: FileTable if scansRawV2(ft, raw) => deny(role)
+              case ft: FileTable if scansRawV2(hc, ft, raw) => deny(role)
               case _ => d2.children.foreach(walk)
             }
           // AnalysisOnlyCommands hide their analyzed children from check

@@ -43,6 +43,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"))
   }
 
+  test("q39 runs the JPEG marker walk exactly once per row") {
+    // the packed-dims pre-projection must survive optimization: if
+    // CollapseProject ever inlines it, the scan expression reappears once
+    // per referencing output column
+    val p = plan(graft.operators.Multimodal.q39PngMeta(spark, TestSpark.Sf0001))
+    val occurrences = "graft_jpeg_dims".r.findAllIn(p).length
+    assert(occurrences === 1, s"expected 1 graft_jpeg_dims in the plan, found $occurrences")
+  }
+
   test("the codegen'd graft_dot kernel carries the vector queries") {
     // a refactor that silently falls back to the interpreted HOF twin
     // re-opens the r2/r3 ~100x ANN regression (BENCH_NOTES.md) — pin the

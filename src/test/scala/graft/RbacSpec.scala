@@ -129,6 +129,18 @@ class RbacSpec extends AnyFunSuite {
       }
       assert(e4.getMessage.contains("GRAFT_RBAC"))
 
+      // GLOB spellings: the v1 streaming relation carries the pattern
+      // verbatim (never expanded), so the rule must expand it itself —
+      // a one-character wildcard must not read what the exact path cannot
+      val e5 = intercept[SparkException] {
+        s.readStream.schema(sch).parquet(s"$dir/land*")
+      }
+      assert(e5.getMessage.contains("GRAFT_RBAC"))
+      val e6 = intercept[SparkException] {
+        s.read.parquet(s"$dir/land*").collect()
+      }
+      assert(e6.getMessage.contains("GRAFT_RBAC"))
+
       // the genuine curated views keep working throughout
       assert(s.sql("SELECT count(*) FROM vw_works").head().getLong(0) === 2L)
     } finally restoreDefault()
