@@ -167,8 +167,40 @@ object RbacCheckRule {
   * unreachable — and unforgeable — from the SQL surface.
   */
 object RbacTrust {
+  import org.apache.spark.sql.catalyst.expressions.Attribute
+  import org.apache.spark.sql.catalyst.plans.logical.LeafNode
+
   private val trusted =
     new java.util.WeakHashMap[SparkSession, java.util.ArrayList[LogicalPlan]]()
+
+  /** Session-free stand-in for a file relation inside a stored trust plan.
+    * WeakHashMap values must never strongly reach their own keys (the
+    * javadoc contract — such entries become immortal and every churned
+    * session leaks), but `HadoopFsRelation` and `FileTable` both hold a
+    * session reference. Stored AND probed plans therefore carry this
+    * token of the relation's identity (root paths + schema + format)
+    * instead of the relation itself; both sides are stripped identically,
+    * so plan-identity comparison is unaffected.
+    */
+  private case class FileRelationToken(paths: Seq[String], schemaDdl: String,
+      format: String) extends LeafNode {
+    override def output: Seq[Attribute] = Nil
+  }
+
+  private def strip(canonical: LogicalPlan): LogicalPlan = canonical.transformUp {
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation =>
+        FileRelationToken(fs.location.rootPaths.map(_.toString),
+          lr.schema.catalogString, fs.fileFormat.getClass.getName)
+      case _ => lr
+    }
+    case d2: DataSourceV2Relation => d2.table match {
+      case ft: FileTable =>
+        FileRelationToken(ft.fileIndex.rootPaths.map(_.toString),
+          d2.schema.catalogString, ft.formatName)
+      case _ => d2
+    }
+  }
 
   /** checkAnalysis CTE-INLINES the plan before running extended check
     * rules, so the `View` child the rule compares is not the stored
@@ -182,7 +214,7 @@ object RbacTrust {
       analyzed,
       InlineCTE(alwaysInline = true, keepDanglingRelations = false)(analyzed),
       InlineCTE(alwaysInline = true, keepDanglingRelations = true)(analyzed)
-    ).map(_.canonicalized).distinct
+    ).map(p => strip(p.canonicalized)).distinct
   }
 
   def register(session: SparkSession, analyzed: LogicalPlan): Unit =
@@ -194,7 +226,7 @@ object RbacTrust {
   def isTrusted(session: SparkSession, child: LogicalPlan): Boolean =
     synchronized {
       val l = trusted.get(session)
-      l != null && l.contains(child.canonicalized)
+      l != null && l.contains(strip(child.canonicalized))
     }
 
   /** Drop a session's registrations (re-bootstrap hygiene in tests). */
