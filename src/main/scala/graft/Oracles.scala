@@ -80,6 +80,24 @@ object Oracles {
       "UNION SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.v) " +
       "SELECT v AS doc_id, min(r) AS cluster FROM reach GROUP BY v"
 
+  /** Q40 oracle — embedding near-dup components: exact thresholded cosine
+    * pairs (DOUBLE math, matching Spark's float→double cast) into the
+    * same recursive reachability CTE as q37. Threshold 0.34 sits ≥ 1e-5
+    * from the nearest pair similarity at every test SF.
+    */
+  val embedNearDup: String =
+    "WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v " +
+      "FROM embeddings WHERE vec_id < 500), " +
+      "pairs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b FROM e a " +
+      "JOIN e b ON a.vec_id < b.vec_id " +
+      "WHERE list_cosine_similarity(a.v, b.v) >= 0.34), " +
+      "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
+      "UNION SELECT doc_b, doc_a FROM pairs), " +
+      "verts AS (SELECT DISTINCT src AS v FROM edges), " +
+      "reach(v, r) AS (SELECT v, v FROM verts " +
+      "UNION SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.v) " +
+      "SELECT v AS vec_id, min(r) AS cluster FROM reach GROUP BY v"
+
   /** Marker-word occurrence count via the length-difference trick. */
   private def occ(m: String): String = {
     val p = s" $m "

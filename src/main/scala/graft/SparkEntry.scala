@@ -57,6 +57,7 @@ object SparkEntry {
     "q37_dedup_clusters" -> (Dedup.q37DedupClusters _),
     "q38_session_window" -> (Relational.q38SessionWindow _),
     "q39_png_meta" -> (Multimodal.q39PngMeta _),
+    "q40_embed_neardup" -> (Dedup.q40EmbedNearDup _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -176,6 +177,7 @@ object SparkEntry {
         "FROM events WHERE ts <= TIMESTAMP '2024-02-01 00:00:00' GROUP BY event_type"),
     "q35_lsh_pairs" -> Oracles.lshPairs,
     "q37_dedup_clusters" -> Oracles.dedupClusters,
+    "q40_embed_neardup" -> Oracles.embedNearDup,
     "q38_session_window" ->
       ("WITH o AS (SELECT user_id, ts, " +
         "CASE WHEN lag(ts) OVER w IS NULL " +

@@ -79,12 +79,20 @@ object Dedup {
     bandPairs(q22MinHashBands(spark, dir))
 
   /** Connected components over a pair list by iterative min-label
-    * propagation: every doc's label converges to the smallest doc_id
-    * reachable through the pair graph. Each iteration is one join + one
-    * aggregate — the shape that scales (no driver-side graph); iteration
-    * count is bounded by the component diameter, and the loop exits as
-    * soon as a round changes nothing.
+    * propagation with pointer jumping: every doc's label converges to the
+    * smallest doc_id reachable through the pair graph. Each iteration is
+    * a join + aggregate + label self-join — the shape that scales (no
+    * driver-side graph); the pointer jump makes the round count
+    * logarithmic in the component diameter, and the loop exits as soon as
+    * a round changes nothing.
     */
+  /** Checkpoint eagerly, then reset the plan's size statistics to the
+    * session default — see ColumnBridge.freshStats for why the reset is
+    * load-bearing in the iteration below.
+    */
+  private def materialize(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.ColumnBridge.freshStats(df.localCheckpoint(true))
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val spark = pairs.sparkSession
     // every iteration builds FRESH tiny plans — whole-stage codegen would
@@ -107,9 +115,9 @@ object Dedup {
     // materialize the edge list ONCE — every iteration joins against it,
     // and without this the full upstream pipeline that produced the pairs
     // (e.g. the whole minhash→bands→pair join) replays per round
-    edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
+    edges = materialize(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id"))
     // `retired` = previous round's checkpointed labels — safe to free once
@@ -123,12 +131,29 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "src"), "src")
         .groupBy(col("dst").as("doc_id"))
         .agg(min("cluster").as("n_cluster"))
-      val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
+      // materialized (checkpoint) AND stats-reset (freshStats) BEFORE the
+      // jump self-join: the checkpoint stops lineage growth and upstream
+      // replay; the stats reset stops `rewriteStatsAndConstraints` from
+      // feeding each round's join-product sizeInBytes estimate back into
+      // the next round's product — that feedback doubles the BigInt's
+      // digit count per round and stalls the driver for minutes inside
+      // SizeInBytesOnlyStatsPlanVisitor (caught live in a bench thread
+      // dump; see ColumnBridge.freshStats)
+      val propagated = materialize(labels.join(viaNeighbors, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("cluster"), coalesce(col("n_cluster"), col("cluster"))).as("cluster"))
-        // cache per round: the next iteration and the convergence check
-        // both consume it, and lineage would otherwise grow exponentially
-        .localCheckpoint(true)
+          least(col("cluster"), coalesce(col("n_cluster"), col("cluster"))).as("cluster")))
+      // pointer jump (path halving): additionally adopt the label OF my
+      // label. Neighbor propagation alone moves a chain's far end one hop
+      // per round — diameter-many rounds (measured ~40 on the q40
+      // near-threshold graph); with the jump the distance-to-root halves
+      // each round, so convergence is O(log diameter). Labels are always
+      // member ids, so the self-join key always resolves in-component.
+      val next = materialize(propagated
+        .join(propagated.select(col("doc_id").as("cluster"), col("cluster").as("cc")),
+          Seq("cluster"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("cc"), col("cluster"))).as("cluster")))
+      propagated.unpersist() // consumed by next's materialization above
       converged = next.select(col("doc_id"), col("cluster").as("new_cluster"))
         .join(labels, "doc_id")
         .filter(col("new_cluster") =!= col("cluster")).isEmpty
@@ -159,6 +184,38 @@ object Dedup {
     */
   def q37DedupClusters(spark: SparkSession, dir: String): DataFrame =
     connectedComponents(q35LshPairs(spark, dir))
+
+  /** Q40: embedding-cosine near-dup clusters — the embedding-space member
+    * of the dedup family (exact: q21; text-LSH: q35/q37): exact
+    * thresholded cosine pairs over a bounded id range, grouped into
+    * connected components, every vector labeled with its canonical
+    * minimum vec_id. Keeping rows where vec_id = cluster IS the
+    * near-dup-free embedding corpus. The bounded exact pair join is the
+    * correctness primitive; at 100 TB the same pair list comes from the
+    * LSH candidate path (Similarity.annCandidatePairs + threshold
+    * re-rank) feeding this identical clustering stage.
+    *
+    * Threshold 0.34 is tuned to the corpus: the nearest pair similarity
+    * sits ≥ 1e-5 away at every test SF (no float-boundary flakiness vs
+    * the oracle), and the graph splits into ~40 real components instead
+    * of one percolated giant (which is what ≤ 0.3 yields on these
+    * near-random vectors). Chain-like near-threshold components have
+    * large diameters — the pointer-jumping step in connectedComponents
+    * keeps the round count logarithmic in them.
+    */
+  def q40EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps._
+    val e = Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") < 500)
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+    val a = e.select(col("vec_id").as("doc_a"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("doc_b"), col("v").as("vb"))
+    val pairs = a.join(broadcast(b), col("doc_a") < col("doc_b"))
+      .filter(cosine(col("va"), col("vb")) >= 0.34)
+      .select("doc_a", "doc_b")
+    connectedComponents(pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster"))
+  }
 
   /** 32-bit word hash from the md5 hex prefix — portable across engines. */
   private def h32(c: Column): Column =

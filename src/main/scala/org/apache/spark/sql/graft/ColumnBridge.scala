@@ -16,4 +16,26 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Rewrap a (typically checkpointed) DataFrame's execution RDD in a fresh
+    * `LogicalRDD` carrying DEFAULT size statistics instead of the stats
+    * rewritten from its originating plan.
+    *
+    * Why: `localCheckpoint` preserves the origin plan's estimated
+    * `sizeInBytes` via `rewriteStatsAndConstraints`, and a join's estimate
+    * is the PRODUCT of its children's. In an iterative self-join
+    * (connected components' pointer jump) the checkpointed estimate
+    * therefore feeds back into itself multiplicatively — the BigInt's
+    * digit count doubles every round, and after ~15 rounds the driver
+    * spends minutes multiplying million-digit numbers inside
+    * `SizeInBytesOnlyStatsPlanVisitor` (observed live in a bench thread
+    * dump). Resetting to default stats each round keeps every product
+    * bounded. The default (`spark.sql.defaultSizeInBytes`, Long.Max) is
+    * conservatively large, which only disables auto-broadcast for the
+    * tiny in-loop joins — correct and cheap.
+    */
+  def freshStats(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    ds.sparkSession.internalCreateDataFrame(ds.queryExecution.toRdd, ds.schema)
+  }
 }

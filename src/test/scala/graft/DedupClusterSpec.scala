@@ -24,6 +24,20 @@ class DedupClusterSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("q40 embedding near-dup clusters: labels are canonical member minima") {
+    val rows = Dedup.q40EmbedNearDup(spark, TestSpark.Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // deterministic corpus → deterministic structure (cross-checked in
+    // DuckDB: 358 paired vectors in 39 components at threshold 0.34)
+    assert(rows.length === 358)
+    val byCluster = rows.groupBy(_._2)
+    assert(byCluster.size === 39)
+    // every label is the component's minimum member id
+    byCluster.foreach { case (label, members) =>
+      assert(members.map(_._1).min === label)
+    }
+  }
+
   test("a long path needs multiple propagation rounds and still converges") {
     // path 0-1-2-...-12: diameter forces several iterations
     val edges = (0L until 12L).map(i => (i, i + 1))
