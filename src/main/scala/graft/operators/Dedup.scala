@@ -78,14 +78,6 @@ object Dedup {
   def q35LshPairs(spark: SparkSession, dir: String): DataFrame =
     bandPairs(q22MinHashBands(spark, dir))
 
-  /** Connected components over a pair list by iterative min-label
-    * propagation with pointer jumping: every doc's label converges to the
-    * smallest doc_id reachable through the pair graph. Each iteration is
-    * a join + aggregate + label self-join — the shape that scales (no
-    * driver-side graph); the pointer jump makes the round count
-    * logarithmic in the component diameter, and the loop exits as soon as
-    * a round changes nothing.
-    */
   /** Checkpoint eagerly, then reset the plan's size statistics to the
     * session default — see ColumnBridge.freshStats for why the reset is
     * load-bearing in the iteration below.
@@ -93,6 +85,35 @@ object Dedup {
   private def materialize(df: DataFrame): DataFrame =
     org.apache.spark.sql.graft.ColumnBridge.freshStats(df.localCheckpoint(true))
 
+  /** Order-independent fingerprint of an edge set: (row count, xor of a
+    * 64-bit edge hash). Equality gates the exact fixed-point comparison in
+    * connectedComponents, so the except-based set diff runs ~once per call
+    * instead of every round.
+    */
+  private def edgeSig(e: DataFrame): (Long, Long) = {
+    val r = e.agg(count(lit(1)), coalesce(expr("bit_xor(xxhash64(hi, lo))"), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Connected components over a pair list via alternating large-star /
+    * small-star contraction (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond"): every doc ends labeled with the smallest
+    * doc_id reachable through the pair graph.
+    *
+    * Why contraction and not label propagation: propagation moves label
+    * information across EDGES one hop per round, so chain-shaped
+    * components need ~diameter rounds — measured 23 on q40's
+    * near-threshold graph, and pointer-jumping the label table did not
+    * help (the bottleneck is edge traversal, not pointer depth).
+    * Star contraction rewrites the edge set itself each round, converges
+    * in O(log n) rounds provably (measured 4 on the same graph), and the
+    * edge list SHRINKS toward one star per component as it converges —
+    * the property that matters at 100 TB, where propagation would re-join
+    * the full pair list every round. Each phase is one keyed aggregate +
+    * one join on vertex id; the high-degree hubs that form around
+    * component minima are exactly what the large-star phase splits, which
+    * is the algorithm's built-in skew handling.
+    */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val spark = pairs.sparkSession
     // every iteration builds FRESH tiny plans — whole-stage codegen would
@@ -106,74 +127,79 @@ object Dedup {
     // own session.
     val prevCodegen = spark.conf.get("spark.sql.codegen.wholeStage", "true")
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    // intermediate checkpoints to release on ANY exit (incl. the
-    // non-convergence throw); the RETURNED labels checkpoint is the
-    // caller's to release once consumed
-    var edges: DataFrame = null
-    var retired: Option[DataFrame] = None
+    // AQE re-plans and inserts query-stage barriers per shuffle — pure
+    // scheduling overhead for the loop's per-round label frames, whose
+    // size AQE can never exploit (every round is checkpointed anyway).
+    // Same session-global caveat as the codegen toggle above.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-    // materialize the edge list ONCE — every iteration joins against it,
-    // and without this the full upstream pipeline that produced the pairs
-    // (e.g. the whole minhash→bands→pair join) replays per round
-    edges = materialize(
-      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster", col("doc_id"))
-    // `retired` = previous round's checkpointed labels — safe to free once
-    // the round that consumed them (join + convergence check) is done,
-    // else up to maxIter materialized label tables pile up in storage
+    // canonical undirected edge set (hi > lo), deduped and materialized
+    // ONCE — without this the full upstream pipeline that produced the
+    // pairs (e.g. the whole minhash→bands→pair join) replays per round.
+    // Every materialize below also RESETS the frame's size statistics
+    // (ColumnBridge.freshStats): localCheckpoint preserves join-product
+    // sizeInBytes estimates, which feed back into the next round's
+    // product — without the reset the estimate's BigInt digit count
+    // doubles per round and stats estimation stalls the driver for
+    // minutes inside SizeInBytesOnlyStatsPlanVisitor (caught live in a
+    // bench thread dump).
+    var e = materialize(
+      pairs.filter(col("doc_a") =!= col("doc_b"))
+        .select(greatest(col("doc_a"), col("doc_b")).as("hi"),
+          least(col("doc_a"), col("doc_b")).as("lo"))
+        .distinct())
+    var prevSig = edgeSig(e)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // candidate label per doc = min over (its own label, neighbors' labels)
-      val viaNeighbors = edges
-        .join(labels.withColumnRenamed("doc_id", "src"), "src")
-        .groupBy(col("dst").as("doc_id"))
-        .agg(min("cluster").as("n_cluster"))
-      // materialized (checkpoint) AND stats-reset (freshStats) BEFORE the
-      // jump self-join: the checkpoint stops lineage growth and upstream
-      // replay; the stats reset stops `rewriteStatsAndConstraints` from
-      // feeding each round's join-product sizeInBytes estimate back into
-      // the next round's product — that feedback doubles the BigInt's
-      // digit count per round and stalls the driver for minutes inside
-      // SizeInBytesOnlyStatsPlanVisitor (caught live in a bench thread
-      // dump; see ColumnBridge.freshStats)
-      val propagated = materialize(labels.join(viaNeighbors, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster"), coalesce(col("n_cluster"), col("cluster"))).as("cluster")))
-      // pointer jump (path halving): additionally adopt the label OF my
-      // label. Neighbor propagation alone moves a chain's far end one hop
-      // per round — diameter-many rounds (measured ~40 on the q40
-      // near-threshold graph); with the jump the distance-to-root halves
-      // each round, so convergence is O(log diameter). Labels are always
-      // member ids, so the self-join key always resolves in-component.
-      val next = materialize(propagated
-        .join(propagated.select(col("doc_id").as("cluster"), col("cluster").as("cc")),
-          Seq("cluster"), "left")
-        .select(col("doc_id"),
-          least(col("cluster"), coalesce(col("cc"), col("cluster"))).as("cluster")))
-      propagated.unpersist() // consumed by next's materialization above
-      converged = next.select(col("doc_id"), col("cluster").as("new_cluster"))
-        .join(labels, "doc_id")
-        .filter(col("new_cluster") =!= col("cluster")).isEmpty
-      retired.foreach(_.unpersist())
-      if (i > 0) retired = Some(labels) // round-0 labels aren't checkpointed
-      labels = next
+      // large-star: every node connects its strictly-LARGER neighbors to
+      // the minimum of its closed neighborhood. Operates on both edge
+      // directions; splits high-degree hubs, preserves connectivity.
+      val bd = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      val mn = bd.groupBy("u").agg(min("v").as("mnv"))
+      val ls = materialize(
+        bd.join(mn, "u")
+          .filter(col("v") > col("u"))
+          .select(col("v").as("hi"), least(col("u"), col("mnv")).as("lo"))
+          .distinct())
+      // small-star: every node connects its smaller neighbors (and
+      // itself) to its smallest neighbor. Operates on the downward
+      // direction only — (hi > lo) is invariant through both phases.
+      val smn = ls.groupBy("hi").agg(min("lo").as("mn"))
+      val ss = materialize(
+        ls.join(smn, "hi")
+          .filter(col("lo") =!= col("mn"))
+          .select(col("lo").as("hi"), col("mn").as("lo"))
+          .union(smn.select(col("hi"), col("mn").as("lo")))
+          .distinct())
+      ls.unpersist()
+      // fixed point reached ⟺ the edge set stopped changing. The cheap
+      // signature gates the exact set comparison, so the except-diff job
+      // runs only at (suspected) convergence, not every round.
+      val newSig = edgeSig(ss)
+      converged = prevSig == newSig && ss.exceptAll(e).isEmpty
+      prevSig = newSig
+      e.unpersist()
+      e = ss
       i += 1
     }
-    // an unconverged exit would return silently WRONG clusters (a long
-    // chain still carrying intermediate labels) — fail loudly instead
+    // an unconverged exit would return silently WRONG clusters (edges not
+    // yet contracted to stars) — fail loudly instead
     require(converged,
       s"connectedComponents did not converge in $maxIter iterations — " +
-        "raise maxIter (component diameter exceeds it)")
-    labels
+        "raise maxIter")
+    // the fixed point is one star per component, rooted at the component
+    // minimum: leaves label to their root, each root labels itself. The
+    // aggregate is single-shuffle insurance that the output is exactly
+    // one row per vertex.
+    e.select(col("hi").as("doc_id"), col("lo").as("cluster"))
+      .union(e.select(col("lo").as("doc_id"), col("lo").as("cluster")))
+      .groupBy("doc_id").agg(min("cluster").as("cluster"))
     } finally {
-      // release intermediates on success AND failure paths; the returned
-      // labels checkpoint is independent of both
-      retired.foreach(_.unpersist())
-      if (edges != null) edges.unpersist()
       spark.conf.set("spark.sql.codegen.wholeStage", prevCodegen)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
   }
 
@@ -200,8 +226,8 @@ object Dedup {
     * the oracle), and the graph splits into ~40 real components instead
     * of one percolated giant (which is what ≤ 0.3 yields on these
     * near-random vectors). Chain-like near-threshold components have
-    * large diameters — the pointer-jumping step in connectedComponents
-    * keeps the round count logarithmic in them.
+    * large diameters — star contraction in connectedComponents keeps the
+    * round count logarithmic regardless.
     */
   def q40EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorOps._

