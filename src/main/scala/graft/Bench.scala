@@ -35,8 +35,14 @@ object Bench {
     val loadBefore = loadAvg
     var failed = Vector.empty[(String, String)]
     // name -> (min, median, max) over `reps` timed runs after one warmup
+    // SPARK_GRAFT_BENCH_ONLY=q37_dedup_clusters,q40_embed_neardup narrows
+    // the run for targeted iteration; unset = full contract sweep
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val results: Seq[(String, (Double, Double, Double))] =
-      SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .flatMap { case (name, fn) =>
         def once(): Double = {
           val t0 = System.nanoTime()
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -44,6 +50,12 @@ object Bench {
         }
         try {
           once() // warmup — untimed
+          // drain garbage accumulated by PREVIOUS queries before timing:
+          // a stop-the-world collection of the whole sweep's driver-side
+          // plans otherwise lands inside one random rep — measured as a
+          // reproducible 4-7x max/min outlier on q37, the query with the
+          // most driver jobs (iterative), and none when run alone
+          System.gc()
           val times = Vector.fill(reps)(once()).sorted
           Some(name -> (times.head, times(times.size / 2), times.last))
         } catch {
@@ -56,7 +68,7 @@ object Bench {
     // streaming SLO analog (BASELINE.md: p50 <= 20s / p95 <= 60s rolling):
     // push envelopes through the real source->producer->landing->curated
     // path on wall-clock time and read the KPI percentiles back.
-    val slo: String = try {
+    val slo: String = if (only.nonEmpty) "null" else try {
       import spark.implicits._
       val base = java.nio.file.Files.createTempDirectory("bench_slo").toString
       val in = s"$base/in"; new java.io.File(in).mkdirs()

@@ -133,6 +133,7 @@ object Dedup {
     // Same session-global caveat as the codegen toggle above.
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions", "200")
     try {
     // canonical undirected edge set (hi > lo), deduped and materialized
     // ONCE — without this the full upstream pipeline that produced the
@@ -153,6 +154,16 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      // size the round's shuffles to the CURRENT edge count (known for
+      // free from the signature): with AQE coalescing disabled above, a
+      // tiny contracted graph would otherwise schedule the session's full
+      // partition count per shuffle — at 32 partitions × ~4 shuffles ×
+      // ~10 rounds the task overhead alone was 4× the query (measured
+      // 11 s vs 2.8 s for the same 345-edge q40 graph). ~1M edge rows
+      // (two longs) per partition; never above the session setting, so a
+      // 100 TB pair list still spreads over the full cluster.
+      spark.conf.set("spark.sql.shuffle.partitions",
+        math.max(1L, math.min(prevParts.toLong, prevSig._1 / 1000000L + 1L)).toString)
       // large-star: every node connects its strictly-LARGER neighbors to
       // the minimum of its closed neighborhood. Operates on both edge
       // directions; splits high-degree hubs, preserves connectivity.
@@ -200,6 +211,7 @@ object Dedup {
     } finally {
       spark.conf.set("spark.sql.codegen.wholeStage", prevCodegen)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
   }
 
