@@ -98,6 +98,26 @@ object Oracles {
       "UNION SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.v) " +
       "SELECT v AS vec_id, min(r) AS cluster FROM reach GROUP BY v"
 
+  /** Q41 oracle — per-doc top-3 TF-IDF terms. Tokenization mirrors
+    * TextOps.words (lower → split on non-alphanumeric → drop empties);
+    * scores are rounded to 6 places BEFORE the window ordering, matching
+    * the Spark side, so rank boundaries are engine-portable.
+    */
+  val tfIdfTopTerms: String =
+    "WITH toks AS (SELECT doc_id, unnest(list_filter(" +
+      "string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')) AS term " +
+      "FROM documents), " +
+      "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks " +
+      "WHERE doc_id < 100 GROUP BY 1, 2), " +
+      "dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1), " +
+      "n AS (SELECT count(*) AS n_docs FROM documents), " +
+      "scored AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, " +
+      "round(tf.tf * ln(n.n_docs / dfreq.df), 6) AS score " +
+      "FROM tf JOIN dfreq USING (term) CROSS JOIN n) " +
+      "SELECT doc_id, term, tf, df, score FROM (" +
+      "SELECT *, row_number() OVER (PARTITION BY doc_id " +
+      "ORDER BY score DESC, term ASC) AS rn FROM scored) WHERE rn <= 3"
+
   /** Marker-word occurrence count via the length-difference trick. */
   private def occ(m: String): String = {
     val p = s" $m "

@@ -58,6 +58,8 @@ object SparkEntry {
     "q38_session_window" -> (Relational.q38SessionWindow _),
     "q39_png_meta" -> (Multimodal.q39PngMeta _),
     "q40_embed_neardup" -> (Dedup.q40EmbedNearDup _),
+    "q41_tfidf_top_terms" -> (Text.q41TfIdfTopTerms _),
+    "q42_quota_sample" -> (Text.q42QuotaSample _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -199,5 +201,11 @@ object SparkEntry {
         "ELSE CAST(doc_id % 1080 + 1 AS INTEGER) END AS height, " +
         "CASE WHEN doc_id % 7 IN (0, 3) THEN 'jpeg' WHEN doc_id % 7 = 1 THEN 'unknown' " +
         "ELSE 'png' END AS format FROM documents"),
+    "q41_tfidf_top_terms" -> Oracles.tfIdfTopTerms,
+    "q42_quota_sample" ->
+      ("SELECT doc_id, lang FROM documents WHERE " +
+        "CASE WHEN lang = 'en' " +
+        "THEN substr(md5('q42|' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000' " +
+        "ELSE substr(md5('q42|' || CAST(doc_id AS VARCHAR)), 1, 8) < 'c0000000' END"),
   )
 }

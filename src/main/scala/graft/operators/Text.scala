@@ -78,4 +78,52 @@ object Text {
     Tables.load(spark, dir, "documents").select(
       col("doc_id"),
       md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+
+  /** Q41: per-document top-3 TF-IDF terms — the relevance-term extraction
+    * step of a corpus pipeline. Document frequency and N span the FULL
+    * corpus (that is what makes it IDF); only the per-document side is
+    * id-bounded so the contract output stays fixed-size across scale
+    * factors. Shape at scale: tf is one shuffle keyed by (doc_id, term),
+    * df one shuffle keyed by term (bounded by vocabulary, naturally
+    * skew-resistant after the per-doc distinct), N a broadcast scalar —
+    * the df join is vocabulary-sized, NOT corpus-sized, and the window
+    * partitions by doc_id. Scores are rounded to 6 places BEFORE ranking
+    * so the ordering is engine-portable (same trick as q19).
+    */
+  def q41TfIdfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
+    val tf = toks.filter(col("doc_id") < 100)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = docs
+      .select(col("doc_id"), explode(array_distinct(words(col("text")))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf") * log(col("n_docs") / col("df")), 6))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("doc_id", "term", "tf", "df", "score")
+  }
+
+  /** Q42: deterministic per-language quota sampling — training-mix
+    * rebalancing (downsample the dominant language, keep the tail). The
+    * keep decision is a pure hash threshold on the salted doc id, so the
+    * sample is reproducible on any engine with no RNG state: the 8-hex-
+    * char md5 prefix compares lexicographically exactly like the 32-bit
+    * value it encodes. A narrow filter — no shuffle, prunes at the scan.
+    */
+  def q42QuotaSample(spark: SparkSession, dir: String): DataFrame = {
+    val h = substring(md5(concat(lit("q42|"), col("doc_id").cast("string"))), 1, 8)
+    Tables.load(spark, dir, "documents")
+      .withColumn("h", h)
+      // en is ~44% of the corpus: keep 1/4 of it, 3/4 of everything else
+      .filter(when(col("lang") === "en", col("h") < "40000000")
+        .otherwise(col("h") < "c0000000"))
+      .select("doc_id", "lang")
+  }
 }

@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Text
+
+/** Corpus-pipeline operators q41 (TF-IDF top terms) and q42 (quota
+  * sampling): value-level parity is the DuckDB oracle's job; these pin the
+  * semantic invariants that a green hash can't articulate.
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("q41: per-doc groups are capped at 3, ranked by score, ties by term") {
+    val rows = Text.q41TfIdfTopTerms(spark, TestSpark.Sf0001)
+      .select("doc_id", "term", "score")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_._1)
+    byDoc.foreach { case (doc, rs) =>
+      assert(rs.length <= 3, s"doc $doc has ${rs.length} top terms")
+      // the selected terms must be the maximal ones: descending score
+      // within the group, deterministic term order on equal scores
+      val ordered = rs.sortBy(r => (-r._3, r._2)).toSeq
+      assert(ordered === rs.toSeq.sortBy(r => (-r._3, r._2)))
+    }
+  }
+
+  test("q41: a ubiquitous term can never outrank a rarer one with equal tf") {
+    // df = N makes idf = ln(1) = 0 — the floor of the score range; any
+    // term with df < N and tf >= 1 scores strictly above it
+    val out = Text.q41TfIdfTopTerms(spark, TestSpark.Sf0001)
+    val floor = out.filter(col("score") <= 0).count()
+    val positive = out.filter(col("score") > 0).count()
+    assert(positive > 0, "no positively-scored terms — idf degenerate")
+    // zero-score rows may appear only where a doc has < 3 scored terms,
+    // never displacing a positive-score term (checked per doc)
+    val bad = out.groupBy("doc_id")
+      .agg(sum(when(col("score") <= 0, 1).otherwise(0)).as("z"),
+        count(lit(1)).as("n"))
+      .filter(col("z") > 0 && col("n") === 3 && col("z") === col("n"))
+    assert(floor == 0 || bad.isEmpty, "a doc's entire top-3 is zero-score")
+  }
+
+  test("q42: quota sampling keeps ~25% of en, ~75% of the rest, deterministically") {
+    val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
+    val kept = Text.q42QuotaSample(spark, TestSpark.Sf0001)
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enRate = sampled.getOrElse("en", 0L).toDouble / total("en")
+    val restTotal = (total - "en").values.sum
+    val restKept = (sampled - "en").values.sum
+    val restRate = restKept.toDouble / restTotal
+    // md5 is uniform; at a few hundred docs the rate sits within ±0.15
+    assert(math.abs(enRate - 0.25) < 0.15, s"en keep rate $enRate")
+    assert(math.abs(restRate - 0.75) < 0.15, s"non-en keep rate $restRate")
+    // pure hash threshold ⇒ bit-identical on re-evaluation
+    val again = Text.q42QuotaSample(spark, TestSpark.Sf0001)
+    assert(kept.exceptAll(again).isEmpty && again.exceptAll(kept).isEmpty)
+  }
+
+  test("q42: the keep decision matches the salted-hash contract row by row") {
+    import java.security.MessageDigest
+    def h8(id: Long): String = MessageDigest.getInstance("MD5")
+      .digest(s"q42|$id".getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expected = docs.collect {
+      case (id, lang) if h8(id) < (if (lang == "en") "40000000" else "c0000000") =>
+        id
+    }.toSet
+    val got = Text.q42QuotaSample(spark, TestSpark.Sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+  }
+}

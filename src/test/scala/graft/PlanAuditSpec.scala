@@ -52,6 +52,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(occurrences === 1, s"expected 1 graft_jpeg_dims in the plan, found $occurrences")
   }
 
+  test("q42 reads only doc_id and lang; q41 pushes the doc_id bound to one scan") {
+    val p42 = plan(graft.operators.Text.q42QuotaSample(spark, TestSpark.Sf0001))
+    val rs = p42.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(rs.contains("doc_id") && rs.contains("lang"))
+    assert(!rs.contains("text"), s"q42 reads text for a hash-of-id filter: $rs")
+    val p41 = plan(graft.operators.Text.q41TfIdfTopTerms(spark, TestSpark.Sf0001))
+    assert(p41.contains("LessThan(doc_id,100)"),
+      "q41's tf-side doc_id bound must reach the parquet scan")
+  }
+
   test("the codegen'd graft_dot kernel carries the vector queries") {
     // a refactor that silently falls back to the interpreted HOF twin
     // re-opens the r2/r3 ~100x ANN regression (BENCH_NOTES.md) — pin the
