@@ -60,6 +60,7 @@ object SparkEntry {
     "q40_embed_neardup" -> (Dedup.q40EmbedNearDup _),
     "q41_tfidf_top_terms" -> (Text.q41TfIdfTopTerms _),
     "q42_quota_sample" -> (Text.q42QuotaSample _),
+    "q43_pack_bins" -> (Text.q43PackBins _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -207,5 +208,14 @@ object SparkEntry {
         "CASE WHEN lang = 'en' " +
         "THEN substr(md5('q42|' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000' " +
         "ELSE substr(md5('q42|' || CAST(doc_id AS VARCHAR)), 1, 8) < 'c0000000' END"),
+    "q43_pack_bins" ->
+      ("WITH t AS (SELECT doc_id, source, CAST(len(list_filter(" +
+        "string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')) AS BIGINT) " +
+        "AS n_tokens FROM documents), " +
+        "o AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY source " +
+        "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+        "AS off FROM t) " +
+        "SELECT doc_id, source, n_tokens, off % 512 AS bin_offset, " +
+        "CAST(floor(off / 512) AS BIGINT) AS bin FROM o"),
   )
 }

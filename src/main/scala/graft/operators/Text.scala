@@ -110,6 +110,31 @@ object Text {
       .select("doc_id", "term", "tf", "df", "score")
   }
 
+  /** Q43: sequence packing — assign documents to fixed-token-budget bins
+    * for training-batch assembly. Packing is per `source` shard (the unit
+    * a real pipeline packs independently), so the cumulative sum
+    * parallelizes across shards instead of forcing a global single
+    *-partition window; within a shard the order is doc_id (deterministic).
+    * Bin id = floor(exclusive-running-token-total / budget): the cumsum
+    * formulation (vs stateful greedy) is what stays a pure window
+    * expression on any engine, and is how offline packers batch when
+    * oversized docs are pre-split. Output carries the running total so a
+    * consumer can also recover each doc's offset inside its bin.
+    */
+  def q43PackBins(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 512L // tokens per packed sequence
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(words(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("offset", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (col("offset") % budget).as("bin_offset"),
+        floor(col("offset") / budget).as("bin"))
+  }
+
   /** Q42: deterministic per-language quota sampling — training-mix
     * rebalancing (downsample the dominant language, keep the tail). The
     * keep decision is a pure hash threshold on the salted doc id, so the

@@ -61,6 +61,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(kept.exceptAll(again).isEmpty && again.exceptAll(kept).isEmpty)
   }
 
+  test("q43: packing reconstructs from per-shard token sums, bins monotone") {
+    val rows = Text.q43PackBins(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, shard) =>
+      val ordered = shard.sortBy(_._2)
+      var running = 0L
+      var lastBin = 0L
+      ordered.foreach { case (_, id, nTok, binOff, bin) =>
+        assert(bin * 512 + binOff === running,
+          s"doc $id offset mismatch: bin=$bin off=$binOff running=$running")
+        assert(bin >= lastBin, s"doc $id bin went backwards")
+        lastBin = bin
+        running += nTok
+      }
+    }
+  }
+
   test("q42: the keep decision matches the salted-hash contract row by row") {
     import java.security.MessageDigest
     def h8(id: Long): String = MessageDigest.getInstance("MD5")
