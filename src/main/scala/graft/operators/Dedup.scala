@@ -80,10 +80,17 @@ object Dedup {
 
   /** Checkpoint eagerly, then reset the plan's size statistics to the
     * session default — see ColumnBridge.freshStats for why the reset is
-    * load-bearing in the iteration below.
+    * load-bearing in the iteration below. Returns (stats-reset frame,
+    * checkpoint handle): `Dataset.unpersist` cannot free checkpoint
+    * storage (it lives outside the CacheManager), so the loop releases
+    * retired rounds through the handle via ColumnBridge.releaseCheckpoint
+    * — at full scale each handle pins an edge-set-sized block in executor
+    * storage, which must not accumulate across rounds.
     */
-  private def materialize(df: DataFrame): DataFrame =
-    org.apache.spark.sql.graft.ColumnBridge.freshStats(df.localCheckpoint(true))
+  private def materialize(df: DataFrame): (DataFrame, DataFrame) = {
+    val ck = df.localCheckpoint(true)
+    (org.apache.spark.sql.graft.ColumnBridge.freshStats(ck), ck)
+  }
 
   /** Order-independent fingerprint of an edge set: (row count, xor of a
     * 64-bit edge hash). Equality gates the exact fixed-point comparison in
@@ -134,6 +141,15 @@ object Dedup {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    // checkpoint handles not yet released; drained in finally so the
+    // non-convergence throw (and any mid-round job failure) frees every
+    // materialized round — only the handle backing the RETURNED frame is
+    // removed before the drain and stays alive for the caller
+    val live = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def release(ck: DataFrame): Unit = {
+      org.apache.spark.sql.graft.ColumnBridge.releaseCheckpoint(ck)
+      live -= ck
+    }
     try {
     // canonical undirected edge set (hi > lo), deduped and materialized
     // ONCE — without this the full upstream pipeline that produced the
@@ -145,11 +161,16 @@ object Dedup {
     // doubles per round and stats estimation stalls the driver for
     // minutes inside SizeInBytesOnlyStatsPlanVisitor (caught live in a
     // bench thread dump).
-    var e = materialize(
+    // NOTE (contract): self-pairs (a, a) are dropped as non-edges, so a
+    // vertex appearing ONLY in self-pairs does not reach the output —
+    // callers wanting singleton coverage must union identity labels
+    // themselves. Both in-repo producers emit strictly doc_a < doc_b.
+    var (e, eCk) = materialize(
       pairs.filter(col("doc_a") =!= col("doc_b"))
         .select(greatest(col("doc_a"), col("doc_b")).as("hi"),
           least(col("doc_a"), col("doc_b")).as("lo"))
         .distinct())
+    live += eCk
     var prevSig = edgeSig(e)
     var converged = false
     var i = 0
@@ -161,7 +182,11 @@ object Dedup {
       // ~10 rounds the task overhead alone was 4× the query (measured
       // 11 s vs 2.8 s for the same 345-edge q40 graph). ~1M edge rows
       // (two longs) per partition; never above the session setting, so a
-      // 100 TB pair list still spreads over the full cluster.
+      // 100 TB pair list still spreads over the full cluster. This clamp
+      // is the SHARPEST of the session-global toggles (a concurrent query
+      // could get planned with 1 shuffle partition) — it makes the
+      // dedicated-session requirement stated above a hard one, not a
+      // preference.
       spark.conf.set("spark.sql.shuffle.partitions",
         math.max(1L, math.min(prevParts.toLong, prevSig._1 / 1000000L + 1L)).toString)
       // large-star: every node connects its strictly-LARGER neighbors to
@@ -170,30 +195,33 @@ object Dedup {
       val bd = e.select(col("hi").as("u"), col("lo").as("v"))
         .union(e.select(col("lo").as("u"), col("hi").as("v")))
       val mn = bd.groupBy("u").agg(min("v").as("mnv"))
-      val ls = materialize(
+      val (ls, lsCk) = materialize(
         bd.join(mn, "u")
           .filter(col("v") > col("u"))
           .select(col("v").as("hi"), least(col("u"), col("mnv")).as("lo"))
           .distinct())
+      live += lsCk
       // small-star: every node connects its smaller neighbors (and
       // itself) to its smallest neighbor. Operates on the downward
       // direction only — (hi > lo) is invariant through both phases.
       val smn = ls.groupBy("hi").agg(min("lo").as("mn"))
-      val ss = materialize(
+      val (ss, ssCk) = materialize(
         ls.join(smn, "hi")
           .filter(col("lo") =!= col("mn"))
           .select(col("lo").as("hi"), col("mn").as("lo"))
           .union(smn.select(col("hi"), col("mn").as("lo")))
           .distinct())
-      ls.unpersist()
+      live += ssCk
+      release(lsCk) // consumed by ss's materialization above
       // fixed point reached ⟺ the edge set stopped changing. The cheap
       // signature gates the exact set comparison, so the except-diff job
       // runs only at (suspected) convergence, not every round.
       val newSig = edgeSig(ss)
       converged = prevSig == newSig && ss.exceptAll(e).isEmpty
       prevSig = newSig
-      e.unpersist()
+      release(eCk) // convergence check was this round's last read of e
       e = ss
+      eCk = ssCk
       i += 1
     }
     // an unconverged exit would return silently WRONG clusters (edges not
@@ -201,6 +229,11 @@ object Dedup {
     require(converged,
       s"connectedComponents did not converge in $maxIter iterations — " +
         "raise maxIter")
+    // the final star set backs the RETURNED plan: its checkpoint must
+    // outlive this call, so exempt it from the finally drain (it is
+    // reclaimed with the session, or by the caller via ContextCleaner
+    // once the result is no longer referenced)
+    live -= eCk
     // the fixed point is one star per component, rooted at the component
     // minimum: leaves label to their root, each root labels itself. The
     // aggregate is single-shuffle insurance that the output is exactly
@@ -209,6 +242,7 @@ object Dedup {
       .union(e.select(col("lo").as("doc_id"), col("lo").as("cluster")))
       .groupBy("doc_id").agg(min("cluster").as("cluster"))
     } finally {
+      live.toSeq.foreach(release)
       spark.conf.set("spark.sql.codegen.wholeStage", prevCodegen)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)

@@ -38,4 +38,20 @@ object ColumnBridge {
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
     ds.sparkSession.internalCreateDataFrame(ds.queryExecution.toRdd, ds.schema)
   }
+
+  /** Eagerly release the block-manager storage behind a `localCheckpoint`ed
+    * DataFrame. `Dataset.unpersist` only uncaches through the CacheManager,
+    * which never saw a checkpoint (persistence lives on the internal RDD
+    * inside the `LogicalRDD` node) — without this, iterative algorithms
+    * leave every round's materialized frame in storage until the RDD chain
+    * happens to be garbage collected, which at full scale means rounds of
+    * edge-set-sized blocks pinned in executor memory.
+    */
+  def releaseCheckpoint(df: org.apache.spark.sql.DataFrame): Unit = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    ds.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+  }
 }

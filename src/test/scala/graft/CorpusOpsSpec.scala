@@ -26,20 +26,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("q41: a ubiquitous term can never outrank a rarer one with equal tf") {
-    // df = N makes idf = ln(1) = 0 — the floor of the score range; any
-    // term with df < N and tf >= 1 scores strictly above it
-    val out = Text.q41TfIdfTopTerms(spark, TestSpark.Sf0001)
-    val floor = out.filter(col("score") <= 0).count()
-    val positive = out.filter(col("score") > 0).count()
-    assert(positive > 0, "no positively-scored terms — idf degenerate")
-    // zero-score rows may appear only where a doc has < 3 scored terms,
-    // never displacing a positive-score term (checked per doc)
-    val bad = out.groupBy("doc_id")
-      .agg(sum(when(col("score") <= 0, 1).otherwise(0)).as("z"),
-        count(lit(1)).as("n"))
-      .filter(col("z") > 0 && col("n") === 3 && col("z") === col("n"))
-    assert(floor == 0 || bad.isEmpty, "a doc's entire top-3 is zero-score")
+  test("q41: a ubiquitous high-tf term cannot displace rarer terms (exact)") {
+    import spark.implicits._
+    // synthetic corpus with a known displacement hazard: in doc 0 the
+    // term 'common' has the highest tf (4) but df = N → idf = 0, so true
+    // tf-idf must rank all four df=1 terms above it and the top-3 cut
+    // must exclude it; a regression to tf-ranking (or ranking on
+    // unrounded scores with inverted order) surfaces as a wrong row set
+    val dir = java.nio.file.Files.createTempDirectory("q41fixture").toString
+    Seq(
+      (0L, "common common common common alpha beta gamma rare", "en", "s1", 48L),
+      (1L, "common zeta", "en", "s1", 11L),
+      (2L, "common common eta theta", "en", "s2", 23L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val ln3 = BigDecimal(math.log(3.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Text.q41TfIdfTopTerms(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val expected = Set(
+      (0L, "alpha", 1L, 1L, ln3), (0L, "beta", 1L, 1L, ln3), (0L, "gamma", 1L, 1L, ln3),
+      (1L, "zeta", 1L, 1L, ln3), (1L, "common", 1L, 3L, 0.0),
+      (2L, "eta", 1L, 1L, ln3), (2L, "theta", 1L, 1L, ln3), (2L, "common", 2L, 3L, 0.0))
+    assert(got === expected)
   }
 
   test("q42: quota sampling keeps ~25% of en, ~75% of the rest, deterministically") {

@@ -56,6 +56,24 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(labels.size === 4096)
   }
 
+  test("intermediate round storage is released; only the result's backing survives") {
+    // Dataset.unpersist cannot free localCheckpoint storage, so the loop
+    // releases retired rounds explicitly (ColumnBridge.releaseCheckpoint).
+    // At 100 TB each leaked round pins an edge-set-sized block in executor
+    // memory — pin the per-call delta at exactly 1 (the returned frame's
+    // backing checkpoint).
+    // set difference of RDD ids, not a count delta: the ContextCleaner may
+    // concurrently reap persisted RDDs left by EARLIER tests, which would
+    // skew a count comparison
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val labels = Dedup.connectedComponents(
+      (0L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b"))
+    labels.collect()
+    val fresh = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(fresh.size === 1,
+      s"expected 1 surviving checkpoint, got ${fresh.size}")
+  }
+
   test("canonical-keeper property: exactly one member per cluster keeps itself") {
     val labels = cc((5L, 6L), (6L, 7L), (30L, 31L))
     val keepers = labels.filter { case (d, c) => d == c }.keySet
