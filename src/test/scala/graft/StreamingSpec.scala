@@ -48,6 +48,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("session windows: streaming over the same events == batch q38") {
+    // same complete-mode AvailableNow shape as the tumbling parity test:
+    // session windows additionally exercise streaming state MERGING
+    // (adjacent sessions fusing when a bridging event arrives), which
+    // tumbling windows never do
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val streamDir = Files.createTempDirectory("graft_sess").toString
+    Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.Sf0001}/events.parquet"),
+      java.nio.file.Paths.get(s"$streamDir/events.parquet"))
+    val stream = spark.readStream.schema(rawSchema)
+      .parquet(streamDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"),
+        date_trunc("second", col("session_window.start")).as("session_start"),
+        col("cnt"))
+    val q = stream.writeStream.format("memory").queryName("sess_stream")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("sess_stream")
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+    val batch = Relational.q38SessionWindow(spark, TestSpark.Sf0001)
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("watermark drops events later than the allowed lateness (ST4)") {
     // Append mode is where the drop guarantee holds (update mode only
     // evicts state — a too-late row can re-emit a fresh count). Each file
