@@ -31,10 +31,17 @@ object Bootstrap {
     * relative or `file:`-prefixed spelling of the same directory must not
     * slip past a string comparison (plans.RbacCheckRule.underRaw).
     */
-  private[graft] def qualifyRawPath(spark: SparkSession, path: String): String = {
+  private[graft] def qualifyRawPath(spark: SparkSession, path: String): String =
+    qualify(spark.sessionState.newHadoopConf(), path)
+
+  /** THE canonical path spelling, shared by record time (above) and check
+    * time (plans.RbacCheckRule) — a normalization tweak applied to one
+    * side but not the other would silently desynchronize the two and
+    * re-open the alternate-spelling bypass.
+    */
+  private[graft] def qualify(hc: org.apache.hadoop.conf.Configuration, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.makeQualified(p).toString.stripSuffix("/")
+    p.getFileSystem(hc).makeQualified(p).toString.stripSuffix("/")
   }
 
   private def recordRawPath(spark: SparkSession, path: String): Unit = {

@@ -190,9 +190,8 @@ object Similarity {
   def ivfCandidatePairs(vectors: DataFrame, nCells: Int, nProbe: Int,
                         cellCap: Int, kmeansRounds: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = vectors
     val centroids = (1 to kmeansRounds)
-      .foldLeft(seedCentroids(e, nCells))((c, _) => kmeansRound(e, c))
+      .foldLeft(seedCentroids(vectors, nCells))((c, _) => kmeansRound(vectors, c))
     // rank every (vector, cell) by centroid similarity — rn=1 is the
     // vector's home cell, rn<=nProbe are the cells its queries probe.
     // NOTE on defaults: probing 20 of 32 cells is tuned for the corpus's
@@ -201,7 +200,7 @@ object Similarity {
     // nProbe << nCells for the candidate set to stay sub-quadratic.
     val wCell = Window.partitionBy("vec_id")
       .orderBy(col("csim").desc, col("cell_id").asc)
-    val ranked = e.crossJoin(broadcast(centroids))
+    val ranked = vectors.crossJoin(broadcast(centroids))
       .withColumn("csim", cosine(col("v"), col("cv")))
       .select(col("vec_id"), col("cell_id"), col("csim"))
       .withColumn("rn", row_number().over(wCell))

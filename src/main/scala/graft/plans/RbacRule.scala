@@ -49,16 +49,16 @@ class RbacCheckRule(session: SparkSession) extends (LogicalPlan => Unit) {
       .split(",").iterator.map(_.trim.stripSuffix("/")).filter(_.nonEmpty).toSeq
 
   /** Compare filesystem-qualified URIs on both sides: recorded paths are
-    * qualified at record time, and scan roots are re-qualified here, so a
-    * scheme-qualified (`file:///...`) or relative spelling of the same
-    * directory cannot slip past a string comparison. The Hadoop conf is
-    * built ONCE per rule invocation (apply) — newHadoopConf copies the
+    * qualified at record time, and scan roots are re-qualified here with
+    * the SAME helper (Bootstrap.qualify), so a scheme-qualified
+    * (`file:///...`) or relative spelling of the same directory cannot
+    * slip past a string comparison. The Hadoop conf is built lazily at
+    * most once per rule invocation (apply) — newHadoopConf copies the
     * whole SQL conf, far too heavy for once-per-scan-path in the
     * analysis hot path.
     */
   private def underRaw(hc: Configuration, pathStr: String, raw: Seq[String]): Boolean = {
-    val p = new Path(pathStr)
-    val q = p.getFileSystem(hc).makeQualified(p).toString.stripSuffix("/")
+    val q = graft.Bootstrap.qualify(hc, pathStr) // record-time spelling, shared
     raw.exists(r => q == r || q.startsWith(r + "/"))
   }
 
@@ -68,13 +68,19 @@ class RbacCheckRule(session: SparkSession) extends (LogicalPlan => Unit) {
     * prefix comparison. Expand first; a pattern matching nothing falls
     * back to its literal spelling. (Batch relations need none of this:
     * their HadoopFsRelation/FileTable rootPaths are already expanded.)
+    *
+    * FAIL CLOSED: if expansion itself errors (malformed pattern,
+    * transient filesystem failure), the path is treated as raw and the
+    * read denied — FileStreamSource re-globs per micro-batch at runtime,
+    * so an "allow now, glob later" answer would let the stream reach raw
+    * data as soon as the filesystem recovers.
     */
-  private def underRawUserPath(hc: Configuration, pathStr: String,
-                               raw: Seq[String]): Boolean = {
+  private[graft] def underRawUserPath(hc: Configuration, pathStr: String,
+                                      raw: Seq[String]): Boolean = {
     val p = new Path(pathStr)
     val matched =
       try Option(p.getFileSystem(hc).globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
-      catch { case _: Exception => Seq.empty }
+      catch { case _: Exception => return true }
     if (matched.isEmpty) underRaw(hc, pathStr, raw)
     else matched.exists(st => underRaw(hc, st.getPath.toString, raw))
   }
@@ -116,13 +122,22 @@ class RbacCheckRule(session: SparkSession) extends (LogicalPlan => Unit) {
       }
       val raw = rawPaths
       if (raw.nonEmpty) {
-        val hc = session.sessionState.newHadoopConf()
+        // lazy: newHadoopConf copies the whole SQL conf — only plans that
+        // actually reach a file-path comparison should pay it, not every
+        // SELECT 1 or trusted-view read a governed session analyzes
+        lazy val hc = session.sessionState.newHadoopConf()
         def walk(p: LogicalPlan): Unit = p match {
           case v: View if RbacTrust.isTrusted(session, v.child) =>
             () // definer's rights: the registered curated plan may read RAW
           case lr: LogicalRelation if scansRaw(hc, lr, raw) => deny(role)
           case sr: StreamingRelation
-              if (sr.dataSource.paths ++ sr.dataSource.options.get("path"))
+              // options must be probed case-INsensitively: ResolveDataSource
+              // hands DataSource the user's original key casing, so a
+              // `.option("PATH", raw)` spelling would otherwise slip past a
+              // case-sensitive get
+              if (sr.dataSource.paths ++
+                org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(
+                  sr.dataSource.options).get("path"))
                 .exists(underRawUserPath(hc, _, raw)) => deny(role)
           case s2: StreamingRelationV2 =>
             s2.table match {

@@ -141,6 +141,24 @@ class RbacSpec extends AnyFunSuite {
       }
       assert(e6.getMessage.contains("GRAFT_RBAC"))
 
+      // option-key CASING: DataSource keeps the user's original key
+      // spelling, so the check must probe options case-insensitively —
+      // `.option("PATH", ...)` must be denied exactly like `.load(path)`
+      val e7 = intercept[SparkException] {
+        s.readStream.schema(sch).format("parquet")
+          .option("PATH", s"$dir/landing").load()
+      }
+      assert(e7.getMessage.contains("GRAFT_RBAC"))
+
+      // FAIL CLOSED: a user path whose glob expansion ERRORS (malformed
+      // pattern; DataStreamReader pre-checks reject it before analysis,
+      // so the guard is probed directly) must answer "raw" — the v1
+      // streaming source re-globs per micro-batch at runtime, so an
+      // allow-on-error would read raw data once the pattern "recovers"
+      val rule = new graft.plans.RbacCheckRule(s)
+      assert(rule.underRawUserPath(s.sessionState.newHadoopConf(),
+        s"$dir/landing/{bad", Seq.empty))
+
       // the genuine curated views keep working throughout
       assert(s.sql("SELECT count(*) FROM vw_works").head().getLong(0) === 2L)
     } finally restoreDefault()
