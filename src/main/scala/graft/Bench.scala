@@ -39,32 +39,63 @@ object Bench {
     // the run for targeted iteration; unset = full contract sweep
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val results: Seq[(String, (Double, Double, Double))] =
-      SparkEntry.queries.toSeq.sortBy(_._1)
-        .filter { case (name, _) => only.forall(_.contains(name)) }
-        .flatMap { case (name, fn) =>
-        def once(): Double = {
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        }
-        try {
-          once() // warmup — untimed
-          // drain garbage accumulated by PREVIOUS queries before timing:
-          // a stop-the-world collection of the whole sweep's driver-side
-          // plans otherwise lands inside one random rep — measured as a
-          // reproducible 4-7x max/min outlier on q37, the query with the
-          // most driver jobs (iterative), and none when run alone
-          System.gc()
-          val times = Vector.fill(reps)(once()).sorted
-          Some(name -> (times.head, times(times.size / 2), times.last))
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            failed :+= (name -> String.valueOf(e.getMessage).take(200))
-            None
-        }
+    def measure(name: String,
+                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+      : Option[(Double, Double, Double)] = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
       }
+      try {
+        once() // warmup — untimed
+        // drain garbage accumulated by PREVIOUS queries before timing:
+        // a stop-the-world collection of the whole sweep's driver-side
+        // plans otherwise lands inside one random rep — measured as a
+        // reproducible 4-7x max/min outlier on q37, the query with the
+        // most driver jobs (iterative), and none when run alone
+        System.gc()
+        val times = Vector.fill(reps)(once()).sorted
+        Some((times.head, times(times.size / 2), times.last))
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          failed :+= (name -> String.valueOf(e.getMessage).take(200))
+          None
+      }
+    }
+    val sweep = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val resultsMap = scala.collection.mutable.LinkedHashMap.empty[
+      String, (Double, Double, Double)]
+    sweep.foreach { case (name, fn) =>
+      measure(name, fn).foreach(resultsMap(name) = _)
+    }
+    // Variance guard with retry: a max/min spread over the threshold means
+    // the median was measured under unstable load (a co-tenant burst, one
+    // STW pause). That is usually TRANSIENT — so re-measure just the
+    // violating queries (fresh warmup + reps) up to twice before refusing
+    // to publish; rounds 4/5 shipped no official bench because a one-shot
+    // guard turned a recoverable blip into rc!=0.
+    val varThreshold = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXVAR", "3.0").toDouble
+    def violations: Seq[(String, Double)] = resultsMap.toSeq.collect {
+      case (k, (mn, _, mx)) if mx / math.max(mn, 1e-9) > varThreshold =>
+        k -> mx / math.max(mn, 1e-9)
+    }
+    var retries = 0
+    while (violations.nonEmpty && retries < 2) {
+      retries += 1
+      violations.foreach { case (k, r) =>
+        System.err.println(
+          f"[bench] variance retry $retries: $k max/min = $r%.2fx > ${varThreshold}x")
+      }
+      val toRetry = violations.map(_._1).toSet
+      sweep.filter { case (name, _) => toRetry.contains(name) }
+        .foreach { case (name, fn) =>
+          measure(name, fn).foreach(resultsMap(name) = _)
+        }
+    }
+    val results: Seq[(String, (Double, Double, Double))] = resultsMap.toSeq
     // streaming SLO analog (BASELINE.md: p50 <= 20s / p95 <= 60s rolling):
     // push envelopes through the real source->producer->landing->curated
     // path on wall-clock time and read the KPI percentiles back.
@@ -116,19 +147,18 @@ object Bench {
     val failedJson = failed.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2._2).sum
-    // Variance guard: a query whose max/min spread exceeds the threshold
-    // was measured under unstable load (or has a nondeterministic plan) —
-    // its median is untrustworthy, so the run fails loudly rather than
-    // publishing a number the next round would regress against.
-    val varThreshold = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXVAR", "3.0").toDouble
-    val varViolations = results.collect {
-      case (k, (mn, _, mx)) if mx / math.max(mn, 1e-9) > varThreshold =>
-        k -> mx / math.max(mn, 1e-9)
-    }
+    // Violations that SURVIVED the retries: the spread is persistent
+    // (sustained co-tenant load or a nondeterministic plan), so the run
+    // still fails loudly rather than publishing a number the next round
+    // would regress against.
+    val varViolations = violations
     val guardJson = varViolations.map { case (k, r) => "\"" + k + "\":" + f(r) }
-      .mkString(s"""{"threshold":$varThreshold,"violations":{""", ",", "}}")
+      .mkString(
+        s"""{"threshold":$varThreshold,"retries":$retries,"violations":{""",
+        ",", "}}")
     varViolations.foreach { case (k, r) =>
-      System.err.println(f"[bench] VARIANCE GUARD: $k max/min = $r%.2fx > ${varThreshold}x")
+      System.err.println(
+        f"[bench] VARIANCE GUARD (after $retries retries): $k max/min = $r%.2fx > ${varThreshold}x")
     }
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"detail":$detail,"reps":$reps,"load_avg":{"before":$loadBefore,"after":$loadAfter},"failed":$failedJson,"variance_guard":$guardJson,"streaming_slo":$slo,"sf":"$sfDir"}""")
     spark.stop()

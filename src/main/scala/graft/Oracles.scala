@@ -98,6 +98,52 @@ object Oracles {
       "UNION SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.v) " +
       "SELECT v AS vec_id, min(r) AS cluster FROM reach GROUP BY v"
 
+  /** Q44 oracle — q40's reachability CTE without the vec_id bound: exact
+    * O(n²) thresholded cosine pairs over the FULL embeddings table (cheap
+    * for the oracle at test SFs) → min-label components. The Spark side
+    * must produce the same clusters from its sub-quadratic LSH candidate
+    * path — which is exactly the claim q44 exists to prove.
+    */
+  val embedNearDupFull: String =
+    "WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v " +
+      "FROM embeddings), " +
+      "pairs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b FROM e a " +
+      "JOIN e b ON a.vec_id < b.vec_id " +
+      "WHERE list_cosine_similarity(a.v, b.v) >= 0.34), " +
+      "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
+      "UNION SELECT doc_b, doc_a FROM pairs), " +
+      "verts AS (SELECT DISTINCT src AS v FROM edges), " +
+      "reach(v, r) AS (SELECT v, v FROM verts " +
+      "UNION SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.v) " +
+      "SELECT v AS vec_id, min(r) AS cluster FROM reach GROUP BY v"
+
+  /** Q45 oracle — train/benchmark 8-gram decontamination in plain set
+    * arithmetic. Tokenization mirrors TextOps.words; DuckDB 1.0 has no
+    * lateral generate_series, so the shingle index unnests a
+    * generate_series LIST in the select list instead. List slicing is
+    * 1-based inclusive: ws[i:i+7] is the 8-gram starting at word i.
+    */
+  val decontaminate: String =
+    "WITH toks AS (SELECT doc_id, source, list_filter(" +
+      "string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '') AS ws " +
+      "FROM documents), " +
+      "idx AS (SELECT doc_id, source, ws, " +
+      "unnest(generate_series(1, len(ws) - 7)) AS i FROM toks " +
+      "WHERE len(ws) >= 8), " +
+      "sh AS (SELECT doc_id, source, array_to_string(ws[i:i+7], ' ') AS sh8 " +
+      "FROM idx), " +
+      "hold AS (SELECT DISTINCT sh8 FROM sh " +
+      "WHERE source IN ('src18', 'src19')), " +
+      "tr AS (SELECT DISTINCT doc_id, sh8 FROM sh " +
+      "WHERE source NOT IN ('src18', 'src19')), " +
+      "cnt AS (SELECT doc_id, count(*) AS n FROM tr JOIN hold USING (sh8) " +
+      "GROUP BY doc_id) " +
+      "SELECT d.doc_id, CAST(coalesce(cnt.n, 0) AS BIGINT) " +
+      "AS n_overlapping_shingles, " +
+      "CAST(coalesce(cnt.n, 0) > 0 AS INTEGER) AS contaminated " +
+      "FROM (SELECT doc_id FROM documents " +
+      "WHERE source NOT IN ('src18', 'src19')) d LEFT JOIN cnt USING (doc_id)"
+
   /** Q41 oracle — per-doc top-3 TF-IDF terms. Tokenization mirrors
     * TextOps.words (lower → split on non-alphanumeric → drop empties);
     * scores are rounded to 6 places BEFORE the window ordering, matching

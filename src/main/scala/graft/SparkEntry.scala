@@ -61,6 +61,8 @@ object SparkEntry {
     "q41_tfidf_top_terms" -> (Text.q41TfIdfTopTerms _),
     "q42_quota_sample" -> (Text.q42QuotaSample _),
     "q43_pack_bins" -> (Text.q43PackBins _),
+    "q44_embed_neardup_full" -> (Dedup.q44EmbedNearDupFull _),
+    "q45_decontaminate" -> (Text.q45Decontaminate _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -215,7 +217,11 @@ object SparkEntry {
         "o AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY source " +
         "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
         "AS off FROM t) " +
-        "SELECT doc_id, source, n_tokens, off % 512 AS bin_offset, " +
+        // off is a windowed sum(BIGINT) → DuckDB HUGEINT; cast back so the
+        // driver's Arrow materialization doesn't render it as float64.
+        "SELECT doc_id, source, n_tokens, CAST(off % 512 AS BIGINT) AS bin_offset, " +
         "CAST(floor(off / 512) AS BIGINT) AS bin FROM o"),
+    "q44_embed_neardup_full" -> Oracles.embedNearDupFull,
+    "q45_decontaminate" -> Oracles.decontaminate,
   )
 }

@@ -120,9 +120,30 @@ object Dedup {
     * one join on vertex id; the high-degree hubs that form around
     * component minima are exactly what the large-star phase splits, which
     * is the algorithm's built-in skew handling.
+    *
+    * `includeSingletons = true` additionally emits an identity label
+    * (v, v) for every vertex mentioned in `pairs` — including vertices
+    * that appear ONLY in self-pairs (a, a), which the default contract
+    * silently drops as non-edges (see the NOTE at the edge build). Costs
+    * one extra distinct over the vertex set; leave it off when the
+    * producer already guarantees strict doc_a < doc_b (both in-repo
+    * producers do).
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+                          includeSingletons: Boolean = false): DataFrame = {
     val spark = pairs.sparkSession
+    // The conf toggles below are session-GLOBAL: a query planned
+    // concurrently on this session would inherit interpreted mode / tiny
+    // shuffle-partition counts. The dedicated-session requirement can't be
+    // enforced from here (jobs submitted mid-loop are invisible now), but
+    // the common violation — calling this while other jobs are already
+    // running — is detectable, so warn loudly.
+    if (spark.sparkContext.statusTracker.getActiveJobIds().nonEmpty)
+      System.err.println(
+        "[graft] WARNING: connectedComponents called while other jobs are " +
+          "active on this SparkSession; its session-global conf toggles " +
+          "(codegen/AQE/shuffle.partitions) will affect them. Run it on a " +
+          "dedicated session.")
     // every iteration builds FRESH tiny plans — whole-stage codegen would
     // JIT a new generated class per round for a label table of a few
     // thousand rows, dominating the loop's wall time; interpreted mode is
@@ -141,6 +162,10 @@ object Dedup {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    // parse defensively: vendor runtimes ship non-integer spellings (e.g.
+    // "auto") — a bare toLong would throw before the loop even starts.
+    // The original STRING is still what gets restored in finally.
+    val prevPartsN = scala.util.Try(prevParts.trim.toLong).getOrElse(200L)
     // checkpoint handles not yet released; drained in finally so the
     // non-convergence throw (and any mid-round job failure) frees every
     // materialized round — only the handle backing the RETURNED frame is
@@ -162,14 +187,31 @@ object Dedup {
     // minutes inside SizeInBytesOnlyStatsPlanVisitor (caught live in a
     // bench thread dump).
     // NOTE (contract): self-pairs (a, a) are dropped as non-edges, so a
-    // vertex appearing ONLY in self-pairs does not reach the output —
-    // callers wanting singleton coverage must union identity labels
-    // themselves. Both in-repo producers emit strictly doc_a < doc_b.
-    var (e, eCk) = materialize(
-      pairs.filter(col("doc_a") =!= col("doc_b"))
-        .select(greatest(col("doc_a"), col("doc_b")).as("hi"),
-          least(col("doc_a"), col("doc_b")).as("lo"))
-        .distinct())
+    // vertex appearing ONLY in self-pairs does not reach the output
+    // unless includeSingletons is set. Both in-repo producers emit
+    // strictly doc_a < doc_b.
+    val canonical = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("hi"),
+        least(col("doc_a"), col("doc_b")).as("lo"))
+      .distinct()
+    // singleton coverage: capture the FULL vertex set (self-pairs
+    // included) from one materialization of the canonical pairs, so the
+    // upstream pipeline that produced `pairs` is not replayed a second
+    // time for the vertex scan
+    var verts: Option[DataFrame] = None
+    var vertsCk: Option[DataFrame] = None
+    var (e, eCk) = if (includeSingletons) {
+      val (p0, p0Ck) = materialize(canonical)
+      live += p0Ck
+      val (v, vCk) = materialize(
+        p0.select(col("hi").as("doc_id"))
+          .union(p0.select(col("lo").as("doc_id"))).distinct())
+      live += vCk
+      verts = Some(v); vertsCk = Some(vCk)
+      val edges = materialize(p0.filter(col("hi") =!= col("lo")))
+      release(p0Ck) // consumed by the two materializations above
+      edges
+    } else materialize(canonical.filter(col("hi") =!= col("lo")))
     live += eCk
     var prevSig = edgeSig(e)
     var converged = false
@@ -188,7 +230,7 @@ object Dedup {
       // dedicated-session requirement stated above a hard one, not a
       // preference.
       spark.conf.set("spark.sql.shuffle.partitions",
-        math.max(1L, math.min(prevParts.toLong, prevSig._1 / 1000000L + 1L)).toString)
+        math.max(1L, math.min(prevPartsN, prevSig._1 / 1000000L + 1L)).toString)
       // large-star: every node connects its strictly-LARGER neighbors to
       // the minimum of its closed neighborhood. Operates on both edge
       // directions; splits high-degree hubs, preserves connectivity.
@@ -232,14 +274,20 @@ object Dedup {
     // the final star set backs the RETURNED plan: its checkpoint must
     // outlive this call, so exempt it from the finally drain (it is
     // reclaimed with the session, or by the caller via ContextCleaner
-    // once the result is no longer referenced)
+    // once the result is no longer referenced). Same for the vertex
+    // checkpoint when singleton coverage is on.
     live -= eCk
+    vertsCk.foreach(live -= _)
     // the fixed point is one star per component, rooted at the component
     // minimum: leaves label to their root, each root labels itself. The
     // aggregate is single-shuffle insurance that the output is exactly
-    // one row per vertex.
-    e.select(col("hi").as("doc_id"), col("lo").as("cluster"))
+    // one row per vertex. Identity labels (v, v) never override a real
+    // cluster: the component minimum is ≤ every member id, so min() keeps
+    // it, and only true singletons end up labeled with themselves.
+    val labeled = e.select(col("hi").as("doc_id"), col("lo").as("cluster"))
       .union(e.select(col("lo").as("doc_id"), col("lo").as("cluster")))
+    verts.fold(labeled)(v =>
+        labeled.union(v.select(col("doc_id"), col("doc_id").as("cluster"))))
       .groupBy("doc_id").agg(min("cluster").as("cluster"))
     } finally {
       live.toSeq.foreach(release)
@@ -288,6 +336,55 @@ object Dedup {
     connectedComponents(pairs)
       .select(col("doc_id").as("vec_id"), col("cluster"))
   }
+
+  /** The UNBOUNDED embedding near-dup path — what q40's comment promises
+    * for 100 TB, promoted to an operator: LSH candidate pairs (the
+    * bucketCap-bounded band self-join from Similarity.annCandidatePairs —
+    * no O(n²) pair enumeration anywhere in the plan) → exact cosine
+    * re-rank at `threshold` → connected components.
+    *
+    * Exactness contract: the clusters equal the brute-force-pair clusters
+    * IFF candidate generation recalls every pair ≥ threshold. That recall
+    * is a corpus+parameter property, so it is pinned empirically in
+    * EmbedNearDupSpec (containment of all brute-force threshold pairs in
+    * the candidate set at every test SF) — the hashes are deterministic,
+    * so a green spec transfers to the oracle gate. Defaults are dense
+    * (2 bits × 24 bands ⇒ P(miss) ≈ 1.4e-5 per edge at cos 0.34): these
+    * near-random corpus vectors sit at θ ≈ 70°, where any LSH needs dense
+    * coverage (same caveat as q26/q36, documented there); on real
+    * clustered embeddings the same operator prunes sharply with
+    * fewer/narrower bands.
+    */
+  def embedNearDupClusters(vectors: DataFrame, threshold: Double,
+                           nbits: Int = 2, bands: Int = 24,
+                           bucketCap: Int = 4096): DataFrame = {
+    import graft.functions.VectorOps._
+    val en = vectors.withColumn("nrm", norm(col("v")))
+    val pairs = Similarity.annCandidatePairs(vectors, nbits, bands, bucketCap)
+      // candidates come out directed (both orders present — band collision
+      // is symmetric); keep one canonical orientation before the re-rank
+      // so each pair pays its dot product once
+      .filter(col("vec_id") < col("cand_id"))
+      .join(en, "vec_id")
+      .join(en.select(col("vec_id").as("cand_id"), col("v").as("cv"),
+        col("nrm").as("cnrm")), "cand_id")
+      .filter(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")) >= threshold)
+      .select(col("vec_id").as("doc_a"), col("cand_id").as("doc_b"))
+    connectedComponents(pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster"))
+  }
+
+  /** Q44: embedding near-dup clusters over the FULL embeddings table —
+    * q40's semantics without the vec_id bound, running entirely on the
+    * sub-quadratic candidate path. Same threshold as q40 (0.34 sits
+    * ≥ 1e-5 from the nearest pair similarity at the oracle-gated SFs).
+    */
+  def q44EmbedNearDupFull(spark: SparkSession, dir: String): DataFrame =
+    embedNearDupClusters(
+      Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"),
+          graft.functions.VectorOps.toDoubleArray(col("embedding")).as("v")),
+      threshold = 0.34)
 
   /** 32-bit word hash from the md5 hex prefix — portable across engines. */
   private def h32(c: Column): Column =

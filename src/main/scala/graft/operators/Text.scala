@@ -151,4 +151,50 @@ object Text {
         .otherwise(col("h") < "c0000000"))
       .select("doc_id", "lang")
   }
+
+  /** Word-8-gram shingles: (doc_id, source, sh8). Same index-sequence
+    * shape as Dedup's 3-gram shingler; the size filter comes FIRST —
+    * sequence(0, size-8) on a short array would yield a descending
+    * [0, -1, ...] range, not an empty one.
+    */
+  private def shingles8(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 8)
+      .select(col("doc_id"), col("source"), explode(
+        transform(sequence(lit(0), size(col("ws")) - 8),
+          i => concat_ws(" ",
+            (1 to 8).map(j => element_at(col("ws"), i + j)): _*))).as("sh8"))
+
+  /** Q45: train/benchmark decontamination — the overlap-detection stage a
+    * training pipeline runs before the corpus ships: any train document
+    * sharing an 8-word shingle with the holdout (benchmark) partition is
+    * flagged. Emits one row per TRAIN doc: (doc_id,
+    * n_overlapping_shingles = distinct holdout-shared shingles,
+    * contaminated = 0/1).
+    *
+    * Scale shape: the only wide operations are keyed by the shingle
+    * string — uniformly distributed by construction (an 8-word n-gram
+    * repeats only on genuinely duplicated passages, which is exactly the
+    * signal) — and by doc_id. The holdout side is benchmark-sized
+    * (orders of magnitude smaller than train at 100 TB), so its distinct
+    * shingle set is broadcast; drop the hint and the same plan degrades
+    * gracefully to a shuffle join if a deployment's holdout outgrows it.
+    */
+  def q45Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val holdout = col("source").isin("src18", "src19")
+    val docs = Tables.load(spark, dir, "documents")
+    val sh = shingles8(docs)
+    val holdShingles = sh.filter(holdout).select("sh8").distinct()
+    // distinct per (doc_id, shingle) BEFORE the join: n_overlapping counts
+    // contaminated shingles, not their repetitions inside one doc
+    val trainShingles = sh.filter(!holdout).select("doc_id", "sh8").distinct()
+    val counts = trainShingles.join(broadcast(holdShingles), "sh8")
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    docs.filter(!holdout).select("doc_id")
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).as("n_overlapping_shingles"),
+        (coalesce(col("n"), lit(0L)) > 0).cast("int").as("contaminated"))
+  }
 }

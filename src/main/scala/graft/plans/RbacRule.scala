@@ -73,7 +73,15 @@ class RbacCheckRule(session: SparkSession) extends (LogicalPlan => Unit) {
     * transient filesystem failure), the path is treated as raw and the
     * read denied — FileStreamSource re-globs per micro-batch at runtime,
     * so an "allow now, glob later" answer would let the stream reach raw
-    * data as soon as the filesystem recovers.
+    * data as soon as the filesystem recovers. The same TOCTOU applies to
+    * a pattern that matches NOTHING at analysis time: its literal
+    * spelling need not prefix-match raw (`/lake/{landing,x}/part-*`, or a
+    * glob over a raw subpath created later), yet the source re-globs per
+    * micro-batch and can reach raw files that appear afterwards — so an
+    * empty expansion of a GLOB pattern is denied outright for governed
+    * sessions. A literal (glob-free) path that simply doesn't exist yet
+    * keeps the qualified prefix comparison: it can never expand to
+    * anything but itself.
     */
   private[graft] def underRawUserPath(hc: Configuration, pathStr: String,
                                       raw: Seq[String]): Boolean = {
@@ -81,8 +89,10 @@ class RbacCheckRule(session: SparkSession) extends (LogicalPlan => Unit) {
     val matched =
       try Option(p.getFileSystem(hc).globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
       catch { case _: Exception => return true }
-    if (matched.isEmpty) underRaw(hc, pathStr, raw)
-    else matched.exists(st => underRaw(hc, st.getPath.toString, raw))
+    if (matched.isEmpty) {
+      val isGlob = pathStr.exists(c => "*?{}[]".indexOf(c.toInt) >= 0)
+      isGlob || underRaw(hc, pathStr, raw)
+    } else matched.exists(st => underRaw(hc, st.getPath.toString, raw))
   }
 
   private def scansRaw(hc: Configuration, lr: LogicalRelation, raw: Seq[String]): Boolean =

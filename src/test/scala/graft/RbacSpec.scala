@@ -159,6 +159,21 @@ class RbacSpec extends AnyFunSuite {
       assert(rule.underRawUserPath(s.sessionState.newHadoopConf(),
         s"$dir/landing/{bad", Seq.empty))
 
+      // FAIL CLOSED on EMPTY glob expansion: a pattern whose literal
+      // spelling does NOT prefix-match raw and that matches nothing at
+      // analysis time (`/lake/land{ing,x}/nope-*`) would pass both the
+      // expansion walk and the literal fallback — but FileStreamSource
+      // re-globs per micro-batch, so the stream reaches raw files that
+      // appear later (same allow-now/glob-later TOCTOU). Any glob that
+      // expands to nothing is denied for governed sessions.
+      val hc = s.sessionState.newHadoopConf()
+      val rawQ = Seq(graft.Bootstrap.qualify(hc, s"$dir/landing"))
+      assert(rule.underRawUserPath(hc, s"$dir/land{ing,x}/nope-*", rawQ))
+      // ...while a LITERAL not-yet-existing path stays judged by prefix:
+      // it can only ever name itself, so no TOCTOU exists
+      assert(!rule.underRawUserPath(hc, s"$dir/elsewhere/later.parquet", rawQ))
+      assert(rule.underRawUserPath(hc, s"$dir/landing/later.parquet", rawQ))
+
       // the genuine curated views keep working throughout
       assert(s.sql("SELECT count(*) FROM vw_works").head().getLong(0) === 2L)
     } finally restoreDefault()

@@ -46,6 +46,23 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.loads(Path(f"{outdir}/oracle_sql.json").read_text())
     ok = bad = 0
+    # Type audit: a windowed/plain sum(BIGINT) silently widens to HUGEINT in
+    # DuckDB, which Arrow/pandas materialization renders as float64 and the
+    # hash compare then fails ("0.000000" vs "0"). Uncast DECIMAL has the
+    # same round-trip hazard. Every oracle output column must be a plain
+    # renderable type.
+    for name in sorted(oracle):
+        try:
+            desc = con.execute(f"DESCRIBE {oracle[name]}").fetchall()
+        except Exception as e:
+            print(f"TYPE-AUDIT-ERROR {name}: {str(e)[:200]}")
+            bad += 1
+            continue
+        hazards = [(c, t) for c, t, *_ in desc
+                   if "HUGEINT" in t.upper() or "DECIMAL" in t.upper()]
+        if hazards:
+            print(f"TYPE-HAZARD {name}: {hazards}")
+            bad += 1
     for name in sorted(oracle):
         sql = oracle[name]
         pq = Path(outdir) / name
