@@ -62,6 +62,56 @@ class PlanAuditSpec extends AnyFunSuite {
       "q41's tf-side doc_id bound must reach the parquet scan")
   }
 
+  private def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+    // count SHUFFLE exchange operators only: broadcasts ship the small
+    // side and reuse references are free — the corpus-sized data
+    // movements are the "Exchange <partitioning>" nodes
+    plan(df).linesIterator.count(l =>
+      l.contains("- Exchange ") && !l.contains("ReusedExchange"))
+
+  test("q16 rollup keeps both dim joins broadcast") {
+    val p = plan(Relational.q16Rollup(spark, TestSpark.Sf0001))
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj === 2, s"expected both nation+region joins broadcast, got $bhj:\n$p")
+    assert(!p.contains("SortMergeJoin"), "a dim join degraded to sort-merge")
+  }
+
+  test("q10 joins both dims broadcast") {
+    val p = plan(Relational.q10JoinDims(spark, TestSpark.Sf0001))
+    assert("BroadcastHashJoin".r.findAllIn(p).length === 2, p)
+  }
+
+  test("q41 keeps n_docs broadcast, no cartesian, window keyed by doc_id") {
+    val p = plan(graft.operators.Text.q41TfIdfTopTerms(spark, TestSpark.Sf0001))
+    assert(p.contains("BroadcastExchange"), "the 1-row n_docs side lost its broadcast")
+    assert(!p.contains("CartesianProduct"), "a join degraded to a real cartesian")
+    // the single-row n_docs cross join legitimately plans as a broadcast
+    // nested loop; any OTHER nested loop means the tf×df term join went
+    // quadratic over the vocabulary
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 1, s"term join went nested-loop ($bnlj BNLJ in plan):\n$p")
+    // the top-3 window must partition by doc_id — a global (empty-key)
+    // window would serialize the whole corpus through one task
+    val winSpec = p.linesIterator.find(_.contains("windowspecdefinition")).getOrElse("")
+    assert(winSpec.contains("doc_id"), s"window not partitioned by doc_id: $winSpec")
+  }
+
+  test("q26/q36 shuffle budget is pinned") {
+    // the ANN pipelines earn their speed by serving dedup + re-rank +
+    // top-k from ONE exchange on the query id; a refactor that re-keys a
+    // stage silently adds a corpus-sized shuffle — at 100 TB that is the
+    // difference between one pass and two
+    val e26 = shuffles(Similarity.annCosine(spark, TestSpark.Sf0001))
+    assert(e26 <= 3, s"q26 grew to $e26 shuffle exchanges (budget 3)")
+    // q36's budget is larger because the centroid TRAINING mini-pipeline
+    // (hash-stratified seed + one Lloyd round) plans inline: most of its
+    // exchanges move nCells-keyed aggregates, not the corpus. The
+    // corpus-sized exchanges stay at three (probe-rank window, home-cell
+    // join, query-id repartition feeding the re-rank + top-k).
+    val e36 = shuffles(Similarity.ivfCosine(spark, TestSpark.Sf0001))
+    assert(e36 <= 13, s"q36 grew to $e36 shuffle exchanges (budget 13)")
+  }
+
   test("the codegen'd graft_dot kernel carries the vector queries") {
     // a refactor that silently falls back to the interpreted HOF twin
     // re-opens the r2/r3 ~100x ANN regression (BENCH_NOTES.md) — pin the
