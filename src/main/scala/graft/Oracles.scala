@@ -144,6 +144,43 @@ object Oracles {
       "FROM (SELECT doc_id FROM documents " +
       "WHERE source NOT IN ('src18', 'src19')) d LEFT JOIN cnt USING (doc_id)"
 
+  /** Q46 oracle — the same doc_id-synthesized contact strings, scrubbed
+    * with DuckDB's RE2 engine: both regexes are deliberately RE2-safe so
+    * a Java-vs-RE2 semantic gap can't hide behind matching counts.
+    */
+  val piiScrub: String =
+    "WITH r AS (SELECT doc_id, text || ' contact user' || doc_id || " +
+      "'@mail.example.com' || CASE WHEN doc_id % 3 = 0 THEN " +
+      "' cc admin' || doc_id || '@ex.org' ELSE '' END || " +
+      "' tel +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') " +
+      "AS raw FROM documents) " +
+      "SELECT doc_id, " +
+      "CAST(len(regexp_extract_all(raw, " +
+      "'[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT) AS n_emails, " +
+      "CAST(len(regexp_extract_all(raw, '\\+1-555-[0-9]{4}')) AS BIGINT) " +
+      "AS n_phones, " +
+      "regexp_replace(regexp_replace(raw, " +
+      "'[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'), " +
+      "'\\+1-555-[0-9]{4}', '<PHONE>', 'g') AS scrubbed FROM r"
+
+  /** Q47 oracle — within-doc word-3-gram repetition. Same 1-based list
+    * slice trick as the q45 shingle index; dup_frac divides as DOUBLE and
+    * rounds to 6 like the Spark side.
+    */
+  val repNgrams: String =
+    "WITH toks AS (SELECT doc_id, list_filter(" +
+      "string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '') AS ws " +
+      "FROM documents), " +
+      "g AS (SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS g FROM " +
+      "(SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i " +
+      "FROM toks WHERE len(ws) >= 3)), " +
+      "agg AS (SELECT doc_id, count(*) AS n_grams, " +
+      "count(DISTINCT g) AS n_distinct FROM g GROUP BY doc_id) " +
+      "SELECT d.doc_id, CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams, " +
+      "CAST(coalesce(n_distinct, 0) AS BIGINT) AS n_distinct, " +
+      "round(1.0 - coalesce(CAST(n_distinct AS DOUBLE) / n_grams, 1.0), 6) " +
+      "AS dup_frac FROM documents d LEFT JOIN agg USING (doc_id)"
+
   /** Q41 oracle — per-doc top-3 TF-IDF terms. Tokenization mirrors
     * TextOps.words (lower → split on non-alphanumeric → drop empties);
     * scores are rounded to 6 places BEFORE the window ordering, matching

@@ -63,6 +63,8 @@ object SparkEntry {
     "q43_pack_bins" -> (Text.q43PackBins _),
     "q44_embed_neardup_full" -> (Dedup.q44EmbedNearDupFull _),
     "q45_decontaminate" -> (Text.q45Decontaminate _),
+    "q46_pii_scrub" -> (Text.q46PiiScrub _),
+    "q47_rep_ngrams" -> (Text.q47RepNgrams _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -223,5 +225,7 @@ object SparkEntry {
         "CAST(floor(off / 512) AS BIGINT) AS bin FROM o"),
     "q44_embed_neardup_full" -> Oracles.embedNearDupFull,
     "q45_decontaminate" -> Oracles.decontaminate,
+    "q46_pii_scrub" -> Oracles.piiScrub,
+    "q47_rep_ngrams" -> Oracles.repNgrams,
   )
 }

@@ -181,6 +181,68 @@ object Text {
     * shingle set is broadcast; drop the hint and the same plan degrades
     * gracefully to a shuffle join if a deployment's holdout outgrows it.
     */
+  /** Q46: PII redaction — the scrub stage a corpus runs before text ships
+    * to training: emails and phone numbers are replaced with typed
+    * placeholders and counted per document. The corpus text is synthetic
+    * word soup, so (as q08/q32 do for the masking family) the PII is
+    * synthesized deterministically from doc_id and appended — the
+    * operator's regexes then run against real positive AND negative rows
+    * (every doc has ≥1 of each; doc_id % 3 == 0 carries a second email).
+    *
+    * Pure per-row narrow work — no shuffle, scales with input splits.
+    * Both regexes are RE2-safe (no backreferences, no lookaround), so the
+    * same patterns run identically on Spark's Java engine and DuckDB's
+    * RE2, and on any engine a deployment might scrub with.
+    */
+  def q46PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "\\+1-555-[0-9]{4}"
+    val raw = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@mail.example.com"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit(" cc admin"), col("doc_id"), lit("@ex.org")))
+        .otherwise(lit("")),
+      lit(" tel +1-555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        regexp_count(raw, lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(raw, lit(phoneRe)).cast("long").as("n_phones"),
+        regexp_replace(regexp_replace(raw, lit(emailRe), lit("<EMAIL>")),
+          lit(phoneRe), lit("<PHONE>")).as("scrubbed"))
+  }
+
+  /** Q47: within-document repetition stats — the Gopher-style "duplicate
+    * n-gram fraction" filter signal (rendered corpora repeat boilerplate;
+    * high dup_frac flags them for removal). Counts word-3-grams per doc
+    * and the distinct subset; dup_frac = 1 - distinct/total.
+    *
+    * One narrow explode feeding a single partial-agg groupBy(doc_id) —
+    * count and count(distinct) share the shuffle. Docs under 3 words
+    * report 0 grams and dup_frac 0.0 (nothing repeats in an empty set).
+    */
+  def q47RepNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val grams = docs
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(col("ws")) - 3),
+          i => concat_ws(" ",
+            element_at(col("ws"), i + 1),
+            element_at(col("ws"), i + 2),
+            element_at(col("ws"), i + 3)))).as("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct(col("g")).as("n_distinct"))
+    docs.select(col("doc_id")).join(grams, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        round(lit(1.0) - coalesce(col("n_distinct").cast("double") /
+          col("n_grams"), lit(1.0)), 6).as("dup_frac"))
+  }
+
   def q45Decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val holdout = col("source").isin("src18", "src19")
     val docs = Tables.load(spark, dir, "documents")

@@ -105,4 +105,40 @@ class CorpusOpsSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got === expected)
   }
+
+  test("q46: every synthesized PII token is found, counted, and scrubbed") {
+    val rows = Text.q46PiiScrub(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.length === 500)
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}".r
+    rows.foreach { case (id, nEmails, nPhones, scrubbed) =>
+      assert(nEmails === (if (id % 3 == 0) 2L else 1L), s"doc $id email count")
+      assert(nPhones === 1L, s"doc $id phone count")
+      // the scrub must be complete: no residual match for either pattern
+      assert(emailRe.findFirstIn(scrubbed).isEmpty, s"doc $id leaked an email")
+      assert(!scrubbed.contains("+1-555-"), s"doc $id leaked a phone")
+      assert(scrubbed.contains("<EMAIL>") && scrubbed.contains("<PHONE>"))
+    }
+  }
+
+  test("q47: duplicate 3-gram fraction matches a hand-computed fixture") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q47fixture").toString
+    Seq(
+      // grams: "a b a","b a b","a b a","b a b" -> 4 total, 2 distinct
+      (0L, "a b a b a b", "en", "s1", 11L),
+      // 2 words: no 3-grams, dup_frac 0 by contract
+      (1L, "x y", "en", "s1", 3L),
+      // all distinct grams
+      (2L, "one two three four", "en", "s2", 18L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = Text.q47RepNgrams(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got === Set(
+      (0L, 4L, 2L, 0.5),
+      (1L, 0L, 0L, 0.0),
+      (2L, 2L, 2L, 0.0)))
+  }
 }
