@@ -71,6 +71,28 @@ object VectorOps {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Random-hyperplane LSH signature ('0'/'1' chars, one per plane) via
+    * the codegen'd [[LshBits]] kernel — bit-for-bit the HOF formulation
+    * it replaced (see LshKernelSpec), ~100× cheaper per row.
+    */
+  def lshBits(v: Column, planes: Int): Column =
+    ColumnBridge.column(LshBits(
+      ColumnBridge.expression(v.cast("array<double>")), planes))
+
+  /** The interpreted HOF twin of [[lshBits]] — retained ONLY as the
+    * independent oracle for LshKernelSpec (it is the exact expression
+    * bandAssignments shipped through round 6). Returns array<string>
+    * of single bits; the spec concatenates for comparison.
+    */
+  def lshBitsHof(v: Column, planes: Int): Column =
+    transform(sequence(lit(0), lit(planes - 1)), p => {
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, i) => when(pmod(hash(p, i), lit(2)) === 0, x).otherwise(-x)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit("1")).otherwise(lit("0"))
+    })
+
   /** Cosine similarity; matches DuckDB list_cosine_similarity shape
     * dot/(|a|*|b|).
     */

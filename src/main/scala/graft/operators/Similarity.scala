@@ -63,21 +63,18 @@ object Similarity {
   def bandAssignments(vectors: DataFrame, vecCol: String, nbits: Int,
                       bands: Int, bucketCap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // all bands in ONE pass over the vectors AND one lambda: the plane
-    // index is the transform variable, so the generated code is a single
-    // loop nest over (plane × dim) instead of bands×nbits unrolled
-    // aggregate expressions — identical values (hash(plane, dim) is
-    // value-based), far smaller codegen unit to JIT.
-    val allBits = transform(sequence(lit(0), lit(bands * nbits - 1)), p => {
-      val proj = aggregate(
-        zip_with(col(vecCol), sequence(lit(0), size(col(vecCol)) - 1),
-          (x, i) => when(pmod(hash(p, i), lit(2)) === 0, x).otherwise(-x)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit("1")).otherwise(lit("0"))
-    })
-    val withBits = vectors.select(col("vec_id"), allBits.as("_bits"))
+    // all bands in ONE pass over the vectors via the codegen'd
+    // graft_lsh_bits kernel (functions/LshKernel.scala) — the interpreted
+    // transform/aggregate/zip_with formulation it replaced (kept as
+    // VectorOps.lshBitsHof, parity-pinned in LshKernelSpec) walked generic
+    // ArrayData per (row × plane × dim) and profiled at 2.2 s PER SIDE of
+    // the q44 band self-join at sf0.1 — the single largest cost in the
+    // bench sweep. Same Murmur3 chain, so buckets (and every pinned
+    // recall) are bit-for-bit unchanged.
+    val withBits = vectors.select(col("vec_id"),
+      graft.functions.VectorOps.lshBits(col(vecCol), bands * nbits).as("_bits"))
     val bucketCols = (0 until bands).map(b =>
-      concat_ws("", slice(col("_bits"), b * nbits + 1, nbits)))
+      substring(col("_bits"), b * nbits + 1, nbits))
     val banded = withBits.select(col("vec_id"),
       posexplode(array(bucketCols: _*)).as(Seq("band", "bucket")))
     val w = Window.partitionBy("band", "bucket")
