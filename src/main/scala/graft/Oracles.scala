@@ -181,6 +181,35 @@ object Oracles {
       "round(1.0 - coalesce(CAST(n_distinct AS DOUBLE) / n_grams, 1.0), 6) " +
       "AS dup_frac FROM documents d LEFT JOIN agg USING (doc_id)"
 
+  /** Q48 oracle — DuckDB's quantile_cont is the same interpolated rank
+    * formula ((1-g)·v[k] + g·v[k+1] at p·(n-1)) as Spark's exact
+    * `percentile`, so values match to the 6-dp rounding on both sides.
+    */
+  val tokenPercentiles: String =
+    "WITH t AS (SELECT source, CAST(len(list_filter(" +
+      "string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')) " +
+      "AS BIGINT) AS n FROM documents) " +
+      "SELECT source, round(quantile_cont(n, 0.5), 6) AS p50, " +
+      "round(quantile_cont(n, 0.9), 6) AS p90, " +
+      "round(quantile_cont(n, 0.99), 6) AS p99, " +
+      "count(*) AS cnt FROM t GROUP BY source"
+
+  /** Q49 oracle — the same running-max window formulation (the default
+    * RANGE frame keeps same-instant events peers on both engines); the
+    * second-truncated timestamp matches the q07/q38 convention.
+    */
+  val asOfLastView: String =
+    "WITH t AS (SELECT event_id, user_id, event_type, ts FROM events " +
+      "WHERE event_type IN ('purchase', 'view')), " +
+      "o AS (SELECT *, max(CASE WHEN event_type = 'view' THEN ts END) " +
+      "OVER (PARTITION BY user_id ORDER BY ts) AS lv, " +
+      "count(CASE WHEN event_type = 'view' THEN 1 END) " +
+      "OVER (PARTITION BY user_id ORDER BY ts) AS nv FROM t) " +
+      "SELECT event_id AS purchase_id, user_id, " +
+      "CAST(date_trunc('second', lv) AS TIMESTAMP) AS last_view_ts, " +
+      "CAST(nv AS BIGINT) AS n_views_before FROM o " +
+      "WHERE event_type = 'purchase'"
+
   /** Q41 oracle — per-doc top-3 TF-IDF terms. Tokenization mirrors
     * TextOps.words (lower → split on non-alphanumeric → drop empties);
     * scores are rounded to 6 places BEFORE the window ordering, matching

@@ -65,6 +65,8 @@ object SparkEntry {
     "q45_decontaminate" -> (Text.q45Decontaminate _),
     "q46_pii_scrub" -> (Text.q46PiiScrub _),
     "q47_rep_ngrams" -> (Text.q47RepNgrams _),
+    "q48_token_percentiles" -> (Text.q48TokenPercentiles _),
+    "q49_asof_last_view" -> (Relational.q49AsOfLastView _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -227,5 +229,7 @@ object SparkEntry {
     "q45_decontaminate" -> Oracles.decontaminate,
     "q46_pii_scrub" -> Oracles.piiScrub,
     "q47_rep_ngrams" -> Oracles.repNgrams,
+    "q48_token_percentiles" -> Oracles.tokenPercentiles,
+    "q49_asof_last_view" -> Oracles.asOfLastView,
   )
 }

@@ -200,4 +200,32 @@ object Relational {
       .select(col("user_id"),
         date_trunc("second", col("session_window.start")).as("session_start"),
         col("cnt"))
+
+  /** Q49: backward as-of join — for every purchase, the most recent view
+    * by the same user at or before it (attribution's "last touch"). The
+    * scalable formulation is NOT a join at all: one running-max window
+    * per user over the time-ordered union serves every purchase in a
+    * single shuffle — where a real as-of join would need a range
+    * condition no equi-join machinery can satisfy. The default window
+    * frame (RANGE UNBOUNDED PRECEDING..CURRENT ROW) makes same-instant
+    * events peers, so the result is total-order-independent — the
+    * property that keeps it deterministic across engines and runs (the
+    * corpus has no same-user same-µs collisions; if one appears, both
+    * engines still agree).
+    */
+  def q49AsOfLastView(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    Tables.load(spark, dir, "events")
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .withColumn("last_view_ts",
+        max(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("n_views_before",
+        count(when(col("event_type") === "view", lit(1))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        date_trunc("second", col("last_view_ts")).as("last_view_ts"),
+        col("n_views_before"))
+  }
 }

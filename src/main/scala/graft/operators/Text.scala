@@ -243,6 +243,30 @@ object Text {
           col("n_grams"), lit(1.0)), 6).as("dup_frac"))
   }
 
+  /** Q48: per-source token-length distribution — the corpus-shape report
+    * a mixing/packing stage reads (is src X long-form? did a re-crawl
+    * shift the p99?). Exact interpolated percentiles (Spark `percentile`,
+    * the same rank formula as DuckDB's `quantile_cont`), one shuffle.
+    *
+    * Scale note: exact percentile aggregates a value→count map per
+    * partition, so memory is bounded by DISTINCT token lengths (small
+    * ints — thousands at worst), not rows; safe at any corpus size. For
+    * genuinely unbounded value domains the sketch twin is
+    * `approx_percentile`, pinned within tolerance of this exact result in
+    * CorpusOpsSpec (the q20↔q31 pattern).
+    */
+  def q48TokenPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), size(words(col("text"))).cast("long").as("n"))
+      .groupBy("source")
+      .agg(expr("percentile(n, array(0.5D, 0.9D, 0.99D))").as("ps"),
+        count(lit(1)).as("cnt"))
+      .select(col("source"),
+        round(element_at(col("ps"), 1), 6).as("p50"),
+        round(element_at(col("ps"), 2), 6).as("p90"),
+        round(element_at(col("ps"), 3), 6).as("p99"),
+        col("cnt"))
+
   def q45Decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val holdout = col("source").isin("src18", "src19")
     val docs = Tables.load(spark, dir, "documents")

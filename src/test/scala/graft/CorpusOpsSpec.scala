@@ -141,4 +141,66 @@ class CorpusOpsSpec extends AnyFunSuite {
       (1L, 0L, 0L, 0.0),
       (2L, 2L, 2L, 0.0)))
   }
+
+  test("q48: the approx_percentile sketch stays within 5% of the exact result") {
+    // the oracle pins the EXACT percentiles; this pins the scale twin
+    // (same pattern as q31-vs-q20 for distinct counts): a corpus whose
+    // value domain outgrows the exact map switches to the sketch and
+    // inherits a verified error bound
+    val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
+      .select(col("source"),
+        size(graft.functions.TextOps.words(col("text"))).cast("long").as("n"))
+    val joined = Text.q48TokenPercentiles(spark, TestSpark.Sf0001)
+      .join(docs.groupBy("source")
+        .agg(expr("approx_percentile(n, array(0.5D, 0.9D, 0.99D), 10000)").as("ap")),
+        "source")
+      .select(col("source"), col("p50"), col("p90"), col("p99"),
+        element_at(col("ap"), 1).cast("double").as("a50"),
+        element_at(col("ap"), 2).cast("double").as("a90"),
+        element_at(col("ap"), 3).cast("double").as("a99"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      for ((e, a) <- Seq((r.getDouble(1), r.getDouble(4)),
+        (r.getDouble(2), r.getDouble(5)), (r.getDouble(3), r.getDouble(6)))) {
+        assert(math.abs(a - e) <= math.max(0.05 * e, 1.0),
+          s"${r.getString(0)}: approx $a vs exact $e")
+      }
+    }
+  }
+
+  test("q49: purchases with no prior view report null ts and zero count") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q49fixture").toString
+    // the corpus stores events.ts as INT64 nanos (Tables.load converts);
+    // the fixture mimics that physical format
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def ns(mins: Int): Long = (t0.getTime + mins * 60000L) * 1000000L
+    def tss(mins: Int): String =
+      new java.sql.Timestamp(t0.getTime + mins * 60000L).toString
+    Seq(
+      // u1: view, view, purchase (sees 2 views, last at +20), purchase at
+      // +40 still sees the same last view
+      (1L, 100L, "view", ns(0), 5.0, "{}"),
+      (2L, 100L, "view", ns(20), 5.0, "{}"),
+      (3L, 100L, "purchase", ns(30), 9.99, "{}"),
+      (4L, 100L, "purchase", ns(40), 1.0, "{}"),
+      // u2: purchase BEFORE its only view -> null/0; later purchase sees it
+      (5L, 200L, "purchase", ns(10), 2.0, "{}"),
+      (6L, 200L, "view", ns(15), 0.0, "{}"),
+      (7L, 200L, "purchase", ns(25), 3.0, "{}"),
+      // noise event types are excluded entirely
+      (8L, 100L, "error", ns(35), 0.0, "{}"))
+      .toDF("event_id", "user_id", "event_type", "ts", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val got = graft.operators.Relational.q49AsOfLastView(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getTimestamp(2)).map(_.toString), r.getLong(3)))
+      .toSet
+    assert(got === Set(
+      (3L, Some(tss(20)), 2L),
+      (4L, Some(tss(20)), 2L),
+      (5L, None, 0L),
+      (7L, Some(tss(15)), 1L)))
+  }
 }
