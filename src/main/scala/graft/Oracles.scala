@@ -210,6 +210,22 @@ object Oracles {
       "CAST(nv AS BIGINT) AS n_views_before FROM o " +
       "WHERE event_type = 'purchase'"
 
+  /** Q50 oracle — q43's bin window verbatim, then string_agg in doc_id
+    * order. total_tokens is a sum(BIGINT) → cast back from HUGEINT
+    * (see q43's bin_offset erratum; the type audit now pins the class).
+    */
+  val packAssemble: String =
+    "WITH t AS (SELECT doc_id, source, text, CAST(len(list_filter(" +
+      "string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')) " +
+      "AS BIGINT) AS n_tokens FROM documents), " +
+      "o AS (SELECT *, CAST(floor(coalesce(sum(n_tokens) OVER (" +
+      "PARTITION BY source ORDER BY doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) " +
+      "AS BIGINT) AS bin FROM t) " +
+      "SELECT source, bin, string_agg(text, ' ' ORDER BY doc_id) AS packed, " +
+      "CAST(sum(n_tokens) AS BIGINT) AS total_tokens, count(*) AS n_docs " +
+      "FROM o GROUP BY source, bin"
+
   /** Q41 oracle — per-doc top-3 TF-IDF terms. Tokenization mirrors
     * TextOps.words (lower → split on non-alphanumeric → drop empties);
     * scores are rounded to 6 places BEFORE the window ordering, matching

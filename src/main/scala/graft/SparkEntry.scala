@@ -67,6 +67,7 @@ object SparkEntry {
     "q47_rep_ngrams" -> (Text.q47RepNgrams _),
     "q48_token_percentiles" -> (Text.q48TokenPercentiles _),
     "q49_asof_last_view" -> (Relational.q49AsOfLastView _),
+    "q50_pack_assemble" -> (Text.q50PackAssemble _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -231,5 +232,6 @@ object SparkEntry {
     "q47_rep_ngrams" -> Oracles.repNgrams,
     "q48_token_percentiles" -> Oracles.tokenPercentiles,
     "q49_asof_last_view" -> Oracles.asOfLastView,
+    "q50_pack_assemble" -> Oracles.packAssemble,
   )
 }

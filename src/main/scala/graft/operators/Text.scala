@@ -135,6 +135,34 @@ object Text {
         floor(col("offset") / budget).as("bin"))
   }
 
+  /** Q50: pack ASSEMBLY — materializes the sequences q43 assigns: the
+    * documents of each (source, bin) concatenated in doc_id order, plus
+    * the bin's token total and member count. Same per-shard window as
+    * q43 (bit-identical bin ids), then ONE groupBy(source, bin): the
+    * in-bin ordering rides a sort_array over collected (doc_id, text)
+    * structs — an in-memory sort of ≤ budget-bounded members per bin, not
+    * a shuffle. Bins are capacity-bounded by construction (budget 512
+    * tokens), so collect_list cannot blow up on skew at any corpus size.
+    */
+  def q50PackAssemble(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 512L // tokens per packed sequence (q43's constant)
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"),
+        size(words(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("bin",
+        floor(coalesce(sum("n_tokens").over(w), lit(0L)) / budget))
+      .groupBy("source", "bin")
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(struct(col("doc_id"), col("text")))),
+          _.getField("text")), " ").as("packed"),
+        sum("n_tokens").as("total_tokens"),
+        count(lit(1)).as("n_docs"))
+  }
+
   /** Q42: deterministic per-language quota sampling — training-mix
     * rebalancing (downsample the dominant language, keep the tail). The
     * keep decision is a pure hash threshold on the salted doc id, so the

@@ -203,4 +203,28 @@ class CorpusOpsSpec extends AnyFunSuite {
       (5L, None, 0L),
       (7L, Some(tss(15)), 1L)))
   }
+
+  test("q50 assembles exactly q43's bins: same membership, same token sums") {
+    // the two queries recompute the same window independently — pin that
+    // they cannot drift apart (a budget or ordering edit to one alone
+    // breaks this before it breaks the oracle)
+    val bins = Text.q43PackBins(spark, TestSpark.Sf0001)
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val packs = Text.q50PackAssemble(spark, TestSpark.Sf0001).collect()
+    assert(packs.length === bins.size)
+    packs.foreach { r =>
+      val key = (r.getString(0), r.getLong(1))
+      val (nDocs, totTok) = bins(key)
+      assert(r.getLong(4) === nDocs, s"$key member count")
+      assert(r.getLong(3) === totTok, s"$key token sum")
+      // the packed string carries every member: its whitespace token
+      // count is the bin's token total (texts concatenate with ' ')
+      val tokens = r.getString(2).toLowerCase.split("[^a-z0-9]+").count(_.nonEmpty)
+      assert(tokens === totTok, s"$key packed token count")
+    }
+  }
 }
