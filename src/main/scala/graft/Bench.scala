@@ -77,10 +77,24 @@ object Bench {
     // violating queries (fresh warmup + reps) up to twice before refusing
     // to publish; rounds 4/5 shipped no official bench because a one-shot
     // guard turned a recoverable blip into rc!=0.
+    //
+    // Heavy queries (median > 1 s) re-measure at a TIGHTER 2× trigger
+    // (r6 verdict: q44/q37 medians passed the 3× guard while 2.0-2.6×
+    // load-inflated vs their clean-sweep numbers). Only the 3× threshold
+    // fails the run — a persistent 2-3× spread on a heavy query is
+    // published but flagged in variance_guard.soft, so the next round
+    // regresses against the min, not a possibly-inflated median.
     val varThreshold = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXVAR", "3.0").toDouble
-    def violations: Seq[(String, Double)] = resultsMap.toSeq.collect {
-      case (k, (mn, _, mx)) if mx / math.max(mn, 1e-9) > varThreshold =>
-        k -> mx / math.max(mn, 1e-9)
+    val heavyThreshold = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXVAR_HEAVY", "2.0").toDouble
+    def spreadOf(k: String): Double = {
+      val (mn, _, mx) = resultsMap(k)
+      mx / math.max(mn, 1e-9)
+    }
+    def triggerFor(k: String): Double =
+      if (resultsMap(k)._2 > 1.0) math.min(varThreshold, heavyThreshold)
+      else varThreshold
+    def violations: Seq[(String, Double)] = resultsMap.keys.toSeq.collect {
+      case k if spreadOf(k) > triggerFor(k) => k -> spreadOf(k)
     }
     var retries = 0
     while (violations.nonEmpty && retries < 2) {
@@ -147,22 +161,40 @@ object Bench {
     val failedJson = failed.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2._2).sum
-    // Violations that SURVIVED the retries: the spread is persistent
-    // (sustained co-tenant load or a nondeterministic plan), so the run
-    // still fails loudly rather than publishing a number the next round
-    // would regress against.
-    val varViolations = violations
-    val guardJson = varViolations.map { case (k, r) => "\"" + k + "\":" + f(r) }
-      .mkString(
-        s"""{"threshold":$varThreshold,"retries":$retries,"violations":{""",
-        ",", "}}")
-    varViolations.foreach { case (k, r) =>
+    // Post-retry split: only >3× spreads fail the run (hard); persistent
+    // 2-3× spreads on heavy queries are published with a soft flag (the
+    // spread is real co-tenant load, the median is still the best honest
+    // estimate — but BENCH_NOTES regression should use the min).
+    val hardViolations = violations.filter(_._2 > varThreshold)
+    val softViolations = violations.filterNot(v => hardViolations.exists(_._1 == v._1))
+    def vmap(vs: Seq[(String, Double)]): String =
+      vs.map { case (k, r) => "\"" + k + "\":" + f(r) }.mkString("{", ",", "}")
+    val guardJson =
+      s"""{"threshold":$varThreshold,"heavy_threshold":$heavyThreshold,""" +
+        s""""retries":$retries,"violations":${vmap(hardViolations)},""" +
+        s""""soft":${vmap(softViolations)}}"""
+    hardViolations.foreach { case (k, r) =>
       System.err.println(
         f"[bench] VARIANCE GUARD (after $retries retries): $k max/min = $r%.2fx > ${varThreshold}x")
     }
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"detail":$detail,"reps":$reps,"load_avg":{"before":$loadBefore,"after":$loadAfter},"failed":$failedJson,"variance_guard":$guardJson,"streaming_slo":$slo,"sf":"$sfDir"}""")
+    softViolations.foreach { case (k, r) =>
+      System.err.println(
+        f"[bench] variance soft-flag (after $retries retries): $k max/min = $r%.2fx > ${heavyThreshold}x (heavy)")
+    }
+    val fullJson = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"detail":$detail,"reps":$reps,"load_avg":{"before":$loadBefore,"after":$loadAfter},"failed":$failedJson,"variance_guard":$guardJson,"streaming_slo":$slo,"sf":"$sfDir"}"""
+    // The official artifact is a TAIL capture of stdout (BENCH_r06.json
+    // arrived truncated mid-detail, parsed:null). Emission order makes the
+    // artifact self-contained regardless of how much tail survives:
+    //   1. the full JSON (detail included) goes to a file + first stdout line
+    //   2. the LAST stdout line is a compact summary (no per-query detail,
+    //      ~1.5 KB) that always fits a tail capture and parses standalone,
+    //      carrying a detail_file pointer to the full record.
+    val detailFile = java.nio.file.Paths.get("bench_detail.json").toAbsolutePath
+    java.nio.file.Files.writeString(detailFile, fullJson + "\n")
+    println(fullJson)
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"reps":$reps,"load_avg":{"before":$loadBefore,"after":$loadAfter},"failed":$failedJson,"variance_guard":$guardJson,"streaming_slo":$slo,"sf":"$sfDir","detail_file":"${esc(detailFile.toString)}"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
-    if (varViolations.nonEmpty) sys.exit(3)
+    if (hardViolations.nonEmpty) sys.exit(3)
   }
 }

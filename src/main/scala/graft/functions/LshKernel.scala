@@ -32,6 +32,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *                          DESCENDING [0, -1]; zip_with pads v with
   *                          nulls — same poisoning)
   *   - bit p of plane p  -> '1' iff the signed sum is >= 0
+  *   - a NaN sum         -> '1': the HOF's Spark SQL `proj >= 0` orders
+  *                          NaN greater than everything, so the kernel
+  *                          tests `!(s < 0)` (identical for every non-NaN
+  *                          double) instead of Java's `s >= 0` (which is
+  *                          false for NaN) — parity covers non-finite
+  *                          inputs too, pinned by the NaN/Inf fixtures in
+  *                          LshKernelSpec
   */
 case class LshBits(vector: Expression, planes: Int) extends UnaryExpression {
 
@@ -65,7 +72,9 @@ case class LshBits(vector: Expression, planes: Int) extends UnaryExpression {
           s += (if ((Murmur3_x86_32.hashInt(j, hp) & 1) == 0) x else -x)
           j += 1
         }
-        bits(p) = if (s >= 0) '1'.toByte else '0'.toByte
+        // !(s < 0), not (s >= 0): NaN must take the '1' branch like the
+        // HOF twin's Spark SQL comparison (NaN is greatest) — see Scaladoc
+        bits(p) = if (!(s < 0)) '1'.toByte else '0'.toByte
         p += 1
       }
     }
@@ -102,7 +111,7 @@ case class LshBits(vector: Expression, planes: Int) extends UnaryExpression {
          |      final double $x = $v.getDouble($j);
          |      $s += (($mm.hashInt($j, $hp) & 1) == 0) ? $x : -$x;
          |    }
-         |    $bits[$p] = ($s >= 0.0) ? (byte) '1' : (byte) '0';
+         |    $bits[$p] = (!($s < 0.0)) ? (byte) '1' : (byte) '0';
          |  }
          |}
          |${ev.value} = $utf8.fromBytes($bits);

@@ -59,6 +59,14 @@ object Similarity {
     * `bucketCap` bounds any one (band, bucket) group: a hot bucket (skewed
     * hash region — the 100 TB failure mode, where one bucket goes quadratic)
     * deterministically keeps only the `bucketCap` lowest-hashed members.
+    *
+    * NULL-vector contract (ADVICE r6, intentional divergence from the
+    * pre-kernel concat_ws formulation): a NULL vector's signature is NULL,
+    * so its bucket is NULL and it drops out of the candidate equi-join —
+    * NULL vectors are never near-dup candidates. The old concat_ws bucket
+    * was "" (equi-joinable), which paired every NULL vector with every
+    * other — garbage candidates that only looked harmless because the
+    * corpus has no NULL embeddings.
     */
   def bandAssignments(vectors: DataFrame, vecCol: String, nbits: Int,
                       bands: Int, bucketCap: Int): DataFrame = {

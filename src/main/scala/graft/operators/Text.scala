@@ -143,6 +143,14 @@ object Text {
     * structs — an in-memory sort of ≤ budget-bounded members per bin, not
     * a shuffle. Bins are capacity-bounded by construction (budget 512
     * tokens), so collect_list cannot blow up on skew at any corpus size.
+    *
+    * Zero-token caveat (ADVICE r6): the capacity bound counts TOKENS, so a
+    * doc with zero tokens (empty / all-punctuation text) doesn't advance
+    * the running sum — an arbitrarily long run of them shares one offset
+    * and lands in a single bin's collect_list. The synthetic corpus never
+    * emits such docs; a deployment whose corpus can should filter them
+    * before binning (they carry no trainable content) or bump with
+    * greatest(n_tokens, 1) to restore the bound.
     */
   def q50PackAssemble(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -34,6 +34,15 @@ class LshKernelSpec extends AnyFunSuite {
       Row("null_element", Seq(1.0, null, 3.0)),
       Row("single", Seq(-2.5)),
       Row("zeros", Seq.fill(8)(0.0)),
+      // non-finite coverage (ADVICE r6): a NaN element makes every plane's
+      // sum NaN — the kernel's !(s < 0) must take the same '1' branch as
+      // the HOF's Spark SQL `proj >= 0` (NaN is greatest). Infinities sum
+      // to ±Inf per plane (ordinary comparisons), and the mixed row can hit
+      // Inf + -Inf = NaN on some planes — identical double arithmetic on
+      // both sides either way.
+      Row("nan_element", Seq(1.0, Double.NaN, 3.0)),
+      Row("pos_inf", Seq(Double.PositiveInfinity, 1.0, -2.0)),
+      Row("inf_nan_mix", Seq(Double.PositiveInfinity, Double.NegativeInfinity)),
     ) ++ (0 until 20).map(k =>
       Row(s"rand$k", Seq.fill(64)(rng.nextGaussian())))
     spark.createDataFrame(rows.asJava, schema)
@@ -58,6 +67,8 @@ class LshKernelSpec extends AnyFunSuite {
     assert(byLabel("empty") == "0" * 48, "empty vector must poison to all-zero")
     assert(byLabel("null_element") == "0" * 48, "null element must poison to all-zero")
     assert(byLabel("zeros") == "1" * 48, "zero sums take the >= 0 branch")
+    assert(byLabel("nan_element") == "1" * 48,
+      "NaN sums must take the '1' branch (Spark NaN-is-greatest semantics)")
     val r0 = byLabel("rand0").asInstanceOf[String]
     assert(r0.length == 48 && r0.forall(c => c == '0' || c == '1'))
     assert(r0.contains('0') && r0.contains('1'),
