@@ -12,18 +12,53 @@ object Oracles {
       "unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w " +
       s"FROM documents $where))"
 
-  /** Q22 oracle — word-3-gram shingles, 8 md5 min-hashes, 4 bands of 2. */
-  val minHashBands: String = {
+  /** The whole minhash→bands→pairs→components family is generated from
+    * CTE-list builders parameterized on (source relation, name prefix), so
+    * the standalone oracles (q22/q35/q37 over `documents`) and the q51
+    * pipeline oracle (the same stages over its filtered survivor CTE) are
+    * guaranteed to share one band/hash scheme — in lockstep with the Spark
+    * side, where Dedup.minHashBandsOn/lshPairsOn are likewise frame-
+    * parameterized.
+    */
+  def bandCtes(src: String, p: String): String = {
     val mins = (0 until 8).map(i => s"min(md5('$i|' || sh)) AS h$i").mkString(", ")
-    "WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), " +
-      "x -> x <> '') AS w FROM documents), " +
-      "sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, " +
+    s"${p}w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), " +
+      s"x -> x <> '') AS w FROM $src), " +
+      s"${p}shg AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, " +
       "unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh " +
-      "FROM w WHERE len(w) >= 3)), " +
-      s"mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id) " +
-      "SELECT doc_id, md5(h0 || h1) AS b0, md5(h2 || h3) AS b1, " +
-      "md5(h4 || h5) AS b2, md5(h6 || h7) AS b3 FROM mh"
+      s"FROM ${p}w WHERE len(w) >= 3)), " +
+      s"${p}mh AS (SELECT doc_id, $mins FROM ${p}shg GROUP BY doc_id), " +
+      s"${p}bands AS (SELECT doc_id, md5(h0 || h1) AS b0, md5(h2 || h3) AS b1, " +
+      s"md5(h4 || h5) AS b2, md5(h6 || h7) AS b3 FROM ${p}mh)"
   }
+
+  def pairCtes(src: String, p: String): String = {
+    val unpivot = (0 until 4)
+      .map(i => s"SELECT doc_id, $i AS band, b$i AS bv FROM ${p}bands")
+      .mkString(" UNION ALL ")
+    bandCtes(src, p) + s", ${p}long AS ($unpivot), " +
+      s"${p}pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+      s"FROM ${p}long a JOIN ${p}long b ON a.band = b.band AND a.bv = b.bv " +
+      "AND a.doc_id < b.doc_id)"
+  }
+
+  /** Components of the pair graph via a recursive reachability CTE;
+    * component label = min reachable doc_id. (Tractable in DuckDB because
+    * the oracle corpus's pair graph is tiny; the Spark side uses star
+    * contraction instead.) Requires WITH RECURSIVE on the enclosing query.
+    */
+  def clusterCtes(src: String, p: String): String =
+    pairCtes(src, p) +
+      s", ${p}edges AS (SELECT doc_a AS src, doc_b AS dst FROM ${p}pairs " +
+      s"UNION SELECT doc_b, doc_a FROM ${p}pairs), " +
+      s"${p}verts AS (SELECT DISTINCT src AS v FROM ${p}edges), " +
+      s"${p}reach(v, r) AS (SELECT v, v FROM ${p}verts " +
+      s"UNION SELECT e.dst, ${p}reach.r FROM ${p}reach JOIN ${p}edges e ON e.src = ${p}reach.v), " +
+      s"${p}clus AS (SELECT v AS doc_id, min(r) AS cluster FROM ${p}reach GROUP BY v)"
+
+  /** Q22 oracle — word-3-gram shingles, 8 md5 min-hashes, 4 bands of 2. */
+  val minHashBands: String =
+    s"WITH ${bandCtes("documents", "")} SELECT doc_id, b0, b1, b2, b3 FROM bands"
 
   /** Hex prefix of md5 -> 32-bit integer, written with only +,*,strpos so
     * it evaluates identically in any engine.
@@ -53,32 +88,19 @@ object Oracles {
       "JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b) " +
       "WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5"
 
-  /** Q35 oracle — candidate pairs sharing any LSH band (built on the q22
-    * band oracle so the md5 scheme stays in lockstep).
+  /** Q35 oracle — candidate pairs sharing any LSH band (generated from the
+    * same CTE builders as the q22 band oracle, so the md5 scheme stays in
+    * lockstep).
     */
-  val lshPairs: String = {
-    val unpivot = (0 until 4)
-      .map(i => s"SELECT doc_id, $i AS band, b$i AS bv FROM bands")
-      .mkString(" UNION ALL ")
-    s"WITH bands AS ($minHashBands), long AS ($unpivot) " +
-      "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
-      "FROM long a JOIN long b ON a.band = b.band AND a.bv = b.bv " +
-      "AND a.doc_id < b.doc_id"
-  }
+  val lshPairs: String =
+    s"WITH ${pairCtes("documents", "")} SELECT doc_a, doc_b FROM pairs"
 
-  /** Q37 oracle — connected components of the q35 pair graph via a
-    * recursive reachability CTE; component label = min reachable doc_id.
-    * (Tractable in DuckDB because the oracle corpus's pair graph is tiny;
-    * the Spark side uses iterative label propagation instead.)
+  /** Q37 oracle — connected components of the q35 pair graph (see
+    * clusterCtes for the recursive-reachability formulation).
     */
   val dedupClusters: String =
-    s"WITH RECURSIVE pairs AS ($lshPairs), " +
-      "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
-      "UNION SELECT doc_b, doc_a FROM pairs), " +
-      "verts AS (SELECT DISTINCT src AS v FROM edges), " +
-      "reach(v, r) AS (SELECT v, v FROM verts " +
-      "UNION SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.v) " +
-      "SELECT v AS doc_id, min(r) AS cluster FROM reach GROUP BY v"
+    s"WITH RECURSIVE ${clusterCtes("documents", "")} " +
+      "SELECT doc_id, cluster FROM clus"
 
   /** Q40 oracle — embedding near-dup components: exact thresholded cosine
     * pairs (DOUBLE math, matching Spark's float→double cast) into the
@@ -271,6 +293,64 @@ object Oracles {
       "WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es' " +
       "WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr' " +
       "ELSE 'zh' END AS detected FROM sc"
+  }
+
+  /** Q51 oracle — the END-TO-END corpus pipeline as one CTE chain, every
+    * stage composed from the SAME SQL its standalone oracle uses:
+    * quality gate (q28's formula, floor 0.7) → holdout split +
+    * 8-gram decontamination (q45) → exact dedup (q21's keep rule) →
+    * LSH near-dup components over the survivors (q22/q35/q37 via
+    * clusterCtes, keep singletons + component minima) → PII scrub (q46's
+    * synthesized contacts + RE2-safe regexes) → per-language quota sample
+    * (q42's hash threshold, salt "q51|") → token packing on the SCRUBBED
+    * text (q43's per-source window, budget 512). Output: one manifest row
+    * per packed doc. `off` is a windowed sum(BIGINT) → HUGEINT; cast back
+    * (the q43 erratum class).
+    */
+  val corpusPipeline: String = {
+    val words = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "\\+1-555-[0-9]{4}"
+    "WITH RECURSIVE " +
+      "sc AS (SELECT doc_id, source, lang, text, " +
+      "round(least(1.0, n_tokens / 50.0) * 0.5 + " +
+      "least(1.0, (CAST(cns AS DOUBLE) / n_tokens) / 5.0) * 0.5, 6) AS quality " +
+      s"FROM (SELECT doc_id, source, lang, text, len($words) AS n_tokens, " +
+      "length(replace(text, ' ', '')) AS cns FROM documents)), " +
+      "qual AS (SELECT * FROM sc WHERE quality >= 0.7 " +
+      "AND source NOT IN ('src18', 'src19')), " +
+      s"htoks AS (SELECT $words AS ws FROM documents " +
+      "WHERE source IN ('src18', 'src19')), " +
+      "hsh AS (SELECT DISTINCT array_to_string(ws[i:i+7], ' ') AS sh8 FROM " +
+      "(SELECT ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM htoks " +
+      "WHERE len(ws) >= 8)), " +
+      s"ttoks AS (SELECT doc_id, $words AS ws FROM qual), " +
+      "tsh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], ' ') AS sh8 FROM " +
+      "(SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM ttoks " +
+      "WHERE len(ws) >= 8)), " +
+      "contam AS (SELECT DISTINCT doc_id FROM tsh JOIN hsh USING (sh8)), " +
+      "clean AS (SELECT * FROM qual WHERE doc_id NOT IN (SELECT doc_id FROM contam)), " +
+      "keepx AS (SELECT min(doc_id) AS doc_id FROM clean GROUP BY md5(text)), " +
+      "exdedup AS (SELECT clean.* FROM clean JOIN keepx USING (doc_id)), " +
+      clusterCtes("exdedup", "nd") +
+      ", nearded AS (SELECT exdedup.* FROM exdedup LEFT JOIN ndclus USING (doc_id) " +
+      "WHERE cluster IS NULL OR cluster = doc_id), " +
+      "scrub AS (SELECT doc_id, source, lang, quality, " +
+      "regexp_replace(regexp_replace(text || ' contact user' || doc_id || '@mail.example.com' || " +
+      "CASE WHEN doc_id % 3 = 0 THEN ' cc admin' || doc_id || '@ex.org' ELSE '' END || " +
+      "' tel +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), " +
+      s"'$emailRe', '<EMAIL>', 'g'), '$phoneRe', '<PHONE>', 'g') AS scrubbed FROM nearded), " +
+      "samp AS (SELECT * FROM scrub WHERE CASE WHEN lang = 'en' " +
+      "THEN substr(md5('q51|' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000' " +
+      "ELSE substr(md5('q51|' || CAST(doc_id AS VARCHAR)), 1, 8) < 'c0000000' END), " +
+      "tok AS (SELECT doc_id, source, lang, quality, " +
+      "CAST(len(list_filter(string_split_regex(lower(scrubbed), '[^a-z0-9]+'), " +
+      "w -> w <> '')) AS BIGINT) AS n_tokens FROM samp), " +
+      "o AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM tok) " +
+      "SELECT doc_id, source, lang, quality, n_tokens, " +
+      "CAST(off % 512 AS BIGINT) AS bin_offset, " +
+      "CAST(floor(off / 512) AS BIGINT) AS bin FROM o"
   }
 
   /** Q28 oracle — quality scoring from token statistics. */

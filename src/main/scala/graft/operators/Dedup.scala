@@ -42,9 +42,16 @@ object Dedup {
     * docs sharing any band value — that join is downstream (bandPairs);
     * the contract checks the signature computation itself.
     */
-  def q22MinHashBands(spark: SparkSession, dir: String): DataFrame = {
+  def q22MinHashBands(spark: SparkSession, dir: String): DataFrame =
+    minHashBandsOn(Tables.load(spark, dir, "documents"))
+
+  /** The band computation over any (doc_id, text) frame — frame-
+    * parameterized so the q51 pipeline can run the identical scheme over
+    * its filtered survivor set (in lockstep with Oracles.bandCtes).
+    */
+  def minHashBandsOn(docs: DataFrame): DataFrame = {
     val k = 8
-    val sh = shingles3(Tables.load(spark, dir, "documents"))
+    val sh = shingles3(docs)
     val hashed = sh.select(
       col("doc_id") +:
         (0 until k).map(i => md5(concat(lit(i + "|"), col("sh"))).as(s"h$i")): _*)
@@ -76,7 +83,11 @@ object Dedup {
     * is a band hash, uniformly distributed by construction.
     */
   def q35LshPairs(spark: SparkSession, dir: String): DataFrame =
-    bandPairs(q22MinHashBands(spark, dir))
+    lshPairsOn(Tables.load(spark, dir, "documents"))
+
+  /** The full bands→candidate-pairs flow over any (doc_id, text) frame. */
+  def lshPairsOn(docs: DataFrame): DataFrame =
+    bandPairs(minHashBandsOn(docs))
 
   /** Checkpoint eagerly, then reset the plan's size statistics to the
     * session default — see ColumnBridge.freshStats for why the reset is

@@ -47,6 +47,16 @@ object Text {
         .otherwise("zh").as("detected"))
   }
 
+  /** The q28 quality score (rounded to 6 dp) over any text column — shared
+    * with the q51 pipeline's gate stage so the formula cannot drift.
+    */
+  private[operators] def qualityScore(text: Column): Column = {
+    val nTokens = size(words(text))
+    val avgTokLen = length(replace(text, lit(" "), lit(""))).cast("double") / nTokens
+    round(least(lit(1.0), nTokens.cast("double") / 50.0) * 0.5 +
+      least(lit(1.0), avgTokLen / 5.0) * 0.5, 6)
+  }
+
   /** Q28: quality scoring from length/token statistics
     * (training-data filtering primitive).
     */
@@ -54,13 +64,10 @@ object Text {
     val nTokens = size(words(col("text")))
     val charsNoSpace = length(replace(col("text"), lit(" "), lit("")))
     val avgTokLen = charsNoSpace.cast("double") / nTokens
-    val score =
-      least(lit(1.0), nTokens.cast("double") / 50.0) * 0.5 +
-        least(lit(1.0), avgTokLen / 5.0) * 0.5
     Tables.load(spark, dir, "documents").select(
       col("doc_id"), nTokens.as("n_tokens"),
       round(avgTokLen, 6).as("avg_token_len"),
-      round(score, 6).as("quality"))
+      qualityScore(col("text")).as("quality"))
   }
 
   /** Q29: whitespace + BPE-ish regex token counts. */
@@ -178,15 +185,19 @@ object Text {
     * char md5 prefix compares lexicographically exactly like the 32-bit
     * value it encodes. A narrow filter — no shuffle, prunes at the scan.
     */
-  def q42QuotaSample(spark: SparkSession, dir: String): DataFrame = {
-    val h = substring(md5(concat(lit("q42|"), col("doc_id").cast("string"))), 1, 8)
-    Tables.load(spark, dir, "documents")
-      .withColumn("h", h)
-      // en is ~44% of the corpus: keep 1/4 of it, 3/4 of everything else
-      .filter(when(col("lang") === "en", col("h") < "40000000")
-        .otherwise(col("h") < "c0000000"))
-      .select("doc_id", "lang")
+  /** The quota keep-decision over any (id, lang) pair — en is ~44% of the
+    * corpus: keep 1/4 of it, 3/4 of everything else. Salted so independent
+    * sampling stages (q42, q51) draw independent samples.
+    */
+  private[operators] def quotaKeep(id: Column, lang: Column, salt: String): Column = {
+    val h = substring(md5(concat(lit(salt), id.cast("string"))), 1, 8)
+    when(lang === "en", h < "40000000").otherwise(h < "c0000000")
   }
+
+  def q42QuotaSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .filter(quotaKeep(col("doc_id"), col("lang"), "q42|"))
+      .select("doc_id", "lang")
 
   /** Word-8-gram shingles: (doc_id, source, sh8). Same index-sequence
     * shape as Dedup's 3-gram shingler; the size filter comes FIRST —
