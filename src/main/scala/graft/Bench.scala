@@ -100,8 +100,10 @@ object Bench {
     while (violations.nonEmpty && retries < 2) {
       retries += 1
       violations.foreach { case (k, r) =>
+        // triggerFor, not varThreshold: heavy queries retry at the tighter
+        // 2x trigger and the diagnostic must name the guard that fired
         System.err.println(
-          f"[bench] variance retry $retries: $k max/min = $r%.2fx > ${varThreshold}x")
+          f"[bench] variance retry $retries: $k max/min = $r%.2fx > ${triggerFor(k)}x")
       }
       val toRetry = violations.map(_._1).toSet
       sweep.filter { case (name, _) => toRetry.contains(name) }
@@ -190,9 +192,19 @@ object Bench {
     //      ~1.5 KB) that always fits a tail capture and parses standalone,
     //      carrying a detail_file pointer to the full record.
     val detailFile = java.nio.file.Paths.get("bench_detail.json").toAbsolutePath
-    java.nio.file.Files.writeString(detailFile, fullJson + "\n")
+    // the file copy is a convenience; an unwritable CWD must not crash the
+    // run AFTER the whole sweep was measured — stdout still carries both
+    // JSON lines, with detail_file null when the copy failed
+    val detailFileJson = try {
+      java.nio.file.Files.writeString(detailFile, fullJson + "\n")
+      "\"" + esc(detailFile.toString) + "\""
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] could not write $detailFile: ${e.getMessage}")
+        "null"
+    }
     println(fullJson)
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"reps":$reps,"load_avg":{"before":$loadBefore,"after":$loadAfter},"failed":$failedJson,"variance_guard":$guardJson,"streaming_slo":$slo,"sf":"$sfDir","detail_file":"${esc(detailFile.toString)}"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"reps":$reps,"load_avg":{"before":$loadBefore,"after":$loadAfter},"failed":$failedJson,"variance_guard":$guardJson,"streaming_slo":$slo,"sf":"$sfDir","detail_file":$detailFileJson}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
     if (hardViolations.nonEmpty) sys.exit(3)

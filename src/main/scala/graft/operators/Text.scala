@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextOps._
@@ -204,7 +204,7 @@ object Text {
     * sequence(0, size-8) on a short array would yield a descending
     * [0, -1, ...] range, not an empty one.
     */
-  private def shingles8(docs: DataFrame): DataFrame =
+  private[operators] def shingles8(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), col("source"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 8)
@@ -241,22 +241,33 @@ object Text {
     * same patterns run identically on Spark's Java engine and DuckDB's
     * RE2, and on any engine a deployment might scrub with.
     */
-  def q46PiiScrub(spark: SparkSession, dir: String): DataFrame = {
-    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-    val phoneRe = "\\+1-555-[0-9]{4}"
-    val raw = concat(col("text"),
-      lit(" contact user"), col("doc_id"), lit("@mail.example.com"),
-      when(pmod(col("doc_id"), lit(3)) === 0,
-        concat(lit(" cc admin"), col("doc_id"), lit("@ex.org")))
+  private[operators] val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[operators] val phoneRe = "\\+1-555-[0-9]{4}"
+
+  /** The q46 synthesized contact suffix — shared with the q51 pipeline's
+    * scrub stage so the synthesis arithmetic cannot drift from the oracle.
+    */
+  private[operators] def synthContacts(id: Column, text: Column): Column =
+    concat(text,
+      lit(" contact user"), id, lit("@mail.example.com"),
+      when(pmod(id, lit(3)) === 0,
+        concat(lit(" cc admin"), id, lit("@ex.org")))
         .otherwise(lit("")),
       lit(" tel +1-555-"),
-      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+      lpad(pmod(id, lit(10000)).cast("string"), 4, "0"))
+
+  /** RE2-safe email/phone redaction (see q46 doc) — shared with q51. */
+  private[operators] def scrubPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, lit(emailRe), lit("<EMAIL>")),
+      lit(phoneRe), lit("<PHONE>"))
+
+  def q46PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val raw = synthContacts(col("doc_id"), col("text"))
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
         regexp_count(raw, lit(emailRe)).cast("long").as("n_emails"),
         regexp_count(raw, lit(phoneRe)).cast("long").as("n_phones"),
-        regexp_replace(regexp_replace(raw, lit(emailRe), lit("<EMAIL>")),
-          lit(phoneRe), lit("<PHONE>")).as("scrubbed"))
+        scrubPii(raw).as("scrubbed"))
   }
 
   /** Q47: within-document repetition stats — the Gopher-style "duplicate
