@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ingest.Envelope
-import graft.operators.{Dedup, Multimodal, Relational, Similarity, SqlSurface, Text}
+import graft.operators.{Dedup, Multimodal, Pipeline, Relational, Similarity, SqlSurface, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -68,6 +68,7 @@ object SparkEntry {
     "q48_token_percentiles" -> (Text.q48TokenPercentiles _),
     "q49_asof_last_view" -> (Relational.q49AsOfLastView _),
     "q50_pack_assemble" -> (Text.q50PackAssemble _),
+    "q51_corpus_pipeline" -> (Pipeline.q51CorpusPipeline _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -233,5 +234,6 @@ object SparkEntry {
     "q48_token_percentiles" -> Oracles.tokenPercentiles,
     "q49_asof_last_view" -> Oracles.asOfLastView,
     "q50_pack_assemble" -> Oracles.packAssemble,
+    "q51_corpus_pipeline" -> Oracles.corpusPipeline,
   )
 }

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextOps.words
+
+/** The composed end-to-end corpus pipeline — the product the individual
+  * operator families exist for (the reference IS a pipeline:
+  * /root/reference/README.md:10-25 chains ingest → clean → serve; a
+  * training-corpus deployment chains the same shapes over documents).
+  *
+  * Every stage reuses the SAME column expressions / frame-parameterized
+  * operators its standalone contract query is built from
+  * (Text.qualityScore = q28, Text.shingles8 = q45, Dedup.lshPairsOn +
+  * connectedComponents = q35/q37, Text.synthContacts/scrubPii = q46,
+  * Text.quotaKeep = q42, the q43 packing window), in lockstep with
+  * Oracles.corpusPipeline, whose CTE chain is generated from the same
+  * builders as the standalone oracles — neither side can drift alone.
+  */
+object Pipeline {
+
+  /** Q51: quality gate → holdout decontamination → exact dedup → LSH
+    * near-dup components → PII scrub → quota sample → token packing.
+    * Output: one manifest row per surviving doc with its packed-bin
+    * assignment over the SCRUBBED text.
+    *
+    * Packing semantics are q43's cumsum formulation (bin =
+    * floor(exclusive-running-token-total / budget), per-source window) —
+    * NOT stateful greedy binning: a document may straddle a bin boundary,
+    * which is how offline packers batch when oversized docs are pre-split
+    * (q43's documented contract). The oracle's floor(off / 512) matches
+    * bit-for-bit at corpus scale: off ≤ Σ n_tokens stays far below 2^53,
+    * so DuckDB's DOUBLE division is exact (the q43/q50 oracles already
+    * rely on this; the type audit pins the HUGEINT cast-back class).
+    *
+    * Scale shape: stages 1/5/6 are narrow per-row work that fuses into
+    * the scans; the wide operations are the holdout shingle join (keyed
+    * by 8-gram, holdout side broadcast — benchmark-sized by definition),
+    * the content-hash groupBy (uniform md5 keys), the LSH band self-join
+    * (uniform band hashes, q35's plan), and the contraction loop
+    * (O(log n) rounds, edge set shrinks monotonically). The survivor set
+    * is checkpointed ONCE and feeds both the pair generation and the
+    * final keep-join, so stages 1-3 run once, not per consumer — at
+    * cluster scale the same role is played by persisting the survivor
+    * table to storage between pipeline phases.
+    */
+  def q51CorpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 512L // tokens per packed sequence (q43's constant)
+    val holdout = col("source").isin("src18", "src19")
+    val docs = Tables.load(spark, dir, "documents")
+
+    // 1. quality gate (q28's formula, floor 0.7) over the train split
+    val qual = docs.filter(!holdout)
+      .withColumn("quality", Text.qualityScore(col("text")))
+      .filter(col("quality") >= 0.7)
+
+    // 2. decontamination (q45): drop any train doc sharing an 8-word
+    //    shingle with the holdout split
+    val holdSh = Text.shingles8(docs.filter(holdout)).select("sh8").distinct()
+    val contam = Text.shingles8(qual)
+      .join(broadcast(holdSh), "sh8")
+      .select("doc_id").distinct()
+    val clean = qual.join(contam, Seq("doc_id"), "left_anti")
+
+    // 3. exact dedup (q21's keep rule): min doc_id per content hash
+    val keep = clean.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    // materialize the survivors once — consumed by BOTH the near-dup pair
+    // generation and the final keep-join below; without this, stages 1-3
+    // (scan + shingle join + dedup groupBy) replay per consumer
+    val exdedup = org.apache.spark.sql.graft.ColumnBridge.freshStats(
+      clean.join(keep, "doc_id")
+        .select("doc_id", "source", "lang", "quality", "text")
+        .localCheckpoint(true))
+
+    // 4. LSH near-dup components over the survivors (q22/q35/q37's exact
+    //    scheme, frame-parameterized): keep singletons (no candidate
+    //    pair → null cluster) and each component's minimum
+    val clus = Dedup.connectedComponents(
+      Dedup.lshPairsOn(exdedup.select("doc_id", "text")))
+    val nearded = exdedup.join(clus, Seq("doc_id"), "left")
+      .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
+
+    // 5. PII scrub (q46's synthesized contacts + RE2-safe regexes)
+    val scrub = nearded.select(col("doc_id"), col("source"), col("lang"),
+      col("quality"),
+      Text.scrubPii(Text.synthContacts(col("doc_id"), col("text")))
+        .as("scrubbed"))
+
+    // 6. per-language quota sample (q42's hash threshold, salt "q51|" so
+    //    the draw is independent of q42's)
+    val samp = scrub.filter(Text.quotaKeep(col("doc_id"), col("lang"), "q51|"))
+
+    // 7. token packing (q43's per-source window) over the SCRUBBED text
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    samp.select(col("doc_id"), col("source"), col("lang"), col("quality"),
+        size(words(col("scrubbed"))).cast("long").as("n_tokens"))
+      .withColumn("off", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("lang"), col("quality"),
+        col("n_tokens"),
+        (col("off") % budget).as("bin_offset"),
+        floor(col("off") / budget).as("bin"))
+  }
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.Text
+import graft.operators.{Dedup, Pipeline, Text}
 
 /** Corpus-pipeline operators q41 (TF-IDF top terms) and q42 (quota
   * sampling): value-level parity is the DuckDB oracle's job; these pin the
@@ -202,6 +202,74 @@ class CorpusOpsSpec extends AnyFunSuite {
       (4L, Some(tss(20)), 2L),
       (5L, None, 0L),
       (7L, Some(tss(15)), 1L)))
+  }
+
+  test("q51: every surviving doc passes every stage's gate, offsets reconstruct") {
+    // value-level parity with the composed CTE chain is the DuckDB
+    // oracle's job; this pins the CROSS-STAGE invariants a green hash
+    // can't articulate — each survivor individually satisfies the gate
+    // its stage-family's standalone query defines
+    import spark.implicits._
+    val out = Pipeline.q51CorpusPipeline(spark, TestSpark.Sf0001).collect()
+    assert(out.nonEmpty)
+    val ids = out.map(_.getLong(0)).toSet
+    assert(ids.size === out.length, "duplicate doc_id in the manifest")
+    val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
+
+    // stages 1+2: survivors are train-split docs with q28 quality >= 0.7,
+    // and the manifest's quality column is exactly q28's value
+    val q28 = Text.q28Quality(spark, TestSpark.Sf0001)
+      .select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val srcOf = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(!Set("src18", "src19").contains(srcOf(id)), s"doc $id is holdout")
+      assert(q28(id) >= 0.7, s"doc $id quality ${q28(id)}")
+      assert(r.getDouble(3) === q28(id), s"doc $id quality drifted from q28")
+    }
+
+    // stage 2: no survivor is q45-contaminated (q45's train side is the
+    // full split, a superset of the quality-gated one — same shingles,
+    // same holdout, so its flag transfers)
+    val contaminated = Text.q45Decontaminate(spark, TestSpark.Sf0001)
+      .filter(col("contaminated") === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.intersect(contaminated).isEmpty, "contaminated doc survived")
+
+    // stage 3: exact dedup — survivor texts are pairwise distinct
+    val survivors = docs.join(ids.toSeq.toDF("doc_id"), "doc_id")
+    assert(survivors.select(md5(col("text"))).distinct().count() === ids.size)
+
+    // stage 4: no two survivors share any LSH band (two docs sharing a
+    // band are in one component, and only the component minimum is kept —
+    // an empty candidate-pair set over the survivors is the fixed point a
+    // dedup pass must reach)
+    assert(Dedup.bandPairs(
+      Dedup.minHashBandsOn(survivors.select("doc_id", "text"))).isEmpty)
+
+    // stage 6: every survivor passes the salted quota threshold (JVM md5
+    // recompute, independent of Spark's)
+    import java.security.MessageDigest
+    def h8(id: Long): String = MessageDigest.getInstance("MD5")
+      .digest(s"q51|$id".getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    out.foreach { r =>
+      val bound = if (r.getString(2) == "en") "40000000" else "c0000000"
+      assert(h8(r.getLong(0)) < bound, s"doc ${r.getLong(0)} fails quota")
+    }
+
+    // stage 7: bin assignments reconstruct from the per-source running
+    // token sum (q43's invariant, here over the SCRUBBED token counts)
+    out.groupBy(_.getString(1)).foreach { case (src, rows) =>
+      var running = 0L
+      rows.sortBy(_.getLong(0)).foreach { r =>
+        assert(r.getLong(6) * 512 + r.getLong(5) === running,
+          s"$src doc ${r.getLong(0)} offset mismatch")
+        running += r.getLong(4)
+      }
+    }
   }
 
   test("q50 assembles exactly q43's bins: same membership, same token sums") {
