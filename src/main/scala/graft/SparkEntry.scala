@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ingest.Envelope
-import graft.operators.{Dedup, Multimodal, Pipeline, Relational, Similarity, SqlSurface, Text}
+import graft.operators.{Dedup, Multimodal, Pipeline, Relational, Scale, Similarity, SqlSurface, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -69,6 +69,7 @@ object SparkEntry {
     "q49_asof_last_view" -> (Relational.q49AsOfLastView _),
     "q50_pack_assemble" -> (Text.q50PackAssemble _),
     "q51_corpus_pipeline" -> (Pipeline.q51CorpusPipeline _),
+    "q52_join_revenue_bucketed" -> (Scale.q52JoinRevenueBucketed _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -235,5 +236,11 @@ object SparkEntry {
     "q49_asof_last_view" -> Oracles.asOfLastView,
     "q50_pack_assemble" -> Oracles.packAssemble,
     "q51_corpus_pipeline" -> Oracles.corpusPipeline,
+    // the bucketed twin computes EXACTLY q11's result — same oracle; only
+    // the physical layout (and therefore the plan's exchange count) differs
+    "q52_join_revenue_bucketed" ->
+      ("SELECT o_orderpriority, round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority"),
   )
 }

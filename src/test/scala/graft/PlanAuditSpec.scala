@@ -112,6 +112,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(e36 <= 13, s"q36 grew to $e36 shuffle exchanges (budget 13)")
   }
 
+  test("q52 bucketed join revenue moves no corpus-sized shuffle") {
+    val df = graft.operators.Scale.q52JoinRevenueBucketed(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    // the join itself must be sort-merge over co-located buckets: no
+    // exchange keyed by either join key anywhere in the plan
+    assert(p.contains("SortMergeJoin"), s"bucketed join lost SMJ:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+      !p.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed join still shuffles a fact table:\n$p")
+    // the ONLY allowed shuffle is the 5-group priority aggregate
+    assert(shuffles(df) <= 1, s"q52 exchange budget exceeded:\n$p")
+    // and the layout changes nothing about the answer
+    val got = df.collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    val want = Relational.q11JoinRevenue(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(got === want)
+  }
+
   test("the codegen'd graft_dot kernel carries the vector queries") {
     // a refactor that silently falls back to the interpreted HOF twin
     // re-opens the r2/r3 ~100x ANN regression (BENCH_NOTES.md) — pin the
