@@ -116,6 +116,13 @@ object TextOps {
   def words(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), w => w =!= "")
 
+  /** Whitespace-normalized md5 content fingerprint — q30's exact-dup key,
+    * shared with the streaming landing's opt-in content dedup so the two
+    * notions of "same document" cannot drift.
+    */
+  def contentFingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
   /** Count of non-overlapping occurrences of literal `pat` in `s` via the
     * length-difference trick — identical semantics in any SQL engine, so it
     * doubles as the oracle formula.

@@ -60,11 +60,26 @@ object Scale {
                      cols: Seq[String], key: String, buckets: Int): String =
     synchronized {
       val name = bucketTwin(dir, table)
-      if (!spark.catalog.tableExists(name))
+      if (!spark.catalog.tableExists(name)) {
+        // a previous SESSION's twin can survive as an orphan warehouse
+        // directory the in-memory catalog no longer knows; saveAsTable
+        // refuses to claim an existing location, so clear it first. (The
+        // bucketing spec lives only in the catalog — re-registering the
+        // files as an external table would silently lose it.)
+        val wh = new java.net.URI(
+          spark.conf.get("spark.sql.warehouse.dir")).getPath
+        val orphan = new java.io.File(wh, name)
+        if (orphan.exists()) deleteRecursively(orphan)
         writeBucketed(Tables.load(spark, dir, table).selectExpr(cols: _*),
           name, key, buckets)
+      }
       name
     }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
 
   /** Q52: q11's join-revenue over the bucketed layout — the bench proof
     * that writeBucketed's pay-once trade buys a zero-exchange join. Both

@@ -83,8 +83,7 @@ object Text {
     */
   def q30Fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents").select(
-      col("doc_id"),
-      md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+      col("doc_id"), contentFingerprint(col("text")).as("fp"))
 
   /** Q41: per-document top-3 TF-IDF terms — the relevance-term extraction
     * step of a corpus pipeline. Document frequency and N span the FULL

@@ -34,6 +34,18 @@ object Landing {
     lines.select(col("value").as("record"),
       from_json(col("value"), wireSchema).as("p"))
 
+  /** Content-dedup key for a wire record: the q30 fingerprint
+    * (TextOps.contentFingerprint — whitespace-normalized md5) of the
+    * record with its `_LOAD_ID` member stripped first. `_LOAD_ID` is
+    * TRANSPORT metadata: a producer that re-sends the same document under
+    * a fresh load id (a replayed backfill, a re-crawl) is exactly the
+    * duplicate this key catches, which the id key by definition cannot.
+    */
+  private def contentKey(record: Column): Column =
+    graft.functions.TextOps.contentFingerprint(
+      regexp_replace(record,
+        "\"_LOAD_ID\"\\s*:\\s*(\"[^\"]*\"|[^,}\\s]+)\\s*,?", ""))
+
   /** The landing-row shape, shared by every entry point so the batch and
     * streaming paths cannot drift: record + metadata struct + load id +
     * date partition, all stamped from one `ts` expression.
@@ -55,7 +67,8 @@ object Landing {
       lines: DataFrame,
       landingDir: String,
       dlqDir: Option[String] = None,
-      ingestionTime: Column = null): Unit = {
+      ingestionTime: Column = null,
+      fingerprintDedup: Boolean = false): Unit = {
     val ts = Option(ingestionTime)
       .getOrElse(lit(new java.sql.Timestamp(System.currentTimeMillis())))
     // parsed feeds two writes (DLQ + landing) — cache so the batch source
@@ -72,11 +85,18 @@ object Landing {
           to_date(ts).as("error_date"))
           .write.mode("append").partitionBy("error_date").parquet(d)
       }
-      val validated = parsed
+      val valid = parsed
         .filter(col("p").isNotNull && col("p._LOAD_ID").isNotNull)
         .withColumn("_load_id", col("p._LOAD_ID"))
-        // within-delivery dedup: retries inside one put cannot double-land
-        .dropDuplicates("_load_id")
+      // within-delivery dedup: retries inside one put cannot double-land;
+      // with fingerprintDedup the key is CONTENT (load-id-stripped q30
+      // fingerprint), so a same-document re-send under a fresh id
+      // collapses too
+      val validated =
+        if (fingerprintDedup)
+          valid.withColumn("_fp", contentKey(col("record")))
+            .dropDuplicates("_fp").drop("_fp")
+        else valid.dropDuplicates("_load_id")
       landingProjection(validated, ts)
         .write.mode("append").partitionBy("landed_date").parquet(landingDir)
     } finally parsed.unpersist()
@@ -157,11 +177,23 @@ object Landing {
       checkpointDir: String,
       dlqDir: Option[String] = None,
       replayWindow: String = "300 seconds",
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      fingerprintDedup: Boolean = false): StreamingQuery = {
+    // opt-in content dedup (fingerprintDedup): valid lines key on the
+    // load-id-stripped q30 content fingerprint instead of `_LOAD_ID`, so a
+    // re-send of the same document under a FRESH id is still one landing
+    // within the replay window. Bad lines keep their synthetic content key
+    // either way. Same bounded-state guarantees; the batch twin is
+    // landBatch(fingerprintDedup = true), threaded through below so the
+    // within-delivery rule agrees with the cross-delivery one.
+    val validKey =
+      if (fingerprintDedup) concat(lit("fp:"), contentKey(col("record")))
+      else col("p._LOAD_ID")
     val deduped = parseWire(spark.readStream.format("text").load(inputDir))
       .withColumn("_dedup_key",
-        coalesce(col("p._LOAD_ID"),
-          concat(lit("__dlq__:"), sha2(col("record").cast("binary"), 256))))
+        when(col("p").isNotNull && col("p._LOAD_ID").isNotNull, validKey)
+          .otherwise(
+            concat(lit("__dlq__:"), sha2(col("record").cast("binary"), 256))))
       .withColumn("_arrival_ts", current_timestamp())
       .withWatermark("_arrival_ts", replayWindow)
       .dropDuplicatesWithinWatermark("_dedup_key")
@@ -169,7 +201,7 @@ object Landing {
       .select(col("record").as("value"))
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        landBatch(batch, landingDir, dlqDir)
+        landBatch(batch, landingDir, dlqDir, fingerprintDedup = fingerprintDedup)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -216,6 +216,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(landed3 === Seq("A", "A", "B", "C"))
   }
 
+  test("content-fingerprint landing dedups a re-send under a NEW load id; batch == stream") {
+    // the id key cannot catch this by definition: same document, fresh
+    // _LOAD_ID (a replayed backfill / re-crawl), whitespace jitter
+    val l1 = """{"_LOAD_ID":"L1","title":"Same   Paper","n":1}"""
+    val l2 = """{"_LOAD_ID":"L2","title":"same paper","n":1}"""
+    val l3 = """{"_LOAD_ID":"L3","title":"other","n":2}"""
+
+    // batch twin: one delivery carrying all three lines
+    val baseB = Files.createTempDirectory("graft_fp_batch").toString
+    Landing.landBatch(Seq(l1, l2, l3).toDF("value"), s"$baseB/landing",
+      fingerprintDedup = true)
+    val batchLanded = spark.read.parquet(s"$baseB/landing")
+    assert(batchLanded.count() === 2)
+
+    // stream: the re-send arrives in a LATER delivery over one checkpoint
+    val base = Files.createTempDirectory("graft_fp_stream").toString
+    val in = s"$base/in"; new java.io.File(in).mkdirs()
+    def runOnce(name: String, ls: Seq[String]): Unit = {
+      Files.write(java.nio.file.Paths.get(s"$in/$name"), ls.mkString("\n").getBytes)
+      val q = Landing.landStreamBounded(spark, in, s"$base/landing",
+        s"$base/ckpt", fingerprintDedup = true)
+      q.awaitTermination(60000)
+    }
+    runOnce("d1.ndjson", Seq(l1, l3))
+    runOnce("d2.ndjson", Seq(l2)) // same content as l1 → state drops it
+    val streamLanded = spark.read.parquet(s"$base/landing")
+    // first arrival wins: the stream landed exactly {l1, l3}
+    assert(streamLanded.select("record").collect().map(_.getString(0)).toSet
+      === Set(l1, l3))
+
+    // batch ≡ stream: identical landed CONTENT, checked through an
+    // independent JVM recompute of the load-id-stripped fingerprint
+    def fpJvm(rec: String): String = {
+      val stripped = rec.replaceAll(
+        "\"_LOAD_ID\"\\s*:\\s*(\"[^\"]*\"|[^,}\\s]+)\\s*,?", "")
+      val norm = stripped.toLowerCase.replaceAll("\\s+", " ").trim
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(norm.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    }
+    val bFps = batchLanded.select("record").collect()
+      .map(r => fpJvm(r.getString(0))).sorted.toSeq
+    val sFps = streamLanded.select("record").collect()
+      .map(r => fpJvm(r.getString(0))).sorted.toSeq
+    assert(bFps === sFps)
+    assert(bFps.distinct.length === 2, "a content duplicate survived")
+  }
+
   test("IngestCounters sees every landed row and batch") {
     val counters = new IngestCounters
     spark.streams.addListener(counters)
