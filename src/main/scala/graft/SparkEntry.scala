@@ -210,6 +210,7 @@ object SparkEntry {
         "CASE WHEN doc_id % 7 IN (0, 1, 2) THEN NULL " +
         "ELSE CAST(doc_id % 1080 + 1 AS INTEGER) END AS height, " +
         "CASE WHEN doc_id % 7 IN (0, 3) THEN 'jpeg' WHEN doc_id % 7 = 1 THEN 'unknown' " +
+        "WHEN doc_id % 7 = 4 THEN 'gif' WHEN doc_id % 7 = 5 THEN 'webp' " +
         "ELSE 'png' END AS format FROM documents"),
     "q41_tfidf_top_terms" -> Oracles.tfIdfTopTerms,
     "q42_quota_sample" ->

@@ -52,10 +52,27 @@ object Multimodal {
     *   [[graft.functions.JpegDims]] (ImageOps.jpegDims). A JPEG whose
     *   chain ends (SOS/EOI/corruption) before any SOF keeps format='jpeg'
     *   with NULL dims.
+    * - GIF (87a/89a): logical-screen width/height are little-endian
+    *   uint16 at fixed offsets 7-8 / 9-10 — a pure byte-arithmetic parse.
+    * - WebP (RIFF....WEBP): the first chunk's fourCC picks the layout,
+    *   all fixed-offset once known — VP8X carries the canvas as 24-bit LE
+    *   (value-1) at 25-27 / 28-30; lossy VP8 carries 14-bit LE dims at
+    *   27-28 / 29-30 behind the 9D 01 2A sync code; VP8L packs two
+    *   14-bit fields (value-1) into the LE u32 at 22-25 behind the 2F
+    *   signature byte. A recognized container with a truncated/corrupt
+    *   dim region keeps format='webp'/'gif' with NULL dims.
     * - anything else: format='unknown', NULL dims.
     */
   def decodeImageMeta(bin: Column): Column =
     decodeImageMetaFrom(bin, graft.functions.ImageOps.jpegDims(bin))
+
+  /** byte / little-endian readers (1-based offsets, codegen'd builtins) */
+  private def u8(bin: Column, off: Int): Column =
+    conv(hex(substring(bin, off, 1)), 16, 10).cast("int")
+  private def le16(bin: Column, off: Int): Column =
+    u8(bin, off) + u8(bin, off + 1) * 256
+  private def le24(bin: Column, off: Int): Column =
+    le16(bin, off) + u8(bin, off + 2) * 65536
 
   /** The struct builder with the packed JPEG dims passed IN. The packed
     * long is referenced twice (width and height split), so callers on a
@@ -71,14 +88,43 @@ object Multimodal {
     val ihdrOk = isPng && octet_length(bin) >= 24 &&
       hex(substring(bin, 13, 4)) === IhdrHex
     val isJpeg = hex(substring(bin, 1, 3)) === "FFD8FF"
+    // "GIF87a" / "GIF89a"
+    val isGif = hex(substring(bin, 1, 6))
+      .isin("474946383761", "474946383961")
+    val gifOk = isGif && octet_length(bin) >= 10
+    // RIFF <size> WEBP, then the first chunk's fourCC picks the layout
+    val isWebp = hex(substring(bin, 1, 4)) === "52494646" &&
+      hex(substring(bin, 9, 4)) === "57454250"
+    val chunk = hex(substring(bin, 13, 4))
+    val vp8xOk = isWebp && chunk === "56503858" && octet_length(bin) >= 30
+    val vp8Ok = isWebp && chunk === "56503820" && octet_length(bin) >= 30 &&
+      hex(substring(bin, 24, 3)) === "9D012A" // lossy frame sync code
+    val vp8lOk = isWebp && chunk === "5650384C" && octet_length(bin) >= 25 &&
+      hex(substring(bin, 21, 1)) === "2F" // lossless signature byte
+    // VP8L packs width-1 (14 bits) then height-1 (14 bits) into the LE
+    // u32 after the signature byte
+    val vp8lBits =
+      le24(bin, 22).cast("long") + u8(bin, 25).cast("long") * lit(16777216L)
     def be32(off: Int) = conv(hex(substring(bin, off, 4)), 16, 10).cast("int")
     struct(
       when(ihdrOk, be32(17))
-        .when(isJpeg, shiftright(jpegPacked, 32).cast("int")).as("width"),
+        .when(isJpeg, shiftright(jpegPacked, 32).cast("int"))
+        .when(gifOk, le16(bin, 7))
+        .when(vp8xOk, le24(bin, 25) + 1)
+        .when(vp8Ok, le16(bin, 27).bitwiseAND(lit(0x3FFF)))
+        .when(vp8lOk, vp8lBits.bitwiseAND(lit(0x3FFF)) + 1)
+        .cast("int").as("width"),
       when(ihdrOk, be32(21))
-        .when(isJpeg, jpegPacked.bitwiseAND(lit(0xFFFFFFFFL)).cast("int")).as("height"),
+        .when(isJpeg, jpegPacked.bitwiseAND(lit(0xFFFFFFFFL)).cast("int"))
+        .when(gifOk, le16(bin, 9))
+        .when(vp8xOk, le24(bin, 28) + 1)
+        .when(vp8Ok, le16(bin, 29).bitwiseAND(lit(0x3FFF)))
+        .when(vp8lOk, shiftright(vp8lBits, 14).bitwiseAND(lit(0x3FFF)) + 1)
+        .cast("int").as("height"),
       when(isPng, "png")
         .when(isJpeg, "jpeg")
+        .when(isGif, "gif")
+        .when(isWebp, "webp")
         .otherwise("unknown").as("format"))
   }
 
@@ -118,11 +164,31 @@ object Multimodal {
       lit("FFD8" + "FFE000104A46494600010100000100010000" + "FFC0001108"),
       lpad(hex(height), 4, "0"), lpad(hex(width), 4, "0"),
       lit("03012200021101031101"))
+    // little-endian hex lanes for the GIF / WebP syntheses
+    def le16hex(v: Column) = {
+      val h = lpad(hex(v), 4, "0")
+      concat(substring(h, 3, 2), substring(h, 1, 2))
+    }
+    def le24hex(v: Column) = {
+      val h = lpad(hex(v), 6, "0")
+      concat(substring(h, 5, 2), substring(h, 3, 2), substring(h, 1, 2))
+    }
+    // GIF89a: signature + LE u16 logical-screen dims + GSD tail bytes
+    val gifHex = concat(lit("474946383961"),
+      le16hex(width), le16hex(height), lit("F7000000"))
+    // WebP VP8X: RIFF size 36, "WEBP", "VP8X" size 10, flags+reserved,
+    // then (value-1) 24-bit LE canvas dims
+    val webpHex = concat(
+      lit("52494646" + "24000000" + "57454250" + "56503858" + "0A000000" +
+        "00000000"),
+      le24hex(width - 1), le24hex(height - 1))
     val payload =
       when(col("doc_id") % 7 === 0, unhex(lit("FFD8FFE000104A464946"))) // JPEG, truncated pre-SOF
         .when(col("doc_id") % 7 === 1, col("text").cast("binary"))       // raw text
         .when(col("doc_id") % 7 === 2, unhex(lit(PngSigHex)))            // truncated PNG
         .when(col("doc_id") % 7 === 3, unhex(jpegHex))                   // full JPEG with SOF0
+        .when(col("doc_id") % 7 === 4, unhex(gifHex))                    // GIF89a, LE u16 dims
+        .when(col("doc_id") % 7 === 5, unhex(webpHex))                   // WebP VP8X, LE u24 dims
         .otherwise(unhex(pngHex))
     // payload and packed dims pre-projected into their own columns: the
     // struct-field extraction below would otherwise duplicate the payload

@@ -95,6 +95,50 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("GIF logical-screen dims parse little-endian from real header bytes") {
+    def gif(sig: String, w: Int, h: Int) = sig.getBytes("US-ASCII") ++
+      hexBytes(f"${((w & 0xFF) << 8) | (w >>> 8)}%04X" +
+        f"${((h & 0xFF) << 8) | (h >>> 8)}%04X" + "F7000000")
+    assert(decodeOne(gif("GIF89a", 640, 480)) === ((Some(640), Some(480), "gif")))
+    assert(decodeOne(gif("GIF87a", 1, 65535)) === ((Some(1), Some(65535), "gif")))
+    // signature alone: container recognized, no dims to read
+    assert(decodeOne("GIF89a".getBytes("US-ASCII")) === ((None, None, "gif")))
+    // GIF9 is not a signature version
+    assert(decodeOne(gif("GIF99a", 9, 9)) === ((None, None, "unknown")))
+  }
+
+  private def le(v: Long, bytes: Int): String =
+    (0 until bytes).map(i => f"${(v >> (8 * i)) & 0xFF}%02X").mkString
+
+  test("WebP VP8X / lossy VP8 / VP8L dims parse from real chunk bytes") {
+    val riff = "52494646" + "24000000" + "57454250"
+    // VP8X: flags+reserved, then (value-1) 24-bit LE canvas dims
+    val vp8x = hexBytes(riff + "56503858" + "0A000000" + "00000000" +
+      le(1919, 3) + le(1079, 3))
+    assert(decodeOne(vp8x) === ((Some(1920), Some(1080), "webp")))
+    // lossy VP8: 3-byte frame tag, 9D012A sync, then 14-bit LE dims
+    val vp8 = hexBytes(riff + "56503820" + "10000000" + "503412" + "9D012A" +
+      le(320, 2) + le(240, 2))
+    assert(decodeOne(vp8) === ((Some(320), Some(240), "webp")))
+    // lossy VP8 without the sync code: recognized container, NULL dims
+    val noSync = hexBytes(riff + "56503820" + "10000000" + "503412" + "AABBCC" +
+      le(320, 2) + le(240, 2))
+    assert(decodeOne(noSync) === ((None, None, "webp")))
+    // VP8L: 2F signature, then width-1 | height-1<<14 in a LE u32
+    val vp8l = hexBytes(riff + "5650384C" + "05000000" + "2F" +
+      le(799L | (599L << 14), 4))
+    assert(decodeOne(vp8l) === ((Some(800), Some(600), "webp")))
+    // VP8L corrupt high byte (version bits set): dims masked, no wrap
+    val vp8lAlpha = hexBytes(riff + "5650384C" + "05000000" + "2F" +
+      le((799L | (599L << 14)) + (1L << 28), 4)) // alpha-hint bit
+    assert(decodeOne(vp8lAlpha) === ((Some(800), Some(600), "webp")))
+    // truncated mid-dims: NULL dims, container kept
+    assert(decodeOne(vp8x.take(26)) === ((None, None, "webp")))
+    // RIFF but not WEBP
+    val wav = hexBytes("52494646" + "24000000" + "57415645")
+    assert(decodeOne(wav) === ((None, None, "unknown")))
+  }
+
   test("q39 round-trips synthesized headers through the parser") {
     val rows = Multimodal.q39PngMeta(spark, TestSpark.Sf0001).collect()
     assert(rows.length === 500)
@@ -104,8 +148,8 @@ class MultimodalSpec extends AnyFunSuite {
         case 0 => assert(r.getString(3) === "jpeg" && r.isNullAt(1))
         case 1 => assert(r.getString(3) === "unknown" && r.isNullAt(1))
         case 2 => assert(r.getString(3) === "png" && r.isNullAt(1) && r.isNullAt(2))
-        case 3 =>
-          assert(r.getString(3) === "jpeg")
+        case 3 | 4 | 5 =>
+          assert(r.getString(3) === Map(3L -> "jpeg", 4L -> "gif", 5L -> "webp")(id % 7))
           assert(r.getInt(1) === (id % 1920 + 1).toInt)
           assert(r.getInt(2) === (id % 1080 + 1).toInt)
         case _ =>
