@@ -70,13 +70,16 @@ object SparkEntry {
     "q50_pack_assemble" -> (Text.q50PackAssemble _),
     "q51_corpus_pipeline" -> (Pipeline.q51CorpusPipeline _),
     "q52_join_revenue_bucketed" -> (Scale.q52JoinRevenueBucketed _),
+    "q53_ann_quantized" -> (Similarity.q53AnnQuantized _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
     * q26_ann_lsh (approximate by construction — recall >= 0.8 gated in
     * AnnRecallSpec against the brute-force top-k),
     * q31_approx_distinct (HLL estimate — 5% tolerance vs q20 exact in
-    * ApproxDistinctSpec).
+    * ApproxDistinctSpec),
+    * q53_ann_quantized (int8-quantized ANN — recall gated in AnnRecallSpec
+    * against both the brute-force and the exact-rerank top-k).
     */
   def oracleSql: Map[String, String] = Map(
     "q01_project" ->

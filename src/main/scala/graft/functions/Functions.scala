@@ -97,6 +97,28 @@ object VectorOps {
     * dot/(|a|*|b|).
     */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Symmetric per-vector int8 quantization: the max-|x| lane maps to
+    * ±127. Cosine is scale-invariant, so the per-vector scale cancels and
+    * quantized cosine needs NO dequantization — only the int8 vectors and
+    * their integer self-norms are kept (8× less memory than doubles). A
+    * zero vector quantizes to zeros; its quantized cosine is NULL via
+    * zero division, same as the double path.
+    */
+  def quantizeI8(v: Column): Column = {
+    val maxabs = array_max(transform(v, x => abs(x.cast("double"))))
+    transform(v, x =>
+      when(maxabs === 0.0, lit(0))
+        .otherwise(round(x.cast("double") * 127.0 / maxabs)).cast("byte"))
+  }
+
+  /** Integer dot product via the codegen'd [[DotProductI8]] kernel; same
+    * NULL contract as [[dot]].
+    */
+  def dotI8(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProductI8(
+      ColumnBridge.expression(a.cast("array<tinyint>")),
+      ColumnBridge.expression(b.cast("array<tinyint>"))))
 }
 
 object ImageOps {

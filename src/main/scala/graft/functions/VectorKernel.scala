@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Codegen'd dot product over two ArrayType(Double) columns.
   *
@@ -81,5 +81,65 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** [[DotProduct]]'s int8 twin: codegen'd dot product over two
+  * ArrayType(Byte) columns, accumulated in `long` (overflow-free for any
+  * array under 2^48 elements). The quantized-similarity currency at scale:
+  * an int8 corpus copy is 8× smaller than doubles — memory bandwidth, not
+  * FLOPs, is what the re-rank stage pays for — and cosine over symmetric
+  * per-vector quantization needs no dequantization at all (the scale
+  * cancels). NULL semantics identical to [[DotProduct]], pinned in
+  * VectorKernelSpec.
+  */
+case class DotProductI8(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_dot_i8"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        s += x.getByte(i).toLong * y.getByte(i)
+        i += 1
+      }
+      s
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += (long) $a.getByte($i) * $b.getByte($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductI8 =
     copy(left = newLeft, right = newRight)
 }

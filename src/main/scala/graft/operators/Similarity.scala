@@ -162,6 +162,51 @@ object Similarity {
                   k: Int, bucketCap: Int): DataFrame =
     rerankTopK(annCandidatePairs(vectors, nbits, bands, bucketCap), vectors, k)
 
+  /** Quantize-then-rerank: stage 1 scores EVERY candidate pair with the
+    * int8 kernel (`graft_dot_i8`) over symmetric per-vector-quantized
+    * copies — 8× smaller than the doubles, which is the memory-bandwidth
+    * currency of the re-rank stage at 100 TB (the quantized corpus is what
+    * lives in executor memory; scale cancellation means no dequantization)
+    * — keeping an oversampled top-(k·oversample) per query; stage 2 pays
+    * the exact double cosine only for that short-list. Quantized-vs-exact
+    * recall is pinned in AnnRecallSpec (the q26/q36 gate pattern).
+    */
+  def rerankTopKQuantized(pairIds: DataFrame, vectors: DataFrame, k: Int,
+                          oversample: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = vectors.select(col("vec_id"), quantizeI8(col("v")).as("qv"))
+      .withColumn("qnrm", sqrt(dotI8(col("qv"), col("qv")).cast("double")))
+    val wq = Window.partitionBy("vec_id")
+      .orderBy(col("qsim").desc, col("cand_id").asc)
+    val shortlist = pairIds
+      .join(q, "vec_id")
+      .join(q.select(col("vec_id").as("cand_id"), col("qv").as("cqv"),
+        col("qnrm").as("cqnrm")), "cand_id")
+      .withColumn("qsim",
+        dotI8(col("qv"), col("cqv")).cast("double") / (col("qnrm") * col("cqnrm")))
+      .withColumn("rq", row_number().over(wq))
+      .filter(col("rq") <= k * oversample)
+      .select("vec_id", "cand_id")
+    rerankTopK(shortlist, vectors, k)
+  }
+
+  /** The quantized twin of [[annCosineOn]] — same LSH candidate stage,
+    * int8 short-list, exact top-k re-rank of the short-list only.
+    */
+  def annCosineQuantizedOn(vectors: DataFrame, nbits: Int = 3, bands: Int = 8,
+                           k: Int = 5, bucketCap: Int = 4096,
+                           oversample: Int = 4): DataFrame =
+    rerankTopKQuantized(annCandidatePairs(vectors, nbits, bands, bucketCap),
+      vectors, k, oversample)
+
+  /** queries()-shaped wrapper for the quantized ANN path (rows-only check;
+    * recall spec-gated in AnnRecallSpec like q26/q36).
+    */
+  def q53AnnQuantized(spark: SparkSession, dir: String): DataFrame =
+    annCosineQuantizedOn(
+      Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), toDoubleArray(col("embedding")).as("v")))
+
   /** queries()-shaped wrapper for the ANN path (rows-only check — results
     * are approximate by construction).
     */

@@ -53,6 +53,32 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(recall >= 0.8, f"recall $recall%.3f < 0.8")
   }
 
+  test("quantized rerank (int8 kernel): recall holds vs brute force AND vs the exact path") {
+    val e = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cand_id").asc)
+    val brute = e.crossJoin(e.select(col("vec_id").as("cand_id"), col("v").as("cv")))
+      .filter(col("vec_id") =!= col("cand_id"))
+      .withColumn("sim", cosine(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("vec_id", "cand_id")
+    val quant = Similarity.q53AnnQuantized(spark, TestSpark.Sf0001)
+      .select("vec_id", "cand_id")
+    val exact = Similarity.annCosine(spark, TestSpark.Sf0001, k = k)
+      .select("vec_id", "cand_id")
+    val nQueries = e.count()
+    val recallBrute = brute.intersect(quant).count().toDouble / (k * nQueries)
+    // the int8 short-list sees the same candidates as the exact path; with
+    // 4x oversampling the only loss is quantization noise reordering
+    // near-ties OUT of the short-list — gate it tighter than the LSH gate
+    val recallExact = exact.intersect(quant).count().toDouble / exact.count()
+    info(f"quantized recall@$k vs brute = $recallBrute%.3f, vs exact path = $recallExact%.3f")
+    assert(recallBrute >= 0.8, f"vs brute force: $recallBrute%.3f < 0.8")
+    assert(recallExact >= 0.95, f"vs exact rerank: $recallExact%.3f < 0.95")
+  }
+
   test("IVF seeding has no single-partition top-N anywhere in the plan") {
     // the old seed was orderBy(md5).limit(nCells) — a global sort funneling
     // every partition's sample through one task; the stratified min_by seed

@@ -80,6 +80,67 @@ class VectorKernelSpec extends AnyFunSuite {
     assert(out("empty_both").asInstanceOf[Double] == 0.0)
   }
 
+  test("DotProductI8: codegen == interpreted == JVM loop, same NULL contract") {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "label STRING, a ARRAY<TINYINT>, b ARRAY<TINYINT>")
+    // element type is Any so a NULL element can ride in the fixture
+    val fixture = Seq(
+      Row("plain", Seq[Any](1.toByte, 2.toByte, 3.toByte), Seq[Any](4.toByte, 5.toByte, 6.toByte)),
+      Row("extremes", Seq[Any](127.toByte, (-128).toByte, 127.toByte),
+        Seq[Any]((-128).toByte, (-128).toByte, 127.toByte)),
+      Row("empty_both", Seq.empty[Any], Seq.empty[Any]),
+      Row("len_mismatch", Seq[Any](1.toByte, 2.toByte), Seq[Any](1.toByte)),
+      Row("null_left", null, Seq[Any](1.toByte)),
+      Row("null_element", Seq[Any](1.toByte, null), Seq[Any](1.toByte, 2.toByte)))
+    val df = spark.createDataFrame(fixture.asJava, schema)
+    def expected(a: scala.collection.Seq[Any], b: scala.collection.Seq[Any]): Any =
+      if (a == null || b == null || a.length != b.length ||
+        a.contains(null) || b.contains(null)) null
+      else a.zip(b).map { case (x, y) =>
+        x.asInstanceOf[Byte].toLong * y.asInstanceOf[Byte].toLong }.sum
+    def run(): Unit = {
+      val out = df.withColumn("d", VectorOps.dotI8(col("a"), col("b")))
+        .collect()
+      out.foreach { r =>
+        val want = expected(
+          Option(r.get(1)).map(_.asInstanceOf[scala.collection.Seq[Any]]).orNull,
+          Option(r.get(2)).map(_.asInstanceOf[scala.collection.Seq[Any]]).orNull)
+        assert(r.get(3) == want, s"${r.getString(0)}: got ${r.get(3)}, want $want")
+      }
+    }
+    withCodegenExercised(run())
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try run() finally {
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  test("quantizeI8 maps the max-|x| lane to ±127 and cancels scale in cosine") {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("v ARRAY<DOUBLE>")
+    val df = spark.createDataFrame(Seq(
+      Row(Seq(0.5, -1.0, 0.25)),  // max |x| = 1.0 → (64, -127, 32)
+      Row(Seq(0.0, 0.0)),         // zero vector → zeros
+      Row(Seq(2000.0, -4000.0))   // scale >> 1 → (64, -127)
+    ).asJava, schema)
+    val got = df.select(VectorOps.quantizeI8(col("v")).as("q")).collect()
+      .map(_.getSeq[Byte](0).toSeq)
+    assert(got(0) === Seq[Byte](64, -127, 32))
+    assert(got(1) === Seq[Byte](0, 0))
+    assert(got(2) === Seq[Byte](64, -127))
+    // self-cosine of any non-zero quantized vector is exactly 1
+    val selfCos = df.limit(1)
+      .select(VectorOps.quantizeI8(col("v")).as("q"))
+      .select((VectorOps.dotI8(col("q"), col("q")).cast("double") /
+        (sqrt(VectorOps.dotI8(col("q"), col("q")).cast("double")) *
+          sqrt(VectorOps.dotI8(col("q"), col("q")).cast("double")))).as("c"))
+      .head().getDouble(0)
+    assert(math.abs(selfCos - 1.0) < 1e-12)
+  }
+
   test("the kernel stays inside whole-stage codegen (plan audit)") {
     withCodegenExercised {
       val df = cases.withColumn("d", VectorOps.dot(col("a"), col("b")))
