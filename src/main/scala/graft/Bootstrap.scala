@@ -66,6 +66,30 @@ object Bootstrap {
   def initCorpus(spark: SparkSession, dir: String): Unit =
     Tables.registerAll(spark, dir)
 
+  /** SQL-surface exposure of the LLM-pipeline operator families: a
+    * SQL-only user reaches the exact dedup / decontamination / composed
+    * corpus-pipeline plans as temp views, composable with plain SQL over
+    * the corpus tables (e.g. `SELECT d.* FROM documents d JOIN
+    * vw_dedup_clusters c ON d.doc_id = c.doc_id WHERE c.cluster =
+    * d.doc_id` IS the deduplicated corpus). Registration is plan-based —
+    * the view stores the ALREADY-BUILT DataFrame plan, so q37's iterative
+    * contraction runs once here (its result is checkpoint-backed) rather
+    * than re-entering the driver loop per SQL read, and the SQL surface
+    * can never drift from the DataFrame path it wraps (SqlSurfaceSpec
+    * pins the hash match).
+    */
+  def initCorpusOps(spark: SparkSession, dir: String): Unit = {
+    Tables.registerAll(spark, dir)
+    operators.Dedup.q21ExactDedup(spark, dir)
+      .createOrReplaceTempView("vw_exact_dedup")
+    operators.Dedup.q37DedupClusters(spark, dir)
+      .createOrReplaceTempView("vw_dedup_clusters")
+    operators.Text.q45Decontaminate(spark, dir)
+      .createOrReplaceTempView("vw_decontaminate")
+    operators.Pipeline.q51CorpusPipeline(spark, dir)
+      .createOrReplaceTempView("vw_corpus_manifest")
+  }
+
   /** Register the landing table + curated views over it — the TRANSFORM
     * entry point (reference: R_TRANSFORM owns RAW reads and creates the
     * curated views, sql/02_rbac_policies.sql). Run it under a privileged

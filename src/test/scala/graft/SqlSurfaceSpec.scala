@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Pipeline, Text}
+
+/** The SQL surface over the LLM-pipeline operators: Bootstrap.initCorpusOps
+  * registers the dedup / decontamination / corpus-manifest plans as temp
+  * views; these pin that a SQL-only user gets row-identical results to the
+  * DataFrame path, and that the views compose in plain SQL.
+  */
+class SqlSurfaceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("corpus-ops views hash-match their DataFrame twins") {
+    Bootstrap.initCorpusOps(spark, TestSpark.Sf0001)
+    val twins = Seq(
+      "vw_exact_dedup" -> Dedup.q21ExactDedup(spark, TestSpark.Sf0001),
+      "vw_dedup_clusters" -> Dedup.q37DedupClusters(spark, TestSpark.Sf0001),
+      "vw_decontaminate" -> Text.q45Decontaminate(spark, TestSpark.Sf0001),
+      "vw_corpus_manifest" -> Pipeline.q51CorpusPipeline(spark, TestSpark.Sf0001))
+    twins.foreach { case (view, df) =>
+      val sql = canon(spark.sql(s"SELECT * FROM $view"))
+      val api = canon(df)
+      assert(sql.nonEmpty, s"$view returned no rows")
+      assert(sql === api, s"$view drifted from its DataFrame twin")
+    }
+  }
+
+  test("a SQL-only dedup+decontamination workflow composes over the views") {
+    Bootstrap.initCorpusOps(spark, TestSpark.Sf0001)
+    // the deduplicated, decontaminated corpus in ONE SQL statement — the
+    // workflow the views exist for
+    val survivors = spark.sql(
+      """SELECT d.doc_id FROM documents d
+        |LEFT JOIN vw_dedup_clusters c ON d.doc_id = c.doc_id
+        |JOIN vw_decontaminate x ON d.doc_id = x.doc_id
+        |WHERE (c.cluster IS NULL OR c.cluster = d.doc_id)
+        |  AND x.contaminated = 0""".stripMargin)
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors.nonEmpty)
+    // consistency with the operators the views wrap: no survivor is
+    // contaminated, and no two survivors share a near-dup cluster
+    val contaminated = Text.q45Decontaminate(spark, TestSpark.Sf0001)
+      .filter(org.apache.spark.sql.functions.col("contaminated") === 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors.intersect(contaminated).isEmpty)
+    val clusters = Dedup.q37DedupClusters(spark, TestSpark.Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val survivorClusters = survivors.toSeq.flatMap(clusters.get)
+    assert(survivorClusters.distinct.length === survivorClusters.length,
+      "two survivors share a near-dup cluster")
+  }
+}
