@@ -64,15 +64,19 @@ object Pipeline {
       .select("doc_id").distinct()
     val clean = qual.join(contam, Seq("doc_id"), "left_anti")
 
-    // 3. exact dedup (q21's keep rule): min doc_id per content hash
-    val keep = clean.groupBy(md5(col("text")).as("h"))
-      .agg(min("doc_id").as("doc_id"))
-      .select("doc_id")
+    // 3. exact dedup (q21's keep rule): min doc_id per content hash —
+    //    ONE content-hash-partitioned window over `clean` (a single wide
+    //    shuffle), not groupBy + keep-join: the join formulation derives
+    //    `clean` (and its decontamination shingle join) once per branch
+    //    and shuffles the wide rows a second time — bench-measured ~1 s
+    //    of the query at sf0.1
+    val wDup = Window.partitionBy(md5(col("text")))
     // materialize the survivors once — consumed by BOTH the near-dup pair
     // generation and the final keep-join below; without this, stages 1-3
-    // (scan + shingle join + dedup groupBy) replay per consumer
+    // (scan + shingle join + dedup window) replay per consumer
     val exdedup = org.apache.spark.sql.graft.ColumnBridge.freshStats(
-      clean.join(keep, "doc_id")
+      clean.withColumn("_keep", min("doc_id").over(wDup))
+        .filter(col("doc_id") === col("_keep"))
         .select("doc_id", "source", "lang", "quality", "text")
         .localCheckpoint(true))
 
