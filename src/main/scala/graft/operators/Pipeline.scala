@@ -46,10 +46,13 @@ object Pipeline {
     * cluster scale the same role is played by persisting the survivor
     * table to storage between pipeline phases.
     */
-  def q51CorpusPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val budget = 512L // tokens per packed sequence (q43's constant)
+  /** Stages 1-3 (quality gate → decontamination → exact dedup) as ONE
+    * un-materialized plan — split out so PlanAuditSpec can audit the
+    * physical shape (broadcast holdout, windowed keep rule) that q51's
+    * eager checkpoint otherwise hides behind a LogicalRDD scan.
+    */
+  private[graft] def survivorPlan(docs: DataFrame): DataFrame = {
     val holdout = col("source").isin("src18", "src19")
-    val docs = Tables.load(spark, dir, "documents")
 
     // 1. quality gate (q28's formula, floor 0.7) over the train split
     val qual = docs.filter(!holdout)
@@ -67,18 +70,24 @@ object Pipeline {
     // 3. exact dedup (q21's keep rule): min doc_id per content hash —
     //    ONE content-hash-partitioned window over `clean` (a single wide
     //    shuffle), not groupBy + keep-join: the join formulation derives
-    //    `clean` (and its decontamination shingle join) once per branch
-    //    and shuffles the wide rows a second time — bench-measured ~1 s
-    //    of the query at sf0.1
+    //    `clean` (and its decontamination shingle join) once per branch,
+    //    and at corpus scale the keep set outgrows a broadcast, turning
+    //    the join into a second wide shuffle
     val wDup = Window.partitionBy(md5(col("text")))
+    clean.withColumn("_keep", min("doc_id").over(wDup))
+      .filter(col("doc_id") === col("_keep"))
+      .select("doc_id", "source", "lang", "quality", "text")
+  }
+
+  def q51CorpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 512L // tokens per packed sequence (q43's constant)
+    val docs = Tables.load(spark, dir, "documents")
+
     // materialize the survivors once — consumed by BOTH the near-dup pair
     // generation and the final keep-join below; without this, stages 1-3
     // (scan + shingle join + dedup window) replay per consumer
     val exdedup = org.apache.spark.sql.graft.ColumnBridge.freshStats(
-      clean.withColumn("_keep", min("doc_id").over(wDup))
-        .filter(col("doc_id") === col("_keep"))
-        .select("doc_id", "source", "lang", "quality", "text")
-        .localCheckpoint(true))
+      survivorPlan(docs).localCheckpoint(true))
 
     // 4. LSH near-dup components over the survivors (q22/q35/q37's exact
     //    scheme, frame-parameterized): keep singletons (no candidate

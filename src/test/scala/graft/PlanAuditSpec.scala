@@ -130,6 +130,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("q51 survivor plan: holdout broadcast, windowed keep rule, nothing quadratic") {
+    // stages 1-3 run behind q51's eager checkpoint, so the audit targets
+    // the un-materialized survivor plan directly
+    val p = plan(graft.operators.Pipeline.survivorPlan(
+      Tables.load(spark, TestSpark.Sf0001, "documents")))
+    // the holdout shingle set is benchmark-sized by definition — losing
+    // its broadcast turns decontamination into a corpus-sized shuffle join
+    assert(p.contains("BroadcastHashJoin"), "holdout shingle join lost its broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "a pipeline stage went quadratic")
+    // the exact-dedup keep rule is a content-hash-partitioned window —
+    // one wide shuffle, one derivation of the decontamination stage.
+    // Spark extracts the complex partition key into a `_w0` projection,
+    // so the md5 lives one node below the windowspecdefinition
+    assert(p.contains("windowspecdefinition"), "keep rule lost its window")
+    assert(p.linesIterator.exists(l => l.contains("md5") && l.contains("_w0")),
+      "keep-rule window no longer partitions by the content hash")
+  }
+
   test("the codegen'd graft_dot kernel carries the vector queries") {
     // a refactor that silently falls back to the interpreted HOF twin
     // re-opens the r2/r3 ~100x ANN regression (BENCH_NOTES.md) — pin the
