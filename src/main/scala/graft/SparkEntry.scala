@@ -71,6 +71,7 @@ object SparkEntry {
     "q51_corpus_pipeline" -> (Pipeline.q51CorpusPipeline _),
     "q52_join_revenue_bucketed" -> (Scale.q52JoinRevenueBucketed _),
     "q53_ann_quantized" -> (Similarity.q53AnnQuantized _),
+    "q54_split" -> (Text.q54Split _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -240,6 +241,11 @@ object SparkEntry {
     "q49_asof_last_view" -> Oracles.asOfLastView,
     "q50_pack_assemble" -> Oracles.packAssemble,
     "q51_corpus_pipeline" -> Oracles.corpusPipeline,
+    "q54_split" ->
+      ("SELECT doc_id, source, CASE " +
+        "WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train' " +
+        "WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val' " +
+        "ELSE 'test' END AS split FROM documents"),
     // the bucketed twin computes EXACTLY q11's result — same oracle; only
     // the physical layout (and therefore the plan's exchange count) differs
     "q52_join_revenue_bucketed" ->

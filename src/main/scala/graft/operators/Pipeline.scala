@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -51,13 +51,15 @@ object Pipeline {
     * physical shape (broadcast holdout, windowed keep rule) that q51's
     * eager checkpoint otherwise hides behind a LogicalRDD scan.
     */
-  private[graft] def survivorPlan(docs: DataFrame): DataFrame = {
-    val holdout = col("source").isin("src18", "src19")
+  private[graft] def survivorPlan(
+      docs: DataFrame,
+      holdout: Column = col("source").isin("src18", "src19"),
+      qualityFloor: Double = 0.7): DataFrame = {
 
-    // 1. quality gate (q28's formula, floor 0.7) over the train split
+    // 1. quality gate (q28's formula) over the train split
     val qual = docs.filter(!holdout)
       .withColumn("quality", Text.qualityScore(col("text")))
-      .filter(col("quality") >= 0.7)
+      .filter(col("quality") >= qualityFloor)
 
     // 2. decontamination (q45): drop any train doc sharing an 8-word
     //    shingle with the holdout split
@@ -79,15 +81,26 @@ object Pipeline {
       .select("doc_id", "source", "lang", "quality", "text")
   }
 
-  def q51CorpusPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val budget = 512L // tokens per packed sequence (q43's constant)
-    val docs = Tables.load(spark, dir, "documents")
+  /** The library entry point: the full pipeline over ANY
+    * (doc_id, source, lang, text) frame, parameterized on the holdout
+    * predicate, quality floor, quota salt, packing budget, and the scrub
+    * transform (a deployment scrubs its own text; the q51 contract
+    * instantiation synthesizes PII from doc_id first, as q46 does, so the
+    * scrub stage has real positives to remove).
+    */
+  def corpusPipelineOn(
+      docs: DataFrame,
+      holdout: Column = col("source").isin("src18", "src19"),
+      qualityFloor: Double = 0.7,
+      quotaSalt: String = "q51|",
+      budget: Long = 512L,
+      scrub: Column => Column = Text.scrubPii): DataFrame = {
 
     // materialize the survivors once — consumed by BOTH the near-dup pair
     // generation and the final keep-join below; without this, stages 1-3
     // (scan + shingle join + dedup window) replay per consumer
     val exdedup = org.apache.spark.sql.graft.ColumnBridge.freshStats(
-      survivorPlan(docs).localCheckpoint(true))
+      survivorPlan(docs, holdout, qualityFloor).localCheckpoint(true))
 
     // 4. LSH near-dup components over the survivors (q22/q35/q37's exact
     //    scheme, frame-parameterized): keep singletons (no candidate
@@ -97,15 +110,14 @@ object Pipeline {
     val nearded = exdedup.join(clus, Seq("doc_id"), "left")
       .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
 
-    // 5. PII scrub (q46's synthesized contacts + RE2-safe regexes)
-    val scrub = nearded.select(col("doc_id"), col("source"), col("lang"),
-      col("quality"),
-      Text.scrubPii(Text.synthContacts(col("doc_id"), col("text")))
-        .as("scrubbed"))
+    // 5. PII scrub
+    val scrubbed = nearded.select(col("doc_id"), col("source"), col("lang"),
+      col("quality"), scrub(col("text")).as("scrubbed"))
 
-    // 6. per-language quota sample (q42's hash threshold, salt "q51|" so
-    //    the draw is independent of q42's)
-    val samp = scrub.filter(Text.quotaKeep(col("doc_id"), col("lang"), "q51|"))
+    // 6. per-language quota sample (q42's hash threshold; the salt keeps
+    //    this stage's draw independent of any other sampling stage)
+    val samp = scrubbed.filter(
+      Text.quotaKeep(col("doc_id"), col("lang"), quotaSalt))
 
     // 7. token packing (q43's per-source window) over the SCRUBBED text
     val w = Window.partitionBy("source").orderBy("doc_id")
@@ -118,4 +130,12 @@ object Pipeline {
         (col("off") % budget).as("bin_offset"),
         floor(col("off") / budget).as("bin"))
   }
+
+  /** Q51: the contract instantiation over `documents` — defaults
+    * everywhere, plus the q46 PII synthesis ahead of the scrub (in
+    * lockstep with Oracles.corpusPipeline).
+    */
+  def q51CorpusPipeline(spark: SparkSession, dir: String): DataFrame =
+    corpusPipelineOn(Tables.load(spark, dir, "documents"),
+      scrub = t => Text.scrubPii(Text.synthContacts(col("doc_id"), t)))
 }

@@ -198,6 +198,25 @@ object Text {
       .filter(quotaKeep(col("doc_id"), col("lang"), "q42|"))
       .select("doc_id", "lang")
 
+  /** Q54: deterministic 80/10/10 train/val/test split — the assignment a
+    * training pipeline makes before anything else touches the corpus.
+    * Same salted-hash primitive as q42 (salt "split|", so the split is
+    * independent of every sampling stage): reproducible on any engine
+    * with no RNG state, stratified by construction (md5 is uniform
+    * within every subpopulation — per-source/per-language proportions
+    * hold automatically), and a pure narrow map — no shuffle, prunes to
+    * two columns at the scan. Thresholds are 32-bit hex bounds:
+    * 0xCCCCCCCC = 0.8, 0xE6666666 = 0.9.
+    */
+  def q54Split(spark: SparkSession, dir: String): DataFrame = {
+    val h = substring(md5(concat(lit("split|"), col("doc_id").cast("string"))), 1, 8)
+    Tables.load(spark, dir, "documents").select(
+      col("doc_id"), col("source"),
+      when(h < "cccccccc", "train")
+        .when(h < "e6666666", "val")
+        .otherwise("test").as("split"))
+  }
+
   /** Word-8-gram shingles: (doc_id, source, sh8). Same index-sequence
     * shape as Dedup's 3-gram shingler; the size filter comes FIRST —
     * sequence(0, size-8) on a short array would yield a descending

@@ -272,6 +272,34 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q54: split is exhaustive, ~80/10/10, independent of q42's draw") {
+    val rows = Text.q54Split(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(rows.length === 500)
+    val bySplit = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    // md5 is uniform; 500 docs put the rates within a few sd of nominal
+    assert(math.abs(bySplit("train") / 500.0 - 0.8) < 0.08, bySplit.toString)
+    assert(math.abs(bySplit("val") / 500.0 - 0.1) < 0.06, bySplit.toString)
+    assert(math.abs(bySplit("test") / 500.0 - 0.1) < 0.06, bySplit.toString)
+    // row-by-row JVM recompute of the salted-hash contract
+    import java.security.MessageDigest
+    def h8(id: Long): String = MessageDigest.getInstance("MD5")
+      .digest(s"split|$id".getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    rows.foreach { case (id, split) =>
+      val want = if (h8(id) < "cccccccc") "train"
+        else if (h8(id) < "e6666666") "val" else "test"
+      assert(split === want, s"doc $id")
+    }
+    // independence from q42: the q42-kept set must not be contained in
+    // (or disjoint from) any one split — distinct salts decorrelate
+    val kept = Text.q42QuotaSample(spark, TestSpark.Sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val keptSplits = rows.filter(r => kept(r._1)).map(_._2).distinct
+    assert(keptSplits.length === 3, s"q42 sample collapsed into $keptSplits")
+  }
+
   test("q50 assembles exactly q43's bins: same membership, same token sums") {
     // the two queries recompute the same window independently — pin that
     // they cannot drift apart (a budget or ordering edit to one alone
