@@ -142,36 +142,27 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
                           includeSingletons: Boolean = false): DataFrame = {
-    val spark = pairs.sparkSession
-    // The conf toggles below are session-GLOBAL: a query planned
-    // concurrently on this session would inherit interpreted mode / tiny
-    // shuffle-partition counts. The dedicated-session requirement can't be
-    // enforced from here (jobs submitted mid-loop are invisible now), but
-    // the common violation — calling this while other jobs are already
-    // running — is detectable, so warn loudly.
-    if (spark.sparkContext.statusTracker.getActiveJobIds().nonEmpty)
-      System.err.println(
-        "[graft] WARNING: connectedComponents called while other jobs are " +
-          "active on this SparkSession; its session-global conf toggles " +
-          "(codegen/AQE/shuffle.partitions) will affect them. Run it on a " +
-          "dedicated session.")
+    val caller = pairs.sparkSession
+    // The loop wants three conf toggles, and all three are session-global
+    // — so it runs on a CLONE of the caller's session (shared SparkContext
+    // and SharedState, independent SessionState copy): queries planned
+    // concurrently on the caller can never observe interpreted mode or a
+    // clamped shuffle-partition count. Checkpoint blocks live on the
+    // shared context, so frames materialized on the clone remain valid in
+    // the caller-bound result. The toggles die with the clone; nothing to
+    // restore.
+    val spark = org.apache.spark.sql.graft.ColumnBridge.sessionClone(caller)
     // every iteration builds FRESH tiny plans — whole-stage codegen would
     // JIT a new generated class per round for a label table of a few
     // thousand rows, dominating the loop's wall time; interpreted mode is
-    // strictly cheaper here. Restored to the previous setting afterwards.
-    // CAVEAT: session confs are session-global — queries running
-    // CONCURRENTLY on the same SparkSession while this loop iterates are
-    // also planned without codegen. Fine for a dedicated job session (the
-    // Verify/Bench context); a multi-tenant server should call this on its
-    // own session.
-    val prevCodegen = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    // strictly cheaper here.
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     // AQE re-plans and inserts query-stage barriers per shuffle — pure
     // scheduling overhead for the loop's per-round label frames, whose
     // size AQE can never exploit (every round is checkpointed anyway).
-    // Same session-global caveat as the codegen toggle above.
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // clone inherited the caller's runtime conf: this is the CEILING for
+    // the per-round clamp below
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions", "200")
     // parse defensively: vendor runtimes ship non-integer spellings (e.g.
     // "auto") — a bare toLong would throw before the loop even starts.
@@ -201,7 +192,7 @@ object Dedup {
     // vertex appearing ONLY in self-pairs does not reach the output
     // unless includeSingletons is set. Both in-repo producers emit
     // strictly doc_a < doc_b.
-    val canonical = pairs
+    val canonical = org.apache.spark.sql.graft.ColumnBridge.rebind(spark, pairs)
       .select(greatest(col("doc_a"), col("doc_b")).as("hi"),
         least(col("doc_a"), col("doc_b")).as("lo"))
       .distinct()
@@ -235,11 +226,9 @@ object Dedup {
       // ~10 rounds the task overhead alone was 4× the query (measured
       // 11 s vs 2.8 s for the same 345-edge q40 graph). ~1M edge rows
       // (two longs) per partition; never above the session setting, so a
-      // 100 TB pair list still spreads over the full cluster. This clamp
-      // is the SHARPEST of the session-global toggles (a concurrent query
-      // could get planned with 1 shuffle partition) — it makes the
-      // dedicated-session requirement stated above a hard one, not a
-      // preference.
+      // 100 TB pair list still spreads over the full cluster. The clamp
+      // can go all the way to 1 — safe on the clone, where no concurrent
+      // query can ever be planned with it.
       spark.conf.set("spark.sql.shuffle.partitions",
         math.max(1L, math.min(prevPartsN, prevSig._1 / 1000000L + 1L)).toString)
       // large-star: every node connects its strictly-LARGER neighbors to
@@ -297,14 +286,18 @@ object Dedup {
     // it, and only true singletons end up labeled with themselves.
     val labeled = e.select(col("hi").as("doc_id"), col("lo").as("cluster"))
       .union(e.select(col("lo").as("doc_id"), col("lo").as("cluster")))
-    verts.fold(labeled)(v =>
+    val out = verts.fold(labeled)(v =>
         labeled.union(v.select(col("doc_id"), col("doc_id").as("cluster"))))
       .groupBy("doc_id").agg(min("cluster").as("cluster"))
+    // hand the result back on the CALLER's session: the final star set is
+    // checkpointed (LogicalRDD leaves survive rebinding), and downstream
+    // consumers plan the closing aggregate with the caller's own
+    // codegen/AQE/partition settings, not the loop's.
+    org.apache.spark.sql.graft.ColumnBridge.rebind(caller, out)
     } finally {
       live.toSeq.foreach(release)
-      spark.conf.set("spark.sql.codegen.wholeStage", prevCodegen)
-      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // no conf restore: the toggles were applied to the clone only and
+      // are unreachable once it goes out of scope
     }
   }
 

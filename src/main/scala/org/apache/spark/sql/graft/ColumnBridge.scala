@@ -54,4 +54,28 @@ object ColumnBridge {
       case _ => ()
     }
   }
+
+  /** A session clone: shares the SparkContext and SharedState (so cached
+    * data, checkpoint blocks, and the warehouse are common) but carries an
+    * independent COPY of the SessionState — runtime confs, temp views,
+    * registered functions. Conf changes on the clone are invisible to the
+    * parent, which is exactly what an iterative operator that wants
+    * codegen/AQE/shuffle-partition toggles needs on a shared session.
+    * `cloneSession` is `private[sql]` in Spark 4, hence hosted here.
+    */
+  def sessionClone(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
+
+  /** Rebind a DataFrame's analyzed plan onto another session (typically a
+    * `sessionClone`, or back to the caller), so that all DOWNSTREAM
+    * planning and execution read that session's conf. Analysis is
+    * idempotent on a resolved plan, and leaf nodes (file relations,
+    * `LogicalRDD`) carry their data independent of the session.
+    */
+  def rebind(spark: org.apache.spark.sql.SparkSession,
+             df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+        .queryExecution.analyzed)
 }

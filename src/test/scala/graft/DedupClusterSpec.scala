@@ -79,4 +79,59 @@ class DedupClusterSpec extends AnyFunSuite {
     val keepers = labels.filter { case (d, c) => d == c }.keySet
     assert(keepers === Set(5L, 30L))
   }
+
+  test("conf toggles run on a session clone; the caller session is never touched") {
+    // The loop disables codegen/AQE and clamps shuffle.partitions (as low
+    // as 1). All three are session-global, so they must land on a CLONE:
+    // sample the caller's conf at every job start across the loop's
+    // lifetime, and plan a concurrent query mid-loop whose shuffle must
+    // keep the session's partition count.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.jdk.CollectionConverters._
+    val origCodegen = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    val origAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val origParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val samples = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, String)]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        samples.add((
+          spark.conf.get("spark.sql.codegen.wholeStage", "true"),
+          spark.conf.get("spark.sql.adaptive.enabled", "true"),
+          spark.conf.get("spark.sql.shuffle.partitions")))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // the diameter-4095 path: ~13 contraction rounds, several jobs each
+      // — plenty of mid-loop lifetime to observe
+      def rev12(i: Long): Long =
+        (0 until 12).foldLeft(0L)((a, b) => a | (((i >> b) & 1L) << (11 - b)))
+      val edges = (0L until 4095L).map(i => (rev12(i), rev12(i + 1)))
+      val fut = Future(
+        Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"), maxIter = 14))
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (samples.size < 6 && System.nanoTime() < deadline) Thread.sleep(10)
+      assert(samples.size >= 6, "contraction loop produced no observable jobs")
+      // concurrent planning on the caller, while the loop is mid-flight
+      val concurrent = spark.range(1000).toDF("id")
+        .groupBy(org.apache.spark.sql.functions.col("id") % 7).count()
+      val exch = concurrent.queryExecution.executedPlan.toString
+        .linesIterator.find(_.contains("Exchange hashpartitioning")).getOrElse("")
+      assert(exch.contains(s", $origParts)"),
+        s"concurrent query lost the session partition count ($origParts): $exch")
+      val labels = Await.result(fut, 2.minutes)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels.values.toSet === Set(0L))
+      assert(labels.size === 4096)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // every sample of the caller's conf taken during the run must equal
+    // the originals — the toggles were never visible outside the clone
+    val seen = samples.iterator().asScala.toSet
+    assert(seen.subsetOf(Set((origCodegen, origAqe, origParts))),
+      s"caller conf observed with foreign values mid-loop: $seen")
+    assert(spark.conf.get("spark.sql.codegen.wholeStage", "true") === origCodegen)
+    assert(spark.conf.get("spark.sql.adaptive.enabled", "true") === origAqe)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === origParts)
+  }
 }
