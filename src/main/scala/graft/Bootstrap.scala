@@ -86,7 +86,15 @@ object Bootstrap {
       .createOrReplaceTempView("vw_dedup_clusters")
     operators.Text.q45Decontaminate(spark, dir)
       .createOrReplaceTempView("vw_decontaminate")
-    operators.Pipeline.q51CorpusPipeline(spark, dir)
+    // registered through the HANDLE variant, not corpusPipelineOn: the
+    // view must answer SQL reads for the whole session, so its survivor
+    // checkpoint is exempt from the retire-on-reinvoke lifecycle that a
+    // later direct q51 build would otherwise trigger (the handle is
+    // deliberately dropped — the block lives as long as the view can be
+    // queried)
+    operators.Pipeline.corpusPipelineHandled(
+        Tables.load(spark, dir, "documents"),
+        scrub = operators.Pipeline.q51Scrub)._1
       .createOrReplaceTempView("vw_corpus_manifest")
   }
 

@@ -45,16 +45,27 @@ object Scale {
       .saveAsTable(table)
 
   /** Catalog name for a corpus table's bucketed twin — one twin set per
-    * source directory, shared by every consumer.
+    * source directory, shared by every consumer. The name carries a hash
+    * of the FULL directory path, not just its basename: two corpora that
+    * share a basename (/a/sf01 and /b/sf01) must not collide, or the
+    * exists-check in ensureBucketed would silently serve the first
+    * corpus's data to the second.
     */
-  private def bucketTwin(dir: String, table: String): String =
+  private def bucketTwin(dir: String, table: String): String = {
+    val dirHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4)
+      .map(b => f"${b & 0xff}%02x").mkString
     "b_" + (dir.split('/').filter(_.nonEmpty).lastOption.getOrElse("d") +
-      "_" + table).replaceAll("[^A-Za-z0-9_]", "_")
+      "_" + dirHash + "_" + table).replaceAll("[^A-Za-z0-9_]", "_")
+  }
 
   /** Materialize the bucketed twin once (pay-once); later calls reuse the
     * catalog table. Synchronized: test suites share one session and two
     * concurrent materializations of the same twin would race the
-    * warehouse directory.
+    * warehouse directory. The lock is JVM-wide only — two PROCESSES
+    * sharing a warehouse dir can still race the orphan-delete/write
+    * sequence below; a multi-process deployment must serialize twin
+    * materialization externally (or pre-build the twins).
     */
   def ensureBucketed(spark: SparkSession, dir: String, table: String,
                      cols: Seq[String], key: String, buckets: Int): String =
@@ -66,8 +77,12 @@ object Scale {
         // refuses to claim an existing location, so clear it first. (The
         // bucketing spec lives only in the catalog — re-registering the
         // files as an external table would silently lose it.)
-        val wh = new java.net.URI(
-          spark.conf.get("spark.sql.warehouse.dir")).getPath
+        // Hadoop Path, not java.net.URI: the warehouse conf is usually a
+        // PLAIN PATH (possibly with spaces or other URI-illegal chars),
+        // which URI.getPath would reject or mangle; Path handles both the
+        // plain and the file:-scheme spellings.
+        val wh = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir")).toUri.getPath
         val orphan = new java.io.File(wh, name)
         if (orphan.exists()) deleteRecursively(orphan)
         writeBucketed(Tables.load(spark, dir, table).selectExpr(cols: _*),

@@ -40,11 +40,25 @@ object Landing {
     * TRANSPORT metadata: a producer that re-sends the same document under
     * a fresh load id (a replayed backfill, a re-crawl) is exactly the
     * duplicate this key catches, which the id key by definition cannot.
+    *
+    * The strip is POSITION-INDEPENDENT: a mid/last member loses its
+    * LEADING comma (first alternative), a first member its trailing one
+    * (second alternative) — a trailing-comma-only strip left `{"a":1,}`
+    * vs `{"a":1}` depending on where the producer serialized the id, so
+    * the same content re-sent with the key in a different position
+    * escaped dedup. A literal `"_LOAD_ID"` INSIDE a JSON string value
+    * cannot false-match: an unescaped quote cannot occur inside a valid
+    * string, and the escaped form `\"_LOAD_ID\"` fails both alternatives
+    * (the backslash sits where the comma / `{` lookbehind must match).
     */
+  private[streaming] val loadIdStrip: String = {
+    val v = """("[^"]*"|[^,}\s]+)"""
+    raw""",\s*"_LOAD_ID"\s*:\s*$v|(?<=\{)\s*"_LOAD_ID"\s*:\s*$v\s*,?"""
+  }
+
   private def contentKey(record: Column): Column =
     graft.functions.TextOps.contentFingerprint(
-      regexp_replace(record,
-        "\"_LOAD_ID\"\\s*:\\s*(\"[^\"]*\"|[^,}\\s]+)\\s*,?", ""))
+      regexp_replace(record, loadIdStrip, ""))
 
   /** The landing-row shape, shared by every entry point so the batch and
     * streaming paths cannot drift: record + metadata struct + load id +

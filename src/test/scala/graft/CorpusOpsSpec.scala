@@ -272,6 +272,41 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q51 survivor checkpoints do not accumulate across re-invocations") {
+    // Bench runs the builder 1 warmup + reps + variance-retry times per
+    // sweep; Dataset.unpersist cannot free localCheckpoint storage, so
+    // without the retire-on-reinvoke path each run would pin another
+    // survivor-sized block for the session lifetime. Pin: N sequential
+    // corpusPipelineOn runs leave the persistent-RDD count bounded by one
+    // invocation's footprint, and the explicit handle releases its block.
+    val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val first = Pipeline.corpusPipelineOn(docs)
+    first.write.format("noop").mode("overwrite").save()
+    val afterFirst = spark.sparkContext.getPersistentRDDs.keySet -- before
+    (1 to 2).foreach { _ =>
+      Pipeline.corpusPipelineOn(docs).write.format("noop").mode("overwrite").save()
+    }
+    val afterThird = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // each invocation materializes the survivor set plus the contraction
+    // loop's final star; only the survivor block is retired on re-invoke,
+    // so 3 runs may leave at most first-run footprint + 2 stars — NOT
+    // 3 x first-run (the leak shape ADVICE flagged)
+    assert(afterThird.size <= afterFirst.size + 2,
+      s"survivor checkpoints accumulate: run1 left ${afterFirst.size}, " +
+        s"3 runs left ${afterThird.size}")
+    // the explicit handle drains its survivor block eagerly
+    val beforeH = spark.sparkContext.getPersistentRDDs.keySet
+    val (manifest, release) = Pipeline.corpusPipelineHandled(docs)
+    manifest.write.format("noop").mode("overwrite").save()
+    release()
+    val leftH = spark.sparkContext.getPersistentRDDs.keySet -- beforeH
+    // what survives the release is the contraction loop's star backing
+    // (owned by the manifest plan), never the survivor set
+    assert(leftH.size <= 1,
+      s"handle release left ${leftH.size} persistent RDDs (expected <= 1)")
+  }
+
   test("q54: split is exhaustive, ~80/10/10, independent of q42's draw") {
     val rows = Text.q54Split(spark, TestSpark.Sf0001)
       .collect().map(r => (r.getLong(0), r.getString(2)))

@@ -250,7 +250,8 @@ class StreamingSpec extends AnyFunSuite {
     // independent JVM recompute of the load-id-stripped fingerprint
     def fpJvm(rec: String): String = {
       val stripped = rec.replaceAll(
-        "\"_LOAD_ID\"\\s*:\\s*(\"[^\"]*\"|[^,}\\s]+)\\s*,?", "")
+        ",\\s*\"_LOAD_ID\"\\s*:\\s*(\"[^\"]*\"|[^,}\\s]+)" +
+          "|(?<=\\{)\\s*\"_LOAD_ID\"\\s*:\\s*(\"[^\"]*\"|[^,}\\s]+)\\s*,?", "")
       val norm = stripped.toLowerCase.replaceAll("\\s+", " ").trim
       java.security.MessageDigest.getInstance("MD5")
         .digest(norm.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
@@ -261,6 +262,29 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => fpJvm(r.getString(0))).sorted.toSeq
     assert(bFps === sFps)
     assert(bFps.distinct.length === 2, "a content duplicate survived")
+  }
+
+  test("content fingerprint is independent of where _LOAD_ID sits in the record") {
+    // the same document re-serialized with the transport key first, mid,
+    // or LAST must collapse to one landing — a trailing-comma-only strip
+    // left '{"a":1,}' for the last-member spelling and the re-send escaped
+    // dedup. A literal "_LOAD_ID" inside a string VALUE is content, not
+    // transport, and must NOT be stripped.
+    val first = """{"_LOAD_ID":"p1","a":1,"b":"x"}"""
+    val mid = """{"a":1,"_LOAD_ID":"p2","b":"x"}"""
+    val last = """{"a":1,"b":"x","_LOAD_ID":"p3"}"""
+    val decoy1 = """{"a":1,"b":"see \"_LOAD_ID\": 9,","_LOAD_ID":"p4"}"""
+    val decoy2 = """{"a":1,"b":"see \"_LOAD_ID\": 8,","_LOAD_ID":"p5"}"""
+    val base = Files.createTempDirectory("graft_fp_pos").toString
+    Landing.landBatch(Seq(first, mid, last, decoy1, decoy2).toDF("value"),
+      s"$base/landing", fingerprintDedup = true)
+    val landed = spark.read.parquet(s"$base/landing")
+      .select("record").collect().map(_.getString(0)).toSet
+    // one survivor for the three position spellings, and BOTH decoys: their
+    // string values differ, so stripping must not have touched them
+    assert(landed.size === 3, s"expected 3 landed records, got $landed")
+    assert(landed.count(Set(first, mid, last)) === 1)
+    assert(landed.contains(decoy1) && landed.contains(decoy2))
   }
 
   test("IngestCounters sees every landed row and batch") {
