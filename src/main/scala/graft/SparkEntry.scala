@@ -72,6 +72,7 @@ object SparkEntry {
     "q52_join_revenue_bucketed" -> (Scale.q52JoinRevenueBucketed _),
     "q53_ann_quantized" -> (Similarity.q53AnnQuantized _),
     "q54_split" -> (Text.q54Split _),
+    "q55_skewed_hot_key" -> (Scale.q55SkewedHotKey _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -252,5 +253,14 @@ object SparkEntry {
       ("SELECT o_orderpriority, round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
         "(1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS revenue " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority"),
+    // the salted two-phase plan computes EXACTLY the plain GROUP BY — the
+    // skew handling is physical (partial agg keyed by (hot_key, _salt)),
+    // so the oracle is the one-phase formulation
+    "q55_skewed_hot_key" ->
+      ("SELECT CASE WHEN event_id % 2 = 0 THEN 'hot' " +
+        "ELSE 'k' || CAST(event_id % 97 AS VARCHAR) END AS hot_key, " +
+        "count(*) AS cnt, " +
+        "round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS total " +
+        "FROM events GROUP BY 1"),
   )
 }

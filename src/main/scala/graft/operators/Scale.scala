@@ -31,6 +31,30 @@ object Scale {
       .groupBy(keys.map(col): _*)
       .agg(sum("_c").as("cnt"), sum("_s").as("total"))
 
+  /** Q55: keyed sum+count over a HOT key, through the salted two-phase
+    * plan. The key is a residue map that collapses ~half the events table
+    * onto ONE value (`hot` when event_id is even, else `k<event_id % 97>`)
+    * — the classic skew shape where a plain groupBy sends 50% of all rows
+    * to a single reducer. saltedSumCount spreads the hot key over 16
+    * sub-keys for the partial aggregate (the corpus-sized shuffle is keyed
+    * by (hot_key, _salt) — at most 1/16th of the hot key per partition),
+    * then combines at most `salt` partial rows per key in the final
+    * aggregate. Exact by the algebra (sum-of-sums / sum-of-counts); the
+    * measure goes through DECIMAL so partial order can't change the sum,
+    * and the oracle is the plain one-phase GROUP BY.
+    */
+  def q55SkewedHotKey(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(
+        when(col("event_id") % 2 === 0, lit("hot"))
+          .otherwise(concat(lit("k"), (col("event_id") % 97).cast("string")))
+          .as("hot_key"),
+        col("value").cast(DecimalType(18, 4)).as("v"))
+    saltedSumCount(ev, Seq("hot_key"), "v", salt = 16)
+      .select(col("hot_key"), col("cnt"),
+        round(col("total").cast("double"), 4).as("total"))
+  }
+
   /** Bucketed layout: pre-shuffle a table ONCE by its join key so every
     * later equi-join on that key reads co-located buckets and skips the
     * exchange entirely — the pay-once-join-forever trade a 100 TB fact

@@ -149,6 +149,27 @@ class PlanAuditSpec extends AnyFunSuite {
       "keep-rule window no longer partitions by the content hash")
   }
 
+  test("q55 partial aggregate is keyed by (hot_key, _salt); final by hot_key alone") {
+    // the skew handling IS the physical shape: the corpus-sized exchange
+    // must carry the salt (spreading the hot key over 16 sub-keys), and
+    // only the 16-partials-per-key combine may re-key on hot_key alone. A
+    // refactor that drops the salt from the first exchange silently
+    // reverts to the one-reducer hot-key plan this query exists to avoid.
+    val df = graft.operators.Scale.q55SkewedHotKey(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    val exchanges = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange")).toSeq
+    assert(exchanges.size === 2, s"expected 2 exchanges, got:\n$p")
+    assert(exchanges.exists(l => l.contains("hot_key") && l.contains("_salt")),
+      s"the corpus-sized exchange lost its salt key:\n$p")
+    assert(exchanges.exists(l => l.contains("hot_key") && !l.contains("_salt")),
+      s"the partial-combine exchange should re-key on hot_key alone:\n$p")
+    // and both aggregate phases exist with the right grouping
+    val aggs = p.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(aggs.exists(l => l.contains("hot_key") && l.contains("_salt")),
+      "partial aggregate no longer groups by the salt")
+  }
+
   test("the codegen'd graft_dot kernel carries the vector queries") {
     // a refactor that silently falls back to the interpreted HOF twin
     // re-opens the r2/r3 ~100x ANN regression (BENCH_NOTES.md) — pin the
