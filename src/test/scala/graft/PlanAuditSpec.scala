@@ -170,6 +170,57 @@ class PlanAuditSpec extends AnyFunSuite {
       "partial aggregate no longer groups by the salt")
   }
 
+  test("a landed_date filter on the landing read prunes partitions physically") {
+    // Landing writes landed_date= partitions so the curated layer's time
+    // filters are PARTITION PRUNING, not data filtering (SURVEY §4). Pin
+    // that a date predicate actually reaches the scan's PartitionFilters —
+    // losing this turns every dated read into a full-history scan at 100 TB.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val base = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    graft.streaming.Landing.landBatch(
+      Seq("""{"_LOAD_ID":"a","n":1}""").toDF("value"), s"$base/landing",
+      ingestionTime = lit(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+    graft.streaming.Landing.landBatch(
+      Seq("""{"_LOAD_ID":"b","n":2}""").toDF("value"), s"$base/landing",
+      ingestionTime = lit(java.sql.Timestamp.valueOf("2024-01-02 10:00:00")))
+    val read = spark.read.parquet(s"$base/landing")
+      .filter(col("landed_date") === "2024-01-01")
+    val pf = plan(read).linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("landed_date"),
+      s"date predicate did not reach PartitionFilters: $pf")
+    assert(pf.contains("="), s"no equality partition filter: $pf")
+    // and the pruned read returns exactly the one partition's row
+    assert(read.count() === 1)
+  }
+
+  test("vw_works_v parses the landing JSON exactly once per row") {
+    // the VariantType twin EXISTS to parse once and variant_get many —
+    // if CollapseProject ever inlines the parse into each of the ~12
+    // projected columns, the plan re-parses the record per column and the
+    // twin is strictly worse than vw_works (the q39 marker-walk pin
+    // pattern)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val base = java.nio.file.Files.createTempDirectory("graft_varpin").toString
+    graft.streaming.Landing.landBatch(
+      Seq("""{"_LOAD_ID":"v1","id":"W1","title":"T"}""").toDF("value"),
+      s"$base/landing",
+      ingestionTime = lit(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+    Bootstrap.initLanding(spark, s"$base/landing")
+    val p = plan(spark.sql("SELECT * FROM vw_works_v"))
+    // try_parse_json plans as static_invoke(VariantExpressionEvalUtils
+    // .parseJson(...)) — count the eval-utils marker, not the SQL name
+    val parses = "parseJson\\(".r.findAllIn(p).length
+    assert(parses === 1,
+      s"expected exactly 1 parseJson in the physical plan, found $parses:\n$p")
+    // and the single parse is materialized in its OWN projection, with
+    // every typed column reading the variant through try_variant_get
+    assert("try_variant_get".r.findAllIn(p).length >= 10,
+      "typed columns no longer read through the shared variant")
+  }
+
   test("the codegen'd graft_dot kernel carries the vector queries") {
     // a refactor that silently falls back to the interpreted HOF twin
     // re-opens the r2/r3 ~100x ANN regression (BENCH_NOTES.md) — pin the
