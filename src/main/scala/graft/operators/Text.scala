@@ -50,7 +50,7 @@ object Text {
   /** The q28 quality score (rounded to 6 dp) over any text column — shared
     * with the q51 pipeline's gate stage so the formula cannot drift.
     */
-  private[operators] def qualityScore(text: Column): Column = {
+  private[graft] def qualityScore(text: Column): Column = {
     val nTokens = size(words(text))
     val avgTokLen = length(replace(text, lit(" "), lit(""))).cast("double") / nTokens
     round(least(lit(1.0), nTokens.cast("double") / 50.0) * 0.5 +
@@ -275,7 +275,7 @@ object Text {
       lpad(pmod(id, lit(10000)).cast("string"), 4, "0"))
 
   /** RE2-safe email/phone redaction (see q46 doc) — shared with q51. */
-  private[operators] def scrubPii(c: Column): Column =
+  private[graft] def scrubPii(c: Column): Column =
     regexp_replace(regexp_replace(c, lit(emailRe), lit("<EMAIL>")),
       lit(phoneRe), lit("<PHONE>"))
 

@@ -60,16 +60,66 @@ object Landing {
     graft.functions.TextOps.contentFingerprint(
       regexp_replace(record, loadIdStrip, ""))
 
+  /** Opt-in ingest-time corpus stages — the narrow per-row members of the
+    * q51 pipeline, applied as the data LANDS instead of by re-reading the
+    * lake (at 100 TB/day the difference is a second full pass):
+    *
+    *  - `qualityFloor`: drop text-bearing records scoring below the q28
+    *    quality floor (records WITHOUT the text field are transport /
+    *    control data the gate has no opinion on — they land unchanged)
+    *  - `scrubPii`: q46's RE2-safe email/phone redaction over the whole
+    *    wire record — PII is PII in any field
+    *  - `splitSalt`: stamp a deterministic 80/10/10 train/val/test `split`
+    *    column (q54's thresholds), keyed by the load-id-stripped CONTENT
+    *    fingerprint so a re-send under a fresh `_LOAD_ID` keeps its
+    *    assignment
+    *
+    * Stage order is fixed: dedup → gate → scrub → split (the split key is
+    * the SCRUBBED record — what the lake actually stores — so the
+    * assignment can be re-derived from the landed bytes). All three are
+    * pure narrow maps/filters: no shuffle is added to the landing path,
+    * and the batch and streaming entry points share this one application
+    * point so they cannot drift.
+    */
+  case class IngestStages(
+      textPath: String = "$.text",
+      qualityFloor: Option[Double] = None,
+      scrubPii: Boolean = false,
+      splitSalt: Option[String] = None)
+
+  private def applyStages(validated: DataFrame, st: IngestStages): DataFrame = {
+    import graft.operators.Text
+    var df = validated
+    st.qualityFloor.foreach { floor =>
+      val text = get_json_object(col("record"), st.textPath)
+      df = df.filter(text.isNull || Text.qualityScore(text) >= floor)
+    }
+    if (st.scrubPii)
+      df = df.withColumn("record", Text.scrubPii(col("record")))
+    st.splitSalt.foreach { salt =>
+      val h = substring(md5(concat(lit(salt), contentKey(col("record")))), 1, 8)
+      df = df.withColumn("split",
+        when(h < "cccccccc", "train")
+          .when(h < "e6666666", "val")
+          .otherwise("test"))
+    }
+    df
+  }
+
   /** The landing-row shape, shared by every entry point so the batch and
     * streaming paths cannot drift: record + metadata struct + load id +
-    * date partition, all stamped from one `ts` expression.
+    * (when the split stage is on) the split assignment + date partition,
+    * all stamped from one `ts` expression.
     */
-  private def landingProjection(validated: DataFrame, ts: Column): DataFrame =
+  private def landingProjection(validated: DataFrame, ts: Column): DataFrame = {
+    val extra =
+      if (validated.columns.contains("split")) Seq(col("split")) else Nil
     validated.select(
-      col("record"),
-      struct(ts.as("IngestionTime")).as("record_metadata"),
-      col("_load_id"),
-      to_date(ts).as("landed_date"))
+      Seq(col("record"),
+        struct(ts.as("IngestionTime")).as("record_metadata"),
+        col("_load_id")) ++ extra :+
+        to_date(ts).as("landed_date"): _*)
+  }
 
   /** Land one batch of raw NDJSON lines (column `value`).
     * `ingestionTime` is injectable for reproducible tests; when omitted it
@@ -82,7 +132,8 @@ object Landing {
       landingDir: String,
       dlqDir: Option[String] = None,
       ingestionTime: Column = null,
-      fingerprintDedup: Boolean = false): Unit = {
+      fingerprintDedup: Boolean = false,
+      stages: Option[IngestStages] = None): Unit = {
     val ts = Option(ingestionTime)
       .getOrElse(lit(new java.sql.Timestamp(System.currentTimeMillis())))
     // parsed feeds two writes (DLQ + landing) — cache so the batch source
@@ -111,7 +162,8 @@ object Landing {
           valid.withColumn("_fp", contentKey(col("record")))
             .dropDuplicates("_fp").drop("_fp")
         else valid.dropDuplicates("_load_id")
-      landingProjection(validated, ts)
+      val staged = stages.fold(validated)(applyStages(validated, _))
+      landingProjection(staged, ts)
         .write.mode("append").partitionBy("landed_date").parquet(landingDir)
     } finally parsed.unpersist()
   }
@@ -192,7 +244,8 @@ object Landing {
       dlqDir: Option[String] = None,
       replayWindow: String = "300 seconds",
       trigger: Trigger = Trigger.AvailableNow(),
-      fingerprintDedup: Boolean = false): StreamingQuery = {
+      fingerprintDedup: Boolean = false,
+      stages: Option[IngestStages] = None): StreamingQuery = {
     // opt-in content dedup (fingerprintDedup): valid lines key on the
     // load-id-stripped q30 content fingerprint instead of `_LOAD_ID`, so a
     // re-send of the same document under a FRESH id is still one landing
@@ -215,7 +268,8 @@ object Landing {
       .select(col("record").as("value"))
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        landBatch(batch, landingDir, dlqDir, fingerprintDedup = fingerprintDedup)
+        landBatch(batch, landingDir, dlqDir,
+          fingerprintDedup = fingerprintDedup, stages = stages)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -232,13 +286,14 @@ object Landing {
       landingDir: String,
       checkpointDir: String,
       dlqDir: Option[String] = None,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      stages: Option[IngestStages] = None): StreamingQuery =
     spark.readStream
       .format("text")
       .load(inputDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        landBatch(batch, landingDir, dlqDir)
+        landBatch(batch, landingDir, dlqDir, stages = stages)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

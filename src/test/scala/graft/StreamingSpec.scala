@@ -264,6 +264,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(bFps.distinct.length === 2, "a content duplicate survived")
   }
 
+  test("ingest-time corpus stages gate, scrub and split identically in batch and stream") {
+    // the narrow members of the corpus pipeline (q28 quality gate, q46 PII
+    // scrub, q54 split) applied as the data LANDS — one application point
+    // inside landBatch, shared by the streaming foreachBatch, so the two
+    // paths cannot drift
+    val goodText = Seq.fill(8)("alpha beta gamma delta epsilon").mkString(" ")
+    val lGood = s"""{"_LOAD_ID":"g1","text":"$goodText"}"""
+    val lBad = """{"_LOAD_ID":"b1","text":"tiny"}"""
+    val lPii =
+      s"""{"_LOAD_ID":"p1","text":"$goodText contact bob@mail.example.com tel +1-555-1234"}"""
+    val lCtrl = """{"_LOAD_ID":"c1","kind":"control"}"""
+    val stages = Some(Landing.IngestStages(
+      qualityFloor = Some(0.5), scrubPii = true, splitSalt = Some("split|")))
+
+    val baseB = Files.createTempDirectory("graft_stage_b").toString
+    Landing.landBatch(Seq(lGood, lBad, lPii, lCtrl).toDF("value"),
+      s"$baseB/landing", stages = stages)
+    val b = spark.read.parquet(s"$baseB/landing")
+    val bRows = b.select("record", "split").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    // gate: the low-quality doc is dropped; the text-LESS control line
+    // (transport data the gate has no opinion on) lands unchanged
+    assert(bRows.length === 3)
+    assert(!bRows.exists(_._1.contains("\"b1\"")), "low-quality doc landed")
+    assert(bRows.exists(_._1 === lCtrl), "text-less control line was gated")
+    // scrub: PII never reaches the lake
+    val scrubbed = bRows.map(_._1).find(_.contains("\"p1\"")).get
+    assert(scrubbed.contains("<EMAIL>") && scrubbed.contains("<PHONE>"))
+    assert(!scrubbed.contains("bob@mail.example.com")
+      && !scrubbed.contains("+1-555-1234"))
+    // split: every landed row carries a deterministic assignment
+    assert(bRows.forall(r => Set("train", "val", "test")(r._2)))
+
+    // stream: same lines across TWO deliveries over one checkpoint
+    val base = Files.createTempDirectory("graft_stage_s").toString
+    val in = s"$base/in"; new java.io.File(in).mkdirs()
+    def runOnce(name: String, ls: Seq[String]): Unit = {
+      Files.write(java.nio.file.Paths.get(s"$in/$name"), ls.mkString("\n").getBytes)
+      val q = Landing.landStreamBounded(spark, in, s"$base/landing",
+        s"$base/ckpt", stages = stages)
+      q.awaitTermination(60000)
+    }
+    runOnce("d1.ndjson", Seq(lGood, lBad))
+    runOnce("d2.ndjson", Seq(lPii, lCtrl))
+    val sRows = spark.read.parquet(s"$base/landing")
+      .select("record", "split").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    assert(sRows.toSet === bRows.toSet,
+      "batch and stream landed different (record, split) sets")
+  }
+
   test("content fingerprint is independent of where _LOAD_ID sits in the record") {
     // the same document re-serialized with the transport key first, mid,
     // or LAST must collapse to one landing — a trailing-comma-only strip
