@@ -73,6 +73,7 @@ object SparkEntry {
     "q53_ann_quantized" -> (Similarity.q53AnnQuantized _),
     "q54_split" -> (Text.q54Split _),
     "q55_skewed_hot_key" -> (Scale.q55SkewedHotKey _),
+    "q56_av_meta" -> (Multimodal.q56AvMeta _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -262,5 +263,20 @@ object SparkEntry {
         "count(*) AS cnt, " +
         "round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS total " +
         "FROM events GROUP BY 1"),
+    // q56: Spark synthesizes byte-exact WAV/MP4 headers from doc_id and
+    // parses them back (the MP4 box walk behind a variable-size free box);
+    // the oracle recomputes every field from the same residue arithmetic —
+    // independent of the byte path, so an offset/endianness slip cannot
+    // cancel out (the q39 pattern).
+    "q56_av_meta" ->
+      ("SELECT doc_id, " +
+        "CASE WHEN doc_id % 3 = 0 THEN 'wav' WHEN doc_id % 3 = 1 THEN 'mp4' " +
+        "ELSE 'unknown' END AS format, " +
+        "CASE WHEN doc_id % 3 = 0 THEN CAST(8000 + (doc_id % 8) * 4000 AS INTEGER) END AS sample_rate, " +
+        "CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 2 + 1 AS INTEGER) END AS channels, " +
+        "CASE WHEN doc_id % 3 = 0 THEN CAST((doc_id % 2 + 1) * 8 AS INTEGER) END AS bits, " +
+        "CASE WHEN doc_id % 3 = 1 THEN CAST(doc_id % 1920 + 1 AS INTEGER) END AS width, " +
+        "CASE WHEN doc_id % 3 = 1 THEN CAST(doc_id % 1080 + 1 AS INTEGER) END AS height " +
+        "FROM documents"),
   )
 }

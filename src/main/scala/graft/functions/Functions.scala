@@ -131,6 +131,13 @@ object ImageOps {
     */
   def jpegDims(bin: Column): Column =
     ColumnBridge.column(JpegDims(ColumnBridge.expression(bin.cast("binary"))))
+
+  /** MP4 video-track dimensions as `(width << 32) | height` via the
+    * codegen'd ISO-BMFF box walk ([[Mp4Dims]]); NULL when no video `tkhd`
+    * is found. Same packed-long contract as [[jpegDims]].
+    */
+  def mp4Dims(bin: Column): Column =
+    ColumnBridge.column(Mp4Dims(ColumnBridge.expression(bin.cast("binary"))))
 }
 
 object TextOps {

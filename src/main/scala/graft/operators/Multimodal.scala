@@ -74,6 +74,21 @@ object Multimodal {
   private def le24(bin: Column, off: Int): Column =
     le16(bin, off) + u8(bin, off + 2) * 65536
 
+  /** little-endian hex lanes for the GIF / WebP / WAV syntheses */
+  private def le16hex(v: Column): Column = {
+    val h = lpad(hex(v), 4, "0")
+    concat(substring(h, 3, 2), substring(h, 1, 2))
+  }
+  private def le24hex(v: Column): Column = {
+    val h = lpad(hex(v), 6, "0")
+    concat(substring(h, 5, 2), substring(h, 3, 2), substring(h, 1, 2))
+  }
+  private def le32hex(v: Column): Column = {
+    val h = lpad(hex(v), 8, "0")
+    concat(substring(h, 7, 2), substring(h, 5, 2),
+      substring(h, 3, 2), substring(h, 1, 2))
+  }
+
   /** The struct builder with the packed JPEG dims passed IN. The packed
     * long is referenced twice (width and height split), so callers on a
     * hot path should pre-project it into its own column — an attribute
@@ -140,6 +155,51 @@ object Multimodal {
         decodeImageMetaFrom(col(binCol), col("_jpeg_packed")))
       .drop("_jpeg_packed")
 
+  /** REAL audio/video-header decode — `binary ->
+    * struct<format,sample_rate,channels,bits,width,height>`, the A/V
+    * sibling of [[decodeImageMeta]] (a multimodal training pipeline meets
+    * audio and video right after images).
+    *
+    * - WAV (RIFF....WAVE): PCM parameters live in the `fmt ` chunk, which
+    *   the canonical form puts first — sample rate (LE u32 at 25-28),
+    *   channels (LE u16 at 23-24), bits/sample (LE u16 at 35-36), all
+    *   fixed-offset builtins over the same RIFF machinery as WebP. A WAV
+    *   whose first chunk is not `fmt ` (LIST/JUNK prefixes) keeps
+    *   format='wav' with NULL parameters.
+    * - MP4 (ISO BMFF, `ftyp` first box): video dimensions live in
+    *   `moov`→`trak`→`tkhd` at a VARIABLE offset (any box can precede
+    *   `moov`), found by the codegen'd box walk
+    *   [[graft.functions.Mp4Dims]] (ImageOps.mp4Dims) — the same
+    *   variable-offset problem JPEG's SOF poses, same kernel answer. An
+    *   MP4 with no video track (width 0 in every tkhd) keeps format='mp4'
+    *   with NULL dims.
+    * - anything else: format='unknown', all fields NULL.
+    */
+  def decodeAvMeta(bin: Column): Column =
+    decodeAvMetaFrom(bin, graft.functions.ImageOps.mp4Dims(bin))
+
+  /** The struct builder with the packed MP4 dims passed IN — same
+    * pre-projection contract as [[decodeImageMetaFrom]] (the packed long
+    * is referenced twice; an attribute reference duplicates for free, the
+    * box walk does not).
+    */
+  def decodeAvMetaFrom(bin: Column, mp4Packed: Column): Column = {
+    val isWav = hex(substring(bin, 1, 4)) === "52494646" &&
+      hex(substring(bin, 9, 4)) === "57415645"
+    val fmtOk = isWav && hex(substring(bin, 13, 4)) === "666D7420" &&
+      octet_length(bin) >= 36
+    val isMp4 = octet_length(bin) >= 12 &&
+      hex(substring(bin, 5, 4)) === "66747970"
+    def le32(off: Int) = le16(bin, off) + le16(bin, off + 2) * 65536
+    struct(
+      when(isWav, "wav").when(isMp4, "mp4").otherwise("unknown").as("format"),
+      when(fmtOk, le32(25)).cast("int").as("sample_rate"),
+      when(fmtOk, le16(bin, 23)).cast("int").as("channels"),
+      when(fmtOk, le16(bin, 35)).cast("int").as("bits"),
+      when(isMp4, shiftright(mp4Packed, 32)).cast("int").as("width"),
+      when(isMp4, mp4Packed.bitwiseAND(lit(0xFFFFFFFFL))).cast("int").as("height"))
+  }
+
   /** Q39: the decode contract query. The corpus ships no image table, so
     * the payloads are synthesized IN the query — byte-exact PNG
     * signature+IHDR headers (and JPEG SOI / raw payloads on the other
@@ -164,15 +224,6 @@ object Multimodal {
       lit("FFD8" + "FFE000104A46494600010100000100010000" + "FFC0001108"),
       lpad(hex(height), 4, "0"), lpad(hex(width), 4, "0"),
       lit("03012200021101031101"))
-    // little-endian hex lanes for the GIF / WebP syntheses
-    def le16hex(v: Column) = {
-      val h = lpad(hex(v), 4, "0")
-      concat(substring(h, 3, 2), substring(h, 1, 2))
-    }
-    def le24hex(v: Column) = {
-      val h = lpad(hex(v), 6, "0")
-      concat(substring(h, 5, 2), substring(h, 3, 2), substring(h, 1, 2))
-    }
     // GIF89a: signature + LE u16 logical-screen dims + GSD tail bytes
     val gifHex = concat(lit("474946383961"),
       le16hex(width), le16hex(height), lit("F7000000"))
@@ -199,5 +250,61 @@ object Multimodal {
       .select(col("doc_id"), decodeImageMetaFrom(col("_p"), col("_jd")).as("m"))
       .select(col("doc_id"), col("m.width").as("width"),
         col("m.height").as("height"), col("m.format").as("format"))
+  }
+
+  /** Q56: the audio/video decode contract query — q39's technique applied
+    * to [[decodeAvMeta]]. Payloads are synthesized from `doc_id` residues:
+    * a byte-exact canonical PCM WAV header (RIFF/WAVE + `fmt `, LE lanes),
+    * a byte-exact MP4 whose `moov` sits behind a VARIABLE-size `free` box
+    * (8 + doc_id%5 bytes — fixed-offset parsing cannot pass the oracle;
+    * only the box walk can), and raw text for the unknown class. The
+    * oracle recomputes every field from the same residue arithmetic, so an
+    * offset/endianness slip on either container breaks the hash match.
+    */
+  def q56AvMeta(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    // WAV parameters from residues: 1-2 channels, 8000-36000 Hz, 8/16 bit
+    val channels = (col("doc_id") % 2 + 1).cast("int")
+    val rate = (lit(8000) + (col("doc_id") % 8).cast("int") * 4000).cast("int")
+    val bits = ((col("doc_id") % 2 + 1) * 8).cast("int")
+    val blockAlign = (channels * bits / 8).cast("int")
+    val wavHex = concat(
+      lit("52494646"), le32hex(lit(28)), lit("57415645"), // RIFF size WAVE
+      lit("666D7420"), le32hex(lit(16)), // fmt , PCM chunk size
+      le16hex(lit(1)), le16hex(channels), le32hex(rate), // PCM, nch, rate
+      le32hex(rate * blockAlign), le16hex(blockAlign), le16hex(bits))
+    // MP4: ftyp(16) + free(8 + doc_id%5) + moov(108) > trak(100) > tkhd(92);
+    // tkhd v0, flags 7, identity matrix, 16.16 fixed-point dims
+    val width = (col("doc_id") % 1920 + 1).cast("int")
+    val height = (col("doc_id") % 1080 + 1).cast("int")
+    val pad = (col("doc_id") % 5).cast("int")
+    val freeHex = concat(lpad(hex(pad + 8), 8, "0"), lit("66726565"),
+      repeat(lit("00"), pad))
+    val tkhdHex = concat(
+      lit("0000005C" + "746B6864" + "00000007" + // size 92, tkhd, v0+flags
+        "00000000" + "00000000" + "00000001" + "00000000" + "00000000" + // times, id, rsvd, dur
+        "0000000000000000" + "0000" + "0000" + "0000" + "0000" + // rsvd, layer, alt, vol, rsvd
+        "000100000000000000000000" + "000000000001000000000000" + // matrix rows 1-2
+        "000000000000000040000000"), // matrix row 3
+      lpad(hex(width), 4, "0"), lit("0000"), // 16.16 width
+      lpad(hex(height), 4, "0"), lit("0000")) // 16.16 height
+    val mp4Hex = concat(
+      lit("00000010" + "66747970" + "69736F6D" + "00000000"), // ftyp isom
+      freeHex,
+      lit("0000006C" + "6D6F6F76" + "00000064" + "7472616B"), // moov > trak
+      tkhdHex)
+    val payload =
+      when(col("doc_id") % 3 === 0, unhex(wavHex))
+        .when(col("doc_id") % 3 === 1, unhex(mp4Hex))
+        .otherwise(col("text").cast("binary"))
+    // same pre-projection discipline as q39: payload and the packed box
+    // walk live in their own columns so the walk runs once per row
+    docs.select(col("doc_id"), payload.as("_p"))
+      .withColumn("_md", graft.functions.ImageOps.mp4Dims(col("_p")))
+      .select(col("doc_id"), decodeAvMetaFrom(col("_p"), col("_md")).as("m"))
+      .select(col("doc_id"), col("m.format").as("format"),
+        col("m.sample_rate").as("sample_rate"), col("m.channels").as("channels"),
+        col("m.bits").as("bits"), col("m.width").as("width"),
+        col("m.height").as("height"))
   }
 }

@@ -160,6 +160,131 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  // ---- audio/video decode (decodeAvMeta + the Mp4Dims box walk) ----
+
+  private def decodeAvOne(payload: Array[Byte])
+    : (String, Option[Int], Option[Int], Option[Int], Option[Int], Option[Int]) = {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("payload BINARY")
+    val df = spark.createDataFrame(
+      Seq(org.apache.spark.sql.Row(payload)).asJava, schema)
+    val r = df.select(Multimodal.decodeAvMeta(col("payload")).as("m"))
+      .select("m.format", "m.sample_rate", "m.channels", "m.bits",
+        "m.width", "m.height").head()
+    def o(i: Int) = Option(r.get(i)).map(_.asInstanceOf[Int])
+    (r.getString(0), o(1), o(2), o(3), o(4), o(5))
+  }
+
+  private def wavBytes(ch: Int, rate: Int, bits: Int): Array[Byte] =
+    hexBytes("52494646" + le(28, 4) + "57415645" + "666D7420" + le(16, 4) +
+      le(1, 2) + le(ch, 2) + le(rate, 4) +
+      le(rate.toLong * ch * bits / 8, 4) + le(ch * bits / 8, 2) + le(bits, 2))
+
+  private def be32b(v: Long): Array[Byte] =
+    Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+  private def boxB(typ: String, payload: Array[Byte]): Array[Byte] =
+    be32b(payload.length + 8L) ++ typ.getBytes("US-ASCII") ++ payload
+  private val matrix36 = hexBytes(
+    "000100000000000000000000" + "000000000001000000000000" +
+      "000000000000000040000000")
+  /** Byte-exact tkhd FullBox, version 0 (32-bit times) or 1 (64-bit). */
+  private def tkhdB(w: Int, h: Int, version: Int = 0): Array[Byte] = {
+    val t = if (version == 1) 8 else 4
+    boxB("tkhd",
+      Array[Byte](version.toByte, 0, 0, 7) ++
+        Array.fill[Byte](2 * t)(0) ++ // creation + modification times
+        hexBytes("0000000100000000") ++ // track id + reserved
+        Array.fill[Byte](t)(0) ++ // duration
+        Array.fill[Byte](16)(0) ++ // reserved + layer/alt/volume/reserved
+        matrix36 ++ be32b(w.toLong << 16) ++ be32b(h.toLong << 16))
+  }
+  private def mp4B(prefix: Array[Byte], traks: Array[Byte]*): Array[Byte] =
+    boxB("ftyp", hexBytes("69736F6D00000000")) ++ prefix ++
+      boxB("moov", traks.flatten.toArray)
+
+  test("WAV fmt parameters parse little-endian from real header bytes") {
+    assert(decodeAvOne(wavBytes(2, 44100, 16)) ===
+      (("wav", Some(44100), Some(2), Some(16), None, None)))
+    assert(decodeAvOne(wavBytes(1, 8000, 8)) ===
+      (("wav", Some(8000), Some(1), Some(8), None, None)))
+    // non-canonical WAV (LIST chunk before fmt): container kept, NULL params
+    val listFirst = hexBytes("52494646" + le(28, 4) + "57415645" +
+      "4C495354" + le(4, 4) + "494E464F")
+    assert(decodeAvOne(listFirst) === (("wav", None, None, None, None, None)))
+    // truncated mid-fmt: no garbage parse
+    assert(decodeAvOne(wavBytes(2, 44100, 16).take(30)) ===
+      (("wav", None, None, None, None, None)))
+  }
+
+  test("MP4 tkhd dims parse through the box walk, not fixed offsets") {
+    // moov behind a variable-size free box; an AUDIO trak (width 0) sits
+    // before the video trak — the walk must step over both obstacles
+    val m = mp4B(boxB("free", Array.fill[Byte](5)(0)),
+      boxB("trak", tkhdB(0, 0)), boxB("trak", tkhdB(1920, 1080)))
+    assert(decodeAvOne(m) === (("mp4", None, None, None, Some(1920), Some(1080))))
+    // version-1 tkhd (64-bit times): dims shift 12 bytes deeper
+    val v1 = mp4B(Array.emptyByteArray, boxB("trak", tkhdB(640, 480, version = 1)))
+    assert(decodeAvOne(v1) === (("mp4", None, None, None, Some(640), Some(480))))
+    // 64-bit largesize box before moov walks correctly
+    val large = boxB("ftyp", hexBytes("69736F6D00000000")) ++
+      be32b(1L) ++ "free".getBytes("US-ASCII") ++ be32b(0L) ++ be32b(24L) ++
+      Array.fill[Byte](8)(0) ++
+      boxB("moov", boxB("trak", tkhdB(320, 240)))
+    assert(decodeAvOne(large) === (("mp4", None, None, None, Some(320), Some(240))))
+    // no video trak: container kept, NULL dims
+    val audioOnly = mp4B(Array.emptyByteArray, boxB("trak", tkhdB(0, 0)))
+    assert(decodeAvOne(audioOnly) === (("mp4", None, None, None, None, None)))
+    // a box whose size runs past the payload: malformed, NULL dims
+    val truncated = mp4B(Array.emptyByteArray,
+      boxB("trak", tkhdB(1920, 1080))).dropRight(20)
+    assert(decodeAvOne(truncated) === (("mp4", None, None, None, None, None)))
+    // not a container at all
+    assert(decodeAvOne("plain text".getBytes("UTF-8")) ===
+      (("unknown", None, None, None, None, None)))
+  }
+
+  test("Mp4Dims interpreted eval agrees with the codegen'd column path") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.BinaryType
+    val vectors = Seq(
+      mp4B(boxB("free", Array.fill[Byte](3)(0)), boxB("trak", tkhdB(123, 45))),
+      mp4B(Array.emptyByteArray, boxB("trak", tkhdB(0, 0))),
+      mp4B(Array.emptyByteArray, boxB("trak", tkhdB(7, 9, version = 1))),
+      "not an mp4".getBytes("UTF-8"),
+      Array.emptyByteArray)
+    vectors.foreach { bytes =>
+      val interp = graft.functions.Mp4Dims(Literal(bytes, BinaryType)).eval(null)
+      val codegen = spark.range(1)
+        .select(graft.functions.ImageOps.mp4Dims(lit(bytes)).as("d"))
+        .head().get(0)
+      assert(interp === codegen, s"parity broke on ${bytes.take(8).mkString(",")}")
+    }
+  }
+
+  test("q56 round-trips synthesized WAV/MP4 headers through the parser") {
+    val rows = Multimodal.q56AvMeta(spark, TestSpark.Sf0001).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      (id % 3) match {
+        case 0 =>
+          assert(r.getString(1) === "wav")
+          assert(r.getInt(2) === (8000 + (id % 8) * 4000).toInt)
+          assert(r.getInt(3) === (id % 2 + 1).toInt)
+          assert(r.getInt(4) === ((id % 2 + 1) * 8).toInt)
+          assert(r.isNullAt(5) && r.isNullAt(6))
+        case 1 =>
+          assert(r.getString(1) === "mp4")
+          assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
+          assert(r.getInt(5) === (id % 1920 + 1).toInt)
+          assert(r.getInt(6) === (id % 1080 + 1).toInt)
+        case _ =>
+          assert(r.getString(1) === "unknown")
+          (2 to 6).foreach(i => assert(r.isNullAt(i)))
+      }
+    }
+  }
+
   test("metadata survives payload pruning (heavy column dropped downstream)") {
     val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
