@@ -96,11 +96,22 @@ object Text {
     * partitions by doc_id. Scores are rounded to 6 places BEFORE ranking
     * so the ordering is engine-portable (same trick as q19).
     */
-  def q41TfIdfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+  def q41TfIdfTopTerms(spark: SparkSession, dir: String): DataFrame =
+    tfIdfTopTermsOn(Tables.load(spark, dir, "documents"), 3,
+      tfBound = col("doc_id") < 100)
+
+  /** The TF-IDF computation over any (doc_id, text) frame — the
+    * `minHashBandsOn` pattern, so a composed pipeline (q51-style) can
+    * extract relevance terms from its own survivor set. `tfBound`
+    * restricts only the PER-DOCUMENT side (q41's contract bound keeps its
+    * output fixed-size across scale factors); document frequency and N
+    * always span the full frame — that is what makes it IDF.
+    */
+  def tfIdfTopTermsOn(docs: DataFrame, k: Int,
+                      tfBound: Column = lit(true)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.load(spark, dir, "documents")
     val toks = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
-    val tf = toks.filter(col("doc_id") < 100)
+    val tf = toks.filter(tfBound)
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = docs
       .select(col("doc_id"), explode(array_distinct(words(col("text")))).as("term"))
@@ -112,7 +123,7 @@ object Text {
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term").asc)
     scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
+      .filter(col("rn") <= k)
       .select("doc_id", "term", "tf", "df", "score")
   }
 

@@ -272,6 +272,34 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("tfIdfTopTermsOn parameterizes frame, k and the tf-side bound") {
+    // the library form a composed pipeline consumes (the minHashBandsOn
+    // pattern): df/N must span the WHOLE given frame while k and the
+    // tf-side bound vary freely
+    val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
+      .filter(col("source") =!= "src19")
+    val out = Text.tfIdfTopTermsOn(docs, k = 2, tfBound = col("doc_id") < 40)
+      .collect()
+    assert(out.nonEmpty)
+    val byDoc = out.groupBy(_.getLong(0))
+    assert(byDoc.keySet.forall(_ < 40), "tf bound leaked")
+    byDoc.values.foreach { rows =>
+      assert(rows.length <= 2, "k=2 violated")
+      // rank order: scores non-increasing with the term tiebreak
+      val sorted = rows.sortBy(r => (-r.getDouble(4), r.getString(1)))
+      assert(rows.map(_.getString(1)).toSeq === sorted.map(_.getString(1)).toSeq)
+    }
+    // df spans the FULL frame, not the tf-bounded slice: every df must
+    // equal the frame-wide distinct-doc count for that term
+    val dfOf = docs
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.TextOps.words(col("text")))).as("term"))
+      .groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach(r => assert(r.getLong(3) === dfOf(r.getString(1)),
+      s"df for '${r.getString(1)}' not frame-wide"))
+  }
+
   test("q51 survivor checkpoints do not accumulate across re-invocations") {
     // Bench runs the builder 1 warmup + reps + variance-retry times per
     // sweep; Dataset.unpersist cannot free localCheckpoint storage, so
