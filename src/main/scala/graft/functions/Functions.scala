@@ -140,6 +140,18 @@ object ImageOps {
     ColumnBridge.column(Mp4Dims(ColumnBridge.expression(bin.cast("binary"))))
 }
 
+object AudioOps {
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  /** WAV PCM parameters as `(rate << 32) | (channels << 16) | bits` via
+    * the codegen'd RIFF chunk walk ([[WavFmt]]) — reaches a `fmt ` chunk
+    * behind LIST/JUNK prefixes, which fixed offsets cannot. NULL when the
+    * payload is not RIFF/WAVE or carries no `fmt `.
+    */
+  def wavFmt(bin: Column): Column =
+    ColumnBridge.column(WavFmt(ColumnBridge.expression(bin.cast("binary"))))
+}
+
 object TextOps {
   /** Lower-cased alphanumeric word tokens (empty strings filtered). */
   def words(text: Column): Column =

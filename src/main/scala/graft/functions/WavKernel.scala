@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Codegen'd WAV `fmt ` scan over a `binary` column.
+  *
+  * A canonical PCM WAV puts `fmt ` as the first chunk (fixed offsets),
+  * but the RIFF grammar allows any chunks (`LIST`, `JUNK`, `bext`, …)
+  * before it — real corpora carry such files routinely. This walks the
+  * chunk sequence (`id(4cc) size(u32le) data[size]`, WORD-aligned: an
+  * odd-sized chunk is followed by a pad byte) from offset 12 until it
+  * meets `fmt `, then reads the PCM parameters: channels (LE u16 at
+  * payload offset 2), sample rate (LE u32 at 4), bits/sample (LE u16 at
+  * 14). Same preference-order (b) custom-expression rationale as
+  * [[JpegDims]]/[[Mp4Dims]]: a variable-offset scan cannot be a
+  * fixed-offset builtin, and a primitive byte loop stays inside
+  * whole-stage codegen.
+  *
+  * Returns `(rate << 32) | (channels << 16) | bits` packed in one LONG;
+  * NULL when the payload is not RIFF/WAVE, no `fmt ` chunk is found, or
+  * the chunk is truncated. The caller splits the packed value with
+  * codegen'd bit ops.
+  */
+case class WavFmt(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_wav_fmt"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bb = input.asInstanceOf[Array[Byte]]
+    val len = bb.length
+    def be32(o: Int): Long =
+      (((bb(o) & 0xFF) << 24) | ((bb(o + 1) & 0xFF) << 16) |
+        ((bb(o + 2) & 0xFF) << 8) | (bb(o + 3) & 0xFF)) & 0xFFFFFFFFL
+    def le16(o: Int): Int = (bb(o) & 0xFF) | ((bb(o + 1) & 0xFF) << 8)
+    def le32(o: Int): Long =
+      ((bb(o) & 0xFF) | ((bb(o + 1) & 0xFF) << 8) | ((bb(o + 2) & 0xFF) << 16) |
+        ((bb(o + 3) & 0xFF) << 24)) & 0xFFFFFFFFL
+    if (len < 12 || be32(0) != 0x52494646L || be32(8) != 0x57415645L) return null
+    var i = 12
+    while (i + 8 <= len) {
+      val id = be32(i)
+      val size = le32(i + 4)
+      if (id == 0x666D7420L) { // "fmt "
+        if (size < 16L || i + 8 + 16 > len) return null
+        val channels = le16(i + 10)
+        val rate = le32(i + 12)
+        val bits = le16(i + 22)
+        return (rate << 32) | (channels.toLong << 16) | bits.toLong
+      }
+      // WORD alignment: odd-sized chunks carry a pad byte. A size running
+      // past the payload is malformed; a zero-size chunk still advances
+      // by its 8-byte header, so the walk always progresses.
+      val step = 8L + size + (size & 1L)
+      if (i + step > len) return null
+      i += step.toInt
+    }
+    null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, bytes => {
+      val bb = ctx.freshName("bb")
+      val len = ctx.freshName("len")
+      val i = ctx.freshName("i")
+      val id = ctx.freshName("id")
+      val size = ctx.freshName("size")
+      val step = ctx.freshName("step")
+      val ch = ctx.freshName("ch")
+      val rate = ctx.freshName("rate")
+      val bits = ctx.freshName("bits")
+      val scan = ctx.freshName("wavscan")
+      def be32(o: String) =
+        s"(((($bb[$o] & 0xFF) << 24) | (($bb[($o) + 1] & 0xFF) << 16) | " +
+          s"(($bb[($o) + 2] & 0xFF) << 8) | ($bb[($o) + 3] & 0xFF)) & 0xFFFFFFFFL)"
+      def le32(o: String) =
+        s"((($bb[$o] & 0xFF) | (($bb[($o) + 1] & 0xFF) << 8) | " +
+          s"(($bb[($o) + 2] & 0xFF) << 16) | (($bb[($o) + 3] & 0xFF) << 24)) & 0xFFFFFFFFL)"
+      def le16(o: String) =
+        s"(($bb[$o] & 0xFF) | (($bb[($o) + 1] & 0xFF) << 8))"
+      s"""
+         |${ev.isNull} = true;
+         |$scan: {
+         |  final byte[] $bb = $bytes;
+         |  final int $len = $bb.length;
+         |  if ($len < 12 || ${be32("0")} != 0x52494646L || ${be32("8")} != 0x57415645L) break $scan;
+         |  int $i = 12;
+         |  while ($i + 8 <= $len) {
+         |    final long $id = ${be32(i)};
+         |    final long $size = ${le32(s"$i + 4")};
+         |    if ($id == 0x666D7420L) {
+         |      if ($size < 16L || $i + 8 + 16 > $len) break $scan;
+         |      final long $ch = ${le16(s"$i + 10")};
+         |      final long $rate = ${le32(s"$i + 12")};
+         |      final long $bits = ${le16(s"$i + 22")};
+         |      ${ev.value} = ($rate << 32) | ($ch << 16) | $bits;
+         |      ${ev.isNull} = false;
+         |      break $scan;
+         |    }
+         |    final long $step = 8L + $size + ($size & 1L);
+         |    if ($i + $step > $len) break $scan;
+         |    $i += (int) $step;
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WavFmt =
+    copy(child = newChild)
+}

@@ -160,12 +160,13 @@ object Multimodal {
     * sibling of [[decodeImageMeta]] (a multimodal training pipeline meets
     * audio and video right after images).
     *
-    * - WAV (RIFF....WAVE): PCM parameters live in the `fmt ` chunk, which
-    *   the canonical form puts first — sample rate (LE u32 at 25-28),
-    *   channels (LE u16 at 23-24), bits/sample (LE u16 at 35-36), all
-    *   fixed-offset builtins over the same RIFF machinery as WebP. A WAV
-    *   whose first chunk is not `fmt ` (LIST/JUNK prefixes) keeps
-    *   format='wav' with NULL parameters.
+    * - WAV (RIFF....WAVE): PCM parameters live in the `fmt ` chunk —
+    *   first in the canonical form, but the RIFF grammar allows LIST/JUNK
+    *   chunks before it and real corpora carry such files routinely, so
+    *   the chunk walk is the codegen'd [[graft.functions.WavFmt]]
+    *   (AudioOps.wavFmt): sample rate (LE u32), channels (LE u16),
+    *   bits/sample (LE u16) from wherever `fmt ` sits. A WAV with no
+    *   `fmt ` keeps format='wav' with NULL parameters.
     * - MP4 (ISO BMFF, `ftyp` first box): video dimensions live in
     *   `moov`→`trak`→`tkhd` at a VARIABLE offset (any box can precede
     *   `moov`), found by the codegen'd box walk
@@ -176,26 +177,26 @@ object Multimodal {
     * - anything else: format='unknown', all fields NULL.
     */
   def decodeAvMeta(bin: Column): Column =
-    decodeAvMetaFrom(bin, graft.functions.ImageOps.mp4Dims(bin))
+    decodeAvMetaFrom(bin, graft.functions.ImageOps.mp4Dims(bin),
+      graft.functions.AudioOps.wavFmt(bin))
 
-  /** The struct builder with the packed MP4 dims passed IN — same
-    * pre-projection contract as [[decodeImageMetaFrom]] (the packed long
-    * is referenced twice; an attribute reference duplicates for free, the
-    * box walk does not).
+  /** The struct builder with the packed MP4 dims and WAV parameters
+    * passed IN — same pre-projection contract as [[decodeImageMetaFrom]]
+    * (each packed long is referenced 2-3 times; an attribute reference
+    * duplicates for free, the walks do not).
     */
-  def decodeAvMetaFrom(bin: Column, mp4Packed: Column): Column = {
+  def decodeAvMetaFrom(bin: Column, mp4Packed: Column,
+                       wavPacked: Column): Column = {
     val isWav = hex(substring(bin, 1, 4)) === "52494646" &&
       hex(substring(bin, 9, 4)) === "57415645"
-    val fmtOk = isWav && hex(substring(bin, 13, 4)) === "666D7420" &&
-      octet_length(bin) >= 36
     val isMp4 = octet_length(bin) >= 12 &&
       hex(substring(bin, 5, 4)) === "66747970"
-    def le32(off: Int) = le16(bin, off) + le16(bin, off + 2) * 65536
     struct(
       when(isWav, "wav").when(isMp4, "mp4").otherwise("unknown").as("format"),
-      when(fmtOk, le32(25)).cast("int").as("sample_rate"),
-      when(fmtOk, le16(bin, 23)).cast("int").as("channels"),
-      when(fmtOk, le16(bin, 35)).cast("int").as("bits"),
+      when(isWav, shiftright(wavPacked, 32)).cast("int").as("sample_rate"),
+      when(isWav, shiftright(wavPacked, 16).bitwiseAND(lit(0xFFFF)))
+        .cast("int").as("channels"),
+      when(isWav, wavPacked.bitwiseAND(lit(0xFFFF))).cast("int").as("bits"),
       when(isMp4, shiftright(mp4Packed, 32)).cast("int").as("width"),
       when(isMp4, mp4Packed.bitwiseAND(lit(0xFFFFFFFFL))).cast("int").as("height"))
   }
@@ -254,12 +255,13 @@ object Multimodal {
 
   /** Q56: the audio/video decode contract query — q39's technique applied
     * to [[decodeAvMeta]]. Payloads are synthesized from `doc_id` residues:
-    * a byte-exact canonical PCM WAV header (RIFF/WAVE + `fmt `, LE lanes),
-    * a byte-exact MP4 whose `moov` sits behind a VARIABLE-size `free` box
-    * (8 + doc_id%5 bytes — fixed-offset parsing cannot pass the oracle;
-    * only the box walk can), and raw text for the unknown class. The
-    * oracle recomputes every field from the same residue arithmetic, so an
-    * offset/endianness slip on either container breaks the hash match.
+    * a byte-exact PCM WAV header (canonical on even ids, JUNK-prefixed on
+    * odd ids so `fmt ` sits behind a chunk only the walk can reach), a
+    * byte-exact MP4 whose `moov` sits behind a VARIABLE-size `free` box
+    * (8 + doc_id%5 bytes), and raw text for the unknown class —
+    * fixed-offset parsing cannot pass the oracle for either container.
+    * The oracle recomputes every field from the same residue arithmetic,
+    * so an offset/endianness slip cannot cancel out.
     */
   def q56AvMeta(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
@@ -268,8 +270,15 @@ object Multimodal {
     val rate = (lit(8000) + (col("doc_id") % 8).cast("int") * 4000).cast("int")
     val bits = ((col("doc_id") % 2 + 1) * 8).cast("int")
     val blockAlign = (channels * bits / 8).cast("int")
+    // odd ids get a 12-byte JUNK chunk before fmt — the RIFF grammar
+    // allows it and real corpora carry it, so half the WAV rows place
+    // fmt at an offset only the chunk walk can reach
+    val junked = col("doc_id") % 2 === 1
     val wavHex = concat(
-      lit("52494646"), le32hex(lit(28)), lit("57415645"), // RIFF size WAVE
+      lit("52494646"),
+      le32hex(when(junked, 40).otherwise(28)), lit("57415645"), // RIFF size WAVE
+      when(junked, lit("4A554E4B" + "04000000" + "00000000")) // JUNK(4)
+        .otherwise(lit("")),
       lit("666D7420"), le32hex(lit(16)), // fmt , PCM chunk size
       le16hex(lit(1)), le16hex(channels), le32hex(rate), // PCM, nch, rate
       le32hex(rate * blockAlign), le16hex(blockAlign), le16hex(bits))
@@ -297,11 +306,13 @@ object Multimodal {
       when(col("doc_id") % 3 === 0, unhex(wavHex))
         .when(col("doc_id") % 3 === 1, unhex(mp4Hex))
         .otherwise(col("text").cast("binary"))
-    // same pre-projection discipline as q39: payload and the packed box
-    // walk live in their own columns so the walk runs once per row
+    // same pre-projection discipline as q39: payload and the two packed
+    // walks live in their own columns so each walk runs once per row
     docs.select(col("doc_id"), payload.as("_p"))
       .withColumn("_md", graft.functions.ImageOps.mp4Dims(col("_p")))
-      .select(col("doc_id"), decodeAvMetaFrom(col("_p"), col("_md")).as("m"))
+      .withColumn("_wd", graft.functions.AudioOps.wavFmt(col("_p")))
+      .select(col("doc_id"),
+        decodeAvMetaFrom(col("_p"), col("_md"), col("_wd")).as("m"))
       .select(col("doc_id"), col("m.format").as("format"),
         col("m.sample_rate").as("sample_rate"), col("m.channels").as("channels"),
         col("m.bits").as("bits"), col("m.width").as("width"),

@@ -202,18 +202,39 @@ class MultimodalSpec extends AnyFunSuite {
     boxB("ftyp", hexBytes("69736F6D00000000")) ++ prefix ++
       boxB("moov", traks.flatten.toArray)
 
-  test("WAV fmt parameters parse little-endian from real header bytes") {
+  test("WAV fmt parameters parse through the RIFF chunk walk") {
     assert(decodeAvOne(wavBytes(2, 44100, 16)) ===
       (("wav", Some(44100), Some(2), Some(16), None, None)))
     assert(decodeAvOne(wavBytes(1, 8000, 8)) ===
       (("wav", Some(8000), Some(1), Some(8), None, None)))
-    // non-canonical WAV (LIST chunk before fmt): container kept, NULL params
-    val listFirst = hexBytes("52494646" + le(28, 4) + "57415645" +
+    // non-canonical WAV: LIST (odd-sized, so WORD-padded) and JUNK chunks
+    // before fmt — the walk steps over them; fixed offsets cannot
+    val prefixed = hexBytes("52494646" + le(54, 4) + "57415645" +
+      "4C495354" + le(5, 4) + "494E464F00" + "00" + // LIST(5) + pad byte
+      "4A554E4B" + le(4, 4) + "00000000") ++ // JUNK(4)
+      wavBytes(2, 22050, 16).drop(12)
+    assert(decodeAvOne(prefixed) === (("wav", Some(22050), Some(2), Some(16), None, None)))
+    // RIFF/WAVE with no fmt at all: container kept, NULL params
+    val noFmt = hexBytes("52494646" + le(16, 4) + "57415645" +
       "4C495354" + le(4, 4) + "494E464F")
-    assert(decodeAvOne(listFirst) === (("wav", None, None, None, None, None)))
+    assert(decodeAvOne(noFmt) === (("wav", None, None, None, None, None)))
     // truncated mid-fmt: no garbage parse
     assert(decodeAvOne(wavBytes(2, 44100, 16).take(30)) ===
       (("wav", None, None, None, None, None)))
+  }
+
+  test("WavFmt interpreted eval agrees with the codegen'd column path") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.BinaryType
+    val vectors = Seq(wavBytes(2, 44100, 16), wavBytes(1, 8000, 8),
+      wavBytes(2, 44100, 16).take(30), "not a wav".getBytes("UTF-8"))
+    vectors.foreach { bytes =>
+      val interp = graft.functions.WavFmt(Literal(bytes, BinaryType)).eval(null)
+      val codegen = spark.range(1)
+        .select(graft.functions.AudioOps.wavFmt(lit(bytes)).as("d"))
+        .head().get(0)
+      assert(interp === codegen, s"parity broke on ${bytes.take(8).mkString(",")}")
+    }
   }
 
   test("MP4 tkhd dims parse through the box walk, not fixed offsets") {

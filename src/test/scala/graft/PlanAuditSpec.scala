@@ -52,13 +52,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(occurrences === 1, s"expected 1 graft_jpeg_dims in the plan, found $occurrences")
   }
 
-  test("q56 runs the MP4 box walk exactly once per row") {
-    // same pre-projection contract as the q39 JPEG pin: the packed dims
-    // long is referenced twice (width/height split), so the walk must live
-    // in its own projected column, not inline in each output field
+  test("q56 runs the MP4 box walk and WAV chunk walk exactly once per row") {
+    // same pre-projection contract as the q39 JPEG pin: each packed long
+    // is referenced 2-3 times (field splits), so the walks must live in
+    // their own projected columns, not inline in each output field
     val p = plan(graft.operators.Multimodal.q56AvMeta(spark, TestSpark.Sf0001))
-    val occurrences = "graft_mp4_dims".r.findAllIn(p).length
-    assert(occurrences === 1, s"expected 1 graft_mp4_dims in the plan, found $occurrences")
+    for (kernel <- Seq("graft_mp4_dims", "graft_wav_fmt")) {
+      val occurrences = kernel.r.findAllIn(p).length
+      assert(occurrences === 1, s"expected 1 $kernel in the plan, found $occurrences")
+    }
   }
 
   test("q42 reads only doc_id and lang; q41 pushes the doc_id bound to one scan") {
