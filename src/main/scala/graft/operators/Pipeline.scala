@@ -91,8 +91,11 @@ object Pipeline {
     * unrecoverable, so an unbounded accumulation is a genuine
     * session-lifetime leak at corpus scale.
     */
-  private val outstanding =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, () => Unit]()
+  // weak keys: the registry must never keep a retired SparkSession (and
+  // its SessionState) reachable — the entry dies with the session, and its
+  // checkpoint storage is reclaimed by the ContextCleaner with the session
+  private val outstanding = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, () => Unit]())
 
   /** The library entry point: the full pipeline over ANY
     * (doc_id, source, lang, text) frame, parameterized on the holdout
