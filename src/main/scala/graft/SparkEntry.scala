@@ -74,6 +74,7 @@ object SparkEntry {
     "q54_split" -> (Text.q54Split _),
     "q55_skewed_hot_key" -> (Scale.q55SkewedHotKey _),
     "q56_av_meta" -> (Multimodal.q56AvMeta _),
+    "q57_frame_sample" -> (Multimodal.q57FrameSample _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -278,5 +279,15 @@ object SparkEntry {
         "CASE WHEN doc_id % 3 = 1 THEN CAST(doc_id % 1920 + 1 AS INTEGER) END AS width, " +
         "CASE WHEN doc_id % 3 = 1 THEN CAST(doc_id % 1080 + 1 AS INTEGER) END AS height " +
         "FROM documents"),
+    // q57: evenly-strided bounded frame sampling (stride = ceil(n/8));
+    // the deterministic frame fingerprint stands in for the stubbed pixel
+    // decode, which is exactly what makes the sampling oracle-checkable
+    "q57_frame_sample" ->
+      ("SELECT doc_id, CAST(doc_id % 240 + 1 AS INTEGER) AS n_frames, " +
+        "CAST(f AS INTEGER) AS frame_idx, " +
+        "CAST(floor(f * 1000 / 30) AS BIGINT) AS ts_ms, " +
+        "md5(CAST(doc_id AS VARCHAR) || '|' || CAST(f AS VARCHAR)) AS frame_fp " +
+        "FROM documents, UNNEST(range(0, doc_id % 240 + 1, " +
+        "CAST(ceil((doc_id % 240 + 1) / 8.0) AS BIGINT))) AS t(f)"),
   )
 }

@@ -318,4 +318,36 @@ object Multimodal {
         col("m.bits").as("bits"), col("m.width").as("width"),
         col("m.height").as("height"))
   }
+
+  /** Q57: video frame sampling — the batch-shape primitive a multimodal
+    * training pipeline runs right after container sniffing: emit at most
+    * `maxFrames` evenly-strided frame rows per video, each with its
+    * timeline position. The per-row fan-out is BOUNDED by construction
+    * (stride = ceil(n/maxFrames)), so the explode can never amplify a
+    * long video into unbounded rows — the property that keeps the stage a
+    * predictable narrow map at 100 TB (no shuffle anywhere in the plan;
+    * PlanAuditSpec pins the zero-exchange budget).
+    *
+    * The pixel decode is STUBBED: this container ships no codecs, so
+    * `frame_fp` is a deterministic md5 stand-in for the decoded frame
+    * bytes (exactly what makes the query oracle-checkable); the schema,
+    * the stride arithmetic, the bounded fan-out and the timeline stamps —
+    * the Spark-side plumbing a real decoder drops into — are real. Frame
+    * counts are synthesized from doc_id (1-240 frames at 30 fps), the
+    * q39/q56 residue technique.
+    */
+  def q57FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val maxFrames = 8
+    val fps = 30
+    val docs = Tables.load(spark, dir, "documents")
+    val n = (col("doc_id") % 240 + 1).cast("int")
+    val stride = ceil(n.cast("double") / maxFrames).cast("int")
+    docs.select(col("doc_id"), n.as("n_frames"), stride.as("_s"))
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, col("_s"))).as("frame_idx"))
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        floor(col("frame_idx").cast("double") * 1000 / fps).cast("bigint").as("ts_ms"),
+        md5(concat(col("doc_id").cast("string"), lit("|"),
+          col("frame_idx").cast("string"))).as("frame_fp"))
+  }
 }

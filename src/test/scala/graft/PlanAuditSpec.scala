@@ -63,6 +63,15 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q57 frame sampling is a pure narrow map with bounded fan-out") {
+    val df = graft.operators.Multimodal.q57FrameSample(spark, TestSpark.Sf0001)
+    assert(shuffles(df) === 0, "frame sampling grew a shuffle")
+    // fan-out bound: stride = ceil(n/8) caps every video at 8 frame rows
+    val perDoc = df.groupBy("doc_id").count().agg(
+      org.apache.spark.sql.functions.max("count")).head().getLong(0)
+    assert(perDoc <= 8, s"fan-out bound violated: $perDoc frames for one doc")
+  }
+
   test("q42 reads only doc_id and lang; q41 pushes the doc_id bound to one scan") {
     val p42 = plan(graft.operators.Text.q42QuotaSample(spark, TestSpark.Sf0001))
     val rs = p42.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
