@@ -319,6 +319,25 @@ object Multimodal {
         col("m.height").as("height"))
   }
 
+  /** Aspect-preserving resize planning — the metadata half of a resize
+    * stage (the pixel resample itself needs a codec; this computes the
+    * target geometry a real resampler consumes). Scales so the LONGER
+    * edge equals `maxEdge`, preserving aspect ratio with round-half-up,
+    * and never upscales (dims already within the budget pass through).
+    * NULL dims stay NULL — undecodable payloads flow through untouched,
+    * the same never-fail contract as the decoders.
+    */
+  def resizeDims(width: Column, height: Column, maxEdge: Int): Column = {
+    val w = width.cast("double")
+    val h = height.cast("double")
+    val scale = lit(maxEdge.toDouble) / greatest(w, h)
+    struct(
+      when(greatest(w, h) <= maxEdge, width.cast("int"))
+        .otherwise(round(w * scale).cast("int")).as("width"),
+      when(greatest(w, h) <= maxEdge, height.cast("int"))
+        .otherwise(round(h * scale).cast("int")).as("height"))
+  }
+
   /** Q57: video frame sampling — the batch-shape primitive a multimodal
     * training pipeline runs right after container sniffing: emit at most
     * `maxFrames` evenly-strided frame rows per video, each with its

@@ -306,6 +306,28 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("resizeDims scales the longer edge, preserves aspect, never upscales") {
+    import spark.implicits._
+    val rows = Seq(
+      (1920, 1080), // downscale, landscape
+      (1080, 1920), // downscale, portrait
+      (512, 512),   // exactly at budget: pass through
+      (100, 50)     // under budget: never upscale
+    ).toDF("w", "h")
+      .select(Multimodal.resizeDims(col("w"), col("h"), 512).as("r"))
+      .select("r.width", "r.height").collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    assert(rows(0) === ((512, 288)))
+    assert(rows(1) === ((288, 512)))
+    assert(rows(2) === ((512, 512)))
+    assert(rows(3) === ((100, 50)))
+    // NULL dims (undecodable payload) flow through untouched
+    val n = Seq((None: Option[Int], None: Option[Int])).toDF("w", "h")
+      .select(Multimodal.resizeDims(col("w"), col("h"), 512).as("r"))
+      .select("r.width", "r.height").head()
+    assert(n.isNullAt(0) && n.isNullAt(1))
+  }
+
   test("metadata survives payload pruning (heavy column dropped downstream)") {
     val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
