@@ -75,6 +75,8 @@ object SparkEntry {
     "q55_skewed_hot_key" -> (Scale.q55SkewedHotKey _),
     "q56_av_meta" -> (Multimodal.q56AvMeta _),
     "q57_frame_sample" -> (Multimodal.q57FrameSample _),
+    "q58_media_manifest" -> (Multimodal.q58MediaManifest _),
+    "q59_bmp_pixels" -> (Multimodal.q59BmpPixels _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -289,5 +291,72 @@ object SparkEntry {
         "md5(CAST(doc_id AS VARCHAR) || '|' || CAST(f AS VARCHAR)) AS frame_fp " +
         "FROM documents, UNNEST(range(0, doc_id % 240 + 1, " +
         "CAST(ceil((doc_id % 240 + 1) / 8.0) AS BIGINT))) AS t(f)"),
+    // q58: the composed manifest over a five-container synthesized corpus;
+    // every column recomputed from the residue arithmetic (dims, WAV
+    // parameters, the resizeDims plan mirrored as round-half-up over the
+    // same double expression, per-pixel BMP luma, the q57 stride plan)
+    "q58_media_manifest" ->
+      ("WITH base AS (SELECT doc_id, doc_id % 5 AS cls, " +
+        "CAST(doc_id % 1920 + 1 AS INTEGER) AS iw, " +
+        "CAST(doc_id % 1080 + 1 AS INTEGER) AS ih, " +
+        "CAST(doc_id % 7 + 1 AS INTEGER) AS bw, " +
+        "CAST(doc_id % 6 + 1 AS INTEGER) AS bh, " +
+        "CAST(doc_id % 240 + 1 AS INTEGER) AS nf FROM documents), " +
+        "lum AS (SELECT b.doc_id, " +
+        "sum((299 * ((b.doc_id*2 + x + r*11) % 256) + " +
+        "587 * ((b.doc_id*3 + x*5 + r) % 256) + " +
+        "114 * ((b.doc_id + x*7 + r*13) % 256)) // 1000) AS s, " +
+        "min((299 * ((b.doc_id*2 + x + r*11) % 256) + " +
+        "587 * ((b.doc_id*3 + x*5 + r) % 256) + " +
+        "114 * ((b.doc_id + x*7 + r*13) % 256)) // 1000) AS mn, " +
+        "max((299 * ((b.doc_id*2 + x + r*11) % 256) + " +
+        "587 * ((b.doc_id*3 + x*5 + r) % 256) + " +
+        "114 * ((b.doc_id + x*7 + r*13) % 256)) // 1000) AS mx, " +
+        "count(*) AS n FROM base b, " +
+        "UNNEST(range(0, CAST(b.bw AS BIGINT))) AS tx(x), " +
+        "UNNEST(range(0, CAST(b.bh AS BIGINT))) AS tr(r) " +
+        "WHERE b.cls = 4 GROUP BY b.doc_id) " +
+        "SELECT b.doc_id AS media_id, " +
+        "CASE b.cls WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'wav' " +
+        "WHEN 3 THEN 'mp4' ELSE 'bmp' END AS media_type, " +
+        "CASE WHEN b.cls IN (0,1,3) THEN b.iw WHEN b.cls = 4 THEN b.bw END AS width, " +
+        "CASE WHEN b.cls IN (0,1,3) THEN b.ih WHEN b.cls = 4 THEN b.bh END AS height, " +
+        "CASE WHEN b.cls = 2 THEN CAST(8000 + (b.doc_id % 8) * 4000 AS INTEGER) END AS sample_rate, " +
+        "CASE WHEN b.cls = 2 THEN CAST(b.doc_id % 2 + 1 AS INTEGER) END AS channels, " +
+        "CASE WHEN b.cls = 2 THEN CAST((b.doc_id % 2 + 1) * 8 AS INTEGER) END AS bits, " +
+        "CASE WHEN b.cls IN (0,1,3) THEN CASE WHEN greatest(b.iw, b.ih) <= 256 THEN b.iw " +
+        "ELSE CAST(round(b.iw * (256.0 / greatest(b.iw, b.ih))) AS INTEGER) END " +
+        "WHEN b.cls = 4 THEN b.bw END AS target_width, " +
+        "CASE WHEN b.cls IN (0,1,3) THEN CASE WHEN greatest(b.iw, b.ih) <= 256 THEN b.ih " +
+        "ELSE CAST(round(b.ih * (256.0 / greatest(b.iw, b.ih))) AS INTEGER) END " +
+        "WHEN b.cls = 4 THEN b.bh END AS target_height, " +
+        "CASE WHEN b.cls = 4 THEN CAST(l.mn AS INTEGER) END AS min_luma, " +
+        "CASE WHEN b.cls = 4 THEN CAST(l.mx AS INTEGER) END AS max_luma, " +
+        "CASE WHEN b.cls = 4 THEN CAST(l.s * 100 // l.n AS BIGINT) END AS mean_luma_x100, " +
+        "CASE WHEN b.cls = 3 THEN array_to_string(range(0, CAST(b.nf AS BIGINT), " +
+        "CAST(ceil(b.nf / 8.0) AS BIGINT)), ',') END AS frame_plan " +
+        "FROM base b LEFT JOIN lum l ON b.doc_id = l.doc_id"),
+    // q59: REAL pixel decode — luma statistics recomputed pixel-by-pixel
+    // from the synthesis residue maps (Rec.601 integer luma, floor
+    // division), so a padding/stride/channel-order/truncation slip on the
+    // Spark kernel side cannot cancel out
+    "q59_bmp_pixels" ->
+      ("WITH lum AS (SELECT doc_id, " +
+        "(299 * ((doc_id*2 + x + r*11) % 256) + " +
+        "587 * ((doc_id*3 + x*5 + r) % 256) + " +
+        "114 * ((doc_id + x*7 + r*13) % 256)) // 1000 AS luma " +
+        "FROM documents, " +
+        "UNNEST(range(0, CAST(doc_id % 7 + 1 AS BIGINT))) AS tx(x), " +
+        "UNNEST(range(0, CAST(doc_id % 5 + 1 AS BIGINT))) AS tr(r)), " +
+        "agg AS (SELECT doc_id, sum(luma) AS s, min(luma) AS mn, " +
+        "max(luma) AS mx, count(*) AS n FROM lum GROUP BY doc_id) " +
+        "SELECT d.doc_id, " +
+        "CASE WHEN d.doc_id % 4 IN (0,1,2) THEN 'bmp' ELSE 'unknown' END AS format, " +
+        "CASE WHEN d.doc_id % 4 IN (0,1,2) THEN CAST(d.doc_id % 7 + 1 AS INTEGER) END AS width, " +
+        "CASE WHEN d.doc_id % 4 IN (0,1,2) THEN CAST(d.doc_id % 5 + 1 AS INTEGER) END AS height, " +
+        "CASE WHEN d.doc_id % 4 IN (0,1) THEN CAST(a.mn AS INTEGER) END AS min_luma, " +
+        "CASE WHEN d.doc_id % 4 IN (0,1) THEN CAST(a.mx AS INTEGER) END AS max_luma, " +
+        "CASE WHEN d.doc_id % 4 IN (0,1) THEN CAST(a.s * 100 // a.n AS BIGINT) END AS mean_luma_x100 " +
+        "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"),
   )
 }

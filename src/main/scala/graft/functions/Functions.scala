@@ -138,6 +138,16 @@ object ImageOps {
     */
   def mp4Dims(bin: Column): Column =
     ColumnBridge.column(Mp4Dims(ColumnBridge.expression(bin.cast("binary"))))
+
+  /** BMP pixel-luma statistics as `(sumLuma << 16) | (maxLuma << 8) |
+    * minLuma` via the codegen'd pixel-array walk ([[BmpLuma]]) — the
+    * multimodal family's first PIXEL-level decode (uncompressed BI_RGB
+    * 24/32bpp; no codec needed). NULL when the payload is not such a BMP
+    * or its pixel array is truncated. Callers split the packed long with
+    * codegen'd bit ops; pixel count comes from the header dims.
+    */
+  def bmpLuma(bin: Column): Column =
+    ColumnBridge.column(BmpLuma(ColumnBridge.expression(bin.cast("binary"))))
 }
 
 object AudioOps {

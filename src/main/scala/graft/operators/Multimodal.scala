@@ -73,6 +73,10 @@ object Multimodal {
     u8(bin, off) + u8(bin, off + 1) * 256
   private def le24(bin: Column, off: Int): Column =
     le16(bin, off) + u8(bin, off + 2) * 65536
+  /** full LE u32 as long (the i32 fields of a BMP header read unsigned;
+    * callers reinterpret the sign bit) */
+  private def le32(bin: Column, off: Int): Column =
+    le16(bin, off).cast("long") + le16(bin, off + 2).cast("long") * 65536L
 
   /** little-endian hex lanes for the GIF / WebP / WAV syntheses */
   private def le16hex(v: Column): Column = {
@@ -123,7 +127,7 @@ object Multimodal {
     def be32(off: Int) = conv(hex(substring(bin, off, 4)), 16, 10).cast("int")
     struct(
       when(ihdrOk, be32(17))
-        .when(isJpeg, shiftright(jpegPacked, 32).cast("int"))
+        .when(isJpeg, shiftrightunsigned(jpegPacked, 32).cast("int"))
         .when(gifOk, le16(bin, 7))
         .when(vp8xOk, le24(bin, 25) + 1)
         .when(vp8Ok, le16(bin, 27).bitwiseAND(lit(0x3FFF)))
@@ -193,11 +197,15 @@ object Multimodal {
       hex(substring(bin, 5, 4)) === "66747970"
     struct(
       when(isWav, "wav").when(isMp4, "mp4").otherwise("unknown").as("format"),
-      when(isWav, shiftright(wavPacked, 32)).cast("int").as("sample_rate"),
+      // LOGICAL shift for the top-32 split: the kernel packs the rate as an
+      // unsigned 32-bit read, so a malformed WAV declaring a rate >= 2^31
+      // would sign-extend through an arithmetic shiftright into a negative
+      // rate instead of the declared unsigned value
+      when(isWav, shiftrightunsigned(wavPacked, 32)).cast("int").as("sample_rate"),
       when(isWav, shiftright(wavPacked, 16).bitwiseAND(lit(0xFFFF)))
         .cast("int").as("channels"),
       when(isWav, wavPacked.bitwiseAND(lit(0xFFFF))).cast("int").as("bits"),
-      when(isMp4, shiftright(mp4Packed, 32)).cast("int").as("width"),
+      when(isMp4, shiftrightunsigned(mp4Packed, 32)).cast("int").as("width"),
       when(isMp4, mp4Packed.bitwiseAND(lit(0xFFFFFFFFL))).cast("int").as("height"))
   }
 
@@ -209,31 +217,51 @@ object Multimodal {
     * dimensions from the same residue arithmetic, so any byte-offset or
     * endianness slip in the parser breaks the hash match.
     */
+  /** Byte-exact payload-synthesis hex builders, shared by the q39/q56/q58/
+    * q59 contract queries (and their oracles' residue arithmetic): each
+    * emits a hex string whose `unhex` is a valid container of the given
+    * geometry. Kept in one place so a composed query (q58) synthesizes
+    * EXACTLY the bytes the standalone decode queries parse.
+    */
+  private[operators] def synthPngHex(width: Column, height: Column): Column =
+    concat(
+      lit(PngSigHex), lit("0000000D"), lit(IhdrHex),
+      lpad(hex(width), 8, "0"), lpad(hex(height), 8, "0"),
+      lit("0806000000"))
+
+  /** full JPEG prelude: SOI, a standard 16-byte APP0/JFIF segment, then a
+    * 3-component SOF0 whose height/width the marker walk must dig out from
+    * behind the APP0 (variable offset — the case fixed-offset parsing
+    * cannot reach)
+    */
+  private[operators] def synthJpegHex(width: Column, height: Column): Column =
+    concat(
+      lit("FFD8" + "FFE000104A46494600010100000100010000" + "FFC0001108"),
+      lpad(hex(height), 4, "0"), lpad(hex(width), 4, "0"),
+      lit("03012200021101031101"))
+
+  /** GIF89a: signature + LE u16 logical-screen dims + GSD tail bytes */
+  private[operators] def synthGifHex(width: Column, height: Column): Column =
+    concat(lit("474946383961"),
+      le16hex(width), le16hex(height), lit("F7000000"))
+
+  /** WebP VP8X: RIFF size 36, "WEBP", "VP8X" size 10, flags+reserved,
+    * then (value-1) 24-bit LE canvas dims
+    */
+  private[operators] def synthWebpHex(width: Column, height: Column): Column =
+    concat(
+      lit("52494646" + "24000000" + "57454250" + "56503858" + "0A000000" +
+        "00000000"),
+      le24hex(width - 1), le24hex(height - 1))
+
   def q39PngMeta(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val width = (col("doc_id") % 1920 + 1).cast("int")
     val height = (col("doc_id") % 1080 + 1).cast("int")
-    val pngHex = concat(
-      lit(PngSigHex), lit("0000000D"), lit(IhdrHex),
-      lpad(hex(width), 8, "0"), lpad(hex(height), 8, "0"),
-      lit("0806000000"))
-    // full JPEG prelude: SOI, a standard 16-byte APP0/JFIF segment, then a
-    // 3-component SOF0 whose height/width the marker walk must dig out from
-    // behind the APP0 (variable offset — the case fixed-offset parsing
-    // cannot reach)
-    val jpegHex = concat(
-      lit("FFD8" + "FFE000104A46494600010100000100010000" + "FFC0001108"),
-      lpad(hex(height), 4, "0"), lpad(hex(width), 4, "0"),
-      lit("03012200021101031101"))
-    // GIF89a: signature + LE u16 logical-screen dims + GSD tail bytes
-    val gifHex = concat(lit("474946383961"),
-      le16hex(width), le16hex(height), lit("F7000000"))
-    // WebP VP8X: RIFF size 36, "WEBP", "VP8X" size 10, flags+reserved,
-    // then (value-1) 24-bit LE canvas dims
-    val webpHex = concat(
-      lit("52494646" + "24000000" + "57454250" + "56503858" + "0A000000" +
-        "00000000"),
-      le24hex(width - 1), le24hex(height - 1))
+    val pngHex = synthPngHex(width, height)
+    val jpegHex = synthJpegHex(width, height)
+    val gifHex = synthGifHex(width, height)
+    val webpHex = synthWebpHex(width, height)
     val payload =
       when(col("doc_id") % 7 === 0, unhex(lit("FFD8FFE000104A464946"))) // JPEG, truncated pre-SOF
         .when(col("doc_id") % 7 === 1, col("text").cast("binary"))       // raw text
@@ -263,18 +291,15 @@ object Multimodal {
     * The oracle recomputes every field from the same residue arithmetic,
     * so an offset/endianness slip cannot cancel out.
     */
-  def q56AvMeta(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
-    // WAV parameters from residues: 1-2 channels, 8000-36000 Hz, 8/16 bit
-    val channels = (col("doc_id") % 2 + 1).cast("int")
-    val rate = (lit(8000) + (col("doc_id") % 8).cast("int") * 4000).cast("int")
-    val bits = ((col("doc_id") % 2 + 1) * 8).cast("int")
+  /** PCM WAV of the given parameters; `junked` prefixes a 12-byte JUNK
+    * chunk before `fmt ` — the RIFF grammar allows it and real corpora
+    * carry it, so such rows place `fmt ` at an offset only the chunk walk
+    * can reach.
+    */
+  private[operators] def synthWavHex(channels: Column, rate: Column,
+                                     bits: Column, junked: Column): Column = {
     val blockAlign = (channels * bits / 8).cast("int")
-    // odd ids get a 12-byte JUNK chunk before fmt — the RIFF grammar
-    // allows it and real corpora carry it, so half the WAV rows place
-    // fmt at an offset only the chunk walk can reach
-    val junked = col("doc_id") % 2 === 1
-    val wavHex = concat(
+    concat(
       lit("52494646"),
       le32hex(when(junked, 40).otherwise(28)), lit("57415645"), // RIFF size WAVE
       when(junked, lit("4A554E4B" + "04000000" + "00000000")) // JUNK(4)
@@ -282,11 +307,15 @@ object Multimodal {
       lit("666D7420"), le32hex(lit(16)), // fmt , PCM chunk size
       le16hex(lit(1)), le16hex(channels), le32hex(rate), // PCM, nch, rate
       le32hex(rate * blockAlign), le16hex(blockAlign), le16hex(bits))
-    // MP4: ftyp(16) + free(8 + doc_id%5) + moov(108) > trak(100) > tkhd(92);
-    // tkhd v0, flags 7, identity matrix, 16.16 fixed-point dims
-    val width = (col("doc_id") % 1920 + 1).cast("int")
-    val height = (col("doc_id") % 1080 + 1).cast("int")
-    val pad = (col("doc_id") % 5).cast("int")
+  }
+
+  /** MP4: ftyp(16) + free(8 + pad) + moov(108) > trak(100) > tkhd(92);
+    * tkhd v0, flags 7, identity matrix, 16.16 fixed-point dims — `moov`
+    * sits behind a VARIABLE-size `free` box, so fixed-offset parsing
+    * cannot reach the dims.
+    */
+  private[operators] def synthMp4Hex(width: Column, height: Column,
+                                     pad: Column): Column = {
     val freeHex = concat(lpad(hex(pad + 8), 8, "0"), lit("66726565"),
       repeat(lit("00"), pad))
     val tkhdHex = concat(
@@ -297,11 +326,23 @@ object Multimodal {
         "000000000000000040000000"), // matrix row 3
       lpad(hex(width), 4, "0"), lit("0000"), // 16.16 width
       lpad(hex(height), 4, "0"), lit("0000")) // 16.16 height
-    val mp4Hex = concat(
+    concat(
       lit("00000010" + "66747970" + "69736F6D" + "00000000"), // ftyp isom
       freeHex,
       lit("0000006C" + "6D6F6F76" + "00000064" + "7472616B"), // moov > trak
       tkhdHex)
+  }
+
+  def q56AvMeta(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    // WAV parameters from residues: 1-2 channels, 8000-36000 Hz, 8/16 bit
+    val channels = (col("doc_id") % 2 + 1).cast("int")
+    val rate = (lit(8000) + (col("doc_id") % 8).cast("int") * 4000).cast("int")
+    val bits = ((col("doc_id") % 2 + 1) * 8).cast("int")
+    val wavHex = synthWavHex(channels, rate, bits, col("doc_id") % 2 === 1)
+    val width = (col("doc_id") % 1920 + 1).cast("int")
+    val height = (col("doc_id") % 1080 + 1).cast("int")
+    val mp4Hex = synthMp4Hex(width, height, (col("doc_id") % 5).cast("int"))
     val payload =
       when(col("doc_id") % 3 === 0, unhex(wavHex))
         .when(col("doc_id") % 3 === 1, unhex(mp4Hex))
@@ -368,5 +409,228 @@ object Multimodal {
         floor(col("frame_idx").cast("double") * 1000 / fps).cast("bigint").as("ts_ms"),
         md5(concat(col("doc_id").cast("string"), lit("|"),
           col("frame_idx").cast("string"))).as("frame_fp"))
+  }
+
+  /** BMP header decode — `binary -> struct<width,height,format>`, the
+    * uncompressed sibling of [[decodeImageMeta]]'s branches (all fields at
+    * FIXED offsets, so no kernel is needed for the metadata; the PIXEL
+    * decode is [[graft.functions.ImageOps.bmpLuma]]).
+    *
+    * The sniff is deliberately STRICTER than the two magic bytes: `BM`
+    * alone matches any text starting with those letters, so the reserved
+    * bytes (6-9, zero in every conformant writer) and a sane DIB header
+    * size (>= 40) must corroborate before a payload is called a BMP.
+    * Dims: LE i32 at 18/22 (0-based); a negative height (top-down row
+    * order) reports its magnitude. A recognized BMP with out-of-contract
+    * fields (non-positive width, zero height, planes != 1, compressed, or
+    * a bit depth outside 24/32) keeps format='bmp' with NULL dims — the
+    * same never-fail contract as the other decoders.
+    */
+  def decodeBmpMeta(bin: Column): Column = {
+    val isBmp = octet_length(bin) >= 54 && hex(substring(bin, 1, 2)) === "424D" &&
+      hex(substring(bin, 7, 4)) === "00000000" && le32(bin, 15) >= 40L
+    val wRaw = le32(bin, 19)
+    val hRaw = le32(bin, 23)
+    val dimsOk = isBmp && wRaw > 0L && wRaw < 2147483648L && hRaw =!= 0L &&
+      le16(bin, 27) === 1 && le32(bin, 31) === 0L &&
+      le16(bin, 29).isin(24, 32)
+    val hAbs = when(hRaw >= 2147483648L, lit(4294967296L) - hRaw).otherwise(hRaw)
+    struct(
+      when(dimsOk, wRaw).cast("int").as("width"),
+      when(dimsOk, hAbs).cast("int").as("height"),
+      when(isBmp, "bmp").otherwise("unknown").as("format"))
+  }
+
+  /** 2-hex-digit byte lane for the per-pixel syntheses */
+  private def hx2(v: Column): Column = lpad(hex(v), 2, "0")
+
+  /** The shared per-pixel channel formulas for the BMP syntheses — file-
+    * order row `r`, column `x` (luma statistics are row-order-independent,
+    * so bottom-up vs top-down never changes the oracle): three distinct
+    * residue maps so a channel-order slip (BGR vs RGB) cannot cancel out.
+    */
+  private def bmpB(docId: Column, x: Column, r: Column): Column =
+    (docId + x * 7 + r * 13) % 256
+  private def bmpG(docId: Column, x: Column, r: Column): Column =
+    (docId * 3 + x * 5 + r) % 256
+  private def bmpR(docId: Column, x: Column, r: Column): Column =
+    (docId * 2 + x + r * 11) % 256
+
+  /** BMP file header + BITMAPINFOHEADER (54 bytes) for the syntheses.
+    * `heightField` is written verbatim (pass `2^32 - h` for top-down).
+    */
+  private def synthBmpHeaderHex(fileSize: Column, width: Column,
+                                heightField: Column, bpp: Column): Column =
+    concat(
+      lit("424D"), le32hex(fileSize), lit("00000000"), le32hex(lit(54)),
+      le32hex(lit(40)), le32hex(width), le32hex(heightField),
+      lit("0100"), le16hex(bpp),
+      // BI_RGB, image size 0 (the spec allows it for uncompressed), ppm
+      // and palette fields zero — the decoder must not rely on any of them
+      lit("00000000" * 6))
+
+  /** 24bpp bottom-up BMP with 4-byte-padded rows, pixels from the shared
+    * channel formulas.
+    */
+  private[operators] def synthBmp24Hex(docId: Column, w: Column,
+                                       h: Column): Column = {
+    val pad = pmod(lit(4) - pmod(w * 3, lit(4)), lit(4))
+    val rows = transform(sequence(lit(0), h - 1), r =>
+      concat(
+        array_join(transform(sequence(lit(0), w - 1), x =>
+          concat(hx2(bmpB(docId, x, r)), hx2(bmpG(docId, x, r)),
+            hx2(bmpR(docId, x, r)))), ""),
+        repeat(lit("00"), pad)))
+    concat(synthBmpHeaderHex(lit(54) + (w * 3 + pad) * h, w, h, lit(24)),
+      array_join(rows, ""))
+  }
+
+  /** 32bpp TOP-DOWN BMP (height stored negative — the i32 parse the
+    * fixed-offset readers must get right), BGRA with opaque alpha.
+    */
+  private[operators] def synthBmp32Hex(docId: Column, w: Column,
+                                       h: Column): Column = {
+    val rows = transform(sequence(lit(0), h - 1), r =>
+      array_join(transform(sequence(lit(0), w - 1), x =>
+        concat(hx2(bmpB(docId, x, r)), hx2(bmpG(docId, x, r)),
+          hx2(bmpR(docId, x, r)), lit("FF"))), ""))
+    concat(synthBmpHeaderHex(lit(54) + w * 4 * h, w,
+        lit(4294967296L) - h, lit(32)),
+      array_join(rows, ""))
+  }
+
+  /** Q59: REAL pixel decode — the contract query whose values depend on
+    * decoded pixel BYTES (VERDICT r9 "Missing #1" closed for the
+    * uncompressed-container class). Payloads are synthesized BMPs whose
+    * per-pixel channels come from doc_id residue maps; the codegen'd
+    * [[graft.functions.BmpLuma]] walk reads them back (honoring row
+    * padding, BGR(A) order, and top-down storage) into Rec.601 luma
+    * sum/min/max, and the oracle recomputes every statistic pixel-by-pixel
+    * from the same residue arithmetic — a padding, stride, channel-order,
+    * or truncation slip cannot cancel out.
+    *
+    * Residue classes: %4 == 0 → 24bpp bottom-up (padded rows); 1 → 32bpp
+    * top-down (negative height); 2 → truncated pixel array (header meta
+    * survives, pixel stats NULL — decode-meta and pixel-stat independence);
+    * 3 → raw text (not a BMP at all).
+    */
+  def q59BmpPixels(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val w = (id % 7 + 1).cast("int")
+    val h = (id % 5 + 1).cast("int")
+    val payload =
+      when(id % 4 === 0, unhex(synthBmp24Hex(id, w, h)))
+        .when(id % 4 === 1, unhex(synthBmp32Hex(id, w, h)))
+        // header promises w*h pixels, delivers one byte: the kernel must
+        // refuse stats instead of reading past the payload
+        .when(id % 4 === 2,
+          unhex(concat(synthBmpHeaderHex(lit(55), w, h, lit(24)), lit("00"))))
+        .otherwise(col("text").cast("binary"))
+    // pre-projection discipline (q39/q56): payload and the packed pixel
+    // walk live in their own columns so the walk runs once per row
+    docs.select(id, payload.as("_p"))
+      .withColumn("_bl", graft.functions.ImageOps.bmpLuma(col("_p")))
+      .select(id, decodeBmpMeta(col("_p")).as("m"), col("_bl"))
+      .select(id,
+        col("m.format").as("format"),
+        col("m.width").as("width"),
+        col("m.height").as("height"),
+        col("_bl").bitwiseAND(lit(0xFF)).cast("int").as("min_luma"),
+        shiftright(col("_bl"), 8).bitwiseAND(lit(0xFF)).cast("int").as("max_luma"),
+        // exact while sumLuma*100 < 2^53 — i.e. up to ~350 gigapixels,
+        // far beyond a binary-column payload
+        floor(shiftrightunsigned(col("_bl"), 16) * 100 /
+          (col("m.width").cast("long") * col("m.height"))).as("mean_luma_x100"))
+  }
+
+  /** The composed media pipeline — sniff → decode (image, A/V, BMP pixel)
+    * → resize planning → frame-sample planning as ONE manifest operator,
+    * the multimodal sibling of [[Pipeline.corpusPipelineOn]]: one row per
+    * asset with every decoded fact a downstream training pipeline routes
+    * on. All four decode walks are pre-projected packed columns (each runs
+    * once per row), every stage is a pure column expression, and the whole
+    * chain is a single narrow map over the input — ZERO exchanges
+    * (PlanAuditSpec pins it), so at 100 TB it fuses into the scan.
+    *
+    *  - `media_type`: the strictest sniff each family offers (image magic
+    *    + structure, BMP reserved-byte corroboration, RIFF/BMFF walks)
+    *  - `width`/`height`: from whichever decoder recognized the payload
+    *  - `sample_rate`/`channels`/`bits`: WAV `fmt ` parameters
+    *  - `target_width`/`target_height`: [[resizeDims]] planning at
+    *    `maxEdge` (never upscales, NULL dims flow through)
+    *  - `min_luma`/`max_luma`/`mean_luma_x100`: REAL pixel statistics for
+    *    the uncompressed (BMP) class via [[graft.functions.BmpLuma]]
+    *  - `frame_plan`: the q57 bounded evenly-strided sampling plan
+    *    (at most `maxFrames` indices, comma-joined) for video rows;
+    *    `nFrames` supplies the frame count — video containers carry it in
+    *    sidecar/track metadata a deployment already has
+    */
+  def mediaManifestOn(df: DataFrame, id: Column, bin: Column,
+                      nFrames: Column = lit(null).cast("int"),
+                      maxEdge: Int = 256, maxFrames: Int = 8): DataFrame = {
+    val pre = df
+      .select(id.as("media_id"), bin.as("_p"), nFrames.cast("int").as("_nf"))
+      .withColumn("_jd", graft.functions.ImageOps.jpegDims(col("_p")))
+      .withColumn("_md", graft.functions.ImageOps.mp4Dims(col("_p")))
+      .withColumn("_wd", graft.functions.AudioOps.wavFmt(col("_p")))
+      .withColumn("_bl", graft.functions.ImageOps.bmpLuma(col("_p")))
+      .withColumn("_img", decodeImageMetaFrom(col("_p"), col("_jd")))
+      .withColumn("_av", decodeAvMetaFrom(col("_p"), col("_md"), col("_wd")))
+      .withColumn("_bmp", decodeBmpMeta(col("_p")))
+    val mediaType = when(col("_img.format") =!= "unknown", col("_img.format"))
+      .when(col("_bmp.format") =!= "unknown", col("_bmp.format"))
+      .when(col("_av.format") =!= "unknown", col("_av.format"))
+      .otherwise("unknown")
+    val w = coalesce(col("_img.width"), col("_bmp.width"), col("_av.width"))
+    val h = coalesce(col("_img.height"), col("_bmp.height"), col("_av.height"))
+    val stride = ceil(col("_nf").cast("double") / maxFrames).cast("int")
+    pre
+      .select(col("media_id"), mediaType.as("media_type"),
+        w.as("width"), h.as("height"),
+        col("_av.sample_rate").as("sample_rate"),
+        col("_av.channels").as("channels"),
+        col("_av.bits").as("bits"),
+        resizeDims(w, h, maxEdge).as("_rs"),
+        col("_bl"), col("_nf"), stride.as("_s"))
+      .select(col("media_id"), col("media_type"), col("width"), col("height"),
+        col("sample_rate"), col("channels"), col("bits"),
+        col("_rs.width").as("target_width"),
+        col("_rs.height").as("target_height"),
+        col("_bl").bitwiseAND(lit(0xFF)).cast("int").as("min_luma"),
+        shiftright(col("_bl"), 8).bitwiseAND(lit(0xFF)).cast("int").as("max_luma"),
+        floor(shiftrightunsigned(col("_bl"), 16) * 100 /
+          (col("width").cast("long") * col("height"))).as("mean_luma_x100"),
+        when(col("media_type") === "mp4" && col("_nf").isNotNull,
+          array_join(sequence(lit(0), col("_nf") - 1, col("_s"))
+            .cast("array<string>"), ",")).as("frame_plan"))
+  }
+
+  /** Q58: the contract instantiation of [[mediaManifestOn]] — a mixed
+    * five-container corpus synthesized from doc_id residues with the SAME
+    * hex builders the standalone decode queries use (png/jpeg: q39; wav/
+    * mp4: q56; bmp: q59's pixel formulas), so the composed manifest and
+    * the standalone decoders cannot drift. The oracle recomputes every
+    * column from the residue arithmetic.
+    */
+  def q58MediaManifest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val imgW = (id % 1920 + 1).cast("int")
+    val imgH = (id % 1080 + 1).cast("int")
+    val channels = (id % 2 + 1).cast("int")
+    val rate = (lit(8000) + (id % 8).cast("int") * 4000).cast("int")
+    val bits = ((id % 2 + 1) * 8).cast("int")
+    val bmpW = (id % 7 + 1).cast("int")
+    val bmpH = (id % 6 + 1).cast("int")
+    val payload =
+      when(id % 5 === 0, unhex(synthPngHex(imgW, imgH)))
+        .when(id % 5 === 1, unhex(synthJpegHex(imgW, imgH)))
+        .when(id % 5 === 2,
+          unhex(synthWavHex(channels, rate, bits, id % 2 === 1)))
+        .when(id % 5 === 3,
+          unhex(synthMp4Hex(imgW, imgH, (id % 7).cast("int"))))
+        .otherwise(unhex(synthBmp24Hex(id, bmpW, bmpH)))
+    mediaManifestOn(docs, id, payload, nFrames = (id % 240 + 1).cast("int"))
   }
 }

@@ -93,7 +93,13 @@ object Pipeline {
     */
   // weak keys: the registry must never keep a retired SparkSession (and
   // its SessionState) reachable — the entry dies with the session, and its
-  // checkpoint storage is reclaimed by the ContextCleaner with the session
+  // checkpoint storage is reclaimed by the ContextCleaner with the session.
+  // CRITICAL: the values release through (SparkContext, rdd-id) pairs, NOT
+  // through the checkpointed Dataset — per WeakHashMap's documented
+  // semantics a value that strongly refers to its own key is never
+  // reclaimed, and a Dataset strongly refers to its session; a
+  // Dataset-capturing closure here would pin every retired session (plus
+  // its last survivor checkpoint) for the process lifetime.
   private val outstanding = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, () => Unit]())
 
@@ -171,8 +177,13 @@ object Pipeline {
         col("n_tokens"),
         (col("off") % budget).as("bin_offset"),
         floor(col("off") / budget).as("bin"))
+    // the handle captures only the SHARED SparkContext and the persistent
+    // RDD ids — no path back to the session, so the weak registry above
+    // (and any caller-held handle) can outlive the session harmlessly
+    val sc = docs.sparkSession.sparkContext
+    val ckIds = org.apache.spark.sql.graft.ColumnBridge.checkpointRddIds(exdedupCk)
     (manifest,
-      () => org.apache.spark.sql.graft.ColumnBridge.releaseCheckpoint(exdedupCk))
+      () => org.apache.spark.sql.graft.ColumnBridge.releaseCheckpointIds(sc, ckIds))
   }
 
   /** Q51's scrub stage: q46's PII synthesis ahead of the redaction, so the

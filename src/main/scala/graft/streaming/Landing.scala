@@ -43,17 +43,21 @@ object Landing {
     *
     * The strip is POSITION-INDEPENDENT: a mid/last member loses its
     * LEADING comma (first alternative), a first member its trailing one
-    * (second alternative) — a trailing-comma-only strip left `{"a":1,}`
-    * vs `{"a":1}` depending on where the producer serialized the id, so
-    * the same content re-sent with the key in a different position
-    * escaped dedup. A literal `"_LOAD_ID"` INSIDE a JSON string value
+    * AND the whitespace after it (second alternative) — a
+    * trailing-comma-only strip left `{"a":1,}` vs `{"a":1}` depending on
+    * where the producer serialized the id, so the same content re-sent
+    * with the key in a different position escaped dedup. The trailing
+    * `\s*` matters for PRETTY-PRINTED producers: without it a first-member
+    * strip of `{ "_LOAD_ID": "x", "a": 1}` left `{ "a": 1}` while the
+    * mid-member spelling left `{"a": 1}` — a single interior space that
+    * survives contentFingerprint's run-collapsing normalization. A literal `"_LOAD_ID"` INSIDE a JSON string value
     * cannot false-match: an unescaped quote cannot occur inside a valid
     * string, and the escaped form `\"_LOAD_ID\"` fails both alternatives
     * (the backslash sits where the comma / `{` lookbehind must match).
     */
   private[streaming] val loadIdStrip: String = {
     val v = """("[^"]*"|[^,}\s]+)"""
-    raw""",\s*"_LOAD_ID"\s*:\s*$v|(?<=\{)\s*"_LOAD_ID"\s*:\s*$v\s*,?"""
+    raw""",\s*"_LOAD_ID"\s*:\s*$v|(?<=\{)\s*"_LOAD_ID"\s*:\s*$v\s*,?\s*"""
   }
 
   private def contentKey(record: Column): Column =
@@ -66,7 +70,9 @@ object Landing {
     *
     *  - `qualityFloor`: drop text-bearing records scoring below the q28
     *    quality floor (records WITHOUT the text field are transport /
-    *    control data the gate has no opinion on — they land unchanged)
+    *    control data the gate has no opinion on — they land unchanged;
+    *    degenerate text whose score is NULL — empty or whitespace-only —
+    *    is always gated, matching the q51 pipeline's quality stage)
     *  - `scrubPii`: q46's RE2-safe email/phone redaction over the whole
     *    wire record — PII is PII in any field
     *  - `splitSalt`: stamp a deterministic 80/10/10 train/val/test `split`
@@ -92,7 +98,13 @@ object Landing {
     var df = validated
     st.qualityFloor.foreach { floor =>
       val text = get_json_object(col("record"), st.textPath)
-      df = df.filter(text.isNull || Text.qualityScore(text) >= floor)
+      // the score coalesces to 0.0: degenerate text (empty / whitespace-only
+      // makes the avg-token-length division NULL) is ALWAYS gated, the same
+      // outcome the q51 pipeline's quality stage gives it (a NULL score
+      // fails its `quality >= floor` filter) — only truly text-LESS records
+      // are transport/control data the gate has no opinion on
+      df = df.filter(
+        text.isNull || coalesce(Text.qualityScore(text), lit(0.0)) >= floor)
     }
     if (st.scrubPii)
       df = df.withColumn("record", Text.scrubPii(col("record")))

@@ -55,6 +55,28 @@ object ColumnBridge {
     }
   }
 
+  /** The persistent-RDD ids behind a `localCheckpoint`ed DataFrame — the
+    * session-free half of [[releaseCheckpoint]]: an (id, SparkContext) pair
+    * can release the storage later WITHOUT holding the Dataset (and through
+    * it the owning SparkSession) alive. A registry keyed weakly on the
+    * session MUST release through ids: per WeakHashMap's documented
+    * semantics, a value that strongly refers to its own key is never
+    * reclaimed, and a Dataset strongly refers to its session.
+    */
+  def checkpointRddIds(df: org.apache.spark.sql.DataFrame): Seq[Int] = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    ds.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }
+  }
+
+  /** Release checkpoint storage by persistent-RDD id on the SHARED context.
+    * A no-op for ids already unpersisted (or collected) — the idempotence
+    * that makes a deferred/registry-driven release safe to run late.
+    */
+  def releaseCheckpointIds(sc: org.apache.spark.SparkContext, ids: Seq[Int]): Unit =
+    ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+
   /** A session clone: shares the SparkContext and SharedState (so cached
     * data, checkpoint blocks, and the warehouse are common) but carries an
     * independent COPY of the SessionState — runtime confs, temp views,
