@@ -328,6 +328,152 @@ class MultimodalSpec extends AnyFunSuite {
     assert(n.isNullAt(0) && n.isNullAt(1))
   }
 
+  /** Hand-built BI_RGB BMP (54-byte header + BGR(A) pixel rows padded to
+    * 4 bytes), independent of the operator's hex synthesis so the kernel
+    * is tested against REAL bytes. `px(x, r)` gives (B, G, R) for file-
+    * order row r, column x.
+    */
+  private def bmpBytes(w: Int, h: Int, bpp: Int,
+                       px: (Int, Int) => (Int, Int, Int),
+                       topDown: Boolean = false): Array[Byte] = {
+    val bytesPp = bpp / 8
+    val rowSize = (bytesPp * w + 3) & ~3
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >>> 8) & 0xFF) }
+    def w32(v: Long): Unit =
+      (0 until 4).foreach(i => out.write(((v >> (8 * i)) & 0xFF).toInt))
+    out.write('B'); out.write('M')
+    w32(54L + rowSize.toLong * h); w32(0); w32(54)
+    w32(40); w32(w); w32(if (topDown) (-h).toLong & 0xFFFFFFFFL else h.toLong)
+    w16(1); w16(bpp); w32(0); w32(0); w32(0); w32(0); w32(0); w32(0)
+    for (r <- 0 until h) {
+      for (x <- 0 until w) {
+        val (b, g, rr) = px(x, r)
+        out.write(b); out.write(g); out.write(rr)
+        if (bpp == 32) out.write(0xFF)
+      }
+      out.write(new Array[Byte](rowSize - bytesPp * w))
+    }
+    out.toByteArray
+  }
+
+  private def lumaStats(payload: Array[Byte]): Option[(Long, Int, Int)] = {
+    val r = spark.range(1)
+      .select(graft.functions.ImageOps.bmpLuma(lit(payload)).as("p"))
+      .select(expr("p >> 16").as("sum"), expr("(p >> 8) & 255").as("max"),
+        expr("p & 255").as("min")).head()
+    if (r.isNullAt(0)) None
+    else Some((r.getLong(0), r.getLong(1).toInt, r.getLong(2).toInt))
+  }
+
+  test("BMP pixel luma folds sum/max/min through padding, depth and row order") {
+    // channel-asymmetric pixels: a BGR/RGB order slip changes the stats
+    val px = (x: Int, r: Int) => (x * 10, r * 20, x + r)
+    def expected(w: Int, h: Int) = {
+      val ls = for (r <- 0 until h; x <- 0 until w) yield {
+        val (b, g, rr) = px(x, r); (299 * rr + 587 * g + 114 * b) / 1000
+      }
+      (ls.map(_.toLong).sum, ls.max, ls.min)
+    }
+    // w=3 at 24bpp → 9 pixel bytes + 3 pad bytes per row: a walk that
+    // ignores the stride reads pad zeros as pixels
+    assert(lumaStats(bmpBytes(3, 2, 24, px)) === Some(expected(3, 2)))
+    // 32bpp top-down, same pixel function: stats are row-order-independent
+    // and the alpha byte must be skipped
+    assert(lumaStats(bmpBytes(3, 2, 32, px, topDown = true)) ===
+      Some(expected(3, 2)))
+    // 4-aligned width (no padding) exercises the other stride branch
+    assert(lumaStats(bmpBytes(4, 3, 24, px)) === Some(expected(4, 3)))
+    // extremes: a white and a black pixel hit both clamps
+    val bw = (x: Int, _: Int) => if (x == 0) (255, 255, 255) else (0, 0, 0)
+    assert(lumaStats(bmpBytes(2, 1, 24, bw)) === Some((255L, 255, 0)))
+  }
+
+  test("BMP refusals: truncation, compression, depth, non-BMP") {
+    val px = (x: Int, r: Int) => (x, r, x + r)
+    val good = bmpBytes(4, 4, 24, px)
+    // header promises 4 rows, payload delivers 2: no stats over garbage
+    assert(lumaStats(good.dropRight(2 * 12)) === None)
+    // BI_RLE8 compression (byte 30): the kernel only decodes BI_RGB
+    val rle = good.clone(); rle(30) = 1
+    assert(lumaStats(rle) === None)
+    // 16bpp is outside the 24/32 contract
+    val b16 = good.clone(); b16(28) = 16
+    assert(lumaStats(b16) === None)
+    // zero/negative width
+    val w0 = good.clone(); w0(18) = 0
+    assert(lumaStats(w0) === None)
+    // 'BM'-prefixed text is not a BMP
+    assert(lumaStats(("BM" + "W motorcycles are built in Berlin" * 3)
+      .getBytes("UTF-8")) === None)
+    assert(lumaStats(Array.emptyByteArray) === None)
+  }
+
+  test("BmpLuma interpreted eval agrees with the codegen'd column path") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.BinaryType
+    val px = (x: Int, r: Int) => (x * 3, r * 7, 255 - x)
+    val vectors = Seq(
+      bmpBytes(3, 2, 24, px),
+      bmpBytes(2, 2, 32, px, topDown = true),
+      bmpBytes(3, 2, 24, px).dropRight(5),
+      "not a bmp".getBytes("UTF-8"),
+      Array.emptyByteArray)
+    vectors.foreach { bytes =>
+      val interp = graft.functions.BmpLuma(Literal(bytes, BinaryType)).eval(null)
+      val codegen = spark.range(1)
+        .select(graft.functions.ImageOps.bmpLuma(lit(bytes)).as("d"))
+        .head().get(0)
+      assert(interp === codegen, s"parity broke on ${bytes.take(8).mkString(",")}")
+    }
+  }
+
+  test("BMP header meta parses dims, reports top-down magnitude, sniffs strictly") {
+    def metaOne(payload: Array[Byte]): (Option[Int], Option[Int], String) = {
+      val r = spark.range(1)
+        .select(Multimodal.decodeBmpMeta(lit(payload)).as("m"))
+        .select("m.width", "m.height", "m.format").head()
+      (Option(r.get(0)).map(_.asInstanceOf[Int]),
+        Option(r.get(1)).map(_.asInstanceOf[Int]), r.getString(2))
+    }
+    val px = (x: Int, r: Int) => (x, r, 0)
+    assert(metaOne(bmpBytes(640, 2, 24, px)) === ((Some(640), Some(2), "bmp")))
+    // top-down height is stored negative; meta reports the magnitude
+    assert(metaOne(bmpBytes(3, 5, 32, px, topDown = true)) ===
+      ((Some(3), Some(5), "bmp")))
+    // truncated PIXEL array: header meta is still intact (independence of
+    // meta and pixel stats — the q59 class-2 contract)
+    assert(metaOne(bmpBytes(4, 4, 24, px).dropRight(20)) ===
+      ((Some(4), Some(4), "bmp")))
+    // compressed: format kept, dims refused (out of the decode contract)
+    val rle = bmpBytes(4, 4, 24, px); rle(30) = 1
+    assert(metaOne(rle) === ((None, None, "bmp")))
+    // 'BM' text fails the reserved-bytes corroboration: NOT sniffed as bmp
+    assert(metaOne(("BM" + "W motorcycles are built in Berlin" * 3)
+      .getBytes("UTF-8")) === ((None, None, "unknown")))
+  }
+
+  test("q58 manifest round-trips every container class") {
+    val out = Multimodal.q58MediaManifest(spark, TestSpark.Sf0001)
+      .filter(col("media_id") < 10).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size === 10)
+    def s(id: Long, f: String) = out(id).getAs[Any](f)
+    // class 0/1: png/jpeg with dims and a scaled resize plan
+    assert(s(0, "media_type") === "png" && s(0, "width") === 1)
+    assert(s(1, "media_type") === "jpeg" && s(1, "width") === 2)
+    assert(s(5, "media_type") === "png" && s(5, "target_width") === 6)
+    // class 2: wav parameters, no dims
+    assert(s(2, "media_type") === "wav" && s(2, "sample_rate") === 16000 &&
+      s(2, "channels") === 1 && s(2, "width") == null)
+    // class 3: mp4 dims + bounded frame plan (id 3 → 4 frames, stride 1)
+    assert(s(3, "media_type") === "mp4" &&
+      s(3, "frame_plan") === "0,1,2,3")
+    // class 4: bmp with REAL pixel stats present
+    assert(s(4, "media_type") === "bmp" && s(4, "width") === 5 &&
+      s(4, "mean_luma_x100") != null && s(4, "min_luma") != null)
+  }
+
   test("metadata survives payload pruning (heavy column dropped downstream)") {
     val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))

@@ -72,6 +72,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(perDoc <= 8, s"fan-out bound violated: $perDoc frames for one doc")
   }
 
+  test("q59 runs the BMP pixel walk exactly once per row") {
+    // same pre-projection contract as the q39/q56 pins: the packed stats
+    // long is referenced three times (min/max/mean splits)
+    val p = plan(graft.operators.Multimodal.q59BmpPixels(spark, TestSpark.Sf0001))
+    val occurrences = "graft_bmp_luma".r.findAllIn(p).length
+    assert(occurrences === 1, s"expected 1 graft_bmp_luma in the plan, found $occurrences")
+  }
+
+  test("q58 media manifest is one narrow stage: zero exchanges, each walk once") {
+    val df = graft.operators.Multimodal.q58MediaManifest(spark, TestSpark.Sf0001)
+    assert(shuffles(df) === 0, "the composed media manifest grew a shuffle")
+    val p = plan(df)
+    for (kernel <- Seq("graft_jpeg_dims", "graft_mp4_dims", "graft_wav_fmt",
+        "graft_bmp_luma")) {
+      val occurrences = kernel.r.findAllIn(p).length
+      assert(occurrences === 1, s"expected 1 $kernel in the plan, found $occurrences")
+    }
+  }
+
   test("q42 reads only doc_id and lang; q41 pushes the doc_id bound to one scan") {
     val p42 = plan(graft.operators.Text.q42QuotaSample(spark, TestSpark.Sf0001))
     val rs = p42.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
