@@ -303,7 +303,8 @@ object Oracles {
     * clusterCtes, keep singletons + component minima) → PII scrub (q46's
     * synthesized contacts + RE2-safe regexes) → per-language quota sample
     * (q42's hash threshold, salt "q51|") → token packing on the SCRUBBED
-    * text (q43's per-source window, budget 512). Output: one manifest row
+    * text (q43's per-source window, budget 512) → survivor-frame TF-IDF
+    * top-3 terms (q41's formula over exdedup). Output: one manifest row
     * per packed doc. `off` is a windowed sum(BIGINT) → HUGEINT; cast back
     * (the q43 erratum class).
     */
@@ -332,6 +333,19 @@ object Oracles {
       "clean AS (SELECT * FROM qual WHERE doc_id NOT IN (SELECT doc_id FROM contam)), " +
       "keepx AS (SELECT min(doc_id) AS doc_id FROM clean GROUP BY md5(text)), " +
       "exdedup AS (SELECT clean.* FROM clean JOIN keepx USING (doc_id)), " +
+      // survivor-frame TF-IDF (q41's formula): df and N span exdedup —
+      // the WHOLE survivor frame, not the sampled manifest subset
+      s"ttk AS (SELECT doc_id, unnest($words) AS term FROM exdedup), " +
+      "ttf AS (SELECT doc_id, term, count(*) AS tf FROM ttk GROUP BY 1, 2), " +
+      "tdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM ttk GROUP BY 1), " +
+      "tn AS (SELECT count(*) AS n_docs FROM exdedup), " +
+      "tsc AS (SELECT ttf.doc_id, ttf.term, " +
+      "round(ttf.tf * ln(tn.n_docs / tdf.df), 6) AS score " +
+      "FROM ttf JOIN tdf USING (term) CROSS JOIN tn), " +
+      "trk AS (SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id " +
+      "ORDER BY score DESC, term ASC) AS rn FROM tsc), " +
+      "tts AS (SELECT doc_id, string_agg(term, ',' ORDER BY rn) AS top_terms " +
+      "FROM trk WHERE rn <= 3 GROUP BY doc_id), " +
       clusterCtes("exdedup", "nd") +
       ", nearded AS (SELECT exdedup.* FROM exdedup LEFT JOIN ndclus USING (doc_id) " +
       "WHERE cluster IS NULL OR cluster = doc_id), " +
@@ -350,7 +364,8 @@ object Oracles {
       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM tok) " +
       "SELECT doc_id, source, lang, quality, n_tokens, " +
       "CAST(off % 512 AS BIGINT) AS bin_offset, " +
-      "CAST(floor(off / 512) AS BIGINT) AS bin FROM o"
+      "CAST(floor(off / 512) AS BIGINT) AS bin, top_terms " +
+      "FROM o LEFT JOIN tts USING (doc_id)"
   }
 
   /** Q28 oracle — quality scoring from token statistics. */

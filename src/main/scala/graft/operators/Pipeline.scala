@@ -22,9 +22,10 @@ import graft.functions.TextOps.words
 object Pipeline {
 
   /** Q51: quality gate → holdout decontamination → exact dedup → LSH
-    * near-dup components → PII scrub → quota sample → token packing.
-    * Output: one manifest row per surviving doc with its packed-bin
-    * assignment over the SCRUBBED text.
+    * near-dup components → PII scrub → quota sample → token packing →
+    * survivor-frame TF-IDF top terms. Output: one manifest row per
+    * surviving doc with its packed-bin assignment over the SCRUBBED text
+    * and its rank-ordered relevance terms (df/N over the survivor frame).
     *
     * Packing semantics are q43's cumsum formulation (bin =
     * floor(exclusive-running-token-total / budget), per-source window) —
@@ -122,9 +123,11 @@ object Pipeline {
       qualityFloor: Double = 0.7,
       quotaSalt: String = "q51|",
       budget: Long = 512L,
-      scrub: Column => Column = Text.scrubPii): DataFrame = {
+      scrub: Column => Column = Text.scrubPii,
+      topTermsK: Int = 3): DataFrame = {
     val (out, release) =
-      corpusPipelineHandled(docs, holdout, qualityFloor, quotaSalt, budget, scrub)
+      corpusPipelineHandled(docs, holdout, qualityFloor, quotaSalt, budget,
+        scrub, topTermsK)
     val prev = outstanding.put(docs.sparkSession, release)
     if (prev != null) prev()
     out
@@ -141,7 +144,8 @@ object Pipeline {
       qualityFloor: Double = 0.7,
       quotaSalt: String = "q51|",
       budget: Long = 512L,
-      scrub: Column => Column = Text.scrubPii): (DataFrame, () => Unit) = {
+      scrub: Column => Column = Text.scrubPii,
+      topTermsK: Int = 3): (DataFrame, () => Unit) = {
 
     // materialize the survivors once — consumed by BOTH the near-dup pair
     // generation and the final keep-join below; without this, stages 1-3
@@ -169,7 +173,7 @@ object Pipeline {
     // 7. token packing (q43's per-source window) over the SCRUBBED text
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val manifest = samp
+    val packed = samp
       .select(col("doc_id"), col("source"), col("lang"), col("quality"),
         size(words(col("scrubbed"))).cast("long").as("n_tokens"))
       .withColumn("off", coalesce(sum("n_tokens").over(w), lit(0L)))
@@ -177,6 +181,24 @@ object Pipeline {
         col("n_tokens"),
         (col("off") % budget).as("bin_offset"),
         floor(col("off") / budget).as("bin"))
+
+    // 8. TF-IDF relevance terms (q41's operator, frame-parameterized) —
+    //    ANOTHER consumer of the one survivor checkpoint: df and N span
+    //    EVERY survivor, not the quota-sampled manifest subset (sampling
+    //    before computing IDF would bias every score by the sample rate),
+    //    while the left join pays only for manifest rows. The terms
+    //    aggregate to a rank-ordered comma string via an explicit
+    //    array_sort (collect_list order is not deterministic under
+    //    distributed aggregation).
+    val terms = Text.tfIdfTopTermsOn(exdedup.select("doc_id", "text"), topTermsK)
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(
+            struct((-col("score")).as("_ns"), col("term").as("term")))),
+          e => e.getField("term")),
+        ",").as("top_terms"))
+    val manifest = packed.join(terms, Seq("doc_id"), "left")
     // the handle captures only the SHARED SparkContext and the persistent
     // RDD ids — no path back to the session, so the weak registry above
     // (and any caller-held handle) can outlive the session harmlessly

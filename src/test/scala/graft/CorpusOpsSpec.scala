@@ -270,6 +270,32 @@ class CorpusOpsSpec extends AnyFunSuite {
         running += r.getLong(4)
       }
     }
+
+    // stage 8: top_terms rank with df and N spanning the SURVIVOR frame
+    // (survivorPlan's output — every exact-dedup survivor), NOT the
+    // quota-sampled manifest subset. Recomputed here from scratch: JVM
+    // tokenization, explicit df map over the survivor frame, explicit N,
+    // q41's score formula with the same 6-place rounding.
+    val frame = Pipeline.survivorPlan(docs)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    val dfMap = frame.values.toSeq.flatMap(t => toks(t).distinct)
+      .groupBy(identity).map { case (t, xs) => t -> xs.size }
+    val nDocs = frame.size
+    def round6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val expected = toks(frame(id)).groupBy(identity)
+        .map { case (t, xs) =>
+          t -> round6(xs.size * math.log(nDocs.toDouble / dfMap(t)))
+        }.toSeq
+        .sortBy { case (t, s) => (-s, t) }
+        .take(3).map(_._1).mkString(",")
+      assert(r.getString(7) === expected, s"doc $id top_terms drifted")
+    }
   }
 
   test("tfIdfTopTermsOn parameterizes frame, k and the tf-side bound") {
