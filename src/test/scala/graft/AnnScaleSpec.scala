@@ -26,9 +26,9 @@ class AnnScaleSpec extends AnyFunSuite {
     * driver-side RNG, generated distributed (no collect, no parallelize
     * of driver arrays).
     */
-  private def synth(n: Int): DataFrame =
+  private def synth(n: Int, dims: Int = 64): DataFrame =
     spark.range(n).select(col("id").as("vec_id"),
-      transform(sequence(lit(0), lit(63)),
+      transform(sequence(lit(0), lit(dims - 1)),
         d => pmod(hash(col("id"), d), lit(100000)).cast("double") / 50000.0 - 1.0)
         .as("v"))
 
@@ -80,5 +80,42 @@ class AnnScaleSpec extends AnyFunSuite {
     val bound = 10.0 * math.max(tBase, 2.0)
     assert(tBig <= bound,
       f"10x corpus took $tBig%.1fs vs $tBase%.1fs at base — over the ${bound}%.1fs bound")
+  }
+
+  /** Resident bytes of a cached frame, measured from the block manager
+    * (storage-info delta around a MEMORY_ONLY persist + materialize).
+    */
+  private def residentBytes(df: DataFrame): Long = {
+    val sc = spark.sparkContext
+    val before = sc.getRDDStorageInfo.map(_.id).toSet
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    try {
+      df.count()
+      sc.getRDDStorageInfo.filterNot(i => before(i.id)).map(_.memSize).sum
+    } finally df.unpersist(blocking = true)
+  }
+
+  test("int8 quantization shrinks the resident re-rank corpus toward 8x", Slow) {
+    // the q53 memory claim (BENCH_NOTES), measured: the quantized copy is
+    // what lives in executor memory at 100 TB. The ratio's ceiling is set
+    // by the fixed 16-byte UnsafeArrayData header (count + null bitmap)
+    // amortizing over the payload: at the corpus's 64 dims the ideal is
+    // (16 + 64*8) / (16 + 64*1) ≈ 6.6x, approaching the full 8x as
+    // dimensions grow — both regimes pinned.
+    import graft.functions.VectorOps.quantizeI8
+    def ratioAt(n: Int, dims: Int): Double = {
+      val base = synth(n, dims)
+      val dbl = residentBytes(base)
+      val qnt = residentBytes(
+        base.select(col("vec_id"), quantizeI8(col("v")).as("qv")))
+      assert(dbl > 0 && qnt > 0, s"storage not measured: dbl=$dbl qnt=$qnt")
+      dbl.toDouble / qnt
+    }
+    val corpus = ratioAt(nBig, 64) // 10x the sf0.1 embedding count
+    assert(corpus >= 5.0,
+      f"64-dim resident ratio $corpus%.1fx — quantization not paying (ideal ≈ 6.6x)")
+    val wide = ratioAt(nBase, 1024) // production-embedding widths
+    assert(wide >= 7.0,
+      f"1024-dim resident ratio $wide%.1fx — below the ~8x claim's 7x floor")
   }
 }

@@ -30,6 +30,42 @@ class ScaleSpec extends AnyFunSuite {
     assert(partials > 1, s"hot key not spread: $partials partial group(s)")
   }
 
+  test("salted aggregate: 10x the hot key stays ~linear, partitions bounded", Slow) {
+    // the q55 scale proof (AnnScaleSpec/ComponentScaleSpec pattern):
+    // measured, not asserted in comments
+    def skewed(n: Long) = spark.range(n).select(
+      when(col("id") % 2 === 0, "hot")
+        .otherwise(concat(lit("k"), col("id") % 97)).as("k"),
+      (col("id") % 100).cast("double").as("m"))
+    // per-partition bound first: the partial aggregate is keyed by
+    // (k, _salt), so no reducer sees more than ~1/16 of the hot key —
+    // the property that kills the one-reducer-runs-for-hours failure
+    val n = 400000L
+    val groups = skewed(n)
+      .withColumn("_salt",
+        pmod(spark_partition_id() + monotonically_increasing_id(), lit(16)))
+      .filter(col("k") === "hot").groupBy("_salt").count()
+      .collect().map(_.getLong(1))
+    assert(groups.length === 16, s"hot key spread over ${groups.length}/16 salts")
+    val hotRows = n / 2
+    assert(groups.max <= hotRows / 16 * 3 / 2,
+      s"one salt group holds ${groups.max} of $hotRows hot rows (cap ${hotRows / 16 * 3 / 2})")
+    // wall time ~linear: 10x the rows (all growth on the hot key's side
+    // of the residue map) within ~10x the time, generous slack for the
+    // fixed job overhead at the small end biasing the ratio DOWN and
+    // co-tenant noise pushing either way
+    def timeOf(rows: Long): Double = {
+      val t0 = System.nanoTime()
+      Scale.saltedSumCount(skewed(rows), Seq("k"), "m", salt = 16).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    timeOf(n) // warmup
+    val t1 = math.min(timeOf(n), timeOf(n))
+    val t10 = math.min(timeOf(n * 10), timeOf(n * 10))
+    assert(t10 / t1 <= 10.0,
+      f"10x hot-key rows cost ${t10 / t1}%.1fx the time ($t1%.2fs -> $t10%.2fs)")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val dir = TestSpark.Sf0001
     Scale.writeBucketed(
