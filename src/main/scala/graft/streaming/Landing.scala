@@ -80,18 +80,33 @@ object Landing {
     *    fingerprint so a re-send under a fresh `_LOAD_ID` keeps its
     *    assignment
     *
-    * Stage order is fixed: dedup → gate → scrub → split (the split key is
-    * the SCRUBBED record — what the lake actually stores — so the
-    * assignment can be re-derived from the landed bytes). All three are
-    * pure narrow maps/filters: no shuffle is added to the landing path,
-    * and the batch and streaming entry points share this one application
-    * point so they cannot drift.
+    *  - `mediaPath`: decode media metadata AT LANDING from a base64
+    *    payload field (the wire shape binary rides JSON envelopes in):
+    *    stamps a typed `media_meta` struct — content fingerprint, byte
+    *    length, the strict container sniff across the full decode family
+    *    (PNG/JPEG/GIF/WebP via the marker walks, BMP, WAV/MP4 via the
+    *    chunk/box walks), dims and PCM parameters — so the curated layer
+    *    routes on typed columns without ever re-reading payload bytes
+    *    from the lake (at 100 TB/day the difference is a second full
+    *    pass over the heaviest bytes in the system). Records without the
+    *    field (or with undecodable base64) carry a NULL struct.
+    *
+    * Stage order is fixed: dedup → gate → scrub → split → media (the
+    * split key is the SCRUBBED record — what the lake actually stores —
+    * so the assignment can be re-derived from the landed bytes; the
+    * media decode runs last, though scrubbing cannot touch a payload:
+    * the base64 alphabet contains neither '@' nor '-', so the q46
+    * email/phone patterns cannot match inside an encoded field). All
+    * stages are pure narrow maps/filters: no shuffle is added to the
+    * landing path, and the batch and streaming entry points share this
+    * one application point so they cannot drift.
     */
   case class IngestStages(
       textPath: String = "$.text",
       qualityFloor: Option[Double] = None,
       scrubPii: Boolean = false,
-      splitSalt: Option[String] = None)
+      splitSalt: Option[String] = None,
+      mediaPath: Option[String] = None)
 
   private def applyStages(validated: DataFrame, st: IngestStages): DataFrame = {
     import graft.operators.Text
@@ -115,17 +130,45 @@ object Landing {
           .when(h < "e6666666", "val")
           .otherwise("test"))
     }
+    st.mediaPath.foreach { path =>
+      import graft.operators.Multimodal
+      import graft.functions.{AudioOps, ImageOps}
+      // the same pre-projection discipline as the q39/q56/q58 queries:
+      // each packed decode walk runs once per row, then the struct builder
+      // splits attribute references for free
+      df = df
+        .withColumn("_mb", unbase64(get_json_object(col("record"), path)))
+        .withColumn("_jd", ImageOps.jpegDims(col("_mb")))
+        .withColumn("_md", ImageOps.mp4Dims(col("_mb")))
+        .withColumn("_wd", AudioOps.wavFmt(col("_mb")))
+        .withColumn("_img", Multimodal.decodeImageMetaFrom(col("_mb"), col("_jd")))
+        .withColumn("_av", Multimodal.decodeAvMetaFrom(col("_mb"), col("_md"), col("_wd")))
+        .withColumn("_bmp", Multimodal.decodeBmpMeta(col("_mb")))
+        .withColumn("media_meta", when(col("_mb").isNotNull, struct(
+          md5(col("_mb")).as("fp"),
+          octet_length(col("_mb")).as("n_bytes"),
+          when(col("_img.format") =!= "unknown", col("_img.format"))
+            .when(col("_bmp.format") =!= "unknown", col("_bmp.format"))
+            .when(col("_av.format") =!= "unknown", col("_av.format"))
+            .otherwise("unknown").as("format"),
+          coalesce(col("_img.width"), col("_bmp.width"), col("_av.width")).as("width"),
+          coalesce(col("_img.height"), col("_bmp.height"), col("_av.height")).as("height"),
+          col("_av.sample_rate").as("sample_rate"),
+          col("_av.channels").as("channels"),
+          col("_av.bits").as("bits"))))
+        .drop("_mb", "_jd", "_md", "_wd", "_img", "_av", "_bmp")
+    }
     df
   }
 
   /** The landing-row shape, shared by every entry point so the batch and
     * streaming paths cannot drift: record + metadata struct + load id +
-    * (when the split stage is on) the split assignment + date partition,
-    * all stamped from one `ts` expression.
+    * whichever opt-in stage columns are present (`split`, `media_meta`) +
+    * date partition, all stamped from one `ts` expression.
     */
   private def landingProjection(validated: DataFrame, ts: Column): DataFrame = {
-    val extra =
-      if (validated.columns.contains("split")) Seq(col("split")) else Nil
+    val extra = Seq("split", "media_meta")
+      .filter(validated.columns.contains).map(col)
     validated.select(
       Seq(col("record"),
         struct(ts.as("IngestionTime")).as("record_metadata"),

@@ -275,18 +275,38 @@ class StreamingSpec extends AnyFunSuite {
     val lPii =
       s"""{"_LOAD_ID":"p1","text":"$goodText contact bob@mail.example.com tel +1-555-1234"}"""
     val lCtrl = """{"_LOAD_ID":"c1","kind":"control"}"""
+    // a media-bearing record: base64 GIF89a payload (7x9 logical screen)
+    // rides the envelope; its metadata must be decoded AT landing
+    val gifB64 = java.util.Base64.getEncoder.encodeToString(
+      "GIF89a".getBytes("US-ASCII") ++
+        Array[Byte](7, 0, 9, 0, 0xF7.toByte, 0, 0, 0))
+    val lMedia =
+      s"""{"_LOAD_ID":"m1","text":"$goodText","payload_b64":"$gifB64"}"""
     val stages = Some(Landing.IngestStages(
-      qualityFloor = Some(0.5), scrubPii = true, splitSalt = Some("split|")))
+      qualityFloor = Some(0.5), scrubPii = true, splitSalt = Some("split|"),
+      mediaPath = Some("$.payload_b64")))
 
     val baseB = Files.createTempDirectory("graft_stage_b").toString
-    Landing.landBatch(Seq(lGood, lBad, lPii, lCtrl).toDF("value"),
+    Landing.landBatch(Seq(lGood, lBad, lPii, lCtrl, lMedia).toDF("value"),
       s"$baseB/landing", stages = stages)
     val b = spark.read.parquet(s"$baseB/landing")
     val bRows = b.select("record", "split").collect()
       .map(r => r.getString(0) -> r.getString(1))
     // gate: the low-quality doc is dropped; the text-LESS control line
     // (transport data the gate has no opinion on) lands unchanged
-    assert(bRows.length === 3)
+    assert(bRows.length === 4)
+    // media: the payload-bearing row decoded its GIF at landing; every
+    // payload-less row carries a NULL struct
+    val metaOf = b.select(col("record"), col("media_meta")).collect()
+      .map(r => r.getString(0) -> r.get(1)).toMap
+    val mRow = metaOf.keys.find(_.contains("\"m1\"")).get
+    val meta = metaOf(mRow).asInstanceOf[org.apache.spark.sql.Row]
+    assert(meta.getAs[String]("format") === "gif")
+    assert(meta.getAs[Int]("width") === 7 && meta.getAs[Int]("height") === 9)
+    assert(meta.getAs[Long]("n_bytes") === 14L)
+    assert(meta.isNullAt(meta.fieldIndex("sample_rate")))
+    assert(metaOf.filterKeys(_ != mRow).values.forall(_ == null),
+      "payload-less record grew a media_meta struct")
     assert(!bRows.exists(_._1.contains("\"b1\"")), "low-quality doc landed")
     assert(bRows.exists(_._1 === lCtrl), "text-less control line was gated")
     // scrub: PII never reaches the lake
@@ -307,12 +327,18 @@ class StreamingSpec extends AnyFunSuite {
       q.awaitTermination(60000)
     }
     runOnce("d1.ndjson", Seq(lGood, lBad))
-    runOnce("d2.ndjson", Seq(lPii, lCtrl))
-    val sRows = spark.read.parquet(s"$base/landing")
-      .select("record", "split").collect()
+    runOnce("d2.ndjson", Seq(lPii, lCtrl, lMedia))
+    val s = spark.read.parquet(s"$base/landing")
+    val sRows = s.select("record", "split").collect()
       .map(r => r.getString(0) -> r.getString(1))
     assert(sRows.toSet === bRows.toSet,
       "batch and stream landed different (record, split) sets")
+    // media parity: the streamed delivery decoded the SAME struct
+    val sMeta = s.select(col("record"), col("media_meta").cast("string"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val bMeta = b.select(col("record"), col("media_meta").cast("string"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sMeta === bMeta, "batch and stream decoded different media_meta")
   }
 
   test("content fingerprint is independent of where _LOAD_ID sits in the record") {
