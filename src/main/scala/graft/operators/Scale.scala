@@ -86,34 +86,61 @@ object Scale {
   /** Materialize the bucketed twin once (pay-once); later calls reuse the
     * catalog table. Synchronized: test suites share one session and two
     * concurrent materializations of the same twin would race the
-    * warehouse directory. The lock is JVM-wide only — two PROCESSES
-    * sharing a warehouse dir can still race the orphan-delete/write
-    * sequence below; a multi-process deployment must serialize twin
-    * materialization externally (or pre-build the twins).
+    * warehouse directory. The JVM lock cannot see another PROCESS, so the
+    * cross-process window is guarded by an atomically-created sentinel
+    * marker next to the twin directory: a second materializer fails
+    * LOUDLY instead of racing the orphan-delete/write sequence (and a
+    * sentinel left by a crashed process keeps failing loudly until an
+    * operator removes it — the conservative choice for a shared
+    * warehouse, where "assume the other writer died and barge in" is how
+    * two processes end up interleaving file writes under one table).
     */
   def ensureBucketed(spark: SparkSession, dir: String, table: String,
                      cols: Seq[String], key: String, buckets: Int): String =
     synchronized {
       val name = bucketTwin(dir, table)
       if (!spark.catalog.tableExists(name)) {
-        // a previous SESSION's twin can survive as an orphan warehouse
-        // directory the in-memory catalog no longer knows; saveAsTable
-        // refuses to claim an existing location, so clear it first. (The
-        // bucketing spec lives only in the catalog — re-registering the
-        // files as an external table would silently lose it.)
         // Hadoop Path, not java.net.URI: the warehouse conf is usually a
         // PLAIN PATH (possibly with spaces or other URI-illegal chars),
         // which URI.getPath would reject or mangle; Path handles both the
         // plain and the file:-scheme spellings.
-        val wh = new org.apache.hadoop.fs.Path(
-          spark.conf.get("spark.sql.warehouse.dir")).toUri.getPath
-        val orphan = new java.io.File(wh, name)
-        if (orphan.exists()) deleteRecursively(orphan)
-        writeBucketed(Tables.load(spark, dir, table).selectExpr(cols: _*),
-          name, key, buckets)
+        val wh = new java.io.File(new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir")).toUri.getPath)
+        wh.mkdirs()
+        // File.createNewFile is atomic on the underlying filesystem —
+        // exactly one of N racing processes wins the right to build
+        val sentinel = new java.io.File(wh, name + ".building")
+        if (!sentinel.createNewFile())
+          throw new IllegalStateException(
+            s"bucketed twin '$name' is being materialized by another " +
+              s"process (sentinel ${sentinel.getAbsolutePath} exists); " +
+              "wait for that build to finish — or remove the sentinel if " +
+              "the process holding it crashed")
+        try {
+          // a previous SESSION's twin can survive as an orphan warehouse
+          // directory the in-memory catalog no longer knows; saveAsTable
+          // refuses to claim an existing location, so clear it first.
+          // (The bucketing spec lives only in the catalog — re-registering
+          // the files as an external table would silently lose it.)
+          val orphan = new java.io.File(wh, name)
+          if (orphan.exists()) deleteRecursively(orphan)
+          writeBucketed(Tables.load(spark, dir, table).selectExpr(cols: _*),
+            name, key, buckets)
+        } finally sentinel.delete()
       }
       name
     }
+
+  /** The sentinel file guarding a twin's materialization window — exposed
+    * for the stale-sentinel drill in ScaleSpec (and for operators clearing
+    * a crashed build by hand).
+    */
+  private[graft] def twinSentinel(spark: SparkSession, dir: String,
+                                  table: String): java.io.File = {
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir")).toUri.getPath
+    new java.io.File(wh, bucketTwin(dir, table) + ".building")
+  }
 
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))

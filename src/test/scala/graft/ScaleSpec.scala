@@ -66,6 +66,41 @@ class ScaleSpec extends AnyFunSuite {
       f"10x hot-key rows cost ${t10 / t1}%.1fx the time ($t1%.2fs -> $t10%.2fs)")
   }
 
+  test("a foreign build sentinel makes ensureBucketed fail loudly, then recover") {
+    val dir = TestSpark.Sf0001
+    // simulate another process mid-materialization (or crashed): its
+    // atomically-created sentinel is present, and a stale orphan twin
+    // directory sits in the warehouse from the dead session
+    val sentinel = Scale.twinSentinel(spark, dir, "customer")
+    sentinel.getParentFile.mkdirs()
+    val orphan = new java.io.File(sentinel.getParentFile,
+      sentinel.getName.stripSuffix(".building"))
+    orphan.mkdirs()
+    new java.io.File(orphan, "part-stale").createNewFile()
+    assert(sentinel.createNewFile(), "sentinel precondition failed")
+    try {
+      val e = intercept[IllegalStateException] {
+        Scale.ensureBucketed(spark, dir, "customer",
+          Seq("c_custkey", "c_name"), "c_custkey", 4)
+      }
+      assert(e.getMessage.contains("another process"))
+      // fails loudly WITHOUT racing: the stale orphan was not touched
+      assert(new java.io.File(orphan, "part-stale").exists(),
+        "guarded call deleted the orphan it must not race")
+    } finally sentinel.delete()
+    // sentinel gone (the foreign build finished/was cleared): the build
+    // proceeds, clearing the orphan and registering the twin
+    val name = Scale.ensureBucketed(spark, dir, "customer",
+      Seq("c_custkey", "c_name"), "c_custkey", 4)
+    try {
+      assert(spark.table(name).count() ===
+        Tables.load(spark, dir, "customer").count())
+      assert(!new java.io.File(orphan, "part-stale").exists(),
+        "stale orphan survived the rebuild")
+      assert(!sentinel.exists(), "sentinel leaked past a successful build")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val dir = TestSpark.Sf0001
     Scale.writeBucketed(
