@@ -77,6 +77,7 @@ object SparkEntry {
     "q57_frame_sample" -> (Multimodal.q57FrameSample _),
     "q58_media_manifest" -> (Multimodal.q58MediaManifest _),
     "q59_bmp_pixels" -> (Multimodal.q59BmpPixels _),
+    "q60_y4m_frames" -> (Multimodal.q60Y4mFrames _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -358,5 +359,26 @@ object SparkEntry {
         "CASE WHEN d.doc_id % 4 IN (0,1) THEN CAST(a.mx AS INTEGER) END AS max_luma, " +
         "CASE WHEN d.doc_id % 4 IN (0,1) THEN CAST(a.s * 100 // a.n AS BIGINT) END AS mean_luma_x100 " +
         "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"),
+    // q60: per-frame VIDEO pixel decode — every sampled frame's luma
+    // statistics recomputed pixel-by-pixel from the Y4M synthesis residues
+    // (text-class docs emit no frame rows; a video sampler emits nothing
+    // for non-video bytes)
+    "q60_y4m_frames" ->
+      ("WITH v AS (SELECT doc_id, " +
+        "CAST((doc_id % 4 + 1) * 2 AS INTEGER) AS w, " +
+        "CAST((doc_id % 3 + 1) * 2 AS INTEGER) AS h, " +
+        "CAST(doc_id % 12 + 1 AS INTEGER) AS n " +
+        "FROM documents WHERE doc_id % 3 IN (0, 1)), " +
+        "f AS (SELECT v.*, CAST(k AS INTEGER) AS frame_idx FROM v, " +
+        "UNNEST(range(0, CAST(n AS BIGINT), CAST(ceil(n / 4.0) AS BIGINT))) AS tk(k)), " +
+        "px AS (SELECT f.doc_id, f.frame_idx, f.w, f.h, f.n, " +
+        "(f.doc_id + i * 3 + f.frame_idx * 7) % 256 AS y FROM f, " +
+        "UNNEST(range(0, CAST(f.w * f.h AS BIGINT))) AS ti(i)), " +
+        "agg AS (SELECT doc_id, frame_idx, any_value(w) AS w, any_value(h) AS h, " +
+        "any_value(n) AS n, sum(y) AS s, min(y) AS mn, max(y) AS mx, count(*) AS c " +
+        "FROM px GROUP BY 1, 2) " +
+        "SELECT doc_id, w AS width, h AS height, n AS n_frames, frame_idx, " +
+        "CAST(mn AS INTEGER) AS min_luma, CAST(mx AS INTEGER) AS max_luma, " +
+        "CAST(s * 100 // c AS BIGINT) AS mean_luma_x100 FROM agg"),
   )
 }

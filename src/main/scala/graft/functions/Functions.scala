@@ -162,6 +162,27 @@ object AudioOps {
     ColumnBridge.column(WavFmt(ColumnBridge.expression(bin.cast("binary"))))
 }
 
+object VideoOps {
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  /** Y4M stream metadata as `(width << 40) | (height << 20) | nFrames`
+    * via the frame-sequence walk ([[Y4mMeta]]); NULL when the payload is
+    * not a supported YUV4MPEG2 stream or its tail is truncated.
+    */
+  def y4mMeta(bin: Column): Column =
+    ColumnBridge.column(Y4mMeta(ColumnBridge.expression(bin.cast("binary"))))
+
+  /** REAL pixel statistics of one Y4M frame's luma plane —
+    * `(sumLuma << 16) | (maxLuma << 8) | minLuma`, [[BmpLuma]]'s packed
+    * contract for moving pictures ([[Y4mFrameLuma]]). NULL when the
+    * payload is not a supported Y4M or the frame is absent/truncated.
+    */
+  def y4mFrameLuma(bin: Column, frameIdx: Column): Column =
+    ColumnBridge.column(Y4mFrameLuma(
+      ColumnBridge.expression(bin.cast("binary")),
+      ColumnBridge.expression(frameIdx.cast("int"))))
+}
+
 object TextOps {
   /** Lower-cased alphanumeric word tokens (empty strings filtered). */
   def words(text: Column): Column =

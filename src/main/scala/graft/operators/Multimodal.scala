@@ -544,6 +544,76 @@ object Multimodal {
           (col("m.width").cast("long") * col("m.height"))).as("mean_luma_x100"))
   }
 
+  /** YUV4MPEG2 (Y4M) stream hex: plain-ASCII stream header, then `nFrames`
+    * frames each `FRAME[ params]\n` + Y plane (per-pixel residue bytes) +
+    * for 4:2:0 the U/V planes filled with 0xAB — chroma bytes that POISON
+    * the statistics if a luma fold ever reads past its plane.
+    */
+  private[operators] def synthY4mHex(docId: Column, w: Column, h: Column,
+                                     nFrames: Column, mono: Column,
+                                     frameParams: Column): Column = {
+    val header = concat(lit("YUV4MPEG2 W"), w.cast("string"),
+      lit(" H"), h.cast("string"), lit(" F30:1 Ip A1:1 C"),
+      when(mono, "mono").otherwise("420"), lit("\n"))
+    val frameHdr = concat(lit("FRAME"),
+      when(frameParams, " Xg").otherwise(""), lit("\n"))
+    val chromaHex = when(mono, "")
+      .otherwise(repeat(lit("AB"), (w * h / 2).cast("int")))
+    concat(hex(header), array_join(
+      transform(sequence(lit(0), nFrames - 1), k =>
+        concat(hex(frameHdr),
+          array_join(transform(sequence(lit(0), w * h - 1), i =>
+            hx2((docId + i * 3 + k * 7) % 256)), ""),
+          chromaHex)), ""))
+  }
+
+  /** Q60: REAL per-frame VIDEO pixel decode — q57's sampling shape with
+    * the md5 stand-in retired for the uncompressed-container class: the
+    * payloads are byte-exact YUV4MPEG2 streams (ffmpeg/x264's no-codec
+    * interchange format), and each sampled frame's min/max/mean luma is
+    * folded from its ACTUAL Y-plane bytes by the codegen'd
+    * [[graft.functions.Y4mFrameLuma]] walk. The oracle recomputes every
+    * statistic pixel-by-pixel from the synthesis residues, so an offset,
+    * frame-header, plane-boundary (the 0xAB chroma poison), or
+    * stride slip cannot cancel out.
+    *
+    * Shape discipline (q57's): fan-out bounded by construction
+    * (stride = ceil(n/4), at most 4 frame rows per video), zero
+    * exchanges; the frame walk crosses at most the payload once per
+    * sampled frame, so per-doc work is <= maxFrames × payload — a pure,
+    * bounded map at 100 TB. Classes: %3 == 0 → 4:2:0 (even dims, chroma
+    * planes present), 1 → mono (no chroma), 2 → raw text (no frames at
+    * all — a video sampler emits nothing for non-video bytes). Odd ids
+    * carry frame-level params (`FRAME Xg`), so fixed-stride frame
+    * offsets fail the oracle by construction.
+    */
+  def q60Y4mFrames(spark: SparkSession, dir: String): DataFrame = {
+    val maxFrames = 4
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val w = ((id % 4 + 1) * 2).cast("int")
+    val h = ((id % 3 + 1) * 2).cast("int")
+    val n = (id % 12 + 1).cast("int")
+    val payload = when(id % 3 === 2, col("text").cast("binary"))
+      .otherwise(unhex(synthY4mHex(id, w, h, n, id % 3 === 1, id % 2 === 1)))
+    docs.select(id, payload.as("_p"))
+      .withColumn("_m", graft.functions.VideoOps.y4mMeta(col("_p")))
+      .select(id, col("_p"),
+        shiftrightunsigned(col("_m"), 40).cast("int").as("width"),
+        shiftright(col("_m"), 20).bitwiseAND(lit(0xFFFFF)).cast("int").as("height"),
+        col("_m").bitwiseAND(lit(0xFFFFF)).cast("int").as("n_frames"))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col("n_frames") - 1,
+          ceil(col("n_frames").cast("double") / maxFrames).cast("int"))))
+      .withColumn("_fl",
+        graft.functions.VideoOps.y4mFrameLuma(col("_p"), col("frame_idx")))
+      .select(id, col("width"), col("height"), col("n_frames"), col("frame_idx"),
+        col("_fl").bitwiseAND(lit(0xFF)).cast("int").as("min_luma"),
+        shiftright(col("_fl"), 8).bitwiseAND(lit(0xFF)).cast("int").as("max_luma"),
+        floor(shiftrightunsigned(col("_fl"), 16) * 100 /
+          (col("width").cast("long") * col("height"))).as("mean_luma_x100"))
+  }
+
   /** The composed media pipeline — sniff → decode (image, A/V, BMP pixel)
     * → resize planning → frame-sample planning as ONE manifest operator,
     * the multimodal sibling of [[Pipeline.corpusPipelineOn]]: one row per

@@ -453,6 +453,107 @@ class MultimodalSpec extends AnyFunSuite {
       .getBytes("UTF-8")) === ((None, None, "unknown")))
   }
 
+  /** Hand-built Y4M stream, independent of the operator's synthesis:
+    * stream params in ANY order, per-frame params when `frameParams`,
+    * 4:2:0 chroma planes filled with a poison byte.
+    */
+  private def y4mBytes(w: Int, h: Int, frames: Int,
+                       yOf: (Int, Int) => Int,
+                       mono: Boolean = false,
+                       frameParams: Boolean = false,
+                       chroma: Byte = 0xAB.toByte): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 F25:1 W$w Ip H$h A1:1 C${if (mono) "mono" else "420"}\n"
+      .getBytes("US-ASCII"))
+    for (k <- 0 until frames) {
+      out.write((if (frameParams) "FRAME Xy4mtest\n" else "FRAME\n")
+        .getBytes("US-ASCII"))
+      for (i <- 0 until w * h) out.write(yOf(k, i))
+      if (!mono) for (_ <- 0 until w * h / 2) out.write(chroma)
+    }
+    out.toByteArray
+  }
+
+  private def y4mMetaOf(p: Array[Byte]): Option[(Int, Int, Int)] = {
+    val r = spark.range(1)
+      .select(graft.functions.VideoOps.y4mMeta(lit(p)).as("m"))
+      .select(expr("m >> 40"), expr("(m >> 20) & 1048575"),
+        expr("m & 1048575")).head()
+    if (r.isNullAt(0)) None
+    else Some((r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2).toInt))
+  }
+
+  private def y4mLumaOf(p: Array[Byte], k: Int): Option[(Long, Int, Int)] = {
+    val r = spark.range(1)
+      .select(graft.functions.VideoOps.y4mFrameLuma(lit(p), lit(k)).as("s"))
+      .select(expr("s >> 16"), expr("(s >> 8) & 255"), expr("s & 255")).head()
+    if (r.isNullAt(0)) None
+    else Some((r.getLong(0), r.getLong(1).toInt, r.getLong(2).toInt))
+  }
+
+  test("Y4M meta walks stream params in any order and counts real frames") {
+    val y = (k: Int, i: Int) => (i + 5 * k) % 256
+    assert(y4mMetaOf(y4mBytes(4, 2, 3, y)) === Some((4, 2, 3)))
+    // per-frame params change every frame's offset — the walk must read
+    // them; a constant-stride division would miscount
+    assert(y4mMetaOf(y4mBytes(4, 2, 3, y, frameParams = true)) === Some((4, 2, 3)))
+    assert(y4mMetaOf(y4mBytes(6, 4, 1, y, mono = true)) === Some((6, 4, 1)))
+    // truncated tail: a half-written file is NULL, never a shorter video
+    assert(y4mMetaOf(y4mBytes(4, 2, 3, y).dropRight(1)) === None)
+    // 4:2:0 with odd dims is ill-formed
+    assert(y4mMetaOf(y4mBytes(3, 2, 1, y)) === None)
+    // unsupported chroma token
+    assert(y4mMetaOf("YUV4MPEG2 W4 H2 C444\nFRAME\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](24)(0)) === None)
+    assert(y4mMetaOf("not a stream".getBytes("UTF-8")) === None)
+  }
+
+  test("Y4M frame luma folds exactly the Y plane of the addressed frame") {
+    val y = (k: Int, i: Int) => (10 + 7 * k + i) % 256
+    def expected(w: Int, h: Int, k: Int) = {
+      val ys = (0 until w * h).map(i => y(k, i))
+      (ys.map(_.toLong).sum, ys.max, ys.min)
+    }
+    val p = y4mBytes(4, 2, 3, y, frameParams = true)
+    // each frame addressed through the param'd headers
+    (0 until 3).foreach(k => assert(y4mLumaOf(p, k) === Some(expected(4, 2, k))))
+    // chroma poison: if the fold overran the Y plane, 0xAB (171) bytes
+    // would lift the max/mean of a low-valued frame
+    val low = y4mBytes(4, 2, 1, (_, _) => 3)
+    assert(y4mLumaOf(low, 0) === Some((24L, 3, 3)))
+    // mono: the whole frame IS the luma plane
+    assert(y4mLumaOf(y4mBytes(4, 2, 2, y, mono = true), 1) ===
+      Some(expected(4, 2, 1)))
+    // out-of-range / truncated frames are NULL
+    assert(y4mLumaOf(p, 3) === None)
+    assert(y4mLumaOf(p.dropRight(1), 2) === None)
+    assert(y4mLumaOf("nope".getBytes("UTF-8"), 0) === None)
+  }
+
+  test("Y4M kernels: interpreted eval agrees with the codegen'd column path") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{BinaryType, IntegerType}
+    val y = (k: Int, i: Int) => (i * 3 + k) % 256
+    val vectors = Seq(
+      y4mBytes(4, 2, 2, y),
+      y4mBytes(4, 2, 2, y, frameParams = true),
+      y4mBytes(2, 2, 1, y, mono = true),
+      y4mBytes(4, 2, 2, y).dropRight(3),
+      "text".getBytes("UTF-8"))
+    vectors.foreach { bytes =>
+      val mi = graft.functions.Y4mMeta(Literal(bytes, BinaryType)).eval(null)
+      val mc = spark.range(1)
+        .select(graft.functions.VideoOps.y4mMeta(lit(bytes))).head().get(0)
+      assert(mi === mc, s"meta parity broke on ${bytes.take(12).mkString(",")}")
+      val li = graft.functions.Y4mFrameLuma(
+        Literal(bytes, BinaryType), Literal(1, IntegerType)).eval(null)
+      val lc = spark.range(1)
+        .select(graft.functions.VideoOps.y4mFrameLuma(lit(bytes), lit(1)))
+        .head().get(0)
+      assert(li === lc, s"luma parity broke on ${bytes.take(12).mkString(",")}")
+    }
+  }
+
   test("q58 manifest round-trips every container class") {
     val out = Multimodal.q58MediaManifest(spark, TestSpark.Sf0001)
       .filter(col("media_id") < 10).collect()

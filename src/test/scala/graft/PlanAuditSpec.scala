@@ -91,6 +91,20 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q60 frame decode: zero exchanges, bounded fan-out, one walk per row") {
+    val df = graft.operators.Multimodal.q60Y4mFrames(spark, TestSpark.Sf0001)
+    assert(shuffles(df) === 0, "frame pixel decode grew a shuffle")
+    val p = plan(df)
+    // meta once per doc row, the frame fold once per exploded frame row
+    for (kernel <- Seq("graft_y4m_meta", "graft_y4m_frame_luma")) {
+      val occurrences = kernel.r.findAllIn(p).length
+      assert(occurrences === 1, s"expected 1 $kernel in the plan, found $occurrences")
+    }
+    val perDoc = df.groupBy("doc_id").count().agg(
+      org.apache.spark.sql.functions.max("count")).head().getLong(0)
+    assert(perDoc <= 4, s"fan-out bound violated: $perDoc frames for one doc")
+  }
+
   test("q42 reads only doc_id and lang; q41 pushes the doc_id bound to one scan") {
     val p42 = plan(graft.operators.Text.q42QuotaSample(spark, TestSpark.Sf0001))
     val rs = p42.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
