@@ -297,11 +297,14 @@ object SparkEntry {
     // parameters, the resizeDims plan mirrored as round-half-up over the
     // same double expression, per-pixel BMP luma, the q57 stride plan)
     "q58_media_manifest" ->
-      ("WITH base AS (SELECT doc_id, doc_id % 5 AS cls, " +
+      ("WITH base AS (SELECT doc_id, doc_id % 6 AS cls, " +
         "CAST(doc_id % 1920 + 1 AS INTEGER) AS iw, " +
         "CAST(doc_id % 1080 + 1 AS INTEGER) AS ih, " +
         "CAST(doc_id % 7 + 1 AS INTEGER) AS bw, " +
-        "CAST(doc_id % 6 + 1 AS INTEGER) AS bh, " +
+        "CAST(doc_id % 5 + 1 AS INTEGER) AS bh, " +
+        "CAST((doc_id % 4 + 1) * 2 AS INTEGER) AS yw, " +
+        "CAST((doc_id % 3 + 1) * 2 AS INTEGER) AS yh, " +
+        "CAST(doc_id % 12 + 1 AS INTEGER) AS yn, " +
         "CAST(doc_id % 240 + 1 AS INTEGER) AS nf FROM documents), " +
         "lum AS (SELECT b.doc_id, " +
         "sum((299 * ((b.doc_id*2 + x + r*11) % 256) + " +
@@ -319,23 +322,28 @@ object SparkEntry {
         "WHERE b.cls = 4 GROUP BY b.doc_id) " +
         "SELECT b.doc_id AS media_id, " +
         "CASE b.cls WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'wav' " +
-        "WHEN 3 THEN 'mp4' ELSE 'bmp' END AS media_type, " +
-        "CASE WHEN b.cls IN (0,1,3) THEN b.iw WHEN b.cls = 4 THEN b.bw END AS width, " +
-        "CASE WHEN b.cls IN (0,1,3) THEN b.ih WHEN b.cls = 4 THEN b.bh END AS height, " +
+        "WHEN 3 THEN 'mp4' WHEN 4 THEN 'bmp' ELSE 'y4m' END AS media_type, " +
+        "CASE WHEN b.cls IN (0,1,3) THEN b.iw WHEN b.cls = 4 THEN b.bw " +
+        "WHEN b.cls = 5 THEN b.yw END AS width, " +
+        "CASE WHEN b.cls IN (0,1,3) THEN b.ih WHEN b.cls = 4 THEN b.bh " +
+        "WHEN b.cls = 5 THEN b.yh END AS height, " +
         "CASE WHEN b.cls = 2 THEN CAST(8000 + (b.doc_id % 8) * 4000 AS INTEGER) END AS sample_rate, " +
         "CASE WHEN b.cls = 2 THEN CAST(b.doc_id % 2 + 1 AS INTEGER) END AS channels, " +
         "CASE WHEN b.cls = 2 THEN CAST((b.doc_id % 2 + 1) * 8 AS INTEGER) END AS bits, " +
         "CASE WHEN b.cls IN (0,1,3) THEN CASE WHEN greatest(b.iw, b.ih) <= 256 THEN b.iw " +
         "ELSE CAST(round(b.iw * (256.0 / greatest(b.iw, b.ih))) AS INTEGER) END " +
-        "WHEN b.cls = 4 THEN b.bw END AS target_width, " +
+        "WHEN b.cls = 4 THEN b.bw WHEN b.cls = 5 THEN b.yw END AS target_width, " +
         "CASE WHEN b.cls IN (0,1,3) THEN CASE WHEN greatest(b.iw, b.ih) <= 256 THEN b.ih " +
         "ELSE CAST(round(b.ih * (256.0 / greatest(b.iw, b.ih))) AS INTEGER) END " +
-        "WHEN b.cls = 4 THEN b.bh END AS target_height, " +
+        "WHEN b.cls = 4 THEN b.bh WHEN b.cls = 5 THEN b.yh END AS target_height, " +
         "CASE WHEN b.cls = 4 THEN CAST(l.mn AS INTEGER) END AS min_luma, " +
         "CASE WHEN b.cls = 4 THEN CAST(l.mx AS INTEGER) END AS max_luma, " +
         "CASE WHEN b.cls = 4 THEN CAST(l.s * 100 // l.n AS BIGINT) END AS mean_luma_x100, " +
         "CASE WHEN b.cls = 3 THEN array_to_string(range(0, CAST(b.nf AS BIGINT), " +
-        "CAST(ceil(b.nf / 8.0) AS BIGINT)), ',') END AS frame_plan " +
+        "CAST(ceil(b.nf / 8.0) AS BIGINT)), ',') " +
+        // the y4m plan strides over the frame count PARSED from the bytes
+        "WHEN b.cls = 5 THEN array_to_string(range(0, CAST(b.yn AS BIGINT), " +
+        "CAST(ceil(b.yn / 8.0) AS BIGINT)), ',') END AS frame_plan " +
         "FROM base b LEFT JOIN lum l ON b.doc_id = l.doc_id"),
     // q59: REAL pixel decode — luma statistics recomputed pixel-by-pixel
     // from the synthesis residue maps (Rec.601 integer luma, floor

@@ -632,29 +632,39 @@ object Multimodal {
     *  - `min_luma`/`max_luma`/`mean_luma_x100`: REAL pixel statistics for
     *    the uncompressed (BMP) class via [[graft.functions.BmpLuma]]
     *  - `frame_plan`: the q57 bounded evenly-strided sampling plan
-    *    (at most `maxFrames` indices, comma-joined) for video rows;
-    *    `nFrames` supplies the frame count — video containers carry it in
-    *    sidecar/track metadata a deployment already has
+    *    (at most `maxFrames` indices, comma-joined) for video rows. For
+    *    Y4M the frame count is PARSED from the bytes (the walk counts
+    *    real frames); for MP4 `nFrames` supplies it — that container
+    *    carries the count in sidecar/track metadata a deployment
+    *    already has
     */
   def mediaManifestOn(df: DataFrame, id: Column, bin: Column,
                       nFrames: Column = lit(null).cast("int"),
                       maxEdge: Int = 256, maxFrames: Int = 8): DataFrame = {
     val pre = df
-      .select(id.as("media_id"), bin.as("_p"), nFrames.cast("int").as("_nf"))
+      .select(id.as("media_id"), bin.as("_p"), nFrames.cast("int").as("_nf0"))
       .withColumn("_jd", graft.functions.ImageOps.jpegDims(col("_p")))
       .withColumn("_md", graft.functions.ImageOps.mp4Dims(col("_p")))
       .withColumn("_wd", graft.functions.AudioOps.wavFmt(col("_p")))
       .withColumn("_bl", graft.functions.ImageOps.bmpLuma(col("_p")))
+      .withColumn("_ym", graft.functions.VideoOps.y4mMeta(col("_p")))
       .withColumn("_img", decodeImageMetaFrom(col("_p"), col("_jd")))
       .withColumn("_av", decodeAvMetaFrom(col("_p"), col("_md"), col("_wd")))
       .withColumn("_bmp", decodeBmpMeta(col("_p")))
     val mediaType = when(col("_img.format") =!= "unknown", col("_img.format"))
       .when(col("_bmp.format") =!= "unknown", col("_bmp.format"))
+      .when(col("_ym").isNotNull, "y4m")
       .when(col("_av.format") =!= "unknown", col("_av.format"))
       .otherwise("unknown")
-    val w = coalesce(col("_img.width"), col("_bmp.width"), col("_av.width"))
-    val h = coalesce(col("_img.height"), col("_bmp.height"), col("_av.height"))
-    val stride = ceil(col("_nf").cast("double") / maxFrames).cast("int")
+    val w = coalesce(col("_img.width"), col("_bmp.width"),
+      shiftrightunsigned(col("_ym"), 40).cast("int"), col("_av.width"))
+    val h = coalesce(col("_img.height"), col("_bmp.height"),
+      shiftright(col("_ym"), 20).bitwiseAND(lit(0xFFFFF)).cast("int"),
+      col("_av.height"))
+    // the frame count the sampling plan runs on: parsed from the bytes
+    // when the container carries it (Y4M), caller metadata otherwise
+    val nf = coalesce(
+      col("_ym").bitwiseAND(lit(0xFFFFF)).cast("int"), col("_nf0"))
     pre
       .select(col("media_id"), mediaType.as("media_type"),
         w.as("width"), h.as("height"),
@@ -662,7 +672,8 @@ object Multimodal {
         col("_av.channels").as("channels"),
         col("_av.bits").as("bits"),
         resizeDims(w, h, maxEdge).as("_rs"),
-        col("_bl"), col("_nf"), stride.as("_s"))
+        col("_bl"), nf.as("_nf"),
+        ceil(nf.cast("double") / maxFrames).cast("int").as("_s"))
       .select(col("media_id"), col("media_type"), col("width"), col("height"),
         col("sample_rate"), col("channels"), col("bits"),
         col("_rs.width").as("target_width"),
@@ -671,17 +682,17 @@ object Multimodal {
         shiftright(col("_bl"), 8).bitwiseAND(lit(0xFF)).cast("int").as("max_luma"),
         floor(shiftrightunsigned(col("_bl"), 16) * 100 /
           (col("width").cast("long") * col("height"))).as("mean_luma_x100"),
-        when(col("media_type") === "mp4" && col("_nf").isNotNull,
+        when(col("media_type").isin("mp4", "y4m") && col("_nf").isNotNull && col("_nf") > 0,
           array_join(sequence(lit(0), col("_nf") - 1, col("_s"))
             .cast("array<string>"), ",")).as("frame_plan"))
   }
 
   /** Q58: the contract instantiation of [[mediaManifestOn]] — a mixed
-    * five-container corpus synthesized from doc_id residues with the SAME
+    * SIX-container corpus synthesized from doc_id residues with the SAME
     * hex builders the standalone decode queries use (png/jpeg: q39; wav/
-    * mp4: q56; bmp: q59's pixel formulas), so the composed manifest and
-    * the standalone decoders cannot drift. The oracle recomputes every
-    * column from the residue arithmetic.
+    * mp4: q56; bmp: q59's pixel formulas; y4m: q60's streams), so the
+    * composed manifest and the standalone decoders cannot drift. The
+    * oracle recomputes every column from the residue arithmetic.
     */
   def q58MediaManifest(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
@@ -692,15 +703,24 @@ object Multimodal {
     val rate = (lit(8000) + (id % 8).cast("int") * 4000).cast("int")
     val bits = ((id % 2 + 1) * 8).cast("int")
     val bmpW = (id % 7 + 1).cast("int")
-    val bmpH = (id % 6 + 1).cast("int")
+    val bmpH = (id % 5 + 1).cast("int")
+    val y4mW = ((id % 4 + 1) * 2).cast("int")
+    val y4mH = ((id % 3 + 1) * 2).cast("int")
+    val y4mN = (id % 12 + 1).cast("int")
     val payload =
-      when(id % 5 === 0, unhex(synthPngHex(imgW, imgH)))
-        .when(id % 5 === 1, unhex(synthJpegHex(imgW, imgH)))
-        .when(id % 5 === 2,
+      when(id % 6 === 0, unhex(synthPngHex(imgW, imgH)))
+        .when(id % 6 === 1, unhex(synthJpegHex(imgW, imgH)))
+        .when(id % 6 === 2,
           unhex(synthWavHex(channels, rate, bits, id % 2 === 1)))
-        .when(id % 5 === 3,
+        .when(id % 6 === 3,
           unhex(synthMp4Hex(imgW, imgH, (id % 7).cast("int"))))
-        .otherwise(unhex(synthBmp24Hex(id, bmpW, bmpH)))
-    mediaManifestOn(docs, id, payload, nFrames = (id % 240 + 1).cast("int"))
+        .when(id % 6 === 4, unhex(synthBmp24Hex(id, bmpW, bmpH)))
+        .otherwise(unhex(synthY4mHex(id, y4mW, y4mH, y4mN,
+          id % 4 === 1, id % 8 >= 4)))
+    // nFrames metadata reaches only the MP4 rows: the Y4M rows prove the
+    // manifest PARSES its frame count from the bytes (caller metadata for
+    // those rows is deliberately absent)
+    mediaManifestOn(docs, id, payload,
+      nFrames = when(id % 6 === 3, (id % 240 + 1).cast("int")))
   }
 }

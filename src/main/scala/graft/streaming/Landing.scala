@@ -141,6 +141,7 @@ object Landing {
         .withColumn("_jd", ImageOps.jpegDims(col("_mb")))
         .withColumn("_md", ImageOps.mp4Dims(col("_mb")))
         .withColumn("_wd", AudioOps.wavFmt(col("_mb")))
+        .withColumn("_ym", graft.functions.VideoOps.y4mMeta(col("_mb")))
         .withColumn("_img", Multimodal.decodeImageMetaFrom(col("_mb"), col("_jd")))
         .withColumn("_av", Multimodal.decodeAvMetaFrom(col("_mb"), col("_md"), col("_wd")))
         .withColumn("_bmp", Multimodal.decodeBmpMeta(col("_mb")))
@@ -149,14 +150,19 @@ object Landing {
           octet_length(col("_mb")).as("n_bytes"),
           when(col("_img.format") =!= "unknown", col("_img.format"))
             .when(col("_bmp.format") =!= "unknown", col("_bmp.format"))
+            .when(col("_ym").isNotNull, "y4m")
             .when(col("_av.format") =!= "unknown", col("_av.format"))
             .otherwise("unknown").as("format"),
-          coalesce(col("_img.width"), col("_bmp.width"), col("_av.width")).as("width"),
-          coalesce(col("_img.height"), col("_bmp.height"), col("_av.height")).as("height"),
+          coalesce(col("_img.width"), col("_bmp.width"),
+            shiftrightunsigned(col("_ym"), 40).cast("int"),
+            col("_av.width")).as("width"),
+          coalesce(col("_img.height"), col("_bmp.height"),
+            shiftright(col("_ym"), 20).bitwiseAND(lit(0xFFFFF)).cast("int"),
+            col("_av.height")).as("height"),
           col("_av.sample_rate").as("sample_rate"),
           col("_av.channels").as("channels"),
           col("_av.bits").as("bits"))))
-        .drop("_mb", "_jd", "_md", "_wd", "_img", "_av", "_bmp")
+        .drop("_mb", "_jd", "_md", "_wd", "_ym", "_img", "_av", "_bmp")
     }
     df
   }

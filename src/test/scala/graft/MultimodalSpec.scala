@@ -560,19 +560,24 @@ class MultimodalSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r).toMap
     assert(out.size === 10)
     def s(id: Long, f: String) = out(id).getAs[Any](f)
-    // class 0/1: png/jpeg with dims and a scaled resize plan
+    // class 0/1: png/jpeg with dims and a resize plan
     assert(s(0, "media_type") === "png" && s(0, "width") === 1)
     assert(s(1, "media_type") === "jpeg" && s(1, "width") === 2)
-    assert(s(5, "media_type") === "png" && s(5, "target_width") === 6)
+    assert(s(6, "media_type") === "png" && s(6, "target_width") === 7)
     // class 2: wav parameters, no dims
     assert(s(2, "media_type") === "wav" && s(2, "sample_rate") === 16000 &&
       s(2, "channels") === 1 && s(2, "width") == null)
-    // class 3: mp4 dims + bounded frame plan (id 3 → 4 frames, stride 1)
+    // class 3: mp4 dims + bounded frame plan from CALLER metadata
+    // (id 3 → 4 frames, stride 1)
     assert(s(3, "media_type") === "mp4" &&
       s(3, "frame_plan") === "0,1,2,3")
     // class 4: bmp with REAL pixel stats present
     assert(s(4, "media_type") === "bmp" && s(4, "width") === 5 &&
       s(4, "mean_luma_x100") != null && s(4, "min_luma") != null)
+    // class 5: y4m — dims AND the frame plan come from the PARSED bytes
+    // (id 5 → 4x6, 6 real frames, stride 1), no caller metadata supplied
+    assert(s(5, "media_type") === "y4m" && s(5, "width") === 4 &&
+      s(5, "height") === 6 && s(5, "frame_plan") === "0,1,2,3,4,5")
   }
 
   test("metadata survives payload pruning (heavy column dropped downstream)") {
