@@ -96,6 +96,11 @@ object Bootstrap {
         Tables.load(spark, dir, "documents"),
         scrub = operators.Pipeline.q51Scrub)._1
       .createOrReplaceTempView("vw_corpus_manifest")
+    // the multimodal sibling: the composed media manifest (q58's sniff →
+    // decode → resize → frame-plan chain) as a SQL-joinable view — a pure
+    // narrow plan, so registration stores no state at all
+    operators.Multimodal.q58MediaManifest(spark, dir)
+      .createOrReplaceTempView("vw_media_manifest")
   }
 
   /** Register the landing table + curated views over it — the TRANSFORM

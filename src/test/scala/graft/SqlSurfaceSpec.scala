@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Dedup, Pipeline, Text}
+import graft.operators.{Dedup, Multimodal, Pipeline, Text}
 
 /** The SQL surface over the LLM-pipeline operators: Bootstrap.initCorpusOps
   * registers the dedup / decontamination / corpus-manifest plans as temp
@@ -21,7 +21,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "vw_exact_dedup" -> Dedup.q21ExactDedup(spark, TestSpark.Sf0001),
       "vw_dedup_clusters" -> Dedup.q37DedupClusters(spark, TestSpark.Sf0001),
       "vw_decontaminate" -> Text.q45Decontaminate(spark, TestSpark.Sf0001),
-      "vw_corpus_manifest" -> Pipeline.q51CorpusPipeline(spark, TestSpark.Sf0001))
+      "vw_corpus_manifest" -> Pipeline.q51CorpusPipeline(spark, TestSpark.Sf0001),
+      "vw_media_manifest" ->
+        Multimodal.q58MediaManifest(spark, TestSpark.Sf0001))
     twins.foreach { case (view, df) =>
       val sql = canon(spark.sql(s"SELECT * FROM $view"))
       val api = canon(df)
