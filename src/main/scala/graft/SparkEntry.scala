@@ -78,6 +78,7 @@ object SparkEntry {
     "q58_media_manifest" -> (Multimodal.q58MediaManifest _),
     "q59_bmp_pixels" -> (Multimodal.q59BmpPixels _),
     "q60_y4m_frames" -> (Multimodal.q60Y4mFrames _),
+    "q61_bmp_resample" -> (Multimodal.q61BmpResample _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -388,5 +389,43 @@ object SparkEntry {
         "SELECT doc_id, w AS width, h AS height, n AS n_frames, frame_idx, " +
         "CAST(mn AS INTEGER) AS min_luma, CAST(mx AS INTEGER) AS max_luma, " +
         "CAST(s * 100 // c AS BIGINT) AS mean_luma_x100 FROM agg"),
+    // q61: the EXECUTED resize — target dims via the resizeDims rounding,
+    // then every output pixel replayed through the floor source-mapping
+    // (sx = x'*w//tw; top-down class reads file row sy, bottom-up h-1-sy)
+    "q61_bmp_resample" ->
+      ("WITH b AS (SELECT doc_id, doc_id % 4 AS cls, " +
+        "CASE WHEN doc_id % 4 = 0 THEN CAST(doc_id % 7 + 1 AS INTEGER) " +
+        "ELSE CAST(doc_id % 12 + 9 AS INTEGER) END AS w, " +
+        "CASE WHEN doc_id % 4 = 0 THEN CAST(doc_id % 5 + 1 AS INTEGER) " +
+        "ELSE CAST(doc_id % 10 + 9 AS INTEGER) END AS h " +
+        "FROM documents WHERE doc_id % 4 IN (0, 1, 2)), " +
+        "d AS (SELECT *, " +
+        "CASE WHEN greatest(w, h) <= 8 THEN w " +
+        "ELSE CAST(round(w * (8.0 / greatest(w, h))) AS INTEGER) END AS tw, " +
+        "CASE WHEN greatest(w, h) <= 8 THEN h " +
+        "ELSE CAST(round(h * (8.0 / greatest(w, h))) AS INTEGER) END AS th FROM b), " +
+        "px AS (SELECT d.doc_id, x * d.w // d.tw AS sx, " +
+        "CASE WHEN d.cls = 2 THEN y * d.h // d.th " +
+        "ELSE d.h - 1 - (y * d.h // d.th) END AS r FROM d, " +
+        "UNNEST(range(0, CAST(d.tw AS BIGINT))) AS tx(x), " +
+        "UNNEST(range(0, CAST(d.th AS BIGINT))) AS ty(y)), " +
+        "lum AS (SELECT doc_id, " +
+        "sum((299 * ((doc_id*2 + sx + r*11) % 256) + " +
+        "587 * ((doc_id*3 + sx*5 + r) % 256) + " +
+        "114 * ((doc_id + sx*7 + r*13) % 256)) // 1000) AS s, " +
+        "min((299 * ((doc_id*2 + sx + r*11) % 256) + " +
+        "587 * ((doc_id*3 + sx*5 + r) % 256) + " +
+        "114 * ((doc_id + sx*7 + r*13) % 256)) // 1000) AS mn, " +
+        "max((299 * ((doc_id*2 + sx + r*11) % 256) + " +
+        "587 * ((doc_id*3 + sx*5 + r) % 256) + " +
+        "114 * ((doc_id + sx*7 + r*13) % 256)) // 1000) AS mx, " +
+        "count(*) AS c FROM px GROUP BY doc_id) " +
+        "SELECT doc.doc_id, " +
+        "CASE WHEN doc.doc_id % 4 IN (0,1,2) THEN 'bmp' ELSE 'unknown' END AS format, " +
+        "d.tw AS width, d.th AS height, " +
+        "CAST(l.mn AS INTEGER) AS min_luma, CAST(l.mx AS INTEGER) AS max_luma, " +
+        "CAST(l.s * 100 // l.c AS BIGINT) AS mean_luma_x100 " +
+        "FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id " +
+        "LEFT JOIN lum l ON doc.doc_id = l.doc_id"),
   )
 }

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType}
 
@@ -147,4 +147,115 @@ case class BmpLuma(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): BmpLuma =
     copy(child = newChild)
+}
+
+/** The shared BMP resample body, called from BOTH the interpreted eval and
+  * the generated code (the [[Y4mEval]] technique — one implementation,
+  * zero parity surface).
+  */
+object BmpEval {
+  /** Nearest-neighbor resample of a BI_RGB 24/32bpp BMP so its longer
+    * edge equals `maxEdge` — the EXECUTION of the geometry
+    * `Multimodal.resizeDims` plans: same aspect-preserving half-up
+    * rounding, same never-upscale rule (a payload already within the
+    * budget is returned UNCHANGED, byte for byte). Output is normalized
+    * to canonical 24bpp bottom-up regardless of input depth/orientation
+    * (a resampler is where a pipeline normalizes layout); source pixel
+    * for output image coordinate (x', y') is the floor-mapped
+    * (x'*w/tw, y'*h/th) — integer arithmetic an independent oracle can
+    * replay. NULL on anything the pixel walk would refuse (not a
+    * BI_RGB 24/32 BMP, truncated pixel array, bad dims).
+    */
+  def resize(bb: Array[Byte], maxEdge: Int): Array[Byte] = {
+    if (maxEdge <= 0) return null
+    def le16(o: Int): Int = (bb(o) & 0xFF) | ((bb(o + 1) & 0xFF) << 8)
+    def le32(o: Int): Long =
+      ((bb(o) & 0xFF) | ((bb(o + 1) & 0xFF) << 8) | ((bb(o + 2) & 0xFF) << 16) |
+        ((bb(o + 3) & 0xFF) << 24)) & 0xFFFFFFFFL
+    val len = bb.length
+    if (len < 54 || bb(0) != 0x42 || bb(1) != 0x4D) return null
+    val off = le32(10)
+    if (le32(14) < 40L) return null
+    val w = le32(18).toInt
+    val rawH = le32(22).toInt
+    val bpp = le16(28)
+    if (w <= 0 || rawH == 0 || le16(26) != 1 || le32(30) != 0L ||
+      (bpp != 24 && bpp != 32)) return null
+    val h = math.abs(rawH)
+    val topDown = rawH < 0
+    val bytesPp = bpp / 8
+    val rowSize = (bytesPp.toLong * w + 3L) & ~3L
+    if (off + rowSize * h > len) return null
+    if (math.max(w, h) <= maxEdge) return bb // never upscale: pass through
+    // resizeDims' exact arithmetic: double scale, round-half-up
+    val scale = maxEdge.toDouble / math.max(w, h)
+    val tw = math.round(w * scale).toInt
+    val th = math.round(h * scale).toInt
+    if (tw <= 0 || th <= 0) return null
+    val tRow = ((3 * tw + 3) & ~3)
+    val out = new Array[Byte](54 + tRow * th)
+    // file header + BITMAPINFOHEADER, canonical 24bpp bottom-up
+    out(0) = 'B'; out(1) = 'M'
+    def w16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xFF).toByte; out(o + 1) = ((v >>> 8) & 0xFF).toByte
+    }
+    def w32(o: Int, v: Long): Unit =
+      (0 until 4).foreach(i => out(o + i) = ((v >> (8 * i)) & 0xFF).toByte)
+    w32(2, out.length.toLong); w32(10, 54); w32(14, 40)
+    w32(18, tw.toLong); w32(22, th.toLong); w16(26, 1); w16(28, 24)
+    w32(34, (tRow * th).toLong)
+    var yOut = 0
+    while (yOut < th) {
+      // image coordinates: y=0 is the TOP row; the canonical output is
+      // bottom-up, so image row yOut lands in file row th-1-yOut
+      val sy = (yOut.toLong * h / th).toInt
+      val srcFileRow = if (topDown) sy else h - 1 - sy
+      val srcBase = off + srcFileRow * rowSize
+      val dstBase = 54 + (th - 1 - yOut) * tRow
+      var xOut = 0
+      while (xOut < tw) {
+        val sx = (xOut.toLong * w / tw).toInt
+        val p = (srcBase + sx.toLong * bytesPp).toInt
+        val d = dstBase + xOut * 3
+        out(d) = bb(p); out(d + 1) = bb(p + 1); out(d + 2) = bb(p + 2)
+        xOut += 1
+      }
+      yOut += 1
+    }
+    out
+  }
+}
+
+/** `(binary, int) -> binary`: the EXECUTED resize — nearest-neighbor
+  * resample of a BI_RGB BMP to the geometry [[graft.operators.Multimodal
+  * .resizeDims]] plans (see [[BmpEval.resize]] for the exact contract).
+  * Output is itself a decodable BMP, so the decode family verifies the
+  * resampler in-query: `decodeBmpMeta` reads back the planned dims and
+  * `BmpLuma` folds the resampled pixels.
+  */
+case class BmpResize(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_bmp_resize"
+
+  override protected def nullSafeEval(bin: Any, maxEdge: Any): Any =
+    BmpEval.resize(bin.asInstanceOf[Array[Byte]], maxEdge.asInstanceOf[Int])
+
+  // static-call codegen (the Y4mMeta technique): the resample is a
+  // stateful two-loop byte walk — one shared body, still inside
+  // whole-stage codegen via the call
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (bytes, edge) => {
+      val res = ctx.freshName("bmpResized")
+      s"""
+         |byte[] $res = graft.functions.BmpEval.resize($bytes, $edge);
+         |if ($res == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $res; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): BmpResize =
+    copy(left = newLeft, right = newRight)
 }

@@ -148,6 +148,16 @@ object ImageOps {
     */
   def bmpLuma(bin: Column): Column =
     ColumnBridge.column(BmpLuma(ColumnBridge.expression(bin.cast("binary"))))
+
+  /** EXECUTED aspect-preserving resize of a BI_RGB BMP to `maxEdge`
+    * ([[BmpResize]] — nearest-neighbor, never upscales, normalizes to
+    * 24bpp bottom-up; the runtime twin of the `resizeDims` planner).
+    * Output is itself a decodable BMP; NULL on undecodable input.
+    */
+  def bmpResize(bin: Column, maxEdge: Column): Column =
+    ColumnBridge.column(BmpResize(
+      ColumnBridge.expression(bin.cast("binary")),
+      ColumnBridge.expression(maxEdge.cast("int"))))
 }
 
 object AudioOps {

@@ -544,6 +544,52 @@ object Multimodal {
           (col("m.width").cast("long") * col("m.height"))).as("mean_luma_x100"))
   }
 
+  /** Q61: the EXECUTED resize — [[resizeDims]]' geometry actually
+    * resampled by the codegen'd [[graft.functions.BmpResize]]
+    * nearest-neighbor kernel, then verified IN-QUERY by the decode
+    * family: `decodeBmpMeta` reads the planned dims back out of the
+    * resampled bytes and [[graft.functions.BmpLuma]] folds the resampled
+    * pixels. The oracle replays the floor source-mapping
+    * (sx = x'*w/tw, sy = y'*h/th) pixel-by-pixel from the synthesis
+    * residues, so a mapping, rounding, orientation, or row-padding slip
+    * in the resampler cannot cancel out.
+    *
+    * Residue classes (%4): 0 → already within budget (pass-through must
+    * be byte-identical, dims/stats = the q59 originals); 1 → 24bpp
+    * bottom-up needing downscale; 2 → 32bpp TOP-DOWN needing downscale
+    * (the resampler must walk rows in image order and normalize); 3 →
+    * raw text (refused: everything NULL but format='unknown').
+    */
+  def q61BmpResample(spark: SparkSession, dir: String): DataFrame = {
+    val maxEdge = 8
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val smW = (id % 7 + 1).cast("int")
+    val smH = (id % 5 + 1).cast("int")
+    val lgW = (id % 12 + 9).cast("int")
+    val lgH = (id % 10 + 9).cast("int")
+    val payload =
+      when(id % 4 === 0, unhex(synthBmp24Hex(id, smW, smH)))
+        .when(id % 4 === 1, unhex(synthBmp24Hex(id, lgW, lgH)))
+        .when(id % 4 === 2, unhex(synthBmp32Hex(id, lgW, lgH)))
+        .otherwise(col("text").cast("binary"))
+    // pre-projection discipline: the resampled payload in its own column
+    // (consumed by meta + luma), the packed stats in theirs
+    docs.select(id, payload.as("_p"))
+      .select(id,
+        graft.functions.ImageOps.bmpResize(col("_p"), lit(maxEdge)).as("_r"))
+      .withColumn("_bl", graft.functions.ImageOps.bmpLuma(col("_r")))
+      .select(id, decodeBmpMeta(col("_r")).as("m"), col("_bl"))
+      .select(id,
+        col("m.format").as("format"),
+        col("m.width").as("width"),
+        col("m.height").as("height"),
+        col("_bl").bitwiseAND(lit(0xFF)).cast("int").as("min_luma"),
+        shiftright(col("_bl"), 8).bitwiseAND(lit(0xFF)).cast("int").as("max_luma"),
+        floor(shiftrightunsigned(col("_bl"), 16) * 100 /
+          (col("m.width").cast("long") * col("m.height"))).as("mean_luma_x100"))
+  }
+
   /** YUV4MPEG2 (Y4M) stream hex: plain-ASCII stream header, then `nFrames`
     * frames each `FRAME[ params]\n` + Y plane (per-pixel residue bytes) +
     * for 4:2:0 the U/V planes filled with 0xAB — chroma bytes that POISON

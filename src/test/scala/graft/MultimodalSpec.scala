@@ -409,6 +409,85 @@ class MultimodalSpec extends AnyFunSuite {
     assert(lumaStats(Array.emptyByteArray) === None)
   }
 
+  private def resizeOne(p: Array[Byte], maxEdge: Int): Option[Array[Byte]] = {
+    val r = spark.range(1)
+      .select(graft.functions.ImageOps.bmpResize(lit(p), lit(maxEdge)).as("r"))
+      .head()
+    if (r.isNullAt(0)) None else Some(r.getAs[Array[Byte]](0))
+  }
+
+  /** JVM-side reader for a canonical 24bpp bottom-up BMP: image-coord
+    * pixel (x, y) with y=0 at the TOP — independent of the kernel's walk.
+    */
+  private def px24(bmp: Array[Byte], x: Int, y: Int): (Int, Int, Int) = {
+    def le32(o: Int): Int = (bmp(o) & 0xFF) | ((bmp(o + 1) & 0xFF) << 8) |
+      ((bmp(o + 2) & 0xFF) << 16) | ((bmp(o + 3) & 0xFF) << 24)
+    val w = le32(18); val h = le32(22)
+    val rowSize = (3 * w + 3) & ~3
+    val p = 54 + (h - 1 - y) * rowSize + x * 3
+    (bmp(p) & 0xFF, bmp(p + 1) & 0xFF, bmp(p + 2) & 0xFF)
+  }
+
+  test("BmpResize: pass-through under budget, floor-mapped NN downscale") {
+    // distinct per-pixel channels so any mapping slip shows up
+    val src = (x: Int, r: Int) => (x * 16 + r, 100 + x, 200 - r)
+    val small = bmpBytes(4, 3, 24, src)
+    // within budget: byte-identical pass-through, never upscaled
+    assert(resizeOne(small, 8).get.toSeq === small.toSeq)
+    // 8x4 -> maxEdge 4 gives 4x2; output image pixel (x', y') must be
+    // source image pixel (x'*2, y'*2); source is bottom-up, so source
+    // IMAGE row y maps to file row h-1-y
+    val big = bmpBytes(8, 4, 24, src)
+    val out = resizeOne(big, 4).get
+    for (xo <- 0 until 4; yo <- 0 until 2) {
+      val (sx, sy) = (xo * 2, yo * 2)
+      assert(px24(out, xo, yo) === src(sx, 4 - 1 - sy),
+        s"output ($xo,$yo) should be source image ($sx,$sy)")
+    }
+    // aspect-preserving half-up rounding: 9x18 -> 4x8 (round(4.0), 8)
+    val tall = resizeOne(bmpBytes(9, 18, 24, src), 8).get
+    def le32(b: Array[Byte], o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+      ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+    assert((le32(tall, 18), le32(tall, 22)) === ((4, 8)))
+  }
+
+  test("BmpResize normalizes 32bpp top-down input to 24bpp bottom-up") {
+    val src = (x: Int, r: Int) => (x * 20, r * 30, x + r)
+    // top-down input: file row r IS image row y
+    val out = resizeOne(bmpBytes(8, 4, 32, src, topDown = true), 4).get
+    // canonical output header: 24bpp, positive (bottom-up) height
+    def le32(b: Array[Byte], o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+      ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+    assert(((out(28) & 0xFF), le32(out, 18), le32(out, 22)) === ((24, 4, 2)))
+    for (xo <- 0 until 4; yo <- 0 until 2)
+      assert(px24(out, xo, yo) === src(xo * 2, yo * 2), // image row == file row
+        s"top-down source mis-mapped at ($xo,$yo)")
+    // refusals: text and truncated pixel arrays resample to NULL
+    assert(resizeOne("not a bmp at all, but long enough to have a header"
+      .getBytes("UTF-8"), 4) === None)
+    assert(resizeOne(bmpBytes(8, 4, 24, src).dropRight(10), 4) === None)
+  }
+
+  test("BmpResize interpreted eval agrees with the codegen'd column path") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{BinaryType, IntegerType}
+    val src = (x: Int, r: Int) => (x, r, x + r)
+    val vectors = Seq(
+      bmpBytes(8, 4, 24, src),
+      bmpBytes(3, 2, 24, src),
+      bmpBytes(6, 6, 32, src, topDown = true),
+      "text".getBytes("UTF-8"))
+    vectors.foreach { bytes =>
+      val interp = graft.functions.BmpResize(
+        Literal(bytes, BinaryType), Literal(4, IntegerType)).eval(null)
+      val codegen = spark.range(1)
+        .select(graft.functions.ImageOps.bmpResize(lit(bytes), lit(4))).head().get(0)
+      val iSeq = Option(interp).map(_.asInstanceOf[Array[Byte]].toSeq)
+      val cSeq = Option(codegen).map(_.asInstanceOf[Array[Byte]].toSeq)
+      assert(iSeq === cSeq, s"parity broke on ${bytes.take(8).mkString(",")}")
+    }
+  }
+
   test("BmpLuma interpreted eval agrees with the codegen'd column path") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.BinaryType

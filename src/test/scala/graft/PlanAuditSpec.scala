@@ -91,6 +91,16 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q61 executed resize: zero exchanges, resample + fold once per row") {
+    val df = graft.operators.Multimodal.q61BmpResample(spark, TestSpark.Sf0001)
+    assert(shuffles(df) === 0, "the resample stage grew a shuffle")
+    val p = plan(df)
+    for (kernel <- Seq("graft_bmp_resize", "graft_bmp_luma")) {
+      val occurrences = kernel.r.findAllIn(p).length
+      assert(occurrences === 1, s"expected 1 $kernel in the plan, found $occurrences")
+    }
+  }
+
   test("q60 frame decode: zero exchanges, bounded fan-out, one walk per row") {
     val df = graft.operators.Multimodal.q60Y4mFrames(spark, TestSpark.Sf0001)
     assert(shuffles(df) === 0, "frame pixel decode grew a shuffle")
