@@ -79,6 +79,7 @@ object SparkEntry {
     "q59_bmp_pixels" -> (Multimodal.q59BmpPixels _),
     "q60_y4m_frames" -> (Multimodal.q60Y4mFrames _),
     "q61_bmp_resample" -> (Multimodal.q61BmpResample _),
+    "q62_wav_pcm" -> (Multimodal.q62WavPcm _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -427,5 +428,29 @@ object SparkEntry {
         "CAST(l.s * 100 // l.c AS BIGINT) AS mean_luma_x100 " +
         "FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id " +
         "LEFT JOIN lum l ON doc.doc_id = l.doc_id"),
+    // q62: REAL audio decode — every PCM sample's magnitude replayed from
+    // the residue encodings (16-bit: unsigned encoding u decodes to
+    // |s| = u when u < 32768 else 65536-u, incl. the -32768 edge; 8-bit:
+    // |u - 128|); truncated data keeps fmt metadata with NULL stats
+    "q62_wav_pcm" ->
+      ("WITH s AS (SELECT doc_id, doc_id % 4 AS cls, " +
+        "CAST(doc_id % 50 + 1 AS INTEGER) AS n FROM documents), " +
+        "samp AS (SELECT s.doc_id, CASE WHEN s.cls = 0 THEN " +
+        "CASE WHEN (s.doc_id*5 + i*13) % 65536 < 32768 " +
+        "THEN (s.doc_id*5 + i*13) % 65536 " +
+        "ELSE 65536 - (s.doc_id*5 + i*13) % 65536 END " +
+        "ELSE abs((s.doc_id*7 + i*11) % 256 - 128) END AS a " +
+        "FROM s, UNNEST(range(0, CAST(s.n AS BIGINT))) AS ti(i) " +
+        "WHERE s.cls IN (0, 1)), " +
+        "agg AS (SELECT doc_id, sum(a) AS sa, max(a) AS pk " +
+        "FROM samp GROUP BY doc_id) " +
+        "SELECT s.doc_id, " +
+        "CASE WHEN s.cls IN (0,1,2) THEN 'wav' ELSE 'unknown' END AS format, " +
+        "CASE WHEN s.cls IN (0,1,2) THEN 8000 END AS sample_rate, " +
+        "CASE WHEN s.cls IN (0,1,2) THEN 1 END AS channels, " +
+        "CASE WHEN s.cls = 0 THEN 16 WHEN s.cls IN (1,2) THEN 8 END AS bits, " +
+        "CASE WHEN s.cls IN (0,1) THEN CAST(a.pk AS INTEGER) END AS peak_abs, " +
+        "CASE WHEN s.cls IN (0,1) THEN CAST(a.sa AS BIGINT) END AS sum_abs " +
+        "FROM s LEFT JOIN agg a USING (doc_id)"),
   )
 }

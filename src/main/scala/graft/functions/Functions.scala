@@ -170,6 +170,15 @@ object AudioOps {
     */
   def wavFmt(bin: Column): Column =
     ColumnBridge.column(WavFmt(ColumnBridge.expression(bin.cast("binary"))))
+
+  /** PCM sample-magnitude statistics as `(sumAbs << 17) | peakAbs` via
+    * the RIFF walk + sample fold ([[WavPcmStats]]) — REAL audio decode
+    * (8/16-bit PCM `data` chunks; NULL on non-PCM, other depths, or a
+    * truncated chunk). Callers split the packed long with codegen'd bit
+    * ops; sample count derives from the fmt/data sizes.
+    */
+  def wavPcmStats(bin: Column): Column =
+    ColumnBridge.column(WavPcmStats(ColumnBridge.expression(bin.cast("binary"))))
 }
 
 object VideoOps {

@@ -111,3 +111,111 @@ case class WavFmt(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): WavFmt =
     copy(child = newChild)
 }
+
+/** Shared PCM fold body — called from BOTH the interpreted eval and the
+  * generated code (the Y4M technique: one implementation, zero parity
+  * surface).
+  */
+object WavEval {
+  /** Decode the PCM `data` chunk's SAMPLES — the audio sibling of the
+    * BMP/Y4M pixel folds: walks the RIFF chunk sequence for `fmt ` and
+    * `data`, then folds every sample's magnitude into
+    * `(sumAbs << 17) | peakAbs`:
+    *
+    *  - 16-bit PCM: LE signed samples, |s| <= 32768 (peak lane is 17
+    *    bits wide precisely for -32768); an odd data size is malformed;
+    *  - 8-bit PCM: unsigned bytes centered at 128, |v - 128| <= 128;
+    *  - format code != 1 (non-PCM), other bit depths, a data chunk
+    *    running past the payload, or no fmt/data at all: NULL — never a
+    *    garbage fold.
+    *
+    * The 46-bit sum lane supports ~2^31 samples (a day of mono 24 kHz in
+    * ONE payload) — beyond any binary-column row. Mean magnitude at any
+    * precision is a bit-split + division away (the caller derives the
+    * sample count from the data size and fmt).
+    */
+  def pcmStats(bb: Array[Byte]): java.lang.Long = {
+    val len = bb.length
+    def be32(o: Int): Long =
+      (((bb(o) & 0xFF) << 24) | ((bb(o + 1) & 0xFF) << 16) |
+        ((bb(o + 2) & 0xFF) << 8) | (bb(o + 3) & 0xFF)) & 0xFFFFFFFFL
+    def le16(o: Int): Int = (bb(o) & 0xFF) | ((bb(o + 1) & 0xFF) << 8)
+    def le32(o: Int): Long =
+      ((bb(o) & 0xFF) | ((bb(o + 1) & 0xFF) << 8) | ((bb(o + 2) & 0xFF) << 16) |
+        ((bb(o + 3) & 0xFF) << 24)) & 0xFFFFFFFFL
+    if (len < 12 || be32(0) != 0x52494646L || be32(8) != 0x57415645L) return null
+    var fmtCode = -1
+    var bits = -1
+    var dataOff = -1L
+    var dataLen = -1L
+    var i = 12
+    while (i + 8 <= len && (bits < 0 || dataOff < 0)) {
+      val id = be32(i)
+      val size = le32(i + 4)
+      if (id == 0x666D7420L) { // "fmt "
+        if (size < 16L || i + 8 + 16 > len) return null
+        fmtCode = le16(i + 8)
+        bits = le16(i + 22)
+      } else if (id == 0x64617461L) { // "data"
+        dataOff = i + 8L
+        dataLen = size
+      }
+      val step = 8L + size + (size & 1L)
+      if (i + step > len) return null
+      i += step.toInt
+    }
+    if (fmtCode != 1 || dataOff < 0) return null
+    if (bits != 8 && bits != 16) return null
+    if (dataOff + dataLen > len) return null
+    if (bits == 16 && (dataLen & 1L) != 0) return null
+    var sum = 0L
+    var peak = 0
+    var p = dataOff.toInt
+    val end = (dataOff + dataLen).toInt
+    if (bits == 16) {
+      while (p < end) {
+        val s = ((bb(p) & 0xFF) | (bb(p + 1) << 8)).toShort.toInt
+        val a = if (s < 0) -s else s // |-32768| = 32768 fits the 17-bit lane
+        sum += a
+        if (a > peak) peak = a
+        p += 2
+      }
+    } else {
+      while (p < end) {
+        val v = (bb(p) & 0xFF) - 128
+        val a = if (v < 0) -v else v
+        sum += a
+        if (a > peak) peak = a
+        p += 1
+      }
+    }
+    java.lang.Long.valueOf((sum << 17) | peak.toLong)
+  }
+}
+
+/** `binary -> long`: PCM sample-magnitude statistics
+  * `(sumAbs << 17) | peakAbs` via the RIFF walk + sample fold
+  * ([[WavEval.pcmStats]]) — REAL audio decode, the modality sibling of
+  * [[BmpLuma]] (pixels) and [[Y4mFrameLuma]] (frames).
+  */
+case class WavPcmStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_wav_pcm_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WavEval.pcmStats(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, bytes => {
+      val boxed = ctx.freshName("pcmStats")
+      s"""
+         |Object $boxed = graft.functions.WavEval.pcmStats($bytes);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Long) $boxed).longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WavPcmStats =
+    copy(child = newChild)
+}

@@ -333,6 +333,66 @@ object Multimodal {
       tkhdHex)
   }
 
+  /** Full PCM WAV with a `data` chunk of synthesized samples — mono
+    * 8 kHz, 16-bit (LE, samples' unsigned encodings from a residue map)
+    * or 8-bit (unsigned bytes); `truncate` declares the full data size
+    * but carries ONE byte, the half-written file a sample fold must
+    * refuse.
+    */
+  private[operators] def synthWavPcmHex(docId: Column, bits16: Column,
+                                        n: Column, junked: Column,
+                                        truncate: Column): Column = {
+    val dataBytes = when(bits16, n * 2).otherwise(n)
+    val riffSize = lit(36) + when(junked, 12).otherwise(0) +
+      when(truncate, 1).otherwise(dataBytes)
+    concat(
+      lit("52494646"), le32hex(riffSize), lit("57415645"),
+      when(junked, lit("4A554E4B" + "04000000" + "00000000"))
+        .otherwise(lit("")),
+      lit("666D7420"), le32hex(lit(16)),
+      le16hex(lit(1)), le16hex(lit(1)), le32hex(lit(8000)), // PCM, mono, 8 kHz
+      le32hex(when(bits16, 16000).otherwise(8000)), // byte rate
+      le16hex(when(bits16, 2).otherwise(1)), // block align
+      le16hex(when(bits16, 16).otherwise(8)),
+      lit("64617461"), le32hex(dataBytes), // data declares the FULL size
+      when(truncate, lit("00")).otherwise(when(bits16,
+        array_join(transform(sequence(lit(0), n - 1), i =>
+          le16hex(pmod(docId * 5 + i * 13, lit(65536)))), ""))
+        .otherwise(
+          array_join(transform(sequence(lit(0), n - 1), i =>
+            hx2(pmod(docId * 7 + i * 11, lit(256)))), ""))))
+  }
+
+  /** Q62: REAL audio decode — the modality sibling of q59 (pixels) and
+    * q60 (frames): synthesized PCM WAVs whose `data` chunks the codegen'd
+    * [[graft.functions.WavPcmStats]] walk folds into sample-magnitude
+    * sum/peak (16-bit LE signed incl. the -32768 edge, or 8-bit centered
+    * at 128), while the `fmt ` parameters come from the q56 chunk walk.
+    * The oracle replays every sample from the residue encodings, so an
+    * endianness, sign, centering, or truncation slip cannot cancel out.
+    * Classes (%4): 0 → 16-bit canonical; 1 → 8-bit behind a JUNK chunk;
+    * 2 → truncated data (fmt metadata survives, sample stats NULL);
+    * 3 → raw text.
+    */
+  def q62WavPcm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val n = (id % 50 + 1).cast("int")
+    val payload = when(id % 4 === 3, col("text").cast("binary"))
+      .otherwise(unhex(synthWavPcmHex(id, id % 4 === 0, n,
+        id % 4 === 1, id % 4 === 2)))
+    docs.select(id, payload.as("_p"))
+      .withColumn("_wd", graft.functions.AudioOps.wavFmt(col("_p")))
+      .withColumn("_ps", graft.functions.AudioOps.wavPcmStats(col("_p")))
+      .select(id,
+        when(col("_wd").isNotNull, "wav").otherwise("unknown").as("format"),
+        shiftrightunsigned(col("_wd"), 32).cast("int").as("sample_rate"),
+        shiftright(col("_wd"), 16).bitwiseAND(lit(0xFFFF)).cast("int").as("channels"),
+        col("_wd").bitwiseAND(lit(0xFFFF)).cast("int").as("bits"),
+        col("_ps").bitwiseAND(lit(0x1FFFF)).cast("int").as("peak_abs"),
+        shiftrightunsigned(col("_ps"), 17).as("sum_abs"))
+  }
+
   def q56AvMeta(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     // WAV parameters from residues: 1-2 channels, 8000-36000 Hz, 8/16 bit

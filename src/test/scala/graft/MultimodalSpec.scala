@@ -633,6 +633,72 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  /** Hand-built PCM WAV with a data chunk — fmt THEN data behind optional
+    * prefix chunks, independent of the operator's synthesis.
+    */
+  private def wavPcmBytes(bits: Int, samples: Seq[Int],
+                          junked: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >>> 8) & 0xFF) }
+    def w32(v: Long): Unit =
+      (0 until 4).foreach(i => out.write(((v >> (8 * i)) & 0xFF).toInt))
+    val dataBytes = samples.length * (bits / 8)
+    out.write("RIFF".getBytes); w32(36L + (if (junked) 12 else 0) + dataBytes)
+    out.write("WAVE".getBytes)
+    if (junked) { out.write("JUNK".getBytes); w32(4); w32(0) }
+    out.write("fmt ".getBytes); w32(16)
+    w16(1); w16(1); w32(8000); w32(8000L * bits / 8); w16(bits / 8); w16(bits)
+    out.write("data".getBytes); w32(dataBytes.toLong)
+    samples.foreach(s => if (bits == 16) w16(s & 0xFFFF) else out.write(s & 0xFF))
+    out.toByteArray
+  }
+
+  private def pcmOne(p: Array[Byte]): Option[(Long, Int)] = {
+    val r = spark.range(1)
+      .select(graft.functions.AudioOps.wavPcmStats(lit(p)).as("s"))
+      .select(expr("s >> 17"), expr("s & 131071")).head()
+    if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1).toInt))
+  }
+
+  test("WAV PCM fold: 16-bit signed magnitudes, 8-bit centering, refusals") {
+    // 16-bit: signs and the -32768 edge (|{-32768}| = 32768 — the value
+    // that needs the 17-bit peak lane)
+    assert(pcmOne(wavPcmBytes(16, Seq(100, -200, 32767, -32768))) ===
+      Some((100L + 200 + 32767 + 32768, 32768)))
+    // 8-bit: unsigned bytes centered at 128
+    assert(pcmOne(wavPcmBytes(8, Seq(128, 0, 255, 130))) ===
+      Some((0L + 128 + 127 + 2, 128)))
+    // data behind a JUNK chunk: the walk reaches it
+    assert(pcmOne(wavPcmBytes(16, Seq(7, -7), junked = true)) === Some((14L, 7)))
+    // empty data chunk: zero sum, zero peak — a silent but valid file
+    assert(pcmOne(wavPcmBytes(16, Seq.empty)) === Some((0L, 0)))
+    // truncated data (declared size runs past the payload): refused
+    assert(pcmOne(wavPcmBytes(16, Seq(1, 2, 3)).dropRight(2)) === None)
+    // non-PCM format code: refused
+    val nonPcm = wavPcmBytes(16, Seq(1)); nonPcm(20) = 3 // IEEE float
+    assert(pcmOne(nonPcm) === None)
+    // 24-bit depth outside the contract: refused
+    val b24 = wavPcmBytes(16, Seq(1)); b24(34) = 24
+    assert(pcmOne(b24) === None)
+    assert(pcmOne("not audio".getBytes("UTF-8")) === None)
+  }
+
+  test("WavPcmStats interpreted eval agrees with the codegen'd column path") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.BinaryType
+    val vectors = Seq(
+      wavPcmBytes(16, Seq(5, -6, 32767)),
+      wavPcmBytes(8, Seq(0, 255), junked = true),
+      wavPcmBytes(16, Seq(1, 2)).dropRight(1),
+      "text".getBytes("UTF-8"))
+    vectors.foreach { bytes =>
+      val interp = graft.functions.WavPcmStats(Literal(bytes, BinaryType)).eval(null)
+      val codegen = spark.range(1)
+        .select(graft.functions.AudioOps.wavPcmStats(lit(bytes))).head().get(0)
+      assert(interp === codegen, s"parity broke on ${bytes.take(8).mkString(",")}")
+    }
+  }
+
   test("q58 manifest round-trips every container class") {
     val out = Multimodal.q58MediaManifest(spark, TestSpark.Sf0001)
       .filter(col("media_id") < 10).collect()

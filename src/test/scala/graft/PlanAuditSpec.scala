@@ -101,6 +101,16 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q62 audio decode: zero exchanges, fmt walk + sample fold once per row") {
+    val df = graft.operators.Multimodal.q62WavPcm(spark, TestSpark.Sf0001)
+    assert(shuffles(df) === 0, "the sample fold grew a shuffle")
+    val p = plan(df)
+    for (kernel <- Seq("graft_wav_fmt", "graft_wav_pcm_stats")) {
+      val occurrences = kernel.r.findAllIn(p).length
+      assert(occurrences === 1, s"expected 1 $kernel in the plan, found $occurrences")
+    }
+  }
+
   test("q60 frame decode: zero exchanges, bounded fan-out, one walk per row") {
     val df = graft.operators.Multimodal.q60Y4mFrames(spark, TestSpark.Sf0001)
     assert(shuffles(df) === 0, "frame pixel decode grew a shuffle")
