@@ -321,7 +321,18 @@ object SparkEntry {
         "count(*) AS n FROM base b, " +
         "UNNEST(range(0, CAST(b.bw AS BIGINT))) AS tx(x), " +
         "UNNEST(range(0, CAST(b.bh AS BIGINT))) AS tr(r) " +
-        "WHERE b.cls = 4 GROUP BY b.doc_id) " +
+        "WHERE b.cls = 4 GROUP BY b.doc_id), " +
+        // PCM sample replay (q62's encodings) for the wav class
+        "pcm AS (SELECT b.doc_id, sum(CASE WHEN b.doc_id % 4 = 0 THEN " +
+        "CASE WHEN (b.doc_id*5 + i*13) % 65536 < 32768 " +
+        "THEN (b.doc_id*5 + i*13) % 65536 ELSE 65536 - (b.doc_id*5 + i*13) % 65536 END " +
+        "ELSE abs((b.doc_id*7 + i*11) % 256 - 128) END) AS sa, " +
+        "max(CASE WHEN b.doc_id % 4 = 0 THEN " +
+        "CASE WHEN (b.doc_id*5 + i*13) % 65536 < 32768 " +
+        "THEN (b.doc_id*5 + i*13) % 65536 ELSE 65536 - (b.doc_id*5 + i*13) % 65536 END " +
+        "ELSE abs((b.doc_id*7 + i*11) % 256 - 128) END) AS pk " +
+        "FROM base b, UNNEST(range(0, CAST(b.doc_id % 50 + 1 AS BIGINT))) AS ti(i) " +
+        "WHERE b.cls = 2 GROUP BY b.doc_id) " +
         "SELECT b.doc_id AS media_id, " +
         "CASE b.cls WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'wav' " +
         "WHEN 3 THEN 'mp4' WHEN 4 THEN 'bmp' ELSE 'y4m' END AS media_type, " +
@@ -329,9 +340,9 @@ object SparkEntry {
         "WHEN b.cls = 5 THEN b.yw END AS width, " +
         "CASE WHEN b.cls IN (0,1,3) THEN b.ih WHEN b.cls = 4 THEN b.bh " +
         "WHEN b.cls = 5 THEN b.yh END AS height, " +
-        "CASE WHEN b.cls = 2 THEN CAST(8000 + (b.doc_id % 8) * 4000 AS INTEGER) END AS sample_rate, " +
-        "CASE WHEN b.cls = 2 THEN CAST(b.doc_id % 2 + 1 AS INTEGER) END AS channels, " +
-        "CASE WHEN b.cls = 2 THEN CAST((b.doc_id % 2 + 1) * 8 AS INTEGER) END AS bits, " +
+        "CASE WHEN b.cls = 2 THEN 8000 END AS sample_rate, " +
+        "CASE WHEN b.cls = 2 THEN 1 END AS channels, " +
+        "CASE WHEN b.cls = 2 THEN CASE WHEN b.doc_id % 4 = 0 THEN 16 ELSE 8 END END AS bits, " +
         "CASE WHEN b.cls IN (0,1,3) THEN CASE WHEN greatest(b.iw, b.ih) <= 256 THEN b.iw " +
         "ELSE CAST(round(b.iw * (256.0 / greatest(b.iw, b.ih))) AS INTEGER) END " +
         "WHEN b.cls = 4 THEN b.bw WHEN b.cls = 5 THEN b.yw END AS target_width, " +
@@ -341,12 +352,15 @@ object SparkEntry {
         "CASE WHEN b.cls = 4 THEN CAST(l.mn AS INTEGER) END AS min_luma, " +
         "CASE WHEN b.cls = 4 THEN CAST(l.mx AS INTEGER) END AS max_luma, " +
         "CASE WHEN b.cls = 4 THEN CAST(l.s * 100 // l.n AS BIGINT) END AS mean_luma_x100, " +
+        "CASE WHEN b.cls = 2 THEN CAST(p.pk AS INTEGER) END AS peak_abs, " +
+        "CASE WHEN b.cls = 2 THEN CAST(p.sa AS BIGINT) END AS sum_abs, " +
         "CASE WHEN b.cls = 3 THEN array_to_string(range(0, CAST(b.nf AS BIGINT), " +
         "CAST(ceil(b.nf / 8.0) AS BIGINT)), ',') " +
         // the y4m plan strides over the frame count PARSED from the bytes
         "WHEN b.cls = 5 THEN array_to_string(range(0, CAST(b.yn AS BIGINT), " +
         "CAST(ceil(b.yn / 8.0) AS BIGINT)), ',') END AS frame_plan " +
-        "FROM base b LEFT JOIN lum l ON b.doc_id = l.doc_id"),
+        "FROM base b LEFT JOIN lum l ON b.doc_id = l.doc_id " +
+        "LEFT JOIN pcm p ON b.doc_id = p.doc_id"),
     // q59: REAL pixel decode — luma statistics recomputed pixel-by-pixel
     // from the synthesis residue maps (Rec.601 integer luma, floor
     // division), so a padding/stride/channel-order/truncation slip on the

@@ -160,9 +160,17 @@ object WavEval {
         dataOff = i + 8L
         dataLen = size
       }
-      val step = 8L + size + (size & 1L)
-      if (i + step > len) return null
-      i += step.toInt
+      // advance only while something is still missing: the walk stops AT
+      // the last needed chunk, so a FINAL odd-sized data chunk missing
+      // its pad byte (spec-mandated, commonly omitted in the wild) is
+      // accepted — its payload completeness is checked separately below;
+      // a mid-stream chunk must still be properly padded or the walk
+      // refuses
+      if (bits < 0 || dataOff < 0) {
+        val step = 8L + size + (size & 1L)
+        if (i + step > len) return null
+        i += step.toInt
+      }
     }
     if (fmtCode != 1 || dataOff < 0) return null
     if (bits != 8 && bits != 16) return null

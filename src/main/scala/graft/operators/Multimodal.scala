@@ -344,7 +344,7 @@ object Multimodal {
                                         truncate: Column): Column = {
     val dataBytes = when(bits16, n * 2).otherwise(n)
     val riffSize = lit(36) + when(junked, 12).otherwise(0) +
-      when(truncate, 1).otherwise(dataBytes)
+      when(truncate, 0).otherwise(dataBytes)
     concat(
       lit("52494646"), le32hex(riffSize), lit("57415645"),
       when(junked, lit("4A554E4B" + "04000000" + "00000000"))
@@ -354,13 +354,20 @@ object Multimodal {
       le32hex(when(bits16, 16000).otherwise(8000)), // byte rate
       le16hex(when(bits16, 2).otherwise(1)), // block align
       le16hex(when(bits16, 16).otherwise(8)),
-      lit("64617461"), le32hex(dataBytes), // data declares the FULL size
-      when(truncate, lit("00")).otherwise(when(bits16,
+      // data declares the FULL size; the truncated class then carries ZERO
+      // payload bytes — n >= 1 always, so the declared size runs past the
+      // payload for EVERY doc (a 1-byte decoy would be accidentally
+      // complete whenever n = 1)
+      lit("64617461"), le32hex(dataBytes),
+      when(truncate, lit("")).otherwise(when(bits16,
         array_join(transform(sequence(lit(0), n - 1), i =>
           le16hex(pmod(docId * 5 + i * 13, lit(65536)))), ""))
         .otherwise(
           array_join(transform(sequence(lit(0), n - 1), i =>
-            hx2(pmod(docId * 7 + i * 11, lit(256)))), ""))))
+            hx2(pmod(docId * 7 + i * 11, lit(256)))), ""))),
+      // RIFF WORD alignment: an odd-sized (8-bit, odd-count) data chunk
+      // carries a spec-mandated pad byte
+      when(!truncate && !bits16 && n % 2 === 1, lit("00")).otherwise(lit("")))
   }
 
   /** Q62: REAL audio decode — the modality sibling of q59 (pixels) and
@@ -752,6 +759,7 @@ object Multimodal {
       .withColumn("_jd", graft.functions.ImageOps.jpegDims(col("_p")))
       .withColumn("_md", graft.functions.ImageOps.mp4Dims(col("_p")))
       .withColumn("_wd", graft.functions.AudioOps.wavFmt(col("_p")))
+      .withColumn("_ps", graft.functions.AudioOps.wavPcmStats(col("_p")))
       .withColumn("_bl", graft.functions.ImageOps.bmpLuma(col("_p")))
       .withColumn("_ym", graft.functions.VideoOps.y4mMeta(col("_p")))
       .withColumn("_img", decodeImageMetaFrom(col("_p"), col("_jd")))
@@ -778,7 +786,7 @@ object Multimodal {
         col("_av.channels").as("channels"),
         col("_av.bits").as("bits"),
         resizeDims(w, h, maxEdge).as("_rs"),
-        col("_bl"), nf.as("_nf"),
+        col("_bl"), col("_ps"), nf.as("_nf"),
         ceil(nf.cast("double") / maxFrames).cast("int").as("_s"))
       .select(col("media_id"), col("media_type"), col("width"), col("height"),
         col("sample_rate"), col("channels"), col("bits"),
@@ -788,6 +796,9 @@ object Multimodal {
         shiftright(col("_bl"), 8).bitwiseAND(lit(0xFF)).cast("int").as("max_luma"),
         floor(shiftrightunsigned(col("_bl"), 16) * 100 /
           (col("width").cast("long") * col("height"))).as("mean_luma_x100"),
+        // REAL decoded audio facts for PCM payloads, the q62 fold
+        col("_ps").bitwiseAND(lit(0x1FFFF)).cast("int").as("peak_abs"),
+        shiftrightunsigned(col("_ps"), 17).as("sum_abs"),
         when(col("media_type").isin("mp4", "y4m") && col("_nf").isNotNull && col("_nf") > 0,
           array_join(sequence(lit(0), col("_nf") - 1, col("_s"))
             .cast("array<string>"), ",")).as("frame_plan"))
@@ -805,9 +816,6 @@ object Multimodal {
     val id = col("doc_id")
     val imgW = (id % 1920 + 1).cast("int")
     val imgH = (id % 1080 + 1).cast("int")
-    val channels = (id % 2 + 1).cast("int")
-    val rate = (lit(8000) + (id % 8).cast("int") * 4000).cast("int")
-    val bits = ((id % 2 + 1) * 8).cast("int")
     val bmpW = (id % 7 + 1).cast("int")
     val bmpH = (id % 5 + 1).cast("int")
     val y4mW = ((id % 4 + 1) * 2).cast("int")
@@ -816,8 +824,11 @@ object Multimodal {
     val payload =
       when(id % 6 === 0, unhex(synthPngHex(imgW, imgH)))
         .when(id % 6 === 1, unhex(synthJpegHex(imgW, imgH)))
+        // FULL PCM files (q62's builder) so the manifest's audio columns
+        // carry REAL decoded sample statistics, not just fmt metadata
         .when(id % 6 === 2,
-          unhex(synthWavHex(channels, rate, bits, id % 2 === 1)))
+          unhex(synthWavPcmHex(id, id % 4 === 0, (id % 50 + 1).cast("int"),
+            id % 12 === 2, lit(false))))
         .when(id % 6 === 3,
           unhex(synthMp4Hex(imgW, imgH, (id % 7).cast("int"))))
         .when(id % 6 === 4, unhex(synthBmp24Hex(id, bmpW, bmpH)))

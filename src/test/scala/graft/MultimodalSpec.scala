@@ -672,6 +672,10 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pcmOne(wavPcmBytes(16, Seq(7, -7), junked = true)) === Some((14L, 7)))
     // empty data chunk: zero sum, zero peak — a silent but valid file
     assert(pcmOne(wavPcmBytes(16, Seq.empty)) === Some((0L, 0)))
+    // FINAL odd-sized 8-bit chunk without its spec-mandated pad byte:
+    // accepted (the walk stops at the last needed chunk; files in the
+    // wild routinely omit the trailing pad)
+    assert(pcmOne(wavPcmBytes(8, Seq(138, 118, 128))) === Some((20L, 10)))
     // truncated data (declared size runs past the payload): refused
     assert(pcmOne(wavPcmBytes(16, Seq(1, 2, 3)).dropRight(2)) === None)
     // non-PCM format code: refused
@@ -709,9 +713,12 @@ class MultimodalSpec extends AnyFunSuite {
     assert(s(0, "media_type") === "png" && s(0, "width") === 1)
     assert(s(1, "media_type") === "jpeg" && s(1, "width") === 2)
     assert(s(6, "media_type") === "png" && s(6, "target_width") === 7)
-    // class 2: wav parameters, no dims
-    assert(s(2, "media_type") === "wav" && s(2, "sample_rate") === 16000 &&
-      s(2, "channels") === 1 && s(2, "width") == null)
+    // class 2: wav parameters AND real decoded sample stats, no dims
+    // (id 2: 8-bit JUNK-prefixed PCM, 3 samples u = (2*7 + i*11) % 256 =
+    // 14, 25, 36 → |u-128| = 114, 103, 92 → sum 309, peak 114)
+    assert(s(2, "media_type") === "wav" && s(2, "sample_rate") === 8000 &&
+      s(2, "channels") === 1 && s(2, "bits") === 8 && s(2, "width") == null)
+    assert(s(2, "peak_abs") === 114 && s(2, "sum_abs") === 309L)
     // class 3: mp4 dims + bounded frame plan from CALLER metadata
     // (id 3 → 4 frames, stride 1)
     assert(s(3, "media_type") === "mp4" &&

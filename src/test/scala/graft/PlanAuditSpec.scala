@@ -85,7 +85,7 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles(df) === 0, "the composed media manifest grew a shuffle")
     val p = plan(df)
     for (kernel <- Seq("graft_jpeg_dims", "graft_mp4_dims", "graft_wav_fmt",
-        "graft_bmp_luma", "graft_y4m_meta")) {
+        "graft_bmp_luma", "graft_y4m_meta", "graft_wav_pcm_stats")) {
       val occurrences = kernel.r.findAllIn(p).length
       assert(occurrences === 1, s"expected 1 $kernel in the plan, found $occurrences")
     }
