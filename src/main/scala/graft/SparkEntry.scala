@@ -80,6 +80,7 @@ object SparkEntry {
     "q60_y4m_frames" -> (Multimodal.q60Y4mFrames _),
     "q61_bmp_resample" -> (Multimodal.q61BmpResample _),
     "q62_wav_pcm" -> (Multimodal.q62WavPcm _),
+    "q63_bloom_decontaminate" -> (Text.q63BloomDecontaminate _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -466,5 +467,10 @@ object SparkEntry {
         "CASE WHEN s.cls IN (0,1) THEN CAST(a.pk AS INTEGER) END AS peak_abs, " +
         "CASE WHEN s.cls IN (0,1) THEN CAST(a.sa AS BIGINT) END AS sum_abs " +
         "FROM s LEFT JOIN agg a USING (doc_id)"),
+    // q63 computes EXACTLY q45's result — the bloom sketch is a prefilter
+    // whose false positives the exact confirm join kills, so the two
+    // queries share one oracle; only the physical plan (broadcast vs
+    // sketch-probe + shuffled confirm) differs
+    "q63_bloom_decontaminate" -> Oracles.decontaminate,
   )
 }

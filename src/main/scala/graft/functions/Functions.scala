@@ -221,3 +221,35 @@ object TextOps {
   def occurrences(s: Column, pat: String): Column =
     (length(s) - length(replace(s, lit(pat), lit("")))) / pat.length
 }
+
+/** Bloom-filter sketch plumbing over Spark's own `util.sketch.BloomFilter`
+  * Catalyst expressions (the pair behind runtime row-level filtering,
+  * public Spark source: `BloomFilterAggregate` / `BloomFilterMightContain`).
+  * Values are hashed with `xxhash64` BY THE CALLER on both the build and
+  * probe sides — the aggregate folds longs, so a build/probe hash mismatch
+  * is impossible to express.
+  */
+object SketchOps {
+  import org.apache.spark.sql.graft.ColumnBridge
+  import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+  import org.apache.spark.sql.types.BinaryType
+
+  /** Distributed bloom-filter build: per-partition filters OR-merged by the
+    * aggregate; the result column is ONE serialized-filter binary. Bounds
+    * (`estItems`, `numBits`) are plan-time literals, checked by the
+    * expression against the runtime-filter conf ceilings.
+    */
+  def bloomFilterAgg(hashed: Column, estItems: Long, numBits: Long): Column =
+    ColumnBridge.column(new BloomFilterAggregate(
+      ColumnBridge.expression(hashed), Literal(estItems), Literal(numBits))
+      .toAggregateExpression())
+
+  /** Membership probe against a driver-held serialized filter (embedded as
+    * a binary literal — the scalar-subquery substitution model, shipped to
+    * executors once with the task closure, never per row).
+    */
+  def mightContain(filter: Array[Byte], hashed: Column): Column =
+    ColumnBridge.column(BloomFilterMightContain(
+      Literal(filter, BinaryType), ColumnBridge.expression(hashed)))
+}

@@ -370,4 +370,53 @@ object Text {
         coalesce(col("n"), lit(0L)).as("n_overlapping_shingles"),
         (coalesce(col("n"), lit(0L)) > 0).cast("int").as("contaminated"))
   }
+
+  /** Q63: q45's decontamination re-planned for a holdout TOO BIG TO
+    * BROADCAST — the shape a 100 TB deployment actually runs when the
+    * benchmark suite holds hundreds of millions of shingles. Three stages:
+    *
+    *  1. distributed bloom build: the holdout's distinct shingles fold
+    *     into per-partition `util.sketch.BloomFilter`s OR-merged by
+    *     Spark's own [[graft.functions.SketchOps.bloomFilterAgg]]
+    *     aggregate; ONE serialized-sketch row reaches the driver — the
+    *     scalar-subquery substitution model Spark's runtime row-level
+    *     filtering uses, bounded by the sketch size (1 MiB here), never
+    *     by corpus rows;
+    *  2. probe prefilter: every train shingle is tested against the
+    *     sketch (a codegen'd bitset probe) BEFORE any wide operation, so
+    *     the exact join's shuffle moves only the ~contaminated sliver of
+    *     the corpus plus the sketch's false positives (~0.1% at these
+    *     bounds) instead of every (doc_id, shingle) row;
+    *  3. exact confirm: a SHUFFLED hash join (deliberately not broadcast
+    *     — that is the premise) against the distinct holdout kills the
+    *     false positives, so the result is EXACTLY q45's — the shared
+    *     oracle, not a recall bound, checks it.
+    *
+    * Build and probe sides hash with `xxhash64` through the same helper,
+    * so the pair cannot drift. An empty holdout yields a NULL sketch →
+    * zero candidates → all-zero flags, the exact-semantics degenerate.
+    */
+  def q63BloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SketchOps
+    val holdout = col("source").isin("src18", "src19")
+    val docs = Tables.load(spark, dir, "documents")
+    val sh = shingles8(docs)
+    val holdShingles = sh.filter(holdout).select("sh8").distinct()
+    val sketch = holdShingles
+      .agg(SketchOps.bloomFilterAgg(xxhash64(col("sh8")), 1000000L, 8388608L)
+        .as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val trainShingles = sh.filter(!holdout).select("doc_id", "sh8").distinct()
+    val candidates =
+      if (sketch == null) trainShingles.filter(lit(false))
+      else trainShingles.filter(
+        SketchOps.mightContain(sketch, xxhash64(col("sh8"))))
+    val counts = candidates.join(holdShingles.hint("shuffle_hash"), "sh8")
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    docs.filter(!holdout).select("doc_id")
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).as("n_overlapping_shingles"),
+        (coalesce(col("n"), lit(0L)) > 0).cast("int").as("contaminated"))
+  }
 }

@@ -412,4 +412,19 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(tokens === totTok, s"$key packed token count")
     }
   }
+
+  test("q63 bloom-prefiltered decontamination equals q45 row for row") {
+    // the sketch admits false positives by design; the exact confirm join
+    // must kill every one of them, so the two plans — broadcast exact vs
+    // sketch-probe + shuffled confirm — are indistinguishable by value
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getInt(2))
+    val exact = Text.q45Decontaminate(spark, TestSpark.Sf0001)
+      .collect().map(key).sortBy(_._1)
+    val bloom = Text.q63BloomDecontaminate(spark, TestSpark.Sf0001)
+      .collect().map(key).sortBy(_._1)
+    assert(bloom.length === exact.length)
+    assert(bloom.sameElements(exact), "bloom path drifted from the exact path")
+    assert(exact.exists(_._3 === 1), "fixture has no contaminated doc — vacuous")
+  }
 }

@@ -306,4 +306,17 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(plan(df).contains("graft_dot"), s"$name lost the codegen'd kernel")
     }
   }
+
+  test("q63 probes the bloom sketch below a SHUFFLED exact-confirm join") {
+    val df = graft.operators.Text.q63BloomDecontaminate(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    // the probe prunes the corpus side BEFORE the wide operation...
+    assert(p.contains("might_contain"), "bloom probe fell out of the plan")
+    // ...and the confirm join stays shuffled — broadcasting the holdout is
+    // exactly what this query exists NOT to do (the at-scale premise); the
+    // probe must sit deeper in the tree than the join it feeds
+    assert(p.contains("ShuffledHashJoin"), s"exact confirm not shuffled:\n$p")
+    assert(p.indexOf("might_contain") > p.indexOf("ShuffledHashJoin"),
+      "bloom probe is not below the confirm join")
+  }
 }
