@@ -81,6 +81,7 @@ object SparkEntry {
     "q61_bmp_resample" -> (Multimodal.q61BmpResample _),
     "q62_wav_pcm" -> (Multimodal.q62WavPcm _),
     "q63_bloom_decontaminate" -> (Text.q63BloomDecontaminate _),
+    "q64_unigram_surprisal" -> (Text.q64UnigramSurprisal _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -472,5 +473,24 @@ object SparkEntry {
     // queries share one oracle; only the physical plan (broadcast vs
     // sketch-probe + shuffled confirm) differs
     "q63_bloom_decontaminate" -> Oracles.decontaminate,
+    // q64: the oracle replays the unigram model end-to-end — same
+    // tokenizer CTE as q45's, per-token surprisal rounded to 6 dp and
+    // summed through DECIMAL so both engines fold the identical exact
+    // values in any order
+    "q64_unigram_surprisal" ->
+      ("WITH toks AS (SELECT doc_id, unnest(list_filter(" +
+        "string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')) AS tok " +
+        "FROM documents), " +
+        "vocab AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok), " +
+        "n AS (SELECT sum(tf) AS n_total FROM vocab), " +
+        "sc AS (SELECT t.doc_id, CAST(round(-ln(CAST(v.tf AS DOUBLE) / " +
+        "n.n_total), 6) AS DECIMAL(18,6)) AS s " +
+        "FROM toks t JOIN vocab v USING (tok), n), " +
+        "agg AS (SELECT doc_id, count(*) AS n_tokens, sum(s) AS sum_s " +
+        "FROM sc GROUP BY doc_id) " +
+        "SELECT d.doc_id, CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens, " +
+        "CASE WHEN a.n_tokens > 0 THEN " +
+        "round(CAST(a.sum_s AS DOUBLE) / a.n_tokens, 6) END AS mean_surprisal " +
+        "FROM documents d LEFT JOIN agg a USING (doc_id)"),
   )
 }

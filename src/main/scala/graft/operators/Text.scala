@@ -419,4 +419,48 @@ object Text {
         coalesce(col("n"), lit(0L)).as("n_overlapping_shingles"),
         (coalesce(col("n"), lit(0L)) > 0).cast("int").as("contaminated"))
   }
+
+  /** Q64: corpus-trained unigram surprisal — the cheap statistical-LM
+    * quality signal (CCNet-style perplexity filtering's unigram floor): a
+    * document whose tokens are all corpus-frequent scores low, one full of
+    * rare tokens scores high. Two passes over the token stream:
+    *
+    *  1. train: token frequencies `tf` (shuffle keyed by token — uniform
+    *     by construction, with map-side partial aggregation), then the
+    *     total count N stamped onto every vocabulary row by an
+    *     UNPARTITIONED window — the window's single-partition exchange
+    *     moves the vocabulary (millions of rows at 100 TB), never the
+    *     corpus, and keeps the whole model in ONE subtree (a separate
+    *     `agg(sum)` branch would re-tokenize the corpus a third time);
+    *  2. score: every token instance joins its broadcast log-probability
+    *     and folds into a per-document sum/mean of -ln(tf/N).
+    *
+    * Exactness discipline: the per-token surprisal is rounded to 6 dp and
+    * cast DECIMAL(18,6) BEFORE the per-doc sum, so the sum is exact and
+    * order-independent (a raw double sum would hash-drift under Spark's
+    * nondeterministic aggregation order); the mean divides the exact sum
+    * once at the end. `explode_outer` keeps token-less documents in the
+    * frame (n_tokens 0, NULL mean) without a second corpus-sized join —
+    * the whole query is two exchanges, both unavoidable.
+    */
+  def q64UnigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      explode_outer(words(col("text"))).as("tok"))
+    val vocab = toks.filter(col("tok").isNotNull)
+      .groupBy("tok").agg(count(lit(1)).as("tf"))
+      .withColumn("n_total", sum("tf").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+    toks
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .select(col("doc_id"), col("tok"),
+        round(-log(col("tf").cast("double") / col("n_total")), 6)
+          .cast("decimal(18,6)").as("s"))
+      .groupBy("doc_id")
+      .agg(count(col("tok")).as("n_tokens"), sum("s").as("sum_s"))
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("n_tokens") > 0,
+          round(col("sum_s").cast("double") / col("n_tokens"), 6))
+          .as("mean_surprisal"))
+  }
 }

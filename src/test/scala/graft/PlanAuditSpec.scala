@@ -307,6 +307,25 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q64 joins the vocabulary broadcast; only the two training shuffles") {
+    val df = graft.operators.Text.q64UnigramSurprisal(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    // the token-instance stream (corpus-sized) must meet the vocabulary
+    // (vocabulary-sized) via broadcast — a shuffled tok-join would move
+    // the whole corpus a third time at 100 TB
+    assert(p.contains("BroadcastHashJoin"), s"vocab join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), "a q64 join degraded to sort-merge")
+    // exchanges: the vocab tf groupBy, the vocabulary-sized (never
+    // corpus-sized) single-partition window that stamps N, and the
+    // per-doc fold — nothing else; in particular NO doc_id-keyed re-join
+    // with `documents` (explode_outer keeps token-less docs in-frame)
+    assert(shuffles(df) === 3, s"q64 grew a shuffle:\n$p")
+    // exactly two corpus passes (score stream + vocab build): a third
+    // tokenization means the N fold regrew its own subtree
+    val scans = "Generate explode".r.findAllIn(p).length
+    assert(scans === 2, s"expected 2 tokenization passes, found $scans:\n$p")
+  }
+
   test("q63 probes the bloom sketch below a SHUFFLED exact-confirm join") {
     val df = graft.operators.Text.q63BloomDecontaminate(spark, TestSpark.Sf0001)
     val p = plan(df)
