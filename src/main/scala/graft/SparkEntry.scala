@@ -82,6 +82,7 @@ object SparkEntry {
     "q62_wav_pcm" -> (Multimodal.q62WavPcm _),
     "q63_bloom_decontaminate" -> (Text.q63BloomDecontaminate _),
     "q64_unigram_surprisal" -> (Text.q64UnigramSurprisal _),
+    "q65_rule_filter" -> (Text.q65RuleFilter _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -492,5 +493,31 @@ object SparkEntry {
         "CASE WHEN a.n_tokens > 0 THEN " +
         "round(CAST(a.sum_s AS DOUBLE) / a.n_tokens, 6) END AS mean_surprisal " +
         "FROM documents d LEFT JOIN agg a USING (doc_id)"),
+    // q65: every rule replayed — thresholds compare the ROUNDED ratios in
+    // both engines so the keep decision cannot drift on a boundary
+    "q65_rule_filter" ->
+      ("WITH t AS (SELECT doc_id, list_filter(" +
+        "string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '') AS ws " +
+        "FROM documents), " +
+        "m AS (SELECT doc_id, " +
+        "CAST(coalesce(len(ws), 0) AS BIGINT) AS n_words, " +
+        "CASE WHEN len(ws) > 0 THEN round(CAST(len(array_to_string(ws, '')) " +
+        "AS DOUBLE) / len(ws), 6) END AS mean_word_len, " +
+        "CASE WHEN len(ws) > 0 THEN round(CAST(len(list_filter(ws, " +
+        "w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / len(ws), 6) END " +
+        "AS alpha_frac, " +
+        "CAST(coalesce(len(list_filter(ws, w -> w IN ('the','be','to','of'," +
+        "'and','a','in','that','have','i'))), 0) AS BIGINT) AS stop_hits " +
+        "FROM t), " +
+        "r AS (SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits, " +
+        "CAST(n_words >= 40 AND n_words <= 100000 AS INTEGER) AS r_len, " +
+        "CAST(coalesce(mean_word_len >= 3.0 AND mean_word_len <= 4.6, " +
+        "false) AS INTEGER) AS r_wlen, " +
+        "CAST(coalesce(alpha_frac >= 0.8, false) AS INTEGER) AS r_alpha, " +
+        "CAST(stop_hits >= 2 AS INTEGER) AS r_stop FROM m) " +
+        "SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits, " +
+        "r_len, r_wlen, r_alpha, r_stop, " +
+        "CAST(r_len = 1 AND r_wlen = 1 AND r_alpha = 1 AND r_stop = 1 " +
+        "AS INTEGER) AS keep FROM r"),
   )
 }

@@ -233,7 +233,7 @@ object Text {
     * sequence(0, size-8) on a short array would yield a descending
     * [0, -1, ...] range, not an empty one.
     */
-  private[operators] def shingles8(docs: DataFrame): DataFrame =
+  private[graft] def shingles8(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), col("source"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 8)
@@ -462,5 +462,59 @@ object Text {
         when(col("n_tokens") > 0,
           round(col("sum_s").cast("double") / col("n_tokens"), 6))
           .as("mean_surprisal"))
+  }
+
+  /** The ten most frequent English stopwords — the q65 rule's fixed
+    * vocabulary, shared verbatim with the oracle SQL.
+    */
+  private[graft] val stopwords10 =
+    Seq("the", "be", "to", "of", "and", "a", "in", "that", "have", "i")
+
+  /** Q65: Gopher-style rule-based document filter (Rae et al. 2021, "Scaling
+    * Language Models", Table A1's repetition-free subset) — the cheap
+    * rule gate corpus pipelines run BEFORE any model-based scoring:
+    *
+    *  - `r_len`: 40 <= word count <= 100000 (too-short docs carry no
+    *    signal; absurdly long ones are concatenation accidents);
+    *  - `r_wlen`: mean word length in [3, 4.6] (gibberish and
+    *    base64-ish blobs fall outside; thresholds fitted to the
+    *    fixture's synthetic vocabulary the way a deployment fits its
+    *    corpus — the operator parameterizes cleanly);
+    *  - `r_alpha`: >= 80% of words contain an alphabetic character;
+    *  - `r_stop`: >= 2 stopword instances (the classic
+    *    natural-language-vs-listing discriminator).
+    *
+    * Every signal is per-row column arithmetic over ONE tokenization —
+    * zero shuffles, scales with input splits. Ratios are rounded to 6 dp
+    * and the RULES COMPARE THE ROUNDED VALUES, so the keep decision is
+    * bit-identical in any engine computing the same rationals (the
+    * oracle replays every rule). `keep` is the conjunction; the per-rule
+    * bits ship alongside so a pipeline can report WHY a document died —
+    * the operational difference between a filter and a black box.
+    */
+  def q65RuleFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"),
+        coalesce(size(col("ws")), lit(0)).cast("long").as("n_words"),
+        when(size(col("ws")) > 0,
+          round(length(concat_ws("", col("ws"))).cast("double") /
+            size(col("ws")), 6)).as("mean_word_len"),
+        when(size(col("ws")) > 0,
+          round(size(filter(col("ws"), w => w.rlike("[a-z]"))).cast("double") /
+            size(col("ws")), 6)).as("alpha_frac"),
+        coalesce(size(filter(col("ws"), w => w.isin(stopwords10: _*))), lit(0))
+          .cast("long").as("stop_hits"))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("alpha_frac"), col("stop_hits"),
+        (col("n_words") >= 40 && col("n_words") <= 100000)
+          .cast("int").as("r_len"),
+        coalesce(col("mean_word_len") >= 3.0 && col("mean_word_len") <= 4.6,
+          lit(false)).cast("int").as("r_wlen"),
+        coalesce(col("alpha_frac") >= 0.8, lit(false)).cast("int").as("r_alpha"),
+        (col("stop_hits") >= 2).cast("int").as("r_stop"))
+      .withColumn("keep",
+        (col("r_len") === 1 && col("r_wlen") === 1 &&
+          col("r_alpha") === 1 && col("r_stop") === 1).cast("int"))
   }
 }

@@ -326,6 +326,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(scans === 2, s"expected 2 tokenization passes, found $scans:\n$p")
   }
 
+  test("q65 rule filter is one narrow stage: zero exchanges") {
+    val df = graft.operators.Text.q65RuleFilter(spark, TestSpark.Sf0001)
+    assert(shuffles(df) === 0, "the rule gate grew a shuffle")
+    // one tokenization feeding every signal — a per-rule re-split would
+    // multiply the regex cost per row
+    val p = plan(df)
+    val splits = "split\\(lower".r.findAllIn(p).length
+    assert(splits === 1, s"expected 1 tokenization, found $splits:\n$p")
+  }
+
   test("q63 probes the bloom sketch below a SHUFFLED exact-confirm join") {
     val df = graft.operators.Text.q63BloomDecontaminate(spark, TestSpark.Sf0001)
     val p = plan(df)
