@@ -85,7 +85,9 @@ object Landing {
     *    stamps a typed `media_meta` struct — content fingerprint, byte
     *    length, the strict container sniff across the full decode family
     *    (PNG/JPEG/GIF/WebP via the marker walks, BMP, WAV/MP4 via the
-    *    chunk/box walks), dims and PCM parameters — so the curated layer
+    *    chunk/box walks), dims and PCM parameters, plus the REAL decoded
+    *    facts for the uncompressed classes (BMP pixel-luma min/max/mean,
+    *    PCM sample-magnitude peak/sum) — so the curated layer
     *    routes on typed columns without ever re-reading payload bytes
     *    from the lake (at 100 TB/day the difference is a second full
     *    pass over the heaviest bytes in the system). Records without the
@@ -145,6 +147,8 @@ object Landing {
         .withColumn("_img", Multimodal.decodeImageMetaFrom(col("_mb"), col("_jd")))
         .withColumn("_av", Multimodal.decodeAvMetaFrom(col("_mb"), col("_md"), col("_wd")))
         .withColumn("_bmp", Multimodal.decodeBmpMeta(col("_mb")))
+        .withColumn("_bl", ImageOps.bmpLuma(col("_mb")))
+        .withColumn("_ps", AudioOps.wavPcmStats(col("_mb")))
         .withColumn("media_meta", when(col("_mb").isNotNull, struct(
           md5(col("_mb")).as("fp"),
           octet_length(col("_mb")).as("n_bytes"),
@@ -161,8 +165,21 @@ object Landing {
             col("_av.height")).as("height"),
           col("_av.sample_rate").as("sample_rate"),
           col("_av.channels").as("channels"),
-          col("_av.bits").as("bits"))))
-        .drop("_mb", "_jd", "_md", "_wd", "_ym", "_img", "_av", "_bmp")
+          col("_av.bits").as("bits"),
+          // REAL decoded facts, not just headers: pixel luma for the
+          // uncompressed image class, sample magnitudes for PCM audio —
+          // the q59/q62 folds applied AT landing so the curated layer
+          // filters on brightness/silence without re-reading payloads
+          col("_bl").bitwiseAND(lit(0xFF)).cast("int").as("min_luma"),
+          shiftright(col("_bl"), 8).bitwiseAND(lit(0xFF)).cast("int")
+            .as("max_luma"),
+          floor(shiftrightunsigned(col("_bl"), 16) * 100 /
+            (col("_bmp.width").cast("long") * col("_bmp.height")))
+            .as("mean_luma_x100"),
+          col("_ps").bitwiseAND(lit(0x1FFFF)).cast("int").as("peak_abs"),
+          shiftrightunsigned(col("_ps"), 17).as("sum_abs"))))
+        .drop("_mb", "_jd", "_md", "_wd", "_ym", "_img", "_av", "_bmp",
+          "_bl", "_ps")
     }
     df
   }

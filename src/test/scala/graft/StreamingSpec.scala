@@ -282,19 +282,38 @@ class StreamingSpec extends AnyFunSuite {
         Array[Byte](7, 0, 9, 0, 0xF7.toByte, 0, 0, 0))
     val lMedia =
       s"""{"_LOAD_ID":"m1","text":"$goodText","payload_b64":"$gifB64"}"""
+    // an audio-bearing record: 8-bit mono PCM WAV, samples 138/118/108
+    // centered at 128 → magnitudes 10/10/20 → sum 40, peak 20 — the q62
+    // fold must run AT landing, not just the fmt header walk
+    val wavBytes = {
+      val out = new java.io.ByteArrayOutputStream()
+      def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >>> 8) & 0xFF) }
+      def w32(v: Long): Unit =
+        (0 until 4).foreach(i => out.write(((v >> (8 * i)) & 0xFF).toInt))
+      out.write("RIFF".getBytes); w32(36L + 4); out.write("WAVE".getBytes)
+      out.write("fmt ".getBytes); w32(16)
+      w16(1); w16(1); w32(8000); w32(8000); w16(1); w16(8)
+      out.write("data".getBytes); w32(3)
+      Seq(138, 118, 108).foreach(out.write); out.write(0) // WORD pad
+      out.toByteArray
+    }
+    val wavB64 = java.util.Base64.getEncoder.encodeToString(wavBytes)
+    val lAudio =
+      s"""{"_LOAD_ID":"a1","text":"$goodText","payload_b64":"$wavB64"}"""
     val stages = Some(Landing.IngestStages(
       qualityFloor = Some(0.5), scrubPii = true, splitSalt = Some("split|"),
       mediaPath = Some("$.payload_b64")))
 
     val baseB = Files.createTempDirectory("graft_stage_b").toString
-    Landing.landBatch(Seq(lGood, lBad, lPii, lCtrl, lMedia).toDF("value"),
+    Landing.landBatch(
+      Seq(lGood, lBad, lPii, lCtrl, lMedia, lAudio).toDF("value"),
       s"$baseB/landing", stages = stages)
     val b = spark.read.parquet(s"$baseB/landing")
     val bRows = b.select("record", "split").collect()
       .map(r => r.getString(0) -> r.getString(1))
     // gate: the low-quality doc is dropped; the text-LESS control line
     // (transport data the gate has no opinion on) lands unchanged
-    assert(bRows.length === 4)
+    assert(bRows.length === 5)
     // media: the payload-bearing row decoded its GIF at landing; every
     // payload-less row carries a NULL struct
     val metaOf = b.select(col("record"), col("media_meta")).collect()
@@ -305,7 +324,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(meta.getAs[Int]("width") === 7 && meta.getAs[Int]("height") === 9)
     assert(meta.getAs[Long]("n_bytes") === 14L)
     assert(meta.isNullAt(meta.fieldIndex("sample_rate")))
-    assert(metaOf.filterKeys(_ != mRow).values.forall(_ == null),
+    assert(meta.isNullAt(meta.fieldIndex("peak_abs")),
+      "a GIF payload grew PCM stats")
+    // the audio row carries fmt parameters AND the decoded sample fold
+    val aRow = metaOf.keys.find(_.contains("\"a1\"")).get
+    val aMeta = metaOf(aRow).asInstanceOf[org.apache.spark.sql.Row]
+    assert(aMeta.getAs[String]("format") === "wav")
+    assert(aMeta.getAs[Int]("sample_rate") === 8000)
+    assert(aMeta.getAs[Int]("bits") === 8)
+    assert(aMeta.getAs[Int]("peak_abs") === 20)
+    assert(aMeta.getAs[Long]("sum_abs") === 40L)
+    assert(aMeta.isNullAt(aMeta.fieldIndex("min_luma")),
+      "a WAV payload grew pixel stats")
+    assert(metaOf.filterKeys(k => k != mRow && k != aRow).values
+      .forall(_ == null),
       "payload-less record grew a media_meta struct")
     assert(!bRows.exists(_._1.contains("\"b1\"")), "low-quality doc landed")
     assert(bRows.exists(_._1 === lCtrl), "text-less control line was gated")
@@ -327,7 +359,7 @@ class StreamingSpec extends AnyFunSuite {
       q.awaitTermination(60000)
     }
     runOnce("d1.ndjson", Seq(lGood, lBad))
-    runOnce("d2.ndjson", Seq(lPii, lCtrl, lMedia))
+    runOnce("d2.ndjson", Seq(lPii, lCtrl, lMedia, lAudio))
     val s = spark.read.parquet(s"$base/landing")
     val sRows = s.select("record", "split").collect()
       .map(r => r.getString(0) -> r.getString(1))
