@@ -83,6 +83,10 @@ object SparkEntry {
     "q63_bloom_decontaminate" -> (Text.q63BloomDecontaminate _),
     "q64_unigram_surprisal" -> (Text.q64UnigramSurprisal _),
     "q65_rule_filter" -> (Text.q65RuleFilter _),
+    // q66 is spec-gated (CorpusOpsSpec properties + kernel parity): the
+    // deflate length is JVM-zlib-deterministic, not a cross-engine
+    // constant — no DuckDB oracle by design
+    "q66_compress_ratio" -> (Text.q66CompressRatio _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):

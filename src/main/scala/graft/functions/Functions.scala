@@ -222,6 +222,19 @@ object TextOps {
     (length(s) - length(replace(s, lit(pat), lit("")))) / pat.length
 }
 
+/** Compression plumbing: the [[DeflateLen]] kernel behind the
+  * compression-ratio quality signal.
+  */
+object CompressOps {
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  /** Deflated byte length (zlib level 6, raw stream) of a binary/string
+    * column via the codegen'd [[DeflateLen]] kernel; NULL in, NULL out.
+    */
+  def deflateLen(c: Column): Column =
+    ColumnBridge.column(DeflateLen(ColumnBridge.expression(c.cast("binary"))))
+}
+
 /** Bloom-filter sketch plumbing over Spark's own `util.sketch.BloomFilter`
   * Catalyst expressions (the pair behind runtime row-level filtering,
   * public Spark source: `BloomFilterAggregate` / `BloomFilterMightContain`).

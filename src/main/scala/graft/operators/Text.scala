@@ -517,4 +517,32 @@ object Text {
         (col("r_len") === 1 && col("r_wlen") === 1 &&
           col("r_alpha") === 1 && col("r_stop") === 1).cast("int"))
   }
+
+  /** Q66: compression-ratio quality signal — deflated/raw byte length per
+    * document via the codegen'd [[graft.functions.DeflateLen]] kernel.
+    * Boilerplate, template spam, and keyword stuffing compress far below
+    * natural language; random blobs sit near (or above) 1.0 — the
+    * repetitive-junk detector a token-level rule gate (q65) cannot
+    * express, and the remaining Gopher-family signal. Pure per-row narrow
+    * work: the kernel reuses one native zlib stream per executor thread.
+    *
+    * Spec-gated, not DuckDB-oracled: the deflated length is deterministic
+    * for a given JVM's zlib but not a cross-engine constant, and the
+    * signal is consumed by thresholding — CorpusOpsSpec pins the
+    * discriminating properties (repetitive ≪ word-soup < shuffled-ish)
+    * and the interpreted≡codegen parity; the driver records the weaker
+    * rows-only check by design (the q26/q31/q36/q53 class).
+    */
+  def q66CompressRatio(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CompressOps
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .withColumn("n_bytes", octet_length(col("text")).cast("long"))
+      .withColumn("n_deflated",
+        CompressOps.deflateLen(col("text")).cast("long"))
+      .select(col("doc_id"), col("n_bytes"), col("n_deflated"),
+        when(col("n_bytes") > 0,
+          round(col("n_deflated").cast("double") / col("n_bytes"), 6))
+          .as("ratio"))
+  }
 }

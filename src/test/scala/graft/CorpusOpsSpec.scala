@@ -455,6 +455,51 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"FP rate ${fp.toDouble / probes} over $probes probes ($admitted admitted, $exactHits exact)")
   }
 
+  test("q66 compression ratio discriminates repetition from natural text") {
+    import graft.functions.CompressOps
+    import spark.implicits._
+    val probe = Seq(
+      ("rep", "spam link buy now " * 200),
+      ("soup", (1 to 200).map(i => s"w${i * 7919 % 997}x${i % 13}").mkString(" ")),
+      ("empty", ""))
+      .toDF("kind", "text")
+      .withColumn("n_bytes", octet_length(col("text")).cast("long"))
+      .withColumn("n_deflated", CompressOps.deflateLen(col("text")).cast("long"))
+      .withColumn("ratio",
+        when(col("n_bytes") > 0,
+          round(col("n_deflated").cast("double") / col("n_bytes"), 6)))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(3), if (r.isNullAt(4)) Double.NaN else r.getDouble(4))).toMap
+    // template spam collapses; varied text does not; the gap is the signal
+    assert(probe("rep")._2 < 0.05, s"repetition did not collapse: $probe")
+    assert(probe("soup")._2 > 0.2, s"varied text over-compressed: $probe")
+    assert(probe("soup")._2 > probe("rep")._2 * 4, "signal gap too narrow")
+    // empty text: 0 bytes in, NULL ratio, and the kernel still answers
+    assert(probe("empty")._1 >= 0 && probe("empty")._2.isNaN)
+
+    // the full fixture: every document answers, every ratio is positive
+    // and below the stored-block ceiling (raw + ~5 bytes per 64 KiB block)
+    val q66 = graft.operators.Text.q66CompressRatio(spark, TestSpark.Sf0001)
+      .collect()
+    assert(q66.length === 500)
+    q66.foreach { r =>
+      assert(!r.isNullAt(2), s"kernel refused doc ${r.getLong(0)}")
+      val ratio = r.getDouble(3)
+      assert(ratio > 0 && ratio < 1.1, s"doc ${r.getLong(0)} ratio $ratio")
+    }
+
+    // interpreted eval agrees with the codegen'd path (the zero-parity
+    // claim is only real if both routes run the same body)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.BinaryType
+    val sample = "the quick brown fox " * 40
+    val interp = graft.functions.DeflateLen(
+      Literal(sample.getBytes("UTF-8"), BinaryType)).eval(null)
+    val gen = spark.range(1)
+      .select(CompressOps.deflateLen(lit(sample))).head.getInt(0)
+    assert(interp === gen, "interpreted and codegen deflate lengths differ")
+  }
+
   test("q65 rules each discriminate on the fixture (no vacuous gate)") {
     val rows = graft.operators.Text.q65RuleFilter(spark, TestSpark.Sf0001)
       .collect()

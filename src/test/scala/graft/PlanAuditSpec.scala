@@ -336,6 +336,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(splits === 1, s"expected 1 tokenization, found $splits:\n$p")
   }
 
+  test("q66 deflate kernel runs once per row in a zero-exchange plan") {
+    val df = graft.operators.Text.q66CompressRatio(spark, TestSpark.Sf0001)
+    assert(shuffles(df) === 0, "the compression signal grew a shuffle")
+    val p = plan(df)
+    val kernels = "graft_deflate_len".r.findAllIn(p).length
+    assert(kernels === 1, s"expected 1 deflate walk, found $kernels:\n$p")
+  }
+
   test("q63 probes the bloom sketch below a SHUFFLED exact-confirm join") {
     val df = graft.operators.Text.q63BloomDecontaminate(spark, TestSpark.Sf0001)
     val p = plan(df)
