@@ -101,6 +101,12 @@ object Bootstrap {
     // narrow plan, so registration stores no state at all
     operators.Multimodal.q58MediaManifest(spark, dir)
       .createOrReplaceTempView("vw_media_manifest")
+    // the quality stack in one view: rule bits (q65) + heuristic score
+    // (q28) + compression ratio (q66) in a single narrow pass, LM
+    // surprisal (q64) joined on — `WHERE keep = 1 AND quality >= x AND
+    // mean_surprisal <= z` is the whole corpus-filter decision in SQL
+    operators.Text.docQuality(spark, dir)
+      .createOrReplaceTempView("vw_doc_quality")
   }
 
   /** Register the landing table + curated views over it — the TRANSFORM

@@ -492,10 +492,20 @@ object Text {
     * bits ship alongside so a pipeline can report WHY a document died —
     * the operational difference between a filter and a black box.
     */
-  def q65RuleFilter(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
-    docs.select(col("doc_id"), words(col("text")).as("ws"))
-      .select(col("doc_id"),
+  def q65RuleFilter(spark: SparkSession, dir: String): DataFrame =
+    ruleFrame(Tables.load(spark, dir, "documents"), Seq.empty)
+
+  /** The q65 rule computation, parameterized with extra text-derived
+    * columns carried through the same single narrow pass — how
+    * [[docQuality]] composes rules + score signals without a second scan
+    * or a doc-keyed join per signal.
+    */
+  private[graft] def ruleFrame(docs: DataFrame,
+                               extra: Seq[(String, Column)]): DataFrame = {
+    val carried = extra.map { case (n, _) => col(n) }
+    docs.select(col("doc_id") +: words(col("text")).as("ws") +:
+        extra.map { case (n, c) => c.as(n) }: _*)
+      .select(Seq(col("doc_id"),
         coalesce(size(col("ws")), lit(0)).cast("long").as("n_words"),
         when(size(col("ws")) > 0,
           round(length(concat_ws("", col("ws"))).cast("double") /
@@ -504,18 +514,41 @@ object Text {
           round(size(filter(col("ws"), w => w.rlike("[a-z]"))).cast("double") /
             size(col("ws")), 6)).as("alpha_frac"),
         coalesce(size(filter(col("ws"), w => w.isin(stopwords10: _*))), lit(0))
-          .cast("long").as("stop_hits"))
-      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          .cast("long").as("stop_hits")) ++ carried: _*)
+      .select(Seq(col("doc_id"), col("n_words"), col("mean_word_len"),
         col("alpha_frac"), col("stop_hits"),
         (col("n_words") >= 40 && col("n_words") <= 100000)
           .cast("int").as("r_len"),
         coalesce(col("mean_word_len") >= 3.0 && col("mean_word_len") <= 4.6,
           lit(false)).cast("int").as("r_wlen"),
         coalesce(col("alpha_frac") >= 0.8, lit(false)).cast("int").as("r_alpha"),
-        (col("stop_hits") >= 2).cast("int").as("r_stop"))
+        (col("stop_hits") >= 2).cast("int").as("r_stop")) ++ carried: _*)
       .withColumn("keep",
         (col("r_len") === 1 && col("r_wlen") === 1 &&
           col("r_alpha") === 1 && col("r_stop") === 1).cast("int"))
+  }
+
+  /** The composed per-document quality manifest behind `vw_doc_quality`:
+    * every per-row signal — the q65 rule bits and `keep`, the q28
+    * heuristic score, the q66 compression ratio — computed in ONE narrow
+    * pass over `documents` (one tokenization, one deflate, no
+    * signal-per-join fan-out), then the q64 LM surprisal (the only signal
+    * that genuinely needs corpus-wide aggregation) left-joined on doc_id.
+    * A SQL-only user filters a corpus with
+    * `WHERE keep = 1 AND quality >= x AND ratio >= y AND mean_surprisal
+    * <= z` — the full quality stack in one view, each column row-identical
+    * to its standalone contract query (SqlSurfaceSpec pins all four).
+    */
+  def docQuality(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CompressOps
+    val narrow = ruleFrame(Tables.load(spark, dir, "documents"), Seq(
+      "quality" -> qualityScore(col("text")),
+      "ratio" -> when(octet_length(col("text")) > 0,
+        round(CompressOps.deflateLen(col("text")).cast("double") /
+          octet_length(col("text")), 6))))
+    narrow.join(
+      q64UnigramSurprisal(spark, dir).select("doc_id", "mean_surprisal"),
+      Seq("doc_id"), "left")
   }
 
   /** Q66: compression-ratio quality signal — deflated/raw byte length per

@@ -23,12 +23,35 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "vw_decontaminate" -> Text.q45Decontaminate(spark, TestSpark.Sf0001),
       "vw_corpus_manifest" -> Pipeline.q51CorpusPipeline(spark, TestSpark.Sf0001),
       "vw_media_manifest" ->
-        Multimodal.q58MediaManifest(spark, TestSpark.Sf0001))
+        Multimodal.q58MediaManifest(spark, TestSpark.Sf0001),
+      "vw_doc_quality" -> Text.docQuality(spark, TestSpark.Sf0001))
     twins.foreach { case (view, df) =>
       val sql = canon(spark.sql(s"SELECT * FROM $view"))
       val api = canon(df)
       assert(sql.nonEmpty, s"$view returned no rows")
       assert(sql === api, s"$view drifted from its DataFrame twin")
+    }
+  }
+
+  test("vw_doc_quality columns are row-identical to their contract queries") {
+    Bootstrap.initCorpusOps(spark, TestSpark.Sf0001)
+    // the composed manifest must not re-derive ANY signal differently
+    // from the standalone query that oracle-checks it
+    val pairs = Seq(
+      ("SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits, " +
+        "r_len, r_wlen, r_alpha, r_stop, keep FROM vw_doc_quality")
+        -> Text.q65RuleFilter(spark, TestSpark.Sf0001),
+      "SELECT doc_id, quality FROM vw_doc_quality"
+        -> Text.q28Quality(spark, TestSpark.Sf0001)
+          .select("doc_id", "quality"),
+      "SELECT doc_id, ratio FROM vw_doc_quality"
+        -> Text.q66CompressRatio(spark, TestSpark.Sf0001)
+          .select("doc_id", "ratio"),
+      "SELECT doc_id, mean_surprisal FROM vw_doc_quality"
+        -> Text.q64UnigramSurprisal(spark, TestSpark.Sf0001)
+          .select("doc_id", "mean_surprisal"))
+    pairs.foreach { case (sql, twin) =>
+      assert(canon(spark.sql(sql)) === canon(twin), s"drift in: $sql")
     }
   }
 
