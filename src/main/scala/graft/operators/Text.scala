@@ -443,8 +443,13 @@ object Text {
     * frame (n_tokens 0, NULL mean) without a second corpus-sized join —
     * the whole query is two exchanges, both unavoidable.
     */
-  def q64UnigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+  def q64UnigramSurprisal(spark: SparkSession, dir: String): DataFrame =
+    unigramSurprisalOn(Tables.load(spark, dir, "documents"))
+
+  /** The q64 computation over any (doc_id, text) frame — the
+    * frame-parameterized form scale tests and pipeline composition use.
+    */
+  def unigramSurprisalOn(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode_outer(words(col("text"))).as("tok"))
     val vocab = toks.filter(col("tok").isNotNull)

@@ -344,6 +344,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(kernels === 1, s"expected 1 deflate walk, found $kernels:\n$p")
   }
 
+  test("vw_doc_quality composes signals without re-deriving scans") {
+    val df = graft.operators.Text.docQuality(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    // one deflate for the ratio column — the carried-column pattern must
+    // not let a later projection duplicate the kernel walk
+    val kernels = "graft_deflate_len".r.findAllIn(p).length
+    assert(kernels === 1, s"expected 1 deflate walk, found $kernels")
+    // corpus passes: the narrow rule/score projection + q64's score
+    // stream and vocab build — a fourth means some signal regrew its own
+    // scan (textual split() occurrences over-count here: qualityScore's
+    // two words() uses inside ONE projection collapse via codegen
+    // subexpression elimination, so scans are the honest metric)
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans === 3, s"expected 3 corpus scans, found $scans:\n$p")
+  }
+
   test("q63 probes the bloom sketch below a SHUFFLED exact-confirm join") {
     val df = graft.operators.Text.q63BloomDecontaminate(spark, TestSpark.Sf0001)
     val p = plan(df)

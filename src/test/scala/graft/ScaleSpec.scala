@@ -66,6 +66,36 @@ class ScaleSpec extends AnyFunSuite {
       f"10x hot-key rows cost ${t10 / t1}%.1fx the time ($t1%.2fs -> $t10%.2fs)")
   }
 
+  test("unigram surprisal: 10x docs, saturating vocabulary, ~linear time", Slow) {
+    // q64's broadcast-safety premise, measured: the model (vocabulary)
+    // is bounded by the LANGUAGE, not the corpus — 10x the documents
+    // must not grow the broadcast side — and the two-pass score stays
+    // ~linear in the token stream
+    import graft.operators.Text
+    def synthDocs(n: Long) = spark.range(n).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", (0 until 60).map(j =>
+        concat(lit("w"), pmod(col("id") * 31 + j * 7, lit(997)))): _*)
+        .as("text"))
+    def vocabOf(n: Long): Long = synthDocs(n)
+      .select(explode(split(col("text"), " ")).as("t")).distinct().count()
+    val (v1, v10) = (vocabOf(20000), vocabOf(200000))
+    assert(v1 === v10,
+      s"vocabulary grew with the corpus ($v1 -> $v10): broadcast unsafe")
+    assert(v1 <= 997L, s"synth vocabulary escaped its pool: $v1")
+    def timeOf(n: Long): Double = {
+      val t0 = System.nanoTime()
+      Text.unigramSurprisalOn(synthDocs(n))
+        .agg(sum("n_tokens"), sum("mean_surprisal")).head
+      (System.nanoTime() - t0) / 1e9
+    }
+    timeOf(20000) // warmup
+    val t1 = math.min(timeOf(20000), timeOf(20000))
+    val t10 = math.min(timeOf(200000), timeOf(200000))
+    assert(t10 / t1 <= 10.0,
+      f"10x docs cost ${t10 / t1}%.1fx the time ($t1%.2fs -> $t10%.2fs)")
+  }
+
   test("a foreign build sentinel makes ensureBucketed fail loudly, then recover") {
     val dir = TestSpark.Sf0001
     // simulate another process mid-materialization (or crashed): its
