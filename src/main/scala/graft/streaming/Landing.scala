@@ -177,7 +177,10 @@ object Landing {
             (col("_bmp.width").cast("long") * col("_bmp.height")))
             .as("mean_luma_x100"),
           col("_ps").bitwiseAND(lit(0x1FFFF)).cast("int").as("peak_abs"),
-          shiftrightunsigned(col("_ps"), 17).as("sum_abs"))))
+          shiftrightunsigned(col("_ps"), 17).as("sum_abs"),
+          // frame count PARSED from the bytes (y4m only: mp4 frame counts
+          // are caller sidecar metadata the wire record does not carry)
+          col("_ym").bitwiseAND(lit(0xFFFFF)).cast("int").as("n_frames"))))
         .drop("_mb", "_jd", "_md", "_wd", "_ym", "_img", "_av", "_bmp",
           "_bl", "_ps")
     }

@@ -300,20 +300,28 @@ class StreamingSpec extends AnyFunSuite {
     val wavB64 = java.util.Base64.getEncoder.encodeToString(wavBytes)
     val lAudio =
       s"""{"_LOAD_ID":"a1","text":"$goodText","payload_b64":"$wavB64"}"""
+    // a video-bearing record: 2x2 mono Y4M with 3 frames — the frame
+    // count must be PARSED from the stream at landing
+    val y4mBytes = ("YUV4MPEG2 W2 H2 F30:1 Ip A1:1 Cmono\n" +
+      Seq.fill(3)("FRAME\n" + "0123").mkString)
+      .getBytes("ISO-8859-1")
+    val y4mB64 = java.util.Base64.getEncoder.encodeToString(y4mBytes)
+    val lVideo =
+      s"""{"_LOAD_ID":"v1","text":"$goodText","payload_b64":"$y4mB64"}"""
     val stages = Some(Landing.IngestStages(
       qualityFloor = Some(0.5), scrubPii = true, splitSalt = Some("split|"),
       mediaPath = Some("$.payload_b64")))
 
     val baseB = Files.createTempDirectory("graft_stage_b").toString
     Landing.landBatch(
-      Seq(lGood, lBad, lPii, lCtrl, lMedia, lAudio).toDF("value"),
+      Seq(lGood, lBad, lPii, lCtrl, lMedia, lAudio, lVideo).toDF("value"),
       s"$baseB/landing", stages = stages)
     val b = spark.read.parquet(s"$baseB/landing")
     val bRows = b.select("record", "split").collect()
       .map(r => r.getString(0) -> r.getString(1))
     // gate: the low-quality doc is dropped; the text-LESS control line
     // (transport data the gate has no opinion on) lands unchanged
-    assert(bRows.length === 5)
+    assert(bRows.length === 6)
     // media: the payload-bearing row decoded its GIF at landing; every
     // payload-less row carries a NULL struct
     val metaOf = b.select(col("record"), col("media_meta")).collect()
@@ -336,7 +344,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(aMeta.getAs[Long]("sum_abs") === 40L)
     assert(aMeta.isNullAt(aMeta.fieldIndex("min_luma")),
       "a WAV payload grew pixel stats")
-    assert(metaOf.filterKeys(k => k != mRow && k != aRow).values
+    assert(aMeta.isNullAt(aMeta.fieldIndex("n_frames")),
+      "a WAV payload grew a frame count")
+    // the video row parsed its dims AND frame count from the stream
+    val vRow = metaOf.keys.find(_.contains("\"v1\"")).get
+    val vMeta = metaOf(vRow).asInstanceOf[org.apache.spark.sql.Row]
+    assert(vMeta.getAs[String]("format") === "y4m")
+    assert(vMeta.getAs[Int]("width") === 2 && vMeta.getAs[Int]("height") === 2)
+    assert(vMeta.getAs[Int]("n_frames") === 3)
+    assert(metaOf.filterKeys(k => k != mRow && k != aRow && k != vRow).values
       .forall(_ == null),
       "payload-less record grew a media_meta struct")
     assert(!bRows.exists(_._1.contains("\"b1\"")), "low-quality doc landed")
@@ -359,7 +375,7 @@ class StreamingSpec extends AnyFunSuite {
       q.awaitTermination(60000)
     }
     runOnce("d1.ndjson", Seq(lGood, lBad))
-    runOnce("d2.ndjson", Seq(lPii, lCtrl, lMedia, lAudio))
+    runOnce("d2.ndjson", Seq(lPii, lCtrl, lMedia, lAudio, lVideo))
     val s = spark.read.parquet(s"$base/landing")
     val sRows = s.select("record", "split").collect()
       .map(r => r.getString(0) -> r.getString(1))
