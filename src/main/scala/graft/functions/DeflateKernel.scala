@@ -9,12 +9,16 @@ import org.apache.spark.sql.types.{DataType, IntegerType}
   * surface).
   */
 object DeflateEval {
-  // one Deflater per executor thread, reset between rows: allocating the
-  // native zlib stream per row would dominate the fold at corpus scale,
-  // and the leak bound is the thread count, not the row count
+  // one Deflater AND one drain buffer per executor thread, reset/reused
+  // between rows: allocating the native zlib stream (or an 8 KiB drain
+  // array) per row would dominate the fold / churn the GC at corpus
+  // scale, and the leak bound is the thread count, not the row count
   private val local = new ThreadLocal[java.util.zip.Deflater] {
     override def initialValue(): java.util.zip.Deflater =
       new java.util.zip.Deflater(6, true) // level 6, raw stream (no header)
+  }
+  private val drain = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](8192)
   }
 
   /** Deflated byte length of the payload at level 6 — the numerator of the
@@ -27,7 +31,7 @@ object DeflateEval {
     d.reset()
     d.setInput(bb)
     d.finish()
-    val buf = new Array[Byte](8192)
+    val buf = drain.get()
     var n = 0
     while (!d.finished()) n += d.deflate(buf)
     n
