@@ -87,6 +87,7 @@ object SparkEntry {
     // deflate length is JVM-zlib-deterministic, not a cross-engine
     // constant — no DuckDB oracle by design
     "q66_compress_ratio" -> (Text.q66CompressRatio _),
+    "q67_line_dedup" -> (Text.q67LineDedup _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -523,5 +524,33 @@ object SparkEntry {
         "r_len, r_wlen, r_alpha, r_stop, " +
         "CAST(r_len = 1 AND r_wlen = 1 AND r_alpha = 1 AND r_stop = 1 " +
         "AS INTEGER) AS keep FROM r"),
+    // q67: the oracle re-synthesizes the identical multi-line rendering
+    // (header/8-word body wrap/footer), replays the df >= 3 rule on raw
+    // line text, and reassembles with an ORDER BY pos string_agg —
+    // string_agg's NULL-skipping matches the kept-filter, and an
+    // all-removed doc yields NULL in both engines
+    "q67_line_dedup" ->
+      ("WITH ws AS (SELECT doc_id, list_filter(" +
+        "string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '') AS ws " +
+        "FROM documents), " +
+        "ln AS (SELECT doc_id, list_concat(list_concat(" +
+        "['boilerplate header variant ' || CAST(doc_id % 7 AS VARCHAR)], " +
+        "list_transform(range(CAST(ceil(len(ws) / 8.0) AS INTEGER)), " +
+        "i -> array_to_string(list_slice(ws, i*8 + 1, i*8 + 8), ' '))), " +
+        "['all rights reserved variant ' || CAST(doc_id % 5 AS VARCHAR)]) " +
+        "AS lines FROM ws), " +
+        "l AS (SELECT doc_id, generate_subscripts(lines, 1) AS pos, " +
+        "unnest(lines) AS line FROM ln), " +
+        "d AS (SELECT line FROM l GROUP BY line " +
+        "HAVING count(DISTINCT doc_id) >= 3), " +
+        "k AS (SELECT l.doc_id, l.pos, l.line, d.line IS NULL AS kept " +
+        "FROM l LEFT JOIN d USING (line)) " +
+        "SELECT doc_id, count(*) AS n_lines, " +
+        "CAST(sum(CASE WHEN NOT kept THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_removed, " +
+        "round(CAST(sum(CASE WHEN NOT kept THEN len(line) ELSE 0 END) " +
+        "AS DOUBLE) / sum(len(line)), 6) AS removed_char_frac, " +
+        "string_agg(CASE WHEN kept THEN line END, chr(10) ORDER BY pos) " +
+        "AS cleaned_text FROM k GROUP BY doc_id"),
   )
 }

@@ -583,4 +583,82 @@ object Text {
           round(col("n_deflated").cast("double") / col("n_bytes"), 6))
           .as("ratio"))
   }
+
+  /** The q67 synthesized multi-line rendering of a document: a boilerplate
+    * header (7 rotating templates), the text re-wrapped into 8-word body
+    * lines, and a boilerplate footer (5 templates) — the doc_id-residue
+    * synthesis pattern q46 uses for PII, because the corpus's own texts
+    * are single-line. Shared with the oracle's CTE so the line-building
+    * arithmetic cannot drift.
+    */
+  private[operators] def synthLines(id: Column, text: Column): Column = {
+    val ws = words(text)
+    val body = when(size(ws) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), ceil(size(ws) / lit(8.0)).cast("int") - 1),
+        i => array_join(slice(ws, i * 8 + 1, lit(8)), " ")))
+    concat(
+      array(concat(lit("boilerplate header variant "),
+        pmod(id, lit(7)).cast("string"))),
+      body,
+      array(concat(lit("all rights reserved variant "),
+        pmod(id, lit(5)).cast("string"))))
+  }
+
+  /** Q67: duplicate-line removal — the CCNet/RefinedWeb boilerplate
+    * dedup stage: a line whose exact text appears in >= 3 DISTINCT
+    * documents is navigation chrome / template furniture, not content,
+    * and every copy is dropped; the survivors are re-joined into the
+    * cleaned document. (Line-level dedup is what kills "subscribe to our
+    * newsletter" corpus-wide where document-level dedup — q21/q22 —
+    * cannot: the hosting documents are all different.)
+    *
+    * Shape at scale (three exchanges, all uniform):
+    *  1. line document-frequency: groupBy(line) with countDistinct(doc_id)
+    *     — Spark's distinct-agg rewrite shuffles first on the UNIFORM
+    *     (line, doc_id) pair and only then on line with partial counts,
+    *     so a line duplicated across half the corpus never lands raw on
+    *     one reducer;
+    *  2. the df >= 3 survivor set is the corpus's boilerplate vocabulary
+    *     — tiny relative to the corpus (the q45 broadcast premise), so
+    *     the keep-test is a BROADCAST left join back onto the exploded
+    *     lines: the line table itself never shuffles to learn its fate.
+    *     A deployment whose duplicate-line set outgrows the driver swaps
+    *     this join for q63's bloom-prefilter + salted exact confirm;
+    *  3. reassembly: one groupBy(doc_id) folds (pos, kept, line) structs,
+    *     capacity-bounded by document length (the q50 collect_list
+    *     discipline); every document keeps its row because the header
+    *     guarantees >= 1 line — no corpus-sized repair join afterwards.
+    *
+    * `cleaned_text` is NULL (not '') when every line was removed, and the
+    * removed-char fraction folds exact BIGINT lengths before the single
+    * final rounding, so the result is order-independent.
+    */
+  def q67LineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val lined = docs.select(col("doc_id"),
+      posexplode(synthLines(col("doc_id"), col("text"))).as(Seq("pos", "line")))
+    val dup = lined.groupBy("line")
+      .agg(countDistinct(col("doc_id")).as("line_df"))
+      .filter(col("line_df") >= 3)
+      .select(col("line"), lit(1).as("_dup"))
+    val marked = lined.join(broadcast(dup), Seq("line"), "left")
+      .select(col("doc_id"), col("pos"),
+        col("line"), col("_dup").isNull.as("kept"))
+    val folded = marked.groupBy("doc_id").agg(
+      count(lit(1)).as("n_lines"),
+      sum(when(!col("kept"), lit(1L)).otherwise(lit(0L))).as("n_removed"),
+      sum(when(!col("kept"), length(col("line")).cast("long"))
+        .otherwise(lit(0L))).as("_rm_chars"),
+      sum(length(col("line")).cast("long")).as("_all_chars"),
+      collect_list(struct(col("pos"), col("kept"), col("line"))).as("_ls"))
+    val keptArr = transform(
+      filter(array_sort(col("_ls")), x => x.getField("kept")),
+      x => x.getField("line"))
+    folded.select(col("doc_id"), col("n_lines"), col("n_removed"),
+      round(col("_rm_chars").cast("double") / col("_all_chars"), 6)
+        .as("removed_char_frac"),
+      when(size(keptArr) === 0, lit(null).cast("string"))
+        .otherwise(array_join(keptArr, "\n")).as("cleaned_text"))
+  }
 }

@@ -517,4 +517,51 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(r.getInt(r.fieldIndex("keep")) === bits.min, s"keep drift: $r")
     }
   }
+
+  test("q67 line dedup matches a full independent Scala replay") {
+    val docs = graft.Tables.load(spark, TestSpark.Sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // independent line synthesis (plain Scala, no Column arithmetic)
+    def linesOf(id: Long, text: String): Seq[String] = {
+      val ws = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      val body = ws.grouped(8).map(_.mkString(" ")).toSeq
+      (s"boilerplate header variant ${id % 7}" +: body) :+
+        s"all rights reserved variant ${id % 5}"
+    }
+    val all = docs.toSeq.flatMap { case (id, t) =>
+      linesOf(id, t).map(id -> _)
+    }
+    val dup = all.groupBy(_._2).collect {
+      case (line, hits) if hits.map(_._1).distinct.size >= 3 => line
+    }.toSet
+    val rows = graft.operators.Text.q67LineDedup(spark, TestSpark.Sf0001)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows.size === docs.size)
+    // the synthesized boilerplate is dup by construction at this corpus
+    // size (~71 docs per header variant, ~100 per footer variant)
+    assert(dup.exists(_.startsWith("boilerplate header")) &&
+      dup.exists(_.startsWith("all rights reserved")))
+    for ((id, text) <- docs) {
+      val lines = linesOf(id, text)
+      val kept = lines.filterNot(dup)
+      val removed = lines.filter(dup)
+      val r = rows(id)
+      assert(r.getLong(r.fieldIndex("n_lines")) === lines.size, s"doc $id")
+      assert(r.getLong(r.fieldIndex("n_removed")) === removed.size, s"doc $id")
+      val frac = BigDecimal(removed.map(_.length).sum.toDouble /
+        lines.map(_.length).sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(r.fieldIndex("removed_char_frac")) === frac,
+        s"doc $id frac")
+      val cleaned = Option(r.getString(r.fieldIndex("cleaned_text")))
+      assert(cleaned === (if (kept.isEmpty) None else Some(kept.mkString("\n"))),
+        s"doc $id reassembly")
+    }
+    // the rule must bite beyond boilerplate somewhere (real cross-doc
+    // body-line dups exist in this corpus) or the fixture is vacuous
+    assert(dup.exists(l => !l.startsWith("boilerplate header") &&
+      !l.startsWith("all rights reserved")),
+      "no organic duplicate body line in the fixture")
+  }
 }

@@ -336,6 +336,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(splits === 1, s"expected 1 tokenization, found $splits:\n$p")
   }
 
+  test("q67 line dedup: uniform shuffles only, broadcast keep-test") {
+    val df = graft.operators.Text.q67LineDedup(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    // the exploded line table learns its fate from a BROADCAST of the
+    // (tiny) duplicate-line vocabulary — shuffling the corpus's lines
+    // against it would move the whole corpus an extra time at 100 TB
+    assert(p.contains("BroadcastHashJoin"), s"keep-test not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), "the keep-test degraded to SMJ")
+    // exchanges: the distinct-agg rewrite's uniform (line, doc_id) pair
+    // shuffle, the vocabulary-sized line-df fold, and the doc_id
+    // reassembly — a hot boilerplate line never lands raw on one reducer
+    assert(shuffles(df) === 3, s"q67 grew a shuffle:\n$p")
+  }
+
   test("q66 deflate kernel runs once per row in a zero-exchange plan") {
     val df = graft.operators.Text.q66CompressRatio(spark, TestSpark.Sf0001)
     assert(shuffles(df) === 0, "the compression signal grew a shuffle")
