@@ -88,6 +88,7 @@ object SparkEntry {
     // constant — no DuckDB oracle by design
     "q66_compress_ratio" -> (Text.q66CompressRatio _),
     "q67_line_dedup" -> (Text.q67LineDedup _),
+    "q68_url_blocklist" -> (Text.q68UrlBlocklist _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -552,5 +553,30 @@ object SparkEntry {
         "AS DOUBLE) / sum(len(line)), 6) AS removed_char_frac, " +
         "string_agg(CASE WHEN kept THEN line END, chr(10) ORDER BY pos) " +
         "AS cleaned_text FROM k GROUP BY doc_id"),
+    // q68: the oracle re-synthesizes the URL, re-parses the host with the
+    // same regex, and replays the public-suffix rule with 1-based list
+    // arithmetic; the blocklist is inlined as an IN list (the Spark side's
+    // broadcast join, flattened)
+    "q68_url_blocklist" ->
+      ("WITH u AS (SELECT doc_id, 'https://' || " +
+        "(['example.com','docs.example.com','spam-mill.biz'," +
+        "'cdn.spam-mill.biz','news.site.co.uk','tracker.adnet.io'," +
+        "'blog.example.com','shop.example.org','adnet.io','papers.ac.uk'])" +
+        "[CAST(doc_id % 10 AS INTEGER) + 1] || " +
+        "CASE WHEN doc_id % 3 = 0 THEN ':8443' ELSE '' END || " +
+        "'/p/' || CAST(doc_id AS VARCHAR) AS url FROM documents), " +
+        "h AS (SELECT doc_id, url, " +
+        "regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS host FROM u), " +
+        "r AS (SELECT doc_id, url, host, string_split(host, '.') AS ls " +
+        "FROM h), " +
+        "g AS (SELECT doc_id, url, host, " +
+        "CASE WHEN ls[len(ls)-1] || '.' || ls[len(ls)] IN ('co.uk','ac.uk') " +
+        "THEN ls[len(ls)-2] || '.' || ls[len(ls)-1] || '.' || ls[len(ls)] " +
+        "ELSE ls[len(ls)-1] || '.' || ls[len(ls)] END AS registered_domain " +
+        "FROM r) " +
+        "SELECT doc_id, url, host, registered_domain, " +
+        "CASE WHEN registered_domain IN " +
+        "('spam-mill.biz','adnet.io','site.co.uk') THEN 1 ELSE 0 END " +
+        "AS blocked FROM g"),
   )
 }

@@ -605,6 +605,60 @@ object Text {
         pmod(id, lit(5)).cast("string"))))
   }
 
+  /** The q68 synthesized source URL — doc_id-residue hosts spanning
+    * subdomains, multi-label public suffixes and an explicit port, so the
+    * extraction rules all have something to bite on (the q46 synthesis
+    * pattern: the corpus carries no URL column).
+    */
+  private[operators] def synthUrl(id: Column): Column = {
+    val host = element_at(array(
+      lit("example.com"), lit("docs.example.com"), lit("spam-mill.biz"),
+      lit("cdn.spam-mill.biz"), lit("news.site.co.uk"),
+      lit("tracker.adnet.io"), lit("blog.example.com"),
+      lit("shop.example.org"), lit("adnet.io"), lit("papers.ac.uk")),
+      pmod(id, lit(10)).cast("int") + 1)
+    concat(lit("https://"), host,
+      when(pmod(id, lit(3)) === 0, ":8443").otherwise(""),
+      lit("/p/"), id.cast("string"))
+  }
+
+  /** Q68: URL/domain blocklist filtering — the curation stage every
+    * web-scale corpus runs first (UT1-style adult/spam/tracker domain
+    * lists in RefinedWeb/FineWeb): parse the source URL's host, derive
+    * the REGISTERED domain (a mini public-suffix rule: `co.uk`/`ac.uk`
+    * keep three labels, everything else two — so `cdn.spam-mill.biz`
+    * blocks with `spam-mill.biz` but `news.site.co.uk` is judged as
+    * `site.co.uk`, never `co.uk`), and flag it against the blocklist.
+    *
+    * Shape at scale: host/label arithmetic is pure narrow column work;
+    * the blocklist meets the corpus as a BROADCAST left join (real
+    * blocklists are a few million domains — tens of MB, comfortably
+    * broadcastable; a larger one swaps in q63's bloom-prefilter shape).
+    * Zero shuffles, plan-pinned. The flag (not a filter) is the contract:
+    * a pipeline reports WHY a doc died (q65's bit discipline).
+    */
+  def q68UrlBlocklist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blocklist = broadcast(
+      Seq("spam-mill.biz", "adnet.io", "site.co.uk")
+        .toDF("registered_domain").withColumn("_hit", lit(1)))
+    val host = regexp_extract(col("url"), "^[a-z]+://([^/:?#]+)", 1)
+    val labels = split(col("host"), "\\.")
+    val n = size(labels)
+    val last2 = concat_ws(".",
+      element_at(labels, n - 1), element_at(labels, n))
+    val registered = when(last2.isin("co.uk", "ac.uk"),
+      concat_ws(".", element_at(labels, n - 2), last2)).otherwise(last2)
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), synthUrl(col("doc_id")).as("url"))
+      .withColumn("host", host)
+      .withColumn("registered_domain", registered)
+      .join(blocklist, Seq("registered_domain"), "left")
+      .select(col("doc_id"), col("url"), col("host"),
+        col("registered_domain"),
+        coalesce(col("_hit"), lit(0)).as("blocked"))
+  }
+
   /** Q67: duplicate-line removal — the CCNet/RefinedWeb boilerplate
     * dedup stage: a line whose exact text appears in >= 3 DISTINCT
     * documents is navigation chrome / template furniture, not content,

@@ -564,4 +564,33 @@ class CorpusOpsSpec extends AnyFunSuite {
       !l.startsWith("all rights reserved")),
       "no organic duplicate body line in the fixture")
   }
+
+  test("q68 blocklist: every extraction rule discriminates on the fixture") {
+    val rows = graft.operators.Text.q68UrlBlocklist(spark, TestSpark.Sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getInt(4)))
+    assert(rows.length === 500)
+    for ((id, url, host, reg, blocked) <- rows) {
+      // the port never leaks into the host, the scheme never survives
+      assert(!host.contains(":") && !host.contains("/"), s"doc $id: $host")
+      assert(url.startsWith(s"https://$host"), s"doc $id: $url vs $host")
+      // a subdomain collapses to its registered domain
+      if (host == "cdn.spam-mill.biz") assert(reg === "spam-mill.biz")
+      // the multi-label suffix keeps three labels, never judging bare co.uk
+      if (host == "news.site.co.uk") assert(reg === "site.co.uk")
+      // a 2-label-plus-suffix host IS its own registered domain
+      if (host == "papers.ac.uk")
+        assert(reg === "papers.ac.uk" && blocked === 0)
+      // blocking is by registered domain: the bare apex and its
+      // subdomains fall together
+      assert((blocked == 1) ===
+        Set("spam-mill.biz", "adnet.io", "site.co.uk").contains(reg),
+        s"doc $id: $reg -> $blocked")
+    }
+    // both outcomes and the ported/unported variants are present
+    assert(rows.map(_._5).toSet === Set(0, 1))
+    assert(rows.exists(_._2.contains(":8443/")) &&
+      rows.exists(!_._2.contains(":8443")))
+  }
 }

@@ -350,6 +350,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles(df) === 3, s"q67 grew a shuffle:\n$p")
   }
 
+  test("q68 blocklist: zero shuffles, the domain list broadcasts") {
+    val df = graft.operators.Text.q68UrlBlocklist(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    // the corpus must never shuffle to learn a domain verdict — the
+    // blocklist (a few million domains in a real deployment, tens of MB)
+    // comes to the data
+    assert(p.contains("BroadcastHashJoin"), s"blocklist join not broadcast:\n$p")
+    assert(shuffles(df) === 0, s"q68 grew a shuffle:\n$p")
+  }
+
   test("q66 deflate kernel runs once per row in a zero-exchange plan") {
     val df = graft.operators.Text.q66CompressRatio(spark, TestSpark.Sf0001)
     assert(shuffles(df) === 0, "the compression signal grew a shuffle")
