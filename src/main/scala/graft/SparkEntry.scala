@@ -89,6 +89,7 @@ object SparkEntry {
     "q66_compress_ratio" -> (Text.q66CompressRatio _),
     "q67_line_dedup" -> (Text.q67LineDedup _),
     "q68_url_blocklist" -> (Text.q68UrlBlocklist _),
+    "q69_interval_join" -> (Relational.q69IntervalJoin _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -578,5 +579,16 @@ object SparkEntry {
         "CASE WHEN registered_domain IN " +
         "('spam-mill.biz','adnet.io','site.co.uk') THEN 1 ELSE 0 END " +
         "AS blocked FROM g"),
+    // q69: the interval join replayed as a plain inequality join; the
+    // corpus has no sub-microsecond residues, so the µs-truncated Spark
+    // timestamps and DuckDB's compare identically on the boundary
+    "q69_interval_join" ->
+      ("SELECT p.event_id AS purchase_id, v.event_id AS view_id, " +
+        "p.user_id AS user_id, " +
+        "date_trunc('second', p.ts) AS purchase_ts, " +
+        "date_trunc('second', v.ts) AS view_ts " +
+        "FROM events p JOIN events v ON v.user_id = p.user_id " +
+        "AND v.ts >= p.ts - INTERVAL 60 MINUTE AND v.ts < p.ts " +
+        "WHERE p.event_type = 'purchase' AND v.event_type = 'view'"),
   )
 }

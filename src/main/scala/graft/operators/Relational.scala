@@ -228,4 +228,41 @@ object Relational {
         date_trunc("second", col("last_view_ts")).as("last_view_ts"),
         col("n_views_before"))
   }
+
+  /** The q69 event-time interval join over any (already filtered) view /
+    * purchase frames — shared with StreamingSpec's stream-stream twin so
+    * the join predicate is ONE expression in both executions. Every
+    * (purchase, view) pair of the same user with the view inside the
+    * purchase's trailing 60-minute attribution window.
+    */
+  private[graft] def intervalJoin(views: DataFrame,
+                                  purchases: DataFrame): DataFrame =
+    purchases.alias("p").join(views.alias("v"),
+      col("p.user_id") === col("v.user_id") &&
+        col("v.ts") >= col("p.ts") - expr("INTERVAL 60 MINUTES") &&
+        col("v.ts") < col("p.ts"))
+      .select(col("p.event_id").as("purchase_id"),
+        col("v.event_id").as("view_id"),
+        col("p.user_id").as("user_id"),
+        date_trunc("second", col("p.ts")).as("purchase_ts"),
+        date_trunc("second", col("v.ts")).as("view_ts"))
+
+  /** Q69: event-time interval join — every (purchase, view-within-the-
+    * trailing-hour) pair per user, attribution's many-to-many sibling of
+    * q49's last-touch. Where q49 collapses to a window function, the
+    * interval join genuinely needs join machinery: Spark plans the
+    * user_id equi-key into ONE shuffle per side and evaluates the range
+    * condition inside the sort-merge — state per key is bounded by the
+    * 60-minute span, which is exactly what lets the SAME predicate run
+    * as a watermarked stream-stream join (StreamingSpec pins batch ≡
+    * stream on this shared expression; the watermark bounds the
+    * streaming state the way the range bounds the merge).
+    */
+  def q69IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    intervalJoin(
+      ev.filter(col("event_type") === "view"),
+      ev.filter(col("event_type") === "purchase"))
+  }
 }

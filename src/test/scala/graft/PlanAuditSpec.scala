@@ -336,6 +336,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(splits === 1, s"expected 1 tokenization, found $splits:\n$p")
   }
 
+  test("q69 interval join extracts the equi-key; the range never degrades to NLJ") {
+    val df = graft.operators.Relational.q69IntervalJoin(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    // the fatal plan for an interval join is the range condition eating
+    // the user_id equi-key: a nested-loop/cartesian over two corpus-sized
+    // sides — per-key merge state bounded by the 60-minute span is the
+    // whole scale story
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"q69 lost its equi-key:\n$p")
+    assert(shuffles(df) <= 2, s"q69 grew beyond one shuffle per side:\n$p")
+  }
+
   test("q67 line dedup: uniform shuffles only, broadcast keep-test") {
     val df = graft.operators.Text.q67LineDedup(spark, TestSpark.Sf0001)
     val p = plan(df)

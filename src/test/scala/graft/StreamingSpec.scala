@@ -82,6 +82,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("interval join: watermarked stream-stream == batch q69") {
+    // the SAME join expression (Relational.intervalJoin) runs as a
+    // watermarked stream-stream join — the watermark bounds the join
+    // state exactly the way the 60-minute range bounds the batch merge
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val streamDir = Files.createTempDirectory("graft_ij").toString
+    Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.Sf0001}/events.parquet"),
+      java.nio.file.Paths.get(s"$streamDir/events.parquet"))
+    def side(t: String) = spark.readStream.schema(rawSchema)
+      .parquet(streamDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .filter(col("event_type") === t)
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withWatermark("ts", "2 hours")
+    val joined = Relational.intervalJoin(side("view"), side("purchase"))
+    val q = joined.writeStream.format("memory").queryName("ij_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("ij_stream")
+      .as[(Long, Long, Long, java.sql.Timestamp, java.sql.Timestamp)]
+      .collect().toSet
+    val batch = Relational.q69IntervalJoin(spark, TestSpark.Sf0001)
+      .as[(Long, Long, Long, java.sql.Timestamp, java.sql.Timestamp)]
+      .collect().toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("watermark drops events later than the allowed lateness (ST4)") {
     // Append mode is where the drop guarantee holds (update mode only
     // evicts state — a too-late row can re-emit a fresh count). Each file
