@@ -90,6 +90,7 @@ object SparkEntry {
     "q67_line_dedup" -> (Text.q67LineDedup _),
     "q68_url_blocklist" -> (Text.q68UrlBlocklist _),
     "q69_interval_join" -> (Relational.q69IntervalJoin _),
+    "q70_substring_dedup" -> (Dedup.q70SubstringDedup _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -590,5 +591,33 @@ object SparkEntry {
         "FROM events p JOIN events v ON v.user_id = p.user_id " +
         "AND v.ts >= p.ts - INTERVAL 60 MINUTE AND v.ts < p.ts " +
         "WHERE p.event_type = 'purchase' AND v.event_type = 'view'"),
+    // q70: the oracle replays the whole excision relationally — dup
+    // 8-gram spans via IN, coverage via NOT EXISTS, reassembly via an
+    // ORDER BY string_agg; NULL cleaned_text for a fully-excised doc in
+    // both engines
+    "q70_substring_dedup" ->
+      ("WITH ws AS (SELECT doc_id, list_filter(" +
+        "string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '') AS ws " +
+        "FROM documents), " +
+        "inst AS (SELECT doc_id, ws, " +
+        "unnest(range(greatest(len(ws) - 7, 0))) AS start FROM ws), " +
+        "sh AS (SELECT doc_id, start, " +
+        "array_to_string(list_slice(ws, start + 1, start + 8), ' ') AS sh " +
+        "FROM inst), " +
+        "dup AS (SELECT doc_id, start FROM sh WHERE sh IN " +
+        "(SELECT sh FROM sh GROUP BY sh HAVING count(*) >= 2)), " +
+        "tok AS (SELECT doc_id, ws, unnest(range(len(ws))) AS p FROM ws), " +
+        "keep AS (SELECT t.doc_id, t.p, t.ws[t.p + 1] AS w FROM tok t " +
+        "WHERE NOT EXISTS (SELECT 1 FROM dup d WHERE d.doc_id = t.doc_id " +
+        "AND d.start <= t.p AND t.p <= d.start + 7)), " +
+        "ka AS (SELECT doc_id, count(*) AS n_kept, " +
+        "string_agg(w, ' ' ORDER BY p) AS cleaned_text FROM keep " +
+        "GROUP BY doc_id) " +
+        "SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_tokens, " +
+        "CAST(len(w.ws) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed, " +
+        "CASE WHEN len(w.ws) > 0 THEN round(CAST(len(w.ws) - " +
+        "coalesce(k.n_kept, 0) AS DOUBLE) / len(w.ws), 6) END " +
+        "AS removed_frac, k.cleaned_text " +
+        "FROM ws w LEFT JOIN ka k USING (doc_id)"),
   )
 }

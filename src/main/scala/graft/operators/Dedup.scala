@@ -447,4 +447,67 @@ object Dedup {
   def q31ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .agg(approx_count_distinct(col("text")).as("approx_distinct_texts"))
+
+  /** Q70: EXACT SUBSTRING deduplication (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", §ExactSubstr): any
+    * word-8-gram occurring MORE THAN ONCE corpus-wide marks its 8-token
+    * span, every marked token is excised (within-doc repeats included —
+    * unlike the suffix-array original we keep no canonical copy; the
+    * choice is documented, deterministic, and what a memorization scrub
+    * wants), and the surviving tokens are re-joined in order. The
+    * span-granular sibling of q67's line dedup and q21's whole-doc hash:
+    * it catches the quote/template reuse neither can see.
+    *
+    * Shape at scale (suffix arrays don't distribute; shingle counting
+    * does — the published Spark-era re-formulation):
+    *  1. shingle instances (doc_id, start, sh) — narrow explode, ~one
+    *     per token;
+    *  2. corpus-wide occurrence count per shingle — one shuffle keyed by
+    *     the UNIFORM shingle text, map-side partial agg absorbing viral
+    *     shingles;
+    *  3. duplicate instances = instances ⋈ (count >= 2) vocabulary —
+    *     deliberately a SHUFFLED join (the duplicate vocabulary is
+    *     corpus-scaled, NOT broadcastable; the q63 bloom prefilter is
+    *     the optional accelerator, AQE splits any viral-shingle skew);
+    *  4. per-doc duplicate-start lists (collect_list bounded by doc
+    *     length), re-joined to `documents` once by doc_id;
+    *  5. reconstruction is pure per-row array work: token p survives iff
+    *     no duplicate span starts in [p-7, p] — the nested `exists` is
+    *     O(tokens × dup-spans) per doc, bounded by doc length both ways.
+    *
+    * `cleaned_text` is NULL when nothing survives (q67's convention);
+    * the removed fraction folds exact BIGINT counts with one final
+    * rounding.
+    */
+  def q70SubstringDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val withWords = docs.select(col("doc_id"), words(col("text")).as("ws"))
+    val inst = withWords
+      .filter(size(col("ws")) >= 8)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(col("ws")) - 8),
+          i => struct(i.as("start"),
+            array_join(slice(col("ws"), i + 1, lit(8)), " ").as("sh"))))
+        .as("s"))
+      .select(col("doc_id"), col("s.start").as("start"), col("s.sh").as("sh"))
+    val dupVocab = inst.groupBy("sh").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("sh")
+    val dupStarts = inst.join(dupVocab.hint("shuffle_hash"), "sh")
+      .groupBy("doc_id").agg(sort_array(collect_list(col("start"))).as("dup_starts"))
+    val joined = withWords.join(dupStarts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ws"),
+        coalesce(col("dup_starts"), array().cast("array<int>")).as("ds"))
+    val toks = transform(col("ws"), (w, i) => struct(i.as("p"), w.as("w")))
+    val kept = filter(toks, t => !exists(col("ds"),
+      s => s <= t.getField("p") && t.getField("p") <= s + 7))
+    joined.select(col("doc_id"),
+      size(col("ws")).cast("long").as("n_tokens"),
+      (size(col("ws")) - size(kept)).cast("long").as("n_removed"),
+      when(size(col("ws")) > 0,
+        round((size(col("ws")) - size(kept)).cast("double") /
+          size(col("ws")), 6)).as("removed_frac"),
+      when(size(kept) === 0, lit(null).cast("string"))
+        .otherwise(array_join(transform(kept, t => t.getField("w")), " "))
+        .as("cleaned_text"))
+  }
 }

@@ -565,6 +565,49 @@ class CorpusOpsSpec extends AnyFunSuite {
       "no organic duplicate body line in the fixture")
   }
 
+  test("q70 substring dedup matches a full independent Scala replay") {
+    val docs = graft.Tables.load(spark, TestSpark.Sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def toks(t: String): Vector[String] =
+      t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toVector
+    // corpus-wide 8-gram occurrence counts (plain Scala, no Spark)
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    val starts = docs.toSeq.map { case (id, t) =>
+      val ws = toks(t)
+      val sh = (0 to ws.length - 8).map(i => ws.slice(i, i + 8).mkString(" "))
+      sh.foreach(s => counts(s) = counts.getOrElse(s, 0) + 1)
+      id -> sh
+    }.toMap
+    val rows = graft.operators.Dedup.q70SubstringDedup(spark, TestSpark.Sf0001)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows.size === docs.size)
+    var totalRemoved = 0L
+    for ((id, t) <- docs) {
+      val ws = toks(t)
+      val dupStarts = starts(id).zipWithIndex.collect {
+        case (s, i) if counts(s) >= 2 => i
+      }
+      val kept = ws.zipWithIndex.collect {
+        case (w, p) if !dupStarts.exists(s => s <= p && p <= s + 7) => w
+      }
+      val r = rows(id)
+      assert(r.getLong(r.fieldIndex("n_tokens")) === ws.length, s"doc $id")
+      assert(r.getLong(r.fieldIndex("n_removed")) === ws.length - kept.length,
+        s"doc $id removed")
+      assert(Option(r.getString(r.fieldIndex("cleaned_text"))) ===
+        (if (kept.isEmpty) None else Some(kept.mkString(" "))),
+        s"doc $id reassembly")
+      totalRemoved += ws.length - kept.length
+    }
+    // the excision must bite (word-soup corpora carry organic 8-gram
+    // repeats) and must not degenerate to removing everything
+    assert(totalRemoved > 0, "no duplicate span in the fixture")
+    assert(rows.values.exists(r =>
+      r.getString(r.fieldIndex("cleaned_text")) != null),
+      "every doc was fully excised — fixture degenerate")
+  }
+
   test("q68 blocklist: every extraction rule discriminates on the fixture") {
     val rows = graft.operators.Text.q68UrlBlocklist(spark, TestSpark.Sf0001)
       .collect()

@@ -348,6 +348,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles(df) <= 2, s"q69 grew beyond one shuffle per side:\n$p")
   }
 
+  test("q70 substring dedup: shuffled vocab join by design, no broadcast") {
+    val df = graft.operators.Dedup.q70SubstringDedup(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    // the duplicate-8-gram vocabulary is corpus-scaled — the premise is
+    // that it does NOT broadcast (q67's boilerplate set does); the
+    // instance⋈vocab meet must stay a shuffled hash join on the uniform
+    // shingle key
+    assert(p.contains("ShuffledHashJoin [sh"), s"vocab join shape changed:\n$p")
+    assert(!p.contains("BroadcastHashJoin [sh"),
+      "the corpus-scaled vocab must not claim broadcastability")
+    // (the doc_id re-join is left to stats: broadcast at test scale,
+    // SMJ at corpus scale — both are the right call for their inputs)
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
+    // exchanges: shingle-count agg + the two join sides on sh, the
+    // per-doc start fold, and the doc_id re-join of `documents` — all
+    // uniform keys; the reconstruction itself is pure narrow array work
+    assert(shuffles(df) <= 6, s"q70 grew a shuffle:\n$p")
+  }
+
   test("q67 line dedup: uniform shuffles only, broadcast keep-test") {
     val df = graft.operators.Text.q67LineDedup(spark, TestSpark.Sf0001)
     val p = plan(df)
