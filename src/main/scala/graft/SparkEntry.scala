@@ -91,6 +91,7 @@ object SparkEntry {
     "q68_url_blocklist" -> (Text.q68UrlBlocklist _),
     "q69_interval_join" -> (Relational.q69IntervalJoin _),
     "q70_substring_dedup" -> (Dedup.q70SubstringDedup _),
+    "q71_web_preclean" -> (Text.q71WebPreclean _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -619,5 +620,74 @@ object SparkEntry {
         "coalesce(k.n_kept, 0) AS DOUBLE) / len(w.ws), 6) END " +
         "AS removed_frac, k.cleaned_text " +
         "FROM ws w LEFT JOIN ka k USING (doc_id)"),
+    // q71: the q68 -> q67 -> q65 CTE fragments chained in intake order —
+    // blocklist filter first, line-df scoped to the SURVIVOR frame, rule
+    // bits re-judged on the cleaned text (NULL-text degenerates fold to
+    // n_words 0 / keep 0 in both engines)
+    "q71_web_preclean" ->
+      ("WITH u AS (SELECT doc_id, text, 'https://' || " +
+        "(['example.com','docs.example.com','spam-mill.biz'," +
+        "'cdn.spam-mill.biz','news.site.co.uk','tracker.adnet.io'," +
+        "'blog.example.com','shop.example.org','adnet.io','papers.ac.uk'])" +
+        "[CAST(doc_id % 10 AS INTEGER) + 1] || " +
+        "CASE WHEN doc_id % 3 = 0 THEN ':8443' ELSE '' END || " +
+        "'/p/' || CAST(doc_id AS VARCHAR) AS url FROM documents), " +
+        "h AS (SELECT doc_id, text, " +
+        "regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS host FROM u), " +
+        "r0 AS (SELECT doc_id, text, string_split(host, '.') AS ls FROM h), " +
+        "g AS (SELECT doc_id, text, " +
+        "CASE WHEN ls[len(ls)-1] || '.' || ls[len(ls)] IN ('co.uk','ac.uk') " +
+        "THEN ls[len(ls)-2] || '.' || ls[len(ls)-1] || '.' || ls[len(ls)] " +
+        "ELSE ls[len(ls)-1] || '.' || ls[len(ls)] END AS registered_domain " +
+        "FROM r0), " +
+        "s AS (SELECT * FROM g WHERE registered_domain NOT IN " +
+        "('spam-mill.biz','adnet.io','site.co.uk')), " +
+        "ws0 AS (SELECT doc_id, registered_domain, list_filter(" +
+        "string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '') AS ws " +
+        "FROM s), " +
+        "ln AS (SELECT doc_id, registered_domain, list_concat(list_concat(" +
+        "['boilerplate header variant ' || CAST(doc_id % 7 AS VARCHAR)], " +
+        "list_transform(range(CAST(ceil(len(ws) / 8.0) AS INTEGER)), " +
+        "i -> array_to_string(list_slice(ws, i*8 + 1, i*8 + 8), ' '))), " +
+        "['all rights reserved variant ' || CAST(doc_id % 5 AS VARCHAR)]) " +
+        "AS lines FROM ws0), " +
+        "l AS (SELECT doc_id, registered_domain, " +
+        "generate_subscripts(lines, 1) AS pos, unnest(lines) AS line " +
+        "FROM ln), " +
+        "d AS (SELECT line FROM l GROUP BY line " +
+        "HAVING count(DISTINCT doc_id) >= 3), " +
+        "k AS (SELECT l.doc_id, l.registered_domain, l.pos, l.line, " +
+        "d.line IS NULL AS kept FROM l LEFT JOIN d USING (line)), " +
+        "agg AS (SELECT doc_id, registered_domain, count(*) AS n_lines, " +
+        "CAST(sum(CASE WHEN NOT kept THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_removed, " +
+        "round(CAST(sum(CASE WHEN NOT kept THEN len(line) ELSE 0 END) " +
+        "AS DOUBLE) / sum(len(line)), 6) AS removed_char_frac, " +
+        "string_agg(CASE WHEN kept THEN line END, chr(10) ORDER BY pos) " +
+        "AS cleaned_text FROM k GROUP BY doc_id, registered_domain), " +
+        "t AS (SELECT agg.*, list_filter(string_split_regex(" +
+        "lower(cleaned_text), '[^a-z0-9]+'), w -> w <> '') AS cws FROM agg), " +
+        "m AS (SELECT doc_id, registered_domain, n_lines, n_removed, " +
+        "removed_char_frac, cleaned_text, " +
+        "CAST(coalesce(len(cws), 0) AS BIGINT) AS n_words, " +
+        "CASE WHEN len(cws) > 0 THEN round(CAST(len(array_to_string(cws, " +
+        "'')) AS DOUBLE) / len(cws), 6) END AS mean_word_len, " +
+        "CASE WHEN len(cws) > 0 THEN round(CAST(len(list_filter(cws, " +
+        "w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / len(cws), 6) END " +
+        "AS alpha_frac, " +
+        "CAST(coalesce(len(list_filter(cws, w -> w IN ('the','be','to'," +
+        "'of','and','a','in','that','have','i'))), 0) AS BIGINT) " +
+        "AS stop_hits FROM t), " +
+        "rr AS (SELECT m.*, " +
+        "CAST(n_words >= 40 AND n_words <= 100000 AS INTEGER) AS r_len, " +
+        "CAST(coalesce(mean_word_len >= 3.0 AND mean_word_len <= 4.6, " +
+        "false) AS INTEGER) AS r_wlen, " +
+        "CAST(coalesce(alpha_frac >= 0.8, false) AS INTEGER) AS r_alpha, " +
+        "CAST(stop_hits >= 2 AS INTEGER) AS r_stop FROM m) " +
+        "SELECT doc_id, registered_domain, n_lines, n_removed, " +
+        "removed_char_frac, cleaned_text, n_words, mean_word_len, " +
+        "alpha_frac, stop_hits, r_len, r_wlen, r_alpha, r_stop, " +
+        "CAST(r_len = 1 AND r_wlen = 1 AND r_alpha = 1 AND r_stop = 1 " +
+        "AS INTEGER) AS keep FROM rr"),
   )
 }

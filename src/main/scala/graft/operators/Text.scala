@@ -637,7 +637,16 @@ object Text {
     * Zero shuffles, plan-pinned. The flag (not a filter) is the contract:
     * a pipeline reports WHY a doc died (q65's bit discipline).
     */
-  def q68UrlBlocklist(spark: SparkSession, dir: String): DataFrame = {
+  def q68UrlBlocklist(spark: SparkSession, dir: String): DataFrame =
+    urlBlocklistOn(spark, Tables.load(spark, dir, "documents"))
+      .select("doc_id", "url", "host", "registered_domain", "blocked")
+
+  /** The q68 verdict over any doc_id-keyed frame, carrying `carry`
+    * columns through unchanged — the frame form a composed pipeline
+    * (q71) consumes. One broadcast join, otherwise narrow.
+    */
+  private[graft] def urlBlocklistOn(spark: SparkSession, docs: DataFrame,
+                                    carry: Seq[String] = Nil): DataFrame = {
     import spark.implicits._
     val blocklist = broadcast(
       Seq("spam-mill.biz", "adnet.io", "site.co.uk")
@@ -649,14 +658,14 @@ object Text {
       element_at(labels, n - 1), element_at(labels, n))
     val registered = when(last2.isin("co.uk", "ac.uk"),
       concat_ws(".", element_at(labels, n - 2), last2)).otherwise(last2)
-    Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), synthUrl(col("doc_id")).as("url"))
+    docs
+      .select(col("doc_id") +: carry.map(col) :+
+        synthUrl(col("doc_id")).as("url"): _*)
       .withColumn("host", host)
       .withColumn("registered_domain", registered)
       .join(blocklist, Seq("registered_domain"), "left")
-      .select(col("doc_id"), col("url"), col("host"),
-        col("registered_domain"),
-        coalesce(col("_hit"), lit(0)).as("blocked"))
+      .withColumn("blocked", coalesce(col("_hit"), lit(0)))
+      .drop("_hit")
   }
 
   /** Q67: duplicate-line removal — the CCNet/RefinedWeb boilerplate
@@ -688,18 +697,28 @@ object Text {
     * removed-char fraction folds exact BIGINT lengths before the single
     * final rounding, so the result is order-independent.
     */
-  def q67LineDedup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
-    val lined = docs.select(col("doc_id"),
-      posexplode(synthLines(col("doc_id"), col("text"))).as(Seq("pos", "line")))
+  def q67LineDedup(spark: SparkSession, dir: String): DataFrame =
+    lineDedupOn(Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), synthLines(col("doc_id"), col("text")).as("lines")))
+
+  /** The q67 dedup over any (doc_id, lines array) frame — document
+    * frequency spans exactly the given frame (q51's TF-IDF framing
+    * discipline: a pipeline scopes the rule to its own survivor set).
+    * Extra `keys` ride the reassembly groupBy so doc-level attributes
+    * (functionally dependent on doc_id) carry through WITHOUT a repair
+    * join afterwards.
+    */
+  private[graft] def lineDedupOn(lined0: DataFrame,
+                                 keys: Seq[String] = Seq("doc_id")): DataFrame = {
+    val lined = lined0.select(keys.map(col) :+
+      posexplode(col("lines")).as(Seq("pos", "line")): _*)
     val dup = lined.groupBy("line")
       .agg(countDistinct(col("doc_id")).as("line_df"))
       .filter(col("line_df") >= 3)
       .select(col("line"), lit(1).as("_dup"))
     val marked = lined.join(broadcast(dup), Seq("line"), "left")
-      .select(col("doc_id"), col("pos"),
-        col("line"), col("_dup").isNull.as("kept"))
-    val folded = marked.groupBy("doc_id").agg(
+      .withColumn("kept", col("_dup").isNull)
+    val folded = marked.groupBy(keys.map(col): _*).agg(
       count(lit(1)).as("n_lines"),
       sum(when(!col("kept"), lit(1L)).otherwise(lit(0L))).as("n_removed"),
       sum(when(!col("kept"), length(col("line")).cast("long"))
@@ -709,10 +728,50 @@ object Text {
     val keptArr = transform(
       filter(array_sort(col("_ls")), x => x.getField("kept")),
       x => x.getField("line"))
-    folded.select(col("doc_id"), col("n_lines"), col("n_removed"),
+    folded.select(keys.map(col) ++ Seq(col("n_lines"), col("n_removed"),
       round(col("_rm_chars").cast("double") / col("_all_chars"), 6)
         .as("removed_char_frac"),
       when(size(keptArr) === 0, lit(null).cast("string"))
-        .otherwise(array_join(keptArr, "\n")).as("cleaned_text"))
+        .otherwise(array_join(keptArr, "\n")).as("cleaned_text")): _*)
+  }
+
+  /** Q71: the composed WEB-PRECLEAN front half every web-scale corpus
+    * runs before anything content-aware (the RefinedWeb/FineWeb intake
+    * order, q51's composition discipline applied to the q67/q68/q65
+    * family):
+    *
+    *  1. domain gate — q68's verdict, and this stage FILTERS (a
+    *     blocklisted doc never pays another stage's compute);
+    *  2. line dedup over the SURVIVOR frame — document frequency scopes
+    *     to what survived stage 1 (the q51 framing rule: a pipeline
+    *     judges duplication among its own candidates, not the corpus it
+    *     already rejected). `registered_domain` rides the reassembly
+    *     groupBy key (functionally dependent on doc_id) so the manifest
+    *     needs NO repair join;
+    *  3. q65's rule gate re-judged on the CLEANED text — boilerplate
+    *     removal changes word counts, so the bits must be computed after
+    *     it (a fully-excised doc grades n_words 0, keep 0, NULL ratios —
+    *     the same degenerate contract as q65 on empty text).
+    *
+    * One manifest row per SURVIVING doc: where it came from, what line
+    * dedup took, every rule bit on what remains. Exchanges stay the
+    * line-dedup three; stages 1 and 3 are narrow.
+    */
+  def q71WebPreclean(spark: SparkSession, dir: String): DataFrame = {
+    val survivors = urlBlocklistOn(spark,
+      Tables.load(spark, dir, "documents"), carry = Seq("text"))
+      .filter(col("blocked") === 0)
+    val cleaned = lineDedupOn(
+      survivors.select(col("doc_id"), col("registered_domain"),
+        synthLines(col("doc_id"), col("text")).as("lines")),
+      keys = Seq("doc_id", "registered_domain"))
+    ruleFrame(
+      cleaned.withColumn("text", col("cleaned_text")),
+      extra = Seq(
+        "registered_domain" -> col("registered_domain"),
+        "n_lines" -> col("n_lines"),
+        "n_removed" -> col("n_removed"),
+        "removed_char_frac" -> col("removed_char_frac"),
+        "cleaned_text" -> col("cleaned_text")))
   }
 }

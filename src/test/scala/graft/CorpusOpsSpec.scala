@@ -608,6 +608,46 @@ class CorpusOpsSpec extends AnyFunSuite {
       "every doc was fully excised — fixture degenerate")
   }
 
+  test("q71 stages compose consistently and the frame-scoped df differs from q67's") {
+    val pre = graft.operators.Text.q71WebPreclean(spark, TestSpark.Sf0001)
+      .collect().map(r => r.getLong(r.fieldIndex("doc_id")) -> r).toMap
+    val verdicts = graft.operators.Text.q68UrlBlocklist(spark, TestSpark.Sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getString(3), r.getInt(4))).toMap
+    // stage 1 filters: exactly the unblocked docs survive, domains agree
+    assert(pre.keySet === verdicts.collect {
+      case (id, (_, 0)) => id
+    }.toSet)
+    pre.foreach { case (id, r) =>
+      assert(r.getString(r.fieldIndex("registered_domain")) === verdicts(id)._1)
+    }
+    // stage 3 judges the CLEANED text: n_words is the cleaned token
+    // count, and the keep conjunction holds row-by-row
+    pre.values.foreach { r =>
+      val cleaned = Option(r.getString(r.fieldIndex("cleaned_text")))
+      val n = cleaned.map(_.toLowerCase.split("[^a-z0-9]+")
+        .count(_.nonEmpty)).getOrElse(0)
+      assert(r.getLong(r.fieldIndex("n_words")) === n)
+      val bits = Seq("r_len", "r_wlen", "r_alpha", "r_stop")
+        .map(c => r.getInt(r.fieldIndex(c)))
+      assert(r.getInt(r.fieldIndex("keep")) === bits.min)
+    }
+    // the line-df frame really is the SURVIVOR set: q67 (corpus-wide df)
+    // removes strictly more line mass than q71 does on its survivors for
+    // at least one doc — blocked docs' headers no longer push a variant
+    // over the threshold, or body dups lose a contributor
+    val q67 = graft.operators.Text.q67LineDedup(spark, TestSpark.Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(r.fieldIndex("n_removed"))).toMap
+    val diffs = pre.collect {
+      case (id, r) if q67(id) != r.getLong(r.fieldIndex("n_removed")) => id
+    }
+    pre.foreach { case (id, r) =>
+      assert(r.getLong(r.fieldIndex("n_removed")) <= q67(id),
+        s"doc $id: survivor-frame df removed MORE than corpus-wide df")
+    }
+    assert(diffs.nonEmpty,
+      "frame scoping is unobservable on this fixture — df sets identical")
+  }
+
   test("q68 blocklist: every extraction rule discriminates on the fixture") {
     val rows = graft.operators.Text.q68UrlBlocklist(spark, TestSpark.Sf0001)
       .collect()

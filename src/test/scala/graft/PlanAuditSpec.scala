@@ -367,6 +367,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles(df) <= 6, s"q70 grew a shuffle:\n$p")
   }
 
+  test("q71 web preclean keeps the line-dedup exchange budget; gates are narrow") {
+    val df = graft.operators.Text.q71WebPreclean(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    // stage 1 (blocklist) and stage 3 (rule bits) must add NO exchange:
+    // the whole composition pays only q67's three uniform shuffles, with
+    // registered_domain riding the reassembly key instead of a repair join
+    assert(shuffles(df) === 3, s"a q71 gate stage grew a shuffle:\n$p")
+    // blocklist + dup-vocab joins broadcast (the blocklist one replays on
+    // both lineages of the exploded line frame — a broadcast is the cheap
+    // thing to replay, which is rather the point)
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 2, s"a q71 broadcast join disappeared, got $bhj:\n$p")
+    assert(!p.contains("SortMergeJoin"), "a q71 join degraded to sort-merge")
+  }
+
   test("q67 line dedup: uniform shuffles only, broadcast keep-test") {
     val df = graft.operators.Text.q67LineDedup(spark, TestSpark.Sf0001)
     val p = plan(df)
