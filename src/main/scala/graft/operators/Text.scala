@@ -591,8 +591,15 @@ object Text {
     * are single-line. Shared with the oracle's CTE so the line-building
     * arithmetic cannot drift.
     */
-  private[operators] def synthLines(id: Column, text: Column): Column = {
-    val ws = words(text)
+  /** [[synthLines]] over an ALREADY-MATERIALIZED token-array column.
+    * The split: a HOF lambda body is re-evaluated per element with no
+    * subexpression sharing across the lambda boundary, so handing
+    * `transform` an inline `words(text)` re-runs the regex split once
+    * PER BODY CHUNK — O(tokens²/8) per document. Callers must project
+    * the token array into its own column first (the kernel pre-projection
+    * rule from the multimodal family, applied to arrays).
+    */
+  private[operators] def synthLinesFromWs(id: Column, ws: Column): Column = {
     val body = when(size(ws) === 0, array().cast("array<string>"))
       .otherwise(transform(
         sequence(lit(0), ceil(size(ws) / lit(8.0)).cast("int") - 1),
@@ -604,6 +611,9 @@ object Text {
       array(concat(lit("all rights reserved variant "),
         pmod(id, lit(5)).cast("string"))))
   }
+
+  private[operators] def synthLines(id: Column, text: Column): Column =
+    synthLinesFromWs(id, words(text))
 
   /** The q68 synthesized source URL — doc_id-residue hosts spanning
     * subdomains, multi-label public suffixes and an explicit port, so the
@@ -699,7 +709,9 @@ object Text {
     */
   def q67LineDedup(spark: SparkSession, dir: String): DataFrame =
     lineDedupOn(Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), synthLines(col("doc_id"), col("text")).as("lines")))
+      .select(col("doc_id"), words(col("text")).as("_ws"))
+      .select(col("doc_id"),
+        synthLinesFromWs(col("doc_id"), col("_ws")).as("lines")))
 
   /** The q67 dedup over any (doc_id, lines array) frame — document
     * frequency spans exactly the given frame (q51's TF-IDF framing
@@ -710,8 +722,14 @@ object Text {
     */
   private[graft] def lineDedupOn(lined0: DataFrame,
                                  keys: Seq[String] = Seq("doc_id")): DataFrame = {
+    // posexplode_OUTER on purpose: plain posexplode makes the optimizer
+    // infer a `size(lines) > 0` filter that re-inlines the whole line
+    // synthesis (per-chunk lambda included) as a second per-row
+    // evaluation below the Generate; the array here is never empty by
+    // construction (header + footer), so outer semantics are identical
+    // and the inferred filter never exists
     val lined = lined0.select(keys.map(col) :+
-      posexplode(col("lines")).as(Seq("pos", "line")): _*)
+      posexplode_outer(col("lines")).as(Seq("pos", "line")): _*)
     val dup = lined.groupBy("line")
       .agg(countDistinct(col("doc_id")).as("line_df"))
       .filter(col("line_df") >= 3)
@@ -763,7 +781,9 @@ object Text {
       .filter(col("blocked") === 0)
     val cleaned = lineDedupOn(
       survivors.select(col("doc_id"), col("registered_domain"),
-        synthLines(col("doc_id"), col("text")).as("lines")),
+        words(col("text")).as("_ws"))
+        .select(col("doc_id"), col("registered_domain"),
+          synthLinesFromWs(col("doc_id"), col("_ws")).as("lines")),
       keys = Seq("doc_id", "registered_domain"))
     ruleFrame(
       cleaned.withColumn("text", col("cleaned_text")),
