@@ -107,6 +107,11 @@ object Bootstrap {
     // mean_surprisal <= z` is the whole corpus-filter decision in SQL
     operators.Text.docQuality(spark, dir)
       .createOrReplaceTempView("vw_doc_quality")
+    // the web-intake front half (q71): domain-gated, line-deduped,
+    // rule-graded survivors — `WHERE keep = 1` is the SQL-only "give me
+    // the clean web corpus" read
+    operators.Text.q71WebPreclean(spark, dir)
+      .createOrReplaceTempView("vw_web_preclean")
   }
 
   /** Register the landing table + curated views over it — the TRANSFORM
