@@ -92,6 +92,7 @@ object SparkEntry {
     "q69_interval_join" -> (Relational.q69IntervalJoin _),
     "q70_substring_dedup" -> (Dedup.q70SubstringDedup _),
     "q71_web_preclean" -> (Text.q71WebPreclean _),
+    "q72_top_boilerplate" -> (Text.q72TopBoilerplate _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -689,5 +690,21 @@ object SparkEntry {
         "alpha_frac, stop_hits, r_len, r_wlen, r_alpha, r_stop, " +
         "CAST(r_len = 1 AND r_wlen = 1 AND r_alpha = 1 AND r_stop = 1 " +
         "AS INTEGER) AS keep FROM rr"),
+    // q72: q67's line CTEs, df >= 3, total (df DESC, line ASC) order,
+    // LIMIT 20
+    "q72_top_boilerplate" ->
+      ("WITH ws AS (SELECT doc_id, list_filter(" +
+        "string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '') AS ws " +
+        "FROM documents), " +
+        "ln AS (SELECT doc_id, list_concat(list_concat(" +
+        "['boilerplate header variant ' || CAST(doc_id % 7 AS VARCHAR)], " +
+        "list_transform(range(CAST(ceil(len(ws) / 8.0) AS INTEGER)), " +
+        "i -> array_to_string(list_slice(ws, i*8 + 1, i*8 + 8), ' '))), " +
+        "['all rights reserved variant ' || CAST(doc_id % 5 AS VARCHAR)]) " +
+        "AS lines FROM ws), " +
+        "l AS (SELECT doc_id, unnest(lines) AS line FROM ln) " +
+        "SELECT line, count(DISTINCT doc_id) AS line_df FROM l " +
+        "GROUP BY line HAVING count(DISTINCT doc_id) >= 3 " +
+        "ORDER BY line_df DESC, line ASC LIMIT 20"),
   )
 }

@@ -753,6 +753,30 @@ object Text {
         .otherwise(array_join(keptArr, "\n")).as("cleaned_text")): _*)
   }
 
+  /** Q72: the boilerplate report — the top-20 duplicated lines by
+    * document frequency, the observability read a curation team actually
+    * makes against q67's duplicate vocabulary ("what exactly are we
+    * stripping corpus-wide, and how much of it is there?"). Orders by
+    * (df DESC, line ASC) so the contract is total and engine-portable.
+    *
+    * Shape: q67's two uniform df exchanges, then a global top-k that
+    * must plan as TakeOrderedAndProject (per-partition heaps + one
+    * driver-side merge of 20-row heads — q07's discipline), never a
+    * global sort of the line vocabulary.
+    */
+  def q72TopBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val lined = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), words(col("text")).as("_ws"))
+      .select(col("doc_id"),
+        posexplode_outer(synthLinesFromWs(col("doc_id"), col("_ws")))
+          .as(Seq("pos", "line")))
+    lined.groupBy("line")
+      .agg(countDistinct(col("doc_id")).as("line_df"))
+      .filter(col("line_df") >= 3)
+      .orderBy(col("line_df").desc, col("line").asc)
+      .limit(20)
+  }
+
   /** Q71: the composed WEB-PRECLEAN front half every web-scale corpus
     * runs before anything content-aware (the RefinedWeb/FineWeb intake
     * order, q51's composition discipline applied to the q67/q68/q65

@@ -382,6 +382,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "a q71 join degraded to sort-merge")
   }
 
+  test("q72 boilerplate report plans a heap top-k, not a vocabulary sort") {
+    val df = graft.operators.Text.q72TopBoilerplate(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q72 lost the heap top-k:\n$p")
+    assert(shuffles(df) === 2, s"q72 grew beyond the two df exchanges:\n$p")
+  }
+
   test("q67 line dedup: uniform shuffles only, broadcast keep-test") {
     val df = graft.operators.Text.q67LineDedup(spark, TestSpark.Sf0001)
     val p = plan(df)
