@@ -93,6 +93,7 @@ object SparkEntry {
     "q70_substring_dedup" -> (Dedup.q70SubstringDedup _),
     "q71_web_preclean" -> (Text.q71WebPreclean _),
     "q72_top_boilerplate" -> (Text.q72TopBoilerplate _),
+    "q73_ann_pq" -> (Similarity.q73AnnPq _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):

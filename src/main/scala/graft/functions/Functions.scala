@@ -119,6 +119,25 @@ object VectorOps {
     ColumnBridge.column(DotProductI8(
       ColumnBridge.expression(a.cast("array<tinyint>")),
       ColumnBridge.expression(b.cast("array<tinyint>"))))
+
+  /** PQ asymmetric-distance accumulation via the codegen'd [[PqAdc]]
+    * kernel: m flat-LUT loads addressed by the packed codeword long.
+    */
+  def pqAdc(lut: Column, packed: Column, m: Int, ks: Int): Column =
+    ColumnBridge.column(PqAdc(
+      ColumnBridge.expression(lut.cast("array<double>")),
+      ColumnBridge.expression(packed.cast("long")), m, ks))
+
+  /** The interpreted HOF twin of [[pqAdc]] — retained ONLY as the
+    * independent oracle for VectorKernelSpec (it is the exact expression
+    * q73's ADC stage shipped before kernelization; 6.9 s vs sub-second
+    * for the sf0.001 sweep). element_at over ARRAY is 1-based.
+    */
+  def pqAdcHof(lut: Column, packed: Column, m: Int, ks: Int): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
+      acc + element_at(lut,
+        (s * ks + pmod(floor(packed / pow(lit(ks.toDouble), s)), lit(ks)))
+          .cast("int") + 1))
 }
 
 object ImageOps {

@@ -143,3 +143,69 @@ case class DotProductI8(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): DotProductI8 =
     copy(left = newLeft, right = newRight)
 }
+
+/** The PQ asymmetric-distance kernel (q73): given a query's flat LUT
+  * (ARRAY<DOUBLE> of m·ks partial dot products, position = sub·ks + code)
+  * and a candidate's base-ks packed codeword long, accumulate the m table
+  * entries the codes address — ADC ≈ ⟨q, x̂⟩ in m primitive loads, zero
+  * array math per pair. The HOF spelling (aggregate over sequence with
+  * element_at + floor/pow unpacking) walks generic ArrayData through
+  * interpreted lambdas per pair — the dotHof lesson again, measured 6.9 s
+  * for q73's sf0.001 sweep vs sub-second kernelized. Parity with the HOF
+  * twin (VectorOps.pqAdcHof) is pinned in VectorKernelSpec.
+  *
+  * NULL semantics: either input NULL -> NULL (BinaryExpression gate); a
+  * code addressing past the LUT or a NULL slot (an out-of-vocabulary
+  * codeword — impossible for self-encoded corpora, defensive otherwise)
+  * -> NULL, same poisoning discipline as [[DotProduct]].
+  */
+case class PqAdc(left: Expression, right: Expression, m: Int, ks: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_pq_adc"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val lut = a.asInstanceOf[ArrayData]
+    var packed = b.asInstanceOf[Long]
+    val n = lut.numElements()
+    var s = 0.0
+    var sub = 0
+    while (sub < m) {
+      val idx = sub * ks + (packed % ks).toInt
+      if (idx < 0 || idx >= n || lut.isNullAt(idx)) return null
+      s += lut.getDouble(idx)
+      packed /= ks
+      sub += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val sub = ctx.freshName("sub")
+      val idx = ctx.freshName("idx")
+      val packed = ctx.freshName("packed")
+      s"""
+         |final int $n = $a.numElements();
+         |long $packed = $b;
+         |double $s = 0.0;
+         |for (int $sub = 0; $sub < $m; $sub++) {
+         |  final int $idx = $sub * $ks + (int) ($packed % $ks);
+         |  if ($idx < 0 || $idx >= $n || $a.isNullAt($idx)) { ${ev.isNull} = true; break; }
+         |  $s += $a.getDouble($idx);
+         |  $packed /= $ks;
+         |}
+         |if (!${ev.isNull}) { ${ev.value} = $s; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
+}

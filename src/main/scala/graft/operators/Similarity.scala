@@ -329,4 +329,202 @@ object Similarity {
     */
   def q36AnnIvf(spark: SparkSession, dir: String): DataFrame =
     ivfCosine(spark, dir)
+
+  // ───────────────────────── product quantization ─────────────────────────
+
+  /** PQ codebooks (Jégou et al. 2011): the d-dim space is split into `m`
+    * subspaces of `dsub` dims; per subspace, `ks` centroids are seeded by
+    * the hash-stratified election `seedCentroids` uses (keyed by subspace
+    * here) and refined by `rounds` Lloyd iterations under L2 — the
+    * training metric PQ uses regardless of the query metric. Every stage
+    * is an aggregation tree over (sub, code[, pos]) keys; the finished
+    * codebook is m·ks rows — a few KB that BROADCASTS everywhere it is
+    * consumed. `cn2` (centroid self-dot) rides along so assignment can
+    * rank by the L2-monotone `cn2 − 2·⟨sv,cv⟩` without touching ‖sv‖.
+    */
+  private def pqCodebooks(subs: DataFrame, ks: Int, rounds: Int,
+                          materialize: DataFrame => DataFrame): DataFrame = {
+    val seed = subs
+      .groupBy(col("sub"), pmod(hash(col("vec_id")), lit(ks)).as("code"))
+      .agg(min_by(col("sv"),
+        struct(md5(col("vec_id").cast("string")), col("vec_id"))).as("cv"))
+    // ONE eager checkpoint of the FINAL m·ks-row table (the Dedup-loop
+    // discipline): the encoder, the LUT builder and any later round all
+    // broadcast the same materialized codebook — without the truncation
+    // every consumer re-derives the whole training lineage (22 exchanges
+    // instead of 8). Intermediate rounds stay inline: their duplication is
+    // paid once INSIDE the single materialization job, where a per-round
+    // checkpoint would pay a whole job cycle per round instead.
+    val trained = (1 to rounds).foldLeft(seed) { (cb, _) =>
+      pqAssign(subs, withCn2(cb))
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("sub", "code", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("sub", "code")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          _.getField("m")).as("cv"))
+    }
+    withCn2(materialize(trained))
+  }
+
+  /** The last PQ invocation's codebook-checkpoint release handle, per
+    * session — `rerankTopKPQ` retires the previous call's blocks on
+    * re-invoke, exactly the `Pipeline.outstanding` lifecycle (weak session
+    * key; values release through (SparkContext, rdd-id) so they hold no
+    * strong path back to the key). The blocks are m·ks rows each — tiny —
+    * but Bench re-invokes the builder every rep, and checkpoint storage
+    * is unreclaimable by the CacheManager, so the registry keeps the
+    * steady state at one invocation's worth.
+    */
+  private val outstandingPq = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, () => Unit]())
+
+  private def withCn2(codebook: DataFrame): DataFrame =
+    codebook.withColumn("cn2", dot(col("cv"), col("cv")))
+
+  /** Nearest-codeword assignment per (vector, subspace): broadcast the
+    * m·ks codebook, keep the argmin by the L2-monotone partial distance.
+    * A `min_by` aggregate, not a window — the ks-way fan-out collapses in
+    * the map-side partial before the one uniform (vec_id, sub) shuffle.
+    * Ties break toward the lowest code via the struct ordering. The
+    * subvector RIDES THE AGGREGATE (any group member carries it), so the
+    * Lloyd mean needs no (vec_id, sub) re-join back to the fan-out — one
+    * shuffle of vector-volume rows instead of a shuffle join of two.
+    */
+  private def pqAssign(subs: DataFrame, codebook: DataFrame): DataFrame =
+    subs.join(broadcast(codebook), "sub")
+      .withColumn("d2", col("cn2") - lit(2.0) * dot(col("sv"), col("cv")))
+      .groupBy("vec_id", "sub")
+      .agg(min_by(struct(col("code"), col("sv")),
+        struct(col("d2"), col("code"))).as("a"))
+      .select(col("vec_id"), col("sub"),
+        col("a.code").as("code"), col("a.sv").as("sv"))
+
+  /** The (vec_id, sub, sv) subvector fan-out — m narrow slices per row. */
+  private def pqSubvectors(vectors: DataFrame, m: Int, dsub: Int): DataFrame =
+    vectors.select(col("vec_id"),
+      posexplode(array((0 until m).map(s =>
+        slice(col("v"), s * dsub + 1, dsub)): _*)).as(Seq("sub", "sv")))
+
+  /** PQ-ADC re-rank: stage 1 scores every candidate pair against the
+    * CODES ONLY — each candidate is represented by `pq_packed` (m 4-bit
+    * codewords packed little-endian into one long) plus its stored true
+    * norm, 16 bytes against the doubles' 8·d. That 32× ratio is the
+    * memory-bandwidth currency of the re-rank stage at 100 TB: the packed
+    * corpus is what lives in executor memory (q53's int8 argument taken
+    * to its asymmetric-distance conclusion). Each query precomputes one
+    * flat LUT — `⟨q_sub, cv⟩` for all m·ks codewords, keyed by
+    * `sub·ks + code` — so ADC ≈ ⟨q, x̂⟩ is m map lookups per pair, no
+    * array math at all; dividing by (‖q‖·stored ‖x‖) makes it an
+    * approximate COSINE (reconstruction error lives only in the numerator).
+    * Stage 2 pays the exact double cosine for the oversampled short-list
+    * alone (`rerankTopK`). Approximate — recall pinned in AnnRecallSpec.
+    *
+    * Cost shape: the contract query RETRAINS the codebook per invocation
+    * (self-contained, like q36's Lloyd round) — ~10 sequential tiny-stage
+    * latencies that dominate its bench time at small SF. A deployment
+    * trains once, stores `pqEncode`'s packed frame, and amortizes the
+    * training across every query batch; the per-batch cost is then just
+    * the LUT build (m·ks dots per query) and the ADC scan.
+    */
+  /** Trained (subvector fan-out, checkpointed codebook) over a vector
+    * frame; every public PQ entry point goes through here so the
+    * checkpoint-release registry sees exactly one handle per invocation.
+    */
+  private def pqTrain(vectors: DataFrame, m: Int, ks: Int, rounds: Int,
+                      dim: Int): (DataFrame, DataFrame) = {
+    // base-ks positional packing must stay inside a signed long
+    require(m * (math.log(ks) / math.log(2)) <= 62, s"m=$m ks=$ks overflows the packed long")
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val subs = pqSubvectors(vectors, m, dim / m)
+    val ckIds = scala.collection.mutable.ArrayBuffer[Int]()
+    val codebook = pqCodebooks(subs, ks, rounds, df => {
+      val c = df.localCheckpoint(true)
+      ckIds ++= org.apache.spark.sql.graft.ColumnBridge.checkpointRddIds(c)
+      c
+    })
+    val sc = vectors.sparkSession.sparkContext
+    val ids = ckIds.toSeq
+    val prev = outstandingPq.put(vectors.sparkSession,
+      () => org.apache.spark.sql.graft.ColumnBridge.releaseCheckpointIds(sc, ids))
+    if (prev != null) prev()
+    (subs, codebook)
+  }
+
+  /** The STORED PQ representation of a (vec_id, v) frame: one base-ks
+    * packed long of m codewords plus the true norm — 16 payload bytes per
+    * vector regardless of dimensionality, vs 8·dim for the doubles. This
+    * is the frame that lives in executor memory at 100 TB (AnnScaleSpec
+    * measures the resident ratio); `rerankTopKPQ` scores candidates
+    * against it alone.
+    */
+  def pqEncode(vectors: DataFrame, m: Int = 16, ks: Int = 8,
+               rounds: Int = 2, dim: Int = 64): DataFrame = {
+    val (subs, codebook) = pqTrain(vectors, m, ks, rounds, dim)
+    pqEncodeWith(subs, codebook, vectors, ks)
+  }
+
+  private def pqEncodeWith(subs: DataFrame, codebook: DataFrame,
+                           vectors: DataFrame, ks: Int): DataFrame =
+    pqAssign(subs, codebook)
+      .groupBy("vec_id")
+      .agg(sum(col("code").cast("long") *
+        pow(lit(ks.toDouble), col("sub")).cast("long")).as("pq_packed"))
+      .join(vectors.select(col("vec_id"), norm(col("v")).as("nrm")), "vec_id")
+
+  def rerankTopKPQ(pairIds: DataFrame, vectors: DataFrame, k: Int,
+                   m: Int = 16, ks: Int = 8, rounds: Int = 2,
+                   oversample: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (subs, codebook) = pqTrain(vectors, m, ks, rounds, 64)
+    // the stored representation: one packed long of m codes + the norm
+    val enc = pqEncodeWith(subs, codebook, vectors, ks)
+    // one FLAT m·ks-entry LUT per query (position = sub·ks + code): built
+    // once per query via a map detour — the per-query 128-step transform
+    // is noise; what must never be interpreted is the per-PAIR walk, which
+    // the graft_pq_adc kernel keeps in whole-stage codegen
+    val luts = subs.join(broadcast(codebook), "sub")
+      .groupBy("vec_id")
+      .agg(map_from_entries(collect_list(struct(
+        col("sub") * ks + col("code"), dot(col("sv"), col("cv"))))).as("lutm"))
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(m * ks - 1)),
+          p => element_at(col("lutm"), p.cast("int"))).as("lut"))
+      .join(vectors.select(col("vec_id"), norm(col("v")).as("qnrm")), "vec_id")
+    val wq = Window.partitionBy("vec_id")
+      .orderBy(col("qsim").desc, col("cand_id").asc)
+    // join ORDER is load-bearing: candidates pick up the 16-byte encoding
+    // through the cand_id exchange first and meet the KB-wide query LUT
+    // only at the window's own vec_id partitioning — a lut-first join
+    // would ship m·ks doubles per PAIR through the cand_id shuffle
+    // (measured 2x the whole query)
+    val shortlist = pairIds
+      .join(enc.select(col("vec_id").as("cand_id"), col("pq_packed"),
+        col("nrm").as("cnrm")), "cand_id")
+      .join(luts, "vec_id")
+      .withColumn("adc", pqAdc(col("lut"), col("pq_packed"), m, ks))
+      .withColumn("qsim", col("adc") / (col("qnrm") * col("cnrm")))
+      .withColumn("rq", row_number().over(wq))
+      .filter(col("rq") <= k * oversample)
+      .select("vec_id", "cand_id")
+    rerankTopK(shortlist, vectors, k)
+  }
+
+  /** The PQ twin of [[annCosineQuantizedOn]] — same LSH candidate stage,
+    * ADC short-list over the 16-byte packed corpus, exact top-k re-rank
+    * of the short-list only.
+    */
+  def annCosinePQOn(vectors: DataFrame, nbits: Int = 3, bands: Int = 8,
+                    k: Int = 5, bucketCap: Int = 4096, m: Int = 16,
+                    ks: Int = 8, rounds: Int = 2,
+                    oversample: Int = 16): DataFrame =
+    rerankTopKPQ(annCandidatePairs(vectors, nbits, bands, bucketCap),
+      vectors, k, m, ks, rounds, oversample)
+
+  /** queries()-shaped wrapper for the PQ-ADC ANN path (rows-only check;
+    * recall spec-gated in AnnRecallSpec like q26/q36/q53).
+    */
+  def q73AnnPq(spark: SparkSession, dir: String): DataFrame =
+    annCosinePQOn(
+      Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), toDoubleArray(col("embedding")).as("v")))
 }

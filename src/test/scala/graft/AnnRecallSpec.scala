@@ -79,6 +79,33 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(recallExact >= 0.95, f"vs exact rerank: $recallExact%.3f < 0.95")
   }
 
+  test("PQ-ADC rerank: recall holds vs brute force AND vs the exact path") {
+    val e = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cand_id").asc)
+    val brute = e.crossJoin(e.select(col("vec_id").as("cand_id"), col("v").as("cv")))
+      .filter(col("vec_id") =!= col("cand_id"))
+      .withColumn("sim", cosine(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("vec_id", "cand_id")
+    val pq = Similarity.q73AnnPq(spark, TestSpark.Sf0001)
+      .select("vec_id", "cand_id")
+    val exact = Similarity.annCosine(spark, TestSpark.Sf0001, k = k)
+      .select("vec_id", "cand_id")
+    val nQueries = e.count()
+    val recallBrute = brute.intersect(pq).count().toDouble / (k * nQueries)
+    // 3-bit codewords are far lossier than q53's int8 lanes, but the ADC
+    // short-list still sees the exact path's candidates and oversamples 16x;
+    // the near-random corpus is PQ's worst case, so the exact-path gate
+    // sits below q53's 0.95 (measured 0.945 at m=16/ks=8/rounds=2)
+    val recallExact = exact.intersect(pq).count().toDouble / exact.count()
+    info(f"PQ recall@$k vs brute = $recallBrute%.3f, vs exact path = $recallExact%.3f")
+    assert(recallBrute >= 0.8, f"vs brute force: $recallBrute%.3f < 0.8")
+    assert(recallExact >= 0.9, f"vs exact rerank: $recallExact%.3f < 0.9")
+  }
+
   test("IVF seeding has no single-partition top-N anywhere in the plan") {
     // the old seed was orderBy(md5).limit(nCells) — a global sort funneling
     // every partition's sample through one task; the stratified min_by seed

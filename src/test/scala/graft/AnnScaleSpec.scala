@@ -118,4 +118,27 @@ class AnnScaleSpec extends AnyFunSuite {
     assert(wide >= 7.0,
       f"1024-dim resident ratio $wide%.1fx — below the ~8x claim's 7x floor")
   }
+
+  test("PQ encoding shrinks the resident corpus by an order of magnitude", Slow) {
+    // q73's memory claim, measured like q53's: the PQ frame (packed long
+    // + norm, 16 payload bytes) is what the ADC stage keeps resident.
+    // Fixed per-row overhead (UnsafeRow null bits + the id) dilutes the
+    // 512B→16B payload ratio; the gates sit under the measured values the
+    // way the int8 gates do. At production widths the payload dominates
+    // and the ratio goes superlinear in dim — PQ's whole point.
+    def ratioAt(n: Int, dims: Int, m: Int): Double = {
+      val base = synth(n, dims)
+      val dbl = residentBytes(base)
+      val pq = residentBytes(Similarity.pqEncode(base, m = m, dim = dims))
+      assert(dbl > 0 && pq > 0, s"storage not measured: dbl=$dbl pq=$pq")
+      dbl.toDouble / pq
+    }
+    val corpus = ratioAt(nBig, 64, 16) // 10x the sf0.1 embedding count
+    val wide = ratioAt(nBase, 1024, 16) // production-embedding widths
+    info(f"resident PQ ratio: $corpus%.1fx at 64 dims, $wide%.1fx at 1024 dims")
+    assert(corpus >= 10.0,
+      f"64-dim resident PQ ratio $corpus%.1fx — below the order-of-magnitude claim")
+    assert(wide >= 50.0,
+      f"1024-dim resident PQ ratio $wide%.1fx — payload should dominate at width")
+  }
 }

@@ -390,6 +390,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles(df) === 2, s"q72 grew beyond the two df exchanges:\n$p")
   }
 
+  test("q73 PQ: codebook broadcasts everywhere, no cartesian, bounded exchanges") {
+    val df = Similarity.q73AnnPq(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), "PQ grew a cartesian product")
+    assert(p.contains("BroadcastHashJoin"), "codebook joins lost the broadcast")
+    assert(p.contains("graft_pq_adc"), "ADC stage lost the codegen kernel")
+    // 8 = LSH band cap ×2 sides + pair repartition/dedup + encode's two
+    // uniform aggs + the LUT agg + ADC shortlist window + final top-k;
+    // the training lineage is checkpoint-truncated, so it adds NOTHING
+    // per consumer — growth here means the codebook recompute came back
+    assert(shuffles(df) === 8, s"q73 exchange budget grew:\n$p")
+  }
+
   test("q67 line dedup: uniform shuffles only, broadcast keep-test") {
     val df = graft.operators.Text.q67LineDedup(spark, TestSpark.Sf0001)
     val p = plan(df)

@@ -118,6 +118,55 @@ class VectorKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("PqAdc: codegen == interpreted == the HOF unpack, addressed-slot NULL contract") {
+    import scala.jdk.CollectionConverters._
+    val (m, ks) = (4, 4)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "label STRING, lut ARRAY<DOUBLE>, packed BIGINT")
+    val full: Seq[Any] = (0 until m * ks).map(i => 0.5 * i)
+    // codes (1, 2, 3, 0) -> packed = 1 + 2*4 + 3*16 = 57; addressed
+    // positions {1, 6, 11, 12}
+    val fixture = Seq(
+      Row("plain", full, 57L),
+      Row("zero_codes", full, 0L),
+      Row("max_codes", full, (math.pow(ks, m) - 1).toLong),
+      Row("null_lut", null, 57L),
+      Row("null_slot_unaddressed", full.updated(5, null), 57L),
+      Row("null_slot_addressed", full.updated(6, null), 57L))
+    val df = spark.createDataFrame(fixture.asJava, schema)
+    def run(): Unit = {
+      val out = df
+        .withColumn("fast", VectorOps.pqAdc(col("lut"), col("packed"), m, ks))
+        .withColumn("hof", VectorOps.pqAdcHof(col("lut"), col("packed"), m, ks))
+        .collect()
+      out.foreach(r => assert(r.get(3) == r.get(4),
+        s"${r.getString(0)}: fast=${r.get(3)} hof=${r.get(4)}"))
+      // absolute spot-checks so both sides can't be wrong together
+      val byLabel = out.map(r => r.getString(0) -> r.get(3)).toMap
+      assert(byLabel("plain") == 0.5 * (1 + 6 + 11 + 12))
+      assert(byLabel("zero_codes") == 0.5 * (0 + 4 + 8 + 12))
+      assert(byLabel("max_codes") == 0.5 * (3 + 7 + 11 + 15))
+      assert(byLabel("null_lut") == null)
+      assert(byLabel("null_slot_unaddressed") == 0.5 * (1 + 6 + 11 + 12))
+      assert(byLabel("null_slot_addressed") == null)
+    }
+    withCodegenExercised(run())
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try run() finally {
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    // kernel-only (the HOF's ANSI element_at would throw instead): a code
+    // addressing past a short LUT degrades to NULL, never an error
+    val short = spark.createDataFrame(
+      Seq(Row("short_lut", (0 until 8).map(i => 0.5 * i): Seq[Any], 57L)).asJava, schema)
+    val got = withCodegenExercised {
+      short.withColumn("fast", VectorOps.pqAdc(col("lut"), col("packed"), m, ks))
+        .collect()(0).get(3) }
+    assert(got == null)
+  }
+
   test("quantizeI8 maps the max-|x| lane to ±127 and cancels scale in cosine") {
     import scala.jdk.CollectionConverters._
     val schema = org.apache.spark.sql.types.StructType.fromDDL("v ARRAY<DOUBLE>")
