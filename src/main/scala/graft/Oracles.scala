@@ -95,6 +95,33 @@ object Oracles {
   val lshPairs: String =
     s"WITH ${pairCtes("documents", "")} SELECT doc_a, doc_b FROM pairs"
 
+  /** Q74 oracle — incremental dedup of a synthesized incoming batch
+    * (genuinely-new docs + re-crawls under doc_id + 1e6) against the
+    * history split. The band scheme comes from the SAME CTE builders as
+    * q22/q35, instantiated once per frame (prefixes h/i), so the three
+    * engines' hashing can never drift apart.
+    */
+  val incrementalDedup: String = {
+    def long(p: String): String = (0 until 4)
+      .map(i => s"SELECT doc_id, $i AS band, b$i AS bv FROM ${p}bands")
+      .mkString(" UNION ALL ")
+    "WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 < 4), " +
+      "inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 4 " +
+      "UNION ALL SELECT doc_id + 1000000, text FROM hist WHERE doc_id % 7 = 0), " +
+      s"${bandCtes("hist", "h")}, ${bandCtes("inc", "i")}, " +
+      s"hlong AS (${long("h")}), ilong AS (${long("i")}), " +
+      "ex AS (SELECT i.doc_id, min(h.doc_id) AS exact_src FROM inc i " +
+      "JOIN hist h ON md5(i.text) = md5(h.text) GROUP BY i.doc_id), " +
+      "nr AS (SELECT a.doc_id, min(b.doc_id) AS near_src FROM ilong a " +
+      "JOIN hlong b ON a.band = b.band AND a.bv = b.bv GROUP BY a.doc_id) " +
+      "SELECT i.doc_id, CAST(ex.exact_src IS NOT NULL AS INTEGER) AS exact_dup, " +
+      "CAST(nr.near_src IS NOT NULL AS INTEGER) AS near_dup, " +
+      "CAST(ex.exact_src IS NULL AND nr.near_src IS NULL AS INTEGER) AS keep, " +
+      "ex.exact_src, nr.near_src " +
+      "FROM inc i LEFT JOIN ex ON i.doc_id = ex.doc_id " +
+      "LEFT JOIN nr ON i.doc_id = nr.doc_id"
+  }
+
   /** Q37 oracle — connected components of the q35 pair graph (see
     * clusterCtes for the recursive-reachability formulation).
     */

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ingest.Envelope
+import graft.sources.JsonLines
 import graft.operators.{Dedup, Multimodal, Pipeline, Relational, Scale, Similarity, SqlSurface, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -94,6 +95,9 @@ object SparkEntry {
     "q71_web_preclean" -> (Text.q71WebPreclean _),
     "q72_top_boilerplate" -> (Text.q72TopBoilerplate _),
     "q73_ann_pq" -> (Similarity.q73AnnPq _),
+    "q74_incremental_dedup" -> (Dedup.q74IncrementalDedup _),
+    "q75_mixture_weights" -> (Text.q75MixtureWeights _),
+    "q76_jsonl_ingest" -> (JsonLines.q76JsonlIngest _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -707,5 +711,32 @@ object SparkEntry {
         "SELECT line, count(DISTINCT doc_id) AS line_df FROM l " +
         "GROUP BY line HAVING count(DISTINCT doc_id) >= 3 " +
         "ORDER BY line_df DESC, line ASC LIMIT 20"),
+    // q74: delta-vs-history dedup; band scheme from the shared q22/q35
+    // CTE builders, instantiated per frame
+    "q74_incremental_dedup" -> Oracles.incrementalDedup,
+    // q75: √share temperature weights; denominator summed through rounded
+    // DECIMAL(20,12) so the fold is order-independent (q64's discipline)
+    "q75_mixture_weights" ->
+      ("WITH t AS (SELECT source, CAST(sum(len(list_filter(" +
+        "string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> ''))) " +
+        "AS BIGINT) AS n_tokens FROM documents GROUP BY source), " +
+        "s AS (SELECT source, n_tokens, CAST(n_tokens AS DOUBLE) / " +
+        "CAST(sum(n_tokens) OVER () AS DOUBLE) AS share FROM t), " +
+        "n AS (SELECT source, n_tokens, share, sqrt(share) / " +
+        "CAST(sum(CAST(round(sqrt(share), 12) AS DECIMAL(20,12))) OVER () " +
+        "AS DOUBLE) AS wraw FROM s) " +
+        "SELECT source, n_tokens, round(share, 6) AS share, " +
+        "round(wraw, 6) AS weight, " +
+        "CAST(floor(wraw * 1000000) AS BIGINT) AS planned_tokens FROM n"),
+    // q76: the JSONL twin must round-trip to exactly the parquet manifest;
+    // the NULL-source row is the corrupt-line quarantine group (2 injected)
+    "q76_jsonl_ingest" ->
+      ("SELECT source, CAST(count(*) AS BIGINT) AS n_lines, " +
+        "CAST(count(doc_id) AS BIGINT) AS n_docs, " +
+        "CAST(sum(doc_id) AS BIGINT) AS id_sum, " +
+        "CAST(sum(length(text)) AS BIGINT) AS chars " +
+        "FROM documents GROUP BY source " +
+        "UNION ALL SELECT CAST(NULL AS VARCHAR), 2::BIGINT, 0::BIGINT, " +
+        "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)"),
   )
 }

@@ -228,6 +228,42 @@ object Text {
         .otherwise("test").as("split"))
   }
 
+  /** Q75: temperature-scaled domain MIXTURE WEIGHTS — the reweighting
+    * read every multi-domain training run makes before sampling (the
+    * DoReMi/data-mixing family's α=0.5 square-root temperature: upweight
+    * small domains, damp the head; α=1 reproduces natural sampling, α=0
+    * uniform). Per source: exact token count, natural share, the
+    * renormalized √share weight, and the token allocation a 1M-token
+    * budget would plan (floor — the unambiguous rounding both engines
+    * share). q42's quota thresholds are the per-DOC sampling mechanism;
+    * this is the per-DOMAIN policy that chooses those thresholds.
+    *
+    * Determinism discipline (q64's): the weight denominator Σ√share is a
+    * sum of DOUBLES whose order an engine is free to pick — so each √ is
+    * rounded to 12 dp, cast DECIMAL(20,12), and summed EXACTLY (order-
+    * independent), then the quotient runs in double against the full-
+    * precision numerator. Both aggregation windows are source-cardinality
+    * (a handful of rows), never corpus-sized.
+    */
+  def q75MixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+    val perSource = Tables.load(spark, dir, "documents")
+      .select(col("source"), size(words(col("text"))).cast("long").as("_nt"))
+      .groupBy("source").agg(sum("_nt").as("n_tokens"))
+    perSource
+      .withColumn("_share", col("n_tokens").cast("double") /
+        sum(col("n_tokens")).over(w))
+      .withColumn("_wraw", sqrt(col("_share")))
+      .withColumn("_wsum",
+        sum(round(col("_wraw"), 12).cast("decimal(20,12)")).over(w).cast("double"))
+      .withColumn("_weight", col("_wraw") / col("_wsum"))
+      .select(col("source"), col("n_tokens"),
+        round(col("_share"), 6).as("share"),
+        round(col("_weight"), 6).as("weight"),
+        floor(col("_weight") * lit(1000000.0)).cast("long").as("planned_tokens"))
+  }
+
   /** Word-8-gram shingles: (doc_id, source, sh8). Same index-sequence
     * shape as Dedup's 3-gram shingler; the size filter comes FIRST —
     * sequence(0, size-8) on a short array would yield a descending

@@ -676,4 +676,46 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(rows.exists(_._2.contains(":8443/")) &&
       rows.exists(!_._2.contains(":8443")))
   }
+
+  test("q74 incremental dedup: re-crawls flagged against history, fresh docs keep") {
+    val rows = graft.operators.Dedup.q74IncrementalDedup(spark, TestSpark.Sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))
+    val (recrawls, fresh) = rows.partition(_._1 >= 1000000L)
+    assert(recrawls.nonEmpty && fresh.nonEmpty)
+    // every re-crawl is an exact hit on its own source (identical text ->
+    // identical fingerprint AND identical minhash signature)
+    for ((id, ex, nr, keep, src) <- recrawls) {
+      assert(ex === 1 && nr === 1 && keep === 0, s"re-crawl $id: ex=$ex nr=$nr")
+      assert(src <= id - 1000000L, s"re-crawl $id matched $src above its source")
+    }
+    // the batch is not vacuous in either direction: genuinely-new docs
+    // overwhelmingly keep, and keep is exactly the two bits' complement
+    assert(fresh.count(_._4 == 1) > fresh.length / 2)
+    rows.foreach { case (id, ex, nr, keep, _) =>
+      assert((keep == 1) === (ex == 0 && nr == 0), s"doc $id verdict drifted") }
+  }
+
+  test("q75 mixture weights: √-temperature flattens the mix, budget is conserved") {
+    val rows = graft.operators.Text.q75MixtureWeights(spark, TestSpark.Sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4)))
+    assert(rows.length > 1)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4, "shares must sum to 1")
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4, "weights must sum to 1")
+    // α = 0.5 damps the head and lifts the tail: every below-average
+    // domain gains weight over its natural share, every above-average
+    // domain loses — and the ordering of domains is preserved
+    val avg = 1.0 / rows.length
+    rows.foreach { case (src, _, share, weight, _) =>
+      if (share < avg - 1e-9) assert(weight > share, s"$src not upweighted")
+      if (share > avg + 1e-9) assert(weight < share, s"$src not damped")
+    }
+    assert(rows.sortBy(_._3).map(_._1).toSeq === rows.sortBy(_._4).map(_._1).toSeq)
+    // floor allocation never overspends the 1M budget, and spends most of it
+    val planned = rows.map(_._5).sum
+    assert(planned <= 1000000L && planned >= 1000000L - rows.length)
+  }
 }

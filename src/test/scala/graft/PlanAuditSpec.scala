@@ -403,6 +403,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles(df) === 8, s"q73 exchange budget grew:\n$p")
   }
 
+  test("q74 incremental dedup: hash-keyed equi-joins only, no cartesian") {
+    val df = graft.operators.Dedup.q74IncrementalDedup(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), "q74 grew a cartesian product")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "q74 degraded to NLJ")
+    // 4 = the two minhash signature aggs (one per frame) + the band-meet /
+    // fingerprint-meet verdict shuffles; every join key is an md5-uniform
+    // hash or doc_id — growth here means a meet stopped being an equi-join
+    assert(shuffles(df) <= 4, s"q74 exchange budget grew:\n$p")
+  }
+
   test("q67 line dedup: uniform shuffles only, broadcast keep-test") {
     val df = graft.operators.Text.q67LineDedup(spark, TestSpark.Sf0001)
     val p = plan(df)
