@@ -98,6 +98,7 @@ object SparkEntry {
     "q74_incremental_dedup" -> (Dedup.q74IncrementalDedup _),
     "q75_mixture_weights" -> (Text.q75MixtureWeights _),
     "q76_jsonl_ingest" -> (JsonLines.q76JsonlIngest _),
+    "q77_repetition_chars" -> (Text.q77RepetitionChars _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -738,5 +739,42 @@ object SparkEntry {
         "FROM documents GROUP BY source " +
         "UNION ALL SELECT CAST(NULL AS VARCHAR), 2::BIGINT, 0::BIGINT, " +
         "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)"),
+    // q77: Gopher char-level repetition — top-2-gram occurrence coverage
+    // over the single-spaced text; dup-5-gram span coverage (q70's rule,
+    // within-doc); short docs report NULL
+    "q77_repetition_chars" ->
+      ("WITH wr AS (SELECT doc_id, list_filter(" +
+        "string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '') AS ws " +
+        "FROM documents), " +
+        "ws AS (SELECT doc_id, CASE WHEN doc_id % 10 = 3 AND len(ws) >= 5 " +
+        "THEN list_concat(list_concat(ws, ws[1:5]), ws[1:5]) ELSE ws END AS ws " +
+        "FROM wr), " +
+        "g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)), " +
+        "i -> ws[i] || ' ' || ws[i+1])) AS g FROM ws WHERE len(ws) >= 2), " +
+        "c2 AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY doc_id, g), " +
+        "t2 AS (SELECT doc_id, g, cnt, row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY cnt DESC, g ASC) AS rn FROM c2), " +
+        "top AS (SELECT doc_id, g AS top2_gram, cnt FROM t2 WHERE rn = 1), " +
+        "i5 AS (SELECT doc_id, ws, unnest(range(greatest(len(ws) - 4, 0))) " +
+        "AS start FROM ws WHERE len(ws) >= 5), " +
+        "s5 AS (SELECT doc_id, start, " +
+        "array_to_string(list_slice(ws, start + 1, start + 5), ' ') AS g5 " +
+        "FROM i5), " +
+        "dupv AS (SELECT doc_id, g5 FROM s5 GROUP BY doc_id, g5 " +
+        "HAVING count(*) >= 2), " +
+        "dup AS (SELECT s.doc_id, s.start FROM s5 s " +
+        "JOIN dupv d ON s.doc_id = d.doc_id AND s.g5 = d.g5), " +
+        "tok AS (SELECT doc_id, ws, unnest(range(len(ws))) AS p FROM ws), " +
+        "cov AS (SELECT t.doc_id, CAST(sum(len(t.ws[t.p + 1])) AS BIGINT) " +
+        "AS cchars FROM tok t WHERE EXISTS (SELECT 1 FROM dup d " +
+        "WHERE d.doc_id = t.doc_id AND d.start <= t.p AND t.p <= d.start + 4) " +
+        "GROUP BY t.doc_id) " +
+        "SELECT w.doc_id, t.top2_gram, " +
+        "CASE WHEN len(w.ws) >= 2 THEN round(CAST(t.cnt * len(t.top2_gram) " +
+        "AS DOUBLE) / len(array_to_string(w.ws, ' ')), 6) END AS top2_frac, " +
+        "CASE WHEN len(w.ws) >= 5 THEN round(CAST(coalesce(c.cchars, 0) " +
+        "AS DOUBLE) / (len(array_to_string(w.ws, ' ')) - (len(w.ws) - 1)), 6) " +
+        "END AS dup5_frac " +
+        "FROM ws w LEFT JOIN top t USING (doc_id) LEFT JOIN cov c USING (doc_id)"),
   )
 }

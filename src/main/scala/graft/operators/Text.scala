@@ -228,6 +228,72 @@ object Text {
         .otherwise("test").as("split"))
   }
 
+  /** Q77: CHAR-level repetition signals — the two Gopher repetition
+    * families q47's count-based 3-gram fraction does not cover (Rae et
+    * al. 2021 measure both): (a) `top2_frac` — the fraction of the
+    * single-spaced text covered by occurrences of the MOST FREQUENT
+    * word-2-gram (ties break to the lexicographically smallest, so the
+    * reported gram is a total contract); (b) `dup5_frac` — the fraction
+    * of word characters covered by any word-5-gram occurring at least
+    * twice WITHIN the doc (q70's span-coverage rule, scoped per doc:
+    * a token is covered iff a duplicate span starts in [p-4, p]).
+    * Both numerators and denominators are exact BIGINT char sums with
+    * ONE final rounding; docs too short for a window (< 2 / < 5 words)
+    * report NULL, never a fake 0. All fan-outs are doc-length-bounded
+    * explodes over uniform (doc_id[, gram]) keys — the within-doc
+    * grouping means no corpus-wide hot key can exist by construction.
+    *
+    * The synthetic corpus has no organic within-doc 5-gram repeats, so
+    * docs with `doc_id % 10 = 3` re-append their own first five words
+    * twice (the q46/q67 residue discipline) — the dup5 rule has true
+    * positives by construction and a coverage slip cannot hide behind an
+    * all-zero column; real web text trips the rule organically.
+    */
+  def q77RepetitionChars(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val raw = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), words(col("text")).as("_w"))
+    val base = raw.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(10)) === 3 && size(col("_w")) >= 5,
+        concat(col("_w"), slice(col("_w"), lit(1), lit(5)), slice(col("_w"), lit(1), lit(5))))
+        .otherwise(col("_w")).as("ws"))
+    val g2 = base.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("ws")) - 2),
+          i => concat_ws(" ", element_at(col("ws"), i + 1),
+            element_at(col("ws"), i + 2)))).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+    val wTop = Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("g").asc)
+    val top2 = g2.withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("g").as("top2_gram"), col("cnt").as("_cnt"))
+    val inst5 = base.filter(size(col("ws")) >= 5)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), size(col("ws")) - 5),
+          i => array_join(slice(col("ws"), i + 1, lit(5)), " "))).as(Seq("start", "g5")))
+    val dupStarts = inst5.groupBy("doc_id", "g5")
+      .agg(collect_list(col("start")).as("starts"))
+      .filter(size(col("starts")) >= 2)
+      .select(col("doc_id"), explode(col("starts")).as("start"))
+      .groupBy("doc_id").agg(sort_array(collect_list(col("start"))).as("ds"))
+    val toks = transform(col("ws"), (w, i) => struct(i.as("p"), w.as("w")))
+    val covered = filter(toks, t => exists(col("_ds"),
+      s => s <= t.getField("p") && t.getField("p") <= s + 4))
+    base
+      .join(top2, Seq("doc_id"), "left")
+      .join(dupStarts, Seq("doc_id"), "left")
+      .withColumn("_ds", coalesce(col("ds"), array().cast("array<int>")))
+      .withColumn("_jchars", length(array_join(col("ws"), " ")).cast("long"))
+      .withColumn("_cchars",
+        aggregate(covered, lit(0L), (acc, t) => acc + length(t.getField("w"))))
+      .select(col("doc_id"), col("top2_gram"),
+        when(size(col("ws")) >= 2,
+          round((col("_cnt") * length(col("top2_gram")).cast("long"))
+            .cast("double") / col("_jchars"), 6)).as("top2_frac"),
+        when(size(col("ws")) >= 5,
+          round(col("_cchars").cast("double") /
+            (col("_jchars") - (size(col("ws")) - 1)), 6)).as("dup5_frac"))
+  }
+
   /** Q75: temperature-scaled domain MIXTURE WEIGHTS — the reweighting
     * read every multi-domain training run makes before sampling (the
     * DoReMi/data-mixing family's α=0.5 square-root temperature: upweight
@@ -691,19 +757,31 @@ object Text {
     * columns through unchanged — the frame form a composed pipeline
     * (q71) consumes. One broadcast join, otherwise narrow.
     */
+  /** Host → registered domain under the mini public-suffix rule (co.uk /
+    * ac.uk keep three labels, everything else two) — shared by q68, q71
+    * and the ingest-time domain gate so the derivation cannot drift.
+    */
+  private[graft] def registeredDomainOf(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val last2 = concat_ws(".",
+      element_at(labels, n - 1), element_at(labels, n))
+    when(last2.isin("co.uk", "ac.uk"),
+      concat_ws(".", element_at(labels, n - 2), last2)).otherwise(last2)
+  }
+
+  /** URL → host (scheme, port, path, query and fragment stripped). */
+  private[graft] def hostOf(url: Column): Column =
+    regexp_extract(url, "^[a-z]+://([^/:?#]+)", 1)
+
   private[graft] def urlBlocklistOn(spark: SparkSession, docs: DataFrame,
                                     carry: Seq[String] = Nil): DataFrame = {
     import spark.implicits._
     val blocklist = broadcast(
       Seq("spam-mill.biz", "adnet.io", "site.co.uk")
         .toDF("registered_domain").withColumn("_hit", lit(1)))
-    val host = regexp_extract(col("url"), "^[a-z]+://([^/:?#]+)", 1)
-    val labels = split(col("host"), "\\.")
-    val n = size(labels)
-    val last2 = concat_ws(".",
-      element_at(labels, n - 1), element_at(labels, n))
-    val registered = when(last2.isin("co.uk", "ac.uk"),
-      concat_ws(".", element_at(labels, n - 2), last2)).otherwise(last2)
+    val host = hostOf(col("url"))
+    val registered = registeredDomainOf(col("host"))
     docs
       .select(col("doc_id") +: carry.map(col) :+
         synthUrl(col("doc_id")).as("url"): _*)

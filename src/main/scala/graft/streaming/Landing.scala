@@ -93,7 +93,15 @@ object Landing {
     *    pass over the heaviest bytes in the system). Records without the
     *    field (or with undecodable base64) carry a NULL struct.
     *
-    * Stage order is fixed: dedup → gate → scrub → split → media (the
+    *  - `domainBlocklist`: (url JSON path, blocked registered domains) —
+    *    q68's UT1-style gate at the EDGE: a record from a blocklisted
+    *    registered domain is rejected before any other stage spends
+    *    compute on it (q71's filter-first discipline); the derivation is
+    *    q68's own `registeredDomainOf`, so landing and curation can never
+    *    judge one host differently
+    *
+    * Stage order is fixed: dedup → domain gate → quality gate → scrub →
+    * split → media (the
     * split key is the SCRUBBED record — what the lake actually stores —
     * so the assignment can be re-derived from the landed bytes; the
     * media decode runs last, though scrubbing cannot touch a payload:
@@ -108,11 +116,26 @@ object Landing {
       qualityFloor: Option[Double] = None,
       scrubPii: Boolean = false,
       splitSalt: Option[String] = None,
-      mediaPath: Option[String] = None)
+      mediaPath: Option[String] = None,
+      domainBlocklist: Option[(String, Seq[String])] = None)
 
   private def applyStages(validated: DataFrame, st: IngestStages): DataFrame = {
     import graft.operators.Text
     var df = validated
+    // the domain gate runs FIRST (q71's filter-first discipline): a
+    // record from a blocklisted registered domain never pays quality
+    // scoring, scrubbing or media decode. Records WITHOUT the url field
+    // are transport/control data the gate has no opinion on (the
+    // qualityFloor rule). The list rides the closure as an isin literal —
+    // a real UT1-scale list (a few million domains) swaps in q68's
+    // broadcast-join form, or q63's bloom shape beyond that; the
+    // registered-domain derivation is SHARED with q68 (registeredDomainOf)
+    // so landing and curation judge a host identically.
+    st.domainBlocklist.foreach { case (path, blocked) =>
+      val url = get_json_object(col("record"), path)
+      val registered = Text.registeredDomainOf(Text.hostOf(url))
+      df = df.filter(url.isNull || !registered.isin(blocked: _*))
+    }
     st.qualityFloor.foreach { floor =>
       val text = get_json_object(col("record"), st.textPath)
       // the score coalesces to 0.0: degenerate text (empty / whitespace-only

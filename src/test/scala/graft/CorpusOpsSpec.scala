@@ -718,4 +718,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     val planned = rows.map(_._5).sum
     assert(planned <= 1000000L && planned >= 1000000L - rows.length)
   }
+
+  test("q77 char repetition: both signals discriminate, bounds hold") {
+    val rows = graft.operators.Text.q77RepetitionChars(spark, TestSpark.Sf0001)
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(rows.length === 500)
+    rows.foreach { case (id, t2, d5) =>
+      t2.foreach(v => assert(v > 0 && v <= 1, s"doc $id top2_frac $v"))
+      d5.foreach(v => assert(v >= 0 && v <= 1, s"doc $id dup5_frac $v"))
+    }
+    // the synthesized repetition (doc_id % 10 = 3 with >= 5 words) trips
+    // the dup5 rule — and ONLY those docs do on this corpus, so a coverage
+    // slip in either direction is visible
+    val hit = rows.filter(_._3.exists(_ > 0)).map(_._1).toSet
+    assert(hit.nonEmpty && hit.forall(_ % 10 == 3), s"unexpected dup5 hits: $hit")
+    val eligible = rows.filter(r => r._1 % 10 == 3 && r._3.isDefined).map(_._1).toSet
+    assert(hit === eligible, "a synthesized repeat escaped the dup5 rule")
+    // top2 varies across docs (not a constant artifact of the generator)
+    assert(rows.flatMap(_._2).distinct.length > 10)
+  }
 }

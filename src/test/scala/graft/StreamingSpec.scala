@@ -342,20 +342,33 @@ class StreamingSpec extends AnyFunSuite {
     val y4mB64 = java.util.Base64.getEncoder.encodeToString(y4mBytes)
     val lVideo =
       s"""{"_LOAD_ID":"v1","text":"$goodText","payload_b64":"$y4mB64"}"""
+    // url-bearing records: a blocklisted REGISTERED domain (judged from
+    // its subdomain host) is rejected at the door; a clean host — with a
+    // port, to exercise the extraction — lands
+    val lBlocked =
+      s"""{"_LOAD_ID":"u1","text":"$goodText","url":"https://cdn.spam-mill.biz/x/1"}"""
+    val lOkUrl =
+      s"""{"_LOAD_ID":"u2","text":"$goodText","url":"https://news.site.example.com:8443/y"}"""
     val stages = Some(Landing.IngestStages(
       qualityFloor = Some(0.5), scrubPii = true, splitSalt = Some("split|"),
-      mediaPath = Some("$.payload_b64")))
+      mediaPath = Some("$.payload_b64"),
+      domainBlocklist = Some(("$.url", Seq("spam-mill.biz", "adnet.io")))))
 
     val baseB = Files.createTempDirectory("graft_stage_b").toString
     Landing.landBatch(
-      Seq(lGood, lBad, lPii, lCtrl, lMedia, lAudio, lVideo).toDF("value"),
+      Seq(lGood, lBad, lPii, lCtrl, lMedia, lAudio, lVideo, lBlocked, lOkUrl)
+        .toDF("value"),
       s"$baseB/landing", stages = stages)
     val b = spark.read.parquet(s"$baseB/landing")
     val bRows = b.select("record", "split").collect()
       .map(r => r.getString(0) -> r.getString(1))
     // gate: the low-quality doc is dropped; the text-LESS control line
     // (transport data the gate has no opinion on) lands unchanged
-    assert(bRows.length === 6)
+    assert(bRows.length === 7)
+    // domain gate: the blocklisted-domain record never landed, the clean
+    // url (and every url-LESS record) did
+    assert(!bRows.exists(_._1.contains("\"u1\"")), "blocklisted domain landed")
+    assert(bRows.exists(_._1.contains("\"u2\"")), "clean-domain record was gated")
     // media: the payload-bearing row decoded its GIF at landing; every
     // payload-less row carries a NULL struct
     val metaOf = b.select(col("record"), col("media_meta")).collect()
@@ -408,8 +421,8 @@ class StreamingSpec extends AnyFunSuite {
         s"$base/ckpt", stages = stages)
       q.awaitTermination(60000)
     }
-    runOnce("d1.ndjson", Seq(lGood, lBad))
-    runOnce("d2.ndjson", Seq(lPii, lCtrl, lMedia, lAudio, lVideo))
+    runOnce("d1.ndjson", Seq(lGood, lBad, lBlocked))
+    runOnce("d2.ndjson", Seq(lPii, lCtrl, lMedia, lAudio, lVideo, lOkUrl))
     val s = spark.read.parquet(s"$base/landing")
     val sRows = s.select("record", "split").collect()
       .map(r => r.getString(0) -> r.getString(1))
