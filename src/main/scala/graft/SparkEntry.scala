@@ -99,6 +99,8 @@ object SparkEntry {
     "q75_mixture_weights" -> (Text.q75MixtureWeights _),
     "q76_jsonl_ingest" -> (JsonLines.q76JsonlIngest _),
     "q77_repetition_chars" -> (Text.q77RepetitionChars _),
+    "q78_split_matrix" -> (Text.q78SplitMatrix _),
+    "q79_semdedup" -> (Dedup.q79SemDedup _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -107,7 +109,12 @@ object SparkEntry {
     * q31_approx_distinct (HLL estimate — 5% tolerance vs q20 exact in
     * ApproxDistinctSpec),
     * q53_ann_quantized (int8-quantized ANN — recall gated in AnnRecallSpec
-    * against both the brute-force and the exact-rerank top-k).
+    * against both the brute-force and the exact-rerank top-k),
+    * q73_ann_pq (PQ-ADC ANN — recall gated in AnnRecallSpec; resident
+    * ratio measured in AnnScaleSpec),
+    * q79_semdedup (Lloyd means are floating-point averages, the q36
+    * caveat — representative rule, group containment and pruning gated
+    * in SemDedupSpec).
     */
   def oracleSql: Map[String, String] = Map(
     "q01_project" ->
@@ -776,5 +783,20 @@ object SparkEntry {
         "AS DOUBLE) / (len(array_to_string(w.ws, ' ')) - (len(w.ws) - 1)), 6) " +
         "END AS dup5_frac " +
         "FROM ws w LEFT JOIN top t USING (doc_id) LEFT JOIN cov c USING (doc_id)"),
+    // q78: conditional aggregation is the engine-portable spelling of the
+    // explicit-values pivot; split derivation mirrors q54's thresholds
+    "q78_split_matrix" ->
+      ("WITH d AS (SELECT source, CAST(len(list_filter(" +
+        "string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')) " +
+        "AS BIGINT) AS nt, " +
+        "CASE WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8) " +
+        "< 'cccccccc' THEN 'train' " +
+        "WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8) " +
+        "< 'e6666666' THEN 'val' ELSE 'test' END AS split FROM documents) " +
+        "SELECT source, " +
+        "CAST(sum(CASE WHEN split = 'train' THEN nt END) AS BIGINT) AS train, " +
+        "CAST(sum(CASE WHEN split = 'val' THEN nt END) AS BIGINT) AS val, " +
+        "CAST(sum(CASE WHEN split = 'test' THEN nt END) AS BIGINT) AS test " +
+        "FROM d GROUP BY source"),
   )
 }

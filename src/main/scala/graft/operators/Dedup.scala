@@ -511,6 +511,69 @@ object Dedup {
         .as("cleaned_text"))
   }
 
+  /** Q79: SemDeDup (Abbas et al. 2023) — SEMANTIC dedup: embeddings are
+    * clustered (the q36 centroid machinery: hash-stratified seeds +
+    * Lloyd), pairwise cosine runs ONLY within each cluster, and of every
+    * semantic-duplicate group exactly one representative survives — the
+    * member FARTHEST from its centroid (lowest centroid similarity, the
+    * paper's keep-the-outlier rule: among near-duplicates, the least
+    * cluster-typical copy carries the most marginal information; ties
+    * break to the lowest id so the contract is total).
+    *
+    * This is the scale shape the paper chose deliberately: clustering
+    * makes the O(n²) pairwise stage O(Σ cell²) with cellCap bounding any
+    * hot cell, at the documented cost that a near-dup pair SPLIT ACROSS
+    * cells is not judged (the within-cell containment property — every
+    * same-cell pair ≥ eps lands in one group — is what SemDedupSpec
+    * pins; q40/q44 are the exact alternatives when cross-cluster recall
+    * matters more than the pruning ratio). Spec-gated, not oracled: the
+    * Lloyd mean is a floating-point average, the q36 caveat.
+    *
+    * Output: every vector, its semantic group (components of the
+    * within-cell ≥ eps graph; singletons label themselves), its centroid
+    * similarity, and the keep bit — `keep = 1` rows ARE the semantically
+    * deduplicated corpus (q65's report-WHY discipline: the pruned rows
+    * stay visible with their group).
+    */
+  def q79SemDedup(spark: SparkSession, dir: String): DataFrame =
+    semDedupOn(
+      Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"),
+          graft.functions.VectorOps.toDoubleArray(col("embedding")).as("v")))
+
+  /** SemDeDup over any (vec_id, v) frame. `nCells` trades pruning cost
+    * against cross-cell recall; `eps` is the semantic-duplicate bar
+    * (0.34 per q40's corpus tuning).
+    */
+  def semDedupOn(vectors: DataFrame, nCells: Int = 8, eps: Double = 0.34,
+                 cellCap: Int = 4096, kmeansRounds: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorOps._
+    val home = Similarity.homeCells(vectors, nCells, cellCap, kmeansRounds)
+    val en = vectors.withColumn("nrm", norm(col("v")))
+    val m = home.join(en, "vec_id")
+    val a = m.select(col("cell_id"), col("vec_id").as("doc_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = m.select(col("cell_id"), col("vec_id").as("doc_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val pairs = a.join(b, Seq("cell_id"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= eps)
+      .select("doc_a", "doc_b")
+    val comp = connectedComponents(pairs)
+      .withColumnRenamed("doc_id", "vec_id")
+    val wKeep = Window.partitionBy("cluster")
+      .orderBy(col("csim").asc, col("vec_id").asc)
+    home.join(comp, Seq("vec_id"), "left")
+      // a singleton (no within-cell edge) is its own group; its id cannot
+      // collide with a component label (labels are min ids of EDGED sets)
+      .withColumn("cluster", coalesce(col("cluster"), col("vec_id")))
+      .withColumn("rk", row_number().over(wKeep))
+      .select(col("vec_id"), col("cluster"),
+        round(col("csim"), 6).as("centroid_sim"),
+        (col("rk") === 1).cast("int").as("keep"))
+  }
+
   /** Q74: INCREMENTAL dedup — an incoming batch judged against the
     * already-curated history corpus, never re-deduplicating the lake (the
     * production corpus-refresh shape: daily crawl deltas land against a

@@ -237,11 +237,41 @@ object Similarity {
     * out so the scale spec can measure cellCap's linear bound on a
     * synthesized corpus through the exact operator path q36 runs.
     */
+  /** The seed-then-Lloyd centroid fold, shared by the IVF candidate path
+    * and SemDeDup's cell assignment.
+    */
+  private[operators] def trainedCentroids(vectors: DataFrame, nCells: Int,
+                                          kmeansRounds: Int): DataFrame =
+    (1 to kmeansRounds)
+      .foldLeft(seedCentroids(vectors, nCells))((c, _) => kmeansRound(vectors, c))
+
+  /** Each vector's HOME cell (its nearest trained centroid) plus the
+    * centroid similarity, cellCap-bounded exactly as the IVF path bounds
+    * it — the clustering primitive SemDeDup (Dedup.semDedupOn) prunes
+    * within. One broadcast of the centroid table, one window per vector.
+    */
+  private[graft] def homeCells(vectors: DataFrame, nCells: Int,
+                               cellCap: Int, kmeansRounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = trainedCentroids(vectors, nCells, kmeansRounds)
+    val wCell = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cell_id").asc)
+    val wCap = Window.partitionBy("cell_id")
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    vectors.crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine(col("v"), col("cv")))
+      .select(col("vec_id"), col("cell_id"), col("csim"))
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") === 1)
+      .withColumn("rc", row_number().over(wCap))
+      .filter(col("rc") <= cellCap)
+      .select("vec_id", "cell_id", "csim")
+  }
+
   def ivfCandidatePairs(vectors: DataFrame, nCells: Int, nProbe: Int,
                         cellCap: Int, kmeansRounds: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val centroids = (1 to kmeansRounds)
-      .foldLeft(seedCentroids(vectors, nCells))((c, _) => kmeansRound(vectors, c))
+    val centroids = trainedCentroids(vectors, nCells, kmeansRounds)
     // rank every (vector, cell) by centroid similarity — rn=1 is the
     // vector's home cell, rn<=nProbe are the cells its queries probe.
     // NOTE on defaults: probing 20 of 32 cells is tuned for the corpus's

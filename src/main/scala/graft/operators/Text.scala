@@ -219,14 +219,40 @@ object Text {
     * two columns at the scan. Thresholds are 32-bit hex bounds:
     * 0xCCCCCCCC = 0.8, 0xE6666666 = 0.9.
     */
-  def q54Split(spark: SparkSession, dir: String): DataFrame = {
-    val h = substring(md5(concat(lit("split|"), col("doc_id").cast("string"))), 1, 8)
-    Tables.load(spark, dir, "documents").select(
-      col("doc_id"), col("source"),
-      when(h < "cccccccc", "train")
-        .when(h < "e6666666", "val")
-        .otherwise("test").as("split"))
+  /** q54's deterministic split assignment over any id column — shared
+    * with q78's cross-tab so the two can never disagree on a doc's fold.
+    */
+  private[graft] def splitOf(id: Column): Column = {
+    val h = substring(md5(concat(lit("split|"), id.cast("string"))), 1, 8)
+    when(h < "cccccccc", "train")
+      .when(h < "e6666666", "val")
+      .otherwise("test")
   }
+
+  def q54Split(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents").select(
+      col("doc_id"), col("source"), splitOf(col("doc_id")).as("split"))
+
+  /** Q78: the split × source TOKEN MATRIX — the stratification report a
+    * training pipeline publishes after q54's assignment (is val/test
+    * coverage proportional per domain, or did a fold starve?). One
+    * `pivot` with EXPLICIT values: naming the columns up front lets the
+    * rewrite plan directly as a two-phase aggregate (a partial-aggregable
+    * pre-agg on (source, split) whose intermediate is bounded by
+    * sources × folds, then the matrix agg) — `pivot` without values runs
+    * a whole distinct-discovery JOB over the corpus before planning,
+    * which is the 100 TB mistake this contract pins away (2 uniform
+    * exchanges, plan-pinned). Exact BIGINT token sums; a fold a source
+    * never hits reports NULL.
+    */
+  def q78SplitMatrix(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("source"),
+        size(words(col("text"))).cast("long").as("_nt"),
+        splitOf(col("doc_id")).as("_split"))
+      .groupBy("source")
+      .pivot("_split", Seq("train", "val", "test"))
+      .agg(sum(col("_nt")))
 
   /** Q77: CHAR-level repetition signals — the two Gopher repetition
     * families q47's count-based 3-gram fraction does not cover (Rae et

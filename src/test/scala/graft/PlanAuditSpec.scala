@@ -414,6 +414,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles(df) <= 4, s"q74 exchange budget grew:\n$p")
   }
 
+  test("q78 explicit-values pivot stays the two-phase aggregate, no discovery") {
+    val df = graft.operators.Text.q78SplitMatrix(spark, TestSpark.Sf0001)
+    // Spark rewrites pivot as a two-phase aggregate: a partial-aggregable
+    // pre-agg on (source, split) — the intermediate is bounded by
+    // sources × folds — then the matrix agg on source. Both exchanges are
+    // uniform. pivot WITHOUT explicit values would additionally run a
+    // distinct-discovery JOB over the corpus before planning at all —
+    // growth past 2 means that job (or a sort) came back
+    assert(shuffles(df) === 2, s"q78 exchange budget grew:\n${plan(df)}")
+  }
+
   test("q67 line dedup: uniform shuffles only, broadcast keep-test") {
     val df = graft.operators.Text.q67LineDedup(spark, TestSpark.Sf0001)
     val p = plan(df)
