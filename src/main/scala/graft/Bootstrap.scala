@@ -112,6 +112,16 @@ object Bootstrap {
     // the clean web corpus" read
     operators.Text.q71WebPreclean(spark, dir)
       .createOrReplaceTempView("vw_web_preclean")
+    // the corpus-refresh verdict (q74): `WHERE keep = 1` is the SQL-only
+    // "which of the incoming batch may land" read, with the evidence
+    // columns for the audit trail
+    operators.Dedup.q74IncrementalDedup(spark, dir)
+      .createOrReplaceTempView("vw_incremental_dedup")
+    // the semantic-dedup verdict (q79): like vw_dedup_clusters, the
+    // components (and the Lloyd round behind them) run once at
+    // registration — checkpoint-backed — not per SQL read
+    operators.Dedup.q79SemDedup(spark, dir)
+      .createOrReplaceTempView("vw_semdedup")
   }
 
   /** Register the landing table + curated views over it — the TRANSFORM

@@ -25,7 +25,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "vw_media_manifest" ->
         Multimodal.q58MediaManifest(spark, TestSpark.Sf0001),
       "vw_doc_quality" -> Text.docQuality(spark, TestSpark.Sf0001),
-      "vw_web_preclean" -> Text.q71WebPreclean(spark, TestSpark.Sf0001))
+      "vw_web_preclean" -> Text.q71WebPreclean(spark, TestSpark.Sf0001),
+      "vw_incremental_dedup" -> Dedup.q74IncrementalDedup(spark, TestSpark.Sf0001),
+      "vw_semdedup" -> Dedup.q79SemDedup(spark, TestSpark.Sf0001))
     twins.foreach { case (view, df) =>
       val sql = canon(spark.sql(s"SELECT * FROM $view"))
       val api = canon(df)
