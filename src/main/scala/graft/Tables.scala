@@ -20,14 +20,23 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // The corpus stores events.ts as INT64 TIMESTAMP(NANOS) parquet, which
-      // Spark 4 rejects outright (PARQUET_TYPE_ILLEGAL). Read the raw int64
-      // nanos via the legacy conf and convert to a µs timestamp here so every
-      // consumer sees a plain TimestampType column. Runtime-settable SQLConf,
-      // so the fix lives in the loader regardless of who built the session.
+      // The corpus generator has stored events.ts two ways across driver
+      // versions: INT64 TIMESTAMP(NANOS) — which Spark 4 rejects outright
+      // (PARQUET_TYPE_ILLEGAL) unless read as raw nanos via the legacy
+      // conf — and plain TIMESTAMP(MICROS) without a timezone, which reads
+      // as TIMESTAMP_NTZ. Normalize BOTH to a session-tz TimestampType
+      // column here so every consumer (and the DuckDB oracle, which reads
+      // the same naive values) sees identical semantics regardless of
+      // which generator produced the files. Runtime-settable SQLConf, so
+      // the fix lives in the loader regardless of who built the session.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => // nanos-as-int64 corpus
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => // micros corpus: NTZ → session-tz timestamp (UTC session)
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   private val RegisteredDirKey = "spark.graft.tables.registeredDir"

@@ -16,21 +16,29 @@ class StreamingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  /** File-source streaming twin of `Tables.load("events")`: file-source
+    * streaming needs an explicit schema, and the corpus generator has
+    * stored `ts` two ways across driver versions (int64 nanos under the
+    * nanosAsLong conf vs plain TIMESTAMP micros). Infer the raw encoding
+    * from the batch reader's schema and normalize exactly like the batch
+    * loader, so the batch≡stream parity tests hold on either corpus.
+    */
+  private def eventsStream(streamDir: String) = {
+    val raw = spark.read.parquet(s"$streamDir/events.parquet").schema
+    val s = spark.readStream.schema(raw).parquet(streamDir)
+    raw("ts").dataType match {
+      case LongType => s.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => s.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
+
   test("tumbling 1h window: streaming over the same events == batch q14") {
-    // file-source streaming needs an explicit schema; with nanosAsLong the
-    // raw parquet column is int64 nanos, converted exactly like Tables.load
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
     // file source wants a directory, not a single file
     val streamDir = Files.createTempDirectory("graft_win").toString
     Files.copy(
       java.nio.file.Paths.get(s"${TestSpark.Sf0001}/events.parquet"),
       java.nio.file.Paths.get(s"$streamDir/events.parquet"))
-    val stream = spark.readStream.schema(rawSchema)
-      .parquet(streamDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = eventsStream(streamDir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("window_start"), col("event_type"), col("cnt"))
@@ -53,17 +61,11 @@ class StreamingSpec extends AnyFunSuite {
     // session windows additionally exercise streaming state MERGING
     // (adjacent sessions fusing when a bridging event arrives), which
     // tumbling windows never do
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
     val streamDir = Files.createTempDirectory("graft_sess").toString
     Files.copy(
       java.nio.file.Paths.get(s"${TestSpark.Sf0001}/events.parquet"),
       java.nio.file.Paths.get(s"$streamDir/events.parquet"))
-    val stream = spark.readStream.schema(rawSchema)
-      .parquet(streamDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = eventsStream(streamDir)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("user_id"),
@@ -86,17 +88,11 @@ class StreamingSpec extends AnyFunSuite {
     // the SAME join expression (Relational.intervalJoin) runs as a
     // watermarked stream-stream join — the watermark bounds the join
     // state exactly the way the 60-minute range bounds the batch merge
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
     val streamDir = Files.createTempDirectory("graft_ij").toString
     Files.copy(
       java.nio.file.Paths.get(s"${TestSpark.Sf0001}/events.parquet"),
       java.nio.file.Paths.get(s"$streamDir/events.parquet"))
-    def side(t: String) = spark.readStream.schema(rawSchema)
-      .parquet(streamDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def side(t: String) = eventsStream(streamDir)
       .filter(col("event_type") === t)
       .select(col("event_id"), col("user_id"), col("ts"))
       .withWatermark("ts", "2 hours")
