@@ -101,6 +101,7 @@ object SparkEntry {
     "q77_repetition_chars" -> (Text.q77RepetitionChars _),
     "q78_split_matrix" -> (Text.q78SplitMatrix _),
     "q79_semdedup" -> (Dedup.q79SemDedup _),
+    "q80_shard_assign" -> (Scale.q80ShardAssign _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -798,5 +799,15 @@ object SparkEntry {
         "CAST(sum(CASE WHEN split = 'val' THEN nt END) AS BIGINT) AS val, " +
         "CAST(sum(CASE WHEN split = 'test' THEN nt END) AS BIGINT) AS test " +
         "FROM d GROUP BY source"),
+    // q80: the oracle IS the one-task global row_number the two-phase
+    // operator avoids — the bucket-rank + offset algebra must reproduce
+    // the single total order bit-for-bit
+    "q80_shard_assign" ->
+      ("WITH h AS (SELECT doc_id, md5('q80|' || CAST(doc_id AS VARCHAR)) " +
+        "AS hk FROM documents), " +
+        "r AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY hk, doc_id) " +
+        "- 1 AS BIGINT) AS g FROM h) " +
+        "SELECT doc_id, g AS shuffle_pos, g // 128 AS shard, " +
+        "g % 128 AS shard_pos FROM r"),
   )
 }

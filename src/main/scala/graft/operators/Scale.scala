@@ -147,6 +147,68 @@ object Scale {
     f.delete()
   }
 
+  /** Deterministic global shuffle + fixed-size shard assignment — the
+    * "last mile" a training-data pipeline runs after curation: give every
+    * document a reproducible pseudo-random global position, then cut the
+    * ordering into equal shards (`shard`, `shard_pos`) a downstream
+    * loader streams sequentially (GPT/Megatron-style data prep shuffles
+    * once at corpus-build time precisely so training never pays a random
+    * read). The shuffle key is the q42/q54 salted-md5 primitive, so the
+    * order is engine-independent, RNG-free, and independent of every
+    * other sampling stage's draw.
+    *
+    * The scale problem is the RANK: `row_number() OVER (ORDER BY hash)`
+    * is a textbook spelling that serializes the entire corpus through ONE
+    * task (Spark warns "No Partition Defined for Window operation"). This
+    * operator is the two-phase spelling that doesn't:
+    *
+    *  1. range-bucket by the hash's leading `bucketChars` hex chars —
+    *     buckets are PREFIX ranges of the sort key, so bucket order IS
+    *     global order and md5 uniformity makes bucket sizes even (no
+    *     planted hot key can skew a position-derived... a CONTENT-derived
+    *     hash; uniformity is md5's, not the data's);
+    *  2. rank within each bucket (`row_number` partitioned by bucket —
+    *     the corpus-sized exchange, even by construction);
+    *  3. turn per-bucket counts into exclusive running offsets — a frame
+    *     of at most 16^bucketChars rows, where a single-partition window
+    *     is the RIGHT plan — and broadcast them back so
+    *     global_pos = bucket_offset + local_rank.
+    *
+    * 16^2 = 256 buckets suit local[32]; a 1000-executor deployment raises
+    * `bucketChars` to 3-4 (4096/65536 range-partitions) without touching
+    * the algebra. Every output column is exact integer arithmetic.
+    */
+  def shardAssignOn(docs: DataFrame, salt: String = "q80|",
+                    shardSize: Long = 128L, bucketChars: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = docs.select(col("doc_id"),
+        md5(concat(lit(salt), col("doc_id").cast("string"))).as("_hk"))
+      .withColumn("_bucket", substring(col("_hk"), 1, bucketChars))
+    val local = h.withColumn("_lr",
+      (row_number().over(
+        Window.partitionBy("_bucket").orderBy("_hk", "doc_id")) - 1)
+        .cast("long"))
+    val offs = h.groupBy("_bucket").agg(count(lit(1)).as("_n"))
+      .withColumn("_off", coalesce(
+        sum("_n").over(Window.orderBy("_bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_bucket", "_off")
+    local.join(broadcast(offs), "_bucket")
+      .select(col("doc_id"),
+        (col("_off") + col("_lr")).as("shuffle_pos"))
+      .select(col("doc_id"), col("shuffle_pos"),
+        floor(col("shuffle_pos") / shardSize).cast("long").as("shard"),
+        (col("shuffle_pos") % shardSize).as("shard_pos"))
+  }
+
+  /** Q80: the contract instantiation over `documents` — defaults
+    * everywhere; the oracle is the one-task `row_number() OVER (ORDER BY
+    * hash, doc_id)` spelling this operator exists to avoid, so the
+    * two-phase rank is value-checked against the global truth.
+    */
+  def q80ShardAssign(spark: SparkSession, dir: String): DataFrame =
+    shardAssignOn(Tables.load(spark, dir, "documents").select("doc_id"))
+
   /** Q52: q11's join-revenue over the bucketed layout — the bench proof
     * that writeBucketed's pay-once trade buys a zero-exchange join. Both
     * fact tables are bucketed 32 ways on the join key (paid once, in the

@@ -125,6 +125,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(perDoc <= 4, s"fan-out bound violated: $perDoc frames for one doc")
   }
 
+  test("q80 ranks inside buckets and broadcasts the offsets") {
+    // the corpus-sized window must be PARTITIONED by the hash-prefix
+    // bucket — a refactor that drops the partition spec re-creates the
+    // one-task global sort the operator exists to avoid — and the
+    // per-bucket offsets (<= 256 rows) must come back as a broadcast,
+    // never a corpus-keyed shuffle join
+    val df = graft.operators.Scale.q80ShardAssign(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    val corpusWin = p.linesIterator
+      .filter(_.contains("row_number()")).mkString
+    assert(corpusWin.contains("_bucket"),
+      s"rank window lost its bucket partitioning: $corpusWin")
+    assert(p.contains("BroadcastHashJoin"), s"offsets join not broadcast:\n$p")
+    assert(shuffles(df) <= 3, s"q80 exchange budget exceeded:\n$p")
+  }
+
   test("q42 reads only doc_id and lang; q41 pushes the doc_id bound to one scan") {
     val p42 = plan(graft.operators.Text.q42QuotaSample(spark, TestSpark.Sf0001))
     val rs = p42.linesIterator.find(_.contains("ReadSchema")).getOrElse("")

@@ -96,6 +96,44 @@ class ScaleSpec extends AnyFunSuite {
       f"10x docs cost ${t10 / t1}%.1fx the time ($t1%.2fs -> $t10%.2fs)")
   }
 
+  test("two-phase shard assignment reproduces the one-task global order") {
+    import spark.implicits._
+    // independent truth: JVM md5 sorted in one place — the spelling the
+    // operator exists to avoid running distributed
+    val ids = Tables.load(spark, TestSpark.Sf0001, "documents")
+      .select("doc_id").as[Long].collect()
+    def hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val expected = ids.map(id => (hex(s"q80|$id"), id)).sorted.zipWithIndex
+      .map { case ((_, id), g) =>
+        (id, g.toLong, g.toLong / 128L, g.toLong % 128L) }.toSet
+    val got = Scale.q80ShardAssign(spark, TestSpark.Sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === expected)
+    // shards are dense and full: every shard except the last holds
+    // exactly shardSize docs, and positions within a shard are 0..n-1
+    val byShard = got.groupBy(_._3).toSeq.sortBy(_._1)
+    byShard.init.foreach { case (s, rows) =>
+      assert(rows.size === 128, s"shard $s holds ${rows.size} docs") }
+    byShard.foreach { case (s, rows) =>
+      assert(rows.map(_._4) === (0L until rows.size.toLong).toSet,
+        s"shard $s positions not dense") }
+  }
+
+  test("shard assignment is invariant to the bucket fan-out") {
+    import spark.implicits._
+    // bucketing is an implementation detail of the two-phase rank: any
+    // prefix width must yield the identical global order — a result that
+    // changes with bucketChars means bucket boundaries leaked into the
+    // ordering
+    val docs = Tables.load(spark, TestSpark.Sf0001, "documents").select("doc_id")
+    val a = Scale.shardAssignOn(docs, bucketChars = 1)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val b = Scale.shardAssignOn(docs, bucketChars = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(a === b)
+  }
+
   test("a foreign build sentinel makes ensureBucketed fail loudly, then recover") {
     val dir = TestSpark.Sf0001
     // simulate another process mid-materialization (or crashed): its
