@@ -102,6 +102,7 @@ object SparkEntry {
     "q78_split_matrix" -> (Text.q78SplitMatrix _),
     "q79_semdedup" -> (Dedup.q79SemDedup _),
     "q80_shard_assign" -> (Scale.q80ShardAssign _),
+    "q81_bigram_surprisal" -> (Text.q81BigramSurprisal _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -515,7 +516,8 @@ object SparkEntry {
         "FROM sc GROUP BY doc_id) " +
         "SELECT d.doc_id, CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens, " +
         "CASE WHEN a.n_tokens > 0 THEN " +
-        "round(CAST(a.sum_s AS DOUBLE) / a.n_tokens, 6) END AS mean_surprisal " +
+        "CAST((2 * CAST(a.sum_s * 1000000 AS BIGINT) + a.n_tokens) " +
+        "// (2 * a.n_tokens) AS DOUBLE) / 1e6 END AS mean_surprisal " +
         "FROM documents d LEFT JOIN agg a USING (doc_id)"),
     // q65: every rule replayed — thresholds compare the ROUNDED ratios in
     // both engines so the keep decision cannot drift on a boundary
@@ -809,5 +811,37 @@ object SparkEntry {
         "- 1 AS BIGINT) AS g FROM h) " +
         "SELECT doc_id, g AS shuffle_pos, g // 128 AS shard, " +
         "g % 128 AS shard_pos FROM r"),
+    // q81: the oracle replays the interpolated bigram model end-to-end —
+    // bigrams via index arithmetic over the shared tokenizer CTE, context
+    // counts as the conditional denominator, weights as the same 0.7/0.3
+    // literals, per-token 6-dp DECIMAL rounding before the doc sum
+    "q81_bigram_surprisal" ->
+      ("WITH t AS (SELECT doc_id, list_filter(" +
+        "string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '') AS ws " +
+        "FROM documents), " +
+        "toks AS (SELECT doc_id, unnest(ws) AS tok FROM t), " +
+        "uni AS (SELECT tok, count(*) AS cu FROM toks GROUP BY tok), " +
+        "n AS (SELECT sum(cu) AS n_total FROM uni), " +
+        "bg AS (SELECT doc_id, ws[i] AS prev, ws[i + 1] AS cur FROM " +
+        "(SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i " +
+        "FROM t WHERE len(ws) >= 2)), " +
+        "bc AS (SELECT prev, cur, count(*) AS cb FROM bg GROUP BY prev, cur), " +
+        "cx AS (SELECT prev, count(*) AS cp FROM bg GROUP BY prev), " +
+        "sc AS (SELECT g.doc_id, CAST(round(-ln(" +
+        "0.7 * CAST(bc.cb AS DOUBLE) / cx.cp + " +
+        "0.3 * CAST(u.cu AS DOUBLE) / n.n_total), 6) AS DECIMAL(18,6)) AS s " +
+        "FROM bg g JOIN bc ON bc.prev = g.prev AND bc.cur = g.cur " +
+        "JOIN cx ON cx.prev = g.prev JOIN uni u ON u.tok = g.cur, n), " +
+        "agg AS (SELECT doc_id, count(*) AS n_scored, sum(s) AS sum_s " +
+        "FROM sc GROUP BY doc_id) " +
+        "SELECT t.doc_id, CAST(coalesce(len(t.ws), 0) AS BIGINT) AS n_tokens, " +
+        "CAST(coalesce(a.n_scored, 0) AS BIGINT) AS n_scored, " +
+        // exact-half discipline: the mean is half-up integer arithmetic
+        // on micro-units — round(double/n, 6) disagrees across engines
+        // when sum_micros/n is a true .5 (doc 484 at sf0.01)
+        "CASE WHEN a.n_scored > 0 THEN " +
+        "CAST((2 * CAST(a.sum_s * 1000000 AS BIGINT) + a.n_scored) " +
+        "// (2 * a.n_scored) AS DOUBLE) / 1e6 END AS mean_surprisal " +
+        "FROM t LEFT JOIN agg a USING (doc_id)"),
   )
 }

@@ -591,9 +591,90 @@ object Text {
           .cast("decimal(18,6)").as("s"))
       .groupBy("doc_id")
       .agg(count(col("tok")).as("n_tokens"), sum("s").as("sum_s"))
+      .withColumn("_sm", (col("sum_s") * lit(1000000)).cast("long"))
       .select(col("doc_id"), col("n_tokens"),
+        // half-up integer mean on exact micro-units — q81's exact-half
+        // discipline (round(double/n, 6) flips between engines when
+        // sum_micros/n lands on a true .5; see bigramSurprisalOn)
         when(col("n_tokens") > 0,
-          round(col("sum_s").cast("double") / col("n_tokens"), 6))
+          expr("CAST((2 * _sm + n_tokens) DIV (2 * n_tokens) AS DOUBLE) / 1e6"))
+          .as("mean_surprisal"))
+  }
+
+  /** Q81: interpolated BIGRAM surprisal — the LM-quality ladder's next
+    * rung above q64's unigram (CCNet scores documents with an n-gram LM
+    * precisely because context makes "the the the" expensive where a
+    * unigram model cannot see it). Per scored token (every token with a
+    * predecessor):
+    *
+    *   s = -ln( wB * c(prev,cur)/c(prev,·)  +  wU * c(cur)/N )
+    *
+    * where c(prev,·) is the CONTEXT count (bigrams starting with prev —
+    * the proper conditional denominator, not the unigram count, which
+    * also counts document-final occurrences that predict nothing), and
+    * the unigram term is q64's MLE. The weights are two explicit
+    * parameters, not (λ, 1-λ): `1.0 - 0.7` is 0.30000000000000004 in
+    * IEEE754, and a model constant that silently differs from the
+    * oracle's literal in the 17th digit is exactly the drift the 6-dp
+    * rounding discipline exists to kill.
+    *
+    * Scale shape: bigram pairs are built NARROW from the materialized
+    * token array (`transform(sequence(...))` over an own-column `ws` —
+    * the q67 lambda lesson; no per-doc lag window, so no doc-keyed
+    * exchange), and the three model joins broadcast: unigram vocabulary
+    * saturation is MEASURED (ScaleSpec q64), context counts key a subset
+    * of the same vocabulary, and the bigram table is bounded by observed
+    * adjacency (≤ V²; it saturates later than V — a deployment whose
+    * bigram model outgrows the broadcast swaps the shuffled equi-join
+    * with AQE skew handling, q63's explicit-trade discipline, and zipfian
+    * hot pairs like "of the" make AQE's skew split mandatory there).
+    * Exactness is q64's: per-token surprisal rounded to 6 dp, cast
+    * DECIMAL(18,6) before the per-doc sum, one final division.
+    */
+  def q81BigramSurprisal(spark: SparkSession, dir: String): DataFrame =
+    bigramSurprisalOn(Tables.load(spark, dir, "documents"))
+
+  /** The q81 computation over any (doc_id, text) frame. */
+  def bigramSurprisalOn(docs: DataFrame, wBigram: Double = 0.7,
+                        wUnigram: Double = 0.3): DataFrame = {
+    val base = docs.select(col("doc_id"), words(col("text")).as("ws"))
+    val nt = base.select(col("doc_id"),
+      coalesce(size(col("ws")), lit(0)).cast("long").as("n_tokens"))
+    val uni = base.select(explode(col("ws")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cu"))
+      .withColumn("n_total", sum("cu").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+    val pairs = base.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws)-2), " +
+          "i -> struct(ws[i] AS prev, ws[i+1] AS cur))")).as("p"))
+      .select(col("doc_id"), col("p.prev").as("prev"), col("p.cur").as("cur"))
+    val big = pairs.groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
+    val ctx = pairs.groupBy("prev").agg(count(lit(1)).as("cp"))
+    val scored = pairs
+      .join(broadcast(big), Seq("prev", "cur"))
+      .join(broadcast(ctx), Seq("prev"))
+      .join(broadcast(uni.withColumnRenamed("tok", "cur")), Seq("cur"))
+      .select(col("doc_id"),
+        round(-log(
+          lit(wBigram) * col("cb").cast("double") / col("cp") +
+            lit(wUnigram) * col("cu").cast("double") / col("n_total")), 6)
+          .cast("decimal(18,6)").as("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_scored"), sum("s").as("sum_s"))
+    nt.join(scored, Seq("doc_id"), "left")
+      .withColumn("_sm", (col("sum_s") * lit(1000000)).cast("long"))
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        // the mean is half-up INTEGER arithmetic on exact micro-units,
+        // never round(double/n, 6): sum_micros/n lands on an EXACT .5
+        // with probability ~1/2n per doc (observed: 141918063/42 =
+        // 3379001.5), and there the engines' round() disagree — Spark
+        // rounds the double's exact decimal expansion (just below .5),
+        // DuckDB multiplies by 1e6 first (landing back on .5). Exact
+        // floor((2a+n)/2n) is the same integer everywhere.
+        when(col("n_scored") > 0,
+          expr("CAST((2 * _sm + n_scored) DIV (2 * n_scored) AS DOUBLE) / 1e6"))
           .as("mean_surprisal"))
   }
 

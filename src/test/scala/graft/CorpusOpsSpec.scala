@@ -740,4 +740,35 @@ class CorpusOpsSpec extends AnyFunSuite {
     // top2 varies across docs (not a constant artifact of the generator)
     assert(rows.flatMap(_._2).distinct.length > 10)
   }
+
+  test("q81 bigram surprisal: self-trained coverage, context beats unigram on repeats") {
+    import spark.implicits._
+    // model trained on the scored corpus itself => every adjacent pair
+    // exists in the model, so exactly the first token of each doc goes
+    // unscored — an inner-join dropping pairs would break this invariant
+    val rows = Text.q81BigramSurprisal(spark, TestSpark.Sf0001)
+      .select(col("doc_id"), col("n_tokens"), col("n_scored"),
+        col("mean_surprisal"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nt, ns, m) =>
+      assert(ns === math.max(nt - 1, 0L), s"doc $id: $ns scored of $nt")
+      assert(m.isDefined === (ns > 0), s"doc $id: mean/NULL contract broken")
+    }
+    // the context term is doing real work: a document that is one token
+    // repeated is maximally predictable to the bigram model (P(cur|prev)
+    // ~ 1 inside the doc) but can stay expensive to the unigram mix —
+    // its bigram surprisal must undercut a natural-text doc's even when
+    // the repeated token is corpus-rare
+    val synth = Seq(
+      (1L, Array.fill(50)("zq").mkString(" ")),
+      (2L, "the cat sat on the mat and the dog ran off to town")
+    ).toDF("doc_id", "text")
+    val m = Text.bigramSurprisalOn(synth)
+      .select("doc_id", "mean_surprisal").as[(Long, Double)].collect().toMap
+    assert(m(1L) < m(2L),
+      s"repetition not cheaper under context: rep=${m(1L)} nat=${m(2L)}")
+  }
 }
