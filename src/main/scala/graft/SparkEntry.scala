@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ingest.Envelope
-import graft.sources.JsonLines
+import graft.sources.{JsonLines, Warc}
 import graft.operators.{Dedup, Multimodal, Pipeline, Relational, Scale, Similarity, SqlSurface, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -103,6 +103,7 @@ object SparkEntry {
     "q79_semdedup" -> (Dedup.q79SemDedup _),
     "q80_shard_assign" -> (Scale.q80ShardAssign _),
     "q81_bigram_surprisal" -> (Text.q81BigramSurprisal _),
+    "q82_warc_ingest" -> (Warc.q82WarcIngest _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -843,5 +844,34 @@ object SparkEntry {
         "CAST((2 * CAST(a.sum_s * 1000000 AS BIGINT) + a.n_scored) " +
         "// (2 * a.n_scored) AS DOUBLE) / 1e6 END AS mean_surprisal " +
         "FROM t LEFT JOIN agg a USING (doc_id)"),
+    // q82: the oracle recomputes every record field from the synthesis
+    // RESIDUES — never by parsing the stream — so a kernel walk slip
+    // (split-on-separator, case-sensitive names, separator off-by-one)
+    // cannot cancel out; the corruption cases map to the residue classes
+    "q82_warc_ingest" ->
+      ("WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS nr, doc_id % 10 AS r " +
+        "FROM documents), " +
+        "v AS (SELECT doc_id, nr, r, " +
+        "CASE WHEN r = 9 THEN NULL WHEN r = 4 THEN 0 " +
+        "WHEN r = 7 THEN nr - 1 ELSE nr END AS nv, " +
+        "CASE WHEN r = 9 THEN NULL WHEN r IN (4, 7) THEN 1 ELSE 0 END AS tr " +
+        "FROM d), " +
+        "rec AS (SELECT doc_id, nv, tr, " +
+        "unnest(generate_series(0, nv - 1)) AS j FROM v WHERE nv > 0), " +
+        "pay AS (SELECT doc_id, nv, tr, j, " +
+        "'A' || CAST(doc_id AS VARCHAR) || '-' || CAST(j AS VARCHAR) || " +
+        "chr(13) || chr(10) || chr(13) || chr(10) || " +
+        "repeat('x', CAST((doc_id * 7 + j * 3) % 40 + 1 AS INT)) AS p " +
+        "FROM rec) " +
+        "SELECT doc_id, CAST(nv AS BIGINT) AS n_records, " +
+        "CAST(tr AS INT) AS truncated, CAST(j AS INT) AS rec_idx, " +
+        "CASE WHEN j % 2 = 0 THEN 'response' ELSE 'request' END AS rec_type, " +
+        "'http://site' || CAST(doc_id % 50 AS VARCHAR) || '.example/p/' || " +
+        "CAST(doc_id AS VARCHAR) || '/' || CAST(j AS VARCHAR) AS uri, " +
+        "CAST(len(p) AS BIGINT) AS content_length, md5(p) AS payload_md5 " +
+        "FROM pay " +
+        "UNION ALL " +
+        "SELECT doc_id, CAST(nv AS BIGINT), CAST(tr AS INT), NULL, NULL, " +
+        "NULL, NULL, NULL FROM v WHERE nv IS NULL OR nv = 0"),
   )
 }

@@ -221,6 +221,31 @@ object VideoOps {
       ColumnBridge.expression(frameIdx.cast("int"))))
 }
 
+object WarcOps {
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  /** WARC stream verdict `(nValidRecords << 1) | truncated` via the
+    * Content-Length-driven record walk ([[WarcMeta]]); NULL when the
+    * payload has no `WARC/` magic at all.
+    */
+  def warcMeta(bin: Column): Column =
+    ColumnBridge.column(WarcMeta(ColumnBridge.expression(bin.cast("binary"))))
+
+  /** Header field of record `idx`: code 0 = WARC-Type, 1 =
+    * WARC-Target-URI, 2 = WARC-Record-ID ([[WarcHeader]]).
+    */
+  def warcHeader(bin: Column, idx: Column, code: Int): Column =
+    ColumnBridge.column(WarcHeader(
+      ColumnBridge.expression(bin.cast("binary")),
+      ColumnBridge.expression(idx.cast("int")), code))
+
+  /** Record `idx`'s exact Content-Length payload bytes ([[WarcPayload]]). */
+  def warcPayload(bin: Column, idx: Column): Column =
+    ColumnBridge.column(WarcPayload(
+      ColumnBridge.expression(bin.cast("binary")),
+      ColumnBridge.expression(idx.cast("int"))))
+}
+
 object TextOps {
   /** Lower-cased alphanumeric word tokens (empty strings filtered). */
   def words(text: Column): Column =

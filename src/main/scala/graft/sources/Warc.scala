@@ -1,0 +1,111 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.WarcOps
+
+/** Q82: WARC record ingest — the crawl-native container read
+  * (ISO 28500; Common Crawl's interchange format, the batch input
+  * RefinedWeb/FineWeb-style corpus builds start from), completing the
+  * source family beside q76's JSONL: JSONL is how CURATED corpora move,
+  * WARC is how CRAWLS arrive.
+  *
+  * Each `documents` row synthesizes a multi-record WARC stream from
+  * doc_id residues (the q56/q60 technique), and the codegen'd
+  * Content-Length walk ([[graft.functions.WarcMeta]] family) parses it
+  * back; the oracle recomputes every field DIRECTLY from the residues —
+  * never by parsing — so a walk slip (fixed offsets, split-on-separator,
+  * case-sensitive header match, off-by-one at the record separator)
+  * cannot cancel out. The synthesis plants the traps a real crawl
+  * delivers:
+  *
+  *  - every payload EMBEDS `\r\n\r\n` — a split-based parse reads
+  *    garbage lengths; only the Content-Length walk survives;
+  *  - odd doc_ids serialize headers lowercase, reordered, with an
+  *    ignored extra header (names are case-insensitive per spec);
+  *  - `doc_id % 10 == 4`: record 0 carries no Content-Length — the walk
+  *    cannot cross an unlengthed record, so the stream reports 0 records
+  *    + truncated (the documented stop-don't-guess stance);
+  *  - `doc_id % 10 == 7`: the final record separator is cut — the tail
+  *    record drops, prior records still serve, truncated = 1;
+  *  - `doc_id % 10 == 9`: not WARC at all (plain text) — NULL verdict,
+  *    distinguishable from "WARC with zero valid records".
+  *
+  * Scale shape: one narrow map over the input — every kernel column is
+  * pre-projected and the bounded explode (≤ 3 records here; a real
+  * segment's record count is bounded by segment size) is the only
+  * fan-out; zero exchanges, fuses into the scan at 100 TB. Payload
+  * fingerprint/length come from the SLICED bytes (`md5(payload)`), so
+  * the verdict row proves the slice, not just the headers.
+  */
+object Warc {
+
+  private def payloadOf(d: Column, j: Column): Column =
+    concat(lit("A"), d.cast("string"), lit("-"), j.cast("string"),
+      lit("\r\n\r\n"),
+      repeat(lit("x"), ((d * 7 + j * 3) % 40 + 1).cast("int")))
+
+  private def uriOf(d: Column, j: Column): Column =
+    concat(lit("http://site"), (d % 50).cast("string"), lit(".example/p/"),
+      d.cast("string"), lit("/"), j.cast("string"))
+
+  /** One serialized record; `lenMissing` renames Content-Length so the
+    * record cannot be walked.
+    */
+  private def recordOf(d: Column, j: Column, lenMissing: Column): Column = {
+    val crlf = "\r\n"
+    val pay = payloadOf(d, j)
+    val clen = length(pay).cast("string")
+    val rtype = when(j % 2 === 0, "response").otherwise("request")
+    val rid = concat(lit("<urn:uuid:"), (d * 13 + j).cast("string"), lit(">"))
+    val uri = uriOf(d, j)
+    val lenName =
+      when(lenMissing, lit("Content-Missing: ")).otherwise(lit("Content-Length: "))
+    val evenHdr = concat(lit("WARC/1.0" + crlf),
+      lit("WARC-Type: "), rtype, lit(crlf),
+      lit("WARC-Record-ID: "), rid, lit(crlf),
+      lit("WARC-Target-URI: "), uri, lit(crlf),
+      lenName, clen, lit(crlf + crlf))
+    val oddHdr = concat(lit("WARC/1.0" + crlf),
+      lit("content-length: "), clen, lit(crlf),
+      lit("warc-type: "), rtype, lit(crlf),
+      lit("X-Extra: v"), lit(crlf),
+      lit("warc-target-uri: "), uri, lit(crlf),
+      lit("warc-record-id: "), rid, lit(crlf + crlf))
+    concat(when(d % 2 === 0, evenHdr).otherwise(oddHdr), pay, lit(crlf + crlf))
+  }
+
+  /** The stream for one doc: `nr` records back-to-back, with the
+    * per-residue corruption cases applied.
+    */
+  private[sources] def synthStream(d: Column, nr: Column): Column = {
+    val whole = array_join(
+      transform(sequence(lit(0), (nr - 1).cast("int")),
+        j => recordOf(d, j, d % 10 === 4 && j === 0)), "")
+    val cut = substring(whole, lit(1), length(whole) - 3)
+    when(d % 10 === 7, cut).otherwise(whole)
+  }
+
+  def q82WarcIngest(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val stream = when(d % 10 === 9, col("text").cast("binary"))
+      .otherwise(synthStream(d, d % 3 + 1).cast("binary"))
+    Tables.load(spark, dir, "documents")
+      .select(d, stream.as("_p"))
+      .withColumn("_m", WarcOps.warcMeta(col("_p")))
+      .select(d, col("_p"),
+        shiftrightunsigned(col("_m"), 1).cast("long").as("n_records"),
+        col("_m").bitwiseAND(lit(1)).cast("int").as("truncated"))
+      .withColumn("rec_idx", explode_outer(
+        when(col("n_records") > 0,
+          sequence(lit(0), (col("n_records") - 1).cast("int")))))
+      .withColumn("_pay", WarcOps.warcPayload(col("_p"), col("rec_idx")))
+      .select(d, col("n_records"), col("truncated"),
+        col("rec_idx").cast("int").as("rec_idx"),
+        WarcOps.warcHeader(col("_p"), col("rec_idx"), 0).as("rec_type"),
+        WarcOps.warcHeader(col("_p"), col("rec_idx"), 1).as("uri"),
+        length(col("_pay")).cast("long").as("content_length"),
+        md5(col("_pay")).as("payload_md5"))
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{WarcEval, WarcHeader, WarcMeta, WarcOps, WarcPayload}
+
+/** The WARC walk's contract against HAND-BUILT byte streams (never its own
+  * synthesis): Content-Length-driven record advance, case-insensitive
+  * header names, strict CRLF, the 4-byte separator belonging to the
+  * record, and honest NULL/truncated verdicts on every malformed shape.
+  */
+class WarcSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def rec(headers: Seq[String], payload: String): String =
+    "WARC/1.0\r\n" + headers.map(_ + "\r\n").mkString + "\r\n" +
+      payload + "\r\n\r\n"
+
+  // payload EMBEDS the record separator — the case split-based parsing
+  // cannot survive
+  private val p0 = "first\r\n\r\nbody"
+  private val p1 = "x" * 7
+  private val twoRec =
+    rec(Seq("WARC-Type: response", "WARC-Target-URI: http://a/1",
+      "WARC-Record-ID: <urn:uuid:1>", s"Content-Length: ${p0.length}"), p0) +
+      rec(Seq("content-length: 7", "warc-type: request", "X-Extra: v",
+        "warc-target-uri: http://a/2"), p1)
+
+  test("Content-Length walk crosses embedded separators; names case-fold") {
+    val bb = twoRec.getBytes("US-ASCII")
+    assert(WarcEval.meta(bb) === ((2L << 1) | 0L))
+    assert(WarcEval.header(bb, 0, 0).toString === "response")
+    assert(WarcEval.header(bb, 0, 1).toString === "http://a/1")
+    assert(WarcEval.header(bb, 0, 2).toString === "<urn:uuid:1>")
+    assert(new String(WarcEval.payload(bb, 0), "US-ASCII") === p0)
+    assert(WarcEval.header(bb, 1, 0).toString === "request")
+    assert(WarcEval.header(bb, 1, 2) === null) // absent optional header
+    assert(new String(WarcEval.payload(bb, 1), "US-ASCII") === p1)
+    assert(WarcEval.header(bb, 2, 0) === null) // past the last record
+  }
+
+  test("malformed shapes: honest truncated verdicts, never short records") {
+    // no Content-Length on record 0: the walk cannot cross it — 0 records
+    val noLen = rec(Seq("WARC-Type: response"), p0).getBytes("US-ASCII")
+    assert(WarcEval.meta(noLen) === 1L)
+    // final separator cut: the tail record drops, the first still serves
+    val cut = twoRec.substring(0, twoRec.length - 3).getBytes("US-ASCII")
+    assert(WarcEval.meta(cut) === ((1L << 1) | 1L))
+    assert(new String(WarcEval.payload(cut, 0), "US-ASCII") === p0)
+    assert(WarcEval.payload(cut, 1) === null)
+    // a Content-Length pointing past the buffer must not slice garbage
+    val lie = rec(Seq("Content-Length: 99999"), p0).getBytes("US-ASCII")
+    assert(WarcEval.meta(lie) === 1L)
+    // bare-LF line endings violate the spec's CRLF mandate
+    val lf = ("WARC/1.0\nContent-Length: 3\n\nabc\n\n").getBytes("US-ASCII")
+    assert(WarcEval.meta(lf) === 1L)
+    // not WARC at all: NULL, distinguishable from zero-valid-records
+    assert(WarcEval.meta("hello world".getBytes("US-ASCII")) === null)
+    assert(WarcEval.meta(Array.emptyByteArray) === null)
+  }
+
+  test("interpreted eval agrees with the codegen'd column path") {
+    import org.apache.spark.sql.catalyst.expressions.{Literal => L}
+    import org.apache.spark.sql.types.{BinaryType, IntegerType}
+    val vectors = Seq(twoRec.getBytes("US-ASCII"),
+      twoRec.substring(0, twoRec.length - 3).getBytes("US-ASCII"),
+      rec(Seq("WARC-Type: x"), p0).getBytes("US-ASCII"),
+      "junk".getBytes("US-ASCII"))
+    vectors.foreach { bytes =>
+      val mi = WarcMeta(L(bytes, BinaryType)).eval(null)
+      val mc = spark.range(1)
+        .select(WarcOps.warcMeta(lit(bytes)).as("m")).head().get(0)
+      assert(mi === mc, "meta parity")
+      Seq(0, 1).foreach { idx =>
+        Seq(0, 1, 2).foreach { code =>
+          val hi = WarcHeader(L(bytes, BinaryType), L(idx, IntegerType), code)
+            .eval(null)
+          val hc = spark.range(1)
+            .select(WarcOps.warcHeader(lit(bytes), lit(idx), code).as("h"))
+            .head().get(0)
+          assert(Option(hi).map(_.toString) === Option(hc), s"header $idx/$code")
+        }
+        val pi = WarcPayload(L(bytes, BinaryType), L(idx, IntegerType)).eval(null)
+        val pc = spark.range(1)
+          .select(WarcOps.warcPayload(lit(bytes), lit(idx)).as("p"))
+          .head().get(0)
+        assert(Option(pi).map(_.asInstanceOf[Array[Byte]].toSeq) ===
+          Option(pc).map(_.asInstanceOf[Array[Byte]].toSeq),
+          s"payload $idx")
+      }
+    }
+  }
+
+  test("q82 explodes only bounded record fan-out with zero exchanges") {
+    val df = graft.sources.Warc.q82WarcIngest(spark, TestSpark.Sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("- Exchange "), s"q82 shuffles a narrow ingest:\n$p")
+    // every stream contributes at least one row (report-WHY: malformed
+    // and non-WARC streams stay visible), and fan-out is bounded by the
+    // synthesis's 3-record cap
+    val n = Tables.load(spark, TestSpark.Sf0001, "documents").count()
+    assert(df.count() >= n)
+    assert(df.count() <= n * 3)
+  }
+}
