@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ingest.Envelope
 import graft.sources.{JsonLines, Warc}
-import graft.operators.{Dedup, Multimodal, Pipeline, Relational, Scale, Similarity, SqlSurface, Text}
+import graft.operators.{Dedup, Multimodal, Pipeline, Relational, Retrieval, Scale, Similarity, SqlSurface, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -104,6 +104,7 @@ object SparkEntry {
     "q80_shard_assign" -> (Scale.q80ShardAssign _),
     "q81_bigram_surprisal" -> (Text.q81BigramSurprisal _),
     "q82_warc_ingest" -> (Warc.q82WarcIngest _),
+    "q83_bm25_topk" -> (Retrieval.q83Bm25TopK _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -873,5 +874,43 @@ object SparkEntry {
         "UNION ALL " +
         "SELECT doc_id, CAST(nv AS BIGINT), CAST(tr AS INT), NULL, NULL, " +
         "NULL, NULL, NULL FROM v WHERE nv IS NULL OR nv = 0"),
+    // q83: the oracle replays BM25 end-to-end — same tokenizer, same
+    // DOUBLE-literal constants (a bare 1.2 would be a DECIMAL literal),
+    // same expression order, per-term 6-dp DECIMAL rounding before the
+    // per-doc sum, ranking on the exact decimal with doc_id tiebreak
+    "q83_bm25_topk" ->
+      ("WITH t AS (SELECT doc_id, list_filter(" +
+        "string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '') AS ws " +
+        "FROM documents), " +
+        "dl AS (SELECT doc_id, CAST(coalesce(len(ws), 0) AS BIGINT) AS dl " +
+        "FROM t), " +
+        "g AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM dl), " +
+        "q(query_id, qtext) AS (VALUES (1, 'merge join'), " +
+        "(2, 'slow table scan'), (3, 'fast value'), (4, 'line column'), " +
+        "(5, 'zzzunseen merge')), " +
+        "qt AS (SELECT query_id, unnest(string_split(qtext, ' ')) AS term " +
+        "FROM q), " +
+        "toks AS (SELECT doc_id, unnest(ws) AS term FROM t), " +
+        "m AS (SELECT doc_id, term FROM toks WHERE term IN " +
+        "(SELECT DISTINCT term FROM qt)), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM m " +
+        "GROUP BY doc_id, term), " +
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
+        "sc AS (SELECT qt.query_id, tf.doc_id, CAST(round(" +
+        "ln((CAST(g.n_docs AS DOUBLE) - df.df + 0.5) / " +
+        "(CAST(df.df AS DOUBLE) + 0.5) + 1.0) * " +
+        "(CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)) / " +
+        "(CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * " +
+        "(1.0 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * " +
+        "CAST(dl.dl AS DOUBLE) * g.n_docs / g.total_dl)), 6) " +
+        "AS DECIMAL(18,6)) AS s " +
+        "FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id " +
+        "JOIN qt ON qt.term = tf.term, g), " +
+        "agg AS (SELECT query_id, doc_id, sum(s) AS sd FROM sc " +
+        "GROUP BY query_id, doc_id), " +
+        "r AS (SELECT query_id, doc_id, sd, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY sd DESC, doc_id) AS rank FROM agg) " +
+        "SELECT query_id, CAST(rank AS INT) AS rank, doc_id, " +
+        "CAST(sd AS DOUBLE) AS score FROM r WHERE rank <= 10"),
   )
 }

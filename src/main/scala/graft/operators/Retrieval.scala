@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextOps.words
+
+/** Lexical retrieval over the corpus — the serving-side read a curation
+  * team runs against its own lake ("which documents match this query, and
+  * how strongly") and the classic quality probe for dedup/boilerplate work
+  * (a corpus whose top-10 for every query is near-identical documents has
+  * a dedup problem). BM25 (Robertson/Sparck Jones; the Lucene-default
+  * scoring) with the standard smoothed IDF.
+  */
+object Retrieval {
+
+  /** BM25 free parameters — Lucene's defaults, as DOUBLE literals on both
+    * sides (the oracle spells `CAST(1.2 AS DOUBLE)`): both engines bind
+    * the IEEE754 double nearest the same decimal literal, so the
+    * constants are bit-identical. A bare SQL `1.2` would be a DECIMAL
+    * literal with engine-specific precision arithmetic — the q81 weight
+    * lesson in another costume.
+    */
+  private val K1 = 1.2
+  private val B = 0.75
+
+  /** The q83 query table: fixed keyword queries over the synthetic
+    * vocabulary, including a nowhere-occurring term (contributes nothing,
+    * never NaN/NULL poison) and single- vs multi-term shapes.
+    */
+  private[graft] val Queries: Seq[(Int, String)] = Seq(
+    (1, "merge join"), (2, "slow table scan"), (3, "fast value"),
+    (4, "line column"), (5, "zzzunseen merge"))
+
+  /** Q83: BM25 top-10 per query over `documents`. */
+  def q83Bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bm25TopKOn(Tables.load(spark, dir, "documents"),
+      Queries.toDF("query_id", "qtext"))
+  }
+
+  /** BM25 top-k of `docs` for each row of `queries(query_id, qtext)`.
+    *
+    * The scale shape is SELECTIVE retrieval: the query-term dimension is
+    * broadcast and filters the token stream BEFORE any wide operation, so
+    * the only corpus-sized work is the narrow scan itself — matched
+    * instances (corpus_rows × query-term selectivity) are what shuffles.
+    * Per-document length is computed as a narrow `size(words(text))`
+    * column (never a token-explode groupBy — same answer, one less
+    * corpus-wide exchange), the matched tf/df aggregates and the 1-row
+    * (N, avgdl) global ride tiny frames, and the final top-k is a
+    * per-query window that plans as WindowGroupLimit above ONE exchange
+    * keyed by the matched docs.
+    *
+    * Determinism discipline: each (query, doc, term) score is rounded to
+    * 6 dp and cast DECIMAL(18,6) BEFORE the per-doc sum (q64's rule:
+    * double sums are aggregation-order-dependent), ranking orders by the
+    * EXACT decimal score with doc_id as the total tiebreak, and only the
+    * published column casts back to double.
+    */
+  def bm25TopKOn(docs: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    val qterms = queries
+      .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
+    // narrow per-doc length + the 1-row global stats (q41's broadcast)
+    val dl = docs.select(col("doc_id"),
+      coalesce(size(words(col("text"))), lit(0)).cast("long").as("dl"))
+    val global = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
+    // query-term instances only: broadcast-filter the token stream first
+    val matched = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .join(broadcast(qterms.select("term").distinct()), "term")
+    val tf = matched.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = dl
+      .join(broadcast(tf.join(broadcast(df), "term")), "doc_id")
+      .join(broadcast(qterms), "term")
+      .crossJoin(broadcast(global))
+      .select(col("query_id"), col("doc_id"),
+        round(
+          log((col("n_docs").cast("double") - col("df") + 0.5) /
+            (col("df").cast("double") + 0.5) + 1.0) *
+            (col("tf").cast("double") * (lit(K1) + 1.0)) /
+            (col("tf").cast("double") + lit(K1) *
+              (lit(1.0) - lit(B) + lit(B) * col("dl").cast("double") *
+                col("n_docs") / col("total_dl"))), 6)
+          .cast("decimal(18,6)").as("s"))
+      .groupBy("query_id", "doc_id").agg(sum("s").as("score_d"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score_d").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"),
+        col("doc_id"), col("score_d").cast("double").as("score"))
+  }
+}

@@ -771,4 +771,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(m(1L) < m(2L),
       s"repetition not cheaper under context: rep=${m(1L)} nat=${m(2L)}")
   }
+
+  test("q83 BM25: dense descending ranks, matched terms only, rare beats common") {
+    import graft.operators.Retrieval
+    val rows = Retrieval.q83Bm25TopK(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to sorted.length).toSeq,
+        s"query $q ranks not dense")
+      assert(sorted.map(_._4).toSeq === sorted.map(_._4).sortBy(-_).toSeq,
+        s"query $q scores not descending")
+      assert(rs.length <= 10)
+    }
+    // every ranked doc really contains >= 1 query term (no score leakage
+    // through a join misalignment)
+    import spark.implicits._
+    val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .as[(Long, String)].collect().toMap
+    val qterms = Retrieval.Queries.toMap
+    rows.foreach { case (q, _, d, s) =>
+      assert(s > 0, s"non-positive BM25 score for $q/$d")
+      val terms = qterms(q).split(" ")
+      val docToks = docs(d).split("[^a-z0-9]+").toSet
+      assert(terms.exists(docToks.contains),
+        s"doc $d ranked for query $q without any of its terms")
+    }
+  }
 }

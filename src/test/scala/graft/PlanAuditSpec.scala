@@ -141,6 +141,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles(df) <= 3, s"q80 exchange budget exceeded:\n$p")
   }
 
+  test("q83 BM25 filters the token stream by broadcast before any exchange") {
+    // selective retrieval's plan promise: the corpus-sized token stream
+    // meets the tiny query-term dim in a BROADCAST join below the first
+    // shuffle, so what shuffles is matched instances, not the corpus;
+    // the per-query top-k plans as WindowGroupLimit
+    val df = graft.operators.Retrieval.q83Bm25TopK(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    assert(p.contains("WindowGroupLimit"), s"top-k lost its group limit:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      s"a model-side join degraded from broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"a corpus-sized join shape appeared:\n$p")
+    // 8 exchanges total, but only three ride matched-instance-sized data
+    // (tf, the per-(query,doc) sum, the per-query window); the rest move
+    // the 5-row query table / 1-row global. The budget pins the COUNT so
+    // a corpus-sized regression (e.g. the broadcast filter slipping above
+    // the tf exchange) shows up as growth.
+    assert(shuffles(df) <= 8, s"q83 exchange budget exceeded:\n$p")
+    // and the token explode must meet the query-term dim in a broadcast
+    // join BELOW the tf exchange: in the printed tree, everything under
+    // the (doc_id, term) exchange appears after it — a BHJ must sit
+    // between that exchange and the corpus token Generate
+    val belowTf = p.split("Exchange hashpartitioning\\(doc_id", 2)(1)
+    val toGenerate = belowTf.split("Generate explode", 2)(0)
+    assert(toGenerate.contains("BroadcastHashJoin"),
+      s"token stream not broadcast-filtered below the tf exchange:\n$p")
+  }
+
   test("q42 reads only doc_id and lang; q41 pushes the doc_id bound to one scan") {
     val p42 = plan(graft.operators.Text.q42QuotaSample(spark, TestSpark.Sf0001))
     val rs = p42.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
