@@ -122,6 +122,16 @@ object Bootstrap {
     // registration — checkpoint-backed — not per SQL read
     operators.Dedup.q79SemDedup(spark, dir)
       .createOrReplaceTempView("vw_semdedup")
+    // the last-mile shard layout (q80): `WHERE shard = k ORDER BY
+    // shard_pos` is the SQL-only "stream me training shard k in order"
+    // read — a pure two-phase-rank plan, no state at registration
+    operators.Scale.q80ShardAssign(spark, dir)
+      .createOrReplaceTempView("vw_shard_manifest")
+    // lexical retrieval (q83): the serving-side probe as a view —
+    // `WHERE query_id = q` is the SQL-only "top documents for this
+    // query" read, with the scored evidence column
+    operators.Retrieval.q83Bm25TopK(spark, dir)
+      .createOrReplaceTempView("vw_bm25")
   }
 
   /** Register the landing table + curated views over it — the TRANSFORM

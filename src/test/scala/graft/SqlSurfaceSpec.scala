@@ -27,7 +27,11 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "vw_doc_quality" -> Text.docQuality(spark, TestSpark.Sf0001),
       "vw_web_preclean" -> Text.q71WebPreclean(spark, TestSpark.Sf0001),
       "vw_incremental_dedup" -> Dedup.q74IncrementalDedup(spark, TestSpark.Sf0001),
-      "vw_semdedup" -> Dedup.q79SemDedup(spark, TestSpark.Sf0001))
+      "vw_semdedup" -> Dedup.q79SemDedup(spark, TestSpark.Sf0001),
+      "vw_shard_manifest" ->
+        graft.operators.Scale.q80ShardAssign(spark, TestSpark.Sf0001),
+      "vw_bm25" ->
+        graft.operators.Retrieval.q83Bm25TopK(spark, TestSpark.Sf0001))
     twins.foreach { case (view, df) =>
       val sql = canon(spark.sql(s"SELECT * FROM $view"))
       val api = canon(df)
