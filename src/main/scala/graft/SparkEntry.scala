@@ -105,6 +105,8 @@ object SparkEntry {
     "q81_bigram_surprisal" -> (Text.q81BigramSurprisal _),
     "q82_warc_ingest" -> (Warc.q82WarcIngest _),
     "q83_bm25_topk" -> (Retrieval.q83Bm25TopK _),
+    "q84_mixture_sample" -> (Text.q84MixtureSample _),
+    "q85_bpe_train" -> ((s: SparkSession, d: String) => operators.Bpe.q85BpeTrain(s, d)),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -118,7 +120,10 @@ object SparkEntry {
     * ratio measured in AnnScaleSpec),
     * q79_semdedup (Lloyd means are floating-point averages, the q36
     * caveat — representative rule, group containment and pruning gated
-    * in SemDedupSpec).
+    * in SemDedupSpec),
+    * q85_bpe_train (the per-round argmax is iterative, outside one SQL
+    * statement — merge table pinned in BpeSpec against the textbook
+    * fixture and an independent imperative replay on the real corpus).
     */
   def oracleSql: Map[String, String] = Map(
     "q01_project" ->
@@ -912,5 +917,28 @@ object SparkEntry {
         "(PARTITION BY query_id ORDER BY sd DESC, doc_id) AS rank FROM agg) " +
         "SELECT query_id, CAST(rank AS INT) AS rank, doc_id, " +
         "CAST(sd AS DOUBLE) AS score FROM r WHERE rank <= 10"),
+    // q84: the oracle replays q75's policy CTE verbatim, then the
+    // per-source hash-priority draw — all-integer fit test, so the keep
+    // verdict is exact on any engine
+    "q84_mixture_sample" ->
+      ("WITH t0 AS (SELECT doc_id, source, CAST(coalesce(len(list_filter(" +
+        "string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')), 0) " +
+        "AS BIGINT) AS nt FROM documents), " +
+        "t AS (SELECT source, sum(nt) AS n_tokens FROM t0 GROUP BY source), " +
+        "s AS (SELECT source, CAST(n_tokens AS DOUBLE) / " +
+        "CAST(sum(n_tokens) OVER () AS DOUBLE) AS share FROM t), " +
+        "n AS (SELECT source, sqrt(share) / " +
+        "CAST(sum(CAST(round(sqrt(share), 12) AS DECIMAL(20,12))) OVER () " +
+        "AS DOUBLE) AS wraw FROM s), " +
+        "pl AS (SELECT source, CAST(floor(wraw * 1000000) AS BIGINT) " +
+        "AS planned FROM n), " +
+        "o AS (SELECT doc_id, source, nt, coalesce(sum(nt) OVER (" +
+        "PARTITION BY source ORDER BY md5('q84|' || CAST(doc_id AS VARCHAR)), " +
+        "doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off " +
+        "FROM t0) " +
+        "SELECT o.doc_id, o.source, o.nt AS n_tokens, " +
+        "CAST(o.off AS BIGINT) AS sample_off, " +
+        "CASE WHEN o.off + o.nt <= pl.planned THEN 1 ELSE 0 END AS keep " +
+        "FROM o JOIN pl USING (source)"),
   )
 }

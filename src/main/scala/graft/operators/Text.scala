@@ -337,10 +337,18 @@ object Text {
     * precision numerator. Both aggregation windows are source-cardinality
     * (a handful of rows), never corpus-sized.
     */
-  def q75MixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+  def q75MixtureWeights(spark: SparkSession, dir: String): DataFrame =
+    mixtureWeightsOn(Tables.load(spark, dir, "documents"))
+
+  /** The q75 computation over any (source, text) frame — the
+    * frame-parameterized form q84's executed sample reuses, so the
+    * policy a deployment samples against is BY CONSTRUCTION the policy
+    * the report publishes.
+    */
+  def mixtureWeightsOn(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy()
-    val perSource = Tables.load(spark, dir, "documents")
+    val perSource = docs
       .select(col("source"), size(words(col("text"))).cast("long").as("_nt"))
       .groupBy("source").agg(sum("_nt").as("n_tokens"))
     perSource
@@ -354,6 +362,43 @@ object Text {
         round(col("_share"), 6).as("share"),
         round(col("_weight"), 6).as("weight"),
         floor(col("_weight") * lit(1000000.0)).cast("long").as("planned_tokens"))
+  }
+
+  /** Q84: EXECUTE the mixture policy — q75 publishes per-source token
+    * allocations; this draws the documents that fill them. Per source,
+    * docs are ordered by the q42/q54/q80 salted-md5 priority (RNG-free,
+    * independent of every other stage's draw) and kept while they FIT:
+    * `keep = 1` iff the doc's exclusive running token total plus its own
+    * tokens stays within `planned_tokens` — the budget is never
+    * exceeded, and a too-big doc at the boundary is skipped in favor of
+    * nothing (never a partial doc; packing split docs is q43/q50's job).
+    * Every doc stays visible with its offset and verdict (q65's
+    * report-WHY bit discipline).
+    *
+    * Scale shape: ONE corpus-sized exchange (the per-source priority
+    * window — source-keyed, and within a source the cumsum is the same
+    * per-partition-then-offset algebra q80 runs across buckets); the
+    * policy side is source-cardinality and broadcast. All integer
+    * arithmetic — token counts, running totals, budgets — so the verdict
+    * is exact on any engine.
+    */
+  def q84MixtureSample(spark: SparkSession, dir: String): DataFrame =
+    mixtureSampleOn(Tables.load(spark, dir, "documents"))
+
+  /** The q84 draw over any (doc_id, source, text) frame. */
+  def mixtureSampleOn(docs: DataFrame, salt: String = "q84|"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val planned = mixtureWeightsOn(docs).select("source", "planned_tokens")
+    val t = docs.select(col("doc_id"), col("source"),
+      coalesce(size(words(col("text"))), lit(0)).cast("long").as("n_tokens"),
+      md5(concat(lit(salt), col("doc_id").cast("string"))).as("_h"))
+    val w = Window.partitionBy("source").orderBy("_h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.withColumn("sample_off", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .join(broadcast(planned), "source")
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("sample_off"),
+        (col("sample_off") + col("n_tokens") <= col("planned_tokens"))
+          .cast("int").as("keep"))
   }
 
   /** Word-8-gram shingles: (doc_id, source, sh8). Same index-sequence

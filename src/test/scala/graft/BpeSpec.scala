@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Bpe
+
+/** BPE training semantics: the merge table must equal the classic
+  * algorithm's output — pinned against a hand-derivable textbook fixture,
+  * an independent imperative replay on the real corpus, and the
+  * leftmost-greedy application rule.
+  */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def table(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+      r.getString(3), r.getLong(4))).toSeq.sortBy(_._1)
+
+  test("textbook fixture trains the classic merge sequence") {
+    import spark.implicits._
+    // Sennrich's running example (marker-free formulation):
+    // low x5, lower x2, newest x6, widest x3
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val got = table(Bpe.bpeTrainOn(docs, 5))
+    // hand-derived: es/st tie at 9 -> (e,s) lexicographically; then est 9;
+    // lo/ow tie at 7 -> (l,o); low 7; then the 6-tie resolves to (e,w)
+    val expected = Seq(
+      (1, "e", "s", "es", 9L),
+      (2, "es", "t", "est", 9L),
+      (3, "l", "o", "lo", 7L),
+      (4, "lo", "w", "low", 7L),
+      (5, "e", "w", "ew", 6L))
+    assert(got === expected)
+  }
+
+  test("merge application is leftmost-greedy and exhaustion stops early") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val got = table(Bpe.bpeTrainOn(docs, 5))
+    // round 1: 3 adjacent (a,a) pairs, greedy application yields [aa, aa]
+    // (never [aa, a, a]); round 2 merges the remaining pair; then no
+    // pairs remain and the loop stops before the requested 5 merges
+    assert(got === Seq((1, "a", "a", "aa", 3L), (2, "aa", "aa", "aaaa", 1L)))
+  }
+
+  test("operator matches an independent imperative replay on the corpus") {
+    import spark.implicits._
+    val freqs = Tables.load(spark, TestSpark.Sf0001, "documents")
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.TextOps.words(
+          org.apache.spark.sql.functions.col("text"))).as("w"))
+      .groupBy("w").count()
+      .as[(String, Long)].collect().toMap
+    val got = table(Bpe.q85BpeTrain(spark, TestSpark.Sf0001))
+    assert(got.length === 10)
+    assert(got === replay(freqs, 10))
+  }
+
+  /** Plain single-machine BPE, written independently of the operator
+    * (index-walk greedy merge instead of the fold, mutable counting).
+    */
+  private def replay(freqs: Map[String, Long],
+                     k: Int): Seq[(Int, String, String, String, Long)] = {
+    var vocab: Map[Vector[String], Long] =
+      freqs.groupBy { case (w, _) => w.map(_.toString).toVector }
+        .map { case (syms, ws) => syms -> ws.values.sum }
+    val out = Seq.newBuilder[(Int, String, String, String, Long)]
+    var round = 1
+    var go = true
+    while (round <= k && go) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (syms, f) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val key = (syms(i), syms(i + 1))
+          counts(key) = counts.getOrElse(key, 0L) + f
+          i += 1
+        }
+      }
+      if (counts.isEmpty) go = false
+      else {
+        val ((l, r), c) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+        out += ((round, l, r, l + r, c))
+        vocab = vocab.toSeq.map { case (syms, f) =>
+          val buf = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              buf += (l + r); i += 2
+            } else { buf += syms(i); i += 1 }
+          }
+          (buf.result(), f)
+        }.groupBy(_._1).map { case (s, vs) => s -> vs.map(_._2).sum }
+        round += 1
+      }
+    }
+    out.result()
+  }
+}
