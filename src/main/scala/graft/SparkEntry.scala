@@ -107,6 +107,7 @@ object SparkEntry {
     "q83_bm25_topk" -> (Retrieval.q83Bm25TopK _),
     "q84_mixture_sample" -> (Text.q84MixtureSample _),
     "q85_bpe_train" -> ((s: SparkSession, d: String) => operators.Bpe.q85BpeTrain(s, d)),
+    "q86_bpe_tokens" -> ((s: SparkSession, d: String) => operators.Bpe.q86BpeTokens(s, d)),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -123,7 +124,10 @@ object SparkEntry {
     * in SemDedupSpec),
     * q85_bpe_train (the per-round argmax is iterative, outside one SQL
     * statement — merge table pinned in BpeSpec against the textbook
-    * fixture and an independent imperative replay on the real corpus).
+    * fixture and an independent imperative replay on the real corpus),
+    * q86_bpe_tokens (applies q85's iterative training inline — BpeSpec
+    * pins the kernel count word-by-word against the training-end
+    * vocabulary state and hand-encoded unseen words).
     */
   def oracleSql: Map[String, String] = Map(
     "q01_project" ->

@@ -98,4 +98,29 @@ object Bpe {
     import spark.implicits._
     out.result().toDF("round", "left", "right", "merged", "pair_count")
   }
+
+  /** Q86: BPE tokenization — train the q85 merge table, then count each
+    * document's BPE tokens with the codegen'd [[graft.functions.BpeTokens]]
+    * kernel (the merge table is a k-row constant, shipped into the
+    * generated code as a reference object — no per-row join, no
+    * interpreted loop). The n_words column rides along so the
+    * chars-per-token compression a tokenizer buys is a one-line SQL read.
+    * Training-inclusive like q85/q73; a deployment trains once and
+    * encodes with the shipped table.
+    */
+  def q86BpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val flat = trainedMerges(docs, 10)
+    docs.select(col("doc_id"),
+      coalesce(size(words(col("text"))), lit(0)).cast("long").as("n_words"),
+      graft.functions.BpeOps.bpeTokens(col("text"), flat).as("n_bpe_tokens"))
+  }
+
+  /** Train and flatten a rank-ordered merge table `[l0, r0, l1, r1, ...]`
+    * — the literal the encode kernel ships.
+    */
+  private[graft] def trainedMerges(docs: DataFrame, merges: Int): Seq[String] =
+    bpeTrainOn(docs, merges).collect()
+      .sortBy(_.getInt(0))
+      .flatMap(r => Seq(r.getString(1), r.getString(2))).toSeq
 }

@@ -57,6 +57,78 @@ class BpeSpec extends AnyFunSuite {
     assert(got === replay(freqs, 10))
   }
 
+  test("encode kernel reproduces the training-end vocabulary word-by-word") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
+    val flat = Bpe.trainedMerges(docs, 10)
+    // training-end state via the independent replay
+    val freqs = docs
+      .select(explode(graft.functions.TextOps.words(col("text"))).as("w"))
+      .groupBy("w").count().as[(String, Long)].collect().toMap
+    val endState = finalVocab(freqs, replay(freqs, 10).map(m => (m._2, m._3)))
+    // every distinct corpus word must encode to its trained symbol count
+    val wordsDf = freqs.keys.toSeq.sorted.toDF("text")
+    val got = wordsDf.select(col("text"),
+      graft.functions.BpeOps.bpeTokens(col("text"), flat).as("n"))
+      .as[(String, Long)].collect().toMap
+    freqs.keys.foreach { w =>
+      assert(got(w) === endState(w.map(_.toString).toVector).toLong,
+        s"word '$w' encoded to ${got(w)}")
+    }
+    // and the q86 contract query agrees with a direct per-doc recount
+    val q86 = Bpe.q86BpeTokens(spark, TestSpark.Sf0001)
+      .agg(sum("n_bpe_tokens")).head.getLong(0)
+    val direct = docs.select(
+      graft.functions.BpeOps.bpeTokens(col("text"), flat).as("n"))
+      .agg(sum("n")).head.getLong(0)
+    assert(q86 === direct && q86 > 0)
+  }
+
+  test("encode kernel: unseen words, rank order, degenerate inputs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // textbook merges: es, est, lo, low, ew (from the fixture corpus) —
+    // "lowest" was never trained, yet encodes [low, est] by rank order
+    val merges = Seq("e", "s", "es", "t", "l", "o", "lo", "w", "e", "w")
+    def enc(t: String): Long = spark.range(1)
+      .select(graft.functions.BpeOps.bpeTokens(lit(t), merges).as("n"))
+      .head.getLong(0)
+    assert(enc("lowest") === 2L)      // l o w e s t -> lo w est -> low est
+    assert(enc("zzqx") === 4L)        // nothing applies: one symbol per char
+    assert(enc("LOWEST lowest") === 4L) // engine lowercase + tokenizer split
+    assert(enc("") === 0L)
+    assert(enc("?!.") === 0L)         // delimiter-only text has no words
+    val n = spark.range(1)
+      .select(graft.functions.BpeOps.bpeTokens(
+        lit(null).cast("string"), merges).as("n")).head
+    assert(n.isNullAt(0))
+  }
+
+  /** The vocabulary state after applying `merges` in order — symbol count
+    * per word, via the same index-walk greedy rule as [[replay]].
+    */
+  private def finalVocab(freqs: Map[String, Long],
+                         merges: Seq[(String, String)]): Map[Vector[String], Int] = {
+    var vocab = freqs.keys.map(w => w.map(_.toString).toVector).toSet
+    val out = scala.collection.mutable.Map[Vector[String], Int]()
+    vocab.foreach { syms0 =>
+      var syms = syms0
+      merges.foreach { case (l, r) =>
+        val buf = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            buf += (l + r); i += 2
+          } else { buf += syms(i); i += 1 }
+        }
+        syms = buf.result()
+      }
+      out(syms0) = syms.length
+    }
+    out.toMap
+  }
+
   /** Plain single-machine BPE, written independently of the operator
     * (index-walk greedy merge instead of the fold, mutable counting).
     */
