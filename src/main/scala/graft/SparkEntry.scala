@@ -108,6 +108,7 @@ object SparkEntry {
     "q84_mixture_sample" -> (Text.q84MixtureSample _),
     "q85_bpe_train" -> ((s: SparkSession, d: String) => operators.Bpe.q85BpeTrain(s, d)),
     "q86_bpe_tokens" -> ((s: SparkSession, d: String) => operators.Bpe.q86BpeTokens(s, d)),
+    "q87_chunk_docs" -> (Text.q87ChunkDocs _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -944,5 +945,22 @@ object SparkEntry {
         "CAST(o.off AS BIGINT) AS sample_off, " +
         "CASE WHEN o.off + o.nt <= pl.planned THEN 1 ELSE 0 END AS keep " +
         "FROM o JOIN pl USING (source)"),
+    // q87: the window layout is integer arithmetic (stride 48, max 64),
+    // so the oracle replays it exactly — chunk membership via 1-based
+    // inclusive list slicing, text via the same single-space join
+    "q87_chunk_docs" ->
+      ("WITH t AS (SELECT doc_id, list_filter(" +
+        "string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '') AS ws " +
+        "FROM documents), " +
+        "c AS (SELECT doc_id, ws, len(ws) AS n, CASE WHEN len(ws) > 0 THEN " +
+        "1 + (greatest(len(ws) - 64, 0) + 47) // 48 END AS nc FROM t), " +
+        "e AS (SELECT doc_id, ws, n, " +
+        "unnest(generate_series(0, CAST(nc - 1 AS INT))) AS j " +
+        "FROM c WHERE nc >= 1) " +
+        "SELECT doc_id, CAST(j AS INT) AS chunk_idx, " +
+        "CAST(least(64, n - j * 48) AS BIGINT) AS n_chunk_tokens, " +
+        "array_to_string(ws[j * 48 + 1 : least(j * 48 + 64, n)], ' ') " +
+        "AS chunk_text FROM e " +
+        "UNION ALL SELECT doc_id, NULL, NULL, NULL FROM c WHERE nc IS NULL"),
   )
 }

@@ -364,6 +364,45 @@ object Text {
         floor(col("_weight") * lit(1000000.0)).cast("long").as("planned_tokens"))
   }
 
+  /** Q87: token-window CHUNKING — split every document into fixed-size
+    * overlapping token windows (the step that turns curated documents
+    * into model-shaped examples: context-window packing for training,
+    * passage windows for retrieval). Chunk i covers tokens
+    * `[i·stride, i·stride + maxTokens)` with `stride = maxTokens −
+    * overlap`; the chunk count is `1 + ceil(max(0, n − maxTokens) /
+    * stride)` — all INTEGER arithmetic, so the window layout is exact on
+    * any engine, and a would-be trailing window containing only overlap
+    * is excluded by the formula (never emitted then special-cased).
+    * Token-less documents stay visible with NULL chunk columns (q65's
+    * report-WHY discipline, q82's explode_outer shape).
+    *
+    * Scale shape: pure narrow map + bounded explode — the token array is
+    * materialized ONCE as its own column (the q67 lambda rule) and every
+    * chunk is a `slice` of it; zero exchanges, fuses into the scan.
+    */
+  def q87ChunkDocs(spark: SparkSession, dir: String): DataFrame =
+    chunkDocsOn(Tables.load(spark, dir, "documents"))
+
+  /** The q87 windowing over any (doc_id, text) frame. */
+  def chunkDocsOn(docs: DataFrame, maxTokens: Int = 64,
+                  overlap: Int = 16): DataFrame = {
+    require(overlap < maxTokens, "overlap must leave a positive stride")
+    val stride = maxTokens - overlap
+    docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .withColumn("n", coalesce(size(col("ws")), lit(0)))
+      .withColumn("n_chunks", when(col("n") > 0,
+        lit(1) + expr(s"(greatest(n - $maxTokens, 0) + ${stride - 1}) div $stride")))
+      .withColumn("chunk_idx",
+        explode_outer(when(col("n_chunks") >= 1,
+          sequence(lit(0), (col("n_chunks") - 1).cast("int")))))
+      .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+        size(slice(col("ws"), col("chunk_idx") * stride + 1, lit(maxTokens)))
+          .cast("long").as("n_chunk_tokens"),
+        array_join(
+          slice(col("ws"), col("chunk_idx") * stride + 1, lit(maxTokens)), " ")
+          .as("chunk_text"))
+  }
+
   /** Q84: EXECUTE the mixture policy — q75 publishes per-source token
     * allocations; this draws the documents that fill them. Per source,
     * docs are ordered by the q42/q54/q80 salted-md5 priority (RNG-free,

@@ -800,4 +800,39 @@ class CorpusOpsSpec extends AnyFunSuite {
         s"doc $d ranked for query $q without any of its terms")
     }
   }
+
+  test("q87 chunking: counts, overlap stitching, full coverage, NULL empties") {
+    import spark.implicits._
+    def doc(n: Int) = (0 until n).map(i => s"w$i").mkString(" ")
+    val docs = Seq((0L, ""), (1L, doc(1)), (64L, doc(64)), (65L, doc(65)),
+      (200L, doc(200))).toDF("doc_id", "text")
+    val rows = Text.chunkDocsOn(docs, maxTokens = 64, overlap = 16)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getInt(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        Option(r.getString(3))))
+    val byDoc = rows.groupBy(_._1)
+    // layout: 1 + ceil(max(0, n-64)/48) chunks; a token-less doc stays
+    // visible as a single NULL row
+    assert(byDoc(0L).toSeq === Seq((0L, None, None, None)))
+    assert(byDoc(1L).map(_._3).toSeq === Seq(Some(1L)))
+    assert(byDoc(64L).map(_._3).toSeq === Seq(Some(64L)))
+    assert(byDoc(65L).length === 2 && byDoc(200L).length === 4)
+    Seq(65, 200).foreach { n =>
+      val chunks = byDoc(n.toLong).sortBy(_._2.get)
+        .map(_._4.get.split(" ").toSeq).toSeq
+      // consecutive windows stitch: chunk i's tail IS chunk i+1's head
+      chunks.sliding(2).foreach { case Seq(a, b) =>
+        assert(a.drop(48) === b.take(a.length - 48), s"n=$n overlap broken")
+      case _ => ()
+      }
+      // and the union of windows covers every token exactly in order
+      val stitched = chunks.head ++ chunks.tail.flatMap(_.drop(16))
+      assert(stitched === (0 until n).map(i => s"w$i").toSeq, s"n=$n coverage")
+    }
+    // the contract shape is narrow: zero exchanges
+    val p = Text.q87ChunkDocs(spark, TestSpark.Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("- Exchange "), s"q87 shuffles a narrow chunker:\n$p")
+  }
 }
