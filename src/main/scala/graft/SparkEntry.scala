@@ -109,6 +109,7 @@ object SparkEntry {
     "q85_bpe_train" -> ((s: SparkSession, d: String) => operators.Bpe.q85BpeTrain(s, d)),
     "q86_bpe_tokens" -> ((s: SparkSession, d: String) => operators.Bpe.q86BpeTokens(s, d)),
     "q87_chunk_docs" -> (Text.q87ChunkDocs _),
+    "q88_adaptive_quality" -> (Text.q88AdaptiveQuality _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -962,5 +963,26 @@ object SparkEntry {
         "array_to_string(ws[j * 48 + 1 : least(j * 48 + 64, n)], ' ') " +
         "AS chunk_text FROM e " +
         "UNION ALL SELECT doc_id, NULL, NULL, NULL FROM c WHERE nc IS NULL"),
+    // q88: rank-selected per-source p25 floor (percentile_disc by
+    // integer rank — interpolated quantiles differ across engines);
+    // NULL-scored docs are excluded from the ranked frame (engines
+    // disagree on NULL sort position) and report NULL keep
+    "q88_adaptive_quality" ->
+      ("WITH b AS (SELECT doc_id, source, round(least(1.0, " +
+        "len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), " +
+        "x -> x <> '')) / 50.0) * 0.5 + least(1.0, " +
+        "(CAST(length(replace(text, ' ', '')) AS DOUBLE) / " +
+        "len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), " +
+        "x -> x <> ''))) / 5.0) * 0.5, 6) AS quality FROM documents), " +
+        "nn AS (SELECT source, quality, row_number() OVER (" +
+        "PARTITION BY source ORDER BY quality, doc_id) AS rn, " +
+        "count(*) OVER (PARTITION BY source) AS n FROM b " +
+        "WHERE quality IS NOT NULL), " +
+        "thr AS (SELECT source, quality AS q_floor FROM nn " +
+        "WHERE rn = (n + 3) // 4) " +
+        "SELECT b.doc_id, b.source, b.quality, t.q_floor, " +
+        "CASE WHEN b.quality IS NOT NULL THEN " +
+        "CAST(b.quality >= t.q_floor AS INT) END AS keep " +
+        "FROM b LEFT JOIN thr t USING (source)"),
   )
 }

@@ -364,6 +364,46 @@ object Text {
         floor(col("_weight") * lit(1000000.0)).cast("long").as("planned_tokens"))
   }
 
+  /** Q88: ADAPTIVE per-source quality gate — q65/q28 apply FIXED
+    * thresholds; real corpus builds calibrate per source (FineWeb's
+    * per-dump thresholding): each source's floor is its own quality
+    * distribution's p25, selected by RANK (the value at ascending
+    * position ceil(n/4) with doc_id tie-break — percentile_disc
+    * semantics in ALL-INTEGER rank arithmetic, never an interpolated
+    * quantile, which no two engines compute alike). `keep` compares the
+    * 6-dp-rounded score against the floor; ungradeable docs (NULL
+    * score — empty/whitespace text) are excluded from the ranked frame
+    * (engines disagree on NULL sort position) and surface with NULL
+    * keep, the q65 report-WHY stance.
+    *
+    * Scale shape: scoring is narrow; ONE corpus-sized exchange (the
+    * per-source rank window — count rides the same partition, so the
+    * planner reuses the exchange); the per-source floor frame is
+    * source-cardinality and broadcast back.
+    */
+  def q88AdaptiveQuality(spark: SparkSession, dir: String): DataFrame =
+    adaptiveQualityOn(Tables.load(spark, dir, "documents"))
+
+  /** The q88 gate over any (doc_id, source, text) frame; the floor is
+    * the value at ascending rank ceil(n·num/den) per source.
+    */
+  def adaptiveQualityOn(docs: DataFrame, num: Int = 1, den: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.select(col("doc_id"), col("source"),
+      qualityScore(col("text")).as("quality"))
+    val ranked = scored.filter(col("quality").isNotNull)
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("source").orderBy("quality", "doc_id")))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy("source")))
+    val floors = ranked
+      .filter(col("_rn") === expr(s"(_n * $num + ${den - 1}) div $den"))
+      .select(col("source"), col("quality").as("q_floor"))
+    scored.join(broadcast(floors), Seq("source"), "left")
+      .select(col("doc_id"), col("source"), col("quality"), col("q_floor"),
+        when(col("quality").isNotNull,
+          (col("quality") >= col("q_floor")).cast("int")).as("keep"))
+  }
+
   /** Q87: token-window CHUNKING — split every document into fixed-size
     * overlapping token windows (the step that turns curated documents
     * into model-shaped examples: context-window packing for training,

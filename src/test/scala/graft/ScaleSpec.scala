@@ -134,6 +134,31 @@ class ScaleSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("shard assignment: 10x docs stays ~linear and stays a dense total order", Slow) {
+    // the q80 scale proof (the q55/q64 measured-not-asserted pattern):
+    // the two-phase rank must scale with the corpus, and its output must
+    // remain a dense 0..n-1 enumeration at every size — a bucket-boundary
+    // slip shows up as a hole or duplicate long before it shows up as
+    // wrong wall-clock
+    def ids(n: Long) = spark.range(n).select(col("id").as("doc_id"))
+    def run(n: Long): Double = {
+      val t0 = System.nanoTime()
+      val agg = Scale.shardAssignOn(ids(n), bucketChars = 2)
+        .agg(count(lit(1)).as("c"), min("shuffle_pos").as("lo"),
+          max("shuffle_pos").as("hi"),
+          countDistinct("shuffle_pos").as("d")).head()
+      assert(agg.getLong(0) === n && agg.getLong(1) === 0L &&
+        agg.getLong(2) === n - 1 && agg.getLong(3) === n,
+        s"n=$n not a dense total order: $agg")
+      (System.nanoTime() - t0) / 1e9
+    }
+    run(100000L) // warmup
+    val t1 = math.min(run(100000L), run(100000L))
+    val t10 = math.min(run(1000000L), run(1000000L))
+    assert(t10 / t1 <= 10.0,
+      f"10x docs cost ${t10 / t1}%.1fx the time ($t1%.2fs -> $t10%.2fs)")
+  }
+
   test("a foreign build sentinel makes ensureBucketed fail loudly, then recover") {
     val dir = TestSpark.Sf0001
     // simulate another process mid-materialization (or crashed): its
