@@ -341,8 +341,9 @@ object Oracles {
     val phoneRe = "\\+1-555-[0-9]{4}"
     "WITH RECURSIVE " +
       "sc AS (SELECT doc_id, source, lang, text, " +
+      "CASE WHEN n_tokens IS NOT NULL THEN " +
       "round(least(1.0, n_tokens / 50.0) * 0.5 + " +
-      "least(1.0, (CAST(cns AS DOUBLE) / n_tokens) / 5.0) * 0.5, 6) AS quality " +
+      "least(1.0, (CAST(cns AS DOUBLE) / n_tokens) / 5.0) * 0.5, 6) END AS quality " +
       s"FROM (SELECT doc_id, source, lang, text, len($words) AS n_tokens, " +
       "length(replace(text, ' ', '')) AS cns FROM documents)), " +
       "qual AS (SELECT * FROM sc WHERE quality >= 0.7 " +
@@ -400,7 +401,11 @@ object Oracles {
     "WITH b AS (SELECT doc_id, " +
       "len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS n_tokens, " +
       "length(replace(text, ' ', '')) AS cns FROM documents) " +
+      // the CASE guard mirrors qualityScore's NULL-text stance: without
+      // it both engines' least() skips the null terms and a NULL text
+      // "scores" 1.0
       "SELECT doc_id, n_tokens, round(CAST(cns AS DOUBLE) / n_tokens, 6) AS avg_token_len, " +
+      "CASE WHEN n_tokens IS NOT NULL THEN " +
       "round(least(1.0, n_tokens / 50.0) * 0.5 + " +
-      "least(1.0, (CAST(cns AS DOUBLE) / n_tokens) / 5.0) * 0.5, 6) AS quality FROM b"
+      "least(1.0, (CAST(cns AS DOUBLE) / n_tokens) / 5.0) * 0.5, 6) END AS quality FROM b"
 }

@@ -968,12 +968,13 @@ object SparkEntry {
     // NULL-scored docs are excluded from the ranked frame (engines
     // disagree on NULL sort position) and report NULL keep
     "q88_adaptive_quality" ->
-      ("WITH b AS (SELECT doc_id, source, round(least(1.0, " +
+      ("WITH b AS (SELECT doc_id, source, CASE WHEN text IS NOT NULL THEN " +
+        "round(least(1.0, " +
         "len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), " +
         "x -> x <> '')) / 50.0) * 0.5 + least(1.0, " +
         "(CAST(length(replace(text, ' ', '')) AS DOUBLE) / " +
         "len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), " +
-        "x -> x <> ''))) / 5.0) * 0.5, 6) AS quality FROM documents), " +
+        "x -> x <> ''))) / 5.0) * 0.5, 6) END AS quality FROM documents), " +
         "nn AS (SELECT source, quality, row_number() OVER (" +
         "PARTITION BY source ORDER BY quality, doc_id) AS rn, " +
         "count(*) OVER (PARTITION BY source) AS n FROM b " +

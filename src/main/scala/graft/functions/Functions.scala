@@ -231,19 +231,26 @@ object WarcOps {
   def warcMeta(bin: Column): Column =
     ColumnBridge.column(WarcMeta(ColumnBridge.expression(bin.cast("binary"))))
 
-  /** Header field of record `idx`: code 0 = WARC-Type, 1 =
-    * WARC-Target-URI, 2 = WARC-Record-ID ([[WarcHeader]]).
+  /** Valid-record byte offsets from ONE linear walk ([[WarcOffsets]]) —
+    * the iteration table: explode it and hand each offset to the
+    * accessors below, so per-stream parsing stays O(bytes).
     */
-  def warcHeader(bin: Column, idx: Column, code: Int): Column =
+  def warcOffsets(bin: Column): Column =
+    ColumnBridge.column(WarcOffsets(ColumnBridge.expression(bin.cast("binary"))))
+
+  /** Header field of the record at byte offset `off`: code 0 =
+    * WARC-Type, 1 = WARC-Target-URI, 2 = WARC-Record-ID ([[WarcHeader]]).
+    */
+  def warcHeader(bin: Column, off: Column, code: Int): Column =
     ColumnBridge.column(WarcHeader(
       ColumnBridge.expression(bin.cast("binary")),
-      ColumnBridge.expression(idx.cast("int")), code))
+      ColumnBridge.expression(off.cast("int")), code))
 
-  /** Record `idx`'s exact Content-Length payload bytes ([[WarcPayload]]). */
-  def warcPayload(bin: Column, idx: Column): Column =
+  /** The exact Content-Length payload at byte offset `off` ([[WarcPayload]]). */
+  def warcPayload(bin: Column, off: Column): Column =
     ColumnBridge.column(WarcPayload(
       ColumnBridge.expression(bin.cast("binary")),
-      ColumnBridge.expression(idx.cast("int"))))
+      ColumnBridge.expression(off.cast("int"))))
 }
 
 object TextOps {

@@ -48,10 +48,12 @@ object Retrieval {
     * instances (corpus_rows × query-term selectivity) are what shuffles.
     * Per-document length is computed as a narrow `size(words(text))`
     * column (never a token-explode groupBy — same answer, one less
-    * corpus-wide exchange), the matched tf/df aggregates and the 1-row
-    * (N, avgdl) global ride tiny frames, and the final top-k is a
-    * per-query window that plans as WindowGroupLimit above ONE exchange
-    * keyed by the matched docs.
+    * corpus-wide exchange); only TERM-cardinality frames broadcast (df,
+    * the query table, the 1-row global) while the matched-tf ⋈ length
+    * meet shuffles on doc_id — matched volume is a corpus fraction for a
+    * common query term, exactly what must never be collected to the
+    * driver; the final top-k is a per-query window that plans as
+    * WindowGroupLimit.
     *
     * Determinism discipline: each (query, doc, term) score is rounded to
     * 6 dp and cast DECIMAL(18,6) BEFORE the per-doc sum (q64's rule:
@@ -72,8 +74,15 @@ object Retrieval {
       .join(broadcast(qterms.select("term").distinct()), "term")
     val tf = matched.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = dl
-      .join(broadcast(tf.join(broadcast(df), "term")), "doc_id")
+    // broadcast ONLY term-cardinality frames (df, the query table, the
+    // 1-row global): tf is matched-instance-sized, which for a
+    // high-document-frequency query term is a corpus FRACTION — a tf
+    // broadcast that works on the bench corpus OOMs the driver at 100 TB.
+    // The tf ⋈ dl meet shuffles on doc_id, the volume the query actually
+    // selects.
+    val scored = tf
+      .join(broadcast(df), "term")
+      .join(dl, "doc_id")
       .join(broadcast(qterms), "term")
       .crossJoin(broadcast(global))
       .select(col("query_id"), col("doc_id"),

@@ -52,23 +52,38 @@ object Text {
     */
   private[graft] def qualityScore(text: Column): Column = {
     val nTokens = size(words(text))
-    val avgTokLen = length(replace(text, lit(" "), lit(""))).cast("double") / nTokens
-    round(least(lit(1.0), nTokens.cast("double") / 50.0) * 0.5 +
-      least(lit(1.0), avgTokLen / 5.0) * 0.5, 6)
+    // the zero-token division is GUARDED, not left to the engine: legacy
+    // mode nulls x/0 but ANSI mode (Spark 4's default) THROWS, turning
+    // one empty document into a query-crashing corpus landmine. The
+    // guarded NULL then flows through `least`, which skips nulls — so
+    // token-less text deterministically scores the avg-length ceiling's
+    // 0.5 (the q28 oracle agrees: DuckDB nulls the division and skips
+    // nulls in least the same way); only NULL text is truly ungradeable
+    val avgTokLen = when(nTokens > 0,
+      length(replace(text, lit(" "), lit(""))).cast("double") / nTokens)
+    // NULL text is explicitly ungradeable: without the outer guard, BOTH
+    // null terms get skipped by least and a NULL document "scores" a
+    // perfect 1.0 — the one value it must never get
+    when(text.isNotNull,
+      round(least(lit(1.0), nTokens.cast("double") / 50.0) * 0.5 +
+        least(lit(1.0), avgTokLen / 5.0) * 0.5, 6))
+  }
+
+  /** q28's avg-token-length column, with the same guarded division. */
+  private def avgTokenLen(text: Column): Column = {
+    val nTokens = size(words(text))
+    when(nTokens > 0,
+      length(replace(text, lit(" "), lit(""))).cast("double") / nTokens)
   }
 
   /** Q28: quality scoring from length/token statistics
     * (training-data filtering primitive).
     */
-  def q28Quality(spark: SparkSession, dir: String): DataFrame = {
-    val nTokens = size(words(col("text")))
-    val charsNoSpace = length(replace(col("text"), lit(" "), lit("")))
-    val avgTokLen = charsNoSpace.cast("double") / nTokens
+  def q28Quality(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents").select(
-      col("doc_id"), nTokens.as("n_tokens"),
-      round(avgTokLen, 6).as("avg_token_len"),
+      col("doc_id"), size(words(col("text"))).as("n_tokens"),
+      round(avgTokenLen(col("text")), 6).as("avg_token_len"),
       qualityScore(col("text")).as("quality"))
-  }
 
   /** Q29: whitespace + BPE-ish regex token counts. */
   def q29TokenCount(spark: SparkSession, dir: String): DataFrame =
@@ -371,10 +386,11 @@ object Text {
     * position ceil(n/4) with doc_id tie-break — percentile_disc
     * semantics in ALL-INTEGER rank arithmetic, never an interpolated
     * quantile, which no two engines compute alike). `keep` compares the
-    * 6-dp-rounded score against the floor; ungradeable docs (NULL
-    * score — empty/whitespace text) are excluded from the ranked frame
-    * (engines disagree on NULL sort position) and surface with NULL
-    * keep, the q65 report-WHY stance.
+    * 6-dp-rounded score against the floor; ungradeable docs (NULL score,
+    * which under qualityScore's least-skips-nulls algebra means NULL
+    * text — token-less text scores 0.5 and ranks normally) are excluded
+    * from the ranked frame (engines disagree on NULL sort position) and
+    * surface with NULL keep, the q65 report-WHY stance.
     *
     * Scale shape: scoring is narrow; ONE corpus-sized exchange (the
     * per-source rank window — count rides the same partition, so the

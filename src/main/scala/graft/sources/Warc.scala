@@ -94,17 +94,20 @@ object Warc {
     Tables.load(spark, dir, "documents")
       .select(d, stream.as("_p"))
       .withColumn("_m", WarcOps.warcMeta(col("_p")))
+      // the offsets table makes the fan-out LINEAR in stream bytes: one
+      // walk produces every record's byte offset, and each exploded row's
+      // accessors parse only their own record — an index-based seek would
+      // re-walk the prefix per row, O(records²) on a real crawl segment
+      .withColumn("_offs", WarcOps.warcOffsets(col("_p")))
       .select(d, col("_p"),
         shiftrightunsigned(col("_m"), 1).cast("long").as("n_records"),
-        col("_m").bitwiseAND(lit(1)).cast("int").as("truncated"))
-      .withColumn("rec_idx", explode_outer(
-        when(col("n_records") > 0,
-          sequence(lit(0), (col("n_records") - 1).cast("int")))))
-      .withColumn("_pay", WarcOps.warcPayload(col("_p"), col("rec_idx")))
+        col("_m").bitwiseAND(lit(1)).cast("int").as("truncated"),
+        posexplode_outer(col("_offs")).as(Seq("rec_idx", "_off")))
+      .withColumn("_pay", WarcOps.warcPayload(col("_p"), col("_off")))
       .select(d, col("n_records"), col("truncated"),
         col("rec_idx").cast("int").as("rec_idx"),
-        WarcOps.warcHeader(col("_p"), col("rec_idx"), 0).as("rec_type"),
-        WarcOps.warcHeader(col("_p"), col("rec_idx"), 1).as("uri"),
+        WarcOps.warcHeader(col("_p"), col("_off"), 0).as("rec_type"),
+        WarcOps.warcHeader(col("_p"), col("_off"), 1).as("uri"),
         length(col("_pay")).cast("long").as("content_length"),
         md5(col("_pay")).as("payload_md5"))
   }

@@ -801,6 +801,37 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("qualityScore: degenerate text scores, never a division error") {
+    import spark.implicits._
+    // the zero-token division must be guarded in the expression itself:
+    // Spark 4 defaults to ANSI mode, where an unguarded x/0 THROWS mid
+    // corpus. The guarded NULL then flows through `least`, which SKIPS
+    // nulls, so token-less text scores exactly the avg-length term's
+    // ceiling contribution (0.5) — the q28 oracle computes the same 0.5
+    // (DuckDB also nulls the division and also skips nulls in least), so
+    // this is the cross-engine contract, not an accident
+    val rows = Seq((1L, ""), (2L, "?!."), (3L, "   "), (4L, "real words here"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Text.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(rows(1L) === Some(0.5) && rows(2L) === Some(0.5) &&
+      rows(3L) === Some(0.5))
+    assert(rows(4L).exists(q => q > 0.0 && q != 0.5))
+    // a NULL text is the genuinely ungradeable case — q88 carries it
+    // through as a NULL verdict
+    val k = Text.adaptiveQualityOn(
+      Seq((1L, "s", null.asInstanceOf[String]),
+        (2L, "s", "real words here for quality"),
+        (3L, "s", "more real words here too"))
+        .toDF("doc_id", "source", "text"))
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1))))
+      .toMap
+    assert(k(1L) === None, "ungradeable doc must report NULL keep")
+    assert(k(2L).isDefined && k(3L).isDefined)
+  }
+
   test("q87 chunking: counts, overlap stitching, full coverage, NULL empties") {
     import spark.implicits._
     def doc(n: Int) = (0 until n).map(i => s"w$i").mkString(" ")

@@ -151,14 +151,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"top-k lost its group limit:\n$p")
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
       s"a model-side join degraded from broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
-      s"a corpus-sized join shape appeared:\n$p")
-    // 8 exchanges total, but only three ride matched-instance-sized data
-    // (tf, the per-(query,doc) sum, the per-query window); the rest move
-    // the 5-row query table / 1-row global. The budget pins the COUNT so
-    // a corpus-sized regression (e.g. the broadcast filter slipping above
-    // the tf exchange) shows up as growth.
-    assert(shuffles(df) <= 8, s"q83 exchange budget exceeded:\n$p")
+    assert(!p.contains("CartesianProduct"), s"a join went quadratic:\n$p")
+    // the ONLY sort-merge/shuffled join allowed is the doc_id-keyed
+    // tf ⋈ dl meet (matched instances against the narrow length column —
+    // tf must NOT broadcast: a common query term matches a corpus
+    // fraction); any term-keyed or query-keyed SMJ means a model frame
+    // lost its broadcast
+    val smj = p.linesIterator.filter(_.contains("SortMergeJoin")).mkString
+    assert(!smj.contains("term#") && !smj.contains("query_id#"),
+      s"a term/query-keyed join degraded from broadcast:\n$p")
+    // budget: matched-instance exchanges (tf agg, tf⋈dl meet sides, the
+    // per-(query,doc) sum, the per-query window) plus the tiny
+    // query-table/global frames. The count pins regressions (e.g. the
+    // broadcast term filter slipping above the tf exchange).
+    assert(shuffles(df) <= 11, s"q83 exchange budget exceeded:\n$p")
     // and the token explode must meet the query-term dim in a broadcast
     // join BELOW the tf exchange: in the printed tree, everything under
     // the (doc_id, term) exchange appears after it — a BHJ must sit

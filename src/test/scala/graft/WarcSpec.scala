@@ -2,12 +2,13 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.functions.{WarcEval, WarcHeader, WarcMeta, WarcOps, WarcPayload}
+import graft.functions.{WarcEval, WarcHeader, WarcMeta, WarcOffsets, WarcOps, WarcPayload}
 
 /** The WARC walk's contract against HAND-BUILT byte streams (never its own
   * synthesis): Content-Length-driven record advance, case-insensitive
   * header names, strict CRLF, the 4-byte separator belonging to the
-  * record, and honest NULL/truncated verdicts on every malformed shape.
+  * record, the one-walk offsets table, and honest NULL/truncated verdicts
+  * on every malformed shape.
   */
 class WarcSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -16,38 +17,49 @@ class WarcSpec extends AnyFunSuite {
     "WARC/1.0\r\n" + headers.map(_ + "\r\n").mkString + "\r\n" +
       payload + "\r\n\r\n"
 
+  private def offs(bb: Array[Byte]): Array[Long] =
+    Option(WarcEval.offsets(bb)).map(_.toLongArray()).orNull
+
   // payload EMBEDS the record separator — the case split-based parsing
   // cannot survive
   private val p0 = "first\r\n\r\nbody"
   private val p1 = "x" * 7
-  private val twoRec =
+  private val rec0 =
     rec(Seq("WARC-Type: response", "WARC-Target-URI: http://a/1",
-      "WARC-Record-ID: <urn:uuid:1>", s"Content-Length: ${p0.length}"), p0) +
-      rec(Seq("content-length: 7", "warc-type: request", "X-Extra: v",
-        "warc-target-uri: http://a/2"), p1)
+      "WARC-Record-ID: <urn:uuid:1>", s"Content-Length: ${p0.length}"), p0)
+  private val twoRec = rec0 +
+    rec(Seq("content-length: 7", "warc-type: request", "X-Extra: v",
+      "warc-target-uri: http://a/2"), p1)
 
   test("Content-Length walk crosses embedded separators; names case-fold") {
     val bb = twoRec.getBytes("US-ASCII")
     assert(WarcEval.meta(bb) === ((2L << 1) | 0L))
+    // the offsets table is the one-walk iteration surface: record starts
+    // at exactly the serialized boundaries
+    assert(offs(bb).toSeq === Seq(0L, rec0.length.toLong))
+    val o1 = rec0.length
     assert(WarcEval.header(bb, 0, 0).toString === "response")
     assert(WarcEval.header(bb, 0, 1).toString === "http://a/1")
     assert(WarcEval.header(bb, 0, 2).toString === "<urn:uuid:1>")
     assert(new String(WarcEval.payload(bb, 0), "US-ASCII") === p0)
-    assert(WarcEval.header(bb, 1, 0).toString === "request")
-    assert(WarcEval.header(bb, 1, 2) === null) // absent optional header
-    assert(new String(WarcEval.payload(bb, 1), "US-ASCII") === p1)
-    assert(WarcEval.header(bb, 2, 0) === null) // past the last record
+    assert(WarcEval.header(bb, o1, 0).toString === "request")
+    assert(WarcEval.header(bb, o1, 2) === null) // absent optional header
+    assert(new String(WarcEval.payload(bb, o1), "US-ASCII") === p1)
+    // an offset pointing anywhere but a record start parses nothing
+    assert(WarcEval.header(bb, 3, 0) === null)
+    assert(WarcEval.payload(bb, bb.length - 1) === null)
   }
 
   test("malformed shapes: honest truncated verdicts, never short records") {
     // no Content-Length on record 0: the walk cannot cross it — 0 records
     val noLen = rec(Seq("WARC-Type: response"), p0).getBytes("US-ASCII")
     assert(WarcEval.meta(noLen) === 1L)
+    assert(offs(noLen).toSeq === Seq.empty)
     // final separator cut: the tail record drops, the first still serves
     val cut = twoRec.substring(0, twoRec.length - 3).getBytes("US-ASCII")
     assert(WarcEval.meta(cut) === ((1L << 1) | 1L))
+    assert(offs(cut).toSeq === Seq(0L))
     assert(new String(WarcEval.payload(cut, 0), "US-ASCII") === p0)
-    assert(WarcEval.payload(cut, 1) === null)
     // a Content-Length pointing past the buffer must not slice garbage
     val lie = rec(Seq("Content-Length: 99999"), p0).getBytes("US-ASCII")
     assert(WarcEval.meta(lie) === 1L)
@@ -56,6 +68,7 @@ class WarcSpec extends AnyFunSuite {
     assert(WarcEval.meta(lf) === 1L)
     // not WARC at all: NULL, distinguishable from zero-valid-records
     assert(WarcEval.meta("hello world".getBytes("US-ASCII")) === null)
+    assert(offs("hello world".getBytes("US-ASCII")) === null)
     assert(WarcEval.meta(Array.emptyByteArray) === null)
   }
 
@@ -71,22 +84,31 @@ class WarcSpec extends AnyFunSuite {
       val mc = spark.range(1)
         .select(WarcOps.warcMeta(lit(bytes)).as("m")).head().get(0)
       assert(mi === mc, "meta parity")
-      Seq(0, 1).foreach { idx =>
+      val oi = Option(WarcOffsets(L(bytes, BinaryType)).eval(null))
+        .map(_.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toLongArray().toSeq)
+      val oc = Option(spark.range(1)
+        .select(WarcOps.warcOffsets(lit(bytes)).as("o")).head().get(0))
+        .map(_.asInstanceOf[scala.collection.Seq[Long]].toSeq)
+      assert(oi === oc, "offsets parity")
+      val probes = oi.getOrElse(Seq.empty) ++ Seq(3L)
+      probes.foreach { off =>
         Seq(0, 1, 2).foreach { code =>
-          val hi = WarcHeader(L(bytes, BinaryType), L(idx, IntegerType), code)
-            .eval(null)
+          val hi = WarcHeader(L(bytes, BinaryType), L(off.toInt, IntegerType),
+            code).eval(null)
           val hc = spark.range(1)
-            .select(WarcOps.warcHeader(lit(bytes), lit(idx), code).as("h"))
+            .select(WarcOps.warcHeader(lit(bytes), lit(off), code).as("h"))
             .head().get(0)
-          assert(Option(hi).map(_.toString) === Option(hc), s"header $idx/$code")
+          assert(Option(hi).map(_.toString) === Option(hc), s"header $off/$code")
         }
-        val pi = WarcPayload(L(bytes, BinaryType), L(idx, IntegerType)).eval(null)
+        val pi = WarcPayload(L(bytes, BinaryType), L(off.toInt, IntegerType))
+          .eval(null)
         val pc = spark.range(1)
-          .select(WarcOps.warcPayload(lit(bytes), lit(idx)).as("p"))
+          .select(WarcOps.warcPayload(lit(bytes), lit(off)).as("p"))
           .head().get(0)
         assert(Option(pi).map(_.asInstanceOf[Array[Byte]].toSeq) ===
           Option(pc).map(_.asInstanceOf[Array[Byte]].toSeq),
-          s"payload $idx")
+          s"payload $off")
       }
     }
   }
