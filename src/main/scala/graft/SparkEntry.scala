@@ -110,6 +110,7 @@ object SparkEntry {
     "q86_bpe_tokens" -> ((s: SparkSession, d: String) => operators.Bpe.q86BpeTokens(s, d)),
     "q87_chunk_docs" -> (Text.q87ChunkDocs _),
     "q88_adaptive_quality" -> (Text.q88AdaptiveQuality _),
+    "q89_shard_append" -> (Scale.q89ShardAppend _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -985,5 +986,18 @@ object SparkEntry {
         "CASE WHEN b.quality IS NOT NULL THEN " +
         "CAST(b.quality >= t.q_floor AS INT) END AS keep " +
         "FROM b LEFT JOIN thr t USING (source)"),
+    // q89: incoming docs rank among themselves (the one-task global
+    // row_number spelling as truth, q80's oracle discipline), offset by
+    // the history cardinality — history positions are untouched by
+    // construction
+    "q89_shard_append" ->
+      ("WITH h AS (SELECT count(*) AS hn FROM documents " +
+        "WHERE doc_id % 5 < 4), " +
+        "i AS (SELECT doc_id, md5('q80|' || CAST(doc_id AS VARCHAR)) AS hk " +
+        "FROM documents WHERE doc_id % 5 = 4), " +
+        "r AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY hk, doc_id) " +
+        "- 1 AS BIGINT) AS g FROM i) " +
+        "SELECT doc_id, g + hn AS shuffle_pos, (g + hn) // 128 AS shard, " +
+        "(g + hn) % 128 AS shard_pos FROM r, h"),
   )
 }

@@ -179,7 +179,15 @@ object Scale {
     * the algebra. Every output column is exact integer arithmetic.
     */
   def shardAssignOn(docs: DataFrame, salt: String = "q80|",
-                    shardSize: Long = 128L, bucketChars: Int = 2): DataFrame = {
+                    shardSize: Long = 128L, bucketChars: Int = 2): DataFrame =
+    shardColumns(globalRank(docs, salt, bucketChars), shardSize)
+
+  /** The two-phase rank alone: (doc_id, shuffle_pos) with shuffle_pos a
+    * dense 0..n-1 enumeration of the salted-hash order — q80's phase 1-3,
+    * exposed so q89's append can offset it before the shard math.
+    */
+  private[graft] def globalRank(docs: DataFrame, salt: String,
+                                bucketChars: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val h = docs.select(col("doc_id"),
         md5(concat(lit(salt), col("doc_id").cast("string"))).as("_hk"))
@@ -194,11 +202,44 @@ object Scale {
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("_bucket", "_off")
     local.join(broadcast(offs), "_bucket")
-      .select(col("doc_id"),
-        (col("_off") + col("_lr")).as("shuffle_pos"))
-      .select(col("doc_id"), col("shuffle_pos"),
-        floor(col("shuffle_pos") / shardSize).cast("long").as("shard"),
-        (col("shuffle_pos") % shardSize).as("shard_pos"))
+      .select(col("doc_id"), (col("_off") + col("_lr")).as("shuffle_pos"))
+  }
+
+  /** Cut a position column into fixed shards. */
+  private def shardColumns(ranked: DataFrame, shardSize: Long): DataFrame =
+    ranked.select(col("doc_id"), col("shuffle_pos"),
+      floor(col("shuffle_pos") / shardSize).cast("long").as("shard"),
+      (col("shuffle_pos") % shardSize).as("shard_pos"))
+
+  /** Q89: INCREMENTAL shard append — the corpus-refresh contract for the
+    * q80 layout (q74's delta discipline applied to positions): a crawl
+    * delta is appended AFTER the already-published layout, never by
+    * re-shuffling the lake. Incoming docs get the two-phase rank among
+    * THEMSELVES, offset by the history's cardinality (a 1-row
+    * broadcast), so every existing (shard, shard_pos) stays EXACTLY
+    * where a training run already read it — replay stability is the
+    * point. The trade is explicit and documented: appended data
+    * concentrates in tail shards rather than interleaving, and a
+    * deployment re-shuffles (plain q80 over the union) at epoch
+    * boundaries when global mixing matters more than stability.
+    */
+  def q89ShardAppend(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents").select(col("doc_id"))
+    shardAppendOn(docs.filter(col("doc_id") % 5 < 4),
+      docs.filter(col("doc_id") % 5 === 4))
+  }
+
+  /** Append `incoming`'s layout after `history`'s. */
+  def shardAppendOn(history: DataFrame, incoming: DataFrame,
+                    salt: String = "q80|", shardSize: Long = 128L,
+                    bucketChars: Int = 2): DataFrame = {
+    val hn = history.agg(count(lit(1)).as("_hn"))
+    shardColumns(
+      globalRank(incoming, salt, bucketChars)
+        .crossJoin(broadcast(hn))
+        .select(col("doc_id"),
+          (col("shuffle_pos") + col("_hn")).as("shuffle_pos")),
+      shardSize)
   }
 
   /** Q80: the contract instantiation over `documents` — defaults

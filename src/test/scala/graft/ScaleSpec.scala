@@ -159,6 +159,27 @@ class ScaleSpec extends AnyFunSuite {
       f"10x docs cost ${t10 / t1}%.1fx the time ($t1%.2fs -> $t10%.2fs)")
   }
 
+  test("shard append continues the history layout without disturbing it") {
+    import spark.implicits._
+    val docs = Tables.load(spark, TestSpark.Sf0001, "documents").select("doc_id")
+    val hist = docs.filter(col("doc_id") % 5 < 4)
+    val inc = docs.filter(col("doc_id") % 5 === 4)
+    val hn = hist.count()
+    val histPos = Scale.shardAssignOn(hist)
+      .select("doc_id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    val appended = Scale.shardAppendOn(hist, inc)
+      .select("doc_id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    // appended positions are dense exactly after the history block
+    assert(appended.values.toSeq.sorted ===
+      (hn until hn + inc.count()).toSeq)
+    // and the union is one dense enumeration: history keeps every
+    // position a training run already read (replay stability — the
+    // documented trade vs re-interleaving)
+    assert((histPos.values ++ appended.values).toSeq.sorted ===
+      (0L until (hn + inc.count())).toSeq)
+    assert(histPos.keySet.intersect(appended.keySet).isEmpty)
+  }
+
   test("a foreign build sentinel makes ensureBucketed fail loudly, then recover") {
     val dir = TestSpark.Sf0001
     // simulate another process mid-materialization (or crashed): its
