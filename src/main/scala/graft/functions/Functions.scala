@@ -231,9 +231,11 @@ object WarcOps {
   def warcMeta(bin: Column): Column =
     ColumnBridge.column(WarcMeta(ColumnBridge.expression(bin.cast("binary"))))
 
-  /** Valid-record byte offsets from ONE linear walk ([[WarcOffsets]]) —
-    * the iteration table: explode it and hand each offset to the
-    * accessors below, so per-stream parsing stays O(bytes).
+  /** Valid-record byte offsets from ONE linear walk ([[WarcOffsets]]),
+    * with the `(nRecords << 1) | truncated` verdict as the LAST element —
+    * the iteration table: slice off the trailer, explode, and hand each
+    * offset to the accessors below, so per-stream parsing (verdict
+    * included) stays one O(bytes) pass.
     */
   def warcOffsets(bin: Column): Column =
     ColumnBridge.column(WarcOffsets(ColumnBridge.expression(bin.cast("binary"))))

@@ -118,43 +118,45 @@ private[functions] object WarcWalk {
   * and the generated code (the [[Y4mEval]] single-implementation rule).
   */
 object WarcEval {
-  /** `(nValidRecords << 1) | truncatedBit`; null when not WARC at all. */
+  /** `(nValidRecords << 1) | truncatedBit`; null when not WARC at all.
+    * Implemented AS the offsets walk's trailer so the two verdict
+    * surfaces can never disagree (and a consumer needing both — q82 —
+    * pays ONE walk, not two).
+    */
   def meta(bb: Array[Byte]): java.lang.Long = {
-    if (!WarcWalk.magic(bb)) return null
-    var pos = 0
-    var n = 0L
-    while (pos < bb.length && n < (1L << 20)) {
-      val r = WarcWalk.record(bb, pos)
-      if (r == null) return java.lang.Long.valueOf((n << 1) | 1L)
-      n += 1
-      pos = r(8).toInt
-    }
-    // the 2^20 backstop is itself a truncation: a stream with unwalked
-    // bytes left must never report "complete" just because the counter
-    // cap fired first (the honest-verdict contract)
-    java.lang.Long.valueOf((n << 1) | (if (pos < bb.length) 1L else 0L))
+    val a = offsets(bb)
+    if (a == null) null
+    else java.lang.Long.valueOf(a.getLong(a.numElements() - 1))
   }
 
-  /** Byte offsets of every VALID record, from ONE linear walk — the
-    * iteration table q82 explodes, so per-stream parsing stays O(bytes)
-    * instead of the O(records²) an index-based seek would pay re-walking
-    * the prefix for every exploded row (a real crawl segment holds
-    * 10⁴–10⁵ records). Null when not WARC at all; the walk stops at the
-    * first malformed record (that tail is [[meta]]'s truncated bit, not
-    * an offset).
+  /** Byte offsets of every VALID record from ONE linear walk, with the
+    * stream verdict `(nValidRecords << 1) | truncatedBit` appended as
+    * the LAST element — the iteration table q82 explodes (slice off the
+    * trailer), so per-stream parsing stays O(bytes) instead of the
+    * O(records²) an index-based seek would pay re-walking the prefix per
+    * exploded row (a real crawl segment holds 10⁴–10⁵ records), and the
+    * verdict rides the same walk instead of a second one. Null when not
+    * WARC at all; the walk stops at the first malformed record (that
+    * tail is the truncated bit, not an offset), and the 2^20 backstop is
+    * itself a truncation — a stream with unwalked bytes left must never
+    * report "complete" just because the counter cap fired first.
     */
   def offsets(bb: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
     if (!WarcWalk.magic(bb)) return null
     val out = scala.collection.mutable.ArrayBuffer[Long]()
     var pos = 0
-    while (pos < bb.length && out.length < (1 << 20)) {
+    var truncated = false
+    var done = false
+    while (!done && pos < bb.length && out.length < (1 << 20)) {
       val r = WarcWalk.record(bb, pos)
-      if (r == null) {
-        return new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+      if (r == null) { truncated = true; done = true }
+      else {
+        out += pos.toLong
+        pos = r(8).toInt
       }
-      out += pos.toLong
-      pos = r(8).toInt
     }
+    if (!truncated && pos < bb.length) truncated = true // counter cap hit
+    out += ((out.length.toLong << 1) | (if (truncated) 1L else 0L))
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
@@ -208,7 +210,9 @@ case class WarcMeta(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** `binary -> array<long>`: valid-record byte offsets from one walk. */
+/** `binary -> array<long>`: valid-record byte offsets from one walk,
+  * with the packed stream verdict appended as the last element.
+  */
 case class WarcOffsets(child: Expression) extends UnaryExpression {
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)

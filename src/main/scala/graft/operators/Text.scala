@@ -50,26 +50,24 @@ object Text {
   /** The q28 quality score (rounded to 6 dp) over any text column — shared
     * with the q51 pipeline's gate stage so the formula cannot drift.
     */
-  private[graft] def qualityScore(text: Column): Column = {
-    val nTokens = size(words(text))
-    // the zero-token division is GUARDED, not left to the engine: legacy
-    // mode nulls x/0 but ANSI mode (Spark 4's default) THROWS, turning
-    // one empty document into a query-crashing corpus landmine. The
-    // guarded NULL then flows through `least`, which skips nulls — so
-    // token-less text deterministically scores the avg-length ceiling's
-    // 0.5 (the q28 oracle agrees: DuckDB nulls the division and skips
-    // nulls in least the same way); only NULL text is truly ungradeable
-    val avgTokLen = when(nTokens > 0,
-      length(replace(text, lit(" "), lit(""))).cast("double") / nTokens)
+  private[graft] def qualityScore(text: Column): Column =
     // NULL text is explicitly ungradeable: without the outer guard, BOTH
     // null terms get skipped by least and a NULL document "scores" a
     // perfect 1.0 — the one value it must never get
     when(text.isNotNull,
-      round(least(lit(1.0), nTokens.cast("double") / 50.0) * 0.5 +
-        least(lit(1.0), avgTokLen / 5.0) * 0.5, 6))
-  }
+      round(least(lit(1.0), size(words(text)).cast("double") / 50.0) * 0.5 +
+        least(lit(1.0), avgTokenLen(text) / 5.0) * 0.5, 6))
 
-  /** q28's avg-token-length column, with the same guarded division. */
+  /** The guarded avg-token-length expression, shared by q28's column and
+    * the quality score so the zero-token policy lives in ONE place: the
+    * division is GUARDED, not left to the engine — legacy mode nulls x/0
+    * but ANSI mode (Spark 4's default) THROWS, turning one empty
+    * document into a query-crashing corpus landmine. The guarded NULL
+    * then flows through `least`, which skips nulls, so token-less text
+    * deterministically scores the avg-length ceiling's 0.5 (the q28
+    * oracle agrees: DuckDB nulls the division and skips nulls in least
+    * the same way).
+    */
   private def avgTokenLen(text: Column): Column = {
     val nTokens = size(words(text))
     when(nTokens > 0,

@@ -93,16 +93,19 @@ object Warc {
       .otherwise(synthStream(d, d % 3 + 1).cast("binary"))
     Tables.load(spark, dir, "documents")
       .select(d, stream.as("_p"))
-      .withColumn("_m", WarcOps.warcMeta(col("_p")))
-      // the offsets table makes the fan-out LINEAR in stream bytes: one
-      // walk produces every record's byte offset, and each exploded row's
-      // accessors parse only their own record — an index-based seek would
-      // re-walk the prefix per row, O(records²) on a real crawl segment
+      // ONE walk per stream: the offsets table carries every record's
+      // byte offset PLUS the packed verdict as its trailer element, and
+      // each exploded row's accessors parse only their own record — an
+      // index-based seek would re-walk the prefix per row (O(records²)
+      // on a real crawl segment), and a separate meta call would walk
+      // the stream a second time for the verdict alone
       .withColumn("_offs", WarcOps.warcOffsets(col("_p")))
+      .withColumn("_v", element_at(col("_offs"), -1))
       .select(d, col("_p"),
-        shiftrightunsigned(col("_m"), 1).cast("long").as("n_records"),
-        col("_m").bitwiseAND(lit(1)).cast("int").as("truncated"),
-        posexplode_outer(col("_offs")).as(Seq("rec_idx", "_off")))
+        shiftrightunsigned(col("_v"), 1).cast("long").as("n_records"),
+        col("_v").bitwiseAND(lit(1)).cast("int").as("truncated"),
+        posexplode_outer(expr("slice(_offs, 1, size(_offs) - 1)"))
+          .as(Seq("rec_idx", "_off")))
       .withColumn("_pay", WarcOps.warcPayload(col("_p"), col("_off")))
       .select(d, col("n_records"), col("truncated"),
         col("rec_idx").cast("int").as("rec_idx"),

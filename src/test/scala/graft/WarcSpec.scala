@@ -35,8 +35,9 @@ class WarcSpec extends AnyFunSuite {
     val bb = twoRec.getBytes("US-ASCII")
     assert(WarcEval.meta(bb) === ((2L << 1) | 0L))
     // the offsets table is the one-walk iteration surface: record starts
-    // at exactly the serialized boundaries
-    assert(offs(bb).toSeq === Seq(0L, rec0.length.toLong))
+    // at exactly the serialized boundaries, with the packed verdict as
+    // the trailer element (so verdict + iteration cost ONE walk)
+    assert(offs(bb).toSeq === Seq(0L, rec0.length.toLong, (2L << 1) | 0L))
     val o1 = rec0.length
     assert(WarcEval.header(bb, 0, 0).toString === "response")
     assert(WarcEval.header(bb, 0, 1).toString === "http://a/1")
@@ -54,11 +55,11 @@ class WarcSpec extends AnyFunSuite {
     // no Content-Length on record 0: the walk cannot cross it — 0 records
     val noLen = rec(Seq("WARC-Type: response"), p0).getBytes("US-ASCII")
     assert(WarcEval.meta(noLen) === 1L)
-    assert(offs(noLen).toSeq === Seq.empty)
+    assert(offs(noLen).toSeq === Seq(1L)) // trailer only: 0 records, truncated
     // final separator cut: the tail record drops, the first still serves
     val cut = twoRec.substring(0, twoRec.length - 3).getBytes("US-ASCII")
     assert(WarcEval.meta(cut) === ((1L << 1) | 1L))
-    assert(offs(cut).toSeq === Seq(0L))
+    assert(offs(cut).toSeq === Seq(0L, (1L << 1) | 1L))
     assert(new String(WarcEval.payload(cut, 0), "US-ASCII") === p0)
     // a Content-Length pointing past the buffer must not slice garbage
     val lie = rec(Seq("Content-Length: 99999"), p0).getBytes("US-ASCII")
@@ -91,7 +92,9 @@ class WarcSpec extends AnyFunSuite {
         .select(WarcOps.warcOffsets(lit(bytes)).as("o")).head().get(0))
         .map(_.asInstanceOf[scala.collection.Seq[Long]].toSeq)
       assert(oi === oc, "offsets parity")
-      val probes = oi.getOrElse(Seq.empty) ++ Seq(3L)
+      // probe record offsets only (drop the verdict trailer), plus a
+      // mid-record bogus offset
+      val probes = oi.map(_.dropRight(1)).getOrElse(Seq.empty) ++ Seq(3L)
       probes.foreach { off =>
         Seq(0, 1, 2).foreach { code =>
           val hi = WarcHeader(L(bytes, BinaryType), L(off.toInt, IntegerType),
