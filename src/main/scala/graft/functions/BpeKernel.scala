@@ -65,6 +65,12 @@ object BpeEval {
 /** `string -> long`: BPE token count under a constant merge table. */
 case class BpeTokens(child: Expression, merges: Seq[String])
     extends UnaryExpression {
+  // an odd-length flattened table means a dropped merge half — the count
+  // loop would silently ignore the trailing element and mis-encode with
+  // no signal, so a malformed table must fail loudly at plan time
+  require(merges.length % 2 == 0,
+    s"flattened merge table must hold (left, right) pairs; got ${merges.length} elements")
+
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_bpe_tokens"

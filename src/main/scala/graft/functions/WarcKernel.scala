@@ -73,14 +73,20 @@ private[functions] object WarcWalk {
         } else if (nameEq(bb, nameOff, nameLen, "warc-record-id")) {
           idOff = valOff; idLen = valLen
         } else if (nameEq(bb, nameOff, nameLen, "content-length")) {
+          // real crawl WARCs occasionally pad header values with trailing
+          // LWS; mirror the leading skip so ' 42 ' parses while keeping
+          // the non-numeric rejection for genuinely bad values
+          var valEnd = valOff + valLen
+          while (valEnd > valOff &&
+            (bb(valEnd - 1) == ' ' || bb(valEnd - 1) == '\t')) valEnd -= 1
           var v = 0L
           var j = valOff
           var any = false
-          while (j < valOff + valLen && bb(j) >= '0' && bb(j) <= '9' &&
+          while (j < valEnd && bb(j) >= '0' && bb(j) <= '9' &&
             v < (1L << 40)) {
             v = v * 10 + (bb(j) - '0'); j += 1; any = true
           }
-          if (!any || j < valOff + valLen) return null // non-numeric length
+          if (!any || j < valEnd) return null // non-numeric length
           clen = v
         } // unknown headers are skipped, as a real reader must
       }

@@ -192,11 +192,20 @@ object Scale {
     val h = docs.select(col("doc_id"),
         md5(concat(lit(salt), col("doc_id").cast("string"))).as("_hk"))
       .withColumn("_bucket", substring(col("_hk"), 1, bucketChars))
+      // the inner join below infers isnotnull(_bucket) and pushes it into
+      // the PROBE side's scan only; planting it here keeps both branches
+      // byte-identical below the bucket exchange so ReuseExchange fires
+      .filter(col("_bucket").isNotNull)
     val local = h.withColumn("_lr",
       (row_number().over(
         Window.partitionBy("_bucket").orderBy("_hk", "doc_id")) - 1)
         .cast("long"))
-    val offs = h.groupBy("_bucket").agg(count(lit(1)).as("_n"))
+    // bucket counts come from the RANKED side (max local rank + 1), not
+    // from a second aggregate over `h`: the agg's required distribution
+    // (_bucket) is already satisfied by the window exchange, so both the
+    // join's probe side and this offsets side hang off ONE shuffle of the
+    // corpus (ReuseExchange) instead of scanning + md5-ing it twice
+    val offs = local.groupBy("_bucket").agg((max("_lr") + 1).as("_n"))
       .withColumn("_off", coalesce(
         sum("_n").over(Window.orderBy("_bucket")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

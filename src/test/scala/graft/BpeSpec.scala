@@ -103,6 +103,11 @@ class BpeSpec extends AnyFunSuite {
       .select(graft.functions.BpeOps.bpeTokens(
         lit(null).cast("string"), merges).as("n")).head
     assert(n.isNullAt(0))
+    // an odd-length flattened table is a dropped merge half — it must
+    // fail loudly at plan time, never silently mis-encode
+    assertThrows[IllegalArgumentException] {
+      graft.functions.BpeOps.bpeTokens(lit("x"), Seq("e", "s", "es"))
+    }
   }
 
   /** The vocabulary state after applying `merges` in order — symbol count

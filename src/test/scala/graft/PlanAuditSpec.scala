@@ -139,6 +139,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"rank window lost its bucket partitioning: $corpusWin")
     assert(p.contains("BroadcastHashJoin"), s"offsets join not broadcast:\n$p")
     assert(shuffles(df) <= 3, s"q80 exchange budget exceeded:\n$p")
+    // the offsets side derives its bucket counts from the RANKED frame,
+    // so both join inputs hang off ONE shuffle of the corpus — a refactor
+    // back to a separate aggregate over the source re-scans + re-md5s the
+    // whole corpus for 256 counts. AQE reuses stages at RUNTIME, so the
+    // pin reads the final adaptive plan after execution.
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("ReusedExchange") ||
+      finalPlan.contains("ReusedQueryStage"),
+      s"q80 offsets side re-scans the corpus instead of reusing the rank exchange:\n$finalPlan")
   }
 
   test("q83 BM25 filters the token stream by broadcast before any exchange") {

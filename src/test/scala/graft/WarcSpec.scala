@@ -67,6 +67,17 @@ class WarcSpec extends AnyFunSuite {
     // bare-LF line endings violate the spec's CRLF mandate
     val lf = ("WARC/1.0\nContent-Length: 3\n\nabc\n\n").getBytes("US-ASCII")
     assert(WarcEval.meta(lf) === 1L)
+    // trailing LWS after the length value is real-crawl padding, not a
+    // malformed record — 'Content-Length: 13 \t' must still walk (and a
+    // later record after the padded one must still serve)
+    val padded = (rec(Seq(s"Content-Length: ${p0.length} \t",
+      "WARC-Type: response"), p0) +
+      rec(Seq("Content-Length: 7"), p1)).getBytes("US-ASCII")
+    assert(WarcEval.meta(padded) === ((2L << 1) | 0L))
+    assert(new String(WarcEval.payload(padded, 0), "US-ASCII") === p0)
+    // interior whitespace is still a genuinely bad value
+    val interior = rec(Seq("Content-Length: 1 3"), p0).getBytes("US-ASCII")
+    assert(WarcEval.meta(interior) === 1L)
     // not WARC at all: NULL, distinguishable from zero-valid-records
     assert(WarcEval.meta("hello world".getBytes("US-ASCII")) === null)
     assert(offs("hello world".getBytes("US-ASCII")) === null)
