@@ -124,13 +124,10 @@ object SparkEntry {
     * ratio measured in AnnScaleSpec),
     * q79_semdedup (Lloyd means are floating-point averages, the q36
     * caveat — representative rule, group containment and pruning gated
-    * in SemDedupSpec),
-    * q85_bpe_train (the per-round argmax is iterative, outside one SQL
-    * statement — merge table pinned in BpeSpec against the textbook
-    * fixture and an independent imperative replay on the real corpus),
-    * q86_bpe_tokens (applies q85's iterative training inline — BpeSpec
-    * pins the kernel count word-by-word against the training-end
-    * vocabulary state and hand-encoded unseen words).
+    * in SemDedupSpec).
+    * (q85/q86 were on this list through round 10; the fixed merge count
+    * lets the training loop unroll into chained CTEs — see [[bpeCtes]] —
+    * so both now carry full DuckDB oracles on top of BpeSpec's gates.)
     */
   def oracleSql: Map[String, String] = Map(
     "q01_project" ->
@@ -999,5 +996,58 @@ object SparkEntry {
         "- 1 AS BIGINT) AS g FROM i) " +
         "SELECT doc_id, g + hn AS shuffle_pos, (g + hn) // 128 AS shard, " +
         "(g + hn) % 128 AS shard_pos FROM r, h"),
+    // q85/q86: the merge count is a FIXED small constant, so the
+    // "iterative" training loop unrolls into 10 chained CTE rounds — no
+    // recursion needed. Each round replays the trainer exactly: adjacency
+    // pair counts weighted by word frequency, argmax with the (cnt DESC,
+    // l, r) tie-break, then the leftmost-greedy fold as a list_reduce over
+    // singleton lists (acc's tail merges with the incoming symbol iff the
+    // pair matches; a fresh merge never re-merges, the kernel's rule).
+    "q85_bpe_train" -> bpeTrainSql,
+    // q86 rides the same unrolled training: after round 10 every trained
+    // word's symbol count IS its BPE token count (the encode kernel
+    // replays merges in rank order, reaching the training-end state), so
+    // per-doc totals are a vocabulary join, never a per-doc re-encode
+    "q86_bpe_tokens" -> (bpeCtes +
+      s", vocab AS (SELECT word, CAST(len(syms) AS BIGINT) AS n FROM wf$BpeMerges), " +
+      s"dw AS (SELECT doc_id, unnest(${bpeTok("text")}) AS word FROM documents), " +
+      "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, " +
+      "CAST(sum(n) AS BIGINT) AS n_bpe FROM dw JOIN vocab USING (word) GROUP BY doc_id) " +
+      "SELECT d.doc_id, COALESCE(a.n_words, 0) AS n_words, " +
+      "CASE WHEN d.text IS NULL THEN NULL ELSE COALESCE(a.n_bpe, 0) END AS n_bpe_tokens " +
+      "FROM documents d LEFT JOIN agg a USING (doc_id)"),
   )
+
+  /** The tokenizer every text oracle shares, over column `c`. */
+  private def bpeTok(c: String): String =
+    s"list_filter(string_split_regex(lower($c), '[^a-z0-9]+'), w -> w <> '')"
+
+  private val BpeMerges = 10
+
+  /** The unrolled training rounds: `wf0` (word, freq, chars) through
+    * `wf10`, with each round's winning pair in `t{k}`.
+    */
+  private lazy val bpeCtes: String = {
+    val base = s"WITH toks AS (SELECT unnest(${bpeTok("text")}) AS word FROM documents), " +
+      "wf0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq, " +
+      "list_transform(range(1, len(word)+1), i -> word[i]) AS syms FROM toks GROUP BY word)"
+    val rounds = (1 to BpeMerges).map { k =>
+      val prev = s"wf${k - 1}"
+      s"p$k AS (SELECT syms[i] AS l, syms[i+1] AS r, freq FROM " +
+        s"(SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM $prev WHERE len(syms) >= 2)), " +
+        s"t$k AS (SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM p$k " +
+        "GROUP BY l, r ORDER BY cnt DESC, l, r LIMIT 1), " +
+        s"wf$k AS (SELECT word, freq, CASE WHEN len(syms) < 2 THEN syms " +
+        "ELSE list_reduce(list_transform(syms, s -> [s]), (acc, x) -> " +
+        "CASE WHEN acc[-1] = t.l AND x[1] = t.r " +
+        "THEN acc[1:len(acc)-1] || [t.l || t.r] ELSE acc || x END) END AS syms " +
+        s"FROM $prev, t$k AS t)"
+    }.mkString(", ")
+    s"$base, $rounds"
+  }
+
+  private lazy val bpeTrainSql: String = bpeCtes + " " +
+    (1 to BpeMerges).map { k =>
+      s"""SELECT CAST($k AS INTEGER) AS round, l AS "left", r AS "right", l || r AS merged, cnt AS pair_count FROM t$k"""
+    }.mkString(" UNION ALL ")
 }
