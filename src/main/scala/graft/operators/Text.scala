@@ -763,18 +763,37 @@ object Text {
     * saturation is MEASURED (ScaleSpec q64), context counts key a subset
     * of the same vocabulary, and the bigram table is bounded by observed
     * adjacency (≤ V²; it saturates later than V — a deployment whose
-    * bigram model outgrows the broadcast swaps the shuffled equi-join
-    * with AQE skew handling, q63's explicit-trade discipline, and zipfian
-    * hot pairs like "of the" make AQE's skew split mandatory there).
+    * bigram model outgrows the broadcast passes [[VocabMeet.Shuffle]] for
+    * plain shuffled equi-joins with AQE skew handling; zipfian hot pairs
+    * like "of the" make AQE's skew split mandatory there, and ScaleSpec
+    * pins that it fires — note the measured deployment caveat: in this
+    * CHAINED join the vanilla rule declines the split as "introducing an
+    * extra shuffle", so `spark.sql.adaptive.forceOptimizeSkewedJoin` must
+    * be set alongside the strategy).
     * Exactness is q64's: per-token surprisal rounded to 6 dp, cast
     * DECIMAL(18,6) before the per-doc sum, one final division.
     */
   def q81BigramSurprisal(spark: SparkSession, dir: String): DataFrame =
     bigramSurprisalOn(Tables.load(spark, dir, "documents"))
 
-  /** The q81 computation over any (doc_id, text) frame. */
+  /** The q81 computation over any (doc_id, text) frame. `meet` picks how
+    * the token/pair stream joins the three model tables: [[VocabMeet
+    * .Broadcast]] while the model fits the driver, [[VocabMeet.Shuffle]]
+    * (plain shuffled equi-joins + AQE skew split — a bloom cannot carry
+    * the model VALUES) when it outgrows it. Value-identical by
+    * MeetStrategySpec's pin; ScaleSpec pins the skew split fires on
+    * zipfian hot pairs.
+    */
   def bigramSurprisalOn(docs: DataFrame, wBigram: Double = 0.7,
-                        wUnigram: Double = 0.3): DataFrame = {
+                        wUnigram: Double = 0.3,
+                        meet: VocabMeet = VocabMeet.Broadcast): DataFrame = {
+    require(meet != VocabMeet.Bloom,
+      "the model joins carry values; a bloom answers membership only")
+    def modelJoin(l: DataFrame, r: DataFrame, k: Seq[String]): DataFrame =
+      meet match {
+        case VocabMeet.Broadcast => l.join(broadcast(r), k)
+        case _ => l.join(r.hint("shuffle_hash"), k)
+      }
     val base = docs.select(col("doc_id"), words(col("text")).as("ws"))
     val nt = base.select(col("doc_id"),
       coalesce(size(col("ws")), lit(0)).cast("long").as("n_tokens"))
@@ -789,10 +808,10 @@ object Text {
       .select(col("doc_id"), col("p.prev").as("prev"), col("p.cur").as("cur"))
     val big = pairs.groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
     val ctx = pairs.groupBy("prev").agg(count(lit(1)).as("cp"))
-    val scored = pairs
-      .join(broadcast(big), Seq("prev", "cur"))
-      .join(broadcast(ctx), Seq("prev"))
-      .join(broadcast(uni.withColumnRenamed("tok", "cur")), Seq("cur"))
+    val scored = modelJoin(modelJoin(modelJoin(pairs,
+        big, Seq("prev", "cur")),
+        ctx, Seq("prev")),
+        uni.withColumnRenamed("tok", "cur"), Seq("cur"))
       .select(col("doc_id"),
         round(-log(
           lit(wBigram) * col("cb").cast("double") / col("cp") +
@@ -946,7 +965,7 @@ object Text {
     * the token array into its own column first (the kernel pre-projection
     * rule from the multimodal family, applied to arrays).
     */
-  private[operators] def synthLinesFromWs(id: Column, ws: Column): Column = {
+  private[graft] def synthLinesFromWs(id: Column, ws: Column): Column = {
     val body = when(size(ws) === 0, array().cast("array<string>"))
       .otherwise(transform(
         sequence(lit(0), ceil(size(ws) / lit(8.0)).cast("int") - 1),
@@ -990,9 +1009,11 @@ object Text {
     * Shape at scale: host/label arithmetic is pure narrow column work;
     * the blocklist meets the corpus as a BROADCAST left join (real
     * blocklists are a few million domains — tens of MB, comfortably
-    * broadcastable; a larger one swaps in q63's bloom-prefilter shape).
-    * Zero shuffles, plan-pinned. The flag (not a filter) is the contract:
-    * a pipeline reports WHY a doc died (q65's bit discipline).
+    * broadcastable; a larger one passes [[VocabMeet.Bloom]] — the
+    * prefilter + shuffled-exact-confirm path, value-identical by
+    * MeetStrategySpec's pin). Zero shuffles in the broadcast path,
+    * plan-pinned. The flag (not a filter) is the contract: a pipeline
+    * reports WHY a doc died (q65's bit discipline).
     */
   def q68UrlBlocklist(spark: SparkSession, dir: String): DataFrame =
     urlBlocklistOn(spark, Tables.load(spark, dir, "documents"))
@@ -1020,19 +1041,19 @@ object Text {
     regexp_extract(url, "^[a-z]+://([^/:?#]+)", 1)
 
   private[graft] def urlBlocklistOn(spark: SparkSession, docs: DataFrame,
-                                    carry: Seq[String] = Nil): DataFrame = {
+                                    carry: Seq[String] = Nil,
+                                    meet: VocabMeet = VocabMeet.Broadcast): DataFrame = {
     import spark.implicits._
-    val blocklist = broadcast(
-      Seq("spam-mill.biz", "adnet.io", "site.co.uk")
-        .toDF("registered_domain").withColumn("_hit", lit(1)))
+    val blocklist = Seq("spam-mill.biz", "adnet.io", "site.co.uk")
+      .toDF("registered_domain").withColumn("_hit", lit(1))
     val host = hostOf(col("url"))
     val registered = registeredDomainOf(col("host"))
-    docs
+    val framed = docs
       .select(col("doc_id") +: carry.map(col) :+
         synthUrl(col("doc_id")).as("url"): _*)
       .withColumn("host", host)
       .withColumn("registered_domain", registered)
-      .join(blocklist, Seq("registered_domain"), "left")
+    VocabMeet.membership(framed, blocklist, "registered_domain", "_hit", meet)
       .withColumn("blocked", coalesce(col("_hit"), lit(0)))
       .drop("_hit")
   }
@@ -1055,8 +1076,9 @@ object Text {
     *     — tiny relative to the corpus (the q45 broadcast premise), so
     *     the keep-test is a BROADCAST left join back onto the exploded
     *     lines: the line table itself never shuffles to learn its fate.
-    *     A deployment whose duplicate-line set outgrows the driver swaps
-    *     this join for q63's bloom-prefilter + salted exact confirm;
+    *     A deployment whose duplicate-line set outgrows the driver passes
+    *     [[VocabMeet.Bloom]] — the prefilter + shuffled-exact-confirm
+    *     path, value-identical by MeetStrategySpec's pin;
     *  3. reassembly: one groupBy(doc_id) folds (pos, kept, line) structs,
     *     capacity-bounded by document length (the q50 collect_list
     *     discipline); every document keeps its row because the header
@@ -1080,7 +1102,8 @@ object Text {
     * join afterwards.
     */
   private[graft] def lineDedupOn(lined0: DataFrame,
-                                 keys: Seq[String] = Seq("doc_id")): DataFrame = {
+                                 keys: Seq[String] = Seq("doc_id"),
+                                 meet: VocabMeet = VocabMeet.Broadcast): DataFrame = {
     // posexplode_OUTER on purpose: plain posexplode makes the optimizer
     // infer a `size(lines) > 0` filter that re-inlines the whole line
     // synthesis (per-chunk lambda included) as a second per-row
@@ -1093,7 +1116,7 @@ object Text {
       .agg(countDistinct(col("doc_id")).as("line_df"))
       .filter(col("line_df") >= 3)
       .select(col("line"), lit(1).as("_dup"))
-    val marked = lined.join(broadcast(dup), Seq("line"), "left")
+    val marked = VocabMeet.membership(lined, dup, "line", "_dup", meet)
       .withColumn("kept", col("_dup").isNull)
     val folded = marked.groupBy(keys.map(col): _*).agg(
       count(lit(1)).as("n_lines"),

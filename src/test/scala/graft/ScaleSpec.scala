@@ -180,6 +180,49 @@ class ScaleSpec extends AnyFunSuite {
     assert(histPos.keySet.intersect(appended.keySet).isEmpty)
   }
 
+  test("q81 shuffled meet: AQE splits the zipfian hot-pair partition") {
+    // the q81 prose premise, pinned (the q55 measured-not-asserted
+    // discipline): with VocabMeet.Shuffle the probe stream's ("of","the")
+    // partition dwarfs the median, and AQE's skew split must bound what
+    // any one task reads instead of letting the hot reducer run alone.
+    // Thresholds are scaled to test data in an ISOLATED session clone —
+    // the split semantics, not production sizes, are what's pinned.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "16")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // coalescing off so the skew read is the ONLY adaptive read in the
+    // plan — and the repetitive hot pair compresses so well that the
+    // thresholds must sit in the KB range at test scale
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s2.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4KB")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.5")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+    // MEASURED FINDING, not a default: in q81's chained model joins the
+    // split join's output feeds another keyed join, so vanilla AQE
+    // declines the skew split as "introducing an extra shuffle" (the
+    // downstream join re-exchanges regardless — the check is
+    // conservative). forceOptimizeSkewedJoin is the production knob a
+    // q81-at-scale deployment must set; without it the hot reducer runs
+    // alone and this assertion fails.
+    s2.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    // ~46% of all adjacent pairs are ("of","the") — one zipfian head over
+    // a long varied tail, the "of the" shape the scaladoc names
+    val docs = s2.range(12000).select(
+      col("id").as("doc_id"),
+      concat(lit("of the of the of the of the of the of the "),
+        concat(lit("w"), col("id") % 997), lit(" "),
+        concat(lit("v"), (col("id") * 3) % 991)).as("text"))
+    val out = graft.operators.Text.bigramSurprisalOn(
+      docs, meet = graft.operators.VocabMeet.Shuffle)
+    // collect() drives THIS df's query execution, so the adaptive plan
+    // below is the executed one (count() would build its own)
+    assert(out.collect().length === 12000)
+    val finalPlan = out.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("skew=true"),
+      s"AQE skew split did not fire on the hot pair:\n$finalPlan")
+  }
+
   test("a foreign build sentinel makes ensureBucketed fail loudly, then recover") {
     val dir = TestSpark.Sf0001
     // simulate another process mid-materialization (or crashed): its
