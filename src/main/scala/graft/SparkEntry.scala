@@ -111,6 +111,7 @@ object SparkEntry {
     "q87_chunk_docs" -> (Text.q87ChunkDocs _),
     "q88_adaptive_quality" -> (Text.q88AdaptiveQuality _),
     "q89_shard_append" -> (Scale.q89ShardAppend _),
+    "q90_mp4_frames" -> (Multimodal.q90Mp4Frames _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -996,6 +997,27 @@ object SparkEntry {
         "- 1 AS BIGINT) AS g FROM i) " +
         "SELECT doc_id, g + hn AS shuffle_pos, (g + hn) // 128 AS shard, " +
         "(g + hn) % 128 AS shard_pos FROM r, h"),
+    // q90: MP4 sample-table frame decode — every sampled frame's luma
+    // statistics recomputed pixel-by-pixel from the raw-gray synthesis
+    // residues (truncated/text classes emit no rows: the meta gate
+    // refuses a sample table addressing bytes the stream never carried)
+    "q90_mp4_frames" ->
+      ("WITH v AS (SELECT doc_id, " +
+        "CAST(doc_id % 5 + 1 AS INTEGER) AS w, " +
+        "CAST(doc_id % 4 + 1 AS INTEGER) AS h, " +
+        "CAST(doc_id % 12 + 1 AS INTEGER) AS n " +
+        "FROM documents WHERE doc_id % 4 IN (0, 1)), " +
+        "f AS (SELECT v.*, CAST(k AS INTEGER) AS frame_idx FROM v, " +
+        "UNNEST(range(0, CAST(n AS BIGINT), CAST(ceil(n / 4.0) AS BIGINT))) AS tk(k)), " +
+        "px AS (SELECT f.doc_id, f.frame_idx, f.w, f.h, f.n, " +
+        "(f.doc_id * 2 + i * 5 + f.frame_idx * 7) % 256 AS y FROM f, " +
+        "UNNEST(range(0, CAST(f.w * f.h AS BIGINT))) AS ti(i)), " +
+        "agg AS (SELECT doc_id, frame_idx, any_value(w) AS w, any_value(h) AS h, " +
+        "any_value(n) AS n, sum(y) AS s, min(y) AS mn, max(y) AS mx, count(*) AS c " +
+        "FROM px GROUP BY 1, 2) " +
+        "SELECT doc_id, w AS width, h AS height, n AS n_frames, frame_idx, " +
+        "CAST(mn AS INTEGER) AS min_luma, CAST(mx AS INTEGER) AS max_luma, " +
+        "CAST(s * 100 // c AS BIGINT) AS mean_luma_x100 FROM agg"),
     // q85/q86: the merge count is a FIXED small constant, so the
     // "iterative" training loop unrolls into 10 chained CTE rounds — no
     // recursion needed. Each round replays the trainer exactly: adjacency

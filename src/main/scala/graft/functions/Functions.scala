@@ -219,6 +219,25 @@ object VideoOps {
     ColumnBridge.column(Y4mFrameLuma(
       ColumnBridge.expression(bin.cast("binary")),
       ColumnBridge.expression(frameIdx.cast("int"))))
+
+  /** MP4 uncompressed-video sample-table metadata as
+    * `(width << 40) | (height << 20) | nSamples` via the
+    * `stsd`/`stsz`/`stsc`/`stco` walk ([[Mp4SampleInfo]]); NULL when no
+    * supported (`'raw '` depth-8) trak exists or any declared sample
+    * fails bounds/size validation — the truncated-file gate.
+    */
+  def mp4SampleInfo(bin: Column): Column =
+    ColumnBridge.column(Mp4SampleInfo(ColumnBridge.expression(bin.cast("binary"))))
+
+  /** REAL pixel statistics of one MP4 raw-gray sample —
+    * `(sumLuma << 16) | (maxLuma << 8) | minLuma`, [[Y4mFrameLuma]]'s
+    * packed contract resolved through the sample table
+    * ([[Mp4FrameLuma]]).
+    */
+  def mp4FrameLuma(bin: Column, frameIdx: Column): Column =
+    ColumnBridge.column(Mp4FrameLuma(
+      ColumnBridge.expression(bin.cast("binary")),
+      ColumnBridge.expression(frameIdx.cast("int"))))
 }
 
 object WarcOps {

@@ -455,13 +455,16 @@ object Multimodal {
     * predictable narrow map at 100 TB (no shuffle anywhere in the plan;
     * PlanAuditSpec pins the zero-exchange budget).
     *
-    * The pixel decode is STUBBED: this container ships no codecs, so
+    * The pixel decode is STUBBED here: this container ships no codecs, so
     * `frame_fp` is a deterministic md5 stand-in for the decoded frame
     * bytes (exactly what makes the query oracle-checkable); the schema,
     * the stride arithmetic, the bounded fan-out and the timeline stamps —
     * the Spark-side plumbing a real decoder drops into — are real. Frame
     * counts are synthesized from doc_id (1-240 frames at 30 fps), the
-    * q39/q56 residue technique.
+    * q39/q56 residue technique. The stub now applies ONLY to compressed
+    * codecs: [[q60Y4mFrames]] decodes Y4M frames for real, and
+    * [[q90Mp4Frames]] decodes uncompressed raw-gray traks INSIDE the MP4
+    * container through the stsz/stsc/stco sample table.
     */
   def q57FrameSample(spark: SparkSession, dir: String): DataFrame = {
     val maxFrames = 8
@@ -720,6 +723,133 @@ object Multimodal {
           ceil(col("n_frames").cast("double") / maxFrames).cast("int"))))
       .withColumn("_fl",
         graft.functions.VideoOps.y4mFrameLuma(col("_p"), col("frame_idx")))
+      .select(id, col("width"), col("height"), col("n_frames"), col("frame_idx"),
+        col("_fl").bitwiseAND(lit(0xFF)).cast("int").as("min_luma"),
+        shiftright(col("_fl"), 8).bitwiseAND(lit(0xFF)).cast("int").as("max_luma"),
+        floor(shiftrightunsigned(col("_fl"), 16) * 100 /
+          (col("width").cast("long") * col("height"))).as("mean_luma_x100"))
+  }
+
+  /** Full playable MP4 hex for the q90 synthesis: `ftyp` + variable
+    * `free` + `mdat` (raw-gray frames, per-pixel residue bytes) + `moov`
+    * whose `stbl` addresses them — `stsd` ('raw ', depth 8) + `stsz`
+    * (fixed or per-sample table) + `stsc` (single chunk, or 2-sample
+    * chunks with a partial tail) + `stco`. The `truncate` class emulates
+    * a writer dying mid-`mdat`: the box declares all `n` frames, the
+    * stream carries half and no `moov` ever lands.
+    */
+  private[operators] def synthMp4FramesHex(docId: Column, w: Column,
+                                           h: Column, n: Column, pad: Column,
+                                           tableMode: Column,
+                                           truncate: Column): Column = {
+    def be32h(c: Column): Column = lpad(hex(c.cast("long")), 8, "0")
+    def be16h(c: Column): Column = lpad(hex(c.cast("int")), 4, "0")
+    val frame = w * h
+    val carried = when(truncate, floor(n / 2).cast("int")).otherwise(n)
+    val frames = array_join(
+      transform(sequence(lit(0), carried - 1), k =>
+        array_join(transform(sequence(lit(0), frame - 1), i =>
+          hx2((docId * 2 + i * 5 + k * 7) % 256)), "")), "")
+    val mdatHex = concat(be32h(lit(8) + n * frame), lit("6D646174"), frames)
+    val ftypFree = concat(
+      lit("00000010" + "66747970" + "69736F6D" + "00000000"),
+      be32h(pad + 8), lit("66726565"), repeat(lit("00"), pad))
+    val mdatStart = lit(32) + pad // ftyp(16) + free(8+pad) + mdat header(8)
+    val stsdHex = concat(
+      lit("00000066" + "73747364" + "00000000" + "00000001" + // stsd FullBox
+        "00000056" + "72617720" + "000000000000" + "0001" + // entry: 'raw ', dri
+        "0000" + "0000" + "000000000000000000000000"), // pre/reserved/pre
+      be16h(w), be16h(h),
+      lit("00480000" + "00480000" + "00000000" + "0001"), // 72dpi, frame_count
+      repeat(lit("00"), 32), // compressorname
+      lit("0008" + "FFFF")) // depth 8, pre_defined -1
+    val stszHex = when(tableMode,
+      concat(be32h(lit(20) + n * 4), lit("7374737A" + "00000000" + "00000000"),
+        be32h(n), repeat(be32h(frame), n)))
+      .otherwise(concat(lit("00000014" + "7374737A" + "00000000"),
+        be32h(frame), be32h(n)))
+    // tableMode pairs samples into 2-sample chunks (partial tail chunk when
+    // n is odd); fixed mode is one chunk of all n
+    val scEntries = when(!tableMode || n === 1, 1).otherwise(lit(1) + n % 2)
+    val stscHex = when(!tableMode,
+      concat(lit("0000001C" + "73747363" + "00000000" + "00000001" +
+        "00000001"), be32h(n), lit("00000001")))
+      .when(n === 1,
+        lit("0000001C" + "73747363" + "00000000" + "00000001" +
+          "00000001" + "00000001" + "00000001"))
+      .otherwise(concat(
+        be32h(lit(16) + scEntries * 12), lit("73747363" + "00000000"),
+        be32h(scEntries),
+        lit("00000001" + "00000002" + "00000001"),
+        when(n % 2 === 1, concat(be32h(floor(n / 2) + 1),
+          lit("00000001" + "00000001"))).otherwise(lit(""))))
+    val nChunks = when(!tableMode, 1).otherwise(ceil(n / 2.0).cast("int"))
+    val stcoHex = concat(be32h(lit(16) + nChunks * 4),
+      lit("7374636F" + "00000000"), be32h(nChunks),
+      array_join(transform(sequence(lit(0), nChunks - 1), j =>
+        be32h(mdatStart + j * 2 * frame)), ""))
+    val stszSize = when(tableMode, lit(20) + n * 4).otherwise(20)
+    val stblSize = lit(8 + 102) + stszSize + (lit(16) + scEntries * 12) +
+      (lit(16) + nChunks * 4)
+    val tkhdHex = concat(
+      lit("0000005C" + "746B6864" + "00000007" +
+        "00000000" + "00000000" + "00000001" + "00000000" + "00000000" +
+        "0000000000000000" + "0000" + "0000" + "0000" + "0000" +
+        "000100000000000000000000" + "000000000001000000000000" +
+        "000000000000000040000000"),
+      be16h(w), lit("0000"), be16h(h), lit("0000"))
+    val moovHex = concat(
+      be32h(stblSize + 8 + 8 + 92 + 8 + 8), lit("6D6F6F76"), // moov
+      be32h(stblSize + 8 + 8 + 92 + 8), lit("7472616B"), // trak
+      tkhdHex,
+      be32h(stblSize + 8 + 8), lit("6D646961"), // mdia
+      be32h(stblSize + 8), lit("6D696E66"), // minf
+      be32h(stblSize), lit("7374626C"), // stbl
+      stsdHex, stszHex, stscHex, stcoHex)
+    concat(ftypFree, mdatHex, when(truncate, lit("")).otherwise(moovHex))
+  }
+
+  /** Q90: REAL per-frame pixel decode INSIDE the MP4 container — q60's
+    * discipline (q57's sampling shape, md5 stand-in retired) applied to
+    * ISO BMFF itself: frames of an uncompressed raw-gray trak are
+    * addressed through the `stsd`/`stsz`/`stsc`/`stco` sample table by
+    * the codegen'd [[graft.functions.Mp4FrameLuma]] walk and folded from
+    * their ACTUAL bytes. The oracle recomputes every statistic
+    * pixel-by-pixel from the synthesis residues, so an offset slip in any
+    * of the four tables, a chunk-run mistake, or a truncation leak
+    * cannot cancel out.
+    *
+    * Shape discipline (q57/q60): fan-out bounded by construction
+    * (stride = ceil(n/4), ≤ 4 frame rows per video), ZERO exchanges —
+    * a pure bounded map at 100 TB. Classes (%4): 0 → fixed-size `stsz`,
+    * one chunk; 1 → per-sample `stsz` table, 2-sample chunks with a
+    * partial tail (variable chunk geometry, so a constant-stride shortcut
+    * fails by construction); 2 → truncated mid-`mdat` (sample table
+    * declares frames the stream never carried — refused at the meta gate,
+    * no rows); 3 → raw text (no rows).
+    */
+  def q90Mp4Frames(spark: SparkSession, dir: String): DataFrame = {
+    val maxFrames = 4
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val w = (id % 5 + 1).cast("int")
+    val h = (id % 4 + 1).cast("int")
+    val n = (id % 12 + 1).cast("int")
+    val pad = when(id % 4 === 1, id % 7).otherwise(id % 5).cast("int")
+    val payload = when(id % 4 === 3, col("text").cast("binary"))
+      .otherwise(unhex(synthMp4FramesHex(id, w, h, n, pad,
+        id % 4 === 1, id % 4 === 2)))
+    docs.select(id, payload.as("_p"))
+      .withColumn("_m", graft.functions.VideoOps.mp4SampleInfo(col("_p")))
+      .select(id, col("_p"),
+        shiftrightunsigned(col("_m"), 40).cast("int").as("width"),
+        shiftright(col("_m"), 20).bitwiseAND(lit(0xFFFFF)).cast("int").as("height"),
+        col("_m").bitwiseAND(lit(0xFFFFF)).cast("int").as("n_frames"))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col("n_frames") - 1,
+          ceil(col("n_frames").cast("double") / maxFrames).cast("int"))))
+      .withColumn("_fl",
+        graft.functions.VideoOps.mp4FrameLuma(col("_p"), col("frame_idx")))
       .select(id, col("width"), col("height"), col("n_frames"), col("frame_idx"),
         col("_fl").bitwiseAND(lit(0xFF)).cast("int").as("min_luma"),
         shiftright(col("_fl"), 8).bitwiseAND(lit(0xFF)).cast("int").as("max_luma"),

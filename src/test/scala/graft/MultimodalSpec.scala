@@ -633,9 +633,220 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  /** Hand-built PCM WAV with a data chunk — fmt THEN data behind optional
-    * prefix chunks, independent of the operator's synthesis.
+  /** Hand-built raw-gray MP4, independent of the operator's synthesis:
+    * moov before OR after mdat (sample offsets address the FILE, so both
+    * layouts must resolve), fixed or table stsz, arbitrary chunking,
+    * stco or co64, and deliberately broken variants (unsupported codec,
+    * wrong depth, per-sample size mismatch, a sample table declaring
+    * frames the stream never carried).
     */
+  private def mp4Bytes(w: Int, h: Int, frames: Int, yOf: (Int, Int) => Int,
+                       moovFirst: Boolean = false,
+                       tableStsz: Boolean = false,
+                       samplesPerChunk: Int = Int.MaxValue,
+                       co64: Boolean = false,
+                       format: String = "raw ",
+                       depth: Int = 8,
+                       declaredFrames: Int = -1,
+                       stszSizeDelta: Int = 0,
+                       audioTrakFirst: Boolean = false): Array[Byte] = {
+    val fs = w * h
+    val nDecl = if (declaredFrames >= 0) declaredFrames else frames
+    val spc = math.min(samplesPerChunk, math.max(nDecl, 1))
+    val nFull = nDecl / spc
+    val rem = nDecl % spc
+    val nChunks = nFull + (if (rem > 0) 1 else 0)
+    val ec = 1 + (if (rem > 0) 1 else 0)
+    val stsdSize = 102
+    val stszSize = 20 + (if (tableStsz) 4 * nDecl else 0)
+    val stscSize = 16 + 12 * ec
+    val stcoSize = 16 + (if (co64) 8 else 4) * nChunks
+    def trakSize(s: Int) = 8 + 92 + (8 + (8 + (8 + s)))
+    val videoTrak = trakSize(stsdSize + stszSize + stscSize + stcoSize)
+    // the decoy audio trak reuses the same geometry, single chunk, stco
+    val audioTrak = if (audioTrakFirst)
+      trakSize(stsdSize + 20 + (16 + 12) + (16 + 4)) else 0
+    val moovSize = 8 + audioTrak + videoTrak
+    val mdatStart = 16 + (if (moovFirst) moovSize else 0) + 8
+    val out = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(out)
+    def tag(s: String): Unit = dos.write(s.getBytes("US-ASCII"))
+    def zeros(n: Int): Unit = dos.write(new Array[Byte](n))
+    def writeTrak(fmt: String, dep: Int, table: Boolean, chunks: Int,
+                  entries: Int, wide: Boolean): Unit = {
+      val ssz = 20 + (if (table) 4 * nDecl else 0)
+      val ssc = 16 + 12 * entries
+      val sco = 16 + (if (wide) 8 else 4) * chunks
+      dos.writeInt(trakSize(stsdSize + ssz + ssc + sco)); tag("trak")
+      dos.writeInt(92); tag("tkhd"); dos.writeInt(7)
+      dos.writeInt(0); dos.writeInt(0); dos.writeInt(1); dos.writeInt(0)
+      dos.writeInt(0); zeros(8); dos.writeInt(0); dos.writeInt(0)
+      dos.writeInt(0x00010000); dos.writeInt(0); dos.writeInt(0)
+      dos.writeInt(0); dos.writeInt(0x00010000); dos.writeInt(0)
+      dos.writeInt(0); dos.writeInt(0); dos.writeInt(0x40000000)
+      dos.writeInt(w << 16); dos.writeInt(h << 16)
+      dos.writeInt(8 + 8 + 8 + stsdSize + ssz + ssc + sco); tag("mdia")
+      dos.writeInt(8 + 8 + stsdSize + ssz + ssc + sco); tag("minf")
+      dos.writeInt(8 + stsdSize + ssz + ssc + sco); tag("stbl")
+      dos.writeInt(stsdSize); tag("stsd"); dos.writeInt(0); dos.writeInt(1)
+      dos.writeInt(86); tag(fmt); zeros(6); dos.writeShort(1)
+      dos.writeShort(0); dos.writeShort(0); zeros(12)
+      dos.writeShort(w); dos.writeShort(h)
+      dos.writeInt(0x00480000); dos.writeInt(0x00480000); dos.writeInt(0)
+      dos.writeShort(1); zeros(32); dos.writeShort(dep); dos.writeShort(-1)
+      if (table) {
+        dos.writeInt(ssz); tag("stsz"); dos.writeInt(0); dos.writeInt(0)
+        dos.writeInt(nDecl)
+        for (_ <- 0 until nDecl) dos.writeInt(fs + stszSizeDelta)
+      } else {
+        dos.writeInt(20); tag("stsz"); dos.writeInt(0)
+        dos.writeInt(fs + stszSizeDelta); dos.writeInt(nDecl)
+      }
+      dos.writeInt(ssc); tag("stsc"); dos.writeInt(0); dos.writeInt(entries)
+      dos.writeInt(1); dos.writeInt(spc); dos.writeInt(1)
+      if (entries > 1) { dos.writeInt(nFull + 1); dos.writeInt(rem); dos.writeInt(1) }
+      if (wide) {
+        dos.writeInt(sco); tag("co64"); dos.writeInt(0); dos.writeInt(chunks)
+        for (c <- 0 until chunks) dos.writeLong(mdatStart.toLong + c.toLong * spc * fs)
+      } else {
+        dos.writeInt(sco); tag("stco"); dos.writeInt(0); dos.writeInt(chunks)
+        for (c <- 0 until chunks) dos.writeInt(mdatStart + c * spc * fs)
+      }
+    }
+    def writeMoov(): Unit = {
+      dos.writeInt(moovSize); tag("moov")
+      // decoy FIRST: an unsupported-codec trak with complete tables that
+      // must never pair with the video trak's stsd (the reset-on-trak
+      // contract) — its single chunk points at the same mdat bytes
+      if (audioTrakFirst) writeTrak("mp4a", 16, table = false, 1, 1, wide = false)
+      writeTrak(format, depth, tableStsz, nChunks, ec, co64)
+    }
+    def writeMdat(): Unit = {
+      dos.writeInt(8 + frames * fs); tag("mdat")
+      for (k <- 0 until frames; i <- 0 until fs) dos.write(yOf(k, i))
+    }
+    dos.writeInt(16); tag("ftyp"); tag("isom"); dos.writeInt(0)
+    if (moovFirst) { writeMoov(); writeMdat() } else { writeMdat(); writeMoov() }
+    out.toByteArray
+  }
+
+  private def mp4InfoOf(p: Array[Byte]): Option[(Int, Int, Int)] = {
+    val r = spark.range(1)
+      .select(graft.functions.VideoOps.mp4SampleInfo(lit(p)).as("m"))
+      .select(expr("m >> 40"), expr("(m >> 20) & 1048575"),
+        expr("m & 1048575")).head()
+    if (r.isNullAt(0)) None
+    else Some((r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2).toInt))
+  }
+
+  private def mp4LumaOf(p: Array[Byte], k: Int): Option[(Long, Int, Int)] = {
+    val r = spark.range(1)
+      .select(graft.functions.VideoOps.mp4FrameLuma(lit(p), lit(k)).as("s"))
+      .select(expr("s >> 16"), expr("(s >> 8) & 255"), expr("s & 255")).head()
+    if (r.isNullAt(0)) None
+    else Some((r.getLong(0), r.getLong(1).toInt, r.getLong(2).toInt))
+  }
+
+  test("MP4 sample-table meta resolves every layout and refuses every break") {
+    val y = (k: Int, i: Int) => (i + 5 * k) % 256
+    assert(mp4InfoOf(mp4Bytes(4, 2, 3, y)) === Some((4, 2, 3)))
+    // table stsz + 2-sample chunks with a partial tail
+    assert(mp4InfoOf(mp4Bytes(4, 2, 5, y, tableStsz = true,
+      samplesPerChunk = 2)) === Some((4, 2, 5)))
+    // moov BEFORE mdat — chunk offsets address the file, not "after moov"
+    assert(mp4InfoOf(mp4Bytes(4, 2, 3, y, moovFirst = true)) === Some((4, 2, 3)))
+    assert(mp4InfoOf(mp4Bytes(4, 2, 3, y, moovFirst = true,
+      tableStsz = true, samplesPerChunk = 2)) === Some((4, 2, 3)))
+    // 64-bit chunk offsets
+    assert(mp4InfoOf(mp4Bytes(4, 2, 2, y, co64 = true)) === Some((4, 2, 2)))
+    // a decoy audio trak's complete tables must not leak into the video
+    // trak (reset-on-trak); the video trak still resolves
+    assert(mp4InfoOf(mp4Bytes(4, 2, 3, y, audioTrakFirst = true)) ===
+      Some((4, 2, 3)))
+    // unsupported codec / depth: no garbage parse, NULL
+    assert(mp4InfoOf(mp4Bytes(4, 2, 2, y, format = "avc1")) === None)
+    assert(mp4InfoOf(mp4Bytes(4, 2, 2, y, depth = 24)) === None)
+    // the half-written file: table declares 5 samples, stream carries 2 —
+    // some sample's resolved range runs past the payload
+    assert(mp4InfoOf(mp4Bytes(4, 2, 2, y, moovFirst = true,
+      declaredFrames = 5)) === None)
+    // per-sample size that is not w*h refuses the trak (both stsz modes)
+    assert(mp4InfoOf(mp4Bytes(4, 2, 2, y, stszSizeDelta = 1)) === None)
+    assert(mp4InfoOf(mp4Bytes(4, 2, 2, y, tableStsz = true,
+      stszSizeDelta = -1)) === None)
+    assert(mp4InfoOf("not a video".getBytes("UTF-8")) === None)
+  }
+
+  test("MP4 frame luma folds the addressed sample across chunk geometry") {
+    val y = (k: Int, i: Int) => (10 + 7 * k + i) % 256
+    def expected(w: Int, h: Int, k: Int) = {
+      val ys = (0 until w * h).map(i => y(k, i))
+      (ys.map(_.toLong).sum, ys.max, ys.min)
+    }
+    // 5 frames in 2-sample chunks (partial tail): every frame crosses the
+    // chunk resolution, frames 4 lives alone in chunk 2
+    val p = mp4Bytes(4, 2, 5, y, tableStsz = true, samplesPerChunk = 2)
+    (0 until 5).foreach(k => assert(mp4LumaOf(p, k) === Some(expected(4, 2, k))))
+    // moov-first: file offsets shift by the whole moov, stats identical
+    val pf = mp4Bytes(4, 2, 5, y, moovFirst = true, samplesPerChunk = 2)
+    (0 until 5).foreach(k => assert(mp4LumaOf(pf, k) === Some(expected(4, 2, k))))
+    // constant frame: sum/min/max pin the exact byte range (any off-by-one
+    // drags in a non-3 byte)
+    val low = mp4Bytes(4, 2, 1, (_, _) => 3)
+    assert(mp4LumaOf(low, 0) === Some((24L, 3, 3)))
+    // out-of-range sample index
+    assert(mp4LumaOf(p, 5) === None)
+    assert(mp4LumaOf("nope".getBytes("UTF-8"), 0) === None)
+  }
+
+  test("MP4 kernels: interpreted eval agrees with the codegen'd column path") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{BinaryType, IntegerType}
+    val y = (k: Int, i: Int) => (i * 3 + k) % 256
+    val vectors = Seq(
+      mp4Bytes(4, 2, 3, y),
+      mp4Bytes(4, 2, 5, y, tableStsz = true, samplesPerChunk = 2),
+      mp4Bytes(4, 2, 3, y, moovFirst = true, co64 = true),
+      mp4Bytes(4, 2, 2, y, moovFirst = true, declaredFrames = 5),
+      "text".getBytes("UTF-8"))
+    vectors.foreach { bytes =>
+      val mi = graft.functions.Mp4SampleInfo(Literal(bytes, BinaryType)).eval(null)
+      val mc = spark.range(1)
+        .select(graft.functions.VideoOps.mp4SampleInfo(lit(bytes))).head().get(0)
+      assert(mi === mc, s"info parity broke on ${bytes.take(12).mkString(",")}")
+      val li = graft.functions.Mp4FrameLuma(
+        Literal(bytes, BinaryType), Literal(1, IntegerType)).eval(null)
+      val lc = spark.range(1)
+        .select(graft.functions.VideoOps.mp4FrameLuma(lit(bytes), lit(1)))
+        .head().get(0)
+      assert(li === lc, s"luma parity broke on ${bytes.take(12).mkString(",")}")
+    }
+  }
+
+  test("q90 statistics match an independent per-pixel replay") {
+    // replay the synthesis residues imperatively (no Spark expressions in
+    // the expectation) for every sampled frame of the first 40 doc_ids
+    val rows = Multimodal.q90Mp4Frames(spark, TestSpark.Sf0001)
+      .filter(col("doc_id") < 40)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(4)) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(5), r.getInt(6), r.getLong(7)))
+      .toMap
+    val ids = Tables.load(spark, TestSpark.Sf0001, "documents")
+      .filter(col("doc_id") < 40).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val expected = (for {
+      id <- ids
+      if id % 4 == 0 || id % 4 == 1
+      w = (id % 5 + 1).toInt; h = (id % 4 + 1).toInt; n = (id % 12 + 1).toInt
+      stride = math.ceil(n / 4.0).toInt
+      k <- 0 until n by stride
+    } yield {
+      val ys = (0 until w * h).map(i => ((id * 2 + i * 5 + k * 7) % 256).toInt)
+      (id, k) -> (w, h, n, ys.min, ys.max, ys.map(_.toLong).sum * 100 / (w * h))
+    }).toMap
+    assert(rows === expected)
+  }
   private def wavPcmBytes(bits: Int, samples: Seq[Int],
                           junked: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()

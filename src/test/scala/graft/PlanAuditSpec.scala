@@ -125,6 +125,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(perDoc <= 4, s"fan-out bound violated: $perDoc frames for one doc")
   }
 
+  test("q90 MP4 frame decode: zero exchanges, bounded fan-out, one walk per row") {
+    val df = graft.operators.Multimodal.q90Mp4Frames(spark, TestSpark.Sf0001)
+    assert(shuffles(df) === 0, "MP4 frame pixel decode grew a shuffle")
+    val p = plan(df)
+    // sample-info once per doc row, the frame fold once per exploded row
+    for (kernel <- Seq("graft_mp4_sample_info", "graft_mp4_frame_luma")) {
+      val occurrences = kernel.r.findAllIn(p).length
+      assert(occurrences === 1, s"expected 1 $kernel in the plan, found $occurrences")
+    }
+    val perDoc = df.groupBy("doc_id").count().agg(
+      org.apache.spark.sql.functions.max("count")).head().getLong(0)
+    assert(perDoc <= 4, s"fan-out bound violated: $perDoc frames for one doc")
+  }
+
   test("q80 ranks inside buckets and broadcasts the offsets") {
     // the corpus-sized window must be PARTITIONED by the hash-prefix
     // bucket — a refactor that drops the partition spec re-creates the
