@@ -100,16 +100,34 @@ object Landing {
     *    q68's own `registeredDomainOf`, so landing and curation can never
     *    judge one host differently
     *
+    *  - `dedupHistory`: q74's incremental-dedup verdict AT LANDING — the
+    *    crawl delta is judged against a history snapshot (a static
+    *    `(doc_id, text)` frame of the curated lake) AS IT LANDS, instead
+    *    of by a later batch pass over the lake: each text-bearing record
+    *    is stamped with a `dup_verdict` struct (`exact_dup`, `near_dup`,
+    *    `keep`, `exact_src`, `near_src` — q74's exact columns, derived by
+    *    the SAME `Dedup.incrementalDedupOn` so landing and the batch
+    *    refresh can never disagree on what counts as a duplicate). The
+    *    verdict is a STAMP, not a filter — the lake keeps the delivery
+    *    intact and the curated layer routes on `dup_verdict.keep`.
+    *    Text-less records carry a NULL struct (the transport/control
+    *    rule). Judged LAST, over the SCRUBBED text, because the history
+    *    snapshot is the landed lake — which stores scrubbed bytes.
+    *
     * Stage order is fixed: dedup → domain gate → quality gate → scrub →
-    * split → media (the
+    * split → media → history verdict (the
     * split key is the SCRUBBED record — what the lake actually stores —
     * so the assignment can be re-derived from the landed bytes; the
-    * media decode runs last, though scrubbing cannot touch a payload:
+    * media decode runs after, though scrubbing cannot touch a payload:
     * the base64 alphabet contains neither '@' nor '-', so the q46
     * email/phone patterns cannot match inside an encoded field). All
-    * stages are pure narrow maps/filters: no shuffle is added to the
-    * landing path, and the batch and streaming entry points share this
-    * one application point so they cannot drift.
+    * stages except the history verdict are pure narrow maps/filters — no
+    * shuffle on the landing path; the verdict is the ONE exception by
+    * nature: a delta-sized stream-static meet (micro-batch incoming side
+    * against the static history), q74's plan shape paid per delivery,
+    * with the expensive gates (domain, quality) already applied before
+    * any row reaches it. Batch and streaming entry points share this one
+    * application point so they cannot drift.
     */
   case class IngestStages(
       textPath: String = "$.text",
@@ -117,7 +135,8 @@ object Landing {
       scrubPii: Boolean = false,
       splitSalt: Option[String] = None,
       mediaPath: Option[String] = None,
-      domainBlocklist: Option[(String, Seq[String])] = None)
+      domainBlocklist: Option[(String, Seq[String])] = None,
+      dedupHistory: Option[DataFrame] = None)
 
   private def applyStages(validated: DataFrame, st: IngestStages): DataFrame = {
     import graft.operators.Text
@@ -207,6 +226,21 @@ object Landing {
         .drop("_mb", "_jd", "_md", "_wd", "_ym", "_img", "_av", "_bmp",
           "_bl", "_ps")
     }
+    st.dedupHistory.foreach { history =>
+      import graft.operators.Dedup
+      // the incoming side keys on `_load_id` (unique within the delivery
+      // after the within-delivery dedup above) so the verdict joins back
+      // without inventing a second identity; the SCRUBBED text is judged
+      // because that is what the history lake stores
+      val text = get_json_object(col("record"), st.textPath)
+      val incoming = df.filter(text.isNotNull)
+        .select(col("_load_id").as("doc_id"), text.as("text"))
+      val verdict = Dedup.incrementalDedupOn(incoming, history)
+        .select(col("doc_id").as("_load_id"),
+          struct(col("exact_dup"), col("near_dup"), col("keep"),
+            col("exact_src"), col("near_src")).as("dup_verdict"))
+      df = df.join(verdict, Seq("_load_id"), "left")
+    }
     df
   }
 
@@ -216,7 +250,7 @@ object Landing {
     * date partition, all stamped from one `ts` expression.
     */
   private def landingProjection(validated: DataFrame, ts: Column): DataFrame = {
-    val extra = Seq("split", "media_meta")
+    val extra = Seq("split", "media_meta", "dup_verdict")
       .filter(validated.columns.contains).map(col)
     validated.select(
       Seq(col("record"),

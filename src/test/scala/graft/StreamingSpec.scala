@@ -527,4 +527,68 @@ class StreamingSpec extends AnyFunSuite {
     assert((1 to 6).map(Producer.backoffMillis) ===
       Seq(1000L, 2000L, 4000L, 8000L, 16000L, 20000L))
   }
+
+  test("incremental dedup at landing: stream stamps q74's verdict, batch ≡ stream") {
+    // a history snapshot of the curated lake — three landed documents
+    val histText =
+      "the quick brown fox jumps over the lazy dog near the river bank today"
+    val otherText =
+      "completely different content about distributed query engines and shuffles"
+    val history = Seq(
+      (1L, histText),
+      (2L, otherText),
+      (3L, "a third historical document with its own words entirely")
+    ).toDF("doc_id", "text")
+    // the delivery: an exact re-crawl of doc 1 under a fresh id, a novel
+    // document, and a text-less control line the stage has no opinion on
+    val lRecrawl = s"""{"_LOAD_ID":"r1","text":"$histText"}"""
+    val novelText = "nothing in the lake resembles this brand new crawl result"
+    val lNovel = s"""{"_LOAD_ID":"n1","text":"$novelText"}"""
+    val lCtrl = """{"_LOAD_ID":"c1","kind":"control"}"""
+    val stages = Some(Landing.IngestStages(dedupHistory = Some(history)))
+
+    val baseB = Files.createTempDirectory("graft_dedup_b").toString
+    Landing.landBatch(Seq(lRecrawl, lNovel, lCtrl).toDF("value"),
+      s"$baseB/landing", stages = stages)
+    val b = spark.read.parquet(s"$baseB/landing")
+    val bv = b.select(col("record"), col("dup_verdict")).collect()
+      .map(r => r.getString(0) -> Option(r.get(1))
+        .map(_.asInstanceOf[org.apache.spark.sql.Row])).toMap
+    assert(bv.size === 3)
+    val recrawl = bv.keys.find(_.contains("\"r1\"")).map(bv).get.get
+    // an exact re-crawl is both an exact and (identical bands) a near dup,
+    // sourced to history doc 1
+    assert(recrawl.getAs[Int]("exact_dup") === 1)
+    assert(recrawl.getAs[Int]("near_dup") === 1)
+    assert(recrawl.getAs[Int]("keep") === 0)
+    assert(recrawl.getAs[Long]("exact_src") === 1L)
+    assert(recrawl.getAs[Long]("near_src") === 1L)
+    val novel = bv.keys.find(_.contains("\"n1\"")).map(bv).get.get
+    assert(novel.getAs[Int]("exact_dup") === 0 &&
+      novel.getAs[Int]("near_dup") === 0 && novel.getAs[Int]("keep") === 1)
+    assert(bv.keys.find(_.contains("\"c1\"")).map(bv).get === None,
+      "text-less control line grew a dup verdict")
+    // the stamped verdicts ARE q74's: the same frames through
+    // incrementalDedupOn directly must produce the same classification
+    val direct = graft.operators.Dedup.incrementalDedupOn(
+      Seq(("r1", histText), ("n1", novelText)).toDF("doc_id", "text"), history)
+      .collect().map(r => r.getString(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(direct("r1") === ((1, 1, 0)) && direct("n1") === ((0, 0, 1)))
+
+    // stream: the same delivery through landStreamBounded's foreachBatch
+    val base = Files.createTempDirectory("graft_dedup_s").toString
+    val in = s"$base/in"; new java.io.File(in).mkdirs()
+    Files.write(java.nio.file.Paths.get(s"$in/d1.ndjson"),
+      Seq(lRecrawl, lNovel, lCtrl).mkString("\n").getBytes)
+    val q = Landing.landStreamBounded(spark, in, s"$base/landing",
+      s"$base/ckpt", stages = stages)
+    q.awaitTermination(60000)
+    val s = spark.read.parquet(s"$base/landing")
+    val sv = s.select(col("record"), col("dup_verdict").cast("string"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val bvs = b.select(col("record"), col("dup_verdict").cast("string"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sv === bvs, "batch and stream stamped different dup verdicts")
+  }
 }
