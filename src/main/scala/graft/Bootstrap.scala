@@ -19,6 +19,50 @@ object Bootstrap {
   val RoleConf = "spark.graft.role"
   val AnchorConf = "spark.graft.anchor"
 
+  /** Pre-warm the custom-kernel family for single-query sessions: one
+    * 1-row local select touching every codegen'd kernel once. The cost a
+    * cold session pays on its first kernel query is dominated by SHARED
+    * infrastructure — janino + the codegen framework JIT-compiling, the
+    * kernel eval classes loading — not by any kernel's own generated
+    * code (tools/WarmupProbe: the first probe pays ~hundreds of ms, the
+    * rest single-digit, and the expensive one travels with POSITION when
+    * the order is reversed). Running this at bootstrap moves that cost
+    * out of the first user query; the full bench sweep never needed it
+    * (its first queries amortize the same warmup), which is exactly why
+    * solo-measured kernel queries looked 2× their in-sweep cost in
+    * BENCH_NOTES.
+    */
+  def warmKernels(spark: SparkSession): Unit = {
+    warmFrame(spark).collect()
+    ()
+  }
+
+  /** The 1-row warm plan itself — separate so BootstrapSpec can pin that
+    * EVERY codegen'd kernel family appears in it (a new kernel that is
+    * not added here silently re-opens the cold-first-query cost).
+    */
+  private[graft] def warmFrame(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{array, lit}
+    import graft.functions.{AudioOps, CompressOps, ImageOps, TextOps, VectorOps, VideoOps, WarcOps}
+    val bytes = lit("graft kernel warmup".getBytes("UTF-8"))
+    val vec = array((0 until 8).map(i => lit(i * 0.25f)): _*)
+    spark.range(1).select(
+      ImageOps.jpegDims(bytes), ImageOps.mp4Dims(bytes),
+      ImageOps.bmpLuma(bytes), ImageOps.bmpResize(bytes, lit(8)),
+      AudioOps.wavFmt(bytes), AudioOps.wavPcmStats(bytes),
+      VideoOps.y4mMeta(bytes), VideoOps.y4mFrameLuma(bytes, lit(0)),
+      VideoOps.mp4SampleInfo(bytes), VideoOps.mp4FrameLuma(bytes, lit(0)),
+      WarcOps.warcMeta(bytes), WarcOps.warcOffsets(bytes),
+      WarcOps.warcHeader(bytes, lit(0L), 1), WarcOps.warcPayload(bytes, lit(0L)),
+      VectorOps.lshBits(vec, 8), VectorOps.dot(vec, vec),
+      VectorOps.dotI8(VectorOps.quantizeI8(vec), VectorOps.quantizeI8(vec)),
+      VectorOps.pqAdc(vec, lit(0L), 2, 4),
+      graft.functions.BpeOps.bpeTokens(lit("a b"), Seq("a", "b")),
+      CompressOps.deflateLen(lit("a")),
+      TextOps.contentFingerprint(lit("a"))
+    )
+  }
+
   /** Comma-separated lake paths holding RAW data. Sessions with
     * plans.GraftExtensions installed deny direct scans of these paths to
     * non-privileged roles (plans.RbacCheckRule) — the curated views are

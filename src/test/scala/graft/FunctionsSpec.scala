@@ -63,4 +63,26 @@ class FunctionsSpec extends AnyFunSuite {
     // match, so " the the " counts once — same as the oracle formula
     assert(n2 === 1.0)
   }
+
+  test("Bootstrap.warmKernels touches every codegen'd kernel family") {
+    // the warm plan is how a single-query session avoids the cold
+    // first-call cost (WarmupProbe: ~2.7-3.3 s shared infra on the first
+    // kernel query, ~1 s extra for the fingerprint pipeline, both near
+    // steady-state after warming) — a kernel missing here silently
+    // re-opens that cost, so pin the coverage by prettyName
+    val plan = graft.Bootstrap.warmFrame(spark).queryExecution
+      .analyzed.toString
+    val kernels = Seq(
+      "graft_jpeg_dims", "graft_mp4_dims", "graft_bmp_luma",
+      "graft_bmp_resize", "graft_wav_fmt", "graft_wav_pcm_stats",
+      "graft_y4m_meta", "graft_y4m_frame_luma", "graft_mp4_sample_info",
+      "graft_mp4_frame_luma", "graft_warc_meta", "graft_warc_offsets",
+      "graft_warc_header_1", "graft_warc_payload",
+      "graft_lsh_bits", "graft_dot", "graft_dot_i8", "graft_pq_adc",
+      "graft_bpe_tokens", "graft_deflate_len")
+    kernels.foreach(k =>
+      assert(plan.contains(k), s"warm plan does not touch $k"))
+    // and it runs: one local 1-row collect, no exceptions
+    graft.Bootstrap.warmKernels(spark)
+  }
 }
