@@ -149,6 +149,71 @@ class AnnScaleSpec extends AnyFunSuite {
       f"IVF recall degraded across the decade: $ivf1%.3f -> $ivf10%.3f")
   }
 
+  /** Deterministic CLUSTERED vectors — the real-embedding regime (encoder
+    * outputs concentrate on semantic clusters), as opposed to [[synth]]'s
+    * near-random shape: point i belongs to cluster i % centers, at the
+    * cluster's hash-derived center plus ±10% noise. Cluster membership is
+    * the ground-truth neighborhood structure.
+    */
+  private def synthClustered(n: Int, centers: Int = 64,
+                             dims: Int = 64): DataFrame =
+    spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dims - 1)), d => {
+        val c = pmod(col("id"), lit(centers))
+        val center = pmod(hash(c, d), lit(100000)).cast("double") / 50000.0 - 1.0
+        val noise = (pmod(hash(col("id"), d, lit(7)), lit(100000))
+          .cast("double") / 50000.0 - 1.0) * 0.1
+        center + noise
+      }).as("v"))
+
+  test("IVF with density-scaled cells: linear candidates AND recall, clustered data", Slow) {
+    // The round-11 sf0.1→10x bench names q36's 29x growth: at the BENCH
+    // parameters (nCells=32, nProbe=20, cap non-binding — recall-tuned
+    // for the corpus's near-random vectors) per-cell density grows with
+    // n, so probe work is Θ(n²·nProbe/nCells) by construction. The SCALE
+    // configuration holds nCells ∝ n (fixed expected cell size) with
+    // nProbe fixed — per-query candidates stay constant, total work
+    // linear. On near-random vectors that trade costs recall (no free
+    // lunch: nothing is near anything); on CLUSTERED data — the regime
+    // real embeddings live in — it must cost nothing, because a query's
+    // true neighbors share its cluster and nearest-centroid probing
+    // follows the density. This test pins BOTH halves of that claim.
+    import graft.functions.VectorOps._
+    import org.apache.spark.sql.expressions.Window
+    val k = 5
+    def run(n: Int): (Long, Double) = {
+      val corpus = synthClustered(n)
+      val nCells = n / 32 // density-scaled: ~32 expected members per cell
+      val cands = Similarity.ivfCandidatePairs(corpus, nCells = nCells,
+        nProbe = 8, cellCap = 64)
+      val nCands = cands.count()
+      val queries = corpus.filter(pmod(col("vec_id"), lit(31)) === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col("cand_id").asc)
+      val brute = queries
+        .crossJoin(corpus.select(col("vec_id").as("cand_id"), col("v").as("cv")))
+        .filter(col("q_id") =!= col("cand_id"))
+        .withColumn("sim", cosine(col("qv"), col("cv")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .select(col("q_id").as("vec_id"), col("cand_id"))
+      val approx = Similarity.ivfCosineOn(corpus, nCells = nCells,
+        nProbe = 8, k = k, cellCap = 64)
+        .filter(pmod(col("vec_id"), lit(31)) === 0)
+        .select("vec_id", "cand_id")
+      val nq = queries.count()
+      val recall = brute.intersect(approx).count().toDouble / (k * nq)
+      (nCands, recall)
+    }
+    val (c1, r1) = run(nBase)
+    val (c10, r10) = run(nBig)
+    info(f"density-scaled IVF: candidates $c1 -> $c10 (${c10.toDouble / c1}%.1fx), recall $r1%.3f -> $r10%.3f")
+    assert(c10.toDouble / c1 <= 13.0,
+      f"candidates grew ${c10.toDouble / c1}%.1fx at 10x — density scaling not linear")
+    assert(r1 >= 0.8 && r10 >= 0.8,
+      f"clustered recall fell under density scaling: $r1%.3f -> $r10%.3f")
+  }
+
   /** Resident bytes of a cached frame, measured from the block manager
     * (storage-info delta around a MEMORY_ONLY persist + materialize).
     */
