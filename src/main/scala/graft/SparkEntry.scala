@@ -112,6 +112,7 @@ object SparkEntry {
     "q88_adaptive_quality" -> (Text.q88AdaptiveQuality _),
     "q89_shard_append" -> (Scale.q89ShardAppend _),
     "q90_mp4_frames" -> (Multimodal.q90Mp4Frames _),
+    "q91_url_canonicalize" -> (Text.q91UrlCanonicalize _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1018,6 +1019,46 @@ object SparkEntry {
         "SELECT doc_id, w AS width, h AS height, n AS n_frames, frame_idx, " +
         "CAST(mn AS INTEGER) AS min_luma, CAST(mx AS INTEGER) AS max_luma, " +
         "CAST(s * 100 // c AS BIGINT) AS mean_luma_x100 FROM agg"),
+    // q91: the oracle replays the messy-URL synthesis AND the
+    // canonicalization spec independently (regexp split into parts,
+    // lowercase scheme/host, default-port strip, trailing-slash strip,
+    // tracking-param filter preserving order, fragment drop), then the
+    // same lowest-id-wins dedup — a slip in any rule breaks the
+    // canonical key and the group structure with it
+    "q91_url_canonicalize" ->
+      ("WITH u AS (SELECT doc_id, " +
+        "(CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END) || '://' || " +
+        "(CASE doc_id % 3 WHEN 0 THEN 'site' || (doc_id % 40) || '.example.com' " +
+        "WHEN 1 THEN 'SITE' || (doc_id % 40) || '.EXAMPLE.COM' " +
+        "ELSE 'Site' || (doc_id % 40) || '.Example.Com' END) || " +
+        "(CASE doc_id % 4 WHEN 1 THEN ':443' WHEN 2 THEN ':8080' ELSE '' END) || " +
+        "'/a/' || (doc_id % 20) || " +
+        "(CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) || " +
+        "(CASE doc_id % 6 WHEN 1 THEN '?utm_source=feed' " +
+        "WHEN 2 THEN '?id=' || (doc_id % 10) " +
+        "WHEN 3 THEN '?id=' || (doc_id % 10) || '&utm_campaign=x' " +
+        "WHEN 4 THEN '?utm_medium=e&id=' || (doc_id % 10) " +
+        "WHEN 5 THEN '?ref=rss' ELSE '' END) || " +
+        "(CASE WHEN doc_id % 7 = 0 THEN '#top' ELSE '' END) AS url " +
+        "FROM documents), " +
+        "p AS (SELECT doc_id, url, " +
+        "lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme, " +
+        "lower(regexp_extract(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1), '^([^:]+)', 1)) AS host, " +
+        "regexp_extract(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1), ':([0-9]+)$', 1) AS port, " +
+        "regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/+$', '') AS path, " +
+        "regexp_extract(url, '\\?([^#]*)', 1) AS query FROM u), " +
+        // array_to_string of an EMPTY list is NULL in DuckDB — coalesce,
+        // or every tracking-only query nulls the whole canonical concat
+        "k AS (SELECT *, coalesce(array_to_string(list_filter(string_split(query, '&'), " +
+        "x -> x <> '' AND NOT starts_with(x, 'utm_') AND NOT starts_with(x, 'fbclid=')), '&'), '') AS qc FROM p), " +
+        "c AS (SELECT doc_id, url, scheme || '://' || host || " +
+        "(CASE WHEN port = '' OR (scheme = 'https' AND port = '443') " +
+        "OR (scheme = 'http' AND port = '80') THEN '' ELSE ':' || port END) || " +
+        "path || (CASE WHEN qc = '' THEN '' ELSE '?' || qc END) AS canonical_url FROM k) " +
+        "SELECT doc_id, url, canonical_url, " +
+        "CAST(doc_id = min(doc_id) OVER (PARTITION BY canonical_url) AS INTEGER) AS keep, " +
+        "CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY canonical_url) THEN NULL " +
+        "ELSE min(doc_id) OVER (PARTITION BY canonical_url) END AS dup_of FROM c"),
     // q85/q86: the merge count is a FIXED small constant, so the
     // "iterative" training loop unrolls into 10 chained CTE rounds — no
     // recursion needed. Each round replays the trainer exactly: adjacency

@@ -1200,4 +1200,97 @@ object Text {
         "removed_char_frac" -> col("removed_char_frac"),
         "cleaned_text" -> col("cleaned_text")))
   }
+
+  /** The canonical form of a crawl URL — the normalization every frontier
+    * and URL-dedup stage agrees on before comparing two spellings:
+    *
+    *  - scheme and host LOWERCASED (RFC 3986 §6.2.2.1: both are
+    *    case-insensitive; paths are NOT — `/A` and `/a` stay distinct);
+    *  - default ports stripped (`:443` under https, `:80` under http),
+    *    explicit non-default ports kept;
+    *  - trailing `/` runs stripped from the path (the `/a/b` vs `/a/b/`
+    *    re-crawl alias; the bare root collapses to no path, same rule, no
+    *    special case);
+    *  - tracking parameters dropped — `utm_*` and `fbclid` — with the
+    *    SURVIVING parameters kept in their original order (sorting would
+    *    merge `?a=1&b=2` with `?b=2&a=1`, which servers may distinguish);
+    *    a query left empty loses its `?`;
+    *  - the fragment dropped entirely (never sent to the server).
+    *
+    * Pure narrow regex/string column work — at 100 TB this fuses into the
+    * scan that carried the URLs.
+    */
+  private[graft] def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
+    val hostPort = regexp_extract(url, "^[A-Za-z]+://([^/?#]+)", 1)
+    val host = lower(regexp_extract(hostPort, "^([^:]+)", 1))
+    val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    val portKeep = when(port === "" ||
+      (scheme === "https" && port === "443") ||
+      (scheme === "http" && port === "80"), "")
+      .otherwise(concat(lit(":"), port))
+    val path = regexp_replace(
+      regexp_extract(url, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/+$", "")
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val kept = filter(split(query, "&"), p =>
+      p =!= "" && !p.startsWith("utm_") && !p.startsWith("fbclid="))
+    val queryCanon = array_join(kept, "&")
+    concat(scheme, lit("://"), host, portKeep, path,
+      when(queryCanon =!= "", concat(lit("?"), queryCanon)).otherwise(""))
+  }
+
+  /** Deterministically MESSY URL synthesis for q91 (the q39/q56 residue
+    * technique): every alias class the canonicalizer must collapse —
+    * scheme/host case, default vs explicit port, trailing slash,
+    * tracking-parameter noise around a kept parameter, fragments. The
+    * residue structure guarantees real cross-doc collisions: two ids
+    * agreeing on (host, path, kept-query) residues canonicalize equal
+    * through DIFFERENT spellings.
+    */
+  private[operators] def synthMessyUrl(id: Column): Column = {
+    val scheme = when(pmod(id, lit(2)) === 0, "https").otherwise("HTTPS")
+    val h = pmod(id, lit(40)).cast("string")
+    val host = when(pmod(id, lit(3)) === 0, concat(lit("site"), h, lit(".example.com")))
+      .when(pmod(id, lit(3)) === 1, concat(lit("SITE"), h, lit(".EXAMPLE.COM")))
+      .otherwise(concat(lit("Site"), h, lit(".Example.Com")))
+    val port = when(pmod(id, lit(4)) === 1, ":443")
+      .when(pmod(id, lit(4)) === 2, ":8080").otherwise("")
+    val path = concat(lit("/a/"), pmod(id, lit(20)).cast("string"),
+      when(pmod(id, lit(5)) === 0, "/").otherwise(""))
+    val qid = pmod(id, lit(10)).cast("string")
+    val query = when(pmod(id, lit(6)) === 1, lit("?utm_source=feed"))
+      .when(pmod(id, lit(6)) === 2, concat(lit("?id="), qid))
+      .when(pmod(id, lit(6)) === 3, concat(lit("?id="), qid, lit("&utm_campaign=x")))
+      .when(pmod(id, lit(6)) === 4, concat(lit("?utm_medium=e&id="), qid))
+      .when(pmod(id, lit(6)) === 5, lit("?ref=rss"))
+      .otherwise("")
+    val frag = when(pmod(id, lit(7)) === 0, "#top").otherwise("")
+    concat(scheme, lit("://"), host, port, path, query, frag)
+  }
+
+  /** Q91: URL canonicalization + frontier dedup — the stage a crawl runs
+    * on every discovered link before deciding whether it was already
+    * fetched: canonicalize ([[canonicalUrl]]), then collapse spellings of
+    * the same resource to one representative (lowest doc_id), keeping the
+    * evidence (`dup_of`) for the audit trail.
+    *
+    * Shape at scale: the canonicalization is pure narrow column work; the
+    * dedup is ONE hash shuffle on the canonical key (the window's
+    * partition key — exactly how a distributed frontier partitions its
+    * seen-set), pinned in PlanAuditSpec. No sort beyond the per-key
+    * window, no global structure.
+    */
+  def q91UrlCanonicalize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+    val framed = docs.select(col("doc_id"),
+      synthMessyUrl(col("doc_id")).as("url"))
+      .withColumn("canonical_url", canonicalUrl(col("url")))
+    val w = Window.partitionBy("canonical_url")
+    framed
+      .withColumn("_rep", min(col("doc_id")).over(w))
+      .select(col("doc_id"), col("url"), col("canonical_url"),
+        (col("doc_id") === col("_rep")).cast("int").as("keep"),
+        when(col("doc_id") =!= col("_rep"), col("_rep")).as("dup_of"))
+  }
 }

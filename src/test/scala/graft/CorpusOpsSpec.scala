@@ -866,4 +866,61 @@ class CorpusOpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!p.contains("- Exchange "), s"q87 shuffles a narrow chunker:\n$p")
   }
+
+  test("q91 canonicalization rules, pinned on handcrafted URLs") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def canon(urls: String*): Seq[String] =
+      urls.toDF("url").select(Text.canonicalUrl(col("url"))).as[String].collect().toSeq
+    // scheme + host case-fold; PATH case is preserved (RFC 3986)
+    assert(canon("HTTPS://WWW.Example.COM/Path/A") ===
+      Seq("https://www.example.com/Path/A"))
+    // default ports strip per scheme; explicit non-defaults survive
+    assert(canon(
+      "https://a.com:443/x", "http://a.com:80/x",
+      "http://a.com:443/x", "https://a.com:8080/x") ===
+      Seq("https://a.com/x", "http://a.com/x",
+        "http://a.com:443/x", "https://a.com:8080/x"))
+    // trailing-slash runs strip; the bare root collapses by the same rule
+    assert(canon("https://a.com/x/", "https://a.com/x///", "https://a.com/") ===
+      Seq("https://a.com/x", "https://a.com/x", "https://a.com"))
+    // tracking params drop wherever they sit; survivors keep their ORDER
+    // (never sorted), and a query left empty loses its '?'
+    assert(canon(
+      "https://a.com/x?utm_source=f&id=3&utm_campaign=c&b=2",
+      "https://a.com/x?b=2&id=3",
+      "https://a.com/x?fbclid=abc",
+      "https://a.com/x?utm_medium=e") ===
+      Seq("https://a.com/x?id=3&b=2", "https://a.com/x?b=2&id=3",
+        "https://a.com/x", "https://a.com/x"))
+    // fragments never reach the canonical form; an utm-LOOKALIKE value is
+    // content, not a parameter name, and survives
+    assert(canon("https://a.com/x?id=utm_source#frag") ===
+      Seq("https://a.com/x?id=utm_source"))
+  }
+
+  test("q91 dedup structure: every group has one keeper, dup_of points at it") {
+    val rows = Text.q91UrlCanonicalize(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getInt(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(rows.nonEmpty)
+    val groups = rows.groupBy(_._2)
+    // the synthesis residues guarantee real collisions at sf0.001
+    assert(groups.exists(_._2.length > 1), "no canonical collisions synthesized")
+    groups.foreach { case (cu, members) =>
+      val keepers = members.filter(_._3 == 1)
+      assert(keepers.length === 1, s"$cu has ${keepers.length} keepers")
+      val rep = keepers.head._1
+      assert(rep === members.map(_._1).min, s"$cu keeper is not the min id")
+      members.filter(_._3 == 0).foreach { m =>
+        assert(m._4 === Some(rep), s"$cu dup ${m._1} points at ${m._4}, not $rep")
+      }
+      assert(keepers.head._4 === None, s"$cu keeper carries a dup_of")
+    }
+    // one hash shuffle on the canonical key, nothing else
+    val plan = Text.q91UrlCanonicalize(spark, TestSpark.Sf0001)
+      .queryExecution.executedPlan.toString
+    val n = "- Exchange ".r.findAllIn(plan).length
+    assert(n === 1, s"q91 should shuffle exactly once (canonical key), found $n:\n$plan")
+  }
 }
