@@ -113,6 +113,7 @@ object SparkEntry {
     "q89_shard_append" -> (Scale.q89ShardAppend _),
     "q90_mp4_frames" -> (Multimodal.q90Mp4Frames _),
     "q91_url_canonicalize" -> (Text.q91UrlCanonicalize _),
+    "q92_pii_checksum" -> (Text.q92PiiChecksum _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1059,6 +1060,51 @@ object SparkEntry {
         "CAST(doc_id = min(doc_id) OVER (PARTITION BY canonical_url) AS INTEGER) AS keep, " +
         "CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY canonical_url) THEN NULL " +
         "ELSE min(doc_id) OVER (PARTITION BY canonical_url) END AS dup_of FROM c"),
+    // q92: the oracle replays synthesis (fixture PANs + twins, grouped
+    // spelling via RE2-safe regexp_replace), the candidate scan, the FULL
+    // Luhn fold per candidate, the octet range check, and the
+    // distinct-literal replacement folds — a slip in scan boundaries,
+    // checksum parity, or replacement order cannot cancel out
+    "q92_pii_checksum" ->
+      ("WITH pans AS (SELECT " +
+        s"[${Text.ValidPans.map(p => s"'$p'").mkString(", ")}] AS v, " +
+        s"[${Text.InvalidPans.map(p => s"'$p'").mkString(", ")}] AS b), " +
+        "t AS (SELECT doc_id, " +
+        "CASE WHEN doc_id % 4 = 0 THEN v[CAST(doc_id % 10 AS INTEGER) + 1] " +
+        "WHEN doc_id % 4 = 1 THEN rtrim(regexp_replace(v[CAST(doc_id % 10 AS INTEGER) + 1], " +
+        "'(\\d{4})', '\\1-', 'g'), '-') " +
+        "ELSE b[CAST(doc_id % 10 AS INTEGER) + 1] END AS tok, text " +
+        "FROM documents, pans), " +
+        "r AS (SELECT doc_id, text || " +
+        "(CASE WHEN doc_id % 4 = 3 THEN '' ELSE ' pay ' || tok || " +
+        "(CASE WHEN doc_id % 7 = 0 THEN ' again ' || tok ELSE '' END) END) || " +
+        "(CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || (doc_id % 256) || '.' || " +
+        "(doc_id % 200) || '.' || (doc_id % 250) " +
+        "WHEN doc_id % 5 = 1 THEN ' from 10.999.' || (doc_id % 100) || '.7' " +
+        "ELSE '' END) || " +
+        "(CASE WHEN doc_id % 6 = 0 THEN ' order 12345678901234567890123' " +
+        "ELSE '' END) AS raw FROM t), " +
+        "c AS (SELECT doc_id, raw, " +
+        "list_filter(regexp_extract_all(raw, '\\b\\d(?:[ -]?\\d){12,18}\\b'), " +
+        "cd -> length(replace(replace(cd, '-', ''), ' ', '')) BETWEEN 13 AND 19 " +
+        "AND list_sum(list_transform(range(1, length(replace(replace(cd, '-', ''), ' ', '')) + 1), " +
+        "i -> CASE WHEN i % 2 = 0 THEN " +
+        "CASE WHEN 2 * CAST(substring(reverse(replace(replace(cd, '-', ''), ' ', '')), CAST(i AS INTEGER), 1) AS INTEGER) > 9 " +
+        "THEN 2 * CAST(substring(reverse(replace(replace(cd, '-', ''), ' ', '')), CAST(i AS INTEGER), 1) AS INTEGER) - 9 " +
+        "ELSE 2 * CAST(substring(reverse(replace(replace(cd, '-', ''), ' ', '')), CAST(i AS INTEGER), 1) AS INTEGER) END " +
+        "ELSE CAST(substring(reverse(replace(replace(cd, '-', ''), ' ', '')), CAST(i AS INTEGER), 1) AS INTEGER) END)) % 10 = 0) " +
+        "AS cards FROM r), " +
+        "s1 AS (SELECT doc_id, len(cards) AS n_cards, " +
+        "list_reduce(list_prepend(raw, list_distinct(cards)), " +
+        "(acc, x) -> replace(acc, x, '<CARD>')) AS t1 FROM c), " +
+        "c2 AS (SELECT doc_id, n_cards, t1, " +
+        "list_filter(regexp_extract_all(t1, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b'), " +
+        "p -> len(list_filter(string_split(p, '.'), o -> CAST(o AS INTEGER) > 255)) = 0) " +
+        "AS ips FROM s1) " +
+        "SELECT doc_id, CAST(n_cards AS BIGINT) AS n_cards, " +
+        "CAST(len(ips) AS BIGINT) AS n_ips, " +
+        "list_reduce(list_prepend(t1, list_distinct(ips)), " +
+        "(acc, x) -> replace(acc, x, '<IP>')) AS scrubbed FROM c2"),
     // q85/q86: the merge count is a FIXED small constant, so the
     // "iterative" training loop unrolls into 10 chained CTE rounds — no
     // recursion needed. Each round replays the trainer exactly: adjacency

@@ -1201,6 +1201,94 @@ object Text {
         "cleaned_text" -> col("cleaned_text")))
   }
 
+  /** Luhn (mod-10) validity of a card-number candidate (separators
+    * stripped, 13-19 digits): doubling every second digit from the RIGHT,
+    * folding >9 back by 9, sum divisible by 10. Pure column arithmetic —
+    * the checksum runs inside whole-stage codegen, no UDF.
+    */
+  private[graft] def luhnValid(cand: Column): Column = {
+    val ds = regexp_replace(cand, "[ -]", "")
+    val rev = reverse(ds)
+    val n = length(ds)
+    val sum = aggregate(sequence(lit(1), n), lit(0), (acc, i) => {
+      val d = rev.substr(i, lit(1)).cast("int")
+      val dd = when(pmod(i, lit(2)) === 0, d * 2).otherwise(d)
+      acc + when(dd > 9, dd - 9).otherwise(dd)
+    })
+    n.between(13, 19) && pmod(sum, lit(10)) === 0
+  }
+
+  /** Fixture PANs for the q92 synthesis: Luhn-valid numbers at every
+    * length 13-19 (check digits computed offline), plus their
+    * last-digit+1 twins which fail the checksum by exactly one.
+    */
+  private[graft] val ValidPans = Seq(
+    "0369258147031", "70369258147036", "470369258147032",
+    "1470369258147030", "8147036925814700", "5814703692581477",
+    "25814703692581475", "925814703692581476", "6925814703692581470",
+    "3692581470369253")
+  private[graft] val InvalidPans = ValidPans.map(p =>
+    p.init + ((p.last - '0' + 1) % 10).toString)
+
+  /** Q92: CHECKSUM-validated PII scrubbing — the classes where a pattern
+    * alone over-redacts and the validation IS the operator: card numbers
+    * (13-19 digit runs, optional space/dash grouping) redact ONLY when
+    * the Luhn checksum holds — an order number that happens to be 16
+    * digits survives — and dotted quads redact ONLY when all four octets
+    * are <= 255 ("10.999.55.7" is not an address). Extends q46's
+    * email/phone scrub exactly the way BigCode/RefinedWeb-style pipelines
+    * extend theirs: per-candidate validation between the regex scan and
+    * the redaction.
+    *
+    * Shape: candidates via `regexp_extract_all`, validation as pure
+    * column arithmetic over the candidate array, redaction as a fold of
+    * LITERAL replacements of the validated candidates — one narrow map,
+    * zero exchanges, no UDF anywhere. The synthesis injects valid PANs
+    * (plain and dash-grouped), their Luhn-broken twins, valid and
+    * out-of-range quads, and a 23-digit decoy run (too long to match);
+    * the oracle replays scan + checksum + fold independently in DuckDB.
+    */
+  def q92PiiChecksum(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val validArr = array(ValidPans.map(lit): _*)
+    val invalidArr = array(InvalidPans.map(lit): _*)
+    val pan = element_at(validArr, pmod(id, lit(10)).cast("int") + 1)
+    val badPan = element_at(invalidArr, pmod(id, lit(10)).cast("int") + 1)
+    val tok = when(pmod(id, lit(4)) === 0, pan)
+      .when(pmod(id, lit(4)) === 1,
+        rtrim(regexp_replace(pan, "(\\d{4})", "$1-"), "-"))
+      .otherwise(badPan)
+    val cardPart = when(pmod(id, lit(4)) === 3, "")
+      .otherwise(concat(lit(" pay "), tok,
+        when(pmod(id, lit(7)) === 0, concat(lit(" again "), tok)).otherwise("")))
+    val ipPart = when(pmod(id, lit(5)) === 0,
+      concat(lit(" from 10."), pmod(id, lit(256)).cast("string"),
+        lit("."), pmod(id, lit(200)).cast("string"),
+        lit("."), pmod(id, lit(250)).cast("string")))
+      .when(pmod(id, lit(5)) === 1,
+        concat(lit(" from 10.999."), pmod(id, lit(100)).cast("string"), lit(".7")))
+      .otherwise("")
+    val decoy = when(pmod(id, lit(6)) === 0,
+      " order 12345678901234567890123").otherwise("")
+    val raw = concat(col("text"), cardPart, ipPart, decoy)
+    val cardCands = regexp_extract_all(raw,
+      lit("\\b\\d(?:[ -]?\\d){12,18}\\b"), lit(0))
+    val validCards = filter(cardCands, luhnValid _)
+    val afterCards = aggregate(array_distinct(validCards), raw,
+      (acc, c) => replace(acc, c, lit("<CARD>")))
+    val ipCands = regexp_extract_all(afterCards,
+      lit("\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"), lit(0))
+    val validIps = filter(ipCands, ip =>
+      forall(split(ip, "\\."), o => o.cast("int") <= 255))
+    val scrubbed = aggregate(array_distinct(validIps), afterCards,
+      (acc, c) => replace(acc, c, lit("<IP>")))
+    docs.select(id,
+      size(validCards).cast("long").as("n_cards"),
+      size(validIps).cast("long").as("n_ips"),
+      scrubbed.as("scrubbed"))
+  }
+
   /** The canonical form of a crawl URL — the normalization every frontier
     * and URL-dedup stage agrees on before comparing two spellings:
     *

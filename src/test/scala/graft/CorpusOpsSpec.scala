@@ -923,4 +923,52 @@ class CorpusOpsSpec extends AnyFunSuite {
     val n = "- Exchange ".r.findAllIn(plan).length
     assert(n === 1, s"q91 should shuffle exactly once (canonical key), found $n:\n$plan")
   }
+
+  test("q92 Luhn gate: checksum decides redaction, not the pattern") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def luhn(cands: String*): Seq[Boolean] =
+      cands.toDF("c").select(Text.luhnValid(col("c"))).as[Boolean].collect().toSeq
+    // the classic test PAN, its dashed/spaced spellings, and every
+    // fixture PAN validate; the +1 twins all fail
+    assert(luhn("4111111111111111", "4111-1111-1111-1111",
+      "4111 1111 1111 1111") === Seq(true, true, true))
+    assert(luhn(Text.ValidPans: _*).forall(identity))
+    assert(!luhn(Text.InvalidPans: _*).exists(identity))
+    // length bounds: 12 digits never validates even with a good checksum
+    assert(luhn("123456789012") === Seq(false))
+  }
+
+  test("q92 scrubs only validated candidates, zero exchanges") {
+    val rows = Text.q92PiiChecksum(spark, TestSpark.Sf0001)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 60)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, (nCards, nIps, scrubbed)) =>
+      val expCards = if (id % 4 == 3) 0L else if (id % 4 == 2) 0L
+        else if (id % 7 == 0) 2L else 1L
+      val expIps = if (id % 5 == 0) 1L else 0L
+      assert(nCards === expCards, s"doc $id n_cards")
+      assert(nIps === expIps, s"doc $id n_ips")
+      // valid classes got redacted; the Luhn-broken twin SURVIVES
+      if (id % 4 == 0 || id % 4 == 1)
+        assert(scrubbed.contains("<CARD>"), s"doc $id valid card not scrubbed")
+      if (id % 4 == 2) {
+        assert(!scrubbed.contains("<CARD>"), s"doc $id scrubbed an invalid card")
+        assert(scrubbed.contains(Text.InvalidPans((id % 10).toInt)),
+          s"doc $id lost its Luhn-broken twin")
+      }
+      if (id % 5 == 0) assert(scrubbed.contains("<IP>"), s"doc $id ip not scrubbed")
+      if (id % 5 == 1) assert(scrubbed.contains("10.999."),
+        s"doc $id redacted an out-of-range quad")
+      // the 23-digit decoy is too long for a card and survives whole
+      if (id % 6 == 0) assert(scrubbed.contains("12345678901234567890123"),
+        s"doc $id mangled the long-run decoy")
+    }
+    val plan = Text.q92PiiChecksum(spark, TestSpark.Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("- Exchange "), s"q92 shuffles a narrow scrubber:\n$plan")
+  }
 }
