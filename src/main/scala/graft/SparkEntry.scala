@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ingest.Envelope
 import graft.sources.{JsonLines, Warc}
-import graft.operators.{Dedup, Multimodal, Pipeline, Relational, Retrieval, Scale, Similarity, SqlSurface, Text}
+import graft.operators.{Crawl, Dedup, Multimodal, Pipeline, Relational, Retrieval, Scale, Similarity, SqlSurface, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -114,6 +114,8 @@ object SparkEntry {
     "q90_mp4_frames" -> (Multimodal.q90Mp4Frames _),
     "q91_url_canonicalize" -> (Text.q91UrlCanonicalize _),
     "q92_pii_checksum" -> (Text.q92PiiChecksum _),
+    "q93_html_extract" -> (Crawl.q93HtmlExtract _),
+    "q94_link_frontier" -> (Crawl.q94LinkFrontier _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1042,20 +1044,8 @@ object SparkEntry {
         "WHEN 5 THEN '?ref=rss' ELSE '' END) || " +
         "(CASE WHEN doc_id % 7 = 0 THEN '#top' ELSE '' END) AS url " +
         "FROM documents), " +
-        "p AS (SELECT doc_id, url, " +
-        "lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme, " +
-        "lower(regexp_extract(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1), '^([^:]+)', 1)) AS host, " +
-        "regexp_extract(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1), ':([0-9]+)$', 1) AS port, " +
-        "regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/+$', '') AS path, " +
-        "regexp_extract(url, '\\?([^#]*)', 1) AS query FROM u), " +
-        // array_to_string of an EMPTY list is NULL in DuckDB — coalesce,
-        // or every tracking-only query nulls the whole canonical concat
-        "k AS (SELECT *, coalesce(array_to_string(list_filter(string_split(query, '&'), " +
-        "x -> x <> '' AND NOT starts_with(x, 'utm_') AND NOT starts_with(x, 'fbclid=')), '&'), '') AS qc FROM p), " +
-        "c AS (SELECT doc_id, url, scheme || '://' || host || " +
-        "(CASE WHEN port = '' OR (scheme = 'https' AND port = '443') " +
-        "OR (scheme = 'http' AND port = '80') THEN '' ELSE ':' || port END) || " +
-        "path || (CASE WHEN qc = '' THEN '' ELSE '?' || qc END) AS canonical_url FROM k) " +
+        "uu AS (SELECT doc_id, url, url AS _u FROM u), " +
+        canonicalCtes("uu") + " " +
         "SELECT doc_id, url, canonical_url, " +
         "CAST(doc_id = min(doc_id) OVER (PARTITION BY canonical_url) AS INTEGER) AS keep, " +
         "CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY canonical_url) THEN NULL " +
@@ -1105,6 +1095,103 @@ object SparkEntry {
         "CAST(len(ips) AS BIGINT) AS n_ips, " +
         "list_reduce(list_prepend(t1, list_distinct(ips)), " +
         "(acc, x) -> replace(acc, x, '<IP>')) AS scrubbed FROM c2"),
+    // q93: the oracle replays HTML synthesis (residue cases incl. the
+    // body <script> string-literal tag trap, the quoted-'>' attribute,
+    // the &amp;lt; double-decode trap, the headless %9=5 page) AND the
+    // full extraction pipeline with the SAME RE2-safe regexes — script
+    // strip before tag strip, quote-aware tag pattern, entity decode
+    // AFTER tag strip with &amp; last — so an ordering slip on the Spark
+    // side cannot cancel
+    "q93_html_extract" ->
+      ("WITH wz AS (SELECT doc_id, text, " +
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '') AS w " +
+        "FROM documents), " +
+        "h AS (SELECT doc_id, " +
+        "'<html><head><title>Doc ' || doc_id || ': ' || coalesce(w[1], 'alpha') || " +
+        "' &amp;lt;tag</title>' || " +
+        "(CASE WHEN doc_id % 4 = 0 THEN '<style>.m{color:#000;}</style>' ELSE '' END) || " +
+        "'</head>' || " +
+        "'<body><nav><a href=\"/home\">Home</a> <a href=\"/tag/' || (doc_id % 8) || " +
+        "'\">T</a></nav>' || " +
+        "'<h1>' || coalesce(w[1], 'alpha') || ' &amp; ' || coalesce(w[2], 'beta') || '</h1>' || " +
+        "'<p>' || text || '</p>' || " +
+        "(CASE WHEN doc_id % 3 <> 2 THEN " +
+        "'<script type=\"text/javascript\">var s=\"</div> <p>no</p>\";</script>' ELSE '' END) || " +
+        "(CASE WHEN doc_id % 5 = 1 THEN '<p data-note=\"a>b\">edge &lt;kept&gt;</p>' ELSE '' END) || " +
+        "'<p>AT&amp;T 1 &lt; 2' || " +
+        "(CASE WHEN doc_id % 7 = 2 THEN '&nbsp;end &#39;q&#39; &quot;qq&quot;' ELSE '' END) || " +
+        "'</p>' || '<footer>(c) site' || (doc_id % 40) || '</footer>' || " +
+        "(CASE WHEN doc_id % 9 = 5 THEN '' ELSE '</body></html>' END) AS html FROM wz), " +
+        "x AS (SELECT doc_id, html, " +
+        "regexp_extract(html, '(?s)<title[^>]*>(.*?)</title>', 1) AS title_raw, " +
+        "regexp_extract(html, '(?s)<body[^>]*>(.*?)</body>', 1) AS body_raw FROM h), " +
+        "y AS (SELECT doc_id, title_raw, body_raw, body_raw <> '' AS wf, " +
+        "regexp_replace(regexp_replace(body_raw, " +
+        "'(?s)<script\\b[^>]*>.*?</script>', ' ', 'g'), " +
+        "'(?s)<style\\b[^>]*>.*?</style>', ' ', 'g') AS nos FROM x), " +
+        "z AS (SELECT doc_id, title_raw, body_raw, wf, " +
+        "regexp_replace(nos, '<(?:[^>\"'']|\"[^\"]*\"|''[^'']*'')*>', ' ', 'g') AS notags FROM y), " +
+        "d AS (SELECT doc_id, body_raw, wf, " +
+        "trim(regexp_replace(replace(replace(replace(replace(replace(replace(" +
+        "title_raw, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), " +
+        "'&#39;', ''''), '&amp;', '&'), '\\s+', ' ', 'g')) AS t, " +
+        "trim(regexp_replace(replace(replace(replace(replace(replace(replace(" +
+        "notags, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), " +
+        "'&#39;', ''''), '&amp;', '&'), '\\s+', ' ', 'g')) AS tc FROM z) " +
+        "SELECT doc_id, CASE WHEN t <> '' THEN t END AS title, " +
+        "CAST(wf AS INTEGER) AS well_formed, " +
+        "CASE WHEN wf THEN CAST((length(body_raw) - " +
+        "length(replace(body_raw, '<a href=\"', ''))) // 9 AS BIGINT) END AS n_links, " +
+        "CASE WHEN wf THEN tc END AS text_clean, " +
+        "CASE WHEN wf THEN CAST(length(tc) AS BIGINT) END AS n_chars_clean FROM d"),
+    // q94: the oracle replays anchor synthesis, href extraction (zipped
+    // unnest/generate_subscripts for positions), the skip classes, RFC
+    // 3986 resolution, the SHARED canonicalization CTE (canonicalCtes —
+    // the same text q91 splices), the seen-set left join, and the
+    // first-discoverer window — independently of every Spark operator
+    "q94_link_frontier" ->
+      ("WITH hh AS (SELECT doc_id, " +
+        "'<a href=\"/r/' || (doc_id % 10) || '\">t</a>' || " +
+        "'<a href=\"sub/p' || (doc_id % 5) || '.html\">t</a>' || " +
+        "'<a href=\"https://site' || ((doc_id + 3) % 40) || '.example.com/x/' || (doc_id % 6) || '\">t</a>' || " +
+        "(CASE WHEN doc_id % 4 = 1 THEN '<a href=\"HTTPS://SITE' || ((doc_id + 5) % 40) || " +
+        "'.EXAMPLE.COM:443/y/' || (doc_id % 4) || '?utm_source=x&id=' || (doc_id % 3) || '\">t</a>' ELSE '' END) || " +
+        "(CASE WHEN doc_id % 3 = 0 THEN '<a href=\"//cdn' || (doc_id % 8) || '.example.net/lib\">t</a>' ELSE '' END) || " +
+        "(CASE WHEN doc_id % 8 = 6 THEN '<a href=\"https://site' || (doc_id % 40) || '.example.com/a/' || " +
+        "(doc_id % 20) || '/page' || doc_id || '.html\">t</a>' ELSE '' END) || " +
+        "(CASE WHEN doc_id % 9 = 2 THEN '<a href=\"https://site' || ((doc_id - 1) % 40) || '.example.com/a/' || " +
+        "((doc_id - 1) % 20) || '/page' || (doc_id - 1) || '.html\">t</a>' ELSE '' END) || " +
+        "(CASE WHEN doc_id % 5 = 2 THEN '<a href=\"#sec' || (doc_id % 3) || '\">t</a>' ELSE '' END) || " +
+        "(CASE WHEN doc_id % 6 = 3 THEN '<a href=\"mailto:u' || (doc_id % 7) || '@e.com\">t</a>' ELSE '' END) || " +
+        "(CASE WHEN doc_id % 7 = 4 THEN '<a href=\"javascript:void(0)\">t</a>' ELSE '' END) AS html " +
+        "FROM documents), " +
+        "lx AS (SELECT doc_id, " +
+        "unnest(regexp_extract_all(html, '<a href=\"([^\"]*)\"', 1)) AS href, " +
+        "generate_subscripts(regexp_extract_all(html, '<a href=\"([^\"]*)\"', 1), 1) - 1 AS link_idx " +
+        "FROM hh), " +
+        "rs AS (SELECT doc_id, link_idx, href, " +
+        "CASE WHEN starts_with(href, '#') THEN 'fragment' " +
+        "WHEN starts_with(href, 'mailto:') THEN 'mailto' " +
+        "WHEN starts_with(href, 'javascript:') THEN 'javascript' END AS skip_reason, " +
+        "CASE WHEN starts_with(href, '#') OR starts_with(href, 'mailto:') " +
+        "OR starts_with(href, 'javascript:') THEN NULL " +
+        "WHEN regexp_matches(href, '^[A-Za-z]+://') THEN href " +
+        "WHEN starts_with(href, '//') THEN 'https:' || href " +
+        "WHEN starts_with(href, '/') THEN 'https://site' || (doc_id % 40) || '.example.com' || href " +
+        "ELSE 'https://site' || (doc_id % 40) || '.example.com/a/' || (doc_id % 20) || '/' || href END AS _u " +
+        "FROM lx), " +
+        canonicalCtes("rs") + ", " +
+        "sn AS (SELECT 'https://site' || (doc_id % 40) || '.example.com/a/' || (doc_id % 20) || " +
+        "'/page' || doc_id || '.html' AS seen_url FROM documents), " +
+        "j AS (SELECT c.*, CASE WHEN sn.seen_url IS NOT NULL THEN 1 ELSE 0 END AS _fetched " +
+        "FROM c LEFT JOIN sn ON c.canonical_url = sn.seen_url) " +
+        "SELECT doc_id, CAST(link_idx AS INTEGER) AS link_idx, href, " +
+        "_u AS resolved_url, canonical_url, skip_reason, " +
+        "CASE WHEN skip_reason IS NULL THEN _fetched END AS already_fetched, " +
+        "CASE WHEN skip_reason IS NULL THEN " +
+        "CAST(_fetched = 0 AND (doc_id * 16 + link_idx) = " +
+        "min(doc_id * 16 + link_idx) OVER (PARTITION BY canonical_url) AS INTEGER) END AS keep " +
+        "FROM j"),
     // q85/q86: the merge count is a FIXED small constant, so the
     // "iterative" training loop unrolls into 10 chained CTE rounds — no
     // recursion needed. Each round replays the trainer exactly: adjacency
@@ -1126,6 +1213,28 @@ object SparkEntry {
       "CASE WHEN d.text IS NULL THEN NULL ELSE COALESCE(a.n_bpe, 0) END AS n_bpe_tokens " +
       "FROM documents d LEFT JOIN agg a USING (doc_id)"),
   )
+
+  /** DuckDB spelling of `Text.canonicalUrl` over column `_u` of CTE
+    * `from`, emitted as the p/k/c chain with `*` passthrough — q91 and
+    * q94 splice the SAME text, so the two oracles' canonicalization
+    * cannot drift from each other (they both still replay the Spark side
+    * independently). Downstream reads `canonical_url` from `c`.
+    */
+  private def canonicalCtes(from: String): String =
+    "p AS (SELECT *, " +
+      "lower(regexp_extract(_u, '^([A-Za-z]+)://', 1)) AS _scheme, " +
+      "lower(regexp_extract(regexp_extract(_u, '^[A-Za-z]+://([^/?#]+)', 1), '^([^:]+)', 1)) AS _host, " +
+      "regexp_extract(regexp_extract(_u, '^[A-Za-z]+://([^/?#]+)', 1), ':([0-9]+)$', 1) AS _port, " +
+      "regexp_replace(regexp_extract(_u, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/+$', '') AS _path, " +
+      "regexp_extract(_u, '\\?([^#]*)', 1) AS _query FROM " + from + "), " +
+      // array_to_string of an EMPTY list is NULL in DuckDB — coalesce,
+      // or every tracking-only query nulls the whole canonical concat
+      "k AS (SELECT *, coalesce(array_to_string(list_filter(string_split(_query, '&'), " +
+      "x -> x <> '' AND NOT starts_with(x, 'utm_') AND NOT starts_with(x, 'fbclid=')), '&'), '') AS _qc FROM p), " +
+      "c AS (SELECT *, _scheme || '://' || _host || " +
+      "(CASE WHEN _port = '' OR (_scheme = 'https' AND _port = '443') " +
+      "OR (_scheme = 'http' AND _port = '80') THEN '' ELSE ':' || _port END) || " +
+      "_path || (CASE WHEN _qc = '' THEN '' ELSE '?' || _qc END) AS canonical_url FROM k)"
 
   /** The tokenizer every text oracle shares, over column `c`. */
   private def bpeTok(c: String): String =

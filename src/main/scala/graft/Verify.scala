@@ -17,7 +17,14 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     var nFailed = 0
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev-time narrowing: SPARK_GRAFT_ONLY=q93,q94 runs just those queries
+    // (prefix match); the driver never sets it, so the contract run is
+    // always the full map
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def selected(name: String): Boolean =
+      only.forall(_.exists(name.startsWith))
+    SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

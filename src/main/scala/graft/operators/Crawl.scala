@@ -1,0 +1,226 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Crawl-intake operators completing the WARC→corpus front half: HTML
+  * main-text extraction (q93) and link extraction → frontier composition
+  * (q94) — the stages between q82's container read and the q68/q67/q65
+  * text-side cleaning, plus q96's link-graph ranking signal.
+  *
+  * Design stance shared by the family (the q82/q91 discipline):
+  *  - synthesis is residue-deterministic column work over `documents`, and
+  *    every oracle replays synthesis + extraction independently in DuckDB —
+  *    identical RE2-safe regexes on both sides, so a parse slip cannot
+  *    cancel;
+  *  - extraction itself is PURE NARROW column work (regexp + literal
+  *    replaces) — zero exchanges, fuses into the scan at 100 TB;
+  *  - malformed input follows stop-don't-guess: a page missing its
+  *    `</body>` reports `well_formed = 0` with NULL body-derived columns,
+  *    never a half-parsed guess (q82's truncated-stream stance).
+  */
+object Crawl {
+
+  // ---------------------------------------------------------------- q93
+
+  /** Deterministic messy-HTML synthesis (the q39/q56 residue technique).
+    * Planted traps, each of which kills a naive extractor:
+    *  - a BODY `<script>` whose string literal contains `</div> <p>no</p>`
+    *    — tag-strip without script-removal leaks "no" into the text;
+    *  - a quoted `>` inside an attribute (`data-note="a>b"`) — the naive
+    *    tag regex `<[^>]*>` truncates the tag at the quoted `>` and leaks
+    *    `b">` into the text; only the quote-aware tag regex survives;
+    *  - `&amp;lt;tag` in the title — decoding `&amp;` FIRST double-decodes
+    *    it to `<tag`; the correct single-pass order (named entities first,
+    *    `&amp;` last) yields the literal `&lt;tag`;
+    *  - `doc_id % 9 == 5` drops the closing `</body></html>` — the
+    *    malformed-page class.
+    */
+  private[operators] def synthHtml(id: Column, text: Column): Column = {
+    val w = graft.functions.TextOps.words(text)
+    val w1 = coalesce(get(w, lit(0)), lit("alpha"))
+    val w2 = coalesce(get(w, lit(1)), lit("beta"))
+    val style = when(id % 4 === 0, "<style>.m{color:#000;}</style>").otherwise("")
+    val script = when(id % 3 =!= 2,
+      "<script type=\"text/javascript\">var s=\"</div> <p>no</p>\";</script>")
+      .otherwise("")
+    val head = concat(lit("<html><head><title>Doc "), id.cast("string"),
+      lit(": "), w1, lit(" &amp;lt;tag</title>"), style, lit("</head>"))
+    val nav = concat(lit("<body><nav><a href=\"/home\">Home</a> <a href=\"/tag/"),
+      (id % 8).cast("string"), lit("\">T</a></nav>"))
+    val h1 = concat(lit("<h1>"), w1, lit(" &amp; "), w2, lit("</h1>"))
+    val para = concat(lit("<p>"), text, lit("</p>"))
+    val edge = when(id % 5 === 1, "<p data-note=\"a>b\">edge &lt;kept&gt;</p>")
+      .otherwise("")
+    val ent = concat(lit("<p>AT&amp;T 1 &lt; 2"),
+      when(id % 7 === 2, "&nbsp;end &#39;q&#39; &quot;qq&quot;").otherwise(""),
+      lit("</p>"))
+    val footer = concat(lit("<footer>(c) site"), (id % 40).cast("string"),
+      lit("</footer>"))
+    val tail = when(id % 9 === 5, "").otherwise("</body></html>")
+    concat(head, nav, h1, para, script, edge, ent, footer, tail)
+  }
+
+  /** Quote-aware tag pattern: `"…"`/`'…'` attribute values may contain `>`.
+    * RE2-safe (no backrefs/lookaround) so the oracle runs it verbatim.
+    */
+  private val TagRx = "<(?:[^>\"']|\"[^\"]*\"|'[^']*')*>"
+
+  /** HTML entity decode — named entities first, `&amp;` LAST (a single
+    * left-to-right scan's literal-replace equivalent): decoding `&amp;`
+    * first turns `&amp;lt;` into `&lt;` and a later pass into `<` — the
+    * classic double-decode. Unknown entities pass through untouched.
+    */
+  private def entityDecode(c: Column): Column = {
+    val named = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'")
+    val afterNamed = named.foldLeft(c) { case (acc, (e, v)) =>
+      replace(acc, lit(e), lit(v))
+    }
+    replace(afterNamed, lit("&amp;"), lit("&"))
+  }
+
+  private def collapseWs(c: Column): Column =
+    trim(regexp_replace(c, "\\s+", " "))
+
+  /** Q93: HTML main-text extraction — the step between q82's WARC payload
+    * and every text-side operator (q27 lang-ID, q65 rules, q67 line dedup
+    * all assume TEXT; a crawl hands you markup). Title from `<head>`, body
+    * text via script-strip → quote-aware tag-strip → entity decode →
+    * whitespace collapse; `n_links` counts anchors. Structural extraction
+    * only — boilerplate REMOVAL is q67/q71/q72's job downstream.
+    *
+    * Scale shape: one narrow map (regex + literal replaces) over the
+    * scan — zero exchanges (pinned in PlanAuditSpec), fuses into
+    * whole-stage codegen.
+    */
+  private[graft] def htmlExtract(framed: DataFrame): DataFrame = {
+    val html = col("html")
+    val title = collapseWs(entityDecode(
+      regexp_extract(html, "(?s)<title[^>]*>(.*?)</title>", 1)))
+    // stop-don't-guess: a page without its closing </body> yields an empty
+    // extract (regexp_extract's no-match value), surfaced as NULL columns
+    // beside well_formed = 0 — never a half-page guess
+    val bodyRaw = regexp_extract(html, "(?s)<body[^>]*>(.*?)</body>", 1)
+    val wellFormed = (bodyRaw =!= "").cast("int")
+    val noScript = regexp_replace(bodyRaw, "(?s)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style\\b[^>]*>.*?</style>", " ")
+    val textClean = collapseWs(entityDecode(regexp_replace(noStyle, TagRx, " ")))
+    val anchor = "<a href=\""
+    val nLinks = ((length(bodyRaw) - length(replace(bodyRaw, lit(anchor), lit(""))))
+      / anchor.length).cast("bigint")
+    framed.select(col("doc_id"),
+      when(title =!= "", title).as("title"),
+      wellFormed.as("well_formed"),
+      when(wellFormed === 1, nLinks).as("n_links"),
+      when(wellFormed === 1, textClean).as("text_clean"),
+      when(wellFormed === 1, length(textClean)).cast("bigint").as("n_chars_clean"))
+  }
+
+  def q93HtmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    htmlExtract(docs.select(col("doc_id"),
+      synthHtml(col("doc_id"), col("text")).as("html")))
+  }
+
+  // ---------------------------------------------------------------- q94
+
+  /** The fetched page's own URL — already in canonical form by
+    * construction (lowercase, no default port, no tracking params), so
+    * the frontier's seen-set needs no re-canonicalization pass.
+    */
+  private def pageUrl(id: Column): Column =
+    concat(lit("https://site"), (id % 40).cast("string"),
+      lit(".example.com/a/"), (id % 20).cast("string"),
+      lit("/page"), id.cast("string"), lit(".html"))
+
+  /** Anchor-list synthesis: every href class a crawler meets, in a FIXED
+    * residue-determined order so `link_idx` is deterministic. Includes
+    * guaranteed already-fetched hits (self link on `%8==6`, previous-page
+    * link on `%9==2`) that are scale-independent — they reference the
+    * page's own URL scheme, never a row count.
+    */
+  private[operators] def synthLinkHtml(id: Column): Column = {
+    def a(href: Column): Column =
+      concat(lit("<a href=\""), href, lit("\">t</a>"))
+    concat(
+      a(concat(lit("/r/"), (id % 10).cast("string"))),
+      a(concat(lit("sub/p"), (id % 5).cast("string"), lit(".html"))),
+      a(concat(lit("https://site"), ((id + 3) % 40).cast("string"),
+        lit(".example.com/x/"), (id % 6).cast("string"))),
+      when(id % 4 === 1, a(concat(lit("HTTPS://SITE"), ((id + 5) % 40).cast("string"),
+        lit(".EXAMPLE.COM:443/y/"), (id % 4).cast("string"),
+        lit("?utm_source=x&id="), (id % 3).cast("string")))).otherwise(""),
+      when(id % 3 === 0, a(concat(lit("//cdn"), (id % 8).cast("string"),
+        lit(".example.net/lib")))).otherwise(""),
+      when(id % 8 === 6, a(pageUrl(id))).otherwise(""),
+      when(id % 9 === 2, a(pageUrl(id - 1))).otherwise(""),
+      when(id % 5 === 2, a(concat(lit("#sec"), (id % 3).cast("string")))).otherwise(""),
+      when(id % 6 === 3, a(concat(lit("mailto:u"), (id % 7).cast("string"),
+        lit("@e.com")))).otherwise(""),
+      when(id % 7 === 4, a(lit("javascript:void(0)"))).otherwise(""))
+  }
+
+  /** Q94: link extraction → frontier dedup — the crawl LOOP's write side
+    * (q82 reads fetched records, q93 extracts their text; this extracts
+    * where to go NEXT), composing q91's canonicalizer: parse hrefs, skip
+    * the non-fetchable classes (fragment / mailto / javascript — kept
+    * visible with a `skip_reason`, the report-WHY discipline), resolve
+    * relative references against the page URL (RFC 3986's root-relative /
+    * path-relative / protocol-relative cases), canonicalize, then judge
+    * each candidate against the already-fetched seen-set and collapse
+    * duplicate discoveries to the first discoverer (position order
+    * `doc_id * 16 + link_idx` — fan-out is bounded ≤ 10 by construction).
+    *
+    * Scale shape: extraction/resolution/canonicalization are narrow; the
+    * seen-set meet is a SHUFFLED equi-join on the canonical key (both
+    * sides corpus-sized — a frontier's seen-set never broadcasts), and
+    * the first-discoverer window partitions by the SAME key, so it reuses
+    * the join's hash partitioning: 3 exchanges total, pinned in
+    * PlanAuditSpec. Exactly how a distributed frontier shards: the
+    * canonical URL is the partition key end-to-end.
+    */
+  def q94LinkFrontier(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val links = docs
+      .select(id, synthLinkHtml(id).as("html"))
+      .select(id, posexplode(regexp_extract_all(col("html"),
+        lit("<a href=\"([^\"]*)\""), lit(1))).as(Seq("link_idx", "href")))
+    val href = col("href")
+    val skip = when(href.startsWith("#"), "fragment")
+      .when(href.startsWith("mailto:"), "mailto")
+      .when(href.startsWith("javascript:"), "javascript")
+    val origin = concat(lit("https://site"), (id % 40).cast("string"),
+      lit(".example.com"))
+    val resolved = when(skip.isNotNull, lit(null).cast("string"))
+      .when(href.rlike("^[A-Za-z]+://"), href)
+      .when(href.startsWith("//"), concat(lit("https:"), href))
+      .when(href.startsWith("/"), concat(origin, href))
+      .otherwise(concat(origin, lit("/a/"), (id % 20).cast("string"),
+        lit("/"), href))
+    val framed = links
+      .withColumn("skip_reason", skip)
+      .withColumn("resolved_url", resolved)
+      .withColumn("canonical_url", Text.canonicalUrl(col("resolved_url")))
+    // the seen-set is corpus-sized (every URL ever fetched) — it must
+    // NEVER broadcast; the hint pins the shuffled hash join even at test
+    // scale where size-based planning would broadcast it (q70's rule)
+    val seen = docs.select(pageUrl(col("doc_id")).as("_seen_url"))
+    val met = framed.join(seen.hint("shuffle_hash"),
+      framed("canonical_url") === seen("_seen_url"), "left")
+    val pos = id * 16 + col("link_idx")
+    val w = Window.partitionBy("canonical_url")
+    met
+      .withColumn("_fetched", col("_seen_url").isNotNull.cast("int"))
+      .withColumn("_minpos", min(pos).over(w))
+      .select(id, col("link_idx").cast("int").as("link_idx"), href,
+        col("resolved_url"), col("canonical_url"), col("skip_reason"),
+        when(col("skip_reason").isNull, col("_fetched")).as("already_fetched"),
+        when(col("skip_reason").isNull,
+          (col("_fetched") === 0 && pos === col("_minpos")).cast("int"))
+          .as("keep"))
+  }
+}

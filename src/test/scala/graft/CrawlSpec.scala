@@ -1,0 +1,130 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Crawl
+
+/** Crawl-intake family: q93 HTML extraction and q94 link→frontier.
+  *
+  * The oracles already hash-match both queries end-to-end; these tests pin
+  * the BEHAVIOR — each planted trap individually (a regression that
+  * changed both engines' shared spelling identically would still hash-
+  * match, so the traps are asserted against hand-derived expectations
+  * here, the q82/WarcSpec discipline).
+  */
+class CrawlSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // NOT cached: a cached plan would satisfy PlanAuditSpec's later build
+  // of the same query from the cache manager, hiding the join/exchange
+  // nodes its pins assert on (suite-order poisoning)
+  private lazy val q93 =
+    Crawl.q93HtmlExtract(spark, TestSpark.Sf0001).localCheckpoint()
+
+  test("q93: body script content never leaks into the extracted text") {
+    // every id%3!=2 page embeds <script>var s="</div> <p>no</p>";</script>
+    // in the BODY — tag-strip without script-strip leaks the string body
+    val leaked = q93.where(col("text_clean").contains("var s=") ||
+      col("text_clean").contains("</div>")).count()
+    assert(leaked === 0)
+  }
+
+  test("q93: quoted '>' inside an attribute does not truncate the tag") {
+    // id%5==1 pages carry <p data-note="a>b">edge &lt;kept&gt;</p>; the
+    // naive <[^>]*> regex stops at the quoted '>' and leaks `b">`
+    val rows = q93.where(col("doc_id") % 5 === 1 && col("well_formed") === 1)
+    assert(rows.where(col("text_clean").contains("b\">")).count() === 0)
+    // entity decode runs AFTER tag strip: `edge <kept>` must survive as
+    // text (decode-first would turn &lt;kept&gt; into a strippable tag)
+    assert(rows.where(!col("text_clean").contains("edge <kept>")).count() === 0)
+  }
+
+  test("q93: &amp;lt; decodes single-pass to &lt;, never double to <") {
+    // title is `Doc N: w1 &amp;lt;tag` — correct order (named entities
+    // first, &amp; last) yields the literal `&lt;tag`
+    val titles = q93.select("title").collect().map(_.getString(0))
+    assert(titles.forall(_.endsWith("&lt;tag")))
+    assert(!titles.exists(_.endsWith(" <tag")))
+  }
+
+  test("q93: entity chain decodes the full named set in body text") {
+    val t = q93.where(col("doc_id") === 2) // 2%7==2 carries the long chain
+      .select("text_clean").head().getString(0)
+    assert(t.contains("AT&T 1 < 2 end 'q' \"qq\""), t)
+  }
+
+  test("q93: headless %9==5 pages are well_formed=0 with NULL body columns") {
+    val bad = q93.where(col("doc_id") % 9 === 5)
+    assert(bad.count() > 0)
+    assert(bad.where(col("well_formed") =!= 0).count() === 0)
+    assert(bad.where(col("text_clean").isNotNull || col("n_links").isNotNull ||
+      col("n_chars_clean").isNotNull).count() === 0)
+    // the head survives the broken body: title still extracted
+    assert(bad.where(col("title").isNull).count() === 0)
+  }
+
+  test("q93: n_links counts exactly the two nav anchors on well-formed pages") {
+    assert(q93.where(col("well_formed") === 1 && col("n_links") =!= 2)
+      .count() === 0)
+  }
+
+  test("q93: unknown entities pass through untouched (htmlExtract unit)") {
+    val df = spark.range(1).select(lit(7L).as("doc_id"),
+      lit("<html><head><title>T</title></head><body><p>x &weird; y &amp;copy;</p></body></html>")
+        .as("html"))
+    val r = Crawl.htmlExtract(df).head()
+    assert(r.getAs[String]("text_clean") === "x &weird; y &copy;")
+  }
+
+  private lazy val q94 =
+    Crawl.q94LinkFrontier(spark, TestSpark.Sf0001).localCheckpoint()
+
+  test("q94: self and previous-page links are already_fetched") {
+    // id%8==6 links to its own page; id%9==2 links to page (id-1)
+    val self = q94.where(col("doc_id") % 8 === 6 &&
+      col("href").startsWith("https://site") && col("href").contains("/page"))
+    assert(self.count() > 0)
+    assert(self.where(col("already_fetched") =!= 1 || col("keep") =!= 0)
+      .count() === 0)
+    val prev = q94.where(col("doc_id") % 9 === 2 && col("doc_id") > 0 &&
+      col("href").contains("/page"))
+    assert(prev.count() > 0)
+    assert(prev.where(col("already_fetched") =!= 1).count() === 0)
+  }
+
+  test("q94: skip classes carry a reason and NULL frontier verdicts") {
+    val skipped = q94.where(col("skip_reason").isNotNull)
+    assert(skipped.select("skip_reason").distinct().collect()
+      .map(_.getString(0)).toSet === Set("fragment", "mailto", "javascript"))
+    assert(skipped.where(col("resolved_url").isNotNull ||
+      col("already_fetched").isNotNull || col("keep").isNotNull).count() === 0)
+  }
+
+  test("q94: resolution covers the RFC 3986 reference classes") {
+    val r5 = q94.where(col("doc_id") === 5).collect()
+      .map(r => r.getAs[String]("href") -> r.getAs[String]("resolved_url")).toMap
+    assert(r5("/r/5") === "https://site5.example.com/r/5")
+    assert(r5("sub/p0.html") === "https://site5.example.com/a/5/sub/p0.html")
+    assert(r5("https://site8.example.com/x/5") === "https://site8.example.com/x/5")
+    // 5%4==1: the messy absolute link resolves as-is, canonicalizes clean
+    val messy = q94.where(col("doc_id") === 5 && col("href").startsWith("HTTPS://"))
+      .head()
+    val canon = messy.getAs[String]("canonical_url")
+    assert(canon === "https://site10.example.com/y/1?id=2", canon)
+  }
+
+  test("q94: protocol-relative links inherit https") {
+    val cdn = q94.where(col("href").startsWith("//cdn"))
+    assert(cdn.count() > 0)
+    assert(cdn.where(!col("canonical_url").startsWith("https://cdn"))
+      .count() === 0)
+  }
+
+  test("q94: exactly one keep per unfetched canonical, none per fetched") {
+    val agg = q94.where(col("skip_reason").isNull)
+      .groupBy("canonical_url")
+      .agg(sum("keep").as("n_keep"), max("already_fetched").as("fetched"))
+    assert(agg.where(col("fetched") === 0 && col("n_keep") =!= 1).count() === 0)
+    assert(agg.where(col("fetched") === 1 && col("n_keep") =!= 0).count() === 0)
+  }
+}

@@ -559,4 +559,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.indexOf("might_contain") > p.indexOf("ShuffledHashJoin"),
       "bloom probe is not below the confirm join")
   }
+
+  test("q93 HTML extraction is one narrow stage — zero exchanges") {
+    // regex strip + entity decode + counts are pure column work; any
+    // exchange here means the extraction grew a shuffle it cannot need
+    val df = graft.operators.Crawl.q93HtmlExtract(spark, TestSpark.Sf0001)
+    assert(shuffles(df) === 0, s"expected 0 shuffles:\n${plan(df)}")
+  }
+
+  test("q94 seen-set meet stays shuffled and the frontier window reuses its key") {
+    val df = graft.operators.Crawl.q94LinkFrontier(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    // the seen-set is every URL ever fetched — corpus-sized; a broadcast
+    // here is the 100 TB mistake (q70's rule). The hint pins the shape.
+    assert(p.contains("ShuffledHashJoin"), s"seen-set meet not shuffled:\n$p")
+    assert(!p.contains("BroadcastHashJoin"), s"seen-set broadcast:\n$p")
+    // links shuffle once per side for the join; the first-discoverer
+    // window partitions by the SAME canonical key, so its exchange must
+    // be satisfied by the join's partitioning: 3 shuffles total (link
+    // side, seen side, window) is the budget — the window one is either
+    // reused or absorbed
+    assert(shuffles(df) <= 3, s"expected <= 3 shuffles:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
