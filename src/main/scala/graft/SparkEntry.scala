@@ -116,6 +116,7 @@ object SparkEntry {
     "q92_pii_checksum" -> (Text.q92PiiChecksum _),
     "q93_html_extract" -> (Crawl.q93HtmlExtract _),
     "q94_link_frontier" -> (Crawl.q94LinkFrontier _),
+    "q95_gzip_members" -> (Crawl.q95GzipMembers _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1192,6 +1193,21 @@ object SparkEntry {
         "CAST(_fetched = 0 AND (doc_id * 16 + link_idx) = " +
         "min(doc_id * 16 + link_idx) OVER (PARTITION BY canonical_url) AS INTEGER) END AS keep " +
         "FROM j"),
+    // q95: compressed bytes are JVM-zlib-specific, so the oracle checks
+    // round-trip CONTENT (md5/byte-length of what the decoder recovered
+    // vs the text's own bytes) and the residue-determined verdicts: the
+    // two corruption classes MUST decode NULL, the FNAME header field
+    // must read on every class. A decoder that faked payloads, leaked
+    // half-inflated output, or required body validity for header fields
+    // fails the hash.
+    "q95_gzip_members" ->
+      ("SELECT doc_id, " +
+        "CASE WHEN doc_id % 10 IN (6, 8) THEN 0 ELSE 1 END AS valid, " +
+        "CASE WHEN doc_id % 2 = 1 THEN 'doc' || doc_id || '.txt' END AS fname, " +
+        "CASE WHEN doc_id % 10 IN (6, 8) THEN NULL " +
+        "ELSE CAST(octet_length(encode(text)) AS BIGINT) END AS raw_len, " +
+        "CASE WHEN doc_id % 10 IN (6, 8) THEN NULL ELSE md5(text) END AS raw_md5 " +
+        "FROM documents"),
     // q85/q86: the merge count is a FIXED small constant, so the
     // "iterative" training loop unrolls into 10 chained CTE rounds — no
     // recursion needed. Each round replays the trainer exactly: adjacency

@@ -338,3 +338,25 @@ object SketchOps {
     ColumnBridge.column(BloomFilterMightContain(
       Literal(filter, BinaryType), ColumnBridge.expression(hashed)))
 }
+
+/** Column surface for the RFC 1952 gzip member codec ([[GzipEval]]) —
+  * encode/decode/list, each a codegen'd expression over the shared
+  * thread-local-native eval body.
+  */
+object GzipOps {
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  /** Deterministic gzip member; empty `name` omits the FNAME field. */
+  def gzip(bin: Column, name: Column): Column =
+    ColumnBridge.column(GzipMember(
+      ColumnBridge.expression(bin.cast("binary")),
+      ColumnBridge.expression(name.cast("string"))))
+
+  /** Strict decode: NULL on any header/body/trailer defect. */
+  def gunzip(bin: Column): Column =
+    ColumnBridge.column(GunzipBytes(ColumnBridge.expression(bin.cast("binary"))))
+
+  /** FNAME from the header alone (no decompression); NULL when absent. */
+  def gzipName(bin: Column): Column =
+    ColumnBridge.column(GzipFileName(ColumnBridge.expression(bin.cast("binary"))))
+}

@@ -223,4 +223,49 @@ object Crawl {
           (col("_fetched") === 0 && pos === col("_minpos")).cast("int"))
           .as("keep"))
   }
+
+  // ---------------------------------------------------------------- q95
+
+  /** Q95: gzip member decode — the compression layer under `.warc.gz`
+    * (Common Crawl ships ONE gzip member per WARC record; a reader that
+    * cannot open RFC 1952 framing cannot read the crawl at all). Encode
+    * side synthesizes the member IN-QUERY via the same kernel family
+    * ([[graft.functions.GzipEval]] — MTIME pinned 0 so bytes are
+    * deterministic), then two residue classes corrupt it at the BYTE
+    * level: `%10==6` splices garbage inside the member (the deflate walk
+    * finishes with input left over), `%10==8` truncates the trailer.
+    * Decode must refuse BOTH with NULL — never a half-inflated guess —
+    * while the FNAME header field still reads on every class (header
+    * fields do not require body validity, exactly how real tooling lists
+    * a damaged archive).
+    *
+    * The contract columns are round-trip CONTENT (md5/length of the
+    * decoded bytes vs the oracle's direct md5/octet_length of the text) —
+    * compressed byte LENGTH is JVM-zlib-specific and deliberately not a
+    * contract column (the q66 caveat). One narrow map, zero exchanges
+    * (pinned); the kernels hold one native stream per executor thread.
+    */
+  def q95GzipMembers(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GzipOps
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val name = when(id % 2 === 1,
+      concat(lit("doc"), id.cast("string"), lit(".txt"))).otherwise("")
+    val gz = GzipOps.gzip(col("text").cast("binary"), name)
+    docs
+      // pre-projected so each kernel runs ONCE per row (the q39/q56
+      // pre-projection contract): the corruption cases reference _gz
+      // three times, and an inlined encode would run the deflate 3x
+      .select(id, gz.as("_gz"))
+      .withColumn("_member", when(id % 10 === 6, concat(col("_gz"),
+        lit(Array[Byte](0xDE.toByte, 0xAD.toByte, 0xBE.toByte, 0xEF.toByte))))
+        .when(id % 10 === 8, expr("substring(_gz, 1, length(_gz) - 6)"))
+        .otherwise(col("_gz")))
+      .withColumn("_dec", GzipOps.gunzip(col("_member")))
+      .select(id,
+        col("_dec").isNotNull.cast("int").as("valid"),
+        GzipOps.gzipName(col("_member")).as("fname"),
+        length(col("_dec")).cast("bigint").as("raw_len"),
+        md5(col("_dec")).as("raw_md5"))
+  }
 }

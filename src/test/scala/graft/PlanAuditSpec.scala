@@ -582,4 +582,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles(df) <= 3, s"expected <= 3 shuffles:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q95 gzip codec: zero exchanges, each kernel once per row") {
+    val df = graft.operators.Crawl.q95GzipMembers(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    assert(shuffles(df) === 0, s"expected 0 shuffles:\n$p")
+    // the corruption cases reference the encoded member 3 times and the
+    // outputs reference the decode 3 times — the pre-projections must
+    // survive CollapseProject or the native deflate runs 3x per row
+    for (k <- Seq("graft_gzip(", "graft_gunzip(", "graft_gzip_name(")) {
+      val n = java.util.regex.Pattern.quote(k).r.findAllIn(p).length
+      assert(n === 1, s"expected 1 $k in the plan, found $n:\n$p")
+    }
+  }
 }
