@@ -117,6 +117,7 @@ object SparkEntry {
     "q93_html_extract" -> (Crawl.q93HtmlExtract _),
     "q94_link_frontier" -> (Crawl.q94LinkFrontier _),
     "q95_gzip_members" -> (Crawl.q95GzipMembers _),
+    "q96_link_rank" -> (Crawl.q96LinkRank _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1151,37 +1152,7 @@ object SparkEntry {
     // the same text q91 splices), the seen-set left join, and the
     // first-discoverer window — independently of every Spark operator
     "q94_link_frontier" ->
-      ("WITH hh AS (SELECT doc_id, " +
-        "'<a href=\"/r/' || (doc_id % 10) || '\">t</a>' || " +
-        "'<a href=\"sub/p' || (doc_id % 5) || '.html\">t</a>' || " +
-        "'<a href=\"https://site' || ((doc_id + 3) % 40) || '.example.com/x/' || (doc_id % 6) || '\">t</a>' || " +
-        "(CASE WHEN doc_id % 4 = 1 THEN '<a href=\"HTTPS://SITE' || ((doc_id + 5) % 40) || " +
-        "'.EXAMPLE.COM:443/y/' || (doc_id % 4) || '?utm_source=x&id=' || (doc_id % 3) || '\">t</a>' ELSE '' END) || " +
-        "(CASE WHEN doc_id % 3 = 0 THEN '<a href=\"//cdn' || (doc_id % 8) || '.example.net/lib\">t</a>' ELSE '' END) || " +
-        "(CASE WHEN doc_id % 8 = 6 THEN '<a href=\"https://site' || (doc_id % 40) || '.example.com/a/' || " +
-        "(doc_id % 20) || '/page' || doc_id || '.html\">t</a>' ELSE '' END) || " +
-        "(CASE WHEN doc_id % 9 = 2 THEN '<a href=\"https://site' || ((doc_id - 1) % 40) || '.example.com/a/' || " +
-        "((doc_id - 1) % 20) || '/page' || (doc_id - 1) || '.html\">t</a>' ELSE '' END) || " +
-        "(CASE WHEN doc_id % 5 = 2 THEN '<a href=\"#sec' || (doc_id % 3) || '\">t</a>' ELSE '' END) || " +
-        "(CASE WHEN doc_id % 6 = 3 THEN '<a href=\"mailto:u' || (doc_id % 7) || '@e.com\">t</a>' ELSE '' END) || " +
-        "(CASE WHEN doc_id % 7 = 4 THEN '<a href=\"javascript:void(0)\">t</a>' ELSE '' END) AS html " +
-        "FROM documents), " +
-        "lx AS (SELECT doc_id, " +
-        "unnest(regexp_extract_all(html, '<a href=\"([^\"]*)\"', 1)) AS href, " +
-        "generate_subscripts(regexp_extract_all(html, '<a href=\"([^\"]*)\"', 1), 1) - 1 AS link_idx " +
-        "FROM hh), " +
-        "rs AS (SELECT doc_id, link_idx, href, " +
-        "CASE WHEN starts_with(href, '#') THEN 'fragment' " +
-        "WHEN starts_with(href, 'mailto:') THEN 'mailto' " +
-        "WHEN starts_with(href, 'javascript:') THEN 'javascript' END AS skip_reason, " +
-        "CASE WHEN starts_with(href, '#') OR starts_with(href, 'mailto:') " +
-        "OR starts_with(href, 'javascript:') THEN NULL " +
-        "WHEN regexp_matches(href, '^[A-Za-z]+://') THEN href " +
-        "WHEN starts_with(href, '//') THEN 'https:' || href " +
-        "WHEN starts_with(href, '/') THEN 'https://site' || (doc_id % 40) || '.example.com' || href " +
-        "ELSE 'https://site' || (doc_id % 40) || '.example.com/a/' || (doc_id % 20) || '/' || href END AS _u " +
-        "FROM lx), " +
-        canonicalCtes("rs") + ", " +
+      ("WITH " + linkCtes + ", " +
         "sn AS (SELECT 'https://site' || (doc_id % 40) || '.example.com/a/' || (doc_id % 20) || " +
         "'/page' || doc_id || '.html' AS seen_url FROM documents), " +
         "j AS (SELECT c.*, CASE WHEN sn.seen_url IS NOT NULL THEN 1 ELSE 0 END AS _fetched " +
@@ -1208,6 +1179,10 @@ object SparkEntry {
         "ELSE CAST(octet_length(encode(text)) AS BIGINT) END AS raw_len, " +
         "CASE WHEN doc_id % 10 IN (6, 8) THEN NULL ELSE md5(text) END AS raw_md5 " +
         "FROM documents"),
+    // q96: all-integer pico-unit PageRank unrolls into 5 CTE rounds over
+    // the SAME link-graph CTEs q94 splices — the oracle replays graph
+    // discovery AND every damped floor-division update independently
+    "q96_link_rank" -> linkRankSql,
     // q85/q86: the merge count is a FIXED small constant, so the
     // "iterative" training loop unrolls into 10 chained CTE rounds — no
     // recursion needed. Each round replays the trainer exactly: adjacency
@@ -1229,6 +1204,75 @@ object SparkEntry {
       "CASE WHEN d.text IS NULL THEN NULL ELSE COALESCE(a.n_bpe, 0) END AS n_bpe_tokens " +
       "FROM documents d LEFT JOIN agg a USING (doc_id)"),
   )
+
+  /** DuckDB replay of [[graft.operators.Crawl.resolvedLinks]] — anchor
+    * synthesis, href extraction with positions, skip classes, RFC 3986
+    * resolution, the shared canonicalization — spliced by BOTH q94 and
+    * q96 so the two oracles' view of the link graph cannot drift.
+    * Downstream reads `c` (doc_id, link_idx, href, skip_reason, _u,
+    * canonical_url).
+    */
+  private lazy val linkCtes: String =
+    "hh AS (SELECT doc_id, " +
+      "'<a href=\"/r/' || (doc_id % 10) || '\">t</a>' || " +
+      "'<a href=\"sub/p' || (doc_id % 5) || '.html\">t</a>' || " +
+      "'<a href=\"https://site' || ((doc_id + 3) % 40) || '.example.com/x/' || (doc_id % 6) || '\">t</a>' || " +
+      "(CASE WHEN doc_id % 4 = 1 THEN '<a href=\"HTTPS://SITE' || ((doc_id + 5) % 40) || " +
+      "'.EXAMPLE.COM:443/y/' || (doc_id % 4) || '?utm_source=x&id=' || (doc_id % 3) || '\">t</a>' ELSE '' END) || " +
+      "(CASE WHEN doc_id % 3 = 0 THEN '<a href=\"//cdn' || (doc_id % 8) || '.example.net/lib\">t</a>' ELSE '' END) || " +
+      "(CASE WHEN doc_id % 8 = 6 THEN '<a href=\"https://site' || (doc_id % 40) || '.example.com/a/' || " +
+      "(doc_id % 20) || '/page' || doc_id || '.html\">t</a>' ELSE '' END) || " +
+      "(CASE WHEN doc_id % 9 = 2 THEN '<a href=\"https://site' || ((doc_id - 1) % 40) || '.example.com/a/' || " +
+      "((doc_id - 1) % 20) || '/page' || (doc_id - 1) || '.html\">t</a>' ELSE '' END) || " +
+      "(CASE WHEN doc_id % 5 = 2 THEN '<a href=\"#sec' || (doc_id % 3) || '\">t</a>' ELSE '' END) || " +
+      "(CASE WHEN doc_id % 6 = 3 THEN '<a href=\"mailto:u' || (doc_id % 7) || '@e.com\">t</a>' ELSE '' END) || " +
+      "(CASE WHEN doc_id % 7 = 4 THEN '<a href=\"javascript:void(0)\">t</a>' ELSE '' END) AS html " +
+      "FROM documents), " +
+      "lx AS (SELECT doc_id, " +
+      "unnest(regexp_extract_all(html, '<a href=\"([^\"]*)\"', 1)) AS href, " +
+      "generate_subscripts(regexp_extract_all(html, '<a href=\"([^\"]*)\"', 1), 1) - 1 AS link_idx " +
+      "FROM hh), " +
+      "rs AS (SELECT doc_id, link_idx, href, " +
+      "CASE WHEN starts_with(href, '#') THEN 'fragment' " +
+      "WHEN starts_with(href, 'mailto:') THEN 'mailto' " +
+      "WHEN starts_with(href, 'javascript:') THEN 'javascript' END AS skip_reason, " +
+      "CASE WHEN starts_with(href, '#') OR starts_with(href, 'mailto:') " +
+      "OR starts_with(href, 'javascript:') THEN NULL " +
+      "WHEN regexp_matches(href, '^[A-Za-z]+://') THEN href " +
+      "WHEN starts_with(href, '//') THEN 'https:' || href " +
+      "WHEN starts_with(href, '/') THEN 'https://site' || (doc_id % 40) || '.example.com' || href " +
+      "ELSE 'https://site' || (doc_id % 40) || '.example.com/a/' || (doc_id % 20) || '/' || href END AS _u " +
+      "FROM lx), " +
+      canonicalCtes("rs")
+
+  /** q96's unrolled power iteration (the q85 discipline): each round k
+    * computes per-target contribution sums keyed by source host, the
+    * dangling mass, and the damped integer update — all floor division,
+    * so five chained rounds are bit-identical to the Spark loop.
+    */
+  private lazy val linkRankSql: String = {
+    val graph =
+      "e AS (SELECT DISTINCT 'site' || (doc_id % 40) || '.example.com' AS src, " +
+        "regexp_extract(canonical_url, '^[a-z]+://([^/:?#]+)', 1) AS dst " +
+        "FROM c WHERE canonical_url IS NOT NULL), " +
+        "vtx AS (SELECT src AS host FROM e UNION SELECT dst FROM e), " +
+        "dg AS (SELECT src, CAST(count(*) AS BIGINT) AS odeg FROM e GROUP BY src), " +
+        "vd AS (SELECT vtx.host, coalesce(dg.odeg, 0) AS out_deg FROM vtx " +
+        "LEFT JOIN dg ON vtx.host = dg.src), " +
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vd), " +
+        "r0 AS (SELECT host, out_deg, (1000000000000 // nn.n) AS r FROM vd CROSS JOIN nn)"
+    val rounds = (1 to 5).map { k =>
+      val prev = s"r${k - 1}"
+      s"s$k AS (SELECT e.dst, sum(p.r // p.out_deg) AS sc FROM e " +
+        s"JOIN $prev p ON e.src = p.host GROUP BY e.dst), " +
+        s"d$k AS (SELECT coalesce(sum(r), 0) AS d FROM $prev WHERE out_deg = 0), " +
+        s"r$k AS (SELECT vd.host, vd.out_deg, (150000000000 // nn.n) + " +
+        s"(17 * (coalesce(s$k.sc, 0) + (d$k.d // nn.n))) // 20 AS r " +
+        s"FROM vd CROSS JOIN nn CROSS JOIN d$k LEFT JOIN s$k ON vd.host = s$k.dst)"
+    }.mkString(", ")
+    "WITH " + linkCtes + ", " + graph + ", " + rounds + " " +
+      "SELECT host, out_deg, CAST(r AS BIGINT) AS rank_p5 FROM r5"
+  }
 
   /** DuckDB spelling of `Text.canonicalUrl` over column `_u` of CTE
     * `from`, emitted as the p/k/c chain with `*` passthrough — q91 and

@@ -181,9 +181,12 @@ object Crawl {
     * PlanAuditSpec. Exactly how a distributed frontier shards: the
     * canonical URL is the partition key end-to-end.
     */
-  def q94LinkFrontier(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docs = Tables.load(spark, dir, "documents")
+  /** Shared by q94 (frontier) and q96 (link rank): hrefs extracted from
+    * the synthesized pages, skip-classified, resolved, canonicalized —
+    * `(doc_id, link_idx, href, skip_reason, resolved_url, canonical_url)`
+    * with NULL resolved/canonical on the skip classes. Pure narrow work.
+    */
+  private[graft] def resolvedLinks(docs: DataFrame): DataFrame = {
     val id = col("doc_id")
     val links = docs
       .select(id, synthLinkHtml(id).as("html"))
@@ -201,10 +204,18 @@ object Crawl {
       .when(href.startsWith("/"), concat(origin, href))
       .otherwise(concat(origin, lit("/a/"), (id % 20).cast("string"),
         lit("/"), href))
-    val framed = links
+    links
       .withColumn("skip_reason", skip)
       .withColumn("resolved_url", resolved)
       .withColumn("canonical_url", Text.canonicalUrl(col("resolved_url")))
+  }
+
+  def q94LinkFrontier(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val framed = resolvedLinks(docs)
+    val href = col("href")
     // the seen-set is corpus-sized (every URL ever fetched) — it must
     // NEVER broadcast; the hint pins the shuffled hash join even at test
     // scale where size-based planning would broadcast it (q70's rule)
@@ -267,5 +278,75 @@ object Crawl {
         GzipOps.gzipName(col("_member")).as("fname"),
         length(col("_dec")).cast("bigint").as("raw_len"),
         md5(col("_dec")).as("raw_md5"))
+  }
+
+  // ---------------------------------------------------------------- q96
+
+  /** Q96: host-graph link rank — PageRank over the link graph q94
+    * DISCOVERS (Common Crawl publishes exactly this as its host-level
+    * ranks; corpus builds use it as a domain-quality prior beside q68's
+    * blocklist): distinct (source host → target host) edges from the
+    * resolved links (self-loops kept; the cdn hosts appear only as
+    * targets, so the DANGLING class arises organically), then 5 power-
+    * iteration rounds with damping 0.85 and uniform dangling-mass
+    * redistribution.
+    *
+    * Every rank is a BIGINT in PICO-units (1e-12 of total mass) and every
+    * round is INTEGER arithmetic — contribution `r div out_deg`, damping
+    * `(17 * x) div 20`, base `(0.15e12) div N` — so five chained floors
+    * are bit-identical on any engine and the oracle can unroll the rounds
+    * as CTEs (the q85 discipline; float PageRank would drift in the 15th
+    * digit and never hash-match).
+    *
+    * Scale shape: the edge frame is the corpus-sized one (a real crawl's
+    * link graph is billions of edges; hosts are millions) — each round
+    * pays one edges⨝ranks equi-join keyed by source host and one
+    * aggregation keyed by target host, both uniform hash shuffles; the
+    * rank/degree frames are host-cardinality and ride hash-partitioned,
+    * never collected (the dangling mass is the only driver-width value: a
+    * 1-row broadcast). Edges are checkpointed ONCE so five rounds never
+    * re-pay link extraction (the BPE vocab-frame rule), and each round's
+    * rank frame is checkpoint-truncated (the contraction-loop hygiene).
+    * At deployment scale the edges frame would be bucketed by src to
+    * delete the per-round join shuffle.
+    */
+  def q96LinkRank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val edges = resolvedLinks(docs)
+      .where(col("canonical_url").isNotNull)
+      .select(concat(lit("site"), (col("doc_id") % 40).cast("string"),
+        lit(".example.com")).as("src"),
+        Text.hostOf(col("canonical_url")).as("dst"))
+      .distinct()
+      .localCheckpoint()
+    val verts = edges.select(col("src").as("host"))
+      .union(edges.select(col("dst").as("host"))).distinct()
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    val v = verts.join(outdeg, verts("host") === outdeg("src"), "left")
+      .select(col("host"), coalesce(col("out_deg"), lit(0L)).as("out_deg"))
+      .localCheckpoint()
+    val n = v.count()
+    var ranks = v.withColumn("r", lit(1000000000000L / n))
+    for (_ <- 1 to 5) {
+      val sums = edges
+        .join(ranks.select(col("host"), col("out_deg"), col("r")),
+          edges("src") === col("host"))
+        .select(col("dst"), expr("r div out_deg").as("c"))
+        .groupBy("dst").agg(sum("c").as("sc"))
+      val dang = ranks.where(col("out_deg") === 0)
+        .agg(coalesce(sum("r"), lit(0L)).as("d"))
+      val next = ranks.select(col("host"), col("out_deg"))
+        .join(sums, col("host") === col("dst"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("host"), col("out_deg"),
+          (lit(150000000000L / n) +
+            expr(s"(17 * (coalesce(sc, 0L) + (d div ${n}L))) div 20"))
+            .as("r"))
+      val done = next.localCheckpoint()
+      ranks.unpersist()
+      ranks = done
+    }
+    ranks.select(col("host"), col("out_deg"),
+      col("r").cast("bigint").as("rank_p5"))
   }
 }

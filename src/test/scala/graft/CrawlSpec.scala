@@ -120,6 +120,26 @@ class CrawlSpec extends AnyFunSuite {
       .count() === 0)
   }
 
+  test("q96: rank mass conserves within floor slack; dangling hosts still earn rank") {
+    val r = Crawl.q96LinkRank(spark, TestSpark.Sf0001).collect()
+    val n = r.length
+    assert(n > 40) // site hosts + the cdn targets
+    val total = r.map(_.getAs[Long]("rank_p5")).sum
+    // every floor division drops < 1 pico per host/edge per round; after
+    // 5 rounds the loss is bounded far under 0.1% of total mass
+    assert(total <= 1000000000000L, s"mass exceeded 1.0: $total")
+    assert(total > 999000000000L, s"mass leaked: $total")
+    // cdn hosts appear only as link targets: dangling (out_deg 0) but
+    // linked-to, so they must hold MORE than the teleport floor
+    val base = 150000000000L / n
+    val cdn = r.filter(_.getAs[String]("host").startsWith("cdn"))
+    assert(cdn.nonEmpty)
+    assert(cdn.forall(_.getAs[Long]("out_deg") === 0L))
+    assert(cdn.forall(_.getAs[Long]("rank_p5") > base))
+    // nobody falls below the teleport floor
+    assert(r.forall(_.getAs[Long]("rank_p5") >= base))
+  }
+
   test("q94: exactly one keep per unfetched canonical, none per fetched") {
     val agg = q94.where(col("skip_reason").isNull)
       .groupBy("canonical_url")
