@@ -176,6 +176,18 @@ object Bootstrap {
     // query" read, with the scored evidence column
     operators.Retrieval.q83Bm25TopK(spark, dir)
       .createOrReplaceTempView("vw_bm25")
+    // the crawl loop's three reads (q94/q96/q97): the discovered frontier
+    // (`WHERE keep = 1` is the SQL-only "what do we fetch next"), the
+    // host-rank prior a mixture policy joins on, and the intake manifest
+    // with its two-level fetch_ok/well_formed verdicts
+    operators.Crawl.q94LinkFrontier(spark, dir)
+      .createOrReplaceTempView("vw_frontier")
+    // host ranks run their five integer power-iteration rounds ONCE at
+    // registration (checkpoint-backed), like the contraction-based views
+    operators.Crawl.q96LinkRank(spark, dir)
+      .createOrReplaceTempView("vw_link_rank")
+    operators.Crawl.q97CrawlIntake(spark, dir)
+      .createOrReplaceTempView("vw_crawl_intake")
   }
 
   /** Register the landing table + curated views over it — the TRANSFORM

@@ -118,6 +118,7 @@ object SparkEntry {
     "q94_link_frontier" -> (Crawl.q94LinkFrontier _),
     "q95_gzip_members" -> (Crawl.q95GzipMembers _),
     "q96_link_rank" -> (Crawl.q96LinkRank _),
+    "q97_crawl_intake" -> (Crawl.q97CrawlIntake _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1105,41 +1106,7 @@ object SparkEntry {
     // AFTER tag strip with &amp; last — so an ordering slip on the Spark
     // side cannot cancel
     "q93_html_extract" ->
-      ("WITH wz AS (SELECT doc_id, text, " +
-        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '') AS w " +
-        "FROM documents), " +
-        "h AS (SELECT doc_id, " +
-        "'<html><head><title>Doc ' || doc_id || ': ' || coalesce(w[1], 'alpha') || " +
-        "' &amp;lt;tag</title>' || " +
-        "(CASE WHEN doc_id % 4 = 0 THEN '<style>.m{color:#000;}</style>' ELSE '' END) || " +
-        "'</head>' || " +
-        "'<body><nav><a href=\"/home\">Home</a> <a href=\"/tag/' || (doc_id % 8) || " +
-        "'\">T</a></nav>' || " +
-        "'<h1>' || coalesce(w[1], 'alpha') || ' &amp; ' || coalesce(w[2], 'beta') || '</h1>' || " +
-        "'<p>' || text || '</p>' || " +
-        "(CASE WHEN doc_id % 3 <> 2 THEN " +
-        "'<script type=\"text/javascript\">var s=\"</div> <p>no</p>\";</script>' ELSE '' END) || " +
-        "(CASE WHEN doc_id % 5 = 1 THEN '<p data-note=\"a>b\">edge &lt;kept&gt;</p>' ELSE '' END) || " +
-        "'<p>AT&amp;T 1 &lt; 2' || " +
-        "(CASE WHEN doc_id % 7 = 2 THEN '&nbsp;end &#39;q&#39; &quot;qq&quot;' ELSE '' END) || " +
-        "'</p>' || '<footer>(c) site' || (doc_id % 40) || '</footer>' || " +
-        "(CASE WHEN doc_id % 9 = 5 THEN '' ELSE '</body></html>' END) AS html FROM wz), " +
-        "x AS (SELECT doc_id, html, " +
-        "regexp_extract(html, '(?s)<title[^>]*>(.*?)</title>', 1) AS title_raw, " +
-        "regexp_extract(html, '(?s)<body[^>]*>(.*?)</body>', 1) AS body_raw FROM h), " +
-        "y AS (SELECT doc_id, title_raw, body_raw, body_raw <> '' AS wf, " +
-        "regexp_replace(regexp_replace(body_raw, " +
-        "'(?s)<script\\b[^>]*>.*?</script>', ' ', 'g'), " +
-        "'(?s)<style\\b[^>]*>.*?</style>', ' ', 'g') AS nos FROM x), " +
-        "z AS (SELECT doc_id, title_raw, body_raw, wf, " +
-        "regexp_replace(nos, '<(?:[^>\"'']|\"[^\"]*\"|''[^'']*'')*>', ' ', 'g') AS notags FROM y), " +
-        "d AS (SELECT doc_id, body_raw, wf, " +
-        "trim(regexp_replace(replace(replace(replace(replace(replace(replace(" +
-        "title_raw, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), " +
-        "'&#39;', ''''), '&amp;', '&'), '\\s+', ' ', 'g')) AS t, " +
-        "trim(regexp_replace(replace(replace(replace(replace(replace(replace(" +
-        "notags, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), " +
-        "'&#39;', ''''), '&amp;', '&'), '\\s+', ' ', 'g')) AS tc FROM z) " +
+      ("WITH " + htmlCtes + " " +
         "SELECT doc_id, CASE WHEN t <> '' THEN t END AS title, " +
         "CAST(wf AS INTEGER) AS well_formed, " +
         "CASE WHEN wf THEN CAST((length(body_raw) - " +
@@ -1183,6 +1150,28 @@ object SparkEntry {
     // the SAME link-graph CTEs q94 splices — the oracle replays graph
     // discovery AND every damped floor-division update independently
     "q96_link_rank" -> linkRankSql,
+    // q97: the oracle re-synthesizes the page (the SAME htmlCtes q93
+    // splices), replays the extraction, derives the transport verdicts
+    // from the residue, and — the composition's teeth — equates
+    // payload_md5 to the md5 of the INDEPENDENTLY built page text: the
+    // Spark side must carry the exact bytes through gzip decode and the
+    // Content-Length slice to match
+    "q97_crawl_intake" ->
+      ("WITH " + htmlCtes + " " +
+        "SELECT doc_id, " +
+        "CASE WHEN doc_id % 13 = 9 THEN 0 ELSE 1 END AS fetch_ok, " +
+        "CASE WHEN doc_id % 13 = 9 THEN NULL ELSE " +
+        "'https://site' || (doc_id % 40) || '.example.com/a/' || (doc_id % 20) || " +
+        "'/page' || doc_id || '.html' END AS uri, " +
+        "CASE WHEN doc_id % 13 = 9 THEN NULL ELSE md5(html) END AS payload_md5, " +
+        "CASE WHEN doc_id % 13 = 9 THEN NULL " +
+        "WHEN t <> '' THEN t END AS title, " +
+        "CASE WHEN doc_id % 13 = 9 THEN NULL ELSE CAST(wf AS INTEGER) END AS well_formed, " +
+        "CASE WHEN doc_id % 13 = 9 OR NOT wf THEN NULL ELSE " +
+        "CAST((length(body_raw) - length(replace(body_raw, '<a href=\"', ''))) // 9 AS BIGINT) END AS n_links, " +
+        "CASE WHEN doc_id % 13 = 9 OR NOT wf THEN NULL ELSE tc END AS text_clean, " +
+        "CASE WHEN doc_id % 13 = 9 OR NOT wf THEN NULL ELSE CAST(length(tc) AS BIGINT) END AS n_chars_clean " +
+        "FROM d"),
     // q85/q86: the merge count is a FIXED small constant, so the
     // "iterative" training loop unrolls into 10 chained CTE rounds — no
     // recursion needed. Each round replays the trainer exactly: adjacency
@@ -1204,6 +1193,48 @@ object SparkEntry {
       "CASE WHEN d.text IS NULL THEN NULL ELSE COALESCE(a.n_bpe, 0) END AS n_bpe_tokens " +
       "FROM documents d LEFT JOIN agg a USING (doc_id)"),
   )
+
+  /** DuckDB replay of q93's page synthesis + extraction pipeline —
+    * spliced by q93 AND q97 (whose WARC payload IS the q93 page), so the
+    * standalone extraction and the composed intake cannot drift.
+    * Downstream reads `d` (doc_id, html, body_raw, wf, t, tc).
+    */
+  private lazy val htmlCtes: String =
+    "wz AS (SELECT doc_id, text, " +
+      "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '') AS w " +
+      "FROM documents), " +
+      "h AS (SELECT doc_id, " +
+      "'<html><head><title>Doc ' || doc_id || ': ' || coalesce(w[1], 'alpha') || " +
+      "' &amp;lt;tag</title>' || " +
+      "(CASE WHEN doc_id % 4 = 0 THEN '<style>.m{color:#000;}</style>' ELSE '' END) || " +
+      "'</head>' || " +
+      "'<body><nav><a href=\"/home\">Home</a> <a href=\"/tag/' || (doc_id % 8) || " +
+      "'\">T</a></nav>' || " +
+      "'<h1>' || coalesce(w[1], 'alpha') || ' &amp; ' || coalesce(w[2], 'beta') || '</h1>' || " +
+      "'<p>' || text || '</p>' || " +
+      "(CASE WHEN doc_id % 3 <> 2 THEN " +
+      "'<script type=\"text/javascript\">var s=\"</div> <p>no</p>\";</script>' ELSE '' END) || " +
+      "(CASE WHEN doc_id % 5 = 1 THEN '<p data-note=\"a>b\">edge &lt;kept&gt;</p>' ELSE '' END) || " +
+      "'<p>AT&amp;T 1 &lt; 2' || " +
+      "(CASE WHEN doc_id % 7 = 2 THEN '&nbsp;end &#39;q&#39; &quot;qq&quot;' ELSE '' END) || " +
+      "'</p>' || '<footer>(c) site' || (doc_id % 40) || '</footer>' || " +
+      "(CASE WHEN doc_id % 9 = 5 THEN '' ELSE '</body></html>' END) AS html FROM wz), " +
+      "x AS (SELECT doc_id, html, " +
+      "regexp_extract(html, '(?s)<title[^>]*>(.*?)</title>', 1) AS title_raw, " +
+      "regexp_extract(html, '(?s)<body[^>]*>(.*?)</body>', 1) AS body_raw FROM h), " +
+      "y AS (SELECT doc_id, html, title_raw, body_raw, body_raw <> '' AS wf, " +
+      "regexp_replace(regexp_replace(body_raw, " +
+      "'(?s)<script\\b[^>]*>.*?</script>', ' ', 'g'), " +
+      "'(?s)<style\\b[^>]*>.*?</style>', ' ', 'g') AS nos FROM x), " +
+      "z AS (SELECT doc_id, html, title_raw, body_raw, wf, " +
+      "regexp_replace(nos, '<(?:[^>\"'']|\"[^\"]*\"|''[^'']*'')*>', ' ', 'g') AS notags FROM y), " +
+      "d AS (SELECT doc_id, html, body_raw, wf, " +
+      "trim(regexp_replace(replace(replace(replace(replace(replace(replace(" +
+      "title_raw, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), " +
+      "'&#39;', ''''), '&amp;', '&'), '\\s+', ' ', 'g')) AS t, " +
+      "trim(regexp_replace(replace(replace(replace(replace(replace(replace(" +
+      "notags, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), " +
+      "'&#39;', ''''), '&amp;', '&'), '\\s+', ' ', 'g')) AS tc FROM z)"
 
   /** DuckDB replay of [[graft.operators.Crawl.resolvedLinks]] — anchor
     * synthesis, href extraction with positions, skip classes, RFC 3986

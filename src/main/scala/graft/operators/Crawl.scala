@@ -95,7 +95,8 @@ object Crawl {
     * scan — zero exchanges (pinned in PlanAuditSpec), fuses into
     * whole-stage codegen.
     */
-  private[graft] def htmlExtract(framed: DataFrame): DataFrame = {
+  private[graft] def htmlExtract(framed: DataFrame,
+                                 carry: Seq[String] = Nil): DataFrame = {
     val html = col("html")
     val title = collapseWs(entityDecode(
       regexp_extract(html, "(?s)<title[^>]*>(.*?)</title>", 1)))
@@ -110,12 +111,14 @@ object Crawl {
     val anchor = "<a href=\""
     val nLinks = ((length(bodyRaw) - length(replace(bodyRaw, lit(anchor), lit(""))))
       / anchor.length).cast("bigint")
-    framed.select(col("doc_id"),
-      when(title =!= "", title).as("title"),
-      wellFormed.as("well_formed"),
-      when(wellFormed === 1, nLinks).as("n_links"),
-      when(wellFormed === 1, textClean).as("text_clean"),
-      when(wellFormed === 1, length(textClean)).cast("bigint").as("n_chars_clean"))
+    framed.select(col("doc_id") +:
+      (carry.map(col) ++ Seq(
+        when(title =!= "", title).as("title"),
+        wellFormed.as("well_formed"),
+        when(wellFormed === 1, nLinks).as("n_links"),
+        when(wellFormed === 1, textClean).as("text_clean"),
+        when(wellFormed === 1, length(textClean)).cast("bigint")
+          .as("n_chars_clean"))): _*)
   }
 
   def q93HtmlExtract(spark: SparkSession, dir: String): DataFrame = {
@@ -348,5 +351,60 @@ object Crawl {
     }
     ranks.select(col("host"), col("out_deg"),
       col("r").cast("bigint").as("rank_p5"))
+  }
+
+  // ---------------------------------------------------------------- q97
+
+  /** Q97: composed CRAWL INTAKE — the front half of the crawl loop as ONE
+    * pipeline (q51/q58/q71's composition discipline over this round's
+    * stages): each document arrives as a `.warc.gz` fetch — a gzip member
+    * (q95's codec, FNAME exercised) wrapping a one-record WARC response
+    * (q82's container) whose payload is the q93 page (SAME builder, so
+    * the pipeline and the standalone extraction cannot drift) — and the
+    * pipeline decompresses, walks the record, slices the payload, and
+    * extracts title/text/links, with report-WHY at BOTH failure levels:
+    * `%13==9` truncates the MEMBER (fetch_ok = 0, every downstream column
+    * NULL — the stop-don't-guess stance propagating through three
+    * kernels), while q93's `%9==5` headless page keeps fetch_ok = 1 with
+    * well_formed = 0 (transport success, content defect — a crawler
+    * retries one and blocklists the other).
+    *
+    * `payload_md5` is the md5 of the SLICED bytes, which the oracle
+    * equates to the md5 of the independently re-synthesized page — the
+    * Content-Length slice must be byte-exact through gzip + CRLF walking
+    * or the hash fails. Zero exchanges: codec, container walk, and
+    * extraction all fuse into one narrow stage (pinned).
+    */
+  def q97CrawlIntake(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{GzipOps, WarcOps}
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val html = synthHtml(id, col("text"))
+    val crlf = "\r\n"
+    val rec = concat(
+      lit("WARC/1.0" + crlf),
+      lit("WARC-Type: response" + crlf),
+      lit("WARC-Target-URI: "), pageUrl(id), lit(crlf),
+      // Content-Length counts BYTES of the payload, never characters
+      lit("Content-Length: "), length(html.cast("binary")).cast("string"),
+      lit(crlf + crlf), html, lit(crlf + crlf))
+    val member = GzipOps.gzip(rec.cast("binary"),
+      concat(id.cast("string"), lit(".warc")))
+    val staged = docs
+      .select(id, member.as("_gz"))
+      .withColumn("_fetched", when(id % 13 === 9,
+        expr("substring(_gz, 1, length(_gz) - 7)")).otherwise(col("_gz")))
+      .withColumn("_bytes", GzipOps.gunzip(col("_fetched")))
+      .withColumn("_offs", WarcOps.warcOffsets(col("_bytes")))
+      .withColumn("_off", get(col("_offs"), lit(0)))
+      .withColumn("_pay", WarcOps.warcPayload(col("_bytes"), col("_off")))
+      .withColumn("html", col("_pay").cast("string"))
+    htmlExtract(staged, carry = Seq("_bytes", "_off", "_pay"))
+      .select(col("doc_id"),
+        col("_bytes").isNotNull.cast("int").as("fetch_ok"),
+        WarcOps.warcHeader(col("_bytes"), col("_off"), 1).as("uri"),
+        md5(col("_pay")).as("payload_md5"),
+        col("title"), col("well_formed"), col("n_links"),
+        col("text_clean"), col("n_chars_clean"))
   }
 }

@@ -140,6 +140,31 @@ class CrawlSpec extends AnyFunSuite {
     assert(r.forall(_.getAs[Long]("rank_p5") >= base))
   }
 
+  test("q97: transport failure and content defect are distinct verdicts") {
+    val r = Crawl.q97CrawlIntake(spark, TestSpark.Sf0001).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val id = row.getLong(0)
+      val fetchFail = id % 13 == 9
+      val headless = id % 9 == 5
+      assert(row.getAs[Int]("fetch_ok") === (if (fetchFail) 0 else 1), s"doc $id")
+      if (fetchFail) {
+        // the stop-don't-guess stance propagates through all three
+        // kernels: nothing downstream of a failed fetch is guessed
+        assert(row.isNullAt(row.fieldIndex("uri")), s"doc $id")
+        assert(row.isNullAt(row.fieldIndex("payload_md5")), s"doc $id")
+        assert(row.isNullAt(row.fieldIndex("well_formed")), s"doc $id")
+        assert(row.isNullAt(row.fieldIndex("text_clean")), s"doc $id")
+      } else {
+        assert(row.getAs[String]("uri") ===
+          s"https://site${id % 40}.example.com/a/${id % 20}/page$id.html")
+        // content defect: transport fine, page graded broken
+        assert(row.getAs[Int]("well_formed") === (if (headless) 0 else 1), s"doc $id")
+        if (!headless) assert(row.getAs[String]("text_clean") != null, s"doc $id")
+      }
+    }
+  }
+
   test("q94: exactly one keep per unfetched canonical, none per fetched") {
     val agg = q94.where(col("skip_reason").isNull)
       .groupBy("canonical_url")

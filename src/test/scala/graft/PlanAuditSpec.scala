@@ -595,4 +595,16 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(n === 1, s"expected 1 $k in the plan, found $n:\n$p")
     }
   }
+
+  test("q97 crawl intake composes codec + container + extraction in one narrow stage") {
+    val df = graft.operators.Crawl.q97CrawlIntake(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    assert(shuffles(df) === 0, s"expected 0 shuffles:\n$p")
+    // the expensive walks each run once per row through the composition
+    for (k <- Seq("graft_gzip(", "graft_gunzip(", "graft_warc_offsets(",
+        "graft_warc_payload(")) {
+      val n = java.util.regex.Pattern.quote(k).r.findAllIn(p).length
+      assert(n === 1, s"expected 1 $k in the plan, found $n:\n$p")
+    }
+  }
 }

@@ -31,7 +31,13 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "vw_shard_manifest" ->
         graft.operators.Scale.q80ShardAssign(spark, TestSpark.Sf0001),
       "vw_bm25" ->
-        graft.operators.Retrieval.q83Bm25TopK(spark, TestSpark.Sf0001))
+        graft.operators.Retrieval.q83Bm25TopK(spark, TestSpark.Sf0001),
+      "vw_frontier" ->
+        graft.operators.Crawl.q94LinkFrontier(spark, TestSpark.Sf0001),
+      "vw_link_rank" ->
+        graft.operators.Crawl.q96LinkRank(spark, TestSpark.Sf0001),
+      "vw_crawl_intake" ->
+        graft.operators.Crawl.q97CrawlIntake(spark, TestSpark.Sf0001))
     twins.foreach { case (view, df) =>
       val sql = canon(spark.sql(s"SELECT * FROM $view"))
       val api = canon(df)
