@@ -119,6 +119,8 @@ object SparkEntry {
     "q95_gzip_members" -> (Crawl.q95GzipMembers _),
     "q96_link_rank" -> (Crawl.q96LinkRank _),
     "q97_crawl_intake" -> (Crawl.q97CrawlIntake _),
+    "q98_robots_gate" -> (Crawl.q98RobotsGate _),
+    "q99_http_envelope" -> (Crawl.q99HttpEnvelope _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1119,18 +1121,9 @@ object SparkEntry {
     // the same text q91 splices), the seen-set left join, and the
     // first-discoverer window — independently of every Spark operator
     "q94_link_frontier" ->
-      ("WITH " + linkCtes + ", " +
-        "sn AS (SELECT 'https://site' || (doc_id % 40) || '.example.com/a/' || (doc_id % 20) || " +
-        "'/page' || doc_id || '.html' AS seen_url FROM documents), " +
-        "j AS (SELECT c.*, CASE WHEN sn.seen_url IS NOT NULL THEN 1 ELSE 0 END AS _fetched " +
-        "FROM c LEFT JOIN sn ON c.canonical_url = sn.seen_url) " +
-        "SELECT doc_id, CAST(link_idx AS INTEGER) AS link_idx, href, " +
-        "_u AS resolved_url, canonical_url, skip_reason, " +
-        "CASE WHEN skip_reason IS NULL THEN _fetched END AS already_fetched, " +
-        "CASE WHEN skip_reason IS NULL THEN " +
-        "CAST(_fetched = 0 AND (doc_id * 16 + link_idx) = " +
-        "min(doc_id * 16 + link_idx) OVER (PARTITION BY canonical_url) AS INTEGER) END AS keep " +
-        "FROM j"),
+      ("WITH " + frontierCtes + " " +
+        "SELECT doc_id, link_idx, href, resolved_url, canonical_url, " +
+        "skip_reason, already_fetched, keep FROM fq"),
     // q95: compressed bytes are JVM-zlib-specific, so the oracle checks
     // round-trip CONTENT (md5/byte-length of what the decoder recovered
     // vs the text's own bytes) and the residue-determined verdicts: the
@@ -1172,6 +1165,66 @@ object SparkEntry {
         "CASE WHEN doc_id % 13 = 9 OR NOT wf THEN NULL ELSE tc END AS text_clean, " +
         "CASE WHEN doc_id % 13 = 9 OR NOT wf THEN NULL ELSE CAST(length(tc) AS BIGINT) END AS n_chars_clean " +
         "FROM d"),
+    // q98: the oracle rebuilds the rule table from the same residues,
+    // replays group selection (a graftbot group is taken WHOLE, never
+    // merged with *), the longest-match winner via an integer
+    // 2*len+is_allow key (arg_max), the allow-on-no-match default, and
+    // the *-group crawl delay — over the kept frontier from the SHARED
+    // frontierCtes
+    "q98_robots_gate" ->
+      ("WITH " + frontierCtes + ", " +
+        "fr AS (SELECT canonical_url FROM fq WHERE keep = 1), " +
+        "fu AS (SELECT canonical_url, " +
+        "regexp_extract(canonical_url, '^[a-z]+://([^/:?#]+)', 1) AS host, " +
+        "regexp_extract(canonical_url, '^[a-z]+://[^/]+(/[^?#]*)', 1) AS path FROM fr), " +
+        "hs AS (SELECT CAST(range AS INTEGER) AS h FROM range(0, 40)), " +
+        "rl AS (" +
+        "SELECT 'site' || h || '.example.com' AS rhost, '*' AS ua, 'disallow' AS rtype, '/r/' AS prefix FROM hs WHERE h % 3 = 0 " +
+        "UNION ALL SELECT 'site' || h || '.example.com', '*', 'allow', '/r/' || (h % 10) FROM hs WHERE h % 4 = 1 " +
+        "UNION ALL SELECT 'site' || h || '.example.com', '*', 'disallow', '/a/' FROM hs WHERE h % 5 = 2 " +
+        "UNION ALL SELECT 'site' || h || '.example.com', '*', 'allow', '/a/' || (h % 20) || '/sub/' FROM hs WHERE h % 5 = 2 " +
+        "UNION ALL SELECT 'site' || h || '.example.com', '*', 'disallow', '/y/' FROM hs WHERE h % 2 = 0 " +
+        "UNION ALL SELECT 'site' || h || '.example.com', 'graftbot', 'disallow', '/' FROM hs WHERE h % 7 = 3), " +
+        "gb AS (SELECT DISTINCT rhost FROM rl WHERE ua = 'graftbot'), " +
+        "sel AS (SELECT fu.*, CASE WHEN gb.rhost IS NOT NULL THEN 'graftbot' ELSE '*' END AS ua_sel " +
+        "FROM fu LEFT JOIN gb ON fu.host = gb.rhost), " +
+        "mt AS (SELECT sel.canonical_url, sel.host, sel.path, sel.ua_sel, rl.rtype, rl.prefix " +
+        "FROM sel LEFT JOIN rl ON rl.rhost = sel.host AND rl.ua = sel.ua_sel " +
+        "AND starts_with(sel.path, rl.prefix)), " +
+        "ag AS (SELECT canonical_url, host, path, ua_sel, " +
+        "arg_max(rtype, 2 * length(prefix) + CASE WHEN rtype = 'allow' THEN 1 ELSE 0 END) AS rule_type, " +
+        "arg_max(prefix, 2 * length(prefix) + CASE WHEN rtype = 'allow' THEN 1 ELSE 0 END) AS matched_rule " +
+        "FROM mt GROUP BY canonical_url, host, path, ua_sel) " +
+        "SELECT canonical_url, host, path, " +
+        "CASE WHEN rule_type IS NULL OR rule_type = 'allow' THEN 1 ELSE 0 END AS allowed, " +
+        "matched_rule, rule_type, " +
+        "CASE WHEN ua_sel = '*' AND try_cast(regexp_extract(host, '^site([0-9]+)\\.', 1) AS INTEGER) % 2 = 0 " +
+        "THEN CAST(try_cast(regexp_extract(host, '^site([0-9]+)\\.', 1) AS INTEGER) % 5 + 1 AS INTEGER) END AS crawl_delay " +
+        "FROM ag"),
+    // q99: the oracle derives every field DIRECTLY from the residues —
+    // never by parsing (q82's stance) — so a parser slip (splitting on
+    // the body's embedded separator, case-sensitive header match,
+    // keeping the charset parameter, lowercasing Location) cannot cancel
+    "q99_http_envelope" ->
+      ("WITH k AS (SELECT chr(13) || chr(10) AS crlf), " +
+        "b AS (SELECT doc_id, text, " +
+        "text || crlf || crlf || 'tail' || (doc_id % 5) AS body200, " +
+        "'not here' || crlf || crlf || 'x' AS body404 " +
+        "FROM documents, k) " +
+        "SELECT doc_id, " +
+        "CASE WHEN doc_id % 10 = 7 THEN 0 ELSE 1 END AS has_envelope, " +
+        "CAST(CASE WHEN doc_id % 10 = 7 THEN NULL WHEN doc_id % 10 = 3 THEN 301 " +
+        "WHEN doc_id % 10 = 4 THEN 404 ELSE 200 END AS INTEGER) AS status, " +
+        "CASE WHEN doc_id % 10 = 7 THEN NULL WHEN doc_id % 10 = 4 THEN 'text/plain' " +
+        "ELSE 'text/html' END AS content_type, " +
+        "CASE WHEN doc_id % 10 = 3 THEN 'https://site' || ((doc_id + 1) % 40) || " +
+        "'.example.com/Moved/' || (doc_id % 9) END AS location, " +
+        "CASE WHEN doc_id % 10 = 7 THEN NULL WHEN doc_id % 10 = 3 THEN md5('<html>redirect</html>') " +
+        "WHEN doc_id % 10 = 4 THEN md5(body404) ELSE md5(body200) END AS body_md5, " +
+        "CASE WHEN doc_id % 10 = 7 THEN NULL WHEN doc_id % 10 = 3 THEN CAST(octet_length(encode('<html>redirect</html>')) AS BIGINT) " +
+        "WHEN doc_id % 10 = 4 THEN CAST(octet_length(encode(body404)) AS BIGINT) " +
+        "ELSE CAST(octet_length(encode(body200)) AS BIGINT) END AS body_len " +
+        "FROM b"),
     // q85/q86: the merge count is a FIXED small constant, so the
     // "iterative" training loop unrolls into 10 chained CTE rounds — no
     // recursion needed. Each round replays the trainer exactly: adjacency
@@ -1275,6 +1328,24 @@ object SparkEntry {
       "ELSE 'https://site' || (doc_id % 40) || '.example.com/a/' || (doc_id % 20) || '/' || href END AS _u " +
       "FROM lx), " +
       canonicalCtes("rs")
+
+  /** q94's frontier judgment as a CTE chain ending in `fq` — spliced by
+    * q94 and q98 (which gates the kept frontier), so the two oracles'
+    * view of "what was discovered" cannot drift.
+    */
+  private lazy val frontierCtes: String =
+    linkCtes + ", " +
+      "sn AS (SELECT 'https://site' || (doc_id % 40) || '.example.com/a/' || (doc_id % 20) || " +
+      "'/page' || doc_id || '.html' AS seen_url FROM documents), " +
+      "j AS (SELECT c.*, CASE WHEN sn.seen_url IS NOT NULL THEN 1 ELSE 0 END AS _fetched " +
+      "FROM c LEFT JOIN sn ON c.canonical_url = sn.seen_url), " +
+      "fq AS (SELECT doc_id, CAST(link_idx AS INTEGER) AS link_idx, href, " +
+      "_u AS resolved_url, canonical_url, skip_reason, " +
+      "CASE WHEN skip_reason IS NULL THEN _fetched END AS already_fetched, " +
+      "CASE WHEN skip_reason IS NULL THEN " +
+      "CAST(_fetched = 0 AND (doc_id * 16 + link_idx) = " +
+      "min(doc_id * 16 + link_idx) OVER (PARTITION BY canonical_url) AS INTEGER) END AS keep " +
+      "FROM j)"
 
   /** q96's unrolled power iteration (the q85 discipline): each round k
     * computes per-target contribution sums keyed by source host, the

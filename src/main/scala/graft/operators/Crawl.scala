@@ -407,4 +407,154 @@ object Crawl {
         col("title"), col("well_formed"), col("n_links"),
         col("text_clean"), col("n_chars_clean"))
   }
+
+  // ---------------------------------------------------------------- q98
+
+  private def rrule(ua: String, rtype: String, prefix: Column,
+                    on: Column): Column =
+    struct(lit(ua).as("ua"), lit(rtype).as("rtype"),
+      prefix.as("prefix"), on.as("on"))
+
+  /** Per-host robots rule table (the PARSED form a crawler caches after
+    * fetching each host's robots.txt) — residue-deterministic over the 40
+    * site hosts, shaped so every judgment outcome occurs in the frontier:
+    * plain disallow (`/r/`, `/y/`), longest-match allow override (the
+    * `/r/{h%10}` and `/a/{h%20}/sub/` carve-outs beat their shorter
+    * disallows), a UA-specific full block (`graftbot: Disallow /` on
+    * `%7==3` hosts overrides everything the `*` group says), and
+    * rule-less hosts (the cdn targets — no robots.txt means allow).
+    */
+  private[graft] def robotsRules(spark: SparkSession): DataFrame = {
+    val h = col("id").cast("int")
+    spark.range(0, 40)
+      .select(h.as("h"), explode(array(
+        rrule("*", "disallow", lit("/r/"), col("id") % 3 === 0),
+        rrule("*", "allow",
+          concat(lit("/r/"), (col("id") % 10).cast("string")), col("id") % 4 === 1),
+        rrule("*", "disallow", lit("/a/"), col("id") % 5 === 2),
+        rrule("*", "allow",
+          concat(lit("/a/"), (col("id") % 20).cast("string"), lit("/sub/")),
+          col("id") % 5 === 2),
+        rrule("*", "disallow", lit("/y/"), col("id") % 2 === 0),
+        rrule("graftbot", "disallow", lit("/"), col("id") % 7 === 3))).as("r"))
+      .where(col("r.on"))
+      .select(concat(lit("site"), col("h").cast("string"),
+        lit(".example.com")).as("rhost"),
+        col("r.ua").as("ua"), col("r.rtype").as("rtype"),
+        col("r.prefix").as("prefix"))
+  }
+
+  /** RFC 9309 judgment of `urls` (one `canonical_url` per row) against a
+    * parsed rule table: the most-specific matching UA group is selected
+    * WHOLE (groups never merge), the longest matching rule wins within
+    * it, an Allow beats a Disallow of equal length, and no match (or no
+    * rules for the host at all) means allowed. Shared by q98 and
+    * CrawlSpec's hand-built tie/override drills.
+    *
+    * Scale shape: the rule table is robots-corpus-sized (one parsed file
+    * per host — tens of MB for millions of hosts), so it BROADCASTS
+    * (q68's premise; a bigger one swaps in q63's bloom shape), and the
+    * only exchange is the per-URL winner aggregation keyed by the URL.
+    */
+  private[graft] def robotsJudge(urls: DataFrame, rules: DataFrame): DataFrame = {
+    val fu = urls.select(col("canonical_url"),
+      Text.hostOf(col("canonical_url")).as("host"),
+      regexp_extract(col("canonical_url"), "^[a-z]+://[^/]+(/[^?#]*)", 1)
+        .as("path"))
+    val gb = rules.where(col("ua") === "graftbot")
+      .select(col("rhost").as("_gbhost")).distinct()
+    val sel = fu.join(broadcast(gb), fu("host") === col("_gbhost"), "left")
+      .withColumn("ua_sel",
+        when(col("_gbhost").isNotNull, "graftbot").otherwise("*"))
+    val mt = sel.join(broadcast(rules),
+      col("rhost") === col("host") && col("ua") === col("ua_sel") &&
+        col("path").startsWith(col("prefix")), "left")
+    // winner key: longest prefix first, Allow beats Disallow on a tie
+    // (2*len + is_allow is a total order because equal-length equal-type
+    // rules with distinct prefixes cannot both match one path)
+    val key = length(col("prefix")) * 2 + (col("rtype") === "allow").cast("int")
+    mt.groupBy("canonical_url", "host", "path", "ua_sel")
+      .agg(max_by(col("rtype"), key).as("rule_type"),
+        max_by(col("prefix"), key).as("matched_rule"))
+  }
+
+  /** Q99: HTTP response envelope parsing — the layer between q82's WARC
+    * record and q93's HTML (a Common Crawl `response` record's payload IS
+    * an HTTP message: status line, headers, blank line, body; a pipeline
+    * that hands raw payloads to the HTML extractor feeds it headers).
+    * Splits on the FIRST `\r\n\r\n` only — every synthesized body embeds
+    * another separator, so a split-on-all parse truncates the body and
+    * fails the md5 (q82's embedded-separator trap at the next layer up).
+    * Status from the status line, `Content-Type` case-insensitively with
+    * parameters stripped (`; charset=utf-8` is not a media type),
+    * `Location` verbatim (URL paths are case-sensitive) for redirects;
+    * a payload with no `HTTP/` envelope reports NULL parsed fields
+    * (stop-don't-guess — HTTP/0.9 has no headers to trust).
+    *
+    * Pure narrow column work, zero exchanges. Residues: `%10==3` a 301
+    * with Location, `%10==4` a 404 with a lowercase header spelling,
+    * `%10==7` no envelope at all, everything else a 200 with charset
+    * parameter and decoy headers.
+    */
+  def q99HttpEnvelope(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val crlf = "\r\n"
+    val body = concat(col("text"), lit(crlf + crlf + "tail"),
+      (id % 5).cast("string"))
+    val payload = when(id % 10 === 3, concat(
+      lit("HTTP/1.1 301 Moved Permanently" + crlf),
+      lit("Location: https://site"), ((id + 1) % 40).cast("string"),
+      lit(".example.com/Moved/"), (id % 9).cast("string"), lit(crlf),
+      lit("Content-Type: text/html" + crlf + crlf),
+      lit("<html>redirect</html>")))
+      .when(id % 10 === 4, concat(
+        lit("HTTP/1.1 404 Not Found" + crlf),
+        lit("content-type: text/plain" + crlf + crlf),
+        lit("not here" + crlf + crlf + "x")))
+      .when(id % 10 === 7, synthHtml(id, col("text")))
+      .otherwise(concat(
+        lit("HTTP/1.1 200 OK" + crlf),
+        lit("Content-Type: text/html; charset=utf-8" + crlf),
+        lit("X-Ign: v" + crlf + "SerVer: graft" + crlf + crlf),
+        body))
+    val framed = docs.select(id, payload.as("_p"))
+    val isHttp = col("_p").startsWith("HTTP/")
+    val sep = instr(col("_p"), crlf + crlf)
+    val headers = col("_p").substr(lit(1), sep - 1)
+    val bodyOut = col("_p").substr(sep + 4, length(col("_p")))
+    val ct = lower(trim(regexp_extract(headers,
+      "(?im)^content-type:[ \\t]*([^;\\r\\n]+)", 1)))
+    val loc = regexp_extract(headers, "(?im)^location:[ \\t]*([^\\r\\n]+)", 1)
+    framed.select(id,
+      isHttp.cast("int").as("has_envelope"),
+      when(isHttp, expr(
+        "try_cast(regexp_extract(_p, '^HTTP/[0-9.]+ ([0-9]{3})', 1) AS INT)"))
+        .as("status"),
+      when(isHttp && ct =!= "", ct).as("content_type"),
+      when(isHttp && loc =!= "", loc).as("location"),
+      when(isHttp, md5(bodyOut.cast("binary"))).as("body_md5"),
+      when(isHttp, length(bodyOut.cast("binary"))).cast("bigint").as("body_len"))
+  }
+
+  /** Q98: robots gate — the politeness judgment closing the crawl loop
+    * (q94 publishes what was DISCOVERED; this decides what may be
+    * FETCHED): every kept frontier URL judged against its host's parsed
+    * robots rules under UA `graftbot`, with the winning rule as evidence
+    * (report-WHY) and the `*`-group crawl delay carried for the
+    * scheduler. Rule-less hosts (cdn) are allowed with NULL evidence —
+    * an unreachable robots.txt permits fetching.
+    */
+  def q98RobotsGate(spark: SparkSession, dir: String): DataFrame = {
+    val frontier = q94LinkFrontier(spark, dir)
+      .where(col("keep") === 1).select("canonical_url")
+    val judged = robotsJudge(frontier, robotsRules(spark))
+    val hnum = expr("try_cast(regexp_extract(host, '^site([0-9]+)\\\\.', 1) AS INT)")
+    judged.select(col("canonical_url"), col("host"), col("path"),
+      when(col("rule_type").isNull || col("rule_type") === "allow", 1)
+        .otherwise(0).as("allowed"),
+      col("matched_rule"), col("rule_type"),
+      when(col("ua_sel") === "*" && hnum % 2 === 0, (hnum % 5 + 1))
+        .cast("int").as("crawl_delay"))
+  }
 }

@@ -165,6 +165,106 @@ class CrawlSpec extends AnyFunSuite {
     }
   }
 
+  private lazy val q98 =
+    Crawl.q98RobotsGate(spark, TestSpark.Sf0001).localCheckpoint()
+
+  test("q98: a graftbot group blocks wholesale and is never merged with *") {
+    // hosts h%7==3 carry `graftbot: Disallow /`; RFC 9309 takes the most
+    // specific UA group WHOLE — even a URL the * group would judge by
+    // /r/ must match '/' here
+    val gbHosts = (0 until 40).filter(_ % 7 == 3)
+      .map(h => s"site$h.example.com").toSet
+    val rows = q98.collect().filter(r => gbHosts(r.getAs[String]("host")))
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("allowed") === 0, r.toString)
+      assert(r.getAs[String]("matched_rule") === "/", r.toString)
+      // the selected group has no delay, so none is reported
+      assert(r.isNullAt(r.fieldIndex("crawl_delay")), r.toString)
+    }
+  }
+
+  test("q98: longest-match allow overrides a shorter disallow") {
+    // h in {9,21,33}: disallow /r/ (h%3==0) AND allow /r/{h%10} (h%4==1)
+    val r9 = q98.collect().filter(r =>
+      r.getAs[String]("host") === "site9.example.com" &&
+        r.getAs[String]("path").startsWith("/r/"))
+    assert(r9.nonEmpty)
+    r9.foreach { r =>
+      assert(r.getAs[Int]("allowed") === 1, r.toString)
+      assert(r.getAs[String]("matched_rule") === "/r/9", r.toString)
+    }
+    // h=6: disallow /r/ with no carve-out (6%4!=1, 6%7!=3) -> blocked
+    val r6 = q98.collect().filter(r =>
+      r.getAs[String]("host") === "site6.example.com" &&
+        r.getAs[String]("path").startsWith("/r/"))
+    assert(r6.nonEmpty)
+    r6.foreach { r =>
+      assert(r.getAs[Int]("allowed") === 0, r.toString)
+      assert(r.getAs[String]("matched_rule") === "/r/", r.toString)
+    }
+  }
+
+  test("q98: rule-less hosts are allowed with NULL evidence; delays ride *") {
+    val cdn = q98.collect().filter(_.getAs[String]("host").startsWith("cdn"))
+    assert(cdn.nonEmpty)
+    cdn.foreach { r =>
+      assert(r.getAs[Int]("allowed") === 1)
+      assert(r.isNullAt(r.fieldIndex("matched_rule")))
+      assert(r.isNullAt(r.fieldIndex("crawl_delay")))
+    }
+    // an even non-graftbot host reports its *-group delay h%5+1
+    val r6 = q98.collect().filter(_.getAs[String]("host") === "site6.example.com")
+    assert(r6.nonEmpty)
+    r6.foreach(r => assert(r.getAs[Int]("crawl_delay") === 6 % 5 + 1))
+  }
+
+  test("q98: an equal-length Allow beats Disallow (robotsJudge drill)") {
+    import spark.implicits._
+    val urls = Seq("https://tie.example.com/p/x").toDF("canonical_url")
+    val rules = Seq(
+      ("tie.example.com", "*", "allow", "/p/"),
+      ("tie.example.com", "*", "disallow", "/p/"))
+      .toDF("rhost", "ua", "rtype", "prefix")
+    val r = Crawl.robotsJudge(urls, rules).head()
+    assert(r.getAs[String]("rule_type") === "allow")
+    assert(r.getAs[String]("matched_rule") === "/p/")
+  }
+
+  test("q99: the body splits on the FIRST separator; headers parse per spec") {
+    val docs = spark.read.parquet(TestSpark.Sf0001 + "/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Crawl.q99HttpEnvelope(spark, TestSpark.Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      (id % 10) match {
+        case 7 =>
+          assert(r.getAs[Int]("has_envelope") === 0)
+          assert(r.isNullAt(r.fieldIndex("status")) &&
+            r.isNullAt(r.fieldIndex("body_md5")), s"doc $id")
+        case 3 =>
+          assert(r.getAs[Int]("status") === 301)
+          // Location keeps its case: URL paths are case-sensitive
+          assert(r.getAs[String]("location").contains("/Moved/"), s"doc $id")
+        case 4 =>
+          // lowercase header spelling still parses (case-insensitive names)
+          assert(r.getAs[Int]("status") === 404)
+          assert(r.getAs[String]("content_type") === "text/plain")
+          // the body embeds another \r\n\r\n: split-on-first keeps it
+          assert(r.getAs[Long]("body_len") === "not here\r\n\r\nx".length.toLong)
+        case _ =>
+          assert(r.getAs[Int]("status") === 200)
+          // parameters stripped from the media type
+          assert(r.getAs[String]("content_type") === "text/html", s"doc $id")
+          assert(r.getAs[Long]("body_len") ===
+            (docs(id).getBytes("UTF-8").length + "\r\n\r\ntail".length +
+              (id % 5).toString.length).toLong, s"doc $id")
+      }
+    }
+  }
+
   test("q94: exactly one keep per unfetched canonical, none per fetched") {
     val agg = q94.where(col("skip_reason").isNull)
       .groupBy("canonical_url")

@@ -607,4 +607,16 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(n === 1, s"expected 1 $k in the plan, found $n:\n$p")
     }
   }
+
+  test("q98 robots dims broadcast; q99 envelope parse is narrow") {
+    val p98 = plan(graft.operators.Crawl.q98RobotsGate(spark, TestSpark.Sf0001))
+    // the graftbot-host dim and the rule table both broadcast (q68's
+    // premise — parsed robots files are dim-sized); the rule meet keeps
+    // its equi keys so the prefix test is a join condition, never an NLJ
+    assert("BroadcastHashJoin".r.findAllIn(p98).length >= 2, p98)
+    assert(!p98.contains("BroadcastNestedLoopJoin") &&
+      !p98.contains("CartesianProduct"), p98)
+    val df99 = graft.operators.Crawl.q99HttpEnvelope(spark, TestSpark.Sf0001)
+    assert(shuffles(df99) === 0, s"expected 0 shuffles:\n${plan(df99)}")
+  }
 }
