@@ -114,6 +114,14 @@ object Landing {
     *    rule). Judged LAST, over the SCRUBBED text, because the history
     *    snapshot is the landed lake — which stores scrubbed bytes.
     *
+    *  - `frontierSeen`: (url JSON path, seen-set snapshot) — q94's
+    *    frontier judgment AT LANDING: each url-bearing record stamped
+    *    with a `frontier_verdict` struct (canonical_url +
+    *    already_fetched vs the snapshot), canonicalized through the
+    *    SAME `Text.canonicalUrl` q91/q94 use. A delta-sized
+    *    stream-static meet like the history verdict; a stamp, not a
+    *    filter.
+    *
     * Stage order is fixed: dedup → domain gate → quality gate → scrub →
     * split → media → history verdict (the
     * split key is the SCRUBBED record — what the lake actually stores —
@@ -136,7 +144,8 @@ object Landing {
       splitSalt: Option[String] = None,
       mediaPath: Option[String] = None,
       domainBlocklist: Option[(String, Seq[String])] = None,
-      dedupHistory: Option[DataFrame] = None)
+      dedupHistory: Option[DataFrame] = None,
+      frontierSeen: Option[(String, DataFrame)] = None)
 
   private def applyStages(validated: DataFrame, st: IngestStages): DataFrame = {
     import graft.operators.Text
@@ -241,6 +250,29 @@ object Landing {
             col("exact_src"), col("near_src")).as("dup_verdict"))
       df = df.join(verdict, Seq("_load_id"), "left")
     }
+    // the frontier verdict AT LANDING (q94's judgment as the crawl
+    // lands): records carrying the url field are canonicalized through
+    // the SAME Text.canonicalUrl q91/q94 use — landing and curation
+    // cannot disagree on which URLs are the same resource — and judged
+    // against a seen-set snapshot (one `seen_url` column of canonical
+    // URLs, the frame a crawler's frontier store materializes). A stamp,
+    // not a filter: the scheduler routes on
+    // `frontier_verdict.already_fetched`. Like the history verdict, a
+    // delta-sized stream-static left meet; url-less records carry a NULL
+    // struct (the transport/control rule).
+    st.frontierSeen.foreach { case (path, seen) =>
+      import graft.operators.Text
+      val url = get_json_object(col("record"), path)
+      val withCanon = df.withColumn("_canon",
+        when(url.isNotNull, Text.canonicalUrl(url)))
+      val seenK = seen.select(col("seen_url").as("_seen_url")).distinct()
+      df = withCanon
+        .join(seenK, withCanon("_canon") === seenK("_seen_url"), "left")
+        .withColumn("frontier_verdict", when(col("_canon").isNotNull,
+          struct(col("_canon").as("canonical_url"),
+            col("_seen_url").isNotNull.cast("int").as("already_fetched"))))
+        .drop("_canon", "_seen_url")
+    }
     df
   }
 
@@ -250,7 +282,7 @@ object Landing {
     * date partition, all stamped from one `ts` expression.
     */
   private def landingProjection(validated: DataFrame, ts: Column): DataFrame = {
-    val extra = Seq("split", "media_meta", "dup_verdict")
+    val extra = Seq("split", "media_meta", "dup_verdict", "frontier_verdict")
       .filter(validated.columns.contains).map(col)
     validated.select(
       Seq(col("record"),

@@ -591,4 +591,49 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(sv === bvs, "batch and stream stamped different dup verdicts")
   }
+
+  test("frontier at landing: canonical seen-set verdict, batch ≡ stream") {
+    // the seen-set snapshot a crawler's frontier store materializes —
+    // CANONICAL urls (what q91/q94 publish)
+    val seen = Seq("https://site1.example.com/a/1", "https://other.example.net/x")
+      .toDF("seen_url")
+    // a re-discovery under a MESSY spelling (case + default port +
+    // trailing slash + tracking param) — only canonicalization at the
+    // landing edge can recognize it as already fetched
+    val lDup =
+      """{"_LOAD_ID":"d1","url":"HTTPS://Site1.Example.Com:443/a/1/?utm_source=f"}"""
+    val lNew = """{"_LOAD_ID":"n1","url":"https://site2.example.com/b/9"}"""
+    val lCtrl = """{"_LOAD_ID":"c1","kind":"control"}"""
+    val stages = Some(Landing.IngestStages(frontierSeen = Some(("$.url", seen))))
+
+    val baseB = Files.createTempDirectory("graft_frontier_b").toString
+    Landing.landBatch(Seq(lDup, lNew, lCtrl).toDF("value"),
+      s"$baseB/landing", stages = stages)
+    val b = spark.read.parquet(s"$baseB/landing")
+    val bv = b.select(col("record"), col("frontier_verdict")).collect()
+      .map(r => r.getString(0) -> Option(r.get(1))
+        .map(_.asInstanceOf[org.apache.spark.sql.Row])).toMap
+    val dup = bv.keys.find(_.contains("\"d1\"")).map(bv).get.get
+    assert(dup.getAs[String]("canonical_url") === "https://site1.example.com/a/1")
+    assert(dup.getAs[Int]("already_fetched") === 1)
+    val novel = bv.keys.find(_.contains("\"n1\"")).map(bv).get.get
+    assert(novel.getAs[Int]("already_fetched") === 0)
+    assert(bv.keys.find(_.contains("\"c1\"")).map(bv).get === None,
+      "url-less control line grew a frontier verdict")
+
+    // the same delivery through the streaming path stamps identically
+    val base = Files.createTempDirectory("graft_frontier_s").toString
+    val in = s"$base/in"; new java.io.File(in).mkdirs()
+    Files.write(java.nio.file.Paths.get(s"$in/d1.ndjson"),
+      Seq(lDup, lNew, lCtrl).mkString("\n").getBytes)
+    val q = Landing.landStreamBounded(spark, in, s"$base/landing",
+      s"$base/ckpt", stages = stages)
+    q.awaitTermination(60000)
+    val sv = spark.read.parquet(s"$base/landing")
+      .select(col("record"), col("frontier_verdict").cast("string"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val bvs = b.select(col("record"), col("frontier_verdict").cast("string"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sv === bvs, "batch and stream stamped different frontier verdicts")
+  }
 }
