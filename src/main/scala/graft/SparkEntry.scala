@@ -121,6 +121,7 @@ object SparkEntry {
     "q97_crawl_intake" -> (Crawl.q97CrawlIntake _),
     "q98_robots_gate" -> (Crawl.q98RobotsGate _),
     "q99_http_envelope" -> (Crawl.q99HttpEnvelope _),
+    "q100_semantic_decon" -> (Similarity.q100SemanticDecon _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1225,6 +1226,22 @@ object SparkEntry {
         "WHEN doc_id % 10 = 4 THEN CAST(octet_length(encode(body404)) AS BIGINT) " +
         "ELSE CAST(octet_length(encode(body200)) AS BIGINT) END AS body_len " +
         "FROM b"),
+    // q100: the oracle replays the full brute-force meet (every train ×
+    // holdout cosine at 6 dp — q19/q25's proven list_cosine_similarity
+    // parity), the rounded-threshold compare, and the lowest-id tie rule
+    // as a max-then-min join, so the struct-max spelling cannot drift
+    "q100_semantic_decon" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "t AS (SELECT * FROM e WHERE vec_id % 10 <> 7), " +
+        "h AS (SELECT vec_id AS h_id, v AS hv FROM e WHERE vec_id % 10 = 7), " +
+        "p AS (SELECT t.vec_id, h.h_id, " +
+        "round(list_cosine_similarity(t.v, h.hv), 6) AS s FROM t CROSS JOIN h), " +
+        "m AS (SELECT vec_id, max(s) AS max_sim FROM p GROUP BY vec_id), " +
+        "r AS (SELECT p.vec_id, m.max_sim, min(p.h_id) AS src_holdout " +
+        "FROM p JOIN m ON p.vec_id = m.vec_id AND p.s = m.max_sim " +
+        "GROUP BY p.vec_id, m.max_sim) " +
+        "SELECT vec_id, max_sim, src_holdout, " +
+        "CAST(max_sim >= 0.34 AS INTEGER) AS contaminated FROM r"),
     // q85/q86: the merge count is a FIXED small constant, so the
     // "iterative" training loop unrolls into 10 chained CTE rounds — no
     // recursion needed. Each round replays the trainer exactly: adjacency

@@ -557,4 +557,78 @@ object Similarity {
     annCosinePQOn(
       Tables.load(spark, dir, "embeddings")
         .select(col("vec_id"), toDoubleArray(col("embedding")).as("v")))
+
+  /** Q100: SEMANTIC decontamination — the embedding-space sibling of
+    * q45/q63's n-gram overlap (a paraphrased benchmark item shares no
+    * 8-gram with its source; it DOES sit next to it in embedding space —
+    * the leakage class lexical decontamination cannot see): every train
+    * vector scored by its maximum cosine against the holdout set
+    * (`vec_id % 10 == 7` — the held-out benchmark embeddings), flagged
+    * `contaminated` when the 6-dp-ROUNDED max meets the q44-convention
+    * 0.34 threshold (rounded-compare, the q65 rule), with the
+    * nearest holdout id as evidence (ties total by lowest id via the
+    * struct-max key — the oracle replays the same tie rule as a
+    * max-then-min-join).
+    *
+    * Scale shape: the holdout is a benchmark suite — DIM-SIZED BY NATURE
+    * (thousands of items, not corpus-scale), so it BROADCASTS and the
+    * train side streams map-side with the codegen'd dot kernel paying
+    * one corpus-sized aggregation keyed by vec_id; exactly q45's
+    * broadcast-holdout premise lifted to embedding space. A holdout too
+    * big to broadcast swaps in the q26 LSH-band meet (the q63
+    * discipline), trading the exact max for a recall-gated one.
+    */
+  def q100SemanticDecon(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+    val train = e.filter(col("vec_id") % 10 =!= 7)
+    val hold = e.filter(col("vec_id") % 10 === 7)
+      .select(col("vec_id").as("h_id"), col("v").as("hv"))
+    val sims = train.crossJoin(broadcast(hold))
+      .select(col("vec_id"),
+        round(cosine(col("v"), col("hv")), 6).as("s"), col("h_id"))
+    sims.groupBy("vec_id")
+      .agg(max(struct(col("s").as("s"), (-col("h_id")).as("nh"))).as("m"))
+      .select(col("vec_id"), col("m.s").as("max_sim"),
+        (-col("m.nh")).cast("long").as("src_holdout"),
+        (col("m.s") >= 0.34).cast("int").as("contaminated"))
+  }
+
+  /** The holdout-too-big-to-broadcast swap for [[q100SemanticDecon]] —
+    * the q63 discipline as TESTED CODE: both sides hash into the SAME
+    * LSH band tables (the shared murmur3 hyperplane scheme, so train and
+    * holdout bucket identically by construction), candidates are the
+    * (band, bucket) meets, and the exact kernel re-ranks only
+    * candidates. The trade is explicit: the banded max is a LOWER bound
+    * on the exact max (a missed pair can only lower it), so every banded
+    * `contaminated` flag is also an exact flag — containment pinned in
+    * DecontaminateSpec, recall gated there too. Train vectors with no
+    * candidate at all stay visible with NULL similarity evidence
+    * (report-WHY), flagged 0.
+    */
+  def semanticDeconBandedOn(train: DataFrame, hold: DataFrame,
+                            nbits: Int = 2, bands: Int = 24,
+                            bucketCap: Int = 4096): DataFrame = {
+    val ta = bandAssignments(train, "v", nbits, bands, bucketCap)
+      .select(col("band"), col("bucket"), col("vec_id"))
+    val ha = bandAssignments(
+      hold.select(col("h_id").as("vec_id"), col("hv").as("v")),
+      "v", nbits, bands, bucketCap)
+      .select(col("band"), col("bucket"), col("vec_id").as("h_id"))
+    val cand = ta.join(ha, Seq("band", "bucket"))
+      .select("vec_id", "h_id").distinct()
+    val sims = cand
+      .join(train.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .join(hold, Seq("h_id"))
+      .select(col("vec_id"),
+        round(cosine(col("v"), col("hv")), 6).as("s"), col("h_id"))
+    val agg = sims.groupBy("vec_id")
+      .agg(max(struct(col("s").as("s"), (-col("h_id")).as("nh"))).as("m"))
+      .select(col("vec_id"), col("m.s").as("max_sim"),
+        (-col("m.nh")).cast("long").as("src_holdout"))
+    train.select("vec_id").join(agg, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("max_sim"), col("src_holdout"),
+        coalesce((col("max_sim") >= 0.34).cast("int"), lit(0))
+          .as("contaminated"))
+  }
 }

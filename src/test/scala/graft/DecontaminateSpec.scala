@@ -83,4 +83,51 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"holdout join lost its broadcast:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q100 semantic decon discriminates, and the banded swap is contained") {
+    import org.apache.spark.sql.functions._
+    val exact = graft.operators.Similarity
+      .q100SemanticDecon(spark, TestSpark.Sf0001).collect()
+    assert(exact.nonEmpty)
+    val flagged = exact.filter(_.getAs[Int]("contaminated") == 1)
+    assert(flagged.nonEmpty, "threshold flags nothing — not a gate")
+    assert(flagged.length < exact.length, "threshold flags everything")
+    // flag agrees with the rounded-compare rule row by row
+    exact.foreach { r =>
+      assert((r.getAs[Double]("max_sim") >= 0.34) ===
+        (r.getAs[Int]("contaminated") == 1), r.toString)
+    }
+
+    // the holdout-too-big swap: banded candidates, exact rerank. Every
+    // banded flag must be an exact flag (a missed pair only LOWERS the
+    // banded max), and recall over the exact-flagged set stays usable
+    import graft.functions.VectorOps._
+    val e = graft.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+    val train = e.filter(col("vec_id") % 10 =!= 7)
+    val hold = e.filter(col("vec_id") % 10 === 7)
+      .select(col("vec_id").as("h_id"), col("v").as("hv"))
+    val banded = graft.operators.Similarity
+      .semanticDeconBandedOn(train, hold).collect()
+    assert(banded.length === exact.length, "banded path lost train rows")
+    val exactFlag = exact.filter(_.getAs[Int]("contaminated") == 1)
+      .map(_.getLong(0)).toSet
+    val bandedFlag = banded.filter(_.getAs[Int]("contaminated") == 1)
+      .map(_.getLong(0)).toSet
+    assert(bandedFlag.subsetOf(exactFlag),
+      s"banded flagged non-contaminated ids: ${bandedFlag -- exactFlag}")
+    // at the q44 dense-threshold parameters (2 bits x 24 bands,
+    // P(miss) ~ 1.4e-5 per pair at cos 0.34) the banded meet should find
+    // essentially every flagged pair
+    val recall = if (exactFlag.isEmpty) 1.0
+      else bandedFlag.size.toDouble / exactFlag.size
+    assert(recall >= 0.9, s"banded recall $recall too low at q44 params")
+    // a banded max can never exceed the exact max for the same vector
+    val exactSim = exact.map(r => r.getLong(0) -> r.getAs[Double]("max_sim")).toMap
+    banded.foreach { r =>
+      Option(r.getAs[java.lang.Double]("max_sim")).foreach { ms =>
+        assert(ms <= exactSim(r.getLong(0)) + 1e-9, r.toString)
+      }
+    }
+  }
 }

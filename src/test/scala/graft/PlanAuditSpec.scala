@@ -619,4 +619,15 @@ class PlanAuditSpec extends AnyFunSuite {
     val df99 = graft.operators.Crawl.q99HttpEnvelope(spark, TestSpark.Sf0001)
     assert(shuffles(df99) === 0, s"expected 0 shuffles:\n${plan(df99)}")
   }
+
+  test("q100 broadcasts the holdout; one corpus exchange for the max") {
+    val df = graft.operators.Similarity.q100SemanticDecon(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    // the holdout is benchmark-sized BY NATURE — the train side must
+    // stream map-side through the dot kernel (q45's premise in embedding
+    // space); the only exchange is the per-train-vector aggregation
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"holdout lost its broadcast:\n$p")
+    assert(shuffles(df) === 1, s"expected exactly 1 shuffle:\n$p")
+  }
 }
