@@ -122,6 +122,7 @@ object SparkEntry {
     "q98_robots_gate" -> (Crawl.q98RobotsGate _),
     "q99_http_envelope" -> (Crawl.q99HttpEnvelope _),
     "q100_semantic_decon" -> (Similarity.q100SemanticDecon _),
+    "q101_image_dedup" -> (Multimodal.q101ImageDedup _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1242,6 +1243,44 @@ object SparkEntry {
         "GROUP BY p.vec_id, m.max_sim) " +
         "SELECT vec_id, max_sim, src_holdout, " +
         "CAST(max_sim >= 0.34 AS INTEGER) AS contaminated FROM r"),
+    // q101: the oracle recomputes the 64-bit average-hash CELL BY CELL
+    // from the image-space residue maps (floor grid mapping, Rec.601
+    // integer luma, floor mean, strict-above bits, LSB-first packing
+    // rebuilt through HUGEINT row-byte arithmetic with the two's-
+    // complement fold), so a grid, orientation, mean, or bit-order slip
+    // in the kernel cannot cancel; grouping replays the window
+    "q101_image_dedup" ->
+      ("WITH g AS (SELECT doc_id, " +
+        "CASE WHEN doc_id % 6 = 5 THEN doc_id - 1 ELSE doc_id END AS sid " +
+        "FROM documents), " +
+        "dims AS (SELECT doc_id, sid, sid % 7 + 1 AS w, sid % 5 + 1 AS h FROM g), " +
+        "cell AS (SELECT doc_id, gy, gx, " +
+        "(299 * ((sid * 2 + (gx * w // 8) + (gy * h // 8) * 11) % 256) + " +
+        "587 * ((sid * 3 + (gx * w // 8) * 5 + (gy * h // 8)) % 256) + " +
+        "114 * ((sid + (gx * w // 8) * 7 + (gy * h // 8) * 13) % 256)) // 1000 AS l " +
+        "FROM dims, UNNEST(range(0, 8)) AS ty(gy), UNNEST(range(0, 8)) AS tx(gx) " +
+        "WHERE doc_id % 11 <> 3), " +
+        "m AS (SELECT doc_id, sum(l) // 64 AS mean FROM cell GROUP BY doc_id), " +
+        "rowb AS (SELECT c.doc_id, c.gy, " +
+        "sum(CASE WHEN c.l > m.mean THEN CAST(1 AS BIGINT) << c.gx ELSE 0 END) AS rb " +
+        "FROM cell c JOIN m ON c.doc_id = m.doc_id GROUP BY c.doc_id, c.gy), " +
+        "hug AS (SELECT doc_id, sum(CAST(rb AS HUGEINT) * CAST(mult AS HUGEINT)) AS hv " +
+        "FROM rowb JOIN (VALUES (0, 1), (1, 256), (2, 65536), (3, 16777216), " +
+        "(4, 4294967296), (5, 1099511627776), (6, 281474976710656), " +
+        "(7, 72057594037927936)) AS mt(gy2, mult) ON rowb.gy = mt.gy2 " +
+        "GROUP BY doc_id), " +
+        "hh AS (SELECT doc_id, CAST(CASE WHEN hv >= CAST('9223372036854775808' AS HUGEINT) " +
+        "THEN hv - CAST('18446744073709551616' AS HUGEINT) ELSE hv END AS BIGINT) AS ahash " +
+        "FROM hug), " +
+        "fl AS (SELECT d.doc_id, " +
+        "CASE WHEN d.doc_id % 11 = 3 THEN 'truncated' " +
+        "WHEN d.doc_id % 2 = 0 THEN 'bmp24' ELSE 'bmp32' END AS container, " +
+        "hh.ahash FROM documents d LEFT JOIN hh ON d.doc_id = hh.doc_id) " +
+        "SELECT doc_id, container, ahash, " +
+        "CASE WHEN ahash IS NOT NULL THEN min(doc_id) OVER (PARTITION BY ahash) END AS rep, " +
+        "CASE WHEN ahash IS NOT NULL THEN " +
+        "CAST(min(doc_id) OVER (PARTITION BY ahash) < doc_id AS INTEGER) END AS is_dup " +
+        "FROM fl"),
     // q85/q86: the merge count is a FIXED small constant, so the
     // "iterative" training loop unrolls into 10 chained CTE rounds — no
     // recursion needed. Each round replays the trainer exactly: adjacency

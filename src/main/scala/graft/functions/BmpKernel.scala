@@ -226,6 +226,92 @@ object BmpEval {
   }
 }
 
+object BmpHashEval {
+  /** 64-bit average-hash (aHash) of a BI_RGB 24/32bpp BMP — the
+    * perceptual fingerprint image dedup keys on: an 8×8 grid sampled by
+    * the SAME floor mapping the resampler uses (`sx = gx·w/8` in IMAGE
+    * coordinates, so bottom-up and top-down containers of the same
+    * picture hash identically), Rec.601 integer luma per cell
+    * (`(299R+587G+114B)/1000` — the BmpLuma spelling), floor mean, and
+    * bit `gy·8+gx` (LSB first) set iff the cell is STRICTLY above the
+    * mean. Byte-identical re-encodes across containers collide exactly;
+    * a brightness-nudged copy lands a few bits away (Hamming via
+    * `bit_count(a ^ b)` on the long). NULL on anything the pixel walk
+    * refuses (not BI_RGB 24/32, truncated pixel array, bad dims).
+    */
+  def aHash(bb: Array[Byte]): java.lang.Long = {
+    if (bb == null) return null
+    def le16(o: Int): Int = (bb(o) & 0xFF) | ((bb(o + 1) & 0xFF) << 8)
+    def le32(o: Int): Long =
+      ((bb(o) & 0xFF) | ((bb(o + 1) & 0xFF) << 8) | ((bb(o + 2) & 0xFF) << 16) |
+        ((bb(o + 3) & 0xFF) << 24)) & 0xFFFFFFFFL
+    if (bb.length < 54 || bb(0) != 0x42 || bb(1) != 0x4D) return null
+    val off = le32(10)
+    if (le32(14) < 40L) return null
+    val w = le32(18).toInt
+    val rawH = le32(22).toInt
+    val bpp = le16(28)
+    if (w <= 0 || rawH == 0 || le16(26) != 1 || le32(30) != 0L ||
+      (bpp != 24 && bpp != 32)) return null
+    val h = math.abs(rawH)
+    val topDown = rawH < 0
+    val bytesPp = bpp / 8
+    val rowSize = (bytesPp.toLong * w + 3L) & ~3L
+    if (off + rowSize * h > bb.length) return null
+    val luma = new Array[Int](64)
+    var sum = 0
+    var gy = 0
+    while (gy < 8) {
+      val iy = gy * h / 8
+      val fileRow = if (topDown) iy else h - 1 - iy
+      val base = off + fileRow * rowSize
+      var gx = 0
+      while (gx < 8) {
+        val sx = gx * w / 8
+        val p = (base + sx.toLong * bytesPp).toInt
+        val b = bb(p) & 0xFF; val g = bb(p + 1) & 0xFF; val r = bb(p + 2) & 0xFF
+        val l = (299 * r + 587 * g + 114 * b) / 1000
+        luma(gy * 8 + gx) = l; sum += l
+        gx += 1
+      }
+      gy += 1
+    }
+    val mean = sum / 64
+    var hash = 0L
+    var i = 0
+    while (i < 64) { if (luma(i) > mean) hash |= 1L << i; i += 1 }
+    java.lang.Long.valueOf(hash)
+  }
+}
+
+/** `binary -> long`: 64-bit perceptual average-hash via
+  * [[BmpHashEval.aHash]] — the key of q101's cross-container image
+  * dedup.
+  */
+case class BmpAHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_bmp_ahash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val r = BmpHashEval.aHash(input.asInstanceOf[Array[Byte]])
+    if (r == null) null else r.longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, bytes => {
+      val res = ctx.freshName("ahash")
+      s"""
+         |java.lang.Long $res = graft.functions.BmpHashEval.aHash($bytes);
+         |if ($res == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $res.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BmpAHash =
+    copy(child = newChild)
+}
+
 /** `(binary, int) -> binary`: the EXECUTED resize — nearest-neighbor
   * resample of a BI_RGB BMP to the geometry [[graft.operators.Multimodal
   * .resizeDims]] plans (see [[BmpEval.resize]] for the exact contract).

@@ -177,6 +177,14 @@ object ImageOps {
     ColumnBridge.column(BmpResize(
       ColumnBridge.expression(bin.cast("binary")),
       ColumnBridge.expression(maxEdge.cast("int"))))
+
+  /** 64-bit perceptual average-hash of a BI_RGB BMP ([[BmpAHash]]) —
+    * orientation-normalized image-space sampling, so the same picture in
+    * bottom-up and top-down containers hashes identically. NULL on
+    * undecodable input.
+    */
+  def bmpAHash(bin: Column): Column =
+    ColumnBridge.column(BmpAHash(ColumnBridge.expression(bin.cast("binary"))))
 }
 
 object AudioOps {

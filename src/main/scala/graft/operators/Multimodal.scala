@@ -970,4 +970,79 @@ object Multimodal {
     mediaManifestOn(docs, id, payload,
       nFrames = when(id % 6 === 3, (id % 240 + 1).cast("int")))
   }
+
+  // ---------------------------------------------------------------- q101
+
+  /** q101-specific hex builders: like [[synthBmp24Hex]]/[[synthBmp32Hex]]
+    * but with IMAGE-SPACE channel maps — the bottom-up container writes
+    * its file rows in REVERSE map order, so map row `iy` is image row
+    * `iy` in BOTH containers. That is the property the dedup needs: a
+    * re-encode of the same picture into the other container must carry
+    * the same image, not its vertical flip.
+    */
+  private def synthBmp24ImgHex(sid: Column, w: Column, h: Column): Column = {
+    val pad = pmod(lit(4) - pmod(w * 3, lit(4)), lit(4))
+    val rows = transform(sequence(h - 1, lit(0), lit(-1)), iy =>
+      concat(
+        array_join(transform(sequence(lit(0), w - 1), x =>
+          concat(hx2(bmpB(sid, x, iy)), hx2(bmpG(sid, x, iy)),
+            hx2(bmpR(sid, x, iy)))), ""),
+        repeat(lit("00"), pad)))
+    concat(synthBmpHeaderHex(lit(54) + (w * 3 + pad) * h, w, h, lit(24)),
+      array_join(rows, ""))
+  }
+
+  private def synthBmp32ImgHex(sid: Column, w: Column, h: Column): Column = {
+    val rows = transform(sequence(lit(0), h - 1), iy =>
+      array_join(transform(sequence(lit(0), w - 1), x =>
+        concat(hx2(bmpB(sid, x, iy)), hx2(bmpG(sid, x, iy)),
+          hx2(bmpR(sid, x, iy)), lit("FF"))), ""))
+    concat(synthBmpHeaderHex(lit(54) + w * 4 * h, w,
+      lit(4294967296L) - h, lit(32)),
+      array_join(rows, ""))
+  }
+
+  /** Q101: PERCEPTUAL image dedup — the multimodal rung of the dedup
+    * ladder (q21 hashes bytes, q79 embeds semantics; this hashes what
+    * the image LOOKS like): every payload keyed by the codegen'd 64-bit
+    * average-hash ([[graft.functions.BmpAHash]] — 8×8 image-space grid,
+    * Rec.601 luma, strict-above-floor-mean bits), then exact-hash groups
+    * collapse to the lowest doc_id. The case that makes perceptual
+    * hashing necessary is synthesized in: `%6==5` docs RE-ENCODE their
+    * predecessor's picture into the OTHER container class (24bpp
+    * bottom-up ↔ 32bpp top-down — different bytes, different md5, same
+    * image), and the hash must collide exactly; `%11==3` truncated
+    * payloads refuse with NULL (q59's stop rule) and stay out of every
+    * group. Hamming-banded near-dup on the same key is q22/q44's band
+    * machinery applied to hash bits (16-bit bands of the long) — exact
+    * groups are this query's contract.
+    *
+    * Scale shape: one narrow kernel pass, then ONE hash shuffle on the
+    * 8-byte key (the window's partition) — image dedup at corpus scale
+    * moves fingerprints, never pixels.
+    */
+  def q101ImageDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val sid = when(id % 6 === 5, id - 1).otherwise(id)
+    val w = (sid % 7 + 1).cast("int")
+    val h = (sid % 5 + 1).cast("int")
+    val payload =
+      when(id % 11 === 3,
+        unhex(concat(synthBmpHeaderHex(lit(55), w, h, lit(24)), lit("00"))))
+        .when(id % 2 === 0, unhex(synthBmp24ImgHex(sid, w, h)))
+        .otherwise(unhex(synthBmp32ImgHex(sid, w, h)))
+    val wnd = Window.partitionBy("ahash")
+    docs.select(id, payload.as("_p"))
+      .select(id,
+        when(id % 11 === 3, "truncated")
+          .when(id % 2 === 0, "bmp24").otherwise("bmp32").as("container"),
+        graft.functions.ImageOps.bmpAHash(col("_p")).as("ahash"))
+      .withColumn("_rep", min(col("doc_id")).over(wnd))
+      .select(id, col("container"), col("ahash"),
+        when(col("ahash").isNotNull, col("_rep")).as("rep"),
+        when(col("ahash").isNotNull,
+          (col("_rep") < id).cast("int")).as("is_dup"))
+  }
 }

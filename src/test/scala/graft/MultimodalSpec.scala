@@ -955,4 +955,95 @@ class MultimodalSpec extends AnyFunSuite {
     assert(byFormat.keySet === Set("unknown"))
     assert(byFormat.values.sum === 500L)
   }
+
+  /** Hand-built BMPs for the aHash drills — real bytes, not the
+    * operator's own synthesis. `img(y)(x) = (r, g, b)` in IMAGE space.
+    */
+  private def bmp24BottomUp(img: Array[Array[(Int, Int, Int)]]): Array[Byte] = {
+    val h = img.length; val w = img(0).length
+    val pad = (4 - (w * 3) % 4) % 4
+    val out = java.nio.ByteBuffer.allocate(54 + (w * 3 + pad) * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(54 + (w * 3 + pad) * h)
+      .putInt(0).putInt(54).putInt(40).putInt(w).putInt(h)
+      .putShort(1).putShort(24).putInt(0).putInt(0)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    for (fy <- 0 until h; iy = h - 1 - fy) {
+      for (x <- 0 until w) {
+        val (r, g, b) = img(iy)(x)
+        out.put(b.toByte).put(g.toByte).put(r.toByte)
+      }
+      (0 until pad).foreach(_ => out.put(0.toByte))
+    }
+    out.array()
+  }
+
+  private def bmp32TopDown(img: Array[Array[(Int, Int, Int)]]): Array[Byte] = {
+    val h = img.length; val w = img(0).length
+    val out = java.nio.ByteBuffer.allocate(54 + w * 4 * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(54 + w * 4 * h)
+      .putInt(0).putInt(54).putInt(40).putInt(w).putInt(-h)
+      .putShort(1).putShort(32).putInt(0).putInt(0)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    for (iy <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = img(iy)(x)
+      out.put(b.toByte).put(g.toByte).put(r.toByte).put(0xFF.toByte)
+    }
+    out.array()
+  }
+
+  test("aHash: container-invariant on the same picture, flip-sensitive") {
+    import graft.functions.BmpHashEval
+    val white = (255, 255, 255); val black = (0, 0, 0)
+    val img = Array(Array(white, black), Array(black, black))
+    val a24 = BmpHashEval.aHash(bmp24BottomUp(img))
+    val a32 = BmpHashEval.aHash(bmp32TopDown(img))
+    assert(a24 != null && a24 === a32,
+      "the same picture must hash identically in both containers")
+    // vertically flipped picture: a kernel sampling FILE rows instead of
+    // IMAGE rows would return a24 here and break cross-container dedup
+    val flipped = img.reverse
+    assert(BmpHashEval.aHash(bmp24BottomUp(flipped)) !== a24)
+    // undecodable inputs refuse
+    assert(BmpHashEval.aHash("not a bmp".getBytes("UTF-8")) === null)
+    assert(BmpHashEval.aHash(bmp24BottomUp(img).take(60)) === null)
+  }
+
+  test("aHash: interpreted eval agrees with the codegen'd column path") {
+    import graft.functions.{BmpHashEval, ImageOps}
+    val img = Array(
+      Array((10, 200, 30), (250, 250, 250)),
+      Array((0, 0, 0), (128, 64, 32)))
+    val vectors = Seq(bmp24BottomUp(img), bmp32TopDown(img),
+      "junk".getBytes("UTF-8"))
+    vectors.foreach { bytes =>
+      val di = Option(BmpHashEval.aHash(bytes)).map(_.longValue())
+      val dc = spark.range(1)
+        .select(ImageOps.bmpAHash(lit(bytes)).as("h"))
+        .collect().headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+      assert(di === dc, "ahash parity")
+    }
+  }
+
+  test("q101: cross-container re-encodes collide; truncated rows stay out") {
+    val rows = Multimodal.q101ImageDedup(spark, TestSpark.Sf0001)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 5 re-encodes doc 4's picture (24bpp -> 32bpp): different
+    // bytes, same image, same hash, grouped under the lower id
+    val orig = rows(4L); val copy = rows(5L)
+    assert(orig.getAs[String]("container") === "bmp24")
+    assert(copy.getAs[String]("container") === "bmp32")
+    assert(copy.getAs[Long]("ahash") === orig.getAs[Long]("ahash"))
+    assert(copy.getAs[Long]("rep") === 4L && copy.getAs[Int]("is_dup") === 1)
+    assert(orig.getAs[Int]("is_dup") === 0)
+    // every truncated row refuses with NULLs
+    rows.values.filter(_.getAs[String]("container") == "truncated").foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("ahash")) && r.isNullAt(r.fieldIndex("rep")))
+    }
+    // copy classes exist beyond the single drilled pair
+    val dups = rows.values.count(r => !r.isNullAt(r.fieldIndex("is_dup")) &&
+      r.getAs[Int]("is_dup") == 1)
+    assert(dups > 10, s"expected a dup population, got $dups")
+  }
 }

@@ -620,6 +620,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles(df99) === 0, s"expected 0 shuffles:\n${plan(df99)}")
   }
 
+  test("q101 image dedup: one fingerprint shuffle, pixels never move twice") {
+    val df = graft.operators.Multimodal.q101ImageDedup(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    // the kernel runs once per row; the only exchange moves the 8-byte
+    // hash (the window key) — image dedup at scale ships fingerprints,
+    // not pixels
+    val n = java.util.regex.Pattern.quote("graft_bmp_ahash(").r.findAllIn(p).length
+    assert(n === 1, s"expected 1 graft_bmp_ahash in the plan, found $n:\n$p")
+    assert(shuffles(df) === 1, s"expected exactly 1 shuffle:\n$p")
+  }
+
   test("q100 broadcasts the holdout; one corpus exchange for the max") {
     val df = graft.operators.Similarity.q100SemanticDecon(spark, TestSpark.Sf0001)
     val p = plan(df)

@@ -61,4 +61,26 @@ class PropertySpec extends AnyFunSuite {
       assert(CursorOffset.fromJson(o.json()) === o)
     }
   }
+
+  test("canonicalUrl is idempotent over arbitrary messy URLs") {
+    // the frontier invariant: a canonical key re-canonicalizes to itself,
+    // or the seen-set could disagree with its own entries
+    import spark.implicits._
+    val gen = for {
+      scheme <- Gen.oneOf("http", "HTTP", "https", "HTTPS", "Https")
+      host <- Gen.oneOf("A.Example.COM", "site7.example.com", "X.co.uk")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      path <- Gen.oneOf("", "/", "/A/b", "/a/b/", "/x//", "/p%20q")
+      query <- Gen.oneOf("", "?utm_source=a", "?id=1&utm_x=2", "?b=2&a=1", "?fbclid=z")
+      frag <- Gen.oneOf("", "#f", "#/deep")
+    } yield s"$scheme://$host$port$path$query$frag"
+    val urls = samples(gen, 300).distinct
+    val once = urls.toDF("u")
+      .select(graft.operators.Text.canonicalUrl(col("u")).as("c"))
+      .as[String].collect()
+    val twice = once.toSeq.toDF("u")
+      .select(graft.operators.Text.canonicalUrl(col("u")).as("c"))
+      .as[String].collect()
+    assert(once.toSeq === twice.toSeq, "canonicalization is not idempotent")
+  }
 }
