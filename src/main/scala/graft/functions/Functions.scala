@@ -364,6 +364,10 @@ object GzipOps {
   def gunzip(bin: Column): Column =
     ColumnBridge.column(GunzipBytes(ColumnBridge.expression(bin.cast("binary"))))
 
+  /** Concatenated multi-member decode — the `.warc.gz` layout. */
+  def gunzipConcat(bin: Column): Column =
+    ColumnBridge.column(GunzipConcatBytes(ColumnBridge.expression(bin.cast("binary"))))
+
   /** FNAME from the header alone (no decompression); NULL when absent. */
   def gzipName(bin: Column): Column =
     ColumnBridge.column(GzipFileName(ColumnBridge.expression(bin.cast("binary"))))

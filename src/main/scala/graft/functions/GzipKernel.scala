@@ -147,6 +147,49 @@ object GzipEval {
     if ((payload.length.toLong & 0xffffffffL) != le32(t + 4)) return null
     payload
   }
+
+  /** Concatenated-member decode — the ACTUAL `.warc.gz` layout (one gzip
+    * member per WARC record, members back to back; RFC 1952 §2.2 requires
+    * multi-member support): every member's payload, concatenated, or
+    * null if ANY member is defective (the q82 stop-don't-guess stance —
+    * a reader that silently drops the damaged tail hides data loss).
+    * Member boundaries come from the inflater's consumed-byte count, the
+    * only place they are knowable.
+    */
+  def gunzipConcat(b: Array[Byte]): Array[Byte] = {
+    if (b == null || b.length == 0) return null
+    val out = new java.io.ByteArrayOutputStream(b.length * 3 + 32)
+    var start = 0
+    while (start < b.length) {
+      val member = java.util.Arrays.copyOfRange(b, start, b.length)
+      val bodyAt = bodyStart(member)
+      if (bodyAt < 0) return null
+      val inf = infl.get(); inf.reset()
+      inf.setInput(member, bodyAt, member.length - bodyAt)
+      val buf = drain.get()
+      val payload = new java.io.ByteArrayOutputStream(1024)
+      try {
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          if (n > 0) payload.write(buf, 0, n)
+          else if (!inf.finished()) return null
+        }
+      } catch { case _: java.util.zip.DataFormatException => return null }
+      val consumed = member.length - bodyAt - inf.getRemaining
+      val trailerAt = bodyAt + consumed
+      if (trailerAt + 8 > member.length) return null
+      val pb = payload.toByteArray
+      val c = crc32.get(); c.reset(); c.update(pb)
+      def le32m(off: Int): Long =
+        (member(off) & 0xffL) | ((member(off + 1) & 0xffL) << 8) |
+          ((member(off + 2) & 0xffL) << 16) | ((member(off + 3) & 0xffL) << 24)
+      if (c.getValue != le32m(trailerAt)) return null
+      if ((pb.length.toLong & 0xffffffffL) != le32m(trailerAt + 4)) return null
+      out.write(pb, 0, pb.length)
+      start += trailerAt + 8
+    }
+    out.toByteArray
+  }
 }
 
 /** `(binary, string) -> binary`: deterministic gzip member; an empty name
@@ -191,6 +234,31 @@ case class GunzipBytes(child: Expression) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): GunzipBytes =
+    copy(child = newChild)
+}
+
+/** `binary -> binary`: concatenated multi-member decode — the `.warc.gz`
+  * layout ([[GzipEval.gunzipConcat]]); null if any member is defective.
+  */
+case class GunzipConcatBytes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_gunzip_concat"
+
+  override protected def nullSafeEval(bin: Any): Any =
+    GzipEval.gunzipConcat(bin.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, bytes => {
+      val res = ctx.freshName("gunzipAll")
+      s"""
+         |byte[] $res = graft.functions.GzipEval.gunzipConcat($bytes);
+         |if ($res == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $res; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): GunzipConcatBytes =
     copy(child = newChild)
 }
 

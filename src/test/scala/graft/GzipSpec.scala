@@ -69,6 +69,33 @@ class GzipSpec extends AnyFunSuite {
     assert(new String(GzipEval.gzipName(flip(good.length - 8)), "UTF-8") === "f.txt")
   }
 
+  /** Two back-to-back CPython members — the actual `.warc.gz` layout. */
+  private val TwoMembers = unhex(
+    "1f8b08000000000002030b770c7256284a4dce2f4a51c8cf4b55000013c416a210000000" +
+      "1f8b08000000000002034bcc4b51284a4dce2f4a512829cf0700c192873a0e000000")
+
+  test("multi-member decode concatenates payloads; any bad member refuses all") {
+    assert(new String(GzipEval.gunzipConcat(TwoMembers), "UTF-8") ===
+      "WARC record one and record two")
+    // single members decode through the same path
+    assert(new String(GzipEval.gunzipConcat(PyFixture), "UTF-8") ===
+      "hello graft engine")
+    // the strict single-member decoder refuses the concatenation (its
+    // contract is ONE member, trailing bytes are garbage)
+    assert(GzipEval.gunzip(TwoMembers) === null)
+    // a damaged SECOND member kills the whole stream — silent tail drop
+    // would hide data loss
+    val broken = TwoMembers.clone()
+    broken(broken.length - 12) = (broken(broken.length - 12) ^ 0x5a).toByte
+    assert(GzipEval.gunzipConcat(broken) === null)
+    assert(GzipEval.gunzipConcat(TwoMembers.dropRight(5)) === null)
+    // column path parity
+    val viaCol = spark.range(1)
+      .select(GzipOps.gunzipConcat(lit(TwoMembers)).as("d"))
+      .head().getAs[Array[Byte]](0)
+    assert(new String(viaCol, "UTF-8") === "WARC record one and record two")
+  }
+
   test("interpreted eval agrees with the codegen'd column path") {
     val good = GzipEval.gzip("parity check payload".getBytes("UTF-8"),
       "p.bin".getBytes("UTF-8"))
