@@ -123,6 +123,7 @@ object SparkEntry {
     "q99_http_envelope" -> (Crawl.q99HttpEnvelope _),
     "q100_semantic_decon" -> (Similarity.q100SemanticDecon _),
     "q101_image_dedup" -> (Multimodal.q101ImageDedup _),
+    "q102_image_neardup" -> (Multimodal.q102ImageNearDup _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1250,28 +1251,8 @@ object SparkEntry {
     // complement fold), so a grid, orientation, mean, or bit-order slip
     // in the kernel cannot cancel; grouping replays the window
     "q101_image_dedup" ->
-      ("WITH g AS (SELECT doc_id, " +
-        "CASE WHEN doc_id % 6 = 5 THEN doc_id - 1 ELSE doc_id END AS sid " +
-        "FROM documents), " +
-        "dims AS (SELECT doc_id, sid, sid % 7 + 1 AS w, sid % 5 + 1 AS h FROM g), " +
-        "cell AS (SELECT doc_id, gy, gx, " +
-        "(299 * ((sid * 2 + (gx * w // 8) + (gy * h // 8) * 11) % 256) + " +
-        "587 * ((sid * 3 + (gx * w // 8) * 5 + (gy * h // 8)) % 256) + " +
-        "114 * ((sid + (gx * w // 8) * 7 + (gy * h // 8) * 13) % 256)) // 1000 AS l " +
-        "FROM dims, UNNEST(range(0, 8)) AS ty(gy), UNNEST(range(0, 8)) AS tx(gx) " +
-        "WHERE doc_id % 11 <> 3), " +
-        "m AS (SELECT doc_id, sum(l) // 64 AS mean FROM cell GROUP BY doc_id), " +
-        "rowb AS (SELECT c.doc_id, c.gy, " +
-        "sum(CASE WHEN c.l > m.mean THEN CAST(1 AS BIGINT) << c.gx ELSE 0 END) AS rb " +
-        "FROM cell c JOIN m ON c.doc_id = m.doc_id GROUP BY c.doc_id, c.gy), " +
-        "hug AS (SELECT doc_id, sum(CAST(rb AS HUGEINT) * CAST(mult AS HUGEINT)) AS hv " +
-        "FROM rowb JOIN (VALUES (0, 1), (1, 256), (2, 65536), (3, 16777216), " +
-        "(4, 4294967296), (5, 1099511627776), (6, 281474976710656), " +
-        "(7, 72057594037927936)) AS mt(gy2, mult) ON rowb.gy = mt.gy2 " +
-        "GROUP BY doc_id), " +
-        "hh AS (SELECT doc_id, CAST(CASE WHEN hv >= CAST('9223372036854775808' AS HUGEINT) " +
-        "THEN hv - CAST('18446744073709551616' AS HUGEINT) ELSE hv END AS BIGINT) AS ahash " +
-        "FROM hug), " +
+      ("WITH " + ahashCellCtes("CASE WHEN doc_id % 6 = 5 THEN doc_id - 1 ELSE doc_id END", "0") +
+        ", " + AhashPackCtes + ", " +
         "fl AS (SELECT d.doc_id, " +
         "CASE WHEN d.doc_id % 11 = 3 THEN 'truncated' " +
         "WHEN d.doc_id % 2 = 0 THEN 'bmp24' ELSE 'bmp32' END AS container, " +
@@ -1281,6 +1262,24 @@ object SparkEntry {
         "CASE WHEN ahash IS NOT NULL THEN " +
         "CAST(min(doc_id) OVER (PARTITION BY ahash) < doc_id AS INTEGER) END AS is_dup " +
         "FROM fl"),
+    // q102: same hash replay with the clipped green shift in the cell
+    // luma; bands extracted from the UNSIGNED hv (floor-div + mod — a
+    // signed shift would sign-extend bit 63 into band 3), pair meet and
+    // the exact Hamming (bit_count of xor) replayed independently
+    "q102_image_neardup" ->
+      ("WITH " + ahashCellCtes(
+        "CASE WHEN doc_id % 7 IN (3, 5) THEN doc_id - 1 ELSE doc_id END",
+        "CASE WHEN doc_id % 7 = 3 THEN 40 ELSE 0 END") +
+        ", " + AhashPackCtes + ", " +
+        "bands AS (SELECT doc_id, ahash, band, " +
+        "CAST((hv // CAST(p AS HUGEINT)) % 65536 AS BIGINT) AS bval " +
+        "FROM hh, (VALUES (0, 1), (1, 65536), (2, 4294967296), " +
+        "(3, 281474976710656)) AS bp(band, p)), " +
+        "pr AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming " +
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval " +
+        "AND a.doc_id < b.doc_id) " +
+        "SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 10"),
     // q85/q86: the merge count is a FIXED small constant, so the
     // "iterative" training loop unrolls into 10 chained CTE rounds — no
     // recursion needed. Each round replays the trainer exactly: adjacency
@@ -1302,6 +1301,42 @@ object SparkEntry {
       "CASE WHEN d.text IS NULL THEN NULL ELSE COALESCE(a.n_bpe, 0) END AS n_bpe_tokens " +
       "FROM documents d LEFT JOIN agg a USING (doc_id)"),
   )
+
+  /** aHash replay, part 1 (q101/q102): the `cell` CTE — 8×8 grid lumas
+    * recomputed from the image-space residue channel maps. `sidCase`
+    * picks the source-image id; `nudgeCase` is q102's clipped green
+    * shift (0 for q101).
+    */
+  private def ahashCellCtes(sidCase: String, nudgeCase: String): String =
+    "g AS (SELECT doc_id, " + sidCase + " AS sid, " + nudgeCase + " AS nd " +
+      "FROM documents), " +
+      "dims AS (SELECT doc_id, sid, nd, sid % 13 + 4 AS w, sid % 11 + 4 AS h FROM g), " +
+      "cell AS (SELECT doc_id, gy, gx, " +
+      "(299 * ((sid * 2 + (gx * w // 8) + (gy * h // 8) * 11) % 256) + " +
+      "587 * least((sid * 3 + (gx * w // 8) * 5 + (gy * h // 8)) % 256 + nd, 255) + " +
+      "114 * ((sid + (gx * w // 8) * 7 + (gy * h // 8) * 13) % 256)) // 1000 AS l " +
+      "FROM dims, UNNEST(range(0, 8)) AS ty(gy), UNNEST(range(0, 8)) AS tx(gx) " +
+      "WHERE doc_id % 11 <> 3)"
+
+  /** aHash replay, part 2: floor mean, strict-above bits, LSB-first
+    * packing via HUGEINT row-byte arithmetic; `hh` carries the signed
+    * 64-bit `ahash` AND the unsigned `hv` (q102's band extraction reads
+    * the unsigned form — a signed right shift would sign-extend).
+    */
+  private val AhashPackCtes: String =
+    "m AS (SELECT doc_id, sum(l) // 64 AS mean FROM cell GROUP BY doc_id), " +
+      "rowb AS (SELECT c.doc_id, c.gy, " +
+      "sum(CASE WHEN c.l > m.mean THEN CAST(1 AS BIGINT) << c.gx ELSE 0 END) AS rb " +
+      "FROM cell c JOIN m ON c.doc_id = m.doc_id GROUP BY c.doc_id, c.gy), " +
+      "hug AS (SELECT doc_id, sum(CAST(rb AS HUGEINT) * CAST(mult AS HUGEINT)) AS hv " +
+      "FROM rowb JOIN (VALUES (0, 1), (1, 256), (2, 65536), (3, 16777216), " +
+      "(4, 4294967296), (5, 1099511627776), (6, 281474976710656), " +
+      "(7, 72057594037927936)) AS mt(gy2, mult) ON rowb.gy = mt.gy2 " +
+      "GROUP BY doc_id), " +
+      "hh AS (SELECT doc_id, hv, " +
+      "CAST(CASE WHEN hv >= CAST('9223372036854775808' AS HUGEINT) " +
+      "THEN hv - CAST('18446744073709551616' AS HUGEINT) ELSE hv END AS BIGINT) AS ahash " +
+      "FROM hug)"
 
   /** DuckDB replay of q93's page synthesis + extraction pipeline —
     * spliced by q93 AND q97 (whose WARC payload IS the q93 page), so the

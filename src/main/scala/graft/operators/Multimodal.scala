@@ -980,22 +980,32 @@ object Multimodal {
     * re-encode of the same picture into the other container must carry
     * the same image, not its vertical flip.
     */
-  private def synthBmp24ImgHex(sid: Column, w: Column, h: Column): Column = {
+  /** `gNudge` > 0 brightens the green channel with clipping
+    * (`min(G + nudge, 255)`) — q102's "edited copy" class: a uniform
+    * un-clipped shift moves every cell AND the mean equally (bits
+    * unchanged), so only the cells that CLIP flip bits — a small, real
+    * Hamming distance, exactly how a brightness edit perturbs an aHash.
+    */
+  private def synthBmp24ImgHex(sid: Column, w: Column, h: Column,
+                               gNudge: Column = lit(0)): Column = {
     val pad = pmod(lit(4) - pmod(w * 3, lit(4)), lit(4))
     val rows = transform(sequence(h - 1, lit(0), lit(-1)), iy =>
       concat(
         array_join(transform(sequence(lit(0), w - 1), x =>
-          concat(hx2(bmpB(sid, x, iy)), hx2(bmpG(sid, x, iy)),
+          concat(hx2(bmpB(sid, x, iy)),
+            hx2(least(bmpG(sid, x, iy) + gNudge, lit(255))),
             hx2(bmpR(sid, x, iy)))), ""),
         repeat(lit("00"), pad)))
     concat(synthBmpHeaderHex(lit(54) + (w * 3 + pad) * h, w, h, lit(24)),
       array_join(rows, ""))
   }
 
-  private def synthBmp32ImgHex(sid: Column, w: Column, h: Column): Column = {
+  private def synthBmp32ImgHex(sid: Column, w: Column, h: Column,
+                               gNudge: Column = lit(0)): Column = {
     val rows = transform(sequence(lit(0), h - 1), iy =>
       array_join(transform(sequence(lit(0), w - 1), x =>
-        concat(hx2(bmpB(sid, x, iy)), hx2(bmpG(sid, x, iy)),
+        concat(hx2(bmpB(sid, x, iy)),
+          hx2(least(bmpG(sid, x, iy) + gNudge, lit(255))),
           hx2(bmpR(sid, x, iy)), lit("FF"))), ""))
     concat(synthBmpHeaderHex(lit(54) + w * 4 * h, w,
       lit(4294967296L) - h, lit(32)),
@@ -1026,8 +1036,8 @@ object Multimodal {
     val docs = Tables.load(spark, dir, "documents")
     val id = col("doc_id")
     val sid = when(id % 6 === 5, id - 1).otherwise(id)
-    val w = (sid % 7 + 1).cast("int")
-    val h = (sid % 5 + 1).cast("int")
+    val w = (sid % 13 + 4).cast("int")
+    val h = (sid % 11 + 4).cast("int")
     val payload =
       when(id % 11 === 3,
         unhex(concat(synthBmpHeaderHex(lit(55), w, h, lit(24)), lit("00"))))
@@ -1044,5 +1054,61 @@ object Multimodal {
         when(col("ahash").isNotNull, col("_rep")).as("rep"),
         when(col("ahash").isNotNull,
           (col("_rep") < id).cast("int")).as("is_dup"))
+  }
+
+  /** Q102: Hamming-banded image NEAR-dup — q22's band discipline applied
+    * to q101's perceptual hash bits (an exact-hash group catches only
+    * byte-faithful re-encodes; an EDITED copy — brightness shift, small
+    * crop — lands a few bits away and needs a near meet): the 64-bit
+    * aHash splits into 4×16-bit bands, docs sharing ANY band become
+    * candidate pairs, and the exact Hamming distance
+    * (`bit_count(a XOR b)`) keeps pairs ≤ 10. By pigeonhole a pair
+    * within Hamming 3 ALWAYS shares a band; beyond that, banding trades
+    * recall for never going all-pairs — q22's exact trade, stated.
+    * Synthesis adds the `%7==3` class: the predecessor's picture with a
+    * clipped +40 green shift (uniform un-clipped shift moves every cell
+    * and the mean equally — only CLIPPING cells flip bits, a real
+    * brightness-edit perturbation); `%7==5` exact re-encodes arrive at
+    * Hamming 0 through the same meet.
+    *
+    * Scale shape: candidates ride the (band, value) hash shuffle —
+    * 8-byte keys, never pixels; the 16-bit band space bounds accidental
+    * collisions.
+    */
+  def q102ImageNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    // partner classes use %7 residues so a copy's SOURCE always renders
+    // its own image (id%7==5 pairs with id-1 ≡ 4, id%7==3 with id-1 ≡ 2 —
+    // neither is itself a copy class; %6 would chain: 5's partner 4 would
+    // redirect to 3 and the "re-encode pair" would compare different
+    // pictures)
+    val sid = when(id % 7 === 5 || id % 7 === 3, id - 1).otherwise(id)
+    val nudge = when(id % 7 === 3, 40).otherwise(0)
+    val w = (sid % 13 + 4).cast("int")
+    val h = (sid % 11 + 4).cast("int")
+    val payload =
+      when(id % 11 === 3,
+        unhex(concat(synthBmpHeaderHex(lit(55), w, h, lit(24)), lit("00"))))
+        .when(id % 2 === 0, unhex(synthBmp24ImgHex(sid, w, h, nudge)))
+        .otherwise(unhex(synthBmp32ImgHex(sid, w, h, nudge)))
+    val hashes = docs.select(id, payload.as("_p"))
+      .select(id, graft.functions.ImageOps.bmpAHash(col("_p")).as("ahash"))
+      .where(col("ahash").isNotNull)
+    val bands = hashes.select(id, col("ahash"), explode(array(
+      (0 until 4).map(i => struct(lit(i).as("band"),
+        shiftrightunsigned(col("ahash"), 16 * i)
+          .bitwiseAND(lit(0xFFFFL)).as("bval"))): _*)).as("b"))
+      .select(id, col("ahash"), col("b.band").as("band"), col("b.bval").as("bval"))
+    val a = bands.select(col("doc_id").as("id_a"), col("ahash").as("_ha"),
+      col("band"), col("bval"))
+    val b2 = bands.select(col("doc_id").as("id_b"), col("ahash").as("_hb"),
+      col("band"), col("bval"))
+    a.join(b2, Seq("band", "bval"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("_ha").bitwiseXOR(col("_hb"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= 10)
   }
 }

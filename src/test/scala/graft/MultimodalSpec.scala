@@ -1046,4 +1046,27 @@ class MultimodalSpec extends AnyFunSuite {
       r.getAs[Int]("is_dup") == 1)
     assert(dups > 10, s"expected a dup population, got $dups")
   }
+
+  test("q102: exact re-encodes arrive at Hamming 0; brightness edits at > 0") {
+    val pairs = Multimodal.q102ImageNearDup(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // every %7==5 re-encode pair (both sides decodable) is the SAME
+    // image -> same hash -> all four bands collide -> Hamming 0
+    val exactPairs = (1L until 500L).filter(id => id % 7 == 5 &&
+      id % 11 != 3 && (id - 1) % 11 != 3).map(id => (id - 1, id))
+    assert(exactPairs.nonEmpty)
+    exactPairs.foreach { p =>
+      assert(pairs.get(p) === Some(0), s"re-encode pair $p not at Hamming 0")
+    }
+    // the %7==3 brightness-edit class: pairs whose green shift CLIPPED
+    // somewhere land at a small positive Hamming — at least some must
+    // exist (an aHash near-dup stage that only ever sees distance 0 is
+    // an exact-dedup in disguise)
+    val editPairs = (1L until 500L).filter(id => id % 7 == 3 &&
+      id % 11 != 3 && (id - 1) % 11 != 3).map(id => (id - 1, id))
+    val found = editPairs.flatMap(pairs.get)
+    assert(found.nonEmpty)
+    assert(found.exists(_ > 0), "no edit pair with positive Hamming")
+    assert(found.forall(h => h >= 0 && h <= 10))
+  }
 }

@@ -631,6 +631,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles(df) === 1, s"expected exactly 1 shuffle:\n$p")
   }
 
+  test("q102 candidates ride the band-key shuffle; no all-pairs anywhere") {
+    val df = graft.operators.Multimodal.q102ImageNearDup(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"pair meet went all-pairs:\n$p")
+    // both meet sides derive from the same hash frame (the kernel may
+    // appear once per side), and everything moves on (band, bval) /
+    // dedup keys — small fixed budget
+    assert(shuffles(df) <= 4, s"expected <= 4 shuffles:\n$p")
+  }
+
   test("q100 broadcasts the holdout; one corpus exchange for the max") {
     val df = graft.operators.Similarity.q100SemanticDecon(spark, TestSpark.Sf0001)
     val p = plan(df)
