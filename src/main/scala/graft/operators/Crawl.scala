@@ -238,6 +238,42 @@ object Crawl {
           .as("keep"))
   }
 
+  /** q52's pay-once discipline applied to the crawl loop: the SEEN-SET —
+    * the lake-side frontier state, by far the bigger join side at
+    * deployment (every URL ever fetched, vs one delta of discovered
+    * links) — materialized ONCE as a bucketed catalog table on its
+    * canonical key, so the frontier judgment's join reads it co-located
+    * forever and only the DELTA ever shuffles. Result-identical to
+    * [[q94LinkFrontier]] (pinned in ScaleSpec beside the plan shape:
+    * zero exchanges on the seen scan).
+    */
+  def q94FrontierBucketed(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val dirHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4)
+      .map(b => f"${b & 0xff}%02x").mkString
+    val twin = Scale.ensureBucketedFrame(spark, s"b_seen_$dirHash",
+      "_seen_url", 32)(
+      docs.select(pageUrl(col("doc_id")).as("_seen_url")))
+    val seen = spark.table(twin)
+    val framed = resolvedLinks(docs)
+    val met = framed.join(seen.hint("merge"),
+      framed("canonical_url") === seen("_seen_url"), "left")
+    val pos = id * 16 + col("link_idx")
+    val w = Window.partitionBy("canonical_url")
+    met
+      .withColumn("_fetched", col("_seen_url").isNotNull.cast("int"))
+      .withColumn("_minpos", min(pos).over(w))
+      .select(id, col("link_idx").cast("int").as("link_idx"), col("href"),
+        col("resolved_url"), col("canonical_url"), col("skip_reason"),
+        when(col("skip_reason").isNull, col("_fetched")).as("already_fetched"),
+        when(col("skip_reason").isNull,
+          (col("_fetched") === 0 && pos === col("_minpos")).cast("int"))
+          .as("keep"))
+  }
+
   // ---------------------------------------------------------------- q95
 
   /** Q95: gzip member decode — the compression layer under `.warc.gz`

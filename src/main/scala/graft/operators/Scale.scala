@@ -97,8 +97,18 @@ object Scale {
     */
   def ensureBucketed(spark: SparkSession, dir: String, table: String,
                      cols: Seq[String], key: String, buckets: Int): String =
+    ensureBucketedFrame(spark, bucketTwin(dir, table), key, buckets)(
+      Tables.load(spark, dir, table).selectExpr(cols: _*))
+
+  /** [[ensureBucketed]] for a DERIVED frame (q94's seen-set, any
+    * pre-computed dimension): same sentinel-guarded pay-once
+    * materialization, but the caller names the twin and supplies the
+    * frame to bucket. `build` is by-name — it only evaluates when the
+    * twin is actually missing.
+    */
+  def ensureBucketedFrame(spark: SparkSession, name: String, key: String,
+                          buckets: Int)(build: => DataFrame): String =
     synchronized {
-      val name = bucketTwin(dir, table)
       if (!spark.catalog.tableExists(name)) {
         // Hadoop Path, not java.net.URI: the warehouse conf is usually a
         // PLAIN PATH (possibly with spaces or other URI-illegal chars),
@@ -124,8 +134,7 @@ object Scale {
           // the files as an external table would silently lose it.)
           val orphan = new java.io.File(wh, name)
           if (orphan.exists()) deleteRecursively(orphan)
-          writeBucketed(Tables.load(spark, dir, table).selectExpr(cols: _*),
-            name, key, buckets)
+          writeBucketed(build, name, key, buckets)
         } finally sentinel.delete()
       }
       name
