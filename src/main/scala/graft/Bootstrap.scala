@@ -188,6 +188,17 @@ object Bootstrap {
       .createOrReplaceTempView("vw_link_rank")
     operators.Crawl.q97CrawlIntake(spark, dir)
       .createOrReplaceTempView("vw_crawl_intake")
+    // the fetch schedule: `WHERE allowed = 1` is the SQL-only "what may
+    // we actually fetch" read over the frontier, with rule evidence
+    operators.Crawl.q98RobotsGate(spark, dir)
+      .createOrReplaceTempView("vw_robots_gate")
+    // semantic decontamination verdicts (q100) and the perceptual image
+    // groups (q101) — `WHERE contaminated = 0` / `WHERE is_dup = 0` are
+    // the SQL-only clean-training-set reads for their modalities
+    operators.Similarity.q100SemanticDecon(spark, dir)
+      .createOrReplaceTempView("vw_semantic_decon")
+    operators.Multimodal.q101ImageDedup(spark, dir)
+      .createOrReplaceTempView("vw_image_dedup")
   }
 
   /** Register the landing table + curated views over it — the TRANSFORM

@@ -124,6 +124,7 @@ object SparkEntry {
     "q100_semantic_decon" -> (Similarity.q100SemanticDecon _),
     "q101_image_dedup" -> (Multimodal.q101ImageDedup _),
     "q102_image_neardup" -> (Multimodal.q102ImageNearDup _),
+    "q103_sitemap_ingest" -> (Crawl.q103SitemapIngest _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1280,6 +1281,60 @@ object SparkEntry {
         "FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval " +
         "AND a.doc_id < b.doc_id) " +
         "SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 10"),
+    // q103: the oracle replays sitemap synthesis (CDATA wrap, newline
+    // padding, escaped ampersand, missing lastmod, truncated %9==6
+    // class) and the extraction — first-match regexps, \s-trim, CDATA
+    // strip by CASE arithmetic, single &amp; decode, the shared
+    // canonicalization — with newlines as chr(10) (a DuckDB '\n'
+    // literal is backslash-n, not a newline)
+    "q103_sitemap_ingest" ->
+      ("WITH sy AS (SELECT doc_id, " +
+        "'<?xml version=\"1.0\" encoding=\"UTF-8\"?>' || chr(10) || " +
+        "'<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">' || chr(10) || " +
+        "array_to_string(list_transform(range(0, CAST(doc_id % 4 + 1 AS BIGINT)), j -> " +
+        "'<url><loc>' || " +
+        "(CASE WHEN doc_id % 5 = 2 AND j = 0 THEN '<![CDATA[' || " +
+        "'https://site' || (doc_id % 40) || '.example.com/s/' || doc_id || '/' || j || " +
+        "(CASE WHEN doc_id % 7 = 3 AND j = 1 THEN '?a=1&amp;b=2' ELSE '' END) || ']]>' " +
+        "WHEN doc_id % 2 = 1 THEN chr(10) || '   ' || " +
+        "'https://site' || (doc_id % 40) || '.example.com/s/' || doc_id || '/' || j || " +
+        "(CASE WHEN doc_id % 7 = 3 AND j = 1 THEN '?a=1&amp;b=2' ELSE '' END) || ' ' || chr(10) || ' ' " +
+        "ELSE 'https://site' || (doc_id % 40) || '.example.com/s/' || doc_id || '/' || j || " +
+        "(CASE WHEN doc_id % 7 = 3 AND j = 1 THEN '?a=1&amp;b=2' ELSE '' END) END) || " +
+        "'</loc>' || " +
+        "(CASE WHEN (doc_id + j) % 4 = 0 THEN '' ELSE " +
+        "'<lastmod>2024-0' || ((doc_id + j) % 9 + 1) || '-1' || (j % 3) || '</lastmod>' END) || " +
+        "'<priority>0.' || ((doc_id + j) % 10) || '</priority></url>'), chr(10)) || " +
+        "(CASE WHEN doc_id % 9 = 6 THEN '' ELSE chr(10) || '</urlset>' END) AS xml " +
+        "FROM documents), " +
+        "ex AS (SELECT doc_id, CAST(strpos(xml, '</urlset>') > 0 AS INTEGER) AS sitemap_ok, " +
+        "CASE WHEN strpos(xml, '</urlset>') > 0 THEN " +
+        "regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1) END AS es FROM sy), " +
+        "un AS (SELECT doc_id, sitemap_ok, " +
+        "unnest(es) AS entry, generate_subscripts(es, 1) - 1 AS entry_idx FROM ex " +
+        "WHERE es IS NOT NULL " +
+        "UNION ALL SELECT doc_id, sitemap_ok, NULL, NULL FROM ex WHERE es IS NULL), " +
+        "lr AS (SELECT doc_id, sitemap_ok, entry_idx, entry, " +
+        "regexp_replace(regexp_replace(" +
+        "regexp_extract(entry, '(?s)<loc>(.*?)</loc>', 1), '^\\s+', ''), '\\s+$', '') AS locraw " +
+        "FROM un), " +
+        "lc AS (SELECT doc_id, sitemap_ok, entry_idx, entry, " +
+        "replace(regexp_replace(regexp_replace(" +
+        "CASE WHEN starts_with(locraw, '<![CDATA[') AND ends_with(locraw, ']]>') " +
+        "THEN substring(locraw, 10, length(locraw) - 12) ELSE locraw END, " +
+        "'^\\s+', ''), '\\s+$', ''), '&amp;', '&') AS loc FROM lr), " +
+        "px AS (SELECT doc_id, sitemap_ok, entry_idx, entry, loc, loc AS _u FROM lc), " +
+        canonicalCtes("px") + " " +
+        "SELECT doc_id, sitemap_ok, CAST(entry_idx AS INTEGER) AS entry_idx, " +
+        "CASE WHEN entry IS NOT NULL THEN loc END AS loc, " +
+        "CASE WHEN entry IS NOT NULL THEN canonical_url END AS canonical_url, " +
+        "CASE WHEN entry IS NOT NULL AND " +
+        "regexp_extract(entry, '<lastmod>([^<]*)</lastmod>', 1) <> '' THEN " +
+        "regexp_extract(entry, '<lastmod>([^<]*)</lastmod>', 1) END AS lastmod, " +
+        "CASE WHEN entry IS NOT NULL THEN " +
+        "CAST(regexp_extract(regexp_extract(entry, '<priority>([^<]*)</priority>', 1), " +
+        "'^0\\.([0-9])$', 1) AS INTEGER) END AS priority_x10 " +
+        "FROM c"),
     // q85/q86: the merge count is a FIXED small constant, so the
     // "iterative" training loop unrolls into 10 chained CTE rounds — no
     // recursion needed. Each round replays the trainer exactly: adjacency

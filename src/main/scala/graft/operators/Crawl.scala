@@ -573,6 +573,81 @@ object Crawl {
       when(isHttp, length(bodyOut.cast("binary"))).cast("bigint").as("body_len"))
   }
 
+  /** Q103: sitemap ingestion — discovery's other half beside the link
+    * graph (q94 finds URLs by crawling pages; a sitemap is the SITE
+    * telling the crawler what exists, priorities included — real
+    * frontiers seed from both): parse each host's sitemap XML into
+    * frontier candidates. The traps a real sitemap ships: CDATA-wrapped
+    * `<loc>` values (the wrapper must strip), whitespace padding inside
+    * the tag (trim), entity-escaped ampersands (`&amp;` is MANDATORY in
+    * sitemap XML — decode exactly once), missing optional `<lastmod>`
+    * (NULL, never a guess), and a truncated document missing its
+    * `</urlset>` (`sitemap_ok = 0`, entry columns NULL — q93's
+    * stop-don't-guess; complete-looking `<url>` blocks in a truncated
+    * file are NOT salvaged, because truncation means the tail is
+    * untrustworthy). Each loc canonicalizes through q91's rules so the
+    * output column is frontier-joinable directly.
+    *
+    * Scale shape: narrow regex extraction + a bounded explode (entry
+    * count is bounded by sitemap size — the spec caps real files at
+    * 50k URLs); zero exchanges, pinned.
+    */
+  def q103SitemapIngest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    def entry(j: Column): Column = {
+      val h = (id % 40).cast("string")
+      val locBody = concat(lit("https://site"), h, lit(".example.com/s/"),
+        id.cast("string"), lit("/"), j.cast("string"),
+        when(id % 7 === 3 && j === 1, "?a=1&amp;b=2").otherwise(""))
+      val loc = when(id % 5 === 2 && j === 0,
+        concat(lit("<![CDATA["), locBody, lit("]]>")))
+        .when(id % 2 === 1, concat(lit("\n   "), locBody, lit(" \n ")))
+        .otherwise(locBody)
+      val lastmod = when((id + j) % 4 === 0, lit(""))
+        .otherwise(concat(lit("<lastmod>2024-0"),
+          ((id + j) % 9 + 1).cast("string"), lit("-1"),
+          (j % 3).cast("string"), lit("</lastmod>")))
+      concat(lit("<url><loc>"), loc, lit("</loc>"), lastmod,
+        lit("<priority>0."), ((id + j) % 10).cast("string"),
+        lit("</priority></url>"))
+    }
+    val body = array_join(transform(sequence(lit(0), (id % 4).cast("int")),
+      j => entry(j)), "\n")
+    val xml = concat(
+      lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+        "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"),
+      body,
+      when(id % 9 === 6, "").otherwise("\n</urlset>"))
+    val ok = (instr(col("_xml"), "</urlset>") > 0).cast("int")
+    val entries = when(ok === 1,
+      regexp_extract_all(col("_xml"), lit("(?s)<url>(.*?)</url>"), lit(1)))
+    val e = col("entry")
+    // \s-trim, not trim(): the padding includes newlines, which the
+    // space-only trim leaves in place
+    def wsTrim(c: Column): Column =
+      regexp_replace(regexp_replace(c, "^\\s+", ""), "\\s+$", "")
+    val locRaw = wsTrim(regexp_extract(e, "(?s)<loc>(.*?)</loc>", 1))
+    val locCdata = when(locRaw.startsWith("<![CDATA[") && locRaw.endsWith("]]>"),
+      locRaw.substr(lit(10), length(locRaw) - 12)).otherwise(locRaw)
+    val loc = replace(wsTrim(locCdata), lit("&amp;"), lit("&"))
+    val lastmod = regexp_extract(e, "<lastmod>([^<]*)</lastmod>", 1)
+    val prio = regexp_extract(e, "<priority>([^<]*)</priority>", 1)
+    docs.select(id, xml.as("_xml"))
+      .select(id, ok.as("sitemap_ok"),
+        posexplode_outer(entries).as(Seq("entry_idx", "entry")))
+      .select(id, col("sitemap_ok"),
+        col("entry_idx").cast("int").as("entry_idx"),
+        when(e.isNotNull, loc).as("loc"),
+        when(e.isNotNull, Text.canonicalUrl(loc)).as("canonical_url"),
+        when(e.isNotNull && lastmod =!= "", lastmod).as("lastmod"),
+        // x10 integer, not DECIMAL(2,1): decimal render ("0.5" vs
+        // "0.50") is engine-formatting territory; tenths are exact ints
+        when(e.isNotNull,
+          regexp_extract(prio, "^0\\.([0-9])$", 1).cast("int"))
+          .as("priority_x10"))
+  }
+
   /** Q98: robots gate — the politeness judgment closing the crawl loop
     * (q94 publishes what was DISCOVERED; this decides what may be
     * FETCHED): every kept frontier URL judged against its host's parsed

@@ -265,6 +265,36 @@ class CrawlSpec extends AnyFunSuite {
     }
   }
 
+  test("q103: CDATA strips, entities decode once, truncation refuses") {
+    val rows = Crawl.q103SitemapIngest(spark, TestSpark.Sf0001).collect()
+    assert(rows.nonEmpty)
+    // no CDATA wrapper, padding whitespace, or raw &amp; survives into loc
+    val locs = rows.flatMap(r => Option(r.getAs[String]("loc")))
+    assert(locs.nonEmpty)
+    assert(!locs.exists(l => l.contains("CDATA") || l.contains("]]>")), "CDATA leaked")
+    assert(!locs.exists(l => l.contains("\n") || l.startsWith(" ") || l.endsWith(" ")),
+      "padding survived the trim")
+    assert(!locs.exists(_.contains("&amp;")), "double-escaped ampersand")
+    // the escaped-ampersand class decodes to a real query separator
+    assert(locs.exists(_.contains("?a=1&b=2")))
+    // truncated sitemaps: ok=0, every entry column NULL
+    val bad = rows.filter(_.getLong(0) % 9 == 6)
+    assert(bad.nonEmpty)
+    bad.foreach { r =>
+      assert(r.getAs[Int]("sitemap_ok") === 0)
+      assert(r.isNullAt(r.fieldIndex("loc")) &&
+        r.isNullAt(r.fieldIndex("entry_idx")), r.toString)
+    }
+    // optional lastmod: the (id+idx)%4==0 class reports NULL, not ""
+    val noMod = rows.filter(r => !r.isNullAt(r.fieldIndex("entry_idx")) &&
+      (r.getLong(0) + r.getAs[Int]("entry_idx")) % 4 == 0)
+    assert(noMod.nonEmpty)
+    assert(noMod.forall(_.isNullAt(rows.head.fieldIndex("lastmod"))))
+    // canonical column is frontier-joinable (idempotent canonical form)
+    val canons = rows.flatMap(r => Option(r.getAs[String]("canonical_url")))
+    assert(canons.forall(c => c.startsWith("https://site") && !c.contains("CDATA")))
+  }
+
   test("q94: exactly one keep per unfetched canonical, none per fetched") {
     val agg = q94.where(col("skip_reason").isNull)
       .groupBy("canonical_url")

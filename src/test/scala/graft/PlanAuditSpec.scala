@@ -631,6 +631,11 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles(df) === 1, s"expected exactly 1 shuffle:\n$p")
   }
 
+  test("q103 sitemap ingest is narrow: zero exchanges, bounded fan-out") {
+    val df = graft.operators.Crawl.q103SitemapIngest(spark, TestSpark.Sf0001)
+    assert(shuffles(df) === 0, s"expected 0 shuffles:\n${plan(df)}")
+  }
+
   test("q102 candidates ride the band-key shuffle; no all-pairs anywhere") {
     val df = graft.operators.Multimodal.q102ImageNearDup(spark, TestSpark.Sf0001)
     val p = plan(df)

@@ -37,7 +37,13 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "vw_link_rank" ->
         graft.operators.Crawl.q96LinkRank(spark, TestSpark.Sf0001),
       "vw_crawl_intake" ->
-        graft.operators.Crawl.q97CrawlIntake(spark, TestSpark.Sf0001))
+        graft.operators.Crawl.q97CrawlIntake(spark, TestSpark.Sf0001),
+      "vw_robots_gate" ->
+        graft.operators.Crawl.q98RobotsGate(spark, TestSpark.Sf0001),
+      "vw_semantic_decon" ->
+        graft.operators.Similarity.q100SemanticDecon(spark, TestSpark.Sf0001),
+      "vw_image_dedup" ->
+        graft.operators.Multimodal.q101ImageDedup(spark, TestSpark.Sf0001))
     twins.foreach { case (view, df) =>
       val sql = canon(spark.sql(s"SELECT * FROM $view"))
       val api = canon(df)
