@@ -125,6 +125,7 @@ object SparkEntry {
     "q101_image_dedup" -> (Multimodal.q101ImageDedup _),
     "q102_image_neardup" -> (Multimodal.q102ImageNearDup _),
     "q103_sitemap_ingest" -> (Crawl.q103SitemapIngest _),
+    "q104_column_profile" -> (Relational.q104ColumnProfile _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1335,6 +1336,17 @@ object SparkEntry {
         "CAST(regexp_extract(regexp_extract(entry, '<priority>([^<]*)</priority>', 1), " +
         "'^0\\.([0-9])$', 1) AS INTEGER) END AS priority_x10 " +
         "FROM c"),
+    // q104: each column's profile replayed as its own aggregate — the
+    // oracle does NOT mirror the one-pass stack shape, so a wrong
+    // Expand/unpivot wiring (a metric landing under the wrong column
+    // label) cannot cancel
+    "q104_column_profile" ->
+      Seq("doc_id", "text", "lang", "source", "n_chars").map(c =>
+        s"SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows, " +
+          s"CAST(count(*) - count($c) AS BIGINT) AS n_null, " +
+          s"CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct, " +
+          s"CAST(min($c) AS VARCHAR) AS min_v, CAST(max($c) AS VARCHAR) AS max_v " +
+          "FROM documents").mkString(" UNION ALL "),
     // q85/q86: the merge count is a FIXED small constant, so the
     // "iterative" training loop unrolls into 10 chained CTE rounds — no
     // recursion needed. Each round replays the trainer exactly: adjacency

@@ -265,4 +265,34 @@ object Relational {
       ev.filter(col("event_type") === "view"),
       ev.filter(col("event_type") === "purchase"))
   }
+
+  /** Q104: column profiling — the lake-observability read a curation
+    * team runs before trusting a new drop (and the statistics a query
+    * optimizer's ANALYZE collects): per column of `documents`, null
+    * count, EXACT distinct count, min/max (cast to string so one
+    * contract row shape covers every type), and total rows. One pass
+    * over the table: the multi-column distinct plans through Spark's
+    * Expand (one duplicated stream per distinct column — the exact-count
+    * trade, stated; at 100 TB the swap is `approx_count_distinct`, q31's
+    * sketch, one row-stream total), then the single aggregate row
+    * unpivots via `stack` into one row per column. No second scan
+    * anywhere.
+    */
+  def q104ColumnProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(count(col(c)).as(s"_cnt_$c"),
+        countDistinct(col(c)).as(s"_dst_$c"),
+        min(col(c)).cast("string").as(s"_min_$c"),
+        max(col(c)).cast("string").as(s"_max_$c"))
+    }
+    val stackArgs = cols.map(c =>
+      s"'$c', n_rows - _cnt_$c, _dst_$c, _min_$c, _max_$c").mkString(", ")
+    docs.agg(aggs.head, aggs.tail: _*)
+      .selectExpr("n_rows",
+        s"stack(${cols.size}, $stackArgs) AS (column_name, n_null, n_distinct, min_v, max_v)")
+      .select(col("column_name"), col("n_rows"), col("n_null"),
+        col("n_distinct"), col("min_v"), col("max_v"))
+  }
 }

@@ -636,6 +636,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles(df) === 0, s"expected 0 shuffles:\n${plan(df)}")
   }
 
+  test("q104 profiles every column in ONE scan") {
+    val df = graft.operators.Relational.q104ColumnProfile(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    // the naive spelling is one aggregate query PER column (the oracle's
+    // shape, 5 scans); the operator must pay a single pass with Expand
+    // carrying the multi-column distinct
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 1, s"expected 1 scan, got $scans:\n$p")
+    assert(p.contains("Expand"), s"multi-distinct lost its expand:\n$p")
+  }
+
   test("q102 candidates ride the band-key shuffle; no all-pairs anywhere") {
     val df = graft.operators.Multimodal.q102ImageNearDup(spark, TestSpark.Sf0001)
     val p = plan(df)
