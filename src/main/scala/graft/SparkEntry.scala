@@ -126,6 +126,7 @@ object SparkEntry {
     "q102_image_neardup" -> (Multimodal.q102ImageNearDup _),
     "q103_sitemap_ingest" -> (Crawl.q103SitemapIngest _),
     "q104_column_profile" -> (Relational.q104ColumnProfile _),
+    "q105_crawl_diff" -> (Crawl.q105CrawlDiff _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1347,6 +1348,23 @@ object SparkEntry {
           s"CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct, " +
           s"CAST(min($c) AS VARCHAR) AS min_v, CAST(max($c) AS VARCHAR) AS max_v " +
           "FROM documents").mkString(" UNION ALL "),
+    // q105: verdicts derived DIRECTLY from residues — the oracle never
+    // joins, so a wrong join type (inner dropping 'gone', left dropping
+    // 'new') or a digest of the wrong snapshot cannot cancel
+    "q105_crawl_diff" ->
+      ("WITH base AS (SELECT doc_id, " +
+        "'https://site' || (doc_id % 40) || '.example.com/a/' || (doc_id % 20) || " +
+        "'/page' || doc_id || '.html' AS url, text FROM documents) " +
+        "SELECT url, " +
+        "CASE WHEN doc_id % 7 = 4 THEN 'gone' WHEN doc_id % 7 = 1 THEN 'changed' " +
+        "ELSE 'unchanged' END AS verdict, " +
+        "md5(text) AS old_md5, " +
+        "CASE WHEN doc_id % 7 = 4 THEN NULL WHEN doc_id % 7 = 1 THEN " +
+        "md5(text || ' updated section ' || (doc_id % 5)) ELSE md5(text) END AS new_md5, " +
+        "CAST(doc_id % 7 NOT IN (1, 4) AS INTEGER) AS revisit FROM base " +
+        "UNION ALL " +
+        "SELECT url || 'x', 'new', NULL, md5('fresh ' || text), 0 FROM base " +
+        "WHERE doc_id % 7 = 2"),
     // q85/q86: the merge count is a FIXED small constant, so the
     // "iterative" training loop unrolls into 10 chained CTE rounds — no
     // recursion needed. Each round replays the trainer exactly: adjacency

@@ -648,6 +648,44 @@ object Crawl {
           .as("priority_x10"))
   }
 
+  /** Q105: crawl-over-crawl DIFF — the recrawl change report behind
+    * WARC's `revisit` record type (a recrawler stores only a digest when
+    * content is unchanged; the diff decides which class every URL falls
+    * in): FULL OUTER join of two snapshots on the page URL, verdict
+    * `new` / `gone` / `changed` / `unchanged` with both content digests
+    * as evidence, and the `revisit` bit marking exactly the rows a WARC
+    * writer would emit as revisit records. The new snapshot synthesizes
+    * every class by residue: `%7==1` edits the content, `%7==4`
+    * disappears, `%7==2` additionally publishes a brand-new URL.
+    *
+    * Scale shape: one equi-key full-outer join on the URL (two uniform
+    * hash shuffles, no NLJ — pinned); digests travel, bodies don't. The
+    * oracle derives every verdict DIRECTLY from residues (q82's stance —
+    * it never joins), so a join-side slip (wrong join type dropping the
+    * `gone` class, md5 of the wrong snapshot) cannot cancel.
+    */
+  def q105CrawlDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val oldSnap = docs.select(pageUrl(id).as("url"), md5(col("text")).as("old_md5"))
+    val newText = when(id % 7 === 1,
+      concat(col("text"), lit(" updated section "), (id % 5).cast("string")))
+      .otherwise(col("text"))
+    val newSnap = docs.where(id % 7 =!= 4)
+      .select(pageUrl(id).as("url"), md5(newText).as("new_md5"))
+      .unionByName(docs.where(id % 7 === 2)
+        .select(concat(pageUrl(id), lit("x")).as("url"),
+          md5(concat(lit("fresh "), col("text"))).as("new_md5")))
+    val verdict = when(col("old_md5").isNull, "new")
+      .when(col("new_md5").isNull, "gone")
+      .when(col("old_md5") === col("new_md5"), "unchanged")
+      .otherwise("changed")
+    oldSnap.join(newSnap, Seq("url"), "full_outer")
+      .select(col("url"), verdict.as("verdict"),
+        col("old_md5"), col("new_md5"),
+        (verdict === "unchanged").cast("int").as("revisit"))
+  }
+
   /** Q98: robots gate — the politeness judgment closing the crawl loop
     * (q94 publishes what was DISCOVERED; this decides what may be
     * FETCHED): every kept frontier URL judged against its host's parsed

@@ -295,6 +295,28 @@ class CrawlSpec extends AnyFunSuite {
     assert(canons.forall(c => c.startsWith("https://site") && !c.contains("CDATA")))
   }
 
+  test("q105: every recrawl class lands in its verdict with the right evidence") {
+    val rows = Crawl.q105CrawlDiff(spark, TestSpark.Sf0001).collect()
+    val byVerdict = rows.groupBy(_.getAs[String]("verdict"))
+    assert(byVerdict.keySet === Set("new", "gone", "changed", "unchanged"))
+    byVerdict("gone").foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("old_md5")) &&
+        r.isNullAt(r.fieldIndex("new_md5")) && r.getAs[Int]("revisit") === 0)
+    }
+    byVerdict("new").foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("old_md5")) &&
+        !r.isNullAt(r.fieldIndex("new_md5")) && r.getAs[Int]("revisit") === 0)
+    }
+    byVerdict("changed").foreach(r =>
+      assert(r.getAs[String]("old_md5") !== r.getAs[String]("new_md5")))
+    // the revisit bit is exactly the unchanged class — what a WARC writer
+    // would emit as revisit records instead of full bodies
+    byVerdict("unchanged").foreach { r =>
+      assert(r.getAs[String]("old_md5") === r.getAs[String]("new_md5"))
+      assert(r.getAs[Int]("revisit") === 1)
+    }
+  }
+
   test("q94: exactly one keep per unfetched canonical, none per fetched") {
     val agg = q94.where(col("skip_reason").isNull)
       .groupBy("canonical_url")

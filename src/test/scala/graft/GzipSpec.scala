@@ -120,6 +120,28 @@ class GzipSpec extends AnyFunSuite {
       "n".getBytes("UTF-8")).toSeq)
   }
 
+  test("round-trip property: arbitrary binary payloads survive encode/decode") {
+    // seeded pseudo-random payloads incl. empty, tiny, all-zero (highly
+    // compressible), and incompressible byte noise
+    val rnd = new scala.util.Random(42)
+    val payloads = Seq(
+      Array.emptyByteArray,
+      Array[Byte](0),
+      new Array[Byte](4096), // zeros: deflate far below input size
+      Array.fill(1)(rnd.nextInt().toByte),
+      Array.fill(257)(rnd.nextInt().toByte),
+      Array.fill(70000)(rnd.nextInt().toByte)) // spans >1 drain buffer
+    payloads.foreach { p =>
+      val gz = GzipEval.gzip(p, "r.bin".getBytes("UTF-8"))
+      assert(GzipEval.gunzip(gz).toSeq === p.toSeq, s"len ${p.length}")
+      assert(GzipEval.gunzipConcat(gz).toSeq === p.toSeq, s"concat len ${p.length}")
+    }
+    // two members concatenated round-trip through the multi-member path
+    val two = GzipEval.gzip(payloads(4), null) ++ GzipEval.gzip(payloads(3), null)
+    assert(GzipEval.gunzipConcat(two).toSeq ===
+      (payloads(4) ++ payloads(3)).toSeq)
+  }
+
   test("q95: corruption classes decode NULL; names read on every class") {
     val df = graft.operators.Crawl.q95GzipMembers(spark, TestSpark.Sf0001)
     val rows = df.collect()

@@ -636,6 +636,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles(df) === 0, s"expected 0 shuffles:\n${plan(df)}")
   }
 
+  test("q105 diffs snapshots with one equi-key full-outer join") {
+    val df = graft.operators.Crawl.q105CrawlDiff(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    assert(shuffles(df) <= 2, s"expected <= 2 shuffles:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q104 profiles every column in ONE scan") {
     val df = graft.operators.Relational.q104ColumnProfile(spark, TestSpark.Sf0001)
     val p = plan(df)
