@@ -127,6 +127,7 @@ object SparkEntry {
     "q103_sitemap_ingest" -> (Crawl.q103SitemapIngest _),
     "q104_column_profile" -> (Relational.q104ColumnProfile _),
     "q105_crawl_diff" -> (Crawl.q105CrawlDiff _),
+    "q106_content_blocks" -> (Crawl.q106ContentBlocks _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1365,6 +1366,29 @@ object SparkEntry {
         "UNION ALL " +
         "SELECT url || 'x', 'new', NULL, md5('fresh ' || text), 0 FROM base " +
         "WHERE doc_id % 7 = 2"),
+    // q106: the oracle replays the block split over the SAME script-
+    // stripped body (htmlCtes' y.nos — splitting before the script
+    // strip would hit the </p> inside the script literal), the per-block
+    // clean, link-char sums, and the integer density compare
+    "q106_content_blocks" ->
+      ("WITH " + htmlCtes + ", " +
+        "bl AS (SELECT doc_id, " +
+        "unnest(string_split_regex(nos, '</p>|</nav>|</footer>|</h1>')) AS frag, " +
+        "generate_subscripts(string_split_regex(nos, '</p>|</nav>|</footer>|</h1>'), 1) - 1 AS block_idx " +
+        "FROM y WHERE wf), " +
+        "cl AS (SELECT doc_id, block_idx, frag, " +
+        "trim(regexp_replace(replace(replace(replace(replace(replace(replace(" +
+        "regexp_replace(frag, '<(?:[^>\"'']|\"[^\"]*\"|''[^'']*'')*>', ' ', 'g'), " +
+        "'&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), " +
+        "'&#39;', ''''), '&amp;', '&'), '\\s+', ' ', 'g')) AS block_text FROM bl), " +
+        "lk AS (SELECT doc_id, block_idx, block_text, " +
+        "CAST(coalesce(list_sum(list_transform(" +
+        "regexp_extract_all(frag, '<a [^>]*>(.*?)</a>', 1), x -> length(x))), 0) AS BIGINT) " +
+        "AS n_link_chars FROM cl) " +
+        "SELECT doc_id, CAST(block_idx AS INTEGER) AS block_idx, block_text, " +
+        "CAST(length(block_text) AS BIGINT) AS n_chars, n_link_chars, " +
+        "CAST(length(block_text) >= 25 AND 3 * n_link_chars <= length(block_text) AS INTEGER) AS keep " +
+        "FROM lk WHERE block_text <> ''"),
     // q85/q86: the merge count is a FIXED small constant, so the
     // "iterative" training loop unrolls into 10 chained CTE rounds — no
     // recursion needed. Each round replays the trainer exactly: adjacency

@@ -127,6 +127,49 @@ object Crawl {
       synthHtml(col("doc_id"), col("text")).as("html")))
   }
 
+  /** Q106: main-content BLOCK extraction — the per-PAGE boilerplate
+    * judgment (the jusText/trafilatura density heuristic) beside q67's
+    * corpus-wide line dedup: the body splits into blocks at block-tag
+    * boundaries, each block grades on text length and LINK DENSITY, and
+    * only long low-link blocks keep — nav ("Home T", nearly all link
+    * text), headings (short), and footers die on a single page with no
+    * corpus statistics at all. The density compare is INTEGER
+    * (`3·link_chars ≤ chars`, i.e. ≤ 1/3), never a float division (the
+    * q81 weight lesson). Script-strip runs BEFORE the split — the body
+    * script's string literal embeds `</p>`, which would otherwise
+    * fabricate a bogus block boundary. Blocks stay visible with their
+    * grades and a keep bit (report-WHY); block_idx keeps the original
+    * split position.
+    *
+    * Scale shape: narrow split + per-block column arithmetic, bounded
+    * fan-out (blocks per page), zero exchanges (pinned).
+    */
+  def q106ContentBlocks(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val html = synthHtml(id, col("text"))
+    val bodyRaw = regexp_extract(html, "(?s)<body[^>]*>(.*?)</body>", 1)
+    val nos = regexp_replace(bodyRaw, "(?s)<script\\b[^>]*>.*?</script>", " ")
+    val frag = col("frag")
+    val cleaned = collapseWs(entityDecode(regexp_replace(frag, TagRx, " ")))
+    val linkChars = coalesce(aggregate(
+      regexp_extract_all(frag, lit("<a [^>]*>(.*?)</a>"), lit(1)),
+      lit(0), (acc, x) => acc + length(x)), lit(0)).cast("bigint")
+    docs
+      .where(id % 9 =!= 5) // q93's headless class has no body to segment
+      .select(id, nos.as("_nos"))
+      .select(id, posexplode(split(col("_nos"), "</p>|</nav>|</footer>|</h1>"))
+        .as(Seq("block_idx", "frag")))
+      .withColumn("block_text", cleaned)
+      .where(col("block_text") =!= "")
+      .select(id, col("block_idx").cast("int").as("block_idx"),
+        col("block_text"),
+        length(col("block_text")).cast("bigint").as("n_chars"),
+        linkChars.as("n_link_chars"),
+        (length(col("block_text")) >= 25 &&
+          linkChars * 3 <= length(col("block_text"))).cast("int").as("keep"))
+  }
+
   // ---------------------------------------------------------------- q94
 
   /** The fetched page's own URL — already in canonical form by

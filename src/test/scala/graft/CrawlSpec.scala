@@ -317,6 +317,31 @@ class CrawlSpec extends AnyFunSuite {
     }
   }
 
+  test("q106: the main text block keeps; nav, headings and footers die per page") {
+    import spark.implicits._
+    val docs = spark.read.parquet(TestSpark.Sf0001 + "/documents.parquet")
+      .select(col("doc_id"), regexp_replace(trim(col("text")), "\\s+", " ").as("t"))
+      .as[(Long, String)].collect().toMap
+    val rows = Crawl.q106ContentBlocks(spark, TestSpark.Sf0001).collect()
+    assert(rows.nonEmpty)
+    // nav blocks are nearly all link text: never kept
+    rows.filter(_.getAs[String]("block_text").contains("Home")).foreach { r =>
+      assert(r.getAs[Int]("keep") === 0, r.toString)
+      assert(r.getAs[Long]("n_link_chars") > 0, r.toString)
+    }
+    // footer blocks are short: never kept
+    rows.filter(_.getAs[String]("block_text").startsWith("(c) site"))
+      .foreach(r => assert(r.getAs[Int]("keep") === 0, r.toString))
+    // every well-formed page keeps its main paragraph, and the kept text
+    // IS the document's own text (whitespace-normalized)
+    val kept = rows.filter(_.getAs[Int]("keep") == 1)
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getAs[String]("block_text")))
+    docs.keys.filter(id => id % 9 != 5 && docs(id).length >= 25).foreach { id =>
+      val k = kept.getOrElse(id, Array.empty[String])
+      assert(k.contains(docs(id)), s"doc $id main block not kept: ${k.toSeq}")
+    }
+  }
+
   test("q94: exactly one keep per unfetched canonical, none per fetched") {
     val agg = q94.where(col("skip_reason").isNull)
       .groupBy("canonical_url")

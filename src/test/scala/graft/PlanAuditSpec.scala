@@ -636,6 +636,11 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles(df) === 0, s"expected 0 shuffles:\n${plan(df)}")
   }
 
+  test("q106 block extraction is narrow: zero exchanges, bounded fan-out") {
+    val df = graft.operators.Crawl.q106ContentBlocks(spark, TestSpark.Sf0001)
+    assert(shuffles(df) === 0, s"expected 0 shuffles:\n${plan(df)}")
+  }
+
   test("q105 diffs snapshots with one equi-key full-outer join") {
     val df = graft.operators.Crawl.q105CrawlDiff(spark, TestSpark.Sf0001)
     val p = plan(df)
