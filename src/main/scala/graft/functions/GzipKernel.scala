@@ -66,16 +66,21 @@ object GzipEval {
     out.toByteArray
   }
 
-  /** Header walk shared by [[gunzip]] and [[gzipName]]: returns the body
-    * start offset, or -1 for anything that is not a well-formed member
-    * header (short, bad magic, CM != 8, reserved FLG bits).
+  /** Header walk shared by [[gunzip]], [[gzipName]] and [[gunzipConcat]]:
+    * returns the body's ABSOLUTE offset for the member starting at
+    * `start`, or -1 for anything that is not a well-formed member header
+    * (short, bad magic, CM != 8, reserved FLG bits). Offset-based so the
+    * multi-member walk never copies the remaining stream per member (a
+    * real `.warc.gz` segment holds tens of thousands of members — a
+    * copy-per-member walk is quadratic in segment size).
     */
-  private def bodyStart(b: Array[Byte]): Int = {
-    if (b == null || b.length < 18) return -1
-    if (b(0) != 0x1f.toByte || b(1) != 0x8b.toByte || b(2) != 8.toByte) return -1
-    val flg = b(3) & 0xff
+  private def bodyStart(b: Array[Byte], start: Int): Int = {
+    if (b == null || b.length - start < 18) return -1
+    if (b(start) != 0x1f.toByte || b(start + 1) != 0x8b.toByte ||
+      b(start + 2) != 8.toByte) return -1
+    val flg = b(start + 3) & 0xff
     if ((flg & 0xe0) != 0) return -1 // reserved bits MUST be zero
-    var pos = 10
+    var pos = start + 10
     if ((flg & 0x04) != 0) { // FEXTRA
       if (pos + 2 > b.length) return -1
       val xlen = (b(pos) & 0xff) | ((b(pos + 1) & 0xff) << 8)
@@ -103,7 +108,7 @@ object GzipEval {
     * body corruption).
     */
   def gzipName(b: Array[Byte]): Array[Byte] = {
-    val start = bodyStart(b)
+    val start = bodyStart(b, 0)
     if (start < 0) return null
     if ((b(3) & 0x08) == 0) return null
     var pos = 10
@@ -119,7 +124,7 @@ object GzipEval {
     * CRC32 mismatch, ISIZE mismatch.
     */
   def gunzip(b: Array[Byte]): Array[Byte] = {
-    val start = bodyStart(b)
+    val start = bodyStart(b, 0)
     if (start < 0) return null
     val bodyLen = b.length - 8 - start
     if (bodyLen < 0) return null
@@ -161,11 +166,10 @@ object GzipEval {
     val out = new java.io.ByteArrayOutputStream(b.length * 3 + 32)
     var start = 0
     while (start < b.length) {
-      val member = java.util.Arrays.copyOfRange(b, start, b.length)
-      val bodyAt = bodyStart(member)
+      val bodyAt = bodyStart(b, start) // absolute; no per-member copy
       if (bodyAt < 0) return null
       val inf = infl.get(); inf.reset()
-      inf.setInput(member, bodyAt, member.length - bodyAt)
+      inf.setInput(b, bodyAt, b.length - bodyAt)
       val buf = drain.get()
       val payload = new java.io.ByteArrayOutputStream(1024)
       try {
@@ -175,18 +179,17 @@ object GzipEval {
           else if (!inf.finished()) return null
         }
       } catch { case _: java.util.zip.DataFormatException => return null }
-      val consumed = member.length - bodyAt - inf.getRemaining
-      val trailerAt = bodyAt + consumed
-      if (trailerAt + 8 > member.length) return null
+      val trailerAt = b.length - inf.getRemaining
+      if (trailerAt + 8 > b.length) return null
       val pb = payload.toByteArray
       val c = crc32.get(); c.reset(); c.update(pb)
       def le32m(off: Int): Long =
-        (member(off) & 0xffL) | ((member(off + 1) & 0xffL) << 8) |
-          ((member(off + 2) & 0xffL) << 16) | ((member(off + 3) & 0xffL) << 24)
+        (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+          ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
       if (c.getValue != le32m(trailerAt)) return null
       if ((pb.length.toLong & 0xffffffffL) != le32m(trailerAt + 4)) return null
       out.write(pb, 0, pb.length)
-      start += trailerAt + 8
+      start = trailerAt + 8
     }
     out.toByteArray
   }
