@@ -32,6 +32,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Ambient-load gate (r11 erratum: q51's 7.1x spread was co-tenant load
+    // at 4.67, not code — the judge's quiet rerun measured 8.04 s median).
+    // Before ANY timing, wait — bounded — for the 1-minute load average to
+    // drop below the quiet threshold. This is the only moment the reading
+    // is purely ambient: once the sweep starts, our own local[32] work
+    // dominates the average and the signal is gone.
+    val quietLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_LOAD", "3.0").toDouble
+    val preWaitCap = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_WAIT", "180").toInt
+    var preWait = 0
+    while (loadAvg > quietLoad && preWait < preWaitCap) {
+      System.err.println(
+        f"[bench] ambient load ${loadAvg}%.2f > $quietLoad%.1f — waiting (${preWait}s/${preWaitCap}s)")
+      Thread.sleep(15000)
+      preWait += 15
+    }
     val loadBefore = loadAvg
     var failed = Vector.empty[(String, String)]
     // name -> (min, median, max) over `reps` timed runs after one warmup
@@ -40,7 +55,8 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     def measure(name: String,
-                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                nReps: Int = reps)
       : Option[(Double, Double, Double)] = {
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -55,7 +71,7 @@ object Bench {
         // reproducible 4-7x max/min outlier on q37, the query with the
         // most driver jobs (iterative), and none when run alone
         System.gc()
-        val times = Vector.fill(reps)(once()).sorted
+        val times = Vector.fill(nReps)(once()).sorted
         Some((times.head, times(times.size / 2), times.last))
       } catch {
         case e: Throwable =>
@@ -110,6 +126,44 @@ object Bench {
         .foreach { case (name, fn) =>
           measure(name, fn).foreach(resultsMap(name) = _)
         }
+    }
+    // Hard-violation predicate (also used for the exit-code split below):
+    // only a >varThreshold ratio on a query slow enough for the ratio to
+    // mean something (median >= floor AND absolute spread > floor) can
+    // fail the run.
+    val varFloor = sys.env.getOrElse("SPARK_GRAFT_BENCH_VARFLOOR", "0.5").toDouble
+    def absSpread(k: String): Double = { val (mn, _, mx) = resultsMap(k); mx - mn }
+    def wouldHardFail(k: String): Boolean =
+      spreadOf(k) > varThreshold && resultsMap(k)._2 >= varFloor &&
+        absSpread(k) > varFloor
+    // Quiet-window adjudication (r11 task #1): the immediate retries above
+    // re-measure under the SAME co-tenant burst that caused the spread —
+    // r11's q51 retried twice inside the burst and still shipped a 7.1x
+    // ratio the judge later adjudicated as pure interference (quiet rerun:
+    // 8.04 s median, 1.15x spread). So any query that would still hard-fail
+    // gets one final pass: idle until the 1-minute load average decays
+    // below the quiet threshold (bounded — our own sweep's load is in the
+    // average and takes ~1 decay constant to drain), then re-measure with
+    // two extra reps. Only a violation that survives the quiet window
+    // exits non-zero.
+    var quietWaitSec = 0
+    val quietRewaitCap = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_REWAIT", "150").toInt
+    val pendingHard = resultsMap.keys.toSeq.filter(wouldHardFail)
+    if (pendingHard.nonEmpty) {
+      System.gc()
+      while (loadAvg > quietLoad && quietWaitSec < quietRewaitCap) {
+        System.err.println(
+          f"[bench] quiet-window wait: load ${loadAvg}%.2f > $quietLoad%.1f (${quietWaitSec}s/${quietRewaitCap}s)")
+        Thread.sleep(15000)
+        quietWaitSec += 15
+      }
+      pendingHard.foreach { k =>
+        System.err.println(
+          f"[bench] quiet-window re-measure: $k (spread ${spreadOf(k)}%.2fx, load now ${loadAvg}%.2f)")
+        sweep.find(_._1 == k).foreach { case (name, fn) =>
+          measure(name, fn, reps + 2).foreach(resultsMap(name) = _)
+        }
+      }
     }
     val results: Seq[(String, (Double, Double, Double))] = resultsMap.toSeq
     // streaming SLO analog (BASELINE.md: p50 <= 20s / p95 <= 60s rolling):
@@ -176,11 +230,7 @@ object Bench {
     // mean something: median >= varFloor AND absolute spread (max − min)
     // > varFloor. Everything below the floor that still trips its trigger
     // is published with a soft flag, never rc != 0.
-    val varFloor = sys.env.getOrElse("SPARK_GRAFT_BENCH_VARFLOOR", "0.5").toDouble
-    def absSpread(k: String): Double = { val (mn, _, mx) = resultsMap(k); mx - mn }
-    val hardViolations = violations.filter { case (k, r) =>
-      r > varThreshold && resultsMap(k)._2 >= varFloor && absSpread(k) > varFloor
-    }
+    val hardViolations = violations.filter { case (k, _) => wouldHardFail(k) }
     val softViolations = violations.filterNot(v => hardViolations.exists(_._1 == v._1))
     def vmap(vs: Seq[(String, Double)]): String =
       vs.map { case (k, r) => "\"" + k + "\":" + f(r) }.mkString("{", ",", "}")
@@ -188,7 +238,9 @@ object Bench {
       s"""{"threshold":$varThreshold,"heavy_threshold":$heavyThreshold,""" +
         s""""floor_sec":$varFloor,""" +
         s""""retries":$retries,"violations":${vmap(hardViolations)},""" +
-        s""""soft":${vmap(softViolations)}}"""
+        s""""soft":${vmap(softViolations)},""" +
+        s""""quiet_load":$quietLoad,"pre_wait_sec":$preWait,""" +
+        s""""quiet_rewaits":${pendingHard.size},"quiet_wait_sec":$quietWaitSec}"""
     hardViolations.foreach { case (k, r) =>
       System.err.println(
         f"[bench] VARIANCE GUARD (after $retries retries): $k max/min = $r%.2fx > ${varThreshold}x")

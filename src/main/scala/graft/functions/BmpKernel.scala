@@ -56,8 +56,11 @@ case class BmpLuma(child: Expression) extends UnaryExpression {
     val planes = le16(26)
     val bpp = le16(28)
     val compression = le32(30)
-    if (width <= 0 || rawH == 0 || planes != 1 || compression != 0L ||
-      (bpp != 24 && bpp != 32)) return null
+    // rawH == Int.MinValue would survive math.abs still negative and turn
+    // the offset math into negative indexes — reject it with the other
+    // unwalkable headers (NULL, never a thrown task)
+    if (width <= 0 || rawH == 0 || rawH == Int.MinValue || planes != 1 ||
+      compression != 0L || (bpp != 24 && bpp != 32)) return null
     val height = math.abs(rawH)
     val bytesPp = bpp / 8
     // row stride padded to a 4-byte boundary
@@ -121,7 +124,8 @@ case class BmpLuma(child: Expression) extends UnaryExpression {
          |  final int $width = (int) ${le32("18")};
          |  final int $rawH = (int) ${le32("22")};
          |  final int $bpp = ${le16("28")};
-         |  if ($width <= 0 || $rawH == 0 || ${le16("26")} != 1 ||
+         |  if ($width <= 0 || $rawH == 0 || $rawH == Integer.MIN_VALUE ||
+         |      ${le16("26")} != 1 ||
          |      ${le32("30")} != 0L || ($bpp != 24 && $bpp != 32)) break $scan;
          |  final int $height = $rawH < 0 ? -$rawH : $rawH;
          |  final int $bytesPp = $bpp / 8;
@@ -179,8 +183,8 @@ object BmpEval {
     val w = le32(18).toInt
     val rawH = le32(22).toInt
     val bpp = le16(28)
-    if (w <= 0 || rawH == 0 || le16(26) != 1 || le32(30) != 0L ||
-      (bpp != 24 && bpp != 32)) return null
+    if (w <= 0 || rawH == 0 || rawH == Int.MinValue || le16(26) != 1 ||
+      le32(30) != 0L || (bpp != 24 && bpp != 32)) return null
     val h = math.abs(rawH)
     val topDown = rawH < 0
     val bytesPp = bpp / 8
@@ -251,8 +255,8 @@ object BmpHashEval {
     val w = le32(18).toInt
     val rawH = le32(22).toInt
     val bpp = le16(28)
-    if (w <= 0 || rawH == 0 || le16(26) != 1 || le32(30) != 0L ||
-      (bpp != 24 && bpp != 32)) return null
+    if (w <= 0 || rawH == 0 || rawH == Int.MinValue || le16(26) != 1 ||
+      le32(30) != 0L || (bpp != 24 && bpp != 32)) return null
     val h = math.abs(rawH)
     val topDown = rawH < 0
     val bytesPp = bpp / 8
@@ -262,12 +266,15 @@ object BmpHashEval {
     var sum = 0
     var gy = 0
     while (gy < 8) {
-      val iy = gy * h / 8
+      // Long products: gy*h and gx*w overflow Int for dims near 2^31 —
+      // such files fail the length check above, but the grid math must
+      // not be the thing that breaks first
+      val iy = (gy.toLong * h / 8).toInt
       val fileRow = if (topDown) iy else h - 1 - iy
       val base = off + fileRow * rowSize
       var gx = 0
       while (gx < 8) {
-        val sx = gx * w / 8
+        val sx = (gx.toLong * w / 8).toInt
         val p = (base + sx.toLong * bytesPp).toInt
         val b = bb(p) & 0xFF; val g = bb(p + 1) & 0xFF; val r = bb(p + 2) & 0xFF
         val l = (299 * r + 587 * g + 114 * b) / 1000

@@ -47,16 +47,21 @@ object GzipEval {
 
   /** One deterministic gzip member: MTIME=0, XFL=0, OS=255 (unknown);
     * `name` non-empty adds a NUL-terminated FNAME (Latin-1 per spec —
-    * callers pass ASCII).
+    * callers pass ASCII). Embedded NUL bytes are STRIPPED before the
+    * field is written: FNAME is NUL-terminated on the wire, so a verbatim
+    * NUL would end the name early and feed the remaining name bytes to
+    * the inflater — an undecodable member from a "successful" encode.
     */
   def gzip(payload: Array[Byte], name: Array[Byte]): Array[Byte] = {
-    val withName = name != null && name.length > 0
+    val cleanName: Array[Byte] =
+      if (name == null) null else name.filter(_ != 0)
+    val withName = cleanName != null && cleanName.length > 0
     val out = new java.io.ByteArrayOutputStream(payload.length / 2 + 64)
     out.write(0x1f); out.write(0x8b); out.write(8)
     out.write(if (withName) 0x08 else 0x00)
     out.write(0); out.write(0); out.write(0); out.write(0) // MTIME = 0
     out.write(0); out.write(255)
-    if (withName) { out.write(name, 0, name.length); out.write(0) }
+    if (withName) { out.write(cleanName, 0, cleanName.length); out.write(0) }
     val d = defl.get(); d.reset(); d.setInput(payload); d.finish()
     val buf = drain.get()
     while (!d.finished()) { val n = d.deflate(buf); out.write(buf, 0, n) }
