@@ -128,6 +128,7 @@ object SparkEntry {
     "q104_column_profile" -> (Relational.q104ColumnProfile _),
     "q105_crawl_diff" -> (Crawl.q105CrawlDiff _),
     "q106_content_blocks" -> (Crawl.q106ContentBlocks _),
+    "q107_fetch_schedule" -> (Crawl.q107FetchSchedule _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1179,35 +1180,35 @@ object SparkEntry {
     // the *-group crawl delay — over the kept frontier from the SHARED
     // frontierCtes
     "q98_robots_gate" ->
-      ("WITH " + frontierCtes + ", " +
-        "fr AS (SELECT canonical_url FROM fq WHERE keep = 1), " +
-        "fu AS (SELECT canonical_url, " +
-        "regexp_extract(canonical_url, '^[a-z]+://([^/:?#]+)', 1) AS host, " +
-        "regexp_extract(canonical_url, '^[a-z]+://[^/]+(/[^?#]*)', 1) AS path FROM fr), " +
-        "hs AS (SELECT CAST(range AS INTEGER) AS h FROM range(0, 40)), " +
-        "rl AS (" +
-        "SELECT 'site' || h || '.example.com' AS rhost, '*' AS ua, 'disallow' AS rtype, '/r/' AS prefix FROM hs WHERE h % 3 = 0 " +
-        "UNION ALL SELECT 'site' || h || '.example.com', '*', 'allow', '/r/' || (h % 10) FROM hs WHERE h % 4 = 1 " +
-        "UNION ALL SELECT 'site' || h || '.example.com', '*', 'disallow', '/a/' FROM hs WHERE h % 5 = 2 " +
-        "UNION ALL SELECT 'site' || h || '.example.com', '*', 'allow', '/a/' || (h % 20) || '/sub/' FROM hs WHERE h % 5 = 2 " +
-        "UNION ALL SELECT 'site' || h || '.example.com', '*', 'disallow', '/y/' FROM hs WHERE h % 2 = 0 " +
-        "UNION ALL SELECT 'site' || h || '.example.com', 'graftbot', 'disallow', '/' FROM hs WHERE h % 7 = 3), " +
-        "gb AS (SELECT DISTINCT rhost FROM rl WHERE ua = 'graftbot'), " +
-        "sel AS (SELECT fu.*, CASE WHEN gb.rhost IS NOT NULL THEN 'graftbot' ELSE '*' END AS ua_sel " +
-        "FROM fu LEFT JOIN gb ON fu.host = gb.rhost), " +
-        "mt AS (SELECT sel.canonical_url, sel.host, sel.path, sel.ua_sel, rl.rtype, rl.prefix " +
-        "FROM sel LEFT JOIN rl ON rl.rhost = sel.host AND rl.ua = sel.ua_sel " +
-        "AND starts_with(sel.path, rl.prefix)), " +
-        "ag AS (SELECT canonical_url, host, path, ua_sel, " +
-        "arg_max(rtype, 2 * length(prefix) + CASE WHEN rtype = 'allow' THEN 1 ELSE 0 END) AS rule_type, " +
-        "arg_max(prefix, 2 * length(prefix) + CASE WHEN rtype = 'allow' THEN 1 ELSE 0 END) AS matched_rule " +
-        "FROM mt GROUP BY canonical_url, host, path, ua_sel) " +
+      ("WITH " + frontierCtes + ", " + robotsCtes + " " +
         "SELECT canonical_url, host, path, " +
-        "CASE WHEN rule_type IS NULL OR rule_type = 'allow' THEN 1 ELSE 0 END AS allowed, " +
+        allowedSql + " AS allowed, " +
         "matched_rule, rule_type, " +
-        "CASE WHEN ua_sel = '*' AND try_cast(regexp_extract(host, '^site([0-9]+)\\.', 1) AS INTEGER) % 2 = 0 " +
-        "THEN CAST(try_cast(regexp_extract(host, '^site([0-9]+)\\.', 1) AS INTEGER) % 5 + 1 AS INTEGER) END AS crawl_delay " +
+        crawlDelaySql + " AS crawl_delay " +
         "FROM ag"),
+    // q107: the oracle replays the WHOLE back half independently — the
+    // kept frontier with discoverer positions (frontierCtes), the robots
+    // judgment (robotsCtes), the unrolled integer PageRank (linkRankCtes)
+    // — then ranks hosts (rank desc, name tiebreak), sequences each
+    // host's allowed URLs by discovery position, and multiplies out the
+    // integer fetch slots. A scheduler that dropped blocked URLs, let
+    // slots count blocked rows, paced by the wrong host's delay, or
+    // drifted the host ordering fails the hash.
+    "q107_fetch_schedule" ->
+      ("WITH " + frontierCtes + ", " + linkRankCtes + ", " + robotsCtes + ", " +
+        "pr AS (SELECT host AS rank_host, CAST(r AS BIGINT) AS rank_p5, " +
+        "CAST(row_number() OVER (ORDER BY r DESC, host) AS INTEGER) AS host_priority FROM r5), " +
+        "g AS (SELECT canonical_url, host, disc_pos, " +
+        allowedSql + " AS allowed, " + crawlDelaySql + " AS crawl_delay FROM ag), " +
+        "sq AS (SELECT g.*, pr.rank_p5, pr.host_priority, " +
+        "CAST(row_number() OVER (PARTITION BY g.host, g.allowed ORDER BY g.disc_pos) - 1 AS INTEGER) AS seq0 " +
+        "FROM g LEFT JOIN pr ON g.host = pr.rank_host) " +
+        "SELECT canonical_url, host, rank_p5, host_priority, " +
+        "CAST(allowed AS INTEGER) AS allowed, crawl_delay, " +
+        "CASE WHEN allowed = 1 THEN seq0 END AS fetch_seq, " +
+        "CASE WHEN allowed = 1 THEN CAST(coalesce(crawl_delay, 1) AS INTEGER) END AS delay_sec, " +
+        "CASE WHEN allowed = 1 THEN CAST(seq0 * coalesce(crawl_delay, 1) AS BIGINT) END AS sched_sec " +
+        "FROM sq"),
     // q99: the oracle derives every field DIRECTLY from the residues —
     // never by parsing (q82's stance) — so a parser slip (splitting on
     // the body's embedded separator, case-sensitive header match,
@@ -1552,7 +1553,12 @@ object SparkEntry {
     * dangling mass, and the damped integer update — all floor division,
     * so five chained rounds are bit-identical to the Spark loop.
     */
-  private lazy val linkRankSql: String = {
+  /** The rank CTE chain alone (graph discovery over `c` + unrolled
+    * rounds, ending in `r5`) — spliced by q96's full query and q107's
+    * host-priority dim, so the scheduler's view of rank cannot drift
+    * from the rank query itself.
+    */
+  private lazy val linkRankCtes: String = {
     val graph =
       "e AS (SELECT DISTINCT 'site' || (doc_id % 40) || '.example.com' AS src, " +
         "regexp_extract(canonical_url, '^[a-z]+://([^/:?#]+)', 1) AS dst " +
@@ -1572,9 +1578,51 @@ object SparkEntry {
         s"(17 * (coalesce(s$k.sc, 0) + (d$k.d // nn.n))) // 20 AS r " +
         s"FROM vd CROSS JOIN nn CROSS JOIN d$k LEFT JOIN s$k ON vd.host = s$k.dst)"
     }.mkString(", ")
-    "WITH " + linkCtes + ", " + graph + ", " + rounds + " " +
-      "SELECT host, out_deg, CAST(r AS BIGINT) AS rank_p5 FROM r5"
+    graph + ", " + rounds
   }
+
+  private lazy val linkRankSql: String =
+    "WITH " + linkCtes + ", " + linkRankCtes + " " +
+      "SELECT host, out_deg, CAST(r AS BIGINT) AS rank_p5 FROM r5"
+
+  /** q98's rule table + RFC 9309 judgment as a CTE chain over the kept
+    * frontier (`fq` from [[frontierCtes]]), ending in `ag` — spliced by
+    * q98 and q107, so the gate and the scheduler judge identically. `fr`
+    * carries the discoverer position (`min` is the value itself: keep=1
+    * rows are unique per URL) so the scheduler can sequence without
+    * re-deriving it.
+    */
+  private lazy val robotsCtes: String =
+    "fr AS (SELECT canonical_url, min(doc_id * 16 + link_idx) AS disc_pos " +
+      "FROM fq WHERE keep = 1 GROUP BY canonical_url), " +
+      "fu AS (SELECT canonical_url, disc_pos, " +
+      "regexp_extract(canonical_url, '^[a-z]+://([^/:?#]+)', 1) AS host, " +
+      "regexp_extract(canonical_url, '^[a-z]+://[^/]+(/[^?#]*)', 1) AS path FROM fr), " +
+      "hs AS (SELECT CAST(range AS INTEGER) AS h FROM range(0, 40)), " +
+      "rl AS (" +
+      "SELECT 'site' || h || '.example.com' AS rhost, '*' AS ua, 'disallow' AS rtype, '/r/' AS prefix FROM hs WHERE h % 3 = 0 " +
+      "UNION ALL SELECT 'site' || h || '.example.com', '*', 'allow', '/r/' || (h % 10) FROM hs WHERE h % 4 = 1 " +
+      "UNION ALL SELECT 'site' || h || '.example.com', '*', 'disallow', '/a/' FROM hs WHERE h % 5 = 2 " +
+      "UNION ALL SELECT 'site' || h || '.example.com', '*', 'allow', '/a/' || (h % 20) || '/sub/' FROM hs WHERE h % 5 = 2 " +
+      "UNION ALL SELECT 'site' || h || '.example.com', '*', 'disallow', '/y/' FROM hs WHERE h % 2 = 0 " +
+      "UNION ALL SELECT 'site' || h || '.example.com', 'graftbot', 'disallow', '/' FROM hs WHERE h % 7 = 3), " +
+      "gb AS (SELECT DISTINCT rhost FROM rl WHERE ua = 'graftbot'), " +
+      "sel AS (SELECT fu.*, CASE WHEN gb.rhost IS NOT NULL THEN 'graftbot' ELSE '*' END AS ua_sel " +
+      "FROM fu LEFT JOIN gb ON fu.host = gb.rhost), " +
+      "mt AS (SELECT sel.canonical_url, sel.host, sel.path, sel.ua_sel, sel.disc_pos, rl.rtype, rl.prefix " +
+      "FROM sel LEFT JOIN rl ON rl.rhost = sel.host AND rl.ua = sel.ua_sel " +
+      "AND starts_with(sel.path, rl.prefix)), " +
+      "ag AS (SELECT canonical_url, host, path, ua_sel, disc_pos, " +
+      "arg_max(rtype, 2 * length(prefix) + CASE WHEN rtype = 'allow' THEN 1 ELSE 0 END) AS rule_type, " +
+      "arg_max(prefix, 2 * length(prefix) + CASE WHEN rtype = 'allow' THEN 1 ELSE 0 END) AS matched_rule " +
+      "FROM mt GROUP BY canonical_url, host, path, ua_sel, disc_pos)"
+
+  /** The gate verdict spellings shared by the q98 and q107 oracles. */
+  private val allowedSql: String =
+    "CASE WHEN rule_type IS NULL OR rule_type = 'allow' THEN 1 ELSE 0 END"
+  private val crawlDelaySql: String =
+    "CASE WHEN ua_sel = '*' AND try_cast(regexp_extract(host, '^site([0-9]+)\\.', 1) AS INTEGER) % 2 = 0 " +
+      "THEN CAST(try_cast(regexp_extract(host, '^site([0-9]+)\\.', 1) AS INTEGER) % 5 + 1 AS INTEGER) END"
 
   /** DuckDB spelling of `Text.canonicalUrl` over column `_u` of CTE
     * `from`, emitted as the p/k/c chain with `*` passthrough — q91 and

@@ -535,11 +535,12 @@ object Crawl {
     * (q68's premise; a bigger one swaps in q63's bloom shape), and the
     * only exchange is the per-URL winner aggregation keyed by the URL.
     */
-  private[graft] def robotsJudge(urls: DataFrame, rules: DataFrame): DataFrame = {
-    val fu = urls.select(col("canonical_url"),
-      Text.hostOf(col("canonical_url")).as("host"),
-      regexp_extract(col("canonical_url"), "^[a-z]+://[^/]+(/[^?#]*)", 1)
-        .as("path"))
+  private[graft] def robotsJudge(urls: DataFrame, rules: DataFrame,
+                                 carry: Seq[String] = Nil): DataFrame = {
+    val fu = urls.select(col("canonical_url") +:
+      (Seq(Text.hostOf(col("canonical_url")).as("host"),
+        regexp_extract(col("canonical_url"), "^[a-z]+://[^/]+(/[^?#]*)", 1)
+          .as("path")) ++ carry.map(col)): _*)
     val gb = rules.where(col("ua") === "graftbot")
       .select(col("rhost").as("_gbhost")).distinct()
     val sel = fu.join(broadcast(gb), fu("host") === col("_gbhost"), "left")
@@ -552,9 +553,18 @@ object Crawl {
     // (2*len + is_allow is a total order because equal-length equal-type
     // rules with distinct prefixes cannot both match one path)
     val key = length(col("prefix")) * 2 + (col("rtype") === "allow").cast("int")
-    mt.groupBy("canonical_url", "host", "path", "ua_sel")
-      .agg(max_by(col("rtype"), key).as("rule_type"),
+    // group by the URL ALONE: host/path/ua_sel (and any carried column —
+    // callers pass per-URL attributes like the discoverer position) are
+    // functions of canonical_url, folded back via max. This keeps the
+    // aggregation's required distribution satisfiable by an upstream
+    // partitioning on canonical_url (q94's frontier window), instead of
+    // forcing a fresh compound-key exchange of the frontier.
+    val aggs = Seq(max(col("host")).as("host"), max(col("path")).as("path"),
+      max(col("ua_sel")).as("ua_sel")) ++
+      carry.map(c => max(col(c)).as(c)) ++
+      Seq(max_by(col("rtype"), key).as("rule_type"),
         max_by(col("prefix"), key).as("matched_rule"))
+    mt.groupBy("canonical_url").agg(aggs.head, aggs.tail: _*)
   }
 
   /** Q99: HTTP response envelope parsing — the layer between q82's WARC
@@ -737,16 +747,93 @@ object Crawl {
     * scheduler. Rule-less hosts (cdn) are allowed with NULL evidence —
     * an unreachable robots.txt permits fetching.
     */
+  /** The gate verdict columns shared by q98 (which reports them) and
+    * q107 (which schedules on them): `allowed` from the winning rule,
+    * and the `*`-group crawl delay — defined only when the `*` group
+    * governs (a graftbot-specific group has no delay line here) and the
+    * host's residue carries one.
+    */
+  private def hostNum: Column =
+    expr("try_cast(regexp_extract(host, '^site([0-9]+)\\\\.', 1) AS INT)")
+  private def allowedBit: Column =
+    when(col("rule_type").isNull || col("rule_type") === "allow", 1).otherwise(0)
+  private def crawlDelay: Column =
+    when(col("ua_sel") === "*" && hostNum % 2 === 0, (hostNum % 5 + 1))
+      .cast("int")
+
   def q98RobotsGate(spark: SparkSession, dir: String): DataFrame = {
     val frontier = q94LinkFrontier(spark, dir)
       .where(col("keep") === 1).select("canonical_url")
     val judged = robotsJudge(frontier, robotsRules(spark))
-    val hnum = expr("try_cast(regexp_extract(host, '^site([0-9]+)\\\\.', 1) AS INT)")
     judged.select(col("canonical_url"), col("host"), col("path"),
-      when(col("rule_type").isNull || col("rule_type") === "allow", 1)
-        .otherwise(0).as("allowed"),
+      allowedBit.as("allowed"),
       col("matched_rule"), col("rule_type"),
-      when(col("ua_sel") === "*" && hnum % 2 === 0, (hnum % 5 + 1))
-        .cast("int").as("crawl_delay"))
+      crawlDelay.as("crawl_delay"))
+  }
+
+  // ---------------------------------------------------------------- q107
+
+  /** Q107: politeness FETCH SCHEDULE — the back half of the crawl loop,
+    * composing what the earlier stages only published: the kept frontier
+    * (q94) ordered per host by discovery position, gated by the robots
+    * judgment (q98), prioritized across hosts by link rank (q96), and
+    * paced into integer next-fetch slots honoring `crawl_delay` — the
+    * per-host generalization of the reference producer's fixed
+    * politeness pause between paged requests
+    * (`ingestion/producer/openalex_client.py:50-53,69-70` sleeps
+    * `REQUEST_PAUSE` per page; a crawler does the same per HOST with the
+    * delay each host's robots.txt asks for).
+    *
+    * Contract: every kept frontier URL appears with its robots verdict
+    * (report-WHY — a blocked URL shows `allowed = 0` and NULL schedule,
+    * never silently drops); allowed URLs get `fetch_seq` (0-based slot
+    * within their host, discovery order), `delay_sec`
+    * (`coalesce(crawl_delay, 1)` — RFC 9309 has no delay default, 1 s is
+    * the conventional floor), and `sched_sec = fetch_seq * delay_sec`,
+    * all BIGINT/INT arithmetic an oracle replays exactly. `host_priority`
+    * ranks hosts by rank_p5 (desc, host name tiebreak) — the order a
+    * fetch fleet drains queues in.
+    *
+    * Scale shape: the rank frame is HOST-cardinality — a dim (millions
+    * of hosts vs billions of frontier URLs), so it broadcasts after a
+    * host-level priority window; that window is single-partition over
+    * the dim only (the q80 offsets argument — never over the frontier;
+    * a deployment at 1e8+ hosts swaps in the two-phase rank spelling).
+    * The frontier pays exactly ONE new exchange beyond q94's three: the
+    * per-host sequencing window keyed (host, allowed). The robots
+    * judgment itself rides q94's canonical_url partitioning (see
+    * [[robotsJudge]]) and the rule dims broadcast. Pinned in
+    * PlanAuditSpec.
+    */
+  def q107FetchSchedule(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frontier = q94LinkFrontier(spark, dir)
+      .where(col("keep") === 1)
+      .select(col("canonical_url"),
+        (col("doc_id") * 16 + col("link_idx")).cast("bigint").as("disc_pos"))
+    val judged = robotsJudge(frontier, robotsRules(spark),
+      carry = Seq("disc_pos"))
+    val gated = judged.select(col("canonical_url"), col("host"),
+      col("disc_pos"), allowedBit.as("allowed"),
+      crawlDelay.as("crawl_delay"))
+    val prio = q96LinkRank(spark, dir)
+      .select(col("host").as("rank_host"), col("rank_p5"))
+      .withColumn("host_priority",
+        row_number().over(
+          Window.orderBy(col("rank_p5").desc, col("rank_host"))).cast("int"))
+    val met = gated.join(broadcast(prio),
+      col("host") === col("rank_host"), "left")
+    val wseq = Window.partitionBy(col("host"), col("allowed"))
+      .orderBy(col("disc_pos"))
+    val delay = coalesce(col("crawl_delay"), lit(1))
+    met
+      .withColumn("_seq", (row_number().over(wseq) - 1).cast("int"))
+      .select(col("canonical_url"), col("host"),
+        col("rank_p5"), col("host_priority"),
+        col("allowed"), col("crawl_delay"),
+        when(col("allowed") === 1, col("_seq")).as("fetch_seq"),
+        when(col("allowed") === 1, delay.cast("int")).as("delay_sec"),
+        when(col("allowed") === 1, (col("_seq") * delay).cast("bigint"))
+          .as("sched_sec"))
   }
 }

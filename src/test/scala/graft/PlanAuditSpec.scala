@@ -620,6 +620,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles(df99) === 0, s"expected 0 shuffles:\n${plan(df99)}")
   }
 
+  test("q107 schedule: rank/rule dims broadcast, one new frontier exchange beyond q94") {
+    val df = graft.operators.Crawl.q107FetchSchedule(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    // the rule table, the graftbot-host dim, AND the host-rank priority
+    // dim all broadcast — the frontier never moves to meet a dim
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    // corpus-sized exchange budget: q94's three + ONE new (the per-host
+    // sequencing window keyed (host, allowed)). The robots judgment's
+    // aggregation must ride q94's canonical_url partitioning (robotsJudge
+    // groups by the URL alone for exactly this) — a 5th hash exchange
+    // means that reuse broke. The host-priority window's
+    // Exchange SinglePartition is over the HOST DIM only and is counted
+    // separately.
+    val corpusShuffles = p.linesIterator.count(l =>
+      l.contains("- Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+    assert(corpusShuffles <= 4, s"expected <= 4 hash exchanges:\n$p")
+  }
+
   test("q101 image dedup: one fingerprint shuffle, pixels never move twice") {
     val df = graft.operators.Multimodal.q101ImageDedup(spark, TestSpark.Sf0001)
     val p = plan(df)
