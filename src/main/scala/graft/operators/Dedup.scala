@@ -382,13 +382,19 @@ object Dedup {
     * q40's semantics without the vec_id bound, running entirely on the
     * sub-quadratic candidate path. Same threshold as q40 (0.34 sits
     * ≥ 1e-5 from the nearest pair similarity at the oracle-gated SFs).
+    * Auto-scale (the r11 decade named this query at 21.8×): above
+    * [[Similarity.AnnDenseMax]] the bucket cap BINDS, bounding candidate
+    * volume linearly — the dense-coverage exactness contract then
+    * degrades to recall-gated (the stated no-free-lunch on near-random
+    * vectors; clustered embeddings lose little, AnnScaleSpec).
     */
-  def q44EmbedNearDupFull(spark: SparkSession, dir: String): DataFrame =
-    embedNearDupClusters(
-      Tables.load(spark, dir, "embeddings")
-        .select(col("vec_id"),
-          graft.functions.VectorOps.toDoubleArray(col("embedding")).as("v")),
-      threshold = 0.34)
+  def q44EmbedNearDupFull(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VectorOps.toDoubleArray(col("embedding")).as("v"))
+    embedNearDupClusters(v, threshold = 0.34,
+      bucketCap = Similarity.autoBucketCap(v.count()))
+  }
 
   /** 32-bit word hash from the md5 hex prefix — portable across engines. */
   private def h32(c: Column): Column =

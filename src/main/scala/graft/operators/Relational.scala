@@ -278,12 +278,13 @@ object Relational {
     * unpivots via `stack` into one row per column. No second scan
     * anywhere.
     */
-  def q104ColumnProfile(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+  private def columnProfileOn(docs: DataFrame,
+                              distinctAgg: org.apache.spark.sql.Column =>
+                                org.apache.spark.sql.Column): DataFrame = {
     val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
     val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
       Seq(count(col(c)).as(s"_cnt_$c"),
-        countDistinct(col(c)).as(s"_dst_$c"),
+        distinctAgg(col(c)).as(s"_dst_$c"),
         min(col(c)).cast("string").as(s"_min_$c"),
         max(col(c)).cast("string").as(s"_max_$c"))
     }
@@ -295,4 +296,21 @@ object Relational {
       .select(col("column_name"), col("n_rows"), col("n_null"),
         col("n_distinct"), col("min_v"), col("max_v"))
   }
+
+  def q104ColumnProfile(spark: SparkSession, dir: String): DataFrame =
+    columnProfileOn(Tables.load(spark, dir, "documents"), countDistinct(_))
+
+  /** The 100 TB shape of q104, shipped as tested code (the q63/q68
+    * too-big-swap discipline): `approx_count_distinct` (q31's HLL++
+    * sketch, default rsd 5%) replaces the exact multi-column distinct.
+    * The payoff is the PLAN, not just memory: N exact distincts plan
+    * through Expand — the input stream duplicated once per profiled
+    * column before the partial aggregate — while N sketches fold in ONE
+    * un-duplicated pass (no Expand node at all; every other profile
+    * column is bit-identical to the exact twin). ScaleSpec pins both the
+    * plan difference and the ≤ 5%-per-column sketch agreement.
+    */
+  def columnProfileSketched(spark: SparkSession, dir: String): DataFrame =
+    columnProfileOn(Tables.load(spark, dir, "documents"),
+      approx_count_distinct(_))
 }

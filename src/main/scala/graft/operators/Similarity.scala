@@ -199,19 +199,73 @@ object Similarity {
     rerankTopKQuantized(annCandidatePairs(vectors, nbits, bands, bucketCap),
       vectors, k, oversample)
 
-  /** queries()-shaped wrapper for the quantized ANN path (rows-only check;
-    * recall spec-gated in AnnRecallSpec like q26/q36).
+  // ──────────────────── auto-scale parameter policy ────────────────────
+
+  /** Corpus-size ceiling for the DENSE recall-tuned ANN parameters.
+    *
+    * The r11 sf0.1→10× decade named the failure mode this policy closes:
+    * at bench parameters (bucketCap/cellCap non-binding — recall-tuned
+    * for the 2k near-random corpus vectors) candidate generation is ~n²
+    * BY DESIGN, and nothing stopped a deployment from silently carrying
+    * that config into a 10× corpus (q36 measured 28.9×, q44 21.8×, q73
+    * 16.7× across the decade). The linear-scale configurations existed
+    * but only AnnScaleSpec ran them. Now every ANN entry point counts
+    * its corpus and switches itself:
+    *
+    *  - at or below `AnnDenseMax` (covers sf0.001–sf0.1, where the
+    *    contract gates are measured) the dense parameters run unchanged
+    *    — recall gates and oracle rows are untouched;
+    *  - above it, the AnnScaleSpec-pinned linear configuration engages:
+    *    a BINDING bucket cap for the LSH family (measured: candidates
+    *    ≤ 10× at 10×), density-scaled cells with fixed probes and a
+    *    binding cellCap for IVF (measured: ~linear candidates, recall
+    *    0.935→0.917 on clustered vectors — the real-embedding regime;
+    *    on near-random vectors the same trade costs recall, the no-free-
+    *    lunch the scaladocs state).
+    *
+    * The count is one metadata-cheap job per invocation — nothing next
+    * to the candidate stage it bounds.
     */
-  def q53AnnQuantized(spark: SparkSession, dir: String): DataFrame =
-    annCosineQuantizedOn(
-      Tables.load(spark, dir, "embeddings")
-        .select(col("vec_id"), toDoubleArray(col("embedding")).as("v")))
+  val AnnDenseMax: Long = 4096L
+
+  /** LSH bucket cap by corpus size: non-binding 4096 in the dense regime,
+    * binding 256 above it (≈ per-bucket occupancy at the 2k base corpus
+    * under 3 bits — AnnScaleSpec's measured binding cap).
+    */
+  def autoBucketCap(n: Long): Int = if (n <= AnnDenseMax) 4096 else 256
+
+  /** IVF (nCells, nProbe, cellCap) by corpus size: the dense recall-tuned
+    * triple in the dense regime; density-scaled cells (~32 expected
+    * members each), fixed 8 probes, binding cellCap 64 above it —
+    * exactly the configuration AnnScaleSpec pins linear-with-recall on
+    * clustered vectors.
+    */
+  def autoIvfParams(n: Long): (Int, Int, Int) =
+    if (n <= AnnDenseMax) (32, 20, 4096)
+    else (math.max(32, (n / 32).toInt), 8, 64)
+
+  private def loadVectors(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+
+  /** queries()-shaped wrapper for the quantized ANN path (rows-only check;
+    * recall spec-gated in AnnRecallSpec like q26/q36). Auto-scale: the
+    * bucket cap binds above [[AnnDenseMax]].
+    */
+  def q53AnnQuantized(spark: SparkSession, dir: String): DataFrame = {
+    val v = loadVectors(spark, dir)
+    annCosineQuantizedOn(v, bucketCap = autoBucketCap(v.count()))
+  }
 
   /** queries()-shaped wrapper for the ANN path (rows-only check — results
-    * are approximate by construction).
+    * are approximate by construction). Auto-scale: the bucket cap binds
+    * above [[AnnDenseMax]].
     */
-  def q26AnnLsh(spark: SparkSession, dir: String): DataFrame =
-    annCosine(spark, dir)
+  def q26AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val v = loadVectors(spark, dir)
+    annCosineOn(v, nbits = 3, bands = 8, k = 5,
+      bucketCap = autoBucketCap(v.count()))
+  }
 
   /** IVF-style ANN: vectors are assigned to Voronoi cells around seed
     * centroids; each query probes its `nProbe` nearest cells and re-ranks
@@ -355,10 +409,14 @@ object Similarity {
   }
 
   /** queries()-shaped wrapper for the IVF path (rows-only check; recall
-    * gated in AnnRecallSpec like the LSH path).
+    * gated in AnnRecallSpec like the LSH path). Auto-scale: density-
+    * scaled cells + binding cellCap above [[AnnDenseMax]].
     */
-  def q36AnnIvf(spark: SparkSession, dir: String): DataFrame =
-    ivfCosine(spark, dir)
+  def q36AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val v = loadVectors(spark, dir)
+    val (nCells, nProbe, cellCap) = autoIvfParams(v.count())
+    ivfCosineOn(v, nCells, nProbe, k = 5, cellCap)
+  }
 
   // ───────────────────────── product quantization ─────────────────────────
 
@@ -551,12 +609,14 @@ object Similarity {
       vectors, k, m, ks, rounds, oversample)
 
   /** queries()-shaped wrapper for the PQ-ADC ANN path (rows-only check;
-    * recall spec-gated in AnnRecallSpec like q26/q36/q53).
+    * recall spec-gated in AnnRecallSpec like q26/q36/q53). Auto-scale:
+    * the bucket cap binds above [[AnnDenseMax]], so the ADC stage's
+    * candidate volume stays linear.
     */
-  def q73AnnPq(spark: SparkSession, dir: String): DataFrame =
-    annCosinePQOn(
-      Tables.load(spark, dir, "embeddings")
-        .select(col("vec_id"), toDoubleArray(col("embedding")).as("v")))
+  def q73AnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val v = loadVectors(spark, dir)
+    annCosinePQOn(v, bucketCap = autoBucketCap(v.count()))
+  }
 
   /** Q100: SEMANTIC decontamination — the embedding-space sibling of
     * q45/q63's n-gram overlap (a paraphrased benchmark item shares no

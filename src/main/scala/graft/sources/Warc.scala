@@ -119,4 +119,70 @@ object Warc {
         length(col("_pay")).cast("long").as("content_length"),
         md5(col("_pay")).as("payload_md5"))
   }
+
+  // ───────────────────────────── write side ─────────────────────────────
+
+  /** One serialized WARC/1.0 record as BINARY — the WRITE side of the
+    * q82 walk (a corpus refresh that computes q105's diff needs to emit
+    * records, not only read them). Layout is exactly what the walk
+    * consumes: version line, `WARC-Type` / `WARC-Target-URI` headers,
+    * `Content-Length` counting payload BYTES, the CRLF blank line, the
+    * body, and the 4-byte record separator that BELONGS to the record.
+    *
+    * `rtype = "revisit"` emits the digest-only profile q105's `revisit`
+    * bit marks (ISO 28500's revisit record: a recrawler stores the
+    * evidence, not another copy): zero body bytes, `Content-Length: 0`,
+    * and the content digest carried in `WARC-Payload-Digest`.
+    */
+  def warcRecordBytes(uri: Column, rtype: Column, payload: Column,
+                      digest: Column): Column = {
+    val crlf = "\r\n"
+    val body = when(rtype === "revisit", lit("").cast("binary"))
+      .otherwise(payload.cast("binary"))
+    val head = concat(
+      lit("WARC/1.0" + crlf),
+      lit("WARC-Type: "), rtype, lit(crlf),
+      lit("WARC-Target-URI: "), uri, lit(crlf),
+      when(rtype === "revisit",
+        concat(lit("WARC-Payload-Digest: md5:"), digest, lit(crlf)))
+        .otherwise(lit("")),
+      lit("Content-Length: "), length(body).cast("string"),
+      lit(crlf + crlf))
+    concat(head.cast("binary"), body, lit(crlf + crlf).cast("binary"))
+  }
+
+  /** Records → one `.warc.gz` SEGMENT per group: each record serialized
+    * by [[warcRecordBytes]] and wrapped as its OWN gzip member (q95's
+    * codec — member-per-record is the Common Crawl layout, and what
+    * keeps a segment record-seekable), members concatenated in `pos`
+    * order by a capacity-bounded fold (q50's collect discipline — the
+    * group is one segment, bounded by segment size policy, never the
+    * corpus). Input frame: `(seg_id, pos, uri, rtype, payload, digest)`.
+    *
+    * No DuckDB oracle, by design: the READER is the oracle — WarcSpec
+    * pins that `gunzipConcat` + the q82 offsets walk recover every
+    * record byte-exactly (uri, type, payload md5, revisit emptiness)
+    * from the written segment.
+    *
+    * Scale shape: one narrow serialize+deflate map, then ONE exchange
+    * keyed by seg_id for the ordered fold — exactly q50's pack-assembly
+    * shape with gzip members instead of text chunks.
+    */
+  def warcGzSegments(records: DataFrame): DataFrame = {
+    import graft.functions.GzipOps
+    val rec = warcRecordBytes(col("uri"), col("rtype"),
+      col("payload"), col("digest"))
+    val member = GzipOps.gzip(rec,
+      concat(lit("r"), col("pos").cast("string"), lit(".warc")))
+    records
+      .select(col("seg_id"), col("pos"), member.as("_m"))
+      .groupBy("seg_id")
+      .agg(
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("_m")))),
+            x => x.getField("_m")),
+          lit(Array.emptyByteArray),
+          (acc, x) => concat(acc, x)).as("segment"),
+        count(lit(1)).cast("int").as("n_records"))
+  }
 }

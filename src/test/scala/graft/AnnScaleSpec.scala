@@ -214,6 +214,40 @@ class AnnScaleSpec extends AnyFunSuite {
       f"clustered recall fell under density scaling: $r1%.3f -> $r10%.3f")
   }
 
+  test("auto-scale policy: dense params at contract SFs, binding caps above") {
+    // r12 (r11 verdict task #3): the linear-scale configurations must be
+    // the ENGAGED default above the dense ceiling — a deployment cannot
+    // silently carry the ~n² dense config. The contract SFs (sf0.001–
+    // sf0.1, ≤ 2k embeddings) stay on the dense recall-tuned parameters,
+    // so every oracle row and recall gate is untouched by the policy.
+    assert(Similarity.autoBucketCap(200) === 4096)
+    assert(Similarity.autoBucketCap(2000) === 4096)
+    assert(Similarity.autoIvfParams(2000) === ((32, 20, 4096)))
+    // above the ceiling: binding LSH cap; density-scaled cells (~32
+    // expected members), fixed probes, binding cellCap — the exact
+    // configuration the linear-candidates + clustered-recall tests above
+    // measure
+    assert(Similarity.autoBucketCap(4097) === 256)
+    assert(Similarity.autoBucketCap(20000) === 256)
+    assert(Similarity.autoIvfParams(20000) === ((625, 8, 64)))
+    assert(Similarity.autoIvfParams(1000000) === ((31250, 8, 64)))
+  }
+
+  test("q44's auto-capped candidate volume stays ~flat at 10x", Slow) {
+    // q44's band scheme (2 bits x 24 bands) under the auto cap: per band
+    // at most 4 buckets x cap² pairs — constant in n, so the 10x corpus
+    // may not generate more than a small multiple of the base volume
+    val cap10 = Similarity.autoBucketCap(nBig)
+    val c1 = Similarity.annCandidatePairs(synth(nBase), nbits = 2,
+      bands = 24, bucketCap = Similarity.autoBucketCap(nBase)).count()
+    val c2 = Similarity.annCandidatePairs(synth(nBig), nbits = 2,
+      bands = 24, bucketCap = cap10).count()
+    assert(c1 > 0 && c2 > 0)
+    val ratio = c2.toDouble / c1
+    assert(ratio <= 10.0,
+      s"auto-capped q44 candidates grew ${ratio}x from $c1 to $c2 at 10x")
+  }
+
   /** Resident bytes of a cached frame, measured from the block manager
     * (storage-info delta around a MEMORY_ONLY persist + materialize).
     */

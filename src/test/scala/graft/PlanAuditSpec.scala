@@ -680,6 +680,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Expand"), s"multi-distinct lost its expand:\n$p")
   }
 
+  test("q104's sketched twin drops Expand, keeps one scan, agrees within 5%") {
+    // the 100 TB swap shipped as tested code (r11 verdict task #7): the
+    // exact profile's N countDistincts duplicate the input stream N ways
+    // through Expand; the HLL twin must fold everything in ONE
+    // un-duplicated pass — and every non-estimated column must be
+    // IDENTICAL, with the estimates inside the sketch's 5% rsd
+    val exact = graft.operators.Relational.q104ColumnProfile(spark, TestSpark.Sf0001)
+    val sk = graft.operators.Relational.columnProfileSketched(spark, TestSpark.Sf0001)
+    val pSk = plan(sk)
+    assert(pSk.linesIterator.count(_.contains("Scan parquet")) === 1, pSk)
+    assert(!pSk.contains("Expand"), s"sketched profile still expands:\n$pSk")
+    val e = exact.collect().map(r => r.getString(0) -> r).toMap
+    val s = sk.collect().map(r => r.getString(0) -> r).toMap
+    assert(e.keySet === s.keySet)
+    for ((c, er) <- e) {
+      val sr = s(c)
+      for (i <- Seq(1, 2, 4, 5) if i != 3) // n_rows, n_null, min_v, max_v
+        assert(er.get(i) === sr.get(i), s"$c col $i drifted between twins")
+      val (ed, sd) = (er.getLong(3), sr.getLong(3))
+      assert(math.abs(sd - ed) <= math.max(2L, (0.05 * ed).toLong),
+        s"$c n_distinct: exact $ed vs sketch $sd — outside 5%")
+    }
+  }
+
   test("q102 candidates ride the band-key shuffle; no all-pairs anywhere") {
     val df = graft.operators.Multimodal.q102ImageNearDup(spark, TestSpark.Sf0001)
     val p = plan(df)

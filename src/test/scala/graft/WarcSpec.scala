@@ -138,4 +138,62 @@ class WarcSpec extends AnyFunSuite {
     assert(df.count() >= n)
     assert(df.count() <= n * 3)
   }
+
+  test("warc.gz writer round-trips byte-exactly through the reader walk") {
+    // the write side's oracle IS the read side: segments assembled by
+    // warcGzSegments must come back record-by-record through
+    // gunzipConcat + the q82 offsets walk — uri, type, payload bytes,
+    // and the revisit profile's zero-body contract all byte-exact.
+    // One payload embeds the record separator (the q82 trap: a
+    // split-based reader, or a writer whose Content-Length counted
+    // characters, dies here); one record is a q105-style revisit.
+    import graft.functions.GzipOps
+    import spark.implicits._
+    val recs = Seq(
+      (0L, 0, "http://a.example/0", "response", "hello\r\n\r\nbody"),
+      (0L, 1, "http://a.example/1", "revisit", "prior content"),
+      (0L, 2, "http://a.example/2", "response", "plain text"),
+      (1L, 0, "http://b.example/0", "response", "solo record"))
+      .toDF("seg_id", "pos", "uri", "rtype", "text")
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("digest", md5(col("text").cast("binary")))
+    val segs = graft.sources.Warc.warcGzSegments(recs)
+    assert(segs.count() === 2)
+    // the first member's FNAME reads off the segment head without any
+    // decompression — the archive-listing property q95 pins
+    assert(segs.filter(col("seg_id") === 0)
+      .select(GzipOps.gzipName(col("segment"))).head().getString(0) === "r0.warc")
+    val back = segs
+      .withColumn("_bytes", GzipOps.gunzipConcat(col("segment")))
+      .withColumn("_offs", WarcOps.warcOffsets(col("_bytes")))
+      .withColumn("_v", element_at(col("_offs"), -1))
+      .select(col("seg_id"), col("n_records"),
+        shiftrightunsigned(col("_v"), 1).cast("int").as("n_walked"),
+        col("_v").bitwiseAND(lit(1)).cast("int").as("truncated"),
+        posexplode(expr("slice(_offs, 1, size(_offs) - 1)"))
+          .as(Seq("rec_idx", "_off")), col("_bytes"))
+      .select(col("seg_id"), col("n_records"), col("n_walked"),
+        col("truncated"), col("rec_idx"),
+        WarcOps.warcHeader(col("_bytes"), col("_off"), 0).as("rec_type"),
+        WarcOps.warcHeader(col("_bytes"), col("_off"), 1).as("uri"),
+        WarcOps.warcPayload(col("_bytes"), col("_off")).as("pay"))
+    val rows = back.collect()
+    assert(rows.length === 4, "every written record must walk back out")
+    assert(rows.forall(r => r.getAs[Int]("truncated") === 0))
+    assert(rows.forall(r =>
+      r.getAs[Int]("n_walked") === r.getAs[Int]("n_records")))
+    val byUri = rows.map(r => r.getAs[String]("uri") -> r).toMap
+    val orig = recs.select("uri", "rtype", "text").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(byUri.keySet === orig.keySet)
+    for ((uri, (rtype, text)) <- orig) {
+      val r = byUri(uri)
+      assert(r.getAs[String]("rec_type") === rtype, uri)
+      val pay = r.getAs[Array[Byte]]("pay")
+      if (rtype === "revisit")
+        assert(pay.length === 0, s"revisit carried a body: $uri")
+      else
+        assert(new String(pay, "UTF-8") === text, s"payload drifted: $uri")
+    }
+  }
 }
