@@ -188,10 +188,15 @@ object Bootstrap {
       .createOrReplaceTempView("vw_link_rank")
     operators.Crawl.q97CrawlIntake(spark, dir)
       .createOrReplaceTempView("vw_crawl_intake")
-    // the fetch schedule: `WHERE allowed = 1` is the SQL-only "what may
+    // the robots verdict: `WHERE allowed = 1` is the SQL-only "what may
     // we actually fetch" read over the frontier, with rule evidence
     operators.Crawl.q98RobotsGate(spark, dir)
       .createOrReplaceTempView("vw_robots_gate")
+    // the politeness schedule (q107): `WHERE allowed = 1 ORDER BY
+    // host_priority, sched_sec` is the SQL-only "drain the fetch queue"
+    // read — rank-priority hosts, integer slots honoring crawl_delay
+    operators.Crawl.q107FetchSchedule(spark, dir)
+      .createOrReplaceTempView("vw_fetch_schedule")
     // semantic decontamination verdicts (q100) and the perceptual image
     // groups (q101) — `WHERE contaminated = 0` / `WHERE is_dup = 0` are
     // the SQL-only clean-training-set reads for their modalities

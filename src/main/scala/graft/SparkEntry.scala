@@ -129,6 +129,7 @@ object SparkEntry {
     "q105_crawl_diff" -> (Crawl.q105CrawlDiff _),
     "q106_content_blocks" -> (Crawl.q106ContentBlocks _),
     "q107_fetch_schedule" -> (Crawl.q107FetchSchedule _),
+    "q108_warc_roundtrip" -> (Warc.q108WarcRoundtrip _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1209,6 +1210,23 @@ object SparkEntry {
         "CASE WHEN allowed = 1 THEN CAST(coalesce(crawl_delay, 1) AS INTEGER) END AS delay_sec, " +
         "CASE WHEN allowed = 1 THEN CAST(seq0 * coalesce(crawl_delay, 1) AS BIGINT) END AS sched_sec " +
         "FROM sq"),
+    // q108: the oracle derives every record field DIRECTLY from residues
+    // (q82's stance — it never touches bytes), while the Spark side
+    // round-trips for real: write 8-record .warc.gz segments, decode the
+    // members, walk the records, slice the payloads. The md5 equates the
+    // SLICED bytes to the text's own bytes, so any drift in the
+    // serialize→deflate→concat→inflate→walk chain fails the hash; the
+    // revisit class must come back with ZERO payload bytes (md5 of the
+    // empty string).
+    "q108_warc_roundtrip" ->
+      ("SELECT CAST(doc_id // 8 AS BIGINT) AS seg_id, " +
+        "CAST(count(*) OVER (PARTITION BY doc_id // 8) AS INTEGER) AS n_records, " +
+        "CAST(row_number() OVER (PARTITION BY doc_id // 8 ORDER BY doc_id) - 1 AS INTEGER) AS rec_idx, " +
+        "CASE WHEN doc_id % 3 = 1 THEN 'revisit' ELSE 'response' END AS rec_type, " +
+        "'http://w.example/d/' || doc_id AS uri, " +
+        "CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE octet_length(encode(text)) END AS BIGINT) AS content_length, " +
+        "CASE WHEN doc_id % 3 = 1 THEN md5('') ELSE md5(text) END AS payload_md5 " +
+        "FROM documents"),
     // q99: the oracle derives every field DIRECTLY from the residues —
     // never by parsing (q82's stance) — so a parser slip (splitting on
     // the body's embedded separator, case-sensitive header match,

@@ -185,4 +185,47 @@ object Warc {
           (acc, x) => concat(acc, x)).as("segment"),
         count(lit(1)).cast("int").as("n_records"))
   }
+
+  /** Q108: WARC WRITE round-trip as an ORACLE-BACKED contract — the one
+    * place a self-consistent-but-wrong writer/reader pair would slip
+    * past a spec that uses one to check the other: the query WRITES
+    * every document into 8-record `.warc.gz` segments ([[warcGzSegments]]
+    * — revisit profile for the `%3==1` class, q105's digest-only
+    * stance) and READS them back through the q95 codec + q82 walk,
+    * publishing what came OUT; DuckDB derives the same rows DIRECTLY
+    * from residues (never from bytes). Any drift anywhere in the
+    * serialize → deflate → member-concat → inflate → Content-Length
+    * walk → payload-slice chain shows up as a md5/length mismatch —
+    * in particular a writer whose Content-Length counted characters,
+    * or a revisit record that leaked body bytes.
+    *
+    * Scale shape: one narrow serialize+deflate map, ONE exchange keyed
+    * by seg_id for the ordered member fold (bounded by the 8-record
+    * segment policy — a real segment bounds by bytes the same way),
+    * then a narrow walk-back with each kernel once per row.
+    */
+  def q108WarcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GzipOps
+    val id = col("doc_id")
+    val records = Tables.load(spark, dir, "documents").select(
+      expr("doc_id div 8").as("seg_id"),
+      id.as("pos"),
+      concat(lit("http://w.example/d/"), id.cast("string")).as("uri"),
+      when(id % 3 === 1, "revisit").otherwise("response").as("rtype"),
+      col("text").cast("binary").as("payload"),
+      md5(col("text").cast("binary")).as("digest"))
+    warcGzSegments(records)
+      .withColumn("_bytes", GzipOps.gunzipConcat(col("segment")))
+      .withColumn("_offs", WarcOps.warcOffsets(col("_bytes")))
+      .select(col("seg_id"), col("n_records"),
+        posexplode(expr("slice(_offs, 1, size(_offs) - 1)"))
+          .as(Seq("rec_idx", "_off")), col("_bytes"))
+      .withColumn("_pay", WarcOps.warcPayload(col("_bytes"), col("_off")))
+      .select(col("seg_id"), col("n_records"),
+        col("rec_idx").cast("int").as("rec_idx"),
+        WarcOps.warcHeader(col("_bytes"), col("_off"), 0).as("rec_type"),
+        WarcOps.warcHeader(col("_bytes"), col("_off"), 1).as("uri"),
+        length(col("_pay")).cast("bigint").as("content_length"),
+        md5(col("_pay")).as("payload_md5"))
+  }
 }

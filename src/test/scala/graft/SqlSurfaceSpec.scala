@@ -40,6 +40,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
         graft.operators.Crawl.q97CrawlIntake(spark, TestSpark.Sf0001),
       "vw_robots_gate" ->
         graft.operators.Crawl.q98RobotsGate(spark, TestSpark.Sf0001),
+      "vw_fetch_schedule" ->
+        graft.operators.Crawl.q107FetchSchedule(spark, TestSpark.Sf0001),
       "vw_semantic_decon" ->
         graft.operators.Similarity.q100SemanticDecon(spark, TestSpark.Sf0001),
       "vw_image_dedup" ->
