@@ -59,7 +59,8 @@ object Bootstrap {
       VectorOps.pqAdc(vec, lit(0L), 2, 4),
       graft.functions.BpeOps.bpeTokens(lit("a b"), Seq("a", "b")),
       CompressOps.deflateLen(lit("a")),
-      TextOps.contentFingerprint(lit("a"))
+      TextOps.contentFingerprint(lit("a")),
+      TextOps.nfc(lit("a"))
     )
   }
 

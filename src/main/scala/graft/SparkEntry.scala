@@ -130,6 +130,7 @@ object SparkEntry {
     "q106_content_blocks" -> (Crawl.q106ContentBlocks _),
     "q107_fetch_schedule" -> (Crawl.q107FetchSchedule _),
     "q108_warc_roundtrip" -> (Warc.q108WarcRoundtrip _),
+    "q109_unicode_normalize" -> (Text.q109UnicodeNormalize _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1227,6 +1228,28 @@ object SparkEntry {
         "CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE octet_length(encode(text)) END AS BIGINT) AS content_length, " +
         "CASE WHEN doc_id % 3 = 1 THEN md5('') ELSE md5(text) END AS payload_md5 " +
         "FROM documents"),
+    // q109: the oracle replays synthesis (every planted char an explicit
+    // chr() code point), the SAME literal replace chain, and DuckDB's own
+    // nfc_normalize — utf8proc vs the JDK Normalizer, two independent
+    // Unicode implementations that must agree byte-for-byte
+    "q109_unicode_normalize" ->
+      ("WITH r AS (SELECT doc_id, text || " +
+        "CASE WHEN doc_id % 5 = 1 THEN ' cafe' || chr(769) ELSE '' END || " +
+        "CASE WHEN doc_id % 5 = 2 THEN ' A' || chr(778) || 'ngstro' || chr(776) || 'm' ELSE '' END || " +
+        "CASE WHEN doc_id % 3 = 0 THEN ' zero' || chr(8203) || 'width' || chr(65279) ELSE '' END || " +
+        "CASE WHEN doc_id % 7 = 4 THEN ' soft' || chr(173) || 'hyphen' || chr(8204) || chr(8205) ELSE '' END || " +
+        "CASE WHEN doc_id % 11 = 6 THEN ' e' || chr(8203) || chr(769) || 'nd' ELSE '' END AS raw " +
+        "FROM documents), " +
+        "s AS (SELECT doc_id, raw, " +
+        "replace(replace(replace(replace(replace(raw, chr(8203), ''), chr(8204), ''), " +
+        "chr(8205), ''), chr(65279), ''), chr(173), '') AS st FROM r), " +
+        "n AS (SELECT doc_id, raw, st, nfc_normalize(st) AS tn FROM s) " +
+        "SELECT doc_id, tn AS text_norm, " +
+        "CAST(tn <> raw AS INTEGER) AS changed, " +
+        "CAST(length(raw) AS BIGINT) AS n_chars_raw, " +
+        "CAST(length(tn) AS BIGINT) AS n_chars_norm, " +
+        "CAST(length(raw) - length(st) AS BIGINT) AS n_invisible " +
+        "FROM n"),
     // q99: the oracle derives every field DIRECTLY from the residues —
     // never by parsing (q82's stance) — so a parser slip (splitting on
     // the body's embedded separator, case-sensitive header match,

@@ -287,6 +287,15 @@ object TextOps {
   def words(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), w => w =!= "")
 
+  /** Unicode NFC canonical composition ([[NfcNormalize]] — codegen'd,
+    * identity-fast on already-normalized/ASCII rows).
+    */
+  def nfc(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(NfcNormalize(
+      ColumnBridge.expression(text.cast("string"))))
+  }
+
   /** Whitespace-normalized md5 content fingerprint — q30's exact-dup key,
     * shared with the streaming landing's opt-in content dedup so the two
     * notions of "same document" cannot drift.

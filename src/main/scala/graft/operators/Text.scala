@@ -1381,4 +1381,62 @@ object Text {
         (col("doc_id") === col("_rep")).cast("int").as("keep"),
         when(col("doc_id") =!= col("_rep"), col("_rep")).as("dup_of"))
   }
+
+  // ──────────────────────────────── q109 ────────────────────────────────
+
+  /** The invisible code points a corpus cleaner strips BEFORE canonical
+    * composition: zero-width space/non-joiner/joiner, the BOM-as-ZWNBSP,
+    * and the soft hyphen — the characters web text carries that change
+    * byte keys while displaying as nothing. A fixed literal set (never a
+    * regex class): both engines replay the identical replace chain.
+    */
+  private val Invisibles =
+    Seq("\u200B", "\u200C", "\u200D", "\uFEFF", "\u00AD")
+
+  /** Q109: Unicode normalization — the text-side twin of q91's URL
+    * canonicalization, and the precondition for every byte-keyed text
+    * operator (q21 md5, q30 fingerprint, q67 line keys, every shingle
+    * hash treat "café" with precomposed U+00E9 and with `e`+U+0301 as
+    * DIFFERENT documents until this stage runs): strip the invisible
+    * set, then NFC-compose via the codegen'd [[graft.functions
+    * .NfcNormalize]] kernel. Strip-THEN-normalize, in that order — the
+    * planted `%11==6` class puts a zero-width space BETWEEN a base and
+    * its combining mark, where normalize-first leaves the pair
+    * uncomposed and only the correct order yields the composed form.
+    *
+    * Synthesis plants every class by residue (combining acute, ring and
+    * diaeresis sequences, zero-width/BOM runs, soft-hyphen + joiners,
+    * the split-pair trap); the oracle replays synthesis, the SAME
+    * literal replace chain, and DuckDB's own `nfc_normalize` — two
+    * INDEPENDENT Unicode implementations (JDK vs utf8proc) must agree
+    * byte-for-byte for the hash to match. Report-WHY: `changed`,
+    * character counts before/after, and the invisible count stay beside
+    * the normalized text.
+    *
+    * Scale shape: one narrow map, zero exchanges; the kernel's
+    * `isNormalized` quick-check returns already-NFC rows (all-ASCII in
+    * particular — the overwhelming case) untouched with no allocation.
+    */
+  def q109UnicodeNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val raw = concat(col("text"),
+      when(id % 5 === 1, " cafe\u0301").otherwise(""),
+      when(id % 5 === 2, " A\u030Angstro\u0308m").otherwise(""),
+      when(id % 3 === 0, " zero\u200Bwidth\uFEFF").otherwise(""),
+      when(id % 7 === 4, " soft\u00ADhyphen\u200C\u200D").otherwise(""),
+      when(id % 11 === 6, " e\u200B\u0301nd").otherwise(""))
+    val stripped = Invisibles.foldLeft(col("_raw")) { (acc, ch) =>
+      replace(acc, lit(ch), lit(""))
+    }
+    docs.select(id, raw.as("_raw"))
+      .withColumn("_st", stripped)
+      .withColumn("_norm", graft.functions.TextOps.nfc(col("_st")))
+      .select(id, col("_norm").as("text_norm"),
+        (col("_norm") =!= col("_raw")).cast("int").as("changed"),
+        length(col("_raw")).cast("bigint").as("n_chars_raw"),
+        length(col("_norm")).cast("bigint").as("n_chars_norm"),
+        (length(col("_raw")) - length(col("_st"))).cast("bigint")
+          .as("n_invisible"))
+  }
 }

@@ -79,10 +79,29 @@ class FunctionsSpec extends AnyFunSuite {
       "graft_mp4_frame_luma", "graft_warc_meta", "graft_warc_offsets",
       "graft_warc_header_1", "graft_warc_payload",
       "graft_lsh_bits", "graft_dot", "graft_dot_i8", "graft_pq_adc",
-      "graft_bpe_tokens", "graft_deflate_len")
+      "graft_bpe_tokens", "graft_deflate_len", "graft_nfc")
     kernels.foreach(k =>
       assert(plan.contains(k), s"warm plan does not touch $k"))
     // and it runs: one local 1-row collect, no exceptions
     graft.Bootstrap.warmKernels(spark)
+  }
+
+  test("graft_nfc composes canonically and is identity-fast on NFC input") {
+    import graft.functions.UnicodeEval
+    import org.apache.spark.unsafe.types.UTF8String
+    // decomposed sequences compose (e+U+0301 -> U+00E9, A+U+030A -> U+00C5)
+    val dec = UTF8String.fromString("cafe\u0301 A\u030A")
+    assert(UnicodeEval.nfc(dec).toString === "caf\u00E9 \u00C5")
+    // already-NFC input returns the SAME instance -- the quick-check fast
+    // path allocates nothing (ASCII is the overwhelming corpus case)
+    val ascii = UTF8String.fromString("plain ascii")
+    assert(UnicodeEval.nfc(ascii) eq ascii)
+    val comp = UTF8String.fromString("caf\u00E9")
+    assert(UnicodeEval.nfc(comp) eq comp)
+    assert(UnicodeEval.nfc(null) == null)
+    // through the column surface (codegen path shares the eval body)
+    val out = Seq("e\u0301").toDF("s")
+      .select(graft.functions.TextOps.nfc(col("s"))).as[String].head()
+    assert(out === "\u00E9")
   }
 }

@@ -704,6 +704,17 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q109 unicode normalize is one narrow stage; the kernel runs once per row") {
+    val df = graft.operators.Text.q109UnicodeNormalize(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    assert(shuffles(df) === 0, s"expected 0 shuffles:\n$p")
+    // _norm is referenced 3 times (output, changed, length) — the
+    // pre-projection must survive CollapseProject or the normalizer
+    // runs 3x per row (the q39/q95 once-per-row contract)
+    val n = java.util.regex.Pattern.quote("graft_nfc(").r.findAllIn(p).length
+    assert(n === 1, s"expected 1 graft_nfc in the plan, found $n:\n$p")
+  }
+
   test("q102 candidates ride the band-key shuffle; no all-pairs anywhere") {
     val df = graft.operators.Multimodal.q102ImageNearDup(spark, TestSpark.Sf0001)
     val p = plan(df)
