@@ -322,6 +322,47 @@ object Oracles {
       "ELSE 'zh' END AS detected FROM sc"
   }
 
+  /** Q110 oracle — q27's scoring replayed per LINE (same marker lists,
+    * same argmax tie order), plus the dominant-language aggregate via
+    * the integer `cnt·8 + rank` key the Spark struct-max also encodes.
+    */
+  val lineLangId: String = {
+    val sEn = score(Seq("the", "a", "of"))
+    val sDe = score(Seq("der", "und", "die"))
+    val sEs = score(Seq("el", "la", "los"))
+    val sFr = score(Seq("le", "les", "des"))
+    val sZh = score(Seq("的", "是"))
+    "WITH s0 AS (SELECT doc_id, text || " +
+      "CASE WHEN doc_id % 4 = 1 THEN chr(10) || 'der hund und die katze lief und der weg die' ELSE '' END || " +
+      "CASE WHEN doc_id % 4 = 2 THEN chr(10) || 'el gato la casa los perros el jardin la' ELSE '' END || " +
+      "CASE WHEN doc_id % 5 = 3 THEN chr(10) || 'le chat les maisons des amis le soir les' ELSE '' END || " +
+      "CASE WHEN doc_id % 6 = 5 THEN chr(10) || 'the second line of the day a story the end' ELSE '' END AS raw " +
+      "FROM documents), " +
+      "lx AS (SELECT doc_id, unnest(string_split(raw, chr(10))) AS line, " +
+      "generate_subscripts(string_split(raw, chr(10)), 1) - 1 AS line_idx FROM s0), " +
+      "tl AS (SELECT doc_id, line_idx, ' ' || lower(line) || ' ' AS t FROM lx), " +
+      s"sc AS (SELECT doc_id, line_idx, $sEn AS s_en, $sDe AS s_de, $sEs AS s_es, " +
+      s"$sFr AS s_fr, $sZh AS s_zh FROM tl), " +
+      "d AS (SELECT doc_id, line_idx, CASE " +
+      "WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en' " +
+      "WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de' " +
+      "WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es' " +
+      "WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr' " +
+      "ELSE 'zh' END AS detected FROM sc), " +
+      "c AS (SELECT doc_id, detected, count(*) AS cnt FROM d GROUP BY doc_id, detected), " +
+      "k AS (SELECT doc_id, detected, cnt, cnt * 8 + " +
+      "CASE detected WHEN 'en' THEN 5 WHEN 'de' THEN 4 WHEN 'es' THEN 3 " +
+      "WHEN 'fr' THEN 2 ELSE 1 END AS kk FROM c), " +
+      "dm AS (SELECT doc_id, arg_max(detected, kk) AS dominant_lang, " +
+      "max(kk) // 8 AS n_dom FROM k GROUP BY doc_id), " +
+      "nl AS (SELECT doc_id, count(*) AS n_lines FROM d GROUP BY doc_id) " +
+      "SELECT d.doc_id, CAST(d.line_idx AS INTEGER) AS line_idx, d.detected, " +
+      "dm.dominant_lang, CAST(nl.n_lines AS BIGINT) AS n_lines, " +
+      "CAST(dm.n_dom AS BIGINT) AS n_dominant, " +
+      "CAST(dm.n_dom < nl.n_lines AS INTEGER) AS mixed " +
+      "FROM d JOIN dm ON d.doc_id = dm.doc_id JOIN nl ON d.doc_id = nl.doc_id"
+  }
+
   /** Q51 oracle — the END-TO-END corpus pipeline as one CTE chain, every
     * stage composed from the SAME SQL its standalone oracle uses:
     * quality gate (q28's formula, floor 0.7) → holdout split +

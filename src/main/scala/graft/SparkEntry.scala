@@ -131,6 +131,7 @@ object SparkEntry {
     "q107_fetch_schedule" -> (Crawl.q107FetchSchedule _),
     "q108_warc_roundtrip" -> (Warc.q108WarcRoundtrip _),
     "q109_unicode_normalize" -> (Text.q109UnicodeNormalize _),
+    "q110_line_langid" -> (Text.q110LineLangId _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1250,6 +1251,12 @@ object SparkEntry {
         "CAST(length(tn) AS BIGINT) AS n_chars_norm, " +
         "CAST(length(raw) - length(st) AS BIGINT) AS n_invisible " +
         "FROM n"),
+    // q110: the oracle replays line synthesis, q27's marker scoring per
+    // line (same occ/score builders — the two oracles share one
+    // spelling), and the dominant aggregate through the integer
+    // cnt*8+rank key, so a drifted tie order or a dominant computed
+    // over the wrong grain cannot cancel
+    "q110_line_langid" -> Oracles.lineLangId,
     // q99: the oracle derives every field DIRECTLY from the residues —
     // never by parsing (q82's stance) — so a parser slip (splitting on
     // the body's embedded separator, case-sensitive header match,

@@ -715,6 +715,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(n === 1, s"expected 1 graft_nfc in the plan, found $n:\n$p")
   }
 
+  test("q110 line language ID rides ONE doc_id exchange for all three windows") {
+    val df = graft.operators.Text.q110LineLangId(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    // the doc-level window exchanges hash(doc_id) FIRST; the
+    // (doc_id, detected) count and the dominant struct-max must both be
+    // satisfied by the subset rule on that same partitioning — a second
+    // exchange means the window order regressed
+    assert(shuffles(df) === 1, s"expected exactly 1 shuffle:\n$p")
+  }
+
   test("q102 candidates ride the band-key shuffle; no all-pairs anywhere") {
     val df = graft.operators.Multimodal.q102ImageNearDup(spark, TestSpark.Sf0001)
     val p = plan(df)
