@@ -1206,7 +1206,8 @@ object SparkEntry {
         "sq AS (SELECT g.*, pr.rank_p5, pr.host_priority, " +
         "CAST(row_number() OVER (PARTITION BY g.host, g.allowed ORDER BY g.disc_pos) - 1 AS INTEGER) AS seq0 " +
         "FROM g LEFT JOIN pr ON g.host = pr.rank_host) " +
-        "SELECT canonical_url, host, rank_p5, host_priority, " +
+        "SELECT canonical_url, host, CAST(disc_pos AS BIGINT) AS disc_pos, " +
+        "rank_p5, host_priority, " +
         "CAST(allowed AS INTEGER) AS allowed, crawl_delay, " +
         "CASE WHEN allowed = 1 THEN seq0 END AS fetch_seq, " +
         "CASE WHEN allowed = 1 THEN CAST(coalesce(crawl_delay, 1) AS INTEGER) END AS delay_sec, " +

@@ -828,7 +828,7 @@ object Crawl {
     val delay = coalesce(col("crawl_delay"), lit(1))
     met
       .withColumn("_seq", (row_number().over(wseq) - 1).cast("int"))
-      .select(col("canonical_url"), col("host"),
+      .select(col("canonical_url"), col("host"), col("disc_pos"),
         col("rank_p5"), col("host_priority"),
         col("allowed"), col("crawl_delay"),
         when(col("allowed") === 1, col("_seq")).as("fetch_seq"),

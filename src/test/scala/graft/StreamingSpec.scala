@@ -32,6 +32,67 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("fetch pacer: one streaming batch == q107's allowed schedule") {
+    // the flatMapGroupsWithState pacer must reproduce q107's slot
+    // assignment exactly when the whole frontier arrives as one delta —
+    // the custom-state operator and the batch window are two spellings
+    // of the same contract
+    import graft.streaming.FetchPacer
+    import graft.streaming.FetchPacer.FetchReq
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val q107 = graft.operators.Crawl.q107FetchSchedule(spark, TestSpark.Sf0001)
+      .where(col("allowed") === 1).localCheckpoint()
+    val reqs = q107
+      .select(col("host"), col("canonical_url"), col("disc_pos"),
+        col("delay_sec")).as[FetchReq].collect().toSeq
+    val mem = MemoryStream[FetchReq]
+    mem.addData(reqs)
+    val q = FetchPacer.assignSlots(mem.toDS()).writeStream
+      .format("memory").queryName("pacer_one").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("pacer_one")
+      .select("host", "canonical_url", "fetch_seq", "sched_sec")
+      .as[(String, String, Int, Long)].collect().toSet
+    val batch = q107
+      .select(col("host"), col("canonical_url"), col("fetch_seq"),
+        col("sched_sec"))
+      .as[(String, String, Int, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(streamed === batch)
+  }
+
+  test("fetch pacer state continues slot numbering across micro-batches") {
+    // the reason this is custom state and not a window: a later frontier
+    // delta's URLs must take the slots AFTER everything the host already
+    // scheduled, at the same pacing — per-key state carries the counter
+    import graft.streaming.FetchPacer
+    import graft.streaming.FetchPacer.FetchReq
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[FetchReq]
+    val q = FetchPacer.assignSlots(mem.toDS()).writeStream
+      .format("memory").queryName("pacer_two").outputMode("append").start()
+    mem.addData(FetchReq("h.example", "u0", 10L, 3),
+      FetchReq("h.example", "u1", 5L, 3))
+    q.processAllAvailable()
+    mem.addData(FetchReq("h.example", "u2", 1L, 3),
+      FetchReq("g.example", "v0", 7L, 1))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("pacer_two")
+      .as[(String, String, Int, Int, Long)].collect()
+      .map(r => r._2 -> (r._3, r._5)).toMap
+    // batch 1: within-delta discovery order (u1 before u0)
+    assert(rows("u1") === ((0, 0L)))
+    assert(rows("u0") === ((1, 3L)))
+    // batch 2: u2's LOWER disc_pos does not reopen taken slots — the
+    // delta continues where the host's numbering stopped (the stated
+    // streaming trade: order is per-delta, continuation is global)
+    assert(rows("u2") === ((2, 6L)))
+    // a brand-new host starts at slot 0
+    assert(rows("v0") === ((0, 0L)))
+  }
+
   test("tumbling 1h window: streaming over the same events == batch q14") {
     // file source wants a directory, not a single file
     val streamDir = Files.createTempDirectory("graft_win").toString
