@@ -83,4 +83,70 @@ class PropertySpec extends AnyFunSuite {
       .as[String].collect()
     assert(once.toSeq === twice.toSeq, "canonicalization is not idempotent")
   }
+
+  test("graft_nfc is idempotent and length-stable-or-shrinking") {
+    // NFC is a canonical form: normalizing twice must be a no-op, and
+    // composition can only ever SHORTEN a string (code points merge,
+    // never split, under canonical composition of these generators)
+    import graft.functions.UnicodeEval
+    import org.apache.spark.unsafe.types.UTF8String
+    val piece = Gen.oneOf(
+      Gen.asciiPrintableStr.map(_.take(8)),
+      Gen.oneOf("e\u0301", "A\u030A", "o\u0308", "\u00E9", "n\u0303",
+        "\u0301", "\uFEFF", "x\u200By"))
+    val gen = Gen.listOfN(6, piece).map(_.mkString)
+    samples(gen, 200).foreach { s =>
+      val once = UnicodeEval.nfc(UTF8String.fromString(s)).toString
+      val twice = UnicodeEval.nfc(UTF8String.fromString(once)).toString
+      assert(once === twice, s"nfc not idempotent on ${s.map(_.toInt)}")
+      assert(once.codePointCount(0, once.length) <=
+        s.codePointCount(0, s.length), s"nfc grew ${s.map(_.toInt)}")
+    }
+  }
+
+  test("warc record serialization round-trips arbitrary payload bytes") {
+    // the writer's Content-Length must count BYTES and survive payloads
+    // that embed the record separator, high bytes, and emptiness — the
+    // walk must give back the exact payload for every generated case
+    import graft.functions.WarcEval
+    val payloadGen = Gen.oneOf(
+      Gen.listOf(Gen.choose(0, 255)).map(_.map(_.toByte).toArray),
+      Gen.const("body\r\n\r\ntrap".getBytes("UTF-8")),
+      Gen.const(Array.emptyByteArray),
+      Gen.const("\r\n\r\n\r\n\r\n".getBytes("UTF-8")))
+    samples(payloadGen, 120).foreach { pay =>
+      val head = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+        "WARC-Target-URI: http://p.example/x\r\n" +
+        s"Content-Length: ${pay.length}\r\n\r\n").getBytes("UTF-8")
+      val rec = head ++ pay ++ "\r\n\r\n".getBytes("UTF-8")
+      val offs = WarcEval.offsets(rec)
+      assert(offs != null, "walk refused a well-formed record")
+      val arr = offs.toLongArray()
+      assert(arr.last === 2L, s"verdict ${arr.last}: 1 record, untruncated")
+      val back = WarcEval.payload(rec, arr(0).toInt)
+      assert(back != null && java.util.Arrays.equals(back, pay),
+        s"payload drifted at length ${pay.length}")
+    }
+  }
+
+  test("gzip FNAME survives arbitrary names with NULs stripped") {
+    // the encoder strips embedded NULs (a verbatim NUL ends the
+    // NUL-terminated field early and corrupts the member); for every
+    // generated name the member must list the stripped name AND decode
+    import graft.functions.GzipEval
+    val nameGen = Gen.listOf(Gen.frequency(
+      (9, Gen.choose(1, 127)), (2, Gen.const(0))))
+      .map(_.map(_.toChar).mkString)
+    val pay = "payload".getBytes("UTF-8")
+    samples(nameGen, 120).foreach { name =>
+      val member = GzipEval.gzip(pay, name.getBytes("ISO-8859-1"))
+      val expect = name.filter(_ != '\u0000')
+      val listed = Option(GzipEval.gzipName(member))
+        .map(b => new String(b, "ISO-8859-1")).getOrElse("")
+      assert(listed === expect, s"FNAME drifted for ${name.map(_.toInt)}")
+      val back = GzipEval.gunzip(member)
+      assert(back != null && java.util.Arrays.equals(back, pay),
+        s"member undecodable for name ${name.map(_.toInt)}")
+    }
+  }
 }
