@@ -132,6 +132,7 @@ object SparkEntry {
     "q108_warc_roundtrip" -> (Warc.q108WarcRoundtrip _),
     "q109_unicode_normalize" -> (Text.q109UnicodeNormalize _),
     "q110_line_langid" -> (Text.q110LineLangId _),
+    "q111_regional_revenue" -> (Relational.q111RegionalRevenue _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1258,6 +1259,19 @@ object SparkEntry {
     // cnt*8+rank key, so a drifted tie order or a dominant computed
     // over the wrong grain cannot cancel
     "q110_line_langid" -> Oracles.lineLangId,
+    // q111: the Q5 shape replayed whole — same exact-decimal fold as q11
+    "q111_regional_revenue" ->
+      ("SELECT n_name, round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'ASIA' " +
+        "AND o_orderdate >= TIMESTAMP '1996-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1997-01-01' " +
+        "GROUP BY n_name"),
     // q99: the oracle derives every field DIRECTLY from the residues —
     // never by parsing (q82's stance) — so a parser slip (splitting on
     // the body's embedded separator, case-sensitive header match,

@@ -313,4 +313,49 @@ object Relational {
   def columnProfileSketched(spark: SparkSession, dir: String): DataFrame =
     columnProfileOn(Tables.load(spark, dir, "documents"),
       approx_count_distinct(_))
+
+  /** Q111: regional supplier revenue — the TPC-H Q5 shape, the canonical
+    * multi-join the relational surface declared (§2.7 joins) but never
+    * exercised beyond two tables: lineitem ⋈ orders ⋈ supplier ⋈
+    * customer ⋈ nation ⋈ region with the LOCAL-SUPPLY predicate
+    * (`c_nationkey = s_nationkey` — the non-star edge that makes Q5 a
+    * join-ORDER problem, not a snowflake walk), a region constant and a
+    * one-year date window.
+    *
+    * Scale shape: the date filter reaches the orders SCAN (pushdown
+    * pinned) so the corpus-sized lineitem⋈orders equi-join sees one
+    * year, not seven; region/nation/customer/supplier are dims and
+    * BROADCAST (at deployment scale customer is the first to outgrow
+    * that — the swap is the q52 bucketed layout on the join key);
+    * revenue folds through exact DECIMAL before the single rounding
+    * (q11's arithmetic, so the oracle is engine-exact).
+    */
+  def q111RegionalRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.load(spark, dir, "region")
+      .where(col("r_name") === "ASIA")
+    val nation = Tables.load(spark, dir, "nation")
+    val customer = Tables.load(spark, dir, "customer")
+      .select("c_custkey", "c_nationkey")
+    val supplier = Tables.load(spark, dir, "supplier")
+      .select("s_suppkey", "s_nationkey")
+    val orders = Tables.load(spark, dir, "orders")
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val lineitem = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1).cast(DecimalType(18, 4)) -
+            col("l_discount").cast(DecimalType(18, 4)))).as("disc_price"))
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(customer),
+        col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("disc_price")).cast("double"), 2).as("revenue"))
+  }
 }

@@ -725,6 +725,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles(df) === 1, s"expected exactly 1 shuffle:\n$p")
   }
 
+  test("q111 Q5 join: date filter reaches the orders scan, dims broadcast") {
+    val df = graft.operators.Relational.q111RegionalRevenue(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    // the one-year window must prune at the ORDERS scan — an unfiltered
+    // lineitem x orders join sees seven years of fact rows for nothing
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"date filter not pushed to the orders scan:\n$p")
+    // supplier/customer/nation/region are dims: four broadcasts, and the
+    // local-supply predicate (c_nationkey = s_nationkey) must ride a
+    // hash join's condition, never degrade the plan to an NLJ
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4, p)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
   test("q102 candidates ride the band-key shuffle; no all-pairs anywhere") {
     val df = graft.operators.Multimodal.q102ImageNearDup(spark, TestSpark.Sf0001)
     val p = plan(df)
