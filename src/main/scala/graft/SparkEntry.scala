@@ -133,6 +133,7 @@ object SparkEntry {
     "q109_unicode_normalize" -> (Text.q109UnicodeNormalize _),
     "q110_line_langid" -> (Text.q110LineLangId _),
     "q111_regional_revenue" -> (Relational.q111RegionalRevenue _),
+    "q112_robots_parse" -> (Crawl.q112RobotsParse _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1272,6 +1273,53 @@ object SparkEntry {
         "AND o_orderdate >= TIMESTAMP '1996-01-01' " +
         "AND o_orderdate < TIMESTAMP '1997-01-01' " +
         "GROUP BY n_name"),
+    // q112: the oracle replays file synthesis (concat_ws skips the
+    // absent conditional lines on BOTH engines), comment strip, the
+    // directive regex, the lag+running-sum group detection, and the
+    // UA-join — so a grouping slip (a second stacked User-agent line
+    // opening a fresh group, a rule before any group surviving) or a
+    // parse slip (trailing comment kept, no-space colon missed, empty
+    // Disallow emitted) cannot cancel
+    "q112_robots_parse" ->
+      ("WITH hs AS (SELECT CAST(range AS INTEGER) AS h FROM range(0, 40)), " +
+        "f AS (SELECT h, 'site' || h || '.example.com' AS host, concat_ws(chr(10), " +
+        "'# robots.txt for site' || h, " +
+        "CASE WHEN h % 2 = 1 THEN 'user-agent: *' ELSE 'User-Agent: *' END, " +
+        "CASE WHEN h % 3 = 0 THEN 'Disallow: /r/' END, " +
+        "CASE WHEN h % 4 = 1 THEN 'Allow: /r/' || (h % 10) END, " +
+        "CASE WHEN h % 5 = 2 THEN 'disallow:/a/' END, " +
+        "CASE WHEN h % 5 = 2 THEN 'Allow:   /a/' || (h % 20) || '/sub/' END, " +
+        "CASE WHEN h % 2 = 0 THEN 'Disallow: /y/ # legacy area' END, " +
+        "CASE WHEN h % 2 = 0 THEN 'Crawl-delay: ' || (h % 5 + 1) END, " +
+        "CASE WHEN h % 6 = 0 THEN 'Host: ignored.example' END, " +
+        "CASE WHEN h % 9 = 5 THEN 'Disallow:' END, " +
+        "'', " +
+        "CASE WHEN h % 7 = 3 THEN 'User-agent: graftbot' || chr(10) || 'Disallow: /' || chr(10) END, " +
+        "CASE WHEN h % 8 = 7 THEN 'User-agent: extrabot' || chr(10) || 'User-agent: otherbot' || chr(10) || 'Disallow: /z/' || chr(10) END, " +
+        "CASE WHEN h % 4 = 2 THEN 'Sitemap: https://site' || h || '.example.com/sitemap.xml' END) AS raw FROM hs), " +
+        "lx AS (SELECT host, unnest(string_split(raw, chr(10))) AS l0, " +
+        "generate_subscripts(string_split(raw, chr(10)), 1) - 1 AS line_idx FROM f), " +
+        "p AS (SELECT host, line_idx, trim(regexp_replace(l0, '#.*', '')) AS l FROM lx), " +
+        "d AS (SELECT host, line_idx, " +
+        "lower(regexp_extract(l, '^([A-Za-z-]+)\\s*:', 1)) AS directive, " +
+        "regexp_replace(regexp_extract(l, '^[A-Za-z-]+\\s*:\\s*(.*)$', 1), '\\s+$', '') AS value FROM p), " +
+        "g AS (SELECT *, CASE WHEN directive = 'user-agent' THEN 1 ELSE 0 END AS is_ua FROM d), " +
+        "g2 AS (SELECT *, CASE WHEN is_ua = 1 AND " +
+        "coalesce(lag(is_ua) OVER (PARTITION BY host ORDER BY line_idx), 0) = 0 " +
+        "THEN 1 ELSE 0 END AS new_grp FROM g), " +
+        "g3 AS (SELECT *, sum(new_grp) OVER (PARTITION BY host ORDER BY line_idx " +
+        "ROWS UNBOUNDED PRECEDING) AS group_id FROM g2), " +
+        "u AS (SELECT DISTINCT host AS uh, group_id AS ug, lower(value) AS ua " +
+        "FROM g3 WHERE is_ua = 1 AND value <> ''), " +
+        "r AS (SELECT host, group_id, " +
+        "CASE WHEN directive = 'crawl-delay' THEN 'crawl_delay' ELSE directive END AS rtype, value " +
+        "FROM g3 WHERE directive IN ('allow', 'disallow', 'crawl-delay') AND value <> '') " +
+        "SELECT r.host, u.ua, r.rtype, r.value, " +
+        "CASE WHEN r.rtype = 'crawl_delay' THEN try_cast(r.value AS INTEGER) END AS delay_sec " +
+        "FROM r JOIN u ON r.host = u.uh AND r.group_id = u.ug " +
+        "UNION ALL " +
+        "SELECT host, NULL, 'sitemap', value, NULL FROM g3 " +
+        "WHERE directive = 'sitemap' AND value <> ''"),
     // q99: the oracle derives every field DIRECTLY from the residues —
     // never by parsing (q82's stance) — so a parser slip (splitting on
     // the body's embedded separator, case-sensitive header match,

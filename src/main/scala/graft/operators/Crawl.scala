@@ -805,6 +805,90 @@ object Crawl {
     * [[robotsJudge]]) and the rule dims broadcast. Pinned in
     * PlanAuditSpec.
     */
+  // ---------------------------------------------------------------- q112
+
+  /** Q112: robots.txt PARSING — the file layer under q98 (q98 judges a
+    * parsed rule TABLE; a crawler gets 40 raw text FILES and must build
+    * that table first). Synthesis writes each host's file from the SAME
+    * residues q98's table encodes, plus the traps real files carry:
+    * comments (whole-line and trailing), mixed-case directive spellings
+    * (`user-agent:` / `disallow:/a/` with no space), extra whitespace
+    * after the colon, an empty-value `Disallow:` (RFC 9309: nothing is
+    * disallowed — the rule drops), unknown directives (`Host:` —
+    * ignored), `Crawl-delay`, non-group `Sitemap:` lines, and a
+    * MULTI-user-agent group (two stacked `User-agent` lines share the
+    * following rules).
+    *
+    * Group detection is the stateful part: a user-agent line starts a
+    * NEW group iff the previous line is not itself a user-agent line
+    * (lag + running sum over the per-host line window — the one
+    * exchange, keyed by host exactly as a robots cache shards). Rules
+    * join the distinct UAs of their group (dim×dim). CrawlSpec pins the
+    * round-trip that matters: the parsed allow/disallow rows equal
+    * [[robotsRules]]'s table EXACTLY, so the gate could consume the
+    * parser without q98's contract moving.
+    */
+  def q112RobotsParse(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = col("id").cast("int")
+    val raw = concat_ws("\n",
+      concat(lit("# robots.txt for site"), h.cast("string")),
+      when(h % 2 === 1, "user-agent: *").otherwise(lit("User-Agent: *")),
+      when(h % 3 === 0, "Disallow: /r/"),
+      when(h % 4 === 1, concat(lit("Allow: /r/"), (h % 10).cast("string"))),
+      when(h % 5 === 2, "disallow:/a/"),
+      when(h % 5 === 2, concat(lit("Allow:   /a/"), (h % 20).cast("string"),
+        lit("/sub/"))),
+      when(h % 2 === 0, "Disallow: /y/ # legacy area"),
+      when(h % 2 === 0, concat(lit("Crawl-delay: "), (h % 5 + 1).cast("string"))),
+      when(h % 6 === 0, "Host: ignored.example"),
+      when(h % 9 === 5, "Disallow:"),
+      lit(""),
+      when(h % 7 === 3, "User-agent: graftbot\nDisallow: /\n"),
+      when(h % 8 === 7,
+        "User-agent: extrabot\nUser-agent: otherbot\nDisallow: /z/\n"),
+      when(h % 4 === 2, concat(lit("Sitemap: https://site"), h.cast("string"),
+        lit(".example.com/sitemap.xml"))))
+    val files = spark.range(0, 40).select(
+      concat(lit("site"), h.cast("string"), lit(".example.com")).as("host"),
+      raw.as("_raw"))
+    val parsed = files
+      .select(col("host"),
+        posexplode(split(col("_raw"), "\n")).as(Seq("line_idx", "_l0")))
+      .withColumn("_l", trim(regexp_replace(col("_l0"), "#.*", "")))
+      .withColumn("directive",
+        lower(regexp_extract(col("_l"), "^([A-Za-z-]+)\\s*:", 1)))
+      .withColumn("value", regexp_replace(
+        regexp_extract(col("_l"), "^[A-Za-z-]+\\s*:\\s*(.*)$", 1), "\\s+$", ""))
+    val wHost = Window.partitionBy("host").orderBy("line_idx")
+    val grouped = parsed
+      .withColumn("_isUa", (col("directive") === "user-agent").cast("int"))
+      .withColumn("_newGrp", (col("_isUa") === 1 &&
+        coalesce(lag(col("_isUa"), 1).over(wHost), lit(0)) === 0).cast("int"))
+      .withColumn("group_id", sum(col("_newGrp")).over(wHost))
+    val uas = grouped.where(col("_isUa") === 1 && col("value") =!= "")
+      .select(col("host").as("_uh"), col("group_id").as("_ug"),
+        lower(col("value")).as("ua")).distinct()
+    val rules = grouped
+      .where(col("directive").isin("allow", "disallow", "crawl-delay") &&
+        col("value") =!= "")
+      .select(col("host"), col("group_id"),
+        when(col("directive") === "crawl-delay", "crawl_delay")
+          .otherwise(col("directive")).as("rtype"),
+        col("value"))
+    val inGroups = rules.join(uas,
+      col("host") === col("_uh") && col("group_id") === col("_ug"))
+      .select(col("host"), col("ua"), col("rtype"), col("value"),
+        when(col("rtype") === "crawl_delay",
+          expr("try_cast(value AS INT)")).as("delay_sec"))
+    val sitemaps = grouped
+      .where(col("directive") === "sitemap" && col("value") =!= "")
+      .select(col("host"), lit(null).cast("string").as("ua"),
+        lit("sitemap").as("rtype"), col("value"),
+        lit(null).cast("int").as("delay_sec"))
+    inGroups.unionByName(sitemaps)
+  }
+
   def q107FetchSchedule(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val frontier = q94LinkFrontier(spark, dir)

@@ -349,4 +349,34 @@ class CrawlSpec extends AnyFunSuite {
     assert(agg.where(col("fetched") === 0 && col("n_keep") =!= 1).count() === 0)
     assert(agg.where(col("fetched") === 1 && col("n_keep") =!= 0).count() === 0)
   }
+
+  test("q112 parser reproduces q98's rule table from the raw files") {
+    // the round-trip that lets the gate consume the parser: parsing the
+    // residue-encoded robots.txt files must yield EXACTLY the rule table
+    // q98 judges against — same hosts, UAs, types, prefixes. The extra
+    // file content (comments, Crawl-delay, unknown directives, sitemap
+    // lines, the empty Disallow, the extrabot group) must all stay out.
+    val parsed = graft.operators.Crawl
+      .q112RobotsParse(spark, TestSpark.Sf0001)
+      .where(col("rtype").isin("allow", "disallow") &&
+        col("ua").isin("*", "graftbot"))
+      .select(col("host"), col("ua"), col("rtype"), col("value"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2), r.getString(3))).toSet
+    val table = graft.operators.Crawl.robotsRules(spark)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2), r.getString(3))).toSet
+    assert(table.nonEmpty)
+    assert(parsed === table,
+      s"parser/table drift:\n only parsed: ${parsed -- table}\n only table: ${table -- parsed}")
+    // and the parsed crawl delays match q98's residue spelling
+    val delays = graft.operators.Crawl
+      .q112RobotsParse(spark, TestSpark.Sf0001)
+      .where(col("rtype") === "crawl_delay")
+      .select(col("host"), col("ua"), col("delay_sec"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val expected = (0 until 40).filter(_ % 2 == 0)
+      .map(hh => (s"site$hh.example.com", "*", hh % 5 + 1)).toSet
+    assert(delays === expected)
+  }
 }
