@@ -1229,8 +1229,8 @@ object SparkEntry {
         "CAST(row_number() OVER (PARTITION BY doc_id // 8 ORDER BY doc_id) - 1 AS INTEGER) AS rec_idx, " +
         "CASE WHEN doc_id % 3 = 1 THEN 'revisit' ELSE 'response' END AS rec_type, " +
         "'http://w.example/d/' || doc_id AS uri, " +
-        "CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE octet_length(encode(text)) END AS BIGINT) AS content_length, " +
-        "CASE WHEN doc_id % 3 = 1 THEN md5('') ELSE md5(text) END AS payload_md5 " +
+        "CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE octet_length(encode(coalesce(text, ''))) END AS BIGINT) AS content_length, " +
+        "CASE WHEN doc_id % 3 = 1 THEN md5('') ELSE md5(coalesce(text, '')) END AS payload_md5 " +
         "FROM documents"),
     // q109: the oracle replays synthesis (every planted char an explicit
     // chr() code point), the SAME literal replace chain, and DuckDB's own

@@ -242,7 +242,10 @@ object Similarity {
     */
   def autoIvfParams(n: Long): (Int, Int, Int) =
     if (n <= AnnDenseMax) (32, 20, 4096)
-    else (math.max(32, (n / 32).toInt), 8, 64)
+    // clamp BEFORE toInt: n/32 overflows Int above ~68.7B vectors and a
+    // wrapped-negative count would silently fall back to 32 dense cells
+    // — the exact regime this policy exists to prevent
+    else (math.max(32L, math.min(n / 32, Int.MaxValue.toLong)).toInt, 8, 64)
 
   private def loadVectors(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")

@@ -231,6 +231,11 @@ class AnnScaleSpec extends AnyFunSuite {
     assert(Similarity.autoBucketCap(20000) === 256)
     assert(Similarity.autoIvfParams(20000) === ((625, 8, 64)))
     assert(Similarity.autoIvfParams(1000000) === ((31250, 8, 64)))
+    // n/32 overflows Int above ~68.7B vectors — the clamp must keep the
+    // cell count positive (a wrapped-negative would silently revert to
+    // the 32-cell dense config the policy exists to prevent)
+    assert(Similarity.autoIvfParams(Long.MaxValue)._1 === Int.MaxValue)
+    assert(Similarity.autoIvfParams(100_000_000_000L)._1 > 1_000_000_000)
   }
 
   test("q44's auto-capped candidate volume stays ~flat at 10x", Slow) {

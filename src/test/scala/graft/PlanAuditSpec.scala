@@ -696,7 +696,7 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(e.keySet === s.keySet)
     for ((c, er) <- e) {
       val sr = s(c)
-      for (i <- Seq(1, 2, 4, 5) if i != 3) // n_rows, n_null, min_v, max_v
+      for (i <- Seq(1, 2, 4, 5)) // n_rows, n_null, min_v, max_v
         assert(er.get(i) === sr.get(i), s"$c col $i drifted between twins")
       val (ed, sd) = (er.getLong(3), sr.getLong(3))
       assert(math.abs(sd - ed) <= math.max(2L, (0.05 * ed).toLong),

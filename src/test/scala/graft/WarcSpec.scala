@@ -196,4 +196,29 @@ class WarcSpec extends AnyFunSuite {
         assert(new String(pay, "UTF-8") === text, s"payload drifted: $uri")
     }
   }
+
+  test("warc.gz writer surfaces bad records instead of nulling the segment") {
+    // a NULL uri/payload reaching the serializer must not silently NULL
+    // the whole segment's fold (the segment would vanish from read-back
+    // with no error): the bad row counts in n_bad and the good rows
+    // still write and walk back
+    import graft.functions.GzipOps
+    import spark.implicits._
+    val recs = Seq(
+      (0L, 0, Option("http://a.example/ok"), "response", Option("good")),
+      (0L, 1, Option.empty[String], "response", Option("orphan")),
+      (0L, 2, Option("http://a.example/ok2"), "response", Option("fine")))
+      .toDF("seg_id", "pos", "uri", "rtype", "text")
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("digest", md5(col("text").cast("binary")))
+    val seg = graft.sources.Warc.warcGzSegments(recs).head()
+    assert(seg.getAs[Int]("n_records") === 2)
+    assert(seg.getAs[Int]("n_bad") === 1)
+    val bytes = recs.sparkSession.range(1).select(
+      GzipOps.gunzipConcat(lit(seg.getAs[Array[Byte]]("segment")))).head()
+      .getAs[Array[Byte]](0)
+    assert(bytes != null, "good records must still decode")
+    val offs = graft.functions.WarcEval.offsets(bytes).toLongArray()
+    assert(offs.last === 4L, "2 records, untruncated") // (2 << 1) | 0
+  }
 }
