@@ -134,6 +134,7 @@ object SparkEntry {
     "q110_line_langid" -> (Text.q110LineLangId _),
     "q111_regional_revenue" -> (Relational.q111RegionalRevenue _),
     "q112_robots_parse" -> (Crawl.q112RobotsParse _),
+    "q113_recrawl_policy" -> (Crawl.q113RecrawlPolicy _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1320,6 +1321,38 @@ object SparkEntry {
         "UNION ALL " +
         "SELECT host, NULL, 'sitemap', value, NULL FROM g3 " +
         "WHERE directive = 'sitemap' AND value <> ''"),
+    // q113: pure residue-derived integer policy — the oracle spells the
+    // AIMD halving/doubling, the NULL-safe lastmod compare, the half-
+    // interval priority boost and the gone-leaves-schedule rule directly
+    "q113_recrawl_policy" ->
+      ("WITH s AS (SELECT doc_id, " +
+        "CAST(doc_id % 28 + 1 AS INTEGER) AS crawl_age_d, " +
+        "CAST(doc_id % 12 + 1 AS INTEGER) AS last_interval_d, " +
+        "doc_id % 7 = 1 AS changed_last, " +
+        "doc_id % 7 = 4 AS gone, " +
+        "CASE WHEN doc_id % 4 <> 3 THEN CAST((doc_id * 3) % 45 AS INTEGER) END AS lastmod_age_d, " +
+        "CAST(doc_id % 10 AS INTEGER) AS priority_x10 " +
+        "FROM documents), " +
+        "n AS (SELECT *, CAST(CASE WHEN changed_last THEN " +
+        "greatest(1, last_interval_d // 2) " +
+        "ELSE least(60, last_interval_d * 2) END AS INTEGER) AS next_interval_d FROM s), " +
+        "r AS (SELECT *, " +
+        "coalesce(lastmod_age_d < crawl_age_d, FALSE) AS rm, " +
+        "crawl_age_d >= next_interval_d AS rd, " +
+        "priority_x10 >= 8 AND crawl_age_d >= greatest(1, next_interval_d // 2) AS rb " +
+        "FROM n) " +
+        "SELECT doc_id, " +
+        "'https://site' || (doc_id % 40) || '.example.com/a/' || (doc_id % 20) || " +
+        "'/page' || doc_id || '.html' AS url, " +
+        "crawl_age_d, last_interval_d, " +
+        "CAST(changed_last AS INTEGER) AS changed_last, " +
+        "CAST(gone AS INTEGER) AS gone, lastmod_age_d, priority_x10, " +
+        "next_interval_d, " +
+        "CASE WHEN NOT gone THEN CAST(rm AS INTEGER) END AS r_modified, " +
+        "CASE WHEN NOT gone THEN CAST(rd AS INTEGER) END AS r_due, " +
+        "CASE WHEN NOT gone THEN CAST(rb AS INTEGER) END AS r_boost, " +
+        "CASE WHEN NOT gone THEN CAST(rm OR rd OR rb AS INTEGER) END AS fetch " +
+        "FROM r"),
     // q99: the oracle derives every field DIRECTLY from the residues —
     // never by parsing (q82's stance) — so a parser slip (splitting on
     // the body's embedded separator, case-sensitive header match,

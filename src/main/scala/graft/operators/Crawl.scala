@@ -805,6 +805,60 @@ object Crawl {
     * [[robotsJudge]]) and the rule dims broadcast. Pinned in
     * PlanAuditSpec.
     */
+  // ---------------------------------------------------------------- q113
+
+  /** Q113: adaptive RECRAWL policy — the decision the refresh family was
+    * missing: q105 reports what changed AFTER a refetch, q107 schedules
+    * a fetch list it is handed; nothing decided WHICH known URLs are due
+    * this cycle. The classic revisit policy (Cho & Garcia-Molina's
+    * change-frequency adaptation, spelled AIMD): a page that changed
+    * last visit HALVES its revisit interval (floor 1 day), an unchanged
+    * page DOUBLES it (cap 60), and a URL is due when its age reaches the
+    * adapted interval — with two override signals: the sitemap says it
+    * was modified since the last fetch (q103's lastmod, when the site
+    * publishes one), and a high sitemap priority (≥ 0.8) lets a page
+    * jump at HALF its interval. q105's `gone` class leaves the schedule
+    * entirely (report-WHY: the row stays, fetch NULL).
+    *
+    * Every signal is residue-synthesized INTEGER day arithmetic
+    * (`changed`/`gone` reuse q105's exact residues, priority reuses
+    * q103's ×10 spelling), every rule is a separate bit beside the
+    * `fetch` conjunction (q65's report-WHY discipline), and the oracle
+    * replays all of it. Pure narrow column work — zero exchanges,
+    * pinned: a recrawl policy at 100 TB is a map over the URL state
+    * table.
+    */
+  def q113RecrawlPolicy(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val crawlAge = (id % 28 + 1).cast("int")
+    val lastInterval = (id % 12 + 1).cast("int")
+    val changedLast = id % 7 === 1 // q105's `changed` residue
+    val gone = id % 7 === 4 // q105's `gone` residue
+    val lastmodAge = when(id % 4 =!= 3, ((id * 3) % 45).cast("int"))
+    val priorityX10 = (id % 10).cast("int") // q103's spelling
+    val nextInterval = when(changedLast,
+      greatest(lit(1), floor(lastInterval / lit(2)).cast("int")))
+      .otherwise(least(lit(60), lastInterval * 2)).cast("int")
+    val rModified = coalesce(lastmodAge < crawlAge, lit(false))
+    val rDue = crawlAge >= nextInterval
+    val rBoost = priorityX10 >= 8 &&
+      crawlAge >= greatest(lit(1), floor(nextInterval / lit(2)).cast("int"))
+    docs.select(id,
+      pageUrl(id).as("url"),
+      crawlAge.as("crawl_age_d"),
+      lastInterval.as("last_interval_d"),
+      changedLast.cast("int").as("changed_last"),
+      gone.cast("int").as("gone"),
+      lastmodAge.as("lastmod_age_d"),
+      priorityX10.as("priority_x10"),
+      nextInterval.as("next_interval_d"),
+      when(!gone, rModified.cast("int")).as("r_modified"),
+      when(!gone, rDue.cast("int")).as("r_due"),
+      when(!gone, rBoost.cast("int")).as("r_boost"),
+      when(!gone, (rModified || rDue || rBoost).cast("int")).as("fetch"))
+  }
+
   // ---------------------------------------------------------------- q112
 
   /** Q112: robots.txt PARSING — the file layer under q98 (q98 judges a

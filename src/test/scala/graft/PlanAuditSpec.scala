@@ -740,6 +740,11 @@ class PlanAuditSpec extends AnyFunSuite {
       !p.contains("CartesianProduct"), p)
   }
 
+  test("q113 recrawl policy is a pure map — zero exchanges") {
+    val df = graft.operators.Crawl.q113RecrawlPolicy(spark, TestSpark.Sf0001)
+    assert(shuffles(df) === 0, s"expected 0 shuffles:\n${plan(df)}")
+  }
+
   test("q102 candidates ride the band-key shuffle; no all-pairs anywhere") {
     val df = graft.operators.Multimodal.q102ImageNearDup(spark, TestSpark.Sf0001)
     val p = plan(df)
