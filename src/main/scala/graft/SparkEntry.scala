@@ -135,6 +135,7 @@ object SparkEntry {
     "q111_regional_revenue" -> (Relational.q111RegionalRevenue _),
     "q112_robots_parse" -> (Crawl.q112RobotsParse _),
     "q113_recrawl_policy" -> (Crawl.q113RecrawlPolicy _),
+    "q114_charset_decode" -> (Crawl.q114CharsetDecode _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1353,6 +1354,25 @@ object SparkEntry {
         "CASE WHEN NOT gone THEN CAST(rb AS INTEGER) END AS r_boost, " +
         "CASE WHEN NOT gone THEN CAST(rm OR rd OR rb AS INTEGER) END AS fetch " +
         "FROM r"),
+    // q114: the oracle derives the expected text and counts DIRECTLY
+    // from residues — it never decodes a byte (q82's stance) — so the
+    // Spark side must walk real UTF-16/Latin-1 payloads to the same
+    // md5: a decoder that trusted the lying header over the BOM, kept
+    // the BOM character, or fed Latin-1 bytes to a UTF-8 reader fails
+    "q114_charset_decode" ->
+      ("WITH e AS (SELECT doc_id, text, " +
+        "text || ' caf' || chr(233) || ' ' || chr(252) AS latin, " +
+        "text || ' ' || chr(8211) || ' d' || chr(233) || 'j' || chr(224) || ' vu' AS wide " +
+        "FROM documents), " +
+        "x AS (SELECT doc_id, " +
+        "CASE doc_id % 5 WHEN 0 THEN 'utf-8-bom' WHEN 1 THEN 'iso-8859-1' " +
+        "WHEN 2 THEN 'utf-16le' WHEN 3 THEN 'utf-16be' ELSE 'utf-8' END AS detected, " +
+        "CASE doc_id % 5 WHEN 0 THEN wide WHEN 1 THEN latin " +
+        "WHEN 2 THEN wide WHEN 3 THEN wide ELSE text END AS expect " +
+        "FROM e) " +
+        "SELECT doc_id, detected, expect AS text_out, " +
+        "CAST(length(expect) AS BIGINT) AS n_chars, " +
+        "md5(expect) AS text_md5 FROM x"),
     // q99: the oracle derives every field DIRECTLY from the residues —
     // never by parsing (q82's stance) — so a parser slip (splitting on
     // the body's embedded separator, case-sensitive header match,

@@ -585,6 +585,69 @@ object Crawl {
     * `%10==7` no envelope at all, everything else a 200 with charset
     * parameter and decoy headers.
     */
+  // ---------------------------------------------------------------- q114
+
+  /** Q114: charset DETECTION + transcoding — the byte→text step between
+    * q99's envelope and q93's extraction (a crawl's payload bytes arrive
+    * in whatever encoding each server chose; every text operator upstream
+    * assumes UTF-8, and feeding Latin-1 bytes to a UTF-8 reader silently
+    * mangles every non-ASCII character): sniff the BOM first (UTF-8 /
+    * UTF-16LE / UTF-16BE — a BOM outranks any header, it IS the bytes),
+    * else trust the Content-Type charset parameter, else default UTF-8;
+    * decode with the matched charset and strip the leading U+FEFF the
+    * BOM decodes to.
+    *
+    * Synthesis puts REAL non-ASCII content through every class (the
+    * Latin-1 class appends `café ü` — for pure-ASCII text
+    * Latin-1 and UTF-8 agree byte-for-byte and a wrong decoder would
+    * pass unseen), and the oracle derives the expected text and counts
+    * DIRECTLY from residues, never by decoding (q82's stance) — so the
+    * Spark side must walk real UTF-16/Latin-1 bytes to the same md5.
+    * One narrow map, zero exchanges, pinned.
+    */
+  def q114CharsetDecode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val latin = concat(col("text"), lit(" caf\u00E9 \u00FC"))
+    val wide = concat(col("text"), lit(" \u2013 d\u00E9j\u00E0 vu"))
+    val bomU8 = lit(Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte))
+    val bomLe = lit(Array[Byte](0xFF.toByte, 0xFE.toByte))
+    val bomBe = lit(Array[Byte](0xFE.toByte, 0xFF.toByte))
+    val payload = when(id % 5 === 0, concat(bomU8, encode(wide, "UTF-8")))
+      .when(id % 5 === 1, encode(latin, "ISO-8859-1"))
+      .when(id % 5 === 2, concat(bomLe, encode(wide, "UTF-16LE")))
+      .when(id % 5 === 3, concat(bomBe, encode(wide, "UTF-16BE")))
+      .otherwise(encode(col("text"), "UTF-8"))
+    // the charset the server DECLARED (only the Latin-1 class declares;
+    // the BOM classes deliberately declare NOTHING so detection must
+    // come from the bytes, and one class declares a LIE the BOM outranks)
+    val declared = when(id % 5 === 1, "iso-8859-1")
+      .when(id % 5 === 2, "utf-8") // the lie: bytes are UTF-16LE
+    val framed = docs.select(id, payload.as("_p"), declared.as("_decl"))
+    val head3 = substring(col("_p"), 1, 3)
+    val head2 = substring(col("_p"), 1, 2)
+    val detected = when(head3 === bomU8, "utf-8-bom")
+      .when(head2 === bomLe, "utf-16le")
+      .when(head2 === bomBe, "utf-16be")
+      .when(col("_decl").isNotNull, col("_decl"))
+      .otherwise("utf-8")
+    val decoded = when(col("detected") === "utf-8-bom",
+      decode(expr("substring(_p, 4, length(_p) - 3)"), "UTF-8"))
+      .when(col("detected") === "utf-16le",
+        decode(expr("substring(_p, 3, length(_p) - 2)"), "UTF-16LE"))
+      .when(col("detected") === "utf-16be",
+        decode(expr("substring(_p, 3, length(_p) - 2)"), "UTF-16BE"))
+      .when(col("detected") === "iso-8859-1", decode(col("_p"), "ISO-8859-1"))
+      .otherwise(decode(col("_p"), "UTF-8"))
+    framed
+      .withColumn("detected", detected)
+      .withColumn("text_out", decoded)
+      .select(id, col("detected"),
+        col("text_out"),
+        length(col("text_out")).cast("bigint").as("n_chars"),
+        md5(encode(col("text_out"), "UTF-8")).as("text_md5"))
+  }
+
   def q99HttpEnvelope(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val id = col("doc_id")

@@ -740,6 +740,11 @@ class PlanAuditSpec extends AnyFunSuite {
       !p.contains("CartesianProduct"), p)
   }
 
+  test("q114 charset decode is a pure map — zero exchanges") {
+    val df = graft.operators.Crawl.q114CharsetDecode(spark, TestSpark.Sf0001)
+    assert(shuffles(df) === 0, s"expected 0 shuffles:\n${plan(df)}")
+  }
+
   test("q113 recrawl policy is a pure map — zero exchanges") {
     val df = graft.operators.Crawl.q113RecrawlPolicy(spark, TestSpark.Sf0001)
     assert(shuffles(df) === 0, s"expected 0 shuffles:\n${plan(df)}")
