@@ -60,7 +60,8 @@ object Bootstrap {
       graft.functions.BpeOps.bpeTokens(lit("a b"), Seq("a", "b")),
       CompressOps.deflateLen(lit("a")),
       TextOps.contentFingerprint(lit("a")),
-      TextOps.nfc(lit("a"))
+      TextOps.nfc(lit("a")),
+      graft.functions.HttpOps.dechunk(bytes)
     )
   }
 

@@ -136,6 +136,7 @@ object SparkEntry {
     "q112_robots_parse" -> (Crawl.q112RobotsParse _),
     "q113_recrawl_policy" -> (Crawl.q113RecrawlPolicy _),
     "q114_charset_decode" -> (Crawl.q114CharsetDecode _),
+    "q115_chunked_decode" -> (Crawl.q115ChunkedDecode _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1373,6 +1374,16 @@ object SparkEntry {
         "SELECT doc_id, detected, expect AS text_out, " +
         "CAST(length(expect) AS BIGINT) AS n_chars, " +
         "md5(expect) AS text_md5 FROM x"),
+    // q115: the oracle checks round-trip CONTENT from the residues —
+    // the two corruption classes must refuse with NULL, everything else
+    // must de-chunk back to the exact text bytes
+    "q115_chunked_decode" ->
+      ("SELECT doc_id, " +
+        "CASE WHEN doc_id % 10 IN (7, 9) THEN 0 ELSE 1 END AS ok, " +
+        "CASE WHEN doc_id % 10 IN (7, 9) THEN NULL " +
+        "ELSE CAST(octet_length(encode(text)) AS BIGINT) END AS body_len, " +
+        "CASE WHEN doc_id % 10 IN (7, 9) THEN NULL ELSE md5(text) END AS body_md5 " +
+        "FROM documents"),
     // q99: the oracle derives every field DIRECTLY from the residues —
     // never by parsing (q82's stance) — so a parser slip (splitting on
     // the body's embedded separator, case-sensitive header match,

@@ -648,6 +648,62 @@ object Crawl {
         md5(encode(col("text_out"), "UTF-8")).as("text_md5"))
   }
 
+  // ---------------------------------------------------------------- q115
+
+  /** Q115: chunked transfer-coding decode — the other wire framing
+    * beside q99's Content-Length envelope (RFC 9112 §7.1: streaming
+    * servers chunk; a crawler that cannot de-chunk reads hex size lines
+    * as body text): the codegen'd [[graft.functions.HttpDechunk]] walk
+    * over bodies synthesized IN-QUERY from the documents text — two or
+    * three variable-size chunks (sizes residue-derived, clamped to the
+    * payload), hex sizes UPPERCASE on even ids and lowercase on odd (a
+    * parser handling one case dies on half the corpus), a chunk
+    * extension (`;x=1`) on `%4==1`, trailer fields after the zero chunk
+    * on `%6==5`, and two corruption classes — `%10==7` truncates the
+    * terminator, `%10==9` prepends a non-hex size line — that MUST
+    * decode NULL (stop-don't-guess).
+    *
+    * The contract is round-trip CONTENT (md5/byte length of the
+    * de-chunked bytes vs the oracle's direct view of the text — the
+    * oracle never builds framing, q82's stance). One narrow map, the
+    * kernel once per row, zero exchanges — pinned.
+    */
+  def q115ChunkedDecode(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HttpOps
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val crlf = lit("\r\n").cast("binary")
+    val pay = encode(col("text"), "UTF-8")
+    val L = length(pay)
+    val a = least((id % 7 + 3).cast("int"), L)
+    val b = least((id % 5 + 2).cast("int"), L - a)
+    val rest = L - a - b
+    def hexOf(n: Column): Column =
+      when(id % 2 === 0, hex(n.cast("bigint"))).otherwise(lower(hex(n.cast("bigint"))))
+    val empty = lit(Array.emptyByteArray)
+    def chunk(n: Column, off: Column, ext: Column): Column =
+      when(n > 0, concat(concat(hexOf(n), ext).cast("binary"), crlf,
+        substring(pay, off, n), crlf)).otherwise(empty)
+    val term = when(id % 6 === 5, lit("0\r\nX-Sum: ok\r\n\r\n"))
+      .otherwise(lit("0\r\n\r\n")).cast("binary")
+    val stream = concat(
+      chunk(a, lit(1), when(id % 4 === 1, ";x=1").otherwise(lit(""))),
+      chunk(b, a + 1, lit("")),
+      chunk(rest, a + b + 1, lit("")),
+      term)
+    val wire = when(id % 10 === 7,
+      expr("substring(_s, 1, length(_s) - 4)"))
+      .when(id % 10 === 9, concat(lit("zz\r\n").cast("binary"), col("_s")))
+      .otherwise(col("_s"))
+    docs.select(id, stream.as("_s"))
+      .select(id, wire.as("_w"))
+      .withColumn("_body", HttpOps.dechunk(col("_w")))
+      .select(id,
+        col("_body").isNotNull.cast("int").as("ok"),
+        length(col("_body")).cast("bigint").as("body_len"),
+        md5(col("_body")).as("body_md5"))
+  }
+
   def q99HttpEnvelope(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val id = col("doc_id")

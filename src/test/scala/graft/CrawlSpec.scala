@@ -350,6 +350,34 @@ class CrawlSpec extends AnyFunSuite {
     assert(agg.where(col("fetched") === 1 && col("n_keep") =!= 0).count() === 0)
   }
 
+  test("graft_dechunk walks hand-built chunked streams byte-exactly") {
+    import graft.functions.HttpEval
+    def d(s: String): Array[Byte] =
+      HttpEval.dechunk(s.getBytes("ISO-8859-1"))
+    def str(b: Array[Byte]): String =
+      if (b == null) null else new String(b, "ISO-8859-1")
+    // two chunks, mixed-case hex, extension skipped
+    assert(str(d("5\r\nhello\r\nA;x=1\r\n 0123-wxyz\r\n0\r\n\r\n")) ===
+      "hello 0123-wxyz")
+    // uppercase hex + trailer fields consumed and discarded
+    assert(str(d("B\r\nhello world\r\n0\r\nX-Sum: ok\r\nX-Tail: 2\r\n\r\n")) ===
+      "hello world")
+    // empty body: just the terminator
+    assert(str(d("0\r\n\r\n")) === "")
+    // refusals: no hex where a size must be, bare-LF size line,
+    // truncated data, truncated terminator, trailing garbage after the
+    // terminator, unterminated trailer
+    assert(d("zz\r\nhi\r\n0\r\n\r\n") === null)
+    assert(d("5\nhello\r\n0\r\n\r\n") === null)
+    assert(d("9\r\nhello\r\n0\r\n\r\n") === null)
+    assert(d("5\r\nhello\r\n0\r\n") === null)
+    assert(d("5\r\nhello\r\n0\r\n\r\nEXTRA") === null)
+    assert(d("5\r\nhello\r\n0\r\nX-Sum: ok\r\n") === null)
+    // a chunk whose data EMBEDS a size-looking line must pass through
+    // verbatim — length-driven walking, never pattern matching
+    assert(str(d("8\r\n2\r\nab\r\n0\r\n0\r\n\r\n")) === "2\r\nab\r\n0")
+  }
+
   test("q112 parser reproduces q98's rule table from the raw files") {
     // the round-trip that lets the gate consume the parser: parsing the
     // residue-encoded robots.txt files must yield EXACTLY the rule table

@@ -79,7 +79,8 @@ class FunctionsSpec extends AnyFunSuite {
       "graft_mp4_frame_luma", "graft_warc_meta", "graft_warc_offsets",
       "graft_warc_header_1", "graft_warc_payload",
       "graft_lsh_bits", "graft_dot", "graft_dot_i8", "graft_pq_adc",
-      "graft_bpe_tokens", "graft_deflate_len", "graft_nfc")
+      "graft_bpe_tokens", "graft_deflate_len", "graft_nfc",
+      "graft_dechunk")
     kernels.foreach(k =>
       assert(plan.contains(k), s"warm plan does not touch $k"))
     // and it runs: one local 1-row collect, no exceptions

@@ -740,6 +740,16 @@ class PlanAuditSpec extends AnyFunSuite {
       !p.contains("CartesianProduct"), p)
   }
 
+  test("q115 chunked decode: zero exchanges, the kernel once per row") {
+    val df = graft.operators.Crawl.q115ChunkedDecode(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    assert(shuffles(df) === 0, s"expected 0 shuffles:\n$p")
+    // _body feeds 3 output columns — the pre-projection must survive
+    // CollapseProject or the walk runs 3x per row
+    val n = java.util.regex.Pattern.quote("graft_dechunk(").r.findAllIn(p).length
+    assert(n === 1, s"expected 1 graft_dechunk in the plan, found $n:\n$p")
+  }
+
   test("q114 charset decode is a pure map — zero exchanges") {
     val df = graft.operators.Crawl.q114CharsetDecode(spark, TestSpark.Sf0001)
     assert(shuffles(df) === 0, s"expected 0 shuffles:\n${plan(df)}")
