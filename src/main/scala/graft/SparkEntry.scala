@@ -137,6 +137,7 @@ object SparkEntry {
     "q113_recrawl_policy" -> (Crawl.q113RecrawlPolicy _),
     "q114_charset_decode" -> (Crawl.q114CharsetDecode _),
     "q115_chunked_decode" -> (Crawl.q115ChunkedDecode _),
+    "q116_fullstack_intake" -> (Crawl.q116FullStackIntake _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1384,6 +1385,33 @@ object SparkEntry {
         "ELSE CAST(octet_length(encode(text)) AS BIGINT) END AS body_len, " +
         "CASE WHEN doc_id % 10 IN (7, 9) THEN NULL ELSE md5(text) END AS body_md5 " +
         "FROM documents"),
+    // q116: the oracle re-synthesizes the page (the SAME htmlCtes q93/q97
+    // splice), derives every transport verdict from residues, and — the
+    // composition's teeth — equates payload_md5 to md5 of the
+    // independently built page: the Spark side must carry exact bytes
+    // through gzip + WARC + the byte-level envelope split + de-chunking
+    // + UTF-16/Latin-1 decoding to match
+    "q116_fullstack_intake" ->
+      ("WITH " + htmlCtes + " " +
+        "SELECT doc_id, " +
+        "CASE WHEN doc_id % 13 = 9 THEN 0 ELSE 1 END AS fetch_ok, " +
+        "CASE WHEN doc_id % 13 = 9 THEN NULL ELSE " +
+        "'https://site' || (doc_id % 40) || '.example.com/a/' || (doc_id % 20) || " +
+        "'/page' || doc_id || '.html' END AS uri, " +
+        "CASE WHEN doc_id % 13 = 9 THEN NULL ELSE 200 END AS status, " +
+        "CASE WHEN doc_id % 13 = 9 THEN NULL ELSE CAST(doc_id % 5 <> 4 AS INTEGER) END AS te_chunked, " +
+        "CASE WHEN doc_id % 13 = 9 THEN NULL " +
+        "WHEN doc_id % 3 = 0 THEN 'utf-16le' " +
+        "WHEN doc_id % 3 = 1 THEN 'iso-8859-1' ELSE 'utf-8' END AS charset, " +
+        "CASE WHEN doc_id % 13 = 9 THEN NULL ELSE md5(html) END AS payload_md5, " +
+        "CASE WHEN doc_id % 13 = 9 THEN NULL " +
+        "WHEN t <> '' THEN t END AS title, " +
+        "CASE WHEN doc_id % 13 = 9 THEN NULL ELSE CAST(wf AS INTEGER) END AS well_formed, " +
+        "CASE WHEN doc_id % 13 = 9 OR NOT wf THEN NULL ELSE " +
+        "CAST((length(body_raw) - length(replace(body_raw, '<a href=\"', ''))) // 9 AS BIGINT) END AS n_links, " +
+        "CASE WHEN doc_id % 13 = 9 OR NOT wf THEN NULL ELSE tc END AS text_clean, " +
+        "CASE WHEN doc_id % 13 = 9 OR NOT wf THEN NULL ELSE CAST(length(tc) AS BIGINT) END AS n_chars_clean " +
+        "FROM d"),
     // q99: the oracle derives every field DIRECTLY from the residues —
     // never by parsing (q82's stance) — so a parser slip (splitting on
     // the body's embedded separator, case-sensitive header match,

@@ -62,6 +62,48 @@ object HttpEval {
     }
     null // unreachable
   }
+
+  /** Byte offset of the first `\r\n\r\n`, or -1 when absent. */
+  def headerEnd(b: Array[Byte]): Int = {
+    if (b == null) return -1
+    var i = 0
+    while (i + 3 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' &&
+        b(i + 3) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+}
+
+/** `binary -> int`: byte offset of the first `\r\n\r\n` header/body
+  * separator (0-based offset OF the separator), or NULL when absent —
+  * the BYTE-level split an envelope with a non-UTF-8 body needs (casting
+  * UTF-16 payload bytes through a string to find the separator mangles
+  * every byte the decoder later depends on).
+  */
+case class HttpHeaderEnd(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_http_sep"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val r = HttpEval.headerEnd(input.asInstanceOf[Array[Byte]])
+    if (r < 0) null else r
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, bytes => {
+      val res = ctx.freshName("sep")
+      s"""
+         |int $res = graft.functions.HttpEval.headerEnd($bytes);
+         |if ($res < 0) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $res; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HttpHeaderEnd =
+    copy(child = newChild)
 }
 
 /** `binary -> binary`: chunked transfer-coding decode via
@@ -96,4 +138,7 @@ object HttpOps {
 
   def dechunk(bin: Column): Column =
     ColumnBridge.column(HttpDechunk(ColumnBridge.expression(bin.cast("binary"))))
+
+  def headerEnd(bin: Column): Column =
+    ColumnBridge.column(HttpHeaderEnd(ColumnBridge.expression(bin.cast("binary"))))
 }

@@ -668,12 +668,14 @@ object Crawl {
     * oracle never builds framing, q82's stance). One narrow map, the
     * kernel once per row, zero exchanges — pinned.
     */
-  def q115ChunkedDecode(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.HttpOps
-    val docs = Tables.load(spark, dir, "documents")
-    val id = col("doc_id")
+  /** Clean chunked framing of `pay` (the q115 residue scheme: 2-3
+    * size-clamped chunks, hex case by id parity, a `;x=1` extension on
+    * `%4==1`, trailer fields on `%6==5`) — shared by q115 (which then
+    * corrupts classes at the wire) and q116's composed intake, so the
+    * two framings cannot drift.
+    */
+  private def chunkedOf(pay: Column, id: Column): Column = {
     val crlf = lit("\r\n").cast("binary")
-    val pay = encode(col("text"), "UTF-8")
     val L = length(pay)
     val a = least((id % 7 + 3).cast("int"), L)
     val b = least((id % 5 + 2).cast("int"), L - a)
@@ -686,11 +688,18 @@ object Crawl {
         substring(pay, off, n), crlf)).otherwise(empty)
     val term = when(id % 6 === 5, lit("0\r\nX-Sum: ok\r\n\r\n"))
       .otherwise(lit("0\r\n\r\n")).cast("binary")
-    val stream = concat(
+    concat(
       chunk(a, lit(1), when(id % 4 === 1, ";x=1").otherwise(lit(""))),
       chunk(b, a + 1, lit("")),
       chunk(rest, a + b + 1, lit("")),
       term)
+  }
+
+  def q115ChunkedDecode(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HttpOps
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val stream = chunkedOf(encode(col("text"), "UTF-8"), id)
     val wire = when(id % 10 === 7,
       expr("substring(_s, 1, length(_s) - 4)"))
       .when(id % 10 === 9, concat(lit("zz\r\n").cast("binary"), col("_s")))
@@ -702,6 +711,100 @@ object Crawl {
         col("_body").isNotNull.cast("int").as("ok"),
         length(col("_body")).cast("bigint").as("body_len"),
         md5(col("_body")).as("body_md5"))
+  }
+
+  // ---------------------------------------------------------------- q116
+
+  /** Q116: FULL-STACK crawl intake — the capstone composition: every
+    * wire layer the family implements, stacked the way a real fetch
+    * arrives and unwound in ONE narrow stage. Each document's artifact
+    * is a `.warc.gz` member (q95) wrapping a WARC response record (q82)
+    * whose payload is an HTTP message (q99) with chunked
+    * transfer-coding (q115, on 4 of 5 ids — the fifth ships
+    * Content-Length framing so both branches execute) carrying
+    * charset-encoded page bytes (q114's classes: UTF-16LE+BOM with NO
+    * header charset, ISO-8859-1 declared, UTF-8 declared) of the q93
+    * page. The pipeline: gunzip → record walk → payload slice →
+    * BYTE-level header/body split (`graft_http_sep` — a string-cast
+    * split would mangle the UTF-16 bodies) → de-chunk when the header
+    * says so → BOM-first charset detect → decode → extract.
+    *
+    * `payload_md5` equates the SIX-layer round-trip to the md5 of the
+    * independently re-synthesized page text; q97's `%13==9` member
+    * truncation kills the whole chain to NULLs (fetch_ok 0), q93's
+    * `%9==5` headless page keeps fetch_ok 1 / well_formed 0. Zero
+    * exchanges, every kernel once per row — pinned.
+    */
+  def q116FullStackIntake(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{GzipOps, HttpOps, WarcOps}
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val html = synthHtml(id, col("text"))
+    val bomLe = lit(Array[Byte](0xFF.toByte, 0xFE.toByte))
+    val htmlBytes = when(id % 3 === 0, concat(bomLe, encode(html, "UTF-16LE")))
+      .when(id % 3 === 1, encode(html, "ISO-8859-1"))
+      .otherwise(encode(html, "UTF-8"))
+    val ct = when(id % 3 === 0, "text/html")
+      .when(id % 3 === 1, "text/html; charset=iso-8859-1")
+      .otherwise("text/html; charset=utf-8")
+    val chunked = id % 5 =!= 4
+    val wireBody = when(chunked, chunkedOf(col("_hb"), id)).otherwise(col("_hb"))
+    val respHead = concat(
+      lit("HTTP/1.1 200 OK\r\nContent-Type: "), ct, lit("\r\n"),
+      when(chunked, lit("Transfer-Encoding: chunked\r\n"))
+        .otherwise(concat(lit("Content-Length: "),
+          length(col("_hb")).cast("string"), lit("\r\n"))),
+      lit("\r\n"))
+    val rec = concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: ").cast("binary"),
+      pageUrl(id).cast("binary"),
+      concat(lit("\r\nContent-Length: "), length(col("_resp")).cast("string"),
+        lit("\r\n\r\n")).cast("binary"),
+      col("_resp"),
+      lit("\r\n\r\n").cast("binary"))
+    val staged = docs
+      .select(id, col("text"), htmlBytes.as("_hb"))
+      .withColumn("_resp", concat(respHead.cast("binary"), wireBody))
+      .withColumn("_gz", GzipOps.gzip(rec, concat(id.cast("string"), lit(".warc"))))
+      .withColumn("_fetched", when(id % 13 === 9,
+        expr("substring(_gz, 1, length(_gz) - 7)")).otherwise(col("_gz")))
+      .withColumn("_bytes", GzipOps.gunzip(col("_fetched")))
+      .withColumn("_offs", WarcOps.warcOffsets(col("_bytes")))
+      .withColumn("_off", get(col("_offs"), lit(0)))
+      .withColumn("_pay", WarcOps.warcPayload(col("_bytes"), col("_off")))
+      .withColumn("_sep", HttpOps.headerEnd(col("_pay")))
+      .withColumn("_hdrs", expr("CAST(substring(_pay, 1, _sep) AS STRING)"))
+      .withColumn("_bdy",
+        expr("substring(_pay, _sep + 5, length(_pay) - _sep - 4)"))
+      .withColumn("_te", col("_hdrs").rlike("(?i)transfer-encoding:\\s*chunked"))
+      .withColumn("_raw",
+        when(col("_te"), HttpOps.dechunk(col("_bdy"))).otherwise(col("_bdy")))
+      .withColumn("_cs",
+        when(substring(col("_raw"), 1, 2) === bomLe, "utf-16le")
+          .otherwise(when(col("_hdrs").isNotNull,
+            when(lower(regexp_extract(col("_hdrs"),
+              "(?i)charset=([A-Za-z0-9-]+)", 1)) =!= "",
+              lower(regexp_extract(col("_hdrs"),
+                "(?i)charset=([A-Za-z0-9-]+)", 1)))
+              .otherwise("utf-8"))))
+      .withColumn("_html",
+        when(col("_cs") === "utf-16le",
+          decode(expr("substring(_raw, 3, length(_raw) - 2)"), "UTF-16LE"))
+          .when(col("_cs") === "iso-8859-1", decode(col("_raw"), "ISO-8859-1"))
+          .when(col("_cs") === "utf-8", decode(col("_raw"), "UTF-8")))
+      .withColumn("html", col("_html"))
+    htmlExtract(staged,
+      carry = Seq("_bytes", "_off", "_hdrs", "_te", "_cs", "_html"))
+      .select(col("doc_id"),
+        col("_bytes").isNotNull.cast("int").as("fetch_ok"),
+        WarcOps.warcHeader(col("_bytes"), col("_off"), 1).as("uri"),
+        expr("try_cast(regexp_extract(_hdrs, '^HTTP/[0-9.]+ ([0-9]{3})', 1) AS INT)")
+          .as("status"),
+        when(col("_bytes").isNotNull, col("_te").cast("int")).as("te_chunked"),
+        col("_cs").as("charset"),
+        md5(encode(col("_html"), "UTF-8")).as("payload_md5"),
+        col("title"), col("well_formed"), col("n_links"),
+        col("text_clean"), col("n_chars_clean"))
   }
 
   def q99HttpEnvelope(spark: SparkSession, dir: String): DataFrame = {

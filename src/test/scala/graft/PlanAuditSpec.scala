@@ -740,6 +740,20 @@ class PlanAuditSpec extends AnyFunSuite {
       !p.contains("CartesianProduct"), p)
   }
 
+  test("q116 full-stack intake: one narrow stage, every kernel once per row") {
+    val df = graft.operators.Crawl.q116FullStackIntake(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    assert(shuffles(df) === 0, s"expected 0 shuffles:\n$p")
+    // six layers of pre-projections must all survive CollapseProject —
+    // any kernel appearing twice means a walk re-runs per referencing
+    // output column
+    for (k <- Seq("graft_gzip(", "graft_gunzip(", "graft_warc_offsets(",
+        "graft_warc_payload(", "graft_http_sep(", "graft_dechunk(")) {
+      val n = java.util.regex.Pattern.quote(k).r.findAllIn(p).length
+      assert(n === 1, s"expected 1 $k in the plan, found $n:\n$p")
+    }
+  }
+
   test("q115 chunked decode: zero exchanges, the kernel once per row") {
     val df = graft.operators.Crawl.q115ChunkedDecode(spark, TestSpark.Sf0001)
     val p = plan(df)
