@@ -1362,9 +1362,9 @@ object SparkEntry {
     // md5: a decoder that trusted the lying header over the BOM, kept
     // the BOM character, or fed Latin-1 bytes to a UTF-8 reader fails
     "q114_charset_decode" ->
-      ("WITH e AS (SELECT doc_id, text, " +
-        "text || ' caf' || chr(233) || ' ' || chr(252) AS latin, " +
-        "text || ' ' || chr(8211) || ' d' || chr(233) || 'j' || chr(224) || ' vu' AS wide " +
+      ("WITH e AS (SELECT doc_id, coalesce(text, '') AS text, " +
+        "coalesce(text, '') || ' caf' || chr(233) || ' ' || chr(252) AS latin, " +
+        "coalesce(text, '') || ' ' || chr(8211) || ' d' || chr(233) || 'j' || chr(224) || ' vu' AS wide " +
         "FROM documents), " +
         "x AS (SELECT doc_id, " +
         "CASE doc_id % 5 WHEN 0 THEN 'utf-8-bom' WHEN 1 THEN 'iso-8859-1' " +
@@ -1382,8 +1382,8 @@ object SparkEntry {
       ("SELECT doc_id, " +
         "CASE WHEN doc_id % 10 IN (7, 9) THEN 0 ELSE 1 END AS ok, " +
         "CASE WHEN doc_id % 10 IN (7, 9) THEN NULL " +
-        "ELSE CAST(octet_length(encode(text)) AS BIGINT) END AS body_len, " +
-        "CASE WHEN doc_id % 10 IN (7, 9) THEN NULL ELSE md5(text) END AS body_md5 " +
+        "ELSE CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) END AS body_len, " +
+        "CASE WHEN doc_id % 10 IN (7, 9) THEN NULL ELSE md5(coalesce(text, '')) END AS body_md5 " +
         "FROM documents"),
     // q116: the oracle re-synthesizes the page (the SAME htmlCtes q93/q97
     // splice), derives every transport verdict from residues, and — the

@@ -36,7 +36,12 @@ object HttpEval {
       }
       if (digits == 0) return null // a size line must start with hex
       if (q < b.length && b(q) == ';') { // chunk extension: skip to CR
-        while (q < b.length && b(q) != '\r') q += 1
+        while (q < b.length && b(q) != '\r') {
+          // a bare LF (or any control byte) inside the extension means
+          // the size line ended without CRLF — framing lied, refuse
+          if ((b(q) & 0xFF) < 0x20) return null
+          q += 1
+        }
       }
       if (q + 1 >= b.length || b(q) != '\r' || b(q + 1) != '\n') return null
       q += 2

@@ -608,8 +608,11 @@ object Crawl {
   def q114CharsetDecode(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val id = col("doc_id")
-    val latin = concat(col("text"), lit(" caf\u00E9 \u00FC"))
-    val wide = concat(col("text"), lit(" \u2013 d\u00E9j\u00E0 vu"))
+    // q108's NULL defense: a future corpus with NULL text must frame
+    // an empty payload, not diverge from the oracle's residue math
+    val txt = coalesce(col("text"), lit(""))
+    val latin = concat(txt, lit(" caf\u00E9 \u00FC"))
+    val wide = concat(txt, lit(" \u2013 d\u00E9j\u00E0 vu"))
     val bomU8 = lit(Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte))
     val bomLe = lit(Array[Byte](0xFF.toByte, 0xFE.toByte))
     val bomBe = lit(Array[Byte](0xFE.toByte, 0xFF.toByte))
@@ -617,7 +620,7 @@ object Crawl {
       .when(id % 5 === 1, encode(latin, "ISO-8859-1"))
       .when(id % 5 === 2, concat(bomLe, encode(wide, "UTF-16LE")))
       .when(id % 5 === 3, concat(bomBe, encode(wide, "UTF-16BE")))
-      .otherwise(encode(col("text"), "UTF-8"))
+      .otherwise(encode(txt, "UTF-8"))
     // the charset the server DECLARED (only the Latin-1 class declares;
     // the BOM classes deliberately declare NOTHING so detection must
     // come from the bytes, and one class declares a LIE the BOM outranks)
@@ -699,7 +702,7 @@ object Crawl {
     import graft.functions.HttpOps
     val docs = Tables.load(spark, dir, "documents")
     val id = col("doc_id")
-    val stream = chunkedOf(encode(col("text"), "UTF-8"), id)
+    val stream = chunkedOf(encode(coalesce(col("text"), lit("")), "UTF-8"), id)
     val wire = when(id % 10 === 7,
       expr("substring(_s, 1, length(_s) - 4)"))
       .when(id % 10 === 9, concat(lit("zz\r\n").cast("binary"), col("_s")))
@@ -975,22 +978,20 @@ object Crawl {
     * governs (a graftbot-specific group has no delay line here) and the
     * host's residue carries one.
     */
-  private def hostNum: Column =
-    expr("try_cast(regexp_extract(host, '^site([0-9]+)\\\\.', 1) AS INT)")
   private def allowedBit: Column =
     when(col("rule_type").isNull || col("rule_type") === "allow", 1).otherwise(0)
-  private def crawlDelay: Column =
-    when(col("ua_sel") === "*" && hostNum % 2 === 0, (hostNum % 5 + 1))
-      .cast("int")
 
   def q98RobotsGate(spark: SparkSession, dir: String): DataFrame = {
     val frontier = q94LinkFrontier(spark, dir)
       .where(col("keep") === 1).select("canonical_url")
-    val judged = robotsJudge(frontier, robotsRules(spark))
-    judged.select(col("canonical_url"), col("host"), col("path"),
-      allowedBit.as("allowed"),
-      col("matched_rule"), col("rule_type"),
-      crawlDelay.as("crawl_delay"))
+    val judged = robotsJudge(frontier, parsedRobotsRules(spark))
+    judged.join(broadcast(parsedCrawlDelays(spark)),
+        judged("host") === col("_dhost"), "left")
+      .select(col("canonical_url"), col("host"), col("path"),
+        allowedBit.as("allowed"),
+        col("matched_rule"), col("rule_type"),
+        when(col("ua_sel") === "*", col("_delay")).cast("int")
+          .as("crawl_delay"))
   }
 
   // ---------------------------------------------------------------- q107
@@ -1002,7 +1003,7 @@ object Crawl {
     * paced into integer next-fetch slots honoring `crawl_delay` — the
     * per-host generalization of the reference producer's fixed
     * politeness pause between paged requests
-    * (`ingestion/producer/openalex_client.py:50-53,69-70` sleeps
+    * (`ingestion/openalex_client.py:50-53,69-70` sleeps
     * `REQUEST_PAUSE` per page; a crawler does the same per HOST with the
     * delay each host's robots.txt asks for).
     *
@@ -1101,11 +1102,15 @@ object Crawl {
     * exchange, keyed by host exactly as a robots cache shards). Rules
     * join the distinct UAs of their group (dim×dim). CrawlSpec pins the
     * round-trip that matters: the parsed allow/disallow rows equal
-    * [[robotsRules]]'s table EXACTLY, so the gate could consume the
-    * parser without q98's contract moving.
+    * [[robotsRules]]'s table EXACTLY — and since r13 the gate DOES
+    * consume the parser ([[parsedRobotsRules]]) with q98/q107's
+    * contracts unmoved.
     */
-  def q112RobotsParse(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Residue-encoded raw robots.txt files, one per site host — shared by
+    * q112 (the parsing contract) and the gate path ([[parsedRobotsRules]],
+    * which parses them coalesced).
+    */
+  private def robotsFiles(spark: SparkSession): DataFrame = {
     val h = col("id").cast("int")
     val raw = concat_ws("\n",
       concat(lit("# robots.txt for site"), h.cast("string")),
@@ -1125,9 +1130,19 @@ object Crawl {
         "User-agent: extrabot\nUser-agent: otherbot\nDisallow: /z/\n"),
       when(h % 4 === 2, concat(lit("Sitemap: https://site"), h.cast("string"),
         lit(".example.com/sitemap.xml"))))
-    val files = spark.range(0, 40).select(
+    spark.range(0, 40).select(
       concat(lit("site"), h.cast("string"), lit(".example.com")).as("host"),
       raw.as("_raw"))
+  }
+
+  /** The q112 parse pipeline over a `(host, _raw)` files frame — split,
+    * strip comments, classify directives, detect groups (lag + running
+    * sum over the per-host line window), join rules to their group's
+    * UAs. Factored out so the gate path runs the SAME code the contract
+    * query pins — the two cannot drift.
+    */
+  private def parseRobots(files: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val parsed = files
       .select(col("host"),
         posexplode(split(col("_raw"), "\n")).as(Seq("line_idx", "_l0")))
@@ -1165,17 +1180,55 @@ object Crawl {
     inGroups.unionByName(sitemaps)
   }
 
+  def q112RobotsParse(spark: SparkSession, dir: String): DataFrame =
+    parseRobots(robotsFiles(spark))
+
+  /** The gate's rule table built by the PARSER from the raw files (the
+    * r12 composition ask: the gate must run on parsed reality, not the
+    * synthesized table): the SAME [[parseRobots]] pipeline as q112, run
+    * over the files COALESCED to one partition — a robots corpus is
+    * dim-sized (q68's premise: one parsed file per host is tens of MB
+    * for millions of hosts), so single-partition parsing costs nothing
+    * and keeps the parser's per-host window/distinct off the frontier
+    * plan's exchange budget (SinglePartition satisfies every required
+    * distribution). A corpus too big for one task keeps q112's
+    * host-keyed window shape and materializes the table once
+    * (vw_link_rank's pattern) before broadcasting. Filtered to the
+    * allow/disallow rows of the UA groups the judge selects from —
+    * CrawlSpec pins this EQUALS [[robotsRules]], so the gate contract
+    * cannot move.
+    */
+  private[graft] def parsedRobotsRules(spark: SparkSession): DataFrame =
+    parseRobots(robotsFiles(spark).coalesce(1))
+      .where(col("rtype").isin("allow", "disallow") &&
+        col("ua").isin("*", "graftbot"))
+      .select(col("host").as("rhost"), col("ua"), col("rtype"),
+        col("value").as("prefix"))
+
+  /** Per-host `*`-group crawl delays from the same parse — replaces the
+    * residue-spelled delay column so the scheduler's pacing also runs on
+    * parsed reality (the delay applies only when the `*` group governs
+    * the host: a graftbot-specific group carries no delay line).
+    */
+  private[graft] def parsedCrawlDelays(spark: SparkSession): DataFrame =
+    parseRobots(robotsFiles(spark).coalesce(1))
+      .where(col("rtype") === "crawl_delay" && col("ua") === "*")
+      .select(col("host").as("_dhost"), col("delay_sec").as("_delay"))
+
   def q107FetchSchedule(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val frontier = q94LinkFrontier(spark, dir)
       .where(col("keep") === 1)
       .select(col("canonical_url"),
         (col("doc_id") * 16 + col("link_idx")).cast("bigint").as("disc_pos"))
-    val judged = robotsJudge(frontier, robotsRules(spark),
+    val judged = robotsJudge(frontier, parsedRobotsRules(spark),
       carry = Seq("disc_pos"))
-    val gated = judged.select(col("canonical_url"), col("host"),
-      col("disc_pos"), allowedBit.as("allowed"),
-      crawlDelay.as("crawl_delay"))
+    val gated = judged.join(broadcast(parsedCrawlDelays(spark)),
+        judged("host") === col("_dhost"), "left")
+      .select(col("canonical_url"), col("host"),
+        col("disc_pos"), allowedBit.as("allowed"),
+        when(col("ua_sel") === "*", col("_delay")).cast("int")
+          .as("crawl_delay"))
     val prio = q96LinkRank(spark, dir)
       .select(col("host").as("rank_host"), col("rank_p5"))
       .withColumn("host_priority",

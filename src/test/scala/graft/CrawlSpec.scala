@@ -369,6 +369,9 @@ class CrawlSpec extends AnyFunSuite {
     // terminator, unterminated trailer
     assert(d("zz\r\nhi\r\n0\r\n\r\n") === null)
     assert(d("5\nhello\r\n0\r\n\r\n") === null)
+    // a bare LF hidden INSIDE a chunk extension must refuse too — the
+    // size line ended without CRLF, not an extension byte to consume
+    assert(d("5;x\njunk\r\nhello\r\n0\r\n\r\n") === null)
     assert(d("9\r\nhello\r\n0\r\n\r\n") === null)
     assert(d("5\r\nhello\r\n0\r\n") === null)
     assert(d("5\r\nhello\r\n0\r\n\r\nEXTRA") === null)
@@ -379,9 +382,11 @@ class CrawlSpec extends AnyFunSuite {
   }
 
   test("q112 parser reproduces q98's rule table from the raw files") {
-    // the round-trip that lets the gate consume the parser: parsing the
-    // residue-encoded robots.txt files must yield EXACTLY the rule table
-    // q98 judges against — same hosts, UAs, types, prefixes. The extra
+    // the round-trip that LETS the gate consume the parser (and since
+    // r13 it DOES — q98/q107 judge against parsedRobotsRules, the same
+    // parse pipeline): parsing the residue-encoded robots.txt files must
+    // yield EXACTLY the synthesized rule table — same hosts, UAs, types,
+    // prefixes. The extra
     // file content (comments, Crawl-delay, unknown directives, sitemap
     // lines, the empty Disallow, the extrabot group) must all stay out.
     val parsed = graft.operators.Crawl
