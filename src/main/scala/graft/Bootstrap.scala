@@ -206,6 +206,18 @@ object Bootstrap {
       .createOrReplaceTempView("vw_semantic_decon")
     operators.Multimodal.q101ImageDedup(spark, dir)
       .createOrReplaceTempView("vw_image_dedup")
+    // the r12 family's SQL twins: per-line language spans (q110) — a
+    // `WHERE line_lang <> doc_lang` read is the SQL-only "find embedded
+    // foreign passages" filter; the adaptive recrawl queue (q113) —
+    // `WHERE fetch = 1` is the SQL-only "what do we revisit this cycle"
+    // read with the AIMD evidence bits; and the full wire-intake
+    // manifest (q116) — the six-layer decode as a plain SELECT
+    operators.Text.q110LineLangId(spark, dir)
+      .createOrReplaceTempView("vw_line_langid")
+    operators.Crawl.q113RecrawlPolicy(spark, dir)
+      .createOrReplaceTempView("vw_recrawl_queue")
+    operators.Crawl.q116FullStackIntake(spark, dir)
+      .createOrReplaceTempView("vw_wire_intake")
   }
 
   /** Register the landing table + curated views over it — the TRANSFORM

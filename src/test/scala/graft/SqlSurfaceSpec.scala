@@ -45,7 +45,12 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "vw_semantic_decon" ->
         graft.operators.Similarity.q100SemanticDecon(spark, TestSpark.Sf0001),
       "vw_image_dedup" ->
-        graft.operators.Multimodal.q101ImageDedup(spark, TestSpark.Sf0001))
+        graft.operators.Multimodal.q101ImageDedup(spark, TestSpark.Sf0001),
+      "vw_line_langid" -> Text.q110LineLangId(spark, TestSpark.Sf0001),
+      "vw_recrawl_queue" ->
+        graft.operators.Crawl.q113RecrawlPolicy(spark, TestSpark.Sf0001),
+      "vw_wire_intake" ->
+        graft.operators.Crawl.q116FullStackIntake(spark, TestSpark.Sf0001))
     twins.foreach { case (view, df) =>
       val sql = canon(spark.sql(s"SELECT * FROM $view"))
       val api = canon(df)
