@@ -24,7 +24,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * job can carry; each micro-batch shuffles only its own delta on the
   * host key.
   */
-object FetchPacer {
+object FetchPacer extends Serializable {
 
   /** One frontier request: q107's allowed row shape. */
   case class FetchReq(host: String, canonical_url: String,
@@ -57,9 +57,9 @@ object FetchPacer {
 
   /** Assign fetch slots over a (possibly streaming) request Dataset.
     * Append-mode, no timeout: pacer state never expires on its own —
-    * a host's numbering is permanent for the query's lifetime (a real
-    * deployment ages hosts out with a processing-time timeout; the
-    * contract here is the continuation semantics).
+    * a host's numbering is permanent for the query's lifetime (the
+    * contract here is the continuation semantics; a real deployment
+    * ages hosts out — that variant is [[assignSlotsExpiring]]).
     */
   def assignSlots(reqs: Dataset[FetchReq]): Dataset[ScheduledFetch] = {
     implicit val stateEnc = Encoders.product[PacerState]
@@ -67,5 +67,44 @@ object FetchPacer {
     reqs.groupByKey(_.host)(Encoders.STRING)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
         paceGroup)
+  }
+
+  /** [[assignSlots]] with host AGING — the deployment variant of the
+    * trade the no-timeout contract documents: NoTimeout state grows with
+    * all-time host cardinality forever, while here each host's pacer
+    * record expires `ttl` of processing time after its last delta and is
+    * REMOVED, so state size is bounded by the hosts active within one
+    * ttl window, not by every host the crawl has ever seen.
+    *
+    * An expired host that reappears RESTARTS numbering at slot 0: after
+    * a quiet period longer than the ttl there is no recent fetch history
+    * for politeness pacing to continue against (the same reasoning that
+    * makes a crawler re-fetch robots.txt after its cache expires), so
+    * the schedule starts clean. StreamingSpec pins both halves: expiry
+    * restarts an aged host at slot 0 while a host refreshed within the
+    * ttl keeps its continuation.
+    */
+  def assignSlotsExpiring(reqs: Dataset[FetchReq],
+                          ttl: String): Dataset[ScheduledFetch] = {
+    implicit val stateEnc = Encoders.product[PacerState]
+    implicit val outEnc = Encoders.product[ScheduledFetch]
+    def pace(host: String, it: Iterator[FetchReq],
+             state: GroupState[PacerState]): Iterator[ScheduledFetch] =
+      if (state.hasTimedOut) {
+        // the aging path: no data for this host, deadline passed —
+        // drop the record (emit nothing; the restart is observable the
+        // next time the host appears)
+        state.remove()
+        Iterator.empty
+      } else {
+        val out = paceGroup(host, it, state)
+        // re-arm on every delta: the ttl measures idle time since the
+        // host's LAST activity, not since its first
+        state.setTimeoutDuration(ttl)
+        out
+      }
+    reqs.groupByKey(_.host)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.ProcessingTimeTimeout)(pace)
   }
 }

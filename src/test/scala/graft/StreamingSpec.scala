@@ -93,6 +93,76 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows("v0") === ((0, 0L)))
   }
 
+  // the expiring pacer's engine behavior rules the obvious test shape
+  // out: with ProcessingTimeTimeout armed, the micro-batch engine keeps
+  // firing empty timeout-check batches, so (a) a mid-test sleep longer
+  // than the ttl expires EVERY idle host, not just the one under test,
+  // and (b) processAllAvailable can livelock against the back-to-back
+  // empty batches (noNewData flips back before the waiter observes it).
+  // So: two queries — continuation under a ttl the test never crosses,
+  // expiry under one it always does — and row-count polling, never
+  // processAllAvailable.
+  private def awaitRows(table: String, n: Long): Unit = {
+    val deadline = System.nanoTime + 120L * 1000 * 1000 * 1000
+    while (spark.table(table).count() < n) {
+      assert(System.nanoTime < deadline, s"timed out waiting for $n rows in $table")
+      Thread.sleep(200)
+    }
+  }
+
+  test("fetch pacer aging: a host refreshed within the ttl keeps its continuation") {
+    import graft.streaming.FetchPacer
+    import graft.streaming.FetchPacer.FetchReq
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[FetchReq]
+    val q = FetchPacer.assignSlotsExpiring(mem.toDS(), "60 seconds")
+      .writeStream
+      .format("memory").queryName("pacer_ttl_live").outputMode("append").start()
+    mem.addData(FetchReq("live.example", "b0", 5L, 2),
+      FetchReq("live.example", "b1", 1L, 2))
+    awaitRows("pacer_ttl_live", 2)
+    mem.addData(FetchReq("live.example", "b2", 9L, 2))
+    awaitRows("pacer_ttl_live", 3)
+    q.stop()
+    val rows = spark.table("pacer_ttl_live")
+      .as[(String, String, Int, Int, Long)].collect()
+      .map(r => r._2 -> (r._3, r._5)).toMap
+    // identical continuation semantics to the NoTimeout pacer while the
+    // host stays inside its ttl window
+    assert(rows("b1") === ((0, 0L)))
+    assert(rows("b0") === ((1, 2L)))
+    assert(rows("b2") === ((2, 4L)))
+  }
+
+  test("fetch pacer aging: an expired host restarts numbering at slot 0") {
+    import graft.streaming.FetchPacer
+    import graft.streaming.FetchPacer.FetchReq
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[FetchReq]
+    val q = FetchPacer.assignSlotsExpiring(mem.toDS(), "500 milliseconds")
+      .writeStream
+      .format("memory").queryName("pacer_ttl_old").outputMode("append").start()
+    mem.addData(FetchReq("old.example", "a0", 1L, 2),
+      FetchReq("old.example", "a1", 2L, 2))
+    awaitRows("pacer_ttl_old", 2)
+    // idle past the ttl: the engine's timeout-check batches fire the
+    // expiry path (state removed, NOTHING emitted for the expiry itself)
+    Thread.sleep(2500)
+    mem.addData(FetchReq("old.example", "a2", 3L, 2))
+    awaitRows("pacer_ttl_old", 3)
+    q.stop()
+    val rows = spark.table("pacer_ttl_old")
+      .as[(String, String, Int, Int, Long)].collect()
+      .map(r => r._2 -> (r._3, r._5)).toMap
+    assert(rows.keySet === Set("a0", "a1", "a2"))
+    assert(rows("a0") === ((0, 0L)))
+    assert(rows("a1") === ((1, 2L)))
+    // the aged host starts clean — slot 0, not slot 2
+    assert(rows("a2") === ((0, 0L)))
+  }
+
   test("tumbling 1h window: streaming over the same events == batch q14") {
     // file source wants a directory, not a single file
     val streamDir = Files.createTempDirectory("graft_win").toString
