@@ -61,7 +61,11 @@ object Bootstrap {
       CompressOps.deflateLen(lit("a")),
       TextOps.contentFingerprint(lit("a")),
       TextOps.nfc(lit("a")),
-      graft.functions.HttpOps.dechunk(bytes)
+      graft.functions.HttpOps.dechunk(bytes),
+      graft.functions.CharsetOps.sniff(bytes),
+      graft.functions.CharsetOps.decodeAs(bytes, lit("utf-8")),
+      graft.functions.JpegPixelOps.jpegLuma(bytes),
+      graft.functions.JpegPixelOps.jpegSynth(lit(1L), lit(0x101L))
     )
   }
 

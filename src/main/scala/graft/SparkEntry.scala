@@ -138,6 +138,8 @@ object SparkEntry {
     "q114_charset_decode" -> (Crawl.q114CharsetDecode _),
     "q115_chunked_decode" -> (Crawl.q115ChunkedDecode _),
     "q116_fullstack_intake" -> (Crawl.q116FullStackIntake _),
+    "q117_charset_sniff" -> (Crawl.q117CharsetSniff _),
+    "q118_jpeg_pixels" -> (Multimodal.q118JpegPixels _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1375,6 +1377,60 @@ object SparkEntry {
         "SELECT doc_id, detected, expect AS text_out, " +
         "CAST(length(expect) AS BIGINT) AS n_chars, " +
         "md5(expect) AS text_md5 FROM x"),
+    // q117: the oracle derives detection verdicts AND expected decodes
+    // directly from residues via chr() codepoints — it never touches a
+    // byte (q82's stance) — so the Spark side must walk real
+    // windows-1252 / Shift_JIS / mis-declared payload bytes to the same
+    // md5: a sniffer that trusted the utf-8 lie, mistook 1252
+    // punctuation for SJIS pairs, or decoded with the wrong table fails
+    "q117_charset_sniff" ->
+      ("WITH s AS (SELECT doc_id, coalesce(text, '') AS text, " +
+        "regexp_replace(coalesce(text, ''), '[^\\x20-\\x7E]', '', 'g') AS at " +
+        "FROM documents), " +
+        "x AS (SELECT doc_id, text, at, " +
+        "' d' || chr(233) || 'j' || chr(224) || ' vu ' || chr(233) AS u8s, " +
+        "' ' || chr(8212) || ' ' || chr(8220) || 'quoted' || chr(8221) || " +
+        "' don' || chr(8217) || 't' AS ws, " +
+        "' ' || chr(12459) || chr(12479) || chr(12459) || chr(12490) || ' ' || " +
+        "chr(26085) || chr(26412) || chr(35486) AS js FROM s), " +
+        "y AS (SELECT doc_id, " +
+        "CASE doc_id % 7 WHEN 1 THEN 'windows-1252' WHEN 2 THEN 'shift_jis' " +
+        "WHEN 3 THEN 'windows-1252' WHEN 4 THEN 'utf-8-bom' " +
+        "WHEN 5 THEN 'shift_jis' ELSE 'utf-8' END AS detected, " +
+        "CASE doc_id % 7 WHEN 4 THEN 'bom' WHEN 5 THEN 'declared' " +
+        "ELSE 'sniffed' END AS method, " +
+        "CASE doc_id % 7 WHEN 0 THEN text || u8s WHEN 1 THEN at || ws " +
+        "WHEN 2 THEN at || js WHEN 3 THEN at || ws WHEN 4 THEN text || u8s " +
+        "WHEN 5 THEN at || js ELSE text END AS expect FROM x) " +
+        "SELECT doc_id, detected, method, expect AS text_out, " +
+        "CAST(length(expect) AS BIGINT) AS n_chars, " +
+        "md5(expect) AS text_md5 FROM y"),
+    // q118: the oracle recomputes min/max/sum luma from the per-block DC
+    // residue formula alone — it never parses a byte of JPEG — so the
+    // Spark side must carry exact values through Huffman + DC
+    // differentials + restart resets + dequant + IDCT to match; the
+    // truncated class must refuse stats while its header dims survive
+    "q118_jpeg_pixels" ->
+      ("WITH p AS (SELECT doc_id, " +
+        "CASE WHEN doc_id % 5 = 3 THEN 3 ELSE CAST(doc_id % 3 + 1 AS BIGINT) END AS bw, " +
+        "CASE WHEN doc_id % 5 = 3 THEN 2 ELSE CAST(doc_id % 2 + 1 AS BIGINT) END AS bh " +
+        "FROM documents), " +
+        "x AS (SELECT doc_id, bw, bh, " +
+        "list_transform(range(0, bw*bh), k -> ((doc_id*31 + k*17) % 251) - 125 + 128) AS pix " +
+        "FROM p) " +
+        "SELECT doc_id, " +
+        "CAST(doc_id % 5 <> 4 AS INTEGER) AS is_jpeg, " +
+        "CAST(CASE WHEN doc_id % 5 = 4 THEN NULL ELSE bw*8 END AS INTEGER) AS width, " +
+        "CAST(CASE WHEN doc_id % 5 = 4 THEN NULL ELSE bh*8 END AS INTEGER) AS height, " +
+        "CAST(CASE WHEN doc_id % 5 IN (3,4) THEN NULL " +
+        "ELSE list_aggregate(pix, 'min') END AS INTEGER) AS min_luma, " +
+        "CAST(CASE WHEN doc_id % 5 IN (3,4) THEN NULL " +
+        "ELSE list_aggregate(pix, 'max') END AS INTEGER) AS max_luma, " +
+        "CAST(CASE WHEN doc_id % 5 IN (3,4) THEN NULL " +
+        "ELSE 64 * list_aggregate(pix, 'sum') END AS BIGINT) AS sum_luma, " +
+        "CAST(CASE WHEN doc_id % 5 IN (3,4) THEN NULL " +
+        "ELSE (64 * list_aggregate(pix, 'sum') * 100) // (bw * bh * 64) " +
+        "END AS BIGINT) AS mean_luma_x100 FROM x"),
     // q115: the oracle checks round-trip CONTENT from the residues —
     // the two corruption classes must refuse with NULL, everything else
     // must de-chunk back to the exact text bytes

@@ -1,0 +1,176 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Statistical charset sniffing — q114's next rung (its BOM/header
+  * precedence covers servers that TELL the truth or lie about UTF
+  * variants; real crawls are full of legacy 8-bit payloads that declare
+  * nothing, or declare `utf-8` over windows-1252 bytes). The classifier
+  * is a deterministic byte-structure walk, cheapest-first:
+  *
+  *  1. strict UTF-8 validity scan (RFC 3629: continuation shapes,
+  *     overlongs, surrogates, the U+10FFFF ceiling) — a payload that
+  *     passes IS UTF-8 for every practical purpose (the probability of
+  *     legacy text forming valid multi-byte sequences collapses with
+  *     length);
+  *  2. Shift_JIS structural validity (lead 0x81–0x9F / 0xE0–0xEF with
+  *     trail 0x40–0xFC minus 0x7F, half-width katakana singles
+  *     0xA1–0xDF, at least one double-byte pair) — CP932's byte grammar
+  *     is restrictive enough that western 8-bit text fails it on the
+  *     first high-bit byte followed by ASCII (e.g. an em dash before a
+  *     space);
+  *  3. windows-1252 as the fallback — the statistically dominant legacy
+  *     8-bit encoding on the web (WHATWG maps bare `iso-8859-1` labels
+  *     to it for exactly that reason).
+  *
+  * Stop-don't-guess stays in force ABOVE this kernel: the sniff only
+  * runs where the BOM and a consistent declaration have already failed
+  * (q117 wires the precedence; the kernel is the statistical rung only).
+  */
+object CharsetEval {
+  /** Strict RFC 3629 UTF-8 well-formedness. Pure ASCII is valid UTF-8. */
+  def utf8Valid(b: Array[Byte]): Boolean = {
+    if (b == null) return false
+    var i = 0
+    while (i < b.length) {
+      val c = b(i) & 0xFF
+      if (c < 0x80) i += 1
+      else if (c < 0xC2) return false // bare continuation / overlong lead
+      else if (c < 0xE0) { // 2-byte
+        if (i + 1 >= b.length || (b(i + 1) & 0xC0) != 0x80) return false
+        i += 2
+      } else if (c < 0xF0) { // 3-byte
+        if (i + 2 >= b.length) return false
+        val c1 = b(i + 1) & 0xFF
+        if ((c1 & 0xC0) != 0x80 || (b(i + 2) & 0xC0) != 0x80) return false
+        if (c == 0xE0 && c1 < 0xA0) return false // overlong
+        if (c == 0xED && c1 >= 0xA0) return false // UTF-16 surrogates
+        i += 3
+      } else if (c < 0xF5) { // 4-byte
+        if (i + 3 >= b.length) return false
+        val c1 = b(i + 1) & 0xFF
+        if ((c1 & 0xC0) != 0x80 || (b(i + 2) & 0xC0) != 0x80 ||
+          (b(i + 3) & 0xC0) != 0x80) return false
+        if (c == 0xF0 && c1 < 0x90) return false // overlong
+        if (c == 0xF4 && c1 >= 0x90) return false // above U+10FFFF
+        i += 4
+      } else return false // 0xF5-0xFF never lead
+    }
+    true
+  }
+
+  /** Shift_JIS structural validity: every high-bit byte is a legal CP932
+    * sequence, and at least one double-byte pair occurs (a pure-ASCII
+    * payload is not evidence FOR Shift_JIS).
+    */
+  def sjisPlausible(b: Array[Byte]): Boolean = {
+    if (b == null) return false
+    var i = 0
+    var pairs = 0
+    while (i < b.length) {
+      val c = b(i) & 0xFF
+      if (c < 0x80) i += 1
+      else if (c >= 0xA1 && c <= 0xDF) i += 1 // half-width katakana
+      else if ((c >= 0x81 && c <= 0x9F) || (c >= 0xE0 && c <= 0xEF)) {
+        if (i + 1 >= b.length) return false
+        val t = b(i + 1) & 0xFF
+        if (t < 0x40 || t > 0xFC || t == 0x7F) return false
+        pairs += 1
+        i += 2
+      } else return false // 0x80, 0xA0, 0xF0-0xFF are not CP932 leads
+    }
+    pairs > 0
+  }
+
+  private val U8 = UTF8String.fromString("utf-8")
+  private val SJ = UTF8String.fromString("shift_jis")
+  private val W1252 = UTF8String.fromString("windows-1252")
+
+  /** The classifier: utf-8 / shift_jis / windows-1252 by the walk above. */
+  def sniff(b: Array[Byte]): UTF8String =
+    if (b == null) null
+    else if (utf8Valid(b)) U8
+    else if (sjisPlausible(b)) SJ
+    else W1252
+
+  /** Decode `b` under a sniffed/declared label, covering the legacy
+    * charsets Spark's ANSI `decode` refuses (windows-1252, shift_jis)
+    * alongside the UTF family, so one call closes the detect→decode
+    * path. Unknown labels return NULL (stop-don't-guess).
+    */
+  def decodeAs(b: Array[Byte], cs: UTF8String): UTF8String = {
+    if (b == null || cs == null) return null
+    val name = cs.toString match {
+      case "windows-1252" => "windows-1252"
+      case "shift_jis" => "Shift_JIS"
+      case "utf-8" => "UTF-8"
+      case "iso-8859-1" => "ISO-8859-1"
+      case _ => return null
+    }
+    UTF8String.fromString(new String(b, java.nio.charset.Charset.forName(name)))
+  }
+}
+
+/** `binary -> string`: statistical charset classification via
+  * [[CharsetEval.sniff]].
+  */
+case class CharsetSniff(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_sniff_charset"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CharsetEval.sniff(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharsetEval.sniff($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharsetSniff =
+    copy(child = newChild)
+}
+
+/** `(binary, string) -> string`: decode bytes under a charset label,
+  * including the legacy charsets the builtin ANSI `decode` refuses.
+  */
+case class CharsetDecode(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_decode_charset"
+
+  override protected def nullSafeEval(bytes: Any, cs: Any): Any =
+    CharsetEval.decodeAs(bytes.asInstanceOf[Array[Byte]],
+      cs.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, cs) => {
+      val res = ctx.freshName("decoded")
+      s"""
+         |org.apache.spark.unsafe.types.UTF8String $res =
+         |  graft.functions.CharsetEval.decodeAs($b, $cs);
+         |if ($res == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $res; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): CharsetDecode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column surface for the charset kernels. */
+object CharsetOps {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  def sniff(bin: Column): Column =
+    ColumnBridge.column(CharsetSniff(ColumnBridge.expression(bin.cast("binary"))))
+
+  def decodeAs(bin: Column, cs: Column): Column =
+    ColumnBridge.column(CharsetDecode(
+      ColumnBridge.expression(bin.cast("binary")),
+      ColumnBridge.expression(cs)))
+}

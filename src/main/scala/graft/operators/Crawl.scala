@@ -651,6 +651,87 @@ object Crawl {
         md5(encode(col("text_out"), "UTF-8")).as("text_md5"))
   }
 
+  // ---------------------------------------------------------------- q117
+
+  /** Q117: STATISTICAL charset sniffing — q114's next rung (undeclared
+    * legacy 8-bit payloads and `utf-8` declarations over windows-1252
+    * bytes are everyday crawl reality; q114's precedence can only refuse
+    * them). The precedence gains a statistical rung, in strict order:
+    * BOM first (it IS the bytes), then a declaration the bytes
+    * corroborate — a `utf-8` declaration whose payload FAILS the strict
+    * RFC 3629 validity scan is the classic mis-declaration and falls
+    * through — then [[graft.functions.CharsetEval.sniff]]'s
+    * deterministic byte-structure walk: UTF-8 validity → Shift_JIS
+    * structural validity → windows-1252 fallback (the WHATWG-default
+    * legacy encoding). `method` reports WHICH rung decided (report-WHY).
+    *
+    * Synthesis drives every rung from residues (%7): valid multi-byte
+    * UTF-8 undeclared; windows-1252 punctuation undeclared (its em dash
+    * before a space kills the SJIS parse); Shift_JIS kana/kanji
+    * undeclared; the `utf-8`-declared windows-1252 lie; a BOM outranking
+    * an `iso-8859-1` lie; a TRUTHFUL `shift_jis` declaration (trusted,
+    * not re-derived); pure ASCII. The legacy classes splice suffix BYTES
+    * (never a transcode round-trip) onto the ASCII projection of the
+    * text, and the oracle derives expected decodes from residues via
+    * chr() — never by decoding (q82's stance). Decoding goes through
+    * `graft_decode_charset` because ANSI Spark's builtin refuses the
+    * legacy charsets. One narrow map, zero exchanges — pinned.
+    */
+  def q117CharsetSniff(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CharsetOps
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val txt = coalesce(col("text"), lit(""))
+    // the legacy classes byte-splice onto ASCII-only text: a non-ASCII
+    // base char would round-trip through UTF-8 fine but NOT through the
+    // single-byte/SJIS decode the class asserts
+    val asciiTxt = regexp_replace(txt, "[^\\x20-\\x7E]", "")
+    def b(xs: Int*): Column = lit(xs.map(_.toByte).toArray)
+    // " — “quoted” don’t" in windows-1252 (0x97 before a space is an
+    // illegal SJIS sequence — the byte that keeps the classes disjoint)
+    val w1252Sfx = b(0x20, 0x97, 0x20, 0x93, 'q', 'u', 'o', 't', 'e', 'd',
+      0x94, 0x20, 'd', 'o', 'n', 0x92, 't')
+    // " カタカナ 日本語" in Shift_JIS double-byte pairs
+    val sjisSfx = b(0x20, 0x83, 0x4A, 0x83, 0x5E, 0x83, 0x4A, 0x83, 0x69,
+      0x20, 0x93, 0xFA, 0x96, 0x7B, 0x8C, 0xEA)
+    val u8Sfx = encode(lit(" déjà vu é"), "UTF-8")
+    val bomU8 = b(0xEF, 0xBB, 0xBF)
+    val full = encode(txt, "UTF-8")
+    val ascii = encode(asciiTxt, "UTF-8")
+    val payload = when(id % 7 === 0, concat(full, u8Sfx))
+      .when(id % 7 === 1, concat(ascii, w1252Sfx))
+      .when(id % 7 === 2, concat(ascii, sjisSfx))
+      .when(id % 7 === 3, concat(ascii, w1252Sfx))
+      .when(id % 7 === 4, concat(bomU8, full, u8Sfx))
+      .when(id % 7 === 5, concat(ascii, sjisSfx))
+      .otherwise(full)
+    val declared = when(id % 7 === 3, "utf-8") // the lie: bytes are 1252
+      .when(id % 7 === 4, "iso-8859-1") // the lie the BOM outranks
+      .when(id % 7 === 5, "shift_jis") // truthful legacy declaration
+    val framed = docs.select(id, payload.as("_p"), declared.as("_decl"))
+    val sniffed = CharsetOps.sniff(col("_p"))
+    val hasBom = substring(col("_p"), 1, 3) === bomU8
+    val detected = when(hasBom, "utf-8-bom")
+      .when(col("_decl") === "utf-8" && sniffed =!= "utf-8", sniffed)
+      .when(col("_decl").isNotNull, col("_decl"))
+      .otherwise(sniffed)
+    val method = when(hasBom, "bom")
+      .when(col("_decl").isNull ||
+        (col("_decl") === "utf-8" && sniffed =!= "utf-8"), "sniffed")
+      .otherwise(lit("declared"))
+    val decoded = when(col("detected") === "utf-8-bom",
+      decode(expr("substring(_p, 4, length(_p) - 3)"), "UTF-8"))
+      .when(col("detected") === "utf-8", decode(col("_p"), "UTF-8"))
+      .otherwise(CharsetOps.decodeAs(col("_p"), col("detected")))
+    framed
+      .withColumn("detected", detected)
+      .withColumn("method", method)
+      .withColumn("text_out", decoded)
+      .select(id, col("detected"), col("method"), col("text_out"),
+        length(col("text_out")).cast("bigint").as("n_chars"),
+        md5(encode(col("text_out"), "UTF-8")).as("text_md5"))
+  }
+
   // ---------------------------------------------------------------- q115
 
   /** Q115: chunked transfer-coding decode — the other wire framing

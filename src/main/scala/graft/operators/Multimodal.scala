@@ -1111,4 +1111,61 @@ object Multimodal {
       .distinct()
       .where(col("hamming") <= 10)
   }
+
+  // ---------------------------------------------------------------- q118
+
+  /** Q118: baseline-JPEG PIXEL decode — the compressed-codec rung that
+    * retires q57/q59's honest cap (their pixel contracts run on
+    * uncompressed BMP/Y4M; crawls ship JPEG): payloads are DC-only
+    * baseline JPEGs synthesized by `graft_jpeg_synth` (per-block flat
+    * luma tiles from the residue map [[graft.functions.JpegPixelEval
+    * .blockDc]], all tables written INTO the stream, quant all-8s so a
+    * block decodes to exactly dc+128), and `graft_jpeg_luma` walks them
+    * back through the REAL pipeline — marker chain, canonical Huffman,
+    * DC differentials, restart markers, dequant, IDCT, level shift —
+    * into q59's packed min/max/sum contract. The oracle recomputes every
+    * statistic from the residue formula alone (it never sees a byte), so
+    * an encoder/decoder bug pair cannot cancel unless both land on the
+    * same wrong pixel values through two independent table paths — and
+    * the spec's hand-built byte-vector fixtures (JpegPixelSpec) pin the
+    * decoder against streams the synthesizer never produced.
+    *
+    * Residue classes (%5): 0 → grayscale; 1 → grayscale with restart
+    * markers every 2 MCUs (a decoder ignoring RSTn mis-predicts every
+    * post-restart DC); 2 → 4:4:4 color (interleaved chroma blocks must
+    * be entropy-decoded to keep alignment, then dropped); 3 → entropy
+    * data truncated mid-stream (dims survive via `graft_jpeg_dims`,
+    * stats refuse — q59's meta/stat independence); 4 → not a JPEG.
+    * One narrow map, each kernel once per row, zero exchanges — pinned.
+    */
+  def q118JpegPixels(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.JpegPixelOps
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val bw = (id % 3 + 1).cast("long")
+    val bh = (id % 2 + 1).cast("long")
+    // shape packs bw | bh<<8 | dri<<16 | color<<24
+    val shape = when(id % 5 === 1, bw + bh * 256 + lit(2L * 65536))
+      .when(id % 5 === 2, bw + bh * 256 + lit(16777216L))
+      .when(id % 5 === 3, lit(3L + 2 * 256 + 65536)) // 3x2 blocks, dri 1
+      .otherwise(bw + bh * 256)
+    val whole = JpegPixelOps.jpegSynth(id, shape)
+    val payload = when(id % 5 === 4, col("text").cast("binary"))
+      .when(id % 5 === 3, expr("substring(_w, 1, length(_w) - 10)"))
+      .otherwise(col("_w"))
+    val staged = docs.select(id, col("text"), whole.as("_w"))
+      .select(id, payload.as("_p"))
+      .withColumn("_dims", graft.functions.ImageOps.jpegDims(col("_p")))
+      .withColumn("_jl", JpegPixelOps.jpegLuma(col("_p")))
+    staged.select(id,
+      col("_dims").isNotNull.cast("int").as("is_jpeg"),
+      shiftright(col("_dims"), 32).cast("int").as("width"),
+      col("_dims").bitwiseAND(lit(0xFFFFFFFFL)).cast("int").as("height"),
+      col("_jl").bitwiseAND(lit(0xFF)).cast("int").as("min_luma"),
+      shiftright(col("_jl"), 8).bitwiseAND(lit(0xFF)).cast("int").as("max_luma"),
+      shiftrightunsigned(col("_jl"), 16).as("sum_luma"),
+      floor(shiftrightunsigned(col("_jl"), 16) * 100 /
+        (shiftright(col("_dims"), 32) * col("_dims").bitwiseAND(lit(0xFFFFFFFFL))))
+        .as("mean_luma_x100"))
+  }
 }

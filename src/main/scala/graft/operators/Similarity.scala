@@ -247,6 +247,27 @@ object Similarity {
     // — the exact regime this policy exists to prevent
     else (math.max(32L, math.min(n / 32, Int.MaxValue.toLong)).toInt, 8, 64)
 
+  /** Bounded PQ TRAINING-set target (FAISS practice: ks centroids per
+    * subspace saturate on a few thousand training rows; k-means over
+    * more buys nothing but wall time — the per-invocation full-corpus
+    * retrain was the last >2× decade term in q73's bench). In the dense
+    * regime the corpus trains whole (the AnnRecallSpec gates are
+    * measured there — untouched); above [[AnnDenseMax]] the trainer
+    * reads a hash-stratified ~`PqTrainTarget`-row slice, so the training
+    * term is O(target) at any corpus size while encode/ADC stay linear.
+    */
+  val PqTrainTarget: Long = 4096L
+
+  /** The training slice: every ⌊n/target⌋-th vec_id residue class under
+    * murmur3 — deterministic, order-free, stratified across the id space
+    * (the same election discipline as the centroid seeds), no RNG, no
+    * driver round-trip.
+    */
+  private[graft] def pqTrainSet(vectors: DataFrame, n: Long): DataFrame =
+    if (n <= AnnDenseMax) vectors
+    else vectors.where(
+      pmod(hash(col("vec_id")), lit(math.max(1L, n / PqTrainTarget))) === 0)
+
   private def loadVectors(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
@@ -512,23 +533,31 @@ object Similarity {
     *
     * Cost shape: the contract query RETRAINS the codebook per invocation
     * (self-contained, like q36's Lloyd round) — ~10 sequential tiny-stage
-    * latencies that dominate its bench time at small SF. A deployment
-    * trains once, stores `pqEncode`'s packed frame, and amortizes the
-    * training across every query batch; the per-batch cost is then just
-    * the LUT build (m·ks dots per query) and the ADC scan.
+    * latencies that dominate its bench time at small SF. Above the dense
+    * ceiling the retrain reads only the [[pqTrainSet]] sample, so the
+    * training term is corpus-size-independent. A deployment still does
+    * better: train once, store `pqEncode`'s packed frame, and amortize
+    * the training across every query batch; the per-batch cost is then
+    * just the LUT build (m·ks dots per query) and the ADC scan.
     */
   /** Trained (subvector fan-out, checkpointed codebook) over a vector
     * frame; every public PQ entry point goes through here so the
     * checkpoint-release registry sees exactly one handle per invocation.
     */
   private def pqTrain(vectors: DataFrame, m: Int, ks: Int, rounds: Int,
-                      dim: Int): (DataFrame, DataFrame) = {
+                      dim: Int, n: Long = -1L): (DataFrame, DataFrame) = {
     // base-ks positional packing must stay inside a signed long
     require(m * (math.log(ks) / math.log(2)) <= 62, s"m=$m ks=$ks overflows the packed long")
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val size = if (n >= 0) n else vectors.count()
     val subs = pqSubvectors(vectors, m, dim / m)
+    // the Lloyd rounds read the bounded training slice; the full-corpus
+    // fan-out is only ever ENCODED against the finished codebook
+    val trainSubs =
+      if (size <= AnnDenseMax) subs
+      else pqSubvectors(pqTrainSet(vectors, size), m, dim / m)
     val ckIds = scala.collection.mutable.ArrayBuffer[Int]()
-    val codebook = pqCodebooks(subs, ks, rounds, df => {
+    val codebook = pqCodebooks(trainSubs, ks, rounds, df => {
       val c = df.localCheckpoint(true)
       ckIds ++= org.apache.spark.sql.graft.ColumnBridge.checkpointRddIds(c)
       c
@@ -549,8 +578,8 @@ object Similarity {
     * against it alone.
     */
   def pqEncode(vectors: DataFrame, m: Int = 16, ks: Int = 8,
-               rounds: Int = 2, dim: Int = 64): DataFrame = {
-    val (subs, codebook) = pqTrain(vectors, m, ks, rounds, dim)
+               rounds: Int = 2, dim: Int = 64, n: Long = -1L): DataFrame = {
+    val (subs, codebook) = pqTrain(vectors, m, ks, rounds, dim, n)
     pqEncodeWith(subs, codebook, vectors, ks)
   }
 
@@ -564,9 +593,9 @@ object Similarity {
 
   def rerankTopKPQ(pairIds: DataFrame, vectors: DataFrame, k: Int,
                    m: Int = 16, ks: Int = 8, rounds: Int = 2,
-                   oversample: Int = 16): DataFrame = {
+                   oversample: Int = 16, n: Long = -1L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (subs, codebook) = pqTrain(vectors, m, ks, rounds, 64)
+    val (subs, codebook) = pqTrain(vectors, m, ks, rounds, 64, n)
     // the stored representation: one packed long of m codes + the norm
     val enc = pqEncodeWith(subs, codebook, vectors, ks)
     // one FLAT m·ks-entry LUT per query (position = sub·ks + code): built
@@ -607,9 +636,9 @@ object Similarity {
   def annCosinePQOn(vectors: DataFrame, nbits: Int = 3, bands: Int = 8,
                     k: Int = 5, bucketCap: Int = 4096, m: Int = 16,
                     ks: Int = 8, rounds: Int = 2,
-                    oversample: Int = 16): DataFrame =
+                    oversample: Int = 16, n: Long = -1L): DataFrame =
     rerankTopKPQ(annCandidatePairs(vectors, nbits, bands, bucketCap),
-      vectors, k, m, ks, rounds, oversample)
+      vectors, k, m, ks, rounds, oversample, n)
 
   /** queries()-shaped wrapper for the PQ-ADC ANN path (rows-only check;
     * recall spec-gated in AnnRecallSpec like q26/q36/q53). Auto-scale:
@@ -618,7 +647,8 @@ object Similarity {
     */
   def q73AnnPq(spark: SparkSession, dir: String): DataFrame = {
     val v = loadVectors(spark, dir)
-    annCosinePQOn(v, bucketCap = autoBucketCap(v.count()))
+    val n = v.count()
+    annCosinePQOn(v, bucketCap = autoBucketCap(n), n = n)
   }
 
   /** Q100: SEMANTIC decontamination — the embedding-space sibling of

@@ -381,6 +381,46 @@ class CrawlSpec extends AnyFunSuite {
     assert(str(d("8\r\n2\r\nab\r\n0\r\n0\r\n\r\n")) === "2\r\nab\r\n0")
   }
 
+  test("charset sniff kernel: strict UTF-8 scan, SJIS structure, 1252 fallback") {
+    import graft.functions.CharsetEval._
+    def bs(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // strict RFC 3629: shapes, overlongs, surrogates, the ceiling
+    assert(utf8Valid("plain ascii".getBytes("UTF-8")))
+    assert(utf8Valid("café カ 😀".getBytes("UTF-8")))
+    assert(!utf8Valid(bs(0xC0, 0x80))) // overlong NUL (modified UTF-8)
+    assert(!utf8Valid(bs(0xE0, 0x80, 0x80))) // overlong 3-byte
+    assert(!utf8Valid(bs(0xED, 0xA0, 0x80))) // UTF-16 surrogate D800
+    assert(!utf8Valid(bs(0xF4, 0x90, 0x80, 0x80))) // above U+10FFFF
+    assert(!utf8Valid(bs(0x80))) // bare continuation
+    assert(!utf8Valid(bs(0xC3))) // truncated tail
+    // SJIS structure: pairs and half-width singles parse, and at least
+    // one double-byte pair is required as positive evidence
+    assert(sjisPlausible(bs('a', 0x83, 0x4A, 0x20, 0x93, 0xFA)))
+    assert(!sjisPlausible(bs(0xB1, 0xB2))) // katakana singles only: no pair
+    assert(!sjisPlausible(bs(0x97, 0x20))) // 1252 em dash before space
+    assert(!sjisPlausible(bs(0x83))) // truncated pair
+    assert(!sjisPlausible(bs(0xA0, 0x40))) // 0xA0 is not a CP932 lead
+    // the classifier walks the rungs in order
+    assert(sniff("ascii".getBytes("UTF-8")).toString === "utf-8")
+    assert(sniff("café".getBytes("UTF-8")).toString === "utf-8")
+    assert(sniff(bs('a', 0x83, 0x4A)).toString === "shift_jis")
+    assert(sniff(bs('a', 0x20, 0x97, 0x20, 'b')).toString === "windows-1252")
+    // windows-1252 punctuation that HAPPENS to parse as SJIS pairs needs
+    // the structural rule stated honestly: 0x93 'q' is a legal pair, so
+    // a quote-before-letter alone classifies SJIS — the sniffer's
+    // documented ambiguity; the em-dash-before-space byte is what keeps
+    // real 1252 prose out of it
+    assert(sniff(bs(0x93, 'q')).toString === "shift_jis")
+    // decode rung: the legacy charsets ANSI Spark refuses
+    assert(decodeAs(bs(0x93, 'q', 0x94), com("windows-1252")).toString ===
+      "“q”")
+    assert(decodeAs(bs(0x83, 0x4A), com("shift_jis")).toString === "カ")
+    assert(decodeAs(bs('a'), com("no-such-charset")) === null)
+  }
+
+  private def com(s: String): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(s)
+
   test("q112 parser reproduces q98's rule table from the raw files") {
     // the round-trip that LETS the gate consume the parser (and since
     // r13 it DOES — q98/q107 judge against parsedRobotsRules, the same

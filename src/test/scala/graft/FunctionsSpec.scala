@@ -70,8 +70,12 @@ class FunctionsSpec extends AnyFunSuite {
     // kernel query, ~1 s extra for the fingerprint pipeline, both near
     // steady-state after warming) — a kernel missing here silently
     // re-opens that cost, so pin the coverage by prettyName
+    // treeString with an explicit field budget: the default 25-field
+    // print elides the tail of the projection ("... N more fields") and
+    // would hide exactly the newest kernels this pin exists to catch
     val plan = graft.Bootstrap.warmFrame(spark).queryExecution
-      .analyzed.toString
+      .analyzed.treeString(verbose = false, addSuffix = false,
+        maxFields = 200, printOperatorId = false)
     val kernels = Seq(
       "graft_jpeg_dims", "graft_mp4_dims", "graft_bmp_luma",
       "graft_bmp_resize", "graft_wav_fmt", "graft_wav_pcm_stats",
@@ -80,7 +84,8 @@ class FunctionsSpec extends AnyFunSuite {
       "graft_warc_header_1", "graft_warc_payload",
       "graft_lsh_bits", "graft_dot", "graft_dot_i8", "graft_pq_adc",
       "graft_bpe_tokens", "graft_deflate_len", "graft_nfc",
-      "graft_dechunk")
+      "graft_dechunk", "graft_sniff_charset", "graft_decode_charset",
+      "graft_jpeg_luma", "graft_jpeg_synth")
     kernels.foreach(k =>
       assert(plan.contains(k), s"warm plan does not touch $k"))
     // and it runs: one local 1-row collect, no exceptions

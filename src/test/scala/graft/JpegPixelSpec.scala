@@ -1,0 +1,111 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.JpegPixelEval
+
+/** The baseline-JPEG pixel kernel, gated the q59 way but with HAND-BUILT
+  * byte vectors: the synthesizer and decoder live in the same file, so a
+  * shared misunderstanding of T.81 could cancel in q118's round-trip —
+  * these fixtures are spelled from the spec by hand (marker by marker,
+  * bit by bit) and pin the decoder against streams the synthesizer never
+  * produced.
+  */
+class JpegPixelSpec extends AnyFunSuite {
+
+  private def bs(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+
+  // shared prologue pieces (spelled out, not generated)
+  private val dqt8 = bs(0xFF, 0xDB, 0x00, 0x43, 0x00) ++
+    Array.fill(64)(8.toByte)
+  // DHT: Annex K luminance DC spec + a minimal 1-code AC table (EOB='0')
+  private val dht = bs(0xFF, 0xC4, 0x00, 0x31,
+    0x00, // DC table 0
+    0x00, 0x01, 0x05, 0x01, 0x01, 0x01, 0x01, 0x01, 0x01, 0x00, 0x00,
+    0x00, 0x00, 0x00, 0x00, 0x00,
+    0x00, 0x01, 0x02, 0x03, 0x04, 0x05, 0x06, 0x07, 0x08, 0x09, 0x0A, 0x0B,
+    0x10, // AC table 0
+    0x01, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00,
+    0x00, 0x00, 0x00, 0x00, 0x00,
+    0x00)
+  private def sof0(w: Int, h: Int) = bs(0xFF, 0xC0, 0x00, 0x0B, 0x08,
+    h >> 8, h & 0xFF, w >> 8, w & 0xFF, 0x01, 0x01, 0x11, 0x00)
+  private val sosGray = bs(0xFF, 0xDA, 0x00, 0x08, 0x01, 0x01, 0x00,
+    0x00, 0x3F, 0x00)
+
+  private def packed(min: Int, max: Int, sum: Long): Long =
+    min.toLong | (max.toLong << 8) | (sum << 16)
+
+  test("hand-built 8x8 DC-only stream decodes to the exact flat block") {
+    // DC diff +5: category 3 -> DC code '100', amplitude '101', EOB '0'
+    // = 1001010, padded with one 1-bit to 0x95. All-8 quant: pixel 133.
+    val jpeg = bs(0xFF, 0xD8) ++ dqt8 ++ sof0(8, 8) ++ dht ++ sosGray ++
+      bs(0x95, 0xFF, 0xD9)
+    assert(JpegPixelEval.lumaStats(jpeg) === packed(133, 133, 64L * 133))
+  }
+
+  test("hand-built restart-marker stream resets the DC predictor") {
+    // 16x8, DRI=1. MCU0 diff -3: cat 2 '011' + amp '00' + EOB '0'
+    // = 011000, padded to 0x63. RST0. MCU1: predictor RESET, diff +7:
+    // cat 3 '100' + amp '111' + EOB '0' = 1001110, padded to 0x9D.
+    // Pixels: block0 = 125, block1 = 135 — a decoder that carries the
+    // predictor across the restart lands on 132 and fails the max.
+    val jpeg = bs(0xFF, 0xD8) ++ dqt8 ++ sof0(16, 8) ++
+      bs(0xFF, 0xDD, 0x00, 0x04, 0x00, 0x01) ++ dht ++ sosGray ++
+      bs(0x63, 0xFF, 0xD0, 0x9D, 0xFF, 0xD9)
+    assert(JpegPixelEval.lumaStats(jpeg) ===
+      packed(125, 135, 64L * (125 + 135)))
+  }
+
+  test("refusals: truncation, progressive, wrong restart index, non-JPEG") {
+    val NoStats = java.lang.Long.MIN_VALUE
+    val base = bs(0xFF, 0xD8) ++ dqt8 ++ sof0(8, 8) ++ dht ++ sosGray ++
+      bs(0x95, 0xFF, 0xD9)
+    // entropy data cut mid-stream
+    assert(JpegPixelEval.lumaStats(base.dropRight(3)) === NoStats)
+    // SOF2 progressive is out of stated scope
+    val prog = base.clone()
+    prog(dqt8.length + 3) = 0xC2.toByte // the SOF marker byte
+    assert(JpegPixelEval.lumaStats(prog) === NoStats)
+    // restart marker with the WRONG modulo index (RST3 where RST0 is due)
+    val badRst = bs(0xFF, 0xD8) ++ dqt8 ++ sof0(16, 8) ++
+      bs(0xFF, 0xDD, 0x00, 0x04, 0x00, 0x01) ++ dht ++ sosGray ++
+      bs(0x63, 0xFF, 0xD3, 0x9D, 0xFF, 0xD9)
+    assert(JpegPixelEval.lumaStats(badRst) === NoStats)
+    // not a JPEG at all
+    assert(JpegPixelEval.lumaStats("plain text".getBytes("UTF-8")) === NoStats)
+    assert(JpegPixelEval.lumaStats(null) === NoStats)
+  }
+
+  test("synth -> decode round-trips the residue formula across shapes") {
+    // the q118 property: for every (seed, blocks, dri, color) the decoded
+    // stats equal the FORMULA's prediction (computed here from blockDc,
+    // never from bytes)
+    for {
+      seed <- 0L to 24L
+      (bw, bh) <- Seq((1, 1), (3, 2), (2, 1))
+      (dri, color) <- Seq((0, false), (2, false), (0, true), (1, true))
+    } {
+      val jpeg = JpegPixelEval.synth(seed, bw, bh, dri, color)
+      val pix = (0 until bw * bh).map(k => JpegPixelEval.blockDc(seed, k) + 128)
+      val want = packed(pix.min, pix.max, 64L * pix.sum)
+      val got = JpegPixelEval.lumaStats(jpeg)
+      assert(got === want,
+        s"seed=$seed bw=$bw bh=$bh dri=$dri color=$color: got $got want $want")
+    }
+  }
+
+  test("synthesized streams carry parseable SOF dims and survive byte stuffing") {
+    // a DC amplitude pattern that forces an 0xFF entropy byte must be
+    // stuffed (FF 00) or the decoder would read a phantom marker; scan
+    // many seeds so at least some streams hit the case, and every one
+    // must still round-trip (covered above) and parse dims here
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    val df = spark.range(0, 200).select(
+      graft.functions.ImageOps.jpegDims(
+        graft.functions.JpegPixelOps.jpegSynth(col("id"),
+          lit(3L + 2 * 256))).as("d"))
+    assert(df.where(col("d").isNull).count() === 0)
+    assert(df.where(shiftright(col("d"), 32) =!= 24).count() === 0)
+  }
+}

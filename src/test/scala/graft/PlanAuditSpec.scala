@@ -769,6 +769,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles(df) === 0, s"expected 0 shuffles:\n${plan(df)}")
   }
 
+  test("q117 charset sniff is a pure map — zero exchanges") {
+    val df = graft.operators.Crawl.q117CharsetSniff(spark, TestSpark.Sf0001)
+    assert(shuffles(df) === 0, s"expected 0 shuffles:\n${plan(df)}")
+  }
+
+  test("q118 jpeg pixels: zero exchanges, decode walks once per row") {
+    val df = graft.operators.Multimodal.q118JpegPixels(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    assert(shuffles(df) === 0, s"expected 0 shuffles:\n$p")
+    // the packed stats feed 4 output columns and the packed dims 4 — the
+    // pre-projections must survive CollapseProject or the Huffman+IDCT
+    // walk runs per referencing column
+    for (k <- Seq("graft_jpeg_luma(", "graft_jpeg_synth(", "graft_jpeg_dims(")) {
+      val n = java.util.regex.Pattern.quote(k).r.findAllIn(p).length
+      assert(n === 1, s"expected 1 $k in the plan, found $n:\n$p")
+    }
+  }
+
   test("q113 recrawl policy is a pure map — zero exchanges") {
     val df = graft.operators.Crawl.q113RecrawlPolicy(spark, TestSpark.Sf0001)
     assert(shuffles(df) === 0, s"expected 0 shuffles:\n${plan(df)}")
