@@ -323,6 +323,35 @@ object Similarity {
     (1 to kmeansRounds)
       .foldLeft(seedCentroids(vectors, nCells))((c, _) => kmeansRound(vectors, c))
 
+  /** Collect a trained centroid frame into the kernel-side table the
+    * `graft_top_cells` meet scans (see [[graft.functions.CellKernel]]'s
+    * scaladoc for why the meet is a kernel and not a crossJoin+window:
+    * the r12 100× run measured the n·nCells row materialization at 490 s
+    * for q36). The collect is dim-sized BY THE SAME PREMISE that let the
+    * replaced plan `broadcast(centroids)` — a centroid table too big to
+    * collect was already too big to broadcast.
+    */
+  private def centroidTable(centroids: DataFrame): graft.functions.CentroidTable = {
+    val rows = centroids.select(col("cell_id"), col("cv")).collect()
+    new graft.functions.CentroidTable(
+      rows.map(_.getLong(0)),
+      rows.map(_.getSeq[Double](1).toArray))
+  }
+
+  /** The per-vector top-`nProbe` centroid meet as (vec_id, rn, cell_id,
+    * csim) rows — `rn` 1-based in (csim desc, cell_id asc) order, the
+    * exact sort key of the window this replaces.
+    */
+  private def probedCells(vectors: DataFrame,
+                          table: graft.functions.CentroidTable,
+                          nProbe: Int): DataFrame =
+    vectors
+      .select(col("vec_id"),
+        posexplode(graft.functions.CellOps.topCells(col("v"), table, nProbe))
+          .as(Seq("_r0", "pc")))
+      .select(col("vec_id"), (col("_r0") + 1).cast("int").as("rn"),
+        col("pc.cell_id").as("cell_id"), col("pc.csim").as("csim"))
+
   /** Each vector's HOME cell (its nearest trained centroid) plus the
     * centroid similarity, cellCap-bounded exactly as the IVF path bounds
     * it — the clustering primitive SemDeDup (Dedup.semDedupOn) prunes
@@ -331,16 +360,10 @@ object Similarity {
   private[graft] def homeCells(vectors: DataFrame, nCells: Int,
                                cellCap: Int, kmeansRounds: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val centroids = trainedCentroids(vectors, nCells, kmeansRounds)
-    val wCell = Window.partitionBy("vec_id")
-      .orderBy(col("csim").desc, col("cell_id").asc)
+    val table = centroidTable(trainedCentroids(vectors, nCells, kmeansRounds))
     val wCap = Window.partitionBy("cell_id")
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-    vectors.crossJoin(broadcast(centroids))
-      .withColumn("csim", cosine(col("v"), col("cv")))
-      .select(col("vec_id"), col("cell_id"), col("csim"))
-      .withColumn("rn", row_number().over(wCell))
-      .filter(col("rn") === 1)
+    probedCells(vectors, table, nProbe = 1)
       .withColumn("rc", row_number().over(wCap))
       .filter(col("rc") <= cellCap)
       .select("vec_id", "cell_id", "csim")
@@ -349,19 +372,16 @@ object Similarity {
   def ivfCandidatePairs(vectors: DataFrame, nCells: Int, nProbe: Int,
                         cellCap: Int, kmeansRounds: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val centroids = trainedCentroids(vectors, nCells, kmeansRounds)
-    // rank every (vector, cell) by centroid similarity — rn=1 is the
-    // vector's home cell, rn<=nProbe are the cells its queries probe.
+    // the top-nProbe centroid meet runs INSIDE graft_top_cells — rn=1 is
+    // the vector's home cell, rn<=nProbe the cells its queries probe; the
+    // kernel emits only those rows (n·nProbe), never the n·nCells
+    // crossJoin the r12 100× run measured at 490 s for q36.
     // NOTE on defaults: probing 20 of 32 cells is tuned for the corpus's
     // near-random vectors, where recall 0.8 forces dense coverage (same
     // caveat as the LSH path); real clustered embeddings want
     // nProbe << nCells for the candidate set to stay sub-quadratic.
-    val wCell = Window.partitionBy("vec_id")
-      .orderBy(col("csim").desc, col("cell_id").asc)
-    val ranked = vectors.crossJoin(broadcast(centroids))
-      .withColumn("csim", cosine(col("v"), col("cv")))
-      .select(col("vec_id"), col("cell_id"), col("csim"))
-      .withColumn("rn", row_number().over(wCell))
+    val table = centroidTable(trainedCentroids(vectors, nCells, kmeansRounds))
+    val ranked = probedCells(vectors, table, nProbe)
     // cellCap bounds a hot Voronoi cell (dense region on clustered data)
     // exactly like the LSH bucketCap — deterministic keep of the
     // lowest-hashed members
@@ -383,11 +403,56 @@ object Similarity {
       .repartition(col("vec_id"))
   }
 
-  /** q36's pipeline over an arbitrary (vec_id, v: Array[Double]) frame. */
+  /** q36's pipeline over an arbitrary (vec_id, v: Array[Double]) frame —
+    * scored CELL-LOCALLY, the way an inverted index is actually visited
+    * (FAISS probes lists in place; it never materializes query×candidate
+    * vector pairs). The generic `rerankTopK(ivfCandidatePairs(...))`
+    * spelling is pair-volume×vector-width through the join exchanges:
+    * at the 100× corpus (200k vectors, density-scaled cells) that is
+    * ~100M pairs × 512-byte vectors ≈ 50 GB of shuffle, measured at
+    * ~450 s. Here the capped members co-locate by cell ONCE (corpus-
+    * sized, vector-width), queries meet them at the cell key
+    * (query-volume × nProbe, vector-width), the member explode and the
+    * cosines stay inside the stage, and only (query, cand, sim) triples
+    * — pair-volume but 24 bytes — move to the per-query top-k. Same
+    * pairs (the identical md5 cellCap keep), same sims (the identical
+    * dot/(norm·norm) spelling), same tie order as rerankTopK — pinned
+    * by the unchanged AnnRecallSpec/AnnScaleSpec gates.
+    */
   def ivfCosineOn(vectors: DataFrame, nCells: Int, nProbe: Int, k: Int,
-                  cellCap: Int, kmeansRounds: Int = 1): DataFrame =
-    rerankTopK(ivfCandidatePairs(vectors, nCells, nProbe, cellCap, kmeansRounds),
-      vectors, k)
+                  cellCap: Int, kmeansRounds: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val table = centroidTable(trainedCentroids(vectors, nCells, kmeansRounds))
+    val probed = probedCells(vectors, table, nProbe)
+      .select(col("vec_id"), col("cell_id"))
+    val wCap = Window.partitionBy("cell_id")
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    val homeCapped = probedCells(vectors, table, nProbe = 1)
+      .withColumn("rc", row_number().over(wCap))
+      .filter(col("rc") <= cellCap)
+      .select(col("vec_id").as("cand_id"), col("cell_id"))
+    val en = vectors.withColumn("nrm", norm(col("v")))
+    val cells = homeCapped
+      .join(en.select(col("vec_id").as("cand_id"), col("v").as("cv"),
+        col("nrm").as("cnrm")), "cand_id")
+      .groupBy("cell_id")
+      .agg(collect_list(struct(col("cand_id"), col("cv"), col("cnrm")))
+        .as("members"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("cand_id").asc)
+    probed
+      .join(en, "vec_id")
+      .join(cells, "cell_id")
+      .select(col("vec_id"), col("v"), col("nrm"),
+        explode(col("members")).as("m"))
+      .select(col("vec_id"), col("m.cand_id").as("cand_id"),
+        (dot(col("v"), col("m.cv")) / (col("nrm") * col("m.cnrm"))).as("sim"))
+      .filter(col("vec_id") =!= col("cand_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("vec_id"), col("cand_id"), round(col("sim"), 6).as("sim"),
+        col("rn"))
+  }
 
   /** Deterministic hash-stratified centroid seed: the id space is split
     * into `nCells` hash strata and each stratum elects its lowest-md5
@@ -416,14 +481,11 @@ object Similarity {
     * every seed starts with its own member, so it is rare).
     */
   private def kmeansRound(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wNearest = Window.partitionBy("vec_id")
-      .orderBy(col("csim").desc, col("cell_id").asc)
-    val assigned = vectors.crossJoin(broadcast(centroids))
-      .withColumn("csim", cosine(col("v"), col("cv")))
-      .withColumn("rn", row_number().over(wNearest))
-      .filter(col("rn") === 1)
-      .select(col("cell_id"), col("v"))
+    val table = centroidTable(centroids)
+    val assigned = vectors
+      .select(col("v"),
+        explode(graft.functions.CellOps.topCells(col("v"), table, 1)).as("pc"))
+      .select(col("pc.cell_id").as("cell_id"), col("v"))
     assigned
       .select(col("cell_id"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy("cell_id", "pos").agg(avg(col("x")).as("m"))
