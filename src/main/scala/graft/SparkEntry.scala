@@ -140,6 +140,8 @@ object SparkEntry {
     "q116_fullstack_intake" -> (Crawl.q116FullStackIntake _),
     "q117_charset_sniff" -> (Crawl.q117CharsetSniff _),
     "q118_jpeg_pixels" -> (Multimodal.q118JpegPixels _),
+    "q119_funnel" -> (Relational.q119Funnel _),
+    "q120_cohorts" -> (Relational.q120Cohorts _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1431,6 +1433,47 @@ object SparkEntry {
         "CAST(CASE WHEN doc_id % 5 IN (3,4) THEN NULL " +
         "ELSE (64 * list_aggregate(pix, 'sum') * 100) // (bw * bh * 64) " +
         "END AS BIGINT) AS mean_luma_x100 FROM x"),
+    // q119: the oracle spells the funnel as explicit per-step joins
+    // (min view; min click strictly after it; min purchase strictly
+    // after that) — a structurally different formulation from the Spark
+    // side's chained running windows, so a frame, qualification, or
+    // ordering slip in the window spelling cannot cancel
+    "q119_funnel" ->
+      ("WITH e AS (SELECT user_id, event_type, ts FROM events " +
+        "WHERE event_type IN ('view', 'click', 'purchase')), " +
+        "v AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1), " +
+        "c AS (SELECT e.user_id, min(ts) AS t2 FROM e JOIN v USING (user_id) " +
+        "WHERE event_type = 'click' AND ts > t1 GROUP BY 1), " +
+        "p AS (SELECT e.user_id, min(ts) AS t3 FROM e JOIN c USING (user_id) " +
+        "WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1), " +
+        "u AS (SELECT DISTINCT user_id FROM e) " +
+        "SELECT u.user_id, " +
+        "CAST(date_trunc('second', t1) AS TIMESTAMP) AS first_view, " +
+        "CAST(date_trunc('second', t2) AS TIMESTAMP) AS first_click, " +
+        "CAST(date_trunc('second', t3) AS TIMESTAMP) AS first_purchase, " +
+        "CAST((t1 IS NOT NULL)::INTEGER + (t2 IS NOT NULL)::INTEGER + " +
+        "(t3 IS NOT NULL)::INTEGER AS INTEGER) AS reached " +
+        "FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id) " +
+        "LEFT JOIN p USING (user_id)"),
+    // q120: weekly cohort retention anchored at the corpus epoch; the
+    // oracle goes through an explicit DISTINCT (user, week) table where
+    // the Spark side collect_sets per user — different dedup mechanics,
+    // same matrix
+    "q120_cohorts" ->
+      ("WITH e AS (SELECT user_id, " +
+        "CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS INTEGER) AS wk " +
+        "FROM events), " +
+        "uw AS (SELECT DISTINCT user_id, wk FROM e), " +
+        "ch AS (SELECT user_id, min(wk) AS cohort_week FROM uw GROUP BY 1), " +
+        "cs AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size " +
+        "FROM ch GROUP BY 1), " +
+        "act AS (SELECT ch.cohort_week, uw.wk - ch.cohort_week AS week_offset, " +
+        "CAST(count(*) AS BIGINT) AS n_active " +
+        "FROM uw JOIN ch USING (user_id) GROUP BY 1, 2) " +
+        "SELECT CAST(cohort_week AS INTEGER) AS cohort_week, " +
+        "CAST(week_offset AS INTEGER) AS week_offset, n_active, cohort_size, " +
+        "CAST(n_active * 100 // cohort_size AS BIGINT) AS retention_x100 " +
+        "FROM act JOIN cs USING (cohort_week)"),
     // q115: the oracle checks round-trip CONTENT from the residues —
     // the two corruption classes must refuse with NULL, everything else
     // must de-chunk back to the exact text bytes

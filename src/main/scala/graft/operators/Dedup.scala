@@ -363,17 +363,31 @@ object Dedup {
                            nbits: Int = 2, bands: Int = 24,
                            bucketCap: Int = 4096): DataFrame = {
     import graft.functions.VectorOps._
+    // pairs are generated and scored INSIDE the (band, bucket) group —
+    // the q36 cell-local discipline applied to LSH buckets (r13: the
+    // candidate-join + full-vector rerank spelling shipped pair-volume ×
+    // 512-byte vectors through the join exchanges and measured ~400 s at
+    // the 100× corpus under autoLshBits; here each member's vector
+    // enters its buckets once — n·bands rows — the i<j pair fan-out and
+    // the cosines stay inside the stage, and only the SURVIVING dup-pair
+    // ids move on to the cross-band dedup, which is dup-volume, not
+    // candidate-volume). Same co-bucket pairs, same cap truncation, same
+    // dot/(norm·norm) doubles as the join spelling — the dense-regime
+    // q44 oracle rows are unchanged.
     val en = vectors.withColumn("nrm", norm(col("v")))
-    val pairs = Similarity.annCandidatePairs(vectors, nbits, bands, bucketCap)
-      // candidates come out directed (both orders present — band collision
-      // is symmetric); keep one canonical orientation before the re-rank
-      // so each pair pays its dot product once
-      .filter(col("vec_id") < col("cand_id"))
+    val grouped = Similarity
+      .bandAssignments(vectors, "v", nbits, bands, bucketCap)
       .join(en, "vec_id")
-      .join(en.select(col("vec_id").as("cand_id"), col("v").as("cv"),
-        col("nrm").as("cnrm")), "cand_id")
-      .filter(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")) >= threshold)
-      .select(col("vec_id").as("doc_a"), col("cand_id").as("doc_b"))
+      .groupBy("band", "bucket")
+      .agg(collect_list(struct(col("vec_id"), col("v"), col("nrm"))).as("ms"))
+    val pairs = grouped
+      .select(col("ms"), posexplode(col("ms")).as(Seq("_i", "a")))
+      .select(col("a"), explode(expr("slice(ms, _i + 2, size(ms))")).as("b"))
+      .filter(dot(col("a.v"), col("b.v")) /
+        (col("a.nrm") * col("b.nrm")) >= threshold)
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("doc_a"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("doc_b"))
+      .distinct()
     connectedComponents(pairs)
       .select(col("doc_id").as("vec_id"), col("cluster"))
   }
@@ -392,8 +406,10 @@ object Dedup {
     val v = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"),
         graft.functions.VectorOps.toDoubleArray(col("embedding")).as("v"))
+    val n = v.count()
     embedNearDupClusters(v, threshold = 0.34,
-      bucketCap = Similarity.autoBucketCap(v.count()))
+      nbits = Similarity.autoLshBits(n, 2),
+      bucketCap = Similarity.autoBucketCap(n))
   }
 
   /** 32-bit word hash from the md5 hex prefix — portable across engines. */

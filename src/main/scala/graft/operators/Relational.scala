@@ -201,6 +201,89 @@ object Relational {
         date_trunc("second", col("session_window.start")).as("session_start"),
         col("cnt"))
 
+  /** Q119: ordered FUNNEL — the classic product-analytics judgment the
+    * event family lacked (q38 sessions, q49 attributes a single step;
+    * nothing measured a multi-step SEQUENCE): per user, the strict
+    * view → click → purchase progression, each step's first completion
+    * only counting events AFTER the previous step's first completion
+    * (a click before any view is not funnel progress).
+    *
+    * Scale shape — ONE shuffle for the whole funnel: partition by user,
+    * one time-ordered sort, then the steps are CHAINED RUNNING WINDOWS
+    * (first qualifying view so far → first qualifying click so far —
+    * a click qualifies iff a view already ran — → first qualifying
+    * purchase so far), all on the same (user, ts) sort, so Spark plans
+    * them in one Window stage with no re-exchange; the closing per-user
+    * aggregate rides the same partitioning (partial-agg, zero extra
+    * exchanges). The equivalent "join step k to step k-1" spelling pays
+    * a shuffle per funnel step — this pays one at any depth.
+    *
+    * `reached` is the deepest step (0 = user emitted relevant events
+    * but never a view; the funnel's report-WHY denominator). Timestamps
+    * truncate to seconds (the q38/q49 precision discipline).
+    */
+  def q119Funnel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    val ev = Tables.load(spark, dir, "events")
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val staged = ev
+      .withColumn("_fv", min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("_qc", min(when(col("event_type") === "click" &&
+        col("_fv").isNotNull && col("ts") > col("_fv"), col("ts"))).over(w))
+      .withColumn("_qp", when(col("event_type") === "purchase" &&
+        col("_qc").isNotNull && col("ts") > col("_qc"), col("ts")))
+    staged.groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("_t1"),
+        min(col("_qc")).as("_t2"),
+        min(col("_qp")).as("_t3"))
+      .select(col("user_id"),
+        date_trunc("second", col("_t1")).as("first_view"),
+        date_trunc("second", col("_t2")).as("first_click"),
+        date_trunc("second", col("_t3")).as("first_purchase"),
+        (col("_t1").isNotNull.cast("int") + col("_t2").isNotNull.cast("int") +
+          col("_t3").isNotNull.cast("int")).as("reached"))
+  }
+
+  /** Q120: weekly COHORT RETENTION — the longitudinal read every growth
+    * dashboard runs and the event family lacked: users grouped by the
+    * week they first appeared, each cohort's activity traced across
+    * subsequent weeks. Week 0 anchors at the corpus epoch (2024-01-01)
+    * so cohort keys are stable integers across engines.
+    *
+    * Scale shape — the corpus is scanned ONCE: a user-keyed aggregation
+    * collapses each user to (cohort week, distinct active weeks) —
+    * collect_set is bounded by the corpus duration in weeks, not by
+    * event volume — then the exploded (cohort, offset) matrix
+    * aggregates on dim-sized cohort keys. Cohort sizes are NOT a second
+    * pass: every user is active at offset 0 by construction (their
+    * cohort week IS an active week), so `cohort_size` is the matrix's
+    * own offset-0 diagonal, read back with a dim-sized window — a
+    * self-join or separate sizes aggregate would re-derive the user
+    * aggregation and scan the corpus twice.
+    */
+  def q120Cohorts(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wk = floor(datediff(to_date(col("ts")), lit("2024-01-01")) / 7)
+      .cast("int")
+    val matrix = Tables.load(spark, dir, "events")
+      .select(col("user_id"), wk.as("wk"))
+      .groupBy("user_id")
+      .agg(min(col("wk")).as("cohort_week"), collect_set(col("wk")).as("_wks"))
+      .select(col("cohort_week"), explode(col("_wks")).as("_wk"))
+      .groupBy(col("cohort_week"), (col("_wk") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val wC = Window.partitionBy("cohort_week")
+    matrix
+      .withColumn("cohort_size",
+        max(when(col("week_offset") === 0, col("n_active"))).over(wC))
+      .select(col("cohort_week"), col("week_offset").cast("int").as("week_offset"),
+        col("n_active"), col("cohort_size"),
+        floor(col("n_active") * 100 / col("cohort_size")).as("retention_x100"))
+  }
+
   /** Q49: backward as-of join — for every purchase, the most recent view
     * by the same user at or before it (attribution's "last touch"). The
     * scalable formulation is NOT a join at all: one running-max window

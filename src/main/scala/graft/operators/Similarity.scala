@@ -234,6 +234,27 @@ object Similarity {
     */
   def autoBucketCap(n: Long): Int = if (n <= AnnDenseMax) 4096 else 256
 
+  /** LSH signature WIDTH by corpus size — the r13 100× probe measured
+    * the failure fixed widths hit: a 2–3-bit band bucket holds n/2^w
+    * members (50k at 200k vectors), so a binding cap keeps an arbitrary
+    * ~0.5% slice of each bucket and even true near-DUPLICATE pairs stop
+    * colliding in any kept slice — capped-LSH recall collapsed to 0.000
+    * not from hashing but from bucket GRANULARITY. Bucket count must
+    * track n: width ⌈log2(n/64)⌉ holds expected occupancy at ~64 at any
+    * corpus size, so the cap binds only on genuinely hot buckets.
+    * Near-dup pairs sit at tiny angles — per-band collision (1−θ/π)^w
+    * stays high at any practical width and the multi-band OR keeps
+    * near-dup recall (the q44/q40 contract class). Mid-similarity TOP-K
+    * retrieval on near-random structure is NOT rescued by any width —
+    * that regime belongs to the IVF family (measured at 100×: IVF
+    * 0.832; the capped-LSH top-k rows are recorded as the no-free-lunch
+    * they are, BENCH_NOTES r13).
+    */
+  def autoLshBits(n: Long, denseBits: Int): Int =
+    if (n <= AnnDenseMax) denseBits
+    else math.max(denseBits,
+      math.ceil(math.log(n / 64.0) / math.log(2.0)).toInt)
+
   /** IVF (nCells, nProbe, cellCap) by corpus size: the dense recall-tuned
     * triple in the dense regime; density-scaled cells (~32 expected
     * members each), fixed 8 probes, binding cellCap 64 above it —
@@ -278,7 +299,9 @@ object Similarity {
     */
   def q53AnnQuantized(spark: SparkSession, dir: String): DataFrame = {
     val v = loadVectors(spark, dir)
-    annCosineQuantizedOn(v, bucketCap = autoBucketCap(v.count()))
+    val n = v.count()
+    annCosineQuantizedOn(v, nbits = autoLshBits(n, 3),
+      bucketCap = autoBucketCap(n))
   }
 
   /** queries()-shaped wrapper for the ANN path (rows-only check — results
@@ -287,8 +310,9 @@ object Similarity {
     */
   def q26AnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val v = loadVectors(spark, dir)
-    annCosineOn(v, nbits = 3, bands = 8, k = 5,
-      bucketCap = autoBucketCap(v.count()))
+    val n = v.count()
+    annCosineOn(v, nbits = autoLshBits(n, 3), bands = 8, k = 5,
+      bucketCap = autoBucketCap(n))
   }
 
   /** IVF-style ANN: vectors are assigned to Voronoi cells around seed
@@ -710,7 +734,8 @@ object Similarity {
   def q73AnnPq(spark: SparkSession, dir: String): DataFrame = {
     val v = loadVectors(spark, dir)
     val n = v.count()
-    annCosinePQOn(v, bucketCap = autoBucketCap(n), n = n)
+    annCosinePQOn(v, nbits = autoLshBits(n, 3), bucketCap = autoBucketCap(n),
+      n = n)
   }
 
   /** Q100: SEMANTIC decontamination — the embedding-space sibling of

@@ -37,6 +37,110 @@ class AnnScaleSpec extends AnyFunSuite {
   private val nBig = 20000
   private val cap = 256 // ~bucket occupancy at nBase, so it binds at nBig
 
+  test("100x recall retention: LSH, IVF, and sample-trained PQ under auto-config", Slow) {
+    // r13 (r12 verdict task #4): the auto-config policy is proven at the
+    // first decade by the gates below; this probe measures the SECOND
+    // decade (SynthScale 100x — 200k jittered-replica embeddings, cluster
+    // structure preserved) for the trio the policy governs. Env-gated:
+    // the 100x corpus walk is minutes-scale and belongs to the on-demand
+    // scale runs (BENCH_NOTES records the measured values), not to every
+    // suite invocation.
+    assume(sys.env.contains("GRAFT_SCALE100"),
+      "set GRAFT_SCALE100=1 to run the 100x recall probe")
+    import graft.functions.VectorOps._
+    import org.apache.spark.sql.expressions.Window
+    val k = 5
+    val big = graft.tools.SynthScale
+      .scaledEmbeddings(spark, "/root/testdata/sf0.1", 100)
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      .localCheckpoint()
+    val n = big.count()
+    val stride = 2000000L
+    val qmod = 311 // ~640 queries spread across replicas
+    val queries = big.filter(pmod(col("vec_id"), lit(qmod)) === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val nq = queries.count()
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("cand_id").asc)
+    val brute = queries
+      .crossJoin(big.select(col("vec_id").as("cand_id"), col("v").as("cv")))
+      .filter(pmod(col("q_id"), lit(stride)) =!= pmod(col("cand_id"), lit(stride)))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("q_id").as("vec_id"), col("cand_id"))
+      .localCheckpoint()
+    def recallOf(ann: DataFrame): Double = {
+      val wa = Window.partitionBy("vec_id")
+        .orderBy(col("sim").desc, col("cand_id").asc)
+      val approx = ann
+        .filter(pmod(col("vec_id"), lit(qmod)) === 0)
+        .filter(pmod(col("vec_id"), lit(stride)) =!= pmod(col("cand_id"), lit(stride)))
+        .withColumn("rn", row_number().over(wa)).filter(col("rn") <= k)
+        .select("vec_id", "cand_id")
+      brute.intersect(approx).count().toDouble / (k * nq)
+    }
+    // exactly the auto-config entry-point parameters at this n. The ANN
+    // k must clear the REPLICA FAMILY first: at 100x every query has 99
+    // jitter-twins at cosine ~0.999 that the family exclusion removes,
+    // so top-(4k) would be all family and judge recall 0 vacuously —
+    // oversample past the family (100) plus the judged top-k
+    val annK = 100 + 4 * k
+    val lsh = recallOf(Similarity.annCosineOn(big,
+      nbits = Similarity.autoLshBits(n, 3), bands = 8,
+      k = annK, bucketCap = Similarity.autoBucketCap(n)))
+    val (nCells, nProbe, cellCap) = Similarity.autoIvfParams(n)
+    val ivf = recallOf(Similarity.ivfCosineOn(big, nCells, nProbe, k = annK,
+      cellCap = cellCap))
+    val pq = recallOf(Similarity.annCosinePQOn(big,
+      nbits = Similarity.autoLshBits(n, 3), k = annK,
+      bucketCap = Similarity.autoBucketCap(n), n = n))
+    // the quantized SCALE path: PQ-ADC over the IVF candidate stage
+    // (FAISS's IVFPQ shape; the LSH-candidate q73 spelling is the
+    // contract query, this is what a 100 TB deployment runs)
+    val pqIvf = recallOf(Similarity.rerankTopKPQ(
+      Similarity.ivfCandidatePairs(big, nCells, nProbe, cellCap),
+      big, k = annK, n = n))
+    info(f"100x top-$k recall over $nq queries: LSH $lsh%.3f, IVF $ivf%.3f, " +
+      f"LSH-PQ $pq%.3f, IVFPQ $pqIvf%.3f")
+    // the q44 candidate stage at 100x, split by what "near-dup" means at
+    // this density: the measured first run (0.34 sweep) counted ~650
+    // partners per query — at 100x the contract threshold sweeps in the
+    // MID-similarity band, and an epsilon-neighborhood ALL-PAIRS at low
+    // similarity is inherently near-quadratic (no sub-quadratic
+    // candidate generator retains it — the no-free-lunch, reported, not
+    // gated). True near-DUPLICATES (cos >= 0.9 — re-encodes, jitter
+    // twins, the class dedup exists for) must stay collided under
+    // autoLshBits: that is the gated floor.
+    val simPairs = queries
+      .crossJoin(big.select(col("vec_id").as("cand_id"), col("v").as("cv")))
+      .filter(col("q_id") =!= col("cand_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .filter(col("sim") >= 0.34)
+      .select(col("q_id").as("vec_id"), col("cand_id"), col("sim"))
+      .localCheckpoint()
+    val cand44 = Similarity.annCandidatePairs(big,
+      nbits = Similarity.autoLshBits(n, 2), bands = 24,
+      bucketCap = Similarity.autoBucketCap(n))
+      .filter(pmod(col("vec_id"), lit(qmod)) === 0)
+      .select("vec_id", "cand_id")
+      .localCheckpoint()
+    def retention(thresh: Double): (Long, Long) = {
+      val t = simPairs.filter(col("sim") >= thresh).select("vec_id", "cand_id")
+      (t.intersect(cand44).count(), t.count())
+    }
+    val (dupF, dupT) = retention(0.9)
+    val (midF, midT) = retention(0.34)
+    val dupRetention = dupF.toDouble / math.max(1L, dupT)
+    info(f"100x candidate retention: near-dups (>=0.9) $dupF/$dupT = " +
+      f"$dupRetention%.3f; 0.34 sweep $midF/$midT = ${midF.toDouble / math.max(1L, midT)}%.3f (reported, not gated)")
+    // floors: the IVF family carries top-k retrieval at scale; the LSH
+    // family must keep finding near-DUPLICATES (its contract class)
+    assert(ivf >= 0.5, f"IVF recall collapsed at 100x: $ivf%.3f")
+    assert(pqIvf >= 0.5, f"IVFPQ recall collapsed at 100x: $pqIvf%.3f")
+    assert(dupRetention >= 0.8,
+      f"near-dup retention collapsed at 100x: $dupRetention%.3f")
+  }
+
   test("bucketCap bounds LSH candidate growth at 10x the corpus", Slow) {
     val c1 = Similarity.annCandidatePairs(synth(nBase), nbits = 3, bands = 8,
       bucketCap = cap).count()
@@ -246,6 +350,16 @@ class AnnScaleSpec extends AnyFunSuite {
       s"sampled training set has $s rows — stride not tracking PqTrainTarget")
     // the stride is exact integer math at any scale (no Int overflow)
     assert(Similarity.PqTrainTarget === 4096L)
+    // LSH signature width tracks the corpus (r13: fixed 2-3-bit buckets
+    // hold n/2^w members, and a binding cap keeps an arbitrary slice —
+    // measured recall 0.000 at 100x before this policy): contract SFs
+    // keep their dense widths, above the ceiling width holds expected
+    // bucket occupancy at ~64
+    assert(Similarity.autoLshBits(2000, 3) === 3)
+    assert(Similarity.autoLshBits(4096, 2) === 2)
+    assert(Similarity.autoLshBits(20000, 2) === 9) // ceil(log2(312.5))
+    assert(Similarity.autoLshBits(200000, 3) === 12) // ceil(log2(3125))
+    assert(Similarity.autoLshBits(1L << 40, 3) === 34)
   }
 
   test("PQ with the bounded training sample: recall holds at 10x, clustered data", Slow) {

@@ -774,6 +774,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles(df) === 0, s"expected 0 shuffles:\n${plan(df)}")
   }
 
+  test("q119 funnel: one exchange serves the windows and the closing aggregate") {
+    // the whole multi-step funnel pays ONE shuffle: the chained running
+    // windows and the per-user aggregate all ride the same user
+    // partitioning (the per-step join spelling pays one per step)
+    val df = graft.operators.Relational.q119Funnel(spark, TestSpark.Sf0001)
+    assert(shuffles(df) === 1, s"expected exactly 1 shuffle:\n${plan(df)}")
+  }
+
+  test("q120 cohorts: the corpus scans once, cohort math on dim keys") {
+    val df = graft.operators.Relational.q120Cohorts(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    // one corpus exchange (user agg) + the dim-sized matrix agg and
+    // diagonal window; a second corpus scan (the sizes-as-separate-agg
+    // spelling) would show as a second parquet scan in the plan
+    assert(shuffles(df) <= 3, s"expected <= 3 shuffles:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"expected 1 parquet scan, found $scans:\n$p")
+  }
+
   test("q118 jpeg pixels: zero exchanges, decode walks once per row") {
     val df = graft.operators.Multimodal.q118JpegPixels(spark, TestSpark.Sf0001)
     val p = plan(df)
