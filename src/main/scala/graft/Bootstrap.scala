@@ -222,6 +222,25 @@ object Bootstrap {
       .createOrReplaceTempView("vw_recrawl_queue")
     operators.Crawl.q116FullStackIntake(spark, dir)
       .createOrReplaceTempView("vw_wire_intake")
+    // the r13 family's SQL twins — the two dashboard reads the reference's
+    // own home-page pattern (app/home.py:143-146) would run over the
+    // event stream: the per-user funnel (`WHERE reached = 3` is the
+    // SQL-only converted-users read; aggregating reached gives the
+    // step-dropoff report) and the weekly cohort retention matrix
+    // (`WHERE week_offset = k ORDER BY cohort_week` is the diagonal a
+    // growth dashboard plots)
+    operators.Relational.q119Funnel(spark, dir)
+      .createOrReplaceTempView("vw_funnel")
+    operators.Relational.q120Cohorts(spark, dir)
+      .createOrReplaceTempView("vw_cohorts")
+    // the charset-intake manifest (q117): `WHERE method <> 'declared'`
+    // is the SQL-only "which pages lied about their encoding" audit
+    operators.Crawl.q117CharsetSniff(spark, dir)
+      .createOrReplaceTempView("vw_charset_sniff")
+    // the JPEG pixel-stat manifest (q118): `WHERE is_jpeg = 1 AND
+    // min_luma IS NULL` is the SQL-only corrupt-image quarantine read
+    operators.Multimodal.q118JpegPixels(spark, dir)
+      .createOrReplaceTempView("vw_jpeg_stats")
   }
 
   /** Register the landing table + curated views over it — the TRANSFORM

@@ -1386,9 +1386,12 @@ object SparkEntry {
     // md5: a sniffer that trusted the utf-8 lie, mistook 1252
     // punctuation for SJIS pairs, or decoded with the wrong table fails
     "q117_charset_sniff" ->
-      ("WITH s AS (SELECT doc_id, coalesce(text, '') AS text, " +
-        "regexp_replace(coalesce(text, ''), '[^\\x20-\\x7E]', '', 'g') AS at " +
+      ("WITH s0 AS (SELECT doc_id, " +
+        "regexp_replace(coalesce(text, ''), '^\\x{FEFF}', '') AS text " +
         "FROM documents), " +
+        "s AS (SELECT doc_id, text, " +
+        "regexp_replace(text, '[^\\x20-\\x7E]', '', 'g') AS at " +
+        "FROM s0), " +
         "x AS (SELECT doc_id, text, at, " +
         "' d' || chr(233) || 'j' || chr(224) || ' vu ' || chr(233) AS u8s, " +
         "' ' || chr(8212) || ' ' || chr(8220) || 'quoted' || chr(8221) || " +

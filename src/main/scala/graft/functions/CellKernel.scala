@@ -49,6 +49,17 @@ object CellEval {
     * cell_id asc) — exactly the replaced window's sort key. Returns an
     * array of (cell_id, csim) structs; null when the vector is null,
     * holds a null element, or the table is empty.
+    *
+    * NULL-ELEMENT contract (ADVICE r13, intentional divergence from the
+    * crossJoin+window spelling this kernel replaced — same family as
+    * bandAssignments' NULL-vector contract): a vector containing a NULL
+    * element returns NULL here and so drops out of cell assignment
+    * entirely, whereas the old spelling still assigned such a vector a
+    * home cell (every csim NULL, cell_id-asc tiebreak — i.e. always the
+    * lowest cell id, a meaningless placement). A degenerate vector that
+    * cannot be scored should not be probed or deduped against; the
+    * corpus premise (no NULL elements in real embeddings) is what makes
+    * the divergence observable only in hand-built fixtures.
     */
   def topCells(v: ArrayData, t: CentroidTable, k: Int): ArrayData = {
     if (v == null || t.size == 0) return null

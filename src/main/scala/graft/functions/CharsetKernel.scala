@@ -99,7 +99,13 @@ object CharsetEval {
   /** Decode `b` under a sniffed/declared label, covering the legacy
     * charsets Spark's ANSI `decode` refuses (windows-1252, shift_jis)
     * alongside the UTF family, so one call closes the detect→decode
-    * path. Unknown labels return NULL (stop-don't-guess).
+    * path. Unknown labels return NULL, and so does a payload that is
+    * MALFORMED under the named charset (ADVICE r13: `new String` would
+    * silently substitute U+FFFD, yielding mojibake where the module's
+    * stop-don't-guess stance promises a refusal — a declared-but-corrupt
+    * shift_jis page must not land as stats-bearing text). The decoder
+    * runs with `CodingErrorAction.REPORT` on both malformed input and
+    * unmappable characters.
     */
   def decodeAs(b: Array[Byte], cs: UTF8String): UTF8String = {
     if (b == null || cs == null) return null
@@ -110,7 +116,12 @@ object CharsetEval {
       case "iso-8859-1" => "ISO-8859-1"
       case _ => return null
     }
-    UTF8String.fromString(new String(b, java.nio.charset.Charset.forName(name)))
+    val dec = java.nio.charset.Charset.forName(name).newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try UTF8String.fromString(
+      dec.decode(java.nio.ByteBuffer.wrap(b)).toString)
+    catch { case _: java.nio.charset.CharacterCodingException => null }
   }
 }
 

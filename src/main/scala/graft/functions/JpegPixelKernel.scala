@@ -167,6 +167,7 @@ object JpegPixelEval {
     var width = 0
     var height = 0
     var nComp = 0
+    val compId = new Array[Int](4)
     val compQ = new Array[Int](4)
     val compDc = new Array[Int](4)
     val compAc = new Array[Int](4)
@@ -228,6 +229,7 @@ object JpegPixelEval {
               segLen < 8 + 3 * nComp) return NoStats
             var c = 0
             while (c < nComp) {
+              compId(c) = b(p0 + 6 + 3 * c) & 0xFF
               val sampling = b(p0 + 7 + 3 * c) & 0xFF
               if (sampling != 0x11) return NoStats // 1x1 only (no subsampling)
               compQ(c) = b(p0 + 8 + 3 * c) & 0x0F
@@ -243,8 +245,20 @@ object JpegPixelEval {
             if (nComp == 0 || width == 0) return NoStats
             val ns = b(p0) & 0xFF
             if (ns != nComp || segLen != 6 + 2 * ns) return NoStats
+            // a baseline sequential scan must cover the spectral range
+            // whole and unshifted: Ss=0, Se=63, Ah=Al=0 — anything else is
+            // a progressive scan smuggled under SOF0, refuse
+            if ((b(p0 + 1 + 2 * ns) & 0xFF) != 0 ||
+              (b(p0 + 2 + 2 * ns) & 0xFF) != 63 ||
+              (b(p0 + 3 + 2 * ns) & 0xFF) != 0) return NoStats
             var c = 0
             while (c < ns) {
+              // the scan's component selector (Cs) must name the frame's
+              // c-th component — the decoder assigns quant/Huffman tables
+              // positionally, so a conforming-but-reordered scan would
+              // otherwise decode with swapped assignments instead of
+              // refusing (ADVICE r13)
+              if ((b(p0 + 1 + 2 * c) & 0xFF) != compId(c)) return NoStats
               compDc(c) = (b(p0 + 2 + 2 * c) & 0xF0) >> 4
               compAc(c) = b(p0 + 2 + 2 * c) & 0x0F
               if (dcTab(compDc(c)) == null || acTab(compAc(c)) == null ||
@@ -310,8 +324,15 @@ object JpegPixelEval {
           val run = (rs >> 4) & 0x0F
           val size = rs & 0x0F
           if (size == 0) {
-            if (run == 15) k += 16 // ZRL
-            else eob = true
+            if (run == 15) {
+              // ZRL skips 16 zero coefficients; a conforming encoder only
+              // emits it ahead of a further nonzero coefficient (trailing
+              // zeros are EOB's job), so a ZRL that advances past index 63
+              // is as malformed as an oversized run — refuse, matching the
+              // `k += run` strictness below (ADVICE r13).
+              k += 16
+              if (k > 63) return NoStats
+            } else eob = true
           } else {
             k += run
             if (k > 63) return NoStats

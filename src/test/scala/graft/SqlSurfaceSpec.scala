@@ -50,7 +50,15 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "vw_recrawl_queue" ->
         graft.operators.Crawl.q113RecrawlPolicy(spark, TestSpark.Sf0001),
       "vw_wire_intake" ->
-        graft.operators.Crawl.q116FullStackIntake(spark, TestSpark.Sf0001))
+        graft.operators.Crawl.q116FullStackIntake(spark, TestSpark.Sf0001),
+      "vw_funnel" ->
+        graft.operators.Relational.q119Funnel(spark, TestSpark.Sf0001),
+      "vw_cohorts" ->
+        graft.operators.Relational.q120Cohorts(spark, TestSpark.Sf0001),
+      "vw_charset_sniff" ->
+        graft.operators.Crawl.q117CharsetSniff(spark, TestSpark.Sf0001),
+      "vw_jpeg_stats" ->
+        graft.operators.Multimodal.q118JpegPixels(spark, TestSpark.Sf0001))
     twins.foreach { case (view, df) =>
       val sql = canon(spark.sql(s"SELECT * FROM $view"))
       val api = canon(df)
