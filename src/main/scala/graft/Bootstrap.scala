@@ -241,6 +241,17 @@ object Bootstrap {
     // min_luma IS NULL` is the SQL-only corrupt-image quarantine read
     operators.Multimodal.q118JpegPixels(spark, dir)
       .createOrReplaceTempView("vw_jpeg_stats")
+    // the PNG pixel-stat manifest (q121): same quarantine read for the
+    // lossless class (`WHERE format = 'png' AND min_luma IS NULL`)
+    operators.Multimodal.q121PngPixels(spark, dir)
+      .createOrReplaceTempView("vw_png_stats")
+    // the model-based quality manifest (q122): training runs once at
+    // registration (the vw_link_rank discipline — the collected weight
+    // table is a plan constant); `WHERE predicted = 1 AND keep = 0`
+    // is the SQL-only "what the rules killed but the model would save"
+    // audit, the operational reason to run both gates
+    operators.Classifier.q122QualityClassifier(spark, dir)
+      .createOrReplaceTempView("vw_quality_model")
   }
 
   /** Register the landing table + curated views over it — the TRANSFORM

@@ -449,4 +449,57 @@ object Oracles {
       "CASE WHEN n_tokens IS NOT NULL THEN " +
       "round(least(1.0, n_tokens / 50.0) * 0.5 + " +
       "least(1.0, (CAST(cns AS DOUBLE) / n_tokens) / 5.0) * 0.5, 6) END AS quality FROM b"
+
+  /** Q122 oracle — the FULL train+score replay of the hashed-ngram NB
+    * classifier: q65's rules label the corpus, unigram+bigram feature
+    * instances hash through md5 into 4096 buckets (the same
+    * first-8-hex-chars arithmetic as [[hexVal]], over `feat`), Laplace
+    * log-odds weights round HALF-UP to 6 dp and scale to exact integer
+    * micro-units, and each document's score is prior + the integer sum
+    * over its instances — so a hashing, smoothing, counting, or
+    * bigram-boundary slip on the Spark side cannot cancel.
+    */
+  val qualityClassifier: String = {
+    val featHex = (0 until 8).map { j =>
+      val mult = math.pow(16, 7 - j).toLong
+      s"(strpos('0123456789abcdef', substr(md5(feat), ${j + 1}, 1)) - 1) * $mult"
+    }.mkString(" + ")
+    "WITH t AS (SELECT doc_id, list_filter(" +
+      "string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '') AS ws " +
+      "FROM documents), " +
+      "m AS (SELECT doc_id, ws, " +
+      "CAST(coalesce(len(ws), 0) AS BIGINT) AS n_words, " +
+      "CASE WHEN len(ws) > 0 THEN round(CAST(len(array_to_string(ws, '')) " +
+      "AS DOUBLE) / len(ws), 6) END AS mean_word_len, " +
+      "CASE WHEN len(ws) > 0 THEN round(CAST(len(list_filter(ws, " +
+      "w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / len(ws), 6) END " +
+      "AS alpha_frac, " +
+      "CAST(coalesce(len(list_filter(ws, w -> w IN ('the','be','to','of'," +
+      "'and','a','in','that','have','i'))), 0) AS BIGINT) AS stop_hits " +
+      "FROM t), " +
+      "lbl AS (SELECT doc_id, ws, CAST(" +
+      "n_words >= 40 AND n_words <= 100000 " +
+      "AND coalesce(mean_word_len >= 3.0 AND mean_word_len <= 4.6, false) " +
+      "AND coalesce(alpha_frac >= 0.8, false) AND stop_hits >= 2 " +
+      "AS BIGINT) AS keep FROM m), " +
+      "f AS (SELECT doc_id, keep, unnest(list_concat(ws, " +
+      "list_transform(range(1, len(ws)), i -> ws[i] || '_' || ws[i+1]))) AS feat " +
+      "FROM lbl), " +
+      s"b AS (SELECT doc_id, keep, CAST($featHex AS BIGINT) % 4096 AS bucket FROM f), " +
+      "cnt AS (SELECT bucket, sum(keep) AS c1, sum(1 - keep) AS c0 FROM b GROUP BY 1), " +
+      "tot AS (SELECT sum(c1) AS t1, sum(c0) AS t0 FROM cnt), " +
+      "wgt AS (SELECT bucket, CAST(CAST(round(" +
+      "ln((c1 + 1.0) / (t1 + 4096)) - ln((c0 + 1.0) / (t0 + 4096)), 6) " +
+      "AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS wm FROM cnt, tot), " +
+      "pri AS (SELECT CAST(CAST(round(" +
+      "ln((sum(keep) + 1.0) / (count(*) - sum(keep) + 1.0)), 6) " +
+      "AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS pm FROM lbl), " +
+      "sc AS (SELECT doc_id, count(*) AS nf, sum(wm) AS sm " +
+      "FROM b JOIN wgt USING (bucket) GROUP BY 1) " +
+      "SELECT l.doc_id, CAST(l.keep AS INTEGER) AS keep, " +
+      "CAST(coalesce(sc.nf, 0) AS BIGINT) AS n_feats, " +
+      "CAST(p.pm + coalesce(sc.sm, 0) AS DOUBLE) / 1e6 AS score, " +
+      "CAST(p.pm + coalesce(sc.sm, 0) > 0 AS INTEGER) AS predicted " +
+      "FROM lbl l LEFT JOIN sc USING (doc_id), pri p"
+  }
 }

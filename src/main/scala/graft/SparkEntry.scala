@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ingest.Envelope
 import graft.sources.{JsonLines, Warc}
-import graft.operators.{Crawl, Dedup, Multimodal, Pipeline, Relational, Retrieval, Scale, Similarity, SqlSurface, Text}
+import graft.operators.{Classifier, Crawl, Dedup, Multimodal, Pipeline, Relational, Retrieval, Scale, Similarity, SqlSurface, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -142,6 +142,8 @@ object SparkEntry {
     "q118_jpeg_pixels" -> (Multimodal.q118JpegPixels _),
     "q119_funnel" -> (Relational.q119Funnel _),
     "q120_cohorts" -> (Relational.q120Cohorts _),
+    "q121_png_pixels" -> (Multimodal.q121PngPixels _),
+    "q122_quality_classifier" -> (Classifier.q122QualityClassifier _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1417,25 +1419,65 @@ object SparkEntry {
     // truncated class must refuse stats while its header dims survive
     "q118_jpeg_pixels" ->
       ("WITH p AS (SELECT doc_id, " +
-        "CASE WHEN doc_id % 5 = 3 THEN 3 ELSE CAST(doc_id % 3 + 1 AS BIGINT) END AS bw, " +
-        "CASE WHEN doc_id % 5 = 3 THEN 2 ELSE CAST(doc_id % 2 + 1 AS BIGINT) END AS bh " +
+        "CASE WHEN doc_id % 7 = 3 THEN 3 ELSE CAST(doc_id % 3 + 1 AS BIGINT) END AS bw, " +
+        "CASE WHEN doc_id % 7 = 3 THEN 2 ELSE CAST(doc_id % 2 + 1 AS BIGINT) END AS bh, " +
+        "CASE WHEN doc_id % 7 IN (5, 6) THEN 2 ELSE 1 END AS h0, " +
+        "CASE WHEN doc_id % 7 = 5 THEN 2 ELSE 1 END AS v0 " +
         "FROM documents), " +
-        "x AS (SELECT doc_id, bw, bh, " +
-        "list_transform(range(0, bw*bh), k -> ((doc_id*31 + k*17) % 251) - 125 + 128) AS pix " +
+        "x AS (SELECT doc_id, bw, bh, h0, v0, " +
+        "list_transform(range(0, bw*bh*h0*v0), k -> ((doc_id*31 + k*17) % 251) - 125 + 128) AS pix " +
         "FROM p) " +
         "SELECT doc_id, " +
-        "CAST(doc_id % 5 <> 4 AS INTEGER) AS is_jpeg, " +
-        "CAST(CASE WHEN doc_id % 5 = 4 THEN NULL ELSE bw*8 END AS INTEGER) AS width, " +
-        "CAST(CASE WHEN doc_id % 5 = 4 THEN NULL ELSE bh*8 END AS INTEGER) AS height, " +
-        "CAST(CASE WHEN doc_id % 5 IN (3,4) THEN NULL " +
+        "CAST(doc_id % 7 <> 4 AS INTEGER) AS is_jpeg, " +
+        "CAST(CASE WHEN doc_id % 7 = 4 THEN NULL ELSE bw*8*h0 END AS INTEGER) AS width, " +
+        "CAST(CASE WHEN doc_id % 7 = 4 THEN NULL ELSE bh*8*v0 END AS INTEGER) AS height, " +
+        "CAST(CASE WHEN doc_id % 7 IN (3,4) THEN NULL " +
         "ELSE list_aggregate(pix, 'min') END AS INTEGER) AS min_luma, " +
-        "CAST(CASE WHEN doc_id % 5 IN (3,4) THEN NULL " +
+        "CAST(CASE WHEN doc_id % 7 IN (3,4) THEN NULL " +
         "ELSE list_aggregate(pix, 'max') END AS INTEGER) AS max_luma, " +
-        "CAST(CASE WHEN doc_id % 5 IN (3,4) THEN NULL " +
+        "CAST(CASE WHEN doc_id % 7 IN (3,4) THEN NULL " +
         "ELSE 64 * list_aggregate(pix, 'sum') END AS BIGINT) AS sum_luma, " +
-        "CAST(CASE WHEN doc_id % 5 IN (3,4) THEN NULL " +
-        "ELSE (64 * list_aggregate(pix, 'sum') * 100) // (bw * bh * 64) " +
+        "CAST(CASE WHEN doc_id % 7 IN (3,4) THEN NULL " +
+        "ELSE (64 * list_aggregate(pix, 'sum') * 100) // (bw * bh * h0 * v0 * 64) " +
         "END AS BIGINT) AS mean_luma_x100 FROM x"),
+    // q121: PNG pixel decode — luma statistics recomputed pixel-by-pixel
+    // from the q59 residue channel maps (the oracle never inflates a
+    // byte), so a CRC, filter-inversion, stride, channel-order, or
+    // truncation slip on the Spark kernel side cannot cancel out; the
+    // grayscale class folds the G map directly (equal-channel Rec.601
+    // luma is the sample itself)
+    "q121_png_pixels" ->
+      ("WITH px AS (SELECT doc_id, " +
+        "CASE WHEN doc_id % 5 = 0 THEN (doc_id*3 + x*5 + r) % 256 " +
+        "ELSE (299 * ((doc_id*2 + x + r*11) % 256) + " +
+        "587 * ((doc_id*3 + x*5 + r) % 256) + " +
+        "114 * ((doc_id + x*7 + r*13) % 256)) // 1000 END AS luma " +
+        "FROM documents, " +
+        "UNNEST(range(0, CAST(doc_id % 6 + 1 AS BIGINT))) AS tx(x), " +
+        "UNNEST(range(0, CAST(doc_id % 4 + 1 AS BIGINT))) AS tr(r)), " +
+        "agg AS (SELECT doc_id, min(luma) AS mn, max(luma) AS mx, " +
+        "sum(luma) AS s, count(*) AS n FROM px GROUP BY doc_id) " +
+        "SELECT d.doc_id, " +
+        "CASE WHEN d.doc_id % 5 = 4 THEN 'unknown' ELSE 'png' END AS format, " +
+        "CASE WHEN d.doc_id % 5 = 4 THEN NULL " +
+        "ELSE CAST(d.doc_id % 6 + 1 AS INTEGER) END AS width, " +
+        "CASE WHEN d.doc_id % 5 = 4 THEN NULL " +
+        "ELSE CAST(d.doc_id % 4 + 1 AS INTEGER) END AS height, " +
+        "CASE WHEN d.doc_id % 5 IN (3,4) THEN NULL " +
+        "ELSE CAST(a.mn AS INTEGER) END AS min_luma, " +
+        "CASE WHEN d.doc_id % 5 IN (3,4) THEN NULL " +
+        "ELSE CAST(a.mx AS INTEGER) END AS max_luma, " +
+        "CASE WHEN d.doc_id % 5 IN (3,4) THEN NULL " +
+        "ELSE CAST(a.s AS BIGINT) END AS sum_luma, " +
+        "CASE WHEN d.doc_id % 5 IN (3,4) THEN NULL " +
+        "ELSE CAST(a.s * 100 // a.n AS BIGINT) END AS mean_luma_x100 " +
+        "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"),
+    // q122: the oracle replays the ENTIRE train+score pipeline from the
+    // corpus alone — the q65 rule gate for labels, the md5 hashing trick,
+    // per-bucket class counts, Laplace log-odds weights rounded to exact
+    // decimal micro-units, and the per-doc integer sum — so a hashing,
+    // smoothing, rounding, or bigram-boundary slip cannot cancel
+    "q122_quality_classifier" -> Oracles.qualityClassifier,
     // q119: the oracle spells the funnel as explicit per-step joins
     // (min view; min click strictly after it; min purchase strictly
     // after that) — a structurally different formulation from the Spark

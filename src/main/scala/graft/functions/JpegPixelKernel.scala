@@ -16,13 +16,18 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   * component trimmed to the frame's declared width × height.
   *
   * Scope is stated, not guessed: baseline sequential (SOF0), 8-bit
-  * precision, 1×1 sampling factors (grayscale and 4:4:4 color — the Y
-  * stats fold component 0; chroma blocks are entropy-decoded to keep
-  * the stream aligned and then dropped). Progressive (SOF2),
-  * arithmetic coding, subsampled chroma, and 16-bit quant tables return
-  * NULL — stop-don't-guess, the q82/q95 stance. Any structural lie
-  * (truncated entropy data, a Huffman code past the table, coefficient
-  * index past 63, missing tables) also refuses with NULL.
+  * precision, with luma sampling factors H,V ∈ {1,2} and 1×1 chroma —
+  * that covers grayscale, 4:4:4, 4:2:2 (2×1), 4:4:0 (1×2), and 4:2:0
+  * (2×2, the dominant web-JPEG layout): the Y stats fold component 0's
+  * H·V blocks per MCU at their true pixel origins; chroma blocks are
+  * entropy-decoded to keep the stream aligned and then dropped.
+  * Subsampled LUMA (a chroma factor exceeding luma's), single-component
+  * frames declaring factors > 1×1 (T.81 §A.2 makes such scans
+  * non-interleaved, a different MCU geometry), progressive (SOF2),
+  * arithmetic coding, and 16-bit quant tables return NULL —
+  * stop-don't-guess, the q82/q95 stance. Any structural lie (truncated
+  * entropy data, a Huffman code past the table, coefficient index past
+  * 63, missing tables) also refuses with NULL.
   */
 object JpegPixelEval {
 
@@ -167,6 +172,8 @@ object JpegPixelEval {
     var width = 0
     var height = 0
     var nComp = 0
+    var lumaH = 1
+    var lumaV = 1
     val compId = new Array[Int](4)
     val compQ = new Array[Int](4)
     val compDc = new Array[Int](4)
@@ -231,10 +238,21 @@ object JpegPixelEval {
             while (c < nComp) {
               compId(c) = b(p0 + 6 + 3 * c) & 0xFF
               val sampling = b(p0 + 7 + 3 * c) & 0xFF
-              if (sampling != 0x11) return NoStats // 1x1 only (no subsampling)
+              if (c == 0) {
+                // luma may subsample chroma (2x2/2x1/1x2); a
+                // single-component frame with factors > 1x1 would make
+                // the scan NON-interleaved (T.81 A.2) — refuse
+                lumaH = (sampling & 0xF0) >> 4
+                lumaV = sampling & 0x0F
+                if (lumaH < 1 || lumaH > 2 || lumaV < 1 || lumaV > 2)
+                  return NoStats
+              } else if (sampling != 0x11) {
+                return NoStats // chroma must be 1x1 (luma >= chroma rate)
+              }
               compQ(c) = b(p0 + 8 + 3 * c) & 0x0F
               c += 1
             }
+            if (nComp == 1 && (lumaH != 1 || lumaV != 1)) return NoStats
           case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA |
                0xCB | 0xCD | 0xCE | 0xCF =>
             return NoStats // extended/progressive/arithmetic: out of scope
@@ -267,7 +285,7 @@ object JpegPixelEval {
             }
             return decodeScan(b, i + 2 + segLen, width, height, nComp,
               compQ.map(quant), compDc.map(dcTab), compAc.map(acTab),
-              restartInterval)
+              restartInterval, lumaH, lumaV)
           case _ => () // APPn / COM / other: skip
         }
         i += 2 + segLen
@@ -276,12 +294,20 @@ object JpegPixelEval {
     NoStats
   }
 
-  /** Entropy-decode every MCU, fold luma stats trimmed to width×height. */
+  /** Entropy-decode every MCU, fold luma stats trimmed to width×height.
+    * `lumaH`/`lumaV` are component 0's sampling factors (chroma is
+    * 1×1-gated upstream), so an MCU is `8·lumaH × 8·lumaV` pixels and
+    * carries `lumaH·lumaV` luma blocks (raster order within the MCU,
+    * T.81 A.2.3) followed by one block per chroma component.
+    */
   private def decodeScan(b: Array[Byte], start: Int, width: Int, height: Int,
                          nComp: Int, q: Array[Array[Int]], dc: Array[Huff],
-                         ac: Array[Huff], restartInterval: Int): Long = {
-    val bw = (width + 7) / 8
-    val bh = (height + 7) / 8
+                         ac: Array[Huff], restartInterval: Int,
+                         lumaH: Int, lumaV: Int): Long = {
+    val mcuW = 8 * lumaH
+    val mcuH = 8 * lumaV
+    val mcusX = (width + mcuW - 1) / mcuW
+    val mcusY = (height + mcuH - 1) / mcuH
     val pred = new Array[Int](nComp)
     val coef = new Array[Int](64)
     val px = new Array[Int](64)
@@ -290,7 +316,7 @@ object JpegPixelEval {
     var sum = 0L
     var r = new BitReader(b, start)
     var mcu = 0
-    val nMcu = bw * bh
+    val nMcu = mcusX * mcusY
     while (mcu < nMcu) {
       if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
         // expect RSTn on a byte boundary; predictors reset
@@ -304,60 +330,65 @@ object JpegPixelEval {
       }
       var c = 0
       while (c < nComp) {
-        java.util.Arrays.fill(coef, 0)
-        // DC
-        val s = decodeHuff(r, dc(c))
-        if (s == Int.MinValue || s > 11) return NoStats
-        val diff = if (s == 0) 0 else {
-          val d = receiveExtend(r, s)
-          if (d == Int.MinValue) return NoStats
-          d
-        }
-        pred(c) += diff
-        coef(0) = pred(c) * q(c)(0)
-        // AC run-length
-        var k = 1
-        var eob = false
-        while (k < 64 && !eob) {
-          val rs = decodeHuff(r, ac(c))
-          if (rs == Int.MinValue) return NoStats
-          val run = (rs >> 4) & 0x0F
-          val size = rs & 0x0F
-          if (size == 0) {
-            if (run == 15) {
-              // ZRL skips 16 zero coefficients; a conforming encoder only
-              // emits it ahead of a further nonzero coefficient (trailing
-              // zeros are EOB's job), so a ZRL that advances past index 63
-              // is as malformed as an oversized run — refuse, matching the
-              // `k += run` strictness below (ADVICE r13).
-              k += 16
+        val blocks = if (c == 0) lumaH * lumaV else 1
+        var blk = 0
+        while (blk < blocks) {
+          java.util.Arrays.fill(coef, 0)
+          // DC
+          val s = decodeHuff(r, dc(c))
+          if (s == Int.MinValue || s > 11) return NoStats
+          val diff = if (s == 0) 0 else {
+            val d = receiveExtend(r, s)
+            if (d == Int.MinValue) return NoStats
+            d
+          }
+          pred(c) += diff
+          coef(0) = pred(c) * q(c)(0)
+          // AC run-length
+          var k = 1
+          var eob = false
+          while (k < 64 && !eob) {
+            val rs = decodeHuff(r, ac(c))
+            if (rs == Int.MinValue) return NoStats
+            val run = (rs >> 4) & 0x0F
+            val size = rs & 0x0F
+            if (size == 0) {
+              if (run == 15) {
+                // ZRL skips 16 zero coefficients; a conforming encoder only
+                // emits it ahead of a further nonzero coefficient (trailing
+                // zeros are EOB's job), so a ZRL that advances past index 63
+                // is as malformed as an oversized run — refuse, matching the
+                // `k += run` strictness below (ADVICE r13).
+                k += 16
+                if (k > 63) return NoStats
+              } else eob = true
+            } else {
+              k += run
               if (k > 63) return NoStats
-            } else eob = true
-          } else {
-            k += run
-            if (k > 63) return NoStats
-            val v = receiveExtend(r, size)
-            if (v == Int.MinValue) return NoStats
-            coef(ZigZag(k)) = v * q(c)(ZigZag(k))
-            k += 1
-          }
-        }
-        if (c == 0) { // luma only
-          idct(coef, px)
-          val bx = (mcu % bw) * 8
-          val by = (mcu / bw) * 8
-          var y = 0
-          while (y < 8 && by + y < height) {
-            var x = 0
-            while (x < 8 && bx + x < width) {
-              val v = px(y * 8 + x)
-              if (v < minL) minL = v
-              if (v > maxL) maxL = v
-              sum += v
-              x += 1
+              val v = receiveExtend(r, size)
+              if (v == Int.MinValue) return NoStats
+              coef(ZigZag(k)) = v * q(c)(ZigZag(k))
+              k += 1
             }
-            y += 1
           }
+          if (c == 0) { // luma only, at its true origin within the MCU
+            idct(coef, px)
+            val bx = (mcu % mcusX) * mcuW + (blk % lumaH) * 8
+            val by = (mcu / mcusX) * mcuH + (blk / lumaH) * 8
+            var y = 0
+            while (y < 8 && by + y < height) {
+              var x = 0
+              while (x < 8 && bx + x < width) {
+                val v = px(y * 8 + x)
+                if (v < minL) minL = v
+                if (v > maxL) maxL = v
+                sum += v
+                x += 1
+              }
+              y += 1
+            }
+          }
+          blk += 1
         }
         c += 1
       }
@@ -426,25 +457,32 @@ object JpegPixelEval {
   private def chromaDc(seed: Long, k: Int, c: Int): Int =
     (((seed * (7 + 4 * c) + k * 13) % 101 + 101) % 101).toInt - 50
 
-  /** Synthesize a DC-only baseline JPEG: `bw`×`bh` blocks of flat
-    * 8×8 luma tiles from [[blockDc]], grayscale or 4:4:4 color (chroma
-    * blocks carry their own DC walk and are stats-irrelevant),
-    * restart markers every `dri` MCUs when `dri` > 0. All tables are
+  /** Synthesize a DC-only baseline JPEG: `bw`×`bh` MCUs of flat 8×8
+    * luma tiles from [[blockDc]] (block k = MCU-major, raster within
+    * the MCU — but the stats contract only needs the SET of k values,
+    * `0 until bw·bh·H·V`), restart markers every `dri` MCUs when
+    * `dri` > 0. `mode` picks the layout: 0 grayscale, 1 4:4:4 color,
+    * 2 4:2:0 (luma 2×2), 3 4:2:2 (luma 2×1) — chroma blocks carry
+    * their own DC walk and are stats-irrelevant. All tables are
     * written INTO the stream (Annex K DC spec, a minimal 1-code AC
     * table, quant all-8s) — the decoder trusts only the file.
     */
-  def synth(seed: Long, bw: Int, bh: Int, dri: Int, color: Boolean): Array[Byte] = {
+  def synth(seed: Long, bw: Int, bh: Int, dri: Int, mode: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(256)
     def u8(v: Int): Unit = out.write(v & 0xFF)
     def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
     def marker(m: Int): Unit = { u8(0xFF); u8(m) }
+    val h0 = if (mode == 2 || mode == 3) 2 else 1
+    val v0 = if (mode == 2) 2 else 1
     marker(0xD8) // SOI
     marker(0xDB); u16(2 + 65); u8(0x00) // DQT table 0, Pq=0
     (0 until 64).foreach(_ => u8(8))
-    val nComp = if (color) 3 else 1
+    val nComp = if (mode == 0) 1 else 3
     marker(0xC0); u16(8 + 3 * nComp); u8(8) // SOF0, 8-bit
-    u16(bh * 8); u16(bw * 8); u8(nComp)
-    (0 until nComp).foreach { c => u8(c + 1); u8(0x11); u8(0) }
+    u16(bh * 8 * v0); u16(bw * 8 * h0); u8(nComp)
+    (0 until nComp).foreach { c =>
+      u8(c + 1); u8(if (c == 0) (h0 << 4) | v0 else 0x11); u8(0)
+    }
     marker(0xC4) // DHT: DC table 0 + AC table 0
     u16(2 + (1 + 16 + StdDcVals.length) + (1 + 16 + MinAcVals.length))
     u8(0x00); StdDcBits.foreach(u8); StdDcVals.foreach(u8)
@@ -457,6 +495,7 @@ object JpegPixelEval {
     val eob = canonical(MinAcBits, MinAcVals)(0)
     var bwr = new BitWriter(out)
     val pred = new Array[Int](nComp)
+    val lumaPerMcu = h0 * v0
     var mcu = 0
     val nMcu = bw * bh
     while (mcu < nMcu) {
@@ -466,9 +505,7 @@ object JpegPixelEval {
         bwr = new BitWriter(out)
         java.util.Arrays.fill(pred, 0)
       }
-      var c = 0
-      while (c < nComp) {
-        val dc = if (c == 0) blockDc(seed, mcu) else chromaDc(seed, mcu, c)
+      def putDc(c: Int, dc: Int): Unit = {
         val diff = dc - pred(c)
         pred(c) = dc
         val s = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
@@ -476,6 +513,15 @@ object JpegPixelEval {
         bwr.put(code, clen)
         if (s > 0) bwr.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
         bwr.put(eob._1, eob._2)
+      }
+      var blk = 0
+      while (blk < lumaPerMcu) {
+        putDc(0, blockDc(seed, mcu * lumaPerMcu + blk))
+        blk += 1
+      }
+      var c = 1
+      while (c < nComp) {
+        putDc(c, chromaDc(seed, mcu, c))
         c += 1
       }
       mcu += 1
@@ -515,8 +561,9 @@ case class JpegLuma(child: Expression) extends UnaryExpression {
 }
 
 /** `(long seed, long shape) -> binary`: q118's synthesis expression —
-  * `shape` packs `bw | bh<<8 | dri<<16 | color<<24` so the synthesis
-  * stays a two-child codegen'd expression.
+  * `shape` packs `bw | bh<<8 | dri<<16 | mode<<24` (mode 0 grayscale,
+  * 1 4:4:4, 2 4:2:0, 3 4:2:2 — mode 1 coincides with the historical
+  * `color` bit) so the synthesis stays a two-child codegen'd expression.
   */
 case class JpegSynth(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -527,13 +574,13 @@ case class JpegSynth(left: Expression, right: Expression)
   override protected def nullSafeEval(seed: Any, shape: Any): Any = {
     val sh = shape.asInstanceOf[Long]
     JpegPixelEval.synth(seed.asInstanceOf[Long], (sh & 0xFF).toInt,
-      ((sh >> 8) & 0xFF).toInt, ((sh >> 16) & 0xFF).toInt, ((sh >> 24) & 1) == 1)
+      ((sh >> 8) & 0xFF).toInt, ((sh >> 16) & 0xFF).toInt, ((sh >> 24) & 3).toInt)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (s, sh) =>
       s"graft.functions.JpegPixelEval.synth($s, (int)($sh & 0xFF), " +
-        s"(int)(($sh >> 8) & 0xFF), (int)(($sh >> 16) & 0xFF), (($sh >> 24) & 1) == 1)")
+        s"(int)(($sh >> 8) & 0xFF), (int)(($sh >> 16) & 0xFF), (int)(($sh >> 24) & 3))")
 
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): JpegSynth =

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextOps.words
+import graft.functions.NbOps
+
+/** Model-based document quality classification — the FineWeb-edu /
+  * fastText rung above q65's hand rules: a hashed-ngram LINEAR scorer
+  * whose weights TRAIN in-corpus on a weak label (q65's own `keep` bit),
+  * then score every document. Reference scope: scholar-stream has no
+  * model-based filtering (its quality layer is SQL views,
+  * sql/03_curated_views.sql) — this is a north-star extension of the
+  * quality family (q64/q65/q66/q81/q88).
+  *
+  * Model shape (multinomial Naive Bayes log-odds — the closed-form
+  * member of the linear-classifier family, so training is ONE counting
+  * aggregation and the learned weights are exactly reproducible from
+  * corpus counts, which is what lets a DuckDB oracle replay the entire
+  * train+score pipeline):
+  *
+  *   w(b)  = ln((c1(b)+1)/(T1+B)) − ln((c0(b)+1)/(T0+B))
+  *   prior = ln((N1+1)/(N0+1))
+  *   score(doc) = prior + Σ_instances w(bucket(feat))
+  *
+  * where features are word unigrams + bigrams hashed into B=4096
+  * buckets via `conv(substring(md5(feat),1,8),16,10) % B` (the hashing
+  * trick — the vocabulary never becomes model state, so the model size
+  * is CONSTANT in corpus scale), c1/c0 are per-bucket feature-instance
+  * counts in kept/dropped documents, T1/T0 their totals, N1/N0 the
+  * document counts (+1/+B = Laplace smoothing).
+  *
+  * Exactness: each weight is rounded HALF_UP to 6 dp and carried as
+  * integer MICRO-UNITS (the q81 decimal discipline), so the per-doc sum
+  * is exact integer arithmetic in any engine; only the final display
+  * division produces a double.
+  *
+  * Scale shape: training explodes features once and aggregates on ≤ B
+  * hashed keys (map-side partial aggregation collapses the stream to
+  * ≤ B rows per task — the shuffle moves kilobytes at any corpus size);
+  * the learned table is collected dim-sized (B rows — the q85 BPE
+  * argmax precedent) and scoring applies it as the codegen'd
+  * constant-table kernel [[graft.functions.NbScore]]: a pure narrow
+  * map, zero joins, zero exchanges (q86's constant-table discipline).
+  * The explode+broadcast-join spelling would shuffle one row per token
+  * instance at scoring time — at 100 TB that is the whole corpus again.
+  */
+object Classifier {
+
+  /** Hash-bucket count B. 2^12 keeps the collected table trivially
+    * dim-sized while leaving bucket collisions rare enough on the
+    * fixture vocabulary for the spec's planted-class discrimination gate.
+    */
+  val NumBuckets = 4096
+
+  private def bucketOf(feat: org.apache.spark.sql.Column) =
+    conv(substring(md5(feat), 1, 8), 16, 10).cast("long") % NumBuckets
+
+  /** Round HALF_UP to 6 dp and scale to micro-units — the exact integer
+    * the oracle's `CAST(round(x, 6) AS DECIMAL(18,6)) * 1000000` yields.
+    */
+  private def micro(x: Double): Long =
+    (BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP) *
+      BigDecimal(1000000)).toLongExact
+
+  /** Q122 over the corpus `documents` table. */
+  def q122QualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    classifierOn(Tables.load(spark, dir, "documents"))
+
+  /** Train-then-score over any (doc_id, text) frame — training-INCLUSIVE
+    * (the q85 discipline: the model is a function of the scored corpus,
+    * so the whole pipeline stays deterministic and oracle-replayable).
+    */
+  def classifierOn(docs: DataFrame): DataFrame = {
+    // one narrow pass: the q65 rule gate (the weak label) + the token
+    // array, computed together so training adds no second tokenization
+    // localCheckpoint: the frame feeds the two training jobs AND the
+    // scoring plan — without it each re-derives the tokenization scan
+    // (the q51 survivor-frame discipline)
+    val base = Text.ruleFrame(docs, Seq("ws2" -> words(col("text"))))
+      .select(col("doc_id"), col("keep").cast("long").as("keep"),
+        col("ws2").as("ws"))
+      .localCheckpoint()
+
+    // unigram + bigram feature instances (multiplicity kept — NB counts
+    // instances, not types); '_' is outside words()' [a-z0-9] alphabet,
+    // so bigram keys cannot collide with unigrams or each other
+    val feats = base.select(col("keep"), explode(concat(col("ws"),
+      coalesce(
+        when(size(col("ws")) >= 2, expr(
+          "transform(sequence(0, size(ws)-2), i -> concat(ws[i], '_', ws[i+1]))")),
+        typedlit(Seq.empty[String])))).as("feat"))
+
+    // TRAIN: per-bucket class counts — the only corpus-wide exchange,
+    // on <= NumBuckets keys after map-side partial agg
+    val counts = feats
+      .select(bucketOf(col("feat")).as("bucket"), col("keep"))
+      .groupBy("bucket")
+      .agg(sum("keep").as("c1"), sum(lit(1L) - col("keep")).as("c0"))
+      .collect()
+    val t1 = counts.map(_.getLong(1)).sum
+    val t0 = counts.map(_.getLong(2)).sum
+    val weights = new Array[Long](NumBuckets)
+    counts.foreach { r =>
+      weights(r.getLong(0).toInt) = micro(
+        math.log((r.getLong(1) + 1).toDouble / (t1 + NumBuckets)) -
+          math.log((r.getLong(2) + 1).toDouble / (t0 + NumBuckets)))
+    }
+    val dc = base.agg(count(lit(1)).as("n"),
+      coalesce(sum("keep"), lit(0L)).as("n1")).head()
+    val n1 = dc.getLong(1)
+    val n0 = dc.getLong(0) - n1
+    val priorMicro = micro(math.log((n1 + 1).toDouble / (n0 + 1)))
+
+    // SCORE: constant-table kernel, pure narrow map
+    base
+      .select(col("doc_id"), col("keep").cast("int").as("keep"),
+        NbOps.nbScore(col("ws"), weights.toSeq).as("_s"))
+      .select(col("doc_id"), col("keep"),
+        coalesce(col("_s").getItem(0), lit(0L)).as("n_feats"),
+        (coalesce(col("_s").getItem(1), lit(0L)) + priorMicro).as("_m"))
+      .select(col("doc_id"), col("keep"), col("n_feats"),
+        (col("_m").cast("double") / 1e6).as("score"),
+        (col("_m") > 0).cast("int").as("predicted"))
+  }
+}

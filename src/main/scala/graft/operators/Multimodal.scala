@@ -1130,13 +1130,17 @@ object Multimodal {
     * the spec's hand-built byte-vector fixtures (JpegPixelSpec) pin the
     * decoder against streams the synthesizer never produced.
     *
-    * Residue classes (%5): 0 → grayscale; 1 → grayscale with restart
+    * Residue classes (%7): 0 → grayscale; 1 → grayscale with restart
     * markers every 2 MCUs (a decoder ignoring RSTn mis-predicts every
     * post-restart DC); 2 → 4:4:4 color (interleaved chroma blocks must
     * be entropy-decoded to keep alignment, then dropped); 3 → entropy
     * data truncated mid-stream (dims survive via `graft_jpeg_dims`,
-    * stats refuse — q59's meta/stat independence); 4 → not a JPEG.
-    * One narrow map, each kernel once per row, zero exchanges — pinned.
+    * stats refuse — q59's meta/stat independence); 4 → not a JPEG;
+    * 5 → 4:2:0 color (luma 2×2 — FOUR luma blocks per MCU at their
+    * true origins, the dominant web-JPEG layout); 6 → 4:2:2 color
+    * (luma 2×1) with restart markers every 2 MCUs (predictor reset
+    * across a multi-block MCU boundary). One narrow map, each kernel
+    * once per row, zero exchanges — pinned.
     */
   def q118JpegPixels(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.JpegPixelOps
@@ -1144,14 +1148,16 @@ object Multimodal {
     val id = col("doc_id")
     val bw = (id % 3 + 1).cast("long")
     val bh = (id % 2 + 1).cast("long")
-    // shape packs bw | bh<<8 | dri<<16 | color<<24
-    val shape = when(id % 5 === 1, bw + bh * 256 + lit(2L * 65536))
-      .when(id % 5 === 2, bw + bh * 256 + lit(16777216L))
-      .when(id % 5 === 3, lit(3L + 2 * 256 + 65536)) // 3x2 blocks, dri 1
+    // shape packs bw | bh<<8 | dri<<16 | mode<<24
+    val shape = when(id % 7 === 1, bw + bh * 256 + lit(2L * 65536))
+      .when(id % 7 === 2, bw + bh * 256 + lit(1L << 24))
+      .when(id % 7 === 3, lit(3L + 2 * 256 + 65536)) // 3x2 blocks, dri 1
+      .when(id % 7 === 5, bw + bh * 256 + lit(2L << 24))
+      .when(id % 7 === 6, bw + bh * 256 + lit(2L * 65536) + lit(3L << 24))
       .otherwise(bw + bh * 256)
     val whole = JpegPixelOps.jpegSynth(id, shape)
-    val payload = when(id % 5 === 4, col("text").cast("binary"))
-      .when(id % 5 === 3, expr("substring(_w, 1, length(_w) - 10)"))
+    val payload = when(id % 7 === 4, col("text").cast("binary"))
+      .when(id % 7 === 3, expr("substring(_w, 1, length(_w) - 10)"))
       .otherwise(col("_w"))
     val staged = docs.select(id, col("text"), whole.as("_w"))
       .select(id, payload.as("_p"))
@@ -1166,6 +1172,63 @@ object Multimodal {
       shiftrightunsigned(col("_jl"), 16).as("sum_luma"),
       floor(shiftrightunsigned(col("_jl"), 16) * 100 /
         (shiftright(col("_dims"), 32) * col("_dims").bitwiseAND(lit(0xFFFFFFFFL))))
+        .as("mean_luma_x100"))
+  }
+
+  // ---------------------------------------------------------------- q121
+
+  /** Q121: PNG PIXEL decode — the lossless-codec rung that retires q39's
+    * honest cap (it reads IHDR dims only): payloads are synthesized PNGs
+    * whose pixels come from the SAME residue channel maps as q59's BMPs
+    * and whose row `r` is written with filter type `(doc_id + r) % 5` —
+    * so the CRC-verified chunk walk, the zlib inflate, and all five
+    * RFC 2083 row filters (Sub/Up/Average/Paeth byte algebra included)
+    * sit between the stats and the oracle, which recomputes every
+    * statistic pixel-by-pixel from the residues and never sees a byte.
+    * A filter-inversion, stride, channel-order, or truncation slip
+    * cannot cancel (PngPixelSpec additionally pins the decoder against
+    * hand-spelled streams the synthesizer never produces).
+    *
+    * Residue classes (%5): 0 → grayscale; 1 → truecolor RGB; 2 → RGBA
+    * (alpha varies but is luma-irrelevant — a stride slip folds alpha
+    * bytes and fails); 3 → file cut 20 bytes short (IHDR dims survive,
+    * stats refuse — q59's meta/stat independence); 4 → not a PNG.
+    * One narrow map, each kernel once per row, zero exchanges — pinned.
+    */
+  def q121PngPixels(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PngPixelOps
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val w = (id % 6 + 1).cast("long")
+    val h = (id % 4 + 1).cast("long")
+    // shape packs w | h<<8 | mode<<16 (mode 0 gray, 1 RGB, 2 RGBA)
+    val shape = when(id % 5 === 1, w + h * 256 + lit(1L << 16))
+      .when(id % 5 === 2, w + h * 256 + lit(2L << 16))
+      .when(id % 5 === 3, w + h * 256 + lit(1L << 16))
+      .otherwise(w + h * 256)
+    val whole = PngPixelOps.pngSynth(id, shape)
+    val payload = when(id % 5 === 4, col("text").cast("binary"))
+      .when(id % 5 === 3, expr("substring(_w, 1, length(_w) - 20)"))
+      .otherwise(col("_w"))
+    val staged = docs.select(id, col("text"), whole.as("_w"))
+      .select(id, payload.as("_p"))
+      .withColumn("_pl", PngPixelOps.pngLuma(col("_p")))
+    // IHDR dims by direct header read (the decodeImageMeta PNG branch) —
+    // they must survive the truncated class whose pixel stats refuse
+    val isPng = hex(substring(col("_p"), 1, 8)) === PngSigHex
+    val ihdrOk = isPng && octet_length(col("_p")) >= 24 &&
+      hex(substring(col("_p"), 13, 4)) === IhdrHex
+    def be32(off: Int) =
+      conv(hex(substring(col("_p"), off, 4)), 16, 10).cast("int")
+    staged.select(id,
+      when(isPng, "png").otherwise("unknown").as("format"),
+      when(ihdrOk, be32(17)).as("width"),
+      when(ihdrOk, be32(21)).as("height"),
+      col("_pl").bitwiseAND(lit(0xFF)).cast("int").as("min_luma"),
+      shiftright(col("_pl"), 8).bitwiseAND(lit(0xFF)).cast("int").as("max_luma"),
+      shiftrightunsigned(col("_pl"), 16).as("sum_luma"),
+      floor(shiftrightunsigned(col("_pl"), 16) * 100 /
+        (when(ihdrOk, be32(17)).cast("long") * when(ihdrOk, be32(21))))
         .as("mean_luma_x100"))
   }
 }

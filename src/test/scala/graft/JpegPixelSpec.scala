@@ -77,21 +77,73 @@ class JpegPixelSpec extends AnyFunSuite {
   }
 
   test("synth -> decode round-trips the residue formula across shapes") {
-    // the q118 property: for every (seed, blocks, dri, color) the decoded
+    // the q118 property: for every (seed, MCUs, dri, mode) the decoded
     // stats equal the FORMULA's prediction (computed here from blockDc,
-    // never from bytes)
+    // never from bytes); modes 2/3 put FOUR/TWO luma blocks in each MCU
     for {
       seed <- 0L to 24L
       (bw, bh) <- Seq((1, 1), (3, 2), (2, 1))
-      (dri, color) <- Seq((0, false), (2, false), (0, true), (1, true))
+      (dri, mode) <- Seq((0, 0), (2, 0), (0, 1), (1, 1), (0, 2), (2, 2),
+        (0, 3), (1, 3))
     } {
-      val jpeg = JpegPixelEval.synth(seed, bw, bh, dri, color)
-      val pix = (0 until bw * bh).map(k => JpegPixelEval.blockDc(seed, k) + 128)
+      val lumaPerMcu = mode match { case 2 => 4; case 3 => 2; case _ => 1 }
+      val jpeg = JpegPixelEval.synth(seed, bw, bh, dri, mode)
+      val pix = (0 until bw * bh * lumaPerMcu)
+        .map(k => JpegPixelEval.blockDc(seed, k) + 128)
       val want = packed(pix.min, pix.max, 64L * pix.sum)
       val got = JpegPixelEval.lumaStats(jpeg)
       assert(got === want,
-        s"seed=$seed bw=$bw bh=$bh dri=$dri color=$color: got $got want $want")
+        s"seed=$seed bw=$bw bh=$bh dri=$dri mode=$mode: got $got want $want")
     }
+  }
+
+  // 4:2:0 prologue pieces (3 components, luma 2x2, chroma 1x1, all on
+  // quant/Huffman table 0)
+  private val sof420 = bs(0xFF, 0xC0, 0x00, 0x11, 0x08,
+    0x00, 0x10, 0x00, 0x10, 0x03,
+    0x01, 0x22, 0x00, 0x02, 0x11, 0x00, 0x03, 0x11, 0x00)
+  private val sosColor = bs(0xFF, 0xDA, 0x00, 0x0C, 0x03,
+    0x01, 0x00, 0x02, 0x00, 0x03, 0x00, 0x00, 0x3F, 0x00)
+
+  test("hand-built 4:2:0 stream folds all four luma blocks of the MCU") {
+    // One 16x16 MCU. Luma DCs 10, 20, -10, 0 (diffs +10/+10/-30/+10:
+    // cat4 '101'+_1010, cat4 again, cat5 '110'+_00001, cat4), each block
+    // closed by EOB '0'; then Cb DC 0 ('00' + EOB) and Cr DC +5
+    // (cat3 '100'+_101 + EOB). 43 bits, padded with five 1s:
+    // B4 B4 C1 5A 09 5F. Quant all-8s -> pixels dc+128 =
+    // 138, 148, 118, 128 — a decoder that replicates block 0 across the
+    // MCU (or drops the other three) misses min 118 / max 148.
+    val jpeg = bs(0xFF, 0xD8) ++ dqt8 ++ sof420 ++ dht ++ sosColor ++
+      bs(0xB4, 0xB4, 0xC1, 0x5A, 0x09, 0x5F, 0xFF, 0xD9)
+    val pix = Seq(138, 148, 118, 128)
+    assert(JpegPixelEval.lumaStats(jpeg) ===
+      packed(pix.min, pix.max, 64L * pix.sum))
+  }
+
+  test("sampling refusals: subsampled luma, multi-factor grayscale") {
+    val NoStats = java.lang.Long.MIN_VALUE
+    // chroma sampling exceeding luma's (luma 1x1, Cb 2x1) — luma would
+    // be the subsampled component; out of stated scope
+    val sofChromaUp = bs(0xFF, 0xC0, 0x00, 0x11, 0x08,
+      0x00, 0x10, 0x00, 0x10, 0x03,
+      0x01, 0x11, 0x00, 0x02, 0x21, 0x00, 0x03, 0x11, 0x00)
+    val a = bs(0xFF, 0xD8) ++ dqt8 ++ sofChromaUp ++ dht ++ sosColor ++
+      bs(0xB4, 0xFF, 0xD9)
+    assert(JpegPixelEval.lumaStats(a) === NoStats)
+    // single-component frame declaring 2x2 factors: T.81 A.2 makes that
+    // scan non-interleaved — refuse rather than guess the geometry
+    val sofGray22 = bs(0xFF, 0xC0, 0x00, 0x0B, 0x08,
+      0x00, 0x10, 0x00, 0x10, 0x01, 0x01, 0x22, 0x00)
+    val g = bs(0xFF, 0xD8) ++ dqt8 ++ sofGray22 ++ dht ++ sosGray ++
+      bs(0xB4, 0xFF, 0xD9)
+    assert(JpegPixelEval.lumaStats(g) === NoStats)
+    // luma factors beyond 2 (4x1) are out of stated scope
+    val sof41 = bs(0xFF, 0xC0, 0x00, 0x11, 0x08,
+      0x00, 0x10, 0x00, 0x20, 0x03,
+      0x01, 0x41, 0x00, 0x02, 0x11, 0x00, 0x03, 0x11, 0x00)
+    val f = bs(0xFF, 0xD8) ++ dqt8 ++ sof41 ++ dht ++ sosColor ++
+      bs(0xB4, 0xFF, 0xD9)
+    assert(JpegPixelEval.lumaStats(f) === NoStats)
   }
 
   test("synthesized streams carry parseable SOF dims and survive byte stuffing") {

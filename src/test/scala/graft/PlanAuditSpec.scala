@@ -806,6 +806,19 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q121 png pixels: zero exchanges, decode walks once per row") {
+    val df = graft.operators.Multimodal.q121PngPixels(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    assert(shuffles(df) === 0, s"expected 0 shuffles:\n$p")
+    // the packed stats feed 4 output columns — the pre-projection must
+    // survive CollapseProject or the inflate + filter walk runs per
+    // referencing column
+    for (k <- Seq("graft_png_luma(", "graft_png_synth(")) {
+      val n = java.util.regex.Pattern.quote(k).r.findAllIn(p).length
+      assert(n === 1, s"expected 1 $k in the plan, found $n:\n$p")
+    }
+  }
+
   test("q113 recrawl policy is a pure map — zero exchanges") {
     val df = graft.operators.Crawl.q113RecrawlPolicy(spark, TestSpark.Sf0001)
     assert(shuffles(df) === 0, s"expected 0 shuffles:\n${plan(df)}")

@@ -58,7 +58,11 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "vw_charset_sniff" ->
         graft.operators.Crawl.q117CharsetSniff(spark, TestSpark.Sf0001),
       "vw_jpeg_stats" ->
-        graft.operators.Multimodal.q118JpegPixels(spark, TestSpark.Sf0001))
+        graft.operators.Multimodal.q118JpegPixels(spark, TestSpark.Sf0001),
+      "vw_png_stats" ->
+        graft.operators.Multimodal.q121PngPixels(spark, TestSpark.Sf0001),
+      "vw_quality_model" ->
+        graft.operators.Classifier.q122QualityClassifier(spark, TestSpark.Sf0001))
     twins.foreach { case (view, df) =>
       val sql = canon(spark.sql(s"SELECT * FROM $view"))
       val api = canon(df)
