@@ -144,6 +144,7 @@ object SparkEntry {
     "q120_cohorts" -> (Relational.q120Cohorts _),
     "q121_png_pixels" -> (Multimodal.q121PngPixels _),
     "q122_quality_classifier" -> (Classifier.q122QualityClassifier _),
+    "q123_byte_bpe" -> ((s: SparkSession, d: String) => operators.Bpe.q123ByteBpe(s, d)),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1448,7 +1449,11 @@ object SparkEntry {
     // luma is the sample itself)
     "q121_png_pixels" ->
       ("WITH px AS (SELECT doc_id, " +
-        "CASE WHEN doc_id % 5 = 0 THEN (doc_id*3 + x*5 + r) % 256 " +
+        "CASE WHEN doc_id % 7 = 0 THEN (doc_id*3 + x*5 + r) % 256 " +
+        "WHEN doc_id % 7 = 5 THEN " +
+        "(299 * ((doc_id*2 + ((doc_id + x*3 + r*5) % 32)) % 256) + " +
+        "587 * ((doc_id*3 + ((doc_id + x*3 + r*5) % 32)*5) % 256) + " +
+        "114 * ((doc_id + ((doc_id + x*3 + r*5) % 32)*7) % 256)) // 1000 " +
         "ELSE (299 * ((doc_id*2 + x + r*11) % 256) + " +
         "587 * ((doc_id*3 + x*5 + r) % 256) + " +
         "114 * ((doc_id + x*7 + r*13) % 256)) // 1000 END AS luma " +
@@ -1458,18 +1463,18 @@ object SparkEntry {
         "agg AS (SELECT doc_id, min(luma) AS mn, max(luma) AS mx, " +
         "sum(luma) AS s, count(*) AS n FROM px GROUP BY doc_id) " +
         "SELECT d.doc_id, " +
-        "CASE WHEN d.doc_id % 5 = 4 THEN 'unknown' ELSE 'png' END AS format, " +
-        "CASE WHEN d.doc_id % 5 = 4 THEN NULL " +
+        "CASE WHEN d.doc_id % 7 = 4 THEN 'unknown' ELSE 'png' END AS format, " +
+        "CASE WHEN d.doc_id % 7 = 4 THEN NULL " +
         "ELSE CAST(d.doc_id % 6 + 1 AS INTEGER) END AS width, " +
-        "CASE WHEN d.doc_id % 5 = 4 THEN NULL " +
+        "CASE WHEN d.doc_id % 7 = 4 THEN NULL " +
         "ELSE CAST(d.doc_id % 4 + 1 AS INTEGER) END AS height, " +
-        "CASE WHEN d.doc_id % 5 IN (3,4) THEN NULL " +
+        "CASE WHEN d.doc_id % 7 IN (3,4) THEN NULL " +
         "ELSE CAST(a.mn AS INTEGER) END AS min_luma, " +
-        "CASE WHEN d.doc_id % 5 IN (3,4) THEN NULL " +
+        "CASE WHEN d.doc_id % 7 IN (3,4) THEN NULL " +
         "ELSE CAST(a.mx AS INTEGER) END AS max_luma, " +
-        "CASE WHEN d.doc_id % 5 IN (3,4) THEN NULL " +
+        "CASE WHEN d.doc_id % 7 IN (3,4) THEN NULL " +
         "ELSE CAST(a.s AS BIGINT) END AS sum_luma, " +
-        "CASE WHEN d.doc_id % 5 IN (3,4) THEN NULL " +
+        "CASE WHEN d.doc_id % 7 IN (3,4) THEN NULL " +
         "ELSE CAST(a.s * 100 // a.n AS BIGINT) END AS mean_luma_x100 " +
         "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"),
     // q122: the oracle replays the ENTIRE train+score pipeline from the
@@ -1478,6 +1483,11 @@ object SparkEntry {
     // decimal micro-units, and the per-doc integer sum — so a hashing,
     // smoothing, rounding, or bigram-boundary slip cannot cancel
     "q122_quality_classifier" -> Oracles.qualityClassifier,
+    // q123: the byte-level q86 — the oracle unrolls the same ten training
+    // rounds over hex-byte symbols and derives per-doc counts from the
+    // trained vocabulary (it never runs the encode kernel), so a
+    // pre-tokenizer, byte-alphabet, or merge-order slip cannot cancel
+    "q123_byte_bpe" -> byteBpeSql,
     // q119: the oracle spells the funnel as explicit per-step joins
     // (min view; min click strictly after it; min purchase strictly
     // after that) — a structurally different formulation from the Spark
@@ -1999,6 +2009,26 @@ object SparkEntry {
 
   private val BpeMerges = 10
 
+  /** The unrolled merge rounds over a prepared `wf0 ($key, freq, syms)`
+    * frame: `wf0` through `wf{merges}`, each round's winning pair in
+    * `t{k}` — shared by the character-level (q85/q86) and byte-level
+    * (q123) oracles, in lockstep with the Spark side's shared
+    * `Bpe.mergeLoop`.
+    */
+  private def bpeRounds(key: String, merges: Int): String =
+    (1 to merges).map { k =>
+      val prev = s"wf${k - 1}"
+      s"p$k AS (SELECT syms[i] AS l, syms[i+1] AS r, freq FROM " +
+        s"(SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM $prev WHERE len(syms) >= 2)), " +
+        s"t$k AS (SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM p$k " +
+        "GROUP BY l, r ORDER BY cnt DESC, l, r LIMIT 1), " +
+        s"wf$k AS (SELECT $key, freq, CASE WHEN len(syms) < 2 THEN syms " +
+        "ELSE list_reduce(list_transform(syms, s -> [s]), (acc, x) -> " +
+        "CASE WHEN acc[-1] = t.l AND x[1] = t.r " +
+        "THEN acc[1:len(acc)-1] || [t.l || t.r] ELSE acc || x END) END AS syms " +
+        s"FROM $prev, t$k AS t)"
+    }.mkString(", ")
+
   /** The unrolled training rounds: `wf0` (word, freq, chars) through
     * `wf10`, with each round's winning pair in `t{k}`.
     */
@@ -2006,20 +2036,38 @@ object SparkEntry {
     val base = s"WITH toks AS (SELECT unnest(${bpeTok("text")}) AS word FROM documents), " +
       "wf0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq, " +
       "list_transform(range(1, len(word)+1), i -> word[i]) AS syms FROM toks GROUP BY word)"
-    val rounds = (1 to BpeMerges).map { k =>
-      val prev = s"wf${k - 1}"
-      s"p$k AS (SELECT syms[i] AS l, syms[i+1] AS r, freq FROM " +
-        s"(SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM $prev WHERE len(syms) >= 2)), " +
-        s"t$k AS (SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM p$k " +
-        "GROUP BY l, r ORDER BY cnt DESC, l, r LIMIT 1), " +
-        s"wf$k AS (SELECT word, freq, CASE WHEN len(syms) < 2 THEN syms " +
-        "ELSE list_reduce(list_transform(syms, s -> [s]), (acc, x) -> " +
-        "CASE WHEN acc[-1] = t.l AND x[1] = t.r " +
-        "THEN acc[1:len(acc)-1] || [t.l || t.r] ELSE acc || x END) END AS syms " +
-        s"FROM $prev, t$k AS t)"
-    }.mkString(", ")
-    s"$base, $rounds"
+    s"$base, ${bpeRounds("word", BpeMerges)}"
   }
+
+  /** The byte-level twin: pre-tokens via the shared regex (case kept,
+    * whitespace runs included), symbols as uppercase 2-hex-char byte
+    * strings — `hex(encode(tok))` chunked in 2s, exactly the Spark
+    * trainer's representation.
+    */
+  private lazy val byteBpeCtes: String = {
+    val re = graft.functions.ByteBpeEval.PreTok
+    val base = s"WITH toks AS (SELECT unnest(regexp_extract_all(text, '$re')) AS tok FROM documents), " +
+      "wf0 AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq, " +
+      "list_transform(range(1, octet_length(encode(tok)) + 1), " +
+      "i -> substr(hex(encode(tok)), 2*i - 1, 2)) AS syms FROM toks GROUP BY tok)"
+    s"$base, ${bpeRounds("tok", BpeMerges)}"
+  }
+
+  /** Q123 oracle — the byte-level unrolled train+encode: after round 10
+    * every trained pre-token's symbol count IS its byte-BPE token count,
+    * so per-doc totals are a vocabulary join (the q86 stance), and
+    * n_bytes comes from the raw UTF-8 encoding.
+    */
+  private lazy val byteBpeSql: String = byteBpeCtes +
+    s", vocab AS (SELECT tok, CAST(len(syms) AS BIGINT) AS n FROM wf$BpeMerges), " +
+    s"dw AS (SELECT doc_id, unnest(regexp_extract_all(text, " +
+    s"'${graft.functions.ByteBpeEval.PreTok}')) AS tok FROM documents), " +
+    "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pretoks, " +
+    "CAST(sum(n) AS BIGINT) AS n_bpe FROM dw JOIN vocab USING (tok) GROUP BY doc_id) " +
+    "SELECT d.doc_id, CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes, " +
+    "coalesce(a.n_pretoks, 0) AS n_pretoks, " +
+    "coalesce(a.n_bpe, 0) AS n_bpe_tokens " +
+    "FROM documents d LEFT JOIN agg a USING (doc_id)"
 
   private lazy val bpeTrainSql: String = bpeCtes + " " +
     (1 to BpeMerges).map { k =>

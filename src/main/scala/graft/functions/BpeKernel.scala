@@ -91,6 +91,97 @@ case class BpeTokens(child: Expression, merges: Seq[String])
     copy(child = newChild)
 }
 
+/** BYTE-level BPE encode (q123) — the GPT-2-class shape: pre-tokenize
+  * with [[ByteBpeEval.PreTok]] (case kept, whitespace runs are tokens),
+  * fall back to raw UTF-8 BYTES as the base alphabet (so every string is
+  * representable — no OOV), and apply the trained merge table with the
+  * same leftmost-greedy rank-order fold as [[BpeEval]]. Symbols are
+  * 2-hex-char strings, exactly the trainer's representation, so kernel
+  * and training loop can never disagree on a merge boundary.
+  */
+object ByteBpeEval {
+  /** The shared pre-tokenizer. Stated divergences from GPT-2's
+    * (Radford et al. 2019 §2.2): no English contraction splits and no
+    * whitespace lookahead (RE2 — the oracle engine's regex — has no
+    * lookahead); classes are explicit ASCII so Java and RE2 agree on
+    * every byte, and non-ASCII runs fall to the "other" class where
+    * byte-fallback handles them.
+    */
+  final val PreTok: String =
+    " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \\t\\n\\r]+|[ \\t\\n\\r]+"
+
+  private val pat = java.util.regex.Pattern.compile(PreTok)
+  private val Hex = "0123456789ABCDEF"
+
+  /** `[n_pretoks, n_bpe_tokens]` of `text` under the flattened
+    * rank-ordered merge table (hex-pair symbols).
+    */
+  def stats(text: UTF8String, merges: Array[String]): Array[Long] = {
+    val m = pat.matcher(text.toString)
+    var nTok = 0L
+    var total = 0L
+    while (m.find()) {
+      nTok += 1
+      val bb = UTF8String.fromString(m.group()).getBytes
+      var syms = new Array[String](bb.length)
+      var i = 0
+      while (i < bb.length) {
+        val v = bb(i) & 0xFF
+        syms(i) = s"${Hex.charAt(v >> 4)}${Hex.charAt(v & 0x0F)}"
+        i += 1
+      }
+      var n = bb.length
+      var mi = 0
+      while (mi + 1 < merges.length && n > 1) {
+        val l = merges(mi)
+        val r = merges(mi + 1)
+        var rd = 0
+        var wr = 0
+        while (rd < n) {
+          if (rd + 1 < n && syms(rd) == l && syms(rd + 1) == r) {
+            syms(wr) = l + r; rd += 2
+          } else { syms(wr) = syms(rd); rd += 1 }
+          wr += 1
+        }
+        n = wr
+        mi += 2
+      }
+      total += n
+    }
+    Array(nTok, total)
+  }
+}
+
+/** `string -> array<long> [n_pretoks, n_bpe_tokens]`: byte-level BPE
+  * stats under a constant merge table ([[ByteBpeEval]]).
+  */
+case class ByteBpeTokens(child: Expression, merges: Seq[String])
+    extends UnaryExpression {
+  require(merges.length % 2 == 0,
+    s"flattened merge table must hold (left, right) pairs; got ${merges.length} elements")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_byte_bpe"
+
+  @transient private lazy val mergeArr: Array[String] = merges.toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      ByteBpeEval.stats(input.asInstanceOf[UTF8String], mergeArr))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("byteBpeMerges", mergeArr, "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, s =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.ByteBpeEval.stats($s, $ref));""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ByteBpeTokens =
+    copy(child = newChild)
+}
+
 object BpeOps {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.graft.ColumnBridge
@@ -100,5 +191,12 @@ object BpeOps {
     */
   def bpeTokens(text: Column, merges: Seq[String]): Column =
     ColumnBridge.column(BpeTokens(
+      ColumnBridge.expression(text.cast("string")), merges))
+
+  /** Byte-level BPE `[n_pretoks, n_bpe_tokens]` under the flattened
+    * rank-ordered hex-pair merge table ([[ByteBpeTokens]]).
+    */
+  def byteBpeStats(text: Column, merges: Seq[String]): Column =
+    ColumnBridge.column(ByteBpeTokens(
       ColumnBridge.expression(text.cast("string")), merges))
 }

@@ -15,15 +15,21 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   *
   * Scope is stated, not guessed: 8-bit depth, color types 0 (grayscale,
   * luma = the sample: (299+587+114)/1000 of an equal-channel pixel),
-  * 2 (truecolor), and 6 (truecolor+alpha, alpha luma-irrelevant),
-  * non-interlaced. Adam7 interlace, palette (type 3), gray+alpha
-  * (type 4), 16-bit depth, and nonzero compression/filter methods
-  * return NULL — stop-don't-guess, the q82/q95 stance. Any structural
-  * lie also refuses: bad chunk CRC, a filter byte past 4, IDAT
-  * inflating to anything but exactly `h·(1 + w·bpp)` bytes, a
-  * non-consecutive IDAT run, truncated chunks, or a missing IEND.
-  * Dims past 1<<24 per edge refuse as a resource guard (a header is
-  * attacker-controlled; the scanline buffer must stay bounded).
+  * 2 (truecolor), 3 (palette — PLTE-indexed, luma from the mapped RGB;
+  * filters apply to the raw index bytes per RFC 2083 §6.2), and
+  * 6 (truecolor+alpha, alpha luma-irrelevant), plain or Adam7
+  * INTERLACED (the seven passes are defiltered as independent
+  * sub-images — fresh zero row per pass, pass-local stride — and since
+  * every pixel appears in exactly one pass, the luma fold is
+  * position-free). Gray+alpha (type 4), 16-bit depth, and nonzero
+  * compression/filter methods return NULL — stop-don't-guess, the
+  * q82/q95 stance. Any structural lie also refuses: bad chunk CRC, a
+  * filter byte past 4, IDAT inflating to anything but exactly the
+  * pass-geometry byte count, a non-consecutive IDAT run, truncated
+  * chunks, a missing IEND, a missing/odd-length/oversized PLTE for
+  * type 3, or a palette index past the table. Dims past 1<<24 per edge
+  * refuse as a resource guard (a header is attacker-controlled; the
+  * scanline buffer must stay bounded).
   *
   * Reference behavior: scholar-stream treats media as opaque blobs
   * (infra/glue only); this kernel is a north-star extension of the
@@ -62,9 +68,12 @@ object PngPixelEval {
     var width = 0
     var height = 0
     var colorType = -1
+    var interlaced = false
     var sawIhdr = false
     var idatDone = false
     var sawIend = false
+    var palette: Array[Byte] = null
+    var palN = 0
     // IDAT data segments, concatenated lazily into the inflate loop
     val idatOff = new java.util.ArrayList[Int]()
     val idatLen = new java.util.ArrayList[Int]()
@@ -82,6 +91,7 @@ object PngPixelEval {
       val isIhdr = t0 == 'I' && t1 == 'H' && t2 == 'D' && t3 == 'R'
       val isIdat = t0 == 'I' && t1 == 'D' && t2 == 'A' && t3 == 'T'
       val isIend = t0 == 'I' && t1 == 'E' && t2 == 'N' && t3 == 'D'
+      val isPlte = t0 == 'P' && t1 == 'L' && t2 == 'T' && t3 == 'E'
       if (!sawIhdr) {
         if (!isIhdr) return NoStats // IHDR must be the first chunk
         if (dl != 13) return NoStats
@@ -93,15 +103,25 @@ object PngPixelEval {
         height = h.toInt
         if ((b(p + 8) & 0xFF) != 8) return NoStats // bit depth
         colorType = b(p + 9) & 0xFF
-        if (colorType != 0 && colorType != 2 && colorType != 6) return NoStats
+        if (colorType != 0 && colorType != 2 && colorType != 3 &&
+          colorType != 6) return NoStats
         if ((b(p + 10) & 0xFF) != 0) return NoStats // compression method
         if ((b(p + 11) & 0xFF) != 0) return NoStats // filter method
-        if ((b(p + 12) & 0xFF) != 0) return NoStats // interlace (no Adam7)
+        val il = b(p + 12) & 0xFF
+        if (il > 1) return NoStats // 0 = none, 1 = Adam7
+        interlaced = il == 1
         sawIhdr = true
       } else if (isIdat) {
         if (idatDone) return NoStats // IDAT run must be consecutive
         idatOff.add(pos + 8)
         idatLen.add(dl)
+      } else if (isPlte) {
+        // PLTE must precede IDAT, hold 1..256 whole RGB triples, and
+        // appear once (RFC 2083 §4.1.2)
+        if (palette != null || !idatOff.isEmpty) return NoStats
+        if (dl == 0 || dl % 3 != 0 || dl > 768) return NoStats
+        palette = java.util.Arrays.copyOfRange(b, pos + 8, pos + 8 + dl)
+        palN = dl / 3
       } else if (isIhdr) {
         return NoStats
       } else {
@@ -111,75 +131,105 @@ object PngPixelEval {
       pos += 12 + dl
     }
     if (idatOff.isEmpty) return NoStats
+    if (colorType == 3 && palette == null) return NoStats
 
-    val bpp = colorType match { case 0 => 1; case 2 => 3; case _ => 4 }
-    val stride = width * bpp
+    val bpp = colorType match { case 0 | 3 => 1; case 2 => 3; case _ => 4 }
+    // pass geometry: one full-frame pass, or the seven Adam7 sub-images
+    // (x0, y0, xStep, yStep per RFC 2083 §2.6) — empty passes emit no
+    // scanlines at all
+    val passDims: Array[(Int, Int)] =
+      if (!interlaced) Array((width, height))
+      else {
+        val spec = Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+          (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+        spec.map { case (x0, y0, xs, ys) =>
+          (math.max(0, (width - x0 + xs - 1) / xs),
+            math.max(0, (height - y0 + ys - 1) / ys))
+        }.filter { case (w, h) => w > 0 && h > 0 }
+      }
     val inf = infl.get()
     inf.reset()
     var seg = 0
     inf.setInput(b, idatOff.get(0), idatLen.get(0))
 
-    val cur = new Array[Byte](1 + stride)
-    val prev = new Array[Byte](1 + stride) // zeroed: row -1 is all zero
+    val maxStride = width * bpp
+    val cur = new Array[Byte](1 + maxStride)
+    val prev = new Array[Byte](1 + maxStride)
     var minL = 255
     var maxL = 0
     var sum = 0L
-    var row = 0
     try {
-      while (row < height) {
-        // fill one scanline (filter byte + stride) from the inflater,
-        // feeding IDAT segments as it drains them
-        var got = 0
-        while (got < cur.length) {
-          val n = inf.inflate(cur, got, cur.length - got)
-          if (n == 0) {
-            if (inf.finished()) return NoStats // short raster
-            if (inf.needsInput()) {
-              seg += 1
-              if (seg >= idatOff.size()) return NoStats // truncated stream
-              inf.setInput(b, idatOff.get(seg), idatLen.get(seg))
-            } else if (inf.needsDictionary()) {
-              return NoStats
-            }
-          } else got += n
-        }
-        // invert the row filter in place (RFC 2083 §6)
-        val ft = cur(0) & 0xFF
-        if (ft > 4) return NoStats
-        var x = 1
-        while (x <= stride) {
-          val left = if (x > bpp) cur(x - bpp) & 0xFF else 0
-          val above = prev(x) & 0xFF
-          val ul = if (x > bpp) prev(x - bpp) & 0xFF else 0
-          val add = ft match {
-            case 0 => 0
-            case 1 => left
-            case 2 => above
-            case 3 => (left + above) >> 1
-            case _ => // Paeth predictor
-              val p = left + above - ul
-              val pa = math.abs(p - left)
-              val pb = math.abs(p - above)
-              val pc = math.abs(p - ul)
-              if (pa <= pb && pa <= pc) left else if (pb <= pc) above else ul
+      var pi = 0
+      while (pi < passDims.length) {
+        val stride = passDims(pi)._1 * bpp
+        val rows = passDims(pi)._2
+        java.util.Arrays.fill(prev, 0.toByte) // row -1 of THIS pass is zero
+        var row = 0
+        while (row < rows) {
+          // fill one scanline (filter byte + stride) from the inflater,
+          // feeding IDAT segments as it drains them
+          var got = 0
+          while (got < 1 + stride) {
+            val n = inf.inflate(cur, got, 1 + stride - got)
+            if (n == 0) {
+              if (inf.finished()) return NoStats // short raster
+              if (inf.needsInput()) {
+                seg += 1
+                if (seg >= idatOff.size()) return NoStats // truncated stream
+                inf.setInput(b, idatOff.get(seg), idatLen.get(seg))
+              } else if (inf.needsDictionary()) {
+                return NoStats
+              }
+            } else got += n
           }
-          cur(x) = ((cur(x) & 0xFF) + add).toByte
-          x += 1
+          // invert the row filter in place (RFC 2083 §6)
+          val ft = cur(0) & 0xFF
+          if (ft > 4) return NoStats
+          var x = 1
+          while (x <= stride) {
+            val left = if (x > bpp) cur(x - bpp) & 0xFF else 0
+            val above = prev(x) & 0xFF
+            val ul = if (x > bpp) prev(x - bpp) & 0xFF else 0
+            val add = ft match {
+              case 0 => 0
+              case 1 => left
+              case 2 => above
+              case 3 => (left + above) >> 1
+              case _ => // Paeth predictor
+                val p = left + above - ul
+                val pa = math.abs(p - left)
+                val pb = math.abs(p - above)
+                val pc = math.abs(p - ul)
+                if (pa <= pb && pa <= pc) left else if (pb <= pc) above else ul
+            }
+            cur(x) = ((cur(x) & 0xFF) + add).toByte
+            x += 1
+          }
+          // fold Rec.601 luma (position-free: each pixel decodes exactly
+          // once across passes)
+          var px = 1
+          while (px <= stride) {
+            val luma = colorType match {
+              case 0 => cur(px) & 0xFF
+              case 3 =>
+                val idx = cur(px) & 0xFF
+                if (idx >= palN) return NoStats // index past the palette
+                (299 * (palette(idx * 3) & 0xFF) +
+                  587 * (palette(idx * 3 + 1) & 0xFF) +
+                  114 * (palette(idx * 3 + 2) & 0xFF)) / 1000
+              case _ =>
+                (299 * (cur(px) & 0xFF) + 587 * (cur(px + 1) & 0xFF) +
+                  114 * (cur(px + 2) & 0xFF)) / 1000
+            }
+            sum += luma
+            if (luma < minL) minL = luma
+            if (luma > maxL) maxL = luma
+            px += bpp
+          }
+          System.arraycopy(cur, 0, prev, 0, 1 + stride)
+          row += 1
         }
-        // fold Rec.601 luma
-        var px = 1
-        while (px <= stride) {
-          val luma =
-            if (colorType == 0) cur(px) & 0xFF
-            else (299 * (cur(px) & 0xFF) + 587 * (cur(px + 1) & 0xFF) +
-              114 * (cur(px + 2) & 0xFF)) / 1000
-          sum += luma
-          if (luma < minL) minL = luma
-          if (luma > maxL) maxL = luma
-          px += bpp
-        }
-        System.arraycopy(cur, 0, prev, 0, cur.length)
-        row += 1
+        pi += 1
       }
       // the stream must end EXACTLY at the raster: any trailing inflated
       // byte is a structural lie — but the zlib trailer itself may span
@@ -233,64 +283,89 @@ object PngPixelEval {
     b32(c.getValue)
   }
 
+  /** Palette size for the synthesis palette class. */
+  final val PalN = 32
+
+  private val Adam7 = Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+    (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
   /** Synthesize a PNG whose pixels come from the q59 residue maps and
-    * whose row `r` uses filter type `(seed + r) % 5` — every decode path
-    * (Sub/Up/Average/Paeth byte algebra included) is exercised on every
-    * multi-row image. `mode`: 0 grayscale (sample = G map), 1 truecolor,
-    * 2 truecolor+alpha (alpha = `(x + r) % 256`, luma-irrelevant — a
-    * stride slip shifts the fold onto alpha bytes and fails).
+    * whose k-th emitted scanline uses filter type `(seed + k) % 5` —
+    * every decode path (Sub/Up/Average/Paeth byte algebra included) is
+    * exercised on every multi-row image. `mode`: 0 grayscale (sample =
+    * G map), 1 truecolor, 2 truecolor+alpha (alpha = `(x + r) % 256`,
+    * luma-irrelevant — a stride slip shifts the fold onto alpha bytes
+    * and fails), 3 palette ([[PalN]] PLTE entries from the channel maps
+    * over the entry index; pixel = index `(seed + 3x + 5r) % PalN`),
+    * 4 truecolor ADAM7-INTERLACED (same absolute-coordinate pixels as
+    * mode 1 — identical stats — serialized in the seven-pass geometry,
+    * each pass filtered as its own sub-image).
     */
   def synth(seed: Long, w: Int, h: Int, mode: Int): Array[Byte] = {
-    val bpp = mode match { case 0 => 1; case 1 => 3; case _ => 4 }
-    val stride = w * bpp
-    val raw = new Array[Byte](h * (1 + stride))
-    val prev = new Array[Byte](stride) // raw bytes of row r-1 (zero for r=0)
-    val curr = new Array[Byte](stride)
-    var r = 0
-    while (r < h) {
-      var x = 0
-      while (x < w) {
-        val o = x * bpp
-        if (mode == 0) curr(o) = chG(seed, x, r).toByte
-        else {
-          curr(o) = chR(seed, x, r).toByte
-          curr(o + 1) = chG(seed, x, r).toByte
-          curr(o + 2) = chB(seed, x, r).toByte
-          if (mode == 2) curr(o + 3) = ((x + r) % 256).toByte
-        }
-        x += 1
-      }
-      val ft = (((seed + r) % 5 + 5) % 5).toInt
-      val base = r * (1 + stride)
-      raw(base) = ft.toByte
-      var i = 0
-      while (i < stride) {
-        val left = if (i >= bpp) curr(i - bpp) & 0xFF else 0
-        val above = prev(i) & 0xFF
-        val ul = if (i >= bpp) prev(i - bpp) & 0xFF else 0
-        val sub = ft match {
-          case 0 => 0
-          case 1 => left
-          case 2 => above
-          case 3 => (left + above) >> 1
-          case _ =>
-            val p = left + above - ul
-            val pa = math.abs(p - left)
-            val pb = math.abs(p - above)
-            val pc = math.abs(p - ul)
-            if (pa <= pb && pa <= pc) left else if (pb <= pc) above else ul
-        }
-        raw(base + 1 + i) = ((curr(i) & 0xFF) - sub).toByte
-        i += 1
-      }
-      System.arraycopy(curr, 0, prev, 0, stride)
-      r += 1
+    val bpp = mode match { case 0 | 3 => 1; case 1 | 4 => 3; case _ => 4 }
+    def writePix(x: Int, r: Int, out: Array[Byte], o: Int): Unit = mode match {
+      case 0 => out(o) = chG(seed, x, r).toByte
+      case 3 => out(o) = (((seed + x * 3 + r * 5) % PalN + PalN) % PalN).toByte
+      case _ =>
+        out(o) = chR(seed, x, r).toByte
+        out(o + 1) = chG(seed, x, r).toByte
+        out(o + 2) = chB(seed, x, r).toByte
+        if (mode == 2) out(o + 3) = ((x + r) % 256).toByte
     }
+    val passes: Array[(Int, Int, Int, Int)] =
+      if (mode == 4) Adam7 else Array((0, 0, 1, 1))
+    val raw = new java.io.ByteArrayOutputStream(h * (1 + w * bpp) + 64)
+    var k = 0 // global emitted-scanline counter (drives the filter walk)
+    passes.foreach { case (x0, y0, xs, ys) =>
+      val wp = math.max(0, (w - x0 + xs - 1) / xs)
+      val hp = math.max(0, (h - y0 + ys - 1) / ys)
+      if (wp > 0 && hp > 0) {
+        val stride = wp * bpp
+        val prev = new Array[Byte](stride) // pass row -1 is all zero
+        val curr = new Array[Byte](stride)
+        val filt = new Array[Byte](stride)
+        var r = 0
+        while (r < hp) {
+          var xi = 0
+          while (xi < wp) {
+            writePix(x0 + xi * xs, y0 + r * ys, curr, xi * bpp)
+            xi += 1
+          }
+          val ft = (((seed + k) % 5 + 5) % 5).toInt
+          raw.write(ft)
+          var i = 0
+          while (i < stride) {
+            val left = if (i >= bpp) curr(i - bpp) & 0xFF else 0
+            val above = prev(i) & 0xFF
+            val ul = if (i >= bpp) prev(i - bpp) & 0xFF else 0
+            val sub = ft match {
+              case 0 => 0
+              case 1 => left
+              case 2 => above
+              case 3 => (left + above) >> 1
+              case _ =>
+                val p = left + above - ul
+                val pa = math.abs(p - left)
+                val pb = math.abs(p - above)
+                val pc = math.abs(p - ul)
+                if (pa <= pb && pa <= pc) left else if (pb <= pc) above else ul
+            }
+            filt(i) = ((curr(i) & 0xFF) - sub).toByte
+            i += 1
+          }
+          raw.write(filt, 0, stride)
+          System.arraycopy(curr, 0, prev, 0, stride)
+          r += 1
+          k += 1
+        }
+      }
+    }
+    val rawArr = raw.toByteArray
     val d = defl.get()
     d.reset()
-    d.setInput(raw)
+    d.setInput(rawArr)
     d.finish()
-    val zout = new java.io.ByteArrayOutputStream(raw.length / 2 + 16)
+    val zout = new java.io.ByteArrayOutputStream(rawArr.length / 2 + 16)
     val buf = new Array[Byte](4096)
     while (!d.finished()) zout.write(buf, 0, d.deflate(buf))
     val out = new java.io.ByteArrayOutputStream(zout.size() + 64)
@@ -302,9 +377,22 @@ object PngPixelEval {
     }
     w32(0, w); w32(4, h)
     ihdr(8) = 8 // bit depth
-    ihdr(9) = (mode match { case 0 => 0; case 1 => 2; case _ => 6 }).toByte
-    // compression / filter / interlace all 0
+    ihdr(9) = (mode match {
+      case 0 => 0; case 1 | 4 => 2; case 3 => 3; case _ => 6
+    }).toByte
+    ihdr(12) = (if (mode == 4) 1 else 0).toByte // interlace method
     chunk(out, "IHDR", ihdr)
+    if (mode == 3) {
+      val plte = new Array[Byte](PalN * 3)
+      var j = 0
+      while (j < PalN) {
+        plte(j * 3) = chR(seed, j, 0).toByte
+        plte(j * 3 + 1) = chG(seed, j, 0).toByte
+        plte(j * 3 + 2) = chB(seed, j, 0).toByte
+        j += 1
+      }
+      chunk(out, "PLTE", plte)
+    }
     chunk(out, "IDAT", zout.toByteArray)
     chunk(out, "IEND", Array.emptyByteArray)
     out.toByteArray
@@ -340,8 +428,9 @@ case class PngLuma(child: Expression) extends UnaryExpression {
 }
 
 /** `(long seed, long shape) -> binary`: q121's synthesis expression —
-  * `shape` packs `w | h<<8 | mode<<16` (mode 0 gray, 1 RGB, 2 RGBA) so
-  * the synthesis stays a two-child codegen'd expression.
+  * `shape` packs `w | h<<8 | mode<<16` (mode 0 gray, 1 RGB, 2 RGBA,
+  * 3 palette, 4 Adam7-interlaced RGB) so the synthesis stays a
+  * two-child codegen'd expression.
   */
 case class PngSynth(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -352,13 +441,13 @@ case class PngSynth(left: Expression, right: Expression)
   override protected def nullSafeEval(seed: Any, shape: Any): Any = {
     val sh = shape.asInstanceOf[Long]
     PngPixelEval.synth(seed.asInstanceOf[Long], (sh & 0xFF).toInt,
-      ((sh >> 8) & 0xFF).toInt, ((sh >> 16) & 3).toInt)
+      ((sh >> 8) & 0xFF).toInt, ((sh >> 16) & 7).toInt)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (s, sh) =>
       s"graft.functions.PngPixelEval.synth($s, (int)($sh & 0xFF), " +
-        s"(int)(($sh >> 8) & 0xFF), (int)(($sh >> 16) & 3))")
+        s"(int)(($sh >> 8) & 0xFF), (int)(($sh >> 16) & 7))")
 
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): PngSynth =

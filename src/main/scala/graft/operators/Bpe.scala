@@ -46,14 +46,20 @@ object Bpe {
     * (round, left, right, merged, pair_count) — round is 1-based merge
     * order, pair_count the weighted adjacency count that won the round.
     */
-  def bpeTrainOn(docs: DataFrame, merges: Int): DataFrame = {
-    val spark = docs.sparkSession
-    val sc = spark.sparkContext
+  def bpeTrainOn(docs: DataFrame, merges: Int): DataFrame =
     // the one corpus-sized pass: word -> frequency, word -> chars
-    val wf0 = docs.select(explode(words(col("text"))).as("word"))
+    mergeLoop(docs.select(explode(words(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(col("freq"),
-        filter(split(col("word"), ""), s => s =!= "").as("syms"))
+        filter(split(col("word"), ""), s => s =!= "").as("syms")), merges)
+
+  /** The merge loop over any prepared `(freq, syms)` vocabulary frame —
+    * shared by the character-level (q85) and byte-level (q123) trainers;
+    * the alphabet is whatever `syms` holds.
+    */
+  private def mergeLoop(wf0: DataFrame, merges: Int): DataFrame = {
+    val spark = wf0.sparkSession
+    val sc = spark.sparkContext
     var wf = ColumnBridge.freshStats(wf0.localCheckpoint(true))
     var ckIds = ColumnBridge.checkpointRddIds(wf)
     val out = Seq.newBuilder[(Int, String, String, String, Long)]
@@ -123,4 +129,60 @@ object Bpe {
     bpeTrainOn(docs, merges).collect()
       .sortBy(_.getInt(0))
       .flatMap(r => Seq(r.getString(1), r.getString(2))).toSeq
+
+  // ---------------------------------------------------------------- q123
+
+  /** Byte-level BPE training — the GPT-2-class rung above q85's
+    * word-level trainer (Radford et al. 2019 §2.2): pre-tokenize with a
+    * regex (case kept, whitespace runs are tokens too), then merge over
+    * the UTF-8 BYTES of each pre-token, so the base alphabet is the 256
+    * byte values and EVERY string — any language, emoji, binary-ish
+    * junk — is representable with zero OOV (the byte-fallback property
+    * word-level lacks). Symbols are carried as 2-hex-char strings
+    * ("61", "6162", ...) so the q85 merge loop applies unchanged and
+    * concatenation stays unambiguous at fixed 2-char granularity.
+    *
+    * The pre-tokenizer ([[graft.functions.ByteBpeEval.PreTok]]) diverges
+    * from GPT-2's in two stated ways: no English contraction splits
+    * ('s/'t/...) and no whitespace lookahead — both need constructs or
+    * language-specific tables outside what a cross-engine oracle can
+    * replay (RE2 has no lookahead); the classes are spelled in explicit
+    * ASCII so Java and RE2 agree on every byte, with non-ASCII runs
+    * falling to the "other" class where byte-fallback handles them.
+    *
+    * Same scale decomposition as q85: one corpus pass builds the
+    * pre-token frequency frame (vocabulary-bounded), every merge round
+    * rides the vocabulary, the argmax is a 1-row fetch.
+    */
+  def byteBpeTrainOn(docs: DataFrame, merges: Int): DataFrame = {
+    val pre = regexp_extract_all(col("text"),
+      lit(graft.functions.ByteBpeEval.PreTok), lit(0))
+    val hexCol = hex(encode(col("tok"), "UTF-8"))
+    mergeLoop(docs.select(explode(pre).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        transform(sequence(lit(1), octet_length(col("tok"))),
+          i => hexCol.substr(i * 2 - 1, lit(2))).as("syms")), merges)
+  }
+
+  /** Q123: byte-level BPE tokenization — train [[byteBpeTrainOn]]'s merge
+    * table (training-inclusive, the q85/q86 discipline), then stat every
+    * document with the codegen'd constant-table kernel
+    * [[graft.functions.ByteBpeTokens]]: pre-token count and byte-BPE
+    * token count in one narrow pass, `n_bytes` alongside so the
+    * bytes-per-token compression the tokenizer buys is a one-line read.
+    * Zero joins, zero exchanges at encode time.
+    */
+  def q123ByteBpe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val flat = byteBpeTrainOn(docs, 10).collect()
+      .sortBy(_.getInt(0))
+      .flatMap(r => Seq(r.getString(1), r.getString(2))).toSeq
+    docs.select(col("doc_id"),
+      octet_length(col("text")).cast("long").as("n_bytes"),
+      graft.functions.BpeOps.byteBpeStats(col("text"), flat).as("_s"))
+      .select(col("doc_id"), col("n_bytes"),
+        coalesce(col("_s").getItem(0), lit(0L)).as("n_pretoks"),
+        coalesce(col("_s").getItem(1), lit(0L)).as("n_bpe_tokens"))
+  }
 }

@@ -362,7 +362,17 @@ object Dedup {
   def embedNearDupClusters(vectors: DataFrame, threshold: Double,
                            nbits: Int = 2, bands: Int = 24,
                            bucketCap: Int = 4096,
-                           cappedRegime: Boolean = false): DataFrame = {
+                           cappedRegime: Boolean = false): DataFrame =
+    connectedComponents(embedNearDupPairs(vectors, threshold, nbits, bands,
+      bucketCap, cappedRegime))
+      .select(col("doc_id").as("vec_id"), col("cluster"))
+
+  /** The q44 pair stage alone (exposed for stage-level profiling and
+    * spec containment checks): surviving dup pairs `(doc_a < doc_b)`.
+    */
+  def embedNearDupPairs(vectors: DataFrame, threshold: Double,
+                        nbits: Int, bands: Int, bucketCap: Int,
+                        cappedRegime: Boolean): DataFrame = {
     import graft.functions.VectorOps._
     val en = vectors.withColumn("nrm", norm(col("v")))
     // Pairs are generated and scored INSIDE the (band, bucket) group —
@@ -428,8 +438,7 @@ object Dedup {
         .select(explode(survivors).as("p"))
         .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
     }).distinct()
-    connectedComponents(pairs)
-      .select(col("doc_id").as("vec_id"), col("cluster"))
+    pairs
   }
 
   /** Q44: embedding near-dup clusters over the FULL embeddings table —

@@ -1189,10 +1189,14 @@ object Multimodal {
     * cannot cancel (PngPixelSpec additionally pins the decoder against
     * hand-spelled streams the synthesizer never produces).
     *
-    * Residue classes (%5): 0 → grayscale; 1 → truecolor RGB; 2 → RGBA
+    * Residue classes (%7): 0 → grayscale; 1 → truecolor RGB; 2 → RGBA
     * (alpha varies but is luma-irrelevant — a stride slip folds alpha
     * bytes and fails); 3 → file cut 20 bytes short (IHDR dims survive,
-    * stats refuse — q59's meta/stat independence); 4 → not a PNG.
+    * stats refuse — q59's meta/stat independence); 4 → not a PNG;
+    * 5 → PALETTE (PLTE-indexed — luma goes through the table, so an
+    * index-vs-sample confusion fails); 6 → ADAM7-interlaced RGB (same
+    * pixels as class 1's maps at absolute coordinates — a decoder that
+    * botches the seven-pass geometry shifts every filter boundary).
     * One narrow map, each kernel once per row, zero exchanges — pinned.
     */
   def q121PngPixels(spark: SparkSession, dir: String): DataFrame = {
@@ -1201,14 +1205,17 @@ object Multimodal {
     val id = col("doc_id")
     val w = (id % 6 + 1).cast("long")
     val h = (id % 4 + 1).cast("long")
-    // shape packs w | h<<8 | mode<<16 (mode 0 gray, 1 RGB, 2 RGBA)
-    val shape = when(id % 5 === 1, w + h * 256 + lit(1L << 16))
-      .when(id % 5 === 2, w + h * 256 + lit(2L << 16))
-      .when(id % 5 === 3, w + h * 256 + lit(1L << 16))
+    // shape packs w | h<<8 | mode<<16 (mode 0 gray, 1 RGB, 2 RGBA,
+    // 3 palette, 4 Adam7 RGB)
+    val shape = when(id % 7 === 1, w + h * 256 + lit(1L << 16))
+      .when(id % 7 === 2, w + h * 256 + lit(2L << 16))
+      .when(id % 7 === 3, w + h * 256 + lit(1L << 16))
+      .when(id % 7 === 5, w + h * 256 + lit(3L << 16))
+      .when(id % 7 === 6, w + h * 256 + lit(4L << 16))
       .otherwise(w + h * 256)
     val whole = PngPixelOps.pngSynth(id, shape)
-    val payload = when(id % 5 === 4, col("text").cast("binary"))
-      .when(id % 5 === 3, expr("substring(_w, 1, length(_w) - 20)"))
+    val payload = when(id % 7 === 4, col("text").cast("binary"))
+      .when(id % 7 === 3, expr("substring(_w, 1, length(_w) - 20)"))
       .otherwise(col("_w"))
     val staged = docs.select(id, col("text"), whole.as("_w"))
       .select(id, payload.as("_p"))

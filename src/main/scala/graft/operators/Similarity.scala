@@ -172,16 +172,22 @@ object Similarity {
     * recall is pinned in AnnRecallSpec (the q26/q36 gate pattern).
     */
   def rerankTopKQuantized(pairIds: DataFrame, vectors: DataFrame, k: Int,
-                          oversample: Int = 4): DataFrame = {
+                          oversample: Int = 4, n: Long = -1L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = vectors.select(col("vec_id"), quantizeI8(col("v")).as("qv"))
       .withColumn("qnrm", sqrt(dotI8(col("qv"), col("qv")).cast("double")))
     val wq = Window.partitionBy("vec_id")
       .orderBy(col("qsim").desc, col("cand_id").asc)
+    // dense regime: the int8 frame is ~72 B/vector — broadcast both meet
+    // sides so the candidate stream never re-shuffles before the window
+    // sort (the rerankTopKPQ discipline); at scale the frame is
+    // corpus-sized and the exchanges are the honest cost
+    val dense = n >= 0 && n <= AnnDenseMax
+    val qc = q.select(col("vec_id").as("cand_id"), col("qv").as("cqv"),
+      col("qnrm").as("cqnrm"))
     val shortlist = pairIds
-      .join(q, "vec_id")
-      .join(q.select(col("vec_id").as("cand_id"), col("qv").as("cqv"),
-        col("qnrm").as("cqnrm")), "cand_id")
+      .join(if (dense) broadcast(q) else q, "vec_id")
+      .join(if (dense) broadcast(qc) else qc, "cand_id")
       .withColumn("qsim",
         dotI8(col("qv"), col("cqv")).cast("double") / (col("qnrm") * col("cqnrm")))
       .withColumn("rq", row_number().over(wq))
@@ -195,9 +201,9 @@ object Similarity {
     */
   def annCosineQuantizedOn(vectors: DataFrame, nbits: Int = 3, bands: Int = 8,
                            k: Int = 5, bucketCap: Int = 4096,
-                           oversample: Int = 4): DataFrame =
+                           oversample: Int = 4, n: Long = -1L): DataFrame =
     rerankTopKQuantized(annCandidatePairs(vectors, nbits, bands, bucketCap),
-      vectors, k, oversample)
+      vectors, k, oversample, n)
 
   // ──────────────────── auto-scale parameter policy ────────────────────
 
@@ -301,7 +307,7 @@ object Similarity {
     val v = loadVectors(spark, dir)
     val n = v.count()
     annCosineQuantizedOn(v, nbits = autoLshBits(n, 3),
-      bucketCap = autoBucketCap(n))
+      bucketCap = autoBucketCap(n), n = n)
   }
 
   /** queries()-shaped wrapper for the ANN path (rows-only check — results
@@ -702,11 +708,20 @@ object Similarity {
     // through the cand_id exchange first and meet the KB-wide query LUT
     // only at the window's own vec_id partitioning — a lut-first join
     // would ship m·ks doubles per PAIR through the cand_id shuffle
-    // (measured 2x the whole query)
+    // (measured 2x the whole query).
+    // Regime switch (the autoBucketCap discipline): at or below
+    // AnnDenseMax the stored frame (16 B/vector) and the LUT table
+    // (~1 KB/query) are a few MB — BROADCAST both, so the pair-volume
+    // candidate stream flows from its dedup exchange straight into the
+    // window sort, two full exchanges cheaper (r14: q73 quiet median
+    // 8.5 -> ~6 s). At scale both tables are corpus-sized and the
+    // exchanges are the honest cost of cap-bounded candidate volume.
+    val dense = n >= 0 && n <= AnnDenseMax
+    val encSel = enc.select(col("vec_id").as("cand_id"), col("pq_packed"),
+      col("nrm").as("cnrm"))
     val shortlist = pairIds
-      .join(enc.select(col("vec_id").as("cand_id"), col("pq_packed"),
-        col("nrm").as("cnrm")), "cand_id")
-      .join(luts, "vec_id")
+      .join(if (dense) broadcast(encSel) else encSel, "cand_id")
+      .join(if (dense) broadcast(luts) else luts, "vec_id")
       .withColumn("adc", pqAdc(col("lut"), col("pq_packed"), m, ks))
       .withColumn("qsim", col("adc") / (col("qnrm") * col("cnrm")))
       .withColumn("rq", row_number().over(wq))

@@ -470,11 +470,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "PQ grew a cartesian product")
     assert(p.contains("BroadcastHashJoin"), "codebook joins lost the broadcast")
     assert(p.contains("graft_pq_adc"), "ADC stage lost the codegen kernel")
-    // 8 = LSH band cap ×2 sides + pair repartition/dedup + encode's two
-    // uniform aggs + the LUT agg + ADC shortlist window + final top-k;
-    // the training lineage is checkpoint-truncated, so it adds NOTHING
-    // per consumer — growth here means the codebook recompute came back
-    assert(shuffles(df) === 8, s"q73 exchange budget grew:\n$p")
+    // 6 = LSH band cap ×2 sides + pair repartition/dedup + encode's two
+    // uniform aggs + the LUT agg + ADC shortlist window + final top-k,
+    // MINUS the two dense-regime broadcasts (r14: the 16-byte stored
+    // frame and the LUT table broadcast below AnnDenseMax, so the
+    // candidate stream flows from its dedup exchange straight into the
+    // window sort); the training lineage is checkpoint-truncated, so it
+    // adds NOTHING per consumer — growth here means the codebook
+    // recompute (or a lost broadcast) came back
+    assert(shuffles(df) === 6, s"q73 exchange budget grew:\n$p")
   }
 
   test("q74 incremental dedup: hash-keyed equi-joins only, no cartesian") {
