@@ -245,6 +245,10 @@ object Bootstrap {
     // lossless class (`WHERE format = 'png' AND min_luma IS NULL`)
     operators.Multimodal.q121PngPixels(spark, dir)
       .createOrReplaceTempView("vw_png_stats")
+    // the GIF pixel-stat manifest (q124): the third lossless quarantine
+    // read (`WHERE format = 'gif' AND min_luma IS NULL`)
+    operators.Multimodal.q124GifPixels(spark, dir)
+      .createOrReplaceTempView("vw_gif_stats")
     // the model-based quality manifest (q122): training runs once at
     // registration (the vw_link_rank discipline — the collected weight
     // table is a plan constant); `WHERE predicted = 1 AND keep = 0`

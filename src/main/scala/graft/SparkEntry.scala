@@ -145,6 +145,7 @@ object SparkEntry {
     "q121_png_pixels" -> (Multimodal.q121PngPixels _),
     "q122_quality_classifier" -> (Classifier.q122QualityClassifier _),
     "q123_byte_bpe" -> ((s: SparkSession, d: String) => operators.Bpe.q123ByteBpe(s, d)),
+    "q124_gif_pixels" -> (Multimodal.q124GifPixels _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1488,6 +1489,37 @@ object SparkEntry {
     // trained vocabulary (it never runs the encode kernel), so a
     // pre-tokenizer, byte-alphabet, or merge-order slip cannot cancel
     "q123_byte_bpe" -> byteBpeSql,
+    // q124: GIF pixels — the oracle recomputes stats from the shared
+    // palette residue formula (q121's PLTE algebra; it never parses a
+    // byte, never runs LZW), so a color-table, LZW, width-promotion, or
+    // sub-block slip cannot cancel; the interlaced class must match the
+    // plain formula (position-free fold), the truncated class must
+    // refuse stats while LSD dims survive
+    "q124_gif_pixels" ->
+      ("WITH px AS (SELECT doc_id, " +
+        "(299 * ((doc_id*2 + ((doc_id + x*3 + r*5) % 32)) % 256) + " +
+        "587 * ((doc_id*3 + ((doc_id + x*3 + r*5) % 32)*5) % 256) + " +
+        "114 * ((doc_id + ((doc_id + x*3 + r*5) % 32)*7) % 256)) // 1000 AS luma " +
+        "FROM documents, " +
+        "UNNEST(range(0, CAST(doc_id % 6 + 1 AS BIGINT))) AS tx(x), " +
+        "UNNEST(range(0, CAST(doc_id % 4 + 1 AS BIGINT))) AS tr(r)), " +
+        "agg AS (SELECT doc_id, min(luma) AS mn, max(luma) AS mx, " +
+        "sum(luma) AS s, count(*) AS n FROM px GROUP BY doc_id) " +
+        "SELECT d.doc_id, " +
+        "CASE WHEN d.doc_id % 5 = 3 THEN 'unknown' ELSE 'gif' END AS format, " +
+        "CASE WHEN d.doc_id % 5 = 3 THEN NULL " +
+        "ELSE CAST(d.doc_id % 6 + 1 AS INTEGER) END AS width, " +
+        "CASE WHEN d.doc_id % 5 = 3 THEN NULL " +
+        "ELSE CAST(d.doc_id % 4 + 1 AS INTEGER) END AS height, " +
+        "CASE WHEN d.doc_id % 5 IN (2,3) THEN NULL " +
+        "ELSE CAST(a.mn AS INTEGER) END AS min_luma, " +
+        "CASE WHEN d.doc_id % 5 IN (2,3) THEN NULL " +
+        "ELSE CAST(a.mx AS INTEGER) END AS max_luma, " +
+        "CASE WHEN d.doc_id % 5 IN (2,3) THEN NULL " +
+        "ELSE CAST(a.s AS BIGINT) END AS sum_luma, " +
+        "CASE WHEN d.doc_id % 5 IN (2,3) THEN NULL " +
+        "ELSE CAST(a.s * 100 // a.n AS BIGINT) END AS mean_luma_x100 " +
+        "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"),
     // q119: the oracle spells the funnel as explicit per-step joins
     // (min view; min click strictly after it; min purchase strictly
     // after that) — a structurally different formulation from the Spark

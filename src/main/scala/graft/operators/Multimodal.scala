@@ -1238,4 +1238,57 @@ object Multimodal {
         (when(ihdrOk, be32(17)).cast("long") * when(ihdrOk, be32(21))))
         .as("mean_luma_x100"))
   }
+
+  // ---------------------------------------------------------------- q124
+
+  /** Q124: GIF PIXEL decode — the third lossless rung (BMP q59, PNG
+    * q121): payloads are synthesized GIFs whose 32-entry global color
+    * table and pixel indices come from the SAME palette residue maps as
+    * q121's PLTE class, so the LSD/extension/descriptor walk and the
+    * REAL variable-width LZW decode (dictionary growth, width promotion,
+    * KwKwK — drilled on hand-built code streams in GifPixelSpec) sit
+    * between the stats and an oracle that recomputes everything from the
+    * index formula and never sees a byte.
+    *
+    * Residue classes (%5): 0 → GIF89a plain; 1 → GIF89a with a
+    * graphic-control extension AND the interlace flag (interlace only
+    * permutes rows — the position-free fold must produce class-0 stats
+    * for the same dims); 2 → data cut 10 bytes short (LSD dims survive
+    * via the q39 branch, stats refuse); 3 → not a GIF; 4 → GIF87a.
+    * One narrow map, each kernel once per row, zero exchanges — pinned.
+    */
+  def q124GifPixels(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GifPixelOps
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val w = (id % 6 + 1).cast("long")
+    val h = (id % 4 + 1).cast("long")
+    // shape packs w | h<<8 | variant<<16 (0 plain 89a, 1 ext+interlace,
+    // 2 GIF87a)
+    val shape = when(id % 5 === 1, w + h * 256 + lit(1L << 16))
+      .when(id % 5 === 4, w + h * 256 + lit(2L << 16))
+      .otherwise(w + h * 256)
+    val whole = GifPixelOps.gifSynth(id, shape)
+    val payload = when(id % 5 === 3, col("text").cast("binary"))
+      .when(id % 5 === 2, expr("substring(_w, 1, length(_w) - 10)"))
+      .otherwise(col("_w"))
+    val staged = docs.select(id, col("text"), whole.as("_w"))
+      .select(id, payload.as("_p"))
+      .withColumn("_gl", GifPixelOps.gifLuma(col("_p")))
+    // LSD dims by direct header read (the decodeImageMeta GIF branch)
+    val isGif = hex(substring(col("_p"), 1, 6))
+      .isin("474946383761", "474946383961")
+    val gifOk = isGif && octet_length(col("_p")) >= 10
+    staged.select(id,
+      when(isGif, "gif").otherwise("unknown").as("format"),
+      when(gifOk, le16(col("_p"), 7)).as("width"),
+      when(gifOk, le16(col("_p"), 9)).as("height"),
+      col("_gl").bitwiseAND(lit(0xFF)).cast("int").as("min_luma"),
+      shiftright(col("_gl"), 8).bitwiseAND(lit(0xFF)).cast("int").as("max_luma"),
+      shiftrightunsigned(col("_gl"), 16).as("sum_luma"),
+      floor(shiftrightunsigned(col("_gl"), 16) * 100 /
+        (when(gifOk, le16(col("_p"), 7)).cast("long") *
+          when(gifOk, le16(col("_p"), 9))))
+        .as("mean_luma_x100"))
+  }
 }

@@ -823,6 +823,16 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q124 gif pixels: zero exchanges, decode walks once per row") {
+    val df = graft.operators.Multimodal.q124GifPixels(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    assert(shuffles(df) === 0, s"expected 0 shuffles:\n$p")
+    for (k <- Seq("graft_gif_luma(", "graft_gif_synth(")) {
+      val n = java.util.regex.Pattern.quote(k).r.findAllIn(p).length
+      assert(n === 1, s"expected 1 $k in the plan, found $n:\n$p")
+    }
+  }
+
   test("q113 recrawl policy is a pure map — zero exchanges") {
     val df = graft.operators.Crawl.q113RecrawlPolicy(spark, TestSpark.Sf0001)
     assert(shuffles(df) === 0, s"expected 0 shuffles:\n${plan(df)}")

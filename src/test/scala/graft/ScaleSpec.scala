@@ -320,4 +320,71 @@ class ScaleSpec extends AnyFunSuite {
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
     }
   }
+
+  // synthetic mixed-quality corpus for the classifier/BPE decade probes:
+  // even ids pass every q65 rule (stopword-led 45-word sentences from a
+  // 997-word pool), odd ids fail r_len (10 words) — labels split, and
+  // the feature/pre-token VOCABULARY is bounded by the pool, not n
+  private def synthMix(n: Long) = {
+    val pool = (0 until 40).map(j =>
+      concat(lit("w"), pmod(col("id") * 31 + j * 7, lit(997))))
+    spark.range(n).select(
+      col("id").as("doc_id"),
+      when(col("id") % 2 === 0,
+        concat_ws(" ", (lit("the of and a in") +: pool): _*))
+        .otherwise(concat_ws(" ", pool.take(10): _*))
+        .as("text"))
+  }
+
+  test("q122 classifier: 10x docs, constant model, ~linear train+score", Slow) {
+    // the hashing trick's premise, measured: the trained table is AT
+    // MOST NumBuckets rows at any corpus size (the training shuffle
+    // moves kilobytes), and the whole train+score pipeline is ~linear
+    // in the token stream
+    import graft.operators.Classifier
+    def timeOf(n: Long): Double = {
+      val t0 = System.nanoTime()
+      Classifier.classifierOn(synthMix(n))
+        .agg(sum("n_feats"), sum("predicted")).head
+      (System.nanoTime() - t0) / 1e9
+    }
+    // model-size invariant at the larger scale: distinct buckets bounded
+    val buckets = synthMix(200000)
+      .select(explode(graft.functions.TextOps.words(col("text"))).as("f"))
+      .select((conv(substring(md5(col("f")), 1, 8), 16, 10).cast("long")
+        % Classifier.NumBuckets).as("b"))
+      .distinct().count()
+    assert(buckets <= Classifier.NumBuckets,
+      s"bucket table escaped its bound: $buckets")
+    timeOf(20000) // warmup
+    val t1 = math.min(timeOf(20000), timeOf(20000))
+    val t10 = math.min(timeOf(200000), timeOf(200000))
+    assert(t10 / t1 <= 10.0,
+      f"10x docs cost ${t10 / t1}%.1fx the time ($t1%.2fs -> $t10%.2fs)")
+  }
+
+  test("q123 byte BPE: 10x docs, saturating pre-token vocab, ~linear", Slow) {
+    // the q85 decomposition at the byte level, measured: the corpus
+    // contributes ONE pass (the pre-token frequency frame) and every
+    // merge round rides the VOCABULARY — 10x the documents must not
+    // grow the round frames
+    import graft.operators.Bpe
+    def vocabOf(n: Long): Long = synthMix(n)
+      .select(explode(regexp_extract_all(col("text"),
+        lit(graft.functions.ByteBpeEval.PreTok), lit(0))).as("t"))
+      .distinct().count()
+    val (v1, v10) = (vocabOf(20000), vocabOf(200000))
+    assert(v1 === v10,
+      s"pre-token vocabulary grew with the corpus ($v1 -> $v10)")
+    def timeOf(n: Long): Double = {
+      val t0 = System.nanoTime()
+      Bpe.byteBpeTrainOn(synthMix(n), 10).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    timeOf(20000) // warmup
+    val t1 = math.min(timeOf(20000), timeOf(20000))
+    val t10 = math.min(timeOf(200000), timeOf(200000))
+    assert(t10 / t1 <= 10.0,
+      f"10x docs cost ${t10 / t1}%.1fx the time ($t1%.2fs -> $t10%.2fs)")
+  }
 }
