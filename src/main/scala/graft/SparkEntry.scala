@@ -1421,25 +1421,25 @@ object SparkEntry {
     // truncated class must refuse stats while its header dims survive
     "q118_jpeg_pixels" ->
       ("WITH p AS (SELECT doc_id, " +
-        "CASE WHEN doc_id % 7 = 3 THEN 3 ELSE CAST(doc_id % 3 + 1 AS BIGINT) END AS bw, " +
-        "CASE WHEN doc_id % 7 = 3 THEN 2 ELSE CAST(doc_id % 2 + 1 AS BIGINT) END AS bh, " +
-        "CASE WHEN doc_id % 7 IN (5, 6) THEN 2 ELSE 1 END AS h0, " +
-        "CASE WHEN doc_id % 7 = 5 THEN 2 ELSE 1 END AS v0 " +
+        "CASE WHEN doc_id % 9 = 3 THEN 3 ELSE CAST(doc_id % 3 + 1 AS BIGINT) END AS bw, " +
+        "CASE WHEN doc_id % 9 = 3 THEN 2 ELSE CAST(doc_id % 2 + 1 AS BIGINT) END AS bh, " +
+        "CASE WHEN doc_id % 9 IN (5, 6, 8) THEN 2 ELSE 1 END AS h0, " +
+        "CASE WHEN doc_id % 9 IN (5, 8) THEN 2 ELSE 1 END AS v0 " +
         "FROM documents), " +
         "x AS (SELECT doc_id, bw, bh, h0, v0, " +
         "list_transform(range(0, bw*bh*h0*v0), k -> ((doc_id*31 + k*17) % 251) - 125 + 128) AS pix " +
         "FROM p) " +
         "SELECT doc_id, " +
-        "CAST(doc_id % 7 <> 4 AS INTEGER) AS is_jpeg, " +
-        "CAST(CASE WHEN doc_id % 7 = 4 THEN NULL ELSE bw*8*h0 END AS INTEGER) AS width, " +
-        "CAST(CASE WHEN doc_id % 7 = 4 THEN NULL ELSE bh*8*v0 END AS INTEGER) AS height, " +
-        "CAST(CASE WHEN doc_id % 7 IN (3,4) THEN NULL " +
+        "CAST(doc_id % 9 <> 4 AS INTEGER) AS is_jpeg, " +
+        "CAST(CASE WHEN doc_id % 9 = 4 THEN NULL ELSE bw*8*h0 END AS INTEGER) AS width, " +
+        "CAST(CASE WHEN doc_id % 9 = 4 THEN NULL ELSE bh*8*v0 END AS INTEGER) AS height, " +
+        "CAST(CASE WHEN doc_id % 9 IN (3,4) THEN NULL " +
         "ELSE list_aggregate(pix, 'min') END AS INTEGER) AS min_luma, " +
-        "CAST(CASE WHEN doc_id % 7 IN (3,4) THEN NULL " +
+        "CAST(CASE WHEN doc_id % 9 IN (3,4) THEN NULL " +
         "ELSE list_aggregate(pix, 'max') END AS INTEGER) AS max_luma, " +
-        "CAST(CASE WHEN doc_id % 7 IN (3,4) THEN NULL " +
+        "CAST(CASE WHEN doc_id % 9 IN (3,4) THEN NULL " +
         "ELSE 64 * list_aggregate(pix, 'sum') END AS BIGINT) AS sum_luma, " +
-        "CAST(CASE WHEN doc_id % 7 IN (3,4) THEN NULL " +
+        "CAST(CASE WHEN doc_id % 9 IN (3,4) THEN NULL " +
         "ELSE (64 * list_aggregate(pix, 'sum') * 100) // (bw * bh * h0 * v0 * 64) " +
         "END AS BIGINT) AS mean_luma_x100 FROM x"),
     // q121: PNG pixel decode — luma statistics recomputed pixel-by-pixel

@@ -15,19 +15,25 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   * contract as [[BmpLuma]]: `min | max<<8 | sum<<16` over the LUMA
   * component trimmed to the frame's declared width × height.
   *
-  * Scope is stated, not guessed: baseline sequential (SOF0), 8-bit
-  * precision, with luma sampling factors H,V ∈ {1,2} and 1×1 chroma —
-  * that covers grayscale, 4:4:4, 4:2:2 (2×1), 4:4:0 (1×2), and 4:2:0
-  * (2×2, the dominant web-JPEG layout): the Y stats fold component 0's
-  * H·V blocks per MCU at their true pixel origins; chroma blocks are
-  * entropy-decoded to keep the stream aligned and then dropped.
-  * Subsampled LUMA (a chroma factor exceeding luma's), single-component
-  * frames declaring factors > 1×1 (T.81 §A.2 makes such scans
-  * non-interleaved, a different MCU geometry), progressive (SOF2),
-  * arithmetic coding, and 16-bit quant tables return NULL —
-  * stop-don't-guess, the q82/q95 stance. Any structural lie (truncated
-  * entropy data, a Huffman code past the table, coefficient index past
-  * 63, missing tables) also refuses with NULL.
+  * Scope is stated, not guessed: baseline sequential (SOF0) AND
+  * progressive (SOF2, Huffman — T.81 Annex G: multi-scan spectral
+  * selection + successive approximation, accumulated in a full-image
+  * luma coefficient grid and IDCT'd once at EOI; chroma-only scans are
+  * structurally skipped to the next marker), 8-bit precision, with luma
+  * sampling factors H,V ∈ {1,2} and 1×1 chroma — that covers grayscale,
+  * 4:4:4, 4:2:2 (2×1), 4:4:0 (1×2), and 4:2:0 (2×2, the dominant
+  * web-JPEG layout): the Y stats fold component 0's H·V blocks per MCU
+  * at their true pixel origins; chroma blocks are entropy-decoded (or
+  * marker-skipped, progressive) to keep the stream aligned and then
+  * dropped. Subsampled LUMA (a chroma factor exceeding luma's),
+  * single-component frames declaring factors > 1×1 (T.81 §A.2 makes
+  * such scans non-interleaved, a different MCU geometry), lossless/
+  * extended frames, arithmetic coding, and 16-bit quant tables return
+  * NULL — stop-don't-guess, the q82/q95 stance. Any structural lie
+  * (truncated entropy data, a Huffman code past the table, coefficient
+  * index past the band, scans out of successive-approximation order,
+  * missing tables) also refuses with NULL, and the progressive grid is
+  * capped at 4 Mpx as a resource guard.
   */
 object JpegPixelEval {
 
@@ -174,6 +180,7 @@ object JpegPixelEval {
     var nComp = 0
     var lumaH = 1
     var lumaV = 1
+    var progressive = false
     val compId = new Array[Int](4)
     val compQ = new Array[Int](4)
     val compDc = new Array[Int](4)
@@ -226,7 +233,8 @@ object JpegPixelEval {
               if (tc == 0) dcTab(th) = h else acTab(th) = h
               p += 17 + total
             }
-          case 0xC0 => // SOF0 baseline
+          case 0xC0 | 0xC2 => // SOF0 baseline / SOF2 progressive
+            progressive = m == 0xC2
             if (segLen < 8) return NoStats
             if ((b(p0) & 0xFF) != 8) return NoStats // precision
             height = ((b(p0 + 1) & 0xFF) << 8) | (b(p0 + 2) & 0xFF)
@@ -253,14 +261,20 @@ object JpegPixelEval {
               c += 1
             }
             if (nComp == 1 && (lumaH != 1 || lumaV != 1)) return NoStats
-          case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA |
+          case 0xC1 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA |
                0xCB | 0xCD | 0xCE | 0xCF =>
-            return NoStats // extended/progressive/arithmetic: out of scope
+            return NoStats // extended/lossless/arithmetic: out of scope
           case 0xDD => // DRI
             if (segLen != 4) return NoStats
             restartInterval = ((b(p0) & 0xFF) << 8) | (b(p0 + 1) & 0xFF)
-          case 0xDA => // SOS: decode the scan and finish
+          case 0xDA => // SOS
             if (nComp == 0 || width == 0) return NoStats
+            if (progressive)
+              // the progressive driver owns the rest of the stream
+              // (scans + inter-scan DHT/DQT/DRI) through to EOI
+              return decodeProgressive(b, i, width, height, nComp,
+                lumaH, lumaV, quant, dcTab, acTab, compId, compQ,
+                restartInterval)
             val ns = b(p0) & 0xFF
             if (ns != nComp || segLen != 6 + 2 * ns) return NoStats
             // a baseline sequential scan must cover the spectral range
@@ -397,6 +411,454 @@ object JpegPixelEval {
     minL.toLong | (maxL.toLong << 8) | (sum << 16)
   }
 
+  /** First index ≥ `from` of a REAL marker (FF followed by neither a
+    * stuffed 00 nor a restart D0–D7), or -1 — how the progressive driver
+    * skips a non-luma scan's entropy data and finds a decoded scan's end.
+    */
+  private def findNextMarker(b: Array[Byte], from: Int): Int = {
+    var j = math.max(from, 0)
+    while (j + 1 < b.length) {
+      if ((b(j) & 0xFF) == 0xFF) {
+        val m = b(j + 1) & 0xFF
+        if (m == 0x00 || (m >= 0xD0 && m <= 0xD7)) j += 2
+        else if (m == 0xFF) j += 1
+        else return j
+      } else j += 1
+    }
+    -1
+  }
+
+  /** Resource guard for the progressive coefficient grid (~4 B/pixel —
+    * a header is attacker-controlled; 4 Mpx caps the grid at 16 MB).
+    */
+  private final val MaxProgressivePixels = 1L << 22
+
+  /** PROGRESSIVE (SOF2) decode — T.81 Annex G, Huffman mode: the driver
+    * owns the stream from the first SOS to EOI, accumulating LUMA
+    * coefficients across scans in a full-image grid (chroma-only scans
+    * are structurally skipped to the next marker — their bits cannot
+    * affect luma), then dequantizes + IDCTs every block once at EOI.
+    *
+    * Scan algebra enforced, not assumed: DC scans are Ss=Se=0 (the only
+    * interleavable kind; components must follow frame order), AC scans
+    * are single-component 1 ≤ Ss ≤ Se ≤ 63; successive approximation
+    * is tracked PER COEFFICIENT — a first scan requires a virgin band
+    * and Ah=0, a refinement requires Ah equal to the band's current
+    * level and Al = Ah-1 (T.81 G.1.1.1.2) — so scans out of order,
+    * overlapping bands at mismatched precision, or an AC scan before
+    * the component's DC all refuse instead of decoding garbage.
+    */
+  private def decodeProgressive(b: Array[Byte], sosPos: Int, width: Int,
+                                height: Int, nComp: Int, lumaH: Int,
+                                lumaV: Int, quant: Array[Array[Int]],
+                                dcTab: Array[Huff], acTab: Array[Huff],
+                                compId: Array[Int], compQ: Array[Int],
+                                restartInterval0: Int): Long = {
+    if (width.toLong * height > MaxProgressivePixels) return NoStats
+    val mcusX = (width + 8 * lumaH - 1) / (8 * lumaH)
+    val mcusY = (height + 8 * lumaV - 1) / (8 * lumaV)
+    val bwFull = mcusX * lumaH
+    val bhFull = mcusY * lumaV
+    val bwImg = (width + 7) / 8
+    val bhImg = (height + 7) / 8
+    val grid = new Array[Int](bwFull * bhFull * 64)
+    // successive-approximation ledger: level(k) = the next refinement's
+    // expected Ah for luma coefficient k (MinValue = no first scan yet)
+    val level = Array.fill(64)(Int.MinValue)
+    var restartInterval = restartInterval0
+    var pos = sosPos
+    val len = b.length
+    var sawLumaDc = false
+
+    while (true) {
+      if (pos + 1 >= len || (b(pos) & 0xFF) != 0xFF) return NoStats
+      val m = b(pos + 1) & 0xFF
+      if (m == 0xD9) {
+        // EOI: dequantize + IDCT + fold
+        if (!sawLumaDc) return NoStats
+        val q = quant(compQ(0))
+        if (q == null) return NoStats
+        val coef = new Array[Int](64)
+        val px = new Array[Int](64)
+        var minL = 255
+        var maxL = 0
+        var sum = 0L
+        var by = 0
+        while (by < bhImg) {
+          var bx = 0
+          while (bx < bwImg) {
+            val base = (by * bwFull + bx) * 64
+            var k = 0
+            while (k < 64) { coef(k) = grid(base + k) * q(k); k += 1 }
+            idct(coef, px)
+            var y = 0
+            while (y < 8 && by * 8 + y < height) {
+              var x = 0
+              while (x < 8 && bx * 8 + x < width) {
+                val v = px(y * 8 + x)
+                if (v < minL) minL = v
+                if (v > maxL) maxL = v
+                sum += v
+                x += 1
+              }
+              y += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        return minL.toLong | (maxL.toLong << 8) | (sum << 16)
+      }
+      if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) return NoStats // stray
+      if (pos + 3 >= len) return NoStats
+      val segLen = ((b(pos + 2) & 0xFF) << 8) | (b(pos + 3) & 0xFF)
+      if (segLen < 2 || pos + 2 + segLen > len) return NoStats
+      val p0 = pos + 4
+      m match {
+        case 0xC4 => // inter-scan DHT
+          var p = p0
+          val end = pos + 2 + segLen
+          while (p < end) {
+            val tc = (b(p) & 0xF0) >> 4
+            val th = b(p) & 0x0F
+            if (tc > 1 || th > 3 || p + 17 > end) return NoStats
+            val bits = new Array[Int](16)
+            var total = 0
+            var k = 0
+            while (k < 16) { bits(k) = b(p + 1 + k) & 0xFF; total += bits(k); k += 1 }
+            if (p + 17 + total > end || total > 256) return NoStats
+            val vals = new Array[Int](total)
+            k = 0
+            while (k < total) { vals(k) = b(p + 17 + k) & 0xFF; k += 1 }
+            val h = new Huff(bits, vals)
+            if (tc == 0) dcTab(th) = h else acTab(th) = h
+            p += 17 + total
+          }
+          pos += 2 + segLen
+        case 0xDB => // inter-scan DQT
+          var p = p0
+          val end = pos + 2 + segLen
+          while (p < end) {
+            val pq = (b(p) & 0xF0) >> 4
+            val tq = b(p) & 0x0F
+            if (pq != 0 || tq > 3 || p + 65 > end) return NoStats
+            val t = new Array[Int](64)
+            var k = 0
+            while (k < 64) { t(ZigZag(k)) = b(p + 1 + k) & 0xFF; k += 1 }
+            quant(tq) = t
+            p += 65
+          }
+          pos += 2 + segLen
+        case 0xDD =>
+          if (segLen != 4) return NoStats
+          restartInterval = ((b(p0) & 0xFF) << 8) | (b(p0 + 1) & 0xFF)
+          pos += 2 + segLen
+        case 0xDA =>
+          val ns = b(p0) & 0xFF
+          if (ns < 1 || ns > nComp || segLen != 6 + 2 * ns) return NoStats
+          val scanComp = new Array[Int](ns) // frame indices
+          val scanDc = new Array[Int](ns)
+          val scanAc = new Array[Int](ns)
+          var prevIdx = -1
+          var c = 0
+          while (c < ns) {
+            val cs = b(p0 + 1 + 2 * c) & 0xFF
+            var fi = -1
+            var j = 0
+            while (j < nComp) { if (compId(j) == cs) fi = j; j += 1 }
+            // components must follow frame order (T.81 B.2.3)
+            if (fi < 0 || fi <= prevIdx) return NoStats
+            prevIdx = fi
+            scanComp(c) = fi
+            scanDc(c) = (b(p0 + 2 + 2 * c) & 0xF0) >> 4
+            scanAc(c) = b(p0 + 2 + 2 * c) & 0x0F
+            c += 1
+          }
+          val ss = b(p0 + 1 + 2 * ns) & 0xFF
+          val se = b(p0 + 2 + 2 * ns) & 0xFF
+          val ah = (b(p0 + 3 + 2 * ns) & 0xF0) >> 4
+          val al = b(p0 + 3 + 2 * ns) & 0x0F
+          if (ah > 13 || al > 13) return NoStats
+          val dataStart = pos + 2 + segLen
+          val hasLuma = scanComp.contains(0)
+          val isDc = ss == 0
+          if (isDc) { if (se != 0) return NoStats }
+          else if (ns != 1 || ss < 1 || se > 63 || ss > se) return NoStats
+          if (ah != 0 && al != ah - 1) return NoStats
+          if (!hasLuma) {
+            // chroma-only scan: its bits cannot touch the luma grid —
+            // skip structurally to the next marker
+            val nxt = findNextMarker(b, dataStart)
+            if (nxt < 0) return NoStats
+            pos = nxt
+          } else {
+            // successive-approximation ledger checks for the luma band
+            var k = if (isDc) 0 else ss
+            val kEnd = if (isDc) 0 else se
+            while (k <= kEnd) {
+              if (ah == 0) { if (level(k) != Int.MinValue) return NoStats }
+              else if (level(k) != ah) return NoStats
+              level(k) = al
+              k += 1
+            }
+            if (!isDc && level(0) == Int.MinValue)
+              return NoStats // AC before the component's DC (G.1.1.1.1)
+            if (isDc) sawLumaDc = true
+            val endPos =
+              if (isDc)
+                decodeDcScan(b, dataStart, grid, bwFull, bwImg, bhImg,
+                  mcusX, mcusY, lumaH, lumaV, nComp, scanComp, scanDc,
+                  dcTab, ns, ah, al, restartInterval)
+              else
+                decodeAcScan(b, dataStart, grid, bwFull, bwImg, bhImg,
+                  acTab(scanAc(0)), ss, se, ah, al, restartInterval)
+            if (endPos < 0) return NoStats
+            val nxt = findNextMarker(b, endPos)
+            if (nxt < 0) return NoStats
+            pos = nxt
+          }
+        case 0xC0 | 0xC2 => return NoStats // a second frame
+        case _ => pos += 2 + segLen // APPn / COM
+      }
+    }
+    NoStats
+  }
+
+  /** Progressive DC scan (first or refinement), interleaved or single-
+    * component; returns the byte position after the entropy data, or -1.
+    */
+  private def decodeDcScan(b: Array[Byte], start: Int, grid: Array[Int],
+                           bwFull: Int, bwImg: Int, bhImg: Int,
+                           mcusX: Int, mcusY: Int, lumaH: Int, lumaV: Int,
+                           nComp: Int, scanComp: Array[Int],
+                           scanDc: Array[Int], dcTab: Array[Huff],
+                           ns: Int, ah: Int, al: Int,
+                           restartInterval: Int): Int = {
+    val pred = new Array[Int](nComp)
+    var r = new BitReader(b, start)
+    val interleaved = ns > 1
+    // MCU geometry: interleaved scans walk the padded MCU grid with each
+    // component's full block factor; a single-component scan walks that
+    // component's OWN raster (T.81 A.2.2)
+    val nUnits =
+      if (interleaved) mcusX * mcusY
+      else if (scanComp(0) == 0) bwImg * bhImg
+      else mcusX * mcusY // 1x1 chroma: its raster = the MCU grid
+    var unit = 0
+    while (unit < nUnits) {
+      if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+        r.align()
+        if (r.pos + 1 >= b.length || (b(r.pos) & 0xFF) != 0xFF) return -1
+        val m = b(r.pos + 1) & 0xFF
+        if (m < 0xD0 || m > 0xD7) return -1
+        if (m != 0xD0 + ((unit / restartInterval - 1) % 8)) return -1
+        r = new BitReader(b, r.pos + 2)
+        java.util.Arrays.fill(pred, 0)
+      }
+      var c = 0
+      while (c < ns) {
+        val fi = scanComp(c)
+        val isLuma = fi == 0
+        val blocks =
+          if (interleaved && isLuma) lumaH * lumaV else 1
+        var blk = 0
+        while (blk < blocks) {
+          var gIdx = -1
+          if (isLuma) {
+            val (bx, by) =
+              if (interleaved)
+                ((unit % mcusX) * lumaH + blk % lumaH,
+                  (unit / mcusX) * lumaV + blk / lumaH)
+              else (unit % bwImg, unit / bwImg)
+            gIdx = (by * bwFull + bx) * 64
+          }
+          if (ah == 0) { // DC first: diff at Al precision
+            val tab = dcTab(scanDc(c))
+            if (tab == null) return -1
+            val s = decodeHuff(r, tab)
+            if (s == Int.MinValue || s > 11) return -1
+            val diff = if (s == 0) 0 else {
+              val d = receiveExtend(r, s)
+              if (d == Int.MinValue) return -1
+              d
+            }
+            pred(fi) += diff
+            if (gIdx >= 0) grid(gIdx) = pred(fi) << al
+          } else { // DC refinement: one bit per block
+            val bit = r.nextBit()
+            if (bit < 0) return -1
+            if (bit == 1 && gIdx >= 0) grid(gIdx) |= 1 << al
+          }
+          blk += 1
+        }
+        c += 1
+      }
+      unit += 1
+    }
+    r.pos
+  }
+
+  /** Progressive AC scan (first or refinement) over the single LUMA
+    * component's raster; returns the end position or -1. T.81 G.1.2.2
+    * (first: EOBRUN runs of end-of-band blocks) and G.1.2.3 (refinement:
+    * correction bits woven through the zero-history run walk).
+    */
+  private def decodeAcScan(b: Array[Byte], start: Int, grid: Array[Int],
+                           bwFull: Int, bwImg: Int, bhImg: Int,
+                           ac: Huff, ss: Int, se: Int, ah: Int, al: Int,
+                           restartInterval: Int): Int = {
+    if (ac == null) return -1
+    var r = new BitReader(b, start)
+    var eobrun = 0
+    val p1 = 1 << al
+    val m1 = -1 << al
+    def readBits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        val bit = r.nextBit()
+        if (bit < 0) return Int.MinValue
+        v = (v << 1) | bit
+        i += 1
+      }
+      v
+    }
+    // refine one nonzero coefficient with its correction bit
+    def correct(idx: Int): Boolean = {
+      val bit = r.nextBit()
+      if (bit < 0) return false
+      if (bit == 1 && (grid(idx) & p1) == 0) {
+        if (grid(idx) >= 0) grid(idx) += p1 else grid(idx) += m1
+      }
+      true
+    }
+    val nBlocks = bwImg * bhImg
+    var blk = 0
+    while (blk < nBlocks) {
+      if (restartInterval > 0 && blk > 0 && blk % restartInterval == 0) {
+        r.align()
+        if (r.pos + 1 >= b.length || (b(r.pos) & 0xFF) != 0xFF) return -1
+        val m = b(r.pos + 1) & 0xFF
+        if (m < 0xD0 || m > 0xD7) return -1
+        if (m != 0xD0 + ((blk / restartInterval - 1) % 8)) return -1
+        r = new BitReader(b, r.pos + 2)
+        eobrun = 0
+      }
+      val base = ((blk / bwImg) * bwFull + blk % bwImg) * 64
+      if (ah == 0) { // ───────── first scan
+        if (eobrun > 0) eobrun -= 1
+        else {
+          var k = ss
+          var stop = false
+          while (k <= se && !stop) {
+            val rs = decodeHuff(r, ac)
+            if (rs == Int.MinValue) return -1
+            val run = (rs >> 4) & 0x0F
+            val size = rs & 0x0F
+            if (size == 0) {
+              if (run == 15) {
+                // ZRL promises a further nonzero coefficient inside the
+                // band — overrunning it is malformed (the r13 stance)
+                k += 16
+                if (k > se) return -1
+              } else {
+                eobrun = (1 << run) - 1
+                if (run > 0) {
+                  val extra = readBits(run)
+                  if (extra == Int.MinValue) return -1
+                  eobrun += extra
+                }
+                stop = true
+              }
+            } else {
+              k += run
+              if (k > se) return -1
+              val v = receiveExtend(r, size)
+              if (v == Int.MinValue) return -1
+              grid(base + ZigZag(k)) = v << al
+              k += 1
+            }
+          }
+        }
+      } else { // ───────── refinement scan (G.1.2.3)
+        var k = ss
+        if (eobrun == 0) {
+          var inBand = true
+          while (k <= se && inBand) {
+            val rs = decodeHuff(r, ac)
+            if (rs == Int.MinValue) return -1
+            var run = (rs >> 4) & 0x0F
+            val size = rs & 0x0F
+            var newVal = 0
+            if (size == 0) {
+              if (run < 15) {
+                // EOB run begins — the TOTAL (2^r + extra) INCLUDES the
+                // current block, whose remaining nonzeros still take
+                // their correction bits in the eobrun block below
+                // (G.1.2.3, the libjpeg convention)
+                eobrun = 1 << run
+                if (run > 0) {
+                  val extra = readBits(run)
+                  if (extra == Int.MinValue) return -1
+                  eobrun += extra
+                }
+                inBand = false
+              }
+              // run == 15 (ZRL): skip 16 zero-HISTORY coefficients below
+            } else {
+              if (size != 1) return -1 // refinement codes ±1 only
+              val bit = r.nextBit()
+              if (bit < 0) return -1
+              newVal = if (bit == 1) p1 else m1
+            }
+            if (inBand) {
+              // advance over `run` zero-history positions (refining
+              // nonzero coefficients along the way), then land on one
+              // more zero-history position: the new ±1 goes there — or,
+              // for ZRL, it is the promised 16th zero. Running out of
+              // band before landing is malformed (the r13 stance).
+              var placed = false
+              var zrlLeft = run
+              var advancing = true
+              while (advancing) {
+                if (k > se) {
+                  if (!placed) return -1
+                  advancing = false
+                } else {
+                  val idx = base + ZigZag(k)
+                  if (grid(idx) != 0) {
+                    if (!correct(idx)) return -1
+                    k += 1
+                  } else if (zrlLeft > 0) {
+                    zrlLeft -= 1
+                    k += 1
+                  } else {
+                    if (newVal != 0) grid(idx) = newVal
+                    placed = true
+                    k += 1
+                    advancing = false
+                  }
+                }
+              }
+            }
+          }
+        }
+        if (eobrun > 0) {
+          // end-of-band: every remaining nonzero coefficient still
+          // receives its correction bit
+          while (k <= se) {
+            val idx = base + ZigZag(k)
+            if (grid(idx) != 0 && !correct(idx)) return -1
+            k += 1
+          }
+          eobrun -= 1
+        }
+      }
+      blk += 1
+    }
+    r.pos
+  }
+
   // ───────────────────────────── synthesis ─────────────────────────────
 
   /** Annex K luminance DC Huffman spec (BITS then HUFFVAL). */
@@ -405,6 +867,9 @@ object JpegPixelEval {
   // minimal legal AC table: the single 1-bit code '0' = EOB
   private val MinAcBits = Array(1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
   private val MinAcVals = Array(0)
+  // progressive AC table: EOB/EOBRUN codes 0x00..0xE0 (r<<4), all 4-bit
+  private val ProgAcBits = Array(0, 0, 0, 15, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val ProgAcVals = (0 to 14).map(_ << 4).toArray
 
   /** Canonical codes (code, length) for a BITS/HUFFVAL spec. */
   private def canonical(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
@@ -530,6 +995,133 @@ object JpegPixelEval {
     marker(0xD9) // EOI
     out.toByteArray
   }
+
+  /** Synthesize a PROGRESSIVE (SOF2) DC-only JPEG from the same residue
+    * maps: `bw`×`bh` MCUs, grayscale or 4:2:0 color. Four/six scans
+    * exercise the Annex G machinery end to end — DC first at Al=1
+    * (point-transformed diffs), DC refinement (Ah=1, the low bit), a
+    * luma AC first scan at Al=1 whose whole raster is ONE EOBRUN token,
+    * a luma AC refinement (Ah=1) that re-ends every band, and (color)
+    * per-chroma AC scans the decoder must structurally SKIP. The decoded
+    * image equals the baseline synthesis of the same seed/shape: flat
+    * blocks of dc+128, so the oracle formula is shared.
+    */
+  def synthProg(seed: Long, bw: Int, bh: Int, color420: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(512)
+    def u8(v: Int): Unit = out.write(v & 0xFF)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xFF); u8(m) }
+    val h0 = if (color420) 2 else 1
+    val v0 = h0
+    val nComp = if (color420) 3 else 1
+    marker(0xD8)
+    marker(0xDB); u16(2 + 65); u8(0x00)
+    (0 until 64).foreach(_ => u8(8))
+    marker(0xC2); u16(8 + 3 * nComp); u8(8) // SOF2
+    u16(bh * 8 * v0); u16(bw * 8 * h0); u8(nComp)
+    (0 until nComp).foreach { c =>
+      u8(c + 1); u8(if (c == 0) (h0 << 4) | v0 else 0x11); u8(0)
+    }
+    marker(0xC4) // DC table 0 + the progressive AC table 0
+    u16(2 + (1 + 16 + StdDcVals.length) + (1 + 16 + ProgAcVals.length))
+    u8(0x00); StdDcBits.foreach(u8); StdDcVals.foreach(u8)
+    u8(0x10); ProgAcBits.foreach(u8); ProgAcVals.foreach(u8)
+    val dcCodes = canonical(StdDcBits, StdDcVals)
+    val acCodes = canonical(ProgAcBits, ProgAcVals)
+    val lumaPerMcu = h0 * v0
+    val nMcu = bw * bh
+    def dcOf(c: Int, unitBlk: Int): Int =
+      if (c == 0) blockDc(seed, unitBlk) else chromaDc(seed, unitBlk, c)
+
+    def sos(comps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      marker(0xDA); u16(6 + 2 * comps.length); u8(comps.length)
+      comps.foreach { c => u8(c + 1); u8(0x00) } // Td=Ta=0
+      u8(ss); u8(se); u8((ah << 4) | al)
+    }
+    // scan 1: DC first, interleaved, Al=1 (point-transformed diffs)
+    sos(0 until nComp, 0, 0, 0, 1)
+    var bwr = new BitWriter(out)
+    val pred = new Array[Int](nComp)
+    var mcu = 0
+    while (mcu < nMcu) {
+      var c = 0
+      while (c < nComp) {
+        val blocks = if (c == 0) lumaPerMcu else 1
+        var blk = 0
+        while (blk < blocks) {
+          val v1 = dcOf(c, if (c == 0) mcu * lumaPerMcu + blk else mcu) >> 1
+          val diff = v1 - pred(c)
+          pred(c) = v1
+          val s = if (diff == 0) 0
+            else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+          val (code, clen) = dcCodes(s)
+          bwr.put(code, clen)
+          if (s > 0) bwr.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+          blk += 1
+        }
+        c += 1
+      }
+      mcu += 1
+    }
+    bwr.flush()
+    // scan 2: DC refinement (Ah=1, Al=0): the low bit of every block
+    sos(0 until nComp, 0, 0, 1, 0)
+    bwr = new BitWriter(out)
+    mcu = 0
+    while (mcu < nMcu) {
+      var c = 0
+      while (c < nComp) {
+        val blocks = if (c == 0) lumaPerMcu else 1
+        var blk = 0
+        while (blk < blocks) {
+          val dc = dcOf(c, if (c == 0) mcu * lumaPerMcu + blk else mcu)
+          bwr.put(dc & 1, 1)
+          blk += 1
+        }
+        c += 1
+      }
+      mcu += 1
+    }
+    bwr.flush()
+    // one EOBRUN token ending `n` all-zero bands (value n-1 encoded as
+    // r + extra bits per G.1.2.2)
+    def eobrunAll(n: Int): Unit = {
+      val v = n - 1
+      val r = if (v == 0) 0 else 31 - Integer.numberOfLeadingZeros(v + 1)
+      val (code, clen) = acCodes(r << 4)
+      bwr.put(code, clen)
+      if (r > 0) bwr.put(v + 1 - (1 << r), r)
+    }
+    // scans 3-4: luma AC first (Al=1) then refinement (Ah=1 -> Al=0),
+    // each one EOBRUN over the whole luma raster
+    val lumaBlocks = nMcu * lumaPerMcu
+    sos(Seq(0), 1, 63, 0, 1)
+    bwr = new BitWriter(out); eobrunAll(lumaBlocks); bwr.flush()
+    sos(Seq(0), 1, 63, 1, 0)
+    bwr = new BitWriter(out); eobrunAll(lumaBlocks); bwr.flush()
+    // color: per-chroma AC scans the luma decoder must marker-skip
+    if (color420) {
+      var c = 1
+      while (c < nComp) {
+        sos(Seq(c), 1, 63, 0, 0)
+        bwr = new BitWriter(out); eobrunAll(nMcu); bwr.flush()
+        c += 1
+      }
+    }
+    marker(0xD9)
+    out.toByteArray
+  }
+
+  /** Shape-word dispatcher for [[JpegSynth]]: modes 0–3 are the baseline
+    * layouts (`dri` honored), 4 = progressive grayscale, 5 = progressive
+    * 4:2:0 (progressive synthesis carries no restart markers).
+    */
+  def synthAny(seed: Long, bw: Int, bh: Int, dri: Int, mode: Int): Array[Byte] =
+    mode match {
+      case 4 => synthProg(seed, bw, bh, color420 = false)
+      case 5 => synthProg(seed, bw, bh, color420 = true)
+      case m => synth(seed, bw, bh, dri, m)
+    }
 }
 
 /** `binary -> long`: packed baseline-JPEG luma stats
@@ -562,8 +1154,9 @@ case class JpegLuma(child: Expression) extends UnaryExpression {
 
 /** `(long seed, long shape) -> binary`: q118's synthesis expression —
   * `shape` packs `bw | bh<<8 | dri<<16 | mode<<24` (mode 0 grayscale,
-  * 1 4:4:4, 2 4:2:0, 3 4:2:2 — mode 1 coincides with the historical
-  * `color` bit) so the synthesis stays a two-child codegen'd expression.
+  * 1 4:4:4, 2 4:2:0, 3 4:2:2, 4 progressive grayscale, 5 progressive
+  * 4:2:0 — mode 1 coincides with the historical `color` bit) so the
+  * synthesis stays a two-child codegen'd expression.
   */
 case class JpegSynth(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -573,14 +1166,14 @@ case class JpegSynth(left: Expression, right: Expression)
 
   override protected def nullSafeEval(seed: Any, shape: Any): Any = {
     val sh = shape.asInstanceOf[Long]
-    JpegPixelEval.synth(seed.asInstanceOf[Long], (sh & 0xFF).toInt,
-      ((sh >> 8) & 0xFF).toInt, ((sh >> 16) & 0xFF).toInt, ((sh >> 24) & 3).toInt)
+    JpegPixelEval.synthAny(seed.asInstanceOf[Long], (sh & 0xFF).toInt,
+      ((sh >> 8) & 0xFF).toInt, ((sh >> 16) & 0xFF).toInt, ((sh >> 24) & 7).toInt)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (s, sh) =>
-      s"graft.functions.JpegPixelEval.synth($s, (int)($sh & 0xFF), " +
-        s"(int)(($sh >> 8) & 0xFF), (int)(($sh >> 16) & 0xFF), (int)(($sh >> 24) & 3))")
+      s"graft.functions.JpegPixelEval.synthAny($s, (int)($sh & 0xFF), " +
+        s"(int)(($sh >> 8) & 0xFF), (int)(($sh >> 16) & 0xFF), (int)(($sh >> 24) & 7))")
 
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): JpegSynth =

@@ -1130,7 +1130,7 @@ object Multimodal {
     * the spec's hand-built byte-vector fixtures (JpegPixelSpec) pin the
     * decoder against streams the synthesizer never produced.
     *
-    * Residue classes (%7): 0 → grayscale; 1 → grayscale with restart
+    * Residue classes (%9): 0 → grayscale; 1 → grayscale with restart
     * markers every 2 MCUs (a decoder ignoring RSTn mis-predicts every
     * post-restart DC); 2 → 4:4:4 color (interleaved chroma blocks must
     * be entropy-decoded to keep alignment, then dropped); 3 → entropy
@@ -1139,8 +1139,12 @@ object Multimodal {
     * 5 → 4:2:0 color (luma 2×2 — FOUR luma blocks per MCU at their
     * true origins, the dominant web-JPEG layout); 6 → 4:2:2 color
     * (luma 2×1) with restart markers every 2 MCUs (predictor reset
-    * across a multi-block MCU boundary). One narrow map, each kernel
-    * once per row, zero exchanges — pinned.
+    * across a multi-block MCU boundary); 7 → PROGRESSIVE grayscale
+    * (SOF2 — DC first at Al=1 + DC refinement + EOBRUN AC scans, the
+    * Annex G successive-approximation walk); 8 → PROGRESSIVE 4:2:0
+    * (interleaved DC scans plus per-chroma AC scans the decoder must
+    * structurally SKIP). One narrow map, each kernel once per row,
+    * zero exchanges — pinned.
     */
   def q118JpegPixels(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.JpegPixelOps
@@ -1149,15 +1153,17 @@ object Multimodal {
     val bw = (id % 3 + 1).cast("long")
     val bh = (id % 2 + 1).cast("long")
     // shape packs bw | bh<<8 | dri<<16 | mode<<24
-    val shape = when(id % 7 === 1, bw + bh * 256 + lit(2L * 65536))
-      .when(id % 7 === 2, bw + bh * 256 + lit(1L << 24))
-      .when(id % 7 === 3, lit(3L + 2 * 256 + 65536)) // 3x2 blocks, dri 1
-      .when(id % 7 === 5, bw + bh * 256 + lit(2L << 24))
-      .when(id % 7 === 6, bw + bh * 256 + lit(2L * 65536) + lit(3L << 24))
+    val shape = when(id % 9 === 1, bw + bh * 256 + lit(2L * 65536))
+      .when(id % 9 === 2, bw + bh * 256 + lit(1L << 24))
+      .when(id % 9 === 3, lit(3L + 2 * 256 + 65536)) // 3x2 blocks, dri 1
+      .when(id % 9 === 5, bw + bh * 256 + lit(2L << 24))
+      .when(id % 9 === 6, bw + bh * 256 + lit(2L * 65536) + lit(3L << 24))
+      .when(id % 9 === 7, bw + bh * 256 + lit(4L << 24))
+      .when(id % 9 === 8, bw + bh * 256 + lit(5L << 24))
       .otherwise(bw + bh * 256)
     val whole = JpegPixelOps.jpegSynth(id, shape)
-    val payload = when(id % 7 === 4, col("text").cast("binary"))
-      .when(id % 7 === 3, expr("substring(_w, 1, length(_w) - 10)"))
+    val payload = when(id % 9 === 4, col("text").cast("binary"))
+      .when(id % 9 === 3, expr("substring(_w, 1, length(_w) - 10)"))
       .otherwise(col("_w"))
     val staged = docs.select(id, col("text"), whole.as("_w"))
       .select(id, payload.as("_p"))

@@ -56,16 +56,21 @@ class JpegPixelSpec extends AnyFunSuite {
       packed(125, 135, 64L * (125 + 135)))
   }
 
-  test("refusals: truncation, progressive, wrong restart index, non-JPEG") {
+  test("refusals: truncation, arithmetic coding, wrong restart index, non-JPEG") {
     val NoStats = java.lang.Long.MIN_VALUE
     val base = bs(0xFF, 0xD8) ++ dqt8 ++ sof0(8, 8) ++ dht ++ sosGray ++
       bs(0x95, 0xFF, 0xD9)
     // entropy data cut mid-stream
     assert(JpegPixelEval.lumaStats(base.dropRight(3)) === NoStats)
-    // SOF2 progressive is out of stated scope
-    val prog = base.clone()
-    prog(dqt8.length + 3) = 0xC2.toByte // the SOF marker byte
-    assert(JpegPixelEval.lumaStats(prog) === NoStats)
+    // SOF9 arithmetic coding is out of stated scope
+    val arith = base.clone()
+    arith(dqt8.length + 3) = 0xC9.toByte // the SOF marker byte
+    assert(JpegPixelEval.lumaStats(arith) === NoStats)
+    // a full-band Ss=0..Se=63 scan under SOF2 is not a legal progressive
+    // scan (DC and AC may never share one) — refuse, don't guess
+    val progBad = base.clone()
+    progBad(dqt8.length + 3) = 0xC2.toByte
+    assert(JpegPixelEval.lumaStats(progBad) === NoStats)
     // restart marker with the WRONG modulo index (RST3 where RST0 is due)
     val badRst = bs(0xFF, 0xD8) ++ dqt8 ++ sof0(16, 8) ++
       bs(0xFF, 0xDD, 0x00, 0x04, 0x00, 0x01) ++ dht ++ sosGray ++
@@ -79,15 +84,17 @@ class JpegPixelSpec extends AnyFunSuite {
   test("synth -> decode round-trips the residue formula across shapes") {
     // the q118 property: for every (seed, MCUs, dri, mode) the decoded
     // stats equal the FORMULA's prediction (computed here from blockDc,
-    // never from bytes); modes 2/3 put FOUR/TWO luma blocks in each MCU
+    // never from bytes); modes 2/3 put FOUR/TWO luma blocks in each MCU,
+    // modes 4/5 go through the PROGRESSIVE multi-scan path (DC
+    // successive approximation + EOBRUN AC scans + chroma scan skips)
     for {
       seed <- 0L to 24L
       (bw, bh) <- Seq((1, 1), (3, 2), (2, 1))
       (dri, mode) <- Seq((0, 0), (2, 0), (0, 1), (1, 1), (0, 2), (2, 2),
-        (0, 3), (1, 3))
+        (0, 3), (1, 3), (0, 4), (0, 5))
     } {
-      val lumaPerMcu = mode match { case 2 => 4; case 3 => 2; case _ => 1 }
-      val jpeg = JpegPixelEval.synth(seed, bw, bh, dri, mode)
+      val lumaPerMcu = mode match { case 2 | 5 => 4; case 3 => 2; case _ => 1 }
+      val jpeg = JpegPixelEval.synthAny(seed, bw, bh, dri, mode)
       val pix = (0 until bw * bh * lumaPerMcu)
         .map(k => JpegPixelEval.blockDc(seed, k) + 128)
       val want = packed(pix.min, pix.max, 64L * pix.sum)
@@ -144,6 +151,66 @@ class JpegPixelSpec extends AnyFunSuite {
     val f = bs(0xFF, 0xD8) ++ dqt8 ++ sof41 ++ dht ++ sosColor ++
       bs(0xB4, 0xFF, 0xD9)
     assert(JpegPixelEval.lumaStats(f) === NoStats)
+  }
+
+  test("hand-built progressive stream: AC coefficients across scan generations") {
+    // 8x8 grayscale SOF2, quant all-8s, four scans spelled bit by bit:
+    //   1. DC first Al=1: value 8 -> point-transformed 4, cat 3 -> 0x93
+    //   2. DC refine Ah=1: low bit 0 -> 0x7F
+    //   3. AC first Ss=1..63 Al=1: coefficient +1 at k=1 (-> stored 2),
+    //      then EOB -> 0x67
+    //   4. AC refine Ah=1: a NEW +-1 born at k=3 (run 1 skips the zero
+    //      at k=2), whose walk hands k=1 its correction bit (2 -> 3),
+    //      then EOB -> 0xB3
+    // Final block: c[0]=64, c[1]=24, c[16]=8 after dequant — the
+    // expected stats come from an INDEPENDENT IDCT replay below, so a
+    // refinement slip (lost correction bit, misplaced birth) cannot
+    // cancel against the decoder's own IDCT.
+    val dhtProg = bs(0xFF, 0xC4, 0x00, 0x33,
+      0x00, // DC table 0 (Annex K)
+      0x00, 0x01, 0x05, 0x01, 0x01, 0x01, 0x01, 0x01, 0x01, 0x00, 0x00,
+      0x00, 0x00, 0x00, 0x00, 0x00,
+      0x00, 0x01, 0x02, 0x03, 0x04, 0x05, 0x06, 0x07, 0x08, 0x09, 0x0A, 0x0B,
+      0x10, // AC table 0: three 2-bit codes for 0x00, 0x01, 0x11
+      0x00, 0x03, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00,
+      0x00, 0x00, 0x00, 0x00, 0x00,
+      0x00, 0x01, 0x11)
+    val sof2 = bs(0xFF, 0xC2, 0x00, 0x0B, 0x08,
+      0x00, 0x08, 0x00, 0x08, 0x01, 0x01, 0x11, 0x00)
+    def sos(ss: Int, se: Int, ah: Int, al: Int) =
+      bs(0xFF, 0xDA, 0x00, 0x08, 0x01, 0x01, 0x00, ss, se, (ah << 4) | al)
+    val jpeg = bs(0xFF, 0xD8) ++ dqt8 ++ sof2 ++ dhtProg ++
+      sos(0, 0, 0, 1) ++ bs(0x93) ++
+      sos(0, 0, 1, 0) ++ bs(0x7F) ++
+      sos(1, 63, 0, 1) ++ bs(0x67) ++
+      sos(1, 63, 1, 0) ++ bs(0xB3) ++
+      bs(0xFF, 0xD9)
+    // independent IDCT replay (the spec's own math, not the kernel's)
+    val coef = new Array[Int](64)
+    coef(0) = 64; coef(1) = 24; coef(16) = 8
+    val inv = 1.0 / math.sqrt(2.0)
+    val px = for (y <- 0 until 8; x <- 0 until 8) yield {
+      var s = 0.0
+      for (v <- 0 until 8; u <- 0 until 8) {
+        val c = coef(v * 8 + u)
+        if (c != 0)
+          s += c * (if (u == 0) inv else 1.0) * (if (v == 0) inv else 1.0) *
+            math.cos((2 * x + 1) * u * math.Pi / 16.0) *
+            math.cos((2 * y + 1) * v * math.Pi / 16.0)
+      }
+      math.max(0, math.min(255, math.round(s / 4.0).toInt + 128))
+    }
+    assert(JpegPixelEval.lumaStats(jpeg) ===
+      packed(px.min, px.max, px.map(_.toLong).sum))
+    // scans out of successive-approximation order refuse: repeat the
+    // refinement without its first scan
+    val outOfOrder = bs(0xFF, 0xD8) ++ dqt8 ++ sof2 ++ dhtProg ++
+      sos(0, 0, 1, 0) ++ bs(0x7F) ++ bs(0xFF, 0xD9)
+    assert(JpegPixelEval.lumaStats(outOfOrder) === java.lang.Long.MIN_VALUE)
+    // an AC scan before the component's DC refuses (G.1.1.1.1)
+    val acFirst = bs(0xFF, 0xD8) ++ dqt8 ++ sof2 ++ dhtProg ++
+      sos(1, 63, 0, 1) ++ bs(0x67) ++ bs(0xFF, 0xD9)
+    assert(JpegPixelEval.lumaStats(acFirst) === java.lang.Long.MIN_VALUE)
   }
 
   test("synthesized streams carry parseable SOF dims and survive byte stuffing") {
