@@ -249,6 +249,11 @@ object Bootstrap {
     // read (`WHERE format = 'gif' AND min_luma IS NULL`)
     operators.Multimodal.q124GifPixels(spark, dir)
       .createOrReplaceTempView("vw_gif_stats")
+    // the PDF intake manifest (q125): `WHERE ok = 0` is the SQL-only
+    // broken-document quarantine; `ok = 1 AND n_chars > 0` the
+    // extracted-text corpus read
+    sources.Pdf.q125PdfExtract(spark, dir)
+      .createOrReplaceTempView("vw_pdf_text")
     // the model-based quality manifest (q122): training runs once at
     // registration (the vw_link_rank discipline — the collected weight
     // table is a plan constant); `WHERE predicted = 1 AND keep = 0`

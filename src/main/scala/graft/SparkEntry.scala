@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ingest.Envelope
-import graft.sources.{JsonLines, Warc}
+import graft.sources.{JsonLines, Pdf, Warc}
 import graft.operators.{Classifier, Crawl, Dedup, Multimodal, Pipeline, Relational, Retrieval, Scale, Similarity, SqlSurface, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -146,6 +146,7 @@ object SparkEntry {
     "q122_quality_classifier" -> (Classifier.q122QualityClassifier _),
     "q123_byte_bpe" -> ((s: SparkSession, d: String) => operators.Bpe.q123ByteBpe(s, d)),
     "q124_gif_pixels" -> (Multimodal.q124GifPixels _),
+    "q125_pdf_extract" -> (Pdf.q125PdfExtract _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1520,6 +1521,34 @@ object SparkEntry {
         "CASE WHEN d.doc_id % 5 IN (2,3) THEN NULL " +
         "ELSE CAST(a.s * 100 // a.n AS BIGINT) END AS mean_luma_x100 " +
         "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"),
+    // q125: the oracle re-synthesizes the expected TEXT from the corpus
+    // words alone (8-word lines, the class-3 escape line in chr()
+    // codepoints — it never builds a PDF byte), so an object-graph,
+    // Length, inflate, operator, or string-unescaping slip in the
+    // extractor cannot cancel; the page count replays the 5-line
+    // pagination arithmetic against the verified /Kids arity
+    "q125_pdf_extract" ->
+      ("WITH w AS (SELECT doc_id, list_filter(" +
+        "string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), " +
+        "x -> x <> '') AS ws FROM documents), " +
+        "ln AS (SELECT doc_id, list_transform(" +
+        "range(CAST(ceil(len(ws) / 8.0) AS INTEGER)), " +
+        "i -> array_to_string(list_slice(ws, i*8 + 1, i*8 + 8), ' ')) AS lines " +
+        "FROM w), " +
+        "l2 AS (SELECT doc_id, CASE WHEN doc_id % 6 = 3 THEN " +
+        "list_concat(lines, ['esc (par) en' || chr(92) || 'd ' || chr(13) || ' tail']) " +
+        "ELSE lines END AS lines FROM ln), " +
+        "x AS (SELECT doc_id, array_to_string(lines, chr(10)) AS t, " +
+        "len(lines) AS nl FROM l2) " +
+        "SELECT doc_id, " +
+        "CAST(doc_id % 6 NOT IN (4, 5) AS INTEGER) AS ok, " +
+        "CASE WHEN doc_id % 6 IN (4, 5) THEN NULL " +
+        "ELSE CAST(greatest(1, CAST(ceil(nl / 5.0) AS INTEGER)) AS INTEGER) " +
+        "END AS n_pages, " +
+        "CASE WHEN doc_id % 6 IN (4, 5) THEN NULL " +
+        "ELSE CAST(length(t) AS BIGINT) END AS n_chars, " +
+        "CASE WHEN doc_id % 6 IN (4, 5) THEN NULL ELSE md5(t) END AS text_md5 " +
+        "FROM x"),
     // q119: the oracle spells the funnel as explicit per-step joins
     // (min view; min click strictly after it; min purchase strictly
     // after that) — a structurally different formulation from the Spark

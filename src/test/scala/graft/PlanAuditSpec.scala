@@ -833,6 +833,16 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q125 pdf extract: zero exchanges, each walk once per row") {
+    val df = graft.sources.Pdf.q125PdfExtract(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    assert(shuffles(df) === 0, s"expected 0 shuffles:\n$p")
+    for (k <- Seq("graft_pdf_text(", "graft_pdf_synth(", "graft_pdf_pages(")) {
+      val n = java.util.regex.Pattern.quote(k).r.findAllIn(p).length
+      assert(n === 1, s"expected 1 $k in the plan, found $n:\n$p")
+    }
+  }
+
   test("q113 recrawl policy is a pure map — zero exchanges") {
     val df = graft.operators.Crawl.q113RecrawlPolicy(spark, TestSpark.Sf0001)
     assert(shuffles(df) === 0, s"expected 0 shuffles:\n${plan(df)}")

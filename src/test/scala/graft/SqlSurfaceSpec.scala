@@ -64,7 +64,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "vw_quality_model" ->
         graft.operators.Classifier.q122QualityClassifier(spark, TestSpark.Sf0001),
       "vw_gif_stats" ->
-        graft.operators.Multimodal.q124GifPixels(spark, TestSpark.Sf0001))
+        graft.operators.Multimodal.q124GifPixels(spark, TestSpark.Sf0001),
+      "vw_pdf_text" ->
+        graft.sources.Pdf.q125PdfExtract(spark, TestSpark.Sf0001))
     twins.foreach { case (view, df) =>
       val sql = canon(spark.sql(s"SELECT * FROM $view"))
       val api = canon(df)
