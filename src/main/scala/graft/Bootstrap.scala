@@ -249,6 +249,11 @@ object Bootstrap {
     // read (`WHERE format = 'gif' AND min_luma IS NULL`)
     operators.Multimodal.q124GifPixels(spark, dir)
       .createOrReplaceTempView("vw_gif_stats")
+    // the UTF-16 intake manifest (q126): `WHERE method = 'sniffed' AND
+    // detected LIKE 'utf-16%'` is the SQL-only "BOM-less Windows
+    // exports" read; `text_out IS NULL` the corrupt-encoding quarantine
+    operators.Crawl.q126Utf16Intake(spark, dir)
+      .createOrReplaceTempView("vw_utf16_intake")
     // the PDF intake manifest (q125): `WHERE ok = 0` is the SQL-only
     // broken-document quarantine; `ok = 1 AND n_chars > 0` the
     // extracted-text corpus read

@@ -147,6 +147,7 @@ object SparkEntry {
     "q123_byte_bpe" -> ((s: SparkSession, d: String) => operators.Bpe.q123ByteBpe(s, d)),
     "q124_gif_pixels" -> (Multimodal.q124GifPixels _),
     "q125_pdf_extract" -> (Pdf.q125PdfExtract _),
+    "q126_utf16_intake" -> (Crawl.q126Utf16Intake _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1549,6 +1550,27 @@ object SparkEntry {
         "ELSE CAST(length(t) AS BIGINT) END AS n_chars, " +
         "CASE WHEN doc_id % 6 IN (4, 5) THEN NULL ELSE md5(t) END AS text_md5 " +
         "FROM x"),
+    // q126: the oracle derives detection verdicts AND expected decodes
+    // from the text alone (q117's stance — it never builds a UTF-16
+    // byte), so a zero-pattern, BOM-precedence, endianness, or strict-
+    // decode slip on the Spark side cannot cancel
+    "q126_utf16_intake" ->
+      ("WITH s0 AS (SELECT doc_id, " +
+        "regexp_replace(coalesce(text, ''), '^\\x{FEFF}', '') AS txt " +
+        "FROM documents), " +
+        "s AS (SELECT doc_id, txt, " +
+        "regexp_replace(txt, '[^\\x20-\\x7E]', '', 'g') || ' utf sixteen marker' AS at " +
+        "FROM s0), " +
+        "y AS (SELECT doc_id, " +
+        "CASE doc_id % 5 WHEN 0 THEN 'utf-16le' WHEN 1 THEN 'utf-16be' " +
+        "WHEN 2 THEN 'utf-16le-bom' WHEN 3 THEN 'utf-8' " +
+        "ELSE 'utf-16le' END AS detected, " +
+        "CASE WHEN doc_id % 5 = 2 THEN 'bom' ELSE 'sniffed' END AS method, " +
+        "CASE WHEN doc_id % 5 = 4 THEN NULL " +
+        "WHEN doc_id % 5 IN (0, 1) THEN at ELSE txt END AS expect FROM s) " +
+        "SELECT doc_id, detected, method, expect AS text_out, " +
+        "CAST(length(expect) AS BIGINT) AS n_chars, " +
+        "md5(expect) AS text_md5 FROM y"),
     // q119: the oracle spells the funnel as explicit per-step joins
     // (min view; min click strictly after it; min purchase strictly
     // after that) — a structurally different formulation from the Spark

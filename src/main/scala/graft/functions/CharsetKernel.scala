@@ -88,13 +88,47 @@ object CharsetEval {
   private val U8 = UTF8String.fromString("utf-8")
   private val SJ = UTF8String.fromString("shift_jis")
   private val W1252 = UTF8String.fromString("windows-1252")
+  private val U16LE = UTF8String.fromString("utf-16le")
+  private val U16BE = UTF8String.fromString("utf-16be")
 
-  /** The classifier: utf-8 / shift_jis / windows-1252 by the walk above. */
+  /** BOM-less UTF-16 structural detection (the classic chardet rung):
+    * ASCII-dominant text encoded UTF-16 zeroes one SIDE of every code
+    * unit — ≥ 30% of the odd bytes zero with NO even-byte zeros is LE,
+    * the mirror is BE. It must run BEFORE the UTF-8 scan: NUL is a
+    * perfectly valid UTF-8 byte, so UTF-16LE ASCII text passes
+    * `utf8Valid` and would misclassify. Mixed-script UTF-16 (CJK code
+    * units have no zero byte) stays undetected and falls through —
+    * stated: the structural premise is one-sided zeros, not decoding.
+    * 0 = undetected, 1 = LE, 2 = BE.
+    */
+  def utf16Pattern(b: Array[Byte]): Int = {
+    if (b == null || b.length < 8 || b.length % 2 != 0) return 0
+    var ze = 0
+    var zo = 0
+    var i = 0
+    while (i < b.length) {
+      if (b(i) == 0) { if (i % 2 == 0) ze += 1 else zo += 1 }
+      i += 1
+    }
+    val pairs = b.length / 2
+    if (zo * 10 >= 3 * pairs && ze == 0) 1
+    else if (ze * 10 >= 3 * pairs && zo == 0) 2
+    else 0
+  }
+
+  /** The classifier: utf-16le / utf-16be / utf-8 / shift_jis /
+    * windows-1252 by the walks above.
+    */
   def sniff(b: Array[Byte]): UTF8String =
     if (b == null) null
-    else if (utf8Valid(b)) U8
-    else if (sjisPlausible(b)) SJ
-    else W1252
+    else utf16Pattern(b) match {
+      case 1 => U16LE
+      case 2 => U16BE
+      case _ =>
+        if (utf8Valid(b)) U8
+        else if (sjisPlausible(b)) SJ
+        else W1252
+    }
 
   /** Decode `b` under a sniffed/declared label, covering the legacy
     * charsets Spark's ANSI `decode` refuses (windows-1252, shift_jis)
@@ -114,6 +148,8 @@ object CharsetEval {
       case "shift_jis" => "Shift_JIS"
       case "utf-8" => "UTF-8"
       case "iso-8859-1" => "ISO-8859-1"
+      case "utf-16le" => "UTF-16LE"
+      case "utf-16be" => "UTF-16BE"
       case _ => return null
     }
     val dec = java.nio.charset.Charset.forName(name).newDecoder()

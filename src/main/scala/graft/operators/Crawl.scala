@@ -739,6 +739,63 @@ object Crawl {
         md5(encode(col("text_out"), "UTF-8")).as("text_md5"))
   }
 
+  // ---------------------------------------------------------------- q126
+
+  /** Q126: UTF-16 intake — q117's remaining chardet class (Windows
+    * tooling exports BOM-less UTF-16 constantly; a crawler without the
+    * structural rung reads it as NUL-riddled windows-1252 mojibake):
+    * BOM-less UTF-16LE/BE detected by `graft_sniff_charset`'s one-sided
+    * zero-byte pattern (which must run BEFORE the UTF-8 validity scan —
+    * NUL is valid UTF-8, so UTF-16LE ASCII text would pass it), UTF-16
+    * BOMs (FF FE / FE FF) outranking the sniff, decode through
+    * `graft_decode_charset`'s strict REPORT path.
+    *
+    * Residue classes (%5): 0 → BOM-less UTF-16LE (ASCII-projected base
+    * text — the structural premise is one-sided zeros, so the class
+    * guarantees it; a fixed marker keeps empty docs detectable);
+    * 1 → BOM-less UTF-16BE; 2 → FF FE BOM + full-unicode text (method
+    * 'bom' outranks, round-trips exactly); 3 → plain UTF-8 (the
+    * control: the zero-pattern rung must NOT fire); 4 → UTF-16LE with
+    * a trailing LONE HIGH SURROGATE (detected utf-16le, but the strict
+    * decode REPORTs and refuses — stop-don't-guess). The oracle derives
+    * every verdict and decode from the text alone (q82's stance).
+    * One narrow map, each kernel once per row, zero exchanges.
+    */
+  def q126Utf16Intake(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CharsetOps
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val txt = regexp_replace(coalesce(col("text"), lit("")), "^\\x{FEFF}", "")
+    val asciiTxt = concat(regexp_replace(txt, "[^\\x20-\\x7E]", ""),
+      lit(" utf sixteen marker"))
+    def b(xs: Int*): Column = lit(xs.map(_.toByte).toArray)
+    val payload = when(id % 5 === 0, encode(asciiTxt, "UTF-16LE"))
+      .when(id % 5 === 1, encode(asciiTxt, "UTF-16BE"))
+      .when(id % 5 === 2, concat(b(0xFF, 0xFE), encode(txt, "UTF-16LE")))
+      .when(id % 5 === 3, encode(txt, "UTF-8"))
+      // 0xD835 little-endian: a high surrogate with no mate
+      .otherwise(concat(encode(asciiTxt, "UTF-16LE"), b(0x35, 0xD8)))
+    val framed = docs.select(id, payload.as("_p"))
+      .withColumn("_sniffed", CharsetOps.sniff(col("_p")))
+    val bomLe = substring(col("_p"), 1, 2) === b(0xFF, 0xFE)
+    val bomBe = substring(col("_p"), 1, 2) === b(0xFE, 0xFF)
+    val staged = framed
+      .withColumn("detected",
+        when(bomLe, "utf-16le-bom").when(bomBe, "utf-16be-bom")
+          .otherwise(col("_sniffed")))
+      .withColumn("method", when(bomLe || bomBe, "bom").otherwise("sniffed"))
+    val body = expr("substring(_p, 3, length(_p) - 2)")
+    val decoded = when(bomLe, CharsetOps.decodeAs(body, lit("utf-16le")))
+      .when(bomBe, CharsetOps.decodeAs(body, lit("utf-16be")))
+      .when(col("detected") === "utf-8", decode(col("_p"), "UTF-8"))
+      .otherwise(CharsetOps.decodeAs(col("_p"), col("detected")))
+    staged
+      .withColumn("text_out", decoded)
+      .select(id, col("detected"), col("method"), col("text_out"),
+        length(col("text_out")).cast("bigint").as("n_chars"),
+        md5(encode(col("text_out"), "UTF-8")).as("text_md5"))
+  }
+
   // ---------------------------------------------------------------- q115
 
   /** Q115: chunked transfer-coding decode — the other wire framing

@@ -418,6 +418,32 @@ class CrawlSpec extends AnyFunSuite {
     assert(decodeAs(bs('a'), com("no-such-charset")) === null)
   }
 
+  test("charset sniff kernel: BOM-less UTF-16 by one-sided zero pattern") {
+    import graft.functions.CharsetEval._
+    def bs(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // the rung must fire BEFORE the UTF-8 scan: NUL bytes are valid
+    // UTF-8, so UTF-16LE ascii would otherwise classify utf-8
+    assert(sniff("hello utf".getBytes("UTF-16LE")).toString === "utf-16le")
+    assert(sniff("hello utf".getBytes("UTF-16BE")).toString === "utf-16be")
+    // an accented char (é = E9 00 LE) keeps the odd side zero-dominant
+    assert(sniff("héllo wörld".getBytes("UTF-16LE")).toString === "utf-16le")
+    // plain UTF-8 has no zeros: the pattern must NOT fire
+    assert(sniff("plain ascii text".getBytes("UTF-8")).toString === "utf-8")
+    // CJK UTF-16 has no zero bytes either — undetected, falls through
+    // (stated scope: the premise is one-sided zeros)
+    assert(sniff("日本語テキスト".getBytes("UTF-16LE")).toString !== "utf-16le")
+    // too short / odd length / zeros on both sides: no verdict
+    assert(utf16Pattern("ab".getBytes("UTF-16LE")) === 0)
+    assert(utf16Pattern(bs('a', 0, 'b', 0, 'c', 0, 'd')) === 0)
+    assert(utf16Pattern(bs(0, 'a', 'b', 0, 0, 'c', 'd', 0)) === 0)
+    // strict decode: a lone high surrogate REPORTs instead of U+FFFD
+    val lone = "ok text here".getBytes("UTF-16LE") ++ bs(0x35, 0xD8)
+    assert(sniff(lone).toString === "utf-16le")
+    assert(decodeAs(lone, com("utf-16le")) === null)
+    assert(decodeAs("round trip".getBytes("UTF-16BE"), com("utf-16be"))
+      .toString === "round trip")
+  }
+
   private def com(s: String): org.apache.spark.unsafe.types.UTF8String =
     org.apache.spark.unsafe.types.UTF8String.fromString(s)
 

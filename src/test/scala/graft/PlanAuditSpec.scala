@@ -843,6 +843,15 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q126 utf16 intake: zero exchanges, sniff once per row") {
+    val df = graft.operators.Crawl.q126Utf16Intake(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    assert(shuffles(df) === 0, s"expected 0 shuffles:\n$p")
+    val n = java.util.regex.Pattern.quote("graft_sniff_charset(")
+      .r.findAllIn(p).length
+    assert(n === 1, s"expected 1 sniff in the plan, found $n:\n$p")
+  }
+
   test("q113 recrawl policy is a pure map — zero exchanges") {
     val df = graft.operators.Crawl.q113RecrawlPolicy(spark, TestSpark.Sf0001)
     assert(shuffles(df) === 0, s"expected 0 shuffles:\n${plan(df)}")
