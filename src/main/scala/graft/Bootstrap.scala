@@ -249,6 +249,11 @@ object Bootstrap {
     // read (`WHERE format = 'gif' AND min_luma IS NULL`)
     operators.Multimodal.q124GifPixels(spark, dir)
       .createOrReplaceTempView("vw_gif_stats")
+    // the composed image-intake manifest (q127): mixed formats routed
+    // by magic bytes — `WHERE format <> 'unknown' AND min_luma IS NULL`
+    // is the cross-format corrupt-image quarantine in one view
+    operators.Multimodal.q127ImageIntake(spark, dir)
+      .createOrReplaceTempView("vw_image_intake")
     // the UTF-16 intake manifest (q126): `WHERE method = 'sniffed' AND
     // detected LIKE 'utf-16%'` is the SQL-only "BOM-less Windows
     // exports" read; `text_out IS NULL` the corrupt-encoding quarantine

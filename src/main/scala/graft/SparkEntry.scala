@@ -148,6 +148,7 @@ object SparkEntry {
     "q124_gif_pixels" -> (Multimodal.q124GifPixels _),
     "q125_pdf_extract" -> (Pdf.q125PdfExtract _),
     "q126_utf16_intake" -> (Crawl.q126Utf16Intake _),
+    "q127_image_intake" -> (Multimodal.q127ImageIntake _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1416,6 +1417,51 @@ object SparkEntry {
         "SELECT doc_id, detected, method, expect AS text_out, " +
         "CAST(length(expect) AS BIGINT) AS n_chars, " +
         "md5(expect) AS text_md5 FROM y"),
+    // q127: the composed image intake — the oracle unions the three
+    // families' residue formulas (q118 flat blocks, q121 channel maps,
+    // q124 palette algebra) by class, so a ROUTING slip (the wrong
+    // decoder fed the right bytes) lands on another family's numbers
+    // and cannot cancel
+    "q127_image_intake" ->
+      ("WITH ja AS (SELECT doc_id, " +
+        "CAST((doc_id % 3 + 1) * 8 AS INTEGER) AS w, " +
+        "CAST((doc_id % 2 + 1) * 8 AS INTEGER) AS h, " +
+        "list_aggregate(pix, 'min') AS mn, list_aggregate(pix, 'max') AS mx, " +
+        "64 * list_aggregate(pix, 'sum') AS s FROM (SELECT doc_id, " +
+        "list_transform(range(0, CAST((doc_id % 3 + 1) * (doc_id % 2 + 1) AS BIGINT)), " +
+        "k -> ((doc_id*31 + k*17) % 251) - 125 + 128) AS pix " +
+        "FROM documents WHERE doc_id % 4 = 0)), " +
+        "pa AS (SELECT doc_id, CAST(doc_id % 6 + 1 AS INTEGER) AS w, " +
+        "CAST(doc_id % 4 + 1 AS INTEGER) AS h, " +
+        "min(luma) AS mn, max(luma) AS mx, sum(luma) AS s FROM (SELECT doc_id, " +
+        "(299 * ((doc_id*2 + x + r*11) % 256) + " +
+        "587 * ((doc_id*3 + x*5 + r) % 256) + " +
+        "114 * ((doc_id + x*7 + r*13) % 256)) // 1000 AS luma " +
+        "FROM documents, " +
+        "UNNEST(range(0, CAST(doc_id % 6 + 1 AS BIGINT))) AS tx(x), " +
+        "UNNEST(range(0, CAST(doc_id % 4 + 1 AS BIGINT))) AS tr(r) " +
+        "WHERE doc_id % 4 = 1) GROUP BY doc_id), " +
+        "ga AS (SELECT doc_id, CAST(doc_id % 6 + 1 AS INTEGER) AS w, " +
+        "CAST(doc_id % 4 + 1 AS INTEGER) AS h, " +
+        "min(luma) AS mn, max(luma) AS mx, sum(luma) AS s FROM (SELECT doc_id, " +
+        "(299 * ((doc_id*2 + ((doc_id + x*3 + r*5) % 32)) % 256) + " +
+        "587 * ((doc_id*3 + ((doc_id + x*3 + r*5) % 32)*5) % 256) + " +
+        "114 * ((doc_id + ((doc_id + x*3 + r*5) % 32)*7) % 256)) // 1000 AS luma " +
+        "FROM documents, " +
+        "UNNEST(range(0, CAST(doc_id % 6 + 1 AS BIGINT))) AS tx(x), " +
+        "UNNEST(range(0, CAST(doc_id % 4 + 1 AS BIGINT))) AS tr(r) " +
+        "WHERE doc_id % 4 = 2) GROUP BY doc_id) " +
+        "SELECT d.doc_id, " +
+        "CASE d.doc_id % 4 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' " +
+        "WHEN 2 THEN 'gif' ELSE 'unknown' END AS format, " +
+        "CAST(coalesce(ja.w, pa.w, ga.w) AS INTEGER) AS width, " +
+        "CAST(coalesce(ja.h, pa.h, ga.h) AS INTEGER) AS height, " +
+        "CAST(coalesce(ja.mn, pa.mn, ga.mn) AS INTEGER) AS min_luma, " +
+        "CAST(coalesce(ja.mx, pa.mx, ga.mx) AS INTEGER) AS max_luma, " +
+        "CAST(coalesce(ja.s, pa.s, ga.s) AS BIGINT) AS sum_luma " +
+        "FROM documents d LEFT JOIN ja ON d.doc_id = ja.doc_id " +
+        "LEFT JOIN pa ON d.doc_id = pa.doc_id " +
+        "LEFT JOIN ga ON d.doc_id = ga.doc_id"),
     // q118: the oracle recomputes min/max/sum luma from the per-block DC
     // residue formula alone — it never parses a byte of JPEG — so the
     // Spark side must carry exact values through Huffman + DC

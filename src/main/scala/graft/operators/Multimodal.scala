@@ -1297,4 +1297,54 @@ object Multimodal {
           when(gifOk, le16(col("_p"), 9))))
         .as("mean_luma_x100"))
   }
+
+  // ---------------------------------------------------------------- q127
+
+  /** Q127: the composed IMAGE INTAKE — what a crawl pipeline actually
+    * runs: payloads of MIXED formats arrive in one binary column, magic
+    * bytes route each row to ITS pixel decoder (JPEG Huffman+IDCT / PNG
+    * inflate+filters / GIF LZW), and one manifest carries format, dims,
+    * and luma stats for all of them. The conditional evaluates lazily,
+    * so each row pays exactly one decode — the routing is the operator
+    * (q116's composition stance: every stage is the already-pinned
+    * kernel; the teeth are that THREE independent decode families must
+    * agree with one oracle).
+    *
+    * Residue classes (%4): 0 → baseline grayscale JPEG (q118's class-0
+    * shape); 1 → truecolor PNG with the five-filter walk (q121's
+    * class 1); 2 → GIF89a (q124's class 0); 3 → not an image.
+    * One narrow map, zero exchanges, each kernel AT MOST once — pinned.
+    */
+  def q127ImageIntake(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{GifPixelOps, JpegPixelOps, PngPixelOps}
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val jw = (id % 3 + 1).cast("long")
+    val jh = (id % 2 + 1).cast("long")
+    val pw = (id % 6 + 1).cast("long")
+    val ph = (id % 4 + 1).cast("long")
+    val payload = when(id % 4 === 0,
+        JpegPixelOps.jpegSynth(id, jw + jh * 256)) // baseline grayscale
+      .when(id % 4 === 1,
+        PngPixelOps.pngSynth(id, pw + ph * 256 + lit(1L << 16))) // RGB
+      .when(id % 4 === 2,
+        GifPixelOps.gifSynth(id, pw + ph * 256)) // GIF89a plain
+      .otherwise(col("text").cast("binary"))
+    val staged = docs.select(id, payload.as("_p"))
+      .withColumn("_jd", graft.functions.ImageOps.jpegDims(col("_p")))
+      .withColumn("_m", decodeImageMetaFrom(col("_p"), col("_jd")))
+      // magic-byte ROUTING: the when-chain evaluates lazily, so a row
+      // runs exactly its own format's decode walk
+      .withColumn("_l",
+        when(col("_m.format") === "jpeg", JpegPixelOps.jpegLuma(col("_p")))
+          .when(col("_m.format") === "png", PngPixelOps.pngLuma(col("_p")))
+          .when(col("_m.format") === "gif", GifPixelOps.gifLuma(col("_p"))))
+    staged.select(id,
+      col("_m.format").as("format"),
+      col("_m.width").as("width"),
+      col("_m.height").as("height"),
+      col("_l").bitwiseAND(lit(0xFF)).cast("int").as("min_luma"),
+      shiftright(col("_l"), 8).bitwiseAND(lit(0xFF)).cast("int").as("max_luma"),
+      shiftrightunsigned(col("_l"), 16).as("sum_luma"))
+  }
 }

@@ -852,6 +852,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(n === 1, s"expected 1 sniff in the plan, found $n:\n$p")
   }
 
+  test("q127 image intake: zero exchanges, each decoder routed once") {
+    val df = graft.operators.Multimodal.q127ImageIntake(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    assert(shuffles(df) === 0, s"expected 0 shuffles:\n$p")
+    // the routing when-chain holds each family's decode exactly once —
+    // a second occurrence means a pre-projection collapsed and some
+    // column re-runs a full decode walk
+    for (k <- Seq("graft_jpeg_luma(", "graft_png_luma(", "graft_gif_luma(",
+      "graft_jpeg_dims(")) {
+      val n = java.util.regex.Pattern.quote(k).r.findAllIn(p).length
+      assert(n === 1, s"expected 1 $k in the plan, found $n:\n$p")
+    }
+  }
+
   test("q113 recrawl policy is a pure map — zero exchanges") {
     val df = graft.operators.Crawl.q113RecrawlPolicy(spark, TestSpark.Sf0001)
     assert(shuffles(df) === 0, s"expected 0 shuffles:\n${plan(df)}")

@@ -68,7 +68,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "vw_pdf_text" ->
         graft.sources.Pdf.q125PdfExtract(spark, TestSpark.Sf0001),
       "vw_utf16_intake" ->
-        graft.operators.Crawl.q126Utf16Intake(spark, TestSpark.Sf0001))
+        graft.operators.Crawl.q126Utf16Intake(spark, TestSpark.Sf0001),
+      "vw_image_intake" ->
+        graft.operators.Multimodal.q127ImageIntake(spark, TestSpark.Sf0001))
     twins.foreach { case (view, df) =>
       val sql = canon(spark.sql(s"SELECT * FROM $view"))
       val api = canon(df)
