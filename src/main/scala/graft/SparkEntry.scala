@@ -149,6 +149,7 @@ object SparkEntry {
     "q125_pdf_extract" -> (Pdf.q125PdfExtract _),
     "q126_utf16_intake" -> (Crawl.q126Utf16Intake _),
     "q127_image_intake" -> (Multimodal.q127ImageIntake _),
+    "q128_html_unescape" -> (Text.q128HtmlUnescape _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1462,6 +1463,24 @@ object SparkEntry {
         "FROM documents d LEFT JOIN ja ON d.doc_id = ja.doc_id " +
         "LEFT JOIN pa ON d.doc_id = pa.doc_id " +
         "LEFT JOIN ga ON d.doc_id = ga.doc_id"),
+    // q128: the oracle rebuilds the expected decode from the cleansed
+    // base + the gauntlet's chr() codepoints (it never runs a decoder),
+    // so a table, numeric-radix, one-level, or pass-through slip cannot
+    // cancel
+    "q128_html_unescape" ->
+      ("WITH b AS (SELECT doc_id, " +
+        "regexp_replace(coalesce(text, ''), '[&;#]', '', 'g') AS base " +
+        "FROM documents), " +
+        "y AS (SELECT doc_id, base || CASE doc_id % 5 " +
+        "WHEN 0 THEN ' & x <b> ' || chr(34) || 'q' || chr(34) || ' ' || " +
+        "chr(8212) || ' ' || chr(233) || ' ' || chr(8364) " +
+        "WHEN 1 THEN ' AB ' || chr(8212) || ' ' || chr(8364) || ' end' " +
+        "WHEN 2 THEN ' &unknown; &amp x &#xG1; &#; &#x110000; &#xD800; tail' " +
+        "WHEN 3 THEN ' &amp; &#65; z' " +
+        "ELSE '' END AS expect FROM b) " +
+        "SELECT doc_id, expect AS text_out, " +
+        "CAST(length(expect) AS BIGINT) AS n_chars, " +
+        "md5(expect) AS text_md5 FROM y"),
     // q118: the oracle recomputes min/max/sum luma from the per-block DC
     // residue formula alone — it never parses a byte of JPEG — so the
     // Spark side must carry exact values through Huffman + DC

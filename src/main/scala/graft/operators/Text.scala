@@ -1497,4 +1497,45 @@ object Text {
         (col("_dom").getField("_cnt") < col("n_lines")).cast("int")
           .as("mixed"))
   }
+
+  // ---------------------------------------------------------------- q128
+
+  /** Q128: HTML character-reference decoding — the cleaning pass that
+    * follows structure extraction (q106's content blocks still spell
+    * `&amp;` / `&#8212;`): `graft_html_unescape` decodes the stated
+    * core named table plus numeric decimal/hex references, ONE level,
+    * with verbatim pass-through for everything else (bare ampersands,
+    * unknown names, malformed or surrogate/overflow numerics — the
+    * HTML5 prose reality plus evidence preservation).
+    *
+    * Payloads splice a fixed reference gauntlet onto `[&;#]`-cleansed
+    * base text (the q114/q117 framing discipline: the base cannot carry
+    * references of its own, so expected output = base + the gauntlet's
+    * decoded form, derivable in the oracle via chr() codepoints).
+    * Residue classes (%5): 0 → named references; 1 → numeric
+    * decimal + hex; 2 → the malformed/unknown gauntlet that must come
+    * back VERBATIM (incl. a 12-char-window prose ampersand, a bad hex
+    * digit, an empty numeric, beyond-Unicode, and a surrogate);
+    * 3 → double-encoded `&amp;amp;` (exactly one level comes off);
+    * 4 → no references at all (the fast-path control).
+    * One narrow map, kernel once per row, zero exchanges.
+    */
+  def q128HtmlUnescape(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HtmlEntityOps
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val base = regexp_replace(coalesce(col("text"), lit("")), "[&;#]", "")
+    val sfx = when(id % 5 === 0,
+        " &amp; x &lt;b&gt; &quot;q&quot; &mdash; &eacute; &euro;")
+      .when(id % 5 === 1, " &#65;&#x42; &#8212; &#x20AC; end")
+      .when(id % 5 === 2,
+        " &unknown; &amp x &#xG1; &#; &#x110000; &#xD800; tail")
+      .when(id % 5 === 3, " &amp;amp; &amp;#65; z")
+      .otherwise("")
+    docs.select(id, concat(base, sfx).as("_p"))
+      .withColumn("text_out", HtmlEntityOps.htmlUnescape(col("_p")))
+      .select(id, col("text_out"),
+        length(col("text_out")).cast("bigint").as("n_chars"),
+        md5(encode(col("text_out"), "UTF-8")).as("text_md5"))
+  }
 }

@@ -110,4 +110,25 @@ class FunctionsSpec extends AnyFunSuite {
       .select(graft.functions.TextOps.nfc(col("s"))).as[String].head()
     assert(out === "\u00E9")
   }
+
+  test("html entity decode: core table, numerics, one level, pass-through") {
+    import graft.functions.HtmlEntityEval.decode
+    import org.apache.spark.unsafe.types.UTF8String
+    def d(s: String): String = decode(UTF8String.fromString(s)).toString
+    assert(d("a &amp; b") === "a & b")
+    assert(d("&lt;p&gt;&quot;x&quot;&apos;") === "<p>\"x\"'")
+    assert(d("&#65;&#x42;&#x1F600;") === "AB\uD83D\uDE00") // astral plane
+    assert(d("&mdash;&eacute;&euro;&nbsp;") === "\u2014\u00E9\u20AC\u00A0")
+    // ONE level: the decoded '&' never rescans
+    assert(d("&amp;amp;") === "&amp;")
+    assert(d("&amp;#65;") === "&#65;")
+    // verbatim pass-through: unknown name, no semicolon, bad digits,
+    // empty numeric, beyond-Unicode, surrogate, distant semicolon
+    for (s <- Seq("&unknown;", "&amp x", "&#xG1;", "&#;", "&#x110000;",
+      "&#xD800;", "fish & chips; more"))
+      assert(d(s) === s, s)
+    // fast path: no '&' returns the same instance
+    val plain = UTF8String.fromString("no entities")
+    assert(decode(plain) eq plain)
+  }
 }

@@ -866,6 +866,15 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q128 html unescape is a pure map — zero exchanges, kernel once") {
+    val df = graft.operators.Text.q128HtmlUnescape(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    assert(shuffles(df) === 0, s"expected 0 shuffles:\n$p")
+    val n = java.util.regex.Pattern.quote("graft_html_unescape(")
+      .r.findAllIn(p).length
+    assert(n === 1, s"expected 1 kernel in the plan, found $n:\n$p")
+  }
+
   test("q113 recrawl policy is a pure map — zero exchanges") {
     val df = graft.operators.Crawl.q113RecrawlPolicy(spark, TestSpark.Sf0001)
     assert(shuffles(df) === 0, s"expected 0 shuffles:\n${plan(df)}")
