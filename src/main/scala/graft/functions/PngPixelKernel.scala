@@ -27,7 +27,7 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   * filter byte past 4, IDAT inflating to anything but exactly the
   * pass-geometry byte count, a non-consecutive IDAT run, truncated
   * chunks, a missing IEND, a missing/odd-length/oversized PLTE for
-  * type 3, or a palette index past the table. Dims past 1<<24 per edge
+  * type 3, or a palette index past the table. Dims past 1<<20 per edge
   * refuse as a resource guard (a header is attacker-controlled; the
   * scanline buffer must stay bounded).
   *
@@ -38,7 +38,10 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
 object PngPixelEval {
 
   private final val NoStats = java.lang.Long.MIN_VALUE
-  private final val MaxEdge = 1 << 24
+  // per-edge cap: the scanline buffers are 2·(1 + w·bpp) bytes and the
+  // header is attacker-controlled — 2^20 holds them to ~8 MB worst case
+  // (rows stream, so HEIGHT needs no tighter bound than the edge cap)
+  private final val MaxEdge = 1 << 20
 
   // one Inflater + CRC32 per executor thread (the GzipEval discipline):
   // native zlib stream allocation per row would dominate the decode
