@@ -150,6 +150,7 @@ object SparkEntry {
     "q126_utf16_intake" -> (Crawl.q126Utf16Intake _),
     "q127_image_intake" -> (Multimodal.q127ImageIntake _),
     "q128_html_unescape" -> (Text.q128HtmlUnescape _),
+    "q129_tiff_meta" -> (Multimodal.q129TiffMeta _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1418,6 +1419,18 @@ object SparkEntry {
         "SELECT doc_id, detected, method, expect AS text_out, " +
         "CAST(length(expect) AS BIGINT) AS n_chars, " +
         "md5(expect) AS text_md5 FROM y"),
+    // q129: the oracle replays the dimension residues and the meta
+    // split (magic survives truncation, the IFD value parse refuses) —
+    // it never builds a TIFF byte, so an endianness, field-offset, or
+    // entry-scan slip cannot cancel
+    "q129_tiff_meta" ->
+      ("SELECT doc_id, " +
+        "CAST(doc_id % 5 <> 4 AS INTEGER) AS is_tiff, " +
+        "CAST(CASE WHEN doc_id % 5 IN (3, 4) THEN NULL " +
+        "ELSE (doc_id % 7 + 1) * 3 END AS INTEGER) AS width, " +
+        "CAST(CASE WHEN doc_id % 5 IN (3, 4) THEN NULL " +
+        "ELSE (doc_id % 6 + 1) * 4 END AS INTEGER) AS height " +
+        "FROM documents"),
     // q127: the composed image intake — the oracle unions the three
     // families' residue formulas (q118 flat blocks, q121 channel maps,
     // q124 palette algebra) by class, so a ROUTING slip (the wrong

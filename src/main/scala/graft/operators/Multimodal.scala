@@ -1347,4 +1347,47 @@ object Multimodal {
       shiftright(col("_l"), 8).bitwiseAND(lit(0xFF)).cast("int").as("max_luma"),
       shiftrightunsigned(col("_l"), 16).as("sum_luma"))
   }
+
+  // ---------------------------------------------------------------- q129
+
+  /** Q129: TIFF header metadata — the scanned-documents format the q39
+    * meta family was missing: dims live in IFD tag ENTRIES at variable
+    * positions under either byte order, so `graft_tiff_dims` is a real
+    * parse (magic, IFD offset, a 12-byte-entry scan past decoy tags for
+    * ImageWidth/ImageLength, inline SHORT/LONG values in the file's own
+    * order — a SHORT's two value bytes sit at the FRONT of the field in
+    * both orders, the endianness trap the class mix drills).
+    *
+    * Residue classes (%5): 0 → little-endian, SHORT width; 1 →
+    * big-endian, LONG width; 2 → BIG-endian SHORT width (the cross that
+    * catches a reader taking SHORT values from the wrong end of the
+    * field); 3 → IFD cut 10 bytes short (magic survives → is_tiff = 1,
+    * dims refuse — the q39 meta split); 4 → not a TIFF.
+    * One narrow map, kernel once per row, zero exchanges.
+    */
+  def q129TiffMeta(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TiffOps
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val w = ((id % 7 + 1) * 3).cast("long")
+    val h = ((id % 6 + 1) * 4).cast("long") // mod 6: decorrelated from %5
+    // shape packs w | h<<16 | le<<32 | shortW<<33
+    val shape = when(id % 5 === 0, w + h * 65536 + lit(3L << 32)) // II, SHORT
+      .when(id % 5 === 1, w + h * 65536) // MM, LONG
+      .when(id % 5 === 2, w + h * 65536 + lit(2L << 32)) // MM, SHORT
+      .otherwise(w + h * 65536 + lit(3L << 32))
+    val whole = TiffOps.tiffSynth(id, shape)
+    val payload = when(id % 5 === 4, col("text").cast("binary"))
+      .when(id % 5 === 3, expr("substring(_w, 1, length(_w) - 10)"))
+      .otherwise(col("_w"))
+    val staged = docs.select(id, col("text"), whole.as("_w"))
+      .select(id, payload.as("_p"))
+      .withColumn("_d", TiffOps.tiffDims(col("_p")))
+    val isTiff = hex(substring(col("_p"), 1, 4))
+      .isin("49492A00", "4D4D002A")
+    staged.select(id,
+      isTiff.cast("int").as("is_tiff"),
+      shiftright(col("_d"), 32).cast("int").as("width"),
+      col("_d").bitwiseAND(lit(0xFFFFFFFFL)).cast("int").as("height"))
+  }
 }

@@ -875,6 +875,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(n === 1, s"expected 1 kernel in the plan, found $n:\n$p")
   }
 
+  test("q129 tiff meta is a pure map — zero exchanges, kernel once") {
+    val df = graft.operators.Multimodal.q129TiffMeta(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    assert(shuffles(df) === 0, s"expected 0 shuffles:\n$p")
+    for (k <- Seq("graft_tiff_dims(", "graft_tiff_synth(")) {
+      val n = java.util.regex.Pattern.quote(k).r.findAllIn(p).length
+      assert(n === 1, s"expected 1 $k in the plan, found $n:\n$p")
+    }
+  }
+
   test("q113 recrawl policy is a pure map — zero exchanges") {
     val df = graft.operators.Crawl.q113RecrawlPolicy(spark, TestSpark.Sf0001)
     assert(shuffles(df) === 0, s"expected 0 shuffles:\n${plan(df)}")

@@ -363,6 +363,47 @@ class ScaleSpec extends AnyFunSuite {
       f"10x docs cost ${t10 / t1}%.1fx the time ($t1%.2fs -> $t10%.2fs)")
   }
 
+  test("q122/q123 second decade: 100x docs, models still constant", Slow) {
+    // the r13 discipline that caught three real breaks in the ANN
+    // family: run the SECOND decade too. 2M synthetic docs (100x the
+    // 20k base) — the classifier's bucket table and the BPE pre-token
+    // vocabulary must still be corpus-size-independent, and each decade
+    // must cost <= 10x (env-gated: minutes-scale).
+    assume(sys.env.contains("GRAFT_SCALE100"),
+      "set GRAFT_SCALE100=1 to run the 100x training-op probe")
+    import graft.operators.{Bpe, Classifier}
+    val n100 = 2000000L
+    val buckets = synthMix(n100)
+      .select(explode(graft.functions.TextOps.words(col("text"))).as("f"))
+      .select((conv(substring(md5(col("f")), 1, 8), 16, 10).cast("long")
+        % Classifier.NumBuckets).as("b"))
+      .distinct().count()
+    assert(buckets <= Classifier.NumBuckets)
+    val vocab100 = synthMix(n100)
+      .select(explode(regexp_extract_all(col("text"),
+        lit(graft.functions.ByteBpeEval.PreTok), lit(0))).as("t"))
+      .distinct().count()
+    val vocab10 = synthMix(200000)
+      .select(explode(regexp_extract_all(col("text"),
+        lit(graft.functions.ByteBpeEval.PreTok), lit(0))).as("t"))
+      .distinct().count()
+    assert(vocab100 === vocab10,
+      s"pre-token vocabulary grew across the second decade ($vocab10 -> $vocab100)")
+    def t(f: => Any): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val c10 = t(Classifier.classifierOn(synthMix(200000))
+      .agg(sum("n_feats")).head)
+    val c100 = t(Classifier.classifierOn(synthMix(n100))
+      .agg(sum("n_feats")).head)
+    assert(c100 / c10 <= 10.0,
+      f"classifier second decade cost ${c100 / c10}%.1fx ($c10%.1fs -> $c100%.1fs)")
+    val b10 = t(Bpe.byteBpeTrainOn(synthMix(200000), 10).collect())
+    val b100 = t(Bpe.byteBpeTrainOn(synthMix(n100), 10).collect())
+    assert(b100 / b10 <= 10.0,
+      f"byte BPE second decade cost ${b100 / b10}%.1fx ($b10%.1fs -> $b100%.1fs)")
+  }
+
   test("q123 byte BPE: 10x docs, saturating pre-token vocab, ~linear", Slow) {
     // the q85 decomposition at the byte level, measured: the corpus
     // contributes ONE pass (the pre-token frequency frame) and every
