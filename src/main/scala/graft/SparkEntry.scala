@@ -151,6 +151,7 @@ object SparkEntry {
     "q127_image_intake" -> (Multimodal.q127ImageIntake _),
     "q128_html_unescape" -> (Text.q128HtmlUnescape _),
     "q129_tiff_meta" -> (Multimodal.q129TiffMeta _),
+    "q130_mp3_meta" -> (Multimodal.q130Mp3Meta _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1431,6 +1432,34 @@ object SparkEntry {
         "CAST(CASE WHEN doc_id % 5 IN (3, 4) THEN NULL " +
         "ELSE (doc_id % 6 + 1) * 4 END AS INTEGER) AS height " +
         "FROM documents"),
+    // q130: the oracle replays the bitrate/sample-rate tables and the
+    // CBR arithmetic from residues (it never builds a frame byte), so a
+    // table row, synchsafe-size, or tag-exclusion slip cannot cancel
+    "q130_mp3_meta" ->
+      ("WITH p AS (SELECT doc_id, " +
+        "CASE WHEN doc_id % 5 = 2 THEN 14 WHEN doc_id % 5 = 3 THEN 0 " +
+        "ELSE CAST(doc_id % 14 + 1 AS INTEGER) END AS br, " +
+        "CASE WHEN doc_id % 5 = 2 THEN 0 " +
+        "ELSE CAST(doc_id % 3 AS INTEGER) END AS sri, " +
+        "CASE WHEN doc_id % 5 = 2 THEN 2000 " +
+        "ELSE CAST(doc_id % 300 + 500 AS BIGINT) END AS junk " +
+        "FROM documents), " +
+        "k AS (SELECT doc_id, junk, " +
+        "CASE br WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48 WHEN 4 THEN 56 " +
+        "WHEN 5 THEN 64 WHEN 6 THEN 80 WHEN 7 THEN 96 WHEN 8 THEN 112 " +
+        "WHEN 9 THEN 128 WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224 " +
+        "WHEN 13 THEN 256 WHEN 14 THEN 320 ELSE 0 END AS kbps, " +
+        "CASE sri WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS sr " +
+        "FROM p) " +
+        "SELECT doc_id, " +
+        "CAST(doc_id % 5 NOT IN (3, 4) AS INTEGER) AS ok, " +
+        "CAST(CASE WHEN doc_id % 5 IN (3, 4) THEN NULL ELSE kbps END AS INTEGER) " +
+        "AS bitrate_kbps, " +
+        "CAST(CASE WHEN doc_id % 5 IN (3, 4) THEN NULL ELSE sr END AS INTEGER) " +
+        "AS sample_rate, " +
+        "CAST(CASE WHEN doc_id % 5 IN (3, 4) THEN NULL " +
+        "ELSE least(((junk + 4) * 8) // kbps, 1048575) END AS BIGINT) " +
+        "AS duration_ms FROM k"),
     // q127: the composed image intake — the oracle unions the three
     // families' residue formulas (q118 flat blocks, q121 channel maps,
     // q124 palette algebra) by class, so a ROUTING slip (the wrong

@@ -1390,4 +1390,50 @@ object Multimodal {
       shiftright(col("_d"), 32).cast("int").as("width"),
       col("_d").bitwiseAND(lit(0xFFFFFFFFL)).cast("int").as("height"))
   }
+
+  // ---------------------------------------------------------------- q130
+
+  /** Q130: MP3 frame-header metadata — the crawl audio triage the meta
+    * family was missing (q56/q62 cover WAV/MP4): `graft_mp3_meta` skips
+    * an ID3v2 tag by its SYNCHSAFE size (tag bytes are not audio and
+    * must not inflate the duration), requires frame sync within the
+    * first 16 post-tag bytes (a deep scan would "find" sync inside
+    * text), decodes the MPEG-1 Layer III bitrate/sample-rate tables,
+    * and estimates CBR duration from the post-tag byte count.
+    *
+    * Residue classes (%5): 0 → bare stream (bitrate/rate walk the full
+    * tables); 1 → ID3v2-tagged (the duration must EXCLUDE the tag —
+    * an offset slip shows up as a deterministic ms error); 2 → fixed
+    * 320 kbps / 44.1 kHz (the ceiling row of both tables); 3 → a
+    * free-bitrate header (index 0 — any real reader must refuse, not
+    * divide by zero); 4 → not an MP3 (UTF-8 text cannot contain the
+    * 0xFF sync byte). One narrow map, kernel once per row, zero
+    * exchanges.
+    */
+  def q130Mp3Meta(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Mp3Ops
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val br = (id % 14 + 1).cast("long")
+    val sr = (id % 3).cast("long")
+    val junk = (id % 300 + 500).cast("long")
+    // shape packs brIdx | srIdx<<8 | tagSize<<16 | junk<<32
+    val shape = when(id % 5 === 1,
+        br + sr * 256 + (id % 200 + 100) * 65536 + junk * lit(1L << 32))
+      .when(id % 5 === 2, lit(14L) + lit(2000L << 32))
+      .when(id % 5 === 3, sr * 256 + junk * lit(1L << 32)) // brIdx 0: free
+      .otherwise(br + sr * 256 + junk * lit(1L << 32))
+    val whole = Mp3Ops.mp3Synth(id, shape)
+    val payload = when(id % 5 === 4, col("text").cast("binary"))
+      .otherwise(col("_w"))
+    docs.select(id, col("text"), whole.as("_w"))
+      .select(id, payload.as("_p"))
+      .withColumn("_m", Mp3Ops.mp3Meta(col("_p")))
+      .select(id,
+        col("_m").isNotNull.cast("int").as("ok"),
+        shiftright(col("_m"), 40).cast("int").as("bitrate_kbps"),
+        shiftright(col("_m"), 20).bitwiseAND(lit(0xFFFFFL)).cast("int")
+          .as("sample_rate"),
+        col("_m").bitwiseAND(lit(0xFFFFFL)).cast("long").as("duration_ms"))
+  }
 }

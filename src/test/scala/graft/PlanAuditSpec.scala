@@ -885,6 +885,16 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q130 mp3 meta is a pure map — zero exchanges, kernel once") {
+    val df = graft.operators.Multimodal.q130Mp3Meta(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    assert(shuffles(df) === 0, s"expected 0 shuffles:\n$p")
+    for (k <- Seq("graft_mp3_meta(", "graft_mp3_synth(")) {
+      val n = java.util.regex.Pattern.quote(k).r.findAllIn(p).length
+      assert(n === 1, s"expected 1 $k in the plan, found $n:\n$p")
+    }
+  }
+
   test("q113 recrawl policy is a pure map — zero exchanges") {
     val df = graft.operators.Crawl.q113RecrawlPolicy(spark, TestSpark.Sf0001)
     assert(shuffles(df) === 0, s"expected 0 shuffles:\n${plan(df)}")
