@@ -249,6 +249,13 @@ object Bootstrap {
     // read (`WHERE format = 'gif' AND min_luma IS NULL`)
     operators.Multimodal.q124GifPixels(spark, dir)
       .createOrReplaceTempView("vw_gif_stats")
+    // the TIFF / MP3 metadata manifests (q129/q130): the scanned-doc and
+    // audio triage reads (`WHERE is_tiff = 1 AND width IS NULL` /
+    // `WHERE ok = 0` are the respective quarantines)
+    operators.Multimodal.q129TiffMeta(spark, dir)
+      .createOrReplaceTempView("vw_tiff_meta")
+    operators.Multimodal.q130Mp3Meta(spark, dir)
+      .createOrReplaceTempView("vw_mp3_meta")
     // the composed image-intake manifest (q127): mixed formats routed
     // by magic bytes — `WHERE format <> 'unknown' AND min_luma IS NULL`
     // is the cross-format corrupt-image quarantine in one view

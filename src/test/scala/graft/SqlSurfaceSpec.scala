@@ -70,7 +70,11 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "vw_utf16_intake" ->
         graft.operators.Crawl.q126Utf16Intake(spark, TestSpark.Sf0001),
       "vw_image_intake" ->
-        graft.operators.Multimodal.q127ImageIntake(spark, TestSpark.Sf0001))
+        graft.operators.Multimodal.q127ImageIntake(spark, TestSpark.Sf0001),
+      "vw_tiff_meta" ->
+        graft.operators.Multimodal.q129TiffMeta(spark, TestSpark.Sf0001),
+      "vw_mp3_meta" ->
+        graft.operators.Multimodal.q130Mp3Meta(spark, TestSpark.Sf0001))
     twins.foreach { case (view, df) =>
       val sql = canon(spark.sql(s"SELECT * FROM $view"))
       val api = canon(df)
