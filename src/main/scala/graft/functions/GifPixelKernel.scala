@@ -204,9 +204,14 @@ object GifPixelEval {
       if (emitted > total) return NoStats // more pixels than the frame
     }
     if (emitted != total) return NoStats // short frame
-    // the data stream must close with its block terminator
-    // (skip any residual padding bits already consumed with the code read)
-    if (blockLeft > 0) { pos += blockLeft } // padding bytes inside the block
+    // the data stream must close with its block terminator. Residual
+    // FULL bytes between EOI and the terminator are tolerated ON
+    // PURPOSE (stated leniency, not an oversight): GIF89a only defines
+    // the sub-block framing, several historical encoders pad the final
+    // block, and the pixels those bytes could have carried are already
+    // bounded by the emitted == total check above — a padded stream
+    // cannot smuggle extra pixels, only dead bits
+    if (blockLeft > 0) { pos += blockLeft }
     if (pos >= b.length || (b(pos) & 0xFF) != 0) return NoStats
     minL.toLong | (maxL.toLong << 8) | (sum << 16)
   }
