@@ -1083,14 +1083,22 @@ object JpegPixelEval {
       mcu += 1
     }
     bwr.flush()
-    // one EOBRUN token ending `n` all-zero bands (value n-1 encoded as
-    // r + extra bits per G.1.2.2)
-    def eobrunAll(n: Int): Unit = {
-      val v = n - 1
-      val r = if (v == 0) 0 else 31 - Integer.numberOfLeadingZeros(v + 1)
-      val (code, clen) = acCodes(r << 4)
-      bwr.put(code, clen)
-      if (r > 0) bwr.put(v + 1 - (1 << r), r)
+    // EOBRUN tokens ending `n` all-zero bands (value run-1 encoded as
+    // r + extra bits per G.1.2.2). T.81 caps one EOBRUN at 2^15-1
+    // blocks (EOB14), so rasters past 32767 luma blocks — reachable at
+    // bw=bh=255 with 2x2 sampling — emit a chain of maximal tokens;
+    // the decoder consumes each when its pending run drains to zero.
+    def eobrunAll(n0: Int): Unit = {
+      var n = n0
+      while (n > 0) {
+        val take = math.min(n, 32767)
+        val v = take - 1
+        val r = if (v == 0) 0 else 31 - Integer.numberOfLeadingZeros(v + 1)
+        val (code, clen) = acCodes(r << 4)
+        bwr.put(code, clen)
+        if (r > 0) bwr.put(v + 1 - (1 << r), r)
+        n -= take
+      }
     }
     // scans 3-4: luma AC first (Al=1) then refinement (Ah=1 -> Al=0),
     // each one EOBRUN over the whole luma raster

@@ -37,7 +37,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * failure, or an unterminated string/array/BT block.
   *
   * Reference behavior: scholar-stream ingests arXiv METADATA only
-  * (api_client.py fetches abstracts); extracting the papers' own text
+  * (openalex_client.py fetches abstracts); extracting the papers' own text
   * is the north-star extension a training corpus needs.
   */
 object PdfEval {
@@ -182,8 +182,15 @@ object PdfEval {
       // nearest `obj` and require /Pages in between
       val ob = s.lastIndexOf(" obj", ki)
       if (ob >= 0 && s.substring(ob, ki).contains("/Pages")) {
-        val arr = refArray(s.substring(ki), "/Kids").getOrElse(return -1)
-        val cnt = dictInt(s.substring(ki), "/Count")
+        // confine /Kids and /Count to this object's own extent — an
+        // unbounded suffix search would borrow a LATER object's /Count
+        // when the Pages dict lacks one, making the cross-check pass or
+        // fail on unrelated bytes (extract() already scopes lookups to
+        // the object body).
+        val oe = s.indexOf("endobj", ki)
+        val body = if (oe >= 0) s.substring(ki, oe) else s.substring(ki)
+        val arr = refArray(body, "/Kids").getOrElse(return -1)
+        val cnt = dictInt(body, "/Count")
         if (cnt != arr.length) return -1
         return arr.length
       }

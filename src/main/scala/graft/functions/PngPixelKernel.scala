@@ -42,6 +42,12 @@ object PngPixelEval {
   // header is attacker-controlled — 2^20 holds them to ~8 MB worst case
   // (rows stream, so HEIGHT needs no tighter bound than the edge cap)
   private final val MaxEdge = 1 << 20
+  // total-pixel cap: a zlib-bomb IDAT (~1032:1) could otherwise drive a
+  // ~2^40-pixel decode — an unbounded CPU sink whose luma sum would
+  // overflow the `sum << 16` packing (sum must stay < 2^47). 2^28 px
+  // keeps sum ≤ 255·2^28 < 2^36 with a ~4000:1 safety margin and is
+  // still far above any real raster this corpus carries.
+  private final val MaxPixels = 1L << 28
 
   // one Inflater + CRC32 per executor thread (the GzipEval discipline):
   // native zlib stream allocation per row would dominate the decode
@@ -102,6 +108,7 @@ object PngPixelEval {
         val w = be32(b, p)
         val h = be32(b, p + 4)
         if (w < 1 || h < 1 || w > MaxEdge || h > MaxEdge) return NoStats
+        if (w * h > MaxPixels) return NoStats
         width = w.toInt
         height = h.toInt
         if ((b(p + 8) & 0xFF) != 8) return NoStats // bit depth

@@ -11,7 +11,7 @@ import graft.functions.NbOps
   * whose weights TRAIN in-corpus on a weak label (q65's own `keep` bit),
   * then score every document. Reference scope: scholar-stream has no
   * model-based filtering (its quality layer is SQL views,
-  * sql/03_curated_views.sql) — this is a north-star extension of the
+  * sql/04_views_curated.sql) — this is a north-star extension of the
   * quality family (q64/q65/q66/q81/q88).
   *
   * Model shape (multinomial Naive Bayes log-odds — the closed-form

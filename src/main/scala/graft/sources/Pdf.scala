@@ -10,7 +10,7 @@ import graft.functions.TextOps.words
   * WARC, q115 chunked, q116 full-stack are the TRANSPORT rungs; this is
   * the payload format a paper/report corpus actually arrives in —
   * scholar-stream itself ingests arXiv metadata only, reference
-  * ingestion/api_client.py, and extracting the papers' text is the
+  * ingestion/openalex_client.py, and extracting the papers' text is the
   * north-star a training corpus needs).
   *
   * Payloads are synthesized PDFs (`graft_pdf_synth`) whose page text is

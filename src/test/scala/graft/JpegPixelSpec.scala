@@ -227,4 +227,28 @@ class JpegPixelSpec extends AnyFunSuite {
     assert(df.where(col("d").isNull).count() === 0)
     assert(df.where(shiftright(col("d"), 32) =!= 24).count() === 0)
   }
+
+  test("EOBRUN chains past T.81's 32767-block single-run cap") {
+    // 255x255 grayscale progressive MCUs = 65025 luma blocks > 2^15-1:
+    // one EOBRUN cannot express the run (acCodes has no r=15 entry and
+    // T.81 G.1.2.2 caps a run at 32767), so the synthesizer must emit a
+    // CHAIN of maximal tokens — previously a Map.apply crash. 2040x2040
+    // = 4.16 Mpx sits inside MaxProgressivePixels, so the decoder must
+    // also CONSUME the chained runs and round-trip the residue formula.
+    val jpeg = JpegPixelEval.synthAny(7L, 255, 255, 0, 4)
+    val pix = (0 until 255 * 255).map(k => JpegPixelEval.blockDc(7L, k) + 128)
+    assert(JpegPixelEval.lumaStats(jpeg) ===
+      packed(pix.min, pix.max, 64L * pix.sum))
+  }
+
+  test("oversized progressive shapes synthesize without crashing, decode refuses") {
+    // 4:2:0 at 255x255 MCUs is 4080x4080 = 16.6 Mpx: past the 4 Mpx
+    // coefficient-grid guard, so the decode REFUSES (NoStats) — but the
+    // encoder must still produce bytes (260100 luma blocks needs eight
+    // chained EOBRUN tokens, not a thrown NoSuchElementException).
+    val NoStats = java.lang.Long.MIN_VALUE
+    val jpeg = JpegPixelEval.synthAny(3L, 255, 255, 0, 5)
+    assert(jpeg.length > 0)
+    assert(JpegPixelEval.lumaStats(jpeg) === NoStats)
+  }
 }

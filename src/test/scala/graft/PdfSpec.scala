@@ -111,4 +111,18 @@ class PdfSpec extends AnyFunSuite {
       assert(PdfEval.pageCount(b) === wantPages, s"pages n=$n mode=$mode")
     }
   }
+
+  test("a Pages dict missing /Count never borrows a later object's") {
+    // the Pages dict has /Kids but NO /Count; object 4 (unrelated)
+    // carries "/Count 1" — an unbounded suffix search would find it and
+    // wrongly pass the Kids/Count cross-check. The lookup must stay
+    // inside the Pages object's own extent and refuse.
+    val b = doc(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj",
+      "2 0 obj << /Type /Pages /Kids [3 0 R] >> endobj",
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 5 0 R >> endobj",
+      "4 0 obj << /Count 1 >> endobj",
+      contentObj(5, "BT (a) Tj ET"))
+    assert(PdfEval.pageCount(b) === -1)
+  }
 }
