@@ -278,6 +278,20 @@ object Bootstrap {
     // audit, the operational reason to run both gates
     operators.Classifier.q122QualityClassifier(spark, dir)
       .createOrReplaceTempView("vw_quality_model")
+    // the byte-BPE manifest (q123): `sum(n_chars) / sum(n_tokens)` over
+    // it is the SQL-only chars-per-token compression read a tokenizer
+    // rollout decision needs
+    operators.Bpe.q123ByteBpe(spark, dir)
+      .createOrReplaceTempView("vw_byte_bpe")
+    // the entity-decode manifest (q128): `WHERE n_entities > 0` is the
+    // SQL-only "which documents still carried escaped markup" audit
+    operators.Text.q128HtmlUnescape(spark, dir)
+      .createOrReplaceTempView("vw_html_clean")
+    // the EXIF intake manifest (q131): `GROUP BY nhash HAVING count(*)
+    // > 1` is the SQL-only rotated-duplicate read; `nhash IS NULL` the
+    // undecodable quarantine
+    operators.Multimodal.q131ExifIntake(spark, dir)
+      .createOrReplaceTempView("vw_exif_intake")
   }
 
   /** Register the landing table + curated views over it — the TRANSFORM

@@ -152,6 +152,7 @@ object SparkEntry {
     "q128_html_unescape" -> (Text.q128HtmlUnescape _),
     "q129_tiff_meta" -> (Multimodal.q129TiffMeta _),
     "q130_mp3_meta" -> (Multimodal.q130Mp3Meta _),
+    "q131_exif_intake" -> (Multimodal.q131ExifIntake _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1460,6 +1461,36 @@ object SparkEntry {
         "CAST(CASE WHEN doc_id % 5 IN (3, 4) THEN NULL " +
         "ELSE least(((junk + 4) * 8) // kbps, 1048575) END AS BIGINT) " +
         "AS duration_ms FROM k"),
+    // q131: the oracle replays the UPRIGHT picture's aHash straight from
+    // the residue formula (cell (gx,gy) samples upright block
+    // (gx*bwu)//8, (gy*bhu)//8 — it never sees the stored, rotated
+    // raster), so the Spark side must parse the tag from APP1 bytes and
+    // invert the display transform over real decoded pixels to match;
+    // the %9==6 camera / %9==7 baked pair share a sid, so a
+    // normalization slip splits their hashes and fails BOTH rows
+    "q131_exif_intake" ->
+      ("WITH g AS (SELECT doc_id, " +
+        "CASE WHEN doc_id % 9 = 7 THEN doc_id - 1 ELSE doc_id END AS sid " +
+        "FROM documents), " +
+        "p AS (SELECT doc_id, sid, sid % 3 + 2 AS bwu, sid % 2 + 6 AS bhu, " +
+        "CASE WHEN doc_id % 9 = 6 THEN doc_id % 7 + 2 " +
+        "WHEN doc_id % 9 = 7 THEN CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END " +
+        "ELSE doc_id % 8 + 1 END AS orient FROM g), " +
+        "cell AS (SELECT doc_id, gy, gx, " +
+        "((sid * 31 + (((gy * bhu) // 8) * bwu + (gx * bwu) // 8) * 17) % 251) " +
+        "- 125 + 128 AS l " +
+        "FROM p, UNNEST(range(0, 8)) AS ty(gy), UNNEST(range(0, 8)) AS tx(gx) " +
+        "WHERE doc_id % 9 <> 3), " +
+        AhashPackCtes + " " +
+        "SELECT p.doc_id, " +
+        "CASE WHEN p.doc_id % 9 = 6 THEN 'camera' " +
+        "WHEN p.doc_id % 9 = 7 THEN 'baked' " +
+        "WHEN p.doc_id % 9 = 3 THEN 'truncated' ELSE 'plain' END AS cls, " +
+        "CAST(orient AS INTEGER) AS orientation, " +
+        "CAST(8 * bwu AS INTEGER) AS width, " +
+        "CAST(8 * bhu AS INTEGER) AS height, " +
+        "hh.ahash AS nhash " +
+        "FROM p LEFT JOIN hh ON p.doc_id = hh.doc_id"),
     // q127: the composed image intake — the oracle unions the three
     // families' residue formulas (q118 flat blocks, q121 channel maps,
     // q124 palette algebra) by class, so a ROUTING slip (the wrong

@@ -169,7 +169,30 @@ object JpegPixelEval {
   private final val NoStats = java.lang.Long.MIN_VALUE
 
   /** Packed luma stats of a baseline JPEG, or NULL-marker on refusal. */
-  def lumaStats(b: Array[Byte]): Long = {
+  /** Decoded luma plane (row-major `width`×`height` samples) captured
+    * alongside a stats decode — the EXIF normalization path needs the
+    * actual pixels to re-sample through an orientation transform.
+    */
+  final class LumaPlane {
+    var w: Int = 0
+    var h: Int = 0
+    var px: Array[Int] = null
+  }
+
+  def lumaStats(b: Array[Byte]): Long = decode(b, null)
+
+  /** Full decode that also RETAINS the luma plane, or null on refusal.
+    * The plane materializes (4 B/px), so this path shares the
+    * progressive grid's resource guard even for baseline streams,
+    * where stats alone would stream MCU by MCU: images past
+    * [[MaxProgressivePixels]] refuse rather than allocate.
+    */
+  def lumaPlane(b: Array[Byte]): LumaPlane = {
+    val box = new LumaPlane
+    if (decode(b, box) == NoStats) null else box
+  }
+
+  private def decode(b: Array[Byte], box: LumaPlane): Long = {
     if (b == null || b.length < 4 ||
       (b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return NoStats
     val quant = new Array[Array[Int]](4)
@@ -274,7 +297,7 @@ object JpegPixelEval {
               // (scans + inter-scan DHT/DQT/DRI) through to EOI
               return decodeProgressive(b, i, width, height, nComp,
                 lumaH, lumaV, quant, dcTab, acTab, compId, compQ,
-                restartInterval)
+                restartInterval, box)
             val ns = b(p0) & 0xFF
             if (ns != nComp || segLen != 6 + 2 * ns) return NoStats
             // a baseline sequential scan must cover the spectral range
@@ -299,7 +322,7 @@ object JpegPixelEval {
             }
             return decodeScan(b, i + 2 + segLen, width, height, nComp,
               compQ.map(quant), compDc.map(dcTab), compAc.map(acTab),
-              restartInterval, lumaH, lumaV)
+              restartInterval, lumaH, lumaV, box)
           case _ => () // APPn / COM / other: skip
         }
         i += 2 + segLen
@@ -317,11 +340,17 @@ object JpegPixelEval {
   private def decodeScan(b: Array[Byte], start: Int, width: Int, height: Int,
                          nComp: Int, q: Array[Array[Int]], dc: Array[Huff],
                          ac: Array[Huff], restartInterval: Int,
-                         lumaH: Int, lumaV: Int): Long = {
+                         lumaH: Int, lumaV: Int, box: LumaPlane): Long = {
     val mcuW = 8 * lumaH
     val mcuH = 8 * lumaV
     val mcusX = (width + mcuW - 1) / mcuW
     val mcusY = (height + mcuH - 1) / mcuH
+    if (box != null) {
+      if (width.toLong * height > MaxProgressivePixels) return NoStats
+      box.w = width
+      box.h = height
+      box.px = new Array[Int](width * height)
+    }
     val pred = new Array[Int](nComp)
     val coef = new Array[Int](64)
     val px = new Array[Int](64)
@@ -397,6 +426,7 @@ object JpegPixelEval {
                 if (v < minL) minL = v
                 if (v > maxL) maxL = v
                 sum += v
+                if (box != null) box.px((by + y) * width + (bx + x)) = v
                 x += 1
               }
               y += 1
@@ -453,8 +483,14 @@ object JpegPixelEval {
                                 lumaV: Int, quant: Array[Array[Int]],
                                 dcTab: Array[Huff], acTab: Array[Huff],
                                 compId: Array[Int], compQ: Array[Int],
-                                restartInterval0: Int): Long = {
+                                restartInterval0: Int,
+                                box: LumaPlane): Long = {
     if (width.toLong * height > MaxProgressivePixels) return NoStats
+    if (box != null) {
+      box.w = width
+      box.h = height
+      box.px = new Array[Int](width * height)
+    }
     val mcusX = (width + 8 * lumaH - 1) / (8 * lumaH)
     val mcusY = (height + 8 * lumaV - 1) / (8 * lumaV)
     val bwFull = mcusX * lumaH
@@ -499,6 +535,8 @@ object JpegPixelEval {
                 if (v < minL) minL = v
                 if (v > maxL) maxL = v
                 sum += v
+                if (box != null)
+                  box.px((by * 8 + y) * width + (bx * 8 + x)) = v
                 x += 1
               }
               y += 1
@@ -994,6 +1032,58 @@ object JpegPixelEval {
     bwr.flush()
     marker(0xD9) // EOI
     out.toByteArray
+  }
+
+  /** Grayscale baseline DC-only JPEG with EXPLICIT per-block DCs (raster
+    * order over a `bw`×`bh` block grid), an optional raw APP1 segment
+    * spliced right after SOI, and `truncate` tail bytes dropped
+    * (0 = intact). Same tables and bit packing as [[synth]] — only the
+    * DC source differs, so the [[ExifEval]] family can permute block
+    * grids and attach EXIF metadata without duplicating the encoder.
+    */
+  private[functions] def synthBaselineGray(dcs: Array[Int], bw: Int, bh: Int,
+                                           app1: Array[Byte],
+                                           truncate: Int): Array[Byte] = {
+    require(dcs.length == bw * bh, "one DC per block")
+    val out = new java.io.ByteArrayOutputStream(256)
+    def u8(v: Int): Unit = out.write(v & 0xFF)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xFF); u8(m) }
+    marker(0xD8) // SOI
+    if (app1 != null) out.write(app1, 0, app1.length)
+    marker(0xDB); u16(2 + 65); u8(0x00)
+    (0 until 64).foreach(_ => u8(8))
+    marker(0xC0); u16(8 + 3); u8(8)
+    u16(bh * 8); u16(bw * 8); u8(1)
+    u8(1); u8(0x11); u8(0)
+    marker(0xC4)
+    u16(2 + (1 + 16 + StdDcVals.length) + (1 + 16 + MinAcVals.length))
+    u8(0x00); StdDcBits.foreach(u8); StdDcVals.foreach(u8)
+    u8(0x10); MinAcBits.foreach(u8); MinAcVals.foreach(u8)
+    marker(0xDA); u16(8); u8(1); u8(1); u8(0x00)
+    u8(0); u8(63); u8(0)
+    val dcCodes = canonical(StdDcBits, StdDcVals)
+    val eob = canonical(MinAcBits, MinAcVals)(0)
+    val bwr = new BitWriter(out)
+    var pred = 0
+    var k = 0
+    while (k < dcs.length) {
+      val diff = dcs(k) - pred
+      pred = dcs(k)
+      val s =
+        if (diff == 0) 0
+        else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      val (code, clen) = dcCodes(s)
+      bwr.put(code, clen)
+      if (s > 0) bwr.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+      bwr.put(eob._1, eob._2)
+      k += 1
+    }
+    bwr.flush()
+    marker(0xD9)
+    val full = out.toByteArray
+    if (truncate <= 0) full
+    else java.util.Arrays.copyOf(full, math.max(0, full.length - truncate))
   }
 
   /** Synthesize a PROGRESSIVE (SOF2) DC-only JPEG from the same residue

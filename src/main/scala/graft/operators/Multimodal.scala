@@ -1436,4 +1436,61 @@ object Multimodal {
           .as("sample_rate"),
         col("_m").bitwiseAND(lit(0xFFFFFL)).cast("long").as("duration_ms"))
   }
+
+  // ---------------------------------------------------------------- q131
+
+  /** Q131: EXIF ORIENTATION intake — closes the rotated-photo gap in the
+    * perceptual-dedup family: a camera stores its raster sideways with
+    * tag 274 set ("rotate to display"), a re-encode bakes the rotation
+    * and drops the tag; q101/q102's stored-pixel hash silently splits
+    * the pair. Each payload is a baseline JPEG whose UPRIGHT picture is
+    * the seed's flat-block residue image, stored under a per-doc
+    * orientation ([[graft.functions.ExifEval.synth]]); the kernels then
+    * derive everything back from the BYTES: the tag via the TIFF IFD
+    * scan on APP1 (both byte orders exercised, `doc_id` parity),
+    * display dims from SOF + a 5..8 swap, and the orientation-
+    * NORMALIZED aHash — sampled from the decoded luma plane through the
+    * display transform, so the `%9==6` camera file and its `%9==7`
+    * baked partner (same seed, upright pixels, tag absent/1) MUST
+    * carry the same `nhash`. `%9==3` truncates the entropy stream:
+    * orientation and dims survive (headers precede the scan), the hash
+    * refuses NULL — the q39 meta/pixel split.
+    *
+    * Scale shape: one narrow map — synth, three kernel reads, zero
+    * exchanges; the dedup meet this hash feeds is q101's single
+    * fingerprint shuffle, unchanged. Reference scope: scholar-stream
+    * renders no media (app/streamlit_app.py) — north-star extension.
+    */
+  def q131ExifIntake(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExifOps
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val sid = when(id % 9 === 7, id - 1).otherwise(id)
+    val bwU = sid % 3 + 2 // upright block grid: 2..4 wide,
+    val bhU = sid % 2 + 6 // 6..7 tall — never square, so 5..8 swap shows
+    val orient = when(id % 9 === 6, id % 7 + 2) // camera: always a real tag
+      .when(id % 9 === 7, when(id % 2 === 0, lit(0)).otherwise(lit(1)))
+      .otherwise(id % 8 + 1) // plain + truncated: every value 1..8
+    // params pack bwU | bhU<<8 | orient<<16 | le<<24 | trunc<<25
+    val params = bwU + bhU * 256 + orient * 65536 +
+      when(id % 2 === 0, 1L).otherwise(0L) * 16777216L +
+      when(id % 9 === 3, 1L).otherwise(0L) * 33554432L
+    val staged = docs
+      .select(id, ExifOps.exifSynth(sid, params).as("_p"))
+      .select(id,
+        when(id % 9 === 6, "camera").when(id % 9 === 7, "baked")
+          .when(id % 9 === 3, "truncated").otherwise("plain").as("cls"),
+        ExifOps.exifOrient(col("_p")).as("orientation"),
+        graft.functions.ImageOps.jpegDims(col("_p")).as("_d"),
+        ExifOps.exifNormAHash(col("_p")).as("nhash"))
+    // display dims: orientations 5..8 store the raster sideways
+    val swap = col("orientation").between(5, 8)
+    staged.select(id, col("cls"), col("orientation"),
+      when(swap, col("_d").bitwiseAND(lit(0xFFFFFFFFL)))
+        .otherwise(shiftright(col("_d"), 32)).cast("int").as("width"),
+      when(swap, shiftright(col("_d"), 32))
+        .otherwise(col("_d").bitwiseAND(lit(0xFFFFFFFFL)))
+        .cast("int").as("height"),
+      col("nhash"))
+  }
 }

@@ -895,6 +895,19 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q131 exif intake is a pure map — zero exchanges, kernels once") {
+    val df = graft.operators.Multimodal.q131ExifIntake(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    assert(shuffles(df) === 0, s"expected 0 shuffles:\n$p")
+    // the synth and each derived read must survive CollapseProject as a
+    // single call — the plane decode is the expensive leg
+    for (k <- Seq("graft_exif_synth(", "graft_exif_orient(",
+      "graft_exif_ahash(", "graft_jpeg_dims(")) {
+      val n = java.util.regex.Pattern.quote(k).r.findAllIn(p).length
+      assert(n === 1, s"expected 1 $k in the plan, found $n:\n$p")
+    }
+  }
+
   test("q113 recrawl policy is a pure map — zero exchanges") {
     val df = graft.operators.Crawl.q113RecrawlPolicy(spark, TestSpark.Sf0001)
     assert(shuffles(df) === 0, s"expected 0 shuffles:\n${plan(df)}")

@@ -74,7 +74,12 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "vw_tiff_meta" ->
         graft.operators.Multimodal.q129TiffMeta(spark, TestSpark.Sf0001),
       "vw_mp3_meta" ->
-        graft.operators.Multimodal.q130Mp3Meta(spark, TestSpark.Sf0001))
+        graft.operators.Multimodal.q130Mp3Meta(spark, TestSpark.Sf0001),
+      "vw_byte_bpe" ->
+        graft.operators.Bpe.q123ByteBpe(spark, TestSpark.Sf0001),
+      "vw_html_clean" -> Text.q128HtmlUnescape(spark, TestSpark.Sf0001),
+      "vw_exif_intake" ->
+        graft.operators.Multimodal.q131ExifIntake(spark, TestSpark.Sf0001))
     twins.foreach { case (view, df) =>
       val sql = canon(spark.sql(s"SELECT * FROM $view"))
       val api = canon(df)
