@@ -292,6 +292,11 @@ object Bootstrap {
     // undecodable quarantine
     operators.Multimodal.q131ExifIntake(spark, dir)
       .createOrReplaceTempView("vw_exif_intake")
+    // the archive intake manifest (q132): `WHERE valid = 0` is the
+    // broken-drop quarantine, `md5_pair IS NULL AND valid = 1` the
+    // per-member corruption audit
+    sources.Zip.q132ZipExtract(spark, dir)
+      .createOrReplaceTempView("vw_zip_extract")
   }
 
   /** Register the landing table + curated views over it — the TRANSFORM

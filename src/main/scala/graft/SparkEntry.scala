@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ingest.Envelope
-import graft.sources.{JsonLines, Pdf, Warc}
+import graft.sources.{JsonLines, Pdf, Warc, Zip}
 import graft.operators.{Classifier, Crawl, Dedup, Multimodal, Pipeline, Relational, Retrieval, Scale, Similarity, SqlSurface, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -153,6 +153,7 @@ object SparkEntry {
     "q129_tiff_meta" -> (Multimodal.q129TiffMeta _),
     "q130_mp3_meta" -> (Multimodal.q130Mp3Meta _),
     "q131_exif_intake" -> (Multimodal.q131ExifIntake _),
+    "q132_zip_extract" -> (Zip.q132ZipExtract _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1491,6 +1492,32 @@ object SparkEntry {
         "CAST(8 * bhu AS INTEGER) AS height, " +
         "hh.ahash AS nhash " +
         "FROM p LEFT JOIN hh ON p.doc_id = hh.doc_id"),
+    // q132: compressed bytes are zlib-specific (q95's stance), so the
+    // oracle checks recovered CONTENT — every member's md5 and the
+    // central directory's size accounting re-derived from the corpus
+    // text alone. The bad-CRC class proves verification is PER MEMBER
+    // (one NULL among siblings), the truncation class that the whole
+    // walk refuses without an EOCD
+    "q132_zip_extract" ->
+      ("WITH m AS (SELECT doc_id, text, " +
+        "octet_length(encode(text)) AS o, " +
+        "'doc ' || doc_id || ' has ' || octet_length(encode(text)) || " +
+        "' chars' AS meta FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(doc_id % 8 NOT IN (6, 7) AS INTEGER) AS valid, " +
+        "CAST(CASE WHEN doc_id % 8 IN (6, 7) THEN NULL ELSE 3 END " +
+        "AS INTEGER) AS n_members, " +
+        "CASE WHEN doc_id % 8 IN (6, 7) THEN NULL " +
+        "ELSE 'doc' || doc_id || '_0.txt' END AS fname0, " +
+        "CASE WHEN doc_id % 8 IN (6, 7) THEN NULL ELSE md5(text) END " +
+        "AS md5_stored, " +
+        "CASE WHEN doc_id % 8 IN (3, 6, 7) THEN NULL " +
+        "ELSE md5(text || chr(10) || text) END AS md5_pair, " +
+        "CASE WHEN doc_id % 8 IN (6, 7) THEN NULL ELSE md5(meta) END " +
+        "AS md5_meta, " +
+        "CAST(CASE WHEN doc_id % 8 IN (6, 7) THEN NULL " +
+        "ELSE 3 * o + 1 + length(meta) END AS BIGINT) AS n_bytes " +
+        "FROM m"),
     // q127: the composed image intake — the oracle unions the three
     // families' residue formulas (q118 flat blocks, q121 channel maps,
     // q124 palette algebra) by class, so a ROUTING slip (the wrong

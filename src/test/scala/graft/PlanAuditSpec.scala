@@ -908,6 +908,17 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q132 zip extract is a pure map — zero exchanges, synth once") {
+    val df = graft.sources.Zip.q132ZipExtract(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    assert(shuffles(df) === 0, s"expected 0 shuffles:\n$p")
+    // one synthesis; three member reads are three calls by design (each
+    // verifies independently), but the SYNTH must not re-run per read
+    val n = java.util.regex.Pattern.quote("graft_zip_synth(").r
+      .findAllIn(p).length
+    assert(n === 1, s"expected 1 graft_zip_synth in the plan, found $n:\n$p")
+  }
+
   test("q113 recrawl policy is a pure map — zero exchanges") {
     val df = graft.operators.Crawl.q113RecrawlPolicy(spark, TestSpark.Sf0001)
     assert(shuffles(df) === 0, s"expected 0 shuffles:\n${plan(df)}")

@@ -79,7 +79,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
         graft.operators.Bpe.q123ByteBpe(spark, TestSpark.Sf0001),
       "vw_html_clean" -> Text.q128HtmlUnescape(spark, TestSpark.Sf0001),
       "vw_exif_intake" ->
-        graft.operators.Multimodal.q131ExifIntake(spark, TestSpark.Sf0001))
+        graft.operators.Multimodal.q131ExifIntake(spark, TestSpark.Sf0001),
+      "vw_zip_extract" ->
+        graft.sources.Zip.q132ZipExtract(spark, TestSpark.Sf0001))
     twins.foreach { case (view, df) =>
       val sql = canon(spark.sql(s"SELECT * FROM $view"))
       val api = canon(df)
