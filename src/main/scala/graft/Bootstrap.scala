@@ -297,6 +297,11 @@ object Bootstrap {
     // per-member corruption audit
     sources.Zip.q132ZipExtract(spark, dir)
       .createOrReplaceTempView("vw_zip_extract")
+    // the office-document manifest (q133): `WHERE ok = 0` is the
+    // broken-package quarantine, `ok = 1 AND n_chars > 0` the
+    // extracted-text corpus read
+    sources.Docx.q133DocxExtract(spark, dir)
+      .createOrReplaceTempView("vw_docx_text")
   }
 
   /** Register the landing table + curated views over it — the TRANSFORM

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ingest.Envelope
-import graft.sources.{JsonLines, Pdf, Warc, Zip}
+import graft.sources.{Docx, JsonLines, Pdf, Warc, Zip}
 import graft.operators.{Classifier, Crawl, Dedup, Multimodal, Pipeline, Relational, Retrieval, Scale, Similarity, SqlSurface, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -154,6 +154,7 @@ object SparkEntry {
     "q130_mp3_meta" -> (Multimodal.q130Mp3Meta _),
     "q131_exif_intake" -> (Multimodal.q131ExifIntake _),
     "q132_zip_extract" -> (Zip.q132ZipExtract _),
+    "q133_docx_extract" -> (Docx.q133DocxExtract _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1518,6 +1519,39 @@ object SparkEntry {
         "CAST(CASE WHEN doc_id % 8 IN (6, 7) THEN NULL " +
         "ELSE 3 * o + 1 + length(meta) END AS BIGINT) AS n_bytes " +
         "FROM m"),
+    // q133: the oracle re-synthesizes the expected text from corpus
+    // words alone (8-word paragraphs, the entity drill and field-code
+    // paragraph as decoded constants, the br class's split paragraph 0)
+    // — it never builds an XML byte, so a run-join, whitespace,
+    // entity, or field-exclusion slip in the extractor cannot cancel;
+    // the paragraph count replays the pagination arithmetic against
+    // the independent meta walk
+    "q133_docx_extract" ->
+      ("WITH w AS (SELECT doc_id, list_filter(" +
+        "string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), " +
+        "x -> x <> '') AS ws FROM documents), " +
+        "ln AS (SELECT doc_id, ws, list_transform(" +
+        "range(CAST(ceil(len(ws) / 8.0) AS INTEGER)), " +
+        "i -> array_to_string(list_slice(ws, i*8 + 1, i*8 + 8), ' ')) AS paras " +
+        "FROM w), " +
+        "br AS (SELECT doc_id, CASE WHEN doc_id % 5 = 3 AND len(ws) > 3 THEN " +
+        "list_concat([array_to_string(list_slice(ws, 1, 3), ' ') || chr(10) " +
+        "|| ' ' || array_to_string(list_slice(ws, 4, 8), ' ')], " +
+        "list_slice(paras, 2, len(paras))) ELSE paras END AS paras FROM ln), " +
+        "ex AS (SELECT doc_id, CASE " +
+        "WHEN doc_id % 5 = 1 THEN list_concat(paras, ['AT&T says 1 < 2 && x > y']) " +
+        "WHEN doc_id % 5 = 2 THEN list_concat(paras, ['page field here']) " +
+        "ELSE paras END AS paras FROM br), " +
+        "x AS (SELECT doc_id, array_to_string(paras, chr(10)) AS t, " +
+        "len(paras) AS np FROM ex) " +
+        "SELECT doc_id, " +
+        "CAST(doc_id % 5 <> 4 AS INTEGER) AS ok, " +
+        "CAST(CASE WHEN doc_id % 5 = 4 THEN NULL ELSE np END AS INTEGER) " +
+        "AS n_paragraphs, " +
+        "CASE WHEN doc_id % 5 = 4 THEN NULL " +
+        "ELSE CAST(length(t) AS BIGINT) END AS n_chars, " +
+        "CASE WHEN doc_id % 5 = 4 THEN NULL ELSE md5(t) END AS text_md5 " +
+        "FROM x"),
     // q127: the composed image intake — the oracle unions the three
     // families' residue formulas (q118 flat blocks, q121 channel maps,
     // q124 palette algebra) by class, so a ROUTING slip (the wrong

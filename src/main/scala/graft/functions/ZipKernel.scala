@@ -124,6 +124,28 @@ object ZipEval {
     new String(b, p + 46, nl, java.nio.charset.StandardCharsets.UTF_8)
   }
 
+  /** Index of the member with this exact name, or -1 — containers like
+    * DOCX address their parts BY NAME, never by position.
+    */
+  def memberIndex(b: Array[Byte], name: String): Int = {
+    val es = centralEntries(b)
+    if (es == null) return -1
+    val want = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < es.length) {
+      val p = es(i)
+      val nl = u16(b, p + 28)
+      if (nl == want.length) {
+        var k = 0
+        var eq = true
+        while (k < nl && eq) { eq = b(p + 46 + k) == want(k); k += 1 }
+        if (eq) return i
+      }
+      i += 1
+    }
+    -1
+  }
+
   /** Member CONTENT by central-directory index, or null on any refusal.
     * Sizes, method, and CRC come from the central record; the local
     * header contributes only its own name/extra lengths (which may
@@ -223,17 +245,37 @@ object ZipEval {
       (s"doc${id}_0.txt", text, 0),
       (s"doc${id}_1.txt", pair, 8),
       (s"doc${id}_2.txt", meta, 8))
-    val out = new java.io.ByteArrayOutputStream(256 + text.length * 2)
+    val comment =
+      if (mode == 1)
+        s"archive comment $id".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      else Array.emptyByteArray
+    buildArchive(members, lyingLocals = true, comment,
+      badCrcIdx = if (mode == 2) 1 else -1)
+  }
+
+  /** Serialize a classic single-disk archive. `lyingLocals` writes the
+    * q132 trap headers (zeroed local sizes/CRC, flag bit 3 on deflated
+    * members, a local-only padding extra); honest locals mirror the
+    * central values the way desktop writers do. `badCrcIdx` corrupts
+    * that member's CENTRAL CRC.
+    */
+  private[graft] def buildArchive(members: Array[(String, Array[Byte], Int)],
+                                      lyingLocals: Boolean,
+                                      comment: Array[Byte],
+                                      badCrcIdx: Int): Array[Byte] = {
+    val n = members.length
+    val out = new java.io.ByteArrayOutputStream(256 +
+      members.map(_._2.length).sum)
     def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
     def w32(v: Long): Unit = {
       out.write((v & 0xFF).toInt); out.write(((v >> 8) & 0xFF).toInt)
       out.write(((v >> 16) & 0xFF).toInt); out.write(((v >> 24) & 0xFF).toInt)
     }
-    val crcs = new Array[Long](3)
-    val comps = new Array[Array[Byte]](3)
-    val offs = new Array[Int](3)
+    val crcs = new Array[Long](n)
+    val comps = new Array[Array[Byte]](n)
+    val offs = new Array[Int](n)
     var i = 0
-    while (i < 3) {
+    while (i < n) {
       val (name, raw, method) = members(i)
       val c = crc32.get()
       c.reset(); c.update(raw)
@@ -243,34 +285,37 @@ object ZipEval {
       val nb = name.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
       w32(LocSig)
       w16(20) // version needed
-      // deflated members declare flag bit 3 ("sizes follow later" — they
-      // never do); the stored member lies PLAINLY with flag 0 and zeroed
-      // sizes, since APPNOTE forbids bit 3 on stored entries and
-      // local-trusting readers reject that combination outright
-      w16(if (method == 8) 0x0008 else 0)
+      // lying locals: deflated members declare flag bit 3 ("sizes follow
+      // later" — they never do); the stored member lies PLAINLY with
+      // flag 0 and zeroed sizes, since APPNOTE forbids bit 3 on stored
+      // entries and local-trusting readers reject that combination
+      w16(if (lyingLocals && method == 8) 0x0008 else 0)
       w16(method)
       w16(0); w16(0) // time/date
-      w32(0); w32(0); w32(0) // the lie: crc/csize/usize all zero
+      if (lyingLocals) { w32(0); w32(0); w32(0) } // zeroed crc/csize/usize
+      else { w32(crcs(i)); w32(comps(i).length.toLong); w32(raw.length.toLong) }
       w16(nb.length)
-      w16(8) // local-only extra the central record does not declare
+      w16(if (lyingLocals) 8 else 0)
       out.write(nb, 0, nb.length)
-      // padding extra field (id 0xCAFE): present ONLY here, so a data
-      // offset computed from central lengths lands 12 bytes short
-      w16(0xCAFE); w16(4); w32(0)
+      if (lyingLocals) {
+        // padding extra field (id 0xCAFE): present ONLY here, so a data
+        // offset computed from central lengths lands 12 bytes short
+        w16(0xCAFE); w16(4); w32(0)
+      }
       out.write(comps(i), 0, comps(i).length)
       i += 1
     }
     val cdOff = out.size()
     i = 0
-    while (i < 3) {
+    while (i < n) {
       val (name, raw, method) = members(i)
       val nb = name.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
       w32(CenSig)
       w16(20); w16(20)
-      w16(if (method == 8) 0x0008 else 0)
+      w16(if (lyingLocals && method == 8) 0x0008 else 0)
       w16(method)
       w16(0); w16(0)
-      w32(if (mode == 2 && i == 1) crcs(i) ^ 0xDEADBEEFL else crcs(i))
+      w32(if (i == badCrcIdx) crcs(i) ^ 0xDEADBEEFL else crcs(i))
       w32(comps(i).length.toLong)
       w32(raw.length.toLong)
       w16(nb.length); w16(0); w16(0)
@@ -281,13 +326,9 @@ object ZipEval {
       i += 1
     }
     val cdSize = out.size() - cdOff
-    val comment =
-      if (mode == 1)
-        s"archive comment $id".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-      else Array.emptyByteArray
     w32(EocdSig)
     w16(0); w16(0)
-    w16(3); w16(3)
+    w16(n); w16(n)
     w32(cdSize.toLong); w32(cdOff.toLong)
     w16(comment.length)
     out.write(comment, 0, comment.length)

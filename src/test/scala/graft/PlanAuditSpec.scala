@@ -919,6 +919,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(n === 1, s"expected 1 graft_zip_synth in the plan, found $n:\n$p")
   }
 
+  test("q133 docx extract is a pure map — zero exchanges, kernels once") {
+    val df = graft.sources.Docx.q133DocxExtract(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    assert(shuffles(df) === 0, s"expected 0 shuffles:\n$p")
+    for (k <- Seq("graft_docx_synth(", "graft_docx_text(",
+      "graft_docx_paras(")) {
+      val n = java.util.regex.Pattern.quote(k).r.findAllIn(p).length
+      assert(n === 1, s"expected 1 $k in the plan, found $n:\n$p")
+    }
+  }
+
   test("q113 recrawl policy is a pure map — zero exchanges") {
     val df = graft.operators.Crawl.q113RecrawlPolicy(spark, TestSpark.Sf0001)
     assert(shuffles(df) === 0, s"expected 0 shuffles:\n${plan(df)}")

@@ -81,7 +81,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "vw_exif_intake" ->
         graft.operators.Multimodal.q131ExifIntake(spark, TestSpark.Sf0001),
       "vw_zip_extract" ->
-        graft.sources.Zip.q132ZipExtract(spark, TestSpark.Sf0001))
+        graft.sources.Zip.q132ZipExtract(spark, TestSpark.Sf0001),
+      "vw_docx_text" ->
+        graft.sources.Docx.q133DocxExtract(spark, TestSpark.Sf0001))
     twins.foreach { case (view, df) =>
       val sql = canon(spark.sql(s"SELECT * FROM $view"))
       val api = canon(df)
