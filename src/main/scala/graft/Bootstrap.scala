@@ -302,6 +302,10 @@ object Bootstrap {
     // extracted-text corpus read
     sources.Docx.q133DocxExtract(spark, dir)
       .createOrReplaceTempView("vw_docx_text")
+    // the CSV ingest manifest (q134): `WHERE source IS NULL` is the
+    // corrupt-line quarantine row a flood alarm reads
+    sources.Csv.q134CsvIngest(spark, dir)
+      .createOrReplaceTempView("vw_csv_ingest")
   }
 
   /** Register the landing table + curated views over it — the TRANSFORM

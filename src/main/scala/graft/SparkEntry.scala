@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ingest.Envelope
-import graft.sources.{Docx, JsonLines, Pdf, Warc, Zip}
+import graft.sources.{Csv, Docx, JsonLines, Pdf, Warc, Zip}
 import graft.operators.{Classifier, Crawl, Dedup, Multimodal, Pipeline, Relational, Retrieval, Scale, Similarity, SqlSurface, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -155,6 +155,7 @@ object SparkEntry {
     "q131_exif_intake" -> (Multimodal.q131ExifIntake _),
     "q132_zip_extract" -> (Zip.q132ZipExtract _),
     "q133_docx_extract" -> (Docx.q133DocxExtract _),
+    "q134_csv_ingest" -> (Csv.q134CsvIngest _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -801,6 +802,20 @@ object SparkEntry {
         "CAST(count(doc_id) AS BIGINT) AS n_docs, " +
         "CAST(sum(doc_id) AS BIGINT) AS id_sum, " +
         "CAST(sum(length(text)) AS BIGINT) AS chars " +
+        "FROM documents GROUP BY source " +
+        "UNION ALL SELECT CAST(NULL AS VARCHAR), 2::BIGINT, 0::BIGINT, " +
+        "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)"),
+    // q134: the CSV twin must round-trip to exactly the parquet
+    // manifest — the decorated column re-derives the embedded
+    // comma/newline/quote drill, so a quote-doubling or multiline slip
+    // in either the serializer or the parser fails the hash; the
+    // NULL-source row is the corrupt-line quarantine group (2 injected)
+    "q134_csv_ingest" ->
+      ("SELECT source, CAST(count(*) AS BIGINT) AS n_lines, " +
+        "CAST(count(doc_id) AS BIGINT) AS n_docs, " +
+        "CAST(sum(doc_id) AS BIGINT) AS id_sum, " +
+        "CAST(sum(length(text || ',' || chr(10) || '\"' || lang || '\"')) " +
+        "AS BIGINT) AS chars " +
         "FROM documents GROUP BY source " +
         "UNION ALL SELECT CAST(NULL AS VARCHAR), 2::BIGINT, 0::BIGINT, " +
         "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)"),

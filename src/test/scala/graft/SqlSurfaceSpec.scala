@@ -83,7 +83,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "vw_zip_extract" ->
         graft.sources.Zip.q132ZipExtract(spark, TestSpark.Sf0001),
       "vw_docx_text" ->
-        graft.sources.Docx.q133DocxExtract(spark, TestSpark.Sf0001))
+        graft.sources.Docx.q133DocxExtract(spark, TestSpark.Sf0001),
+      "vw_csv_ingest" ->
+        graft.sources.Csv.q134CsvIngest(spark, TestSpark.Sf0001))
     twins.foreach { case (view, df) =>
       val sql = canon(spark.sql(s"SELECT * FROM $view"))
       val api = canon(df)
