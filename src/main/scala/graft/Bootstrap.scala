@@ -306,6 +306,10 @@ object Bootstrap {
     // corrupt-line quarantine row a flood alarm reads
     sources.Csv.q134CsvIngest(spark, dir)
       .createOrReplaceTempView("vw_csv_ingest")
+    // the WebP pixel-stat manifest (q135): the fourth lossless
+    // quarantine read (`WHERE format = 'webp' AND min_luma IS NULL`)
+    operators.Multimodal.q135WebpPixels(spark, dir)
+      .createOrReplaceTempView("vw_webp_stats")
   }
 
   /** Register the landing table + curated views over it — the TRANSFORM

@@ -156,6 +156,7 @@ object SparkEntry {
     "q132_zip_extract" -> (Zip.q132ZipExtract _),
     "q133_docx_extract" -> (Docx.q133DocxExtract _),
     "q134_csv_ingest" -> (Csv.q134CsvIngest _),
+    "q135_webp_pixels" -> (Multimodal.q135WebpPixels _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1567,8 +1568,10 @@ object SparkEntry {
         "ELSE CAST(length(t) AS BIGINT) END AS n_chars, " +
         "CASE WHEN doc_id % 5 = 4 THEN NULL ELSE md5(t) END AS text_md5 " +
         "FROM x"),
-    // q127: the composed image intake — the oracle unions the three
-    // families' residue formulas (q118 flat blocks, q121 channel maps,
+    // q127: the composed image intake — the oracle unions the four
+    // families' residue formulas (q118 flat blocks, q121/q135 channel
+    // maps — WebP's literal class shares PNG's map, so the `pa` arm
+    // covers classes 1 AND 3 while format still splits them —
     // q124 palette algebra) by class, so a ROUTING slip (the wrong
     // decoder fed the right bytes) lands on another family's numbers
     // and cannot cancel
@@ -1580,7 +1583,7 @@ object SparkEntry {
         "64 * list_aggregate(pix, 'sum') AS s FROM (SELECT doc_id, " +
         "list_transform(range(0, CAST((doc_id % 3 + 1) * (doc_id % 2 + 1) AS BIGINT)), " +
         "k -> ((doc_id*31 + k*17) % 251) - 125 + 128) AS pix " +
-        "FROM documents WHERE doc_id % 4 = 0)), " +
+        "FROM documents WHERE doc_id % 5 = 0)), " +
         "pa AS (SELECT doc_id, CAST(doc_id % 6 + 1 AS INTEGER) AS w, " +
         "CAST(doc_id % 4 + 1 AS INTEGER) AS h, " +
         "min(luma) AS mn, max(luma) AS mx, sum(luma) AS s FROM (SELECT doc_id, " +
@@ -1590,7 +1593,7 @@ object SparkEntry {
         "FROM documents, " +
         "UNNEST(range(0, CAST(doc_id % 6 + 1 AS BIGINT))) AS tx(x), " +
         "UNNEST(range(0, CAST(doc_id % 4 + 1 AS BIGINT))) AS tr(r) " +
-        "WHERE doc_id % 4 = 1) GROUP BY doc_id), " +
+        "WHERE doc_id % 5 IN (1, 3)) GROUP BY doc_id), " +
         "ga AS (SELECT doc_id, CAST(doc_id % 6 + 1 AS INTEGER) AS w, " +
         "CAST(doc_id % 4 + 1 AS INTEGER) AS h, " +
         "min(luma) AS mn, max(luma) AS mx, sum(luma) AS s FROM (SELECT doc_id, " +
@@ -1600,10 +1603,10 @@ object SparkEntry {
         "FROM documents, " +
         "UNNEST(range(0, CAST(doc_id % 6 + 1 AS BIGINT))) AS tx(x), " +
         "UNNEST(range(0, CAST(doc_id % 4 + 1 AS BIGINT))) AS tr(r) " +
-        "WHERE doc_id % 4 = 2) GROUP BY doc_id) " +
+        "WHERE doc_id % 5 = 2) GROUP BY doc_id) " +
         "SELECT d.doc_id, " +
-        "CASE d.doc_id % 4 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' " +
-        "WHEN 2 THEN 'gif' ELSE 'unknown' END AS format, " +
+        "CASE d.doc_id % 5 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' " +
+        "WHEN 2 THEN 'gif' WHEN 3 THEN 'webp' ELSE 'unknown' END AS format, " +
         "CAST(coalesce(ja.w, pa.w, ga.w) AS INTEGER) AS width, " +
         "CAST(coalesce(ja.h, pa.h, ga.h) AS INTEGER) AS height, " +
         "CAST(coalesce(ja.mn, pa.mn, ga.mn) AS INTEGER) AS min_luma, " +
@@ -1612,6 +1615,33 @@ object SparkEntry {
         "FROM documents d LEFT JOIN ja ON d.doc_id = ja.doc_id " +
         "LEFT JOIN pa ON d.doc_id = pa.doc_id " +
         "LEFT JOIN ga ON d.doc_id = ga.doc_id"),
+    // q135: the oracle recomputes min/max/sum luma from the residue
+    // channel maps per class (LZ77 rows replay row 0, the cache class a
+    // single color, the palette class its modular index walk) — it
+    // never packs a VP8L bit — so a prefix-code, LZ77, cache, or
+    // transform slip in the kernel cannot cancel; the lossy and
+    // truncated classes must refuse stats while their dims survive
+    "q135_webp_pixels" ->
+      ("WITH p AS (SELECT doc_id, doc_id % 6 + 2 AS w, doc_id % 4 + 2 AS h, " +
+        "doc_id % 7 AS cls, 17 + doc_id % 8 AS ps FROM documents), " +
+        "px AS (SELECT doc_id, " +
+        "CASE WHEN cls = 2 THEN i % w WHEN cls = 3 THEN 0 " +
+        "WHEN cls = 4 THEN ((i % w) + (i // w) * 3) % ps ELSE i % w END AS x, " +
+        "CASE WHEN cls IN (2, 3, 4) THEN 0 ELSE i // w END AS r " +
+        "FROM p, UNNEST(range(0, w * h)) AS t(i) WHERE cls <= 4), " +
+        "l AS (SELECT doc_id, " +
+        "(299 * ((doc_id*2 + x + r*11) % 256) + " +
+        "587 * ((doc_id*3 + x*5 + r) % 256) + " +
+        "114 * ((doc_id + x*7 + r*13) % 256)) // 1000 AS lum FROM px), " +
+        "s AS (SELECT doc_id, min(lum) AS mn, max(lum) AS mx, " +
+        "sum(lum) AS sm FROM l GROUP BY doc_id) " +
+        "SELECT p.doc_id, 'webp' AS format, " +
+        "CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height, " +
+        "CAST(s.mn AS INTEGER) AS min_luma, " +
+        "CAST(s.mx AS INTEGER) AS max_luma, " +
+        "CAST(s.sm AS BIGINT) AS sum_luma, " +
+        "CAST((s.sm * 100) // (w * h) AS BIGINT) AS mean_luma_x100 " +
+        "FROM p LEFT JOIN s ON p.doc_id = s.doc_id"),
     // q128: the oracle rebuilds the expected decode from the cleansed
     // base + the gauntlet's chr() codepoints (it never runs a decoder),
     // so a table, numeric-radix, one-level, or pass-through slip cannot

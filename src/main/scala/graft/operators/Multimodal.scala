@@ -1310,25 +1310,28 @@ object Multimodal {
     * kernel; the teeth are that THREE independent decode families must
     * agree with one oracle).
     *
-    * Residue classes (%4): 0 → baseline grayscale JPEG (q118's class-0
+    * Residue classes (%5): 0 → baseline grayscale JPEG (q118's class-0
     * shape); 1 → truecolor PNG with the five-filter walk (q121's
-    * class 1); 2 → GIF89a (q124's class 0); 3 → not an image.
+    * class 1); 2 → GIF89a (q124's class 0); 3 → lossless WebP VP8L
+    * (q135's literal class); 4 → not an image.
     * One narrow map, zero exchanges, each kernel AT MOST once — pinned.
     */
   def q127ImageIntake(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.{GifPixelOps, JpegPixelOps, PngPixelOps}
+    import graft.functions.{GifPixelOps, JpegPixelOps, PngPixelOps, WebpPixelOps}
     val docs = Tables.load(spark, dir, "documents")
     val id = col("doc_id")
     val jw = (id % 3 + 1).cast("long")
     val jh = (id % 2 + 1).cast("long")
     val pw = (id % 6 + 1).cast("long")
     val ph = (id % 4 + 1).cast("long")
-    val payload = when(id % 4 === 0,
+    val payload = when(id % 5 === 0,
         JpegPixelOps.jpegSynth(id, jw + jh * 256)) // baseline grayscale
-      .when(id % 4 === 1,
+      .when(id % 5 === 1,
         PngPixelOps.pngSynth(id, pw + ph * 256 + lit(1L << 16))) // RGB
-      .when(id % 4 === 2,
+      .when(id % 5 === 2,
         GifPixelOps.gifSynth(id, pw + ph * 256)) // GIF89a plain
+      .when(id % 5 === 3,
+        WebpPixelOps.webpSynth(id, pw + ph * 256)) // VP8L literals
       .otherwise(col("text").cast("binary"))
     val staged = docs.select(id, payload.as("_p"))
       .withColumn("_jd", graft.functions.ImageOps.jpegDims(col("_p")))
@@ -1338,7 +1341,8 @@ object Multimodal {
       .withColumn("_l",
         when(col("_m.format") === "jpeg", JpegPixelOps.jpegLuma(col("_p")))
           .when(col("_m.format") === "png", PngPixelOps.pngLuma(col("_p")))
-          .when(col("_m.format") === "gif", GifPixelOps.gifLuma(col("_p"))))
+          .when(col("_m.format") === "gif", GifPixelOps.gifLuma(col("_p")))
+          .when(col("_m.format") === "webp", WebpPixelOps.webpLuma(col("_p"))))
     staged.select(id,
       col("_m.format").as("format"),
       col("_m.width").as("width"),
@@ -1492,5 +1496,52 @@ object Multimodal {
         .otherwise(col("_d").bitwiseAND(lit(0xFFFFFFFFL)))
         .cast("int").as("height"),
       col("nhash"))
+  }
+
+  // ---------------------------------------------------------------- q135
+
+  /** Q135: WebP VP8L PIXEL decode — the fourth web image format of the
+    * pixel family (BMP q59, JPEG q118, PNG q121, GIF q124), closing the
+    * crawl-image quartet: a real VP8L walk (RIFF chunk scan, canonical
+    * prefix codes in both spellings, LZ77 backward references, color
+    * cache, SUBTRACT_GREEN and delta-coded COLOR_INDEXING inverses) to
+    * the shared packed-luma contract. Scope is stated in
+    * [[graft.functions.WebpPixelEval]]: LOSSLESS only — the `%7==5`
+    * lossy-VP8 class must refuse stats while its dims still parse (the
+    * q39 meta/pixel split), as must the `%7==6` truncated class.
+    *
+    * Residue classes (%7): 0 → literals under full code-length-coded
+    * prefix codes; 1 → the same behind SUBTRACT_GREEN; 2 → row 0
+    * literal + ONE overlapping LZ77 reference copying every later row;
+    * 3 → a single color through the color cache; 4 → a 17+ color
+    * delta-coded palette; 5 → lossy VP8 shell; 6 → truncated VP8L.
+    * One narrow map, kernel once per row, zero exchanges — pinned.
+    */
+  def q135WebpPixels(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.WebpPixelOps
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val w = (id % 6 + 2).cast("long") // >= 2: the copy class needs a row,
+    val h = (id % 4 + 2).cast("long") // the cache class a second pixel
+    val cls = when(id % 7 === 5, lit(5L))
+      .when(id % 7 === 6, lit(0L)) // truncated: synthesize plain, cut tail
+      .otherwise(id % 7)
+    val whole = WebpPixelOps.webpSynth(id, w + h * 256 + cls * 65536)
+    val payload = when(id % 7 === 6,
+      expr("substring(_w, 1, length(_w) - 4)")).otherwise(col("_w"))
+    val staged = docs.select(id, whole.as("_w"))
+      .select(id, payload.as("_p"))
+      .withColumn("_m", decodeImageMeta(col("_p")))
+      .withColumn("_l", WebpPixelOps.webpLuma(col("_p")))
+    staged.select(id,
+      col("_m.format").as("format"),
+      col("_m.width").as("width"),
+      col("_m.height").as("height"),
+      col("_l").bitwiseAND(lit(0xFF)).cast("int").as("min_luma"),
+      shiftright(col("_l"), 8).bitwiseAND(lit(0xFF)).cast("int").as("max_luma"),
+      shiftrightunsigned(col("_l"), 16).as("sum_luma"),
+      floor(shiftrightunsigned(col("_l"), 16) * 100 /
+        (col("_m.width").cast("long") * col("_m.height")))
+        .as("mean_luma_x100"))
   }
 }

@@ -860,7 +860,17 @@ class PlanAuditSpec extends AnyFunSuite {
     // a second occurrence means a pre-projection collapsed and some
     // column re-runs a full decode walk
     for (k <- Seq("graft_jpeg_luma(", "graft_png_luma(", "graft_gif_luma(",
-      "graft_jpeg_dims(")) {
+      "graft_webp_luma(", "graft_jpeg_dims(")) {
+      val n = java.util.regex.Pattern.quote(k).r.findAllIn(p).length
+      assert(n === 1, s"expected 1 $k in the plan, found $n:\n$p")
+    }
+  }
+
+  test("q135 webp pixels is a pure map — zero exchanges, kernel once") {
+    val df = graft.operators.Multimodal.q135WebpPixels(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    assert(shuffles(df) === 0, s"expected 0 shuffles:\n$p")
+    for (k <- Seq("graft_webp_luma(", "graft_webp_synth(")) {
       val n = java.util.regex.Pattern.quote(k).r.findAllIn(p).length
       assert(n === 1, s"expected 1 $k in the plan, found $n:\n$p")
     }

@@ -85,7 +85,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "vw_docx_text" ->
         graft.sources.Docx.q133DocxExtract(spark, TestSpark.Sf0001),
       "vw_csv_ingest" ->
-        graft.sources.Csv.q134CsvIngest(spark, TestSpark.Sf0001))
+        graft.sources.Csv.q134CsvIngest(spark, TestSpark.Sf0001),
+      "vw_webp_stats" ->
+        graft.operators.Multimodal.q135WebpPixels(spark, TestSpark.Sf0001))
     twins.foreach { case (view, df) =>
       val sql = canon(spark.sql(s"SELECT * FROM $view"))
       val api = canon(df)
