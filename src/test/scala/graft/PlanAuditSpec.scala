@@ -475,9 +475,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // MINUS the two dense-regime broadcasts (r14: the 16-byte stored
     // frame and the LUT table broadcast below AnnDenseMax, so the
     // candidate stream flows from its dedup exchange straight into the
-    // window sort); the training lineage is checkpoint-truncated, so it
-    // adds NOTHING per consumer — growth here means the codebook
-    // recompute (or a lost broadcast) came back
+    // window sort); the codebook is a driver-trained LocalTableScan
+    // (r15: the bounded slice trains on the driver), so training adds
+    // NOTHING per consumer — growth here means the codebook grew a
+    // lineage (or a lost broadcast) came back
     assert(shuffles(df) === 6, s"q73 exchange budget grew:\n$p")
   }
 
