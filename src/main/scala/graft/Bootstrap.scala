@@ -310,6 +310,11 @@ object Bootstrap {
     // quarantine read (`WHERE format = 'webp' AND min_luma IS NULL`)
     operators.Multimodal.q135WebpPixels(spark, dir)
       .createOrReplaceTempView("vw_webp_stats")
+    // the tarball intake manifest (q136): `WHERE valid = 0` is the
+    // broken-drop quarantine, `md5_text IS NULL AND valid = 1` the
+    // per-member checksum audit
+    sources.Tar.q136TarExtract(spark, dir)
+      .createOrReplaceTempView("vw_tar_extract")
   }
 
   /** Register the landing table + curated views over it — the TRANSFORM

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ingest.Envelope
-import graft.sources.{Csv, Docx, JsonLines, Pdf, Warc, Zip}
+import graft.sources.{Csv, Docx, JsonLines, Pdf, Tar, Warc, Zip}
 import graft.operators.{Classifier, Crawl, Dedup, Multimodal, Pipeline, Relational, Retrieval, Scale, Similarity, SqlSurface, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -157,6 +157,7 @@ object SparkEntry {
     "q133_docx_extract" -> (Docx.q133DocxExtract _),
     "q134_csv_ingest" -> (Csv.q134CsvIngest _),
     "q135_webp_pixels" -> (Multimodal.q135WebpPixels _),
+    "q136_tar_extract" -> (Tar.q136TarExtract _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1534,6 +1535,31 @@ object SparkEntry {
         "AS md5_meta, " +
         "CAST(CASE WHEN doc_id % 8 IN (6, 7) THEN NULL " +
         "ELSE 3 * o + 1 + length(meta) END AS BIGINT) AS n_bytes " +
+        "FROM m"),
+    // q136: q132's content stance on the other container — member md5s,
+    // the PREFIX-JOINED long path, and the size accounting replay from
+    // corpus text alone; the bad-checksum class proves verification is
+    // per member AND that the accounting excludes the refusal
+    "q136_tar_extract" ->
+      ("WITH m AS (SELECT doc_id, text, " +
+        "octet_length(encode(text)) AS o, " +
+        "'doc ' || doc_id || ' has ' || octet_length(encode(text)) || " +
+        "' bytes' AS meta FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(doc_id % 5 NOT IN (3, 4) AS INTEGER) AS valid, " +
+        "CAST(CASE WHEN doc_id % 5 IN (3, 4) THEN NULL ELSE 3 END " +
+        "AS INTEGER) AS n_members, " +
+        "CASE WHEN doc_id % 5 IN (3, 4) THEN NULL ELSE " +
+        "'very/long/packaged/dataset/path/segment/that/overflows/the/" +
+        "hundred/byte/name/field/for/doc' || doc_id || '/meta.txt' END " +
+        "AS long_name, " +
+        "CASE WHEN doc_id % 5 IN (2, 3, 4) THEN NULL ELSE md5(text) END " +
+        "AS md5_text, " +
+        "CASE WHEN doc_id % 5 IN (3, 4) THEN NULL ELSE md5(meta) END " +
+        "AS md5_meta, " +
+        "CAST(CASE WHEN doc_id % 5 IN (3, 4) THEN NULL " +
+        "WHEN doc_id % 5 = 2 THEN length(meta) " +
+        "ELSE o + length(meta) END AS BIGINT) AS n_bytes " +
         "FROM m"),
     // q133: the oracle re-synthesizes the expected text from corpus
     // words alone (8-word paragraphs, the entity drill and field-code

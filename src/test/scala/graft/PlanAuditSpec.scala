@@ -941,6 +941,15 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q136 tar extract is a pure map — zero exchanges, synth once") {
+    val df = graft.sources.Tar.q136TarExtract(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    assert(shuffles(df) === 0, s"expected 0 shuffles:\n$p")
+    val n = java.util.regex.Pattern.quote("graft_tar_synth(").r
+      .findAllIn(p).length
+    assert(n === 1, s"expected 1 graft_tar_synth in the plan, found $n:\n$p")
+  }
+
   test("q113 recrawl policy is a pure map — zero exchanges") {
     val df = graft.operators.Crawl.q113RecrawlPolicy(spark, TestSpark.Sf0001)
     assert(shuffles(df) === 0, s"expected 0 shuffles:\n${plan(df)}")

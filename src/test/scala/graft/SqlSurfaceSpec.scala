@@ -87,7 +87,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "vw_csv_ingest" ->
         graft.sources.Csv.q134CsvIngest(spark, TestSpark.Sf0001),
       "vw_webp_stats" ->
-        graft.operators.Multimodal.q135WebpPixels(spark, TestSpark.Sf0001))
+        graft.operators.Multimodal.q135WebpPixels(spark, TestSpark.Sf0001),
+      "vw_tar_extract" ->
+        graft.sources.Tar.q136TarExtract(spark, TestSpark.Sf0001))
     twins.foreach { case (view, df) =>
       val sql = canon(spark.sql(s"SELECT * FROM $view"))
       val api = canon(df)
