@@ -315,6 +315,11 @@ object Bootstrap {
     // per-member checksum audit
     sources.Tar.q136TarExtract(spark, dir)
       .createOrReplaceTempView("vw_tar_extract")
+    // the mailing-list intake manifest (q137): `WHERE ok = 0` is the
+    // truncated-message quarantine, `ok = 1 AND body_md5 IS NULL` the
+    // per-part decode-failure audit
+    sources.Mime.q137MimeExtract(spark, dir)
+      .createOrReplaceTempView("vw_mime_extract")
   }
 
   /** Register the landing table + curated views over it — the TRANSFORM

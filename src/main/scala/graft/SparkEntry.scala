@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ingest.Envelope
-import graft.sources.{Csv, Docx, JsonLines, Pdf, Tar, Warc, Zip}
+import graft.sources.{Csv, Docx, JsonLines, Mime, Pdf, Tar, Warc, Zip}
 import graft.operators.{Classifier, Crawl, Dedup, Multimodal, Pipeline, Relational, Retrieval, Scale, Similarity, SqlSurface, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -158,6 +158,7 @@ object SparkEntry {
     "q134_csv_ingest" -> (Csv.q134CsvIngest _),
     "q135_webp_pixels" -> (Multimodal.q135WebpPixels _),
     "q136_tar_extract" -> (Tar.q136TarExtract _),
+    "q137_mime_extract" -> (Mime.q137MimeExtract _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1561,6 +1562,27 @@ object SparkEntry {
         "WHEN doc_id % 5 = 2 THEN length(meta) " +
         "ELSE o + length(meta) END AS BIGINT) AS n_bytes " +
         "FROM m"),
+    // q137: the decode stack (QP/base64/2047/multipart) must round the
+    // corpus text through untouched — the oracle replays subjects,
+    // decoded-body/attachment md5s, and byte accounting from the text
+    // alone (q95's stance); classes 4/5 are the whole-refusal rows
+    "q137_mime_extract" ->
+      ("WITH m AS (SELECT doc_id, text, " +
+        "octet_length(encode(text)) AS o, " +
+        "'doc ' || doc_id || ' has ' || octet_length(encode(text)) || " +
+        "' chars' AS meta FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(doc_id % 6 NOT IN (4, 5) AS INTEGER) AS ok, " +
+        "CAST(CASE WHEN doc_id % 6 IN (4, 5) THEN NULL " +
+        "WHEN doc_id % 6 IN (1, 3) THEN 2 ELSE 1 END AS INTEGER) AS n_parts, " +
+        "CASE WHEN doc_id % 6 IN (4, 5) THEN NULL " +
+        "WHEN doc_id % 6 = 1 THEN 'doc ' || doc_id || ' ' || chr(8212) || ' digest' " +
+        "WHEN doc_id % 6 = 3 THEN 'doc ' || doc_id || ' folded digest' " +
+        "ELSE 'doc ' || doc_id || ' digest' END AS subject, " +
+        "CASE WHEN doc_id % 6 IN (4, 5) THEN NULL ELSE md5(text) END AS body_md5, " +
+        "CASE WHEN doc_id % 6 IN (1, 3) THEN md5(meta) ELSE NULL END AS att_md5, " +
+        "CAST(CASE WHEN doc_id % 6 IN (4, 5) THEN NULL ELSE o END AS BIGINT) " +
+        "AS n_body_bytes FROM m"),
     // q133: the oracle re-synthesizes the expected text from corpus
     // words alone (8-word paragraphs, the entity drill and field-code
     // paragraph as decoded constants, the br class's split paragraph 0)

@@ -89,7 +89,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "vw_webp_stats" ->
         graft.operators.Multimodal.q135WebpPixels(spark, TestSpark.Sf0001),
       "vw_tar_extract" ->
-        graft.sources.Tar.q136TarExtract(spark, TestSpark.Sf0001))
+        graft.sources.Tar.q136TarExtract(spark, TestSpark.Sf0001),
+      "vw_mime_extract" ->
+        graft.sources.Mime.q137MimeExtract(spark, TestSpark.Sf0001))
     twins.foreach { case (view, df) =>
       val sql = canon(spark.sql(s"SELECT * FROM $view"))
       val api = canon(df)
