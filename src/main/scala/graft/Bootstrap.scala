@@ -320,6 +320,11 @@ object Bootstrap {
     // per-part decode-failure audit
     sources.Mime.q137MimeExtract(spark, dir)
       .createOrReplaceTempView("vw_mime_extract")
+    // the subtitle intake manifest (q138): `sum(total_ms)` over it is
+    // the SQL-only captioned-hours read a video-text pairing budget
+    // needs; `WHERE ok = 0` the not-a-subtitle quarantine
+    operators.Subtitles.q138SubtitleExtract(spark, dir)
+      .createOrReplaceTempView("vw_subtitles")
   }
 
   /** Register the landing table + curated views over it — the TRANSFORM

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ingest.Envelope
 import graft.sources.{Csv, Docx, JsonLines, Mime, Pdf, Tar, Warc, Zip}
-import graft.operators.{Classifier, Crawl, Dedup, Multimodal, Pipeline, Relational, Retrieval, Scale, Similarity, SqlSurface, Text}
+import graft.operators.{Classifier, Crawl, Dedup, Multimodal, Pipeline, Relational, Retrieval, Scale, Similarity, SqlSurface, Subtitles, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -159,6 +159,7 @@ object SparkEntry {
     "q135_webp_pixels" -> (Multimodal.q135WebpPixels _),
     "q136_tar_extract" -> (Tar.q136TarExtract _),
     "q137_mime_extract" -> (Mime.q137MimeExtract _),
+    "q138_subtitle_extract" -> (Subtitles.q138SubtitleExtract _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1583,6 +1584,48 @@ object SparkEntry {
         "CASE WHEN doc_id % 6 IN (1, 3) THEN md5(meta) ELSE NULL END AS att_md5, " +
         "CAST(CASE WHEN doc_id % 6 IN (4, 5) THEN NULL ELSE o END AS BIGINT) " +
         "AS n_body_bytes FROM m"),
+    // q138: cue grouping, duration arithmetic, the last cue's ABSOLUTE
+    // end (place-value pin: a swapped H/M/S field survives a duration
+    // sum but not this), and the joined text all replay from corpus
+    // words alone; class 2 drops exactly the corrupted cue #2
+    "q138_subtitle_extract" ->
+      ("WITH w AS (SELECT doc_id, list_filter(" +
+        "string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), " +
+        "x -> x <> '') AS ws FROM documents), " +
+        "c AS (SELECT doc_id, ws, " +
+        "CAST(ceil(len(ws) / 6.0) AS INTEGER) AS nc, " +
+        "(doc_id % 7) * 111 + CASE WHEN doc_id % 5 = 1 THEN 0 " +
+        "ELSE (doc_id % 2) * 3725999 END AS base FROM w), " +
+        "g AS (SELECT doc_id, nc, base, " +
+        "CASE WHEN doc_id % 5 = 1 THEN list_transform(range(nc), i -> " +
+        "CASE WHEN len(list_slice(ws, i*6 + 1, i*6 + 6)) > 3 THEN " +
+        "array_to_string(list_slice(ws, i*6 + 1, i*6 + 3), ' ') || chr(10) || " +
+        "array_to_string(list_slice(ws, i*6 + 4, i*6 + 6), ' ') " +
+        "ELSE array_to_string(list_slice(ws, i*6 + 1, i*6 + 6), ' ') END) " +
+        "ELSE list_transform(range(nc), i -> " +
+        "array_to_string(list_slice(ws, i*6 + 1, i*6 + 6), ' ')) END AS cues " +
+        "FROM c), " +
+        "k AS (SELECT doc_id, nc, " +
+        "CASE WHEN doc_id % 5 = 2 THEN " +
+        "list_concat(list_slice(cues, 1, 1), list_slice(cues, 3, nc)) " +
+        "ELSE cues END AS kept, " +
+        "CASE WHEN doc_id % 5 = 2 AND nc = 2 THEN base + 2000 " +
+        "ELSE base + (nc - 1) * 2500 + 2000 END AS last_end FROM g) " +
+        "SELECT doc_id, " +
+        "CAST(doc_id % 5 NOT IN (3, 4) AS INTEGER) AS ok, " +
+        "CASE WHEN doc_id % 5 IN (3, 4) THEN NULL " +
+        "WHEN doc_id % 5 = 1 THEN 'vtt' ELSE 'srt' END AS format, " +
+        "CAST(CASE WHEN doc_id % 5 IN (3, 4) THEN NULL ELSE len(kept) END " +
+        "AS INTEGER) AS n_cues, " +
+        "CAST(CASE WHEN doc_id % 5 IN (3, 4) THEN NULL " +
+        "ELSE 2000 * len(kept) END AS BIGINT) AS total_ms, " +
+        "CAST(CASE WHEN doc_id % 5 IN (3, 4) THEN NULL ELSE last_end END " +
+        "AS BIGINT) AS last_end_ms, " +
+        "CASE WHEN doc_id % 5 IN (3, 4) THEN NULL " +
+        "ELSE md5(array_to_string(kept, chr(10))) END AS text_md5, " +
+        "CAST(CASE WHEN doc_id % 5 IN (3, 4) THEN NULL " +
+        "ELSE length(array_to_string(kept, chr(10))) END AS BIGINT) " +
+        "AS n_chars FROM k"),
     // q133: the oracle re-synthesizes the expected text from corpus
     // words alone (8-word paragraphs, the entity drill and field-code
     // paragraph as decoded constants, the br class's split paragraph 0)
