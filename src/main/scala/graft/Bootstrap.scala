@@ -325,6 +325,11 @@ object Bootstrap {
     // needs; `WHERE ok = 0` the not-a-subtitle quarantine
     operators.Subtitles.q138SubtitleExtract(spark, dir)
       .createOrReplaceTempView("vw_subtitles")
+    // the FLAC metadata manifest (q139): `WHERE is_flac = 1 AND
+    // sample_rate IS NULL` is the truncated-master quarantine,
+    // `sum(duration_ms)` the lossless-audio-hours read
+    operators.Multimodal.q139FlacMeta(spark, dir)
+      .createOrReplaceTempView("vw_flac_meta")
   }
 
   /** Register the landing table + curated views over it — the TRANSFORM

@@ -160,6 +160,7 @@ object SparkEntry {
     "q136_tar_extract" -> (Tar.q136TarExtract _),
     "q137_mime_extract" -> (Mime.q137MimeExtract _),
     "q138_subtitle_extract" -> (Subtitles.q138SubtitleExtract _),
+    "q139_flac_meta" -> (Multimodal.q139FlacMeta _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1626,6 +1627,36 @@ object SparkEntry {
         "CAST(CASE WHEN doc_id % 5 IN (3, 4) THEN NULL " +
         "ELSE length(array_to_string(kept, chr(10))) END AS BIGINT) " +
         "AS n_chars FROM k"),
+    // q139: every STREAMINFO field (20/3/5/36-bit unpack), the Vorbis
+    // TITLE behind the endianness flip, and the Long duration division
+    // replay from the byte count alone; class 3 is the q39 meta split
+    // (magic survives, fields refuse), class 2 the 36-bit wide shape
+    "q139_flac_meta" ->
+      ("WITH m AS (SELECT doc_id, octet_length(encode(text)) AS o " +
+        "FROM documents), " +
+        "f AS (SELECT doc_id, o, " +
+        "CASE WHEN doc_id % 5 = 2 THEN 96000 " +
+        "WHEN doc_id % 3 = 0 THEN 44100 WHEN doc_id % 3 = 1 THEN 48000 " +
+        "ELSE 32000 END AS rate, " +
+        "CASE WHEN doc_id % 5 = 2 THEN 8589934592 + o " +
+        "ELSE o * 1000 + doc_id % 997 END AS total FROM m) " +
+        "SELECT doc_id, " +
+        "CAST(doc_id % 5 <> 4 AS INTEGER) AS is_flac, " +
+        "CAST(CASE WHEN doc_id % 5 IN (3, 4) THEN NULL " +
+        "WHEN doc_id % 5 IN (1, 2) THEN 3 ELSE 1 END AS INTEGER) AS n_blocks, " +
+        "CAST(CASE WHEN doc_id % 5 IN (3, 4) THEN NULL ELSE rate END " +
+        "AS INTEGER) AS sample_rate, " +
+        "CAST(CASE WHEN doc_id % 5 IN (3, 4) THEN NULL " +
+        "WHEN doc_id % 5 = 2 THEN 8 ELSE doc_id % 2 + 1 END AS INTEGER) " +
+        "AS channels, " +
+        "CAST(CASE WHEN doc_id % 5 IN (3, 4) THEN NULL " +
+        "WHEN doc_id % 5 = 2 THEN 24 ELSE 16 END AS INTEGER) AS bits, " +
+        "CAST(CASE WHEN doc_id % 5 IN (3, 4) THEN NULL ELSE total END " +
+        "AS BIGINT) AS total_samples, " +
+        "CAST(CASE WHEN doc_id % 5 IN (3, 4) THEN NULL " +
+        "ELSE total * 1000 // rate END AS BIGINT) AS duration_ms, " +
+        "CASE WHEN doc_id % 5 IN (1, 2) THEN 'doc ' || doc_id || ' title' " +
+        "ELSE NULL END AS title FROM f"),
     // q133: the oracle re-synthesizes the expected text from corpus
     // words alone (8-word paragraphs, the entity drill and field-code
     // paragraph as decoded constants, the br class's split paragraph 0)

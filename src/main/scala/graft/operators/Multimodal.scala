@@ -1544,4 +1544,45 @@ object Multimodal {
         (col("_m.width").cast("long") * col("_m.height")))
         .as("mean_luma_x100"))
   }
+
+  // ---------------------------------------------------------------- q139
+
+  /** Q139: FLAC header metadata — the third audio-triage rung (q56/q62
+    * WAV, q130 MP3): lossless archives and podcast masters ship as
+    * FLAC. The block walk, the 20/3/5/36-bit STREAMINFO unpack, and
+    * the VORBIS_COMMENT endianness flip (little-endian u32s inside the
+    * big-endian file — THE classic FLAC-reader bug) live in
+    * [[graft.functions.FlacEval]].
+    *
+    * Residue classes (%5): 0 → STREAMINFO only; 1 → + PADDING +
+    * VORBIS_COMMENT carrying TITLE (and a decoy lowercase-key artist);
+    * 2 → the wide shape (96 kHz / 8 channels / 24-bit / a 36-bit
+    * total crossing 2^33 — a u32 reader truncates) with the same
+    * comment trio; 3 → truncated
+    * mid-STREAMINFO (magic survives, fields refuse — the q39 meta
+    * split); 4 → not FLAC. Duration is total*1000/rate in Long
+    * arithmetic; the oracle replays every field and the division from
+    * the byte count alone. One narrow map, zero exchanges.
+    */
+  def q139FlacMeta(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.FlacOps
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val mode = when(id % 5 === 1, 1L).when(id % 5 === 2, 2L)
+      .when(id % 5 === 3, 3L).otherwise(0L)
+    val params = id + mode * lit(1L << 40)
+    val whole = FlacOps.flacSynth(length(col("text").cast("binary")), params)
+    val payload = when(id % 5 === 4, col("text").cast("binary")).otherwise(whole)
+    docs.select(id, payload.as("_p"))
+      .select(id,
+        expr("substring(_p, 1, 4) = cast('fLaC' as binary)")
+          .cast("int").as("is_flac"),
+        FlacOps.flacBlocks(col("_p")).as("n_blocks"),
+        FlacOps.flacRate(col("_p")).as("sample_rate"),
+        FlacOps.flacChannels(col("_p")).as("channels"),
+        FlacOps.flacBits(col("_p")).as("bits"),
+        FlacOps.flacTotalSamples(col("_p")).as("total_samples"),
+        FlacOps.flacDurationMs(col("_p")).as("duration_ms"),
+        FlacOps.flacTitle(col("_p")).as("title"))
+  }
 }

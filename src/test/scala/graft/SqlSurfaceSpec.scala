@@ -93,7 +93,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "vw_mime_extract" ->
         graft.sources.Mime.q137MimeExtract(spark, TestSpark.Sf0001),
       "vw_subtitles" ->
-        graft.operators.Subtitles.q138SubtitleExtract(spark, TestSpark.Sf0001))
+        graft.operators.Subtitles.q138SubtitleExtract(spark, TestSpark.Sf0001),
+      "vw_flac_meta" ->
+        graft.operators.Multimodal.q139FlacMeta(spark, TestSpark.Sf0001))
     twins.foreach { case (view, df) =>
       val sql = canon(spark.sql(s"SELECT * FROM $view"))
       val api = canon(df)
