@@ -330,6 +330,11 @@ object Bootstrap {
     // `sum(duration_ms)` the lossless-audio-hours read
     operators.Multimodal.q139FlacMeta(spark, dir)
       .createOrReplaceTempView("vw_flac_meta")
+    // the markdown intake manifest (q140): `GROUP BY lang` over it is
+    // the SQL-only code-mixture budget read; `WHERE n_code_blocks = 0`
+    // the pure-prose corpus slice
+    operators.Markdown.q140MarkdownExtract(spark, dir)
+      .createOrReplaceTempView("vw_markdown")
   }
 
   /** Register the landing table + curated views over it — the TRANSFORM

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ingest.Envelope
 import graft.sources.{Csv, Docx, JsonLines, Mime, Pdf, Tar, Warc, Zip}
-import graft.operators.{Classifier, Crawl, Dedup, Multimodal, Pipeline, Relational, Retrieval, Scale, Similarity, SqlSurface, Subtitles, Text}
+import graft.operators.{Classifier, Crawl, Dedup, Markdown, Multimodal, Pipeline, Relational, Retrieval, Scale, Similarity, SqlSurface, Subtitles, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -161,6 +161,7 @@ object SparkEntry {
     "q137_mime_extract" -> (Mime.q137MimeExtract _),
     "q138_subtitle_extract" -> (Subtitles.q138SubtitleExtract _),
     "q139_flac_meta" -> (Multimodal.q139FlacMeta _),
+    "q140_markdown_extract" -> (Markdown.q140MarkdownExtract _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1657,6 +1658,41 @@ object SparkEntry {
         "ELSE total * 1000 // rate END AS BIGINT) AS duration_ms, " +
         "CASE WHEN doc_id % 5 IN (1, 2) THEN 'doc ' || doc_id || ' title' " +
         "ELSE NULL END AS title FROM f"),
+    // q140: the expected PROSE re-synthesizes from corpus words alone
+    // (heading text, the decorated paragraph stripped, list items,
+    // quote, tail) — never from a markdown byte, so a stripping slip
+    // cannot cancel; classes 0 and 1 must produce IDENTICAL prose
+    // under different markup, and the fence content never appears
+    "q140_markdown_extract" ->
+      ("WITH w AS (SELECT doc_id, text, list_filter(" +
+        "string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), " +
+        "x -> x <> '') AS ws FROM documents), " +
+        "x AS (SELECT doc_id, text, ws, len(ws) AS n FROM w), " +
+        "p AS (SELECT doc_id, text, " +
+        "array_to_string(list_slice(ws, 1, 3), ' ') AS hd, " +
+        "ws[4] || ' ' || ws[5] || ' ' || ws[6] || ' ' || ws[7] || ' ' || " +
+        "ws[8] AS para, " +
+        "ws[9] AS i1, ws[10] AS i2, ws[1] AS i3, " +
+        "ws[2] || ' ' || ws[3] AS qt, " +
+        "CASE WHEN n > 10 THEN chr(10) || " +
+        "array_to_string(list_slice(ws, 11, n), ' ') ELSE '' END AS tail, " +
+        "CASE WHEN doc_id % 5 = 2 THEN chr(10) || '#' || ws[1] || 'tag' " +
+        "ELSE '' END AS trap FROM x), " +
+        "t AS (SELECT doc_id, CASE WHEN doc_id % 5 = 4 THEN text ELSE " +
+        "hd || trap || chr(10) || para || chr(10) || i1 || chr(10) || i2 || " +
+        "chr(10) || i3 || chr(10) || qt || tail END AS plain FROM p) " +
+        "SELECT doc_id, " +
+        "CAST(CASE WHEN doc_id % 5 = 4 THEN 0 ELSE 1 END AS INTEGER) " +
+        "AS n_headings, " +
+        "CAST(CASE WHEN doc_id % 5 = 4 THEN 0 ELSE 1 END AS INTEGER) " +
+        "AS n_code_blocks, " +
+        "CASE WHEN doc_id % 5 = 4 THEN NULL " +
+        "WHEN doc_id % 3 = 0 THEN 'python' WHEN doc_id % 3 = 1 THEN 'scala' " +
+        "ELSE 'sql' END AS lang, " +
+        "CAST(CASE WHEN doc_id % 5 = 4 THEN 0 ELSE 1 END AS INTEGER) " +
+        "AS n_links, " +
+        "md5(plain) AS text_md5, " +
+        "CAST(length(plain) AS BIGINT) AS n_chars FROM t"),
     // q133: the oracle re-synthesizes the expected text from corpus
     // words alone (8-word paragraphs, the entity drill and field-code
     // paragraph as decoded constants, the br class's split paragraph 0)

@@ -95,7 +95,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "vw_subtitles" ->
         graft.operators.Subtitles.q138SubtitleExtract(spark, TestSpark.Sf0001),
       "vw_flac_meta" ->
-        graft.operators.Multimodal.q139FlacMeta(spark, TestSpark.Sf0001))
+        graft.operators.Multimodal.q139FlacMeta(spark, TestSpark.Sf0001),
+      "vw_markdown" ->
+        graft.operators.Markdown.q140MarkdownExtract(spark, TestSpark.Sf0001))
     twins.foreach { case (view, df) =>
       val sql = canon(spark.sql(s"SELECT * FROM $view"))
       val api = canon(df)
