@@ -335,6 +335,11 @@ object Bootstrap {
     // the pure-prose corpus slice
     operators.Markdown.q140MarkdownExtract(spark, dir)
       .createOrReplaceTempView("vw_markdown")
+    // the feed intake manifest (q141): `max(latest_epoch)` per source
+    // is the SQL-only recrawl-scheduling read (q113's loop over the
+    // open web); `WHERE ok = 0` the truncated-feed quarantine
+    operators.Feeds.q141FeedIngest(spark, dir)
+      .createOrReplaceTempView("vw_feeds")
   }
 
   /** Register the landing table + curated views over it — the TRANSFORM

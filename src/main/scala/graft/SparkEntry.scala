@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ingest.Envelope
 import graft.sources.{Csv, Docx, JsonLines, Mime, Pdf, Tar, Warc, Zip}
-import graft.operators.{Classifier, Crawl, Dedup, Markdown, Multimodal, Pipeline, Relational, Retrieval, Scale, Similarity, SqlSurface, Subtitles, Text}
+import graft.operators.{Classifier, Crawl, Dedup, Feeds, Markdown, Multimodal, Pipeline, Relational, Retrieval, Scale, Similarity, SqlSurface, Subtitles, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -162,6 +162,7 @@ object SparkEntry {
     "q138_subtitle_extract" -> (Subtitles.q138SubtitleExtract _),
     "q139_flac_meta" -> (Multimodal.q139FlacMeta _),
     "q140_markdown_extract" -> (Markdown.q140MarkdownExtract _),
+    "q141_feed_ingest" -> (Feeds.q141FeedIngest _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1693,6 +1694,40 @@ object SparkEntry {
         "AS n_links, " +
         "md5(plain) AS text_md5, " +
         "CAST(length(plain) AS BIGINT) AS n_chars FROM t"),
+    // q141: counts, the attribute-vs-text link, the epoch arithmetic
+    // behind BOTH date grammars, and the decoded titles (entity and
+    // CDATA first-item variants) replay from corpus words alone
+    "q141_feed_ingest" ->
+      ("WITH w AS (SELECT doc_id, list_filter(" +
+        "string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), " +
+        "x -> x <> '') AS ws FROM documents), " +
+        "c AS (SELECT doc_id, ws, " +
+        "CAST(ceil(len(ws) / 8.0) AS INTEGER) AS nc FROM w), " +
+        "g AS (SELECT doc_id, nc, list_transform(range(nc), i -> " +
+        "array_to_string(list_slice(ws, i*8 + 1, i*8 + 8), ' ')) AS ts " +
+        "FROM c), " +
+        "a AS (SELECT doc_id, nc, " +
+        "CASE WHEN doc_id % 5 = 1 THEN " +
+        "list_concat([ts[1] || ' & more'], list_slice(ts, 2, nc)) " +
+        "WHEN doc_id % 5 = 2 THEN " +
+        "list_concat([ts[1] || ' <b> & raw'], list_slice(ts, 2, nc)) " +
+        "ELSE ts END AS ts FROM g) " +
+        "SELECT doc_id, " +
+        "CAST(doc_id % 5 NOT IN (3, 4) AS INTEGER) AS ok, " +
+        "CASE WHEN doc_id % 5 IN (3, 4) THEN NULL " +
+        "WHEN doc_id % 5 = 1 THEN 'atom' ELSE 'rss' END AS format, " +
+        "CAST(CASE WHEN doc_id % 5 IN (3, 4) THEN NULL ELSE nc END " +
+        "AS INTEGER) AS n_items, " +
+        "CASE WHEN doc_id % 5 IN (3, 4) THEN NULL ELSE ts[1] END " +
+        "AS first_title, " +
+        "CASE WHEN doc_id % 5 IN (3, 4) THEN NULL " +
+        "ELSE 'https://feed.example/doc' || doc_id || '/item0' END " +
+        "AS first_link, " +
+        "CAST(CASE WHEN doc_id % 5 IN (3, 4) THEN NULL " +
+        "ELSE 1704067200 + doc_id * 37 + (nc - 1) * 60 END AS BIGINT) " +
+        "AS latest_epoch, " +
+        "CASE WHEN doc_id % 5 IN (3, 4) THEN NULL " +
+        "ELSE md5(array_to_string(ts, chr(10))) END AS titles_md5 FROM a"),
     // q133: the oracle re-synthesizes the expected text from corpus
     // words alone (8-word paragraphs, the entity drill and field-code
     // paragraph as decoded constants, the br class's split paragraph 0)
