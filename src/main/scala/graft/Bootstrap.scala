@@ -340,6 +340,11 @@ object Bootstrap {
     // open web); `WHERE ok = 0` the truncated-feed quarantine
     operators.Feeds.q141FeedIngest(spark, dir)
       .createOrReplaceTempView("vw_feeds")
+    // the book intake manifest (q142): `WHERE ok = 0` is the
+    // broken-package quarantine, `ok = 1 AND n_chars > 0` the
+    // book-corpus read completing the PDF/DOCX document family
+    sources.Epub.q142EpubExtract(spark, dir)
+      .createOrReplaceTempView("vw_epub_text")
   }
 
   /** Register the landing table + curated views over it — the TRANSFORM

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ingest.Envelope
-import graft.sources.{Csv, Docx, JsonLines, Mime, Pdf, Tar, Warc, Zip}
+import graft.sources.{Csv, Docx, Epub, JsonLines, Mime, Pdf, Tar, Warc, Zip}
 import graft.operators.{Classifier, Crawl, Dedup, Feeds, Markdown, Multimodal, Pipeline, Relational, Retrieval, Scale, Similarity, SqlSurface, Subtitles, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -163,6 +163,7 @@ object SparkEntry {
     "q139_flac_meta" -> (Multimodal.q139FlacMeta _),
     "q140_markdown_extract" -> (Markdown.q140MarkdownExtract _),
     "q141_feed_ingest" -> (Feeds.q141FeedIngest _),
+    "q142_epub_extract" -> (Epub.q142EpubExtract _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1728,6 +1729,41 @@ object SparkEntry {
         "AS latest_epoch, " +
         "CASE WHEN doc_id % 5 IN (3, 4) THEN NULL " +
         "ELSE md5(array_to_string(ts, chr(10))) END AS titles_md5 FROM a"),
+    // q142: the spine-ordered text re-synthesizes from corpus words
+    // alone (two chapters, 8-word paragraphs, the chapter-A entity
+    // suffix) — a zip-order or manifest-order reader produces a
+    // different book and cannot hash-match
+    "q142_epub_extract" ->
+      ("WITH w AS (SELECT doc_id, list_filter(" +
+        "string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), " +
+        "x -> x <> '') AS ws FROM documents), " +
+        "x AS (SELECT doc_id, ws, len(ws) AS n, " +
+        "CAST(ceil(len(ws) / 2.0) AS INTEGER) AS half FROM w), " +
+        "a AS (SELECT doc_id, list_slice(ws, 1, half) AS wa, " +
+        "list_slice(ws, half + 1, n) AS wb FROM x), " +
+        "g AS (SELECT doc_id, " +
+        "CAST(ceil(len(wa) / 8.0) AS INTEGER) AS na, " +
+        "CAST(ceil(len(wb) / 8.0) AS INTEGER) AS nb, " +
+        "list_transform(range(CAST(ceil(len(wa) / 8.0) AS INTEGER)), i -> " +
+        "array_to_string(list_slice(wa, i*8 + 1, i*8 + 8), ' ')) AS pa, " +
+        "list_transform(range(CAST(ceil(len(wb) / 8.0) AS INTEGER)), i -> " +
+        "array_to_string(list_slice(wb, i*8 + 1, i*8 + 8), ' ')) AS pb " +
+        "FROM a), " +
+        "t AS (SELECT doc_id, na, nb, list_concat(list_concat(" +
+        "[pa[1] || ' & co'], list_slice(pa, 2, na)), pb) AS paras FROM g) " +
+        "SELECT doc_id, " +
+        "CAST(doc_id % 5 NOT IN (2, 3, 4) AS INTEGER) AS ok, " +
+        "CASE WHEN doc_id % 5 IN (2, 3, 4) THEN NULL " +
+        "ELSE 'doc ' || doc_id || ' & friends' END AS title, " +
+        "CAST(CASE WHEN doc_id % 5 IN (2, 3, 4) THEN NULL ELSE 2 END " +
+        "AS INTEGER) AS n_chapters, " +
+        "CAST(CASE WHEN doc_id % 5 IN (2, 3, 4) THEN NULL ELSE na + nb END " +
+        "AS INTEGER) AS n_paragraphs, " +
+        "CASE WHEN doc_id % 5 IN (2, 3, 4) THEN NULL " +
+        "ELSE md5(array_to_string(paras, chr(10))) END AS text_md5, " +
+        "CAST(CASE WHEN doc_id % 5 IN (2, 3, 4) THEN NULL " +
+        "ELSE length(array_to_string(paras, chr(10))) END AS BIGINT) " +
+        "AS n_chars FROM t"),
     // q133: the oracle re-synthesizes the expected text from corpus
     // words alone (8-word paragraphs, the entity drill and field-code
     // paragraph as decoded constants, the br class's split paragraph 0)

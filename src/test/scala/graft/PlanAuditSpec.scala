@@ -995,6 +995,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(n === 1, s"expected 1 graft_feed_synth in the plan, found $n:\n$p")
   }
 
+  test("q142 epub extract is a pure map — zero exchanges, synth once") {
+    val df = graft.sources.Epub.q142EpubExtract(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    assert(shuffles(df) === 0, s"expected 0 shuffles:\n$p")
+    val n = java.util.regex.Pattern.quote("graft_epub_synth(").r
+      .findAllIn(p).length
+    assert(n === 1, s"expected 1 graft_epub_synth in the plan, found $n:\n$p")
+  }
+
   test("q113 recrawl policy is a pure map — zero exchanges") {
     val df = graft.operators.Crawl.q113RecrawlPolicy(spark, TestSpark.Sf0001)
     assert(shuffles(df) === 0, s"expected 0 shuffles:\n${plan(df)}")

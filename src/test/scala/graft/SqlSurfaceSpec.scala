@@ -99,7 +99,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "vw_markdown" ->
         graft.operators.Markdown.q140MarkdownExtract(spark, TestSpark.Sf0001),
       "vw_feeds" ->
-        graft.operators.Feeds.q141FeedIngest(spark, TestSpark.Sf0001))
+        graft.operators.Feeds.q141FeedIngest(spark, TestSpark.Sf0001),
+      "vw_epub_text" ->
+        graft.sources.Epub.q142EpubExtract(spark, TestSpark.Sf0001))
     twins.foreach { case (view, df) =>
       val sql = canon(spark.sql(s"SELECT * FROM $view"))
       val api = canon(df)
