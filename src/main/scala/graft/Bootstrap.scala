@@ -345,6 +345,11 @@ object Bootstrap {
     // book-corpus read completing the PDF/DOCX document family
     sources.Epub.q142EpubExtract(spark, dir)
       .createOrReplaceTempView("vw_epub_text")
+    // the mojibake manifest (q143): `WHERE mojibake = 1` is the
+    // SQL-only "which sources ship pre-corrupted text" audit that
+    // feeds upstream fixes
+    operators.Mojibake.q143MojibakeRepair(spark, dir)
+      .createOrReplaceTempView("vw_mojibake")
   }
 
   /** Register the landing table + curated views over it — the TRANSFORM

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ingest.Envelope
 import graft.sources.{Csv, Docx, Epub, JsonLines, Mime, Pdf, Tar, Warc, Zip}
-import graft.operators.{Classifier, Crawl, Dedup, Feeds, Markdown, Multimodal, Pipeline, Relational, Retrieval, Scale, Similarity, SqlSurface, Subtitles, Text}
+import graft.operators.{Classifier, Crawl, Dedup, Feeds, Markdown, Mojibake, Multimodal, Pipeline, Relational, Retrieval, Scale, Similarity, SqlSurface, Subtitles, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -164,6 +164,7 @@ object SparkEntry {
     "q140_markdown_extract" -> (Markdown.q140MarkdownExtract _),
     "q141_feed_ingest" -> (Feeds.q141FeedIngest _),
     "q142_epub_extract" -> (Epub.q142EpubExtract _),
+    "q143_mojibake_repair" -> (Mojibake.q143MojibakeRepair _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1764,6 +1765,24 @@ object SparkEntry {
         "CAST(CASE WHEN doc_id % 5 IN (2, 3, 4) THEN NULL " +
         "ELSE length(array_to_string(paras, chr(10))) END AS BIGINT) " +
         "AS n_chars FROM t"),
+    // q143: every expected REPAIRED string spells from chr() codepoints
+    // alone (the true suffixes, never a mojibake byte) — so the repair
+    // loop's gates and round counts are both pinned; classes 1 and 4
+    // prove real non-ASCII and the lone-Â trap survive untouched
+    "q143_mojibake_repair" ->
+      ("WITH r AS (SELECT doc_id, CASE doc_id % 5 " +
+        "WHEN 1 THEN text || ' caf' || chr(233) || ' ' || chr(8212) || ' ok' " +
+        "WHEN 2 THEN text || ' caf' || chr(233) || ' ' || chr(8212) || " +
+        "' na' || chr(239) || 've' " +
+        "WHEN 3 THEN text || ' caf' || chr(233) || ' na' || chr(239) || 've' " +
+        "WHEN 4 THEN text || ' ' || chr(194) || ' tricky' " +
+        "ELSE text END AS fixed FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(doc_id % 5 IN (2, 3) AS INTEGER) AS mojibake, " +
+        "CAST(CASE doc_id % 5 WHEN 2 THEN 1 WHEN 3 THEN 2 ELSE 0 END " +
+        "AS INTEGER) AS n_rounds, " +
+        "md5(fixed) AS text_md5, " +
+        "CAST(length(fixed) AS BIGINT) AS n_chars FROM r"),
     // q133: the oracle re-synthesizes the expected text from corpus
     // words alone (8-word paragraphs, the entity drill and field-code
     // paragraph as decoded constants, the br class's split paragraph 0)

@@ -1004,6 +1004,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(n === 1, s"expected 1 graft_epub_synth in the plan, found $n:\n$p")
   }
 
+  test("q143 mojibake repair is a pure map — zero exchanges, synth once") {
+    val df = graft.operators.Mojibake.q143MojibakeRepair(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    assert(shuffles(df) === 0, s"expected 0 shuffles:\n$p")
+    val n = java.util.regex.Pattern.quote("graft_mojibake_synth(").r
+      .findAllIn(p).length
+    assert(n === 1, s"expected 1 graft_mojibake_synth in the plan, found $n:\n$p")
+  }
+
   test("q113 recrawl policy is a pure map — zero exchanges") {
     val df = graft.operators.Crawl.q113RecrawlPolicy(spark, TestSpark.Sf0001)
     assert(shuffles(df) === 0, s"expected 0 shuffles:\n${plan(df)}")

@@ -101,7 +101,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "vw_feeds" ->
         graft.operators.Feeds.q141FeedIngest(spark, TestSpark.Sf0001),
       "vw_epub_text" ->
-        graft.sources.Epub.q142EpubExtract(spark, TestSpark.Sf0001))
+        graft.sources.Epub.q142EpubExtract(spark, TestSpark.Sf0001),
+      "vw_mojibake" ->
+        graft.operators.Mojibake.q143MojibakeRepair(spark, TestSpark.Sf0001))
     twins.foreach { case (view, df) =>
       val sql = canon(spark.sql(s"SELECT * FROM $view"))
       val api = canon(df)
