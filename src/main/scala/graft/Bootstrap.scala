@@ -350,6 +350,21 @@ object Bootstrap {
     // feeds upstream fixes
     operators.Mojibake.q143MojibakeRepair(spark, dir)
       .createOrReplaceTempView("vw_mojibake")
+    // the LaTeX source manifest (q144): `sum(n_math)` over it is the
+    // SQL-only math-density read a STEM-mixture budget needs;
+    // `WHERE title IS NULL` the no-preamble quarantine
+    operators.Latex.q144LatexExtract(spark, dir)
+      .createOrReplaceTempView("vw_latex_text")
+    // the citation-metadata manifest (q145): `max(year_max)` per
+    // source is the SQL-only corpus-freshness read; `WHERE n_entries
+    // = 0` the not-a-bibliography quarantine
+    operators.Bibtex.q145BibtexParse(spark, dir)
+      .createOrReplaceTempView("vw_bibtex")
+    // the sitemap manifest (q146): `max(latest_epoch)` per host is
+    // the SQL-only recrawl-priority read feeding q107's scheduler;
+    // `WHERE ok = 0` the truncated-download quarantine
+    operators.Sitemap.q146SitemapParse(spark, dir)
+      .createOrReplaceTempView("vw_sitemaps")
   }
 
   /** Register the landing table + curated views over it — the TRANSFORM

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ingest.Envelope
 import graft.sources.{Csv, Docx, Epub, JsonLines, Mime, Pdf, Tar, Warc, Zip}
-import graft.operators.{Classifier, Crawl, Dedup, Feeds, Markdown, Mojibake, Multimodal, Pipeline, Relational, Retrieval, Scale, Similarity, SqlSurface, Subtitles, Text}
+import graft.operators.{Bibtex, Classifier, Crawl, Dedup, Feeds, Latex, Markdown, Mojibake, Multimodal, Pipeline, Relational, Retrieval, Scale, Similarity, Sitemap, SqlSurface, Subtitles, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -165,6 +165,9 @@ object SparkEntry {
     "q141_feed_ingest" -> (Feeds.q141FeedIngest _),
     "q142_epub_extract" -> (Epub.q142EpubExtract _),
     "q143_mojibake_repair" -> (Mojibake.q143MojibakeRepair _),
+    "q144_latex_extract" -> (Latex.q144LatexExtract _),
+    "q145_bibtex_parse" -> (Bibtex.q145BibtexParse _),
+    "q146_sitemap_parse" -> (Sitemap.q146SitemapParse _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1783,6 +1786,103 @@ object SparkEntry {
         "AS INTEGER) AS n_rounds, " +
         "md5(fixed) AS text_md5, " +
         "CAST(length(fixed) AS BIGINT) AS n_chars FROM r"),
+    // q144: the expected prose re-synthesizes from corpus words alone
+    // (section heading, the 100%-escape paragraph invariant across the
+    // class-0/1 markup swap, subsection word, two items, the accented
+    // caf<e9> + tail) — never from a TeX byte, so a comment,
+    // math-exclusion, escape, or cite-vanish slip cannot cancel
+    "q144_latex_extract" ->
+      ("WITH w AS (SELECT doc_id, text, list_filter(" +
+        "string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), " +
+        "x -> x <> '') AS ws FROM documents), " +
+        "p AS (SELECT doc_id, text, ws, len(ws) AS n, " +
+        "ws[3] || ' ' || ws[4] AS sec, " +
+        "ws[5] || ' ' || ws[6] || ' 100% ' || ws[7] AS para, " +
+        "ws[8] AS sub, ws[9] AS i1, ws[10] AS i2, " +
+        "'caf' || chr(233) || " +
+        "CASE WHEN len(ws) > 10 THEN ' ' || " +
+        "array_to_string(list_slice(ws, 11, len(ws)), ' ') ELSE '' END " +
+        "AS fin FROM w), " +
+        "t AS (SELECT doc_id, ws, CASE WHEN doc_id % 5 = 4 THEN text ELSE " +
+        "sec || chr(10) || para || chr(10) || sub || chr(10) || i1 || " +
+        "chr(10) || i2 || chr(10) || fin END AS plain FROM p) " +
+        "SELECT doc_id, " +
+        "CASE WHEN doc_id % 5 = 4 THEN NULL " +
+        "ELSE ws[1] || ' ' || ws[2] END AS title, " +
+        "CAST(CASE WHEN doc_id % 5 = 4 THEN 0 ELSE 2 END AS INTEGER) " +
+        "AS n_sections, " +
+        "CAST(CASE WHEN doc_id % 5 = 4 THEN 0 " +
+        "WHEN doc_id % 5 = 3 THEN 2 ELSE 1 END AS INTEGER) AS n_math, " +
+        "CAST(CASE WHEN doc_id % 5 = 4 THEN 0 ELSE 1 END AS INTEGER) " +
+        "AS n_cites, " +
+        "md5(plain) AS text_md5, " +
+        "CAST(length(plain) AS BIGINT) AS n_chars FROM t"),
+    // q145: every expected value re-synthesizes from corpus words
+    // alone — entry/author/year counts per class, the first key from
+    // doc_id, and the titles (the class-2 arm spells the protective
+    // nested-brace strip as a decoded constant) — so a macro-expand,
+    // case-fold, comment-count, or author-split slip cannot cancel
+    "q145_bibtex_parse" ->
+      ("WITH w AS (SELECT doc_id, list_filter(" +
+        "string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), " +
+        "x -> x <> '') AS ws FROM documents), " +
+        "t AS (SELECT doc_id, CASE " +
+        "WHEN doc_id % 5 = 4 THEN NULL " +
+        "WHEN doc_id % 5 = 2 THEN ws[5] || ' Spark ' || ws[7] || chr(10) " +
+        "|| 'on ' || ws[1] || ' and ' || ws[2] " +
+        "WHEN doc_id % 5 = 3 THEN ws[5] || ' ' || ws[6] || ' ' || ws[7] " +
+        "|| chr(10) || ws[8] || ' ' || ws[9] " +
+        "ELSE ws[5] || ' ' || ws[6] || ' ' || ws[7] || chr(10) " +
+        "|| 'on ' || ws[1] || ' and ' || ws[2] END AS titles FROM w) " +
+        "SELECT doc_id, " +
+        "CAST(CASE WHEN doc_id % 5 = 4 THEN 0 ELSE 2 END AS INTEGER) " +
+        "AS n_entries, " +
+        "CAST(CASE WHEN doc_id % 5 = 4 THEN 0 ELSE 1 END AS INTEGER) " +
+        "AS n_articles, " +
+        "CASE WHEN doc_id % 5 = 4 THEN NULL " +
+        "ELSE 'doc' || doc_id || 'a' END AS first_key, " +
+        "CAST(CASE WHEN doc_id % 5 = 4 THEN 0 " +
+        "WHEN doc_id % 5 = 3 THEN 2 ELSE 4 END AS INTEGER) AS n_authors, " +
+        "CAST(CASE WHEN doc_id % 5 = 4 THEN NULL " +
+        "WHEN doc_id % 5 = 3 THEN 2024 ELSE 2021 END AS INTEGER) " +
+        "AS year_max, " +
+        "md5(titles) AS titles_md5 FROM t"),
+    // q146: the oracle replays the epoch arithmetic behind BOTH W3C
+    // datetime grammars (date-only = midnight UTC, full ISO = +6h30m)
+    // from doc_id alone — so a date-parse, entity-decode, loc-skip,
+    // or truncation-refusal slip cannot cancel
+    "q146_sitemap_parse" ->
+      ("WITH p AS (SELECT doc_id, doc_id % 5 AS m, " +
+        "'https://s' || (doc_id % 7) || '.example' AS host, " +
+        "CAST(2 + doc_id % 3 AS INTEGER) AS n0 FROM documents), " +
+        "e AS (SELECT doc_id, m, host, n0, " +
+        "list_aggregate(list_transform(range(n0), i -> " +
+        "CAST(epoch(make_date(2024, 3, CAST(1 + (doc_id + i) % 28 AS INTEGER))) " +
+        "AS BIGINT) + CASE WHEN i % 2 = 1 THEN 23400 ELSE 0 END), 'max') " +
+        "AS lat0, " +
+        "greatest(CAST(epoch(make_date(2024, 3, " +
+        "CAST(1 + doc_id % 28 AS INTEGER))) AS BIGINT), " +
+        "CAST(epoch(make_date(2024, 3, " +
+        "CAST(1 + (doc_id + 5) % 28 AS INTEGER))) AS BIGINT)) AS lat2, " +
+        "greatest(CAST(epoch(make_date(2024, 3, " +
+        "CAST(1 + doc_id % 28 AS INTEGER))) AS BIGINT), " +
+        "CAST(epoch(make_date(2024, 3, " +
+        "CAST(1 + (doc_id + 1) % 28 AS INTEGER))) AS BIGINT)) + 23400 " +
+        "AS lat1 FROM p) " +
+        "SELECT doc_id, " +
+        "CAST(m IN (0, 1, 2) AS INTEGER) AS ok, " +
+        "CASE WHEN m = 1 THEN 'index' WHEN m IN (0, 2) THEN 'urlset' " +
+        "ELSE NULL END AS kind, " +
+        "CAST(CASE WHEN m = 0 THEN n0 WHEN m = 1 THEN 2 WHEN m = 2 THEN 3 " +
+        "ELSE NULL END AS INTEGER) AS n_urls, " +
+        "CAST(CASE WHEN m = 0 THEN n0 WHEN m = 1 THEN 2 WHEN m = 2 THEN 2 " +
+        "ELSE NULL END AS INTEGER) AS n_lastmod, " +
+        "CASE WHEN m = 0 THEN lat0 WHEN m = 1 THEN lat1 " +
+        "WHEN m = 2 THEN lat2 ELSE NULL END AS latest_epoch, " +
+        "CASE WHEN m = 0 THEN host || '/p0' " +
+        "WHEN m = 1 THEN host || '/sitemap0.xml' " +
+        "WHEN m = 2 THEN host || '/a?x=1&y=2' ELSE NULL END AS first_loc " +
+        "FROM e"),
     // q133: the oracle re-synthesizes the expected text from corpus
     // words alone (8-word paragraphs, the entity drill and field-code
     // paragraph as decoded constants, the br class's split paragraph 0)

@@ -103,7 +103,13 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "vw_epub_text" ->
         graft.sources.Epub.q142EpubExtract(spark, TestSpark.Sf0001),
       "vw_mojibake" ->
-        graft.operators.Mojibake.q143MojibakeRepair(spark, TestSpark.Sf0001))
+        graft.operators.Mojibake.q143MojibakeRepair(spark, TestSpark.Sf0001),
+      "vw_latex_text" ->
+        graft.operators.Latex.q144LatexExtract(spark, TestSpark.Sf0001),
+      "vw_bibtex" ->
+        graft.operators.Bibtex.q145BibtexParse(spark, TestSpark.Sf0001),
+      "vw_sitemaps" ->
+        graft.operators.Sitemap.q146SitemapParse(spark, TestSpark.Sf0001))
     twins.foreach { case (view, df) =>
       val sql = canon(spark.sql(s"SELECT * FROM $view"))
       val api = canon(df)
