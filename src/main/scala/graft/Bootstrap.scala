@@ -365,6 +365,21 @@ object Bootstrap {
     // `WHERE ok = 0` the truncated-download quarantine
     operators.Sitemap.q146SitemapParse(spark, dir)
       .createOrReplaceTempView("vw_sitemaps")
+    // the table-extraction manifest (q147): `sum(n_rows)` is the
+    // SQL-only structured-data yield read; `WHERE n_tables = 0` the
+    // prose-only slice q93 already owns
+    operators.HtmlTables.q147HtmlTables(spark, dir)
+      .createOrReplaceTempView("vw_html_tables")
+    // the paragraph-dedup manifest (q148): `sum(n_dup) / sum(n_paras)`
+    // is the SQL-only boilerplate-fraction read; `WHERE n_dup =
+    // n_paras` the all-boilerplate page quarantine
+    operators.Dedup.q148ParaDedup(spark, dir)
+      .createOrReplaceTempView("vw_para_dedup")
+    // the OGG metadata manifest (q149): `sum(duration_ms)` per codec
+    // is the SQL-only speech-hours read; `WHERE is_ogg = 1 AND codec
+    // IS NULL` the truncated-download quarantine
+    operators.Multimodal.q149OggMeta(spark, dir)
+      .createOrReplaceTempView("vw_ogg_meta")
   }
 
   /** Register the landing table + curated views over it — the TRANSFORM

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ingest.Envelope
 import graft.sources.{Csv, Docx, Epub, JsonLines, Mime, Pdf, Tar, Warc, Zip}
-import graft.operators.{Bibtex, Classifier, Crawl, Dedup, Feeds, Latex, Markdown, Mojibake, Multimodal, Pipeline, Relational, Retrieval, Scale, Similarity, Sitemap, SqlSurface, Subtitles, Text}
+import graft.operators.{Bibtex, Classifier, Crawl, Dedup, Feeds, HtmlTables, Latex, Markdown, Mojibake, Multimodal, Pipeline, Relational, Retrieval, Scale, Similarity, Sitemap, SqlSurface, Subtitles, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -168,6 +168,9 @@ object SparkEntry {
     "q144_latex_extract" -> (Latex.q144LatexExtract _),
     "q145_bibtex_parse" -> (Bibtex.q145BibtexParse _),
     "q146_sitemap_parse" -> (Sitemap.q146SitemapParse _),
+    "q147_html_tables" -> (HtmlTables.q147HtmlTables _),
+    "q148_para_dedup" -> (Dedup.q148ParaDedup _),
+    "q149_ogg_meta" -> (Multimodal.q149OggMeta _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1883,6 +1886,88 @@ object SparkEntry {
         "WHEN m = 1 THEN host || '/sitemap0.xml' " +
         "WHEN m = 2 THEN host || '/a?x=1&y=2' ELSE NULL END AS first_loc " +
         "FROM e"),
+    // q147: every expected cell re-synthesizes from corpus words alone
+    // (the class-2 arm spells the entity decode and colspan width as
+    // decoded constants) — so an implicit-close, attribute-quote,
+    // entity, or width-accounting slip cannot cancel
+    "q147_html_tables" ->
+      ("WITH w AS (SELECT doc_id, list_filter(" +
+        "string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), " +
+        "x -> x <> '') AS ws FROM documents), " +
+        "c AS (SELECT doc_id, CASE " +
+        "WHEN doc_id % 5 = 4 THEN NULL " +
+        "WHEN doc_id % 5 = 2 THEN ws[1] || ' & ' || ws[2] || chr(10) || " +
+        "ws[3] || chr(9) || ws[4] " +
+        "ELSE ws[1] || chr(9) || ws[2] || chr(10) || ws[3] || chr(9) || " +
+        "ws[4] || chr(10) || ws[5] || chr(9) || ws[6] END AS cells FROM w) " +
+        "SELECT doc_id, " +
+        "CAST(CASE WHEN doc_id % 5 = 4 THEN 0 WHEN doc_id % 5 = 3 THEN 2 " +
+        "ELSE 1 END AS INTEGER) AS n_tables, " +
+        "CAST(CASE WHEN doc_id % 5 = 4 THEN 0 WHEN doc_id % 5 = 3 THEN 4 " +
+        "WHEN doc_id % 5 = 2 THEN 2 ELSE 3 END AS INTEGER) AS n_rows, " +
+        "CAST(CASE WHEN doc_id % 5 = 4 THEN NULL WHEN doc_id % 5 = 2 THEN 2 " +
+        "ELSE 3 END AS INTEGER) AS first_rows, " +
+        "CAST(CASE WHEN doc_id % 5 = 4 THEN NULL ELSE 2 END AS INTEGER) " +
+        "AS first_cols, " +
+        "md5(cells) AS cells_md5 FROM c"),
+    // q148: the oracle replays first-occurrence-wins through a window
+    // (PARTITION BY para ORDER BY doc_id, idx) — a DIFFERENT plan
+    // shape than the engine's skew-safe min-struct aggregate, so the
+    // two must agree on every doc's counts and kept-text digest
+    "q148_para_dedup" ->
+      ("WITH w AS (SELECT doc_id, list_filter(" +
+        "string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), " +
+        "x -> x <> '') AS ws FROM documents), " +
+        "ch AS (SELECT doc_id, list_transform(" +
+        "range(CAST(ceil(len(ws) / 8.0) AS INTEGER)), " +
+        "i -> array_to_string(list_slice(ws, i*8 + 1, i*8 + 8), ' ')) " +
+        "AS chunks FROM w), " +
+        "pa AS (SELECT doc_id, list_concat(list_concat(list_concat(" +
+        "CASE WHEN doc_id % 7 IN (0, 3) THEN " +
+        "['all rights reserved contact the publisher for permissions'] " +
+        "ELSE []::VARCHAR[] END, " +
+        "CASE WHEN doc_id % 7 IN (1, 3) THEN " +
+        "['distributed under a creative commons attribution license'] " +
+        "ELSE []::VARCHAR[] END), chunks), " +
+        "CASE WHEN doc_id % 7 = 4 THEN [chunks[1]] ELSE []::VARCHAR[] END) " +
+        "AS paras FROM ch), " +
+        "x AS (SELECT doc_id, u['i'] AS idx, u['p'] AS para FROM " +
+        "(SELECT doc_id, unnest(list_transform(range(len(paras)), " +
+        "i -> {'i': i, 'p': paras[i+1]})) AS u FROM pa)), " +
+        "r AS (SELECT doc_id, idx, para, row_number() OVER " +
+        "(PARTITION BY para ORDER BY doc_id, idx) AS rn FROM x) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras, " +
+        "CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup, " +
+        "md5(coalesce(string_agg(para, chr(10) ORDER BY idx) " +
+        "FILTER (WHERE rn = 1), '')) AS kept_md5 " +
+        "FROM r GROUP BY doc_id"),
+    // q149: every field replays from doc_id arithmetic alone — the
+    // 2^32-crossing granule, the lacing-terminated packet counts, and
+    // the codec-clock duration split (Vorbis own rate, Opus 48 kHz)
+    // pin the u64 read, the 255-terminator rule, and the clock choice
+    "q149_ogg_meta" ->
+      ("WITH p AS (SELECT doc_id, doc_id % 5 AS m, " +
+        "CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 22050 " +
+        "WHEN 2 THEN 44100 ELSE 48000 END AS rate, " +
+        "CAST(1 + doc_id % 2 AS INTEGER) AS ch, " +
+        "4294967296 + (doc_id % 1000) * 960 AS g FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(m IN (0, 1, 2, 3) AS INTEGER) AS is_ogg, " +
+        "CASE WHEN m IN (0, 2) THEN 'vorbis' WHEN m = 1 THEN 'opus' " +
+        "ELSE NULL END AS codec, " +
+        "CAST(CASE WHEN m IN (0, 1, 2) THEN 2 ELSE NULL END AS INTEGER) " +
+        "AS n_pages, " +
+        "CAST(CASE WHEN m IN (0, 1) THEN 2 WHEN m = 2 THEN 3 " +
+        "ELSE NULL END AS INTEGER) AS n_packets, " +
+        "CAST(CASE WHEN m IN (0, 1, 2) THEN ch ELSE NULL END AS INTEGER) " +
+        "AS channels, " +
+        "CAST(CASE WHEN m IN (0, 1, 2) THEN rate ELSE NULL END AS INTEGER) " +
+        "AS sample_rate, " +
+        "CAST(CASE WHEN m IN (0, 1, 2) THEN g ELSE NULL END AS BIGINT) " +
+        "AS granule, " +
+        "CAST(CASE WHEN m IN (0, 2) THEN g * 1000 // rate " +
+        "WHEN m = 1 THEN g * 1000 // 48000 ELSE NULL END AS BIGINT) " +
+        "AS duration_ms FROM p"),
     // q133: the oracle re-synthesizes the expected text from corpus
     // words alone (8-word paragraphs, the entity drill and field-code
     // paragraph as decoded constants, the br class's split paragraph 0)

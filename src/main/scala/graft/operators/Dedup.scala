@@ -701,4 +701,64 @@ object Dedup {
         (col("exact_src").isNull && col("near_src").isNull).cast("int").as("keep"),
         col("exact_src"), col("near_src"))
   }
+
+  /** Q148: paragraph-level exact dedup — the sub-document granularity
+    * document dedup (q21/q30) cannot see: boilerplate ("all rights
+    * reserved…", license footers) repeats across MILLIONS of otherwise-
+    * unique pages, and training-data pipelines drop the REPEATED
+    * paragraph while keeping each page's unique prose (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better" — the
+    * exact-substring motivation at paragraph granularity).
+    *
+    * First occurrence wins, ordered by (doc_id, idx) — deterministic
+    * and replayable in SQL. The plan is the SKEW-SAFE spelling: a
+    * `groupBy(para).agg(min(struct(doc_id, idx)))` whose map-side
+    * partial aggregation crushes a boilerplate key's billions of
+    * copies to one row per input partition BEFORE the exchange — a
+    * window over `partitionBy(para)` would ship the whole hot group
+    * to one task and straggle at 100 TB. Per-doc counts then come
+    * from the winner set alone (n_dup = n_paras - n_kept), never
+    * from a per-row keep join back to the exploded frame.
+    *
+    * Paragraphs: 8-word chunks of the doc's text (q133's pagination
+    * arithmetic), plus injected boilerplate — %7 residues 0/3 carry
+    * the rights notice, 1/3 the license line (3 carries BOTH), and
+    * residue 4 repeats its own first chunk at the tail (the
+    * WITHIN-doc dup: later index loses to earlier).
+    */
+  def q148ParaDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val b1 = "all rights reserved contact the publisher for permissions"
+    val b2 = "distributed under a creative commons attribution license"
+    val none = typedLit(Seq.empty[String])
+    val ws = words(col("text"))
+    val nChunks = ceil(size(ws).cast("double") / 8.0).cast("int")
+    val chunks = transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(ws, i * 8 + 1, lit(8)), " "))
+    val withParas = docs
+      .select(id, concat(
+        when(id % 7 === 0 || id % 7 === 3, array(lit(b1))).otherwise(none),
+        when(id % 7 === 1 || id % 7 === 3, array(lit(b2))).otherwise(none),
+        chunks,
+        when(id % 7 === 4, array(element_at(chunks, 1))).otherwise(none))
+        .as("paras"))
+    val exploded = withParas.select(id, posexplode(col("paras")).as(Seq("idx", "para")))
+    val winners = exploded
+      .groupBy("para")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
+    val keptPerDoc = winners
+      .select(col("w.doc_id").as("doc_id"), col("w.idx").as("idx"), col("para"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("idx"), col("para")))),
+            s => s.getField("para")), "\n").cast("binary")).as("kept_md5"))
+    withParas.select(id, size(col("paras")).cast("long").as("n_paras"))
+      .join(keptPerDoc, Seq("doc_id"), "left")
+      .select(id,
+        col("n_paras"),
+        (col("n_paras") - coalesce(col("n_kept"), lit(0L))).as("n_dup"),
+        coalesce(col("kept_md5"), md5(lit("").cast("binary"))).as("kept_md5"))
+  }
 }

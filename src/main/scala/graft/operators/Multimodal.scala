@@ -1585,4 +1585,41 @@ object Multimodal {
         FlacOps.flacDurationMs(col("_p")).as("duration_ms"),
         FlacOps.flacTitle(col("_p")).as("title"))
   }
+
+  /** Q149: OGG container metadata — the fourth audio-triage rung
+    * (q56/q62 WAV, q130 MP3, q139 FLAC): lacing-aware packet counts
+    * (a 255-byte packet needs its 0 terminator), 64-bit granules
+    * (the synthesizer crosses 2^32 on purpose), and the codec-clock
+    * duration split — Vorbis ticks in its own rate, Opus ALWAYS in
+    * 48 kHz ([[graft.functions.OggEval]]).
+    *
+    * Residue classes (%5): 0 → Vorbis two-pager; 1 → Opus (duration
+    * must use the 48 kHz clock, not the reported input rate);
+    * 2 → the 255-lacing drill (a lacing-entry counter reads 3 where
+    * the truth is 2 data packets); 3 → truncated mid-page (magic
+    * verdict survives, fields refuse); 4 → plain text (not OGG).
+    * Oracle replays every field from doc_id arithmetic alone.
+    * One narrow map, zero exchanges.
+    */
+  def q149OggMeta(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.OggOps
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val mode = when(id % 5 === 1, 1L).when(id % 5 === 2, 2L)
+      .when(id % 5 === 3, 3L).otherwise(0L)
+    val params = id + mode * lit(1L << 40)
+    val whole = OggOps.oggSynth(params)
+    val payload = when(id % 5 === 4, col("text").cast("binary")).otherwise(whole)
+    docs.select(id, payload.as("_p"))
+      .select(id,
+        expr("substring(_p, 1, 4) = cast('OggS' as binary)")
+          .cast("int").as("is_ogg"),
+        OggOps.oggCodec(col("_p")).as("codec"),
+        OggOps.oggPages(col("_p")).as("n_pages"),
+        OggOps.oggPackets(col("_p")).as("n_packets"),
+        OggOps.oggChannels(col("_p")).as("channels"),
+        OggOps.oggRate(col("_p")).as("sample_rate"),
+        OggOps.oggGranule(col("_p")).as("granule"),
+        OggOps.oggDurationMs(col("_p")).as("duration_ms"))
+  }
 }

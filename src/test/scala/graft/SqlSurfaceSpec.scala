@@ -109,7 +109,13 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "vw_bibtex" ->
         graft.operators.Bibtex.q145BibtexParse(spark, TestSpark.Sf0001),
       "vw_sitemaps" ->
-        graft.operators.Sitemap.q146SitemapParse(spark, TestSpark.Sf0001))
+        graft.operators.Sitemap.q146SitemapParse(spark, TestSpark.Sf0001),
+      "vw_html_tables" ->
+        graft.operators.HtmlTables.q147HtmlTables(spark, TestSpark.Sf0001),
+      "vw_para_dedup" ->
+        graft.operators.Dedup.q148ParaDedup(spark, TestSpark.Sf0001),
+      "vw_ogg_meta" ->
+        graft.operators.Multimodal.q149OggMeta(spark, TestSpark.Sf0001))
     twins.foreach { case (view, df) =>
       val sql = canon(spark.sql(s"SELECT * FROM $view"))
       val api = canon(df)
