@@ -380,6 +380,21 @@ object Bootstrap {
     // IS NULL` the truncated-download quarantine
     operators.Multimodal.q149OggMeta(spark, dir)
       .createOrReplaceTempView("vw_ogg_meta")
+    // the perplexity manifest (q150): `WHERE mean_surprisal > k` is
+    // the SQL-only CCNet-style high-perplexity drop; `sum(n_bi +
+    // n_uni) / sum(n_scored)` the backoff-rate model-health read
+    operators.Text.q150TrigramBackoff(spark, dir)
+      .createOrReplaceTempView("vw_lm_surprisal")
+    // the anchor-text manifest (q151): `ORDER BY n_links DESC` is the
+    // SQL-only hub read; `WHERE n_anchors = 1` the single-spelling
+    // targets whose anchor IS the page's name
+    operators.Crawl.q151AnchorText(spark, dir)
+      .createOrReplaceTempView("vw_anchor_text")
+    // the AVI metadata manifest (q152): `sum(duration_ms)` is the
+    // SQL-only footage-hours read; `WHERE is_avi = 1 AND width IS
+    // NULL` the truncated-download quarantine
+    operators.Multimodal.q152AviMeta(spark, dir)
+      .createOrReplaceTempView("vw_avi_meta")
   }
 
   /** Register the landing table + curated views over it — the TRANSFORM

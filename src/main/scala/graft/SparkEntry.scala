@@ -171,6 +171,9 @@ object SparkEntry {
     "q147_html_tables" -> (HtmlTables.q147HtmlTables _),
     "q148_para_dedup" -> (Dedup.q148ParaDedup _),
     "q149_ogg_meta" -> (Multimodal.q149OggMeta _),
+    "q150_trigram_backoff" -> (Text.q150TrigramBackoff _),
+    "q151_anchor_text" -> (Crawl.q151AnchorText _),
+    "q152_avi_meta" -> (Multimodal.q152AviMeta _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -1968,6 +1971,113 @@ object SparkEntry {
         "CAST(CASE WHEN m IN (0, 2) THEN g * 1000 // rate " +
         "WHEN m = 1 THEN g * 1000 // 48000 ELSE NULL END AS BIGINT) " +
         "AS duration_ms FROM p"),
+    // q150: the oracle rebuilds the stupid-backoff ladder end to end —
+    // train-half model tables, LEFT-join path choice, per-path counts,
+    // and q81's exact-half micro-unit mean — so a split, context-count,
+    // alpha, or backoff-order slip cannot cancel
+    "q150_trigram_backoff" ->
+      ("WITH t AS (SELECT doc_id, list_filter(" +
+        "string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '') AS ws " +
+        "FROM documents), " +
+        "tr AS (SELECT * FROM t WHERE doc_id % 2 = 0), " +
+        "uni AS (SELECT tok AS w3, count(*) AS cu FROM " +
+        "(SELECT unnest(ws) AS tok FROM tr) GROUP BY tok), " +
+        "n AS (SELECT sum(cu) AS n_total FROM uni), " +
+        "bg AS (SELECT ws[i] AS w2, ws[i + 1] AS w3 FROM " +
+        "(SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i " +
+        "FROM tr WHERE len(ws) >= 2)), " +
+        "bi AS (SELECT w2, w3, count(*) AS c2 FROM bg GROUP BY w2, w3), " +
+        "k2 AS (SELECT w2, count(*) AS k2 FROM bg GROUP BY w2), " +
+        "tg AS (SELECT ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3 FROM " +
+        "(SELECT ws, unnest(generate_series(1, len(ws) - 2)) AS i " +
+        "FROM tr WHERE len(ws) >= 3)), " +
+        "tri AS (SELECT w1, w2, w3, count(*) AS c3 FROM tg " +
+        "GROUP BY w1, w2, w3), " +
+        "k3 AS (SELECT w1, w2, count(*) AS k3 FROM tg GROUP BY w1, w2), " +
+        "st AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3 " +
+        "FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) " +
+        "AS i FROM t WHERE len(ws) >= 3)), " +
+        "sc AS (SELECT s.doc_id, " +
+        "CASE WHEN tri.c3 IS NOT NULL THEN 'tri' " +
+        "WHEN bi.c2 IS NOT NULL THEN 'bi' " +
+        "WHEN uni.cu IS NOT NULL THEN 'uni' ELSE 'oov' END AS path, " +
+        "CAST(round(-ln(CASE " +
+        "WHEN tri.c3 IS NOT NULL THEN CAST(tri.c3 AS DOUBLE) / k3.k3 " +
+        "WHEN bi.c2 IS NOT NULL THEN 0.4 * CAST(bi.c2 AS DOUBLE) / k2.k2 " +
+        "WHEN uni.cu IS NOT NULL THEN 0.16 * CAST(uni.cu AS DOUBLE) / " +
+        "n.n_total END), 6) AS DECIMAL(18,6)) AS s " +
+        "FROM st s " +
+        "LEFT JOIN tri ON tri.w1 = s.w1 AND tri.w2 = s.w2 AND tri.w3 = s.w3 " +
+        "LEFT JOIN k3 ON k3.w1 = s.w1 AND k3.w2 = s.w2 " +
+        "LEFT JOIN bi ON bi.w2 = s.w2 AND bi.w3 = s.w3 " +
+        "LEFT JOIN k2 ON k2.w2 = s.w2 " +
+        "LEFT JOIN uni ON uni.w3 = s.w3, n), " +
+        "agg AS (SELECT doc_id, " +
+        "sum(CASE WHEN path = 'tri' THEN 1 ELSE 0 END) AS n_tri, " +
+        "sum(CASE WHEN path = 'bi' THEN 1 ELSE 0 END) AS n_bi, " +
+        "sum(CASE WHEN path = 'uni' THEN 1 ELSE 0 END) AS n_uni, " +
+        "sum(CASE WHEN path = 'oov' THEN 1 ELSE 0 END) AS n_oov, " +
+        "count(*) FILTER (WHERE path <> 'oov') AS n_scored, " +
+        "sum(s) FILTER (WHERE path <> 'oov') AS sum_s " +
+        "FROM sc GROUP BY doc_id) " +
+        "SELECT t.doc_id, " +
+        "CAST(coalesce(len(t.ws), 0) AS BIGINT) AS n_tokens, " +
+        "CAST(coalesce(a.n_scored, 0) AS BIGINT) AS n_scored, " +
+        "CAST(coalesce(a.n_tri, 0) AS BIGINT) AS n_tri, " +
+        "CAST(coalesce(a.n_bi, 0) AS BIGINT) AS n_bi, " +
+        "CAST(coalesce(a.n_uni, 0) AS BIGINT) AS n_uni, " +
+        "CAST(coalesce(a.n_oov, 0) AS BIGINT) AS n_oov, " +
+        "CASE WHEN a.n_scored > 0 THEN " +
+        "CAST((2 * CAST(a.sum_s * 1000000 AS BIGINT) + a.n_scored) " +
+        "// (2 * a.n_scored) AS DOUBLE) / 1e6 END AS mean_surprisal " +
+        "FROM t LEFT JOIN agg a USING (doc_id)"),
+    // q151: the oracle aggregates through a DIFFERENT plan shape (a
+    // window row_number over the per-target anchor counts) than the
+    // engine's skew-safe min-struct — counts, distincts, majority
+    // anchor, and the count-then-lexicographic tie-break must agree
+    "q151_anchor_text" ->
+      ("WITH w AS (SELECT doc_id, list_filter(" +
+        "string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), " +
+        "x -> x <> '') AS ws FROM documents), " +
+        "pr AS (SELECT 'https://hub.example.com/home' AS url, " +
+        "ws[1] AS anchor FROM w " +
+        "UNION ALL SELECT 'https://site' || ((doc_id + 1) % 40) || " +
+        "'.example.com/x/' || (doc_id % 6), ws[2] || ' ' || ws[3] FROM w " +
+        "UNION ALL SELECT 'https://site' || (doc_id % 40) || " +
+        "'.example.com/r/' || (doc_id % 10), ws[4] FROM w), " +
+        "pc AS (SELECT url, anchor, count(*) AS cnt FROM pr " +
+        "GROUP BY url, anchor), " +
+        "r AS (SELECT url, anchor, cnt, " +
+        "row_number() OVER (PARTITION BY url ORDER BY cnt DESC, anchor) " +
+        "AS rn, sum(cnt) OVER (PARTITION BY url) AS n_links, " +
+        "count(*) OVER (PARTITION BY url) AS n_anchors FROM pc) " +
+        "SELECT url, CAST(n_links AS BIGINT) AS n_links, " +
+        "CAST(n_anchors AS BIGINT) AS n_anchors, " +
+        "anchor AS top_anchor, CAST(cnt AS BIGINT) AS top_count " +
+        "FROM r WHERE rn = 1"),
+    // q152: every field replays from doc_id arithmetic alone — the
+    // u32-crossing duration product, the per-class stream counts, and
+    // the truncation/not-RIFF refusals pin the tree walk's outputs
+    "q152_avi_meta" ->
+      ("WITH p AS (SELECT doc_id, doc_id % 5 AS m, " +
+        "CAST(160 + (doc_id % 4) * 80 AS INTEGER) AS w, " +
+        "CAST(120 + (doc_id % 3) * 60 AS INTEGER) AS h, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 33333 ELSE 40000 END AS uspf, " +
+        "200000 + doc_id % 1000 AS frames FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(m IN (0, 1, 2, 3) AS INTEGER) AS is_avi, " +
+        "CAST(CASE WHEN m IN (0, 1, 2) THEN w ELSE NULL END AS INTEGER) " +
+        "AS width, " +
+        "CAST(CASE WHEN m IN (0, 1, 2) THEN h ELSE NULL END AS INTEGER) " +
+        "AS height, " +
+        "CAST(CASE WHEN m IN (0, 1, 2) THEN 1 ELSE NULL END AS INTEGER) " +
+        "AS n_vids, " +
+        "CAST(CASE WHEN m = 1 THEN 1 WHEN m IN (0, 2) THEN 0 " +
+        "ELSE NULL END AS INTEGER) AS n_auds, " +
+        "CAST(CASE WHEN m IN (0, 1, 2) THEN frames ELSE NULL END AS BIGINT) " +
+        "AS total_frames, " +
+        "CAST(CASE WHEN m IN (0, 1, 2) THEN frames * uspf // 1000 " +
+        "ELSE NULL END AS BIGINT) AS duration_ms FROM p"),
     // q133: the oracle re-synthesizes the expected text from corpus
     // words alone (8-word paragraphs, the entity drill and field-code
     // paragraph as decoded constants, the br class's split paragraph 0)

@@ -1413,4 +1413,57 @@ object Crawl {
         when(col("allowed") === 1, (col("_seq") * delay).cast("bigint"))
           .as("sched_sec"))
   }
+
+  /** Q151: anchor-text aggregation — the per-TARGET view of the link
+    * graph (q94 asks "where to go next", q96 ranks hosts; this one
+    * reads what the web CALLS a page — the anchor-text signal search
+    * and query-document training both feed on). Per target URL: total
+    * in-links, distinct anchor spellings, and the majority anchor
+    * with a DETERMINISTIC tie-break (highest count, then smallest
+    * text).
+    *
+    * Every page contributes three links with corpus-word anchors; one
+    * target is a corpus-wide HUB every page links to — the hot key
+    * that makes the plan shape matter. The majority anchor is
+    * `min(struct(-cnt, anchor))` over the (url, anchor) counts: both
+    * aggregations keep map-side partial aggregation, so the hub's
+    * in-degree collapses per input partition BEFORE any exchange — a
+    * `row_number() OVER (PARTITION BY url)` spelling would ship every
+    * hub row to one task (q148's skew lesson).
+    *
+    * Reference scope: scholar-stream ranks work by citation counts
+    * (reference sql/04_views_curated.sql top-cited view) — anchor
+    * aggregation is the open-web spelling of the same inbound-signal
+    * read.
+    */
+  def q151AnchorText(spark: SparkSession, dir: String): DataFrame =
+    anchorTextOn(Tables.load(spark, dir, "documents"))
+
+  /** The q151 computation over any (doc_id, text) frame. */
+  def anchorTextOn(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val w = graft.functions.TextOps.words(col("text"))
+    val pairs = docs
+      .select(id, w.as("ws"))
+      .select(explode(array(
+        struct(lit("https://hub.example.com/home").as("url"),
+          get(col("ws"), lit(0)).as("anchor")),
+        struct(concat(lit("https://site"), ((id + 1) % 40).cast("string"),
+          lit(".example.com/x/"), (id % 6).cast("string")).as("url"),
+          concat_ws(" ", get(col("ws"), lit(1)), get(col("ws"), lit(2)))
+            .as("anchor")),
+        struct(concat(lit("https://site"), (id % 40).cast("string"),
+          lit(".example.com/r/"), (id % 10).cast("string")).as("url"),
+          get(col("ws"), lit(3)).as("anchor")))).as("l"))
+      .select(col("l.url").as("url"), col("l.anchor").as("anchor"))
+    val pc = pairs.groupBy("url", "anchor").agg(count(lit(1)).as("cnt"))
+    pc.groupBy("url")
+      .agg(sum("cnt").as("n_links"),
+        count(lit(1)).as("n_anchors"),
+        min(struct((-col("cnt")).as("negc"), col("anchor").as("anchor")))
+          .as("w"))
+      .select(col("url"), col("n_links"), col("n_anchors"),
+        col("w.anchor").as("top_anchor"),
+        (-col("w.negc")).as("top_count"))
+  }
 }

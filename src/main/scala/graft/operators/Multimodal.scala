@@ -1622,4 +1622,43 @@ object Multimodal {
         OggOps.oggGranule(col("_p")).as("granule"),
         OggOps.oggDurationMs(col("_p")).as("duration_ms"))
   }
+
+  /** Q152: AVI (RIFF) video metadata — the third video-triage rung
+    * (q90 MP4, q102's Y4M): the RIFF TREE walk that recurses into
+    * `hdrl`/`strl` but never into `movi` (whose bytes plant a decoy
+    * `avih` a flat scanner would read), WORD-aligns odd chunks, and
+    * computes duration in Long arithmetic past the u32 line
+    * ([[graft.functions.AviEval]]).
+    *
+    * Residue classes (%5): 0 → video-only AVI; 1 → +audio stream
+    * (strh counts cross-check the header's stream count); 2 → an
+    * ODD-sized JUNK chunk (the pad-byte drill); 3 → truncated
+    * mid-chunk (magic verdict survives, fields refuse); 4 → plain
+    * text (not RIFF). Oracle replays every field from doc_id
+    * arithmetic alone. One narrow map, zero exchanges.
+    */
+  def q152AviMeta(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.AviOps
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val mode = when(id % 5 === 1, 1L).when(id % 5 === 2, 2L)
+      .when(id % 5 === 3, 3L).otherwise(0L)
+    val params = id + mode * lit(1L << 40)
+    val whole = AviOps.aviSynth(params)
+    val payload = when(id % 5 === 4, col("text").cast("binary")).otherwise(whole)
+    docs.select(id, payload.as("_p"))
+      .select(id,
+        expr("substring(_p, 1, 4) = cast('RIFF' as binary)")
+          .cast("int").as("is_avi"),
+        AviOps.aviDims(col("_p")).as("_d"),
+        AviOps.aviStreams(col("_p")).as("_s"),
+        AviOps.aviFrames(col("_p")).as("total_frames"),
+        AviOps.aviDurationMs(col("_p")).as("duration_ms"))
+      .select(id, col("is_avi"),
+        shiftright(col("_d"), 32).cast("int").as("width"),
+        col("_d").bitwiseAND(lit(0xFFFFFFFFL)).cast("int").as("height"),
+        shiftright(col("_s"), 16).cast("int").as("n_vids"),
+        col("_s").bitwiseAND(lit(0xFFFFL)).cast("int").as("n_auds"),
+        col("total_frames"), col("duration_ms"))
+  }
 }

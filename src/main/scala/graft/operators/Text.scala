@@ -841,6 +841,101 @@ object Text {
           .as("mean_surprisal"))
   }
 
+  /** Q150: trigram stupid-backoff surprisal — the LM-quality ladder's
+    * top rung (q64 unigram, q81 interpolated bigram): Brants et al.
+    * 2007 ("Large Language Models in Machine Translation") showed
+    * web-scale n-gram filtering runs on STUPID BACKOFF, not smoothed
+    * interpolation — score the trigram if TRAINING saw it, else back
+    * off to the bigram at a fixed alpha, else the unigram at alpha^2:
+    *
+    *   p(w3|w1 w2) = c3/k3            when c3 > 0
+    *               | a  * c2/k2       when c2 > 0
+    *               | a^2 * cu/N       when cu > 0       (a = 0.4)
+    *
+    * with k3/k2 the CONTEXT counts (trigram/bigram-prefix totals —
+    * q81's proper-denominator discipline). Unlike q64/q81, the model
+    * TRAINS on the even-doc_id HALF and scores every document — the
+    * held-out half hits unseen trigrams, so the backoff ladder
+    * actually fires (a model trained on what it scores never backs
+    * off, which would leave the alpha path dead); an OOV token (no
+    * unigram in training) is COUNTED, never smoothed into a guess.
+    * Per-path counts are reported — the mixture is the model-health
+    * read a perplexity-filter rollout watches.
+    */
+  def q150TrigramBackoff(spark: SparkSession, dir: String): DataFrame =
+    trigramBackoffOn(Tables.load(spark, dir, "documents"))
+
+  /** The q150 computation over any (doc_id, text) frame. Model joins
+    * broadcast (vocabulary-sized — the q81 VocabMeet discipline
+    * applies unchanged when the model outgrows the driver).
+    */
+  def trigramBackoffOn(docs: DataFrame, alpha: Double = 0.4): DataFrame = {
+    val base = docs.select(col("doc_id"), words(col("text")).as("ws"))
+    val train = base.filter(col("doc_id") % 2 === 0)
+    val nt = base.select(col("doc_id"),
+      coalesce(size(col("ws")), lit(0)).cast("long").as("n_tokens"))
+    val uni = train.select(explode(col("ws")).as("w3"))
+      .groupBy("w3").agg(count(lit(1)).as("cu"))
+      .withColumn("n_total", sum("cu").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+    val bg = train.filter(size(col("ws")) >= 2)
+      .select(explode(expr("transform(sequence(0, size(ws)-2), " +
+        "i -> struct(ws[i] AS w2, ws[i+1] AS w3))")).as("p"))
+      .select(col("p.w2").as("w2"), col("p.w3").as("w3"))
+    val bi = bg.groupBy("w2", "w3").agg(count(lit(1)).as("c2"))
+    val ctx2 = bg.groupBy("w2").agg(count(lit(1)).as("k2"))
+    def tgrams(df: DataFrame, withId: Boolean): DataFrame = {
+      val cols = (if (withId) Seq(col("doc_id")) else Nil) ++ Seq(
+        col("p.w1").as("w1"), col("p.w2").as("w2"), col("p.w3").as("w3"))
+      df.filter(size(col("ws")) >= 3)
+        .select((if (withId) Seq(col("doc_id")) else Seq.empty) :+
+          explode(expr("transform(sequence(0, size(ws)-3), " +
+            "i -> struct(ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3))")).as("p"): _*)
+        .select(cols: _*)
+    }
+    val tg = tgrams(train, withId = false)
+    val tri = tg.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+    val ctx3 = tg.groupBy("w1", "w2").agg(count(lit(1)).as("k3"))
+    val stream = tgrams(base, withId = true)
+    val joined = stream
+      .join(broadcast(tri), Seq("w1", "w2", "w3"), "left")
+      .join(broadcast(ctx3), Seq("w1", "w2"), "left")
+      .join(broadcast(bi), Seq("w2", "w3"), "left")
+      .join(broadcast(ctx2), Seq("w2"), "left")
+      .join(broadcast(uni), Seq("w3"), "left")
+    val prob = when(col("c3").isNotNull, col("c3").cast("double") / col("k3"))
+      .when(col("c2").isNotNull,
+        lit(alpha) * col("c2").cast("double") / col("k2"))
+      .when(col("cu").isNotNull,
+        lit(alpha * alpha) * col("cu").cast("double") / col("n_total"))
+    val path = when(col("c3").isNotNull, lit("tri"))
+      .when(col("c2").isNotNull, lit("bi"))
+      .when(col("cu").isNotNull, lit("uni"))
+      .otherwise(lit("oov"))
+    val scored = joined.select(col("doc_id"), path.as("path"),
+      round(-log(prob), 6).cast("decimal(18,6)").as("s"))
+    val agg = scored.groupBy("doc_id").agg(
+      sum((col("path") === "tri").cast("long")).as("n_tri"),
+      sum((col("path") === "bi").cast("long")).as("n_bi"),
+      sum((col("path") === "uni").cast("long")).as("n_uni"),
+      sum((col("path") === "oov").cast("long")).as("n_oov"),
+      count(when(col("path") =!= "oov", 1)).as("n_scored"),
+      sum(when(col("path") =!= "oov", col("s"))).as("sum_s"))
+    nt.join(agg, Seq("doc_id"), "left")
+      .withColumn("_sm", (col("sum_s") * lit(1000000)).cast("long"))
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        coalesce(col("n_bi"), lit(0L)).as("n_bi"),
+        coalesce(col("n_uni"), lit(0L)).as("n_uni"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        // q64/q81's exact-half discipline: half-up integer mean on
+        // exact micro-units, never round(double/n, 6)
+        when(col("n_scored") > 0,
+          expr("CAST((2 * _sm + n_scored) DIV (2 * n_scored) AS DOUBLE) / 1e6"))
+          .as("mean_surprisal"))
+  }
+
   /** The ten most frequent English stopwords — the q65 rule's fixed
     * vocabulary, shared verbatim with the oracle SQL.
     */

@@ -115,7 +115,13 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "vw_para_dedup" ->
         graft.operators.Dedup.q148ParaDedup(spark, TestSpark.Sf0001),
       "vw_ogg_meta" ->
-        graft.operators.Multimodal.q149OggMeta(spark, TestSpark.Sf0001))
+        graft.operators.Multimodal.q149OggMeta(spark, TestSpark.Sf0001),
+      "vw_lm_surprisal" ->
+        graft.operators.Text.q150TrigramBackoff(spark, TestSpark.Sf0001),
+      "vw_anchor_text" ->
+        graft.operators.Crawl.q151AnchorText(spark, TestSpark.Sf0001),
+      "vw_avi_meta" ->
+        graft.operators.Multimodal.q152AviMeta(spark, TestSpark.Sf0001))
     twins.foreach { case (view, df) =>
       val sql = canon(spark.sql(s"SELECT * FROM $view"))
       val api = canon(df)
