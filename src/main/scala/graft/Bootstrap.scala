@@ -395,6 +395,16 @@ object Bootstrap {
     // NULL` the truncated-download quarantine
     operators.Multimodal.q152AviMeta(spark, dir)
       .createOrReplaceTempView("vw_avi_meta")
+    // the schema-drift manifest (q153): `WHERE n_obs > n_string AND
+    // n_string > 0 AND major_type = 'string'`-style reads are the
+    // SQL-only drift alarms; the `$invalid` row the quarantine count
+    operators.Relational.q153JsonShape(spark, dir)
+      .createOrReplaceTempView("vw_json_shape")
+    // the page-verdict manifest (q154): `WHERE noindex = 1` is the
+    // SQL-only corpus-exit read; `GROUP BY canonical_url HAVING
+    // count(*) > 1` the declared-duplicate clusters q101 cannot see
+    operators.Crawl.q154PageVerdict(spark, dir)
+      .createOrReplaceTempView("vw_page_verdict")
   }
 
   /** Register the landing table + curated views over it — the TRANSFORM

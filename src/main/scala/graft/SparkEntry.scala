@@ -174,6 +174,8 @@ object SparkEntry {
     "q150_trigram_backoff" -> (Text.q150TrigramBackoff _),
     "q151_anchor_text" -> (Crawl.q151AnchorText _),
     "q152_avi_meta" -> (Multimodal.q152AviMeta _),
+    "q153_json_shape" -> (Relational.q153JsonShape _),
+    "q154_page_verdict" -> (Crawl.q154PageVerdict _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -2078,6 +2080,61 @@ object SparkEntry {
         "AS total_frames, " +
         "CAST(CASE WHEN m IN (0, 1, 2) THEN frames * uspf // 1000 " +
         "ELSE NULL END AS BIGINT) AS duration_ms FROM p"),
+    // q153: the oracle HAND-SPELLS all ten paths' type histograms from
+    // residue-class counts alone (never parsing a JSON byte), majority
+    // ties included — so a parser, path-spelling, set-dedup, or
+    // tie-break slip cannot cancel
+    "q153_json_shape" ->
+      ("WITH c AS (SELECT " +
+        "sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS c0, " +
+        "sum(CASE WHEN doc_id % 5 = 1 THEN 1 ELSE 0 END) AS c1, " +
+        "sum(CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 0 END) AS c2, " +
+        "sum(CASE WHEN doc_id % 5 = 3 THEN 1 ELSE 0 END) AS c3, " +
+        "sum(CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END) AS c4 " +
+        "FROM documents) " +
+        "SELECT path, CAST(n_obs AS BIGINT) AS n_obs, " +
+        "CAST(n_string AS BIGINT) AS n_string, " +
+        "CAST(n_number AS BIGINT) AS n_number, " +
+        "CAST(n_array AS BIGINT) AS n_array, " +
+        "CAST(n_object AS BIGINT) AS n_object, " +
+        "CAST(n_bool AS BIGINT) AS n_bool, " +
+        "CAST(n_null AS BIGINT) AS n_null, major_type FROM (" +
+        "SELECT '$' AS path, c0+c1+c2+c3 AS n_obs, 0 AS n_string, " +
+        "0 AS n_number, 0 AS n_array, c0+c1+c2+c3 AS n_object, " +
+        "0 AS n_bool, 0 AS n_null, 'object' AS major_type FROM c " +
+        "UNION ALL SELECT '$.id', c0+c1+c2+c3, 0, c0+c1+c2+c3, 0, 0, 0, 0, " +
+        "'number' FROM c " +
+        "UNION ALL SELECT '$.title', c0+c1+c2+c3, c0+c1+c2, 0, 0, 0, 0, c3, " +
+        "CASE WHEN c0+c1+c2 > c3 THEN 'string' ELSE 'null' END FROM c " +
+        "UNION ALL SELECT '$.tags', c0+c1+c2+c3, c2, 0, c0+c1+c3, 0, 0, 0, " +
+        "CASE WHEN c0+c1+c3 >= c2 THEN 'array' ELSE 'string' END FROM c " +
+        "UNION ALL SELECT '$.tags[]', c0+c1+c3, c0+c1+c3, 0, 0, 0, 0, 0, " +
+        "'string' FROM c " +
+        "UNION ALL SELECT '$.meta', c0+c1+c2+c3, 0, 0, 0, c0+c1+c2+c3, 0, 0, " +
+        "'object' FROM c " +
+        "UNION ALL SELECT '$.meta.lang', c0+c1+c2+c3, c0+c1+c2+c3, 0, 0, 0, " +
+        "0, 0, 'string' FROM c " +
+        "UNION ALL SELECT '$.meta.score', c0+c1+c2+c3, c1, c0+c2+c3, 0, 0, " +
+        "0, 0, CASE WHEN c0+c2+c3 >= c1 THEN 'number' ELSE 'string' END " +
+        "FROM c " +
+        "UNION ALL SELECT '$.extra', c2, 0, 0, 0, 0, c2, 0, 'boolean' FROM c " +
+        "UNION ALL SELECT '$invalid', c4, 0, 0, 0, 0, 0, 0, 'invalid' FROM c)"),
+    // q154: every verdict replays from doc_id arithmetic alone — the
+    // comment immunity, case/order/quote invariance, both resolution
+    // arms, and the self-vs-query distinction pin the tag walk
+    "q154_page_verdict" ->
+      ("WITH p AS (SELECT doc_id, doc_id % 5 AS m, " +
+        "'https://site' || (doc_id % 40) || '.example.com' AS host, " +
+        "'https://site' || (doc_id % 40) || '.example.com/p' || " +
+        "(doc_id % 20) || '.html' AS self FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(CASE WHEN m = 1 THEN 1 ELSE 0 END AS INTEGER) AS noindex, " +
+        "CAST(CASE WHEN m = 2 THEN 1 ELSE 0 END AS INTEGER) AS nofollow, " +
+        "CASE WHEN m = 0 THEN self " +
+        "WHEN m = 2 THEN host || '/canon/' || (doc_id % 10) " +
+        "WHEN m = 4 THEN self || '?ref=a&b' ELSE NULL END AS canonical_url, " +
+        "CAST(CASE WHEN m = 0 THEN 1 WHEN m IN (2, 4) THEN 0 " +
+        "ELSE NULL END AS INTEGER) AS is_self FROM p"),
     // q133: the oracle re-synthesizes the expected text from corpus
     // words alone (8-word paragraphs, the entity drill and field-code
     // paragraph as decoded constants, the br class's split paragraph 0)

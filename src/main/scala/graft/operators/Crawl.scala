@@ -1466,4 +1466,42 @@ object Crawl {
         col("w.anchor").as("top_anchor"),
         (-col("w.negc")).as("top_count"))
   }
+
+  /** Q154: the page's OWN verdict — meta-robots + rel=canonical
+    * (q98/q112 gate before the fetch; this reads what the fetched
+    * page declares about itself): `noindex` leaves the corpus,
+    * `nofollow` contributes no frontier links, `rel=canonical`
+    * clusters duplicates under their canonical target
+    * ([[graft.functions.HtmlMetaEval]] — case-insensitive names and
+    * tokens, free attribute order, either quote, comments stripped
+    * FIRST, first-declaration-wins, entity-decoded resolved hrefs).
+    *
+    * Residue classes (%5): 0 → absolute self-canonical + `index,
+    * follow`; 1 → UPPERCASE `NOINDEX, follow`; 2 → attribute-order-
+    * swapped RELATIVE canonical + `nofollow`; 3 → silence (the
+    * defaults stand); 4 → a commented-out noindex that must bind
+    * nothing + a single-quoted entity-escaped self+query canonical
+    * (NOT self — the query differs). Oracle replays every verdict
+    * from doc_id arithmetic alone. One narrow map, zero exchanges.
+    */
+  def q154PageVerdict(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HtmlMetaOps
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val params = id + (id % 5) * lit(1L << 40)
+    val payload = HtmlMetaOps.metaSynth(params)
+    val origin = concat(lit("https://site"), (id % 40).cast("string"),
+      lit(".example.com"))
+    val self = concat(origin, lit("/p"), (id % 20).cast("string"),
+      lit(".html"))
+    docs.select(id, payload.as("_p"), origin.as("_o"), self.as("_s"))
+      .select(id,
+        HtmlMetaOps.metaNoindex(col("_p"), col("_o")).as("noindex"),
+        HtmlMetaOps.metaNofollow(col("_p"), col("_o")).as("nofollow"),
+        HtmlMetaOps.metaCanonical(col("_p"), col("_o")).as("canonical_url"),
+        col("_s").as("_s"))
+      .select(id, col("noindex"), col("nofollow"), col("canonical_url"),
+        when(col("canonical_url").isNotNull,
+          (col("canonical_url") === col("_s")).cast("int")).as("is_self"))
+  }
 }

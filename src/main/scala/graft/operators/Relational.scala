@@ -441,4 +441,48 @@ object Relational {
       .groupBy("n_name")
       .agg(round(sum(col("disc_price")).cast("double"), 2).as("revenue"))
   }
+
+  /** Q153: JSON schema inference — the schema-DRIFT guard over a
+    * corpus of unknown JSON (q02/q34 project KNOWN paths; this one
+    * discovers what shapes actually arrive): per path, the observed
+    * type histogram and the majority type, with the number→string,
+    * array→scalar, appearing-field, and null-field drifts each
+    * planted by a residue class ([[graft.functions.JsonShapeEval]]).
+    *
+    * Residue classes (%5): 0 → canonical record; 1 → `meta.score`
+    * arrives as a STRING; 2 → `tags` collapses to a scalar and a new
+    * `extra` boolean appears; 3 → `title` arrives null; 4 → not JSON
+    * (the `$invalid` quarantine row). Majority ties break to the
+    * lexicographically smallest type via the skew-safe min-struct
+    * aggregate (q148/q151's discipline — map-side combine, never a
+    * per-path window). Oracle hand-spells all ten paths' histograms
+    * from class counts alone.
+    */
+  def q153JsonShape(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.JsonShapeOps
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val mode = when(id % 5 === 1, 1L).when(id % 5 === 2, 2L)
+      .when(id % 5 === 3, 3L).otherwise(0L)
+    val params = id + mode * lit(1L << 40)
+    val whole = JsonShapeOps.jsonShapeSynth(col("text"), params)
+    val payload = when(id % 5 === 4, col("text").cast("binary")).otherwise(whole)
+    val pairs = docs
+      .select(JsonShapeOps.jsonShape(payload).as("_l"))
+      .select(explode(split(col("_l"), "\n")).as("pt"))
+      .select(element_at(split(col("pt"), "\\|"), 1).as("path"),
+        element_at(split(col("pt"), "\\|"), 2).as("typ"))
+    val pc = pairs.groupBy("path", "typ").agg(count(lit(1)).as("cnt"))
+    def tc(t: String) =
+      sum(when(col("typ") === t, col("cnt")).otherwise(0L))
+    pc.groupBy("path")
+      .agg(sum("cnt").as("n_obs"),
+        tc("string").as("n_string"), tc("number").as("n_number"),
+        tc("array").as("n_array"), tc("object").as("n_object"),
+        tc("boolean").as("n_bool"), tc("null").as("n_null"),
+        min(struct((-col("cnt")).as("negc"), col("typ").as("typ"))).as("w"))
+      .select(col("path"), col("n_obs"), col("n_string"), col("n_number"),
+        col("n_array"), col("n_object"), col("n_bool"), col("n_null"),
+        col("w.typ").as("major_type"))
+  }
 }

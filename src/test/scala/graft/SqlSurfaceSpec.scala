@@ -121,7 +121,11 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "vw_anchor_text" ->
         graft.operators.Crawl.q151AnchorText(spark, TestSpark.Sf0001),
       "vw_avi_meta" ->
-        graft.operators.Multimodal.q152AviMeta(spark, TestSpark.Sf0001))
+        graft.operators.Multimodal.q152AviMeta(spark, TestSpark.Sf0001),
+      "vw_json_shape" ->
+        graft.operators.Relational.q153JsonShape(spark, TestSpark.Sf0001),
+      "vw_page_verdict" ->
+        graft.operators.Crawl.q154PageVerdict(spark, TestSpark.Sf0001))
     twins.foreach { case (view, df) =>
       val sql = canon(spark.sql(s"SELECT * FROM $view"))
       val api = canon(df)
