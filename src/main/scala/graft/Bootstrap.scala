@@ -405,6 +405,16 @@ object Bootstrap {
     // count(*) > 1` the declared-duplicate clusters q101 cannot see
     operators.Crawl.q154PageVerdict(spark, dir)
       .createOrReplaceTempView("vw_page_verdict")
+    // the RTF manifest (q155): `WHERE ok = 0` is the not-RTF
+    // quarantine, `ok = 1 AND n_chars > 0` the legacy-office corpus
+    // read completing the document family
+    sources.Rtf.q155RtfExtract(spark, dir)
+      .createOrReplaceTempView("vw_rtf_text")
+    // the postings manifest (q156): `ORDER BY df DESC` is the SQL-only
+    // stopword-candidate read; `WHERE df = 1` the hapax tail a
+    // vocabulary-pruning pass drops
+    operators.Retrieval.q156PostingsBuild(spark, dir)
+      .createOrReplaceTempView("vw_postings")
   }
 
   /** Register the landing table + curated views over it — the TRANSFORM

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ingest.Envelope
-import graft.sources.{Csv, Docx, Epub, JsonLines, Mime, Pdf, Tar, Warc, Zip}
+import graft.sources.{Csv, Docx, Epub, JsonLines, Mime, Pdf, Rtf, Tar, Warc, Zip}
 import graft.operators.{Bibtex, Classifier, Crawl, Dedup, Feeds, HtmlTables, Latex, Markdown, Mojibake, Multimodal, Pipeline, Relational, Retrieval, Scale, Similarity, Sitemap, SqlSurface, Subtitles, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -176,6 +176,8 @@ object SparkEntry {
     "q152_avi_meta" -> (Multimodal.q152AviMeta _),
     "q153_json_shape" -> (Relational.q153JsonShape _),
     "q154_page_verdict" -> (Crawl.q154PageVerdict _),
+    "q155_rtf_extract" -> (Rtf.q155RtfExtract _),
+    "q156_postings_build" -> (Retrieval.q156PostingsBuild _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -2135,6 +2137,45 @@ object SparkEntry {
         "WHEN m = 4 THEN self || '?ref=a&b' ELSE NULL END AS canonical_url, " +
         "CAST(CASE WHEN m = 0 THEN 1 WHEN m IN (2, 4) THEN 0 " +
         "ELSE NULL END AS INTEGER) AS is_self FROM p"),
+    // q155: the expected prose re-synthesizes from corpus words and
+    // chr() codepoints alone — identical across the four markup
+    // classes (the invariance drill), so a delimiter-space, hex-case,
+    // fallback-consumption, or destination-leak slip cannot cancel
+    "q155_rtf_extract" ->
+      ("WITH w AS (SELECT doc_id, list_filter(" +
+        "string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), " +
+        "x -> x <> '') AS ws FROM documents), " +
+        "t AS (SELECT doc_id, CASE WHEN doc_id % 5 = 4 THEN NULL ELSE " +
+        "ws[1] || ' ' || ws[2] || ' ' || ws[3] || ' ' || ws[4] || chr(10) " +
+        "|| 'caf' || chr(233) || ' na' || chr(239) || 've' || " +
+        "CASE WHEN len(ws) > 4 THEN ' ' || " +
+        "array_to_string(list_slice(ws, 5, len(ws)), ' ') ELSE '' END " +
+        "END AS plain FROM w) " +
+        "SELECT doc_id, " +
+        "CAST(doc_id % 5 <> 4 AS INTEGER) AS ok, " +
+        "CAST(CASE WHEN doc_id % 5 = 4 THEN NULL ELSE 2 END AS INTEGER) " +
+        "AS n_pars, " +
+        "md5(plain) AS text_md5, " +
+        "CAST(length(plain) AS BIGINT) AS n_chars FROM t"),
+    // q156: the oracle rolls the postings up through window functions
+    // (a different plan shape than the engine's min-struct + sorted
+    // collect) — df/cf, the tf-then-doc_id tie-break, and the
+    // doc-ordered digest must all agree
+    "q156_postings_build" ->
+      ("WITH t AS (SELECT doc_id, unnest(list_filter(" +
+        "string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), " +
+        "x -> x <> '')) AS term FROM documents), " +
+        "tf AS (SELECT term, doc_id, count(*) AS tf FROM t " +
+        "GROUP BY term, doc_id), " +
+        "pm AS (SELECT term, count(*) AS df, sum(tf) AS cf, " +
+        "md5(string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id)) " +
+        "AS postings_md5 FROM tf GROUP BY term), " +
+        "tp AS (SELECT term, doc_id, tf, row_number() OVER " +
+        "(PARTITION BY term ORDER BY tf DESC, doc_id) AS rn FROM tf) " +
+        "SELECT p.term, CAST(p.df AS BIGINT) AS df, " +
+        "CAST(p.cf AS BIGINT) AS cf, t.doc_id AS top_doc, " +
+        "CAST(t.tf AS BIGINT) AS top_tf, p.postings_md5 " +
+        "FROM pm p JOIN tp t ON t.term = p.term AND t.rn = 1"),
     // q133: the oracle re-synthesizes the expected text from corpus
     // words alone (8-word paragraphs, the entity drill and field-code
     // paragraph as decoded constants, the br class's split paragraph 0)

@@ -103,4 +103,41 @@ object Retrieval {
       .select(col("query_id"), col("rank"),
         col("doc_id"), col("score_d").cast("double").as("score"))
   }
+
+  /** Q156: inverted-index postings build — the LAYOUT op lexical
+    * retrieval serves from (q83 scores ad hoc; a production index
+    * materializes postings ONCE and every query reads them): per
+    * term, document frequency, collection frequency, the top
+    * document by term frequency (ties to the smallest doc_id — the
+    * skew-safe min-struct, q151's discipline), and the postings list
+    * itself as a doc_id-ordered `doc:tf` digest.
+    *
+    * Scale shape: `groupBy(term, doc)` keeps map-side combine (a
+    * hot term's per-doc rows collapse before the exchange); the
+    * per-term roll-up's collect_list is df-SIZED BY DESIGN — the
+    * postings list IS the operator's output, exactly what an index
+    * shard stores; at 100 TB the term dimension range-partitions
+    * into shards (q80/q89's layout family) and each shard's lists
+    * stay worker-local.
+    */
+  def q156PostingsBuild(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    tf.groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        sum("tf").as("cf"),
+        min(struct((-col("tf")).as("negtf"), col("doc_id").as("doc_id")))
+          .as("w"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("doc_id"), col("tf")))),
+            s => concat(s.getField("doc_id").cast("string"), lit(":"),
+              s.getField("tf").cast("string"))), ",").cast("binary"))
+          .as("postings_md5"))
+      .select(col("term"), col("df"), col("cf"),
+        col("w.doc_id").as("top_doc"),
+        (-col("w.negtf")).as("top_tf"),
+        col("postings_md5"))
+  }
 }

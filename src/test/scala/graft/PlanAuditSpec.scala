@@ -1039,4 +1039,51 @@ class PlanAuditSpec extends AnyFunSuite {
       s"holdout lost its broadcast:\n$p")
     assert(shuffles(df) === 1, s"expected exactly 1 shuffle:\n$p")
   }
+
+  test("round-15 narrow kernels stay zero-exchange maps") {
+    val zeroes: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "q144" -> graft.operators.Latex.q144LatexExtract(spark, TestSpark.Sf0001),
+      "q145" -> graft.operators.Bibtex.q145BibtexParse(spark, TestSpark.Sf0001),
+      "q146" -> graft.operators.Sitemap.q146SitemapParse(spark, TestSpark.Sf0001),
+      "q147" -> graft.operators.HtmlTables.q147HtmlTables(spark, TestSpark.Sf0001),
+      "q149" -> graft.operators.Multimodal.q149OggMeta(spark, TestSpark.Sf0001),
+      "q152" -> graft.operators.Multimodal.q152AviMeta(spark, TestSpark.Sf0001),
+      "q154" -> graft.operators.Crawl.q154PageVerdict(spark, TestSpark.Sf0001),
+      "q155" -> graft.sources.Rtf.q155RtfExtract(spark, TestSpark.Sf0001))
+    zeroes.foreach { case (name, df) =>
+      assert(shuffles(df) === 0, s"$name grew a shuffle:\n${plan(df)}")
+    }
+  }
+
+  test("q148 keeps its fixed exchange budget (agg-based, never a hot window)") {
+    val df = graft.operators.Dedup.q148ParaDedup(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    // min-struct winners + per-doc rollup + the n_paras join side; a
+    // window over partitionBy(para) would still count the same but
+    // ship hot boilerplate groups whole — pin the operator choice too
+    assert(!p.contains("WindowExec"), s"q148 must not window over para:\n$p")
+    assert(shuffles(df) <= 4, s"q148 exchange budget blown:\n$p")
+  }
+
+  test("q150 model tables all broadcast into the scoring stream") {
+    val df = graft.operators.Text.q150TrigramBackoff(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    val b = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(b >= 5, s"expected >= 5 broadcast model joins, found $b:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a model join fell back to sort-merge:\n$p")
+  }
+
+  test("q151/q153/q156 aggregate in two keyed exchanges, no windows") {
+    val pairs = Seq(
+      "q151" -> graft.operators.Crawl.q151AnchorText(spark, TestSpark.Sf0001),
+      "q153" -> graft.operators.Relational.q153JsonShape(spark, TestSpark.Sf0001),
+      "q156" -> graft.operators.Retrieval.q156PostingsBuild(spark, TestSpark.Sf0001))
+    pairs.foreach { case (name, df) =>
+      val p = plan(df)
+      assert(!p.contains("WindowExec"),
+        s"$name must majority-pick via min-struct, not a window:\n$p")
+      assert(shuffles(df) === 2, s"$name expected exactly 2 shuffles:\n$p")
+    }
+  }
 }

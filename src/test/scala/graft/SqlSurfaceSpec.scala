@@ -125,7 +125,11 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "vw_json_shape" ->
         graft.operators.Relational.q153JsonShape(spark, TestSpark.Sf0001),
       "vw_page_verdict" ->
-        graft.operators.Crawl.q154PageVerdict(spark, TestSpark.Sf0001))
+        graft.operators.Crawl.q154PageVerdict(spark, TestSpark.Sf0001),
+      "vw_rtf_text" ->
+        graft.sources.Rtf.q155RtfExtract(spark, TestSpark.Sf0001),
+      "vw_postings" ->
+        graft.operators.Retrieval.q156PostingsBuild(spark, TestSpark.Sf0001))
     twins.foreach { case (view, df) =>
       val sql = canon(spark.sql(s"SELECT * FROM $view"))
       val api = canon(df)
