@@ -726,8 +726,11 @@ object Dedup {
     * residue 4 repeats its own first chunk at the tail (the
     * WITHIN-doc dup: later index loses to earlier).
     */
-  def q148ParaDedup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+  def q148ParaDedup(spark: SparkSession, dir: String): DataFrame =
+    paraDedupOn(Tables.load(spark, dir, "documents"))
+
+  /** The q148 computation over any (doc_id, text) frame. */
+  def paraDedupOn(docs: DataFrame): DataFrame = {
     val id = col("doc_id")
     val b1 = "all rights reserved contact the publisher for permissions"
     val b2 = "distributed under a creative commons attribution license"
@@ -744,17 +747,32 @@ object Dedup {
         when(id % 7 === 4, array(element_at(chunks, 1))).otherwise(none))
         .as("paras"))
     val exploded = withParas.select(id, posexplode(col("paras")).as(Seq("idx", "para")))
+    // the winner key is a PACKED long, not a struct: min(struct) falls
+    // back to SortAggregate (a full sort of the exploded frame on both
+    // exchange sides — measured 3.5 s -> 2.3 s at sf0.1); min(long) is
+    // a codegen'd HashAggregate with map-side combine. idx < 2^20 by
+    // the bounded paragraphs-per-doc fan-out, so (doc_id << 20) | idx
+    // orders exactly like (doc_id, idx)
     val winners = exploded
       .groupBy("para")
-      .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
+      .agg(min(shiftleft(col("doc_id"), 20) + col("idx")).as("wpack"))
     val keptPerDoc = winners
-      .select(col("w.doc_id").as("doc_id"), col("w.idx").as("idx"), col("para"))
+      .select(shiftright(col("wpack"), 20).as("doc_id"),
+        col("wpack").bitwiseAND(lit((1L << 20) - 1)).as("idx"),
+        col("para"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
         md5(array_join(
           transform(array_sort(collect_list(struct(col("idx"), col("para")))),
             s => s.getField("para")), "\n").cast("binary")).as("kept_md5"))
-    withParas.select(id, size(col("paras")).cast("long").as("n_paras"))
+    // n_paras is ARITHMETIC, not a second paragraph construction:
+    // chunk count + injected boilerplate + the within-doc repeat — so
+    // the left side never re-runs the words/chunks HOF chain
+    docs.select(id,
+      (ceil(size(ws).cast("double") / 8.0).cast("long") +
+        (id % 7 === 0 || id % 7 === 3).cast("long") +
+        (id % 7 === 1 || id % 7 === 3).cast("long") +
+        (id % 7 === 4).cast("long")).as("n_paras"))
       .join(keptPerDoc, Seq("doc_id"), "left")
       .select(id,
         col("n_paras"),

@@ -120,8 +120,11 @@ object Retrieval {
     * into shards (q80/q89's layout family) and each shard's lists
     * stay worker-local.
     */
-  def q156PostingsBuild(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+  def q156PostingsBuild(spark: SparkSession, dir: String): DataFrame =
+    postingsOn(Tables.load(spark, dir, "documents"))
+
+  /** The q156 computation over any (doc_id, text) frame. */
+  def postingsOn(docs: DataFrame): DataFrame = {
     val tf = docs
       .select(col("doc_id"), explode(words(col("text"))).as("term"))
       .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))

@@ -363,6 +363,91 @@ class ScaleSpec extends AnyFunSuite {
       f"10x docs cost ${t10 / t1}%.1fx the time ($t1%.2fs -> $t10%.2fs)")
   }
 
+  test("q148 paragraph dedup: 10x docs, exact under the boilerplate hot key", Slow) {
+    // the operator's reason to exist at scale: a boilerplate paragraph
+    // carried by ~1/7 of ALL documents. Correctness invariant first —
+    // kept paragraphs == DISTINCT paragraphs, exactly, at both decades
+    // (the min-struct winner rule can neither drop nor double-keep) —
+    // then ~linear wall time across the decade
+    import graft.operators.Dedup
+    def kept(n: Long): (Long, Long, Double) = {
+      val docs = synthMix(n)
+      val t0 = System.nanoTime()
+      val agg = Dedup.paraDedupOn(docs)
+        .agg(sum(col("n_paras") - col("n_dup")).as("kept")).head.getLong(0)
+      val dt = (System.nanoTime() - t0) / 1e9
+      val distinctParas = docs.select(col("doc_id").as("doc_id"),
+          graft.functions.TextOps.words(col("text")).as("ws"))
+        .select(explode(expr(
+          "transform(sequence(0, cast(ceil(size(ws) / 8.0) as int) - 1), " +
+            "i -> array_join(slice(ws, i*8 + 1, 8), ' '))")).as("p"))
+        .select(col("p")).distinct().count()
+      (agg, distinctParas, dt)
+    }
+    kept(20000) // warmup
+    val (k1, d1, t1a) = kept(20000)
+    val (k1b, _, t1b) = kept(20000)
+    val t1 = math.min(t1a, t1b)
+    assert(k1 === k1b)
+    // distinct chunk paragraphs + the 2 injected boilerplates + nothing
+    // from the within-doc repeats (they always lose)
+    assert(k1 === d1 + 2, s"kept $k1 != distinct $d1 + 2 boilerplates")
+    val (k10, d10, t10a) = kept(200000)
+    val (_, _, t10b) = kept(200000)
+    val t10 = math.min(t10a, t10b)
+    assert(k10 === d10 + 2)
+    assert(t10 / t1 <= 10.0,
+      f"10x docs cost ${t10 / t1}%.1fx the time ($t1%.2fs -> $t10%.2fs)")
+  }
+
+  test("q150 trigram backoff: 10x docs, saturating model, ~linear", Slow) {
+    // the stupid-backoff premise at scale: the MODEL is vocabulary-
+    // bounded (synthMix's pool saturates), so 10x the corpus grows the
+    // broadcast tables sub-linearly while scoring stays ~linear
+    import graft.operators.Text
+    def run(n: Long): (Long, Double) = {
+      val docs = synthMix(n)
+      val t0 = System.nanoTime()
+      val scored = Text.trigramBackoffOn(docs)
+        .agg(sum("n_scored")).head.getLong(0)
+      ((scored, (System.nanoTime() - t0) / 1e9))
+    }
+    def triCount(n: Long): Long = synthMix(n)
+      .filter(col("doc_id") % 2 === 0)
+      .select(graft.functions.TextOps.words(col("text")).as("ws"))
+      .select(explode(expr("transform(sequence(0, size(ws)-3), " +
+        "i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")).as("t"))
+      .distinct().count()
+    val m1 = triCount(20000)
+    val m10 = triCount(200000)
+    assert(m10 <= m1 * 3,
+      s"trigram model must saturate, grew $m1 -> $m10")
+    run(20000) // warmup
+    val (s1, t1a) = run(20000); val (_, t1b) = run(20000)
+    val (s10, t10a) = run(200000); val (_, t10b) = run(200000)
+    assert(s10 > s1 * 9, "the scoring stream itself is corpus-sized")
+    val ratio = math.min(t10a, t10b) / math.min(t1a, t1b)
+    assert(ratio <= 10.0, f"10x docs cost $ratio%.1fx the time")
+  }
+
+  test("q156 postings build: 10x docs, vocabulary-bounded terms, ~linear", Slow) {
+    import graft.operators.Retrieval
+    def run(n: Long): (Long, Long, Double) = {
+      val t0 = System.nanoTime()
+      val r = Retrieval.postingsOn(synthMix(n))
+        .agg(count(lit(1)), sum("cf")).head
+      ((r.getLong(0), r.getLong(1), (System.nanoTime() - t0) / 1e9))
+    }
+    run(20000) // warmup
+    val (terms1, cf1, t1a) = run(20000); val (_, _, t1b) = run(20000)
+    val (terms10, cf10, t10a) = run(200000); val (_, _, t10b) = run(200000)
+    assert(terms10 <= terms1 * 2,
+      s"the term dimension must saturate: $terms1 -> $terms10")
+    assert(cf10 > cf1 * 9, "cf counts every token: corpus-sized by design")
+    val ratio = math.min(t10a, t10b) / math.min(t1a, t1b)
+    assert(ratio <= 10.0, f"10x docs cost $ratio%.1fx the time")
+  }
+
   test("q122/q123 second decade: 100x docs, models still constant", Slow) {
     // the r13 discipline that caught three real breaks in the ANN
     // family: run the SECOND decade too. 2M synthetic docs (100x the
