@@ -415,6 +415,21 @@ object Bootstrap {
     // vocabulary-pruning pass drops
     operators.Retrieval.q156PostingsBuild(spark, dir)
       .createOrReplaceTempView("vw_postings")
+    // the sentence manifest (q157): `avg(n_tokens / n_sentences)` is
+    // the SQL-only sentence-length read a fluency filter thresholds;
+    // `WHERE longest > k` the run-on quarantine
+    operators.Text.q157SentenceSplit(spark, dir)
+      .createOrReplaceTempView("vw_sentences")
+    // the ID3 manifest (q158): `sum(len_ms)` is the SQL-only declared-
+    // duration read to reconcile against q130's frame math; `WHERE
+    // is_id3 = 1 AND version IS NULL` the truncated-tag quarantine
+    operators.Multimodal.q158Id3Tags(spark, dir)
+      .createOrReplaceTempView("vw_id3_tags")
+    // the SVG manifest (q159): `WHERE has_script = 1` is the SQL-only
+    // sanitization drop; `WHERE is_svg = 1 AND width IS NULL` the
+    // truncated-download quarantine
+    operators.Multimodal.q159SvgMeta(spark, dir)
+      .createOrReplaceTempView("vw_svg_meta")
   }
 
   /** Register the landing table + curated views over it — the TRANSFORM

@@ -178,6 +178,9 @@ object SparkEntry {
     "q154_page_verdict" -> (Crawl.q154PageVerdict _),
     "q155_rtf_extract" -> (Rtf.q155RtfExtract _),
     "q156_postings_build" -> (Retrieval.q156PostingsBuild _),
+    "q157_sentence_split" -> (Text.q157SentenceSplit _),
+    "q158_id3_tags" -> (Multimodal.q158Id3Tags _),
+    "q159_svg_meta" -> (Multimodal.q159SvgMeta _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -2176,6 +2179,92 @@ object SparkEntry {
         "CAST(p.cf AS BIGINT) AS cf, t.doc_id AS top_doc, " +
         "CAST(t.tf AS BIGINT) AS top_tf, p.postings_md5 " +
         "FROM pm p JOIN tp t ON t.term = p.term AND t.rn = 1"),
+    // q157: every expected SENTENCE spells from corpus words alone —
+    // the abbreviation block, decimal immunity, run-collapse, quote
+    // attachment, and the stated etc.-join are each pinned by an arm
+    "q157_sentence_split" ->
+      ("WITH w AS (SELECT doc_id, list_filter(" +
+        "string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), " +
+        "x -> x <> '') AS ws FROM documents), " +
+        "x AS (SELECT doc_id, ws, len(ws) AS n, doc_id % 5 AS m FROM w), " +
+        "t AS (SELECT doc_id, n, m, CASE m " +
+        "WHEN 1 THEN ws[1] || ' ' || ws[2] || ' ' || ws[3] || '?!' || " +
+        "chr(10) || ws[4] || ' ' || ws[5] || '...' || chr(10) || " +
+        "ws[6] || ' ' || ws[7] || '.' || chr(10) || " +
+        "array_to_string(list_slice(ws, 8, n), ' ') || '.' " +
+        "WHEN 2 THEN ws[1] || ' ' || ws[2] || ' etc. ' || ws[3] || ' ' || " +
+        "ws[4] || ' ' || ws[5] || '.' || chr(10) || " +
+        "array_to_string(list_slice(ws, 6, n), ' ') || '!' " +
+        "WHEN 3 THEN ws[1] || ' ' || ws[2] || '.' || chr(10) || " +
+        "array_to_string(list_slice(ws, 3, n), ' ') " +
+        "WHEN 4 THEN text " +
+        "ELSE ws[1] || ' ' || ws[2] || ' ' || ws[3] || '.' || chr(10) || " +
+        "'Dr. ' || ws[4] || ' got 3.14 of ' || ws[5] || '.' || chr(10) || " +
+        "ws[6] || ' e.g. ' || ws[7] || '!' || chr(10) || " +
+        "'\"' || ws[8] || ' ' || ws[9] || '?\"' || chr(10) || " +
+        "array_to_string(list_slice(ws, 10, n), ' ') END AS sents " +
+        "FROM x JOIN documents USING (doc_id)) " +
+        "SELECT doc_id, " +
+        "CAST(CASE m WHEN 0 THEN 5 WHEN 1 THEN 4 WHEN 2 THEN 2 " +
+        "WHEN 3 THEN 2 ELSE 1 END AS INTEGER) AS n_sentences, " +
+        "CAST(CASE m WHEN 0 THEN n + 5 WHEN 1 THEN n WHEN 2 THEN n + 1 " +
+        "WHEN 3 THEN n ELSE n END AS INTEGER) AS n_tokens, " +
+        "CAST(CASE m WHEN 0 THEN greatest(6, n - 9) " +
+        "WHEN 1 THEN greatest(3, n - 7) WHEN 2 THEN greatest(6, n - 5) " +
+        "WHEN 3 THEN greatest(2, n - 2) ELSE n END AS INTEGER) AS longest, " +
+        "md5(sents) AS sent_md5 FROM t"),
+    // q158: every field replays from corpus words + doc_id alone — the
+    // tag size from ENCODING arithmetic (latin1 chars, UTF-8's 2-byte
+    // é, UTF-16's BOM + doubling), frame counts incl. the PRIV decoy,
+    // padding inside the size, and the truncation/not-ID3 refusals
+    "q158_id3_tags" ->
+      ("WITH w AS (SELECT doc_id, list_filter(" +
+        "string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), " +
+        "x -> x <> '') AS ws FROM documents), " +
+        "p AS (SELECT doc_id, doc_id % 5 AS m, " +
+        "'caf' || chr(233) || ' ' || ws[1] || ' ' || ws[2] AS title, " +
+        "ws[3] || ' ' || ws[4] AS artist, " +
+        "60000 + (doc_id % 300) * 1000 AS len_ms, " +
+        "4 + 1 + length(ws[1]) + 1 + length(ws[2]) AS tc, " +
+        "length(ws[3]) + 1 + length(ws[4]) AS ac FROM w), " +
+        "q AS (SELECT doc_id, m, title, artist, len_ms, tc, ac, " +
+        "length(CAST(len_ms AS VARCHAR)) AS lc, " +
+        "title || ' ' || repeat('x', 80) AS padded FROM p) " +
+        "SELECT doc_id, " +
+        "CAST(m IN (0, 1, 2, 3) AS INTEGER) AS is_id3, " +
+        "CAST(CASE WHEN m = 1 THEN 4 WHEN m IN (0, 2) THEN 3 " +
+        "ELSE NULL END AS INTEGER) AS version, " +
+        "CAST(CASE " +
+        "WHEN m = 0 THEN (11 + tc) + (11 + ac) + (11 + lc) " +
+        "WHEN m = 1 THEN (10 + 1 + 2 + 2 * (tc + 81)) + (11 + ac) + (11 + lc) " +
+        "WHEN m = 2 THEN (10 + 1 + tc + 1) + 30 + (11 + ac) + (11 + lc) + 64 " +
+        "ELSE NULL END AS INTEGER) AS tag_size, " +
+        "CAST(CASE WHEN m IN (0, 1) THEN 3 WHEN m = 2 THEN 4 " +
+        "ELSE NULL END AS INTEGER) AS n_frames, " +
+        "CASE WHEN m IN (0, 2) THEN title WHEN m = 1 THEN padded " +
+        "ELSE NULL END AS title, " +
+        "CASE WHEN m IN (0, 1, 2) THEN artist ELSE NULL END AS artist, " +
+        "CAST(CASE WHEN m IN (0, 1, 2) THEN len_ms ELSE NULL END AS BIGINT) " +
+        "AS len_ms, " +
+        "CAST(CASE WHEN m IN (0, 1, 2) THEN 1 ELSE NULL END AS INTEGER) " +
+        "AS audio_follows FROM q"),
+    // q159: every field replays from doc_id arithmetic — attribute
+    // precedence over the decoy viewBox, the px strip, the fallback
+    // arm, comment-immune shape counts, and the script flag
+    "q159_svg_meta" ->
+      ("WITH p AS (SELECT doc_id, doc_id % 5 AS m, " +
+        "CAST(100 + (doc_id % 10) * 10 AS INTEGER) AS w, " +
+        "CAST(50 + (doc_id % 5) * 20 AS INTEGER) AS h FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(m IN (0, 1, 2, 3) AS INTEGER) AS is_svg, " +
+        "CAST(CASE WHEN m IN (0, 1, 2) THEN w ELSE NULL END AS INTEGER) " +
+        "AS width, " +
+        "CAST(CASE WHEN m IN (0, 1, 2) THEN h ELSE NULL END AS INTEGER) " +
+        "AS height, " +
+        "CAST(CASE WHEN m = 0 THEN 3 WHEN m = 1 THEN 2 WHEN m = 2 THEN 4 " +
+        "ELSE NULL END AS INTEGER) AS n_shapes, " +
+        "CAST(CASE WHEN m = 2 THEN 1 WHEN m IN (0, 1) THEN 0 " +
+        "ELSE NULL END AS INTEGER) AS has_script FROM p"),
     // q133: the oracle re-synthesizes the expected text from corpus
     // words alone (8-word paragraphs, the entity drill and field-code
     // paragraph as decoded constants, the br class's split paragraph 0)

@@ -1661,4 +1661,76 @@ object Multimodal {
         col("_s").bitwiseAND(lit(0xFFFFL)).cast("int").as("n_auds"),
         col("total_frames"), col("duration_ms"))
   }
+
+  /** Q158: ID3v2 tag parsing — the metadata container in FRONT of the
+    * MP3 audio q130 reads: synchsafe tag sizes (7 bits per byte), the
+    * v2.3-plain vs v2.4-synchsafe FRAME-size split (the synthesizer
+    * pads a frame across 127 bytes so a plain-u32 reader derails),
+    * three text encodings (latin1's 0xE9 IS é, BOM-dispatched UTF-16
+    * both orders, UTF-8), zero-padding stop, unknown frames counted
+    * and skipped, and the audio-follows sync check that hands off to
+    * q130 ([[graft.functions.Id3Eval]]).
+    *
+    * Residue classes (%5): 0 → v2.3 latin1/UTF-8; 1 → v2.4 UTF-16
+    * padded title (BOM order by id parity); 2 → PRIV + 64 bytes of
+    * padding; 3 → truncated (magic survives, fields refuse);
+    * 4 → plain text (not ID3). Oracle replays every field — tag size
+    * from ENCODING arithmetic (latin1 chars vs UTF-8 é vs doubled
+    * UTF-16) — from corpus words and doc_id alone.
+    * One narrow map, zero exchanges.
+    */
+  def q158Id3Tags(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Id3Ops
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val mode = when(id % 5 === 1, 1L).when(id % 5 === 2, 2L)
+      .when(id % 5 === 3, 3L).otherwise(0L)
+    val params = id + mode * lit(1L << 40)
+    val whole = Id3Ops.id3Synth(col("text"), params)
+    val payload = when(id % 5 === 4, col("text").cast("binary")).otherwise(whole)
+    docs.select(id, payload.as("_p"))
+      .select(id,
+        expr("substring(_p, 1, 3) = cast('ID3' as binary)")
+          .cast("int").as("is_id3"),
+        Id3Ops.id3Version(col("_p")).as("version"),
+        Id3Ops.id3TagSize(col("_p")).as("tag_size"),
+        Id3Ops.id3Frames(col("_p")).as("n_frames"),
+        Id3Ops.id3Title(col("_p")).as("title"),
+        Id3Ops.id3Artist(col("_p")).as("artist"),
+        Id3Ops.id3LenMs(col("_p")).as("len_ms"),
+        Id3Ops.id3AudioFollows(col("_p")).as("audio_follows"))
+  }
+
+  /** Q159: SVG metadata — the VECTOR image beside q127's rasters:
+    * explicit width/height attributes win (px strips, other units
+    * refuse), dimensions FALL BACK to the viewBox when absent (the
+    * icon-sprite reality), `<script>` is the first-class
+    * sanitization-drop flag, comments strip before shapes count, a
+    * missing `</svg>` refuses whole ([[graft.functions.SvgEval]]).
+    *
+    * Residue classes (%5): 0 → explicit dims (one `px`-suffixed,
+    * plus a DECOY viewBox that must lose to the attributes);
+    * 1 → viewBox-only fallback; 2 → script + commented-out shape
+    * decoys; 3 → truncated; 4 → plain text (not SVG). Oracle replays
+    * every field from doc_id arithmetic alone. One narrow map, zero
+    * exchanges.
+    */
+  def q159SvgMeta(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SvgOps
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val mode = when(id % 5 === 1, 1L).when(id % 5 === 2, 2L)
+      .when(id % 5 === 3, 3L).otherwise(0L)
+    val params = id + mode * lit(1L << 40)
+    val whole = SvgOps.svgSynth(params)
+    val payload = when(id % 5 === 4, col("text").cast("binary")).otherwise(whole)
+    docs.select(id, payload.as("_p"))
+      .select(id,
+        expr("instr(cast(_p as string), '<svg') > 0")
+          .cast("int").as("is_svg"),
+        SvgOps.svgWidth(col("_p")).as("width"),
+        SvgOps.svgHeight(col("_p")).as("height"),
+        SvgOps.svgShapes(col("_p")).as("n_shapes"),
+        SvgOps.svgScript(col("_p")).as("has_script"))
+  }
 }

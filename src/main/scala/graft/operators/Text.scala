@@ -936,6 +936,39 @@ object Text {
           .as("mean_surprisal"))
   }
 
+  /** Q157: sentence segmentation — the unit boundary chunking (q87)
+    * and per-sentence quality assume: terminator RUNS bound once,
+    * only before whitespace/EOF (decimals free), single-dot
+    * abbreviations block, closing quotes attach to the sentence, an
+    * unterminated tail still counts ([[graft.functions.SentenceEval]]
+    * — the stated limitation, spec-pinned: an abbreviation at a TRUE
+    * sentence end joins two sentences, as every abbreviation-list
+    * segmenter does).
+    *
+    * Residue classes (%5): 0 → the trap gauntlet (`Dr.` + `3.14` +
+    * mid-sentence `e.g.` + quoted question + unterminated tail);
+    * 1 → `?!` and `...` runs; 2 → the stated `etc.`-at-true-end
+    * join; 3 → unterminated tail; 4 → raw text (one unterminated
+    * sentence). Oracle spells every sentence from corpus words.
+    * One narrow map, zero exchanges.
+    */
+  def q157SentenceSplit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SentenceOps
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val mode = when(id % 5 === 1, 1L).when(id % 5 === 2, 2L)
+      .when(id % 5 === 3, 3L).otherwise(0L)
+    val params = id + mode * lit(1L << 40)
+    val whole = SentenceOps.sentSynth(col("text"), params)
+    val payload = when(id % 5 === 4, col("text").cast("binary")).otherwise(whole)
+    docs.select(id, payload.as("_p"))
+      .select(id,
+        SentenceOps.sentCount(col("_p")).as("n_sentences"),
+        SentenceOps.sentTokens(col("_p")).as("n_tokens"),
+        SentenceOps.sentLongest(col("_p")).as("longest"),
+        md5(SentenceOps.sentJoined(col("_p")).cast("binary")).as("sent_md5"))
+  }
+
   /** The ten most frequent English stopwords — the q65 rule's fixed
     * vocabulary, shared verbatim with the oracle SQL.
     */

@@ -1049,7 +1049,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "q149" -> graft.operators.Multimodal.q149OggMeta(spark, TestSpark.Sf0001),
       "q152" -> graft.operators.Multimodal.q152AviMeta(spark, TestSpark.Sf0001),
       "q154" -> graft.operators.Crawl.q154PageVerdict(spark, TestSpark.Sf0001),
-      "q155" -> graft.sources.Rtf.q155RtfExtract(spark, TestSpark.Sf0001))
+      "q155" -> graft.sources.Rtf.q155RtfExtract(spark, TestSpark.Sf0001),
+      "q157" -> graft.operators.Text.q157SentenceSplit(spark, TestSpark.Sf0001),
+      "q158" -> graft.operators.Multimodal.q158Id3Tags(spark, TestSpark.Sf0001),
+      "q159" -> graft.operators.Multimodal.q159SvgMeta(spark, TestSpark.Sf0001))
     zeroes.foreach { case (name, df) =>
       assert(shuffles(df) === 0, s"$name grew a shuffle:\n${plan(df)}")
     }

@@ -129,7 +129,13 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "vw_rtf_text" ->
         graft.sources.Rtf.q155RtfExtract(spark, TestSpark.Sf0001),
       "vw_postings" ->
-        graft.operators.Retrieval.q156PostingsBuild(spark, TestSpark.Sf0001))
+        graft.operators.Retrieval.q156PostingsBuild(spark, TestSpark.Sf0001),
+      "vw_sentences" ->
+        graft.operators.Text.q157SentenceSplit(spark, TestSpark.Sf0001),
+      "vw_id3_tags" ->
+        graft.operators.Multimodal.q158Id3Tags(spark, TestSpark.Sf0001),
+      "vw_svg_meta" ->
+        graft.operators.Multimodal.q159SvgMeta(spark, TestSpark.Sf0001))
     twins.foreach { case (view, df) =>
       val sql = canon(spark.sql(s"SELECT * FROM $view"))
       val api = canon(df)
