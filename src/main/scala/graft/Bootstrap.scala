@@ -430,6 +430,16 @@ object Bootstrap {
     // truncated-download quarantine
     operators.Multimodal.q159SvgMeta(spark, dir)
       .createOrReplaceTempView("vw_svg_meta")
+    // the TFRecord manifest (q160): `WHERE n_valid < n_records OR
+    // truncated = 1` is the SQL-only corrupt-shard alarm before a
+    // training run; `sum(total_bytes)` the served-payload accounting
+    sources.TfRecord.q160TfrecordIngest(spark, dir)
+      .createOrReplaceTempView("vw_tfrecord")
+    // the tf.Example manifest (q161): `WHERE ok = 0` is the corrupt-
+    // example quarantine; `sum(sum_ints)` the token accounting a
+    // loader reconciles against the shard manifest
+    sources.TfExample.q161TfExampleDecode(spark, dir)
+      .createOrReplaceTempView("vw_tfexample")
   }
 
   /** Register the landing table + curated views over it — the TRANSFORM

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ingest.Envelope
-import graft.sources.{Csv, Docx, Epub, JsonLines, Mime, Pdf, Rtf, Tar, Warc, Zip}
+import graft.sources.{Csv, Docx, Epub, JsonLines, Mime, Pdf, Rtf, Tar, TfExample, TfRecord, Warc, Zip}
 import graft.operators.{Bibtex, Classifier, Crawl, Dedup, Feeds, HtmlTables, Latex, Markdown, Mojibake, Multimodal, Pipeline, Relational, Retrieval, Scale, Similarity, Sitemap, SqlSurface, Subtitles, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -181,6 +181,8 @@ object SparkEntry {
     "q157_sentence_split" -> (Text.q157SentenceSplit _),
     "q158_id3_tags" -> (Multimodal.q158Id3Tags _),
     "q159_svg_meta" -> (Multimodal.q159SvgMeta _),
+    "q160_tfrecord_ingest" -> (TfRecord.q160TfrecordIngest _),
+    "q161_tfexample_decode" -> (TfExample.q161TfExampleDecode _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -2265,6 +2267,62 @@ object SparkEntry {
         "ELSE NULL END AS INTEGER) AS n_shapes, " +
         "CAST(CASE WHEN m = 2 THEN 1 WHEN m IN (0, 1) THEN 0 " +
         "ELSE NULL END AS INTEGER) AS has_script FROM p"),
+    // q160: counts, byte accounting, and payload md5s replay from
+    // corpus words + doc_id alone — the oracle never frames a byte,
+    // so a CRC-mask, endianness, or refusal-split slip in the walk
+    // cannot cancel (the empty record's md5 IS md5(''))
+    "q160_tfrecord_ingest" ->
+      ("WITH w AS (SELECT doc_id, list_filter(" +
+        "string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), " +
+        "x -> x <> '') AS ws FROM documents), " +
+        "p AS (SELECT doc_id, doc_id % 5 AS m, " +
+        "ws[1] || ' ' || ws[2] || '#' || CAST(doc_id % 97 AS VARCHAR) AS p0, " +
+        "ws[2] || ' ' || ws[3] || '#' || CAST(doc_id % 97 + 1 AS VARCHAR) AS p1, " +
+        "ws[3] || ' ' || ws[4] || '#' || CAST(doc_id % 97 + 2 AS VARCHAR) AS p2, " +
+        "repeat(ws[1] || ' ', 60) AS pb FROM w) " +
+        "SELECT doc_id, " +
+        "CAST(m IN (0, 1, 2, 3) AS INTEGER) AS valid, " +
+        "CAST(CASE WHEN m IN (0, 1, 2) THEN 3 WHEN m = 3 THEN 2 " +
+        "ELSE NULL END AS INTEGER) AS n_records, " +
+        "CAST(CASE WHEN m IN (0, 1) THEN 3 WHEN m IN (2, 3) THEN 2 " +
+        "ELSE NULL END AS INTEGER) AS n_valid, " +
+        "CAST(CASE " +
+        "WHEN m = 0 THEN length(p0) + length(p1) + length(p2) " +
+        "WHEN m = 1 THEN length(pb) + length(p2) " +
+        "WHEN m = 2 THEN length(p0) + length(p2) " +
+        "WHEN m = 3 THEN length(p0) + length(p1) " +
+        "ELSE NULL END AS BIGINT) AS total_bytes, " +
+        "CAST(CASE WHEN m IN (0, 1, 2) THEN 0 WHEN m = 3 THEN 1 " +
+        "ELSE NULL END AS INTEGER) AS truncated, " +
+        "CASE WHEN m IN (0, 2, 3) THEN md5(p0) WHEN m = 1 THEN md5('') " +
+        "ELSE NULL END AS first_md5 FROM p"),
+    // q161: every field replays from corpus words + doc_id arithmetic
+    // — the oracle never spells a wire byte, so a varint, packed-vs-
+    // unpacked, sign-extension, or last-wins slip cannot cancel
+    "q161_tfexample_decode" ->
+      ("WITH w AS (SELECT doc_id, list_filter(" +
+        "string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), " +
+        "x -> x <> '') AS ws FROM documents), " +
+        "p AS (SELECT doc_id, doc_id % 5 AS m, " +
+        "ws[1] || ' ' || ws[2] AS t01, " +
+        "ws[2] || ' ' || ws[3] || ' ' || ws[4] AS t123 FROM w) " +
+        "SELECT doc_id, " +
+        "CAST(m IN (0, 1, 2) AS INTEGER) AS ok, " +
+        "CAST(CASE WHEN m IN (0, 2) THEN 3 WHEN m = 1 THEN 2 " +
+        "ELSE NULL END AS INTEGER) AS n_features, " +
+        "CAST(CASE WHEN m IN (0, 1) THEN length(t01) WHEN m = 2 THEN " +
+        "length(t123) ELSE NULL END AS INTEGER) AS text_chars, " +
+        "CASE WHEN m IN (0, 1) THEN md5(t01) WHEN m = 2 THEN md5(t123) " +
+        "ELSE NULL END AS text_md5, " +
+        "CAST(CASE WHEN m IN (0, 1, 2) THEN 3 ELSE NULL END AS INTEGER) " +
+        "AS n_ints, " +
+        "CAST(CASE WHEN m IN (0, 2) THEN (doc_id % 128) + " +
+        "(300 + doc_id % 1000) + 7 " +
+        "WHEN m = 1 THEN (doc_id % 128) - (doc_id % 50 + 1) + 16500 " +
+        "ELSE NULL END AS BIGINT) AS sum_ints, " +
+        "CAST(CASE WHEN m = 0 THEN (doc_id % 8) * 250000 + 1500000 " +
+        "WHEN m = 2 THEN (doc_id % 4) * 250000 " +
+        "ELSE NULL END AS BIGINT) AS score_micros FROM p"),
     // q133: the oracle re-synthesizes the expected text from corpus
     // words alone (8-word paragraphs, the entity drill and field-code
     // paragraph as decoded constants, the br class's split paragraph 0)

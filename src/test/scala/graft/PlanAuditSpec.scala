@@ -1052,7 +1052,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "q155" -> graft.sources.Rtf.q155RtfExtract(spark, TestSpark.Sf0001),
       "q157" -> graft.operators.Text.q157SentenceSplit(spark, TestSpark.Sf0001),
       "q158" -> graft.operators.Multimodal.q158Id3Tags(spark, TestSpark.Sf0001),
-      "q159" -> graft.operators.Multimodal.q159SvgMeta(spark, TestSpark.Sf0001))
+      "q159" -> graft.operators.Multimodal.q159SvgMeta(spark, TestSpark.Sf0001),
+      "q160" -> graft.sources.TfRecord.q160TfrecordIngest(spark, TestSpark.Sf0001),
+      "q161" -> graft.sources.TfExample.q161TfExampleDecode(spark, TestSpark.Sf0001))
     zeroes.foreach { case (name, df) =>
       assert(shuffles(df) === 0, s"$name grew a shuffle:\n${plan(df)}")
     }

@@ -135,7 +135,11 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "vw_id3_tags" ->
         graft.operators.Multimodal.q158Id3Tags(spark, TestSpark.Sf0001),
       "vw_svg_meta" ->
-        graft.operators.Multimodal.q159SvgMeta(spark, TestSpark.Sf0001))
+        graft.operators.Multimodal.q159SvgMeta(spark, TestSpark.Sf0001),
+      "vw_tfrecord" ->
+        graft.sources.TfRecord.q160TfrecordIngest(spark, TestSpark.Sf0001),
+      "vw_tfexample" ->
+        graft.sources.TfExample.q161TfExampleDecode(spark, TestSpark.Sf0001))
     twins.foreach { case (view, df) =>
       val sql = canon(spark.sql(s"SELECT * FROM $view"))
       val api = canon(df)
