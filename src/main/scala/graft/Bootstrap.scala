@@ -440,6 +440,16 @@ object Bootstrap {
     // loader reconciles against the shard manifest
     sources.TfExample.q161TfExampleDecode(spark, dir)
       .createOrReplaceTempView("vw_tfexample")
+    // the WebM/Matroska manifest (q162): `sum(duration_ms)` joins
+    // q152's footage-hours read across containers; `WHERE is_ebml = 1
+    // AND width IS NULL` the truncated-download quarantine
+    operators.Multimodal.q162EbmlMeta(spark, dir)
+      .createOrReplaceTempView("vw_ebml_meta")
+    // the WebDataset manifest (q163): `WHERE complete = 0` is the
+    // SQL-only loader-drop audit before a training run; `GROUP BY
+    // exts` the sample-shape census across shards
+    operators.Wds.q163WdsSamples(spark, dir)
+      .createOrReplaceTempView("vw_wds_samples")
   }
 
   /** Register the landing table + curated views over it — the TRANSFORM

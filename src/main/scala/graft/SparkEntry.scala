@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ingest.Envelope
 import graft.sources.{Csv, Docx, Epub, JsonLines, Mime, Pdf, Rtf, Tar, TfExample, TfRecord, Warc, Zip}
-import graft.operators.{Bibtex, Classifier, Crawl, Dedup, Feeds, HtmlTables, Latex, Markdown, Mojibake, Multimodal, Pipeline, Relational, Retrieval, Scale, Similarity, Sitemap, SqlSurface, Subtitles, Text}
+import graft.operators.{Bibtex, Classifier, Crawl, Dedup, Feeds, HtmlTables, Latex, Markdown, Mojibake, Multimodal, Pipeline, Relational, Retrieval, Scale, Similarity, Sitemap, SqlSurface, Subtitles, Text, Wds}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -183,6 +183,8 @@ object SparkEntry {
     "q159_svg_meta" -> (Multimodal.q159SvgMeta _),
     "q160_tfrecord_ingest" -> (TfRecord.q160TfrecordIngest _),
     "q161_tfexample_decode" -> (TfExample.q161TfExampleDecode _),
+    "q162_ebml_meta" -> (Multimodal.q162EbmlMeta _),
+    "q163_wds_samples" -> (Wds.q163WdsSamples _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -2323,6 +2325,52 @@ object SparkEntry {
         "CAST(CASE WHEN m = 0 THEN (doc_id % 8) * 250000 + 1500000 " +
         "WHEN m = 2 THEN (doc_id % 4) * 250000 " +
         "ELSE NULL END AS BIGINT) AS score_micros FROM p"),
+    // q162: every field replays from doc_id arithmetic alone — the
+    // oracle never spells an EBML byte, so a vint-length, marker-bit,
+    // unknown-size, scale-default, or float-width slip cannot cancel
+    "q162_ebml_meta" ->
+      ("WITH p AS (SELECT doc_id, doc_id % 5 AS m, " +
+        "CAST(320 + (doc_id % 4) * 160 AS INTEGER) AS w, " +
+        "CAST(240 + (doc_id % 3) * 120 AS INTEGER) AS h FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(m IN (0, 1, 2, 3) AS INTEGER) AS is_ebml, " +
+        "CASE WHEN m IN (0, 2) THEN 'webm' WHEN m = 1 THEN 'matroska' " +
+        "ELSE NULL END AS doctype, " +
+        "CASE WHEN m IN (0, 1, 2) THEN w ELSE NULL END AS width, " +
+        "CASE WHEN m IN (0, 1, 2) THEN h ELSE NULL END AS height, " +
+        "CAST(CASE WHEN m IN (0, 1, 2) THEN 1 ELSE NULL END AS INTEGER) " +
+        "AS n_video, " +
+        "CAST(CASE WHEN m = 1 THEN 1 WHEN m IN (0, 2) THEN 0 " +
+        "ELSE NULL END AS INTEGER) AS n_audio, " +
+        "CAST(CASE WHEN m = 0 THEN 10000 + doc_id % 5000 " +
+        "WHEN m = 1 THEN 3000 + doc_id % 1000 " +
+        "WHEN m = 2 THEN 7777 + doc_id % 777 " +
+        "ELSE NULL END AS BIGINT) AS duration_ms FROM p"),
+    // q163: both sample rows replay from corpus words + doc_id
+    // arithmetic alone — the oracle never touches a tar byte, so a
+    // key/ext split, interleave, or content-vs-name completeness slip
+    // cannot cancel
+    "q163_wds_samples" ->
+      ("WITH w AS (SELECT doc_id, list_filter(" +
+        "string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), " +
+        "x -> x <> '') AS ws FROM documents), " +
+        "p AS (SELECT doc_id, doc_id % 4 AS m, " +
+        "array_to_string(list_slice(ws, 1, 3), ' ') AS t0, " +
+        "array_to_string(list_slice(ws, 4, 6), ' ') AS t1 FROM w) " +
+        "SELECT doc_id, 'd' || doc_id || '_0' AS sample_key, " +
+        "CAST(3 AS INTEGER) AS n_parts, " +
+        "CASE WHEN m = 2 THEN 'cls,seg.png,txt' ELSE 'cls,json,txt' END " +
+        "AS exts, " +
+        "CAST(CASE WHEN m = 3 THEN 0 ELSE 1 END AS INTEGER) AS complete, " +
+        "md5(t0) AS txt_md5, CAST(length(t0) AS BIGINT) AS txt_bytes " +
+        "FROM p " +
+        "UNION ALL " +
+        "SELECT doc_id, 'd' || doc_id || '_1' AS sample_key, " +
+        "CAST(CASE WHEN m = 1 THEN 1 ELSE 2 END AS INTEGER) AS n_parts, " +
+        "CASE WHEN m = 1 THEN 'txt' ELSE 'cls,txt' END AS exts, " +
+        "CAST(CASE WHEN m = 1 THEN 0 ELSE 1 END AS INTEGER) AS complete, " +
+        "md5(t1) AS txt_md5, CAST(length(t1) AS BIGINT) AS txt_bytes " +
+        "FROM p"),
     // q133: the oracle re-synthesizes the expected text from corpus
     // words alone (8-word paragraphs, the entity drill and field-code
     // paragraph as decoded constants, the br class's split paragraph 0)

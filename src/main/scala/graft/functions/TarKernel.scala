@@ -221,14 +221,14 @@ object TarEval {
     bytes
   }
 
-  private def pad(out: java.io.ByteArrayOutputStream, n: Int): Unit = {
+  private[functions] def pad(out: java.io.ByteArrayOutputStream, n: Int): Unit = {
     val rem = n % Block
     if (rem != 0) out.write(new Array[Byte](Block - rem), 0, Block - rem)
   }
 
-  private def writeHeader(out: java.io.ByteArrayOutputStream, name: String,
-                          prefix: String, size: Int, typeflag: Char,
-                          oldGnu: Boolean): Unit = {
+  private[functions] def writeHeader(out: java.io.ByteArrayOutputStream,
+                                     name: String, prefix: String, size: Int,
+                                     typeflag: Char, oldGnu: Boolean): Unit = {
     val h = new Array[Byte](Block)
     def put(s: String, off: Int, len: Int): Unit = {
       val bs = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)

@@ -1733,4 +1733,47 @@ object Multimodal {
         SvgOps.svgShapes(col("_p")).as("n_shapes"),
         SvgOps.svgScript(col("_p")).as("has_script"))
   }
+
+  /** Q162: Matroska/WebM metadata — the fourth video-triage rung
+    * (q90 MP4, q102's Y4M, q152 AVI) and the web's OPEN video
+    * container: EBML's two-VINT element framing (IDs keep their
+    * length marker, sizes strip it), the UNKNOWN-size Segment a
+    * live-streamed WebM ships (descend, never skip-by-size),
+    * non-minimal size vints, float(4)-vs-double(8) Duration in
+    * TimestampScale ticks, and the Cluster decoy the tree walk must
+    * never read ([[graft.functions.EbmlEval]]).
+    *
+    * Residue classes (%5): 0 → webm, video track, double Duration at
+    * the default scale; 1 → matroska, video+audio, float Duration at
+    * scale 500 000 (the /2 arithmetic drill), unknown-size Segment;
+    * 2 → no TimestampScale element (default applies) + a wide-vint
+    * Void; 3 → truncated (magic survives, fields refuse); 4 → plain
+    * text. Oracle replays every field from doc_id arithmetic alone.
+    * One narrow map, zero exchanges.
+    */
+  def q162EbmlMeta(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.EbmlOps
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val mode = when(id % 5 === 1, 1L).when(id % 5 === 2, 2L)
+      .when(id % 5 === 3, 3L).otherwise(0L)
+    val params = id + mode * lit(1L << 40)
+    val whole = EbmlOps.ebmlSynth(params)
+    val payload = when(id % 5 === 4, col("text").cast("binary")).otherwise(whole)
+    docs.select(id, payload.as("_p"))
+      .select(id,
+        expr("substring(_p, 1, 4) = X'1A45DFA3'").cast("int").as("is_ebml"),
+        EbmlOps.ebmlDoctype(col("_p")).as("_dt"),
+        EbmlOps.ebmlDims(col("_p")).as("_d"),
+        EbmlOps.ebmlTracks(col("_p")).as("_t"),
+        EbmlOps.ebmlDurationMs(col("_p")).as("duration_ms"))
+      .select(id, col("is_ebml"),
+        when(col("_dt") === 1, "webm").when(col("_dt") === 2, "matroska")
+          .when(col("_dt") === 3, "other").as("doctype"),
+        shiftright(col("_d"), 32).cast("int").as("width"),
+        col("_d").bitwiseAND(lit(0xFFFFFFFFL)).cast("int").as("height"),
+        shiftright(col("_t"), 16).cast("int").as("n_video"),
+        col("_t").bitwiseAND(lit(0xFFFFL)).cast("int").as("n_audio"),
+        col("duration_ms"))
+  }
 }

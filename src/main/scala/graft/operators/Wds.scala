@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{TarOps, WdsOps}
+
+/** Q163: WebDataset sample assembly — the multimodal training-shard
+  * read (tar members named `<key>.<ext>`; all members sharing a key
+  * form ONE training sample). The shard walk is q136's verified
+  * [[graft.functions.TarEval]]; this operator is the DISTRIBUTED
+  * step a loader audit needs: explode members, split key/extension
+  * at the FIRST dot of the basename (`d7_0.seg.png` is sample
+  * `d7_0`, ext `seg.png`), and assemble per-sample manifests with
+  * ONE keyed aggregate — interleaved member order (mode 2) lands in
+  * the same group by construction, which is exactly why assembly is
+  * a group-by and not a streaming window.
+  *
+  * Completeness is CONTENT-based: a checksum-corrupt `.cls` (mode 3)
+  * keeps its name — the part counts — but its refused content marks
+  * the sample incomplete, same as a part that was never written
+  * (mode 1). At 100 TB the aggregate shuffles only (shard, key)
+  * manifest rows — member payloads reduce map-side to md5/length.
+  *
+  * Reference scope: scholar-stream ingests a JSON feed (reference
+  * ingestion/openalex_client.py) — shard assembly is a north-star
+  * extension of the layout family (q80/q89/q136/q160).
+  */
+object Wds {
+
+  def q163WdsSamples(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val mode = when(id % 4 === 1, 1L).when(id % 4 === 2, 2L)
+      .when(id % 4 === 3, 3L).otherwise(0L)
+    val params = id + mode * lit(1L << 40)
+    val shard = docs.select(id, WdsOps.wdsSynth(col("text"), params).as("_t"))
+    val members = shard
+      .select(id, col("_t"), TarOps.tarCount(col("_t")).as("_n"))
+      .select(id, col("_t"),
+        explode(sequence(lit(0), col("_n") - 1)).as("_i"))
+      .select(id,
+        TarOps.tarMemberName(col("_t"), col("_i")).as("name"),
+        TarOps.tarMember(col("_t"), col("_i")).as("content"))
+      .select(id,
+        substring_index(col("name"), ".", 1).as("sample_key"),
+        expr("substring(name, length(substring_index(name, '.', 1)) + 2)")
+          .as("ext"),
+        col("content"))
+    members.groupBy(id, col("sample_key"))
+      .agg(
+        count(lit(1)).cast("int").as("n_parts"),
+        array_join(sort_array(collect_list(col("ext"))), ",").as("exts"),
+        (max(when(col("ext") === "txt" && col("content").isNotNull, 1)
+          .otherwise(0)) *
+          max(when(col("ext") === "cls" && col("content").isNotNull, 1)
+            .otherwise(0))).cast("int").as("complete"),
+        max(when(col("ext") === "txt", md5(col("content")))).as("txt_md5"),
+        max(when(col("ext") === "txt", length(col("content"))))
+          .cast("bigint").as("txt_bytes"))
+  }
+}

@@ -1054,10 +1054,19 @@ class PlanAuditSpec extends AnyFunSuite {
       "q158" -> graft.operators.Multimodal.q158Id3Tags(spark, TestSpark.Sf0001),
       "q159" -> graft.operators.Multimodal.q159SvgMeta(spark, TestSpark.Sf0001),
       "q160" -> graft.sources.TfRecord.q160TfrecordIngest(spark, TestSpark.Sf0001),
-      "q161" -> graft.sources.TfExample.q161TfExampleDecode(spark, TestSpark.Sf0001))
+      "q161" -> graft.sources.TfExample.q161TfExampleDecode(spark, TestSpark.Sf0001),
+      "q162" -> graft.operators.Multimodal.q162EbmlMeta(spark, TestSpark.Sf0001))
     zeroes.foreach { case (name, df) =>
       assert(shuffles(df) === 0, s"$name grew a shuffle:\n${plan(df)}")
     }
+  }
+
+  test("q163 wds assembly is ONE keyed aggregate over an exploded walk") {
+    val df = graft.operators.Wds.q163WdsSamples(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    assert(shuffles(df) === 1, s"expected exactly 1 shuffle:\n$p")
+    assert(!p.contains("WindowExec"),
+      s"assembly must be a group-by, never a streaming window:\n$p")
   }
 
   test("q148 keeps its fixed exchange budget (agg-based, never a hot window)") {

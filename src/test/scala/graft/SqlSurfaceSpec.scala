@@ -139,7 +139,11 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "vw_tfrecord" ->
         graft.sources.TfRecord.q160TfrecordIngest(spark, TestSpark.Sf0001),
       "vw_tfexample" ->
-        graft.sources.TfExample.q161TfExampleDecode(spark, TestSpark.Sf0001))
+        graft.sources.TfExample.q161TfExampleDecode(spark, TestSpark.Sf0001),
+      "vw_ebml_meta" ->
+        graft.operators.Multimodal.q162EbmlMeta(spark, TestSpark.Sf0001),
+      "vw_wds_samples" ->
+        graft.operators.Wds.q163WdsSamples(spark, TestSpark.Sf0001))
     twins.foreach { case (view, df) =>
       val sql = canon(spark.sql(s"SELECT * FROM $view"))
       val api = canon(df)
