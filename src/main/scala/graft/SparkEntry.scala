@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ingest.Envelope
-import graft.sources.{Csv, Docx, Epub, JsonLines, Mime, Pdf, Rtf, Tar, TfExample, TfRecord, Warc, Zip}
-import graft.operators.{Bibtex, Classifier, Crawl, Dedup, Feeds, HtmlTables, Latex, Markdown, Mojibake, Multimodal, Pipeline, Relational, Retrieval, Scale, Similarity, Sitemap, SqlSurface, Subtitles, Text, Wds}
+import graft.sources.{Avro, Csv, Docx, Epub, JsonLines, Mime, Pdf, Rtf, Tar, TfExample, TfRecord, Warc, Zip, Zstd}
+import graft.operators.{Bibtex, Classifier, Crawl, Dedup, Feeds, HtmlTables, Lake, Latex, Markdown, Mojibake, Multimodal, Pipeline, Relational, Retrieval, Scale, Similarity, Sitemap, SqlSurface, Subtitles, Text, Wds}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -185,6 +185,10 @@ object SparkEntry {
     "q161_tfexample_decode" -> (TfExample.q161TfExampleDecode _),
     "q162_ebml_meta" -> (Multimodal.q162EbmlMeta _),
     "q163_wds_samples" -> (Wds.q163WdsSamples _),
+    "q164_avro_ingest" -> (Avro.q164AvroIngest _),
+    "q165_zstd_triage" -> (Zstd.q165ZstdTriage _),
+    "q166_parquet_footer" -> (Lake.q166ParquetFooter _),
+    "q167_idn_hosts" -> (Crawl.q167IdnHosts _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -2371,6 +2375,108 @@ object SparkEntry {
         "CAST(CASE WHEN m = 1 THEN 0 ELSE 1 END AS INTEGER) AS complete, " +
         "md5(t1) AS txt_md5, CAST(length(t1) AS BIGINT) AS txt_bytes " +
         "FROM p"),
+    // q164: counts, sums, and the first text's md5 replay from corpus
+    // words + doc_id alone — the oracle never frames a byte, so a
+    // zigzag, metadata-form, sync-verification, or refusal-split slip
+    // in the walk cannot cancel; sum_delta is negative BY CONSTRUCTION
+    // (a plain-varint reader decodes it astronomically wrong)
+    "q164_avro_ingest" ->
+      ("WITH w AS (SELECT doc_id, list_filter(" +
+        "string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), " +
+        "x -> x <> '') AS ws FROM documents), " +
+        "p AS (SELECT doc_id, doc_id % 5 AS m, " +
+        "ws[1] || ' ' || ws[2] || '#' || CAST(doc_id % 97 AS VARCHAR) AS p0 " +
+        "FROM w) " +
+        "SELECT doc_id, " +
+        "CAST(m IN (0, 1, 2, 3) AS INTEGER) AS is_avro, " +
+        "CASE WHEN m IN (0, 2) THEN 'null' WHEN m IN (1, 3) THEN 'deflate' " +
+        "ELSE NULL END AS codec, " +
+        "CAST(CASE WHEN m = 1 THEN 2 WHEN m IN (0, 2, 3) THEN 1 " +
+        "ELSE NULL END AS INTEGER) AS n_blocks, " +
+        "CAST(CASE WHEN m IN (0, 1) THEN 3 WHEN m IN (2, 3) THEN 2 " +
+        "ELSE NULL END AS INTEGER) AS n_records, " +
+        "CAST(CASE WHEN m IN (0, 1) THEN 0 WHEN m IN (2, 3) THEN 1 " +
+        "ELSE NULL END AS INTEGER) AS truncated, " +
+        "CAST(CASE WHEN m IN (0, 1) THEN 30 * doc_id + 3 " +
+        "WHEN m IN (2, 3) THEN 20 * doc_id + 1 " +
+        "ELSE NULL END AS BIGINT) AS sum_ids, " +
+        "CAST(CASE WHEN m IN (0, 1) THEN -(3 * (doc_id % 97) + 3) " +
+        "WHEN m IN (2, 3) THEN -(2 * (doc_id % 97) + 1) " +
+        "ELSE NULL END AS BIGINT) AS sum_delta, " +
+        "CASE WHEN m IN (0, 1, 2, 3) THEN md5(p0) ELSE NULL END " +
+        "AS first_md5 FROM p"),
+    // q165: every triage field replays from corpus words + doc_id
+    // alone — the oracle never frames a byte, so an FCS-offset,
+    // single-segment, RLE-advance, or skippable-walk slip cannot
+    // cancel (m=1's id%5 is 1 by construction, so its RLE run is a
+    // fixed 41 and the declared content is 341 + doc_id % 7)
+    "q165_zstd_triage" ->
+      ("WITH w AS (SELECT doc_id, list_filter(" +
+        "string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), " +
+        "x -> x <> '') AS ws FROM documents), " +
+        "p AS (SELECT doc_id, doc_id % 5 AS m, " +
+        "least(length(ws[1] || ' ' || ws[2] || '#' || " +
+        "CAST(doc_id % 97 AS VARCHAR)), 200) AS lp FROM w) " +
+        "SELECT doc_id, " +
+        "CAST(m IN (0, 1, 2, 3) AS INTEGER) AS is_zstd, " +
+        "CAST(CASE WHEN m = 2 THEN 2 WHEN m IN (0, 1) THEN 1 " +
+        "WHEN m = 3 THEN 0 ELSE NULL END AS INTEGER) AS n_frames, " +
+        "CAST(CASE WHEN m = 1 THEN 1 WHEN m IN (0, 2, 3) THEN 0 " +
+        "ELSE NULL END AS INTEGER) AS n_skippable, " +
+        "CAST(CASE WHEN m = 0 THEN lp WHEN m = 1 THEN 341 + doc_id % 7 " +
+        "WHEN m = 2 THEN 2 * lp WHEN m = 3 THEN 0 " +
+        "ELSE NULL END AS BIGINT) AS content_size, " +
+        "CAST(CASE WHEN m = 0 THEN 1 WHEN m IN (1, 2, 3) THEN 0 " +
+        "ELSE NULL END AS INTEGER) AS has_checksum, " +
+        "CAST(CASE WHEN m = 1 THEN 10 + doc_id % 8 " +
+        "ELSE NULL END AS INTEGER) AS window_log, " +
+        "CAST(CASE WHEN m = 1 THEN 1000 + doc_id % 1000 " +
+        "ELSE NULL END AS BIGINT) AS dict_id, " +
+        "CAST(CASE WHEN m = 3 THEN 1 WHEN m IN (0, 1, 2) THEN 0 " +
+        "ELSE NULL END AS INTEGER) AS truncated FROM p"),
+    // q166: the STRONGEST oracle shape available — DuckDB counts the
+    // actual rows by scanning the same parquet files the engine's
+    // footer walk introspects without a scan, so a thrift-delta,
+    // zigzag, or schema-root slip cannot agree with an independent
+    // engine's full read; column counts replay the corpus schema
+    // contract (FIXTURES.md §B: events 6, documents 5, embeddings 3)
+    "q166_parquet_footer" ->
+      ("SELECT 'events' AS tbl, CAST(1 AS INTEGER) AS is_parquet, " +
+        "CAST(count(*) AS BIGINT) AS num_rows, " +
+        "CAST(6 AS INTEGER) AS n_columns, " +
+        "CAST(1 AS INTEGER) AS verified FROM events " +
+        "UNION ALL SELECT 'documents', 1, count(*), 5, 1 FROM documents " +
+        "UNION ALL SELECT 'embeddings', 1, count(*), 3, 1 FROM embeddings"),
+    // q167: every expected decode replays from chr() code points
+    // alone (the ACE constants are registry-produced real-world
+    // spellings — no encoder exists in the repo, so the decode cannot
+    // be self-consistent-but-wrong); the hostile overflow label must
+    // refuse the WHOLE host
+    "q167_idn_hosts" ->
+      ("WITH p AS (SELECT doc_id, doc_id % 5 AS m FROM documents), " +
+        "h AS (SELECT doc_id, m, CASE " +
+        "WHEN m = 1 THEN 'xn--mnchen-3ya.site' || " +
+        "CAST(doc_id % 50 AS VARCHAR) || '.de' " +
+        "WHEN m = 2 THEN 'docs' || CAST(doc_id % 30 AS VARCHAR) || " +
+        "'.xn--fiqs8s' " +
+        "WHEN m = 3 THEN 'xn--p1ai.xn--bcher-kva.org' " +
+        "WHEN m = 4 THEN 'xn--zzz999999999a.spam' || " +
+        "CAST(doc_id % 9 AS VARCHAR) || '.com' " +
+        "ELSE 'www.example' || CAST(doc_id % 100 AS VARCHAR) || '.com' " +
+        "END AS host FROM p) " +
+        "SELECT doc_id, host, " +
+        "CAST(CASE WHEN m = 3 THEN 2 WHEN m IN (1, 2, 4) THEN 1 " +
+        "ELSE 0 END AS INTEGER) AS n_idn_labels, " +
+        "CASE " +
+        "WHEN m = 0 THEN host " +
+        "WHEN m = 1 THEN 'm' || chr(252) || 'nchen.site' || " +
+        "CAST(doc_id % 50 AS VARCHAR) || '.de' " +
+        "WHEN m = 2 THEN 'docs' || CAST(doc_id % 30 AS VARCHAR) || '.' || " +
+        "chr(20013) || chr(22269) " +
+        "WHEN m = 3 THEN chr(1088) || chr(1092) || '.b' || chr(252) || " +
+        "'cher.org' " +
+        "ELSE NULL END AS uni_host, " +
+        "CAST(m IN (0, 1, 2, 3) AS INTEGER) AS idn_ok FROM h"),
     // q133: the oracle re-synthesizes the expected text from corpus
     // words alone (8-word paragraphs, the entity drill and field-code
     // paragraph as decoded constants, the br class's split paragraph 0)

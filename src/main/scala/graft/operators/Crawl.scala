@@ -1504,4 +1504,51 @@ object Crawl {
         when(col("canonical_url").isNotNull,
           (col("canonical_url") === col("_s")).cast("int")).as("is_self"))
   }
+
+  /** Q167: IDN host decode — the internationalized-domain rung of the
+    * frontier family (q91 canonicalizes, q68 blocklists, q98 gates —
+    * all keyed on the HOST, and an `xn--` ACE spelling that never
+    * decodes splits every one of those keys: politeness budgets halve,
+    * dedup misses, the blocklist is evaded by re-encoding): every
+    * `xn--` label decodes through the full RFC 3492 bootstring
+    * algorithm ([[graft.functions.PunycodeEval]] — adaptive bias,
+    * case-insensitive digits, overflow refusals), non-ACE labels pass
+    * through verbatim, and ONE failing label refuses the WHOLE host
+    * (a frontier must not half-normalize a name).
+    *
+    * Hosts are synthesized from doc_id arithmetic around FIXED
+    * real-world ACE constants (registry-produced, so encoder/decoder
+    * independence is structural — no encoder exists in this repo):
+    * (%5) 0 → plain ASCII host (must pass through unchanged);
+    * 1 → `xn--mnchen-3ya` (münchen — the mixed basic+encoded form);
+    * 2 → `xn--fiqs8s` (中国 — fully encoded, no delimiter, non-BMP-free
+    * CJK); 3 → TWO ACE labels (`xn--p1ai`.`xn--bcher-kva` — рф /
+    * bücher, the multi-label meet); 4 → a hostile overflow label that
+    * MUST refuse (`idn_ok = 0`, NULL host). Oracle replays every
+    * expected decode from chr() code points alone. One narrow map,
+    * zero exchanges.
+    */
+  def q167IdnHosts(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PunycodeOps
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val host = when(id % 5 === 1,
+      concat(lit("xn--mnchen-3ya.site"), (id % 50).cast("string"),
+        lit(".de")))
+      .when(id % 5 === 2,
+        concat(lit("docs"), (id % 30).cast("string"), lit(".xn--fiqs8s")))
+      .when(id % 5 === 3, lit("xn--p1ai.xn--bcher-kva.org"))
+      .when(id % 5 === 4,
+        concat(lit("xn--zzz999999999a.spam"), (id % 9).cast("string"),
+          lit(".com")))
+      .otherwise(concat(lit("www.example"), (id % 100).cast("string"),
+        lit(".com")))
+    docs.select(id, host.as("host"))
+      .select(id, col("host"),
+        size(filter(split(col("host"), "\\."),
+          l => l.startsWith("xn--"))).as("n_idn_labels"),
+        PunycodeOps.punyHost(col("host")).as("uni_host"))
+      .select(id, col("host"), col("n_idn_labels"), col("uni_host"),
+        col("uni_host").isNotNull.cast("int").as("idn_ok"))
+  }
 }
