@@ -189,6 +189,11 @@ object SparkEntry {
     "q165_zstd_triage" -> (Zstd.q165ZstdTriage _),
     "q166_parquet_footer" -> (Lake.q166ParquetFooter _),
     "q167_idn_hosts" -> (Crawl.q167IdnHosts _),
+    "q168_datauri_harvest" -> (Multimodal.q168DataUriHarvest _),
+    "q169_script_mix" -> (Text.q169ScriptMix _),
+    "q170_fuzzy_title_dedup" -> (Dedup.q170FuzzyTitleDedup _),
+    "q171_g711_audio" -> (Multimodal.q171G711Audio _),
+    "q172_pnm_pixels" -> (Multimodal.q172PnmPixels _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -2477,6 +2482,166 @@ object SparkEntry {
         "'cher.org' " +
         "ELSE NULL END AS uni_host, " +
         "CAST(m IN (0, 1, 2, 3) AS INTEGER) AS idn_ok FROM h"),
+    // q168: q127's oracle union one layer deeper — every luma number
+    // replays from the residue channel maps (never a byte), so the
+    // whole page→comment-strip→extract→base64→magic-route→decode
+    // chain must land on independently derived stats; class 2's
+    // declared image/png over GIF bytes pins mime-vs-magic precedence
+    "q168_datauri_harvest" ->
+      ("WITH ja AS (SELECT doc_id, " +
+        "CAST((doc_id % 3 + 1) * 8 AS INTEGER) AS w, " +
+        "CAST((doc_id % 2 + 1) * 8 AS INTEGER) AS h, " +
+        "list_aggregate(pix, 'min') AS mn, list_aggregate(pix, 'max') AS mx, " +
+        "64 * list_aggregate(pix, 'sum') AS s FROM (SELECT doc_id, " +
+        "list_transform(range(0, CAST((doc_id % 3 + 1) * (doc_id % 2 + 1) AS BIGINT)), " +
+        "k -> ((doc_id*31 + k*17) % 251) - 125 + 128) AS pix " +
+        "FROM documents WHERE doc_id % 4 = 0)), " +
+        "pa AS (SELECT doc_id, CAST(doc_id % 6 + 1 AS INTEGER) AS w, " +
+        "CAST(doc_id % 4 + 1 AS INTEGER) AS h, " +
+        "min(luma) AS mn, max(luma) AS mx, sum(luma) AS s FROM (SELECT doc_id, " +
+        "(299 * ((doc_id*2 + x + r*11) % 256) + " +
+        "587 * ((doc_id*3 + x*5 + r) % 256) + " +
+        "114 * ((doc_id + x*7 + r*13) % 256)) // 1000 AS luma " +
+        "FROM documents, " +
+        "UNNEST(range(0, CAST(doc_id % 6 + 1 AS BIGINT))) AS tx(x), " +
+        "UNNEST(range(0, CAST(doc_id % 4 + 1 AS BIGINT))) AS tr(r) " +
+        "WHERE doc_id % 4 = 1) GROUP BY doc_id), " +
+        "ga AS (SELECT doc_id, CAST(doc_id % 6 + 1 AS INTEGER) AS w, " +
+        "CAST(doc_id % 4 + 1 AS INTEGER) AS h, " +
+        "min(luma) AS mn, max(luma) AS mx, sum(luma) AS s FROM (SELECT doc_id, " +
+        "(299 * ((doc_id*2 + ((doc_id + x*3 + r*5) % 32)) % 256) + " +
+        "587 * ((doc_id*3 + ((doc_id + x*3 + r*5) % 32)*5) % 256) + " +
+        "114 * ((doc_id + ((doc_id + x*3 + r*5) % 32)*7) % 256)) // 1000 AS luma " +
+        "FROM documents, " +
+        "UNNEST(range(0, CAST(doc_id % 6 + 1 AS BIGINT))) AS tx(x), " +
+        "UNNEST(range(0, CAST(doc_id % 4 + 1 AS BIGINT))) AS tr(r) " +
+        "WHERE doc_id % 4 = 2) GROUP BY doc_id) " +
+        "SELECT d.doc_id, " +
+        "CAST(CASE WHEN d.doc_id % 4 = 3 THEN 0 ELSE 1 END AS INTEGER) " +
+        "AS n_data_uris, " +
+        "CASE d.doc_id % 4 WHEN 0 THEN 'image/jpeg' WHEN 3 THEN NULL " +
+        "ELSE 'image/png' END AS declared_mime, " +
+        "CASE d.doc_id % 4 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' " +
+        "WHEN 2 THEN 'gif' ELSE NULL END AS format, " +
+        "CAST(coalesce(ja.w, pa.w, ga.w) AS INTEGER) AS width, " +
+        "CAST(coalesce(ja.h, pa.h, ga.h) AS INTEGER) AS height, " +
+        "CAST(coalesce(ja.mn, pa.mn, ga.mn) AS INTEGER) AS min_luma, " +
+        "CAST(coalesce(ja.mx, pa.mx, ga.mx) AS INTEGER) AS max_luma, " +
+        "CAST(coalesce(ja.s, pa.s, ga.s) AS BIGINT) AS sum_luma " +
+        "FROM documents d LEFT JOIN ja ON d.doc_id = ja.doc_id " +
+        "LEFT JOIN pa ON d.doc_id = pa.doc_id " +
+        "LEFT JOIN ga ON d.doc_id = ga.doc_id"),
+    // q169: every count replays from the base's [A-Za-z] tally (the
+    // corpus is pure ASCII, verified) plus the planted chr()
+    // arithmetic — the oracle never buckets a code point, so a range,
+    // word-split, or tie-preference slip in the kernel cannot cancel
+    "q169_script_mix" ->
+      ("WITH p AS (SELECT doc_id, doc_id % 6 AS m, " +
+        "length(regexp_replace(coalesce(text, ''), '[^A-Za-z]', '', 'g')) " +
+        "AS b FROM documents), " +
+        "c AS (SELECT doc_id, m, " +
+        "CAST(b + CASE WHEN m = 5 THEN 4 ELSE 0 END AS BIGINT) AS lat, " +
+        "CAST(CASE WHEN m = 1 THEN 6 WHEN m = 5 THEN 2 ELSE 0 END " +
+        "AS BIGINT) AS cyr, " +
+        "CAST(CASE WHEN m = 2 THEN 5 ELSE 0 END AS BIGINT) AS grk, " +
+        "CAST(CASE WHEN m = 3 THEN 5 ELSE 0 END AS BIGINT) AS cjk, " +
+        "CAST(CASE WHEN m = 4 THEN 5 ELSE 0 END AS BIGINT) AS ara " +
+        "FROM p) " +
+        "SELECT doc_id, lat AS n_latin, cyr AS n_cyrillic, grk AS n_greek, " +
+        "cjk AS n_cjk, ara AS n_arabic, " +
+        "CAST((CASE WHEN lat > 0 THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN m IN (1, 2, 3, 4, 5) THEN 1 ELSE 0 END) AS INTEGER) " +
+        "AS n_scripts, " +
+        "CASE WHEN lat = 0 AND m = 0 THEN NULL " +
+        "WHEN lat >= greatest(cyr, grk, cjk, ara) THEN 'latin' " +
+        "WHEN cyr >= greatest(grk, cjk, ara) THEN 'cyrillic' " +
+        "WHEN grk >= greatest(cjk, ara) THEN 'greek' " +
+        "WHEN cjk >= ara THEN 'cjk' ELSE 'arabic' END AS dominant_script, " +
+        "CAST(CASE WHEN m = 5 THEN 1 ELSE 0 END AS INTEGER) " +
+        "AS n_mixed_words FROM c"),
+    // q170: the oracle IS the brute force the engine avoids — an
+    // O(n²) levenshtein cross join over the same synthesized titles —
+    // so the FastSS banding's claimed exactness for distance <= 1 is
+    // value-checked pair-by-pair against a structurally different
+    // formulation (a missed band or a phantom candidate cannot cancel)
+    "q170_fuzzy_title_dedup" ->
+      ("WITH t AS (SELECT doc_id, CASE doc_id % 3 " +
+        "WHEN 1 THEN substr(b, 1, length(b) - 1) || 'z' " +
+        "WHEN 2 THEN b || 'q' ELSE b END AS title " +
+        "FROM (SELECT doc_id, 'doc ' || " +
+        "substr(md5(CAST(doc_id // 3 AS VARCHAR)), 1, 8) AS b " +
+        "FROM documents WHERE doc_id < 2000)) " +
+        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+        "CAST(levenshtein(a.title, b.title) AS INTEGER) AS dist " +
+        "FROM t a JOIN t b ON a.doc_id < b.doc_id " +
+        "AND levenshtein(a.title, b.title) <= 1"),
+    // q171: the oracle replays the G.711 expansion ALGEBRA itself —
+    // complement, XOR 0x55, segment shifts, the A-law segment-0 rule —
+    // in independent SQL integer arithmetic over the synthesized byte
+    // ramp, so a companding slip in the kernel cannot cancel
+    "q171_g711_audio" ->
+      ("WITH p AS (SELECT doc_id, doc_id % 5 AS m, " +
+        "40 + doc_id % 17 AS nb FROM documents), " +
+        "q AS (SELECT doc_id, m, CASE WHEN m = 2 THEN nb + 1 - (nb % 2) " +
+        "ELSE nb - (nb % 2) END AS n FROM p), " +
+        "v AS (SELECT doc_id, m, n, (doc_id * 7 + k * 13) % 256 AS b " +
+        "FROM q, UNNEST(range(0, n)) AS t(k) WHERE m IN (0, 1, 2)), " +
+        "e AS (SELECT doc_id, m, n, CASE WHEN m = 0 THEN " +
+        "((((255 - b) % 16) * 8 + 132) * (1 << (((255 - b) // 16) % 8))) - 132 " +
+        "ELSE (CASE WHEN ((xor(b, 85) // 16) % 8) = 0 " +
+        "THEN (xor(b, 85) % 16) * 16 + 8 " +
+        "WHEN ((xor(b, 85) // 16) % 8) = 1 " +
+        "THEN (xor(b, 85) % 16) * 16 + 264 " +
+        "ELSE ((xor(b, 85) % 16) * 16 + 264) * " +
+        "(1 << (((xor(b, 85) // 16) % 8) - 1)) END) END AS mag FROM v), " +
+        "s AS (SELECT doc_id, any_value(m) AS m, any_value(n) AS n, " +
+        "sum(mag) AS sm, max(mag) AS pk FROM e GROUP BY doc_id) " +
+        "SELECT p.doc_id, " +
+        "CASE WHEN p.m = 0 THEN 'ulaw' WHEN p.m IN (1, 2) THEN 'alaw' " +
+        "ELSE NULL END AS codec, " +
+        "CAST(s.n AS BIGINT) AS n_samples, " +
+        "CAST(s.sm AS BIGINT) AS sum_abs, " +
+        "CAST(s.pk AS INTEGER) AS peak_abs, " +
+        "CAST((s.sm * 100) // s.n AS BIGINT) AS mean_x100 " +
+        "FROM p LEFT JOIN s ON p.doc_id = s.doc_id"),
+    // q172: every stat replays pixel-by-pixel from the residue channel
+    // maps (q59's algebra for the RGB class) — the oracle never reads
+    // a header token or a raster byte, so a comment-skip, ragged-line,
+    // one-whitespace, or big-endian-16-bit slip cannot cancel; the
+    // ASCII class must land on the binary class's numbers exactly
+    "q172_pnm_pixels" ->
+      ("WITH p AS (SELECT doc_id, doc_id % 6 AS m, " +
+        "doc_id % 6 + 2 AS w, doc_id % 4 + 2 AS h FROM documents), " +
+        "g AS (SELECT doc_id, min(l) AS mn, max(l) AS mx, sum(l) AS sm " +
+        "FROM (SELECT doc_id, (doc_id*2 + x + r*11) % 256 AS l " +
+        "FROM p, UNNEST(range(0, w)) AS tx(x), " +
+        "UNNEST(range(0, h)) AS tr(r) WHERE m IN (0, 2)) GROUP BY doc_id), " +
+        "g16 AS (SELECT doc_id, min(l) AS mn, max(l) AS mx, sum(l) AS sm " +
+        "FROM (SELECT doc_id, (doc_id*2 + x + r*11) % 1001 AS l " +
+        "FROM p, UNNEST(range(0, w)) AS tx(x), " +
+        "UNNEST(range(0, h)) AS tr(r) WHERE m = 3) GROUP BY doc_id), " +
+        "c AS (SELECT doc_id, min(l) AS mn, max(l) AS mx, sum(l) AS sm " +
+        "FROM (SELECT doc_id, " +
+        "(299 * ((doc_id*2 + x + r*11) % 256) + " +
+        "587 * ((doc_id*3 + x*5 + r) % 256) + " +
+        "114 * ((doc_id + x*7 + r*13) % 256)) // 1000 AS l " +
+        "FROM p, UNNEST(range(0, w)) AS tx(x), " +
+        "UNNEST(range(0, h)) AS tr(r) WHERE m = 1) GROUP BY doc_id) " +
+        "SELECT p.doc_id, " +
+        "CASE p.m WHEN 0 THEN 'P5' WHEN 1 THEN 'P6' WHEN 2 THEN 'P2' " +
+        "WHEN 3 THEN 'P5' WHEN 4 THEN 'P5' ELSE NULL END AS format, " +
+        "CAST(CASE WHEN p.m <= 4 THEN p.w ELSE NULL END AS INTEGER) " +
+        "AS width, " +
+        "CAST(CASE WHEN p.m <= 4 THEN p.h ELSE NULL END AS INTEGER) " +
+        "AS height, " +
+        "CAST(CASE WHEN p.m = 3 THEN 1000 WHEN p.m <= 4 THEN 255 " +
+        "ELSE NULL END AS INTEGER) AS maxval, " +
+        "CAST(coalesce(g.mn, g16.mn, c.mn) AS INTEGER) AS min_luma, " +
+        "CAST(coalesce(g.mx, g16.mx, c.mx) AS INTEGER) AS max_luma, " +
+        "CAST(coalesce(g.sm, g16.sm, c.sm) AS BIGINT) AS sum_luma " +
+        "FROM p LEFT JOIN g ON p.doc_id = g.doc_id AND p.m <> 4 " +
+        "LEFT JOIN g16 ON p.doc_id = g16.doc_id " +
+        "LEFT JOIN c ON p.doc_id = c.doc_id"),
     // q133: the oracle re-synthesizes the expected text from corpus
     // words alone (8-word paragraphs, the entity drill and field-code
     // paragraph as decoded constants, the br class's split paragraph 0)

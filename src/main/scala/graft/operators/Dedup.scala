@@ -779,4 +779,59 @@ object Dedup {
         (col("n_paras") - coalesce(col("n_kept"), lit(0L))).as("n_dup"),
         coalesce(col("kept_md5"), md5(lit("").cast("binary"))).as("kept_md5"))
   }
+
+  /** Q170: typo-tolerant FIELD dedup — the short-string rung of the
+    * dedup ladder (q21 hashes whole docs, q22 shingles long text;
+    * metadata FIELDS — titles, author names — carry typo'd duplicates
+    * both miss, and shingling a 12-char title is noise): FastSS
+    * deletion-neighborhood banding (Bocek et al. 2007) — every title
+    * emits itself plus each single-character deletion as a band key,
+    * candidates are pairs sharing ANY key, and the exact Levenshtein
+    * (the codegen'd builtin) confirms <= 1. The banding is EXACT for
+    * edit distance <= 1 (a substitution's two deletions at the
+    * differing position coincide; an insertion's deletion IS the
+    * shorter string), so unlike q22's probabilistic bands the result
+    * EQUALS the brute-force pair set — and the oracle IS that brute
+    * force (a structurally different O(n²) formulation; the engine
+    * never compares titles outside a shared band).
+    *
+    * Shape at scale: the variant explode is bounded by title length
+    * (len+1 keys), the join shuffles on md5-uniform-ish variant keys
+    * (never all-pairs), DISTINCT collapses multi-band candidate
+    * repeats before the confirm. Titles synthesize deterministically
+    * in groups of three (`doc_id div 3`): the base `doc <md5-8>`,
+    * a last-char SUBSTITUTION (`z` never appears in hex), and an
+    * INSERTION (`+q`) — pairs (base, sub) and (base, ins) confirm at
+    * distance 1, (sub, ins) sits at distance 2 and must NOT appear.
+    * Bounded `doc_id < 2000` (q24's discipline).
+    */
+  def q170FuzzyTitleDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") < 2000)
+    val base = concat(lit("doc "),
+      substring(md5(expr("CAST(doc_id div 3 AS STRING)")), 1, 8))
+    val titles = docs.select(col("doc_id"), base.as("_b"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 1,
+          concat(expr("substring(_b, 1, length(_b) - 1)"), lit("z")))
+          .when(col("doc_id") % 3 === 2, concat(col("_b"), lit("q")))
+          .otherwise(col("_b")).as("title"))
+    val variants = titles
+      .select(col("doc_id"), col("title"),
+        explode(sequence(lit(0), length(col("title")))).as("i"))
+      .select(col("doc_id"), col("title"),
+        when(col("i") === 0, col("title"))
+          .otherwise(concat(expr("substring(title, 1, i - 1)"),
+            expr("substring(title, i + 1, 1000000)"))).as("variant"))
+    val a = variants.select(col("doc_id").as("a_id"),
+      col("title").as("_ta"), col("variant"))
+    val b = variants.select(col("doc_id").as("b_id"),
+      col("title").as("_tb"), col("variant"))
+    a.join(b, "variant").filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("_ta"), col("_tb"))
+      .distinct()
+      .filter(levenshtein(col("_ta"), col("_tb")) <= 1)
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("_ta"), col("_tb")).as("dist"))
+  }
 }

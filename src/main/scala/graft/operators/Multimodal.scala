@@ -1776,4 +1776,169 @@ object Multimodal {
         col("_t").bitwiseAND(lit(0xFFFFL)).cast("int").as("n_audio"),
         col("duration_ms"))
   }
+
+  /** Q171: G.711 companded audio decode — the telephony rung of the
+    * audio family (q62 folds linear PCM; call-center/voicemail speech
+    * corpora arrive µ-law/A-law companded, WAVE format codes 7/6):
+    * every byte expands through the published ITU-T G.711
+    * piecewise-linear algebra ([[graft.functions.G711Eval]] — the
+    * complement/XOR-0x55 storage inversions and the A-law segment-0
+    * rule are the drills) into q62's `(sumAbs << 17) | peakAbs` fold,
+    * and the oracle replays the SAME expansion in independent SQL
+    * arithmetic over the synthesized byte ramp — a companding slip
+    * cannot cancel.
+    *
+    * Residue classes (%5): 0 → µ-law; 1 → A-law; 2 → A-law behind a
+    * JUNK chunk with an ODD unpadded final data chunk; 3 → fmt 7
+    * declaring 16 bits (malformed G.711 — refuses); 4 → plain text.
+    * One narrow map, zero exchanges.
+    */
+  def q171G711Audio(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.G711Ops
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val mode = when(id % 5 === 1, 1L).when(id % 5 === 2, 2L)
+      .when(id % 5 === 3, 3L).otherwise(0L)
+    val params = id + mode * lit(1L << 40)
+    val whole = G711Ops.g711Synth(params)
+    val payload = when(id % 5 === 4, col("text").cast("binary")).otherwise(whole)
+    docs.select(id, payload.as("_p"))
+      .select(id, G711Ops.g711Meta(col("_p")).as("_m"),
+        G711Ops.g711Stats(col("_p")).as("_s"))
+      .select(id,
+        when(shiftright(col("_m"), 36) === 1, "ulaw")
+          .when(shiftright(col("_m"), 36) === 2, "alaw").as("codec"),
+        col("_m").bitwiseAND(lit((1L << 36) - 1)).as("n_samples"),
+        shiftright(col("_s"), 17).as("sum_abs"),
+        col("_s").bitwiseAND(lit(0x1FFFFL)).cast("int").as("peak_abs"))
+      .select(id, col("codec"), col("n_samples"), col("sum_abs"),
+        col("peak_abs"),
+        when(col("n_samples") > 0,
+          expr("sum_abs * 100 div n_samples")).as("mean_x100"))
+  }
+
+  /** Q172: Netpbm (PNM) pixel decode — the UNCOMPRESSED interchange
+    * rung of the image family (P2/P5 PGM gray, P3/P6 PPM color — what
+    * scientific and vision pipelines still emit; the fourth lossless
+    * decode after BMP/PNG/GIF): a TOKENIZED header where `#` comments
+    * live anywhere whitespace can, ASCII rasters spanning ragged
+    * lines, binary rasters starting after EXACTLY ONE whitespace
+    * char, and the 16-bit trap — maxval > 255 makes every binary
+    * sample two bytes BIG-endian ([[graft.functions.PnmEval]]); luma
+    * folds in the file's OWN sample space (no maxval rescale, stated
+    * not guessed).
+    *
+    * Residue classes (%6): 0 → P5 gray; 1 → P6 RGB with header
+    * comments (q59's channel maps — the oracle reuses their residue
+    * algebra); 2 → P2 ASCII gray across ragged lines (must equal
+    * class 0's numbers for the same map); 3 → P5 maxval 1000
+    * (big-endian 16-bit samples); 4 → raster cut 3 bytes short (dims
+    * survive, stats refuse — q59's meta/stat split); 5 → plain text.
+    * One narrow map, zero exchanges.
+    */
+  def q172PnmPixels(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PnmOps
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val mode = when(id % 6 === 1, 1L).when(id % 6 === 2, 2L)
+      .when(id % 6 === 3, 3L).when(id % 6 === 4, 4L).otherwise(0L)
+    val params = id + mode * lit(1L << 40)
+    val whole = PnmOps.pnmSynth(params)
+    val payload = when(id % 6 === 5, col("text").cast("binary")).otherwise(whole)
+    docs.select(id, payload.as("_p"))
+      .select(id, PnmOps.pnmMeta(col("_p")).as("_m"),
+        PnmOps.pnmLuma(col("_p")).as("_l"))
+      .select(id,
+        when(shiftright(col("_m"), 44) === 2, "P2")
+          .when(shiftright(col("_m"), 44) === 3, "P3")
+          .when(shiftright(col("_m"), 44) === 5, "P5")
+          .when(shiftright(col("_m"), 44) === 6, "P6").as("format"),
+        shiftright(col("_m"), 14).bitwiseAND(lit(0x1FFFL)).cast("int")
+          .as("width"),
+        shiftright(col("_m"), 1).bitwiseAND(lit(0x1FFFL)).cast("int")
+          .as("height"),
+        shiftright(col("_m"), 27).bitwiseAND(lit(0x1FFFFL)).cast("int")
+          .as("maxval"),
+        col("_l").bitwiseAND(lit(0xFFFL)).cast("int").as("min_luma"),
+        shiftright(col("_l"), 12).bitwiseAND(lit(0xFFFL)).cast("int")
+          .as("max_luma"),
+        shiftrightunsigned(col("_l"), 24).as("sum_luma"))
+  }
+
+  /** Q168: data-URI image harvest — the inline-image layer of the
+    * crawl's image intake (real pages embed small images as
+    * `data:image/...;base64,` URIs; a pipeline that only follows
+    * `http` sources misses every inline figure and icon): extract
+    * data URIs from the page with comments stripped FIRST (a
+    * commented-out data URI binds nothing — q154's discipline),
+    * base64-decode, and route the BYTES through the pinned pixel
+    * decoders exactly as q127 does — where the routing verdict comes
+    * from the MAGIC BYTES, never the declared mime (class 2 declares
+    * `image/png` over GIF bytes and must report `gif` — the q114
+    * BOM-over-header precedence applied to images).
+    *
+    * Residue classes (%4): 0 → baseline-gray JPEG declared
+    * `image/jpeg`; 1 → five-filter RGB PNG declared `image/png`;
+    * 2 → GIF89a bytes behind a LYING `image/png` declaration;
+    * 3 → a page with an `https` img but NO data URI (n = 0, all
+    * decode columns NULL). Every page also carries a commented-out
+    * data URI decoy and an external-image decoy. The image bytes are
+    * the SAME synthesizers q118/q121/q124 pin, so the oracle unions
+    * their residue formulas (q127's stance) — the whole
+    * page→extract→base64→route→decode chain must land on numbers
+    * derived without touching a byte. One narrow map, zero exchanges.
+    */
+  def q168DataUriHarvest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{GifPixelOps, JpegPixelOps, PngPixelOps}
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val jw = (id % 3 + 1).cast("long")
+    val jh = (id % 2 + 1).cast("long")
+    val pw = (id % 6 + 1).cast("long")
+    val ph = (id % 4 + 1).cast("long")
+    val img = when(id % 4 === 0, JpegPixelOps.jpegSynth(id, jw + jh * 256))
+      .when(id % 4 === 1, PngPixelOps.pngSynth(id, pw + ph * 256 + lit(1L << 16)))
+      .when(id % 4 === 2, GifPixelOps.gifSynth(id, pw + ph * 256))
+    val declared = when(id % 4 === 0, "image/jpeg")
+      .otherwise("image/png") // class 2's LIE over GIF bytes
+    val page = when(id % 4 === 3,
+      concat(lit("<html><body><p>plain "), (id % 23).cast("string"),
+        lit("</p><img src=\"https://cdn.example.com/x"),
+        (id % 9).cast("string"), lit(".png\"></body></html>")))
+      .otherwise(concat(
+        lit("<html><body>" +
+          "<!-- <img src=\"data:image/png;base64,AAAA\"> -->" +
+          "<p>intro "),
+        (id % 23).cast("string"),
+        lit("</p><img alt=\"fig\" src=\"data:"), declared,
+        lit(";base64,"), base64(img),
+        lit("\"><img src=\"https://cdn.example.com/decoy.gif\">" +
+          "</body></html>")))
+    val uriRe = "src=\"data:([^;\"]+);base64,([^\"]*)\""
+    val staged = docs.select(id, page.as("_page"))
+      .withColumn("_s", regexp_replace(col("_page"), "(?s)<!--.*?-->", " "))
+      .withColumn("_n",
+        size(expr("regexp_extract_all(_s, 'src=\"data:([^;\"]+);base64,([^\"]*)\"', 0)")))
+      .withColumn("_mime",
+        when(col("_n") > 0, regexp_extract(col("_s"), uriRe, 1)))
+      .withColumn("_p",
+        when(col("_n") > 0, unbase64(regexp_extract(col("_s"), uriRe, 2))))
+      .withColumn("_jd", graft.functions.ImageOps.jpegDims(col("_p")))
+      .withColumn("_m", decodeImageMetaFrom(col("_p"), col("_jd")))
+      .withColumn("_l",
+        when(col("_m.format") === "jpeg", JpegPixelOps.jpegLuma(col("_p")))
+          .when(col("_m.format") === "png", PngPixelOps.pngLuma(col("_p")))
+          .when(col("_m.format") === "gif", GifPixelOps.gifLuma(col("_p"))))
+    staged.select(id,
+      col("_n").as("n_data_uris"),
+      col("_mime").as("declared_mime"),
+      // no URI -> no verdict (the meta struct's 'unknown' is for BYTES
+      // that match no magic, not for the absence of bytes)
+      when(col("_n") > 0, col("_m.format")).as("format"),
+      col("_m.width").as("width"),
+      col("_m.height").as("height"),
+      col("_l").bitwiseAND(lit(0xFF)).cast("int").as("min_luma"),
+      shiftright(col("_l"), 8).bitwiseAND(lit(0xFF)).cast("int").as("max_luma"),
+      shiftrightunsigned(col("_l"), 16).as("sum_luma"))
+  }
 }

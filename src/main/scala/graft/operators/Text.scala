@@ -1666,4 +1666,69 @@ object Text {
         length(col("text_out")).cast("bigint").as("n_chars"),
         md5(encode(col("text_out"), "UTF-8")).as("text_md5"))
   }
+
+  /** Q169: Unicode script mix — the language-MIX and SPOOFING read
+    * beside q27/q110's language ID (scripts are the orthogonal axis a
+    * multilingual mixing budget buckets by, and a WORD mixing scripts
+    * is the UTS #39 homoglyph confusable — `pаypаl` with Cyrillic а
+    * marks phishing and poisoning text in a crawl corpus): per-script
+    * letter counts over five EXPLICIT code-point ranges
+    * ([[graft.functions.ScriptMixEval]] — never the JDK's character
+    * tables, so the buckets are engine-version-independent), the
+    * dominant script by count with a fixed preference order on ties,
+    * and the mixed-script word count as a first-class quality bit.
+    *
+    * The corpus text is pure ASCII (verified), so every non-Latin
+    * letter below is PLANTED by residue (%6): 0 → base only;
+    * 1 → + Cyrillic "привет"; 2 → + Greek "αβγδε"; 3 → + CJK
+    * 中国語のは (han + kana fold into ONE bucket); 4 → + Arabic
+    * "مرحبا"; 5 → + the homoglyph word `pаypаl` (4 Latin + 2
+    * Cyrillic letters, exactly ONE mixed word). Oracle replays every
+    * count from the base's `[A-Za-z]` tally + the planted chr()
+    * arithmetic. One narrow map, zero exchanges.
+    */
+  def q169ScriptMix(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ScriptMixOps
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val base = coalesce(col("text"), lit(""))
+    // explicit escapes: the planted letters must be EXACTLY these code
+    // points (a lookalike Latin 'a' in the homoglyph word would
+    // silently un-mix it)
+    val planted = when(id % 6 === 1,
+      "\u043f\u0440\u0438\u0432\u0435\u0442") // privet
+      .when(id % 6 === 2, "\u03b1\u03b2\u03b3\u03b4\u03b5") // alpha..eps
+      .when(id % 6 === 3,
+        "\u4e2d\u56fd\u8a9e\u306e\u306f") // han x3 + kana x2
+      .when(id % 6 === 4,
+        "\u0645\u0631\u062d\u0628\u0627") // marhaba
+      .when(id % 6 === 5, "p\u0430yp\u0430l") // the homoglyph word
+      .otherwise("")
+    val text = concat(base, lit(" "), planted)
+    val staged = docs.select(id,
+      ScriptMixOps.scriptPack1(text).as("_p1"),
+      ScriptMixOps.scriptPack2(text).as("_p2"))
+      .select(id,
+        shiftright(col("_p1"), 40).bitwiseAND(lit(0xFFFFFFL)).as("n_latin"),
+        shiftright(col("_p1"), 20).bitwiseAND(lit(0xFFFFFL)).as("n_cyrillic"),
+        col("_p1").bitwiseAND(lit(0xFFFFFL)).as("n_greek"),
+        shiftright(col("_p2"), 36).bitwiseAND(lit(0xFFFFFFL)).as("n_cjk"),
+        shiftright(col("_p2"), 16).bitwiseAND(lit(0xFFFFFL)).as("n_arabic"),
+        shiftright(col("_p2"), 4).bitwiseAND(lit(0xFFFL)).cast("int")
+          .as("n_mixed_words"),
+        col("_p2").bitwiseAND(lit(0xFL)).cast("int").as("n_scripts"))
+    // dominant by count, ties to the fixed preference order
+    staged.select(id, col("n_latin"), col("n_cyrillic"), col("n_greek"),
+      col("n_cjk"), col("n_arabic"), col("n_scripts"),
+      when(col("n_scripts") === 0, lit(null).cast("string"))
+        .when(col("n_latin") >= greatest(col("n_cyrillic"), col("n_greek"),
+          col("n_cjk"), col("n_arabic")), "latin")
+        .when(col("n_cyrillic") >= greatest(col("n_greek"), col("n_cjk"),
+          col("n_arabic")), "cyrillic")
+        .when(col("n_greek") >= greatest(col("n_cjk"), col("n_arabic")),
+          "greek")
+        .when(col("n_cjk") >= col("n_arabic"), "cjk")
+        .otherwise("arabic").as("dominant_script"),
+      col("n_mixed_words"))
+  }
 }
