@@ -450,6 +450,47 @@ object Bootstrap {
     // exts` the sample-shape census across shards
     operators.Wds.q163WdsSamples(spark, dir)
       .createOrReplaceTempView("vw_wds_samples")
+    // the Avro manifest (q164): `WHERE truncated = 1` is the SQL-only
+    // spliced/cut container quarantine; `sum(n_records)` the row
+    // accounting a hand-off reconciles against the producer's count
+    sources.Avro.q164AvroIngest(spark, dir)
+      .createOrReplaceTempView("vw_avro_ingest")
+    // the zstd triage (q165): `sum(content_size)` sizes the decode
+    // job BEFORE paying it; `WHERE truncated = 1` the cut-download
+    // quarantine; `GROUP BY window_log` the decoder memory budget
+    sources.Zstd.q165ZstdTriage(spark, dir)
+      .createOrReplaceTempView("vw_zstd_triage")
+    // the lake self-audit (q166): `WHERE verified = 0` is the SQL-only
+    // lying-footer alarm; num_rows joins against ingest manifests
+    operators.Lake.q166ParquetFooter(spark, dir)
+      .createOrReplaceTempView("vw_parquet_footer")
+    // the IDN frontier read (q167): `WHERE idn_ok = 0` is the hostile-
+    // label quarantine; `GROUP BY uni_host` merges ACE/Unicode aliases
+    operators.Crawl.q167IdnHosts(spark, dir)
+      .createOrReplaceTempView("vw_idn_hosts")
+    // the inline-image manifest (q168): `WHERE format <> NULL-safe
+    // declared` reads mime-vs-magic lies; `sum(n_data_uris)` the
+    // inline-payload census
+    operators.Multimodal.q168DataUriHarvest(spark, dir)
+      .createOrReplaceTempView("vw_datauri_images")
+    // the script-mix read (q169): `WHERE n_mixed_words > 0` is the
+    // SQL-only homoglyph/spoof drop; `GROUP BY dominant_script` the
+    // script-mixture budget
+    operators.Text.q169ScriptMix(spark, dir)
+      .createOrReplaceTempView("vw_script_mix")
+    // the fuzzy-field pairs (q170): `WHERE dist = 1` is the typo-dup
+    // review queue exact hashing cannot see
+    operators.Dedup.q170FuzzyTitleDedup(spark, dir)
+      .createOrReplaceTempView("vw_fuzzy_titles")
+    // the telephony-audio manifest (q171): `sum(n_samples) / 8000` is
+    // the speech-hours read; `WHERE codec IS NULL` the non-G.711
+    // quarantine
+    operators.Multimodal.q171G711Audio(spark, dir)
+      .createOrReplaceTempView("vw_g711_audio")
+    // the PNM manifest (q172): the uncompressed-image quarantine
+    // (`WHERE format IS NOT NULL AND sum_luma IS NULL` = truncated)
+    operators.Multimodal.q172PnmPixels(spark, dir)
+      .createOrReplaceTempView("vw_pnm_stats")
   }
 
   /** Register the landing table + curated views over it — the TRANSFORM

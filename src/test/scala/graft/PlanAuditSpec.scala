@@ -1055,10 +1055,30 @@ class PlanAuditSpec extends AnyFunSuite {
       "q159" -> graft.operators.Multimodal.q159SvgMeta(spark, TestSpark.Sf0001),
       "q160" -> graft.sources.TfRecord.q160TfrecordIngest(spark, TestSpark.Sf0001),
       "q161" -> graft.sources.TfExample.q161TfExampleDecode(spark, TestSpark.Sf0001),
-      "q162" -> graft.operators.Multimodal.q162EbmlMeta(spark, TestSpark.Sf0001))
+      "q162" -> graft.operators.Multimodal.q162EbmlMeta(spark, TestSpark.Sf0001),
+      "q164" -> graft.sources.Avro.q164AvroIngest(spark, TestSpark.Sf0001),
+      "q165" -> graft.sources.Zstd.q165ZstdTriage(spark, TestSpark.Sf0001),
+      "q166" -> graft.operators.Lake.q166ParquetFooter(spark, TestSpark.Sf0001),
+      "q167" -> graft.operators.Crawl.q167IdnHosts(spark, TestSpark.Sf0001),
+      "q168" ->
+        graft.operators.Multimodal.q168DataUriHarvest(spark, TestSpark.Sf0001),
+      "q169" -> graft.operators.Text.q169ScriptMix(spark, TestSpark.Sf0001),
+      "q171" -> graft.operators.Multimodal.q171G711Audio(spark, TestSpark.Sf0001),
+      "q172" -> graft.operators.Multimodal.q172PnmPixels(spark, TestSpark.Sf0001))
     zeroes.foreach { case (name, df) =>
       assert(shuffles(df) === 0, s"$name grew a shuffle:\n${plan(df)}")
     }
+  }
+
+  test("q170 fuzzy dedup: banded variant join, never a cartesian") {
+    val df = graft.operators.Dedup.q170FuzzyTitleDedup(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    // variant-keyed join (both sides) + the candidate DISTINCT; the
+    // brute-force spelling the oracle runs would be a nested loop
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q170 must meet through band keys, never all-pairs:\n$p")
+    assert(shuffles(df) <= 3, s"q170 exchange budget blown:\n$p")
   }
 
   test("q163 wds assembly is ONE keyed aggregate over an exploded walk") {

@@ -143,7 +143,25 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "vw_ebml_meta" ->
         graft.operators.Multimodal.q162EbmlMeta(spark, TestSpark.Sf0001),
       "vw_wds_samples" ->
-        graft.operators.Wds.q163WdsSamples(spark, TestSpark.Sf0001))
+        graft.operators.Wds.q163WdsSamples(spark, TestSpark.Sf0001),
+      "vw_avro_ingest" ->
+        graft.sources.Avro.q164AvroIngest(spark, TestSpark.Sf0001),
+      "vw_zstd_triage" ->
+        graft.sources.Zstd.q165ZstdTriage(spark, TestSpark.Sf0001),
+      "vw_parquet_footer" ->
+        graft.operators.Lake.q166ParquetFooter(spark, TestSpark.Sf0001),
+      "vw_idn_hosts" ->
+        graft.operators.Crawl.q167IdnHosts(spark, TestSpark.Sf0001),
+      "vw_datauri_images" ->
+        graft.operators.Multimodal.q168DataUriHarvest(spark, TestSpark.Sf0001),
+      "vw_script_mix" ->
+        graft.operators.Text.q169ScriptMix(spark, TestSpark.Sf0001),
+      "vw_fuzzy_titles" ->
+        graft.operators.Dedup.q170FuzzyTitleDedup(spark, TestSpark.Sf0001),
+      "vw_g711_audio" ->
+        graft.operators.Multimodal.q171G711Audio(spark, TestSpark.Sf0001),
+      "vw_pnm_stats" ->
+        graft.operators.Multimodal.q172PnmPixels(spark, TestSpark.Sf0001))
     twins.foreach { case (view, df) =>
       val sql = canon(spark.sql(s"SELECT * FROM $view"))
       val api = canon(df)
