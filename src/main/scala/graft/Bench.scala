@@ -287,7 +287,10 @@ object Bench {
     // comes from SPARK_GRAFT_ROUND when the driver exports it, else
     // max(existing BENCH_r*.json) + 1 — the driver writes BENCH_r{N}
     // AFTER this bench runs, so +1 names the round in flight.
-    if (only.isEmpty) {
+    // Only a ROUND-scale sweep may stamp the committed record: a dev
+    // full-sweep at sf0.001 would otherwise clobber the sf0.1 artifact
+    // the judge reads (exactly the r14 failure mode, one level up).
+    if (only.isEmpty && sfDir.endsWith("sf0.1")) {
       val round = sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption)
         .getOrElse {
           val re = "BENCH_r(\\d+)\\.json".r

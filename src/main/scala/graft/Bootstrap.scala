@@ -491,6 +491,50 @@ object Bootstrap {
     // (`WHERE format IS NOT NULL AND sum_luma IS NULL` = truncated)
     operators.Multimodal.q172PnmPixels(spark, dir)
       .createOrReplaceTempView("vw_pnm_stats")
+    // the table-snapshot audit (q173): `WHERE n_bad_lines > 0` is the
+    // corrupt-log alarm; `sum(total_bytes)` the live-data accounting a
+    // capacity plan reads
+    operators.Lake.q173DeltaLogReplay(spark, dir)
+      .createOrReplaceTempView("vw_deltalog")
+    // the multimodal-shard manifest (q174): `WHERE has_image = 0` is
+    // the loader-skip audit; `sum(sum_luma)` reconciles pixel payloads
+    // across the shard fleet
+    operators.Wds.q174MediaShards(spark, dir)
+      .createOrReplaceTempView("vw_media_shards")
+    // the CBOR sidecar read (q175): `WHERE ok = 0` the corrupt-sidecar
+    // quarantine; `sum(sum_tags)` the label accounting
+    sources.Cbor.q175CborDecode(spark, dir)
+      .createOrReplaceTempView("vw_cbor_sidecars")
+    // the favicon census (q176): `WHERE has_png = 1` the modern-icon
+    // split; `WHERE is_ico = 1 AND n_valid IS NULL` the cut-download
+    // quarantine
+    operators.Multimodal.q176IcoMeta(spark, dir)
+      .createOrReplaceTempView("vw_ico_meta")
+    // the readability read (q177): `WHERE fk_grade_x100 > k` the
+    // expert-text mixture split; `avg(ttr_x100)` the diversity read
+    operators.Text.q177Readability(spark, dir)
+      .createOrReplaceTempView("vw_readability")
+    // the graph-structure read (q178): reciprocity separates organic
+    // linking from link-exchange rings
+    operators.Crawl.q178HostGraph(spark, dir)
+      .createOrReplaceTempView("vw_host_graph")
+    // the freshness plan (q179): `min(expiry_epoch)` is the next-due
+    // wakeup; `WHERE cacheable = 0` the always-refetch set
+    operators.Crawl.q179CacheFreshness(spark, dir)
+      .createOrReplaceTempView("vw_cache_freshness")
+    // the federated distinct read (q180): the `*ALL*` row is the
+    // merge-not-rescan rollup a shard fleet publishes
+    operators.Dedup.q180SketchDistinct(spark, dir)
+      .createOrReplaceTempView("vw_sketch_distinct")
+    // the quantified-subquery read (q181): the TPC-H Q21 waiting-
+    // supplier shape on the SQL surface
+    operators.Relational.q181ExistsWait(spark, dir)
+      .createOrReplaceTempView("vw_exists_wait")
+    // the card-leak audit (q182): `WHERE n_valid_cards > 0` is the
+    // real-leakage set; `n_candidates > n_valid_cards` the
+    // order-id-lookalike evidence
+    operators.Text.q182CardScan(spark, dir)
+      .createOrReplaceTempView("vw_card_scan")
   }
 
   /** Register the landing table + curated views over it — the TRANSFORM

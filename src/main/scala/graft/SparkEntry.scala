@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ingest.Envelope
-import graft.sources.{Avro, Csv, Docx, Epub, JsonLines, Mime, Pdf, Rtf, Tar, TfExample, TfRecord, Warc, Zip, Zstd}
+import graft.sources.{Avro, Cbor, Csv, Docx, Epub, JsonLines, Mime, Pdf, Rtf, Tar, TfExample, TfRecord, Warc, Zip, Zstd}
 import graft.operators.{Bibtex, Classifier, Crawl, Dedup, Feeds, HtmlTables, Lake, Latex, Markdown, Mojibake, Multimodal, Pipeline, Relational, Retrieval, Scale, Similarity, Sitemap, SqlSurface, Subtitles, Text, Wds}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -194,6 +194,16 @@ object SparkEntry {
     "q170_fuzzy_title_dedup" -> (Dedup.q170FuzzyTitleDedup _),
     "q171_g711_audio" -> (Multimodal.q171G711Audio _),
     "q172_pnm_pixels" -> (Multimodal.q172PnmPixels _),
+    "q173_deltalog_replay" -> (Lake.q173DeltaLogReplay _),
+    "q174_media_shards" -> (Wds.q174MediaShards _),
+    "q175_cbor_decode" -> (Cbor.q175CborDecode _),
+    "q176_ico_meta" -> (Multimodal.q176IcoMeta _),
+    "q177_readability" -> (Text.q177Readability _),
+    "q178_host_graph" -> (Crawl.q178HostGraph _),
+    "q179_cache_freshness" -> (Crawl.q179CacheFreshness _),
+    "q180_sketch_distinct" -> (Dedup.q180SketchDistinct _),
+    "q181_exists_wait" -> (Relational.q181ExistsWait _),
+    "q182_card_scan" -> (Text.q182CardScan _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -201,6 +211,9 @@ object SparkEntry {
     * AnnRecallSpec against the brute-force top-k),
     * q31_approx_distinct (HLL estimate — 5% tolerance vs q20 exact in
     * ApproxDistinctSpec),
+    * q180_sketch_distinct (Datasketches HLL — estimates are
+    * sketch-deterministic, not cross-engine constants; 5% gates + the
+    * union≡direct merge property in SketchMergeSpec),
     * q53_ann_quantized (int8-quantized ANN — recall gated in AnnRecallSpec
     * against both the brute-force and the exact-rerank top-k),
     * q73_ann_pq (PQ-ADC ANN — recall gated in AnnRecallSpec; resident
@@ -2642,6 +2655,240 @@ object SparkEntry {
         "FROM p LEFT JOIN g ON p.doc_id = g.doc_id AND p.m <> 4 " +
         "LEFT JOIN g16 ON p.doc_id = g16.doc_id " +
         "LEFT JOIN c ON p.doc_id = c.doc_id"),
+    // q173: every snapshot fact replays from doc_id arithmetic alone —
+    // the oracle never parses a JSON action, so a last-writer-wins,
+    // re-add-after-remove, latest-metaData, or quarantine slip in the
+    // replay cannot cancel
+    "q173_deltalog_replay" ->
+      ("WITH p AS (SELECT doc_id, doc_id % 3 AS m3, doc_id % 5 AS m5, " +
+        "doc_id % 7 AS m7, (doc_id % 97 + 1) * 1000 AS base " +
+        "FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(CASE WHEN m3 = 0 THEN 3 ELSE 2 END AS INTEGER) AS n_versions, " +
+        "CAST(CASE WHEN m3 = 0 THEN 4 ELSE 3 END AS INTEGER) AS n_live, " +
+        "CAST(1 AS INTEGER) AS n_tombstones, " +
+        "CAST(CASE WHEN m3 = 0 THEN 4 * base + 10 ELSE 3 * base + 5 END " +
+        "AS BIGINT) AS total_bytes, " +
+        "'meta-' || CAST(CASE WHEN m5 = 2 THEN doc_id % 50 + 100 " +
+        "ELSE doc_id % 50 END AS VARCHAR) AS latest_meta_id, " +
+        "CAST(CASE WHEN m7 = 5 THEN 1 ELSE 0 END AS INTEGER) " +
+        "AS n_bad_lines FROM p"),
+    // q174: q168's oracle union at the shard layer — caption md5s from
+    // corpus words, pixel stats from the three decoder families'
+    // residue formulas — so the tar→assemble→route→decode chain must
+    // land on numbers derived without touching a byte; the caption-only
+    // n-sample must assemble separately with no decode columns
+    "q174_media_shards" ->
+      ("WITH w AS (SELECT doc_id, list_filter(" +
+        "string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), " +
+        "x -> x <> '') AS ws FROM documents), " +
+        "p AS (SELECT doc_id, doc_id % 4 AS m, " +
+        "array_to_string(list_slice(ws, 1, 4), ' ') AS c0, " +
+        "array_to_string(list_slice(ws, 5, 7), ' ') AS c1 FROM w), " +
+        "ja AS (SELECT doc_id, " +
+        "CAST((doc_id % 3 + 1) * 8 AS INTEGER) AS w, " +
+        "CAST((doc_id % 2 + 1) * 8 AS INTEGER) AS h, " +
+        "64 * list_aggregate(pix, 'sum') AS s FROM (SELECT doc_id, " +
+        "list_transform(range(0, CAST((doc_id % 3 + 1) * (doc_id % 2 + 1) AS BIGINT)), " +
+        "k -> ((doc_id*31 + k*17) % 251) - 125 + 128) AS pix " +
+        "FROM documents WHERE doc_id % 4 = 0)), " +
+        "pa AS (SELECT doc_id, CAST(doc_id % 6 + 1 AS INTEGER) AS w, " +
+        "CAST(doc_id % 4 + 1 AS INTEGER) AS h, sum(luma) AS s " +
+        "FROM (SELECT doc_id, " +
+        "(299 * ((doc_id*2 + x + r*11) % 256) + " +
+        "587 * ((doc_id*3 + x*5 + r) % 256) + " +
+        "114 * ((doc_id + x*7 + r*13) % 256)) // 1000 AS luma " +
+        "FROM documents, " +
+        "UNNEST(range(0, CAST(doc_id % 6 + 1 AS BIGINT))) AS tx(x), " +
+        "UNNEST(range(0, CAST(doc_id % 4 + 1 AS BIGINT))) AS tr(r) " +
+        "WHERE doc_id % 4 = 1) GROUP BY doc_id), " +
+        "ga AS (SELECT doc_id, CAST(doc_id % 6 + 1 AS INTEGER) AS w, " +
+        "CAST(doc_id % 4 + 1 AS INTEGER) AS h, sum(luma) AS s " +
+        "FROM (SELECT doc_id, " +
+        "(299 * ((doc_id*2 + ((doc_id + x*3 + r*5) % 32)) % 256) + " +
+        "587 * ((doc_id*3 + ((doc_id + x*3 + r*5) % 32)*5) % 256) + " +
+        "114 * ((doc_id + ((doc_id + x*3 + r*5) % 32)*7) % 256)) // 1000 AS luma " +
+        "FROM documents, " +
+        "UNNEST(range(0, CAST(doc_id % 6 + 1 AS BIGINT))) AS tx(x), " +
+        "UNNEST(range(0, CAST(doc_id % 4 + 1 AS BIGINT))) AS tr(r) " +
+        "WHERE doc_id % 4 = 2) GROUP BY doc_id) " +
+        "SELECT p.doc_id, 'm' || p.doc_id AS sample_key, " +
+        "CAST(CASE WHEN p.m = 3 THEN 1 ELSE 2 END AS INTEGER) AS n_parts, " +
+        "CASE p.m WHEN 0 THEN 'jpg,txt' WHEN 1 THEN 'png,txt' " +
+        "WHEN 2 THEN 'gif,txt' ELSE 'txt' END AS exts, " +
+        "CAST(CASE WHEN p.m = 3 THEN 0 ELSE 1 END AS INTEGER) AS has_image, " +
+        "md5(p.c0) AS caption_md5, " +
+        "CASE p.m WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' WHEN 2 THEN 'gif' " +
+        "ELSE NULL END AS format, " +
+        "CAST(coalesce(ja.w, pa.w, ga.w) AS INTEGER) AS width, " +
+        "CAST(coalesce(ja.h, pa.h, ga.h) AS INTEGER) AS height, " +
+        "CAST(coalesce(ja.s, pa.s, ga.s) AS BIGINT) AS sum_luma " +
+        "FROM p LEFT JOIN ja ON p.doc_id = ja.doc_id " +
+        "LEFT JOIN pa ON p.doc_id = pa.doc_id " +
+        "LEFT JOIN ga ON p.doc_id = ga.doc_id " +
+        "UNION ALL " +
+        "SELECT doc_id, 'n' || doc_id, CAST(1 AS INTEGER), 'txt', " +
+        "CAST(0 AS INTEGER), md5(c1), NULL, NULL, NULL, NULL FROM p"),
+    // q175: every field replays from corpus words + doc_id arithmetic —
+    // the oracle never frames a CBOR byte, so a head-width, zigzag-less
+    // negint, indefinite-chunk, tag-transparency, or last-wins slip
+    // cannot cancel; the duplicate-key decoy losing is part of the hash
+    "q175_cbor_decode" ->
+      ("WITH w AS (SELECT doc_id, list_filter(" +
+        "string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), " +
+        "x -> x <> '') AS ws FROM documents), " +
+        "p AS (SELECT doc_id, doc_id % 5 AS m, " +
+        "ws[1] || ' ' || ws[2] || '#' || CAST(doc_id % 97 AS VARCHAR) AS p0 " +
+        "FROM w) " +
+        "SELECT doc_id, " +
+        "CAST(m IN (0, 1, 2) AS INTEGER) AS ok, " +
+        "CAST(CASE WHEN m = 2 THEN doc_id + 8589934592 " +
+        "WHEN m IN (0, 1) THEN doc_id * 1000 + 7 " +
+        "ELSE NULL END AS BIGINT) AS id_val, " +
+        "CAST(CASE WHEN m IN (0, 1, 2) THEN -(doc_id % 97) - 5 " +
+        "ELSE NULL END AS BIGINT) AS delta_val, " +
+        "CAST(CASE WHEN m IN (0, 1, 2) THEN 3 ELSE NULL END AS INTEGER) " +
+        "AS n_tags, " +
+        "CAST(CASE WHEN m IN (0, 1, 2) THEN " +
+        "doc_id % 5 + doc_id % 7 + doc_id % 11 ELSE NULL END AS BIGINT) " +
+        "AS sum_tags, " +
+        "CASE WHEN m IN (0, 1, 2) THEN md5(p0) ELSE NULL END AS text_md5 " +
+        "FROM p"),
+    // q176: every field replays from doc_id arithmetic alone — the
+    // 0-means-256 rule, the doubled-DIB-height cross-check, the
+    // past-EOF liar costing exactly one valid entry, and the
+    // cut-directory refusal are all in the hash
+    "q176_ico_meta" ->
+      ("WITH p AS (SELECT doc_id, doc_id % 5 AS m FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(m IN (0, 1, 2, 3) AS INTEGER) AS is_ico, " +
+        "CAST(CASE WHEN m = 0 THEN 2 WHEN m = 1 THEN 1 WHEN m = 2 THEN 3 " +
+        "WHEN m = 3 THEN 2 ELSE NULL END AS INTEGER) AS n_images, " +
+        "CAST(CASE WHEN m = 0 THEN 2 WHEN m = 1 THEN 1 WHEN m = 2 THEN 2 " +
+        "ELSE NULL END AS INTEGER) AS n_valid, " +
+        "CAST(CASE WHEN m = 0 THEN 32 WHEN m = 1 THEN 256 " +
+        "WHEN m = 2 THEN 48 ELSE NULL END AS INTEGER) AS max_width, " +
+        "CAST(CASE WHEN m = 0 THEN 32 WHEN m = 1 THEN 32 WHEN m = 2 THEN 24 " +
+        "ELSE NULL END AS INTEGER) AS max_bpp, " +
+        "CAST(CASE WHEN m = 0 THEN 0 WHEN m IN (1, 2) THEN 1 " +
+        "ELSE NULL END AS INTEGER) AS has_png FROM p"),
+    // q177: the oracle recounts sentences, words, vowel-run syllables
+    // and distinct tokens with its own regex engine and replays the
+    // integer x100 grade formula — a counting or floor-division slip
+    // cannot cancel
+    "q177_readability" ->
+      ("WITH w AS (SELECT doc_id, text, list_filter(" +
+        "string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), " +
+        "x -> x <> '') AS ws FROM documents), " +
+        "c AS (SELECT doc_id, " +
+        "greatest(len(regexp_extract_all(coalesce(text, ''), " +
+        "'[.!?]+')), 1) AS s, " +
+        "len(ws) AS wn, " +
+        "len(regexp_extract_all(lower(coalesce(text, '')), '[aeiouy]+')) + " +
+        "len(list_filter(ws, x -> NOT regexp_matches(x, '[aeiouy]'))) AS sy, " +
+        "len(list_distinct(ws)) AS nd FROM w) " +
+        "SELECT doc_id, CAST(s AS BIGINT) AS n_sentences, " +
+        "CAST(wn AS BIGINT) AS n_words, CAST(sy AS BIGINT) AS n_syllables, " +
+        "CAST(CASE WHEN wn > 0 THEN 39 * wn // s + 1180 * sy // wn - 1559 " +
+        "ELSE NULL END AS BIGINT) AS fk_grade_x100, " +
+        "CAST(CASE WHEN wn > 0 THEN nd * 100 // wn ELSE NULL END AS BIGINT) " +
+        "AS ttr_x100 FROM c"),
+    // q178: the oracle replays the whole graph through DuckDB joins
+    // over the SAME link-CTE prefix q96 splices — edges, mutual
+    // pairs, and the ordered (a < b < c) triangle join — so an
+    // edge-derivation, self-loop, dedup, or ordering slip cannot
+    // cancel
+    "q178_host_graph" ->
+      ("WITH " + linkCtes + ", " +
+        "e0 AS (SELECT DISTINCT 'site' || (doc_id % 40) || " +
+        "'.example.com' AS src, " +
+        "regexp_extract(canonical_url, '^[a-z]+://([^/:?#]+)', 1) AS dst " +
+        "FROM c WHERE canonical_url IS NOT NULL), " +
+        "e2 AS (SELECT * FROM e0 WHERE src <> dst), " +
+        "v AS (SELECT src AS h FROM e2 UNION SELECT dst FROM e2), " +
+        "u AS (SELECT DISTINCT least(src, dst) AS a, " +
+        "greatest(src, dst) AS b FROM e2), " +
+        "m AS (SELECT count(*) AS nm FROM e2 x JOIN e2 y " +
+        "ON x.src = y.dst AND x.dst = y.src WHERE x.src < x.dst), " +
+        "t AS (SELECT count(*) AS nt FROM u p JOIN u q ON p.b = q.a " +
+        "JOIN u r ON r.a = p.a AND r.b = q.b) " +
+        "SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_hosts, " +
+        "CAST((SELECT count(*) FROM e2) AS BIGINT) AS n_edges, " +
+        "CAST(m.nm AS BIGINT) AS n_mutual, " +
+        "CAST(t.nt AS BIGINT) AS n_triangles, " +
+        "CAST(200 * m.nm // (SELECT count(*) FROM e2) AS BIGINT) " +
+        "AS reciprocity_x100 FROM m, t"),
+    // q179: every verdict replays from doc_id arithmetic alone — the
+    // s-maxage-over-max-age precedence, the invalid-value fall-through,
+    // the no-store/no-cache split, the IMF-fixdate round trip and the
+    // /10 heuristic are all in the hash
+    "q179_cache_freshness" ->
+      ("WITH p AS (SELECT doc_id, doc_id % 6 AS m, " +
+        "1700000000 + (doc_id % 1000) * 37 AS d FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(CASE WHEN m = 3 THEN 0 ELSE 1 END AS INTEGER) AS cacheable, " +
+        "CAST(CASE WHEN m = 5 THEN 1 ELSE 0 END AS INTEGER) AS must_reval, " +
+        "CASE m WHEN 0 THEN 'max-age' WHEN 1 THEN 's-maxage' " +
+        "WHEN 2 THEN 'expires' WHEN 3 THEN 'no-store' " +
+        "WHEN 4 THEN 'heuristic' ELSE 'expires' END AS method, " +
+        "CAST(CASE m WHEN 0 THEN 60 + doc_id % 600 " +
+        "WHEN 1 THEN 120 + doc_id % 300 " +
+        "WHEN 2 THEN 3600 + doc_id % 1800 " +
+        "WHEN 3 THEN 0 " +
+        "WHEN 4 THEN 8640 * (1 + doc_id % 10) " +
+        "ELSE 600 + doc_id % 60 END AS BIGINT) AS lifetime_s, " +
+        "CAST(CASE WHEN m = 3 THEN NULL ELSE d + (CASE m " +
+        "WHEN 0 THEN 60 + doc_id % 600 WHEN 1 THEN 120 + doc_id % 300 " +
+        "WHEN 2 THEN 3600 + doc_id % 1800 " +
+        "WHEN 4 THEN 8640 * (1 + doc_id % 10) " +
+        "ELSE 600 + doc_id % 60 END) END AS BIGINT) AS expiry_epoch FROM p"),
+    // q181: the oracle is the TEXTBOOK correlated spelling — EXISTS /
+    // NOT EXISTS subqueries DuckDB decorrelates its own way — against
+    // the engine's semi/anti join plan, so a quantifier-polarity,
+    // inequality, or correlation slip cannot cancel
+    "q181_exists_wait" ->
+      ("SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait " +
+        "FROM supplier s, lineitem l1, orders o " +
+        "WHERE s.s_suppkey = l1.l_suppkey " +
+        "AND o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F' " +
+        "AND l1.l_returnflag = 'R' " +
+        "AND EXISTS (SELECT 1 FROM lineitem l2 " +
+        "WHERE l2.l_orderkey = l1.l_orderkey " +
+        "AND l2.l_suppkey <> l1.l_suppkey) " +
+        "AND NOT EXISTS (SELECT 1 FROM lineitem l3 " +
+        "WHERE l3.l_orderkey = l1.l_orderkey " +
+        "AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R') " +
+        "GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 20"),
+    // q182: the oracle rebuilds the planted digits, closes the Luhn
+    // check itself in SQL arithmetic, and reassembles the redacted
+    // text per class — a doubling-parity, boundary-guard, separator,
+    // or evidence-preservation slip cannot cancel
+    "q182_card_scan" ->
+      ("WITH b AS (SELECT doc_id, doc_id % 5 AS m, " +
+        "regexp_replace(coalesce(text, ''), '[0-9]', '', 'g') AS base " +
+        "FROM documents), " +
+        "k AS (SELECT doc_id, m, base, " +
+        "array_to_string(list_transform(range(0, 15), " +
+        "i -> CAST((doc_id*7 + i*3) % 10 AS VARCHAR)), '') AS pre, " +
+        "list_aggregate(list_transform(range(0, 15), i -> CASE " +
+        "WHEN i % 2 = 0 THEN CASE WHEN 2*((doc_id*7 + i*3) % 10) > 9 " +
+        "THEN 2*((doc_id*7 + i*3) % 10) - 9 " +
+        "ELSE 2*((doc_id*7 + i*3) % 10) END " +
+        "ELSE (doc_id*7 + i*3) % 10 END), 'sum') AS s15 FROM b), " +
+        "c AS (SELECT doc_id, m, base, pre, " +
+        "(10 - s15 % 10) % 10 AS chk FROM k), " +
+        "t AS (SELECT doc_id, m, base, pre || chk AS card, " +
+        "pre || ((chk + 1) % 10) AS bad FROM c) " +
+        "SELECT doc_id, " +
+        "CAST(CASE WHEN m IN (1, 2, 3) THEN 1 ELSE 0 END AS INTEGER) " +
+        "AS n_candidates, " +
+        "CAST(CASE WHEN m IN (1, 3) THEN 1 ELSE 0 END AS INTEGER) " +
+        "AS n_valid_cards, " +
+        "md5(CASE " +
+        "WHEN m IN (1, 3) THEN base || ' card [CARD] end' " +
+        "WHEN m = 2 THEN base || ' card ' || bad || ' end' " +
+        "WHEN m = 4 THEN base || ' num ' || card || '123 end' " +
+        "ELSE base END) AS redacted_md5 FROM t"),
     // q133: the oracle re-synthesizes the expected text from corpus
     // words alone (8-word paragraphs, the entity drill and field-code
     // paragraph as decoded constants, the br class's split paragraph 0)

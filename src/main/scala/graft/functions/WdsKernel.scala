@@ -84,6 +84,47 @@ object WdsEval {
     }
     bytes
   }
+
+  /** Synthesize a q174 MEDIA shard: the q163 layout carrying REAL
+    * image members (the q118/q121/q124 synthesizers, q127's residue
+    * parameters) beside their captions. `params` packs
+    * `doc_id | mode<<40` (mode = doc_id % 4): 0 -> baseline-gray
+    * JPEG `.jpg`; 1 -> five-filter RGB PNG `.png`; 2 -> GIF89a
+    * `.gif`; 3 -> NO image member (the caption-only incomplete
+    * sample). Members interleave two samples (`m<id>` with the
+    * image + caption, `n<id>` caption-only) so assembly must be the
+    * keyed aggregate, never a streaming window.
+    */
+  def mediaSynth(text: Array[Byte], params: Long): Array[Byte] = {
+    val id = params & ((1L << 40) - 1)
+    val mode = (params >> 40).toInt
+    val ws = words(text)
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val cap0 = ws.slice(0, 4).mkString(" ").getBytes(utf8)
+    val cap1 = ws.slice(4, 7).mkString(" ").getBytes(utf8)
+    val jw = (id % 3 + 1).toInt
+    val jh = (id % 2 + 1).toInt
+    val pw = (id % 6 + 1).toInt
+    val ph = (id % 4 + 1).toInt
+    val img: (String, Array[Byte]) = mode match {
+      case 0 => ("jpg", JpegPixelEval.synthAny(id, jw, jh, 0, 0))
+      case 1 => ("png", PngPixelEval.synth(id, pw, ph, 1))
+      case 2 => ("gif", GifPixelEval.synth(id, pw, ph, 0))
+      case _ => (null, null)
+    }
+    val out = new java.io.ByteArrayOutputStream(16 * 512)
+    def m(name: String, content: Array[Byte]): Unit = {
+      TarEval.writeHeader(out, name, "", content.length, '0', oldGnu = false)
+      out.write(content, 0, content.length)
+      TarEval.pad(out, content.length)
+    }
+    // interleaved on purpose: m-caption, n-caption, m-image
+    m(s"m$id.txt", cap0)
+    m(s"n$id.txt", cap1)
+    if (img._1 != null) m(s"m$id." + img._1, img._2)
+    out.write(new Array[Byte](1024), 0, 1024)
+    out.toByteArray
+  }
 }
 
 /** `(binary text, long params) -> binary`: q163's shard synthesis. */
@@ -105,6 +146,26 @@ case class WdsSynth(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `(binary text, long params) -> binary`: q174's MEDIA shard. */
+case class WdsMediaSynth(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_wds_media_synth"
+
+  override protected def nullSafeEval(text: Any, params: Any): Any =
+    WdsEval.mediaSynth(text.asInstanceOf[Array[Byte]],
+      params.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, p) => s"graft.functions.WdsEval.mediaSynth($t, $p)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WdsMediaSynth =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column surface for the WebDataset synthesizer. */
 object WdsOps {
   import org.apache.spark.sql.Column
@@ -112,6 +173,11 @@ object WdsOps {
 
   def wdsSynth(text: Column, params: Column): Column =
     ColumnBridge.column(WdsSynth(
+      ColumnBridge.expression(text.cast("binary")),
+      ColumnBridge.expression(params.cast("long"))))
+
+  def wdsMediaSynth(text: Column, params: Column): Column =
+    ColumnBridge.column(WdsMediaSynth(
       ColumnBridge.expression(text.cast("binary")),
       ColumnBridge.expression(params.cast("long"))))
 }

@@ -1505,6 +1505,112 @@ object Crawl {
           (col("canonical_url") === col("_s")).cast("int")).as("is_self"))
   }
 
+  /** Q178: host-graph structure — the reciprocity and triangle read
+    * beside q96's PageRank (link-graph OBSERVABILITY: reciprocity
+    * separates organic linking from link-exchange spam rings, and the
+    * triangle count is the clustering signal community detection
+    * starts from): over the SAME distinct host→host edges q96 ranks
+    * (shared `resolvedLinks` derivation — the two views cannot
+    * drift), self-loops dropped: mutual pairs (a→b AND b→a), the
+    * undirected projection's triangle count via the ordered
+    * three-way join (a < b < c — each triangle counted once, the
+    * node-iterator algebra), and integer reciprocity
+    * `200·mutual div edges`.
+    *
+    * Shape at scale: edges checkpoint once (four consumers), every
+    * join keys on host pairs (edges-sized, never corpus-sized), the
+    * result is ONE row. Oracle replays the whole graph — edges,
+    * mutuals, ordered triangles — through DuckDB joins over the
+    * shared link-CTE prefix (a structurally different execution of
+    * the same algebra).
+    */
+  def q178HostGraph(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val edges = resolvedLinks(docs)
+      .where(col("canonical_url").isNotNull)
+      .select(concat(lit("site"), (col("doc_id") % 40).cast("string"),
+        lit(".example.com")).as("src"),
+        Text.hostOf(col("canonical_url")).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    val nHosts = edges.select(col("src").as("h"))
+      .union(edges.select(col("dst").as("h"))).distinct()
+      .agg(count(lit(1)).as("n_hosts"))
+    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+    val e1 = edges.select(col("src").as("s1"), col("dst").as("d1"))
+    val e2 = edges.select(col("src").as("s2"), col("dst").as("d2"))
+    val nMutual = e1.join(e2, col("s1") === col("d2") && col("d1") === col("s2"))
+      .filter(col("s1") < col("d1"))
+      .agg(count(lit(1)).as("n_mutual"))
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint()
+    val p = und.select(col("a").as("xa"), col("b").as("xb"))
+    val q = und.select(col("a").as("ya"), col("b").as("yb"))
+    val r = und.select(col("a").as("za"), col("b").as("zb"))
+    val nTri = p.join(q, col("xb") === col("ya"))
+      .join(r, col("za") === col("xa") && col("zb") === col("yb"))
+      .agg(count(lit(1)).as("n_triangles"))
+    nHosts.crossJoin(nEdges).crossJoin(nMutual).crossJoin(nTri)
+      .select(col("n_hosts"), col("n_edges"), col("n_mutual"),
+        col("n_triangles"),
+        expr("200 * n_mutual div n_edges").as("reciprocity_x100"))
+  }
+
+  /** Q179: HTTP cache freshness — the recrawl-economics judgment
+    * between q99's envelope and q113's revisit policy (a crawler IS a
+    * shared cache; mis-reading freshness either hammers servers or
+    * serves stale corpora): RFC 9111 precedence over parsed headers —
+    * `no-store` forbids caching, `s-maxage` OUTRANKS `max-age` for a
+    * shared cache, then `Expires − Date` (IMF-fixdate through real
+    * civil-date arithmetic), then the heuristic
+    * `(Date − Last-Modified)/10`; an INVALID delta-seconds falls
+    * through to the next rung; `no-cache` is a revalidation bit, not
+    * a storage ban ([[graft.functions.CacheEval]]).
+    *
+    * Residue classes (%6): 0 → max-age; 1 → s-maxage beating a
+    * max-age decoy; 2 → Expires only; 3 → no-store beside a max-age
+    * that must NOT matter; 4 → heuristic; 5 → `max-age=abc` falling
+    * through to Expires + no-cache. Odd ids spell header names
+    * lowercase (case-fold drill); every class carries `Age` and
+    * `X-Max-Age` lookalike decoys. Oracle replays every verdict and
+    * lifetime from doc_id arithmetic. One narrow map, zero
+    * exchanges.
+    */
+  def q179CacheFreshness(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CacheOps
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val mode = when(id % 6 === 1, 1L).when(id % 6 === 2, 2L)
+      .when(id % 6 === 3, 3L).when(id % 6 === 4, 4L)
+      .when(id % 6 === 5, 5L).otherwise(0L)
+    val params = id + mode * lit(1L << 40)
+    docs.select(id, CacheOps.cacheSynth(params).as("_h"))
+      .select(id, CacheOps.cacheMeta(col("_h")).as("_m"),
+        CacheOps.cacheDate(col("_h")).as("_d"))
+      .select(id,
+        shiftright(col("_m"), 3).bitwiseAND(lit(1L)).cast("int")
+          .as("cacheable"),
+        shiftright(col("_m"), 4).bitwiseAND(lit(1L)).cast("int")
+          .as("must_reval"),
+        shiftright(col("_m"), 5).bitwiseAND(lit(7L)).cast("int").as("_me"),
+        shiftright(col("_m"), 8).as("lifetime_s"),
+        col("_d").as("_date"))
+      .select(id, col("cacheable"), col("must_reval"),
+        when(col("_me") === 0, "no-store")
+          .when(col("_me") === 1, "s-maxage")
+          .when(col("_me") === 2, "max-age")
+          .when(col("_me") === 3, "expires")
+          .when(col("_me") === 4, "heuristic")
+          .when(col("_me") === 5, "none").as("method"),
+        col("lifetime_s"),
+        when(col("cacheable") === 1, col("_date") + col("lifetime_s"))
+          .as("expiry_epoch"))
+  }
+
   /** Q167: IDN host decode — the internationalized-domain rung of the
     * frontier family (q91 canonicalizes, q68 blocklists, q98 gates —
     * all keyed on the HOST, and an `xn--` ACE spelling that never

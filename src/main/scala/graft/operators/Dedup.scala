@@ -520,6 +520,36 @@ object Dedup {
     Tables.load(spark, dir, "documents")
       .agg(approx_count_distinct(col("text")).as("approx_distinct_texts"))
 
+  /** Q180: MERGEABLE sketch distinct — the federated-lake rung above
+    * q31's single-shot estimate (a 100 TB lake counts distincts
+    * per-shard and MERGES: re-scanning the union for every rollup is
+    * the anti-pattern; mergeable sketches are why Datasketches HLL
+    * exists): per-source `hll_sketch_agg` (lgK 12) builds ONE
+    * kilobyte-scale sketch per shard, `hll_union_agg` folds them into
+    * the corpus-wide estimate WITHOUT touching a row again — the
+    * published rows are the per-source estimates plus the `*ALL*`
+    * union row. No SQL oracle (the estimate is sketch-deterministic,
+    * not a cross-engine constant — q31's stance): SketchMergeSpec
+    * gates each estimate within 5% of the exact distinct AND pins the
+    * merge property — the union-of-sketches estimate tracks sketching
+    * the whole corpus directly within sketch precision (the union's
+    * coupon-to-register promotion can move it a hair; measured 504 vs
+    * 501 at sf0.001).
+    */
+  def q180SketchDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val perSource = docs.groupBy(col("source"))
+      .agg(expr("hll_sketch_agg(text, 12)").as("sk"))
+    val bySource = perSource
+      .select(col("source"),
+        expr("hll_sketch_estimate(sk)").as("est_distinct"))
+    val all = perSource
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))")
+        .as("est_distinct"))
+      .select(lit("*ALL*").as("source"), col("est_distinct"))
+    bySource.unionAll(all)
+  }
+
   /** Q70: EXACT SUBSTRING deduplication (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better", §ExactSubstr): any
     * word-8-gram occurring MORE THAN ONCE corpus-wide marks its 8-token
@@ -805,17 +835,10 @@ object Dedup {
     * distance 1, (sub, ins) sits at distance 2 and must NOT appear.
     * Bounded `doc_id < 2000` (q24's discipline).
     */
-  def q170FuzzyTitleDedup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
-      .filter(col("doc_id") < 2000)
-    val base = concat(lit("doc "),
-      substring(md5(expr("CAST(doc_id div 3 AS STRING)")), 1, 8))
-    val titles = docs.select(col("doc_id"), base.as("_b"))
-      .select(col("doc_id"),
-        when(col("doc_id") % 3 === 1,
-          concat(expr("substring(_b, 1, length(_b) - 1)"), lit("z")))
-          .when(col("doc_id") % 3 === 2, concat(col("_b"), lit("q")))
-          .otherwise(col("_b")).as("title"))
+  /** q170's operator in frame form: `(doc_id, title)` in, confirmed
+    * pairs `(a_id, b_id, dist <= 1)` out — consumed by the contract
+    * query and by ScaleSpec's decade probe. */
+  def fuzzyPairsOn(titles: DataFrame): DataFrame = {
     val variants = titles
       .select(col("doc_id"), col("title"),
         explode(sequence(lit(0), length(col("title")))).as("i"))
@@ -834,4 +857,21 @@ object Dedup {
       .select(col("a_id"), col("b_id"),
         levenshtein(col("_ta"), col("_tb")).as("dist"))
   }
+
+  /** q170's deterministic title synthesis over any id frame (groups
+    * of three: base / substitution / insertion). */
+  def fuzzyTitlesOn(ids: DataFrame): DataFrame = {
+    val base = concat(lit("doc "),
+      substring(md5(expr("CAST(doc_id div 3 AS STRING)")), 1, 8))
+    ids.select(col("doc_id"), base.as("_b"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 1,
+          concat(expr("substring(_b, 1, length(_b) - 1)"), lit("z")))
+          .when(col("doc_id") % 3 === 2, concat(col("_b"), lit("q")))
+          .otherwise(col("_b")).as("title"))
+  }
+
+  def q170FuzzyTitleDedup(spark: SparkSession, dir: String): DataFrame =
+    fuzzyPairsOn(fuzzyTitlesOn(
+      Tables.load(spark, dir, "documents").filter(col("doc_id") < 2000)))
 }

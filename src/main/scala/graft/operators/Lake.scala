@@ -51,4 +51,97 @@ object Lake {
           .otherwise(shiftright(col("_m"), 1).bitwiseAND(lit(1L)))
           .cast("int").as("verified"))
   }
+
+  /** Q173: transaction-log snapshot reconstruction — the Delta-protocol
+    * read every lakehouse client performs before touching a byte of
+    * data (the `_delta_log` JSON actions ARE the table; a reader that
+    * replays them wrong reads deleted files or misses live ones):
+    * per-version JSON action lines (`add` / `remove` / `metaData` /
+    * `protocol` / `commitInfo`) replay with LAST-WRITER-WINS per file
+    * path — a file is LIVE iff its latest action is an `add`, and the
+    * drill is a path REMOVED in one version and RE-ADDED in a later
+    * one (a set-subtract reader tombstones it forever); `metaData`
+    * takes the latest version's id; a malformed line quarantines
+    * (counted, never poisons the snapshot — the q76 corrupt-as-data
+    * stance); non-action lines (protocol/commitInfo) are structural.
+    *
+    * Residue classes: every log has v0 (3 adds + metaData) and v1
+    * (1 remove + 1 add); `%3 == 0` adds v2 which REMOVES f0 and
+    * RE-ADDS the f1 that v1 removed (+ a fresh f4); `%5 == 2` writes
+    * a REPLACEMENT metaData in v1 (latest wins); `%7 == 5` splices a
+    * malformed line into v1. Oracle replays file indices, sizes, and
+    * ids from doc_id arithmetic alone — it never parses JSON.
+    *
+    * Shape at scale: actions shuffle ONCE keyed by (doc=table, path)
+    * — exactly how a distributed log replay shards — the per-path
+    * winner is a `max_by` over (version, line) order, and the
+    * table-level rollup + line-level audit ride doc-keyed aggregates
+    * (<= 4 exchanges pinned, no NLJ).
+    */
+  def q173DeltaLogReplay(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val base = (id % 97 + 1) * 1000
+    def f(i: Int) =
+      concat(lit("part-" + i + "-"), id.cast("string"), lit(".parquet"))
+    def addLine(v: Int, i: Int) = concat(
+      lit(v + "|{\"add\":{\"path\":\""), f(i),
+      lit("\",\"size\":"), (base + i).cast("string"),
+      lit(",\"dataChange\":true}}\n"))
+    def rmLine(v: Int, i: Int) = concat(
+      lit(v + "|{\"remove\":{\"path\":\""), f(i),
+      lit("\",\"deletionTimestamp\":42,\"dataChange\":true}}\n"))
+    val blob = concat(
+      lit("0|{\"protocol\":{\"minReaderVersion\":1}}\n"),
+      concat(lit("0|{\"metaData\":{\"id\":\"meta-"),
+        (id % 50).cast("string"), lit("\"}}\n")),
+      addLine(0, 0), addLine(0, 1), addLine(0, 2),
+      lit("1|{\"commitInfo\":{\"operation\":\"WRITE\"}}\n"),
+      rmLine(1, 1), addLine(1, 3),
+      when(id % 5 === 2, concat(lit("1|{\"metaData\":{\"id\":\"meta-"),
+        (id % 50 + 100).cast("string"), lit("\"}}\n"))).otherwise(""),
+      when(id % 7 === 5, lit("1|{corrupt json line\n")).otherwise(""),
+      when(id % 3 === 0, concat(rmLine(2, 0), addLine(2, 1), addLine(2, 4)))
+        .otherwise(""))
+
+    val lines = docs.select(id, posexplode(split(blob, "\n")).as(Seq("idx", "l")))
+      .filter(length(col("l")) > 0)
+      .select(id, col("idx"),
+        substring_index(col("l"), "|", 1).cast("int").as("version"),
+        expr("substring(l, instr(l, '|') + 1, 1000000)").as("json"))
+      .withColumn("bad", get_json_object(col("json"), "$").isNull.cast("int"))
+      .withColumn("add_path", get_json_object(col("json"), "$.add.path"))
+      .withColumn("add_size",
+        get_json_object(col("json"), "$.add.size").cast("long"))
+      .withColumn("rm_path", get_json_object(col("json"), "$.remove.path"))
+      .withColumn("meta_id", get_json_object(col("json"), "$.metaData.id"))
+
+    // per-table audit: versions, corrupt lines, latest metaData
+    val audit = lines.groupBy(col("doc_id"))
+      .agg(countDistinct(col("version")).as("n_versions"),
+        sum(col("bad")).cast("int").as("n_bad_lines"),
+        max_by(col("meta_id"), when(col("meta_id").isNotNull,
+          struct(col("version"), col("idx")))).as("latest_meta_id"))
+
+    // per-path winner: last writer (version, line) wins
+    val actions = lines
+      .filter(col("add_path").isNotNull || col("rm_path").isNotNull)
+      .select(col("doc_id"),
+        coalesce(col("add_path"), col("rm_path")).as("path"),
+        col("version"), col("idx"),
+        col("add_path").isNotNull.as("is_add"), col("add_size"))
+    val winners = actions.groupBy(col("doc_id"), col("path"))
+      .agg(max_by(struct(col("is_add"), col("add_size")),
+        struct(col("version"), col("idx"))).as("w"))
+    val snapshot = winners.groupBy(col("doc_id"))
+      .agg(sum(col("w.is_add").cast("int")).cast("int").as("n_live"),
+        sum(when(!col("w.is_add"), 1).otherwise(0)).cast("int")
+          .as("n_tombstones"),
+        sum(when(col("w.is_add"), col("w.add_size"))).as("total_bytes"))
+
+    snapshot.join(audit, "doc_id")
+      .select(col("doc_id"), col("n_versions").cast("int").as("n_versions"),
+        col("n_live"), col("n_tombstones"), col("total_bytes"),
+        col("latest_meta_id"), col("n_bad_lines"))
+  }
 }

@@ -1777,6 +1777,53 @@ object Multimodal {
         col("duration_ms"))
   }
 
+  /** Q176: ICO (favicon) metadata — the highest-request-frequency
+    * image artifact on the web (`/favicon.ico` on every crawled
+    * site): the directory-of-images walk with the format's traps —
+    * width/height bytes where 0 means 256, payloads that are EITHER
+    * embedded PNGs (magic-sniffed) or BMP DIBs whose header height is
+    * DOUBLED for the AND mask (cross-checked `dibH == 2·entryH`; a
+    * reader trusting biHeight reports classic icons twice as tall),
+    * per-entry bounds refusal (a lying offset kills that entry,
+    * siblings serve — q132's stance), and whole refusal on a
+    * mid-directory cut ([[graft.functions.IcoEval]]).
+    *
+    * Residue classes (%5): 0 → two DIB entries (16@4bpp, 32@32bpp);
+    * 1 → one PNG entry with the 0-means-256 byte; 2 → PNG + DIB + a
+    * past-EOF liar (n = 3, valid = 2); 3 → directory cut (declared
+    * count survives, the rest refuses); 4 → plain text. Oracle
+    * replays every field from doc_id arithmetic. One narrow map,
+    * zero exchanges.
+    */
+  def q176IcoMeta(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IcoOps
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val mode = when(id % 5 === 1, 1L).when(id % 5 === 2, 2L)
+      .when(id % 5 === 3, 3L).otherwise(0L)
+    val params = id + mode * lit(1L << 40)
+    val whole = IcoOps.icoSynth(params)
+    val payload = when(id % 5 === 4, col("text").cast("binary")).otherwise(whole)
+    docs.select(id, payload.as("_p"))
+      .select(id, IcoOps.icoMeta(col("_p")).as("_m"))
+      .select(id,
+        col("_m").isNotNull.cast("int").as("is_ico"),
+        shiftright(col("_m"), 32).bitwiseAND(lit(0xFFL)).cast("int")
+          .as("n_images"),
+        (shiftright(col("_m"), 24).bitwiseAND(lit(0xFFL)) - 1).cast("int")
+          .as("_nv"),
+        shiftright(col("_m"), 15).bitwiseAND(lit(0x1FFL)).cast("int")
+          .as("_mw"),
+        shiftright(col("_m"), 8).bitwiseAND(lit(0x7FL)).cast("int")
+          .as("_mb"),
+        col("_m").bitwiseAND(lit(1L)).cast("int").as("_hp"))
+      .select(id, col("is_ico"), col("n_images"),
+        when(col("_nv") >= 0, col("_nv")).as("n_valid"),
+        when(col("_nv") >= 0, col("_mw")).as("max_width"),
+        when(col("_nv") >= 0, col("_mb")).as("max_bpp"),
+        when(col("_nv") >= 0, col("_hp")).as("has_png"))
+  }
+
   /** Q171: G.711 companded audio decode — the telephony rung of the
     * audio family (q62 folds linear PCM; call-center/voicemail speech
     * corpora arrive µ-law/A-law companded, WAVE format codes 7/6):

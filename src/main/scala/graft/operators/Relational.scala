@@ -485,4 +485,46 @@ object Relational {
         col("n_array"), col("n_object"), col("n_bool"), col("n_null"),
         col("w.typ").as("major_type"))
   }
+
+  /** Q181: correlated EXISTS / NOT EXISTS — the TPC-H Q21 shape, the
+    * relational surface's missing quantified-subquery rung (q12's
+    * anti join is the uncorrelated base case; Q21 correlates BOTH
+    * polarities against the same fact table with an INEQUALITY beside
+    * the equi key): suppliers whose returned (`l_returnflag = 'R'`)
+    * line sits in a finished multi-supplier order where NO OTHER
+    * supplier also returned — `EXISTS (same order, different
+    * supplier)` planned as a LEFT SEMI join on the order key with the
+    * supplier inequality riding the join condition, `NOT EXISTS
+    * (same order, different supplier, returned)` as the LEFT ANTI
+    * twin, supplier dim broadcast, top-20 by the total
+    * `(numwait DESC, s_name)` order (TakeOrderedAndProject).
+    *
+    * Scale: both quantifiers shuffle on `l_orderkey` — the natural
+    * key both sides already carry — never on supplier; the oracle is
+    * the textbook EXISTS spelling in DuckDB (structurally different
+    * plan, same algebra).
+    */
+  def q181ExistsWait(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.load(spark, dir, "supplier")
+    val l = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders")
+    val l1 = l.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(o.filter(col("o_orderstatus") === "F").select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val l2 = l.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+    val l3 = l.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+    l1.join(l2, col("l_orderkey") === col("k2") &&
+        col("l_suppkey") =!= col("s2"), "left_semi")
+      .join(l3, col("l_orderkey") === col("k3") &&
+        col("l_suppkey") =!= col("s3"), "left_anti")
+      .join(broadcast(s.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
 }

@@ -1667,6 +1667,101 @@ object Text {
         md5(encode(col("text_out"), "UTF-8")).as("text_md5"))
   }
 
+  /** Q182: Luhn-validated card detection — the governance rung above
+    * q46's pattern-only PII scrub (a 16-digit number is only a CARD if
+    * its ISO/IEC 7812 check digit closes; pattern-only scrubbers both
+    * over-redact order ids and under-flag real leakage): 4-4-4-4
+    * candidates with optional separators behind DIGIT-BOUNDARY guards
+    * (a 16-digit window inside a 19-digit run is NOT a candidate),
+    * the real Luhn fold deciding validity, and redaction that
+    * replaces VALID cards while leaving invalid candidates visible as
+    * evidence ([[graft.functions.CardEval]]; the spec pins the
+    * industry test number 4111-1111-1111-1111).
+    *
+    * The base text is digit-CLEANSED (the q128 framing discipline) so
+    * every candidate below is planted: (%5) 0 → none; 1 → a VALID
+    * card (check digit computed by the Luhn closure in-query);
+    * 2 → the SAME digits with the check off by one (candidate, not
+    * valid, stays visible); 3 → the valid card in dashed 4-4-4-4
+    * layout (must redact); 4 → the card embedded in a 19-digit run
+    * (no candidate at all). Oracle replays digits, check-digit
+    * closure, layouts, and the redacted text in SQL arithmetic.
+    * One narrow map, zero exchanges.
+    */
+  def q182CardScan(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CardOps
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val base = regexp_replace(coalesce(col("text"), lit("")), "[0-9]", "")
+    def d(i: Int) = (id * 7 + i * 3) % 10
+    val s15 = (0 until 15).map { i =>
+      if (i % 2 == 0) {
+        val t = d(i) * 2
+        when(t > 9, t - 9).otherwise(t)
+      } else d(i)
+    }.reduce(_ + _)
+    val check = (lit(10) - s15 % 10) % 10
+    val prefix = concat((0 until 15).map(i => d(i).cast("string")): _*)
+    val card = concat(prefix, check.cast("string"))
+    val dashed = concat(substring(card, 1, 4), lit("-"),
+      substring(card, 5, 4), lit("-"), substring(card, 9, 4), lit("-"),
+      substring(card, 13, 4))
+    val invalid = concat(prefix, ((check + 1) % 10).cast("string"))
+    val full = when(id % 5 === 1, concat(base, lit(" card "), card, lit(" end")))
+      .when(id % 5 === 2, concat(base, lit(" card "), invalid, lit(" end")))
+      .when(id % 5 === 3, concat(base, lit(" card "), dashed, lit(" end")))
+      .when(id % 5 === 4, concat(base, lit(" num "), card, lit("123 end")))
+      .otherwise(base)
+    docs.select(id, CardOps.cardCounts(full).as("_c"),
+      md5(encode(CardOps.cardRedact(full), "UTF-8")).as("redacted_md5"))
+      .select(id,
+        shiftright(col("_c"), 8).cast("int").as("n_candidates"),
+        col("_c").bitwiseAND(lit(0xFFL)).cast("int").as("n_valid_cards"),
+        col("redacted_md5"))
+  }
+
+  /** Q177: readability scoring — the audience-level read beside the
+    * quality family (q65's rules judge junk, q64/q81 judge fluency;
+    * readability grades judge LEVEL — a children's-content mixture
+    * or an expert-text filter buckets by it): Flesch-Kincaid grade in
+    * EXACT integer x100 arithmetic — `39·w div s + 1180·sy div w −
+    * 1559` with each term floor-divided (the published 0.39/11.8/
+    * 15.59 coefficients ×100; float spellings drift by engine, the
+    * q81 lesson) — plus type-token ratio as the lexical-diversity
+    * companion. Syllables are the stated VOWEL-RUN heuristic: runs
+    * of `[aeiouy]+` per word, minimum one per word (a vowel-less
+    * token still costs a syllable); sentences are `[.!?]+` runs in
+    * the raw text, minimum one. Both sides count with the SAME
+    * regexes, and the oracle recounts them independently in DuckDB.
+    * One narrow pass, zero exchanges.
+    */
+  def q177Readability(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val ws = split(lower(coalesce(col("text"), lit(""))), "[^a-z0-9]+")
+    val toks = filter(ws, w => length(w) > 0)
+    val nWords = size(toks).cast("long")
+    val nSent = greatest(
+      size(expr("regexp_extract_all(coalesce(text, ''), '[.!?]+', 0)")),
+      lit(1)).cast("long")
+    // per-word vowel runs, min 1: total runs + zero-vowel word count
+    val runs = size(expr(
+      "regexp_extract_all(lower(coalesce(text, '')), '[aeiouy]+', 0)"))
+      .cast("long")
+    val zeroVowel = size(filter(toks,
+      w => !w.rlike("[aeiouy]"))).cast("long")
+    val nSyll = runs + zeroVowel
+    val nDistinct = size(array_distinct(toks)).cast("long")
+    docs.select(id, nSent.as("n_sentences"), nWords.as("n_words"),
+      nSyll.as("n_syllables"), nDistinct.as("_nd"))
+      .select(id, col("n_sentences"), col("n_words"), col("n_syllables"),
+        when(col("n_words") > 0,
+          expr("39 * n_words div n_sentences + " +
+            "1180 * n_syllables div n_words - 1559")).as("fk_grade_x100"),
+        when(col("n_words") > 0,
+          expr("_nd * 100 div n_words")).as("ttr_x100"))
+  }
+
   /** Q169: Unicode script mix — the language-MIX and SPOOFING read
     * beside q27/q110's language ID (scripts are the orthogonal axis a
     * multilingual mixing budget buckets by, and a WORD mixing scripts

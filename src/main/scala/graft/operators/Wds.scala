@@ -59,4 +59,74 @@ object Wds {
         max(when(col("ext") === "txt", length(col("content"))))
           .cast("bigint").as("txt_bytes"))
   }
+
+  /** Q174: multimodal shard intake — the CAPSTONE of the training-data
+    * read path (q163 assembles samples by NAME; a loader audit also
+    * has to trust what is INSIDE them): a WebDataset shard whose image
+    * members are REAL encoded images (the q118/q121/q124 synthesizers
+    * with q127's residue parameters) beside their captions, walked by
+    * q136's verified tar, assembled by q163's keyed aggregate
+    * (interleaved members land in the same group by construction),
+    * and each sample's image member decoded through q127's magic-byte
+    * routing — caption facts and PIXEL statistics in one manifest.
+    * The oracle unions the three decoder families' residue formulas
+    * with the caption md5s from corpus words: the whole
+    * tar→assemble→route→Huffman/inflate/LZW chain must land on
+    * numbers derived without touching a byte.
+    *
+    * Residue classes (%4): 0 → `.jpg` baseline-gray JPEG; 1 → `.png`
+    * five-filter RGB; 2 → `.gif` GIF89a; 3 → NO image member (the
+    * incomplete sample a loader skips: `has_image = 0`, decode
+    * columns NULL). Every shard also carries a caption-only `n<id>`
+    * sample that must assemble separately. ONE keyed exchange (the
+    * assembly aggregate — payloads reduce to md5/length/the single
+    * image blob map-side), decode narrow after it.
+    */
+  def q174MediaShards(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{GifPixelOps, JpegPixelOps, PngPixelOps, TarOps, WdsOps}
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val mode = when(id % 4 === 1, 1L).when(id % 4 === 2, 2L)
+      .when(id % 4 === 3, 3L).otherwise(0L)
+    val params = id + mode * lit(1L << 40)
+    val shard = docs.select(id, WdsOps.wdsMediaSynth(col("text"), params).as("_t"))
+    val members = shard
+      .select(id, col("_t"), TarOps.tarCount(col("_t")).as("_n"))
+      .select(id, col("_t"),
+        explode(sequence(lit(0), col("_n") - 1)).as("_i"))
+      .select(id,
+        TarOps.tarMemberName(col("_t"), col("_i")).as("name"),
+        TarOps.tarMember(col("_t"), col("_i")).as("content"))
+      .select(id,
+        substring_index(col("name"), ".", 1).as("sample_key"),
+        expr("substring(name, length(substring_index(name, '.', 1)) + 2)")
+          .as("ext"),
+        col("content"))
+    val samples = members.groupBy(id, col("sample_key"))
+      .agg(count(lit(1)).cast("int").as("n_parts"),
+        array_join(sort_array(collect_list(col("ext"))), ",").as("exts"),
+        max(when(col("ext") === "txt", md5(col("content"))))
+          .as("caption_md5"),
+        max_by(col("content"),
+          when(col("ext") =!= "txt", lit(1)).otherwise(lit(0))).as("_img"),
+        max(when(col("ext") =!= "txt", 1).otherwise(0)).cast("int")
+          .as("has_image"))
+      // a txt-only group's max_by still surfaces a caption blob —
+      // the image column is only the non-txt member
+      .withColumn("_img", when(col("has_image") === 1, col("_img")))
+    val staged = samples
+      .withColumn("_jd", graft.functions.ImageOps.jpegDims(col("_img")))
+      .withColumn("_m",
+        graft.operators.Multimodal.decodeImageMetaFrom(col("_img"), col("_jd")))
+      .withColumn("_l",
+        when(col("_m.format") === "jpeg", JpegPixelOps.jpegLuma(col("_img")))
+          .when(col("_m.format") === "png", PngPixelOps.pngLuma(col("_img")))
+          .when(col("_m.format") === "gif", GifPixelOps.gifLuma(col("_img"))))
+    staged.select(id, col("sample_key"), col("n_parts"), col("exts"),
+      col("has_image"), col("caption_md5"),
+      when(col("has_image") === 1, col("_m.format")).as("format"),
+      col("_m.width").as("width"),
+      col("_m.height").as("height"),
+      shiftrightunsigned(col("_l"), 16).as("sum_luma"))
+  }
 }

@@ -1064,10 +1064,43 @@ class PlanAuditSpec extends AnyFunSuite {
         graft.operators.Multimodal.q168DataUriHarvest(spark, TestSpark.Sf0001),
       "q169" -> graft.operators.Text.q169ScriptMix(spark, TestSpark.Sf0001),
       "q171" -> graft.operators.Multimodal.q171G711Audio(spark, TestSpark.Sf0001),
-      "q172" -> graft.operators.Multimodal.q172PnmPixels(spark, TestSpark.Sf0001))
+      "q172" -> graft.operators.Multimodal.q172PnmPixels(spark, TestSpark.Sf0001),
+      "q175" -> graft.sources.Cbor.q175CborDecode(spark, TestSpark.Sf0001),
+      "q176" -> graft.operators.Multimodal.q176IcoMeta(spark, TestSpark.Sf0001),
+      "q177" -> graft.operators.Text.q177Readability(spark, TestSpark.Sf0001),
+      "q179" ->
+        graft.operators.Crawl.q179CacheFreshness(spark, TestSpark.Sf0001),
+      "q182" -> graft.operators.Text.q182CardScan(spark, TestSpark.Sf0001))
     zeroes.foreach { case (name, df) =>
       assert(shuffles(df) === 0, s"$name grew a shuffle:\n${plan(df)}")
     }
+  }
+
+  test("q173 log replay: keyed aggregates, bounded exchange budget") {
+    val df = graft.operators.Lake.q173DeltaLogReplay(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"q173 NLJ:\n$p")
+    assert(shuffles(df) <= 5, s"q173 exchange budget blown:\n$p")
+  }
+
+  test("q174 shard intake: ONE keyed assembly exchange, decode narrow") {
+    val df = graft.operators.Wds.q174MediaShards(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    assert(shuffles(df) === 1, s"expected exactly 1 shuffle:\n$p")
+    assert(!p.contains("WindowExec"),
+      s"assembly must be a group-by, never a streaming window:\n$p")
+  }
+
+  test("q181 quantifiers plan as semi/anti joins on the order key") {
+    val df = graft.operators.Relational.q181ExistsWait(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      s"q181 must plan semi + anti joins:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"q181 NLJ:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be a heap, not a global sort:\n$p")
   }
 
   test("q170 fuzzy dedup: banded variant join, never a cartesian") {

@@ -363,6 +363,38 @@ class ScaleSpec extends AnyFunSuite {
       f"10x docs cost ${t10 / t1}%.1fx the time ($t1%.2fs -> $t10%.2fs)")
   }
 
+  test("q170 fuzzy dedup: 10x titles, banding exact, ~linear", Slow) {
+    // FastSS's reason to exist at scale: candidates come from band-key
+    // buckets (len+1 keys per title), never all-pairs — so 10x titles
+    // is ~10x work, and the EXACTNESS invariant holds at both decades:
+    // every synthesized in-group pair (base~substitution, base~insert)
+    // is found, and the (sub, insert) distance-2 pair never is
+    import graft.operators.Dedup
+    def frame(n: Long) =
+      Dedup.fuzzyTitlesOn(spark.range(n).select(col("id").as("doc_id")))
+    def run(n: Long): Long = Dedup.fuzzyPairsOn(frame(n)).count()
+    def timeOf(n: Long): Double = {
+      val t0 = System.nanoTime()
+      run(n)
+      (System.nanoTime() - t0) / 1e9
+    }
+    // exactness at the small decade: pair set == per-group truth
+    val n1 = 3000L
+    val pairs = Dedup.fuzzyPairsOn(frame(n1))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until n1 / 3).foreach { g =>
+      assert(pairs.contains((3 * g, 3 * g + 1)), s"group $g base~sub missing")
+      assert(pairs.contains((3 * g, 3 * g + 2)), s"group $g base~ins missing")
+      assert(!pairs.contains((3 * g + 1, 3 * g + 2)),
+        s"group $g distance-2 pair fabricated")
+    }
+    timeOf(3000) // warmup
+    val t1 = math.min(timeOf(3000), timeOf(3000))
+    val t10 = math.min(timeOf(30000), timeOf(30000))
+    assert(t10 / t1 <= 10.0,
+      f"10x titles cost ${t10 / t1}%.1fx the time ($t1%.2fs -> $t10%.2fs)")
+  }
+
   test("q148 paragraph dedup: 10x docs, exact under the boilerplate hot key", Slow) {
     // the operator's reason to exist at scale: a boilerplate paragraph
     // carried by ~1/7 of ALL documents. Correctness invariant first —

@@ -161,7 +161,27 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "vw_g711_audio" ->
         graft.operators.Multimodal.q171G711Audio(spark, TestSpark.Sf0001),
       "vw_pnm_stats" ->
-        graft.operators.Multimodal.q172PnmPixels(spark, TestSpark.Sf0001))
+        graft.operators.Multimodal.q172PnmPixels(spark, TestSpark.Sf0001),
+      "vw_deltalog" ->
+        graft.operators.Lake.q173DeltaLogReplay(spark, TestSpark.Sf0001),
+      "vw_media_shards" ->
+        graft.operators.Wds.q174MediaShards(spark, TestSpark.Sf0001),
+      "vw_cbor_sidecars" ->
+        graft.sources.Cbor.q175CborDecode(spark, TestSpark.Sf0001),
+      "vw_ico_meta" ->
+        graft.operators.Multimodal.q176IcoMeta(spark, TestSpark.Sf0001),
+      "vw_readability" ->
+        graft.operators.Text.q177Readability(spark, TestSpark.Sf0001),
+      "vw_host_graph" ->
+        graft.operators.Crawl.q178HostGraph(spark, TestSpark.Sf0001),
+      "vw_cache_freshness" ->
+        graft.operators.Crawl.q179CacheFreshness(spark, TestSpark.Sf0001),
+      "vw_sketch_distinct" ->
+        graft.operators.Dedup.q180SketchDistinct(spark, TestSpark.Sf0001),
+      "vw_exists_wait" ->
+        graft.operators.Relational.q181ExistsWait(spark, TestSpark.Sf0001),
+      "vw_card_scan" ->
+        graft.operators.Text.q182CardScan(spark, TestSpark.Sf0001))
     twins.foreach { case (view, df) =>
       val sql = canon(spark.sql(s"SELECT * FROM $view"))
       val api = canon(df)
