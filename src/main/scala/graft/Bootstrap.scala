@@ -535,6 +535,14 @@ object Bootstrap {
     // order-id-lookalike evidence
     operators.Text.q182CardScan(spark, dir)
       .createOrReplaceTempView("vw_card_scan")
+    // the robust anomaly read (q183): `WHERE n_outliers > 0` flags
+    // value streams a mean/stddev fence would have normalized away
+    operators.Relational.q183MadOutliers(spark, dir)
+      .createOrReplaceTempView("vw_mad_outliers")
+    // the compression census (q184): `GROUP BY format` sizes the
+    // decode fleet; `sum(declared_size)` the decompression budget
+    sources.Compress.q184CompressRouter(spark, dir)
+      .createOrReplaceTempView("vw_compress_census")
   }
 
   /** Register the landing table + curated views over it — the TRANSFORM

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ingest.Envelope
-import graft.sources.{Avro, Cbor, Csv, Docx, Epub, JsonLines, Mime, Pdf, Rtf, Tar, TfExample, TfRecord, Warc, Zip, Zstd}
+import graft.sources.{Avro, Cbor, Compress, Csv, Docx, Epub, JsonLines, Mime, Pdf, Rtf, Tar, TfExample, TfRecord, Warc, Zip, Zstd}
 import graft.operators.{Bibtex, Classifier, Crawl, Dedup, Feeds, HtmlTables, Lake, Latex, Markdown, Mojibake, Multimodal, Pipeline, Relational, Retrieval, Scale, Similarity, Sitemap, SqlSurface, Subtitles, Text, Wds}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -204,6 +204,8 @@ object SparkEntry {
     "q180_sketch_distinct" -> (Dedup.q180SketchDistinct _),
     "q181_exists_wait" -> (Relational.q181ExistsWait _),
     "q182_card_scan" -> (Text.q182CardScan _),
+    "q183_mad_outliers" -> (Relational.q183MadOutliers _),
+    "q184_compress_router" -> (Compress.q184CompressRouter _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -2889,6 +2891,62 @@ object SparkEntry {
         "WHEN m = 2 THEN base || ' card ' || bad || ' end' " +
         "WHEN m = 4 THEN base || ' num ' || card || '123 end' " +
         "ELSE base END) AS redacted_md5 FROM t"),
+    // q184: the router's manifest replays per class from corpus words
+    // + doc_id arithmetic — gzip's md5 proves the one DECODED path,
+    // the zstd/xz numbers come from their residue formulas, and a
+    // routing slip lands on another family's columns (q127's stance)
+    "q184_compress_router" ->
+      ("WITH w AS (SELECT doc_id, list_filter(" +
+        "string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), " +
+        "x -> x <> '') AS ws FROM documents), " +
+        "p AS (SELECT doc_id, doc_id % 5 AS m, " +
+        "ws[1] || ' ' || ws[2] || '#' || CAST(doc_id % 97 AS VARCHAR) AS p0 " +
+        "FROM w) " +
+        "SELECT doc_id, " +
+        "CASE m WHEN 0 THEN 'gzip' WHEN 1 THEN 'zstd' WHEN 2 THEN 'xz' " +
+        "WHEN 3 THEN 'bzip2' ELSE NULL END AS format, " +
+        "CAST(CASE WHEN m = 0 THEN 1 WHEN m = 1 THEN 1 " +
+        "WHEN m = 2 THEN (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END) " +
+        "ELSE NULL END AS INTEGER) AS n_units, " +
+        "CAST(CASE WHEN m = 1 THEN least(length(p0), 200) " +
+        "WHEN m = 2 THEN (CASE WHEN doc_id % 2 = 0 THEN 40 + doc_id % 60 " +
+        "ELSE 3000 + 3 * (doc_id % 500) + 3 END) " +
+        "ELSE NULL END AS BIGINT) AS declared_size, " +
+        "CASE WHEN m IN (0, 3) THEN 'crc32' WHEN m = 1 THEN 'xxh64' " +
+        "WHEN m = 2 THEN (CASE WHEN doc_id % 2 = 0 THEN 'crc32' " +
+        "ELSE 'crc64' END) ELSE NULL END AS check_kind, " +
+        "CASE WHEN m = 0 THEN md5(p0) ELSE NULL END AS content_md5, " +
+        "CAST(CASE WHEN m = 3 THEN doc_id % 9 + 1 ELSE NULL END AS INTEGER) " +
+        "AS bz_level FROM p"),
+    // q183: the oracle replays the SAME rank-selection spelling
+    // (row_number at position (n+1)//2 with the event-id tiebreak)
+    // through DuckDB windows — never an interpolated quantile — so a
+    // selection, tie, floor-fold, or fence slip cannot cancel
+    "q183_mad_outliers" ->
+      ("WITH v AS (SELECT event_type, event_id, " +
+        "CAST(floor(value * 100) AS BIGINT) AS vi FROM events " +
+        "WHERE value IS NOT NULL), " +
+        "r AS (SELECT event_type, event_id, vi, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY vi, event_id) " +
+        "AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM v), " +
+        "m AS (SELECT event_type, " +
+        "max(CASE WHEN rn = (n + 1) // 2 THEN vi END) AS med FROM r " +
+        "GROUP BY event_type), " +
+        "d AS (SELECT r.event_type, r.event_id, r.vi, r.n, m.med, " +
+        "abs(r.vi - m.med) AS dd FROM r JOIN m " +
+        "ON r.event_type = m.event_type), " +
+        "r2 AS (SELECT *, row_number() OVER (PARTITION BY event_type " +
+        "ORDER BY dd, event_id) AS rd FROM d), " +
+        "md AS (SELECT event_type, " +
+        "max(CASE WHEN rd = (n + 1) // 2 THEN dd END) AS mad FROM r2 " +
+        "GROUP BY event_type) " +
+        "SELECT r2.event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(max(r2.med) AS BIGINT) AS median_x100, " +
+        "CAST(max(md.mad) AS BIGINT) AS mad_x100, " +
+        "CAST(sum(CASE WHEN r2.dd > 3 * md.mad THEN 1 ELSE 0 END) " +
+        "AS INTEGER) AS n_outliers " +
+        "FROM r2 JOIN md ON r2.event_type = md.event_type " +
+        "GROUP BY r2.event_type"),
     // q133: the oracle re-synthesizes the expected text from corpus
     // words alone (8-word paragraphs, the entity drill and field-code
     // paragraph as decoded constants, the br class's split paragraph 0)

@@ -486,6 +486,57 @@ object Relational {
         col("w.typ").as("major_type"))
   }
 
+  /** Q183: robust outlier detection (median / MAD) — the
+    * heavy-tail-safe anomaly read the analytics family was missing
+    * (a mean/stddev z-score is destroyed by the very outliers it
+    * hunts; median absolute deviation is the classic robust
+    * replacement): per event type, the LOWER median by RANK
+    * selection (value at ascending position `(n+1) div 2` with an
+    * event-id tiebreak — percentile_disc semantics in all-integer
+    * arithmetic, q88's discipline; interpolated quantiles differ by
+    * engine), the MAD as the same rank selection over
+    * `|value − median|`, and the outlier count at the standard
+    * `> 3·MAD` fence. Values fold to exact x100 integers via floor
+    * (`floor(value·100)` — unambiguous on any engine, the q81
+    * no-float lesson).
+    *
+    * Shape at scale: all three windows and the closing aggregate ride
+    * ONE `event_type` partitioning (the per-type sort is the price of
+    * exact medians; the 100 TB swap is approx_percentile, stated) —
+    * exactly 1 exchange, pinned. Oracle replays the same rank
+    * selection through DuckDB row_number.
+    */
+  def q183MadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.load(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("vi"))
+    val byV = Window.partitionBy("event_type")
+      .orderBy(col("vi"), col("event_id"))
+    val part = Window.partitionBy("event_type")
+    val med = ev
+      .withColumn("rn", row_number().over(byV))
+      .withColumn("n", count(lit(1)).over(part))
+      .withColumn("med",
+        max(when(col("rn") === expr("(n + 1) div 2"), col("vi")))
+          .over(part))
+      .withColumn("d", abs(col("vi") - col("med")))
+    val byD = Window.partitionBy("event_type")
+      .orderBy(col("d"), col("event_id"))
+    med
+      .withColumn("rd", row_number().over(byD))
+      .withColumn("mad",
+        max(when(col("rd") === expr("(n + 1) div 2"), col("d")))
+          .over(part))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        max(col("med")).as("median_x100"),
+        max(col("mad")).as("mad_x100"),
+        sum(when(col("d") > lit(3) * col("mad"), 1).otherwise(0))
+          .cast("int").as("n_outliers"))
+  }
+
   /** Q181: correlated EXISTS / NOT EXISTS — the TPC-H Q21 shape, the
     * relational surface's missing quantified-subquery rung (q12's
     * anti join is the uncorrelated base case; Q21 correlates BOTH

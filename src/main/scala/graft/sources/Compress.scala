@@ -1,0 +1,90 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{GzipOps, XzOps, ZstdOps}
+
+/** Q184: compression-layer ROUTER — q127's magic-byte discipline at
+  * the compression layer (a corpus drop arrives as whatever the
+  * producer had: `.gz`, `.zst`, `.xz`, `.bz2` — one binary column,
+  * one manifest): route by magic to each format's pinned machinery —
+  * gzip DECODES through q95's strict codec (the only format the
+  * engine fully decodes — content md5 proves it), zstd reports q165's
+  * frame triage, xz reports the NEW footer/index triage
+  * ([[graft.functions.XzEval]] — backward-size-located index, VLI
+  * record pairs, the footer-flags splice cross-check, index CRC32
+  * verified), and bzip2 reports its header plane (level digit + the
+  * π block magic; block decode out of stated scope). The manifest
+  * columns are format-appropriate: a routing slip lands on another
+  * family's residue numbers and cannot cancel (q127's oracle-union
+  * stance).
+  *
+  * Residue classes (%5): 0 → gzip member (decoded, md5-proved);
+  * 1 → zstd single frame (declared size + xxh64 flag); 2 → xz with
+  * `doc_id % 2` choosing one-block/CRC32 or three-block/CRC64 with
+  * multi-byte VLIs; 3 → bzip2 header; 4 → plain text. One narrow
+  * map, zero exchanges.
+  */
+object Compress {
+
+  def q184CompressRouter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val ws = filter(split(lower(coalesce(col("text"), lit(""))),
+      "[^a-z0-9]+"), w => length(w) > 0)
+    val p0 = concat(element_at(ws, 1), lit(" "), element_at(ws, 2),
+      lit("#"), (id % 97).cast("string"))
+    val bzMagic = Array[Byte](0x31, 0x41, 0x59, 0x26, 0x53, 0x59)
+    val payload = when(id % 5 === 0,
+        GzipOps.gzip(encode(p0, "UTF-8"), lit("")))
+      .when(id % 5 === 1, ZstdOps.zstdSynth(col("text"), id))
+      .when(id % 5 === 2, XzOps.xzSynth(id + (id % 2) * lit(1L << 40)))
+      .when(id % 5 === 3, concat(lit("BZh".getBytes("US-ASCII")),
+        encode((id % 9 + 1).cast("string"), "UTF-8"), lit(bzMagic),
+        encode(p0, "UTF-8")))
+      .otherwise(col("text").cast("binary"))
+
+    val staged = docs.select(id, payload.as("_p"))
+      .withColumn("_fmt",
+        when(hex(substring(col("_p"), 1, 2)) === "1F8B", "gzip")
+          .when(hex(substring(col("_p"), 1, 4)) === "28B52FFD", "zstd")
+          .when(hex(substring(col("_p"), 1, 6)) === "FD377A585A00", "xz")
+          .when(substring(col("_p"), 1, 3) === lit("BZh".getBytes("US-ASCII"))
+            && hex(substring(col("_p"), 5, 6)) === "314159265359", "bzip2"))
+      // lazy per-format machinery: each row runs only its own walk
+      .withColumn("_gz", when(col("_fmt") === "gzip",
+        GzipOps.gunzip(col("_p"))))
+      .withColumn("_zm", when(col("_fmt") === "zstd",
+        ZstdOps.zstdMeta(col("_p"))))
+      .withColumn("_zc", when(col("_fmt") === "zstd",
+        ZstdOps.zstdContentSize(col("_p"))))
+      .withColumn("_xm", when(col("_fmt") === "xz", XzOps.xzMeta(col("_p"))))
+    staged.select(id, col("_fmt").as("format"),
+      when(col("_fmt") === "gzip", 1)
+        .when(col("_fmt") === "zstd",
+          shiftright(col("_zm"), 32).bitwiseAND(lit(0xFFL)).cast("int"))
+        .when(col("_fmt") === "xz",
+          shiftright(col("_xm"), 32).bitwiseAND(lit(0xFFFFL)).cast("int"))
+        .as("n_units"),
+      when(col("_fmt") === "zstd", col("_zc"))
+        .when(col("_fmt") === "xz",
+          col("_xm").bitwiseAND(lit(0xFFFFFFFFL)))
+        .as("declared_size"),
+      when(col("_fmt") === "gzip", "crc32")
+        .when(col("_fmt") === "zstd",
+          when(shiftright(col("_zm"), 40).bitwiseAND(lit(0xFL)) === 1,
+            "xxh64").otherwise("none"))
+        .when(col("_fmt") === "xz",
+          when(shiftright(col("_xm"), 48) === 1, "crc32")
+            .when(shiftright(col("_xm"), 48) === 4, "crc64")
+            .when(shiftright(col("_xm"), 48) === 10, "sha256")
+            .otherwise("none"))
+        .when(col("_fmt") === "bzip2", "crc32")
+        .as("check_kind"),
+      when(col("_fmt") === "gzip", md5(col("_gz"))).as("content_md5"),
+      when(col("_fmt") === "bzip2",
+        substring(col("_p"), 4, 1).cast("string").cast("int"))
+        .as("bz_level"))
+  }
+}

@@ -1070,7 +1070,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "q177" -> graft.operators.Text.q177Readability(spark, TestSpark.Sf0001),
       "q179" ->
         graft.operators.Crawl.q179CacheFreshness(spark, TestSpark.Sf0001),
-      "q182" -> graft.operators.Text.q182CardScan(spark, TestSpark.Sf0001))
+      "q182" -> graft.operators.Text.q182CardScan(spark, TestSpark.Sf0001),
+      "q184" ->
+        graft.sources.Compress.q184CompressRouter(spark, TestSpark.Sf0001))
     zeroes.foreach { case (name, df) =>
       assert(shuffles(df) === 0, s"$name grew a shuffle:\n${plan(df)}")
     }
@@ -1090,6 +1092,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles(df) === 1, s"expected exactly 1 shuffle:\n$p")
     assert(!p.contains("WindowExec"),
       s"assembly must be a group-by, never a streaming window:\n$p")
+  }
+
+  test("q183 MAD: every window rides ONE event_type exchange") {
+    val df = graft.operators.Relational.q183MadOutliers(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    assert(shuffles(df) <= 2, s"q183 exchange budget blown:\n$p")
   }
 
   test("q181 quantifiers plan as semi/anti joins on the order key") {

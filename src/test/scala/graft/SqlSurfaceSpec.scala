@@ -181,7 +181,11 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "vw_exists_wait" ->
         graft.operators.Relational.q181ExistsWait(spark, TestSpark.Sf0001),
       "vw_card_scan" ->
-        graft.operators.Text.q182CardScan(spark, TestSpark.Sf0001))
+        graft.operators.Text.q182CardScan(spark, TestSpark.Sf0001),
+      "vw_mad_outliers" ->
+        graft.operators.Relational.q183MadOutliers(spark, TestSpark.Sf0001),
+      "vw_compress_census" ->
+        graft.sources.Compress.q184CompressRouter(spark, TestSpark.Sf0001))
     twins.foreach { case (view, df) =>
       val sql = canon(spark.sql(s"SELECT * FROM $view"))
       val api = canon(df)
