@@ -543,6 +543,11 @@ object Bootstrap {
     // decode fleet; `sum(declared_size)` the decompression budget
     sources.Compress.q184CompressRouter(spark, dir)
       .createOrReplaceTempView("vw_compress_census")
+    // the Arrow hand-off audit (q185): `sum(total_rows)` reconciled
+    // against the producer's manifest; `WHERE truncated = 1` the
+    // cut-stream quarantine
+    sources.ArrowIpc.q185ArrowIpcTriage(spark, dir)
+      .createOrReplaceTempView("vw_arrow_ipc")
   }
 
   /** Register the landing table + curated views over it — the TRANSFORM

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ingest.Envelope
-import graft.sources.{Avro, Cbor, Compress, Csv, Docx, Epub, JsonLines, Mime, Pdf, Rtf, Tar, TfExample, TfRecord, Warc, Zip, Zstd}
+import graft.sources.{ArrowIpc, Avro, Cbor, Compress, Csv, Docx, Epub, JsonLines, Mime, Pdf, Rtf, Tar, TfExample, TfRecord, Warc, Zip, Zstd}
 import graft.operators.{Bibtex, Classifier, Crawl, Dedup, Feeds, HtmlTables, Lake, Latex, Markdown, Mojibake, Multimodal, Pipeline, Relational, Retrieval, Scale, Similarity, Sitemap, SqlSurface, Subtitles, Text, Wds}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -206,6 +206,7 @@ object SparkEntry {
     "q182_card_scan" -> (Text.q182CardScan _),
     "q183_mad_outliers" -> (Relational.q183MadOutliers _),
     "q184_compress_router" -> (Compress.q184CompressRouter _),
+    "q185_arrow_ipc" -> (ArrowIpc.q185ArrowIpcTriage _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -2947,6 +2948,26 @@ object SparkEntry {
         "AS INTEGER) AS n_outliers " +
         "FROM r2 JOIN md ON r2.event_type = md.event_type " +
         "GROUP BY r2.event_type"),
+    // q185: every count replays from doc_id arithmetic alone — the
+    // vtable-absence defaults, the union dispatch (dictionary frames
+    // past WITHOUT counting), the i64 row sums, and the truncation
+    // split are all in the hash
+    "q185_arrow_ipc" ->
+      ("WITH p AS (SELECT doc_id, doc_id % 5 AS m, " +
+        "10 + doc_id % 90 AS r0, 10 + (doc_id + 1) % 90 AS r1, " +
+        "64 + (doc_id % 32) * 8 AS bl FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(m IN (0, 1, 2, 3) AS INTEGER) AS is_arrow, " +
+        "CAST(CASE WHEN m = 1 THEN 5 WHEN m IN (0, 3) THEN 3 " +
+        "WHEN m = 2 THEN 0 ELSE NULL END AS INTEGER) AS n_fields, " +
+        "CAST(CASE WHEN m IN (0, 1) THEN 2 WHEN m IN (2, 3) THEN 1 " +
+        "ELSE NULL END AS INTEGER) AS n_batches, " +
+        "CAST(CASE WHEN m IN (0, 1) THEN r0 + r1 WHEN m IN (2, 3) THEN r0 " +
+        "ELSE NULL END AS BIGINT) AS total_rows, " +
+        "CAST(CASE WHEN m IN (0, 1) THEN 2 * bl WHEN m IN (2, 3) THEN bl " +
+        "ELSE NULL END AS BIGINT) AS body_bytes, " +
+        "CAST(CASE WHEN m = 3 THEN 1 WHEN m IN (0, 1, 2) THEN 0 " +
+        "ELSE NULL END AS INTEGER) AS truncated FROM p"),
     // q133: the oracle re-synthesizes the expected text from corpus
     // words alone (8-word paragraphs, the entity drill and field-code
     // paragraph as decoded constants, the br class's split paragraph 0)

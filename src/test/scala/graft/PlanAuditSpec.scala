@@ -1072,7 +1072,9 @@ class PlanAuditSpec extends AnyFunSuite {
         graft.operators.Crawl.q179CacheFreshness(spark, TestSpark.Sf0001),
       "q182" -> graft.operators.Text.q182CardScan(spark, TestSpark.Sf0001),
       "q184" ->
-        graft.sources.Compress.q184CompressRouter(spark, TestSpark.Sf0001))
+        graft.sources.Compress.q184CompressRouter(spark, TestSpark.Sf0001),
+      "q185" ->
+        graft.sources.ArrowIpc.q185ArrowIpcTriage(spark, TestSpark.Sf0001))
     zeroes.foreach { case (name, df) =>
       assert(shuffles(df) === 0, s"$name grew a shuffle:\n${plan(df)}")
     }

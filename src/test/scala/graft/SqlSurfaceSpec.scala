@@ -185,7 +185,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "vw_mad_outliers" ->
         graft.operators.Relational.q183MadOutliers(spark, TestSpark.Sf0001),
       "vw_compress_census" ->
-        graft.sources.Compress.q184CompressRouter(spark, TestSpark.Sf0001))
+        graft.sources.Compress.q184CompressRouter(spark, TestSpark.Sf0001),
+      "vw_arrow_ipc" ->
+        graft.sources.ArrowIpc.q185ArrowIpcTriage(spark, TestSpark.Sf0001))
     twins.foreach { case (view, df) =>
       val sql = canon(spark.sql(s"SELECT * FROM $view"))
       val api = canon(df)
