@@ -548,6 +548,10 @@ object Bootstrap {
     // cut-stream quarantine
     sources.ArrowIpc.q185ArrowIpcTriage(spark, dir)
       .createOrReplaceTempView("vw_arrow_ipc")
+    // the ORC audit (q186): `WHERE verified = 0` the lying-footer
+    // alarm completing the four-format lake introspection family
+    operators.Lake.q186OrcFooter(spark, dir)
+      .createOrReplaceTempView("vw_orc_footer")
   }
 
   /** Register the landing table + curated views over it — the TRANSFORM

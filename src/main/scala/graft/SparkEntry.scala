@@ -207,6 +207,7 @@ object SparkEntry {
     "q183_mad_outliers" -> (Relational.q183MadOutliers _),
     "q184_compress_router" -> (Compress.q184CompressRouter _),
     "q185_arrow_ipc" -> (ArrowIpc.q185ArrowIpcTriage _),
+    "q186_orc_footer" -> (Lake.q186OrcFooter _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -2968,6 +2969,29 @@ object SparkEntry {
         "ELSE NULL END AS BIGINT) AS body_bytes, " +
         "CAST(CASE WHEN m = 3 THEN 1 WHEN m IN (0, 1, 2) THEN 0 " +
         "ELSE NULL END AS INTEGER) AS truncated FROM p"),
+    // q186: every field replays from doc_id arithmetic alone — the
+    // two-byte magic tag, the packed≡unpacked subtype count, the
+    // stripe-sum cross-check catching the mode-1 lying footer, the
+    // scope refusal on zlib, and the past-EOF postscript are all in
+    // the hash
+    "q186_orc_footer" ->
+      ("WITH p AS (SELECT doc_id, doc_id % 5 AS m, " +
+        "100 + doc_id % 900 AS r0, 100 + (doc_id + 1) % 900 AS r1, " +
+        "100 + (doc_id + 2) % 900 AS r2, " +
+        "CAST(doc_id % 6 + 2 AS INTEGER) AS nc FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(m IN (0, 1, 2, 3) AS INTEGER) AS is_orc, " +
+        "CASE WHEN m IN (0, 1) THEN 'none' WHEN m = 2 THEN 'zlib' " +
+        "ELSE NULL END AS compression, " +
+        "CAST(CASE WHEN m = 0 THEN 2 WHEN m = 1 THEN 3 " +
+        "ELSE NULL END AS INTEGER) AS n_stripes, " +
+        "CAST(CASE WHEN m IN (0, 1) THEN nc ELSE NULL END AS INTEGER) " +
+        "AS n_columns, " +
+        "CAST(CASE WHEN m = 0 THEN r0 + r1 " +
+        "WHEN m = 1 THEN r0 + r1 + r2 + 7 " +
+        "ELSE NULL END AS BIGINT) AS num_rows, " +
+        "CAST(CASE WHEN m = 0 THEN 1 WHEN m = 1 THEN 0 " +
+        "ELSE NULL END AS INTEGER) AS verified FROM p"),
     // q133: the oracle re-synthesizes the expected text from corpus
     // words alone (8-word paragraphs, the entity drill and field-code
     // paragraph as decoded constants, the br class's split paragraph 0)

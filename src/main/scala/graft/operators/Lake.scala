@@ -52,6 +52,58 @@ object Lake {
           .cast("int").as("verified"))
   }
 
+  /** Q186: ORC footer introspection — the fourth and last of the big
+    * lake formats' metadata planes (Parquet q166, Avro q164, Arrow
+    * IPC q185): the tail read backward — the last byte sizes the
+    * never-compressed PostScript protobuf (whose `magic` field id is
+    * 8000, a TWO-byte tag), which names the compression kind and
+    * locates the Footer protobuf carrying stripes, the schema type
+    * tree (the ROOT type's subtypes — packed or unpacked — count the
+    * columns), and the row count CROSS-CHECKED against the stripes'
+    * own sum ([[graft.functions.OrcEval]]; q166's `verified`
+    * discipline — a lying footer is flagged, never trusted).
+    *
+    * Residue classes (%5): 0 → NONE compression, 2 stripes, unpacked
+    * subtypes, verified; 1 → 3 stripes, PACKED subtypes, and a footer
+    * row count that DISAGREES with the stripe sum (`verified = 0`);
+    * 2 → ZLIB compression (kind reported, row facts refuse — stated
+    * scope); 3 → postscript length past EOF (magic survives, fields
+    * refuse); 4 → plain text. Oracle replays every field from doc_id
+    * arithmetic. One narrow map, zero exchanges.
+    */
+  def q186OrcFooter(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.OrcOps
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val mode = when(id % 5 === 1, 1L).when(id % 5 === 2, 2L)
+      .when(id % 5 === 3, 3L).otherwise(0L)
+    val params = id + mode * lit(1L << 40)
+    val whole = OrcOps.orcSynth(params)
+    val payload = when(id % 5 === 4, col("text").cast("binary")).otherwise(whole)
+    docs.select(id, payload.as("_p"))
+      .select(id, OrcOps.orcMeta(col("_p")).as("_m"))
+      .select(id,
+        col("_m").isNotNull.cast("int").as("is_orc"),
+        when(col("_m").isNull, lit(null).cast("string"))
+          .when(shiftright(col("_m"), 48).bitwiseAND(lit(0xFL)) === 0, "none")
+          .when(shiftright(col("_m"), 48).bitwiseAND(lit(0xFL)) === 1, "zlib")
+          .when(shiftright(col("_m"), 48).bitwiseAND(lit(0xFL)) === 5, "zstd")
+          .when(shiftright(col("_m"), 48).bitwiseAND(lit(0xFL)) === 15,
+            lit(null).cast("string"))
+          .otherwise("other").as("compression"),
+        (shiftright(col("_m"), 36).bitwiseAND(lit(0x3FFL)) - 1)
+          .cast("int").as("_ns"),
+        (shiftright(col("_m"), 26).bitwiseAND(lit(0x3FFL)) - 1)
+          .cast("int").as("_nc"),
+        (col("_m").bitwiseAND(lit((1L << 26) - 1)) - 1).as("_nr"),
+        shiftright(col("_m"), 46).bitwiseAND(lit(1L)).cast("int").as("_v"))
+      .select(id, col("is_orc"), col("compression"),
+        when(col("_ns") >= 0, col("_ns")).as("n_stripes"),
+        when(col("_nc") >= 0, col("_nc")).as("n_columns"),
+        when(col("_nr") >= 0, col("_nr")).as("num_rows"),
+        when(col("_nr") >= 0, col("_v")).as("verified"))
+  }
+
   /** Q173: transaction-log snapshot reconstruction — the Delta-protocol
     * read every lakehouse client performs before touching a byte of
     * data (the `_delta_log` JSON actions ARE the table; a reader that

@@ -187,7 +187,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "vw_compress_census" ->
         graft.sources.Compress.q184CompressRouter(spark, TestSpark.Sf0001),
       "vw_arrow_ipc" ->
-        graft.sources.ArrowIpc.q185ArrowIpcTriage(spark, TestSpark.Sf0001))
+        graft.sources.ArrowIpc.q185ArrowIpcTriage(spark, TestSpark.Sf0001),
+      "vw_orc_footer" ->
+        graft.operators.Lake.q186OrcFooter(spark, TestSpark.Sf0001))
     twins.foreach { case (view, df) =>
       val sql = canon(spark.sql(s"SELECT * FROM $view"))
       val api = canon(df)
