@@ -552,6 +552,10 @@ object Bootstrap {
     // alarm completing the four-format lake introspection family
     operators.Lake.q186OrcFooter(spark, dir)
       .createOrReplaceTempView("vw_orc_footer")
+    // the lake drop census (q187): `GROUP BY format` routes the
+    // ingest fleet; `WHERE verified = 0` the cross-format footer alarm
+    operators.Lake.q187LakeCensus(spark, dir)
+      .createOrReplaceTempView("vw_lake_census")
   }
 
   /** Register the landing table + curated views over it — the TRANSFORM

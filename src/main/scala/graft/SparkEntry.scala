@@ -208,6 +208,7 @@ object SparkEntry {
     "q184_compress_router" -> (Compress.q184CompressRouter _),
     "q185_arrow_ipc" -> (ArrowIpc.q185ArrowIpcTriage _),
     "q186_orc_footer" -> (Lake.q186OrcFooter _),
+    "q187_lake_census" -> (Lake.q187LakeCensus _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -2992,6 +2993,25 @@ object SparkEntry {
         "ELSE NULL END AS BIGINT) AS num_rows, " +
         "CAST(CASE WHEN m = 0 THEN 1 WHEN m = 1 THEN 0 " +
         "ELSE NULL END AS INTEGER) AS verified FROM p"),
+    // q187: four wire grammars, one oracle union — every census
+    // column replays from doc_id arithmetic per class, so a routing
+    // slip between Parquet/ORC/Avro/Arrow lands on another grammar's
+    // numbers and cannot cancel
+    "q187_lake_census" ->
+      ("WITH p AS (SELECT doc_id, doc_id % 5 AS m FROM documents) " +
+        "SELECT doc_id, " +
+        "CASE m WHEN 0 THEN 'parquet' WHEN 1 THEN 'orc' WHEN 2 THEN 'avro' " +
+        "WHEN 3 THEN 'arrow' ELSE NULL END AS format, " +
+        "CAST(CASE m WHEN 0 THEN 500 + doc_id % 500 " +
+        "WHEN 1 THEN 200 + doc_id % 900 + (doc_id + 1) % 900 " +
+        "WHEN 2 THEN 3 " +
+        "WHEN 3 THEN 20 + doc_id % 90 + (doc_id + 1) % 90 " +
+        "ELSE NULL END AS BIGINT) AS num_rows, " +
+        "CAST(CASE m WHEN 0 THEN doc_id % 7 + 2 " +
+        "WHEN 1 THEN doc_id % 6 + 2 WHEN 2 THEN 4 WHEN 3 THEN 3 " +
+        "ELSE NULL END AS INTEGER) AS n_columns, " +
+        "CAST(CASE WHEN m IN (0, 1) THEN 1 ELSE NULL END AS INTEGER) " +
+        "AS verified FROM p"),
     // q133: the oracle re-synthesizes the expected text from corpus
     // words alone (8-word paragraphs, the entity drill and field-code
     // paragraph as decoded constants, the br class's split paragraph 0)

@@ -220,6 +220,63 @@ object ParquetFooterEval {
     if (m == null) -1L else m.numRows
   }
 
+  // -------------------------------------------------------------- synth
+
+  private def putVarint(o: java.io.ByteArrayOutputStream, value: Long): Unit = {
+    var v = value
+    while ((v & ~0x7FL) != 0L) { o.write(((v & 0x7F) | 0x80).toInt); v >>>= 7 }
+    o.write(v.toInt)
+  }
+
+  private def putZig(o: java.io.ByteArrayOutputStream, v: Long): Unit =
+    putVarint(o, (v << 1) ^ (v >> 63))
+
+  private def putStr(o: java.io.ByteArrayOutputStream, s: String): Unit = {
+    val u = s.getBytes("UTF-8")
+    o.write(0x48) // field 4 (name), type binary — caller-positioned
+    putVarint(o, u.length.toLong)
+    o.write(u, 0, u.length)
+  }
+
+  /** A metadata-only parquet file (footer introspection never reads
+    * row-group data): `PAR1` + compact-protocol FileMetaData +
+    * u32le length + `PAR1`. Rows split across two row groups so the
+    * group-sum cross-check has something to verify. */
+  def synthFile(numRows: Long, nCols: Int): Array[Byte] = {
+    val f = new java.io.ByteArrayOutputStream()
+    // 1: version i32
+    f.write(0x15); putZig(f, 1L)
+    // 2: schema list<struct>: root + nCols leaves
+    f.write(0x19)
+    val n = nCols + 1
+    if (n < 15) f.write((n << 4) | 0x0C)
+    else { f.write(0xFC); putVarint(f, n.toLong) }
+    putStr(f, "root")
+    f.write(0x15); putZig(f, nCols.toLong) // 5: num_children (delta 1)
+    f.write(0x00)
+    var c = 0
+    while (c < nCols) { putStr(f, "c" + c); f.write(0x00); c += 1 }
+    // 3: num_rows i64
+    f.write(0x16); putZig(f, numRows)
+    // 4: row_groups list<struct> — two groups splitting the rows
+    f.write(0x19); f.write(0x2C)
+    val g0 = numRows / 2
+    Seq(g0, numRows - g0).foreach { rows =>
+      f.write(0x36) // field 3 (num_rows) in RowGroup, delta 3, i64
+      putZig(f, rows)
+      f.write(0x00)
+    }
+    f.write(0x00)
+    val fb = f.toByteArray
+    val o = new java.io.ByteArrayOutputStream()
+    o.write("PAR1".getBytes("US-ASCII"), 0, 4)
+    o.write(fb, 0, fb.length)
+    var k = 0
+    while (k < 4) { o.write((fb.length >> (8 * k)) & 0xFF); k += 1 }
+    o.write("PAR1".getBytes("US-ASCII"), 0, 4)
+    o.toByteArray
+  }
+
   /** Packed: nColumns<<24 | nGroups<<8 | verified<<1 | 1; -1 refusal.
     * `verified` = the footer's num_rows equals the row groups' sum. */
   def meta(b: Array[Byte]): Long = {
@@ -273,6 +330,28 @@ case class ParquetMeta(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `(long rows, long cols) -> binary`: a metadata-only parquet file
+  * for q187's routed census. */
+case class ParquetSynth(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_parquet_synth"
+
+  override protected def nullSafeEval(rows: Any, cols: Any): Any =
+    ParquetFooterEval.synthFile(rows.asInstanceOf[Long],
+      cols.asInstanceOf[Long].toInt)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (r, c) =>
+      s"graft.functions.ParquetFooterEval.synthFile($r, (int)$c)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ParquetSynth =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column surface for the Parquet footer kernels. */
 object ParquetFooterOps {
   import org.apache.spark.sql.Column
@@ -283,4 +362,9 @@ object ParquetFooterOps {
   def parquetNumRows(b: Column): Column =
     ColumnBridge.column(ParquetNumRows(bin(b)))
   def parquetMeta(b: Column): Column = ColumnBridge.column(ParquetMeta(bin(b)))
+
+  def parquetSynth(rows: Column, cols: Column): Column =
+    ColumnBridge.column(ParquetSynth(
+      ColumnBridge.expression(rows.cast("long")),
+      ColumnBridge.expression(cols.cast("long"))))
 }

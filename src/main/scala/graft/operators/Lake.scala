@@ -104,6 +104,74 @@ object Lake {
         when(col("_nr") >= 0, col("_v")).as("verified"))
   }
 
+  /** Q187: the LAKE DROP CENSUS — the capstone of the lake
+    * introspection family (q127/q184's magic-byte routing applied to
+    * the big four lake formats): one binary column of mixed
+    * Parquet / ORC / Avro / Arrow payloads, each routed to ITS
+    * format's pinned walk — FOUR wire grammars in one manifest
+    * (Thrift compact, protobuf, zigzag-Avro, flatbuffers) — and the
+    * columns normalized to the audit's common vocabulary: row count,
+    * column/field count, and the `verified` cross-check where the
+    * format carries one (Parquet's and ORC's group/stripe sums). A
+    * routing slip lands on another grammar's residue numbers and
+    * cannot cancel (the oracle-union stance).
+    *
+    * Residue classes (%5): 0 → a metadata-only Parquet file
+    * (`PAR1`-framed thrift footer, rows split over two row groups so
+    * `verified` has teeth); 1 → ORC (q186's class 0); 2 → Avro
+    * (q164's class 0 — 3 records, the stated 4-field schema);
+    * 3 → Arrow IPC (q185's class 0 — schema + two batches);
+    * 4 → plain text. One narrow map, zero exchanges.
+    */
+  def q187LakeCensus(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{ArrowIpcOps, AvroOps, OrcOps, ParquetFooterOps}
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val payload = when(id % 5 === 0,
+        ParquetFooterOps.parquetSynth(lit(500L) + id % 500, id % 7 + 2))
+      .when(id % 5 === 1, OrcOps.orcSynth(id))
+      .when(id % 5 === 2, AvroOps.avroSynth(col("text"), id))
+      .when(id % 5 === 3, ArrowIpcOps.arrowSynth(id))
+      .otherwise(col("text").cast("binary"))
+    val staged = docs.select(id, payload.as("_p"))
+      .withColumn("_fmt",
+        when(hex(substring(col("_p"), 1, 4)) === "50415231", "parquet")
+          .when(hex(substring(col("_p"), 1, 4)) === "4F626A01", "avro")
+          .when(hex(substring(col("_p"), 1, 3)) === "4F5243", "orc")
+          .when(hex(substring(col("_p"), 1, 4)) === "FFFFFFFF", "arrow"))
+      .withColumn("_pm", when(col("_fmt") === "parquet",
+        graft.functions.ParquetFooterOps.parquetMeta(col("_p"))))
+      .withColumn("_pr", when(col("_fmt") === "parquet",
+        graft.functions.ParquetFooterOps.parquetNumRows(col("_p"))))
+      .withColumn("_om", when(col("_fmt") === "orc", OrcOps.orcMeta(col("_p"))))
+      .withColumn("_am", when(col("_fmt") === "avro",
+        AvroOps.avroMeta(col("_p"))))
+      .withColumn("_im", when(col("_fmt") === "arrow",
+        ArrowIpcOps.arrowMeta(col("_p"))))
+    staged.select(id, col("_fmt").as("format"),
+      when(col("_fmt") === "parquet", col("_pr"))
+        .when(col("_fmt") === "orc",
+          col("_om").bitwiseAND(lit((1L << 26) - 1)) - 1)
+        .when(col("_fmt") === "avro",
+          shiftright(col("_am"), 12).bitwiseAND(lit(0xFFFL)) - 1)
+        .when(col("_fmt") === "arrow",
+          col("_im").bitwiseAND(lit(0xFFFFFFFFL)))
+        .as("num_rows"),
+      when(col("_fmt") === "parquet",
+        shiftright(col("_pm"), 24).bitwiseAND(lit(0xFFFFL)))
+        .when(col("_fmt") === "orc",
+          shiftright(col("_om"), 26).bitwiseAND(lit(0x3FFL)) - 1)
+        .when(col("_fmt") === "avro", lit(4L)) // the stated schema
+        .when(col("_fmt") === "arrow",
+          shiftright(col("_im"), 44).bitwiseAND(lit(0x3FFL)))
+        .cast("int").as("n_columns"),
+      when(col("_fmt") === "parquet",
+        shiftright(col("_pm"), 1).bitwiseAND(lit(1L)))
+        .when(col("_fmt") === "orc",
+          shiftright(col("_om"), 46).bitwiseAND(lit(1L)))
+        .cast("int").as("verified"))
+  }
+
   /** Q173: transaction-log snapshot reconstruction — the Delta-protocol
     * read every lakehouse client performs before touching a byte of
     * data (the `_delta_log` JSON actions ARE the table; a reader that

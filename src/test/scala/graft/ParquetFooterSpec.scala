@@ -133,6 +133,12 @@ class ParquetFooterSpec extends AnyFunSuite {
       m.nGroups === 0)
   }
 
+  test("synthFile round-trips: rows split over two verified groups") {
+    val m = ParquetFooterEval.parse(ParquetFooterEval.synthFile(777L, 5))
+    assert(m != null && m.numRows === 777L && m.nColumns === 5)
+    assert(m.nGroups === 2 && m.sumGroupRows === 777L)
+  }
+
   test("refusals: wrong magic, lying footer length, not parquet") {
     assert(ParquetFooterEval.parse("not parquet".getBytes) === null)
     val good = file(handFooter(1L, 1L))

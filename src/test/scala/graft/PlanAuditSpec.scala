@@ -1075,7 +1075,8 @@ class PlanAuditSpec extends AnyFunSuite {
         graft.sources.Compress.q184CompressRouter(spark, TestSpark.Sf0001),
       "q185" ->
         graft.sources.ArrowIpc.q185ArrowIpcTriage(spark, TestSpark.Sf0001),
-      "q186" -> graft.operators.Lake.q186OrcFooter(spark, TestSpark.Sf0001))
+      "q186" -> graft.operators.Lake.q186OrcFooter(spark, TestSpark.Sf0001),
+      "q187" -> graft.operators.Lake.q187LakeCensus(spark, TestSpark.Sf0001))
     zeroes.foreach { case (name, df) =>
       assert(shuffles(df) === 0, s"$name grew a shuffle:\n${plan(df)}")
     }

@@ -189,7 +189,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "vw_arrow_ipc" ->
         graft.sources.ArrowIpc.q185ArrowIpcTriage(spark, TestSpark.Sf0001),
       "vw_orc_footer" ->
-        graft.operators.Lake.q186OrcFooter(spark, TestSpark.Sf0001))
+        graft.operators.Lake.q186OrcFooter(spark, TestSpark.Sf0001),
+      "vw_lake_census" ->
+        graft.operators.Lake.q187LakeCensus(spark, TestSpark.Sf0001))
     twins.foreach { case (view, df) =>
       val sql = canon(spark.sql(s"SELECT * FROM $view"))
       val api = canon(df)
