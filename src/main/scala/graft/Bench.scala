@@ -305,6 +305,38 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] could not write $roundFile: ${e.getMessage}")
       }
+      // Same-pass ledger row in BENCH_NOTES.md: the r15 verdict caught
+      // the artifact and the notes describing DIFFERENT sweeps (a 5th
+      // sweep stamped the file after the notes were written). Stamping
+      // the ledger row in the same pass makes the drift structurally
+      // impossible — whatever sweep owns BENCH_DETAIL_r{N}.json also
+      // owns the newest ledger line.
+      try {
+        val notes = java.nio.file.Paths.get("BENCH_NOTES.md").toAbsolutePath
+        if (java.nio.file.Files.exists(notes)) {
+          val header = "## Sweep ledger (auto-appended by Bench at round-stamp time)"
+          val existing = java.nio.file.Files.readString(notes)
+          val heavy = results.toSeq.sortBy(-_._2._2).take(5)
+            .map { case (k, (mn, med, mx)) => f"$k $med%.2f ($mn%.2f-$mx%.2f)" }
+            .mkString(", ")
+          val stamp = java.time.ZonedDateTime
+            .now(java.time.ZoneOffset.UTC)
+            .format(java.time.format.DateTimeFormatter.ISO_INSTANT)
+          val row = f"- r$round%02d $stamp: total ${f(total)} s over " +
+            s"${results.size} queries, reps $reps, failed ${failed.size}, " +
+            s"hard-violations ${hardViolations.size}; heaviest: $heavy\n"
+          val payload =
+            if (existing.contains(header)) row
+            else s"\n$header\n\nOne row per round-stamped sweep — the row and " +
+              s"`BENCH_DETAIL_r{N}.json` are written in the same pass and " +
+              s"always describe the same sweep.\n\n" + row
+          java.nio.file.Files.writeString(notes, payload,
+            java.nio.file.StandardOpenOption.APPEND)
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] could not append ledger row: ${e.getMessage}")
+      }
     }
     val detailFile = java.nio.file.Paths.get("bench_detail.json").toAbsolutePath
     // the file copy is a convenience; an unwritable CWD must not crash the

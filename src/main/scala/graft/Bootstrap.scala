@@ -556,6 +556,14 @@ object Bootstrap {
     // ingest fleet; `WHERE verified = 0` the cross-format footer alarm
     operators.Lake.q187LakeCensus(spark, dir)
       .createOrReplaceTempView("vw_lake_census")
+    // the zstd content read (q188): `WHERE checksum_ok = 0` the
+    // corruption quarantine; `sum(content_len)` the decoded budget
+    sources.Zstd.q188ZstdDecode(spark, dir)
+      .createOrReplaceTempView("vw_zstd_decode")
+    // the .warc.zst intake (q189): the q116 capstone on Common
+    // Crawl's primary distribution format — same columns, same SLOs
+    operators.Crawl.q189ZstdIntake(spark, dir)
+      .createOrReplaceTempView("vw_zstd_intake")
   }
 
   /** Register the landing table + curated views over it — the TRANSFORM

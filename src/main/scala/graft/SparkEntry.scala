@@ -209,6 +209,8 @@ object SparkEntry {
     "q185_arrow_ipc" -> (ArrowIpc.q185ArrowIpcTriage _),
     "q186_orc_footer" -> (Lake.q186OrcFooter _),
     "q187_lake_census" -> (Lake.q187LakeCensus _),
+    "q188_zstd_decode" -> (Zstd.q188ZstdDecode _),
+    "q189_zstd_intake" -> (Crawl.q189ZstdIntake _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -2799,16 +2801,20 @@ object SparkEntry {
         "CAST(CASE WHEN wn > 0 THEN nd * 100 // wn ELSE NULL END AS BIGINT) " +
         "AS ttr_x100 FROM c"),
     // q178: the oracle replays the whole graph through DuckDB joins
-    // over the SAME link-CTE prefix q96 splices — edges, mutual
-    // pairs, and the ordered (a < b < c) triangle join — so an
-    // edge-derivation, self-loop, dedup, or ordering slip cannot
-    // cancel
+    // over the SAME link-CTE prefix q96 splices — edges (with the hub
+    // residue every site links), mutual pairs, and the
+    // orientation-FREE ordered (a < b < c) triangle join: the count
+    // is orientation-invariant, so a slip in the engine's
+    // degree-ordered bookkeeping cannot cancel
     "q178_host_graph" ->
       ("WITH " + linkCtes + ", " +
         "e0 AS (SELECT DISTINCT 'site' || (doc_id % 40) || " +
         "'.example.com' AS src, " +
         "regexp_extract(canonical_url, '^[a-z]+://([^/:?#]+)', 1) AS dst " +
-        "FROM c WHERE canonical_url IS NOT NULL), " +
+        "FROM c WHERE canonical_url IS NOT NULL " +
+        "UNION SELECT DISTINCT 'site' || (doc_id % 40) || " +
+        "'.example.com' AS src, 'site3hub.example.com' AS dst " +
+        "FROM documents), " +
         "e2 AS (SELECT * FROM e0 WHERE src <> dst), " +
         "v AS (SELECT src AS h FROM e2 UNION SELECT dst FROM e2), " +
         "u AS (SELECT DISTINCT least(src, dst) AS a, " +
@@ -3349,27 +3355,34 @@ object SparkEntry {
     // independently built page: the Spark side must carry exact bytes
     // through gzip + WARC + the byte-level envelope split + de-chunking
     // + UTF-16/Latin-1 decoding to match
-    "q116_fullstack_intake" ->
-      ("WITH " + htmlCtes + " " +
+    "q116_fullstack_intake" -> fullStackOracle,
+    // q189: the SAME six-layer contract as q116 — the zstd rung must
+    // be a drop-in for the gzip rung, so the oracle IS q116's oracle
+    "q189_zstd_intake" -> fullStackOracle,
+    // q188: every content string replays from words + doc_id
+    // arithmetic, md5 closed in SQL — a literals, sequence-execution,
+    // repeat-offset, treeless, or RLE slip cannot agree
+    "q188_zstd_decode" ->
+      ("WITH w AS (SELECT doc_id, list_filter(" +
+        "string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), " +
+        "x -> x <> '') AS ws FROM documents), " +
+        "p AS (SELECT doc_id, doc_id % 7 AS m, " +
+        "left(ws[1] || ' ' || ws[2] || '#' || " +
+        "CAST(doc_id % 97 AS VARCHAR), 200) AS b FROM w), " +
+        "c AS (SELECT doc_id, m, CASE m " +
+        "WHEN 0 THEN b " +
+        "WHEN 1 THEN b || '|' || b " +
+        "WHEN 2 THEN b || '/' || b || '/' || b || '/' || b " +
+        "WHEN 3 THEN b || ';' || b || ';' || b || 'xxxxxxxx' " +
+        "WHEN 4 THEN b || repeat('z', CAST(30 + doc_id % 8 AS INTEGER)) || '!end' " +
+        "WHEN 5 THEN b || reverse(b) END AS content FROM p) " +
         "SELECT doc_id, " +
-        "CASE WHEN doc_id % 13 = 9 THEN 0 ELSE 1 END AS fetch_ok, " +
-        "CASE WHEN doc_id % 13 = 9 THEN NULL ELSE " +
-        "'https://site' || (doc_id % 40) || '.example.com/a/' || (doc_id % 20) || " +
-        "'/page' || doc_id || '.html' END AS uri, " +
-        "CASE WHEN doc_id % 13 = 9 THEN NULL ELSE 200 END AS status, " +
-        "CASE WHEN doc_id % 13 = 9 THEN NULL ELSE CAST(doc_id % 5 <> 4 AS INTEGER) END AS te_chunked, " +
-        "CASE WHEN doc_id % 13 = 9 THEN NULL " +
-        "WHEN doc_id % 3 = 0 THEN 'utf-16le' " +
-        "WHEN doc_id % 3 = 1 THEN 'iso-8859-1' ELSE 'utf-8' END AS charset, " +
-        "CASE WHEN doc_id % 13 = 9 THEN NULL ELSE md5(html) END AS payload_md5, " +
-        "CASE WHEN doc_id % 13 = 9 THEN NULL " +
-        "WHEN t <> '' THEN t END AS title, " +
-        "CASE WHEN doc_id % 13 = 9 THEN NULL ELSE CAST(wf AS INTEGER) END AS well_formed, " +
-        "CASE WHEN doc_id % 13 = 9 OR NOT wf THEN NULL ELSE " +
-        "CAST((length(body_raw) - length(replace(body_raw, '<a href=\"', ''))) // 9 AS BIGINT) END AS n_links, " +
-        "CASE WHEN doc_id % 13 = 9 OR NOT wf THEN NULL ELSE tc END AS text_clean, " +
-        "CASE WHEN doc_id % 13 = 9 OR NOT wf THEN NULL ELSE CAST(length(tc) AS BIGINT) END AS n_chars_clean " +
-        "FROM d"),
+        "CAST(m <> 6 AS INTEGER) AS is_zstd, " +
+        "CAST(CASE WHEN m <> 6 THEN 1 END AS INTEGER) AS n_frames, " +
+        "CAST(CASE WHEN m <> 6 THEN 0 END AS INTEGER) AS truncated, " +
+        "CAST(CASE WHEN m <> 6 THEN 1 END AS INTEGER) AS checksum_ok, " +
+        "CAST(length(content) AS BIGINT) AS content_len, " +
+        "md5(content) AS content_md5 FROM c"),
     // q99: the oracle derives every field DIRECTLY from the residues —
     // never by parsing (q82's stance) — so a parser slip (splitting on
     // the body's embedded separator, case-sensitive header match,
@@ -3614,6 +3627,31 @@ object SparkEntry {
     * standalone extraction and the composed intake cannot drift.
     * Downstream reads `d` (doc_id, html, body_raw, wf, t, tc).
     */
+  /** q116 and q189 share one oracle: the six-layer intake
+    * contract is identical whichever compression rung wraps the
+    * WARC member. */
+  private lazy val fullStackOracle: String =
+    "WITH " + htmlCtes + " " +
+        "SELECT doc_id, " +
+        "CASE WHEN doc_id % 13 = 9 THEN 0 ELSE 1 END AS fetch_ok, " +
+        "CASE WHEN doc_id % 13 = 9 THEN NULL ELSE " +
+        "'https://site' || (doc_id % 40) || '.example.com/a/' || (doc_id % 20) || " +
+        "'/page' || doc_id || '.html' END AS uri, " +
+        "CASE WHEN doc_id % 13 = 9 THEN NULL ELSE 200 END AS status, " +
+        "CASE WHEN doc_id % 13 = 9 THEN NULL ELSE CAST(doc_id % 5 <> 4 AS INTEGER) END AS te_chunked, " +
+        "CASE WHEN doc_id % 13 = 9 THEN NULL " +
+        "WHEN doc_id % 3 = 0 THEN 'utf-16le' " +
+        "WHEN doc_id % 3 = 1 THEN 'iso-8859-1' ELSE 'utf-8' END AS charset, " +
+        "CASE WHEN doc_id % 13 = 9 THEN NULL ELSE md5(html) END AS payload_md5, " +
+        "CASE WHEN doc_id % 13 = 9 THEN NULL " +
+        "WHEN t <> '' THEN t END AS title, " +
+        "CASE WHEN doc_id % 13 = 9 THEN NULL ELSE CAST(wf AS INTEGER) END AS well_formed, " +
+        "CASE WHEN doc_id % 13 = 9 OR NOT wf THEN NULL ELSE " +
+        "CAST((length(body_raw) - length(replace(body_raw, '<a href=\"', ''))) // 9 AS BIGINT) END AS n_links, " +
+        "CASE WHEN doc_id % 13 = 9 OR NOT wf THEN NULL ELSE tc END AS text_clean, " +
+        "CASE WHEN doc_id % 13 = 9 OR NOT wf THEN NULL ELSE CAST(length(tc) AS BIGINT) END AS n_chars_clean " +
+        "FROM d"
+
   private lazy val htmlCtes: String =
     "wz AS (SELECT doc_id, text, " +
       "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '') AS w " +

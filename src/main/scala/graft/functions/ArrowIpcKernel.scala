@@ -54,7 +54,7 @@ object ArrowIpcEval {
   /** Absolute position of table field `id`'s data, or -1 if absent. */
   private def fieldPos(b: Array[Byte], tablePos: Int, id: Int,
                        limit: Int): Int = {
-    if (tablePos + 4 > limit) return -2
+    if (tablePos < 0 || tablePos + 4 > limit) return -2
     val soffset = i32le(b, tablePos)
     val vt = tablePos - soffset
     if (vt < 0 || vt + 4 > limit) return -2
@@ -67,7 +67,15 @@ object ArrowIpcEval {
     tablePos + off
   }
 
-  def parse(b: Array[Byte]): Ipc = {
+  /** Safety net: a malformed flatbuffer can claim offsets the explicit
+    * checks below don't individually re-derive; any residual
+    * out-of-range dereference maps to the refusal verdict, never an
+    * uncaught crash (the OrcKernel/CborKernel pattern). */
+  def parse(b: Array[Byte]): Ipc =
+    try parseImpl(b)
+    catch { case _: IndexOutOfBoundsException => null }
+
+  private def parseImpl(b: Array[Byte]): Ipc = {
     if (b == null || b.length < 8) return null
     var i = 0
     var nFields = -1
@@ -95,11 +103,17 @@ object ArrowIpcEval {
         } else {
           val fb = i + 8
           val limit = fb + metaLen
+          // every derived position is validated against [0, limit)
+          // before dereference: a crafted root/field offset must land
+          // on the truncated/refusal path, not an uncaught throw
           val root = fb + u32le(b, fb).toInt
           val htPos = fieldPos(b, root, 1, limit)
           val hdPos = fieldPos(b, root, 2, limit)
           val blPos = fieldPos(b, root, 3, limit)
-          if (htPos == -2 || hdPos == -2 || blPos == -2) {
+          if (htPos == -2 || hdPos == -2 || blPos == -2 ||
+            (htPos >= 0 && htPos + 1 > limit) ||
+            (hdPos >= 0 && hdPos + 4 > limit) ||
+            (blPos >= 0 && blPos + 8 > limit)) {
             if (!sawSchema) return null
             truncated = 1; done = true
           } else {
@@ -114,11 +128,13 @@ object ArrowIpcEval {
                   if (hdPos < 0) return null
                   val schemaTable = hdPos + u32le(b, hdPos).toInt
                   val fv = fieldPos(b, schemaTable, 1, limit)
+                  if (fv == -2) return null
                   nFields =
                     if (fv < 0) 0
                     else {
+                      if (fv + 4 > limit) return null
                       val vec = fv + u32le(b, fv).toInt
-                      if (vec + 4 > limit) return null
+                      if (vec < 0 || vec + 4 > limit) return null
                       i32le(b, vec)
                     }
                   sawSchema = true
@@ -127,7 +143,8 @@ object ArrowIpcEval {
                   if (hdPos >= 0) {
                     val rbTable = hdPos + u32le(b, hdPos).toInt
                     val lp = fieldPos(b, rbTable, 0, limit)
-                    totalRows += (if (lp < 0) 0L else i64le(b, lp))
+                    totalRows +=
+                      (if (lp < 0 || lp + 8 > limit) 0L else i64le(b, lp))
                   }
                   nBatches += 1
                   bodyBytes += bodyLength

@@ -105,17 +105,21 @@ object AvroEval {
     if (dv == null) return -1
     val tl = zigzag(b, dv(1).toInt)
     if (tl == null || tl(0) < 0L) return -1
+    // bounds math in Long: a claimed length near Int.MaxValue must not
+    // wrap negative and slip past the check (one crafted file would
+    // otherwise crash the job instead of refusing)
+    if (tl(1) + tl(0) > b.length.toLong) return -1
     val tStart = tl(1).toInt
     val tLen = tl(0).toInt
-    if (tLen < 0 || tStart + tLen > b.length) return -1
     val uv = zigzag(b, tStart + tLen)
     if (uv == null) return -1
     var next = uv(1).toInt
     if (uv(0) == 1L) { // union branch 1: string tag present
       val gl = zigzag(b, next)
       if (gl == null || gl(0) < 0L) return -1
-      next = gl(1).toInt + gl(0).toInt
-      if (next > b.length) return -1
+      val nextL = gl(1) + gl(0) // Long math — no Int wrap on huge claims
+      if (nextL > b.length.toLong) return -1
+      next = nextL.toInt
       acc.nTagged += 1
     } else if (uv(0) != 0L) return -1 // only [null, string] is legal
     acc.sumIds += idv(0)
@@ -125,7 +129,18 @@ object AvroEval {
     next
   }
 
-  def parse(b: Array[Byte]): Res = {
+  /** Safety net over the walk: any residual index arithmetic a crafted
+    * file drives out of range maps to the documented refusal, never an
+    * uncaught crash (the OrcKernel/CborKernel pattern). */
+  def parse(b: Array[Byte]): Res =
+    try parseImpl(b)
+    catch {
+      case _: IndexOutOfBoundsException => Refuse
+      case _: NegativeArraySizeException => Refuse
+      case _: IllegalArgumentException => Refuse
+    }
+
+  private def parseImpl(b: Array[Byte]): Res = {
     if (b == null || b.length < 20) return Refuse
     var k = 0
     while (k < 4) { if (b(k) != Magic(k)) return Refuse; k += 1 }
@@ -152,16 +167,16 @@ object AvroEval {
         while (j < n) {
           val kl = zigzag(b, i)
           if (kl == null || kl(0) < 0L) return Refuse
+          if (kl(1) + kl(0) > b.length.toLong) return Refuse // Long math
           val kStart = kl(1).toInt
           val kLen = kl(0).toInt
-          if (kStart + kLen > b.length) return Refuse
           val key = new String(b, kStart, kLen,
             java.nio.charset.StandardCharsets.UTF_8)
           val vl = zigzag(b, kStart + kLen)
           if (vl == null || vl(0) < 0L) return Refuse
+          if (vl(1) + vl(0) > b.length.toLong) return Refuse // Long math
           val vStart = vl(1).toInt
           val vLen = vl(0).toInt
-          if (vStart + vLen > b.length) return Refuse
           if (key == "avro.codec")
             codecStr = new String(b, vStart, vLen,
               java.nio.charset.StandardCharsets.UTF_8)

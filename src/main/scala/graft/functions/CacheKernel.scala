@@ -33,6 +33,24 @@ object CacheEval {
                          lifetime: Long, date: Long)
 
   /** method: 1 s-maxage, 2 max-age, 3 expires, 4 heuristic, 5 none. */
+  /** RFC 9111 delta-seconds: ASCII digits ONLY (`isDigit` would admit
+    * non-ASCII Unicode digits that `toLong` then rejects), and capped
+    * at 18 digits so the parse can never throw — a header like
+    * `max-age=99999999999999999999` saturates instead of crashing the
+    * query (longer-than-Long values already exceed any plausible
+    * lifetime and `meta` clamps to 2^40-1 regardless).
+    * Long.MinValue = invalid, fall through to the next rung. */
+  private def deltaSeconds(v: String): Long = {
+    if (v == null || v.isEmpty) return Long.MinValue
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c < '0' || c > '9') return Long.MinValue
+      i += 1
+    }
+    if (v.length > 18) (1L << 40) - 1 else v.toLong
+  }
+
   def parse(s: String): Cache = {
     if (s == null) return null
     var date = Long.MinValue
@@ -69,11 +87,11 @@ object CacheEval {
           case "no-store" => noStore = true
           case "no-cache" => noCache = true
           case "s-maxage" =>
-            if (v != null && v.nonEmpty && v.forall(_.isDigit))
-              sMaxage = v.toLong // invalid value: fall through
+            val d = deltaSeconds(v) // invalid value: fall through
+            if (d != Long.MinValue) sMaxage = d
           case "max-age" =>
-            if (v != null && v.nonEmpty && v.forall(_.isDigit))
-              maxAge = v.toLong
+            val d = deltaSeconds(v)
+            if (d != Long.MinValue) maxAge = d
           case _ => ()
         }
       }

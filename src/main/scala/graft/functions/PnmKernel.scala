@@ -163,11 +163,22 @@ object PnmEval {
       (r.w.toLong << 14) | (r.h.toLong << 1) | 1L
   }
 
-  /** (sum << 24) | (max << 12) | min; -1 when stats refuse. */
+  /** Summed luma as a plain long (exact for any stated-scope image);
+    * -1 when stats refuse. Sum travels UNPACKED because 16-bit
+    * samples over 4096x4096 pixels need 40 bits — packing it beside
+    * min/max silently corrupted lumas above 4095. */
   def luma(b: Array[Byte]): Long = {
     val r = parse(b)
     if (r == null || !r.statsOk) return -1L
-    (r.sum << 24) | (r.max << 12) | r.min
+    r.sum
+  }
+
+  /** (max << 17) | min — 17-bit fields hold the full 16-bit sample
+    * space (maxval <= 65535); -1 when stats refuse. */
+  def lumaRange(b: Array[Byte]): Long = {
+    val r = parse(b)
+    if (r == null || !r.statsOk) return -1L
+    (r.max << 17) | r.min
   }
 
   // -------------------------------------------------------------- synth
@@ -273,8 +284,8 @@ case class PnmMeta(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** `binary -> long`: `(sum << 24) | (max << 12) | min` luma stats in
-  * the file's own sample space; NULL when the raster refuses. */
+/** `binary -> long`: summed luma in the file's own sample space;
+  * NULL when the raster refuses. */
 case class PnmLuma(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
@@ -295,6 +306,33 @@ case class PnmLuma(child: Expression) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): PnmLuma =
+    copy(child = newChild)
+}
+
+/** `binary -> long`: `(max << 17) | min` luma range in the file's own
+  * sample space (17-bit fields cover 16-bit samples); NULL when the
+  * raster refuses. */
+case class PnmLumaRange(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pnm_luma_range"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val r = PnmEval.lumaRange(input.asInstanceOf[Array[Byte]])
+    if (r < 0L) null else r
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, bytes => {
+      val res = ctx.freshName("pr")
+      s"""
+         |long $res = graft.functions.PnmEval.lumaRange($bytes);
+         |if ($res < 0L) { ${ev.isNull} = true; } else { ${ev.value} = $res; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PnmLumaRange =
     copy(child = newChild)
 }
 
@@ -323,6 +361,8 @@ object PnmOps {
 
   def pnmMeta(b: Column): Column = ColumnBridge.column(PnmMeta(bin(b)))
   def pnmLuma(b: Column): Column = ColumnBridge.column(PnmLuma(bin(b)))
+  def pnmLumaRange(b: Column): Column =
+    ColumnBridge.column(PnmLumaRange(bin(b)))
 
   def pnmSynth(params: Column): Column =
     ColumnBridge.column(PnmSynth(ColumnBridge.expression(params.cast("long"))))

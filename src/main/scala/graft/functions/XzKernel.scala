@@ -91,11 +91,15 @@ object XzEval {
       if (i >= n || b(i) != 0) return null
       i += 1
     }
+    // the abut check runs BEFORE the CRC read: a crafted
+    // backward_size/record-count combination can park `i` within 3
+    // bytes of EOF, and reading the u32 first would throw instead of
+    // refusing
+    if (i + 4 != n - 12) return null // index must abut the footer
     // index CRC32 over indicator..padding, stored LE
     val crc = new java.util.zip.CRC32()
     crc.update(b, idxStart.toInt, i - idxStart.toInt)
     if ((crc.getValue & 0xFFFFFFFFL) != u32le(b, i)) return null
-    if (i + 4 != n - 12) return null // index must abut the footer
     Xz(check, blocks.toInt, total)
   }
 

@@ -884,7 +884,42 @@ object Crawl {
     * exchanges, every kernel once per row — pinned.
     */
   def q116FullStackIntake(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.{GzipOps, HttpOps, WarcOps}
+    import graft.functions.GzipOps
+    fullStackIntake(spark, dir,
+      wrap = rec => GzipOps.gzip(rec,
+        concat(col("doc_id").cast("string"), lit(".warc"))),
+      unwrap = z => GzipOps.gunzip(z))
+  }
+
+  /** Q189: the q116 capstone on `.warc.zst` — the SAME six-layer
+    * intake with the compression rung swapped from gzip to zstd
+    * (Common Crawl's primary distribution format): the WARC record is
+    * zstd-compressed through the repo's own encoder (chunked
+    * Huffman-literal blocks, windowed frame, real XXH64 —
+    * [[graft.functions.ZstdBlockEval.compress]]) and unwound through
+    * the INTAKE-grade decode that refuses truncated frames and failed
+    * checksums ([[graft.functions.ZstdBlockEval.decodeContentStrict]]).
+    * Everything downstream — record walk, byte-level header split,
+    * de-chunking, BOM-first charset detect, extraction — is the
+    * shared `fullStackIntake` stage, so the two spellings cannot
+    * drift. The `%13==9` member truncation now cuts the zstd frame
+    * mid-checksum: the strict decode refuses, fetch_ok 0, the same
+    * NULL cascade the gzip twin pins.
+    */
+  def q189ZstdIntake(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ZstdBlockOps
+    fullStackIntake(spark, dir,
+      wrap = rec => ZstdBlockOps.zstdCompress(rec),
+      unwrap = z => ZstdBlockOps.zstdDecodeStrict(z))
+  }
+
+  /** The shared six-layer intake stage (q116 gzip / q189 zstd):
+    * `wrap` compresses the WARC record bytes, `unwrap` decompresses
+    * the (possibly truncated) fetched member or yields NULL. */
+  private def fullStackIntake(spark: SparkSession, dir: String,
+                              wrap: Column => Column,
+                              unwrap: Column => Column): DataFrame = {
+    import graft.functions.{HttpOps, WarcOps}
     val docs = Tables.load(spark, dir, "documents")
     val id = col("doc_id")
     val html = synthHtml(id, col("text"))
@@ -913,10 +948,10 @@ object Crawl {
     val staged = docs
       .select(id, col("text"), htmlBytes.as("_hb"))
       .withColumn("_resp", concat(respHead.cast("binary"), wireBody))
-      .withColumn("_gz", GzipOps.gzip(rec, concat(id.cast("string"), lit(".warc"))))
+      .withColumn("_gz", wrap(rec))
       .withColumn("_fetched", when(id % 13 === 9,
         expr("substring(_gz, 1, length(_gz) - 7)")).otherwise(col("_gz")))
-      .withColumn("_bytes", GzipOps.gunzip(col("_fetched")))
+      .withColumn("_bytes", unwrap(col("_fetched")))
       .withColumn("_offs", WarcOps.warcOffsets(col("_bytes")))
       .withColumn("_off", get(col("_offs"), lit(0)))
       .withColumn("_pay", WarcOps.warcPayload(col("_bytes"), col("_off")))
@@ -1511,29 +1546,60 @@ object Crawl {
     * triangle count is the clustering signal community detection
     * starts from): over the SAME distinct host→host edges q96 ranks
     * (shared `resolvedLinks` derivation — the two views cannot
-    * drift), self-loops dropped: mutual pairs (a→b AND b→a), the
-    * undirected projection's triangle count via the ordered
-    * three-way join (a < b < c — each triangle counted once, the
-    * node-iterator algebra), and integer reciprocity
+    * drift) PLUS a hub residue — every site links
+    * `site3hub.example.com`, the CDN-host pattern real web graphs
+    * always carry — self-loops dropped: mutual pairs (a→b AND b→a),
+    * the undirected projection's triangle count via DEGREE-ORDERED
+    * orientation (node-iterator++), and integer reciprocity
     * `200·mutual div edges`.
     *
-    * Shape at scale: edges checkpoint once (four consumers), every
-    * join keys on host pairs (edges-sized, never corpus-sized), the
-    * result is ONE row. Oracle replays the whole graph — edges,
-    * mutuals, ordered triangles — through DuckDB joins over the
-    * shared link-CTE prefix (a structurally different execution of
-    * the same algebra).
+    * Why degree-ordered, not lexicographic: orienting each edge from
+    * its lower-degree endpoint to its higher-degree endpoint (name
+    * tiebreak) bounds every vertex's out-degree by O(sqrt(edges)) —
+    * wedge candidates are then O(edges^1.5) worst case and O(edges ·
+    * arboricity) on real graphs, regardless of hubs. The previous
+    * `least/greatest` (lexicographic) orientation let a hub generate
+    * degree² wedge candidates at the wedge join, concentrated
+    * wherever the hub's name sorts — the same hot-group failure
+    * q148's paragraph dedup avoids. The hub class exists in the
+    * synthesis precisely so this matters: with ~34 hosts sorting
+    * below the hub and ~6 above, the lexicographic spelling builds
+    * 34×6 hub-centered wedges where degree ordering builds ~0 (the
+    * hub is every edge's HEAD, so it has no out-wedges at all).
+    *
+    * Shape at scale: edges checkpoint once (four consumers), degrees
+    * are one map-side-combined groupBy, every join keys on hosts or
+    * host pairs (edges-sized, never corpus-sized), the result is ONE
+    * row. Oracle replays the whole graph — edges + hub union,
+    * mutuals, triangles via the orientation-free a < b < c spelling
+    * (the count is orientation-invariant, so a degree-bookkeeping
+    * slip cannot cancel) — through DuckDB joins over the shared
+    * link-CTE prefix.
     */
-  def q178HostGraph(spark: SparkSession, dir: String): DataFrame = {
+  /** q178's directed host edges: the resolved-link projection PLUS the
+    * hub residue (every site links `site3hub.example.com`), self-loops
+    * dropped, distinct, checkpointed once for the four consumers.
+    * Shared with CrawlSpec's brute-force triangle recount. */
+  private[graft] def hostEdges(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val edges = resolvedLinks(docs)
+    val hub = docs
+      .select(concat(lit("site"), (col("doc_id") % 40).cast("string"),
+        lit(".example.com")).as("src"),
+        lit("site3hub.example.com").as("dst"))
+      .distinct()
+    resolvedLinks(docs)
       .where(col("canonical_url").isNotNull)
       .select(concat(lit("site"), (col("doc_id") % 40).cast("string"),
         lit(".example.com")).as("src"),
         Text.hostOf(col("canonical_url")).as("dst"))
+      .unionByName(hub)
       .where(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()
+  }
+
+  def q178HostGraph(spark: SparkSession, dir: String): DataFrame = {
+    val edges = hostEdges(spark, dir)
     val nHosts = edges.select(col("src").as("h"))
       .union(edges.select(col("dst").as("h"))).distinct()
       .agg(count(lit(1)).as("n_hosts"))
@@ -1547,12 +1613,34 @@ object Crawl {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
+      .localCheckpoint() // three consumers: two degree legs + the orient join
+    // node-iterator++: undirected degree, then orient every edge from
+    // the (degree, name)-smaller endpoint to the larger
+    val deg = und.select(col("a").as("h"))
+      .unionAll(und.select(col("b").as("h")))
+      .groupBy("h").agg(count(lit(1)).as("d"))
+    val fwd = col("da") < col("db") ||
+      (col("da") === col("db")) // tie: a < b lexicographically already
+    val oriented = und
+      .join(deg.select(col("h").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("h").as("b"), col("d").as("db")), "b")
+      .select(when(fwd, col("a")).otherwise(col("b")).as("u"),
+        when(fwd, col("b")).otherwise(col("a")).as("v"),
+        when(fwd, col("db")).otherwise(col("da")).as("dv"))
       .localCheckpoint()
-    val p = und.select(col("a").as("xa"), col("b").as("xb"))
-    val q = und.select(col("a").as("ya"), col("b").as("yb"))
-    val r = und.select(col("a").as("za"), col("b").as("zb"))
-    val nTri = p.join(q, col("xb") === col("ya"))
-      .join(r, col("za") === col("xa") && col("zb") === col("yb"))
+    // wedges at each tail u over its (order-bounded) out-neighbors,
+    // closed by the oriented edge v->w — each triangle counted once at
+    // its (degree, name)-minimum vertex
+    val w1 = oriented.select(col("u").as("u1"), col("v").as("p1"),
+      col("dv").as("k1"))
+    val w2 = oriented.select(col("u").as("u2"), col("v").as("p2"),
+      col("dv").as("k2"))
+    val closing = oriented.select(col("u").as("cv"), col("v").as("cw"))
+    val nTri = w1
+      .join(w2, col("u1") === col("u2") &&
+        (col("k1") < col("k2") ||
+          (col("k1") === col("k2") && col("p1") < col("p2"))))
+      .join(closing, col("cv") === col("p1") && col("cw") === col("p2"))
       .agg(count(lit(1)).as("n_triangles"))
     nHosts.crossJoin(nEdges).crossJoin(nMutual).crossJoin(nTri)
       .select(col("n_hosts"), col("n_edges"), col("n_mutual"),

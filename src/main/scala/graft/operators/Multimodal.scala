@@ -1894,7 +1894,8 @@ object Multimodal {
     val payload = when(id % 6 === 5, col("text").cast("binary")).otherwise(whole)
     docs.select(id, payload.as("_p"))
       .select(id, PnmOps.pnmMeta(col("_p")).as("_m"),
-        PnmOps.pnmLuma(col("_p")).as("_l"))
+        PnmOps.pnmLuma(col("_p")).as("_s"),
+        PnmOps.pnmLumaRange(col("_p")).as("_r"))
       .select(id,
         when(shiftright(col("_m"), 44) === 2, "P2")
           .when(shiftright(col("_m"), 44) === 3, "P3")
@@ -1906,10 +1907,12 @@ object Multimodal {
           .as("height"),
         shiftright(col("_m"), 27).bitwiseAND(lit(0x1FFFFL)).cast("int")
           .as("maxval"),
-        col("_l").bitwiseAND(lit(0xFFFL)).cast("int").as("min_luma"),
-        shiftright(col("_l"), 12).bitwiseAND(lit(0xFFFL)).cast("int")
+        // 17-bit fields hold the full 16-bit sample space; the old
+        // 12-bit packing silently corrupted lumas above 4095
+        col("_r").bitwiseAND(lit(0x1FFFFL)).cast("int").as("min_luma"),
+        shiftright(col("_r"), 17).bitwiseAND(lit(0x1FFFFL)).cast("int")
           .as("max_luma"),
-        shiftrightunsigned(col("_l"), 24).as("sum_luma"))
+        col("_s").as("sum_luma"))
   }
 
   /** Q168: data-URI image harvest — the inline-image layer of the

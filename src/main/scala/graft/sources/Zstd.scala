@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.ZstdOps
+import graft.functions.{ZstdBlockOps, ZstdOps}
 
 /** Q165: zstd frame triage — the compression layer Common Crawl
   * moved to (`.warc.zst` replaced `.warc.gz` as the primary crawl
@@ -62,5 +62,47 @@ object Zstd {
         when(col("_m") === -1L, lit(null))
           .otherwise(shiftright(col("_m"), 44).bitwiseAND(lit(0xFL)))
           .cast("int").as("truncated"))
+  }
+
+  /** Q188: zstd BLOCK decode — the rung q165 stopped at, now walked to
+    * the bottom: FSE table descriptions, Huffman literals (direct and
+    * FSE-compressed weights, 1- and 4-stream), sequences over the
+    * predefined tables, the three-slot repeat-offset history, overlap
+    * match copies, Treeless cross-block table reuse, and a VERIFIED
+    * XXH64 content checksum ([[graft.functions.ZstdBlockEval]] —
+    * interop-proven both directions against zstd CLI v1.5.7 in
+    * ZstdDecodeSpec). Content round-trips to md5 (q95's stance).
+    *
+    * Residue classes (%7): 0 → one Huffman-literal block; 1 →
+    * sequences with a real match (content doubles); 2 → 4-stream
+    * literals (content quadruples); 3 → repeat-offset drill (rep1
+    * reuse + an offset-1 overlap run); 4 → mixed raw/RLE/compressed
+    * blocks; 5 → a TREELESS second block reusing block 1's table
+    * (content + its reverse); 6 → plain text (not zstd). Oracle
+    * replays every content string from words + doc_id arithmetic and
+    * closes md5 itself. One narrow map, zero exchanges.
+    */
+  def q188ZstdDecode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val mode = when(id % 7 === 1, 1L).when(id % 7 === 2, 2L)
+      .when(id % 7 === 3, 3L).when(id % 7 === 4, 4L)
+      .when(id % 7 === 5, 5L).otherwise(0L)
+    val params = id + mode * lit(1L << 40)
+    val whole = ZstdBlockOps.zstdDeepSynth(col("text"), params)
+    val payload = when(id % 7 === 6, col("text").cast("binary")).otherwise(whole)
+    docs.select(id, payload.as("_p"))
+      .select(id, ZstdBlockOps.zstdDecodeMeta(col("_p")).as("_m"),
+        ZstdBlockOps.zstdDecode(col("_p")).as("_c"))
+      .select(id,
+        col("_m").isNotNull.cast("int").as("is_zstd"),
+        shiftright(col("_m"), 32).bitwiseAND(lit(0xFFL)).cast("int")
+          .as("n_frames"),
+        shiftright(col("_m"), 44).bitwiseAND(lit(0xFL)).cast("int")
+          .as("truncated"),
+        (shiftright(col("_m"), 40).bitwiseAND(lit(0xFL)) - 1).cast("int")
+          .as("checksum_ok"),
+        length(col("_c")).cast("bigint").as("content_len"),
+        md5(col("_c")).as("content_md5"))
   }
 }

@@ -49,4 +49,36 @@ class ArrowIpcSpec extends AnyFunSuite {
     val r = ArrowIpcEval.parse(noEos)
     assert(r != null && r.truncated === 1 && r.nBatches === 2)
   }
+
+  test("a malformed flatbuffer root offset refuses, never crashes") {
+    // framing is valid (continuation + metaLen 16) but the root
+    // offset claims 0xFFFFFF00 — the derived table position is
+    // negative and every read from it must land on the refusal path
+    val b = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Unit = {
+      var k = 0
+      while (k < 4) { b.write(((v >> (8 * k)) & 0xFF).toInt); k += 1 }
+    }
+    u32(0xFFFFFFFFL); u32(16L)
+    u32(0xFFFFFF00L) // root offset: wraps negative via toInt
+    u32(0L); u32(0L); u32(0L)
+    assert(ArrowIpcEval.parse(b.toByteArray) === null)
+  }
+
+  test("a corrupt message AFTER a good schema flags truncated, " +
+    "never crashes") {
+    val whole = ArrowIpcEval.synth(9L)
+    // find the second message start: schema fb is message 1; corrupt
+    // every byte of the stream tail past the first 24 bytes to 0xEE
+    // so the next header's flatbuffer walk derives garbage positions
+    val bad = whole.clone()
+    // keep the first message intact: locate its end via a re-frame
+    val metaLen = (whole(4) & 0xFF) | ((whole(5) & 0xFF) << 8) |
+      ((whole(6) & 0xFF) << 16) | ((whole(7) & 0xFF) << 24)
+    val msg2 = 8 + metaLen // schema has no body
+    var k = msg2 + 8 // leave message 2's framing, wreck its flatbuffer
+    while (k < bad.length) { bad(k) = 0xEE.toByte; k += 1 }
+    val r = ArrowIpcEval.parse(bad)
+    assert(r == null || r.truncated === 1) // refusal or truncation — no throw
+  }
 }

@@ -185,4 +185,21 @@ class AvroSpec extends AnyFunSuite {
     assert(r3.truncated === 1 && r3.nBlocks === 1 && r3.nRecords === 2 &&
       r3.codec === 2 && r3.sumDelta === -(2L * 42 + 1))
   }
+
+  test("a near-Int.MaxValue claimed length refuses, never crashes " +
+    "(Int-overflow bounds bypass)") {
+    // metadata map: count 1, then a key whose claimed length is
+    // 2_147_483_000 — kStart + kLen wraps negative in Int math and
+    // would have sailed past the bounds check into new String(...)
+    val o = new java.io.ByteArrayOutputStream()
+    o.write(Array[Byte]('O', 'b', 'j', 1), 0, 4)
+    o.write(zig(1L), 0, zig(1L).length) // one map entry
+    val huge = zig(2147483000L)
+    o.write(huge, 0, huge.length) // key length claim
+    o.write("avro".getBytes("US-ASCII"), 0, 4) // a few real bytes
+    val pad = new Array[Byte](64) // keep length >= 20
+    o.write(pad, 0, pad.length)
+    val r = AvroEval.parse(o.toByteArray)
+    assert(r.isAvro === 0) // the documented refusal, not a throw
+  }
 }

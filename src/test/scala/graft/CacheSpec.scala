@@ -49,6 +49,20 @@ class CacheSpec extends AnyFunSuite {
     assert(c.method === 2 && c.lifetime === 11L)
   }
 
+  test("delta-seconds longer than Long saturates; Unicode digits are " +
+    "invalid, never a crash") {
+    // 20 nines overflows Long.parseLong — must saturate, not throw
+    val c = CacheEval.parse(D +
+      "Cache-Control: max-age=99999999999999999999\r\n")
+    assert(c.method === 2 && c.lifetime === (1L << 40) - 1)
+    // Arabic-Indic digits pass isDigit but are NOT RFC 9111
+    // delta-seconds: invalid value, falls through to Expires
+    val u = CacheEval.parse(D +
+      "Cache-Control: max-age=٥٥\r\n" +
+      "Expires: Mon, 15 Jan 2024 11:00:00 GMT\r\n")
+    assert(u.method === 3 && u.lifetime === 3600L)
+  }
+
   test("no Date refuses; nothing at all is method none") {
     assert(CacheEval.parse("Cache-Control: max-age=5\r\n") === null)
     val c = CacheEval.parse(D + "Content-Type: text/html\r\n")

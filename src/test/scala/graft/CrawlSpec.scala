@@ -478,4 +478,46 @@ class CrawlSpec extends AnyFunSuite {
       .map(hh => (s"site$hh.example.com", "*", hh % 5 + 1)).toSet
     assert(delays === expected)
   }
+
+  test("q178: degree-ordered triangle count equals the brute-force " +
+    "recount, with the hub present and out-wedge-free") {
+    val row = graft.operators.Crawl
+      .q178HostGraph(spark, TestSpark.Sf0001).collect()(0)
+    val nTri = row.getAs[Long]("n_triangles")
+    // brute force over the SAME edges: undirected set, all {a,b,c}
+    // with a < b < c lexicographic — orientation-free ground truth
+    val edges = graft.operators.Crawl.hostEdges(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val und = edges.map { case (s, d) =>
+      if (s < d) (s, d) else (d, s)
+    }.toSet
+    val hosts = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    var brute = 0L
+    for {
+      i <- hosts.indices
+      j <- (i + 1) until hosts.length
+      if und.contains((hosts(i), hosts(j)))
+      k <- (j + 1) until hosts.length
+      if und.contains((hosts(j), hosts(k))) &&
+        und.contains((hosts(i), hosts(k)))
+    } brute += 1
+    assert(nTri === brute, s"engine $nTri vs brute-force $brute")
+    // the hub residue is live: every site links it, so its degree is
+    // the maximum — degree ordering must give it ZERO out-edges (the
+    // property that kills the degree-squared wedge blowup)
+    val deg = und.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (h, xs) => (h, xs.size) }
+    val hubDeg = deg("site3hub.example.com")
+    assert(hubDeg === deg.values.max, s"hub degree $hubDeg not maximal")
+    // and the hub participates in triangles (one per site-site edge
+    // between its neighbors), so the fix is observable
+    assert(nTri > 0L)
+    // hub-centered wedges under LEXICOGRAPHIC orientation (the old
+    // spelling): edges below x hub x edges above — nonzero by
+    // construction, so the hot case this graph now exercises is real
+    val below = und.count(_._2 == "site3hub.example.com")
+    val above = und.count(_._1 == "site3hub.example.com")
+    assert(below > 0 && above > 0,
+      s"hub must sort mid-range (below=$below above=$above)")
+  }
 }

@@ -191,7 +191,11 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "vw_orc_footer" ->
         graft.operators.Lake.q186OrcFooter(spark, TestSpark.Sf0001),
       "vw_lake_census" ->
-        graft.operators.Lake.q187LakeCensus(spark, TestSpark.Sf0001))
+        graft.operators.Lake.q187LakeCensus(spark, TestSpark.Sf0001),
+      "vw_zstd_decode" ->
+        graft.sources.Zstd.q188ZstdDecode(spark, TestSpark.Sf0001),
+      "vw_zstd_intake" ->
+        graft.operators.Crawl.q189ZstdIntake(spark, TestSpark.Sf0001))
     twins.foreach { case (view, df) =>
       val sql = canon(spark.sql(s"SELECT * FROM $view"))
       val api = canon(df)
