@@ -1508,19 +1508,22 @@ object SparkEntry {
         "CAST(CASE WHEN doc_id % 5 IN (3, 4) THEN NULL " +
         "ELSE (doc_id % 6 + 1) * 4 END AS INTEGER) AS height " +
         "FROM documents"),
-    // q130: the oracle replays the bitrate/sample-rate tables and the
-    // CBR arithmetic from residues (it never builds a frame byte), so a
-    // table row, synchsafe-size, or tag-exclusion slip cannot cancel
+    // q130: the oracle replays the bitrate/sample-rate tables, the CBR
+    // arithmetic, and the Xing/VBRI frame-count durations from
+    // residues (it never builds a frame byte), so a table row,
+    // synchsafe-size, tag-exclusion, or VBR-offset slip cannot cancel
     "q130_mp3_meta" ->
-      ("WITH p AS (SELECT doc_id, " +
-        "CASE WHEN doc_id % 5 = 2 THEN 14 WHEN doc_id % 5 = 3 THEN 0 " +
+      ("WITH p AS (SELECT doc_id, doc_id % 7 AS m, " +
+        "CASE WHEN doc_id % 7 = 2 THEN 14 WHEN doc_id % 7 = 3 THEN 0 " +
         "ELSE CAST(doc_id % 14 + 1 AS INTEGER) END AS br, " +
-        "CASE WHEN doc_id % 5 = 2 THEN 0 " +
+        "CASE WHEN doc_id % 7 = 2 THEN 0 " +
         "ELSE CAST(doc_id % 3 AS INTEGER) END AS sri, " +
-        "CASE WHEN doc_id % 5 = 2 THEN 2000 " +
-        "ELSE CAST(doc_id % 300 + 500 AS BIGINT) END AS junk " +
+        "CASE WHEN doc_id % 7 = 2 THEN 2000 " +
+        "ELSE CAST(doc_id % 300 + 500 AS BIGINT) END AS junk, " +
+        "CASE WHEN doc_id % 7 = 5 THEN doc_id % 900 + 600 " +
+        "WHEN doc_id % 7 = 6 THEN doc_id % 700 + 400 END AS frames " +
         "FROM documents), " +
-        "k AS (SELECT doc_id, junk, " +
+        "k AS (SELECT doc_id, m, junk, frames, " +
         "CASE br WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48 WHEN 4 THEN 56 " +
         "WHEN 5 THEN 64 WHEN 6 THEN 80 WHEN 7 THEN 96 WHEN 8 THEN 112 " +
         "WHEN 9 THEN 128 WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224 " +
@@ -1528,12 +1531,15 @@ object SparkEntry {
         "CASE sri WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS sr " +
         "FROM p) " +
         "SELECT doc_id, " +
-        "CAST(doc_id % 5 NOT IN (3, 4) AS INTEGER) AS ok, " +
-        "CAST(CASE WHEN doc_id % 5 IN (3, 4) THEN NULL ELSE kbps END AS INTEGER) " +
+        "CAST(m NOT IN (3, 4) AS INTEGER) AS ok, " +
+        "CAST(CASE WHEN m IN (3, 4) THEN NULL ELSE kbps END AS INTEGER) " +
         "AS bitrate_kbps, " +
-        "CAST(CASE WHEN doc_id % 5 IN (3, 4) THEN NULL ELSE sr END AS INTEGER) " +
+        "CAST(CASE WHEN m IN (3, 4) THEN NULL ELSE sr END AS INTEGER) " +
         "AS sample_rate, " +
-        "CAST(CASE WHEN doc_id % 5 IN (3, 4) THEN NULL " +
+        "CAST(CASE WHEN m IN (3, 4) THEN NULL WHEN m IN (5, 6) THEN 1 " +
+        "ELSE 0 END AS INTEGER) AS vbr_header, " +
+        "CAST(CASE WHEN m IN (3, 4) THEN NULL " +
+        "WHEN m IN (5, 6) THEN least(frames * 1152 * 1000 // sr, 1048575) " +
         "ELSE least(((junk + 4) * 8) // kbps, 1048575) END AS BIGINT) " +
         "AS duration_ms FROM k"),
     // q131: the oracle replays the UPRIGHT picture's aHash straight from
@@ -3250,11 +3256,12 @@ object SparkEntry {
         "ELSE CAST(a.s * 100 // a.n AS BIGINT) END AS mean_luma_x100 " +
         "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"),
     // q125: the oracle re-synthesizes the expected TEXT from the corpus
-    // words alone (8-word lines, the class-3 escape line in chr()
-    // codepoints — it never builds a PDF byte), so an object-graph,
-    // Length, inflate, operator, or string-unescaping slip in the
-    // extractor cannot cancel; the page count replays the 5-line
-    // pagination arithmetic against the verified /Kids arity
+    // words alone (8-word lines, the class-3 escape line and the
+    // class-6 composite-font line in chr() codepoints — it never
+    // builds a PDF byte), so an object-graph, Length, inflate,
+    // operator, string-unescaping, or CMAP slip in the extractor
+    // cannot cancel; the page count replays the 5-line pagination
+    // arithmetic against the verified /Kids arity
     "q125_pdf_extract" ->
       ("WITH w AS (SELECT doc_id, list_filter(" +
         "string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), " +
@@ -3263,19 +3270,21 @@ object SparkEntry {
         "range(CAST(ceil(len(ws) / 8.0) AS INTEGER)), " +
         "i -> array_to_string(list_slice(ws, i*8 + 1, i*8 + 8), ' ')) AS lines " +
         "FROM w), " +
-        "l2 AS (SELECT doc_id, CASE WHEN doc_id % 6 = 3 THEN " +
+        "l2 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 3 THEN " +
         "list_concat(lines, ['esc (par) en' || chr(92) || 'd ' || chr(13) || ' tail']) " +
+        "WHEN doc_id % 7 = 6 THEN " +
+        "list_concat(lines, [chr(161) || chr(119970) || chr(119971) || chr(119972)]) " +
         "ELSE lines END AS lines FROM ln), " +
         "x AS (SELECT doc_id, array_to_string(lines, chr(10)) AS t, " +
         "len(lines) AS nl FROM l2) " +
         "SELECT doc_id, " +
-        "CAST(doc_id % 6 NOT IN (4, 5) AS INTEGER) AS ok, " +
-        "CASE WHEN doc_id % 6 IN (4, 5) THEN NULL " +
+        "CAST(doc_id % 7 NOT IN (4, 5) AS INTEGER) AS ok, " +
+        "CASE WHEN doc_id % 7 IN (4, 5) THEN NULL " +
         "ELSE CAST(greatest(1, CAST(ceil(nl / 5.0) AS INTEGER)) AS INTEGER) " +
         "END AS n_pages, " +
-        "CASE WHEN doc_id % 6 IN (4, 5) THEN NULL " +
+        "CASE WHEN doc_id % 7 IN (4, 5) THEN NULL " +
         "ELSE CAST(length(t) AS BIGINT) END AS n_chars, " +
-        "CASE WHEN doc_id % 6 IN (4, 5) THEN NULL ELSE md5(t) END AS text_md5 " +
+        "CASE WHEN doc_id % 7 IN (4, 5) THEN NULL ELSE md5(t) END AS text_md5 " +
         "FROM x"),
     // q126: the oracle derives detection verdicts AND expected decodes
     // from the text alone (q117's stance — it never builds a UTF-16

@@ -12,19 +12,36 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   * corpus pipeline runs before any costly full decode.
   *
   * Scope is stated, not guessed: MPEG-1 Layer III (version bits 11,
-  * layer bits 01 — the overwhelming web MP3 class), CBR estimation
-  * (a VBR stream without a Xing header is mis-estimated by ANY
-  * CBR reader; parsing Xing/VBRI is out of stated scope). The ID3v2
-  * header's synchsafe size is honored (tag bytes are NOT audio and
-  * must not enter the duration), sync is required WITHIN the first
-  * 16 bytes after the tag (a real stream leads with its frame; a
-  * deep-scan heuristic would happily "find" sync bytes inside text —
-  * stop-don't-guess), and `free` (0) or `bad` (15) bitrate indexes,
-  * reserved sample rates, and a truncated header all refuse.
+  * layer bits 01 — the overwhelming web MP3 class). Duration comes
+  * from the VBR HEADER when one exists — most real podcast/music MP3s
+  * are VBR, and a CBR estimate over their bytes is wrong for the
+  * majority class:
   *
-  * Packed result: `bitrate_kbps<<40 | sample_rate<<20 | duration_ms`
-  * (duration saturates at 2^20-1 ms ≈ 17 min — far past any header-
-  * sized payload this kernel triages).
+  *  - `Xing`/`Info` in the first frame's side-info shadow (offset
+  *    4+32 stereo/joint/dual, 4+17 mono — the MODE bits move it, the
+  *    classic Xing-reader bug), big-endian flags, frame count when
+  *    flags bit 0 says so: duration = frames × 1152 / sampleRate
+  *    (`Info` is the CBR spelling of the same header — the count is
+  *    exact there too);
+  *  - `VBRI` (Fraunhofer) at the FIXED offset 4+32 regardless of
+  *    mode, frame count 14 bytes in;
+  *  - a declared VBR header whose frame-count field is cut off
+  *    REFUSES — the duration basis is untrustworthy and a CBR
+  *    fallback would report the exact wrong number the header exists
+  *    to correct (stop-don't-guess);
+  *  - no VBR header → the CBR estimate over post-tag bytes.
+  *
+  * The ID3v2 header's synchsafe size is honored (tag bytes are NOT
+  * audio and must not enter the duration), sync is required WITHIN
+  * the first 16 bytes after the tag (a deep-scan heuristic would
+  * happily "find" sync bytes inside text), and `free` (0) or `bad`
+  * (15) bitrate indexes, reserved sample rates, and a truncated
+  * header all refuse.
+  *
+  * Packed result: `vbr<<49 | bitrate_kbps<<40 | sample_rate<<20 |
+  * duration_ms` (duration saturates at 2^20-1 ms ≈ 17 min — far past
+  * any header-sized payload this kernel triages; `vbr` = 1 when the
+  * duration came from a VBR header's frame count).
   */
 object Mp3Eval {
 
@@ -72,20 +89,53 @@ object Mp3Eval {
     val kbps = BitrateKbps(brIdx)
     val sr = SampleRate(srIdx)
     if (kbps == 0 || sr == 0) return NoMeta // free/bad/reserved
-    // CBR estimate over the POST-TAG byte count
-    val durMs = math.min((audioBytes.toLong * 8) / kbps, (1L << 20) - 1)
-    (kbps.toLong << 40) | (sr.toLong << 20) | durMs
+    // ---- VBR headers: Xing/Info in the side-info shadow (offset
+    // depends on the MODE bits), VBRI at the fixed 4+32
+    def u32be(o: Int): Long =
+      ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+        ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+    def tagAt(o: Int, t: String): Boolean =
+      o + 4 <= b.length && (b(o) & 0xFF) == t.charAt(0) &&
+        (b(o + 1) & 0xFF) == t.charAt(1) && (b(o + 2) & 0xFF) == t.charAt(2) &&
+        (b(o + 3) & 0xFF) == t.charAt(3)
+    val mode = (b(h + 3) & 0xC0) >> 6 // 3 = mono
+    val xingOff = h + 4 + (if (mode == 3) 17 else 32)
+    val vbriOff = h + 4 + 32
+    var vbrFrames = -1L
+    if (tagAt(xingOff, "Xing") || tagAt(xingOff, "Info")) {
+      // flags u32be; bit 0 = frame count present
+      if (xingOff + 8 > b.length) return NoMeta // declared, cut: refuse
+      val flags = u32be(xingOff + 4)
+      if ((flags & 1L) != 0L) {
+        if (xingOff + 12 > b.length) return NoMeta
+        vbrFrames = u32be(xingOff + 8)
+      }
+    } else if (tagAt(vbriOff, "VBRI")) {
+      // "VBRI" ver(2) delay(2) quality(2) bytes(4) frames(4)
+      if (vbriOff + 18 > b.length) return NoMeta
+      vbrFrames = u32be(vbriOff + 14)
+    }
+    val durMs =
+      if (vbrFrames >= 0L)
+        // MPEG-1 Layer III: 1152 samples per frame
+        math.min(vbrFrames * 1152L * 1000L / sr, (1L << 20) - 1)
+      else // CBR estimate over the POST-TAG byte count
+        math.min((audioBytes.toLong * 8) / kbps, (1L << 20) - 1)
+    val vbrBit = if (vbrFrames >= 0L) 1L else 0L
+    (vbrBit << 49) | (kbps.toLong << 40) | (sr.toLong << 20) | durMs
   }
 
   // ───────────────────────────── synthesis ─────────────────────────────
 
   /** Synthesize an MP3 prefix: optional ID3v2 tag of `tagSize` payload
     * bytes, one MPEG-1 Layer III header with the given table indexes,
-    * then `junk` filler bytes standing in for the audio stream.
+    * an optional VBR header (`vbrKind`: 0 none, 1 Xing stereo, 2 VBRI,
+    * 3 Xing MONO — the 17-byte side-info offset), then `junk` filler
+    * bytes standing in for the audio stream.
     */
   def synth(brIdx: Int, srIdx: Int, tagSize: Int, junk: Int,
-            seed: Long): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(16 + tagSize + junk)
+            seed: Long, vbrKind: Int = 0, frames: Int = 0): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(64 + tagSize + junk)
     if (tagSize > 0) {
       out.write('I'); out.write('D'); out.write('3')
       out.write(4); out.write(0); out.write(0) // v2.4, no flags
@@ -97,7 +147,28 @@ object Mp3Eval {
     out.write(0xFF)
     out.write(0xFB) // MPEG-1 (11), Layer III (01), no CRC
     out.write(((brIdx & 0x0F) << 4) | ((srIdx & 0x03) << 2))
-    out.write(0x00)
+    out.write(if (vbrKind == 3) 0xC0 else 0x00) // mode: mono moves Xing
+    def u32be(v: Long): Unit = {
+      out.write(((v >> 24) & 0xFF).toInt); out.write(((v >> 16) & 0xFF).toInt)
+      out.write(((v >> 8) & 0xFF).toInt); out.write((v & 0xFF).toInt)
+    }
+    if (vbrKind == 1 || vbrKind == 3) {
+      val side = if (vbrKind == 3) 17 else 32
+      var i = 0
+      while (i < side) { out.write(0); i += 1 }
+      out.write('X'); out.write('i'); out.write('n'); out.write('g')
+      u32be(1L) // flags: frame count present
+      u32be(frames.toLong)
+    } else if (vbrKind == 2) {
+      var i = 0
+      while (i < 32) { out.write(0); i += 1 }
+      out.write('V'); out.write('B'); out.write('R'); out.write('I')
+      out.write(0); out.write(1) // version
+      out.write(0); out.write(0) // delay
+      out.write(0); out.write(0) // quality
+      u32be(junk.toLong) // bytes (informational)
+      u32be(frames.toLong)
+    }
     var i = 0
     while (i < junk) { out.write(((seed * 3 + i * 11) % 251).toInt); i += 1 }
     out.toByteArray
@@ -132,7 +203,8 @@ case class Mp3Meta(child: Expression) extends UnaryExpression {
 }
 
 /** `(long seed, long shape) -> binary`: q130's synthesis — `shape`
-  * packs `brIdx | srIdx<<8 | tagSize<<16 | junk<<32`.
+  * packs `brIdx | srIdx<<8 | tagSize<<16 | junk<<32 | vbrKind<<48 |
+  * frames<<50` (vbrKind: 0 none, 1 Xing stereo, 2 VBRI, 3 Xing mono).
   */
 case class Mp3Synth(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -144,14 +216,16 @@ case class Mp3Synth(left: Expression, right: Expression)
     val sh = shape.asInstanceOf[Long]
     Mp3Eval.synth((sh & 0xFF).toInt, ((sh >> 8) & 0xFF).toInt,
       ((sh >> 16) & 0xFFFF).toInt, ((sh >> 32) & 0xFFFF).toInt,
-      seed.asInstanceOf[Long])
+      seed.asInstanceOf[Long], ((sh >> 48) & 0x3).toInt,
+      ((sh >> 50) & 0xFFF).toInt)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (s, sh) =>
       s"graft.functions.Mp3Eval.synth((int)($sh & 0xFF), " +
         s"(int)(($sh >> 8) & 0xFF), (int)(($sh >> 16) & 0xFFFF), " +
-        s"(int)(($sh >> 32) & 0xFFFF), $s)")
+        s"(int)(($sh >> 32) & 0xFFFF), $s, (int)(($sh >> 48) & 0x3), " +
+        s"(int)(($sh >> 50) & 0xFFF))")
 
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): Mp3Synth =

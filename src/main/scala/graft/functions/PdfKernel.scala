@@ -27,9 +27,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    strings, and the show operators `Tj`, `'` (newline + show), and
   *    `TJ` (array show — kern numbers ignored, never inferred as
   *    spaces: stated); `Td`/`TD`/`T*`/`'` start a new output line.
-  *    Bytes decode as Latin-1 (simple fonts; CMap/ToUnicode composite
-  *    fonts are out of stated scope and their pages refuse only if
-  *    they hide the operators — unknown operators are skipped).
+  *  - fonts: `Tf` tracks the current font by resource name. Simple
+  *    fonts decode Latin-1; a `/Type0` COMPOSITE font's strings are
+  *    2-byte codes mapped through its `/ToUnicode` CMap (bfchar +
+  *    bfrange, single-destination ranges incrementing the final
+  *    UTF-16 code unit — surrogate-pair destinations included). A
+  *    composite font WITHOUT a ToUnicode refuses: Latin-1-ing its
+  *    bytes would be garbage, not text (stop-don't-guess).
   *
   * Structural lies refuse with NULL: missing `%PDF-` header or
   * `%%EOF`, a missing `/Pages` node or referenced object, `/Kids`
@@ -139,11 +143,55 @@ object PdfEval {
     val kids = refArray(pagesNode.body, "/Kids").getOrElse(return null)
     val count = dictInt(pagesNode.body, "/Count")
     if (count != kids.length) return null // Kids/Count disagree
+    // ── font resolution: a /Type0 composite font's text is 2-byte
+    // codes through its /ToUnicode CMap; a composite WITHOUT one is
+    // unextractable and refuses (Latin-1-ing its bytes would be
+    // garbage, not text — stop-don't-guess). CMaps cache per ref.
+    val cmapCache = scala.collection.mutable.Map.empty[Int, java.util.HashMap[Integer, String]]
+    def fontMap(ref: Int): Either[Unit, java.util.HashMap[Integer, String]] = {
+      val font = objs.getOrElse(ref, return Left(()))
+      val composite = font.body.contains("/Type0")
+      dictRef(font.body, "/ToUnicode") match {
+        case None => if (composite) Left(()) else Right(null)
+        case Some(cm) =>
+          cmapCache.get(cm) match {
+            case Some(m) => Right(m)
+            case None =>
+              val cobj = objs.getOrElse(cm, return Left(()))
+              if (cobj.stream == null) return Left(())
+              val data =
+                if (cobj.body.contains("/Filter")) {
+                  if (!cobj.body.contains("/FlateDecode")) return Left(())
+                  val out = inflate(cobj.stream)
+                  if (out == null) return Left(())
+                  out
+                } else cobj.stream
+              val m = parseCMap(new String(data, "ISO-8859-1"))
+              if (m == null) Left(())
+              else { cmapCache(cm) = m; Right(m) }
+          }
+      }
+    }
+    val FontRef = "/([A-Za-z0-9]+)\\s+(\\d+)\\s+\\d+\\s+R".r
     val sb = new java.lang.StringBuilder()
     var first = true
     kids.foreach { pref =>
       val page = objs.getOrElse(pref, return null)
       if (!page.body.contains("/Page")) return null
+      // page font dict: /Resources << /Font << /F1 9 0 R ... >> >>
+      val fonts = scala.collection.mutable.Map.empty[String, java.util.HashMap[Integer, String]]
+      val fi = page.body.indexOf("/Font")
+      if (fi >= 0) {
+        val open = page.body.indexOf("<<", fi)
+        val close = if (open < 0) -1 else page.body.indexOf(">>", open)
+        if (open < 0 || close < 0) return null
+        FontRef.findAllMatchIn(page.body.substring(open, close)).foreach { mm =>
+          fontMap(mm.group(2).toInt) match {
+            case Left(_) => return null
+            case Right(m) => fonts(mm.group(1)) = m
+          }
+        }
+      }
       val cref = dictRef(page.body, "/Contents").getOrElse(return null)
       val cobj = objs.getOrElse(cref, return null)
       if (cobj.stream == null) return null
@@ -154,7 +202,7 @@ object PdfEval {
           if (out == null) return null
           out
         } else cobj.stream
-      val txt = contentText(data)
+      val txt = contentText(data, fonts)
       if (txt == null) return null
       if (txt.nonEmpty) {
         if (!first) sb.append('\n')
@@ -163,6 +211,158 @@ object PdfEval {
       }
     }
     sb.toString
+  }
+
+  /** Map a composite show string (chars are raw bytes) through a
+    * ToUnicode CMap: 2-byte big-endian codes, every code mapped or
+    * the string refuses (an odd byte count refuses too). */
+  private def mapComposite(raw: String,
+                           m: java.util.HashMap[Integer, String]): String = {
+    if ((raw.length & 1) != 0) return null
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < raw.length) {
+      val code = (raw.charAt(i) << 8) | raw.charAt(i + 1)
+      val dst = m.get(code)
+      if (dst == null) return null
+      sb.append(dst)
+      i += 2
+    }
+    sb.toString
+  }
+
+  /** ToUnicode CMap parse (PDF 32000 §9.10.3): `bfchar` pairs and
+    * `bfrange` triples over 2-byte source codes; destinations are
+    * UTF-16BE hex (surrogate pairs welcome); a range with a single
+    * destination increments the FINAL UTF-16 code unit (and refuses
+    * if the span would overflow it); the array form lists one
+    * destination per code. Returns null on malformation. */
+  private def parseCMap(t: String): java.util.HashMap[Integer, String] = {
+    val m = new java.util.HashMap[Integer, String]()
+
+    // hex token at or after `i`: skips whitespace, expects <...>,
+    // returns (bytes-as-chars string, nextIndex) or null
+    def hexTok(from: Int): (String, Int) = {
+      var i = from
+      while (i < t.length && t.charAt(i).isWhitespace) i += 1
+      if (i >= t.length || t.charAt(i) != '<') return null
+      i += 1
+      val sb = new java.lang.StringBuilder()
+      var hi = -1
+      while (i < t.length) {
+        val c = t.charAt(i)
+        if (c == '>') {
+          if (hi >= 0) return null // odd digit count: malformed
+          return (sb.toString, i + 1)
+        }
+        val d = Character.digit(c, 16)
+        if (d >= 0) {
+          if (hi < 0) hi = d else { sb.append((hi * 16 + d).toChar); hi = -1 }
+        } else if (!c.isWhitespace) return null
+        i += 1
+      }
+      null
+    }
+    def codeOf(s: String): Int =
+      if (s.length != 2) -1 else (s.charAt(0) << 8) | s.charAt(1)
+    // dst hex bytes -> UTF-16 string (pairs of bytes are code units)
+    def utf16Of(s: String): String = {
+      if ((s.length & 1) != 0 || s.isEmpty) return null
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i < s.length) {
+        sb.append((((s.charAt(i) << 8) | s.charAt(i + 1))).toChar)
+        i += 2
+      }
+      sb.toString
+    }
+
+    var cursor = 0
+    var guard = 0
+    while (guard < 10000) {
+      guard += 1
+      val bc = t.indexOf("beginbfchar", cursor)
+      val br = t.indexOf("beginbfrange", cursor)
+      if (bc < 0 && br < 0) return m
+      if (bc >= 0 && (br < 0 || bc < br)) {
+        val end = t.indexOf("endbfchar", bc)
+        if (end < 0) return null
+        var i = bc + "beginbfchar".length
+        while (i < end) {
+          // next token is either a src hex or only whitespace remains
+          var j = i
+          while (j < end && t.charAt(j).isWhitespace) j += 1
+          if (j >= end) i = end
+          else {
+            val src = hexTok(j)
+            if (src == null) return null
+            val dst = hexTok(src._2)
+            if (dst == null || dst._2 > end) return null
+            val code = codeOf(src._1)
+            val u = utf16Of(dst._1)
+            if (code < 0 || u == null) return null
+            m.put(code, u)
+            i = dst._2
+          }
+        }
+        cursor = end + "endbfchar".length
+      } else {
+        val end = t.indexOf("endbfrange", br)
+        if (end < 0) return null
+        var i = br + "beginbfrange".length
+        while (i < end) {
+          var j = i
+          while (j < end && t.charAt(j).isWhitespace) j += 1
+          if (j >= end) i = end
+          else {
+            val lo = hexTok(j)
+            if (lo == null) return null
+            val hi = hexTok(lo._2)
+            if (hi == null) return null
+            val loC = codeOf(lo._1)
+            val hiC = codeOf(hi._1)
+            if (loC < 0 || hiC < 0 || hiC < loC) return null
+            // destination: single hex (incrementing) or [ array ]
+            var k = hi._2
+            while (k < end && t.charAt(k).isWhitespace) k += 1
+            if (k < end && t.charAt(k) == '[') {
+              var p = k + 1
+              var c = loC
+              while (c <= hiC) {
+                val d = hexTok(p)
+                if (d == null || d._2 > end) return null
+                val u = utf16Of(d._1)
+                if (u == null) return null
+                m.put(c, u)
+                p = d._2
+                c += 1
+              }
+              while (p < end && t.charAt(p).isWhitespace) p += 1
+              if (p >= end || t.charAt(p) != ']') return null
+              i = p + 1
+            } else {
+              val d = hexTok(k)
+              if (d == null || d._2 > end) return null
+              val base = utf16Of(d._1)
+              if (base == null) return null
+              val lastUnit = base.charAt(base.length - 1).toInt
+              if (lastUnit + (hiC - loC) > 0xFFFF) return null // unit overflow
+              var c = loC
+              while (c <= hiC) {
+                val u = base.substring(0, base.length - 1) +
+                  (lastUnit + (c - loC)).toChar
+                m.put(c, u)
+                c += 1
+              }
+              i = d._2
+            }
+            if (m.size > 65536) return null // codespace bound
+          }
+        }
+        cursor = end + "endbfrange".length
+      }
+    }
+    null // runaway section count: malformed
   }
 
   /** Page count — an INDEPENDENT meta walk (the q59/q118 meta-vs-pixels
@@ -261,9 +461,14 @@ object PdfEval {
   }
 
   /** Text of one content stream: BT…ET blocks, show operators, line
-    * moves. Returns null on an unterminated string/BT.
+    * moves, with FONT tracking — `Tf` selects the current font by its
+    * resource name; a font with a ToUnicode CMap routes every shown
+    * string through [[mapComposite]] (2-byte codes), everything else
+    * decodes Latin-1 as before. Returns null on an unterminated
+    * string/BT or an unmappable/odd composite string.
     */
-  private def contentText(data: Array[Byte]): String = {
+  private def contentText(data: Array[Byte],
+                          fonts: scala.collection.Map[String, java.util.HashMap[Integer, String]]): String = {
     val s = new String(data, "ISO-8859-1")
     val out = new java.lang.StringBuilder()
     val line = new java.lang.StringBuilder()
@@ -281,6 +486,10 @@ object PdfEval {
     // the last parsed string operand, waiting for its operator
     var pending: String = null
     var pendingArr: String = null
+    var pendingName: String = null
+    var curMap: java.util.HashMap[Integer, String] = null
+    def shown(raw: String): String =
+      if (curMap == null) raw else mapComposite(raw, curMap)
     while (i < s.length) {
       val c = s.charAt(i)
       if (c == '(') {
@@ -298,6 +507,13 @@ object PdfEval {
         if (ni < 0) return null
         pendingArr = str
         i = ni
+      } else if (c == '/') {
+        var j = i + 1
+        while (j < s.length && !s.charAt(j).isWhitespace &&
+          s.charAt(j) != '(' && s.charAt(j) != '[' && s.charAt(j) != '<' &&
+          s.charAt(j) != '/' && s.charAt(j) != ']' && s.charAt(j) != '>') j += 1
+        pendingName = s.substring(i + 1, j)
+        i = j
       } else if (c.isLetter || c == '\'' || c == '"' || c == '*') {
         // operator token
         var j = i
@@ -313,22 +529,33 @@ object PdfEval {
             if (!inText) return null
             flushLine()
             inText = false
+          case "Tf" =>
+            // /Name size Tf — unknown names keep the simple decode
+            if (pendingName != null)
+              curMap = fonts.getOrElse(pendingName, null)
+            pendingName = null
           case "Td" | "TD" | "T*" if inText =>
             flushLine()
             lineOpen = true
           case "Tj" if inText =>
             if (pending == null) return null
+            val mapped = shown(pending)
+            if (mapped == null) return null
             if (!lineOpen) lineOpen = true
-            line.append(pending)
+            line.append(mapped)
           case "'" if inText =>
             if (pending == null) return null
+            val mapped = shown(pending)
+            if (mapped == null) return null
             flushLine()
             lineOpen = true
-            line.append(pending)
+            line.append(mapped)
           case "TJ" if inText =>
             if (pendingArr == null) return null
+            val mapped = shown(pendingArr)
+            if (mapped == null) return null
             if (!lineOpen) lineOpen = true
-            line.append(pendingArr)
+            line.append(mapped)
           case _ => () // every other operator is skipped
         }
         pending = null
@@ -437,6 +664,14 @@ object PdfSynthEval {
     */
   final val EscLine = "esc (par) en\\d \r tail"
 
+  /** The q125 composite-font drill line (class 6): a bfchar glyph
+    * (U+00A1) followed by a bfrange SPANNING A SURROGATE PAIR
+    * (U+1D4A2..U+1D4A4 — the low surrogate increments). Spelled in
+    * the oracle via chr(161)‖chr(119970)‖chr(119971)‖chr(119972).
+    */
+  final val CompositeLine =
+    "\u00A1\uD835\uDCA2\uD835\uDCA3\uD835\uDCA4"
+
   private val defl = new ThreadLocal[java.util.zip.Deflater] {
     override def initialValue(): java.util.zip.Deflater =
       new java.util.zip.Deflater(6, false) // zlib — PDF FlateDecode
@@ -469,6 +704,41 @@ object PdfSynthEval {
   private def hexOf(s: String): String =
     s.getBytes("ISO-8859-1").map(b => f"${b & 0xFF}%02X").mkString
 
+  /** Composite code assignment for mode 4: printable ASCII rides a
+    * bfrange off U+0020 (code 0x0200 + offset); the [[CompositeLine]]
+    * glyphs take low codes — 0x0001 via bfchar, 0x0002-0x0004 via the
+    * surrogate-spanning bfrange. Returns -1 for unmappable chars
+    * (never produced by the corpus words). */
+  private def compCodeOf(cp: Int): Int = cp match {
+    case 0xA1 => 0x0001
+    case c if c >= 0x1D4A2 && c <= 0x1D4A4 => 0x0002 + (c - 0x1D4A2)
+    case c if c >= 0x20 && c <= 0x7A => 0x0200 + (c - 0x20)
+    case _ => -1
+  }
+
+  private def compHexOf(s: String): String = {
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val code = compCodeOf(cp)
+      if (code >= 0) sb.append(f"$code%04X")
+      i += Character.charCount(cp)
+    }
+    sb.toString
+  }
+
+  /** The mode-4 ToUnicode CMap body (see [[compCodeOf]]). */
+  private val CMapBody: String =
+    "/CIDInit /ProcSet findresource begin\n" +
+      "begincmap\n" +
+      "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n" +
+      "1 beginbfchar\n<0001> <00A1>\nendbfchar\n" +
+      "2 beginbfrange\n" +
+      "<0200> <025A> <0020>\n" +
+      "<0002> <0004> <D835DCA2>\n" +
+      "endbfrange\nendcmap\nend\n"
+
   /** Synthesize a PDF whose page text is `words` wrapped 8 per line,
     * 5 lines per page. `mode` picks the spelling the decoder must
     * invert: 0 → literal strings, one `Td … Tj` per line, FlateDecode;
@@ -476,11 +746,15 @@ object PdfSynthEval {
     * (newline+show), FlateDecode; 2 → `TJ` arrays with each line split
     * mid-string around a kern number, `T*` line moves, RAW stream
     * (no /Filter); 3 → literals + [[EscLine]] appended as a final line
-    * (the escape drill), FlateDecode.
+    * (the escape drill), FlateDecode; 4 → a /Type0 COMPOSITE font:
+    * 2-byte hex show strings through a Flate-compressed /ToUnicode
+    * CMap (bfchar + two bfranges, one spanning a surrogate pair), with
+    * [[CompositeLine]] appended as a final line.
     */
   def synth(words: Array[String], mode: Int): Array[Byte] = {
     var lines = words.grouped(8).map(_.mkString(" ")).toArray
     if (mode == 3) lines = lines :+ EscLine
+    if (mode == 4) lines = lines :+ CompositeLine
     val pages = if (lines.isEmpty) Array(Array.empty[String])
       else lines.grouped(5).toArray
     val n = pages.length
@@ -499,6 +773,10 @@ object PdfSynthEval {
             val (a, b) = l.splitAt(l.length / 2)
             sb.append("[(").append(escLit(a)).append(") -28 (")
               .append(escLit(b)).append(")] TJ ")
+          }
+        case 4 =>
+          page.foreach { l =>
+            sb.append("0 -14 Td <").append(compHexOf(l)).append("> Tj ")
           }
         case _ =>
           page.foreach { l =>
@@ -527,9 +805,21 @@ object PdfSynthEval {
       out.write(data, 0, data.length)
       w("\nendstream endobj\n")
     }
-    w(s"${3 + 2 * n} 0 obj << /Type /Font /Subtype /Type1 " +
-      "/BaseFont /Helvetica >> endobj\n")
-    w(s"trailer << /Size ${4 + 2 * n} /Root 1 0 R >>\nstartxref\n0\n%%EOF")
+    if (mode == 4) {
+      w(s"${3 + 2 * n} 0 obj << /Type /Font /Subtype /Type0 " +
+        s"/BaseFont /Graft /Encoding /Identity-H " +
+        s"/ToUnicode ${4 + 2 * n} 0 R >> endobj\n")
+      val cm = deflate(CMapBody.getBytes("ISO-8859-1"))
+      w(s"${4 + 2 * n} 0 obj << /Length ${cm.length} " +
+        "/Filter /FlateDecode >> stream\n")
+      out.write(cm, 0, cm.length)
+      w("\nendstream endobj\n")
+      w(s"trailer << /Size ${5 + 2 * n} /Root 1 0 R >>\nstartxref\n0\n%%EOF")
+    } else {
+      w(s"${3 + 2 * n} 0 obj << /Type /Font /Subtype /Type1 " +
+        "/BaseFont /Helvetica >> endobj\n")
+      w(s"trailer << /Size ${4 + 2 * n} /Root 1 0 R >>\nstartxref\n0\n%%EOF")
+    }
     out.toByteArray
   }
 }

@@ -1403,16 +1403,24 @@ object Multimodal {
     * must not inflate the duration), requires frame sync within the
     * first 16 post-tag bytes (a deep scan would "find" sync inside
     * text), decodes the MPEG-1 Layer III bitrate/sample-rate tables,
-    * and estimates CBR duration from the post-tag byte count.
+    * and takes duration from the Xing/Info/VBRI frame count when a
+    * VBR header exists — most real podcast/music MP3s are VBR, and
+    * the CBR estimate is provably wrong for them — falling back to
+    * the CBR byte-count estimate otherwise
+    * ([[graft.functions.Mp3Eval]]).
     *
-    * Residue classes (%5): 0 → bare stream (bitrate/rate walk the full
+    * Residue classes (%7): 0 → bare stream (bitrate/rate walk the full
     * tables); 1 → ID3v2-tagged (the duration must EXCLUDE the tag —
     * an offset slip shows up as a deterministic ms error); 2 → fixed
     * 320 kbps / 44.1 kHz (the ceiling row of both tables); 3 → a
     * free-bitrate header (index 0 — any real reader must refuse, not
     * divide by zero); 4 → not an MP3 (UTF-8 text cannot contain the
-    * 0xFF sync byte). One narrow map, kernel once per row, zero
-    * exchanges.
+    * 0xFF sync byte); 5 → a Xing VBR stream (even ids stereo at
+    * offset 4+32, odd ids MONO at 4+17 — the mode bits move the
+    * header, the classic Xing-reader bug) whose frame count gives a
+    * duration the CBR estimate contradicts; 6 → a Fraunhofer VBRI
+    * stream (fixed offset 4+32, frame count 14 bytes in). One narrow
+    * map, kernel once per row, zero exchanges.
     */
   def q130Mp3Meta(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Mp3Ops
@@ -1421,23 +1429,32 @@ object Multimodal {
     val br = (id % 14 + 1).cast("long")
     val sr = (id % 3).cast("long")
     val junk = (id % 300 + 500).cast("long")
-    // shape packs brIdx | srIdx<<8 | tagSize<<16 | junk<<32
-    val shape = when(id % 5 === 1,
+    // shape packs brIdx | srIdx<<8 | tagSize<<16 | junk<<32 |
+    // vbrKind<<48 | frames<<50
+    val xingKind = when(id % 2 === 0, lit(1L)).otherwise(lit(3L)) // mono drill
+    val shape = when(id % 7 === 1,
         br + sr * 256 + (id % 200 + 100) * 65536 + junk * lit(1L << 32))
-      .when(id % 5 === 2, lit(14L) + lit(2000L << 32))
-      .when(id % 5 === 3, sr * 256 + junk * lit(1L << 32)) // brIdx 0: free
+      .when(id % 7 === 2, lit(14L) + lit(2000L << 32))
+      .when(id % 7 === 3, sr * 256 + junk * lit(1L << 32)) // brIdx 0: free
+      .when(id % 7 === 5, br + sr * 256 + junk * lit(1L << 32) +
+        xingKind * lit(1L << 48) + (id % 900 + 600) * lit(1L << 50))
+      .when(id % 7 === 6, br + sr * 256 + junk * lit(1L << 32) +
+        lit(2L) * lit(1L << 48) + (id % 700 + 400) * lit(1L << 50))
       .otherwise(br + sr * 256 + junk * lit(1L << 32))
     val whole = Mp3Ops.mp3Synth(id, shape)
-    val payload = when(id % 5 === 4, col("text").cast("binary"))
+    val payload = when(id % 7 === 4, col("text").cast("binary"))
       .otherwise(col("_w"))
     docs.select(id, col("text"), whole.as("_w"))
       .select(id, payload.as("_p"))
       .withColumn("_m", Mp3Ops.mp3Meta(col("_p")))
       .select(id,
         col("_m").isNotNull.cast("int").as("ok"),
-        shiftright(col("_m"), 40).cast("int").as("bitrate_kbps"),
+        shiftright(col("_m"), 40).bitwiseAND(lit(0x1FFL)).cast("int")
+          .as("bitrate_kbps"),
         shiftright(col("_m"), 20).bitwiseAND(lit(0xFFFFFL)).cast("int")
           .as("sample_rate"),
+        shiftright(col("_m"), 49).bitwiseAND(lit(1L)).cast("int")
+          .as("vbr_header"),
         col("_m").bitwiseAND(lit(0xFFFFFL)).cast("long").as("duration_ms"))
   }
 

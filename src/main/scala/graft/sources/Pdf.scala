@@ -23,12 +23,16 @@ import graft.functions.TextOps.words
   * byte). `graft_pdf_pages` reads the verified /Kids arity in an
   * INDEPENDENT meta walk (the q59/q118 meta-vs-payload discipline).
   *
-  * Residue classes (%6): 0 → literal strings + Td lines, FlateDecode;
+  * Residue classes (%7): 0 → literal strings + Td lines, FlateDecode;
   * 1 → HEX strings with `'` (newline+show) lines; 2 → TJ arrays (each
   * line split mid-string around a kern number — a decoder inferring
   * spaces from kerning fails the md5), RAW stream; 3 → literals plus
   * the escape-drill line (parens, backslash, raw CR); 4 → file cut 20
-  * bytes short (no %%EOF — both walks refuse); 5 → not a PDF.
+  * bytes short (no %%EOF — both walks refuse); 5 → not a PDF; 6 → a
+  * /Type0 COMPOSITE font — 2-byte show codes through a
+  * Flate-compressed /ToUnicode CMap (bfchar + a bfrange spanning a
+  * surrogate pair), the spelling real scholarly PDFs ship — the
+  * reference's own domain ([[graft.functions.PdfEval]]).
   * One narrow map, each kernel once per row, zero exchanges — pinned.
   */
 object Pdf {
@@ -36,11 +40,11 @@ object Pdf {
   def q125PdfExtract(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val id = col("doc_id")
-    val mode = when(id % 6 === 1, 1).when(id % 6 === 2, 2)
-      .when(id % 6 === 3, 3).otherwise(0)
+    val mode = when(id % 7 === 1, 1).when(id % 7 === 2, 2)
+      .when(id % 7 === 3, 3).when(id % 7 === 6, 4).otherwise(0)
     val whole = PdfOps.pdfSynth(words(coalesce(col("text"), lit(""))), mode)
-    val payload = when(id % 6 === 5, col("text").cast("binary"))
-      .when(id % 6 === 4, expr("substring(_w, 1, length(_w) - 20)"))
+    val payload = when(id % 7 === 5, col("text").cast("binary"))
+      .when(id % 7 === 4, expr("substring(_w, 1, length(_w) - 20)"))
       .otherwise(col("_w"))
     docs.select(id, col("text"), whole.as("_w"))
       .select(id, payload.as("_p"))

@@ -125,4 +125,89 @@ class PdfSpec extends AnyFunSuite {
       contentObj(5, "BT (a) Tj ET"))
     assert(PdfEval.pageCount(b) === -1)
   }
+
+  // ── composite fonts (ToUnicode CMap) ──
+
+  private def compositeDoc(cmap: String, content: String): Array[Byte] = doc(
+    "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj",
+    "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj",
+    "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /Font << /F9 5 0 R >> >> >> endobj",
+    contentObj(4, content),
+    "5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /X " +
+      "/Encoding /Identity-H /ToUnicode 6 0 R >> endobj",
+    contentObj(6, cmap))
+
+  private val BaseCMap =
+    "begincmap 2 beginbfchar <0001> <0041> <0002> <00E9> endbfchar " +
+      "1 beginbfrange <0010> <0012> <0061> endbfrange endcmap"
+
+  test("composite font: bfchar and bfrange map 2-byte codes") {
+    val b = compositeDoc(BaseCMap,
+      "BT /F9 12 Tf 0 -14 Td <000100020010 00110012> Tj ET")
+    assert(PdfEval.extract(b) === "Aéabc")
+  }
+
+  test("a bfrange spanning a surrogate increments the LOW surrogate") {
+    val cm = "begincmap 1 beginbfrange " +
+      "<0020> <0022> <D835DCA2> endbfrange endcmap"
+    val b = compositeDoc(cm, "BT /F9 1 Tf 0 -14 Td <002000210022> Tj ET")
+    assert(PdfEval.extract(b) === "𝒢𝒣𝒤")
+  }
+
+  test("the bfrange ARRAY form lists one destination per code") {
+    val cm = "begincmap 1 beginbfrange " +
+      "<0005> <0007> [<0058> <0059> <005A>] endbfrange endcmap"
+    val b = compositeDoc(cm, "BT /F9 1 Tf 0 -14 Td <000500060007> Tj ET")
+    assert(PdfEval.extract(b) === "XYZ")
+  }
+
+  test("composite refusals: no ToUnicode, unmapped code, odd bytes, " +
+    "overflowing range") {
+    // /Type0 WITHOUT ToUnicode: unextractable, refuse
+    val noTU = doc(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj",
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj",
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /Font << /F9 5 0 R >> >> >> endobj",
+      contentObj(4, "BT /F9 1 Tf (xy) Tj ET"),
+      "5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /X >> endobj")
+    assert(PdfEval.extract(noTU) === null)
+    // a shown code the CMap does not carry
+    val unmapped = compositeDoc(BaseCMap,
+      "BT /F9 1 Tf 0 -14 Td <0099> Tj ET")
+    assert(PdfEval.extract(unmapped) === null)
+    // an odd byte count cannot be 2-byte codes
+    val odd = compositeDoc(BaseCMap, "BT /F9 1 Tf 0 -14 Td <000102> Tj ET")
+    assert(PdfEval.extract(odd) === null)
+    // a single-destination range whose span overflows the final code
+    // unit is malformed
+    val over = compositeDoc(
+      "begincmap 1 beginbfrange <0001> <0003> <FFFE> endbfrange endcmap",
+      "BT /F9 1 Tf 0 -14 Td <0001> Tj ET")
+    assert(PdfEval.extract(over) === null)
+  }
+
+  test("a simple font beside a composite one keeps Latin-1 per Tf") {
+    val b = doc(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj",
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj",
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /Font << /F1 7 0 R /F9 5 0 R >> >> >> endobj",
+      contentObj(4, "BT /F1 12 Tf 0 -14 Td (plain ) Tj " +
+        "/F9 12 Tf <0001> Tj /F1 12 Tf ( tail) Tj ET"),
+      "5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /X " +
+        "/Encoding /Identity-H /ToUnicode 6 0 R >> endobj",
+      contentObj(6, BaseCMap),
+      "7 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj")
+    assert(PdfEval.extract(b) === "plain A tail")
+  }
+
+  test("synth mode 4 (composite) round-trips with the drill line") {
+    val words = Array("alpha", "beta", "gamma", "delta")
+    val b = PdfSynthEval.synth(words, 4)
+    val t = PdfEval.extract(b)
+    assert(t === "alpha beta gamma delta\n" + PdfSynthEval.CompositeLine)
+    assert(PdfEval.pageCount(b) === 1)
+  }
 }
