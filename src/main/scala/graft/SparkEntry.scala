@@ -1944,20 +1944,25 @@ object SparkEntry {
         "string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), " +
         "x -> x <> '') AS ws FROM documents), " +
         "c AS (SELECT doc_id, CASE " +
-        "WHEN doc_id % 5 = 4 THEN NULL " +
-        "WHEN doc_id % 5 = 2 THEN ws[1] || ' & ' || ws[2] || chr(10) || " +
+        "WHEN doc_id % 7 = 6 THEN NULL " +
+        "WHEN doc_id % 7 = 2 THEN ws[1] || ' & ' || ws[2] || chr(10) || " +
         "ws[3] || chr(9) || ws[4] " +
+        "WHEN doc_id % 7 = 4 THEN ws[1] || chr(9) || ws[2] || chr(10) || " +
+        "ws[1] || chr(9) || ws[3] || chr(10) || ws[4] || chr(9) || ws[5] " +
+        "WHEN doc_id % 7 = 5 THEN ws[1] || chr(9) || 'before after' || " +
+        "chr(10) || ws[3] || chr(9) || ws[4] " +
         "ELSE ws[1] || chr(9) || ws[2] || chr(10) || ws[3] || chr(9) || " +
         "ws[4] || chr(10) || ws[5] || chr(9) || ws[6] END AS cells FROM w) " +
         "SELECT doc_id, " +
-        "CAST(CASE WHEN doc_id % 5 = 4 THEN 0 WHEN doc_id % 5 = 3 THEN 2 " +
-        "ELSE 1 END AS INTEGER) AS n_tables, " +
-        "CAST(CASE WHEN doc_id % 5 = 4 THEN 0 WHEN doc_id % 5 = 3 THEN 4 " +
-        "WHEN doc_id % 5 = 2 THEN 2 ELSE 3 END AS INTEGER) AS n_rows, " +
-        "CAST(CASE WHEN doc_id % 5 = 4 THEN NULL WHEN doc_id % 5 = 2 THEN 2 " +
-        "ELSE 3 END AS INTEGER) AS first_rows, " +
-        "CAST(CASE WHEN doc_id % 5 = 4 THEN NULL ELSE 2 END AS INTEGER) " +
-        "AS first_cols, " +
+        "CAST(CASE WHEN doc_id % 7 = 6 THEN 0 WHEN doc_id % 7 IN (3, 5) " +
+        "THEN 2 ELSE 1 END AS INTEGER) AS n_tables, " +
+        "CAST(CASE WHEN doc_id % 7 = 6 THEN 0 WHEN doc_id % 7 = 3 THEN 4 " +
+        "WHEN doc_id % 7 = 2 THEN 2 WHEN doc_id % 7 = 5 THEN 3 " +
+        "ELSE 3 END AS INTEGER) AS n_rows, " +
+        "CAST(CASE WHEN doc_id % 7 = 6 THEN NULL WHEN doc_id % 7 = 2 THEN 2 " +
+        "WHEN doc_id % 7 = 5 THEN 2 ELSE 3 END AS INTEGER) AS first_rows, " +
+        "CAST(CASE WHEN doc_id % 7 = 6 THEN NULL WHEN doc_id % 7 = 4 THEN 3 " +
+        "ELSE 2 END AS INTEGER) AS first_cols, " +
         "md5(cells) AS cells_md5 FROM c"),
     // q148: the oracle replays first-occurrence-wins through a window
     // (PARTITION BY para ORDER BY doc_id, idx) — a DIFFERENT plan
@@ -3185,8 +3190,8 @@ object SparkEntry {
     // luma is the sample itself)
     "q121_png_pixels" ->
       ("WITH px AS (SELECT doc_id, " +
-        "CASE WHEN doc_id % 7 = 0 THEN (doc_id*3 + x*5 + r) % 256 " +
-        "WHEN doc_id % 7 = 5 THEN " +
+        "CASE WHEN doc_id % 10 IN (0, 7, 9) THEN (doc_id*3 + x*5 + r) % 256 " +
+        "WHEN doc_id % 10 = 5 THEN " +
         "(299 * ((doc_id*2 + ((doc_id + x*3 + r*5) % 32)) % 256) + " +
         "587 * ((doc_id*3 + ((doc_id + x*3 + r*5) % 32)*5) % 256) + " +
         "114 * ((doc_id + ((doc_id + x*3 + r*5) % 32)*7) % 256)) // 1000 " +
@@ -3199,18 +3204,18 @@ object SparkEntry {
         "agg AS (SELECT doc_id, min(luma) AS mn, max(luma) AS mx, " +
         "sum(luma) AS s, count(*) AS n FROM px GROUP BY doc_id) " +
         "SELECT d.doc_id, " +
-        "CASE WHEN d.doc_id % 7 = 4 THEN 'unknown' ELSE 'png' END AS format, " +
-        "CASE WHEN d.doc_id % 7 = 4 THEN NULL " +
+        "CASE WHEN d.doc_id % 10 = 4 THEN 'unknown' ELSE 'png' END AS format, " +
+        "CASE WHEN d.doc_id % 10 = 4 THEN NULL " +
         "ELSE CAST(d.doc_id % 6 + 1 AS INTEGER) END AS width, " +
-        "CASE WHEN d.doc_id % 7 = 4 THEN NULL " +
+        "CASE WHEN d.doc_id % 10 = 4 THEN NULL " +
         "ELSE CAST(d.doc_id % 4 + 1 AS INTEGER) END AS height, " +
-        "CASE WHEN d.doc_id % 7 IN (3,4) THEN NULL " +
+        "CASE WHEN d.doc_id % 10 IN (3,4) THEN NULL " +
         "ELSE CAST(a.mn AS INTEGER) END AS min_luma, " +
-        "CASE WHEN d.doc_id % 7 IN (3,4) THEN NULL " +
+        "CASE WHEN d.doc_id % 10 IN (3,4) THEN NULL " +
         "ELSE CAST(a.mx AS INTEGER) END AS max_luma, " +
-        "CASE WHEN d.doc_id % 7 IN (3,4) THEN NULL " +
+        "CASE WHEN d.doc_id % 10 IN (3,4) THEN NULL " +
         "ELSE CAST(a.s AS BIGINT) END AS sum_luma, " +
-        "CASE WHEN d.doc_id % 7 IN (3,4) THEN NULL " +
+        "CASE WHEN d.doc_id % 10 IN (3,4) THEN NULL " +
         "ELSE CAST(a.s * 100 // a.n AS BIGINT) END AS mean_luma_x100 " +
         "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"),
     // q122: the oracle replays the ENTIRE train+score pipeline from the

@@ -17,15 +17,22 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - tag names and attributes are case-insensitive; attribute values
   *    may be quoted with either quote (a `>` inside a quoted value
   *    must not end the tag — q93's quote discipline);
-  *  - `colspan="N"` widens that row's LOGICAL column count; the
-  *    table's width is the max across its rows;
+  *  - the LOGICAL GRID is what extracts, not the tag stream:
+  *    `colspan="N"` occupies N columns of the row; `rowspan="N"`
+  *    CARRIES the cell DOWN into the next N-1 rows (its text
+  *    duplicates into each carried row at its column — the
+  *    pandas-read_html semantics a downstream tabular consumer
+  *    expects), with later cells flowing around the occupied
+  *    columns; the table's width is the max occupied width;
+  *  - NESTED tables parse as their own tables (counted, rows
+  *    counted) via a table STACK; the inner table's text is EXCLUDED
+  *    from the outer cell (the outer cell keeps only its own prose) —
+  *    a flat parser either drops the inner rows or bleeds them into
+  *    the outer grid;
   *  - cell text: inline tags strip to their content, entities decode
   *    one level via the shared table ([[HtmlEntityEval.decode]]),
   *    whitespace collapses; text outside any cell (captions, stray
-  *    prose) contributes nothing;
-  *  - out of scope, stated: NESTED tables (the synthesizer never
-  *    builds one; a real corpus would route them to the quarantine
-  *    read), `rowspan` (column accounting only).
+  *    prose) contributes nothing.
   *
   * Reference scope: scholar-stream reads JSON API rows (reference
   * ingestion/openalex_client.py) — table extraction is the open-web
@@ -38,6 +45,34 @@ object HtmlTableEval {
 
   private def collapse(s: String): String =
     s.replaceAll("[ \t\r\n]+", " ").trim
+
+  /** A cell carried down by rowspan: its column, rows still owed, its
+    * text, and the colspan it keeps occupying. */
+  private final class Carry(val col: Int, var rowsLeft: Int,
+                            val text: String, val span: Int)
+
+  private val ColspanPat = java.util.regex.Pattern
+    .compile("(?i)colspan\\s*=\\s*[\"']?(\\d+)")
+  private val RowspanPat = java.util.regex.Pattern
+    .compile("(?i)rowspan\\s*=\\s*[\"']?(\\d+)")
+
+  /** One open table's grid state (stack entry — nested tables parse
+    * as their own tables without bleeding into the outer grid). */
+  private final class TCtx(val id: Int) {
+    var rowOpen = false
+    var inCell = false
+    val cell = new StringBuilder
+    var pendingSpan = 1
+    var pendingRowspan = 1
+    // the open row's grid: text at its start column + occupied columns
+    val rowSlots = scala.collection.mutable.TreeMap.empty[Int, String]
+    val occupied = scala.collection.mutable.HashSet.empty[Int]
+    var rowSeeded = false
+    val carry = scala.collection.mutable.ArrayBuffer.empty[Carry]
+    var tableCols = 0
+    var tableRows = 0
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+  }
 
   def parse(b: Array[Byte]): Ht = {
     if (b == null) return null
@@ -52,52 +87,66 @@ object HtmlTableEval {
     var firstRows = 0; var firstCols = 0
     var firstCells: String = null
 
-    var inTable = false
-    var inCell = false
-    var rowOpen = false
-    var rowCols = 0      // logical width of the open row (colspan-summed)
-    var tableCols = 0    // max width so far in the open table
-    var tableRows = 0
-    val cell = new StringBuilder
-    val rowCells = scala.collection.mutable.ArrayBuffer[String]()
-    val tableLines = scala.collection.mutable.ArrayBuffer[String]()
-    var pendingSpan = 1
+    val stack = scala.collection.mutable.ArrayBuffer.empty[TCtx]
+    def top: TCtx = stack(stack.length - 1)
 
-    def closeCell(): Unit = {
-      if (inCell) {
-        val text = collapse(
-          HtmlEntityEval.decode(UTF8String.fromString(cell.toString)).toString)
-        rowCells += text
-        rowCols += pendingSpan
-        cell.setLength(0)
-        inCell = false
+    // seed a fresh row from the carried rowspans: each still-owed cell
+    // re-occupies its columns and re-emits its text (carry-down)
+    def seedRow(t: TCtx): Unit = {
+      if (!t.rowSeeded) {
+        t.rowSlots.clear(); t.occupied.clear()
+        val live = t.carry.filter(_.rowsLeft > 0)
+        t.carry.clear(); t.carry ++= live
+        t.carry.foreach { cy =>
+          t.rowSlots(cy.col) = cy.text
+          var c = cy.col
+          while (c < cy.col + cy.span) { t.occupied += c; c += 1 }
+          cy.rowsLeft -= 1
+        }
+        t.rowSeeded = true
       }
     }
 
-    def closeRow(): Unit = {
-      closeCell()
-      if (rowOpen) {
-        tableLines += rowCells.mkString("\t")
-        rowCells.clear()
-        tableRows += 1
-        if (rowCols > tableCols) tableCols = rowCols
-        rowCols = 0
-        rowOpen = false
+    def closeCell(t: TCtx): Unit = {
+      if (t.inCell) {
+        val text = collapse(
+          HtmlEntityEval.decode(UTF8String.fromString(t.cell.toString)).toString)
+        // place at the lowest free column, flowing around carried cells
+        var c = 0
+        while (t.occupied.contains(c)) c += 1
+        t.rowSlots(c) = text
+        var k = c
+        while (k < c + t.pendingSpan) { t.occupied += k; k += 1 }
+        if (t.pendingRowspan > 1)
+          t.carry += new Carry(c, t.pendingRowspan - 1, text, t.pendingSpan)
+        t.cell.setLength(0)
+        t.inCell = false
+      }
+    }
+
+    def closeRow(t: TCtx): Unit = {
+      closeCell(t)
+      if (t.rowOpen) {
+        t.lines += t.rowSlots.values.mkString("\t")
+        t.tableRows += 1
+        if (t.occupied.size > t.tableCols) t.tableCols = t.occupied.size
+        t.rowSlots.clear(); t.occupied.clear()
+        t.rowOpen = false
+        t.rowSeeded = false
       }
     }
 
     def closeTable(): Unit = {
-      closeRow()
-      if (inTable) {
-        rowsTotal += tableRows
-        if (tables == 1) { // the table just closed was the first
-          firstRows = tableRows
-          firstCols = tableCols
-          firstCells = tableLines.mkString("\n")
+      if (stack.nonEmpty) {
+        val t = top
+        closeRow(t)
+        rowsTotal += t.tableRows
+        if (t.id == 1) { // the OUTERMOST FIRST table in document order
+          firstRows = t.tableRows
+          firstCols = t.tableCols
+          firstCells = t.lines.mkString("\n")
         }
-        tableLines.clear()
-        tableRows = 0; tableCols = 0
-        inTable = false
+        stack.remove(stack.length - 1)
       }
     }
 
@@ -105,7 +154,9 @@ object HtmlTableEval {
     while (i < s.length) {
       val c = s.charAt(i)
       if (c != '<') {
-        if (inCell) cell.append(c)
+        // text flows to the INNERMOST open cell; nested-table prose
+        // never bleeds outward
+        if (stack.nonEmpty && top.inCell) top.cell.append(c)
         i += 1
       } else {
         // read tag name
@@ -132,31 +183,40 @@ object HtmlTableEval {
         name match {
           case "table" =>
             if (!closing) {
-              if (!inTable) { tables += 1; inTable = true }
-              // nested <table>: out of stated scope; treated as a no-op
+              tables += 1
+              stack += new TCtx(tables)
             } else closeTable()
-          case "tr" if inTable =>
-            if (!closing) { closeRow(); rowOpen = true }
-            else closeRow()
-          case "td" | "th" if inTable =>
+          case "tr" if stack.nonEmpty =>
+            val t = top
             if (!closing) {
-              closeCell()
-              if (!rowOpen) rowOpen = true // a cell implies a row
-              pendingSpan = {
-                val m = java.util.regex.Pattern
-                  .compile("(?i)colspan\\s*=\\s*[\"']?(\\d+)")
-                  .matcher(attrs)
+              closeRow(t)
+              t.rowOpen = true
+              seedRow(t)
+            } else closeRow(t)
+          case "td" | "th" if stack.nonEmpty =>
+            val t = top
+            if (!closing) {
+              closeCell(t)
+              if (!t.rowOpen) { t.rowOpen = true; seedRow(t) } // cell implies row
+              t.pendingSpan = {
+                val m = ColspanPat.matcher(attrs)
                 if (m.find()) math.max(1, m.group(1).toInt) else 1
               }
-              inCell = true
-            } else closeCell()
+              t.pendingRowspan = {
+                val m = RowspanPat.matcher(attrs)
+                // bound: a hostile rowspan must not carry forever
+                if (m.find()) math.min(math.max(1, m.group(1).toInt), 65535)
+                else 1
+              }
+              t.inCell = true
+            } else closeCell(t)
           case _ =>
             () // inline or unknown tag: stripped, content flows on
         }
         i = next
       }
     }
-    closeTable() // EOF closes whatever is open (truncation-tolerant)
+    while (stack.nonEmpty) closeTable() // EOF closes whatever is open
     Ht(tables, rowsTotal, firstRows, firstCols, firstCells)
   }
 
@@ -199,7 +259,11 @@ object HtmlTableEval {
     * a `>` inside a quoted attribute — the omissibility drill;
     * 2 -> a `colspan="2"` header spelling `w0 &amp; w1` plus an
     * inline `<b>` cell; 3 -> class 0's table plus a second 1x2
-    * table (w6/w7).
+    * table (w6/w7); 4 -> the ROWSPAN drill — w0 spans two rows (its
+    * text carries down), the last row closes with a colspan pair, so
+    * the grid is 3 wide where no single row spells 3 cells;
+    * 5 -> a NESTED table inside cell (0,1) — the outer cell keeps
+    * only its own prose, the inner counts as its own table.
     */
   def synth(text: Array[Byte], params: Long): Array[Byte] = {
     val id = params & ((1L << 40) - 1)
@@ -207,7 +271,24 @@ object HtmlTableEval {
     val ws = words(text)
     val sb = new StringBuilder
     sb.append("<html><body><p>prose before ").append(ws(8)).append("</p>\n")
-    if (mode == 1) {
+    if (mode == 4) {
+      sb.append("<table>\n")
+      sb.append("<tr><td rowspan=\"2\">").append(ws(0)).append("</td><td>")
+        .append(ws(1)).append("</td></tr>\n")
+      sb.append("<tr><td>").append(ws(2)).append("</td></tr>\n")
+      sb.append("<tr><td>").append(ws(3)).append("</td><td colspan=\"2\">")
+        .append(ws(4)).append("</td></tr>\n")
+      sb.append("</table>\n")
+    } else if (mode == 5) {
+      sb.append("<table>\n")
+      sb.append("<tr><td>").append(ws(0)).append("</td><td>before ")
+        .append("<table><tr><td>").append(ws(5)).append("</td><td>")
+        .append(ws(6)).append("</td></tr></table>")
+        .append(" after</td></tr>\n")
+      sb.append("<tr><td>").append(ws(2)).append("</td><td>").append(ws(3))
+        .append("</td></tr>\n")
+      sb.append("</table>\n")
+    } else if (mode == 1) {
       sb.append("<TABLE class=\"t>1\" id=\"doc").append(id).append("\">\n")
       sb.append("<TR><TH>").append(ws(0)).append("<TH>").append(ws(1))
         .append("\n")

@@ -13,17 +13,20 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   * folded to the same packed Rec.601 luma stats contract as
   * [[BmpLuma]]: `min | max<<8 | sum<<16`.
   *
-  * Scope is stated, not guessed: 8-bit depth, color types 0 (grayscale,
-  * luma = the sample: (299+587+114)/1000 of an equal-channel pixel),
-  * 2 (truecolor), 3 (palette — PLTE-indexed, luma from the mapped RGB;
-  * filters apply to the raw index bytes per RFC 2083 §6.2), and
-  * 6 (truecolor+alpha, alpha luma-irrelevant), plain or Adam7
-  * INTERLACED (the seven passes are defiltered as independent
-  * sub-images — fresh zero row per pass, pass-local stride — and since
-  * every pixel appears in exactly one pass, the luma fold is
-  * position-free). Gray+alpha (type 4), 16-bit depth, and nonzero
-  * compression/filter methods return NULL — stop-don't-guess, the
-  * q82/q95 stance. Any structural lie also refuses: bad chunk CRC, a
+  * Scope is stated, not guessed: 8- and 16-BIT depths, ALL FIVE color
+  * types — 0 (grayscale, luma = the sample), 2 (truecolor),
+  * 3 (palette — PLTE-indexed, 8-bit only per spec; luma from the
+  * mapped RGB; filters apply to the raw index bytes per RFC 2083
+  * §6.2), 4 (gray+alpha) and 6 (truecolor+alpha, alpha
+  * luma-irrelevant in both) — plain or Adam7 INTERLACED (the seven
+  * passes are defiltered as independent sub-images — fresh zero row
+  * per pass, pass-local stride — and since every pixel appears in
+  * exactly one pass, the luma fold is position-free). 16-bit samples
+  * are big-endian and fold their HIGH byte (the 16→8 rescale every
+  * thumbnailer applies), and they WIDEN the filter unit — the
+  * Sub/Paeth byte offsets move by channels × 2, the classic 16-bit
+  * shear bug. Sub-byte depths (1/2/4) and nonzero compression/filter
+  * methods return NULL — stop-don't-guess, the q82/q95 stance. Any structural lie also refuses: bad chunk CRC, a
   * filter byte past 4, IDAT inflating to anything but exactly the
   * pass-geometry byte count, a non-consecutive IDAT run, truncated
   * chunks, a missing IEND, a missing/odd-length/oversized PLTE for
@@ -77,6 +80,7 @@ object PngPixelEval {
     var width = 0
     var height = 0
     var colorType = -1
+    var depth = 8
     var interlaced = false
     var sawIhdr = false
     var idatDone = false
@@ -111,10 +115,12 @@ object PngPixelEval {
         if (w * h > MaxPixels) return NoStats
         width = w.toInt
         height = h.toInt
-        if ((b(p + 8) & 0xFF) != 8) return NoStats // bit depth
+        depth = b(p + 8) & 0xFF
+        if (depth != 8 && depth != 16) return NoStats // 1/2/4: sub-byte, stated out
         colorType = b(p + 9) & 0xFF
         if (colorType != 0 && colorType != 2 && colorType != 3 &&
-          colorType != 6) return NoStats
+          colorType != 4 && colorType != 6) return NoStats
+        if (colorType == 3 && depth == 16) return NoStats // illegal per spec
         if ((b(p + 10) & 0xFF) != 0) return NoStats // compression method
         if ((b(p + 11) & 0xFF) != 0) return NoStats // filter method
         val il = b(p + 12) & 0xFF
@@ -143,7 +149,14 @@ object PngPixelEval {
     if (idatOff.isEmpty) return NoStats
     if (colorType == 3 && palette == null) return NoStats
 
-    val bpp = colorType match { case 0 | 3 => 1; case 2 => 3; case _ => 4 }
+    // filter unit = channels x bytes-per-sample (RFC 2083 §6.2: the
+    // "bpp" the Sub/Paeth offsets use is in BYTES, so 16-bit samples
+    // widen it — an 8-bit-minded offset shears every filtered row)
+    val channels = colorType match {
+      case 0 | 3 => 1; case 2 => 3; case 4 => 2; case _ => 4
+    }
+    val step = depth / 8 // bytes per sample; 16-bit folds its HIGH byte
+    val bpp = channels * step
     // pass geometry: one full-frame pass, or the seven Adam7 sub-images
     // (x0, y0, xStep, yStep per RFC 2083 §2.6) — empty passes emit no
     // scanlines at all
@@ -219,8 +232,10 @@ object PngPixelEval {
           // once across passes)
           var px = 1
           while (px <= stride) {
+            // per-channel sample = the HIGH byte at 16-bit (big-endian
+            // per spec — the 16->8 fold every thumbnailer applies)
             val luma = colorType match {
-              case 0 => cur(px) & 0xFF
+              case 0 | 4 => cur(px) & 0xFF // gray; alpha luma-irrelevant
               case 3 =>
                 val idx = cur(px) & 0xFF
                 if (idx >= palN) return NoStats // index past the palette
@@ -228,8 +243,8 @@ object PngPixelEval {
                   587 * (palette(idx * 3 + 1) & 0xFF) +
                   114 * (palette(idx * 3 + 2) & 0xFF)) / 1000
               case _ =>
-                (299 * (cur(px) & 0xFF) + 587 * (cur(px + 1) & 0xFF) +
-                  114 * (cur(px + 2) & 0xFF)) / 1000
+                (299 * (cur(px) & 0xFF) + 587 * (cur(px + step) & 0xFF) +
+                  114 * (cur(px + 2 * step) & 0xFF)) / 1000
             }
             sum += luma
             if (luma < minL) minL = luma
@@ -309,13 +324,33 @@ object PngPixelEval {
     * over the entry index; pixel = index `(seed + 3x + 5r) % PalN`),
     * 4 truecolor ADAM7-INTERLACED (same absolute-coordinate pixels as
     * mode 1 — identical stats — serialized in the seven-pass geometry,
-    * each pass filtered as its own sub-image).
+    * each pass filtered as its own sub-image), 5 GRAY+ALPHA (gray = G
+    * map — stats identical to mode 0; alpha luma-irrelevant),
+    * 6 SIXTEEN-BIT truecolor (high bytes = the mode-1 channel maps,
+    * low bytes a nonzero residue pattern — stats must equal mode 1's
+    * exactly, so a low-byte or filter-offset slip fails), 7 sixteen-bit
+    * gray+alpha (stats = mode 0's).
     */
   def synth(seed: Long, w: Int, h: Int, mode: Int): Array[Byte] = {
-    val bpp = mode match { case 0 | 3 => 1; case 1 | 4 => 3; case _ => 4 }
+    val bpp = mode match {
+      case 0 | 3 => 1; case 1 | 4 => 3; case 2 => 4; case 5 => 2
+      case 6 => 6; case _ => 4
+    }
+    def lo(x: Int, r: Int, k: Int): Byte =
+      (((seed + x * 7 + r * 3 + k * 29) % 256 + 256) % 256).toByte
     def writePix(x: Int, r: Int, out: Array[Byte], o: Int): Unit = mode match {
       case 0 => out(o) = chG(seed, x, r).toByte
       case 3 => out(o) = (((seed + x * 3 + r * 5) % PalN + PalN) % PalN).toByte
+      case 5 =>
+        out(o) = chG(seed, x, r).toByte
+        out(o + 1) = ((x + r) % 256).toByte
+      case 6 =>
+        out(o) = chR(seed, x, r).toByte; out(o + 1) = lo(x, r, 0)
+        out(o + 2) = chG(seed, x, r).toByte; out(o + 3) = lo(x, r, 1)
+        out(o + 4) = chB(seed, x, r).toByte; out(o + 5) = lo(x, r, 2)
+      case 7 =>
+        out(o) = chG(seed, x, r).toByte; out(o + 1) = lo(x, r, 0)
+        out(o + 2) = ((x + r) % 256).toByte; out(o + 3) = lo(x, r, 1)
       case _ =>
         out(o) = chR(seed, x, r).toByte
         out(o + 1) = chG(seed, x, r).toByte
@@ -386,9 +421,10 @@ object PngPixelEval {
       ihdr(off + 2) = ((v >> 8) & 0xFF).toByte; ihdr(off + 3) = (v & 0xFF).toByte
     }
     w32(0, w); w32(4, h)
-    ihdr(8) = 8 // bit depth
+    ihdr(8) = (if (mode == 6 || mode == 7) 16 else 8).toByte
     ihdr(9) = (mode match {
-      case 0 => 0; case 1 | 4 => 2; case 3 => 3; case _ => 6
+      case 0 => 0; case 1 | 4 | 6 => 2; case 3 => 3; case 5 | 7 => 4
+      case _ => 6
     }).toByte
     ihdr(12) = (if (mode == 4) 1 else 0).toByte // interlace method
     chunk(out, "IHDR", ihdr)

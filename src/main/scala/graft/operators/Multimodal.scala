@@ -1195,14 +1195,19 @@ object Multimodal {
     * cannot cancel (PngPixelSpec additionally pins the decoder against
     * hand-spelled streams the synthesizer never produces).
     *
-    * Residue classes (%7): 0 → grayscale; 1 → truecolor RGB; 2 → RGBA
+    * Residue classes (%10): 0 → grayscale; 1 → truecolor RGB; 2 → RGBA
     * (alpha varies but is luma-irrelevant — a stride slip folds alpha
     * bytes and fails); 3 → file cut 20 bytes short (IHDR dims survive,
     * stats refuse — q59's meta/stat independence); 4 → not a PNG;
     * 5 → PALETTE (PLTE-indexed — luma goes through the table, so an
     * index-vs-sample confusion fails); 6 → ADAM7-interlaced RGB (same
     * pixels as class 1's maps at absolute coordinates — a decoder that
-    * botches the seven-pass geometry shifts every filter boundary).
+    * botches the seven-pass geometry shifts every filter boundary);
+    * 7 → GRAY+ALPHA (type 4 — stats must equal the grayscale formula);
+    * 8 → SIXTEEN-BIT RGB (high bytes = class 1's maps, low bytes a
+    * residue pattern — stats must equal class 1's, so a filter-offset
+    * or low-byte slip fails); 9 → sixteen-bit gray+alpha (stats = the
+    * grayscale formula through the widest stride).
     * One narrow map, each kernel once per row, zero exchanges — pinned.
     */
   def q121PngPixels(spark: SparkSession, dir: String): DataFrame = {
@@ -1212,16 +1217,19 @@ object Multimodal {
     val w = (id % 6 + 1).cast("long")
     val h = (id % 4 + 1).cast("long")
     // shape packs w | h<<8 | mode<<16 (mode 0 gray, 1 RGB, 2 RGBA,
-    // 3 palette, 4 Adam7 RGB)
-    val shape = when(id % 7 === 1, w + h * 256 + lit(1L << 16))
-      .when(id % 7 === 2, w + h * 256 + lit(2L << 16))
-      .when(id % 7 === 3, w + h * 256 + lit(1L << 16))
-      .when(id % 7 === 5, w + h * 256 + lit(3L << 16))
-      .when(id % 7 === 6, w + h * 256 + lit(4L << 16))
+    // 3 palette, 4 Adam7 RGB, 5 gray+alpha, 6 16-bit RGB, 7 16-bit G+A)
+    val shape = when(id % 10 === 1, w + h * 256 + lit(1L << 16))
+      .when(id % 10 === 2, w + h * 256 + lit(2L << 16))
+      .when(id % 10 === 3, w + h * 256 + lit(1L << 16))
+      .when(id % 10 === 5, w + h * 256 + lit(3L << 16))
+      .when(id % 10 === 6, w + h * 256 + lit(4L << 16))
+      .when(id % 10 === 7, w + h * 256 + lit(5L << 16))
+      .when(id % 10 === 8, w + h * 256 + lit(6L << 16))
+      .when(id % 10 === 9, w + h * 256 + lit(7L << 16))
       .otherwise(w + h * 256)
     val whole = PngPixelOps.pngSynth(id, shape)
-    val payload = when(id % 7 === 4, col("text").cast("binary"))
-      .when(id % 7 === 3, expr("substring(_w, 1, length(_w) - 20)"))
+    val payload = when(id % 10 === 4, col("text").cast("binary"))
+      .when(id % 10 === 3, expr("substring(_w, 1, length(_w) - 20)"))
       .otherwise(col("_w"))
     val staged = docs.select(id, col("text"), whole.as("_w"))
       .select(id, payload.as("_p"))

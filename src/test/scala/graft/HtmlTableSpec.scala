@@ -87,4 +87,72 @@ class HtmlTableSpec extends AnyFunSuite {
     assert(t3.tables === 2 && t3.rows === 4)
     assert(t3.firstCells === t0.firstCells)
   }
+
+  test("rowspan carries the cell DOWN; later cells flow around it") {
+    val t = parse(
+      "<table><tr><td rowspan=\"2\">a</td><td>b</td></tr>" +
+        "<tr><td>c</td></tr>" +
+        "<tr><td>d</td><td colspan=\"2\">e</td></tr></table>")
+    assert(t.firstRows === 3 && t.firstCols === 3)
+    // row 1 re-emits 'a' at column 0 (pandas carry-down); row 2 is free
+    assert(t.firstCells === "a\tb\na\tc\nd\te")
+  }
+
+  test("a mid-row rowspan occupies its own column in later rows") {
+    // the spanner sits at column 1; the next row's two cells must land
+    // at columns 0 and 2 around it
+    val t = parse(
+      "<table><tr><td>a</td><td rowspan=\"2\">m</td><td>b</td></tr>" +
+        "<tr><td>c</td><td>d</td></tr></table>")
+    assert(t.firstCols === 3 && t.firstRows === 2)
+    assert(t.firstCells === "a\tm\tb\nc\tm\td")
+  }
+
+  test("rowspan + colspan together occupy a BLOCK of the grid") {
+    val t = parse(
+      "<table><tr><td rowspan=\"2\" colspan=\"2\">big</td><td>x</td></tr>" +
+        "<tr><td>y</td></tr></table>")
+    assert(t.firstCols === 3)
+    assert(t.firstCells === "big\tx\nbig\ty")
+  }
+
+  test("rowspan survives the omitted-close spelling") {
+    val t = parse(
+      "<TABLE><TR><TD ROWSPAN=2>a<TD>b\n<TR><TD>c</TABLE>")
+    assert(t.firstCells === "a\tb\na\tc")
+  }
+
+  test("a nested table parses separately; the outer cell keeps only " +
+    "its own prose") {
+    val t = parse(
+      "<table><tr><td>a</td><td>pre <table><tr><td>n1</td>" +
+        "<td>n2</td></tr></table> post</td></tr>" +
+        "<tr><td>b</td><td>c</td></tr></table>")
+    assert(t.tables === 2)
+    assert(t.rows === 3) // 2 outer + 1 inner
+    assert(t.firstRows === 2 && t.firstCols === 2)
+    assert(t.firstCells === "a\tpre post\nb\tc")
+  }
+
+  test("a nested table inside the FIRST table of two keeps first-table " +
+    "identity on the outermost") {
+    val t = parse(
+      "<table><tr><td><table><tr><td>inner</td></tr></table></td></tr>" +
+        "</table><table><tr><td>second</td></tr></table>")
+    assert(t.tables === 3 && t.rows === 3)
+    assert(t.firstRows === 1 && t.firstCells === "")
+  }
+
+  test("synth rowspan and nested classes round-trip") {
+    val text = "alpha bravo charlie delta echo fox golf hotel india julia"
+      .getBytes("UTF-8")
+    val t4 = HtmlTableEval.parse(HtmlTableEval.synth(text, 9L | (4L << 40)))
+    assert(t4.tables === 1 && t4.firstRows === 3 && t4.firstCols === 3)
+    assert(t4.firstCells ===
+      "alpha\tbravo\nalpha\tcharlie\ndelta\techo")
+    val t5 = HtmlTableEval.parse(HtmlTableEval.synth(text, 9L | (5L << 40)))
+    assert(t5.tables === 2 && t5.rows === 3)
+    assert(t5.firstRows === 2 && t5.firstCols === 2)
+    assert(t5.firstCells === "alpha\tbefore after\ncharlie\tdelta")
+  }
 }

@@ -199,6 +199,45 @@ class PngPixelSpec extends AnyFunSuite {
     assert(PngPixelEval.lumaStats(b) === packed(10, 40, 100L))
   }
 
+  test("16-bit gray folds the HIGH byte; the Sub offset widens to 2") {
+    // 2x1, depth 16, type 0: samples 0x1234 and 0x5678 spelled with a
+    // Sub filter — bpp is 2 BYTES, so Sub subtracts the PREVIOUS
+    // SAMPLE's bytes (0x56-0x12=0x44, 0x78-0x34=0x44), not the
+    // adjacent byte: an 8-bit-minded offset decodes garbage
+    val raw = Array[Byte](1, 0x12, 0x34, 0x44, 0x44)
+    val b = png(ihdr(2, 1, 0, depth = 16), raw)
+    assert(PngPixelEval.lumaStats(b) === packed(0x12, 0x56, 0x68L))
+  }
+
+  test("hand-spelled gray+alpha: alpha is filtered but never folded") {
+    // 2x1, type 4 depth 8: (gray, alpha) = (50, 200), (90, 10) under
+    // an Up filter on row 0 (prev row is zeros -> identity)
+    val raw = Array[Byte](2, 50, 200.toByte, 90, 10)
+    val b = png(ihdr(2, 1, 4), raw)
+    assert(PngPixelEval.lumaStats(b) === packed(50, 90, 140L))
+  }
+
+  test("16-bit palette is illegal per spec and refuses") {
+    val raw = Array[Byte](0, 0)
+    val plte = chunk("PLTE", Array[Byte](10, 20, 30))
+    val b = sig ++ ihdr(1, 1, 3, depth = 16) ++ plte ++
+      chunk("IDAT", storedZlib(raw)) ++ iend
+    assert(PngPixelEval.lumaStats(b) === NoStats)
+  }
+
+  test("synth 16-bit and gray+alpha classes equal their 8-bit stats") {
+    for (seed <- Seq(5L, 42L, 99L); w <- Seq(3, 6); h <- Seq(2, 4)) {
+      val gray = PngPixelEval.lumaStats(PngPixelEval.synth(seed, w, h, 0))
+      val rgb = PngPixelEval.lumaStats(PngPixelEval.synth(seed, w, h, 1))
+      val ga = PngPixelEval.lumaStats(PngPixelEval.synth(seed, w, h, 5))
+      val rgb16 = PngPixelEval.lumaStats(PngPixelEval.synth(seed, w, h, 6))
+      val ga16 = PngPixelEval.lumaStats(PngPixelEval.synth(seed, w, h, 7))
+      assert(ga === gray, s"gray+alpha != gray at seed=$seed $w x $h")
+      assert(rgb16 === rgb, s"16-bit RGB != RGB at seed=$seed $w x $h")
+      assert(ga16 === gray, s"16-bit G+A != gray at seed=$seed $w x $h")
+    }
+  }
+
   test("total-pixel cap refuses zlib-bomb-scale rasters at the header") {
     // 2^15 x 2^15 = 2^30 px: each edge is inside MaxEdge (2^20) but the
     // product is past MaxPixels (2^28) — a ~1032:1 deflate bomb could
