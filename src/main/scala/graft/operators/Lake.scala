@@ -198,8 +198,11 @@ object Lake {
     * table-level rollup + line-level audit ride doc-keyed aggregates
     * (<= 4 exchanges pinned, no NLJ).
     */
-  def q173DeltaLogReplay(spark: SparkSession, dir: String): DataFrame = {
-    val docs = graft.Tables.load(spark, dir, "documents")
+  def q173DeltaLogReplay(spark: SparkSession, dir: String): DataFrame =
+    deltaLogReplayOn(graft.Tables.load(spark, dir, "documents"))
+
+  /** The q173 computation over any (doc_id, text) frame. */
+  def deltaLogReplayOn(docs: DataFrame): DataFrame = {
     val id = col("doc_id")
     val base = (id % 97 + 1) * 1000
     def f(i: Int) =

@@ -28,8 +28,12 @@ import graft.functions.{TarOps, WdsOps}
   */
 object Wds {
 
-  def q163WdsSamples(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+  def q163WdsSamples(spark: SparkSession, dir: String): DataFrame =
+    wdsSamplesOn(Tables.load(spark, dir, "documents"))
+
+  /** The q163 computation over any (doc_id, text) frame (ScaleSpec
+    * runs the decade over synthetic corpora). */
+  def wdsSamplesOn(docs: DataFrame): DataFrame = {
     val id = col("doc_id")
     val mode = when(id % 4 === 1, 1L).when(id % 4 === 2, 2L)
       .when(id % 4 === 3, 3L).otherwise(0L)
@@ -82,9 +86,12 @@ object Wds {
     * assembly aggregate — payloads reduce to md5/length/the single
     * image blob map-side), decode narrow after it.
     */
-  def q174MediaShards(spark: SparkSession, dir: String): DataFrame = {
+  def q174MediaShards(spark: SparkSession, dir: String): DataFrame =
+    mediaShardsOn(Tables.load(spark, dir, "documents"))
+
+  /** The q174 computation over any (doc_id, text) frame. */
+  def mediaShardsOn(docs: DataFrame): DataFrame = {
     import graft.functions.{GifPixelOps, JpegPixelOps, PngPixelOps, TarOps, WdsOps}
-    val docs = Tables.load(spark, dir, "documents")
     val id = col("doc_id")
     val mode = when(id % 4 === 1, 1L).when(id % 4 === 2, 2L)
       .when(id % 4 === 3, 3L).otherwise(0L)

@@ -545,4 +545,79 @@ class ScaleSpec extends AnyFunSuite {
     assert(t10 / t1 <= 10.0,
       f"10x docs cost ${t10 / t1}%.1fx the time ($t1%.2fs -> $t10%.2fs)")
   }
+
+  /** Decade harness for the r15 layout/graph families: correctness
+    * invariant at both scales, then min-of-two wall times ~linear.
+    * Scales are multiples of 420 (= lcm of the families' residue
+    * moduli 3/4/5/7) so per-class populations scale EXACTLY 10x and
+    * residue-sum invariants hold to the row. */
+  private val D1 = 8400L
+  private val D10 = 84000L
+  private def decade(label: String, run: Long => Long,
+                     expect: Long => Long): Unit = {
+    def timed(n: Long): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val v = run(n)
+      (v, (System.nanoTime() - t0) / 1e9)
+    }
+    timed(D1) // warmup
+    val (v1a, t1a) = timed(D1)
+    val (v1b, t1b) = timed(D1)
+    assert(v1a === v1b, s"$label not deterministic at 1x")
+    assert(v1a === expect(D1), s"$label 1x invariant: $v1a")
+    val (v10, t10a) = timed(D10)
+    val (_, t10b) = timed(D10)
+    assert(v10 === expect(D10), s"$label 10x invariant: $v10")
+    val ratio = math.min(t10a, t10b) / math.min(t1a, t1b)
+    assert(ratio <= 10.0,
+      f"$label: 10x docs cost $ratio%.1fx the time " +
+        f"(${math.min(t1a, t1b)}%.2fs -> ${math.min(t10a, t10b)}%.2fs)")
+  }
+
+  test("q163 WebDataset assembly: 10x shards, one keyed exchange, ~linear", Slow) {
+    // correctness invariant: COMPLETE samples per corpus — every doc
+    // contributes its residue-determined sample set, so the count is a
+    // pure function of n (classes %4: modes 1 and 3 break completeness
+    // for exactly one sample each)
+    import graft.operators.Wds
+    val complete1 = Wds.wdsSamplesOn(synthMix(D1))
+      .agg(sum(col("complete"))).head.getLong(0)
+    decade("q163",
+      n => Wds.wdsSamplesOn(synthMix(n))
+        .agg(sum(col("complete"))).head.getLong(0),
+      n => complete1 * (n / D1))
+  }
+
+  test("q173 Delta-log replay: 10x tables, narrow per-row walk, ~linear", Slow) {
+    import graft.operators.Lake
+    val live1 = Lake.deltaLogReplayOn(synthMix(D1))
+      .agg(sum(col("n_live"))).head.getLong(0)
+    decade("q173",
+      n => Lake.deltaLogReplayOn(synthMix(n))
+        .agg(sum(col("n_live"))).head.getLong(0),
+      n => live1 * (n / D1))
+  }
+
+  test("q151 anchor text: 10x pages under the hub hot-URL, ~linear", Slow) {
+    // the hub URL is anchored by EVERY page — the two-stage groupBy's
+    // map-side combine must crush it before the exchange, exactly
+    // q148's hot-key discipline; invariant: the hub row's n_links
+    // equals the page count at both decades
+    import graft.operators.Crawl
+    decade("q151",
+      n => Crawl.anchorTextOn(synthMix(n))
+        .filter(col("url") === "https://hub.example.com/home")
+        .agg(sum(col("n_links"))).head.getLong(0),
+      n => n)
+  }
+
+  test("q174 media shards: 10x shards, decode rides map-side, ~linear", Slow) {
+    import graft.operators.Wds
+    val img1 = Wds.mediaShardsOn(synthMix(D1))
+      .agg(sum(col("has_image"))).head.getLong(0)
+    decade("q174",
+      n => Wds.mediaShardsOn(synthMix(n))
+        .agg(sum(col("has_image"))).head.getLong(0),
+      n => img1 * (n / D1))
+  }
 }
