@@ -42,6 +42,39 @@ class KernelRobustnessSpec extends AnyFunSuite {
     drive("sniff", Array.emptyByteArray)(CharsetEval.sniff)
   }
 
+  test("zstd block decode refuses garbage, never throws") {
+    import graft.functions.ZstdBlockEval
+    val magic = Array(0x28, 0xB5, 0x2F, 0xFD).map(_.toByte)
+    drive("zstdDecode", magic)(ZstdBlockEval.decode)
+    drive("zstdDecodeStrict", magic)(ZstdBlockEval.decodeContentStrict)
+    drive("zstdMeta", magic)(ZstdBlockEval.decodeMetaPacked)
+    // mutational pass: flip every byte of a VALID frame one at a time —
+    // the decoder must land on a value or a refusal at each position
+    val frame = ZstdBlockEval.synth(
+      "alpha beta gamma delta".getBytes("UTF-8"), 9L + (3L << 40))
+    (0 until frame.length).foreach { i =>
+      val bad = frame.clone()
+      bad(i) = (bad(i) ^ 0xFF).toByte
+      try ZstdBlockEval.decode(bad)
+      catch {
+        case e: Throwable => fail(s"zstd decode threw at flipped byte $i: $e")
+      }
+    }
+    // and with random 16-byte splices anywhere in the frame
+    val rnd = new java.util.Random(0xBADC0DE)
+    (0 until 200).foreach { k =>
+      val bad = frame.clone()
+      val at = rnd.nextInt(math.max(1, frame.length - 16))
+      val splice = new Array[Byte](16)
+      rnd.nextBytes(splice)
+      System.arraycopy(splice, 0, bad, at, math.min(16, bad.length - at))
+      try ZstdBlockEval.decode(bad)
+      catch {
+        case e: Throwable => fail(s"zstd decode threw on splice $k: $e")
+      }
+    }
+  }
+
   test("string kernels survive degenerate and hostile text") {
     import graft.functions.HtmlEntityEval
     import org.apache.spark.unsafe.types.UTF8String

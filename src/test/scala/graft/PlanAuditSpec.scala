@@ -1165,4 +1165,23 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(shuffles(df) === 2, s"$name expected exactly 2 shuffles:\n$p")
     }
   }
+
+  test("q178 triangles: hash-keyed wedge joins, no cartesian, no window") {
+    // the degree-ordered orientation's plan shape: every join is an
+    // equi-join (the wedge join keys on the shared tail u; the closing
+    // join on the (v, w) pair; degree attachment on the host) — a
+    // BroadcastNestedLoopJoin anywhere means an inequality leaked into
+    // a join CONDITION instead of a post-join filter, the quadratic
+    // spelling the degree ordering exists to avoid. The four crossJoins
+    // assembling the ONE-row result are broadcast singles.
+    val df = graft.operators.Crawl.q178HostGraph(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"),
+      s"q178 must never cartesian corpus-sized sides:\n$p")
+    assert(!p.contains("WindowExec"), s"q178 needs no window:\n$p")
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    // only the 1-row result assembly may nested-loop (3 joins of
+    // single-row aggregates)
+    assert(nlj <= 3, s"q178 wedge/degree joins degraded to NLJ ($nlj):\n$p")
+  }
 }

@@ -142,6 +142,75 @@ class ZstdDecodeSpec extends AnyFunSuite {
     assert(new String(r.content, utf8) === Pangrams + "abc")
   }
 
+  test("interop: a 414 KiB four-block CLI frame (treeless + repeat " +
+    "table modes across block boundaries)") {
+    // 424145 bytes decompressed forces 4 blocks (max 128 KiB each):
+    // the real encoder reuses Huffman tables (Treeless literals) and
+    // FSE tables (Repeat mode) across them — the cross-block state
+    // paths no single-block fixture can reach
+    val fix = b64(
+      "KLUv/aTReAYAjDwAylg8ChhwS1I4mIOWgBhLp/9/E5uSkuRuqvv/CiK0AJMAlgAN" +
+      "xhQSEUPMPTMzM////79t27bdtm3bkiRJktu2bZskSZIkIiIiIhMPR4MxhUTEEHc5" +
+      "SQwdzkYjEzPM/Pd7ftfl8eHj267pWRaHB09ft2VXVRodOjzNkhxFYXDg7PM6btNk" +
+      "sWGjy6qoSRKFBo1cLBXKRCISMsjEw9FgTBERMfPbLblJIhEAhkKCAwQIDwoIDRAk" +
+      "DCggJEiAUKCA0CAhQAHBwAIECIUBCBIOECgMhQEMFAhIYBC2bbdt27YkSZLktm3b" +
+      "JkmSJImIiIjIxMPRYEwhETHE3DMzM/P////btm3bbdu2LUmSJLlt27ZJkiRJIiIi" +
+      "IjLxcDQYU0hEDDH3zMzM/P///7Zt23bbtm1LkiRJbtu2bZIkSZKIiIiITDwcDcYU" +
+      "EhFDzD0zMzP///+/bdu23bZt25IkSZLbtm2bJEmSJCIiIiITD0eSJEkSERERkYmH" +
+      "o8GYQiJiiLlnZmbm////t23bttu2bVuSJEly27ZtkyRJkkRERERk4uFoMKaQiBhi" +
+      "7pmZmfn///9t27bttm3bliRJkty2bdskSZIkEREREZl4OBqMKSQihph7ZmZm/v//" +
+      "f9u2bbtt27YlSZIkt23bNkmSJElEREREJh6OBmMKiYgh5p6ZmZn////ftgNzz8zM" +
+      "zP///2/btm23bdu2JEmS5LZt2yZJkiSJiIiIyMTD0WBMIRExxNwzMzPz////27Zt" +
+      "223bti1JkiS5bdu2SZIkSSIiIiIy8XA0GFNIRAwx98zMzPz///+2bdt227ZtS5Ik" +
+      "SW7btm2SJEmSiIiIiEw8HA3GFBIRQ8w9MzMz////v23btt22bduSJEmS27ZtmwKF" +
+      "BKhDge33/w0DHIwQJFwhvwYTMAIDAgKB/98BQSBnv/8GBhYnaLHUIiPyyMyTjO2S" +
+      "oWwy0SfzPsoYSOz/Pf/HRP7f/v9BgJ5//n1BYO9+//4Uhz//fH4eyGPBjjU3Fmcs" +
+      "eLG8YvHECoxYj8OSGxavmeEyL5PRHuNSjBrGNpiaNn5pCrvIaGdkCCAZOJSMeZMh" +
+      "+2TKKNP/fTdA2P/+PZ8D3D//vscAfN59/4IEf+++/7EM3z36sdyxfmOJGYsvFkOx" +
+      "fBKLPogVOKxvWGrNpCxjk4zomIli3jDKwYA87y9r/SLzfGSiJ5nZJbNsMqZPhj7K" +
+      "2Bhi///7echw//37Pga4f/59HwF8fPv+BQn+/m3/4+WxNo4VN9ZnLHmxaMXixHIY" +
+      "sRiH1Q3rXjOPZZTJ+D1GWowZRjeYlWb8IpS7yNgfmQNIRhlKhjAmg30ynlHGt993" +
+      "MMl9/3/zBMF9/3Z/DmC/ff8+QrB7dv8WBbz//Fi/Y/HGyoz1L5asWJzEog9i+Q6L" +
+      "NqxaMybLyCQzOuZHMTKMczBgiv3lL3yRYT4y9STzdskomwzpk6GPMvYD5O3ff/eB" +
+      "4b3/t38M0L99vz8CuNm3/xYivH+ff3sey+JYHo1FM1ZerK9YcmIRRizOYfmGRdfM" +
+      "YhmPZLTHGC1Gh5kNRqURv5DILjLwRwYxyfChZAhjMsY4GWaUae/+z2Ewt/+/7xGC" +
+      "237P/zGg37t3f4jAt8+/LwjY/36s7Vi9sW7G0ovFVixOLP8gFtthNYZ1rJmXZTTJ" +
+      "OB2jKMYaRhxMiOb8sp9fZJSPzHuSkV0ynE0G+mTso8zvBjD7/7/vA5PZ/8//OMDv" +
+      "m99/iMDnz78tFOi/77/7sT6OxaKxGsY6L5ZWLJ5YgBHLclh0w+o1Y1hGIpmZY16L" +
+      "0cP4A0xNEb8sxV1k6I9MmGR+LhnNmAxjnAwElOH//tsGJzn/v3+eIJx3376fAe6f" +
+      "v75HBD7fvn+BgN/9WO5YvrHYjNWLdSuWnlj8EYs7LBfDIm9mZBmfZKRjbBQjwwwH" +
+      "E6Ixv3DOR2SQjwz2JEO7ZMgm4/TJ0EcZ+wYnuX+//54knP/ftp8B7p/v30cAbt++" +
+      "36KAv+3f/2Ntx2o01gtjaSwWrVicWIYRi+SwumGda+axjCIZN8dIirHDaAPMril+" +
+      "UcpdZOyPzDHJaC4Z5k0GjJNxAsqA3+e/bzKJ+7/99gihfb9374zAv3u/P0Iwu3f/" +
+      "FgV8fqzfsXhjZcb6F0tWLJ5Y/BHLc1gUhlVvxnQZnWRGx3wUI4ZxDgZGMb+kB4/I" +
+      "8GRk2pPM7ZJRNhmiTwYfZfz/zWG+3/7f5BD3f//sA0L7ft/+GYB/931/DOA23/aP" +
+      "5R3LbiwKxkos1kGx9MQijFiUw/INi66ZwTIeyWiOMVKMDDMdYDrP+IVEdpGBPzKA" +
+      "SYZzyYA3GdsnQwPKFMS3f75diuD//fstj/B7/nsHk9i9+32PENz+ffOPAfdjbcfq" +
+      "jXUzlrxYtGJxYvmPWJzDasO63szrMtpkvI5RFGMMIw4mRM/ZL99gZBhbjHjMTOZZ" +
+      "RjTjnlGisbcY55rtGl8wNXU0Sfxj/tTRlOEN0dlnW44XRmcaZ5L/mJ5VnEl0Q9r2" +
+      "/JTxhalJxVPjHzANp2gwz7CagbHMJhmXYwTFWMPIBjM+UA2UjhqojqaB0rk0UF00" +
+      "EGPQ9cYvxl5GvYx7Gb82fjX6Mu5l7PsC6wjQ2RVMAAAIZAEA/P85EAJMAAAIYQEA" +
+      "/P85EAJFAAAIZQEAzfgOhLAYCrk=")
+    val r = ZstdBlockEval.decode(fix)
+    assert(r != null && r.nFrames === 1 && r.truncated === 0)
+    assert(r.content.length === 424145)
+    assert(md5(r.content) === "c48971b9d95cb05607c749389e443cdf")
+    assert(r.checksumOk === 1)
+  }
+
+  test("interop: a DICTIONARY-keyed CLI frame refuses content (the " +
+    "dictionary is not in the stream)") {
+    // zstd --train over a sample set, then -D: dictId != 0 — decoding
+    // without the dictionary would be garbage, so the kernel refuses
+    val fix = b64("KLUv/SfFgG5jL2UAAAAEfAACbEyTCEZlAbeTzNQ=")
+    val r = ZstdBlockEval.decode(fix)
+    assert(r == null || r.nFrames === 0) // never decoded content
+    // the q165 triage still reads its dict id — routing survives
+    import graft.functions.ZstdEval
+    val t = ZstdEval.parse(fix)
+    assert(t != null && t.dictId > 0L)
+  }
+
   // ---- refusal discipline
 
   test("a flipped checksum byte reports checksumOk = 0, content intact") {
