@@ -2000,26 +2000,26 @@ object SparkEntry {
     // the codec-clock duration split (Vorbis own rate, Opus 48 kHz)
     // pin the u64 read, the 255-terminator rule, and the clock choice
     "q149_ogg_meta" ->
-      ("WITH p AS (SELECT doc_id, doc_id % 5 AS m, " +
+      ("WITH p AS (SELECT doc_id, doc_id % 6 AS m, " +
         "CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 22050 " +
         "WHEN 2 THEN 44100 ELSE 48000 END AS rate, " +
         "CAST(1 + doc_id % 2 AS INTEGER) AS ch, " +
         "4294967296 + (doc_id % 1000) * 960 AS g FROM documents) " +
         "SELECT doc_id, " +
-        "CAST(m IN (0, 1, 2, 3) AS INTEGER) AS is_ogg, " +
-        "CASE WHEN m IN (0, 2) THEN 'vorbis' WHEN m = 1 THEN 'opus' " +
+        "CAST(m IN (0, 1, 2, 3, 4) AS INTEGER) AS is_ogg, " +
+        "CASE WHEN m IN (0, 2, 4) THEN 'vorbis' WHEN m = 1 THEN 'opus' " +
         "ELSE NULL END AS codec, " +
-        "CAST(CASE WHEN m IN (0, 1, 2) THEN 2 ELSE NULL END AS INTEGER) " +
-        "AS n_pages, " +
-        "CAST(CASE WHEN m IN (0, 1) THEN 2 WHEN m = 2 THEN 3 " +
+        "CAST(CASE WHEN m IN (0, 1, 2) THEN 2 WHEN m = 4 THEN 3 " +
+        "ELSE NULL END AS INTEGER) AS n_pages, " +
+        "CAST(CASE WHEN m IN (0, 1) THEN 2 WHEN m IN (2, 4) THEN 3 " +
         "ELSE NULL END AS INTEGER) AS n_packets, " +
-        "CAST(CASE WHEN m IN (0, 1, 2) THEN ch ELSE NULL END AS INTEGER) " +
+        "CAST(CASE WHEN m IN (0, 1, 2, 4) THEN ch ELSE NULL END AS INTEGER) " +
         "AS channels, " +
-        "CAST(CASE WHEN m IN (0, 1, 2) THEN rate ELSE NULL END AS INTEGER) " +
+        "CAST(CASE WHEN m IN (0, 1, 2, 4) THEN rate ELSE NULL END AS INTEGER) " +
         "AS sample_rate, " +
-        "CAST(CASE WHEN m IN (0, 1, 2) THEN g ELSE NULL END AS BIGINT) " +
+        "CAST(CASE WHEN m IN (0, 1, 2, 4) THEN g ELSE NULL END AS BIGINT) " +
         "AS granule, " +
-        "CAST(CASE WHEN m IN (0, 2) THEN g * 1000 // rate " +
+        "CAST(CASE WHEN m IN (0, 2, 4) THEN g * 1000 // rate " +
         "WHEN m = 1 THEN g * 1000 // 48000 ELSE NULL END AS BIGINT) " +
         "AS duration_ms FROM p"),
     // q150: the oracle rebuilds the stupid-backoff ladder end to end —

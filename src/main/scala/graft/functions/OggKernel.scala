@@ -24,11 +24,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - codec identification is the FIRST packet of the BOS page:
   *    `vorbis` (channels u8 at 11, rate u32le at 12) or
   *    `OpusHead` (channels u8 at 9, input rate u32le at 12);
+  *  - CROSS-PAGE packet reassembly: a page ending with lacing 255
+  *    leaves its packet OPEN and the next page must carry the
+  *    continued-packet flag (header_type bit 0) — the packet counts
+  *    ONCE, where it terminates; a flag that disagrees with the
+  *    carry state (set with nothing open, or clear with a packet
+  *    open) marks a spliced/lossy stream and refuses, and a stream
+  *    ENDING with an open packet is a truncation and refuses
+  *    (stop-don't-guess);
   *  - a page running past EOF is a truncated download and refuses
   *    the FIELDS while the magic verdict survives (q139's split);
   *    out of scope, stated: page CRC verification (transport
-  *    integrity is q95's rung) and continued-packet reassembly
-  *    ACROSS pages (lacing within a page is fully honored).
+  *    integrity is q95's rung).
   *
   * Reference scope: scholar-stream ingests a JSON feed (reference
   * ingestion/openalex_client.py) — audio triage is a north-star
@@ -63,17 +70,25 @@ object OggEval {
     var codec: String = null
     var channels = -1; var rate = -1
     var lastGranule = -1L
+    var openAcross = false // a packet left open at the previous page end
     while (off < b.length) {
       if (off + 27 > b.length) return null // truncated mid-header
       if (!(b(off) == 'O' && b(off + 1) == 'g' && b(off + 2) == 'g' &&
         b(off + 3) == 'S')) return null // lost sync: refuse, never scan
       if (b(off + 4) != 0) return null // version must be 0
+      // continued-packet flag must agree with the carry state: a flag
+      // set with nothing open (or clear with a packet open) means a
+      // page went missing — a spliced stream, refuse
+      val contFlag = (b(off + 5) & 0x01) != 0
+      if (contFlag != openAcross) return null
       val granule = u64le(b, off + 6)
       val nSegs = b(off + 26) & 0xFF
       if (off + 27 + nSegs > b.length) return null
-      // lacing: 255 continues the packet, < 255 terminates it
+      // lacing: 255 continues the packet, < 255 terminates it; a
+      // packet open from the PREVIOUS page terminates here and counts
+      // ONCE (cross-page reassembly)
       var payload = 0
-      var open = false
+      var open = openAcross
       var i = 0
       while (i < nSegs) {
         val l = b(off + 27 + i) & 0xFF
@@ -82,8 +97,7 @@ object OggEval {
         else { packets += 1; open = false }
         i += 1
       }
-      // a packet left open at page end continues on the NEXT page —
-      // counted there when it terminates (stated scope)
+      openAcross = open
       val body = off + 27 + nSegs
       if (body + payload > b.length) return null // truncated mid-page
       pages += 1
@@ -106,6 +120,7 @@ object OggEval {
       off = body + payload
     }
     if (codec == null || rate <= 0) return null
+    if (openAcross) return null // the stream ends mid-packet: truncated
     // Opus granules tick at 48 kHz regardless of the input rate
     val clock = if (codec == "opus") 48000L else rate.toLong
     val dur = if (lastGranule < 0) -1L else lastGranule * 1000L / clock
@@ -174,8 +189,12 @@ object OggEval {
     * packet); 1 -> Opus, same layout; 2 -> Vorbis whose data page
     * carries a 255-byte packet (lacing `255, 0` — the terminator
     * drill) AND the 20-byte packet; 3 -> class 0 cut 15 bytes short
-    * (truncated mid-page, refuses fields). The last granule crosses
-    * 2^32 on purpose (a u32 reader truncates).
+    * (truncated mid-page, refuses fields); 4 -> a packet SPLIT ACROSS
+    * pages — the data page ends with lacing `255, 255` (510 bytes,
+    * open) and an EOS page with the continued-packet flag terminates
+    * it (lacing `30`) beside a fresh 20-byte packet: 3 pages, 3
+    * packets (the split one counts ONCE, where it ends). The last
+    * granule crosses 2^32 on purpose (a u32 reader truncates).
     */
   def synth(params: Long): Array[Byte] = {
     val id = params & ((1L << 40) - 1)
@@ -215,6 +234,16 @@ object OggEval {
       val big = Array.fill[Byte](255)(0x42)
       val small = Array.fill[Byte](20)(0x17)
       page(out, 0x04, granule, serial, 1L, Array(255, 0, 20), big ++ small)
+    } else if (mode == 4) {
+      // a 540-byte packet split across two pages: the first leaves it
+      // OPEN (-1 granule: no packet ends here), the EOS page carries
+      // the continuation flag and terminates it beside a fresh packet
+      val head = Array.fill[Byte](510)(0x33)
+      page(out, 0x00, -1L, serial, 1L, Array(255, 255), head)
+      val tail = Array.fill[Byte](30)(0x34)
+      val small = Array.fill[Byte](20)(0x17)
+      page(out, 0x04 | 0x01, granule, serial, 2L, Array(30, 20),
+        tail ++ small)
     } else {
       val small = Array.fill[Byte](20)(0x17)
       page(out, 0x04, granule, serial, 1L, Array(20), small)

@@ -1618,23 +1618,25 @@ object Multimodal {
     * duration split — Vorbis ticks in its own rate, Opus ALWAYS in
     * 48 kHz ([[graft.functions.OggEval]]).
     *
-    * Residue classes (%5): 0 → Vorbis two-pager; 1 → Opus (duration
+    * Residue classes (%6): 0 → Vorbis two-pager; 1 → Opus (duration
     * must use the 48 kHz clock, not the reported input rate);
     * 2 → the 255-lacing drill (a lacing-entry counter reads 3 where
     * the truth is 2 data packets); 3 → truncated mid-page (magic
-    * verdict survives, fields refuse); 4 → plain text (not OGG).
-    * Oracle replays every field from doc_id arithmetic alone.
-    * One narrow map, zero exchanges.
+    * verdict survives, fields refuse); 4 → a packet SPLIT ACROSS
+    * pages (the continued-packet flag must agree with the lacing
+    * carry; the split packet counts ONCE, where it terminates);
+    * 5 → plain text (not OGG). Oracle replays every field from
+    * doc_id arithmetic alone. One narrow map, zero exchanges.
     */
   def q149OggMeta(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.OggOps
     val docs = Tables.load(spark, dir, "documents")
     val id = col("doc_id")
-    val mode = when(id % 5 === 1, 1L).when(id % 5 === 2, 2L)
-      .when(id % 5 === 3, 3L).otherwise(0L)
+    val mode = when(id % 6 === 1, 1L).when(id % 6 === 2, 2L)
+      .when(id % 6 === 3, 3L).when(id % 6 === 4, 4L).otherwise(0L)
     val params = id + mode * lit(1L << 40)
     val whole = OggOps.oggSynth(params)
-    val payload = when(id % 5 === 4, col("text").cast("binary")).otherwise(whole)
+    val payload = when(id % 6 === 5, col("text").cast("binary")).otherwise(whole)
     docs.select(id, payload.as("_p"))
       .select(id,
         expr("substring(_p, 1, 4) = cast('OggS' as binary)")

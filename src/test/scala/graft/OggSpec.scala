@@ -113,5 +113,38 @@ class OggSpec extends AnyFunSuite {
     val m2 = OggEval.parse(OggEval.synth(21L | (2L << 40)))
     assert(m2.packets === 3, "255,0 + 20 is TWO data packets")
     assert(OggEval.parse(OggEval.synth(21L | (3L << 40))) === null)
+    val m4 = OggEval.parse(OggEval.synth(21L | (4L << 40)))
+    assert(m4 != null && m4.pages === 3)
+    assert(m4.packets === 3, "the split packet must count ONCE")
+  }
+
+  test("a packet split across pages reassembles; the flag must agree") {
+    val ident = vorbisIdent(1, 8000)
+    // page 2 ends OPEN (lacing 255, 255); page 3 carries the
+    // continuation flag and terminates it, plus one more packet
+    val good = page(0x02, 0L, Seq(ident.length), ident) ++
+      page(0x00, -1L, Seq(255, 255), Array.fill[Byte](510)(0x11)) ++
+      page(0x05, 80000L, Seq(12, 7), Array.fill[Byte](19)(0x22))
+    val m = OggEval.parse(good)
+    assert(m != null && m.pages === 3)
+    assert(m.packets === 3, "ident + split + fresh = 3, counted at ends")
+    assert(m.durationMs === 80000L * 1000 / 8000)
+    // continuation flag SET with nothing open: a spliced stream, refuse
+    val badFlag = page(0x02, 0L, Seq(ident.length), ident) ++
+      page(0x05, 80000L, Seq(12), Array.fill[Byte](12)(0x22))
+    val withFlag = badFlag.clone()
+    // second page's header_type byte sits at pageLen(ident)+5
+    val p2 = 27 + 1 + ident.length
+    assert((withFlag(p2 + 5) & 0x01) === 1) // 0x05 carries the flag
+    assert(OggEval.parse(withFlag) === null)
+    // flag CLEAR with a packet open: also a splice, refuse
+    val noFlag = page(0x02, 0L, Seq(ident.length), ident) ++
+      page(0x00, -1L, Seq(255, 255), Array.fill[Byte](510)(0x11)) ++
+      page(0x04, 80000L, Seq(12, 7), Array.fill[Byte](19)(0x22))
+    assert(OggEval.parse(noFlag) === null)
+    // a stream ENDING with an open packet is a truncation, refuse
+    val endsOpen = page(0x02, 0L, Seq(ident.length), ident) ++
+      page(0x00, -1L, Seq(255, 255), Array.fill[Byte](510)(0x11))
+    assert(OggEval.parse(endsOpen) === null)
   }
 }
