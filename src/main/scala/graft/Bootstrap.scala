@@ -564,6 +564,10 @@ object Bootstrap {
     // Crawl's primary distribution format — same columns, same SLOs
     operators.Crawl.q189ZstdIntake(spark, dir)
       .createOrReplaceTempView("vw_zstd_intake")
+    // the lz4 content read (q190): `WHERE checksum_ok = 0` the
+    // corruption quarantine over the feature-store drop
+    sources.Compress.q190Lz4Decode(spark, dir)
+      .createOrReplaceTempView("vw_lz4_decode")
   }
 
   /** Register the landing table + curated views over it — the TRANSFORM

@@ -211,6 +211,7 @@ object SparkEntry {
     "q187_lake_census" -> (Lake.q187LakeCensus _),
     "q188_zstd_decode" -> (Zstd.q188ZstdDecode _),
     "q189_zstd_intake" -> (Crawl.q189ZstdIntake _),
+    "q190_lz4_decode" -> (Compress.q190Lz4Decode _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -2935,7 +2936,8 @@ object SparkEntry {
         "CASE WHEN m IN (0, 3) THEN 'crc32' WHEN m = 1 THEN 'xxh64' " +
         "WHEN m = 2 THEN (CASE WHEN doc_id % 2 = 0 THEN 'crc32' " +
         "ELSE 'crc64' END) ELSE NULL END AS check_kind, " +
-        "CASE WHEN m = 0 THEN md5(p0) ELSE NULL END AS content_md5, " +
+        "CASE WHEN m = 0 THEN md5(p0) " +
+        "WHEN m = 1 THEN md5(left(p0, 200)) ELSE NULL END AS content_md5, " +
         "CAST(CASE WHEN m = 3 THEN doc_id % 9 + 1 ELSE NULL END AS INTEGER) " +
         "AS bz_level FROM p"),
     // q183: the oracle replays the SAME rank-selection spelling
@@ -3373,6 +3375,34 @@ object SparkEntry {
     // q189: the SAME six-layer contract as q116 — the zstd rung must
     // be a drop-in for the gzip rung, so the oracle IS q116's oracle
     "q189_zstd_intake" -> fullStackOracle,
+    // q190: every content string replays from words + doc_id
+    // arithmetic, md5 closed in SQL — a token, length-extension,
+    // offset, stored-bit, or frame-concat slip cannot agree
+    "q190_lz4_decode" ->
+      ("WITH w AS (SELECT doc_id, list_filter(" +
+        "string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), " +
+        "x -> x <> '') AS ws FROM documents), " +
+        "p AS (SELECT doc_id, doc_id % 6 AS m, ws[2] AS w1, " +
+        "left(ws[1] || ' ' || ws[2] || '#' || " +
+        "CAST(doc_id % 97 AS VARCHAR), 200) AS b FROM w), " +
+        "c AS (SELECT doc_id, m, CASE m " +
+        "WHEN 0 THEN b " +
+        "WHEN 1 THEN b || '|' || b || repeat('y', 10) " +
+        "WHEN 2 THEN b || '/' || b " +
+        "WHEN 3 THEN b || '+' || w1 " +
+        "WHEN 4 THEN b || array_to_string(list_transform(range(300), " +
+        "k -> chr(97 + CAST((doc_id + k*7) % 26 AS INTEGER))), '') " +
+        "END AS content FROM p) " +
+        "SELECT doc_id, " +
+        "CAST(m <> 5 AS INTEGER) AS is_lz4, " +
+        "CAST(CASE WHEN m = 3 THEN 2 WHEN m <> 5 THEN 1 END AS INTEGER) " +
+        "AS n_frames, " +
+        "CAST(CASE WHEN m IN (2, 3) THEN 2 WHEN m <> 5 THEN 1 " +
+        "END AS INTEGER) AS n_blocks, " +
+        "CAST(CASE WHEN m <> 5 THEN 0 END AS INTEGER) AS truncated, " +
+        "CAST(CASE WHEN m <> 5 THEN 1 END AS INTEGER) AS checksum_ok, " +
+        "CAST(length(content) AS BIGINT) AS content_len, " +
+        "md5(content) AS content_md5 FROM c"),
     // q188: every content string replays from words + doc_id
     // arithmetic, md5 closed in SQL — a literals, sequence-execution,
     // repeat-offset, treeless, or RLE slip cannot agree

@@ -3,15 +3,15 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{GzipOps, XzOps, ZstdOps}
+import graft.functions.{GzipOps, XzOps, ZstdBlockOps, ZstdOps}
 
 /** Q184: compression-layer ROUTER — q127's magic-byte discipline at
   * the compression layer (a corpus drop arrives as whatever the
   * producer had: `.gz`, `.zst`, `.xz`, `.bz2` — one binary column,
   * one manifest): route by magic to each format's pinned machinery —
-  * gzip DECODES through q95's strict codec (the only format the
-  * engine fully decodes — content md5 proves it), zstd reports q165's
-  * frame triage, xz reports the NEW footer/index triage
+  * gzip DECODES through q95's strict codec, zstd DECODES through
+  * q188's RFC 8878 block decoder (content md5 proves both) beside
+  * q165's frame triage, xz reports the NEW footer/index triage
   * ([[graft.functions.XzEval]] — backward-size-located index, VLI
   * record pairs, the footer-flags splice cross-check, index CRC32
   * verified), and bzip2 reports its header plane (level digit + the
@@ -60,6 +60,8 @@ object Compress {
       .withColumn("_zc", when(col("_fmt") === "zstd",
         ZstdOps.zstdContentSize(col("_p"))))
       .withColumn("_xm", when(col("_fmt") === "xz", XzOps.xzMeta(col("_p"))))
+      .withColumn("_zd", when(col("_fmt") === "zstd",
+        ZstdBlockOps.zstdDecode(col("_p"))))
     staged.select(id, col("_fmt").as("format"),
       when(col("_fmt") === "gzip", 1)
         .when(col("_fmt") === "zstd",
@@ -82,9 +84,55 @@ object Compress {
             .otherwise("none"))
         .when(col("_fmt") === "bzip2", "crc32")
         .as("check_kind"),
-      when(col("_fmt") === "gzip", md5(col("_gz"))).as("content_md5"),
+      when(col("_fmt") === "gzip", md5(col("_gz")))
+        .when(col("_fmt") === "zstd", md5(col("_zd"))).as("content_md5"),
       when(col("_fmt") === "bzip2",
         substring(col("_p"), 4, 1).cast("string").cast("int"))
         .as("bz_level"))
+  }
+
+  /** Q190: LZ4 frame decode — the LOW-LATENCY member of the
+    * compression family (q95 gzip, q188 zstd; feature stores and
+    * Kafka topics hand corpora over as `.lz4`): the frame
+    * descriptor's flag-gated optional fields behind a VERIFIED header
+    * checksum (the second XXH32 byte), stored-bit blocks, the
+    * token-coded block grammar with 255-extension lengths and
+    * overlap-capable offsets that reach across blocks (block-linked
+    * mode), XXH32 block and content checksums verified for real
+    * ([[graft.functions.Lz4Eval]] — interop-proven both directions
+    * against lz4 CLI v1.9.4 in Lz4DecodeSpec). Content round-trips
+    * to md5 (q95's stance).
+    *
+    * Residue classes (%6): 0 → one literals-only block; 1 → a real
+    * match + an offset-1 overlap run, block AND content checksums;
+    * 2 → a STORED (uncompressed-bit) block beside a compressed one,
+    * declared content size; 3 → two frames back to back; 4 → a
+    * literal run past 270 bytes (two length-extension bytes);
+    * 5 → plain text (not lz4). One narrow map, zero exchanges.
+    */
+  def q190Lz4Decode(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Lz4Ops
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val mode = when(id % 6 === 1, 1L).when(id % 6 === 2, 2L)
+      .when(id % 6 === 3, 3L).when(id % 6 === 4, 4L).otherwise(0L)
+    val params = id + mode * lit(1L << 40)
+    val whole = Lz4Ops.lz4Synth(col("text"), params)
+    val payload = when(id % 6 === 5, col("text").cast("binary")).otherwise(whole)
+    docs.select(id, payload.as("_p"))
+      .select(id, Lz4Ops.lz4DecodeMeta(col("_p")).as("_m"),
+        Lz4Ops.lz4Decode(col("_p")).as("_c"))
+      .select(id,
+        col("_m").isNotNull.cast("int").as("is_lz4"),
+        shiftright(col("_m"), 32).bitwiseAND(lit(0xFFL)).cast("int")
+          .as("n_frames"),
+        shiftright(col("_m"), 24).bitwiseAND(lit(0xFFL)).cast("int")
+          .as("n_blocks"),
+        shiftright(col("_m"), 44).bitwiseAND(lit(0xFL)).cast("int")
+          .as("truncated"),
+        (shiftright(col("_m"), 40).bitwiseAND(lit(0xFL)) - 1).cast("int")
+          .as("checksum_ok"),
+        length(col("_c")).cast("bigint").as("content_len"),
+        md5(col("_c")).as("content_md5"))
   }
 }
