@@ -568,6 +568,10 @@ object Bootstrap {
     // corruption quarantine over the feature-store drop
     sources.Compress.q190Lz4Decode(spark, dir)
       .createOrReplaceTempView("vw_lz4_decode")
+    // the bzip2 content read (q191): `WHERE crc_ok = 0` the
+    // corruption quarantine over the wiki-dump drop
+    sources.Compress.q191Bzip2Decode(spark, dir)
+      .createOrReplaceTempView("vw_bzip2_decode")
   }
 
   /** Register the landing table + curated views over it — the TRANSFORM

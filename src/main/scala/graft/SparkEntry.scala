@@ -212,6 +212,7 @@ object SparkEntry {
     "q188_zstd_decode" -> (Zstd.q188ZstdDecode _),
     "q189_zstd_intake" -> (Crawl.q189ZstdIntake _),
     "q190_lz4_decode" -> (Compress.q190Lz4Decode _),
+    "q191_bzip2_decode" -> (Compress.q191Bzip2Decode _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -2937,8 +2938,9 @@ object SparkEntry {
         "WHEN m = 2 THEN (CASE WHEN doc_id % 2 = 0 THEN 'crc32' " +
         "ELSE 'crc64' END) ELSE NULL END AS check_kind, " +
         "CASE WHEN m = 0 THEN md5(p0) " +
-        "WHEN m = 1 THEN md5(left(p0, 200)) ELSE NULL END AS content_md5, " +
-        "CAST(CASE WHEN m = 3 THEN doc_id % 9 + 1 ELSE NULL END AS INTEGER) " +
+        "WHEN m IN (1, 3) THEN md5(left(p0, 200)) ELSE NULL END " +
+        "AS content_md5, " +
+        "CAST(CASE WHEN m = 3 THEN 9 ELSE NULL END AS INTEGER) " +
         "AS bz_level FROM p"),
     // q183: the oracle replays the SAME rank-selection spelling
     // (row_number at position (n+1)//2 with the event-id tiebreak)
@@ -3375,6 +3377,32 @@ object SparkEntry {
     // q189: the SAME six-layer contract as q116 — the zstd rung must
     // be a drop-in for the gzip rung, so the oracle IS q116's oracle
     "q189_zstd_intake" -> fullStackOracle,
+    // q191: every content string replays from words + doc_id
+    // arithmetic, md5 closed in SQL — a bit-order, CRC, symbol-map,
+    // selector, RLE2, BWT, or RLE1 slip cannot agree
+    "q191_bzip2_decode" ->
+      ("WITH w AS (SELECT doc_id, list_filter(" +
+        "string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), " +
+        "x -> x <> '') AS ws FROM documents), " +
+        "p AS (SELECT doc_id, doc_id % 5 AS m, " +
+        "left(ws[1] || ' ' || ws[2] || '#' || " +
+        "CAST(doc_id % 97 AS VARCHAR), 200) AS b FROM w), " +
+        "c AS (SELECT doc_id, m, CASE m " +
+        "WHEN 0 THEN b " +
+        "WHEN 1 THEN b || repeat('q', 40) || b " +
+        "WHEN 2 THEN b || ';' || b || ';' || b " +
+        "WHEN 3 THEN b || '|' || b || '|' || b || '|' || b " +
+        "END AS content FROM p) " +
+        "SELECT doc_id, " +
+        "CAST(m <> 4 AS INTEGER) AS is_bzip2, " +
+        "CAST(CASE WHEN m = 3 THEN 1 WHEN m <> 4 THEN 9 END AS INTEGER) " +
+        "AS level, " +
+        "CAST(CASE WHEN m = 2 THEN 2 WHEN m <> 4 THEN 1 END AS INTEGER) " +
+        "AS n_blocks, " +
+        "CAST(CASE WHEN m <> 4 THEN 0 END AS INTEGER) AS truncated, " +
+        "CAST(CASE WHEN m <> 4 THEN 1 END AS INTEGER) AS crc_ok, " +
+        "CAST(length(content) AS BIGINT) AS content_len, " +
+        "md5(content) AS content_md5 FROM c"),
     // q190: every content string replays from words + doc_id
     // arithmetic, md5 closed in SQL — a token, length-extension,
     // offset, stored-bit, or frame-concat slip cannot agree

@@ -10,21 +10,22 @@ import graft.functions.{GzipOps, XzOps, ZstdBlockOps, ZstdOps}
   * producer had: `.gz`, `.zst`, `.xz`, `.bz2` — one binary column,
   * one manifest): route by magic to each format's pinned machinery —
   * gzip DECODES through q95's strict codec, zstd DECODES through
-  * q188's RFC 8878 block decoder (content md5 proves both) beside
-  * q165's frame triage, xz reports the NEW footer/index triage
+  * q188's RFC 8878 block decoder, bzip2 DECODES through q191's full
+  * stage stack (content md5 proves all three) beside their triage
+  * planes, and xz reports the footer/index triage
   * ([[graft.functions.XzEval]] — backward-size-located index, VLI
   * record pairs, the footer-flags splice cross-check, index CRC32
-  * verified), and bzip2 reports its header plane (level digit + the
-  * π block magic; block decode out of stated scope). The manifest
+  * verified). The manifest
   * columns are format-appropriate: a routing slip lands on another
   * family's residue numbers and cannot cancel (q127's oracle-union
   * stance).
   *
   * Residue classes (%5): 0 → gzip member (decoded, md5-proved);
-  * 1 → zstd single frame (declared size + xxh64 flag); 2 → xz with
-  * `doc_id % 2` choosing one-block/CRC32 or three-block/CRC64 with
-  * multi-byte VLIs; 3 → bzip2 header; 4 → plain text. One narrow
-  * map, zero exchanges.
+  * 1 → zstd single frame (decoded + declared size + xxh64 flag);
+  * 2 → xz with `doc_id % 2` choosing one-block/CRC32 or
+  * three-block/CRC64 with multi-byte VLIs; 3 → a REAL bzip2 stream
+  * (decoded, md5-proved); 4 → plain text. One narrow map, zero
+  * exchanges.
   */
 object Compress {
 
@@ -35,14 +36,12 @@ object Compress {
       "[^a-z0-9]+"), w => length(w) > 0)
     val p0 = concat(element_at(ws, 1), lit(" "), element_at(ws, 2),
       lit("#"), (id % 97).cast("string"))
-    val bzMagic = Array[Byte](0x31, 0x41, 0x59, 0x26, 0x53, 0x59)
     val payload = when(id % 5 === 0,
         GzipOps.gzip(encode(p0, "UTF-8"), lit("")))
       .when(id % 5 === 1, ZstdOps.zstdSynth(col("text"), id))
       .when(id % 5 === 2, XzOps.xzSynth(id + (id % 2) * lit(1L << 40)))
-      .when(id % 5 === 3, concat(lit("BZh".getBytes("US-ASCII")),
-        encode((id % 9 + 1).cast("string"), "UTF-8"), lit(bzMagic),
-        encode(p0, "UTF-8")))
+      .when(id % 5 === 3,
+        graft.functions.Bzip2Ops.bzip2Synth(col("text"), id))
       .otherwise(col("text").cast("binary"))
 
     val staged = docs.select(id, payload.as("_p"))
@@ -62,6 +61,8 @@ object Compress {
       .withColumn("_xm", when(col("_fmt") === "xz", XzOps.xzMeta(col("_p"))))
       .withColumn("_zd", when(col("_fmt") === "zstd",
         ZstdBlockOps.zstdDecode(col("_p"))))
+      .withColumn("_bz", when(col("_fmt") === "bzip2",
+        graft.functions.Bzip2Ops.bzip2Decode(col("_p"))))
     staged.select(id, col("_fmt").as("format"),
       when(col("_fmt") === "gzip", 1)
         .when(col("_fmt") === "zstd",
@@ -85,10 +86,54 @@ object Compress {
         .when(col("_fmt") === "bzip2", "crc32")
         .as("check_kind"),
       when(col("_fmt") === "gzip", md5(col("_gz")))
-        .when(col("_fmt") === "zstd", md5(col("_zd"))).as("content_md5"),
+        .when(col("_fmt") === "zstd", md5(col("_zd")))
+        .when(col("_fmt") === "bzip2", md5(col("_bz"))).as("content_md5"),
       when(col("_fmt") === "bzip2",
         substring(col("_p"), 4, 1).cast("string").cast("int"))
         .as("bz_level"))
+  }
+
+  /** Q191: bzip2 BLOCK decode — the archive format the big public
+    * text corpora actually ship in (Wikipedia dumps are `.xml.bz2`):
+    * the full stage stack — MSB-first bit stream, VERIFIED bzip2
+    * CRC32 (unreflected — java's CRC32 cannot check it), symbol map,
+    * 2..6 Huffman groups switching every 50 symbols through MTF'd
+    * selectors, RUNA/RUNB bijective-base-2 zero runs, the inverse
+    * Burrows-Wheeler transform, RLE1, and the rotate-xor combined CRC
+    * ([[graft.functions.Bzip2Eval]] — whose synthesizer is a REAL
+    * compressor, interop-proven both directions against bzip2 CLI in
+    * Bzip2DecodeSpec). Content round-trips to md5 (q95's stance).
+    *
+    * Residue classes (%5): 0 → one block, level 9; 1 → an
+    * RLE1-triggering 40-byte run inside the content; 2 → TWO blocks
+    * (the combined-CRC fold crosses a boundary); 3 → repetitive
+    * content at level 1; 4 → plain text (not bzip2). One narrow map,
+    * zero exchanges.
+    */
+  def q191Bzip2Decode(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Bzip2Ops
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val mode = when(id % 5 === 1, 1L).when(id % 5 === 2, 2L)
+      .when(id % 5 === 3, 3L).otherwise(0L)
+    val params = id + mode * lit(1L << 40)
+    val whole = Bzip2Ops.bzip2Synth(col("text"), params)
+    val payload = when(id % 5 === 4, col("text").cast("binary")).otherwise(whole)
+    docs.select(id, payload.as("_p"))
+      .select(id, Bzip2Ops.bzip2DecodeMeta(col("_p")).as("_m"),
+        Bzip2Ops.bzip2Decode(col("_p")).as("_c"))
+      .select(id,
+        col("_m").isNotNull.cast("int").as("is_bzip2"),
+        shiftright(col("_m"), 32).bitwiseAND(lit(0xFFL)).cast("int")
+          .as("level"),
+        shiftright(col("_m"), 24).bitwiseAND(lit(0xFFL)).cast("int")
+          .as("n_blocks"),
+        shiftright(col("_m"), 44).bitwiseAND(lit(0xFL)).cast("int")
+          .as("truncated"),
+        shiftright(col("_m"), 40).bitwiseAND(lit(0xFL)).cast("int")
+          .as("crc_ok"),
+        length(col("_c")).cast("bigint").as("content_len"),
+        md5(col("_c")).as("content_md5"))
   }
 
   /** Q190: LZ4 frame decode — the LOW-LATENCY member of the
