@@ -572,6 +572,10 @@ object Bootstrap {
     // corruption quarantine over the wiki-dump drop
     sources.Compress.q191Bzip2Decode(spark, dir)
       .createOrReplaceTempView("vw_bzip2_decode")
+    // the xz content read (q192): `GROUP BY check_kind` the
+    // integrity census; `WHERE check_ok = 0` the quarantine
+    sources.Compress.q192XzDecode(spark, dir)
+      .createOrReplaceTempView("vw_xz_decode")
   }
 
   /** Register the landing table + curated views over it — the TRANSFORM

@@ -213,6 +213,7 @@ object SparkEntry {
     "q189_zstd_intake" -> (Crawl.q189ZstdIntake _),
     "q190_lz4_decode" -> (Compress.q190Lz4Decode _),
     "q191_bzip2_decode" -> (Compress.q191Bzip2Decode _),
+    "q192_xz_decode" -> (Compress.q192XzDecode _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -3377,6 +3378,33 @@ object SparkEntry {
     // q189: the SAME six-layer contract as q116 — the zstd rung must
     // be a drop-in for the gzip rung, so the oracle IS q116's oracle
     "q189_zstd_intake" -> fullStackOracle,
+    // q192: every content string replays from words + doc_id
+    // arithmetic, md5 closed in SQL — a chunk-framing, check, index,
+    // or footer slip cannot agree
+    "q192_xz_decode" ->
+      ("WITH w AS (SELECT doc_id, list_filter(" +
+        "string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), " +
+        "x -> x <> '') AS ws FROM documents), " +
+        "p AS (SELECT doc_id, doc_id % 5 AS m, ws[2] AS w1, " +
+        "left(ws[1] || ' ' || ws[2] || '#' || " +
+        "CAST(doc_id % 97 AS VARCHAR), 200) AS b FROM w), " +
+        "c AS (SELECT doc_id, m, w1, CASE m " +
+        "WHEN 0 THEN b " +
+        "WHEN 1 THEN b " +
+        "WHEN 2 THEN b || '+' || w1 " +
+        "WHEN 3 THEN b || array_to_string(list_transform(range(70000), " +
+        "k -> chr(97 + CAST((doc_id + k*11) % 26 AS INTEGER))), '') " +
+        "END AS content FROM p) " +
+        "SELECT doc_id, " +
+        "CAST(m <> 4 AS INTEGER) AS is_xz, " +
+        "CASE m WHEN 0 THEN 'crc32' WHEN 1 THEN 'crc64' " +
+        "WHEN 2 THEN 'sha256' WHEN 3 THEN 'crc32' END AS check_kind, " +
+        "CAST(CASE WHEN m = 2 THEN 2 WHEN m <> 4 THEN 1 END AS INTEGER) " +
+        "AS n_blocks, " +
+        "CAST(CASE WHEN m <> 4 THEN 0 END AS INTEGER) AS truncated, " +
+        "CAST(CASE WHEN m <> 4 THEN 1 END AS INTEGER) AS check_ok, " +
+        "CAST(length(content) AS BIGINT) AS content_len, " +
+        "md5(content) AS content_md5 FROM c"),
     // q191: every content string replays from words + doc_id
     // arithmetic, md5 closed in SQL — a bit-order, CRC, symbol-map,
     // selector, RLE2, BWT, or RLE1 slip cannot agree

@@ -155,6 +155,52 @@ object Compress {
     * literal run past 270 bytes (two length-extension bytes);
     * 5 → plain text (not lz4). One narrow map, zero exchanges.
     */
+  /** Q192: xz CONTENT decode — the block-content rung the q184 triage
+    * stopped at: LZMA2 chunks over the real LZMA range decoder
+    * (adaptive binary probabilities, matched literals, rep-distance
+    * history, pos-slot/align trees — the one mainstream codec that is
+    * PURE algorithm, so it pins against the reference CLI without
+    * constant tables), xz block headers with verified CRC32s, the
+    * declared CHECK verified for real (CRC32 / ECMA-182 CRC64 /
+    * SHA-256), and the INDEX cross-checked record-by-record against
+    * what actually decoded ([[graft.functions.XzContentEval]] —
+    * interop-proven both directions against xz CLI 5.x in
+    * XzContentSpec). Content round-trips to md5 (q95's stance).
+    *
+    * Residue classes (%5): 0 → one block, CRC32; 1 → CRC64; 2 → TWO
+    * blocks under SHA-256 (the index carries two records); 3 →
+    * content crossing an LZMA2 chunk boundary (70 KB of residue
+    * bytes); 4 → plain text (not xz). One narrow map, zero exchanges.
+    */
+  def q192XzDecode(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.XzContentOps
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val mode = when(id % 5 === 1, 1L).when(id % 5 === 2, 2L)
+      .when(id % 5 === 3, 3L).otherwise(0L)
+    val params = id + mode * lit(1L << 40)
+    val whole = XzContentOps.xzContentSynth(col("text"), params)
+    val payload = when(id % 5 === 4, col("text").cast("binary")).otherwise(whole)
+    docs.select(id, payload.as("_p"))
+      .select(id, XzContentOps.xzDecodeMeta(col("_p")).as("_m"),
+        XzContentOps.xzDecode(col("_p")).as("_c"))
+      .select(id,
+        col("_m").isNotNull.cast("int").as("is_xz"),
+        when(shiftright(col("_m"), 32).bitwiseAND(lit(0xFFL)) === 1, "crc32")
+          .when(shiftright(col("_m"), 32).bitwiseAND(lit(0xFFL)) === 4, "crc64")
+          .when(shiftright(col("_m"), 32).bitwiseAND(lit(0xFFL)) === 10,
+            "sha256")
+          .when(col("_m").isNotNull, "none").as("check_kind"),
+        shiftright(col("_m"), 24).bitwiseAND(lit(0xFFL)).cast("int")
+          .as("n_blocks"),
+        shiftright(col("_m"), 44).bitwiseAND(lit(0xFL)).cast("int")
+          .as("truncated"),
+        shiftright(col("_m"), 40).bitwiseAND(lit(0xFL)).cast("int")
+          .as("check_ok"),
+        length(col("_c")).cast("bigint").as("content_len"),
+        md5(col("_c")).as("content_md5"))
+  }
+
   def q190Lz4Decode(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Lz4Ops
     val docs = Tables.load(spark, dir, "documents")

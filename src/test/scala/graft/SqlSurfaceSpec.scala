@@ -199,7 +199,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "vw_lz4_decode" ->
         graft.sources.Compress.q190Lz4Decode(spark, TestSpark.Sf0001),
       "vw_bzip2_decode" ->
-        graft.sources.Compress.q191Bzip2Decode(spark, TestSpark.Sf0001))
+        graft.sources.Compress.q191Bzip2Decode(spark, TestSpark.Sf0001),
+      "vw_xz_decode" ->
+        graft.sources.Compress.q192XzDecode(spark, TestSpark.Sf0001))
     twins.foreach { case (view, df) =>
       val sql = canon(spark.sql(s"SELECT * FROM $view"))
       val api = canon(df)
