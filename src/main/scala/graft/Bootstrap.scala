@@ -576,6 +576,14 @@ object Bootstrap {
     // integrity census; `WHERE check_ok = 0` the quarantine
     sources.Compress.q192XzDecode(spark, dir)
       .createOrReplaceTempView("vw_xz_decode")
+    // the universal decode (q193): `GROUP BY format` the drop census
+    // with content proved whichever wrapper arrived
+    sources.Compress.q193UniversalDecode(spark, dir)
+      .createOrReplaceTempView("vw_universal_decode")
+    // the wiki-dump intake (q194): `WHERE has_article = 1 AND
+    // is_redirect = 0` is the corpus feed; n_chars the prose yield
+    sources.Wiki.q194WikiDump(spark, dir)
+      .createOrReplaceTempView("vw_wiki_dump")
   }
 
   /** Register the landing table + curated views over it — the TRANSFORM

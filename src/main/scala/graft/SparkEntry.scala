@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ingest.Envelope
-import graft.sources.{ArrowIpc, Avro, Cbor, Compress, Csv, Docx, Epub, JsonLines, Mime, Pdf, Rtf, Tar, TfExample, TfRecord, Warc, Zip, Zstd}
+import graft.sources.{ArrowIpc, Avro, Cbor, Compress, Csv, Docx, Epub, JsonLines, Mime, Pdf, Rtf, Tar, TfExample, TfRecord, Warc, Wiki, Zip, Zstd}
 import graft.operators.{Bibtex, Classifier, Crawl, Dedup, Feeds, HtmlTables, Lake, Latex, Markdown, Mojibake, Multimodal, Pipeline, Relational, Retrieval, Scale, Similarity, Sitemap, SqlSurface, Subtitles, Text, Wds}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -214,6 +214,8 @@ object SparkEntry {
     "q190_lz4_decode" -> (Compress.q190Lz4Decode _),
     "q191_bzip2_decode" -> (Compress.q191Bzip2Decode _),
     "q192_xz_decode" -> (Compress.q192XzDecode _),
+    "q193_universal_decode" -> (Compress.q193UniversalDecode _),
+    "q194_wiki_dump" -> (Wiki.q194WikiDump _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -3378,6 +3380,49 @@ object SparkEntry {
     // q189: the SAME six-layer contract as q116 — the zstd rung must
     // be a drop-in for the gzip rung, so the oracle IS q116's oracle
     "q189_zstd_intake" -> fullStackOracle,
+    // q194: the oracle re-synthesizes the CLEANED text from corpus
+    // words alone (never XML, never wikitext) — a bzip2, page-walk,
+    // unescape-order, ns-filter, template/ref/link/quote/heading, or
+    // whitespace slip cannot agree; class 1 must hash equal to class
+    // 0 (the invariance drill, baked into one formula)
+    "q194_wiki_dump" ->
+      ("WITH w AS (SELECT doc_id, list_filter(" +
+        "string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), " +
+        "x -> x <> '') AS ws FROM documents), " +
+        "p AS (SELECT doc_id, doc_id % 5 AS m, " +
+        "ws[1] || ' ' || CAST(doc_id % 89 AS VARCHAR) AS title, " +
+        "ws[1] || ' is a ' || ws[2] || '. See ' || ws[4] || ' and ' || " +
+        "ws[5] || '.' || chr(10) || 'History' || chr(10) || " +
+        "ws[6] || ' began ' || ws[7] || '#' || " +
+        "CAST(doc_id % 50 AS VARCHAR) || '.' AS cleaned FROM w) " +
+        "SELECT doc_id, " +
+        "CAST(m <> 4 AS INTEGER) AS is_dump, " +
+        "CAST(CASE WHEN m = 3 THEN 1 WHEN m <> 4 THEN 2 END AS INTEGER) " +
+        "AS n_pages, " +
+        "CAST(CASE WHEN m IN (0, 1, 2) THEN 1 WHEN m = 3 THEN 0 " +
+        "END AS INTEGER) AS has_article, " +
+        "CAST(CASE WHEN m = 2 THEN 1 WHEN m <> 4 THEN 0 END AS INTEGER) " +
+        "AS is_redirect, " +
+        "CASE WHEN m IN (0, 1, 2) THEN title END AS title, " +
+        "CAST(CASE WHEN m IN (0, 1) THEN length(cleaned) END AS BIGINT) " +
+        "AS n_chars, " +
+        "CASE WHEN m IN (0, 1) THEN md5(cleaned) END AS clean_md5 FROM p"),
+    // q193: ONE md5 formula against five decode stacks — the content
+    // is the same family spelling in every class, so any
+    // wrapper-specific decode slip breaks exactly its residue class
+    "q193_universal_decode" ->
+      ("WITH w AS (SELECT doc_id, list_filter(" +
+        "string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), " +
+        "x -> x <> '') AS ws FROM documents), " +
+        "p AS (SELECT doc_id, doc_id % 6 AS m, " +
+        "left(ws[1] || ' ' || ws[2] || '#' || " +
+        "CAST(doc_id % 97 AS VARCHAR), 200) AS b FROM w) " +
+        "SELECT doc_id, " +
+        "CASE m WHEN 0 THEN 'gzip' WHEN 1 THEN 'zstd' WHEN 2 THEN 'lz4' " +
+        "WHEN 3 THEN 'bzip2' WHEN 4 THEN 'xz' ELSE 'none' END AS format, " +
+        "CAST(1 AS INTEGER) AS decoded, " +
+        "CAST(length(b) AS BIGINT) AS content_len, " +
+        "md5(b) AS content_md5 FROM p"),
     // q192: every content string replays from words + doc_id
     // arithmetic, md5 closed in SQL — a chunk-framing, check, index,
     // or footer slip cannot agree

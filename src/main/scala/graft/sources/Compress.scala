@@ -136,6 +136,61 @@ object Compress {
         md5(col("_c")).as("content_md5"))
   }
 
+  /** Q193: the UNIVERSAL content decode — the capstone the family
+    * has been building toward: one binary column of corpus drops in
+    * WHATEVER wrapper the producer had (gzip / zstd / lz4 / bzip2 /
+    * xz / none), routed by magic bytes (q127's discipline) and
+    * DECODED to the same md5-proved content columns whichever format
+    * arrives — q95's strict gzip, q188's RFC 8878 zstd, q190's lz4,
+    * q191's bzip2, q192's xz/LZMA2. The point of the family: a
+    * training pipeline never turns a drop away for its wrapper, and
+    * one manifest says what every member holds. A routing slip lands
+    * on another decoder's refusal and cannot cancel.
+    *
+    * Residue classes (%6): 0 → gzip; 1 → zstd (a REAL compressed
+    * frame — q188's synthesis, Huffman literals); 2 → lz4; 3 → bzip2;
+    * 4 → xz; 5 → plain (passes through as `none`). The content is the
+    * SAME family spelling in every class, so the oracle is one md5
+    * formula against five decode stacks. One narrow map, zero
+    * exchanges.
+    */
+  def q193UniversalDecode(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Bzip2Ops, Lz4Ops, XzContentOps}
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val ws = filter(split(lower(coalesce(col("text"), lit(""))),
+      "[^a-z0-9]+"), w => length(w) > 0)
+    val p0 = substring(concat(element_at(ws, 1), lit(" "),
+      element_at(ws, 2), lit("#"), (id % 97).cast("string")), 1, 200)
+    val raw = encode(p0, "UTF-8")
+    val payload = when(id % 6 === 0, GzipOps.gzip(raw, lit("")))
+      .when(id % 6 === 1, ZstdBlockOps.zstdDeepSynth(col("text"), id))
+      .when(id % 6 === 2, Lz4Ops.lz4Synth(col("text"), id))
+      .when(id % 6 === 3, Bzip2Ops.bzip2Synth(col("text"), id))
+      .when(id % 6 === 4, XzContentOps.xzContentSynth(col("text"), id))
+      .otherwise(raw)
+    val staged = docs.select(id, payload.as("_p"))
+      .withColumn("_fmt",
+        when(hex(substring(col("_p"), 1, 2)) === "1F8B", "gzip")
+          .when(hex(substring(col("_p"), 1, 4)) === "28B52FFD", "zstd")
+          .when(hex(substring(col("_p"), 1, 4)) === "04224D18", "lz4")
+          .when(substring(col("_p"), 1, 3) === lit("BZh".getBytes("US-ASCII"))
+            && hex(substring(col("_p"), 5, 6)) === "314159265359", "bzip2")
+          .when(hex(substring(col("_p"), 1, 6)) === "FD377A585A00", "xz")
+          .otherwise("none"))
+      .withColumn("_c",
+        when(col("_fmt") === "gzip", GzipOps.gunzip(col("_p")))
+          .when(col("_fmt") === "zstd", ZstdBlockOps.zstdDecode(col("_p")))
+          .when(col("_fmt") === "lz4", Lz4Ops.lz4Decode(col("_p")))
+          .when(col("_fmt") === "bzip2", Bzip2Ops.bzip2Decode(col("_p")))
+          .when(col("_fmt") === "xz", XzContentOps.xzDecode(col("_p")))
+          .otherwise(col("_p")))
+    staged.select(id, col("_fmt").as("format"),
+      col("_c").isNotNull.cast("int").as("decoded"),
+      length(col("_c")).cast("bigint").as("content_len"),
+      md5(col("_c")).as("content_md5"))
+  }
+
   /** Q190: LZ4 frame decode — the LOW-LATENCY member of the
     * compression family (q95 gzip, q188 zstd; feature stores and
     * Kafka topics hand corpora over as `.lz4`): the frame

@@ -201,7 +201,11 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "vw_bzip2_decode" ->
         graft.sources.Compress.q191Bzip2Decode(spark, TestSpark.Sf0001),
       "vw_xz_decode" ->
-        graft.sources.Compress.q192XzDecode(spark, TestSpark.Sf0001))
+        graft.sources.Compress.q192XzDecode(spark, TestSpark.Sf0001),
+      "vw_universal_decode" ->
+        graft.sources.Compress.q193UniversalDecode(spark, TestSpark.Sf0001),
+      "vw_wiki_dump" ->
+        graft.sources.Wiki.q194WikiDump(spark, TestSpark.Sf0001))
     twins.foreach { case (view, df) =>
       val sql = canon(spark.sql(s"SELECT * FROM $view"))
       val api = canon(df)
