@@ -67,6 +67,32 @@ class WikiDumpSpec extends AnyFunSuite {
     assert(WikiDumpEval.text(b) === "fact stands & holds")
   }
 
+  test("cleaner robustness: hostile nesting, quote floods, garbage") {
+    // deep template nesting, quote floods, and half-open structures
+    // must come back as a value, never a throw or a hang
+    val hostiles = Seq(
+      "{{" * 500 + "x" + "}}" * 500,
+      "'" * 2000,
+      "[[" * 300 + "]]" * 300,
+      "<ref>" * 100,
+      "=" * 400 + "\n" + "=" * 400,
+      "[[a|b|c]] [[|]] [[]]",
+      "")
+    hostiles.foreach { h =>
+      val r = WikiDumpEval.clean(h)
+      assert(r != null, s"clean returned null for ${h.take(20)}")
+    }
+    // random garbage through the full page walk
+    val rnd = new java.util.Random(0x81717L)
+    (0 until 200).foreach { k =>
+      val b = new Array[Byte](k % 200 + 1)
+      rnd.nextBytes(b)
+      val withMagic = "<mediawiki>".getBytes("UTF-8") ++ b
+      try { WikiDumpEval.meta(withMagic); WikiDumpEval.text(withMagic) }
+      catch { case e: Throwable => fail(s"threw on fuzz $k: $e") }
+    }
+  }
+
   test("synth classes: template/ref invariance, redirect, talk-only, " +
     "bzip2 wire round trip") {
     val text = ("alpha beta gamma delta epsilon zeta eta theta iota kappa")
