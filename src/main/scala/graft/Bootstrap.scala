@@ -584,6 +584,10 @@ object Bootstrap {
     // is_redirect = 0` is the corpus feed; n_chars the prose yield
     sources.Wiki.q194WikiDump(spark, dir)
       .createOrReplaceTempView("vw_wiki_dump")
+    // the tarball intake (q195): `GROUP BY wrapper` the source-dump
+    // census; `sum(n_bytes)` the unpacked payload budget
+    sources.Tar.q195TarballIntake(spark, dir)
+      .createOrReplaceTempView("vw_tarball_intake")
   }
 
   /** Register the landing table + curated views over it — the TRANSFORM

@@ -216,6 +216,7 @@ object SparkEntry {
     "q192_xz_decode" -> (Compress.q192XzDecode _),
     "q193_universal_decode" -> (Compress.q193UniversalDecode _),
     "q194_wiki_dump" -> (Wiki.q194WikiDump _),
+    "q195_tarball_intake" -> (Tar.q195TarballIntake _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -3380,6 +3381,23 @@ object SparkEntry {
     // q189: the SAME six-layer contract as q116 — the zstd rung must
     // be a drop-in for the gzip rung, so the oracle IS q116's oracle
     "q189_zstd_intake" -> fullStackOracle,
+    // q195: one formula against three decode stacks + the
+    // passthrough — the inner tar is identical across wrappers, so a
+    // wrapper-routing or decode slip breaks exactly its class
+    "q195_tarball_intake" ->
+      ("WITH m AS (SELECT doc_id, text, " +
+        "octet_length(encode(text)) AS o, " +
+        "'doc ' || doc_id || ' has ' || octet_length(encode(text)) || " +
+        "' bytes' AS meta FROM documents) " +
+        "SELECT doc_id, " +
+        "CASE doc_id % 5 WHEN 0 THEN 'gzip' WHEN 1 THEN 'bzip2' " +
+        "WHEN 2 THEN 'xz' WHEN 3 THEN 'none' END AS wrapper, " +
+        "CAST(doc_id % 5 <> 4 AS INTEGER) AS is_tar, " +
+        "CAST(CASE WHEN doc_id % 5 <> 4 THEN 3 END AS INTEGER) " +
+        "AS n_members, " +
+        "CASE WHEN doc_id % 5 <> 4 THEN md5(text) END AS text_md5, " +
+        "CAST(CASE WHEN doc_id % 5 <> 4 THEN o + length(meta) END " +
+        "AS BIGINT) AS n_bytes FROM m"),
     // q194: the oracle re-synthesizes the CLEANED text from corpus
     // words alone (never XML, never wikitext) — a bzip2, page-walk,
     // unescape-order, ns-filter, template/ref/link/quote/heading, or

@@ -752,6 +752,25 @@ case class Bzip2Synth(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `binary -> binary`: compress with the kernel's own real
+  * compressor (level 9, single block at corpus-member sizes). */
+case class Bzip2Compress(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_bzip2_compress"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Bzip2Eval.compress(input.asInstanceOf[Array[Byte]], 9)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b =>
+      s"graft.functions.Bzip2Eval.compress($b, 9, 100000)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Bzip2Compress =
+    copy(child = newChild)
+}
+
 /** Column surface for the bzip2 kernels. */
 object Bzip2Ops {
   import org.apache.spark.sql.Column
@@ -760,6 +779,8 @@ object Bzip2Ops {
   private def bin(c: Column) = ColumnBridge.expression(c.cast("binary"))
 
   def bzip2Decode(b: Column): Column = ColumnBridge.column(Bzip2Decode(bin(b)))
+  def bzip2Compress(b: Column): Column =
+    ColumnBridge.column(Bzip2Compress(bin(b)))
   def bzip2DecodeMeta(b: Column): Column =
     ColumnBridge.column(Bzip2DecodeMeta(bin(b)))
 

@@ -850,6 +850,30 @@ case class XzContentSynth(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `binary -> binary`: wrap content as one CRC32-checked xz stream
+  * (uncompressed LZMA2 chunks — valid for every decoder). */
+case class XzCompress(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_xz_compress"
+
+  override protected def nullSafeEval(input: Any): Any =
+    XzContentEval.write(Array(input.asInstanceOf[Array[Byte]]), 1)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val res = ctx.freshName("xw")
+      s"""
+         |byte[] $res = graft.functions.XzContentEval.write(
+         |  new byte[][] { $b }, 1);
+         |${ev.value} = $res;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): XzCompress =
+    copy(child = newChild)
+}
+
 /** Column surface for the xz content kernels. */
 object XzContentOps {
   import org.apache.spark.sql.Column
@@ -858,6 +882,7 @@ object XzContentOps {
   private def bin(c: Column) = ColumnBridge.expression(c.cast("binary"))
 
   def xzDecode(b: Column): Column = ColumnBridge.column(XzDecode(bin(b)))
+  def xzCompress(b: Column): Column = ColumnBridge.column(XzCompress(bin(b)))
   def xzDecodeMeta(b: Column): Column =
     ColumnBridge.column(XzDecodeMeta(bin(b)))
 

@@ -49,4 +49,50 @@ object Tar {
         md5(col("_m2")).as("md5_meta"),
         col("n_bytes"))
   }
+
+  /** Q195: TARBALL intake — the shape source-code corpora actually
+    * arrive in (kernel trees ship `.tar.xz`, classic releases
+    * `.tar.gz`/`.tar.bz2` — the code-LLM feed): one binary column of
+    * tarballs in whatever wrapper the producer used, routed by magic
+    * (q193's discipline), content-decoded through the verified stacks
+    * (q95 gzip / q191 bzip2 / q192 xz), and walked by q136's
+    * checksum-verified tar reader — wrapper, member count, the doc
+    * member's md5, and the payload accounting in one manifest.
+    *
+    * Residue classes (%5): 0 → `.tar.gz`; 1 → `.tar.bz2`; 2 →
+    * `.tar.xz`; 3 → a bare `.tar` (wrapper `none`); 4 → plain text
+    * (not a tarball at all). The inner tar is identical across
+    * classes, so the oracle is one formula against three decode
+    * stacks plus the passthrough. One narrow map, zero exchanges.
+    */
+  def q195TarballIntake(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Bzip2Ops, GzipOps, XzContentOps}
+    val docs = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val tar = TarOps.tarSynth(col("text"), id)
+    val payload = when(id % 5 === 0, GzipOps.gzip(tar, lit("")))
+      .when(id % 5 === 1, Bzip2Ops.bzip2Compress(tar))
+      .when(id % 5 === 2, XzContentOps.xzCompress(tar))
+      .when(id % 5 === 3, tar)
+      .otherwise(col("text").cast("binary"))
+    val staged = docs.select(id, payload.as("_p"))
+      .withColumn("_w",
+        when(hex(substring(col("_p"), 1, 2)) === "1F8B", "gzip")
+          .when(substring(col("_p"), 1, 3) ===
+            lit("BZh".getBytes("US-ASCII")), "bzip2")
+          .when(hex(substring(col("_p"), 1, 6)) === "FD377A585A00", "xz")
+          .when(hex(substring(col("_p"), 258, 5)) === "7573746172",
+            "none")) // "ustar" at offset 257
+      .withColumn("_t",
+        when(col("_w") === "gzip", GzipOps.gunzip(col("_p")))
+          .when(col("_w") === "bzip2", Bzip2Ops.bzip2Decode(col("_p")))
+          .when(col("_w") === "xz", XzContentOps.xzDecode(col("_p")))
+          .when(col("_w") === "none", col("_p")))
+    staged.select(id,
+      col("_w").as("wrapper"),
+      TarOps.tarCount(col("_t")).isNotNull.cast("int").as("is_tar"),
+      TarOps.tarCount(col("_t")).as("n_members"),
+      md5(TarOps.tarMember(col("_t"), lit(1))).as("text_md5"),
+      TarOps.tarTotalBytes(col("_t")).as("n_bytes"))
+  }
 }

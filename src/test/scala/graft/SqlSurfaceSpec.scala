@@ -205,7 +205,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "vw_universal_decode" ->
         graft.sources.Compress.q193UniversalDecode(spark, TestSpark.Sf0001),
       "vw_wiki_dump" ->
-        graft.sources.Wiki.q194WikiDump(spark, TestSpark.Sf0001))
+        graft.sources.Wiki.q194WikiDump(spark, TestSpark.Sf0001),
+      "vw_tarball_intake" ->
+        graft.sources.Tar.q195TarballIntake(spark, TestSpark.Sf0001))
     twins.foreach { case (view, df) =>
       val sql = canon(spark.sql(s"SELECT * FROM $view"))
       val api = canon(df)
