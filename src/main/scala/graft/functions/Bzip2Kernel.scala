@@ -149,11 +149,29 @@ object Bzip2Eval {
       val magic = br.readLong(48)
       if (br.bad) { truncated = 1; done = true }
       else if (magic == 0x177245385090L) {
-        // stream footer: combined CRC then padding
+        // stream footer: combined CRC, then byte alignment. pbzip2 and
+        // the Wikipedia multistream dumps concatenate whole streams —
+        // keep decoding a following `BZh` header instead of presenting
+        // the first stream as the complete content; nonzero trailing
+        // bytes that are not a stream header flag the decode truncated
+        // rather than vanishing silently.
         val want = br.readLong(32)
-        if (br.bad) { truncated = 1 }
-        else if (want.toInt != combined) crcOk = 0
-        done = true
+        if (br.bad) { truncated = 1; done = true }
+        else {
+          if (want.toInt != combined) crcOk = 0
+          val bytePos = ((br.pos + 7) / 8).toInt
+          if (bytePos + 4 <= b.length && b(bytePos) == 'B' &&
+              b(bytePos + 1) == 'Z' && b(bytePos + 2) == 'h' &&
+              b(bytePos + 3) >= '1' && b(bytePos + 3) <= '9') {
+            br.pos = (bytePos + 4).toLong * 8
+            combined = 0
+          } else {
+            var t = bytePos
+            while (t < b.length && b(t) == 0) t += 1
+            if (t < b.length) truncated = 1
+            done = true
+          }
+        }
       } else if (magic != 0x314159265359L) {
         truncated = 1; done = true
       } else {
@@ -450,26 +468,45 @@ object Bzip2Eval {
     o.toByteArray
   }
 
-  /** BWT by rotation sort (small blocks only — the synthesis side). */
+  /** BWT by prefix-doubling cyclic rotation sort — O(n log² n) worst
+    * case. A direct rotation-compare sort is O(n² log n) on repetitive
+    * data (a period-2 100 KB block that survives RLE1 made a single
+    * row take effectively unbounded time), and Bzip2Compress is a
+    * public column function over arbitrary inputs, so the worst case
+    * is the case that matters. Order is identical to the naive sort:
+    * after the last doubling round ranks compare ≥ n characters (a
+    * full rotation), and the final sort tiebreaks equal rotations by
+    * index, the same stable rule the old comparator used. */
   private def bwt(in: Array[Byte]): (Array[Byte], Int) = {
     val n = in.length
-    val rot = Array.tabulate(n)(identity)
-    val sorted = rot.sortWith { (a, c) =>
-      var k = 0
-      var res = false
-      var decided = false
-      while (!decided && k < n) {
-        val x = in((a + k) % n) & 0xFF
-        val y = in((c + k) % n) & 0xFF
-        if (x != y) { res = x < y; decided = true }
-        k += 1
+    var rank = new Array[Int](n)
+    var i = 0
+    while (i < n) { rank(i) = in(i) & 0xFF; i += 1 }
+    val idx = Array.tabulate(n)(identity)
+    var k = 1
+    var allDistinct = n <= 1
+    while (k < n && !allDistinct) {
+      val kk = k
+      val r = rank
+      val round = idx.sortBy(a => (r(a), r((a + kk) % n)))
+      val newRank = new Array[Int](n)
+      newRank(round(0)) = 0
+      var j = 1
+      while (j < n) {
+        val a = round(j - 1); val c = round(j)
+        val same = r(a) == r(c) && r((a + kk) % n) == r((c + kk) % n)
+        newRank(c) = newRank(a) + (if (same) 0 else 1)
+        j += 1
       }
-      if (!decided) res = a < c // equal rotations: stable tiebreak
-      res
+      rank = newRank
+      if (rank(round(n - 1)) == n - 1) allDistinct = true
+      k <<= 1
     }
+    val fr = rank
+    val sorted = idx.sortBy(a => (fr(a), a))
     val last = new Array[Byte](n)
     var orig = -1
-    var i = 0
+    i = 0
     while (i < n) {
       last(i) = in((sorted(i) + n - 1) % n)
       if (sorted(i) == 0) orig = i

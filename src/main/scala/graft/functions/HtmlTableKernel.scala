@@ -51,6 +51,15 @@ object HtmlTableEval {
   private final class Carry(val col: Int, var rowsLeft: Int,
                             val text: String, val span: Int)
 
+  /** Parse a span attribute safely: at most 5 digits (an 11+-digit
+    * hostile value would throw in toInt), clamped to [1, cap] — the
+    * colspan cap (HTML spec clamps at 1000) also bounds the occupied-set
+    * fill so colspan="2000000000" can't drive a 2-billion-cell loop. */
+  private def spanValue(digits: String, cap: Int): Int = {
+    val d = if (digits.length > 5) digits.substring(0, 5) else digits
+    math.min(math.max(1, d.toInt), cap)
+  }
+
   private val ColspanPat = java.util.regex.Pattern
     .compile("(?i)colspan\\s*=\\s*[\"']?(\\d+)")
   private val RowspanPat = java.util.regex.Pattern
@@ -200,13 +209,12 @@ object HtmlTableEval {
               if (!t.rowOpen) { t.rowOpen = true; seedRow(t) } // cell implies row
               t.pendingSpan = {
                 val m = ColspanPat.matcher(attrs)
-                if (m.find()) math.max(1, m.group(1).toInt) else 1
+                if (m.find()) spanValue(m.group(1), 1000) else 1
               }
               t.pendingRowspan = {
                 val m = RowspanPat.matcher(attrs)
                 // bound: a hostile rowspan must not carry forever
-                if (m.find()) math.min(math.max(1, m.group(1).toInt), 65535)
-                else 1
+                if (m.find()) spanValue(m.group(1), 65535) else 1
               }
               t.inCell = true
             } else closeCell(t)

@@ -1,0 +1,742 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType}
+
+/** Lossy-VP8 key-frame LUMA decode, DC-only profile (q196) — the
+  * dominant WebP variant on the real web, and until now the one image
+  * family whose pixel plane was a documented refusal (q135's class 5).
+  * Built the JpegPixelKernel way: scope stated, stop-don't-guess.
+  *
+  * What IS implemented, bit-exactly per RFC 6386:
+  *  - the §7.3 BOOLEAN ARITHMETIC DECODER (range/value/split renorm) —
+  *    the heart of VP8; hand vectors in Vp8Spec pin it;
+  *  - the uncompressed chunk (frame tag, 9D 01 2A sync, 14-bit dims);
+  *  - the first-partition header walk: color space, segmentation,
+  *    loop-filter fields, partition count, quant indices, the
+  *    4×8×3×11 token-probability UPDATE walk, mb_no_coeff_skip;
+  *  - key-frame intra mode trees (kf_ymode_prob {145,156,163,128},
+  *    kf_uv_mode_prob {142,114,183});
+  *  - token decode: the 12-token coefficient tree, coefficient bands,
+  *    zigzag, zero-run / EOB-after-zero rule, cat1–cat6 extra bits,
+  *    per-block above+left nonzero contexts;
+  *  - the FULL 4×4 inverse WHT (Y2 → the 16 per-block Y DCs), the
+  *    DC-only IDCT add `(dc+4)>>3`, and 16×16 DC_PRED intra
+  *    prediction with reconstructed-neighbor chaining.
+  *
+  * The DC-ONLY PROFILE (everything else refuses, never guesses):
+  * key frames only, version 0, one token partition, segmentation and
+  * loop-filter deltas off, filter level 0, quant index 0 with no
+  * deltas (dc_qlookup[0]=4 / ac_qlookup[0]=4 are the two table
+  * entries this profile needs), 16×16 DC_PRED luma+chroma modes only
+  * (B_PRED/V/H/TM refuse), and Y blocks must be AC-free (their DC
+  * arrives through Y2; a nonzero Y token refuses — the full IDCT is
+  * the next staged step, as q57's stub retirement was staged).
+  *
+  * THE HONESTY GATE: no reference VP8 decoder exists in this
+  * container (no libvpx/ffmpeg/PIL — see q135's scope note), so the
+  * RFC's default coefficient-probability tables cannot be
+  * cross-validated here. This profile therefore requires the frame to
+  * carry ALL 1056 coefficient probabilities EXPLICITLY (every update
+  * flag set); a frame that relies on the RFC defaults — i.e. any
+  * real-world encoder's output — fails the gate within a few flags
+  * and refuses CLEANLY instead of desyncing into silent garbage. The
+  * update-flag probabilities and the in-stream working tables are
+  * profile constants shared by the paired synthesizer, which is a
+  * real encoder (RFC §7.2 bool encoder with carry propagation, tree
+  * writes, token emission through the same context machinery), so
+  * every decode stage faces bytes produced by the genuine algorithm;
+  * Vp8Spec round-trips thousands of random bool/prob pairs and pins
+  * decoded pixel grids by hand. Resource guard: 1 Mi pixels.
+  */
+object Vp8Eval {
+
+  private final val NoStats = java.lang.Long.MIN_VALUE
+  private final val MaxPixels = 1 << 20
+
+  // ---------------------------------------------------- RFC constants
+
+  // modes (leaf ids)
+  private final val ModeDc = 0
+
+  // kf_ymode_tree / kf_ymode_prob (RFC 6386 §11.2): B_PRED leads
+  private val KfYTree = Array(-5, 2, 4, 6, -1, -2, -3, -4) // leaves -(mode+1); B_PRED=4
+  private val KfYProb = Array(145, 156, 163, 128)
+  private val UvTree = Array(-1, 2, -2, 4, -3, -4)
+  private val KfUvProb = Array(142, 114, 183)
+
+  // coefficient token tree (RFC §13.2); leaves -(token+1); tokens:
+  // 0..4 literal values, 5..10 cat1..cat6, 11 EOB
+  private final val TokEob = 11
+  private val CoefTree = Array(
+    -12, 2, -1, 4, -2, 6, 8, 12, -3, 10, -4, -5,
+    14, 16, -6, -7, 18, 20, -8, -9, -10, -11)
+  // cat extra-bit probabilities + bases (RFC §13.2 Pcat tables;
+  // enc/dec-shared, see the honesty gate above)
+  private val CatProbs: Array[Array[Int]] = Array(
+    Array(159), Array(165, 145), Array(173, 148, 140),
+    Array(176, 155, 140, 135), Array(180, 157, 141, 134, 130),
+    Array(254, 254, 243, 230, 196, 177, 153, 140, 133, 130, 129))
+  private val CatBase = Array(5, 7, 11, 19, 35, 67)
+
+  private val CoeffBands = Array(0, 1, 2, 3, 6, 4, 5, 6, 6, 6, 6, 6, 6, 6, 6, 7)
+  private val Zigzag = Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+
+  // profile tables: update-flag probs (constants both sides share) and
+  // the working probs the synthesizer transmits in-stream — varied by
+  // (plane, band, ctx, position) so a context-bookkeeping slip on either
+  // side desyncs the round trip instead of cancelling
+  private def updProb(p: Int, b: Int, c: Int, l: Int): Int =
+    (p * 59 + b * 17 + c * 29 + l * 7) % 200 + 28
+  private def workProb(p: Int, b: Int, c: Int, l: Int): Int =
+    (p * 31 + b * 13 + c * 41 + l * 11) % 200 + 28
+
+  // dequant at the profile's pinned quant index 0
+  private final val QY2Dc = 8 // 2 * dc_qlookup[0]
+  private final val QY2Ac = 8 // max(8, ac_qlookup[0]*155/100)
+
+  // ------------------------------------------------- boolean decoder
+
+  /** RFC 6386 §7.3, verbatim semantics. Reads past `end` return zero
+    * bytes and count as overread — the caller refuses on any. */
+  private final class BoolDec(b: Array[Byte], start: Int, end: Int) {
+    private var pos = start
+    private var value = 0L
+    private var range = 255L
+    private var bitCount = 0
+    var overread = 0
+    private def nextByte(): Long =
+      if (pos < end) { val v = (b(pos) & 0xFF).toLong; pos += 1; v }
+      else { overread += 1; 0L }
+    value = (nextByte() << 8) | nextByte()
+
+    def bool(prob: Int): Int = {
+      val split = 1L + (((range - 1L) * prob) >> 8)
+      val big = split << 8
+      var ret = 0
+      if (value >= big) { ret = 1; range -= split; value -= big }
+      else range = split
+      while (range < 128) {
+        value <<= 1
+        range <<= 1
+        bitCount += 1
+        if (bitCount == 8) { bitCount = 0; value |= nextByte() }
+      }
+      ret
+    }
+
+    def literal(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | bool(128); i += 1 }
+      v
+    }
+
+    def tree(t: Array[Int], probs: Array[Int], from: Int): Int = {
+      var i = from
+      while (true) {
+        val nxt = t(i + bool(probs(i >> 1)))
+        if (nxt <= 0) return -nxt - 1
+        i = nxt
+      }
+      -1 // unreachable
+    }
+  }
+
+  // ------------------------------------------------- boolean encoder
+
+  /** RFC 6386 §7.2 bool encoder (bottom/range, carry walking back
+    * through emitted bytes); correctness is proven by round trip
+    * through the normative decoder above (Vp8Spec fuzz). */
+  private final class BoolEnc {
+    private val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    private var range = 255L
+    private var bottom = 0L
+    private var bitCount = 24
+
+    private def carry(): Unit = {
+      var x = out.length - 1
+      while (x >= 0 && out(x) == 0xFF.toByte) { out(x) = 0; x -= 1 }
+      if (x >= 0) out(x) = (out(x) + 1).toByte
+      // x < 0 is unreachable: the interval cannot cross a boundary
+      // before any byte has been emitted
+    }
+
+    def bool(prob: Int, v: Int): Unit = {
+      val split = 1L + (((range - 1L) * prob) >> 8)
+      if (v != 0) { bottom += split; range -= split } else range = split
+      while (range < 128) {
+        range <<= 1
+        if ((bottom & 0x80000000L) != 0) carry()
+        bottom = (bottom << 1) & 0xFFFFFFFFL
+        bitCount -= 1
+        if (bitCount == 0) {
+          out += ((bottom >> 24) & 0xFF).toByte
+          bottom &= 0xFFFFFF
+          bitCount = 8
+        }
+      }
+    }
+
+    def literal(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { bool(128, (v >> i) & 1); i -= 1 }
+    }
+
+    def tree(t: Array[Int], probs: Array[Int], leaf: Int, from: Int): Unit = {
+      // DFS for the path (trees are tiny), then emit it
+      def path(i: Int): List[Int] = {
+        var res: List[Int] = null
+        var bit = 0
+        while (bit < 2 && res == null) {
+          val nxt = t(i + bit)
+          if (nxt <= 0) { if (-nxt - 1 == leaf) res = List(bit) }
+          else { val sub = path(nxt); if (sub != null) res = bit :: sub }
+          bit += 1
+        }
+        res
+      }
+      var i = from
+      var p = path(from)
+      while (p != null && p.nonEmpty) {
+        bool(probs(i >> 1), p.head)
+        val nxt = t(i + p.head)
+        p = p.tail
+        i = nxt
+      }
+    }
+
+    def flush(): Array[Byte] = {
+      var i = 0
+      while (i < 32) {
+        if ((bottom & 0x80000000L) != 0) carry()
+        bottom = (bottom << 1) & 0xFFFFFFFFL
+        bitCount -= 1
+        if (bitCount == 0) {
+          out += ((bottom >> 24) & 0xFF).toByte
+          bottom &= 0xFFFFFF
+          bitCount = 8
+        }
+        i += 1
+      }
+      out.toArray
+    }
+  }
+
+  // ------------------------------------------------------ inverse WHT
+
+  /** vp8_short_inv_walsh4x4: Y2 (dequantized) → the 16 Y-block DCs. */
+  private def iwht(in: Array[Int], outv: Array[Int]): Unit = {
+    val tmp = new Array[Int](16)
+    var i = 0
+    while (i < 4) {
+      val a1 = in(i) + in(12 + i); val b1 = in(4 + i) + in(8 + i)
+      val c1 = in(4 + i) - in(8 + i); val d1 = in(i) - in(12 + i)
+      tmp(i) = a1 + b1; tmp(4 + i) = c1 + d1
+      tmp(8 + i) = a1 - b1; tmp(12 + i) = d1 - c1
+      i += 1
+    }
+    i = 0
+    while (i < 4) {
+      val o = i * 4
+      val a1 = tmp(o) + tmp(o + 3); val b1 = tmp(o + 1) + tmp(o + 2)
+      val c1 = tmp(o + 1) - tmp(o + 2); val d1 = tmp(o) - tmp(o + 3)
+      outv(o) = (a1 + b1 + 3) >> 3; outv(o + 1) = (c1 + d1 + 3) >> 3
+      outv(o + 2) = (a1 - b1 + 3) >> 3; outv(o + 3) = (d1 - c1 + 3) >> 3
+      i += 1
+    }
+  }
+
+  // ------------------------------------------------------ token walk
+
+  /** Decode one 4×4 coefficient block into `coefs` (natural order,
+    * pre-dequant). Returns the nonzero flag, or -1 on refusal. */
+  private def decodeBlock(bd: BoolDec, work: Array[Array[Array[Array[Int]]]],
+                          plane: Int, ctx0: Int, firstIdx: Int,
+                          coefs: Array[Int]): Int = {
+    var i = firstIdx
+    var ctx = ctx0
+    var prevZero = false
+    var nz = 0
+    while (i < 16) {
+      val probs = work(plane)(CoeffBands(i))(ctx)
+      val tok = bd.tree(CoefTree, probs, if (prevZero) 2 else 0)
+      if (tok == TokEob) return nz
+      if (tok == 0) { prevZero = true; ctx = 0; i += 1 }
+      else {
+        var v = 0
+        if (tok <= 4) v = tok
+        else {
+          val cat = tok - 5
+          val cp = CatProbs(cat)
+          var ext = 0
+          var k = 0
+          while (k < cp.length) { ext = (ext << 1) | bd.bool(cp(k)); k += 1 }
+          v = CatBase(cat) + ext
+        }
+        val neg = bd.bool(128) == 1
+        coefs(Zigzag(i)) = if (neg) -v else v
+        prevZero = false
+        ctx = if (v > 1) 2 else 1
+        nz = 1
+        i += 1
+      }
+    }
+    nz
+  }
+
+  /** Encoder mirror of [[decodeBlock]]: same contexts, same trees. */
+  private def encodeBlock(be: BoolEnc, work: Array[Array[Array[Array[Int]]]],
+                          plane: Int, ctx0: Int, firstIdx: Int,
+                          coefs: Array[Int]): Int = {
+    var last = firstIdx - 1 // last zigzag index holding a nonzero
+    var i = firstIdx
+    while (i < 16) { if (coefs(Zigzag(i)) != 0) last = i; i += 1 }
+    var ctx = ctx0
+    var prevZero = false
+    var nz = 0
+    i = firstIdx
+    while (i <= last) {
+      val v = coefs(Zigzag(i))
+      val a = math.abs(v)
+      val probs = work(plane)(CoeffBands(i))(ctx)
+      val from = if (prevZero) 2 else 0
+      if (a == 0) { be.tree(CoefTree, probs, 0, from); prevZero = true; ctx = 0 }
+      else {
+        val tok =
+          if (a <= 4) a
+          else if (a <= 6) 5 else if (a <= 10) 6 else if (a <= 18) 7
+          else if (a <= 34) 8 else if (a <= 66) 9 else 10
+        be.tree(CoefTree, probs, tok, from)
+        if (tok >= 5) {
+          val cat = tok - 5
+          val cp = CatProbs(cat)
+          val ext = a - CatBase(cat)
+          var k = 0
+          while (k < cp.length) {
+            be.bool(cp(k), (ext >> (cp.length - 1 - k)) & 1); k += 1
+          }
+        }
+        be.bool(128, if (v < 0) 1 else 0)
+        prevZero = false
+        ctx = if (a > 1) 2 else 1
+        nz = 1
+      }
+      i += 1
+    }
+    if (last < 15) { // end of block
+      val probs = work(plane)(CoeffBands(last + 1))(ctx)
+      be.tree(CoefTree, probs, TokEob, if (prevZero) 2 else 0)
+    }
+    nz
+  }
+
+  private def buildWork(fromStream: BoolDec): Array[Array[Array[Array[Int]]]] = {
+    val w = Array.ofDim[Int](4, 8, 3, 11)
+    var p = 0
+    while (p < 4) {
+      var b = 0
+      while (b < 8) {
+        var c = 0
+        while (c < 3) {
+          var l = 0
+          while (l < 11) {
+            if (fromStream.bool(updProb(p, b, c, l)) != 1) return null
+            w(p)(b)(c)(l) = fromStream.literal(8)
+            l += 1
+          }
+          c += 1
+        }
+        b += 1
+      }
+      p += 1
+    }
+    w
+  }
+
+  private def profileWork(): Array[Array[Array[Array[Int]]]] = {
+    val w = Array.ofDim[Int](4, 8, 3, 11)
+    var p = 0
+    while (p < 4) {
+      var b = 0
+      while (b < 8) {
+        var c = 0
+        while (c < 3) {
+          var l = 0
+          while (l < 11) { w(p)(b)(c)(l) = workProb(p, b, c, l); l += 1 }
+          c += 1
+        }
+        b += 1
+      }
+      p += 1
+    }
+    w
+  }
+
+  // ----------------------------------------------------------- decode
+
+  /** Decode the luma plane of a "VP8 " chunk payload at [off, end).
+    * Returns (width, height, luma) or null on any out-of-profile
+    * construct. */
+  private[functions] def decodeLuma(b: Array[Byte], off: Int,
+                                    end: Int): (Int, Int, Array[Int]) = {
+    if (b == null || end - off < 10 || end > b.length) return null
+    val tag = (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16)
+    if ((tag & 1) != 0) return null // inter frame: out of scope
+    if (((tag >> 1) & 7) != 0) return null // version 0 only
+    if (((tag >> 4) & 1) != 1) return null // not shown: out of scope
+    val firstPartSize = tag >>> 5
+    if (b(off + 3) != 0x9D.toByte || b(off + 4) != 0x01 ||
+      b(off + 5) != 0x2A.toByte) return null
+    val w = ((b(off + 6) & 0xFF) | ((b(off + 7) & 0xFF) << 8)) & 0x3FFF
+    val h = ((b(off + 8) & 0xFF) | ((b(off + 9) & 0xFF) << 8)) & 0x3FFF
+    if (w == 0 || h == 0 || w.toLong * h > MaxPixels) return null
+    val p1 = off + 10
+    if (firstPartSize <= 0 || p1 + firstPartSize > end) return null
+
+    val bd = new BoolDec(b, p1, p1 + firstPartSize)
+    if (bd.literal(1) != 0) return null // color space must be 0
+    bd.literal(1) // clamping type: either is fine (we clamp)
+    if (bd.literal(1) != 0) return null // segmentation: out of scope
+    bd.literal(1) // filter type
+    if (bd.literal(6) != 0) return null // filter level 0 (we don't filter)
+    bd.literal(3) // sharpness (irrelevant at level 0)
+    if (bd.literal(1) != 0) return null // lf delta adjust: out of scope
+    if (bd.literal(2) != 0) return null // exactly one token partition
+    if (bd.literal(7) != 0) return null // y_ac_qi: profile pins 0
+    var k = 0
+    while (k < 5) { if (bd.literal(1) != 0) return null; k += 1 } // no deltas
+    bd.literal(1) // refresh_entropy_probs
+    val work = buildWork(bd)
+    if (work == null) return null // RFC-default-probs frame: the gate
+    if (bd.literal(1) != 0) return null // mb_no_coeff_skip: profile 0
+
+    val mbW = (w + 15) / 16
+    val mbH = (h + 15) / 16
+    var mi = 0
+    while (mi < mbW * mbH) {
+      if (bd.tree(KfYTree, KfYProb, 0) != ModeDc) return null
+      if (bd.tree(UvTree, KfUvProb, 0) != ModeDc) return null
+      mi += 1
+    }
+    if (bd.overread > 0) return null
+
+    val td = new BoolDec(b, p1 + firstPartSize, end)
+    val wp = mbW * 16
+    val plane = new Array[Int](wp * mbH * 16)
+    val aboveY2 = new Array[Int](mbW)
+    val aboveY = Array.ofDim[Int](mbW, 4)
+    val aboveU = Array.ofDim[Int](mbW, 2)
+    val aboveV = Array.ofDim[Int](mbW, 2)
+    val leftY = new Array[Int](4)
+    val leftU = new Array[Int](2)
+    val leftV = new Array[Int](2)
+    val coefs = new Array[Int](16)
+    val wht = new Array[Int](16)
+    var my = 0
+    while (my < mbH) {
+      var leftY2 = 0
+      java.util.Arrays.fill(leftY, 0)
+      java.util.Arrays.fill(leftU, 0)
+      java.util.Arrays.fill(leftV, 0)
+      var mx = 0
+      while (mx < mbW) {
+        // Y2
+        java.util.Arrays.fill(coefs, 0)
+        val nz2 = decodeBlock(td, work, 1, aboveY2(mx) + leftY2, 0, coefs)
+        if (nz2 < 0) return null
+        aboveY2(mx) = nz2; leftY2 = nz2
+        var i = 0
+        while (i < 16) {
+          coefs(i) *= (if (i == 0) QY2Dc else QY2Ac); i += 1
+        }
+        iwht(coefs, wht)
+        // 16 Y blocks: AC-free in this profile (DC came through Y2)
+        val scratch = new Array[Int](16)
+        var sb = 0
+        while (sb < 16) {
+          val colI = sb & 3; val rowI = sb >> 2
+          java.util.Arrays.fill(scratch, 0)
+          val ynz = decodeBlock(td, work, 0,
+            aboveY(mx)(colI) + leftY(rowI), 1, scratch)
+          if (ynz != 0) return null // AC luma: the next staged step
+          aboveY(mx)(colI) = 0; leftY(rowI) = 0
+          sb += 1
+        }
+        // chroma: parsed for bitstream sync, not reconstructed
+        sb = 0
+        while (sb < 8) {
+          val (above, left) = if (sb < 4) (aboveU, leftU) else (aboveV, leftV)
+          val ci = sb & 3
+          val colI = ci & 1; val rowI = ci >> 1
+          java.util.Arrays.fill(scratch, 0)
+          val cnz = decodeBlock(td, work, 2,
+            above(mx)(colI) + left(rowI), 0, scratch)
+          if (cnz < 0) return null
+          above(mx)(colI) = cnz; left(rowI) = cnz
+          sb += 1
+        }
+        // reconstruct: 16x16 DC_PRED from reconstructed neighbors
+        val x0 = mx * 16; val y0 = my * 16
+        var pred = 128
+        if (my > 0 && mx > 0) {
+          var s = 0
+          var j = 0
+          while (j < 16) {
+            s += plane((y0 - 1) * wp + x0 + j) + plane((y0 + j) * wp + x0 - 1)
+            j += 1
+          }
+          pred = (s + 16) >> 5
+        } else if (mx > 0) {
+          var s = 0; var j = 0
+          while (j < 16) { s += plane((y0 + j) * wp + x0 - 1); j += 1 }
+          pred = (s + 8) >> 4
+        } else if (my > 0) {
+          var s = 0; var j = 0
+          while (j < 16) { s += plane((y0 - 1) * wp + x0 + j); j += 1 }
+          pred = (s + 8) >> 4
+        }
+        sb = 0
+        while (sb < 16) {
+          val resid = (wht(sb) + 4) >> 3
+          val v0 = pred + resid
+          val v = if (v0 < 0) 0 else if (v0 > 255) 255 else v0
+          val bx = x0 + (sb & 3) * 4; val by = y0 + (sb >> 2) * 4
+          var r = 0
+          while (r < 4) {
+            var c = 0
+            while (c < 4) { plane((by + r) * wp + bx + c) = v; c += 1 }
+            r += 1
+          }
+          sb += 1
+        }
+        mx += 1
+      }
+      my += 1
+    }
+    if (td.overread > 0) return null
+    // crop to the declared dims
+    val luma = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { luma(y * w + x) = plane(y * wp + x); x += 1 }
+      y += 1
+    }
+    (w, h, luma)
+  }
+
+  /** Packed luma stats (min | max<<8 | sum<<16 — the shared contract)
+    * for a "VP8 " chunk payload, or the NULL marker. */
+  def lumaStats(b: Array[Byte], off: Int, end: Int): Long = {
+    val r = decodeLuma(b, off, end)
+    if (r == null) return NoStats
+    val px = r._3
+    var minL = 255; var maxL = 0; var sum = 0L
+    var i = 0
+    while (i < px.length) {
+      val l = px(i)
+      if (l < minL) minL = l
+      if (l > maxL) maxL = l
+      sum += l
+      i += 1
+    }
+    minL.toLong | (maxL.toLong << 8) | (sum << 16)
+  }
+
+  // -------------------------------------------------------- synthesis
+
+  /** Per-MB luma-offset residue map (shared with the q196 oracle):
+    * k ∈ [-4..-1] ∪ [1..4], never 0. */
+  private def kOf(seed: Long, j: Int): Int = {
+    val m = (((seed * 7 + j * 13) % 8) + 8) % 8
+    if (m < 4) (m - 4).toInt else (m - 3).toInt
+  }
+
+  /** Encode one key frame: `mbKs(my)(mx)` holds each MB's Y2 DC token
+    * premultiplied luma offset k (token = 8k); `whtAc` optionally adds
+    * the class-2 position-1 Y2 coefficient per MB. */
+  private def encodeFrame(w: Int, h: Int, y2dc: Array[Array[Int]],
+                          y2ac1: Array[Array[Int]]): Array[Byte] = {
+    val mbW = (w + 15) / 16
+    val mbH = (h + 15) / 16
+    val work = profileWork()
+    val e1 = new BoolEnc
+    e1.literal(0, 1) // color space
+    e1.literal(0, 1) // clamping
+    e1.literal(0, 1) // segmentation off
+    e1.literal(0, 1) // filter type
+    e1.literal(0, 6) // filter level 0
+    e1.literal(0, 3) // sharpness
+    e1.literal(0, 1) // lf deltas off
+    e1.literal(0, 2) // one token partition
+    e1.literal(0, 7) // y_ac_qi = 0
+    var k = 0
+    while (k < 5) { e1.literal(0, 1); k += 1 } // no quant deltas
+    e1.literal(1, 1) // refresh entropy probs
+    var p = 0
+    while (p < 4) {
+      var bn = 0
+      while (bn < 8) {
+        var c = 0
+        while (c < 3) {
+          var l = 0
+          while (l < 11) {
+            e1.bool(updProb(p, bn, c, l), 1) // every prob explicit
+            e1.literal(workProb(p, bn, c, l), 8)
+            l += 1
+          }
+          c += 1
+        }
+        bn += 1
+      }
+      p += 1
+    }
+    e1.literal(0, 1) // mb_no_coeff_skip = 0
+    var mi = 0
+    while (mi < mbW * mbH) {
+      e1.tree(KfYTree, KfYProb, ModeDc, 0)
+      e1.tree(UvTree, KfUvProb, ModeDc, 0)
+      mi += 1
+    }
+    val part1 = e1.flush()
+
+    val e2 = new BoolEnc
+    val aboveY2 = new Array[Int](mbW)
+    val aboveY = Array.ofDim[Int](mbW, 4)
+    val aboveU = Array.ofDim[Int](mbW, 2)
+    val aboveV = Array.ofDim[Int](mbW, 2)
+    val coefs = new Array[Int](16)
+    var my = 0
+    while (my < mbH) {
+      var leftY2 = 0
+      val leftY = new Array[Int](4)
+      val leftU = new Array[Int](2)
+      val leftV = new Array[Int](2)
+      var mx = 0
+      while (mx < mbW) {
+        java.util.Arrays.fill(coefs, 0)
+        coefs(0) = y2dc(my)(mx)
+        coefs(1) = y2ac1(my)(mx)
+        val nz2 = encodeBlock(e2, work, 1, aboveY2(mx) + leftY2, 0, coefs)
+        aboveY2(mx) = nz2; leftY2 = nz2
+        java.util.Arrays.fill(coefs, 0)
+        var sb = 0
+        while (sb < 16) { // AC-free Y blocks: immediate EOB
+          val colI = sb & 3; val rowI = sb >> 2
+          encodeBlock(e2, work, 0, aboveY(mx)(colI) + leftY(rowI), 1, coefs)
+          aboveY(mx)(colI) = 0; leftY(rowI) = 0
+          sb += 1
+        }
+        sb = 0
+        while (sb < 8) { // chroma: all-zero blocks
+          val (above, left) = if (sb < 4) (aboveU, leftU) else (aboveV, leftV)
+          val ci = sb & 3
+          val colI = ci & 1; val rowI = ci >> 1
+          encodeBlock(e2, work, 2, above(mx)(colI) + left(rowI), 0, coefs)
+          above(mx)(colI) = 0; left(rowI) = 0
+          sb += 1
+        }
+        mx += 1
+      }
+      my += 1
+    }
+    val part2 = e2.flush()
+
+    val out = new java.io.ByteArrayOutputStream(part1.length + part2.length + 16)
+    val tag = (part1.length << 5) | (1 << 4) | 0 // keyframe, ver 0, shown
+    out.write(tag & 0xFF); out.write((tag >> 8) & 0xFF)
+    out.write((tag >> 16) & 0xFF)
+    out.write(0x9D); out.write(0x01); out.write(0x2A)
+    out.write(w & 0xFF); out.write((w >> 8) & 0x3F)
+    out.write(h & 0xFF); out.write((h >> 8) & 0x3F)
+    out.write(part1, 0, part1.length)
+    out.write(part2, 0, part2.length)
+    WebpPixelEval.wrapLossyRiff(out.toByteArray)
+  }
+
+  /** Synthesize a q196 residue class (%5):
+    * 0 → a 64×16 four-MB strip, per-MB DC offsets chained through
+    *     left-only DC_PRED (cumulative luma);
+    * 1 → a 32×32 2×2 grid drilling the corner `(a+b+1)>>1` average;
+    * 2 → one MB with a position-1 Y2 coefficient: the full inverse
+    *     WHT splits the MB into left/right luma halves;
+    * 3 → class 0 truncated after the dims (meta parses, stats refuse);
+    * 4 → a frame relying on RFC-DEFAULT probabilities (first update
+    *     flag 0): the profile gate must refuse it (dims still parse).
+    */
+  def synth(seed: Long, cls: Long): Array[Byte] = (cls % 5).toInt match {
+    case 0 =>
+      val ks = Array(Array.tabulate(4)(j => 8 * kOf(seed, j)))
+      encodeFrame(64, 16, ks, Array(Array(0, 0, 0, 0)))
+    case 1 =>
+      val ks = Array.tabulate(2, 2)((r, c) => 8 * kOf(seed, r * 2 + c))
+      encodeFrame(32, 32, ks, Array(Array(0, 0), Array(0, 0)))
+    case 2 =>
+      val s0 = sOf(seed); val s1 = sOf(seed / 4)
+      encodeFrame(16, 16, Array(Array(8 * s0)), Array(Array(8 * s1)))
+    case 3 =>
+      val whole = synth(seed, 0)
+      java.util.Arrays.copyOf(whole, math.min(34, whole.length))
+    case _ =>
+      // the profile gate drill: header fields in-profile, but the very
+      // first coefficient-probability update flag is 0 — a frame that
+      // relies on the RFC default tables, which this container cannot
+      // cross-validate, must refuse rather than guess
+      val e = new BoolEnc
+      e.literal(0, 1); e.literal(0, 1); e.literal(0, 1); e.literal(0, 1)
+      e.literal(0, 6); e.literal(0, 3); e.literal(0, 1); e.literal(0, 2)
+      e.literal(0, 7)
+      var k = 0
+      while (k < 5) { e.literal(0, 1); k += 1 }
+      e.literal(1, 1)
+      e.bool(updProb(0, 0, 0, 0), 0) // the refusal trigger
+      val part1 = e.flush()
+      val out = new java.io.ByteArrayOutputStream(part1.length + 16)
+      val tag = (part1.length << 5) | (1 << 4)
+      out.write(tag & 0xFF); out.write((tag >> 8) & 0xFF)
+      out.write((tag >> 16) & 0xFF)
+      out.write(0x9D); out.write(0x01); out.write(0x2A)
+      out.write(16); out.write(0); out.write(16); out.write(0)
+      out.write(part1, 0, part1.length)
+      WebpPixelEval.wrapLossyRiff(out.toByteArray)
+  }
+
+  /** Class-2 half-split residue map (shared with the q196 oracle):
+    * s ∈ {-2, -1, 1, 2}. */
+  private def sOf(seed: Long): Int = (((seed % 4) + 4) % 4).toInt match {
+    case 0 => -2; case 1 => -1; case 2 => 1; case _ => 2
+  }
+}
+
+/** `(seed, cls) -> binary`: a synthesized lossy-VP8 WebP file per the
+  * q196 residue classes (see [[Vp8Eval.synth]]). */
+case class Vp8Synth(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_vp8_synth"
+
+  override protected def nullSafeEval(seed: Any, cls: Any): Any =
+    Vp8Eval.synth(seed.asInstanceOf[Long], cls.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, c) => s"graft.functions.Vp8Eval.synth($s, $c)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Vp8Synth =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column surface for the lossy-VP8 kernels. */
+object Vp8Ops {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  def vp8Synth(seed: Column, cls: Column): Column =
+    ColumnBridge.column(Vp8Synth(
+      ColumnBridge.expression(seed.cast("long")),
+      ColumnBridge.expression(cls.cast("long"))))
+}

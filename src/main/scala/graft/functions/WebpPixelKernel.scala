@@ -325,7 +325,12 @@ object WebpPixelEval {
         b(off + 2) == '8' && b(off + 3) == 'L'
       val isVp8 = b(off) == 'V' && b(off + 1) == 'P' &&
         b(off + 2) == '8' && b(off + 3) == ' '
-      if (isVp8) return NoStats // lossy VP8: a different codec, refuse
+      if (isVp8) {
+        // lossy VP8: [[Vp8Eval]]'s DC-only key-frame profile decodes
+        // in-profile frames; everything else still refuses there
+        val end = math.min(off + 8 + size, b.length.toLong).toInt
+        return Vp8Eval.lumaStats(b, off + 8, end)
+      }
       if (isVp8l) {
         // a truncated file clamps the extent; the bit reader then
         // refuses instead of reading past EOF
@@ -703,6 +708,10 @@ object WebpPixelEval {
     p.write(0x00); p.write(0x00) // token filler
     wrapRiff("VP8 ", p.toByteArray)
   }
+
+  /** RIFF/WEBP wrap for a lossy "VP8 " frame ([[Vp8Eval.synth]]). */
+  private[functions] def wrapLossyRiff(payload: Array[Byte]): Array[Byte] =
+    wrapRiff("VP8 ", payload)
 
   private def wrapRiff(fourcc: String, payload: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(payload.length + 24)

@@ -235,11 +235,15 @@ object XzContentEval {
     val lpMask = (1 << lz.lp) - 1
     while (out.len < target) {
       if (rc.bad) return false
-      val posState = out.len & pbMask
+      // pos/lp contexts count from the last dictionary reset, not from the
+      // start of the shared output buffer: multi-block files (xz -T) resync
+      // per block (liblzma uses dict.pos, which resets with the dictionary)
+      val posState = (out.len - dictStart) & pbMask
       if (rc.bit(lz.isMatch, (lz.state << 4) + posState) == 0) {
         // literal
         val prev = if (out.len > dictStart) out.buf(out.len - 1) & 0xFF else 0
-        val litState = ((out.len & lpMask) << lz.lc) + (prev >> (8 - lz.lc))
+        val litState =
+          (((out.len - dictStart) & lpMask) << lz.lc) + (prev >> (8 - lz.lc))
         val base = 0x300 * litState
         var symbol = 1
         if (lz.state >= 7) {
@@ -409,25 +413,61 @@ object XzContentEval {
 
   // ------------------------------------------------------- stream walk
 
+  /** Decode an xz buffer, following CONCATENATED streams (`cat`-joined
+    * CLI outputs and the 4-byte-aligned zero stream padding the spec
+    * allows between them) instead of presenting the first stream as the
+    * complete content. checkKind reports the first stream's check; a
+    * malformed follow-on stream or misaligned padding flags truncated,
+    * keeping the content decoded so far. */
   def decode(b: Array[Byte]): Dec = {
-    if (b == null || b.length < 32) return null
+    val first = decodeFrom(b, 0)
+    if (first == null) return null
+    var dec = first._1
+    var end = first._2
+    while (dec.truncated == 0 && end > 0 && end < b.length) {
+      var p = end
+      while (p < b.length && b(p) == 0) p += 1
+      if ((p - end) % 4 != 0) { dec = dec.copy(truncated = 1); end = -1 }
+      else if (p >= b.length) end = -1 // clean zero padding to EOF
+      else {
+        val nxt = decodeFrom(b, p)
+        if (nxt == null ||
+            dec.content.length + nxt._1.content.length > MaxOut) {
+          dec = dec.copy(truncated = 1); end = -1
+        } else {
+          val d2 = nxt._1
+          dec = Dec(dec.content ++ d2.content, dec.nBlocks + d2.nBlocks,
+            dec.checkKind, d2.truncated, math.min(dec.checkOk, d2.checkOk))
+          end = nxt._2
+        }
+      }
+    }
+    dec
+  }
+
+  /** One stream starting at `from`; returns null on refusal, else the
+    * stream's Dec plus the position just past its footer (-1 when the
+    * stream is flagged truncated — no safe resume point exists). */
+  private def decodeFrom(b: Array[Byte], from: Int): (Dec, Int) = {
+    if (b == null || from + 32 > b.length) return null
     val magic = Array[Byte](0xFD.toByte, '7', 'z', 'X', 'Z', 0)
     var k = 0
-    while (k < 6) { if (b(k) != magic(k)) return null; k += 1 }
-    if (b(6) != 0) return null
-    val check = b(7) & 0xFF
+    while (k < 6) { if (b(from + k) != magic(k)) return null; k += 1 }
+    if (b(from + 6) != 0) return null
+    val check = b(from + 7) & 0xFF
     if (check != 0x00 && check != 0x01 && check != 0x04 && check != 0x0A)
       return null
     // stream-header flag CRC32 (little-endian)
-    if (crc32(b, 6, 2) != u32le(b, 8)) return null
+    if (crc32(b, from + 6, 2) != u32le(b, from + 8)) return null
     val checkSize = check match {
       case 0 => 0; case 1 => 4; case 4 => 8; case _ => 32
     }
     val out = new OutBuf
-    var i = 12
+    var i = from + 12
     var nBlocks = 0
     var truncated = 0
     var checkOk = 1
+    var endPos = -1
     val unpaddedSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
     val uncompSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
     var indexSeen = false
@@ -443,8 +483,8 @@ object XzContentEval {
           if (crc32(b, hdrStart, hdrSize - 4) != u32le(b, hdrStart + hdrSize - 4))
             return if (nBlocks == 0) null else {
               truncated = 1
-              Dec(java.util.Arrays.copyOf(out.buf, out.len), nBlocks, check,
-                truncated, checkOk)
+              (Dec(java.util.Arrays.copyOf(out.buf, out.len), nBlocks, check,
+                truncated, checkOk), -1)
             }
           val flags = b(i + 1) & 0xFF
           if ((flags & 0x3C) != 0) { truncated = 1 } // reserved bits
@@ -465,8 +505,11 @@ object XzContentEval {
               declUncomp = v.read()
               if (v.bad) truncated = 1 else p = v.pos
             }
-            // filter: id varint 0x21, props size varint 1, dict byte
-            if (truncated == 1 ||
+            // filter: id varint 0x21, props size varint 1, dict byte.
+            // The VLIs above may legally run to the CRC boundary, so bound
+            // p before the three fixed reads (a CRC-valid hostile header
+            // must refuse, not throw).
+            if (truncated == 1 || p + 3 > hdrStart + hdrSize - 4 ||
               (b(p) & 0xFF) != 0x21 || (b(p + 1) & 0xFF) != 1) truncated = 1
             else {
               val dictByte = b(p + 2) & 0xFF
@@ -582,12 +625,13 @@ object XzContentEval {
             else if (b(f + 8) != 0 || (b(f + 9) & 0xFF) != check)
               truncated = 1 // spliced stream flags
             else if (b(f + 10) != 'Y' || b(f + 11) != 'Z') truncated = 1
+            else endPos = f + 12 // fully verified: safe resume point
           }
         }
       }
     }
-    Dec(java.util.Arrays.copyOf(out.buf, out.len), nBlocks, check,
-      truncated, checkOk)
+    (Dec(java.util.Arrays.copyOf(out.buf, out.len), nBlocks, check,
+      truncated, checkOk), endPos)
   }
 
   private final class VliReader(b: Array[Byte], var pos: Int) {

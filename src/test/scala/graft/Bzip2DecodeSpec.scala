@@ -163,4 +163,55 @@ class Bzip2DecodeSpec extends AnyFunSuite {
       catch { case e: Throwable => fail(s"threw on fuzz $k: $e") }
     }
   }
+
+  test("interop: concatenated CLI streams (pbzip2/multistream shape) " +
+    "decode end to end, not first-stream-only") {
+    // bzip2 1.0.8: two separately-compressed files, `cat`-joined — the
+    // Wikipedia multistream dump layout. Both streams' content must come
+    // back, each stream's combined CRC verified independently.
+    val fix = b64(
+      "QlpoOTFBWSZTWfUl6DkAAKEZgEAAABAv796AMAEGANVP9J6NEhBoFA00MjJiBSpT" +
+      "J6CNE0add1zx7Pmfh1SXMW5DZi2Luno1KcXYqRopdyGFiBdoKMpcRh2ZxMbMLKjb" +
+      "MCnu4d6WdMb5114yxlvpo32xv82LjIZlhXdWqfFdI7Bgsl7lpwXbmsq75V7LBdKv" +
+      "SvRXpX55l+19TdXGFc14V3VxWyuh9LqWg2V9LunIbYl5VwOeRqrxK5xkvG6vSta0" +
+      "yr8L+HZP8XckU4UJD1Jeg5BCWmg5MUFZJlNZe5AYegABcxmAQAAAEC/v3oAwAQMA" +
+      "1PQNT1U00ZAUDTQyMmIJqpTFPEZT1MnpffldcX3R6+dXlbiG3MswmMkS7cqzSDGM" +
+      "0Lcg4FBEKQ6cuSSUqeY4G52jOFF4NuYzeXGQxEY1Cd6pVxMLF2QNLgDVa0DoB6mY" +
+      "9ppyjKm3hMk6TP1ynBW1NadUxTSlurHSn6rcvhXY1TbCuSs/KsU2K52piO09FlGt" +
+      "O6aDzTXBd03jePmdXFMYppT8TqmRXGie0/48D6LuSKcKEg9yAw9A")
+    val r = Bzip2Eval.decode(fix)
+    assert(r != null && r.truncated === 0 && r.crcOk === 1)
+    assert(r.nBlocks === 2) // one block per stream at these sizes
+    assert(r.content.length === 839 + 888)
+    val txt = new String(r.content, utf8)
+    assert(txt.startsWith("first stream: "))
+    assert(txt.contains("second stream: "))
+    assert(md5(r.content) === "0b44ec8cddf87166c5c04ec9937a1a1c")
+  }
+
+  test("trailing garbage after the footer flags truncated; zero padding " +
+    "does not") {
+    val one = Bzip2Eval.synth("alpha beta".getBytes(utf8), 7L)
+    val garbage = one ++ "not a stream".getBytes(utf8)
+    val rg = Bzip2Eval.decode(garbage)
+    assert(rg != null && rg.truncated === 1) // partial no longer silent
+    val padded = one ++ Array[Byte](0, 0, 0)
+    val rp = Bzip2Eval.decode(padded)
+    assert(rp != null && rp.truncated === 0 && rp.crcOk === 1)
+  }
+
+  test("compress: a period-2 repetitive 100 KB block (survives RLE1) " +
+    "finishes fast — the BWT is prefix-doubling, not rotation-compare") {
+    val n = 100000
+    val worst = new Array[Byte](n)
+    var i = 0
+    while (i < n) { worst(i) = (if ((i & 1) == 0) 'a' else 'b').toByte; i += 1 }
+    val t0 = System.nanoTime()
+    val packed = Bzip2Eval.compress(worst, 9)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 20.0, f"period-2 worst case took $secs%.1f s")
+    val r = Bzip2Eval.decode(packed)
+    assert(r != null && r.truncated === 0 && r.crcOk === 1)
+    assert(java.util.Arrays.equals(r.content, worst))
+  }
 }

@@ -155,4 +155,25 @@ class HtmlTableSpec extends AnyFunSuite {
     assert(t5.firstRows === 2 && t5.firstCols === 2)
     assert(t5.firstCells === "alpha\tbefore after\ncharlie\tdelta")
   }
+
+  test("hostile spans: 11+-digit and 2-billion values clamp instead of " +
+    "throwing or looping") {
+    // 11-digit colspan used to throw NumberFormatException in toInt;
+    // colspan="2000000000" used to drive a ~2e9-iteration occupied-set
+    // fill. Both now clamp (colspan to the HTML-spec 1000).
+    val t0 = System.nanoTime()
+    val t = parse(
+      "<table><tr><td colspan=\"99999999999\" rowspan=\"88888888888\">a" +
+        "</td><td>b</td></tr><tr><td colspan=\"2000000000\">c</td></tr>" +
+        "</table>")
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 5.0, f"hostile span walk took $secs%.1f s")
+    assert(t.tables === 1 && t.firstRows === 2)
+    assert(t.firstCells.startsWith("a"))
+    // sane spans still mean what they say
+    val ok = parse(
+      "<table><tr><td colspan=\"2\">w</td><td>x</td></tr>" +
+        "<tr><td>p</td><td>q</td><td>r</td></tr></table>")
+    assert(ok.firstCols === 3)
+  }
 }

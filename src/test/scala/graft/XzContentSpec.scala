@@ -179,4 +179,124 @@ class XzContentSpec extends AnyFunSuite {
       catch { case e: Throwable => fail(s"threw on lzma fuzz $k: $e") }
     }
   }
+
+  test("interop: FIVE-block xz CLI stream (block size 4001, not 4-aligned) " +
+    "decodes whole — pos/lp contexts reset per dictionary reset") {
+    // xz 5.8.2: `xz --block-size=4001 -6` over 16,972 bytes -> 5 blocks of
+    // 4001/4001/4001/4001/968 decoded bytes. 4001 & pbMask != 0, so blocks
+    // 2..5 desync if posState uses the absolute output position instead of
+    // the position since the block's dictionary reset (xz -T multithreaded
+    // output has the same shape).
+    val fix = b64(
+      "/Td6WFoAAATm1rRGA8DlBKEfIQEWAAAAg1NWUuAPoAJdXQAzHIoiiL3XqANmxAIe" +
+      "oR1BpSyFhX+QS/zGckyqsWGM0u95uL4ESVj5GDJOJD9Z/KptGpHDcWhY5OzJvMmd" +
+      "/UihkILYssLdMY7aWuOSTeIMO9QGdPcIP1ixNQBgFSuC1gVvOFv0/xvBJUJrd/Be" +
+      "wG5m3fm3lhSFwV1hwCmQly+RphFSQLNQpJi4xnK0fwFg/zvTrw+h+kETrV1ILF7i" +
+      "TQ8yv2LRf8db0j/x39vCNxukBrDbenAlLprnbKQRfCSKnV2l1vVrJDPQ5+jisShP" +
+      "3TqOAguRxhuZxltFTENq1VGc2iHJ8l06iAc+FeoLrj7+L0fc2qaZKuCFQ0UEVn+B" +
+      "llngFVoCH17gdu1aIi1yBLw9hU5aO5SjjCSCqfTxu4WNulws6bTTe4MVg7xCHXoB" +
+      "cNQ3EOUblQ4OgLfXXJcxK3NglQG/73zwahkSSnZCW3wamptYZr56tG9hU0pnlc0b" +
+      "dc68k1Xg99PpLguQFDQeTr2kvs1xzqQiiaNk38O5zgk7OxUcS/OD/qYG0YDtAJtb" +
+      "E9ML/kARlrsdp3JX315s1nz3cu64+0QIYnb97JLLbcU/ZMOr/T4BV3wyILePo5H8" +
+      "/aUGWS6jWXMk5XXxLFZYHa0/YWWNCnV8mSt+Zrcmwu2bMSi9OuaW+Qlke0ClI8K1" +
+      "U+z6Juhxc+Q7iIJMkkrVRYZ8jsLLbLXdJQbA40DauVPKNYzBeyrtpgQ4VC05oPmT" +
+      "BAxj5I0uGfArnzWozyXu97zvFpUfu/bS3x8jWKueiATj40BauSZmUPV2MDE7tNqD" +
+      "71g6K/LoMEAkj8247eMUOwAAAAAVW+r+VL3ARgPA8gShHyEBFgAAABLJJJfgD6AC" +
+      "al0AMJzJLxGVsDqiDVKFW5dbOyGDJYLVsnIcgc+dciM9pV1STu9ZI4+i1Bb2UqJG" +
+      "3x9Fy1FjBGm5sCPwk/y62FA+BzxiXwHjc7nK79Z/wav+iFIBT0BP/mHFxn019DJ3" +
+      "QckINqO/cbEA0diD+Bm8oqUxB3pUv8KwtjdZNuY4lc9ltieqVnwc7D8wFo6X9gmT" +
+      "/Saoysz8xXiEGjbFCAHmyATGHB4yR+da6PzRSh7eTCRexKmfrw2AoB17Z2Ze37Sb" +
+      "XnEWwbYsFSvmqMu7Pf2RejLbOGSktm8f/7XPDvNhAxdFBxjQWd1siYEsw+mwRQWa" +
+      "dB9cqoWdAsM7dW1VYqhN+v4blq4OSW0YaJuEa2bRnAAKT0myJUe7dC7iQesbvLpO" +
+      "XYeeubV8bCSNyzQnP3UYYAjpCCils1aIXtIB/pPZgdBNh9kiNDYYwhrOygjQtO4p" +
+      "/+3ybJeljxANV78lT8hA08HUy/CLqRKdWqNZFvsVCFc3FLZf/L32l+NmmNhaWAGF" +
+      "LOKjwlap0V5kdD8tyohfdsTD/zwPp3MQpNalrbYlz4KJTmjT3Wlyt7eawpMlbyX+" +
+      "T/SWN9AcA8E2m3WO1oEUMKcrmCeokmwIIVSl1B092cqqBzuDU18NuWzEGB8cEkXr" +
+      "XDxv1RQMmveULyGZxQUyiEYI19O2ZydIePy5FJIQfyiM+AS8zVClv3OqbQ34y3Ao" +
+      "Z/j/pjuYDnBa2lHXbRfjl50gGKfuV6FF5p5kQy1+neRH1g5ijpUXsT50CZwJSvEH" +
+      "/QqvHpHCc1scfcPm3YbliU+Elf8zykSPGzxvEI7zzqyYou3Qxo2/cCsH/WyWAAAA" +
+      "FeIzuxiDZaADwOwEoR8hARYAAABJeEOu4A+gAmRdADaaSh9MwcteZKJHG9cLbrx6" +
+      "C0ITko35pMKxe1vtCQnm+DQtNy67TTvyZPR/xuofm86s4HXBbqq3BqoMpxa8AbKI" +
+      "yzhx4s8+NJ0Tpp2FqwtBto+rMJQ6R7f8IiC4ucaLxdX3BdAV2P28ZEnlXo3A5DuO" +
+      "+v/vGR03mmdLT/XoPLMS2FC5aPVNCGbsrr7X0oLX/XhX9scHTq2oi3ONg+fEhDEf" +
+      "DHxzjD3eYnK1gjg4L7uef+qH4tSfKkc/S3eAcYxysOFIkPVtWyLyQJs6UUIDJZ+K" +
+      "uRTeTiYW35pMdvtftd5ID5n4m2o14xuEIRbwOXGaPPYZ372ZkPKM4Q9IkTge+vsR" +
+      "ammEycV+N83Znkpbz1v3AuZAKkr6eCeDirAy+2Mh8yEvMZ3Nf2tEzHUtx4LOKrzu" +
+      "FMuXj+uurv2GRji3HRdCIm8elq1ubHlAGnrI+W5JEYB/d9NswZIkNGcK/YyPiw8d" +
+      "1JoswqW8KPOzYS+CmWsVi3afPTzS37bGfVVhp0hogeVPzf+0V4C6lOhkadZ8vJcz" +
+      "SfTz7SH6DXoEAQAarfkXzsp2Up2+4g06L8VPrKPFqhlg2B+/RgyREK+ivrM9JCEd" +
+      "t0VGaOn8AlGjEq/CN1ftYXOHsGdhMBR0fAiq3EiLF+k9MDwRsJ9UgLMgJcbegtXn" +
+      "Y8pBOV426/KP9rhNJfn6qKKz9JVwX1wwuXvEO8LhygLnBjZMDnRVj1gLKGn6z1aA" +
+      "ijFMMm6F5aVj2ODJ7TXQuJ1qAVIpOPlTxXYBuDDOAQXwN6zPH/IlH2rGNn+qgfIi" +
+      "TSWAbMbL1r1mHorXETBUwdR4vgADHy2iBQvhQQPA6gShHyEBFgAAAA4IXaPgD6AC" +
+      "Yl0AMpuABXJLatbflAwJk3wmrHpEPetrpdUuQEIz5LdMFAQ6eVM7udE9ejsXpYms" +
+      "4Tp7H+3D9hYxHFImaeTeOJSulr6Tm1kemGXcS5Vozdld+sHsQpWI3Gxha3oB0JXe" +
+      "pJiD+IHMmwsBmrtPjIgJrtBxst0M5sctDJfiwLiqd7A0Y0S1/3VvLHdw5ZAJQ9Fk" +
+      "xqpu2gsQvASLXr5RvtEVZkNG6hbIsQkxSXLCSRNz911K7Ijqb1v20dYRoL5GGtZ0" +
+      "heiGSx+SqdqIGmG6pNE8Nfe+iibHbbppZPibCMsnAvpxlVX5xODw2riuLGVp2vH5" +
+      "QUx34PRUxI904Q0VdyjQC0IEYbuA89ohQ/jb48gt6H6k6TviY8RSPUBgIuvkJ5C0" +
+      "hnE6CS71C6rftJ/zk1qWv+4B4Bnaucn+yHYn8hmwgTEMCaB2Qa4OdNMAyqvhFm5y" +
+      "Y9EDPiBfnXiRnf7FX5cVhLpIA7uwOb4EjVKVNAsoLhDWVNy64ss8obGoX7f6GdHt" +
+      "OZY55UYdUioxsgfO71re1rnh4Z4hbIseM+roW79ntP5xvlMMuF3EFENfuBkVJ7qP" +
+      "NEL2upxhsd979iwR2e1b5HgIIzeWFXK+Bu6k5nVoL7mxyCrvcrLYtTD5wZ6r0Cgw" +
+      "xvglmDh5QSO/AhYChUXgQ/R+Pjiep3RoZQY2SWbkfxUCuY0rksjPIz1al3EgyWex" +
+      "WQKKsOC+L55PlrG6nqtMMD70j/geR8VcszkitfCnO0IX29nLBJsojU0MtjLgAhHG" +
+      "kSg1tL6u+aYuff6f5qq5023nc1rdpHN93ZolfBbWoF7jiFeOQgAAADfceUfRjqpZ" +
+      "A8DqAcgHIQEWAAAAeCRfcuADxwDiXQA7mwAF0d75dmrqSzpHmeuYEgRO/uJSAxbd" +
+      "PwYvmW3ZO/7c8xonfmpg9XFK3jSsqeLnmLPMBbcjjvrujS59f+qEvCfO0W7Qnkn7" +
+      "JEQ3Zg5O8KfotVIiahS8PiCH3Xl/fvmtQ+mTvzosQxdnsabMumNmzpei4c17va+n" +
+      "+LOL9rvVYOA/E7L7Pyf0ZUAOQbSofbYuX9wXfYn35AB0p86/kXzJyB3MVUApBnWL" +
+      "WRQp3CiEDyPS/GOrPjEHLZ8azxk8bNKI0cqIhZ5X8OWObgCb4s9LcZo2Z0c8FdaD" +
+      "INrv95eJj1YAAAAA0NUKdTibsugABf0EoR+KBaEfhAWhH4IFoR+CAsgHAAByRhQc" +
+      "p4b2YAYAAAAABFla")
+    val r = XzContentEval.decode(fix)
+    assert(r != null, "multi-block CLI stream refused")
+    assert(r.nBlocks === 5)
+    assert(r.truncated === 0 && r.checkOk === 1)
+    assert(r.content.length === 16972)
+    assert(md5(r.content) === "50a649a761b828aefe11ad0fd06f790f")
+  }
+
+  test("hostile: CRC-valid block header whose size-VLI runs into the CRC " +
+    "bytes refuses instead of reading past the buffer") {
+    // brute-forced so the header CRC itself carries the VLI continuation
+    // bits: the 9-byte VLI terminates at b.length-1, leaving the filter-id
+    // read out of bounds in an unbounded walk
+    val fix = b64("/Td6WFoAAAFpIt42AkCAhf////+0pgHa")
+    val r = XzContentEval.decode(fix) // must not throw
+    assert(r == null || r.truncated === 1)
+  }
+
+  test("interop: concatenated CLI streams (xz -6 then -9, cat-joined) " +
+    "decode end to end, not first-stream-only") {
+    val fix = b64(
+      "/Td6WFoAAATm1rRGBMDcAccGIQEWAAAAAAAAAB5fVC7gA0YA1F0AMxpKrAxywc4x" +
+      "d1BZm/IoG9kCJu9btxXzhm9dNBB0ea/18o7dLenhrClm5v1B+8Miq0g7yK1fVcuT" +
+      "IdLrUYaaoH5Xs2pN3z10fgnRRmzp3Bfl/tdaz2dypfVCLywBe0GfDwzvrJQhdsT1" +
+      "KsD1taDTN7UsClHRGFF7BwqXaF0KSL+adqqq+PkBmFdA5KHtP52zrYnOJG9/+w8O" +
+      "0njoFUxQar5jUyGECq0NtEUmfDd96fIwTJXtt2sQgohdH0rmyfvUpaXovUU+empn" +
+      "TjizIXBu3/edUGUAxundHm4HeIQAAfgBxwYAABTM4+ixxGf7AgAAAAAEWVr9N3pY" +
+      "WgAABObWtEYEwOkB+AYhARwAAAAAAAAAesBc9uADdwDhXQA5mUiRsWmWB+4QHE81" +
+      "EFnkMzsJobE/BFKry1doDXY5UK8uOzgMxHiGFygHjc9moAOFypC7CEjk464FOzDT" +
+      "Ng7DHd34gjdRMI/TKJIVgpLTPaNDnRkD1J7o4fzT4KcRfW6omzfxYOwzmYRGBtKv" +
+      "DDotMCOz6kRbPnL9IRPg7aobus0+JkeGYf2kEDuZjCmjqOrLmear5K6WZ0pYa5YO" +
+      "NujfeL6+fZCcmqbLwGu0svRpXg8GUUsqPQeAQ0p1oW2d+s4wy56ILDUGbqCWANET" +
+      "FjnoTDyRZm6qIVA6EFo7UF4ygmoAAAAAq6wc/evAVx8AAYUC+AYAACxAt7CxxGf7" +
+      "AgAAAAAEWVo=")
+    val r = XzContentEval.decode(fix)
+    assert(r != null && r.truncated === 0 && r.checkOk === 1)
+    assert(r.nBlocks === 2)
+    assert(r.content.length === 839 + 888)
+    val txt = new String(r.content, utf8)
+    assert(txt.startsWith("first stream: ") && txt.contains("second stream: "))
+    assert(md5(r.content) === "0b44ec8cddf87166c5c04ec9937a1a1c")
+    // trailing garbage after the last footer flags truncated, keeps content
+    val garbage = fix ++ "tail bytes".getBytes(utf8)
+    val rg = XzContentEval.decode(garbage)
+    assert(rg != null && rg.truncated === 1 && rg.content.length === 839 + 888)
+    // 4-byte-aligned zero stream padding between and after streams is clean
+    val padded = fix ++ Array[Byte](0, 0, 0, 0)
+    val rp = XzContentEval.decode(padded)
+    assert(rp != null && rp.truncated === 0 && rp.nBlocks === 2)
+  }
 }
