@@ -588,6 +588,11 @@ object Bootstrap {
     // census; `sum(n_bytes)` the unpacked payload budget
     sources.Tar.q195TarballIntake(spark, dir)
       .createOrReplaceTempView("vw_tarball_intake")
+    // the lossy-VP8 pixel read (q196): `WHERE min_luma IS NULL AND
+    // format = 'webp'` is the out-of-profile quarantine (truncated or
+    // RFC-default-probs frames) beside q135's lossless stats
+    operators.Multimodal.q196Vp8Pixels(spark, dir)
+      .createOrReplaceTempView("vw_vp8_stats")
   }
 
   /** Register the landing table + curated views over it — the TRANSFORM

@@ -224,6 +224,27 @@ object Vp8Eval {
     }
   }
 
+  /** Spec hook: encode bools with per-bit probs (§7.2), decode back
+    * (§7.3) — the encoder's correctness proof is this round trip
+    * through the normative decoder. */
+  private[graft] def boolRoundTrip(probs: Array[Int],
+                                   bits: Array[Int]): Array[Int] = {
+    val e = new BoolEnc
+    var i = 0
+    while (i < bits.length) { e.bool(probs(i), bits(i)); i += 1 }
+    val buf = e.flush()
+    val d = new BoolDec(buf, 0, buf.length)
+    Array.tabulate(bits.length)(j => d.bool(probs(j)))
+  }
+
+  /** Spec hook: decode `n` bools at a fixed prob from raw bytes (the
+    * hand-vector pin for the normative decoder). */
+  private[graft] def boolDecode(bytes: Array[Byte], prob: Int,
+                                n: Int): Array[Int] = {
+    val d = new BoolDec(bytes, 0, bytes.length)
+    Array.tabulate(n)(_ => d.bool(prob))
+  }
+
   // ------------------------------------------------------ inverse WHT
 
   /** vp8_short_inv_walsh4x4: Y2 (dequantized) → the 16 Y-block DCs. */
@@ -379,8 +400,8 @@ object Vp8Eval {
   /** Decode the luma plane of a "VP8 " chunk payload at [off, end).
     * Returns (width, height, luma) or null on any out-of-profile
     * construct. */
-  private[functions] def decodeLuma(b: Array[Byte], off: Int,
-                                    end: Int): (Int, Int, Array[Int]) = {
+  private[graft] def decodeLuma(b: Array[Byte], off: Int,
+                                end: Int): (Int, Int, Array[Int]) = {
     if (b == null || end - off < 10 || end > b.length) return null
     val tag = (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
       ((b(off + 2) & 0xFF) << 16)

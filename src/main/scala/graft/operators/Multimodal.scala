@@ -819,6 +819,15 @@ object Multimodal {
     * of the four tables, a chunk-run mistake, or a truncation leak
     * cannot cancel out.
     *
+    * SCOPE DECISION (not an omission): compressed-codec frame pixels —
+    * H.264/HEVC/VP9 inside `mdat` — stay out of engine scope. Each is
+    * a full motion-compensated video codec whose conformance cannot be
+    * pinned in this container (no ffmpeg/libvpx, zero egress), so the
+    * sample-table walk ADDRESSES and accounts for their samples (the
+    * loader-manifest need) while pixel decode refuses — the same
+    * staged stance q57→q90 took for raw frames and q135→q196 takes
+    * for lossy-VP8 stills.
+    *
     * Shape discipline (q57/q60): fan-out bounded by construction
     * (stride = ceil(n/4), ≤ 4 frame rows per video), ZERO exchanges —
     * a pure bounded map at 100 TB. Classes (%4): 0 → fixed-size `stsz`,
@@ -2012,6 +2021,48 @@ object Multimodal {
       // no URI -> no verdict (the meta struct's 'unknown' is for BYTES
       // that match no magic, not for the absence of bytes)
       when(col("_n") > 0, col("_m.format")).as("format"),
+      col("_m.width").as("width"),
+      col("_m.height").as("height"),
+      col("_l").bitwiseAND(lit(0xFF)).cast("int").as("min_luma"),
+      shiftright(col("_l"), 8).bitwiseAND(lit(0xFF)).cast("int").as("max_luma"),
+      shiftrightunsigned(col("_l"), 16).as("sum_luma"))
+  }
+
+  // ---------------------------------------------------------------- q196
+
+  /** Q196: lossy-VP8 PIXEL decode — the DOMINANT WebP variant on the
+    * real web, retiring q135's class-5 refusal for frames inside the
+    * DC-only key-frame profile of [[graft.functions.Vp8Eval]] (RFC
+    * 6386 boolean decoder, 4×8×3×11 probability walk, coefficient
+    * token trees with cat extra bits, the full inverse WHT, 16×16
+    * DC_PRED chaining through reconstructed neighbors). Frames that
+    * rely on the RFC-DEFAULT probability tables refuse at the
+    * explicit-probs gate — the honesty boundary the kernel documents.
+    *
+    * Residue classes (%5): 0 → a 64×16 four-MB strip whose per-MB DC
+    * offsets chain CUMULATIVELY through left-only DC prediction; 1 → a
+    * 32×32 2×2 grid drilling the corner `(above+left+1)>>1` average;
+    * 2 → one MB with a position-1 Y2 coefficient: the inverse WHT
+    * splits it into left/right luma halves (cat2/cat3 tokens on the
+    * wire); 3 → truncated after the dims (meta parses, stats refuse —
+    * the q39 split); 4 → an RFC-default-probs frame (gate refusal,
+    * dims still parse). The oracle replays each class's luma algebra
+    * from doc_id alone — it never touches a VP8 bit — so a boolean-
+    * decoder, context, WHT, or prediction slip cannot cancel.
+    * One narrow map, kernel once per row, zero exchanges.
+    */
+  def q196Vp8Pixels(spark: SparkSession, dir: String): DataFrame =
+    q196Vp8PixelsOn(Tables.load(spark, dir, "documents"))
+
+  /** [[q196Vp8Pixels]] over an explicit corpus (the ScaleSpec decade hook). */
+  def q196Vp8PixelsOn(docs: DataFrame): DataFrame = {
+    import graft.functions.{Vp8Ops, WebpPixelOps}
+    val id = col("doc_id")
+    val staged = docs.select(id, Vp8Ops.vp8Synth(id, id % 5).as("_p"))
+      .withColumn("_m", decodeImageMeta(col("_p")))
+      .withColumn("_l", WebpPixelOps.webpLuma(col("_p")))
+    staged.select(id,
+      col("_m.format").as("format"),
       col("_m.width").as("width"),
       col("_m.height").as("height"),
       col("_l").bitwiseAND(lit(0xFF)).cast("int").as("min_luma"),

@@ -110,9 +110,12 @@ object Compress {
     * content at level 1; 4 → plain text (not bzip2). One narrow map,
     * zero exchanges.
     */
-  def q191Bzip2Decode(spark: SparkSession, dir: String): DataFrame = {
+  def q191Bzip2Decode(spark: SparkSession, dir: String): DataFrame =
+    q191Bzip2DecodeOn(Tables.load(spark, dir, "documents"))
+
+  /** [[q191Bzip2Decode]] over an explicit corpus (the ScaleSpec decade hook). */
+  def q191Bzip2DecodeOn(docs: DataFrame): DataFrame = {
     import graft.functions.Bzip2Ops
-    val docs = Tables.load(spark, dir, "documents")
     val id = col("doc_id")
     val mode = when(id % 5 === 1, 1L).when(id % 5 === 2, 2L)
       .when(id % 5 === 3, 3L).otherwise(0L)
@@ -154,9 +157,12 @@ object Compress {
     * formula against five decode stacks. One narrow map, zero
     * exchanges.
     */
-  def q193UniversalDecode(spark: SparkSession, dir: String): DataFrame = {
+  def q193UniversalDecode(spark: SparkSession, dir: String): DataFrame =
+    q193UniversalDecodeOn(Tables.load(spark, dir, "documents"))
+
+  /** [[q193UniversalDecode]] over an explicit corpus (the ScaleSpec decade hook). */
+  def q193UniversalDecodeOn(docs: DataFrame): DataFrame = {
     import graft.functions.{Bzip2Ops, Lz4Ops, XzContentOps}
-    val docs = Tables.load(spark, dir, "documents")
     val id = col("doc_id")
     val ws = filter(split(lower(coalesce(col("text"), lit(""))),
       "[^a-z0-9]+"), w => length(w) > 0)
@@ -227,9 +233,12 @@ object Compress {
     * content crossing an LZMA2 chunk boundary (70 KB of residue
     * bytes); 4 → plain text (not xz). One narrow map, zero exchanges.
     */
-  def q192XzDecode(spark: SparkSession, dir: String): DataFrame = {
+  def q192XzDecode(spark: SparkSession, dir: String): DataFrame =
+    q192XzDecodeOn(Tables.load(spark, dir, "documents"))
+
+  /** [[q192XzDecode]] over an explicit corpus (the ScaleSpec decade hook). */
+  def q192XzDecodeOn(docs: DataFrame): DataFrame = {
     import graft.functions.XzContentOps
-    val docs = Tables.load(spark, dir, "documents")
     val id = col("doc_id")
     val mode = when(id % 5 === 1, 1L).when(id % 5 === 2, 2L)
       .when(id % 5 === 3, 3L).otherwise(0L)
@@ -256,9 +265,12 @@ object Compress {
         md5(col("_c")).as("content_md5"))
   }
 
-  def q190Lz4Decode(spark: SparkSession, dir: String): DataFrame = {
+  def q190Lz4Decode(spark: SparkSession, dir: String): DataFrame =
+    q190Lz4DecodeOn(Tables.load(spark, dir, "documents"))
+
+  /** [[q190Lz4Decode]] over an explicit corpus (the ScaleSpec decade hook). */
+  def q190Lz4DecodeOn(docs: DataFrame): DataFrame = {
     import graft.functions.Lz4Ops
-    val docs = Tables.load(spark, dir, "documents")
     val id = col("doc_id")
     val mode = when(id % 6 === 1, 1L).when(id % 6 === 2, 2L)
       .when(id % 6 === 3, 3L).when(id % 6 === 4, 4L).otherwise(0L)

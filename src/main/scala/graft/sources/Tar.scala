@@ -65,9 +65,12 @@ object Tar {
     * classes, so the oracle is one formula against three decode
     * stacks plus the passthrough. One narrow map, zero exchanges.
     */
-  def q195TarballIntake(spark: SparkSession, dir: String): DataFrame = {
+  def q195TarballIntake(spark: SparkSession, dir: String): DataFrame =
+    q195TarballIntakeOn(Tables.load(spark, dir, "documents"))
+
+  /** [[q195TarballIntake]] over an explicit corpus (the ScaleSpec decade hook). */
+  def q195TarballIntakeOn(docs: DataFrame): DataFrame = {
     import graft.functions.{Bzip2Ops, GzipOps, XzContentOps}
-    val docs = Tables.load(spark, dir, "documents")
     val id = col("doc_id")
     val tar = TarOps.tarSynth(col("text"), id)
     val payload = when(id % 5 === 0, GzipOps.gzip(tar, lit("")))

@@ -30,8 +30,11 @@ import graft.functions.{Bzip2Ops, WikiOps}
   */
 object Wiki {
 
-  def q194WikiDump(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+  def q194WikiDump(spark: SparkSession, dir: String): DataFrame =
+    q194WikiDumpOn(Tables.load(spark, dir, "documents"))
+
+  /** [[q194WikiDump]] over an explicit corpus (the ScaleSpec decade hook). */
+  def q194WikiDumpOn(docs: DataFrame): DataFrame = {
     val id = col("doc_id")
     val mode = when(id % 5 === 1, 1L).when(id % 5 === 2, 2L)
       .when(id % 5 === 3, 3L).otherwise(0L)

@@ -82,8 +82,11 @@ object Zstd {
     * replays every content string from words + doc_id arithmetic and
     * closes md5 itself. One narrow map, zero exchanges.
     */
-  def q188ZstdDecode(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+  def q188ZstdDecode(spark: SparkSession, dir: String): DataFrame =
+    q188ZstdDecodeOn(Tables.load(spark, dir, "documents"))
+
+  /** [[q188ZstdDecode]] over an explicit corpus (the ScaleSpec decade hook). */
+  def q188ZstdDecodeOn(docs: DataFrame): DataFrame = {
     val id = col("doc_id")
     val mode = when(id % 7 === 1, 1L).when(id % 7 === 2, 2L)
       .when(id % 7 === 3, 3L).when(id % 7 === 4, 4L)

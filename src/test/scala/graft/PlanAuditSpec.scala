@@ -1082,6 +1082,37 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("compression-family intakes (q188-q196) stay zero-exchange maps") {
+    // the r16 family shipped value specs but no plan pins — this is the
+    // repo's own bar: every decode is a narrow per-row kernel; payloads
+    // never shuffle
+    val zeroes: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "q188" -> graft.sources.Zstd.q188ZstdDecode(spark, TestSpark.Sf0001),
+      "q190" -> graft.sources.Compress.q190Lz4Decode(spark, TestSpark.Sf0001),
+      "q191" -> graft.sources.Compress.q191Bzip2Decode(spark, TestSpark.Sf0001),
+      "q192" -> graft.sources.Compress.q192XzDecode(spark, TestSpark.Sf0001),
+      "q193" ->
+        graft.sources.Compress.q193UniversalDecode(spark, TestSpark.Sf0001),
+      "q194" -> graft.sources.Wiki.q194WikiDump(spark, TestSpark.Sf0001),
+      "q195" -> graft.sources.Tar.q195TarballIntake(spark, TestSpark.Sf0001),
+      "q196" ->
+        graft.operators.Multimodal.q196Vp8Pixels(spark, TestSpark.Sf0001))
+    zeroes.foreach { case (name, df) =>
+      val p = plan(df)
+      assert(shuffles(df) === 0, s"$name grew a shuffle:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$name NLJ:\n$p")
+    }
+  }
+
+  test("q189 warc.zst intake keeps q116's composed exchange budget") {
+    val df = graft.operators.Crawl.q189ZstdIntake(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"q189 NLJ:\n$p")
+    assert(shuffles(df) <= 3, s"q189 exchange budget blown:\n$p")
+  }
+
   test("q173 log replay: keyed aggregates, bounded exchange budget") {
     val df = graft.operators.Lake.q173DeltaLogReplay(spark, TestSpark.Sf0001)
     val p = plan(df)

@@ -620,4 +620,74 @@ class ScaleSpec extends AnyFunSuite {
         .agg(sum(col("has_image"))).head.getLong(0),
       n => img1 * (n / D1))
   }
+
+  // ---- the compression family's decade rows (the r16 gap: deep value
+  // specs, no scale discipline). Every decode is a narrow per-row
+  // kernel, so 10x docs must cost ~10x — and each run re-proves the
+  // class invariant (a pure function of n) so the timing can't be
+  // measuring a silently-refusing kernel.
+
+  test("q188 zstd decode: 10x docs, narrow per-row kernel, ~linear", Slow) {
+    import graft.sources.Zstd
+    decade("q188",
+      n => Zstd.q188ZstdDecodeOn(synthMix(n))
+        .agg(sum(col("is_zstd"))).head.getLong(0),
+      n => n * 6 / 7)
+  }
+
+  test("q190 lz4 decode: 10x docs, narrow per-row kernel, ~linear", Slow) {
+    import graft.sources.Compress
+    decade("q190",
+      n => Compress.q190Lz4DecodeOn(synthMix(n))
+        .agg(sum(col("is_lz4"))).head.getLong(0),
+      n => n * 5 / 6)
+  }
+
+  test("q191 bzip2 decode: 10x docs, narrow per-row kernel, ~linear", Slow) {
+    import graft.sources.Compress
+    decade("q191",
+      n => Compress.q191Bzip2DecodeOn(synthMix(n))
+        .agg(sum(col("is_bzip2"))).head.getLong(0),
+      n => n * 4 / 5)
+  }
+
+  test("q192 xz decode: 10x docs, narrow per-row kernel, ~linear", Slow) {
+    import graft.sources.Compress
+    decade("q192",
+      n => Compress.q192XzDecodeOn(synthMix(n))
+        .agg(sum(col("is_xz"))).head.getLong(0),
+      n => n * 4 / 5)
+  }
+
+  test("q193 universal decode: 10x docs, five stacks routed, ~linear", Slow) {
+    import graft.sources.Compress
+    decade("q193",
+      n => Compress.q193UniversalDecodeOn(synthMix(n))
+        .agg(sum(col("decoded"))).head.getLong(0),
+      n => n)
+  }
+
+  test("q194 wiki dump: 10x docs, bzip2+XML+cleaner composed, ~linear", Slow) {
+    import graft.sources.Wiki
+    decade("q194",
+      n => Wiki.q194WikiDumpOn(synthMix(n))
+        .agg(sum(col("is_dump"))).head.getLong(0),
+      n => n * 4 / 5)
+  }
+
+  test("q195 tarball intake: 10x docs, wrapper routing composed, ~linear", Slow) {
+    import graft.sources.Tar
+    decade("q195",
+      n => Tar.q195TarballIntakeOn(synthMix(n))
+        .agg(sum(col("is_tar"))).head.getLong(0),
+      n => n * 4 / 5)
+  }
+
+  test("q196 vp8 pixels: 10x docs, encode+decode per row, ~linear", Slow) {
+    import graft.operators.Multimodal
+    decade("q196",
+      n => Multimodal.q196Vp8PixelsOn(synthMix(n))
+        .agg(sum(col("width")) + count(col("min_luma"))).head.getLong(0),
+      n => n / 5 * 192 + n / 5 * 3)
+  }
 }

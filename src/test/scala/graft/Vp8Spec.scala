@@ -1,0 +1,177 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{Vp8Eval, WebpPixelEval}
+
+/** The lossy-VP8 DC-only profile, drilled the family way. The RFC
+  * 6386 §7.3 boolean decoder is the NORMATIVE side: hand vectors pin
+  * it against arithmetic done on paper; the §7.2 encoder is then
+  * proven by round trip through it (no reference VP8 decoder exists
+  * in this container — the kernel's honesty gate exists for exactly
+  * that reason, and the gate itself is drilled here).
+  */
+class Vp8Spec extends AnyFunSuite {
+
+  private val NoStats = java.lang.Long.MIN_VALUE
+
+  // replicate the kernel's residue maps (shared with the q196 oracle)
+  private def kOf(seed: Long, j: Int): Int = {
+    val m = (((seed * 7 + j * 13) % 8) + 8) % 8
+    if (m < 4) (m - 4).toInt else (m - 3).toInt
+  }
+  private def sOf(seed: Long): Int = (((seed % 4) + 4) % 4).toInt match {
+    case 0 => -2; case 1 => -1; case 2 => 1; case _ => 2
+  }
+
+  private def lumaOf(file: Array[Byte]): (Int, Int, Array[Int]) = {
+    // walk the RIFF to the VP8 chunk the way lumaStats does
+    assert(new String(file, 0, 4, "US-ASCII") === "RIFF")
+    assert(new String(file, 8, 4, "US-ASCII") === "WEBP")
+    assert(new String(file, 12, 4, "US-ASCII") === "VP8 ")
+    val size = (file(16) & 0xFF) | ((file(17) & 0xFF) << 8) |
+      ((file(18) & 0xFF) << 16) | ((file(19) & 0xFF) << 24)
+    Vp8Eval.decodeLuma(file, 20, math.min(20 + size, file.length))
+  }
+
+  test("bool decoder hand vector: 0x80 0x00 at prob 128 is 1 then 0s") {
+    // paper walk: range 255, value 0x8000; split = 1+((254*128)>>8) =
+    // 128, SPLIT = 0x8000 -> bit 1, value 0, range 127 -> renorm;
+    // every following split exceeds value 0 -> bits 0
+    val bits = Vp8Eval.boolDecode(Array(0x80.toByte, 0x00), 128, 8)
+    assert(bits.toList === List(1, 0, 0, 0, 0, 0, 0, 0))
+  }
+
+  test("bool decoder hand vector: 0xFF bytes at prob 1 are all 1") {
+    // split = 1 + ((range-1)*1 >> 8) = 1, SPLIT = 256; value stays
+    // far above -> every bit decodes 1 without renormalizing
+    val bits = Vp8Eval.boolDecode(
+      Array.fill(4)(0xFF.toByte), 1, 8)
+    assert(bits.toList === List(1, 1, 1, 1, 1, 1, 1, 1))
+  }
+
+  test("bool decoder hand vector: zeros at prob 255 are all 0") {
+    // split = 1 + ((range-1)*255 >> 8) ~= range, value 0 < SPLIT
+    val bits = Vp8Eval.boolDecode(Array.fill(4)(0x00.toByte), 255, 8)
+    assert(bits.toList === List(0, 0, 0, 0, 0, 0, 0, 0))
+  }
+
+  test("encoder round trip: thousands of random bool/prob pairs") {
+    val rnd = new java.util.Random(0xB001L)
+    (0 until 20).foreach { trial =>
+      val n = 50 + rnd.nextInt(4000)
+      val probs = Array.fill(n)(1 + rnd.nextInt(254))
+      val bits = Array.fill(n)(rnd.nextInt(2))
+      val back = Vp8Eval.boolRoundTrip(probs, bits)
+      assert(back.toList === bits.toList, s"trial $trial n=$n")
+    }
+    // the carry path: long runs of likely-1 bits at high prob force
+    // 0xFF output bytes whose increment must walk backward
+    val probs = Array.fill(3000)(254)
+    val bits = Array.fill(3000)(1)
+    assert(Vp8Eval.boolRoundTrip(probs, bits).toList === bits.toList)
+  }
+
+  test("class 0 strip: four MBs chain cumulative luma through DC_PRED") {
+    val seed = 11L
+    val file = Vp8Eval.synth(seed, 0)
+    val (w, h, px) = lumaOf(file)
+    assert(w === 64 && h === 16)
+    // the exact per-MB grid: L0 = 128+k0, Lj = L(j-1)+kj (left-only
+    // DC prediction is the left column's average = the MB's constant)
+    var expect = 128
+    (0 until 4).foreach { j =>
+      expect += kOf(seed, j)
+      (0 until 16).foreach { y =>
+        (0 until 16).foreach { x =>
+          assert(px(y * 64 + j * 16 + x) === expect, s"mb $j px ($x,$y)")
+        }
+      }
+    }
+  }
+
+  test("class 1 grid: the corner MB averages above and left neighbors") {
+    val seed = 7L
+    val file = Vp8Eval.synth(seed, 1)
+    val (w, h, px) = lumaOf(file)
+    assert(w === 32 && h === 32)
+    val l00 = 128 + kOf(seed, 0)
+    val l01 = l00 + kOf(seed, 1)
+    val l10 = l00 + kOf(seed, 2)
+    val l11 = ((l01 + l10 + 1) >> 1) + kOf(seed, 3)
+    assert(px(0) === l00)
+    assert(px(16) === l01)
+    assert(px(16 * 32) === l10)
+    assert(px(16 * 32 + 16) === l11)
+    // constant within each MB
+    assert(px(5 * 32 + 5) === l00 && px(20 * 32 + 20) === l11)
+  }
+
+  test("class 2: a position-1 Y2 coefficient splits the MB through the " +
+    "full inverse WHT (and exercises cat2/cat3 tokens)") {
+    (0L until 16L).foreach { seed =>
+      val file = Vp8Eval.synth(seed, 2)
+      val (w, h, px) = lumaOf(file)
+      assert(w === 16 && h === 16)
+      val s0 = sOf(seed); val s1 = sOf(seed / 4)
+      val left = 128 + s0 + s1
+      val right = 128 + s0 - s1
+      (0 until 16).foreach { y =>
+        (0 until 8).foreach { x =>
+          assert(px(y * 16 + x) === left, s"seed $seed L ($x,$y)")
+          assert(px(y * 16 + 8 + x) === right, s"seed $seed R ($x,$y)")
+        }
+      }
+    }
+  }
+
+  test("packed stats match the decoded plane") {
+    val file = Vp8Eval.synth(3L, 0)
+    val stats = WebpPixelEval.lumaStats(file)
+    assert(stats !== NoStats)
+    val (w, h, px) = lumaOf(file)
+    assert((stats & 0xFF) === px.min)
+    assert(((stats >> 8) & 0xFF) === px.max)
+    assert((stats >>> 16) === px.map(_.toLong).sum)
+    assert(w * h === px.length)
+  }
+
+  test("truncated class: dims survive in the shell, stats refuse") {
+    val cut = Vp8Eval.synth(5L, 3)
+    assert(WebpPixelEval.lumaStats(cut) === NoStats)
+    // the q39 meta split: the 14-bit dims are still in the bytes
+    val wdim = ((cut(26) & 0xFF) | ((cut(27) & 0xFF) << 8)) & 0x3FFF
+    assert(wdim === 64)
+  }
+
+  test("the honesty gate: a frame relying on RFC-default coefficient " +
+    "probabilities refuses cleanly") {
+    val foreign = Vp8Eval.synth(9L, 4)
+    assert(WebpPixelEval.lumaStats(foreign) === NoStats)
+    // dims still parse (refusal is the gate, not a parse crash)
+    val wdim = ((foreign(26) & 0xFF) | ((foreign(27) & 0xFF) << 8)) & 0x3FFF
+    assert(wdim === 16)
+  }
+
+  test("the q135 lossy shell (header-only frame) still refuses") {
+    // first_part_size 0 in the shell's zero frame tag
+    val docsShellTag = Array[Byte](0, 0, 0, 0x9D.toByte, 0x01, 0x2A,
+      16, 0, 16, 0, 0, 0)
+    assert(Vp8Eval.decodeLuma(docsShellTag, 0, docsShellTag.length) === null)
+  }
+
+  test("fuzz: bit flips over a real frame refuse or decode, never throw") {
+    val file = Vp8Eval.synth(13L, 1)
+    val rnd = new java.util.Random(0x196L)
+    (0 until 600).foreach { k =>
+      val bad = file.clone()
+      bad(rnd.nextInt(bad.length)) = rnd.nextInt(256).toByte
+      try WebpPixelEval.lumaStats(bad)
+      catch { case e: Throwable => fail(s"threw on fuzz $k: $e") }
+    }
+    (0 until file.length by 7).foreach { cut =>
+      val bad = java.util.Arrays.copyOf(file, cut)
+      try WebpPixelEval.lumaStats(bad)
+      catch { case e: Throwable => fail(s"threw on cut $cut: $e") }
+    }
+  }
+}
