@@ -3479,12 +3479,15 @@ object SparkEntry {
       ("WITH w AS (SELECT doc_id, list_filter(" +
         "string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), " +
         "x -> x <> '') AS ws FROM documents), " +
-        "p AS (SELECT doc_id, doc_id % 6 AS m, " +
+        "p AS (SELECT doc_id, doc_id % 7 AS m, " +
+        "CASE WHEN doc_id % 7 = 6 " +
+        "THEN 'shared dictionary stock phrase: ' ELSE '' END || " +
         "left(ws[1] || ' ' || ws[2] || '#' || " +
         "CAST(doc_id % 97 AS VARCHAR), 200) AS b FROM w) " +
         "SELECT doc_id, " +
         "CASE m WHEN 0 THEN 'gzip' WHEN 1 THEN 'zstd' WHEN 2 THEN 'lz4' " +
-        "WHEN 3 THEN 'bzip2' WHEN 4 THEN 'xz' ELSE 'none' END AS format, " +
+        "WHEN 3 THEN 'bzip2' WHEN 4 THEN 'xz' WHEN 6 THEN 'zstd-dict' " +
+        "ELSE 'none' END AS format, " +
         "CAST(1 AS INTEGER) AS decoded, " +
         "CAST(length(b) AS BIGINT) AS content_len, " +
         "md5(b) AS content_md5 FROM p"),

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
 
@@ -38,9 +38,12 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   *
   * Stance: q82's stop-don't-guess — frames decode whole or not at
   * all; a malformed byte keeps every earlier frame and flags
-  * `truncated`; dictionary-keyed frames (`dictId != 0`) refuse
-  * content (the dictionary is not in the stream); a failed checksum
-  * refuses the frame it guards. Resource guard: 1 MiB decoded per
+  * `truncated`; dictionary-keyed frames (`dictId != 0`) decode only
+  * against a SIDECAR dictionary whose id matches ([[decodeWithDict]]
+  * — entropy tables, window prefix, and repcodes all load from it,
+  * pinned against a `zstd --train` CLI dictionary in ZstdDecodeSpec)
+  * and refuse otherwise (the dictionary is not in the stream); a
+  * failed checksum refuses the frame it guards. Resource guard: 1 MiB decoded per
   * buffer (`MaxOut`), matching the corpus-member scale the other
   * container kernels cap at.
   *
@@ -336,6 +339,46 @@ object ZstdBlockEval {
     val bytesRead = (bitPos + 7) >> 3
     if (off + bytesRead > limit) return null
     (table, bytesRead)
+  }
+
+  /** FSE_writeNCount mirror of [[readFseDesc]] — the synthesis side of
+    * dictionary entropy sections. `norm` may hold -1 (less-than-one). */
+  private def writeFseDesc(norm: Array[Int], accLog: Int): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var nBits = 0
+    def put(v: Int, n: Int): Unit = {
+      acc |= (v.toLong & ((1L << n) - 1)) << nBits
+      nBits += n
+      while (nBits >= 8) { o.write((acc & 0xFF).toInt); acc >>>= 8; nBits -= 8 }
+    }
+    put(accLog - 5, 4)
+    var remaining = (1 << accLog) + 1
+    var threshold = 1 << accLog
+    var charnum = 0
+    while (remaining > 1 && charnum < norm.length) {
+      val count = norm(charnum)
+      charnum += 1
+      val value = count + 1 // 0 spells "less than one"
+      val max = (2 * threshold - 1) - remaining
+      val nb = highBit(threshold) + 1
+      if (value < max) put(value, nb - 1)
+      else put(if (value >= threshold) value + max else value, nb)
+      if (count == -1) remaining -= 1 else remaining -= count
+      if (count == 0) {
+        // zero-run flags for the following zero-prob symbols
+        var run = 0
+        while (charnum + run < norm.length && norm(charnum + run) == 0 &&
+          remaining > 1) run += 1
+        charnum += run
+        while (run >= 3) { put(3, 2); run -= 3 }
+        put(run, 2)
+      }
+      while (remaining > 1 && remaining < threshold) threshold >>= 1
+    }
+    if (nBits > 0) { o.write((acc & 0xFF).toInt) }
+    if (remaining != 1) return null // distribution must sum exactly
+    o.toByteArray
   }
 
   // ---------------------------------------------------------- Huffman
@@ -765,7 +808,31 @@ object ZstdBlockEval {
   /** Decode every frame in the buffer. Earlier frames serve when a
     * later one is malformed (`truncated = 1`); null only when the
     * buffer is not zstd at all. */
-  def decode(b: Array[Byte]): Dec = {
+  def decode(b: Array[Byte]): Dec = decode(b, null: DictCtx)
+
+  /** [[decode]] with a sidecar dictionary (the blocklist-dim pattern:
+    * one broadcast byte blob serves every row). Frames with dictId 0
+    * decode as always; dictionary-keyed frames decode against the
+    * sidecar when its id matches and refuse otherwise. Null/unparseable
+    * dictionary bytes degrade to the no-dictionary behavior. */
+  def decodeWithDict(b: Array[Byte], dictBytes: Array[Byte]): Dec =
+    decode(b, dictCtxOf(dictBytes))
+
+  /** Dictionary parse memo: the sidecar arrives as the SAME array
+    * reference on every row of a partition (a broadcast literal), so
+    * cache by identity — parsing costs ~µs but runs per row otherwise. */
+  private val lastDict =
+    new ThreadLocal[(Array[Byte], DictCtx)]
+  private def dictCtxOf(dictBytes: Array[Byte]): DictCtx = {
+    if (dictBytes == null) return null
+    val memo = lastDict.get()
+    if (memo != null && (memo._1 eq dictBytes)) return memo._2
+    val ctx = parseDict(dictBytes)
+    lastDict.set((dictBytes, ctx))
+    ctx
+  }
+
+  private def decode(b: Array[Byte], dict: DictCtx): Dec = {
     if (b == null || b.length < 4) return null
     var i = 0
     var frames = 0
@@ -785,7 +852,7 @@ object ZstdBlockEval {
         val magic = le32(b, i)
         if (magic == 0xFD2FB528L) {
           sawAny = true
-          val r = decodeFrame(b, i)
+          val r = decodeFrame(b, i, dict)
           if (r == null) { truncated = 1; stop = true }
           else {
             val (content, next, hasCk, ckOk) = r
@@ -848,9 +915,57 @@ object ZstdBlockEval {
     else r.content
   }
 
+  // ------------------------------------------------- dictionary plane
+
+  /** A parsed zstd dictionary (RFC 8878 §5): entropy tables in load
+    * order (Huffman, OF, ML, LL), the three initial repeat offsets,
+    * and the content that prefixes the match window. */
+  private final class DictCtx(val id: Long, val huf: HufTable,
+                              val ofT: FseTable, val mlT: FseTable,
+                              val llT: FseTable, val rep1: Long,
+                              val rep2: Long, val rep3: Long,
+                              val content: Array[Byte])
+
+  /** Parse a structured dictionary (magic 0xEC30A437). Null on any
+    * malformation — a frame keyed to an unparseable dictionary refuses
+    * rather than guessing. Load order matches libzstd's
+    * ZSTD_loadDEntropy: Huffman, Offsets, MatchLengths,
+    * LiteralsLengths, then 3 LE u32 repcodes, then content. */
+  private def parseDict(d: Array[Byte]): DictCtx = {
+    if (d == null || d.length < 8 || le32(d, 0) != 0xEC30A437L) return null
+    val id = le32(d, 4)
+    if (id == 0L) return null // id 0 cannot be referenced by a frame
+    var off = 8
+    val h = readHufDesc(d, off, d.length)
+    if (h == null) return null
+    off += h._2
+    val of = readFseDesc(d, off, d.length, maxSym = 31, maxAccLog = 8)
+    if (of == null) return null
+    off += of._2
+    val ml = readFseDesc(d, off, d.length, maxSym = 52, maxAccLog = 9)
+    if (ml == null) return null
+    off += ml._2
+    val ll = readFseDesc(d, off, d.length, maxSym = 35, maxAccLog = 9)
+    if (ll == null) return null
+    off += ll._2
+    if (off + 12 > d.length) return null
+    val r1 = le32(d, off); val r2 = le32(d, off + 4); val r3 = le32(d, off + 8)
+    off += 12
+    val content = java.util.Arrays.copyOfRange(d, off, d.length)
+    // repcodes must land inside the dictionary content (spec invariant)
+    if (r1 <= 0 || r2 <= 0 || r3 <= 0 || r1 > content.length ||
+      r2 > content.length || r3 > content.length) return null
+    new DictCtx(id, h._1, of._1, ml._1, ll._1, r1, r2, r3, content)
+  }
+
   /** One regular frame from `i` (magic verified). Returns
-    * (content, nextOffset, hasChecksum, checksumOk) or null. */
-  private def decodeFrame(b: Array[Byte], i: Int): (Array[Byte], Int, Boolean, Boolean) = {
+    * (content, nextOffset, hasChecksum, checksumOk) or null. A
+    * dictionary-keyed frame (dictId != 0) decodes only when `dict`
+    * carries that id: the dict content prefixes the match window, its
+    * entropy tables seed the Repeat modes, and its repcodes seed the
+    * offset history. */
+  private def decodeFrame(b: Array[Byte], i: Int,
+                          dict: DictCtx): (Array[Byte], Int, Boolean, Boolean) = {
     if (i + 5 > b.length) return null
     val fhd = b(i + 4) & 0xFF
     if ((fhd & 0x08) != 0) return null // reserved bit
@@ -866,14 +981,16 @@ object ZstdBlockEval {
     val dictBytes = dictFlag match {
       case 1 => 1; case 2 => 2; case 3 => 4; case _ => 0
     }
+    var dictId = 0L
     if (dictBytes > 0) {
       if (off + dictBytes > b.length) return null
-      var dict = 0L
       var k = dictBytes - 1
-      while (k >= 0) { dict = (dict << 8) | (b(off + k) & 0xFFL); k -= 1 }
-      if (dict != 0L) return null // dictionary-keyed: cannot decode
+      while (k >= 0) { dictId = (dictId << 8) | (b(off + k) & 0xFFL); k -= 1 }
       off += dictBytes
     }
+    // dictionary-keyed without the sidecar (or with the wrong one):
+    // refuse — never guess against an absent dictionary
+    if (dictId != 0L && (dict == null || dict.id != dictId)) return null
     val fcsBytes = fcsFlag match {
       case 1 => 2; case 2 => 4; case 3 => 8
       case _ => if (single == 1) 1 else 0
@@ -888,6 +1005,17 @@ object ZstdBlockEval {
       off += fcsBytes
     }
     val ctx = new FrameCtx
+    var dictStart = 0
+    if (dictId != 0L) {
+      // seed window, entropy tables, and repeat offsets from the dict
+      if (!ctx.ensure(dict.content.length)) return null
+      System.arraycopy(dict.content, 0, ctx.buf, 0, dict.content.length)
+      ctx.len = dict.content.length
+      dictStart = dict.content.length
+      ctx.huf = dict.huf
+      ctx.ofT = dict.ofT; ctx.mlT = dict.mlT; ctx.llT = dict.llT
+      ctx.rep1 = dict.rep1; ctx.rep2 = dict.rep2; ctx.rep3 = dict.rep3
+    }
     var last = false
     while (!last) {
       if (off + 3 > b.length) return null
@@ -917,7 +1045,7 @@ object ZstdBlockEval {
         case _ => return null // reserved
       }
     }
-    val content = java.util.Arrays.copyOf(ctx.buf, ctx.len)
+    val content = java.util.Arrays.copyOfRange(ctx.buf, dictStart, ctx.len)
     if (fcs >= 0L && content.length.toLong != fcs) return null
     var ckOk = true
     if (hasCk) {
@@ -1070,7 +1198,8 @@ object ZstdBlockEval {
     * null when the literals cannot Huffman-encode (caller falls back
     * to a raw-literal spelling). */
   def compressedBlock(lits: Array[Byte], seqs: Array[Seq3],
-                      fourStream: Boolean): Array[Byte] = {
+                      fourStream: Boolean,
+                      repeatModes: Boolean = false): Array[Byte] = {
     val plan = planHuf(lits)
     if (plan == null) return null
     val (weights, table) = plan
@@ -1126,7 +1255,11 @@ object ZstdBlockEval {
     if (seqs.isEmpty) { o.write(0); return o.toByteArray }
     if (seqs.length >= 128) return null
     o.write(seqs.length)
-    o.write(0) // modes: predefined for LL, OF, ML; reserved 0
+    // modes: Repeat (3) spells "use the tables already in context" —
+    // with a dictionary whose tables equal the predefined
+    // distributions, the wire says Repeat while the encoder below
+    // still plans against the predefined tables
+    o.write(if (repeatModes) 0xFC else 0)
     val llEnc = encLookup(LlPre, 36)
     val mlEnc = encLookup(MlPre, 53)
     val ofEnc = encLookup(OfPre, 29)
@@ -1196,10 +1329,12 @@ object ZstdBlockEval {
     * zstd v1.5.7). The window descriptor is sized to cover both the
     * content and the largest block on the wire. */
   def frameOf(content: Array[Byte],
-              blocks: Array[(Int, Array[Byte], Int)]): Array[Byte] = {
+              blocks: Array[(Int, Array[Byte], Int)],
+              dictId: Long = 0L): Array[Byte] = {
     val o = new java.io.ByteArrayOutputStream()
     putU32le(o, 0xFD2FB528L)
-    o.write(0x04 | (2 << 6)) // windowed, checksum, 4-byte FCS
+    // windowed, checksum, 4-byte FCS; dictFlag 3 = 4-byte dictionary id
+    o.write(0x04 | (2 << 6) | (if (dictId != 0L) 3 else 0))
     var need = math.max(content.length, 1 << 10)
     var i0 = 0
     while (i0 < blocks.length) {
@@ -1209,6 +1344,7 @@ object ZstdBlockEval {
     var wlog = 10
     while ((1 << wlog) < need) wlog += 1
     o.write((wlog - 10) << 3) // exponent in the high 5 bits, mantissa 0
+    if (dictId != 0L) putU32le(o, dictId)
     putU32le(o, content.length.toLong)
     var i = 0
     while (i < blocks.length) {
@@ -1265,6 +1401,91 @@ object ZstdBlockEval {
       off += n
     }
     frameOf(content, blocks.toArray)
+  }
+
+  // ------------------------------------------------ dictionary synthesis
+
+  /** The q193 sidecar phrase: the dictionary content every dict-keyed
+    * frame copies into its output (the oracle replays it as a string
+    * constant). */
+  val DictPhrase = "shared dictionary stock phrase: "
+
+  /** "grft" — the profile dictionary's id. */
+  val ProfileDictId = 0x67726674L
+
+  /** The profile dictionary: REAL entropy sections (direct Huffman
+    * weights over the phrase's alphabet; the predefined LL/ML/OF
+    * distributions spelled as FSE descriptions through
+    * [[writeFseDesc]]), repcode2 aimed at the whole phrase so
+    * [[dictFrame]]'s litLen-0 rep copy lands on it, content = the
+    * phrase. One broadcast blob serves every row (the blocklist-dim
+    * pattern). */
+  lazy val profileDict: Array[Byte] = {
+    val content = DictPhrase.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    buildDict(ProfileDictId, content, 1L, content.length.toLong, 4L)
+  }
+
+  /** Assemble a structured dictionary (RFC 8878 §5 layout, libzstd's
+    * load order): magic, id, Huffman + OF/ML/LL descriptions, the
+    * three repcodes, content. */
+  def buildDict(id: Long, content: Array[Byte], rep1: Long, rep2: Long,
+                rep3: Long): Array[Byte] = {
+    val plan = planHuf(content)
+    if (plan == null) return null
+    val weights = plan._1
+    val o = new java.io.ByteArrayOutputStream()
+    putU32le(o, 0xEC30A437L)
+    putU32le(o, id)
+    o.write(127 + weights.length)
+    var i = 0
+    while (i < weights.length) {
+      val hi = weights(i)
+      val lo = if (i + 1 < weights.length) weights(i + 1) else 0
+      o.write((hi << 4) | lo)
+      i += 2
+    }
+    val ofD = writeFseDesc(OfDefault, 5)
+    val mlD = writeFseDesc(MlDefault, 6)
+    val llD = writeFseDesc(LlDefault, 6)
+    if (ofD == null || mlD == null || llD == null) return null
+    o.write(ofD, 0, ofD.length)
+    o.write(mlD, 0, mlD.length)
+    o.write(llD, 0, llD.length)
+    putU32le(o, rep1); putU32le(o, rep2); putU32le(o, rep3)
+    o.write(content, 0, content.length)
+    o.toByteArray
+  }
+
+  /** A dictionary-keyed frame (q193's sidecar class): one compressed
+    * block in REPEAT entropy mode (the tables come from the
+    * dictionary), whose single sequence has litLen 0 and wire offset
+    * value 1 — the litLen-0 shift corner lands it on the
+    * dictionary-seeded rep2, copying the whole phrase from the
+    * dictionary content into the output — followed by the corpus
+    * spelling as trailing literals. Content = DictPhrase + base. */
+  def dictFrame(text: Array[Byte], id: Long): Array[Byte] = {
+    val ws = words(text)
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val w0 = if (ws.length > 0) ws(0) else "alpha"
+    val w1 = if (ws.length > 1) ws(1) else "beta"
+    val baseFull = (w0 + " " + w1 + "#" + (((id % 97) + 97) % 97)).getBytes(utf8)
+    val base = if (baseFull.length <= 200) baseFull
+    else java.util.Arrays.copyOfRange(baseFull, 0, 200)
+    val phrase = DictPhrase.getBytes(utf8)
+    val blk = compressedBlock(base, Array(Seq3(0, phrase.length, 1L)),
+      fourStream = false, repeatModes = true)
+    if (blk == null) return base // un-Huffman-able corner: degrade raw
+    val content = new Array[Byte](phrase.length + base.length)
+    System.arraycopy(phrase, 0, content, 0, phrase.length)
+    System.arraycopy(base, 0, content, phrase.length, base.length)
+    frameOf(content, Array((2, blk, blk.length)), ProfileDictId)
+  }
+
+  /** Decoded content against a sidecar dictionary, or null — the
+    * codegen surface for [[ZstdDecodeDict]]. */
+  def decodeDictContent(b: Array[Byte], dict: Array[Byte]): Array[Byte] = {
+    val r = decodeWithDict(b, dict)
+    if (r == null) null else r.content
   }
 
   // ------------------------------------------------------ q188 synthesis
@@ -1470,6 +1691,55 @@ case class ZstdCompress(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `(binary, binary) -> binary`: decode against a SIDECAR DICTIONARY
+  * (right side — a broadcast blob, the blocklist-dim pattern):
+  * dictionary-keyed frames decode when the ids match and refuse
+  * otherwise; plain frames decode as always; NULL when not zstd. */
+case class ZstdDecodeDict(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_zstd_decode_dict"
+
+  override protected def nullSafeEval(b: Any, d: Any): Any =
+    ZstdBlockEval.decodeDictContent(b.asInstanceOf[Array[Byte]],
+      d.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, d) => {
+      val res = ctx.freshName("zdd")
+      s"""
+         |byte[] $res = graft.functions.ZstdBlockEval.decodeDictContent($b, $d);
+         |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ZstdDecodeDict =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `(text, id) -> binary`: a dictionary-keyed frame against the
+  * profile dictionary ([[ZstdBlockEval.dictFrame]]). */
+case class ZstdDictFrame(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_zstd_dict_frame"
+
+  override protected def nullSafeEval(t: Any, id: Any): Any =
+    ZstdBlockEval.dictFrame(t.asInstanceOf[Array[Byte]],
+      id.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, i) => s"graft.functions.ZstdBlockEval.dictFrame($t, $i)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ZstdDictFrame =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column surface for the zstd block-decode kernels. */
 object ZstdBlockOps {
   import org.apache.spark.sql.Column
@@ -1478,6 +1748,11 @@ object ZstdBlockOps {
   private def bin(c: Column) = ColumnBridge.expression(c.cast("binary"))
 
   def zstdDecode(b: Column): Column = ColumnBridge.column(ZstdDecode(bin(b)))
+  def zstdDecodeDict(b: Column, dict: Column): Column =
+    ColumnBridge.column(ZstdDecodeDict(bin(b), bin(dict)))
+  def zstdDictFrame(text: Column, id: Column): Column =
+    ColumnBridge.column(ZstdDictFrame(bin(text),
+      ColumnBridge.expression(id.cast("long"))))
   def zstdDecodeMeta(b: Column): Column =
     ColumnBridge.column(ZstdDecodeMeta(bin(b)))
   def zstdDecodeStrict(b: Column): Column =

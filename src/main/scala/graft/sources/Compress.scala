@@ -150,12 +150,17 @@ object Compress {
     * one manifest says what every member holds. A routing slip lands
     * on another decoder's refusal and cannot cancel.
     *
-    * Residue classes (%6): 0 → gzip; 1 → zstd (a REAL compressed
+    * Residue classes (%7): 0 → gzip; 1 → zstd (a REAL compressed
     * frame — q188's synthesis, Huffman literals); 2 → lz4; 3 → bzip2;
-    * 4 → xz; 5 → plain (passes through as `none`). The content is the
-    * SAME family spelling in every class, so the oracle is one md5
-    * formula against five decode stacks. One narrow map, zero
-    * exchanges.
+    * 4 → xz; 6 → DICTIONARY-keyed zstd decoded against a broadcast
+    * sidecar dictionary (trained-dict lakes: Common Crawl CDX and
+    * production feature stores ship these — the frame copies the
+    * dictionary phrase through dict-seeded repcodes and loads its
+    * entropy tables in Repeat mode; without the sidecar it refuses);
+    * 5 → plain (passes through as `none`). The content is the SAME
+    * family spelling in every class (the dict class prefixes the
+    * phrase), so the oracle is one md5 formula against six decode
+    * stacks. One narrow map, zero exchanges.
     */
   def q193UniversalDecode(spark: SparkSession, dir: String): DataFrame =
     q193UniversalDecodeOn(Tables.load(spark, dir, "documents"))
@@ -169,16 +174,26 @@ object Compress {
     val p0 = substring(concat(element_at(ws, 1), lit(" "),
       element_at(ws, 2), lit("#"), (id % 97).cast("string")), 1, 200)
     val raw = encode(p0, "UTF-8")
-    val payload = when(id % 6 === 0, GzipOps.gzip(raw, lit("")))
-      .when(id % 6 === 1, ZstdBlockOps.zstdDeepSynth(col("text"), id))
-      .when(id % 6 === 2, Lz4Ops.lz4Synth(col("text"), id))
-      .when(id % 6 === 3, Bzip2Ops.bzip2Synth(col("text"), id))
-      .when(id % 6 === 4, XzContentOps.xzContentSynth(col("text"), id))
+    val payload = when(id % 7 === 0, GzipOps.gzip(raw, lit("")))
+      .when(id % 7 === 1, ZstdBlockOps.zstdDeepSynth(col("text"), id))
+      .when(id % 7 === 2, Lz4Ops.lz4Synth(col("text"), id))
+      .when(id % 7 === 3, Bzip2Ops.bzip2Synth(col("text"), id))
+      .when(id % 7 === 4, XzContentOps.xzContentSynth(col("text"), id))
+      .when(id % 7 === 6, ZstdBlockOps.zstdDictFrame(col("text"), id))
       .otherwise(raw)
+    // the sidecar dictionary: ONE broadcast blob serves every row (the
+    // blocklist-dim pattern); a dict-keyed frame is told apart from a
+    // plain one by the frame header's dictionary-id flag bits, the way
+    // a real reader routes before picking a decode context
+    val sidecar = lit(graft.functions.ZstdBlockEval.profileDict)
+    val isZstd = hex(substring(col("_p"), 1, 4)) === "28B52FFD"
+    val dictFlag = conv(hex(substring(col("_p"), 5, 1)), 16, 10)
+      .cast("int").bitwiseAND(lit(3))
     val staged = docs.select(id, payload.as("_p"))
       .withColumn("_fmt",
         when(hex(substring(col("_p"), 1, 2)) === "1F8B", "gzip")
-          .when(hex(substring(col("_p"), 1, 4)) === "28B52FFD", "zstd")
+          .when(isZstd && dictFlag =!= 0, "zstd-dict")
+          .when(isZstd, "zstd")
           .when(hex(substring(col("_p"), 1, 4)) === "04224D18", "lz4")
           .when(substring(col("_p"), 1, 3) === lit("BZh".getBytes("US-ASCII"))
             && hex(substring(col("_p"), 5, 6)) === "314159265359", "bzip2")
@@ -186,6 +201,8 @@ object Compress {
           .otherwise("none"))
       .withColumn("_c",
         when(col("_fmt") === "gzip", GzipOps.gunzip(col("_p")))
+          .when(col("_fmt") === "zstd-dict",
+            ZstdBlockOps.zstdDecodeDict(col("_p"), sidecar))
           .when(col("_fmt") === "zstd", ZstdBlockOps.zstdDecode(col("_p")))
           .when(col("_fmt") === "lz4", Lz4Ops.lz4Decode(col("_p")))
           .when(col("_fmt") === "bzip2", Bzip2Ops.bzip2Decode(col("_p")))

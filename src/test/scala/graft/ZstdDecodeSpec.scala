@@ -260,4 +260,114 @@ class ZstdDecodeSpec extends AnyFunSuite {
     assert(r != null && r.nSkippable === 1 && r.nFrames === 1)
     assert(new String(r.content, utf8) === "alpha beta#7")
   }
+
+  // ------------------------------------------------- dictionary plane
+
+  test("interop: a zstd --train dictionary + a CLI -D frame decode " +
+    "end to end (tables, window prefix, and repcodes all from the dict)") {
+    val dict = b64(
+      "N6Qw7KdbGgskEBBb0gEAgAcAAAAAjONbyk229Ns1TFKpAG8lQvYmW24HACgCQwAA" +
+      "GBwePjAklTwBAARgAAEGAFaMPDK2XqNTZByGFDKGAAAAAAAIAAAAAAAEAADUfDAI" +
+      "AAAAAAAAAAAAAAAAAAABAAAABAAAAAgAAABlc3BvbnNlIGxhdGVuY3kgcmVzcG9u" +
+      "c2Ugc3BhcmsgbGF0ZW5jeSBkZWNvZGUgc3BhcmsgcmVzcG9uc2UgZmV0Y2hsb2cg" +
+      "ZW50cnkgMDogZmV0Y2ggcmVzcG9uc2UgcmVxdWVzdCBkZWNvZGUgdG9rZW4gc2hh" +
+      "cmQgc2hhcmQgbGF0ZW5jeSBkZWNvZGUgcmVzcG9uc2UgZmV0Y2ggZGVjb2RlIGZy" +
+      "b250aWVyIHJlc3BvbnNlIGRlZHVwIGdyYWZ0IHJlcXVlc3QgcmVxdWVzdCByZXNw" +
+      "b25zZSBzaGFyZCBzaGFyZCBmcm9udGllciBkZWR1cCByZXF1ZXN0IGZyb250aWVy" +
+      "IHNoYXJkIGRlY29kZSBmZXRjaCBkZWNvZGUgZnJvbnRpZXIgZ3JhZnQgc2hhcmQg" +
+      "c3BhcmsgZGVkdXAgdG9rZW4gcmVxdWVzdCBsYXRlbmN5IGRlY29kZSBncmFmdCBj" +
+      "b3JwdXNsb2cgZW50cnkgOTogZGVkdXAgc2hhcmQgZGVkdXAgZGVkdXAgcmVxdWVz" +
+      "dCBkZWR1cCByZXNwb25zZSBncmFmdCBmZXRjaCBkZWR1cCBkZWR1cCBmcm9udGll" +
+      "ciBjb3JwdXMgdG9rZW4gc2hhcmQgZmV0Y2ggZGVjb2RlIGNvcnB1cyBzaGFyZCB0" +
+      "b2tlbiBncmFmdCBsYXRlbmN5IGZldGNoIGZldGNoIHRva2VuIHNwYXJrIGNvcnB1" +
+      "cyByZXNwb25zZSByZXF1ZXN0IHNwYXJrIGRlZHVwIGRlZHVwIHJlc3BvbnNlIHJl" +
+      "c3BvbnNlIGZyb250aWVyIHNoYXJkIGZyb250aWVyIHRva2VuIGxhdGVuY3kgY29y" +
+      "cHVzbG9nIGVudHJ5IDQ6IGRlY29kZSByZXNwb25zZSBmZXRjaCBmcm9udGllciB0" +
+      "b2tlbiBmZXRjaCBjb3JwdXMgcmVzcG9uc2UgdG9rZW4gZ3JhZnQgbGF0ZW5jeSBz" +
+      "cGFyayByZXF1ZXN0IGRlY29kZSBkZWNvZGUgdG9rZW4gZnJvbnRpZXIgbGF0ZW5j" +
+      "eSBmcm9udGllciByZXNwb25zZSBmZXRjaCB0b2tlbiBmZXRjaCBmcm9udGllciBk" +
+      "ZWR1cCBzaGFyZCBsYXRlbmN5IGNvcnB1cyBsYXRlbmN5IGZyb250aWVyIGZyb250" +
+      "aWVyIHJlcXVlc3QgZGVkdXAgY29ycHVzIHNwYXJrIHJlcXVlc3QgcmVzcG9uc2Ug" +
+      "Y29ycHVzIHRva2VuIHNoYXJkbG9nIGVudHJ5IDIyOiBsYXRlbmN5IHNwYXJrIHNo" +
+      "YXJkIGNvcnB1cyB0b2tlbiBjb3JwdXMgdG9rZW4gZGVkdXAgZGVjb2RlY2ggbGF0" +
+      "ZW5jeSByZXF1ZXN0IHNoYXJkIGRlY29kZSBzcGFyayBzcGFyayBmcm9udGllciBm" +
+      "cm9udGllciBkZWR1cCBsYXRlbmN5IGNvcnB1c2xvZyBlbnRyeSAzMDogZ3JhZnQg" +
+      "Y29ycHVzIGZyb250aWVyIHRva2VuIHJlcXVlc3QgdG9rZW4gZGVjb2RlIHRva2Vu" +
+      "IGRlZHVwIGRlZHVwIGZldGNoIHNwYXJrIGxhdGVuY3kgc3BhcmsgZnJvbnRpZXIg" +
+      "c3BhcmsgY29ycHVzIGNvcnB1cyBmcm9udGllciBmcm9udGllciBncmFmdCBzcGFy" +
+      "ayBjb3JwdXMgc2hhcmQgZGVjb2RlIHNoYXJkIGRlZHVwIGdyYWZ0IHNoYXJkIGdy" +
+      "YWZ0IHJlcXVlc3QgY29ycHVzIGRlY29kZSBzcGFyayBkZWNvZGUgZ3JhZnQgZ3Jh" +
+      "ZnQgZmV0Y2ggZmV0Y2ggbGF0ZW5jeWxvZyBlbnRyeSAyMzogZnJvbnRpZXIgY29y" +
+      "cHVzIGdyYWZ0IGRlY29kZSBmcm9udGllciBjb3JwdXMgY29ycHVzIGRlY29kZSBz" +
+      "cGFyayB0b2tlbiB0b2tlbiB0b2tlbiBzaGFyZCByZXNwb25zZSBkZWNvZGUgc2hh" +
+      "cmQgY29ycHVzIHJlc3BvbnNlIGRlY29kZSBmcm9udGllciBkZWNvZGUgbGF0ZW5j" +
+      "eSBzaGFyZCBzaGFyZCBkZWNvZGUgc3BhcmsgdG9rZW4gZGVjb2RlIGRlZHVwIGZy" +
+      "b250aWVyIGRlZHVwIHRva2VuIHJlc3BvbnNlIHNoYXJkIHRva2VuIHNoYXJkIGNv" +
+      "cnB1cyBsYXRlbmN5IHRva2VuIHJlcXVlc3Rsb2cgZW50cnkgNzM6IHJlc3BvbnNl" +
+      "IGZyb250aWVyIHJlcXVlc3QgcmVzcG9uc2Ugc3BhcmsgcmVxdWVzdCB0b2tlbiBn" +
+      "cmFmdCBsYXRlbmN5IGxhdGVuY3kgZmV0Y2ggZGVjb2RlIGZldGNoIGdyYWZ0IGNv" +
+      "cnB1cyBncmFmdCBzcGFyayBncmFmdCBncmFmdCByZXNwb25zZSBmZXRjaCBmZXRj" +
+      "aCBmcm9udGllciBsYXRlbmN5IGZldGNoIGNvcnB1cyByZXNwb25zZSBsYXRlbmN5" +
+      "IGZyb250aWVyIGdyYWZ0IGZyb250aWVyIGxhdGVuY3k=")
+    val frame = b64(
+      "KLUv/WenWxoLuAA9AgA4OTpzaGFyZB38I30URKujjbA5HhZuoiGCQFIKLje091o2" +
+      "mCImwevWhilFsmpCEW70frgtIPBJZKrhG+mFK3Ms1KCHacIBBBNS14o=")
+    // without the sidecar the frame must refuse, not guess
+    val bare = ZstdBlockEval.decode(frame)
+    assert(bare == null || (bare.truncated === 1 && bare.nFrames === 0))
+    val noDict = ZstdBlockEval.decodeWithDict(frame, null)
+    assert(noDict.truncated === 1 && noDict.nFrames === 0)
+    val r = ZstdBlockEval.decodeWithDict(frame, dict)
+    assert(r != null, "dict-keyed CLI frame refused with its dictionary")
+    assert(r.truncated === 0 && r.checksumOk != 0)
+    assert(r.content.length === 440)
+    assert(md5(r.content) === "5318055d31531e1cb93af29f9932ebd8")
+    // the WRONG dictionary (id mismatch) refuses
+    val wrongId = dict.clone()
+    wrongId(4) = (wrongId(4) ^ 0x5A).toByte
+    val rw = ZstdBlockEval.decodeWithDict(frame, wrongId)
+    assert(rw == null || rw.truncated === 1)
+    // a corrupted entropy section refuses the dictionary whole
+    val cut = java.util.Arrays.copyOf(dict, 40)
+    val rc = ZstdBlockEval.decodeWithDict(frame, cut)
+    assert(rc == null || rc.truncated === 1)
+  }
+
+  test("profile dictionary: the synthesized dict-keyed frame round-trips " +
+    "(repeat-mode tables, litLen-0 rep2 into the dict content)") {
+    val text = "gamma delta epsilon zeta".getBytes(utf8)
+    val frame = ZstdBlockEval.dictFrame(text, 31L)
+    // refusal preserved when the dictionary is absent
+    val bare = ZstdBlockEval.decode(frame)
+    assert(bare == null || bare.truncated === 1)
+    val r = ZstdBlockEval.decodeWithDict(frame, ZstdBlockEval.profileDict)
+    assert(r != null && r.truncated === 0 && r.checksumOk === 1)
+    assert(new String(r.content, utf8) ===
+      ZstdBlockEval.DictPhrase + "gamma delta#31")
+    // plain frames still decode when a dictionary is offered
+    val plain = ZstdBlockEval.synth(text, 31L)
+    val rp = ZstdBlockEval.decodeWithDict(plain, ZstdBlockEval.profileDict)
+    assert(rp != null && rp.truncated === 0)
+    assert(new String(rp.content, utf8) === "gamma delta#31")
+  }
+
+  test("dictionary fuzz: flips over dict and frame refuse or flag, " +
+    "never throw") {
+    val text = "iota kappa lambda mu".getBytes(utf8)
+    val frame = ZstdBlockEval.dictFrame(text, 7L)
+    val dict = ZstdBlockEval.profileDict
+    val rnd = new java.util.Random(0xD1C7L)
+    (0 until 300).foreach { k =>
+      val bad = frame.clone()
+      bad(rnd.nextInt(bad.length)) = rnd.nextInt(256).toByte
+      try ZstdBlockEval.decodeWithDict(bad, dict)
+      catch { case e: Throwable => fail(s"frame fuzz $k threw: $e") }
+    }
+    (0 until 300).foreach { k =>
+      val bad = dict.clone()
+      bad(rnd.nextInt(bad.length)) = rnd.nextInt(256).toByte
+      try ZstdBlockEval.decodeWithDict(frame, bad)
+      catch { case e: Throwable => fail(s"dict fuzz $k threw: $e") }
+    }
+  }
 }
