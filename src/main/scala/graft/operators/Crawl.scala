@@ -883,9 +883,13 @@ object Crawl {
     * `%9==5` headless page keeps fetch_ok 1 / well_formed 0. Zero
     * exchanges, every kernel once per row — pinned.
     */
-  def q116FullStackIntake(spark: SparkSession, dir: String): DataFrame = {
+  def q116FullStackIntake(spark: SparkSession, dir: String): DataFrame =
+    q116FullStackIntakeOn(Tables.load(spark, dir, "documents"))
+
+  /** [[q116FullStackIntake]] over an explicit corpus (ScaleSpec hook). */
+  def q116FullStackIntakeOn(docs: DataFrame): DataFrame = {
     import graft.functions.GzipOps
-    fullStackIntake(spark, dir,
+    fullStackIntakeOn(docs,
       wrap = rec => GzipOps.gzip(rec,
         concat(col("doc_id").cast("string"), lit(".warc"))),
       unwrap = z => GzipOps.gunzip(z))
@@ -906,9 +910,13 @@ object Crawl {
     * mid-checksum: the strict decode refuses, fetch_ok 0, the same
     * NULL cascade the gzip twin pins.
     */
-  def q189ZstdIntake(spark: SparkSession, dir: String): DataFrame = {
+  def q189ZstdIntake(spark: SparkSession, dir: String): DataFrame =
+    q189ZstdIntakeOn(Tables.load(spark, dir, "documents"))
+
+  /** [[q189ZstdIntake]] over an explicit corpus (ScaleSpec hook). */
+  def q189ZstdIntakeOn(docs: DataFrame): DataFrame = {
     import graft.functions.ZstdBlockOps
-    fullStackIntake(spark, dir,
+    fullStackIntakeOn(docs,
       wrap = rec => ZstdBlockOps.zstdCompress(rec),
       unwrap = z => ZstdBlockOps.zstdDecodeStrict(z))
   }
@@ -916,11 +924,10 @@ object Crawl {
   /** The shared six-layer intake stage (q116 gzip / q189 zstd):
     * `wrap` compresses the WARC record bytes, `unwrap` decompresses
     * the (possibly truncated) fetched member or yields NULL. */
-  private def fullStackIntake(spark: SparkSession, dir: String,
-                              wrap: Column => Column,
-                              unwrap: Column => Column): DataFrame = {
+  private def fullStackIntakeOn(docs: DataFrame,
+                                wrap: Column => Column,
+                                unwrap: Column => Column): DataFrame = {
     import graft.functions.{HttpOps, WarcOps}
-    val docs = Tables.load(spark, dir, "documents")
     val id = col("doc_id")
     val html = synthHtml(id, col("text"))
     val bomLe = lit(Array[Byte](0xFF.toByte, 0xFE.toByte))
@@ -1200,8 +1207,11 @@ object Crawl {
     * Scale shape: the rank frame is HOST-cardinality — a dim (millions
     * of hosts vs billions of frontier URLs), so it broadcasts after a
     * host-level priority window; that window is single-partition over
-    * the dim only (the q80 offsets argument — never over the frontier;
-    * a deployment at 1e8+ hosts swaps in the two-phase rank spelling).
+    * the dim only (the q80 offsets argument — never over the frontier).
+    * At 1e8+ hosts [[hostPriority]] swaps in the two-phase range-rank
+    * spelling behind the same API, picked by the
+    * `graft.crawl.estimatedHosts` catalog estimate — both shapes
+    * pinned, values identical (CrawlSpec).
     * The frontier pays exactly ONE new exchange beyond q94's three: the
     * per-host sequencing window keyed (host, allowed). The robots
     * judgment itself rides q94's canonical_url partitioning (see
@@ -1414,6 +1424,56 @@ object Crawl {
       .where(col("rtype") === "crawl_delay" && col("ua") === "*")
       .select(col("host").as("_dhost"), col("delay_sec").as("_delay"))
 
+  /** `host_priority`: rank hosts by (rank_p5 desc, host) — the queue
+    * drain order. TWO spellings behind one API, picked by the
+    * deployment's host-cardinality estimate (set
+    * `graft.crawl.estimatedHosts` from the catalog; the switch trips
+    * at `graft.crawl.hostRank.twoPhaseHosts`, default 1e8):
+    *
+    *  - DIM WINDOW (default): the rank frame is host-cardinality — a
+    *    dim, millions of hosts vs billions of frontier URLs — so one
+    *    single-partition window over the dim only is the cheap plan
+    *    (the q80 offsets argument in reverse: the offsets table IS the
+    *    whole input here).
+    *  - TWO-PHASE (1e8+ hosts): range-repartition on the sort key,
+    *    per-range local row_number, plus a broadcast cumulative-offset
+    *    join — q80's spelling adapted from hash order to VALUE order.
+    *    Values are identical by construction (range partitions tile
+    *    the total order); CrawlSpec pins the equality and PlanAuditSpec
+    *    pins both shapes.
+    */
+  private[graft] def hostPriority(spark: SparkSession,
+                                  prio: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val estimated = spark.conf.getOption("graft.crawl.estimatedHosts")
+      .map(_.toLong).getOrElse(1000000L)
+    val threshold = spark.conf
+      .getOption("graft.crawl.hostRank.twoPhaseHosts")
+      .map(_.toLong).getOrElse(100000000L)
+    if (estimated < threshold)
+      prio.withColumn("host_priority",
+        row_number().over(
+          Window.orderBy(col("rank_p5").desc, col("rank_host"))).cast("int"))
+    else {
+      val ranged = prio
+        .repartitionByRange(32, col("rank_p5").desc, col("rank_host"))
+        .withColumn("_pid", spark_partition_id())
+      val local = ranged.withColumn("_lr",
+        (row_number().over(Window.partitionBy(col("_pid"))
+          .orderBy(col("rank_p5").desc, col("rank_host"))) - 1).cast("long"))
+      // cumulative offsets over the (≤32-row) per-range counts — the
+      // only single-partition window left is range-count-sized
+      val offs = local.groupBy("_pid").agg((max("_lr") + 1L).as("_n"))
+        .withColumn("_off", coalesce(
+          sum("_n").over(Window.orderBy("_pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("_pid"), col("_off"))
+      local.join(broadcast(offs), "_pid")
+        .select(col("rank_host"), col("rank_p5"),
+          (col("_off") + col("_lr") + 1L).cast("int").as("host_priority"))
+    }
+  }
+
   def q107FetchSchedule(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val frontier = q94LinkFrontier(spark, dir)
@@ -1428,11 +1488,8 @@ object Crawl {
         col("disc_pos"), allowedBit.as("allowed"),
         when(col("ua_sel") === "*", col("_delay")).cast("int")
           .as("crawl_delay"))
-    val prio = q96LinkRank(spark, dir)
-      .select(col("host").as("rank_host"), col("rank_p5"))
-      .withColumn("host_priority",
-        row_number().over(
-          Window.orderBy(col("rank_p5").desc, col("rank_host"))).cast("int"))
+    val prio = hostPriority(spark, q96LinkRank(spark, dir)
+      .select(col("host").as("rank_host"), col("rank_p5")))
     val met = gated.join(broadcast(prio),
       col("host") === col("rank_host"), "left")
     val wseq = Window.partitionBy(col("host"), col("allowed"))

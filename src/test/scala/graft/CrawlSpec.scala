@@ -520,4 +520,32 @@ class CrawlSpec extends AnyFunSuite {
     assert(below > 0 && above > 0,
       s"hub must sort mid-range (below=$below above=$above)")
   }
+
+  test("q107 host rank: the two-phase range spelling reproduces the dim " +
+    "window exactly (the 1e8-host swap-in, values pinned)") {
+    val prio = Crawl.q96LinkRank(spark, TestSpark.Sf0001)
+      .select(col("host").as("rank_host"), col("rank_p5"))
+      .localCheckpoint()
+    def run(): Map[String, Int] = {
+      Crawl.hostPriority(spark, prio).collect()
+        .map(r => r.getString(0) -> r.getInt(2)).toMap
+    }
+    val dimWindow = run()
+    spark.conf.set("graft.crawl.estimatedHosts", "200000000")
+    val twoPhase =
+      try run()
+      finally spark.conf.unset("graft.crawl.estimatedHosts")
+    assert(dimWindow.nonEmpty)
+    assert(twoPhase === dimWindow)
+    // and through the full query: host_priority column agrees
+    spark.conf.set("graft.crawl.estimatedHosts", "200000000")
+    val full =
+      try Crawl.q107FetchSchedule(spark, TestSpark.Sf0001)
+        .select("host", "host_priority").distinct().collect()
+        .map(r => r.getString(0) -> r.getInt(1)).toMap
+      finally spark.conf.unset("graft.crawl.estimatedHosts")
+    full.foreach { case (h, p) =>
+      assert(dimWindow.get(h).contains(p), s"host $h priority drifted")
+    }
+  }
 }

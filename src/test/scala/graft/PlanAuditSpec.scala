@@ -1105,6 +1105,50 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("intake capstones decompress each payload exactly once") {
+    // the composed stacks (WARC wrap -> compress -> fetch-cut ->
+    // decode -> record walk -> header split -> dechunk -> charset ->
+    // extract) must run their decode kernel ONCE per row — a
+    // CollapseProject slip that inlines the decode into each
+    // referencing column re-decompresses the payload per output field
+    val pins = Seq(
+      ("q116", plan(graft.operators.Crawl
+        .q116FullStackIntake(spark, TestSpark.Sf0001)), "graft_gunzip"),
+      ("q189", plan(graft.operators.Crawl
+        .q189ZstdIntake(spark, TestSpark.Sf0001)), "graft_zstd_decode_strict"),
+      ("q194", plan(graft.sources.Wiki
+        .q194WikiDump(spark, TestSpark.Sf0001)), "graft_bzip2_decode"),
+      ("q195", plan(graft.sources.Tar
+        .q195TarballIntake(spark, TestSpark.Sf0001)), "graft_bzip2_decode"))
+    pins.foreach { case (name, p, kernel) =>
+      val n = (kernel + "\\(").r.findAllIn(p).length
+      assert(n === 1, s"$name: expected 1 $kernel in the plan, found $n")
+    }
+  }
+
+  test("q107 host rank: both spellings keep their pinned shapes") {
+    import org.apache.spark.sql.functions.col
+    val prio = graft.operators.Crawl.q96LinkRank(spark, TestSpark.Sf0001)
+      .select(col("host").as("rank_host"), col("rank_p5"))
+      .localCheckpoint()
+    // default (dim window): one single-partition window, no range
+    val dimPlan = plan(graft.operators.Crawl.hostPriority(spark, prio))
+    assert(!dimPlan.contains("rangepartitioning"),
+      s"dim spelling grew a range exchange:\n$dimPlan")
+    // forced two-phase: range partitioning present, and NO
+    // single-partition window over the host frame — the only
+    // SinglePartition left is the <=32-row offsets cumulative sum
+    spark.conf.set("graft.crawl.estimatedHosts", "200000000")
+    try {
+      val df = graft.operators.Crawl.hostPriority(spark, prio)
+      val p = plan(df)
+      assert(p.contains("rangepartitioning"),
+        s"two-phase spelling lost its range exchange:\n$p")
+      assert(p.contains("BroadcastExchange"),
+        s"offsets side lost its broadcast:\n$p")
+    } finally spark.conf.unset("graft.crawl.estimatedHosts")
+  }
+
   test("q189 warc.zst intake keeps q116's composed exchange budget") {
     val df = graft.operators.Crawl.q189ZstdIntake(spark, TestSpark.Sf0001)
     val p = plan(df)

@@ -690,4 +690,44 @@ class ScaleSpec extends AnyFunSuite {
         .agg(sum(col("width")) + count(col("min_luma"))).head.getLong(0),
       n => n / 5 * 192 + n / 5 * 3)
   }
+
+  test("intake capstones second decade: 100x docs through the full " +
+    "composed stack, ~linear", Slow) {
+    // q116/q189/q194/q195 compose 5-6 layers (WARC wrap, compression,
+    // fetch truncation, decode, record walk, header split, dechunk,
+    // charset, extract / tar walk / page walk). The kernels are
+    // per-row, but composition is where a hidden re-materialization
+    // would hide — so the SECOND decade is pinned too (env-gated:
+    // minutes-scale), with exact row invariants proving the timing
+    // measures real decodes, not refusals.
+    assume(sys.env.contains("GRAFT_SCALE100"),
+      "set GRAFT_SCALE100=1 to run the 100x intake-capstone probe")
+    val n10 = D10
+    val n100 = 840000L
+    def fetchOkExpect(n: Long): Long = n - ((n - 10) / 13 + 1) // id%13==9 cut
+    def t(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def probe(label: String, run: Long => Long, expect: Long => Long): Unit = {
+      var v10 = 0L; var v100 = 0L
+      val a = t { v10 = run(n10) }
+      val b = t { v100 = run(n100) }
+      assert(v10 === expect(n10), s"$label 10x invariant: $v10")
+      assert(v100 === expect(n100), s"$label 100x invariant: $v100")
+      assert(b / a <= 10.0,
+        f"$label second decade cost ${b / a}%.1fx ($a%.1fs -> $b%.1fs)")
+    }
+    probe("q116",
+      n => graft.operators.Crawl.q116FullStackIntakeOn(synthMix(n))
+        .agg(sum(col("fetch_ok"))).head.getLong(0), fetchOkExpect)
+    probe("q189",
+      n => graft.operators.Crawl.q189ZstdIntakeOn(synthMix(n))
+        .agg(sum(col("fetch_ok"))).head.getLong(0), fetchOkExpect)
+    probe("q194",
+      n => graft.sources.Wiki.q194WikiDumpOn(synthMix(n))
+        .agg(sum(col("is_dump"))).head.getLong(0), n => n * 4 / 5)
+    probe("q195",
+      n => graft.sources.Tar.q195TarballIntakeOn(synthMix(n))
+        .agg(sum(col("is_tar"))).head.getLong(0), n => n * 4 / 5)
+  }
 }
