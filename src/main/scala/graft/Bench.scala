@@ -330,8 +330,32 @@ object Bench {
             else s"\n$header\n\nOne row per round-stamped sweep — the row and " +
               s"`BENCH_DETAIL_r{N}.json` are written in the same pass and " +
               s"always describe the same sweep.\n\n" + row
-          java.nio.file.Files.writeString(notes, payload,
-            java.nio.file.StandardOpenOption.APPEND)
+          // The r16 verdict's hygiene finding: the ledger stayed true but
+          // a HAND-WRITTEN headline above it went stale when a later
+          // sweep stamped. The stamp now also refreshes a marker-fenced
+          // auto-headline at the top of the file, so narrative sections
+          // quote it instead of restating totals — prose, ledger, and
+          // artifact can no longer disagree.
+          val startM = "<!-- AUTO-HEADLINE-START -->"
+          val endM = "<!-- AUTO-HEADLINE-END -->"
+          val auto = s"$startM\n**Newest round-stamped sweep** (same pass " +
+            f"as the newest ledger row and BENCH_DETAIL_r$round%02d.json): " +
+            f"r$round%02d $stamp — total ${f(total)} s over " +
+            s"${results.size} queries, reps $reps, failed ${failed.size}, " +
+            s"hard-violations ${hardViolations.size}.\n$endM"
+          var updated = existing + payload
+          updated =
+            if (updated.contains(startM) && updated.contains(endM)) {
+              val pre = updated.substring(0, updated.indexOf(startM))
+              val post = updated.substring(updated.indexOf(endM) + endM.length)
+              pre + auto + post
+            } else {
+              val nl = updated.indexOf('\n')
+              if (nl < 0) updated + "\n\n" + auto + "\n"
+              else updated.substring(0, nl + 1) + "\n" + auto + "\n" +
+                updated.substring(nl + 1)
+            }
+          java.nio.file.Files.writeString(notes, updated)
         }
       } catch {
         case e: Throwable =>

@@ -65,7 +65,12 @@ object Bootstrap {
       graft.functions.CharsetOps.sniff(bytes),
       graft.functions.CharsetOps.decodeAs(bytes, lit("utf-8")),
       graft.functions.JpegPixelOps.jpegLuma(bytes),
-      graft.functions.JpegPixelOps.jpegSynth(lit(1L), lit(0x101L))
+      graft.functions.JpegPixelOps.jpegSynth(lit(1L), lit(0x101L)),
+      graft.functions.WebpPixelOps.webpLuma(bytes),
+      graft.functions.Vp8Ops.vp8Synth(lit(1L), lit(0L)),
+      graft.functions.TiffPixelOps.tiffLuma(bytes),
+      graft.functions.TiffPixelOps.tiffPixelSynth(lit(1L), lit(0x202L)),
+      graft.functions.ZstdBlockOps.zstdDecodeDict(bytes, bytes)
     )
   }
 
@@ -593,6 +598,10 @@ object Bootstrap {
     // RFC-default-probs frames) beside q135's lossless stats
     operators.Multimodal.q196Vp8Pixels(spark, dir)
       .createOrReplaceTempView("vw_vp8_stats")
+    // the TIFF pixel read (q197): `WHERE min_luma IS NULL AND
+    // is_tiff = 1` is the truncated/out-of-profile scan quarantine
+    operators.Multimodal.q197TiffPixels(spark, dir)
+      .createOrReplaceTempView("vw_tiff_stats")
   }
 
   /** Register the landing table + curated views over it — the TRANSFORM

@@ -218,6 +218,7 @@ object SparkEntry {
     "q194_wiki_dump" -> (Wiki.q194WikiDump _),
     "q195_tarball_intake" -> (Tar.q195TarballIntake _),
     "q196_vp8_pixels" -> (Multimodal.q196Vp8Pixels _),
+    "q197_tiff_pixels" -> (Multimodal.q197TiffPixels _),
   )
 
   /** DuckDB-dialect oracles. Omitted on purpose (weaker rows-only check):
@@ -3074,10 +3075,10 @@ object SparkEntry {
     // q127: the composed image intake — the oracle unions the four
     // families' residue formulas (q118 flat blocks, q121/q135 channel
     // maps — WebP's literal class shares PNG's map, so the `pa` arm
-    // covers classes 1 AND 3 while format still splits them —
-    // q124 palette algebra) by class, so a ROUTING slip (the wrong
-    // decoder fed the right bytes) lands on another family's numbers
-    // and cannot cancel
+    // covers classes 1 AND 3 while format still splits them — q124
+    // palette algebra, q196's VP8 half-split, q197's TIFF gray map)
+    // by class, so a ROUTING slip (the wrong decoder fed the right
+    // bytes) lands on another family's numbers and cannot cancel
     "q127_image_intake" ->
       ("WITH ja AS (SELECT doc_id, " +
         "CAST((doc_id % 3 + 1) * 8 AS INTEGER) AS w, " +
@@ -3086,7 +3087,7 @@ object SparkEntry {
         "64 * list_aggregate(pix, 'sum') AS s FROM (SELECT doc_id, " +
         "list_transform(range(0, CAST((doc_id % 3 + 1) * (doc_id % 2 + 1) AS BIGINT)), " +
         "k -> ((doc_id*31 + k*17) % 251) - 125 + 128) AS pix " +
-        "FROM documents WHERE doc_id % 5 = 0)), " +
+        "FROM documents WHERE doc_id % 7 = 0)), " +
         "pa AS (SELECT doc_id, CAST(doc_id % 6 + 1 AS INTEGER) AS w, " +
         "CAST(doc_id % 4 + 1 AS INTEGER) AS h, " +
         "min(luma) AS mn, max(luma) AS mx, sum(luma) AS s FROM (SELECT doc_id, " +
@@ -3096,7 +3097,7 @@ object SparkEntry {
         "FROM documents, " +
         "UNNEST(range(0, CAST(doc_id % 6 + 1 AS BIGINT))) AS tx(x), " +
         "UNNEST(range(0, CAST(doc_id % 4 + 1 AS BIGINT))) AS tr(r) " +
-        "WHERE doc_id % 5 IN (1, 3)) GROUP BY doc_id), " +
+        "WHERE doc_id % 7 IN (1, 3)) GROUP BY doc_id), " +
         "ga AS (SELECT doc_id, CAST(doc_id % 6 + 1 AS INTEGER) AS w, " +
         "CAST(doc_id % 4 + 1 AS INTEGER) AS h, " +
         "min(luma) AS mn, max(luma) AS mx, sum(luma) AS s FROM (SELECT doc_id, " +
@@ -3106,18 +3107,40 @@ object SparkEntry {
         "FROM documents, " +
         "UNNEST(range(0, CAST(doc_id % 6 + 1 AS BIGINT))) AS tx(x), " +
         "UNNEST(range(0, CAST(doc_id % 4 + 1 AS BIGINT))) AS tr(r) " +
-        "WHERE doc_id % 5 = 2) GROUP BY doc_id) " +
+        "WHERE doc_id % 7 = 2) GROUP BY doc_id), " +
+        "va AS (SELECT doc_id, 16 AS w, 16 AS h, " +
+        "least(128 + s0 + s1, 128 + s0 - s1) AS mn, " +
+        "greatest(128 + s0 + s1, 128 + s0 - s1) AS mx, " +
+        "32768 + 256*s0 AS s FROM (" +
+        "SELECT doc_id, CASE doc_id % 4 WHEN 0 THEN -2 WHEN 1 THEN -1 " +
+        "WHEN 2 THEN 1 ELSE 2 END AS s0, " +
+        "CASE (doc_id // 4) % 4 WHEN 0 THEN -2 WHEN 1 THEN -1 " +
+        "WHEN 2 THEN 1 ELSE 2 END AS s1 FROM documents " +
+        "WHERE doc_id % 7 = 5)), " +
+        "ta AS (SELECT doc_id, CAST(doc_id % 6 + 2 AS INTEGER) AS w, " +
+        "CAST(doc_id % 4 + 2 AS INTEGER) AS h, " +
+        "min(luma) AS mn, max(luma) AS mx, sum(luma) AS s FROM (SELECT doc_id, " +
+        "(doc_id*3 + x*5 + r) % 256 AS luma FROM documents, " +
+        "UNNEST(range(0, CAST(doc_id % 6 + 2 AS BIGINT))) AS tx(x), " +
+        "UNNEST(range(0, CAST(doc_id % 4 + 2 AS BIGINT))) AS tr(r) " +
+        "WHERE doc_id % 7 = 6) GROUP BY doc_id) " +
         "SELECT d.doc_id, " +
-        "CASE d.doc_id % 5 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' " +
-        "WHEN 2 THEN 'gif' WHEN 3 THEN 'webp' ELSE 'unknown' END AS format, " +
-        "CAST(coalesce(ja.w, pa.w, ga.w) AS INTEGER) AS width, " +
-        "CAST(coalesce(ja.h, pa.h, ga.h) AS INTEGER) AS height, " +
-        "CAST(coalesce(ja.mn, pa.mn, ga.mn) AS INTEGER) AS min_luma, " +
-        "CAST(coalesce(ja.mx, pa.mx, ga.mx) AS INTEGER) AS max_luma, " +
-        "CAST(coalesce(ja.s, pa.s, ga.s) AS BIGINT) AS sum_luma " +
+        "CASE d.doc_id % 7 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' " +
+        "WHEN 2 THEN 'gif' WHEN 3 THEN 'webp' WHEN 5 THEN 'webp' " +
+        "WHEN 6 THEN 'tiff' ELSE 'unknown' END AS format, " +
+        "CAST(coalesce(ja.w, pa.w, ga.w, va.w, ta.w) AS INTEGER) AS width, " +
+        "CAST(coalesce(ja.h, pa.h, ga.h, va.h, ta.h) AS INTEGER) AS height, " +
+        "CAST(coalesce(ja.mn, pa.mn, ga.mn, va.mn, ta.mn) " +
+        "AS INTEGER) AS min_luma, " +
+        "CAST(coalesce(ja.mx, pa.mx, ga.mx, va.mx, ta.mx) " +
+        "AS INTEGER) AS max_luma, " +
+        "CAST(coalesce(ja.s, pa.s, ga.s, va.s, ta.s) " +
+        "AS BIGINT) AS sum_luma " +
         "FROM documents d LEFT JOIN ja ON d.doc_id = ja.doc_id " +
         "LEFT JOIN pa ON d.doc_id = pa.doc_id " +
-        "LEFT JOIN ga ON d.doc_id = ga.doc_id"),
+        "LEFT JOIN ga ON d.doc_id = ga.doc_id " +
+        "LEFT JOIN va ON d.doc_id = va.doc_id " +
+        "LEFT JOIN ta ON d.doc_id = ta.doc_id"),
     // q135: the oracle recomputes min/max/sum luma from the residue
     // channel maps per class (LZ77 rows replay row 0, the cache class a
     // single color, the palette class its modular index walk) — it
@@ -3382,6 +3405,33 @@ object SparkEntry {
     // q189: the SAME six-layer contract as q116 — the zstd rung must
     // be a drop-in for the gzip rung, so the oracle IS q116's oracle
     "q189_zstd_intake" -> fullStackOracle,
+    // q197: the oracle replays min/max/sum luma from the family
+    // channel maps per class (the gray map for the uncompressed, BE,
+    // polarity, and LZW classes; the RGB fold for the predictor
+    // class) — it never touches a TIFF byte, so a strip-offset,
+    // LZW-width, predictor, or polarity slip cannot cancel
+    "q197_tiff_pixels" ->
+      ("WITH p AS (SELECT doc_id, doc_id % 6 + 2 AS w, doc_id % 4 + 2 AS h, " +
+        "doc_id % 5 AS cls FROM documents), " +
+        "g AS (SELECT doc_id, min(luma) AS mn, max(luma) AS mx, " +
+        "sum(luma) AS s FROM (SELECT doc_id, " +
+        "(doc_id*3 + (i % w)*5 + (i // w)) % 256 AS luma " +
+        "FROM p, UNNEST(range(0, w * h)) AS t(i) WHERE cls <= 2) " +
+        "GROUP BY doc_id), " +
+        "c AS (SELECT doc_id, min(luma) AS mn, max(luma) AS mx, " +
+        "sum(luma) AS s FROM (SELECT doc_id, " +
+        "(299 * ((doc_id*2 + (i % w) + (i // w)*11) % 256) + " +
+        "587 * ((doc_id*3 + (i % w)*5 + (i // w)) % 256) + " +
+        "114 * ((doc_id + (i % w)*7 + (i // w)*13) % 256)) // 1000 AS luma " +
+        "FROM p, UNNEST(range(0, w * h)) AS t(i) WHERE cls = 3) " +
+        "GROUP BY doc_id) " +
+        "SELECT p.doc_id, CAST(1 AS INTEGER) AS is_tiff, " +
+        "CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height, " +
+        "CAST(coalesce(g.mn, c.mn) AS INTEGER) AS min_luma, " +
+        "CAST(coalesce(g.mx, c.mx) AS INTEGER) AS max_luma, " +
+        "CAST(coalesce(g.s, c.s) AS BIGINT) AS sum_luma " +
+        "FROM p LEFT JOIN g ON p.doc_id = g.doc_id " +
+        "LEFT JOIN c ON p.doc_id = c.doc_id"),
     // q196: the oracle replays each class's luma algebra (cumulative
     // DC-pred chain, corner average, WHT half-split) from doc_id
     // alone — it never touches a VP8 bit — so a boolean-decoder,

@@ -1,0 +1,593 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+
+/** TIFF PIXEL decode (q197) — the scanned-documents format q129 could
+  * only read dims from, and the last common still-image container with
+  * no pixel plane (BMP q59, JPEG q118, PNG q121, GIF q124, WebP
+  * q135/q196). Implemented from the TIFF 6.0 spec:
+  *
+  *  - the IFD entry walk under EITHER byte order (II little / MM big),
+  *    with inline-vs-offset values (a SHORT's two value bytes sit at
+  *    the FRONT of the 4-byte field in both orders — q129's trap, now
+  *    drilled at the pixel plane too);
+  *  - STRIP layout: StripOffsets/StripByteCounts as inline scalars or
+  *    offset arrays of SHORT or LONG, RowsPerStrip defaulting to
+  *    "all rows", every strip bounds-checked before a byte is read;
+  *  - baseline uncompressed (Compression=1) strips;
+  *  - TIFF-variant LZW (Compression=5): MSB-first code packing
+  *    (opposite of GIF's LSB-first — THE classic porting bug), 9-bit
+  *    initial width, Clear=256/EOI=257, and the spec's EARLY-CHANGE
+  *    width bump at table size 2^n - 1 (one code earlier than GIF;
+  *    a GIF-style decoder desyncs exactly at code 511);
+  *  - horizontal-differencing Predictor 2 (tag 317), applied per row
+  *    per sample after decompression;
+  *  - 8-bit grayscale in both photometric polarities (0 = WhiteIsZero
+  *    inverts, 1 = BlackIsZero) and 8-bit RGB, folded to the shared
+  *    packed-luma contract (Rec.601 integer weights).
+  *
+  * Stated scope, refusing rather than guessing: tiled layout (tags
+  * 322-325), 1/4/16-bit samples, palette color (photometric 3),
+  * PackBits/CCITT/JPEG-in-TIFF compressions, and planar configuration
+  * 2 all return the NULL marker; dims still parse through q129's meta
+  * walk (the q39 split). A strip table addressing bytes the buffer
+  * never carried refuses whole. Resource guard: 1 Mi pixels.
+  *
+  * The paired synthesizer writes real TIFFs both-endian with a real
+  * early-change LZW compressor; TiffPixelSpec pins a hand-computed
+  * LZW code stream (paper arithmetic), the early-change boundary, the
+  * predictor, both endians, and flip/truncation fuzz.
+  */
+object TiffPixelEval {
+
+  private final val NoStats = java.lang.Long.MIN_VALUE
+  private final val MaxPixels = 1 << 20
+
+  // ------------------------------------------------------------ reader
+
+  private final class Rd(b: Array[Byte], val le: Boolean) {
+    def ok(off: Int, n: Int): Boolean =
+      off >= 0 && n >= 0 && off + n <= b.length
+    def u16(off: Int): Int =
+      if (le) (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+      else ((b(off) & 0xFF) << 8) | (b(off + 1) & 0xFF)
+    def u32(off: Int): Long =
+      if (le) (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
+        ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
+      else ((b(off) & 0xFFL) << 24) | ((b(off + 1) & 0xFFL) << 16) |
+        ((b(off + 2) & 0xFFL) << 8) | (b(off + 3) & 0xFFL)
+  }
+
+  /** One parsed IFD entry's value list (SHORT/LONG only — the types
+    * the strip tags use), or null when malformed/out of scope. */
+  private def values(b: Array[Byte], r: Rd, entryOff: Int): Array[Long] = {
+    val typ = r.u16(entryOff + 2)
+    val count = r.u32(entryOff + 4)
+    if (count <= 0 || count > 65536) return null
+    val n = count.toInt
+    val width = typ match {
+      case 3 => 2 // SHORT
+      case 4 => 4 // LONG
+      case _ => return null
+    }
+    val total = width * n
+    val base =
+      if (total <= 4) entryOff + 8 // inline, at the FRONT of the field
+      else {
+        val off = r.u32(entryOff + 8)
+        if (off < 0 || off > Int.MaxValue) return null
+        off.toInt
+      }
+    if (!r.ok(base, total)) return null
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = if (width == 2) r.u16(base + 2 * i).toLong
+      else r.u32(base + 4 * i)
+      i += 1
+    }
+    out
+  }
+
+  // -------------------------------------------------------- LZW decode
+
+  /** TIFF-variant LZW: MSB-first packing, early-change width bump.
+    * Decodes exactly `want` bytes into a fresh array, or null. */
+  private[graft] def lzwDecode(b: Array[Byte], off: Int, len: Int,
+                               want: Int): Array[Byte] = {
+    if (want < 0 || want > (MaxPixels << 2)) return null
+    val out = new Array[Byte](want)
+    var outLen = 0
+    val Clear = 256
+    val Eoi = 257
+    // table: prefix chain (prev code, appended byte)
+    val prefix = new Array[Int](4096)
+    val append = new Array[Byte](4096)
+    var next = 258
+    var bits = 9
+    var bitPos = 0
+    val totalBits = len * 8
+    var prev = -1
+    def read(): Int = {
+      if (bitPos + bits > totalBits) return -1
+      var v = 0
+      var k = 0
+      while (k < bits) {
+        val i = bitPos + k
+        v = (v << 1) | ((b(off + (i >> 3)) >> (7 - (i & 7))) & 1)
+        k += 1
+      }
+      bitPos += bits
+      v
+    }
+    def emit(code: Int): Int = { // bytes written, -1 on refusal
+      // walk the chain backward into a scratch, then reverse-copy
+      var n = 0
+      var c = code
+      while (c >= 258) {
+        if (c >= next) return -1
+        n += 1
+        c = prefix(c)
+        if (n > want + 1) return -1 // cycle guard
+      }
+      n += 1 // the root literal
+      if (outLen + n > want) return -1
+      var w = outLen + n - 1
+      c = code
+      while (c >= 258) { out(w) = append(c); w -= 1; c = prefix(c) }
+      out(w) = c.toByte
+      outLen += n
+      n
+    }
+    def firstByteOf(code: Int): Byte = {
+      var c = code
+      while (c >= 258) c = prefix(c)
+      c.toByte
+    }
+    var done = false
+    while (!done) {
+      val code = read()
+      if (code < 0) return null // ran out before EOI
+      else if (code == Eoi) done = true
+      else if (code == Clear) {
+        next = 258; bits = 9; prev = -1
+      } else if (prev == -1) {
+        if (code >= 258) return null // first code after clear: literal
+        if (emit(code) < 0) return null
+        prev = code
+      } else {
+        if (code > next) return null
+        if (code == next) {
+          // the KwKwK case: new entry = prev + firstByte(prev)
+          if (next >= 4096) return null
+          prefix(next) = prev; append(next) = firstByteOf(prev)
+          next += 1
+          if (emit(code) < 0) return null
+        } else {
+          if (emit(code) < 0) return null
+          if (next >= 4096) return null
+          prefix(next) = prev; append(next) = firstByteOf(code)
+          next += 1
+        }
+        prev = code
+        // EARLY CHANGE: width bumps when the NEXT code would not fit
+        // one code early (table size 2^n - 1), capped at 12 bits
+        if (next == (1 << bits) - 1 && bits < 12) bits += 1
+      }
+    }
+    if (outLen != want) return null // strip must fill exactly
+    out
+  }
+
+  /** TIFF-variant LZW encoder (the synthesis side): hash-chained
+    * string table, Clear up front, EOI at the end, early change. */
+  private[graft] def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var nAcc = 0
+    var bits = 9
+    def put(code: Int): Unit = {
+      acc = (acc << bits) | code
+      nAcc += bits
+      while (nAcc >= 8) {
+        o.write(((acc >> (nAcc - 8)) & 0xFF).toInt)
+        nAcc -= 8
+      }
+    }
+    // table as a map from (prevCode << 8 | byte) to code
+    val table = new java.util.HashMap[Integer, Integer]()
+    var next = 258
+    put(256) // Clear
+    var prev = -1
+    var i = 0
+    while (i < data.length) {
+      val c = data(i) & 0xFF
+      if (prev == -1) prev = c
+      else {
+        val key = (prev << 8) | c
+        val hit = table.get(key)
+        if (hit != null) prev = hit
+        else {
+          put(prev)
+          if (next < 4096) {
+            table.put(key, next)
+            next += 1
+          }
+          // width lockstep: the DECODER's add count lags the encoder's
+          // by one (it completes an entry only after seeing the next
+          // code), so the encoder bumps at 2^n where the decoder bumps
+          // at its own 2^n - 1 — verified byte-for-byte against the
+          // JDK ImageIO TIFF writer's LZW strips (TiffPixelSpec)
+          if (next == (1 << bits) && bits < 12) bits += 1
+          if (next >= 4095) {
+            // clear before the decoder's lagging count could overflow
+            put(256)
+            table.clear()
+            next = 258
+            bits = 9
+          }
+          prev = c
+        }
+      }
+      i += 1
+    }
+    if (prev != -1) put(prev)
+    put(257) // EOI
+    if (nAcc > 0) o.write(((acc << (8 - nAcc)) & 0xFF).toInt)
+    o.toByteArray
+  }
+
+  // ------------------------------------------------------------ decode
+
+  /** Decode to an 8-bit luma plane: (width, height, luma) or null. */
+  private[graft] def decodeLuma(b: Array[Byte]): (Int, Int, Array[Int]) = {
+    if (b == null || b.length < 8) return null
+    val le =
+      if (b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) true
+      else if (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42) false
+      else return null
+    val r = new Rd(b, le)
+    val ifd = r.u32(4)
+    if (ifd < 0 || ifd > Int.MaxValue - 2) return null
+    val i0 = ifd.toInt
+    if (!r.ok(i0, 2)) return null
+    val nEntries = r.u16(i0)
+    if (nEntries <= 0 || nEntries > 512) return null
+    if (!r.ok(i0 + 2, nEntries * 12)) return null
+    var width = -1L; var height = -1L
+    var bitsPerSample = 8L; var compression = 1L
+    var photometric = -1L; var spp = 1L
+    var rowsPerStrip = 0xFFFFFFFFL; var predictor = 1L; var planar = 1L
+    var offs: Array[Long] = null
+    var counts: Array[Long] = null
+    var tiled = false
+    var e = 0
+    while (e < nEntries) {
+      val eo = i0 + 2 + e * 12
+      val tag = r.u16(eo)
+      tag match {
+        case 256 => val v = values(b, r, eo); if (v == null) return null
+          width = v(0)
+        case 257 => val v = values(b, r, eo); if (v == null) return null
+          height = v(0)
+        case 258 => val v = values(b, r, eo); if (v == null) return null
+          // all samples must be 8-bit in this profile
+          if (v.exists(_ != 8L)) return null
+        case 259 => val v = values(b, r, eo); if (v == null) return null
+          compression = v(0)
+        case 262 => val v = values(b, r, eo); if (v == null) return null
+          photometric = v(0)
+        case 273 => offs = values(b, r, eo); if (offs == null) return null
+        case 277 => val v = values(b, r, eo); if (v == null) return null
+          spp = v(0)
+        case 278 => val v = values(b, r, eo); if (v == null) return null
+          rowsPerStrip = v(0)
+        case 279 => counts = values(b, r, eo); if (counts == null) return null
+        case 284 => val v = values(b, r, eo); if (v == null) return null
+          planar = v(0)
+        case 317 => val v = values(b, r, eo); if (v == null) return null
+          predictor = v(0)
+        case 322 | 323 | 324 | 325 => tiled = true
+        case _ => () // unknown tags skip (they may be any type)
+      }
+      e += 1
+    }
+    if (tiled) return null // tiled layout: out of scope
+    if (width <= 0 || height <= 0 || width * height > MaxPixels) return null
+    if (compression != 1L && compression != 5L) return null
+    if (planar != 1L) return null
+    if (predictor != 1L && predictor != 2L) return null
+    val nc = spp.toInt
+    if (photometric == 0L || photometric == 1L) { if (nc != 1) return null }
+    else if (photometric == 2L) { if (nc != 3) return null }
+    else return null // palette/CMYK/YCbCr: out of scope
+    if (offs == null || counts == null || offs.length != counts.length)
+      return null
+    if (rowsPerStrip <= 0) return null
+    val w = width.toInt; val h = height.toInt
+    val rps = math.min(rowsPerStrip, height).toInt
+    val nStrips = (h + rps - 1) / rps
+    if (offs.length != nStrips) return null
+    val rowBytes = w * nc
+    val pixels = new Array[Byte](rowBytes * h)
+    var s = 0
+    while (s < nStrips) {
+      val rows = math.min(rps, h - s * rps)
+      val wantBytes = rows * rowBytes
+      val so = offs(s); val sc = counts(s)
+      if (so < 0 || sc < 0 || so > Int.MaxValue || sc > Int.MaxValue ||
+        !r.ok(so.toInt, sc.toInt)) return null
+      val strip: Array[Byte] =
+        if (compression == 1L) {
+          if (sc.toInt != wantBytes) return null
+          java.util.Arrays.copyOfRange(b, so.toInt, so.toInt + sc.toInt)
+        } else {
+          val d = lzwDecode(b, so.toInt, sc.toInt, wantBytes)
+          if (d == null) return null
+          d
+        }
+      if (predictor == 2L) {
+        // horizontal differencing: accumulate left-to-right per sample
+        var row = 0
+        while (row < rows) {
+          val base = row * rowBytes
+          var x = nc
+          while (x < rowBytes) {
+            strip(base + x) = (strip(base + x) + strip(base + x - nc)).toByte
+            x += 1
+          }
+          row += 1
+        }
+      }
+      System.arraycopy(strip, 0, pixels, s * rps * rowBytes, wantBytes)
+      s += 1
+    }
+    val luma = new Array[Int](w * h)
+    var i = 0
+    while (i < w * h) {
+      luma(i) =
+        if (nc == 1) {
+          val v = pixels(i) & 0xFF
+          if (photometric == 0L) 255 - v else v
+        } else {
+          val p = i * 3
+          (299 * (pixels(p) & 0xFF) + 587 * (pixels(p + 1) & 0xFF) +
+            114 * (pixels(p + 2) & 0xFF)) / 1000
+        }
+      i += 1
+    }
+    (w, h, luma)
+  }
+
+  /** Packed luma stats (min | max<<8 | sum<<16), or the NULL marker. */
+  def lumaStats(b: Array[Byte]): Long = {
+    val r = decodeLuma(b)
+    if (r == null) return NoStats
+    val px = r._3
+    var minL = 255; var maxL = 0; var sum = 0L
+    var i = 0
+    while (i < px.length) {
+      val l = px(i)
+      if (l < minL) minL = l
+      if (l > maxL) maxL = l
+      sum += l
+      i += 1
+    }
+    minL.toLong | (maxL.toLong << 8) | (sum << 16)
+  }
+
+  // -------------------------------------------------------- synthesis
+
+  // the shared q59/q121/q135 residue channel maps — the oracle algebra
+  // the whole pixel family replays
+  private def chR(seed: Long, x: Int, r: Int): Int =
+    (((seed * 2 + x + r * 11) % 256 + 256) % 256).toInt
+  private def chG(seed: Long, x: Int, r: Int): Int =
+    (((seed * 3 + x * 5 + r) % 256 + 256) % 256).toInt
+  private def chB(seed: Long, x: Int, r: Int): Int =
+    (((seed + x * 7 + r * 13) % 256 + 256) % 256).toInt
+
+  /** Write a TIFF: header, pixel strips, then one IFD (offsets
+    * forward-computed). `le` picks the byte order. */
+  private[graft] def writeTiff(le: Boolean, w: Int, h: Int, nc: Int,
+                               photometric: Int, compression: Int,
+                               predictor: Int, rps: Int,
+                               pixels: Array[Byte]): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    def p16(v: Int): Unit =
+      if (le) { o.write(v & 0xFF); o.write((v >> 8) & 0xFF) }
+      else { o.write((v >> 8) & 0xFF); o.write(v & 0xFF) }
+    def p32(v: Long): Unit =
+      if (le) { o.write((v & 0xFF).toInt); o.write(((v >> 8) & 0xFF).toInt)
+        o.write(((v >> 16) & 0xFF).toInt); o.write(((v >> 24) & 0xFF).toInt)
+      } else { o.write(((v >> 24) & 0xFF).toInt)
+        o.write(((v >> 16) & 0xFF).toInt)
+        o.write(((v >> 8) & 0xFF).toInt); o.write((v & 0xFF).toInt) }
+    if (le) { o.write('I'); o.write('I'); o.write(42); o.write(0) }
+    else { o.write('M'); o.write('M'); o.write(0); o.write(42) }
+    // strips first, IFD after — header's IFD pointer patched by layout
+    val rowBytes = w * nc
+    val nStrips = (h + rps - 1) / rps
+    val strips = (0 until nStrips).map { s =>
+      val rows = math.min(rps, h - s * rps)
+      val raw = java.util.Arrays.copyOfRange(pixels,
+        s * rps * rowBytes, s * rps * rowBytes + rows * rowBytes)
+      if (predictor == 2) {
+        var row = 0
+        while (row < rows) {
+          val base = row * rowBytes
+          var x = rowBytes - 1
+          while (x >= nc) {
+            raw(base + x) = (raw(base + x) - raw(base + x - nc)).toByte
+            x -= 1
+          }
+          row += 1
+        }
+      }
+      if (compression == 5) lzwEncode(raw) else raw
+    }
+    val dataStart = 8
+    val stripOffs = strips.scanLeft(dataStart.toLong)(_ + _.length)
+    val ifdOff = stripOffs.last + (stripOffs.last & 1) // word-align
+    // header IFD pointer
+    p32(ifdOff)
+    strips.foreach(s => o.write(s, 0, s.length))
+    if ((stripOffs.last & 1) == 1) o.write(0)
+    // entry list: tags ascending; arrays past 4 bytes park after the IFD
+    case class Entry(tag: Int, typ: Int, count: Int, inline: Long,
+                     arr: Array[Long] = null)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[Entry]
+    entries += Entry(256, 3, 1, w)
+    entries += Entry(257, 3, 1, h)
+    if (nc == 1) entries += Entry(258, 3, 1, 8)
+    else entries += Entry(258, 3, 3, 0, Array(8L, 8L, 8L))
+    entries += Entry(259, 3, 1, compression)
+    entries += Entry(262, 3, 1, photometric)
+    if (nStrips == 1) entries += Entry(273, 4, 1, stripOffs(0))
+    else entries += Entry(273, 4, nStrips, 0,
+      stripOffs.init.toArray)
+    entries += Entry(277, 3, 1, nc)
+    entries += Entry(278, 3, 1, rps)
+    if (nStrips == 1) entries += Entry(279, 4, 1, strips(0).length)
+    else entries += Entry(279, 4, nStrips, 0,
+      strips.map(_.length.toLong).toArray)
+    if (predictor == 2) entries += Entry(317, 3, 1, 2)
+    val sorted = entries.sortBy(_.tag)
+    val n = sorted.length
+    var tail = ifdOff + 2 + n * 12 + 4 // array park position
+    p16(n)
+    val parked = scala.collection.mutable.ArrayBuffer.empty[(Long, Entry)]
+    sorted.foreach { en =>
+      p16(en.tag); p16(en.typ); p32(en.count)
+      val width = if (en.typ == 3) 2 else 4
+      if (en.arr == null) {
+        // inline scalar: SHORTs occupy the FRONT two bytes of the field
+        if (en.typ == 3) { p16(en.inline.toInt); p16(0) }
+        else p32(en.inline)
+      } else if (width * en.count <= 4) {
+        en.arr.foreach(v => p16(v.toInt))
+        var pad = 4 - width * en.count
+        while (pad > 0) { o.write(0); pad -= 1 }
+      } else {
+        parked += ((tail, en))
+        p32(tail)
+        tail += width * en.count
+      }
+    }
+    p32(0) // next-IFD pointer: none
+    parked.foreach { case (_, en) =>
+      en.arr.foreach(v => if (en.typ == 3) p16(v.toInt) else p32(v))
+    }
+    o.toByteArray
+  }
+
+  /** Synthesize a q197 residue class (%5) on the shared channel maps:
+    * 0 → LE gray uncompressed, MULTI-strip (rows-per-strip 2);
+    * 1 → BE gray uncompressed, WhiteIsZero (the polarity inversion);
+    * 2 → LE gray LZW;
+    * 3 → BE RGB LZW + horizontal-differencing Predictor 2;
+    * 4 → class 0 truncated mid-strip (dims parse, stats refuse).
+    * `shape` packs `w | h<<8 | cls<<16`. */
+  def synth(seed: Long, shape: Long): Array[Byte] = {
+    val w = math.max(1, (shape & 0xFF).toInt)
+    val h = math.max(1, ((shape >> 8) & 0xFF).toInt)
+    val cls = ((shape >> 16) & 0xFF).toInt
+    def gray(): Array[Byte] = {
+      val px = new Array[Byte](w * h)
+      var i = 0
+      while (i < w * h) {
+        px(i) = chG(seed, i % w, i / w).toByte; i += 1
+      }
+      px
+    }
+    def rgb(): Array[Byte] = {
+      val px = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < w * h) {
+        val x = i % w; val r = i / w
+        px(3 * i) = chR(seed, x, r).toByte
+        px(3 * i + 1) = chG(seed, x, r).toByte
+        px(3 * i + 2) = chB(seed, x, r).toByte
+        i += 1
+      }
+      px
+    }
+    cls % 5 match {
+      case 0 => writeTiff(le = true, w, h, 1, 1, 1, 1, rps = 2, gray())
+      case 1 =>
+        // WhiteIsZero: stored = 255 - luma, the decoder inverts back
+        val px = gray()
+        var i = 0
+        while (i < px.length) { px(i) = (255 - (px(i) & 0xFF)).toByte; i += 1 }
+        writeTiff(le = false, w, h, 1, 0, 1, 1, rps = h, px)
+      case 2 => writeTiff(le = true, w, h, 1, 1, 5, 1, rps = h, gray())
+      case 3 => writeTiff(le = false, w, h, 3, 2, 5, 2, rps = h, rgb())
+      case _ =>
+        val whole = writeTiff(le = true, w, h, 1, 1, 1, 1, rps = 2, gray())
+        // cut inside the pixel strips but past the header+dims region
+        java.util.Arrays.copyOf(whole, math.max(10, whole.length - w - 6))
+    }
+  }
+}
+
+/** `binary -> long`: packed TIFF luma stats via
+  * [[TiffPixelEval.lumaStats]]; NULL outside the stated scope. */
+case class TiffLuma(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_tiff_luma"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val r = TiffPixelEval.lumaStats(input.asInstanceOf[Array[Byte]])
+    if (r == java.lang.Long.MIN_VALUE) null else r
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, bytes => {
+      val res = ctx.freshName("tluma")
+      s"""
+         |long $res = graft.functions.TiffPixelEval.lumaStats($bytes);
+         |if ($res == java.lang.Long.MIN_VALUE) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $res; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TiffLuma =
+    copy(child = newChild)
+}
+
+/** `(seed, shape) -> binary`: a synthesized TIFF per the q197 residue
+  * classes; `shape` packs `w | h<<8 | cls<<16`. */
+case class TiffPixelSynth(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_tiff_pixel_synth"
+
+  override protected def nullSafeEval(seed: Any, shape: Any): Any =
+    TiffPixelEval.synth(seed.asInstanceOf[Long], shape.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (s, p) => s"graft.functions.TiffPixelEval.synth($s, $p)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): TiffPixelSynth =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column surface for the TIFF pixel kernels. */
+object TiffPixelOps {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  def tiffLuma(bin: Column): Column =
+    ColumnBridge.column(TiffLuma(ColumnBridge.expression(bin.cast("binary"))))
+
+  def tiffPixelSynth(seed: Column, shape: Column): Column =
+    ColumnBridge.column(TiffPixelSynth(
+      ColumnBridge.expression(seed.cast("long")),
+      ColumnBridge.expression(shape.cast("long"))))
+}

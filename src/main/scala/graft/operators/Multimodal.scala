@@ -1327,43 +1327,59 @@ object Multimodal {
     * kernel; the teeth are that THREE independent decode families must
     * agree with one oracle).
     *
-    * Residue classes (%5): 0 → baseline grayscale JPEG (q118's class-0
+    * Residue classes (%7): 0 → baseline grayscale JPEG (q118's class-0
     * shape); 1 → truecolor PNG with the five-filter walk (q121's
     * class 1); 2 → GIF89a (q124's class 0); 3 → lossless WebP VP8L
-    * (q135's literal class); 4 → not an image.
+    * (q135's literal class); 5 → LOSSY VP8 (q196's WHT half-split
+    * class — the webp branch serves both codecs); 6 → TIFF LE strips
+    * (q197's class 0, dims through q129's walk); 4 → not an image.
     * One narrow map, zero exchanges, each kernel AT MOST once — pinned.
     */
   def q127ImageIntake(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.{GifPixelOps, JpegPixelOps, PngPixelOps, WebpPixelOps}
+    import graft.functions.{GifPixelOps, JpegPixelOps, PngPixelOps, TiffOps, TiffPixelOps, Vp8Ops, WebpPixelOps}
     val docs = Tables.load(spark, dir, "documents")
     val id = col("doc_id")
     val jw = (id % 3 + 1).cast("long")
     val jh = (id % 2 + 1).cast("long")
     val pw = (id % 6 + 1).cast("long")
     val ph = (id % 4 + 1).cast("long")
-    val payload = when(id % 5 === 0,
+    val tw = (id % 6 + 2).cast("long")
+    val th = (id % 4 + 2).cast("long")
+    val payload = when(id % 7 === 0,
         JpegPixelOps.jpegSynth(id, jw + jh * 256)) // baseline grayscale
-      .when(id % 5 === 1,
+      .when(id % 7 === 1,
         PngPixelOps.pngSynth(id, pw + ph * 256 + lit(1L << 16))) // RGB
-      .when(id % 5 === 2,
+      .when(id % 7 === 2,
         GifPixelOps.gifSynth(id, pw + ph * 256)) // GIF89a plain
-      .when(id % 5 === 3,
+      .when(id % 7 === 3,
         WebpPixelOps.webpSynth(id, pw + ph * 256)) // VP8L literals
+      .when(id % 7 === 5,
+        Vp8Ops.vp8Synth(id, lit(2L))) // LOSSY VP8: the WHT half-split
+      .when(id % 7 === 6,
+        TiffPixelOps.tiffPixelSynth(id, tw + th * 256)) // TIFF LE strips
       .otherwise(col("text").cast("binary"))
+    val isTiff = hex(substring(col("_p"), 1, 4)).isin("49492A00", "4D4D002A")
     val staged = docs.select(id, payload.as("_p"))
       .withColumn("_jd", graft.functions.ImageOps.jpegDims(col("_p")))
       .withColumn("_m", decodeImageMetaFrom(col("_p"), col("_jd")))
+      // TIFF rides q129's dims walk (pre-projected once — the same
+      // discipline as the packed JPEG dims)
+      .withColumn("_td", when(isTiff, TiffOps.tiffDims(col("_p"))))
       // magic-byte ROUTING: the when-chain evaluates lazily, so a row
-      // runs exactly its own format's decode walk
+      // runs exactly its own format's decode walk; the webp branch
+      // serves BOTH VP8L and (since r17) in-profile lossy VP8
       .withColumn("_l",
         when(col("_m.format") === "jpeg", JpegPixelOps.jpegLuma(col("_p")))
           .when(col("_m.format") === "png", PngPixelOps.pngLuma(col("_p")))
           .when(col("_m.format") === "gif", GifPixelOps.gifLuma(col("_p")))
-          .when(col("_m.format") === "webp", WebpPixelOps.webpLuma(col("_p"))))
+          .when(col("_m.format") === "webp", WebpPixelOps.webpLuma(col("_p")))
+          .when(isTiff, TiffPixelOps.tiffLuma(col("_p"))))
     staged.select(id,
-      col("_m.format").as("format"),
-      col("_m.width").as("width"),
-      col("_m.height").as("height"),
+      when(isTiff, "tiff").otherwise(col("_m.format")).as("format"),
+      when(isTiff, shiftright(col("_td"), 32).cast("int"))
+        .otherwise(col("_m.width")).as("width"),
+      when(isTiff, col("_td").bitwiseAND(lit(0xFFFFFFFFL)).cast("int"))
+        .otherwise(col("_m.height")).as("height"),
       col("_l").bitwiseAND(lit(0xFF)).cast("int").as("min_luma"),
       shiftright(col("_l"), 8).bitwiseAND(lit(0xFF)).cast("int").as("max_luma"),
       shiftrightunsigned(col("_l"), 16).as("sum_luma"))
@@ -2065,6 +2081,50 @@ object Multimodal {
       col("_m.format").as("format"),
       col("_m.width").as("width"),
       col("_m.height").as("height"),
+      col("_l").bitwiseAND(lit(0xFF)).cast("int").as("min_luma"),
+      shiftright(col("_l"), 8).bitwiseAND(lit(0xFF)).cast("int").as("max_luma"),
+      shiftrightunsigned(col("_l"), 16).as("sum_luma"))
+  }
+
+  // ---------------------------------------------------------------- q197
+
+  /** Q197: TIFF PIXEL decode — the scanned-documents format q129 read
+    * dims from, now with a pixel plane (the last common still-image
+    * container without one): strip assembly under EITHER byte order,
+    * baseline uncompressed and TIFF-variant LZW (MSB-first, EARLY
+    * width change — pinned bidirectionally against the JDK's own
+    * imageio TIFF plugin in TiffPixelSpec), horizontal-differencing
+    * Predictor 2, WhiteIsZero/BlackIsZero polarities, gray + RGB, all
+    * through [[graft.functions.TiffPixelEval]] to the shared
+    * packed-luma contract. Tiles, deep samples, palettes, and the
+    * exotic compressions refuse with dims intact (the q39 split).
+    *
+    * Residue classes (%5): 0 → LE gray uncompressed MULTI-strip
+    * (rows-per-strip 2); 1 → BE gray WhiteIsZero (the polarity cross);
+    * 2 → LE gray LZW; 3 → BE RGB LZW + Predictor 2; 4 → truncated
+    * mid-strip (is_tiff = 1, stats refuse). Pixels ride the family
+    * channel maps, so the oracle replays min/max/sum luma from doc_id
+    * algebra alone — a strip-offset, LZW-width, predictor, or
+    * polarity slip cannot cancel. One narrow map, kernel once per
+    * row, zero exchanges.
+    */
+  def q197TiffPixels(spark: SparkSession, dir: String): DataFrame =
+    q197TiffPixelsOn(Tables.load(spark, dir, "documents"))
+
+  /** [[q197TiffPixels]] over an explicit corpus (ScaleSpec hook). */
+  def q197TiffPixelsOn(docs: DataFrame): DataFrame = {
+    import graft.functions.TiffPixelOps
+    val id = col("doc_id")
+    val w = (id % 6 + 2).cast("long")
+    val h = (id % 4 + 2).cast("long")
+    val shape = w + h * 256 + (id % 5) * 65536
+    val staged = docs.select(id, TiffPixelOps.tiffPixelSynth(id, shape).as("_p"))
+      .withColumn("_l", TiffPixelOps.tiffLuma(col("_p")))
+    staged.select(id,
+      hex(substring(col("_p"), 1, 4)).isin("49492A00", "4D4D002A")
+        .cast("int").as("is_tiff"),
+      w.cast("int").as("width"),
+      h.cast("int").as("height"),
       col("_l").bitwiseAND(lit(0xFF)).cast("int").as("min_luma"),
       shiftright(col("_l"), 8).bitwiseAND(lit(0xFF)).cast("int").as("max_luma"),
       shiftrightunsigned(col("_l"), 16).as("sum_luma"))

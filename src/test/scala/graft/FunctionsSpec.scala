@@ -85,7 +85,9 @@ class FunctionsSpec extends AnyFunSuite {
       "graft_lsh_bits", "graft_dot", "graft_dot_i8", "graft_pq_adc",
       "graft_bpe_tokens", "graft_deflate_len", "graft_nfc",
       "graft_dechunk", "graft_sniff_charset", "graft_decode_charset",
-      "graft_jpeg_luma", "graft_jpeg_synth")
+      "graft_jpeg_luma", "graft_jpeg_synth", "graft_webp_luma",
+      "graft_vp8_synth", "graft_tiff_luma", "graft_tiff_pixel_synth",
+      "graft_zstd_decode_dict")
     kernels.foreach(k =>
       assert(plan.contains(k), s"warm plan does not touch $k"))
     // and it runs: one local 1-row collect, no exceptions

@@ -1082,7 +1082,7 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
-  test("compression-family intakes (q188-q196) stay zero-exchange maps") {
+  test("compression-family intakes (q188-q197) stay zero-exchange maps") {
     // the r16 family shipped value specs but no plan pins — this is the
     // repo's own bar: every decode is a narrow per-row kernel; payloads
     // never shuffle
@@ -1096,7 +1096,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "q194" -> graft.sources.Wiki.q194WikiDump(spark, TestSpark.Sf0001),
       "q195" -> graft.sources.Tar.q195TarballIntake(spark, TestSpark.Sf0001),
       "q196" ->
-        graft.operators.Multimodal.q196Vp8Pixels(spark, TestSpark.Sf0001))
+        graft.operators.Multimodal.q196Vp8Pixels(spark, TestSpark.Sf0001),
+      "q197" ->
+        graft.operators.Multimodal.q197TiffPixels(spark, TestSpark.Sf0001))
     zeroes.foreach { case (name, df) =>
       val p = plan(df)
       assert(shuffles(df) === 0, s"$name grew a shuffle:\n$p")

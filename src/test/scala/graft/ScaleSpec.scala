@@ -691,6 +691,18 @@ class ScaleSpec extends AnyFunSuite {
       n => n / 5 * 192 + n / 5 * 3)
   }
 
+  test("q197 tiff pixels: 10x docs, encode+decode per row, ~linear", Slow) {
+    import graft.operators.Multimodal
+    decade("q197",
+      n => Multimodal.q197TiffPixelsOn(synthMix(n))
+        .agg(sum(col("width")) + count(col("min_luma"))).head.getLong(0),
+      n => {
+        // width = doc_id%6+2 summed over n (6 | D1), plus 4n/5 decoded
+        val widthSum = (0 until 6).map(_ + 2).sum.toLong * (n / 6)
+        widthSum + n / 5 * 4
+      })
+  }
+
   test("intake capstones second decade: 100x docs through the full " +
     "composed stack, ~linear", Slow) {
     // q116/q189/q194/q195 compose 5-6 layers (WARC wrap, compression,

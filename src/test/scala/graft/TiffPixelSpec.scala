@@ -1,0 +1,228 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TiffPixelEval
+
+/** The TIFF pixel plane drilled the family way: the LZW variant is
+  * pinned by a paper-derived code vector AND against an independent
+  * in-container reference — the JDK's own javax.imageio TIFF plugin —
+  * in BOTH directions (it writes, we read; we write, it reads). Both
+  * byte orders must agree pixel for pixel, the photometric inversion
+  * and Predictor 2 have dedicated drills, and flips/cuts refuse
+  * without throwing.
+  */
+class TiffPixelSpec extends AnyFunSuite {
+
+  private def b64(s: String): Array[Byte] =
+    java.util.Base64.getDecoder.decode(s)
+
+  test("LZW hand vector: ABABABA spells Clear,65,66,258,260,EOI at 9 bits") {
+    // paper walk — encode: A|B miss->65, B|A miss->66, AB hit then
+    // ABA miss->258, AB,ABA hit to the end->260; decode meets the
+    // KwKwK case at 260 (code == next). 54 bits, zero-padded to 7 bytes.
+    val codes = Seq(256, 65, 66, 258, 260, 257)
+    val bits = codes.flatMap(c => (8 to 0 by -1).map(k => (c >> k) & 1))
+    val padded = bits ++ Seq.fill((8 - bits.length % 8) % 8)(0)
+    val vector = padded.grouped(8)
+      .map(_.foldLeft(0)((a, b) => (a << 1) | b).toByte).toArray
+    val data = "ABABABA".getBytes("US-ASCII")
+    assert(TiffPixelEval.lzwEncode(data).toList === vector.toList)
+    assert(TiffPixelEval.lzwDecode(vector, 0, vector.length, 7).toList ===
+      data.toList)
+  }
+
+  test("LZW early change: the 0..255 ramp flips widths ONE code early " +
+    "in the decoder's counting — byte-identical to the reference writer") {
+    // derivation: the decoder completes a table entry only after seeing
+    // the NEXT code, so its add count lags the encoder's by one. Its
+    // width bumps when its next-free entry hits 2^9 - 1 = 511 — after
+    // reading code 254 of the ramp — so codes 0..253 travel at 9 bits
+    // and 254, 255, EOI at 10; the encoder mirrors that at ITS count
+    // of 2^9. This vector is byte-identical to the strip the imageio
+    // TIFF writer produces for the same row (generated offline; the
+    // live cross-check below re-proves it in-process).
+    val vector = b64(
+      "gAAAICAYEAoGA4IBIKBYMBoOB4QCISCYUCoWC4YDIaDYcDoeD4gEIiEYkEomE4oF" +
+      "IqFYsFouF4wGIyGY0Go2G44HI6HY8Ho+H5AIJCIZEIpGI5IJJKJZMJpOJ5QKJSKZ" +
+      "UKpWK5YLJaLZcLpeL5gMJiMZkMpmM5oNJqNZsNpuN5wOJyOZ0Op2O54PJ6PZ8Pp+" +
+      "P6AQKCQaEQqGQ6IRKKRaMRqOR6QSKSSaUSqWS6YTKaTacTqeT6gUKiUakUqmU6oV" +
+      "KqVasVquV6wWKyWa0Wq2W64XK6Xa8Xq+X7AYLCYbEYrGY7IZLKZbMZrOZ7QaLSab" +
+      "UarWa7YbLabbcbreb7gcLicbkcrmc7odLqdbsdrud7weLyeb0er2e74fL6fb8fp/" +
+      "H+gI")
+    val ramp = Array.tabulate(256)(_.toByte)
+    assert(TiffPixelEval.lzwEncode(ramp).toList === vector.toList)
+    assert(TiffPixelEval.lzwDecode(vector, 0, vector.length, 256).toList ===
+      ramp.toList)
+  }
+
+  test("interop: an imageio-written LZW tiff (BE, gray ramp) decodes whole") {
+    val file = b64(
+      "TU0AKgAAAAgADAEAAAMAAAABAQAAAAEBAAMAAAABAAEAAAECAAMAAAABAAgAAAED" +
+      "AAMAAAABAAUAAAEGAAMAAAABAAEAAAERAAQAAAABAAAAsAEVAAMAAAABAAEAAAEW" +
+      "AAMAAAABAAEAAAEXAAQAAAABAAABIwEaAAUAAAABAAAAoAEbAAUAAAABAAAAqAEo" +
+      "AAMAAAABAAEAAAAAAAAAAAAAAAEAAAABAAAAAQAAAAGAAAAgIBgQCgYDggEgoFgw" +
+      "Gg4HhAIhIJhQKhYLhgMhoNhwOh4PiAQiIRiQSiYTigUioViwWi4XjAYjIZjQajYb" +
+      "jgcjodjwej4fkAgkIhkQikYjkgkkolkwmk4nlAolIplQqlYrlgslotlwul4vmAwm" +
+      "IxmQymYzmg0mo1mw2m43nA4nI5nQ6nY7ng8no9nw+n4/oBAoJBoRCoZDohEopFox" +
+      "Go5HpBIpJJpRKpZLphMppNpxOp5PqBQqJRqRSqZTqhUqpVqxWq5XrBYrJZrRarZb" +
+      "rhcrpdrxer5fsBgsJhsRisZjshksplsxms5ntBotJptRqtZrthstpttxut5vuBwu" +
+      "JxuRyuZzuh0up1ux2u53vB4vJ5vR6vZ7vh8vp9vx+n8f6Ag=")
+    val r = TiffPixelEval.decodeLuma(file)
+    assert(r != null, "reference-written LZW tiff refused")
+    assert(r._1 === 256 && r._2 === 1)
+    assert(r._3.toList === (0 until 256).toList)
+  }
+
+  test("interop LIVE: imageio-written LZW tiffs (gray + RGB) decode to " +
+    "the reference pixels; imageio reads OUR tiffs back") {
+    import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+    import java.awt.image.BufferedImage
+    def write(img: BufferedImage): Array[Byte] = {
+      val w = ImageIO.getImageWritersByFormatName("tiff").next()
+      val p = w.getDefaultWriteParam
+      p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionType("LZW")
+      val bo = new java.io.ByteArrayOutputStream()
+      val os = ImageIO.createImageOutputStream(bo)
+      w.setOutput(os)
+      w.write(null, new IIOImage(img, null, null), p)
+      os.close(); w.dispose()
+      bo.toByteArray
+    }
+    val rnd = new java.util.Random(0x11FFL)
+    val gray = new BufferedImage(37, 19, BufferedImage.TYPE_BYTE_GRAY)
+    (0 until 19).foreach(y => (0 until 37).foreach(x =>
+      gray.getRaster.setSample(x, y, 0, rnd.nextInt(256))))
+    val g = TiffPixelEval.decodeLuma(write(gray))
+    assert(g != null && g._1 === 37 && g._2 === 19)
+    (0 until 19).foreach(y => (0 until 37).foreach(x =>
+      assert(g._3(y * 37 + x) === gray.getRaster.getSample(x, y, 0))))
+    val rgb = new BufferedImage(23, 11, BufferedImage.TYPE_3BYTE_BGR)
+    (0 until 11).foreach(y => (0 until 23).foreach(x =>
+      rgb.setRGB(x, y, rnd.nextInt(1 << 24))))
+    val c = TiffPixelEval.decodeLuma(write(rgb))
+    assert(c != null && c._1 === 23 && c._2 === 11)
+    (0 until 11).foreach { y =>
+      (0 until 23).foreach { x =>
+        val v = rgb.getRGB(x, y)
+        val want = (299 * ((v >> 16) & 0xFF) + 587 * ((v >> 8) & 0xFF) +
+          114 * (v & 0xFF)) / 1000
+        assert(c._3(y * 23 + x) === want, s"rgb ($x,$y)")
+      }
+    }
+    // reverse direction: imageio reads OUR LZW/predictor tiffs
+    (0 until 4).foreach { cls =>
+      val mine = TiffPixelEval.synth(13L, 8L | (6L << 8) | (cls.toLong << 16))
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(mine))
+      assert(img != null, s"imageio refused our class-$cls tiff")
+      assert(img.getWidth === 8 && img.getHeight === 6)
+      val ours = TiffPixelEval.decodeLuma(mine)
+      val bands = img.getRaster.getNumBands
+      (0 until 6).foreach { y =>
+        (0 until 8).foreach { x =>
+          // raster samples, not getRGB: Java's gray ColorSpace would
+          // gamma-map gray samples into sRGB and break the comparison
+          val luma =
+            if (bands == 1) {
+              // (for the WhiteIsZero class imageio applies the
+              // inversion too, so samples compare directly)
+              img.getRaster.getSample(x, y, 0)
+            } else {
+              (299 * img.getRaster.getSample(x, y, 0) +
+                587 * img.getRaster.getSample(x, y, 1) +
+                114 * img.getRaster.getSample(x, y, 2)) / 1000
+            }
+          assert(ours._3(y * 8 + x) === luma,
+            s"class $cls ($x,$y): imageio disagrees")
+        }
+      }
+    }
+  }
+
+  test("LZW round trip crosses every width (9 through 12) and a Clear") {
+    val rnd = new java.util.Random(0x71FFL)
+    val data = new Array[Byte](30000)
+    rnd.nextBytes(data) // incompressible: the table fills past 2046
+    val enc = TiffPixelEval.lzwEncode(data)
+    val dec = TiffPixelEval.lzwDecode(enc, 0, enc.length, data.length)
+    assert(dec != null && java.util.Arrays.equals(dec, data))
+  }
+
+  test("both byte orders decode to the SAME pixels (classes 0 vs 1 " +
+    "modulo the WhiteIsZero inversion)") {
+    val shape = 9L | (5L << 8)
+    val le = TiffPixelEval.decodeLuma(TiffPixelEval.synth(3L, shape))
+    val be = TiffPixelEval.decodeLuma(TiffPixelEval.synth(3L, shape | (1L << 16)))
+    assert(le != null && be != null)
+    assert(le._1 === 9 && le._2 === 5)
+    // class 1 stores 255-v under WhiteIsZero; the decoder inverts back
+    assert(le._3.toList === be._3.toList)
+  }
+
+  test("LZW class and predictor class reproduce the channel-map pixels") {
+    def chR(seed: Long, x: Int, r: Int) =
+      (((seed * 2 + x + r * 11) % 256 + 256) % 256).toInt
+    def chG(seed: Long, x: Int, r: Int) =
+      (((seed * 3 + x * 5 + r) % 256 + 256) % 256).toInt
+    def chB(seed: Long, x: Int, r: Int) =
+      (((seed + x * 7 + r * 13) % 256 + 256) % 256).toInt
+    val shape = 7L | (4L << 8)
+    val gray = TiffPixelEval.decodeLuma(
+      TiffPixelEval.synth(11L, shape | (2L << 16)))
+    assert(gray != null)
+    (0 until 4).foreach { r =>
+      (0 until 7).foreach { x =>
+        assert(gray._3(r * 7 + x) === chG(11L, x, r), s"gray ($x,$r)")
+      }
+    }
+    val rgb = TiffPixelEval.decodeLuma(
+      TiffPixelEval.synth(11L, shape | (3L << 16)))
+    assert(rgb != null)
+    (0 until 4).foreach { r =>
+      (0 until 7).foreach { x =>
+        val want = (299 * chR(11L, x, r) + 587 * chG(11L, x, r) +
+          114 * chB(11L, x, r)) / 1000
+        assert(rgb._3(r * 7 + x) === want, s"rgb ($x,$r)")
+      }
+    }
+  }
+
+  test("multi-strip assembly: rows-per-strip 2 tiles the plane in order") {
+    val shape = 5L | (7L << 8) // 4 strips: 2+2+2+1 rows
+    val r = TiffPixelEval.decodeLuma(TiffPixelEval.synth(23L, shape))
+    assert(r != null && r._2 === 7)
+    def chG(seed: Long, x: Int, row: Int) =
+      (((seed * 3 + x * 5 + row) % 256 + 256) % 256).toInt
+    (0 until 7).foreach { row =>
+      (0 until 5).foreach { x =>
+        assert(r._3(row * 5 + x) === chG(23L, x, row), s"($x,$row)")
+      }
+    }
+  }
+
+  test("truncation and scope refusals: stats refuse, never throw") {
+    val cut = TiffPixelEval.synth(9L, 6L | (4L << 8) | (4L << 16))
+    assert(TiffPixelEval.lumaStats(cut) === java.lang.Long.MIN_VALUE)
+    assert(TiffPixelEval.lumaStats("not a tiff".getBytes("US-ASCII")) ===
+      java.lang.Long.MIN_VALUE)
+    assert(TiffPixelEval.lumaStats(null) === java.lang.Long.MIN_VALUE)
+  }
+
+  test("fuzz: flips and cuts over all classes refuse or decode, " +
+    "never throw") {
+    val rnd = new java.util.Random(0x7177L)
+    (0 until 5).foreach { cls =>
+      val whole = TiffPixelEval.synth(5L, 6L | (5L << 8) | (cls.toLong << 16))
+      (0 until 200).foreach { k =>
+        val bad = whole.clone()
+        bad(rnd.nextInt(bad.length)) = rnd.nextInt(256).toByte
+        try TiffPixelEval.lumaStats(bad)
+        catch { case e: Throwable => fail(s"cls $cls flip $k threw: $e") }
+      }
+      (1 until whole.length by 5).foreach { cut =>
+        try TiffPixelEval.lumaStats(java.util.Arrays.copyOf(whole, cut))
+        catch { case e: Throwable => fail(s"cls $cls cut $cut threw: $e") }
+      }
+    }
+  }
+}
