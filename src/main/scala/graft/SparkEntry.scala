@@ -3407,23 +3407,23 @@ object SparkEntry {
     "q189_zstd_intake" -> fullStackOracle,
     // q197: the oracle replays min/max/sum luma from the family
     // channel maps per class (the gray map for the uncompressed, BE,
-    // polarity, and LZW classes; the RGB fold for the predictor
-    // class) — it never touches a TIFF byte, so a strip-offset,
+    // polarity, LZW, and PackBits classes; the RGB fold for the two
+    // predictor classes) — it never touches a TIFF byte, so a strip-offset,
     // LZW-width, predictor, or polarity slip cannot cancel
     "q197_tiff_pixels" ->
       ("WITH p AS (SELECT doc_id, doc_id % 6 + 2 AS w, doc_id % 4 + 2 AS h, " +
-        "doc_id % 5 AS cls FROM documents), " +
+        "doc_id % 7 AS cls FROM documents), " +
         "g AS (SELECT doc_id, min(luma) AS mn, max(luma) AS mx, " +
         "sum(luma) AS s FROM (SELECT doc_id, " +
         "(doc_id*3 + (i % w)*5 + (i // w)) % 256 AS luma " +
-        "FROM p, UNNEST(range(0, w * h)) AS t(i) WHERE cls <= 2) " +
+        "FROM p, UNNEST(range(0, w * h)) AS t(i) WHERE cls IN (0, 1, 2, 5)) " +
         "GROUP BY doc_id), " +
         "c AS (SELECT doc_id, min(luma) AS mn, max(luma) AS mx, " +
         "sum(luma) AS s FROM (SELECT doc_id, " +
         "(299 * ((doc_id*2 + (i % w) + (i // w)*11) % 256) + " +
         "587 * ((doc_id*3 + (i % w)*5 + (i // w)) % 256) + " +
         "114 * ((doc_id + (i % w)*7 + (i // w)*13) % 256)) // 1000 AS luma " +
-        "FROM p, UNNEST(range(0, w * h)) AS t(i) WHERE cls = 3) " +
+        "FROM p, UNNEST(range(0, w * h)) AS t(i) WHERE cls IN (3, 6)) " +
         "GROUP BY doc_id) " +
         "SELECT p.doc_id, CAST(1 AS INTEGER) AS is_tiff, " +
         "CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height, " +

@@ -482,28 +482,39 @@ object Bzip2Eval {
     var rank = new Array[Int](n)
     var i = 0
     while (i < n) { rank(i) = in(i) & 0xFF; i += 1 }
-    val idx = Array.tabulate(n)(identity)
+    // each round sorts PACKED PRIMITIVE keys (rank<<40 | nextRank<<20 |
+    // index — blockCap 100000 < 2^20 so nothing collides): a boxed
+    // tuple sortBy here cost the bzip2-synth queries ~4x at sf0.1
+    val keys = new Array[Long](n)
     var k = 1
     var allDistinct = n <= 1
     while (k < n && !allDistinct) {
-      val kk = k
-      val r = rank
-      val round = idx.sortBy(a => (r(a), r((a + kk) % n)))
+      i = 0
+      while (i < n) {
+        keys(i) = (rank(i).toLong << 40) |
+          (rank((i + k) % n).toLong << 20) | i
+        i += 1
+      }
+      java.util.Arrays.sort(keys)
       val newRank = new Array[Int](n)
-      newRank(round(0)) = 0
-      var j = 1
-      while (j < n) {
-        val a = round(j - 1); val c = round(j)
-        val same = r(a) == r(c) && r((a + kk) % n) == r((c + kk) % n)
-        newRank(c) = newRank(a) + (if (same) 0 else 1)
-        j += 1
+      newRank((keys(0) & 0xFFFFF).toInt) = 0
+      var r = 0
+      i = 1
+      while (i < n) {
+        if ((keys(i) >>> 20) != (keys(i - 1) >>> 20)) r += 1
+        newRank((keys(i) & 0xFFFFF).toInt) = r
+        i += 1
       }
       rank = newRank
-      if (rank(round(n - 1)) == n - 1) allDistinct = true
+      allDistinct = r == n - 1
       k <<= 1
     }
-    val fr = rank
-    val sorted = idx.sortBy(a => (fr(a), a))
+    i = 0
+    while (i < n) { keys(i) = (rank(i).toLong << 20) | i; i += 1 }
+    java.util.Arrays.sort(keys) // equal rotations tiebreak by index
+    val sorted = new Array[Int](n)
+    i = 0
+    while (i < n) { sorted(i) = (keys(i) & 0xFFFFF).toInt; i += 1 }
     val last = new Array[Byte](n)
     var orig = -1
     i = 0

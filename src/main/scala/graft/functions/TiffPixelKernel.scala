@@ -28,12 +28,17 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   *    inverts, 1 = BlackIsZero) and 8-bit RGB, folded to the shared
   *    packed-luma contract (Rec.601 integer weights).
   *
+  *  - PackBits (Compression=32773) strips — the classic Mac/TIFF RLE;
+  *  - Deflate strips (Compression=8 and the old Adobe 32946 code),
+  *    zlib-wrapped, through a thread-local JDK Inflater (the
+  *    GzipKernel discipline).
+  *
   * Stated scope, refusing rather than guessing: tiled layout (tags
   * 322-325), 1/4/16-bit samples, palette color (photometric 3),
-  * PackBits/CCITT/JPEG-in-TIFF compressions, and planar configuration
-  * 2 all return the NULL marker; dims still parse through q129's meta
-  * walk (the q39 split). A strip table addressing bytes the buffer
-  * never carried refuses whole. Resource guard: 1 Mi pixels.
+  * CCITT/JPEG-in-TIFF compressions, and planar configuration 2 all
+  * return the NULL marker; dims still parse through q129's meta walk
+  * (the q39 split). A strip table addressing bytes the buffer never
+  * carried refuses whole. Resource guard: 1 Mi pixels.
   *
   * The paired synthesizer writes real TIFFs both-endian with a real
   * early-change LZW compressor; TiffPixelSpec pins a hand-computed
@@ -239,6 +244,112 @@ object TiffPixelEval {
     o.toByteArray
   }
 
+  // ------------------------------------------------- PackBits / Deflate
+
+  /** PackBits decode (TIFF 6.0 §9): n in 0..127 copies n+1 literals,
+    * n in -1..-127 repeats the next byte 1-n times, -128 is a noop.
+    * Must fill exactly `want` bytes. */
+  private[graft] def packbitsDecode(b: Array[Byte], off: Int, len: Int,
+                                    want: Int): Array[Byte] = {
+    if (want < 0 || want > (MaxPixels << 2)) return null
+    val out = new Array[Byte](want)
+    var o = 0
+    var p = off
+    val end = off + len
+    while (o < want) {
+      if (p >= end) return null
+      val n = b(p)
+      p += 1
+      if (n >= 0) {
+        val cnt = n + 1
+        if (p + cnt > end || o + cnt > want) return null
+        System.arraycopy(b, p, out, o, cnt)
+        p += cnt; o += cnt
+      } else if (n != -128) {
+        val cnt = 1 - n
+        if (p >= end || o + cnt > want) return null
+        java.util.Arrays.fill(out, o, o + cnt, b(p))
+        p += 1; o += cnt
+      } // -128: noop
+    }
+    out
+  }
+
+  /** PackBits encode (the synthesis side): literal runs broken at
+    * repeats of 3+, repeat runs capped at 128. */
+  private[graft] def packbitsEncode(data: Array[Byte]): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < data.length) {
+      var run = 1
+      while (i + run < data.length && run < 128 &&
+        data(i + run) == data(i)) run += 1
+      if (run >= 3) {
+        o.write(1 - run); o.write(data(i))
+        i += run
+      } else {
+        // literal run up to the next 3+ repeat (or 128 bytes)
+        var j = i
+        var lit = 0
+        var stop = false
+        while (!stop && j < data.length && lit < 128) {
+          var r = 1
+          while (j + r < data.length && r < 3 && data(j + r) == data(j)) r += 1
+          if (r >= 3) stop = true
+          else { j += 1; lit += 1 }
+        }
+        o.write(lit - 1)
+        o.write(data, i, lit)
+        i += lit
+      }
+    }
+    o.toByteArray
+  }
+
+  // one Inflater/Deflater per executor thread (the GzipKernel
+  // discipline): native handles are expensive, rows are many
+  private val infl = new ThreadLocal[java.util.zip.Inflater] {
+    override def initialValue(): java.util.zip.Inflater =
+      new java.util.zip.Inflater() // zlib-wrapped, per the TIFF spec
+  }
+  private val defl = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater()
+  }
+
+  private def inflateStrip(b: Array[Byte], off: Int, len: Int,
+                           want: Int): Array[Byte] = {
+    if (want < 0 || want > (MaxPixels << 2)) return null
+    val inf = infl.get()
+    inf.reset()
+    inf.setInput(b, off, len)
+    val out = new Array[Byte](want)
+    try {
+      var o = 0
+      while (o < want && !inf.finished()) {
+        val n = inf.inflate(out, o, want - o)
+        if (n == 0 && !inf.finished()) return null // truncated/needs-dict
+        o += n
+      }
+      if (o != want) return null
+      out
+    } catch { case _: java.util.zip.DataFormatException => null }
+  }
+
+  private[graft] def deflateStrip(data: Array[Byte]): Array[Byte] = {
+    val d = defl.get()
+    d.reset()
+    d.setInput(data)
+    d.finish()
+    val o = new java.io.ByteArrayOutputStream(data.length / 2 + 32)
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) {
+      val n = d.deflate(buf)
+      o.write(buf, 0, n)
+    }
+    o.toByteArray
+  }
+
   // ------------------------------------------------------------ decode
 
   /** Decode to an 8-bit luma plane: (width, height, luma) or null. */
@@ -296,7 +407,8 @@ object TiffPixelEval {
     }
     if (tiled) return null // tiled layout: out of scope
     if (width <= 0 || height <= 0 || width * height > MaxPixels) return null
-    if (compression != 1L && compression != 5L) return null
+    if (compression != 1L && compression != 5L && compression != 8L &&
+      compression != 32773L && compression != 32946L) return null
     if (planar != 1L) return null
     if (predictor != 1L && predictor != 2L) return null
     val nc = spp.toInt
@@ -323,8 +435,16 @@ object TiffPixelEval {
         if (compression == 1L) {
           if (sc.toInt != wantBytes) return null
           java.util.Arrays.copyOfRange(b, so.toInt, so.toInt + sc.toInt)
-        } else {
+        } else if (compression == 5L) {
           val d = lzwDecode(b, so.toInt, sc.toInt, wantBytes)
+          if (d == null) return null
+          d
+        } else if (compression == 32773L) {
+          val d = packbitsDecode(b, so.toInt, sc.toInt, wantBytes)
+          if (d == null) return null
+          d
+        } else { // 8 / 32946: zlib-wrapped deflate
+          val d = inflateStrip(b, so.toInt, sc.toInt, wantBytes)
           if (d == null) return null
           d
         }
@@ -426,7 +546,12 @@ object TiffPixelEval {
           row += 1
         }
       }
-      if (compression == 5) lzwEncode(raw) else raw
+      compression match {
+        case 5 => lzwEncode(raw)
+        case 32773 => packbitsEncode(raw)
+        case 8 => deflateStrip(raw)
+        case _ => raw
+      }
     }
     val dataStart = 8
     val stripOffs = strips.scanLeft(dataStart.toLong)(_ + _.length)
@@ -483,11 +608,13 @@ object TiffPixelEval {
     o.toByteArray
   }
 
-  /** Synthesize a q197 residue class (%5) on the shared channel maps:
+  /** Synthesize a q197 residue class (%7) on the shared channel maps:
     * 0 → LE gray uncompressed, MULTI-strip (rows-per-strip 2);
     * 1 → BE gray uncompressed, WhiteIsZero (the polarity inversion);
     * 2 → LE gray LZW;
     * 3 → BE RGB LZW + horizontal-differencing Predictor 2;
+    * 5 → LE gray PACKBITS, multi-strip;
+    * 6 → LE RGB DEFLATE + Predictor 2;
     * 4 → class 0 truncated mid-strip (dims parse, stats refuse).
     * `shape` packs `w | h<<8 | cls<<16`. */
   def synth(seed: Long, shape: Long): Array[Byte] = {
@@ -514,8 +641,10 @@ object TiffPixelEval {
       }
       px
     }
-    cls % 5 match {
+    cls % 7 match {
       case 0 => writeTiff(le = true, w, h, 1, 1, 1, 1, rps = 2, gray())
+      case 5 => writeTiff(le = true, w, h, 1, 1, 32773, 1, rps = 2, gray())
+      case 6 => writeTiff(le = true, w, h, 3, 2, 8, 2, rps = h, rgb())
       case 1 =>
         // WhiteIsZero: stored = 255 - luma, the decoder inverts back
         val px = gray()

@@ -2091,7 +2091,7 @@ object Multimodal {
   /** Q197: TIFF PIXEL decode — the scanned-documents format q129 read
     * dims from, now with a pixel plane (the last common still-image
     * container without one): strip assembly under EITHER byte order,
-    * baseline uncompressed and TIFF-variant LZW (MSB-first, EARLY
+    * baseline uncompressed, PackBits, zlib-Deflate, and TIFF-variant LZW (MSB-first, EARLY
     * width change — pinned bidirectionally against the JDK's own
     * imageio TIFF plugin in TiffPixelSpec), horizontal-differencing
     * Predictor 2, WhiteIsZero/BlackIsZero polarities, gray + RGB, all
@@ -2099,10 +2099,11 @@ object Multimodal {
     * packed-luma contract. Tiles, deep samples, palettes, and the
     * exotic compressions refuse with dims intact (the q39 split).
     *
-    * Residue classes (%5): 0 → LE gray uncompressed MULTI-strip
+    * Residue classes (%7): 0 → LE gray uncompressed MULTI-strip
     * (rows-per-strip 2); 1 → BE gray WhiteIsZero (the polarity cross);
-    * 2 → LE gray LZW; 3 → BE RGB LZW + Predictor 2; 4 → truncated
-    * mid-strip (is_tiff = 1, stats refuse). Pixels ride the family
+    * 2 → LE gray LZW; 3 → BE RGB LZW + Predictor 2; 5 → LE gray
+    * PACKBITS multi-strip; 6 → LE RGB DEFLATE + Predictor 2; 4 →
+    * truncated mid-strip (is_tiff = 1, stats refuse). Pixels ride the family
     * channel maps, so the oracle replays min/max/sum luma from doc_id
     * algebra alone — a strip-offset, LZW-width, predictor, or
     * polarity slip cannot cancel. One narrow map, kernel once per
@@ -2117,7 +2118,7 @@ object Multimodal {
     val id = col("doc_id")
     val w = (id % 6 + 2).cast("long")
     val h = (id % 4 + 2).cast("long")
-    val shape = w + h * 256 + (id % 5) * 65536
+    val shape = w + h * 256 + (id % 7) * 65536
     val staged = docs.select(id, TiffPixelOps.tiffPixelSynth(id, shape).as("_p"))
       .withColumn("_l", TiffPixelOps.tiffLuma(col("_p")))
     staged.select(id,

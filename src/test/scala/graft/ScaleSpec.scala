@@ -697,9 +697,9 @@ class ScaleSpec extends AnyFunSuite {
       n => Multimodal.q197TiffPixelsOn(synthMix(n))
         .agg(sum(col("width")) + count(col("min_luma"))).head.getLong(0),
       n => {
-        // width = doc_id%6+2 summed over n (6 | D1), plus 4n/5 decoded
+        // width = doc_id%6+2 summed over n (6 | D1), plus 6n/7 decoded
         val widthSum = (0 until 6).map(_ + 2).sum.toLong * (n / 6)
-        widthSum + n / 5 * 4
+        widthSum + n / 7 * 6
       })
   }
 

@@ -110,8 +110,8 @@ class TiffPixelSpec extends AnyFunSuite {
         assert(c._3(y * 23 + x) === want, s"rgb ($x,$y)")
       }
     }
-    // reverse direction: imageio reads OUR LZW/predictor tiffs
-    (0 until 4).foreach { cls =>
+    // reverse direction: imageio reads OUR LZW/PackBits/Deflate tiffs
+    Seq(0, 1, 2, 3, 5, 6).foreach { cls =>
       val mine = TiffPixelEval.synth(13L, 8L | (6L << 8) | (cls.toLong << 16))
       val img = ImageIO.read(new java.io.ByteArrayInputStream(mine))
       assert(img != null, s"imageio refused our class-$cls tiff")
@@ -211,7 +211,7 @@ class TiffPixelSpec extends AnyFunSuite {
   test("fuzz: flips and cuts over all classes refuse or decode, " +
     "never throw") {
     val rnd = new java.util.Random(0x7177L)
-    (0 until 5).foreach { cls =>
+    (0 until 7).foreach { cls =>
       val whole = TiffPixelEval.synth(5L, 6L | (5L << 8) | (cls.toLong << 16))
       (0 until 200).foreach { k =>
         val bad = whole.clone()
@@ -224,5 +224,33 @@ class TiffPixelSpec extends AnyFunSuite {
         catch { case e: Throwable => fail(s"cls $cls cut $cut threw: $e") }
       }
     }
+  }
+
+  test("PackBits and Deflate classes reproduce the channel-map pixels " +
+    "and imageio cross-reads them") {
+    def chG(seed: Long, x: Int, r: Int) =
+      (((seed * 3 + x * 5 + r) % 256 + 256) % 256).toInt
+    val pb = TiffPixelEval.decodeLuma(
+      TiffPixelEval.synth(17L, 6L | (5L << 8) | (5L << 16)))
+    assert(pb != null && pb._1 === 6 && pb._2 === 5)
+    (0 until 5).foreach(r => (0 until 6).foreach(x =>
+      assert(pb._3(r * 6 + x) === chG(17L, x, r), s"packbits ($x,$r)")))
+    val df = TiffPixelEval.decodeLuma(
+      TiffPixelEval.synth(17L, 6L | (5L << 8) | (6L << 16)))
+    assert(df != null && df._1 === 6 && df._2 === 5)
+    // deflate class is RGB + predictor: spot the full fold via stats
+    assert(TiffPixelEval.lumaStats(
+      TiffPixelEval.synth(17L, 6L | (5L << 8) | (6L << 16))) !==
+      java.lang.Long.MIN_VALUE)
+    // hand vector: PackBits of a repeat-then-literal row, from the spec
+    // text: 5 x 'a' -> (-4, 'a'); "xyz" -> (2, 'x','y','z')
+    val enc = TiffPixelEval.packbitsEncode("aaaaaxyz".getBytes("US-ASCII"))
+    assert(enc.toList === List[Byte](-4, 'a', 2, 'x', 'y', 'z'))
+    assert(TiffPixelEval.packbitsDecode(enc, 0, enc.length, 8).toList ===
+      "aaaaaxyz".getBytes("US-ASCII").toList)
+    // -128 noop bytes are skipped
+    val withNoop = Array[Byte](-128, 0, 'q', -128)
+    assert(TiffPixelEval.packbitsDecode(withNoop, 0, 4, 1).toList ===
+      List[Byte]('q'))
   }
 }
