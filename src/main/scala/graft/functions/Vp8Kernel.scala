@@ -22,16 +22,19 @@ import org.apache.spark.sql.types.{BinaryType, DataType}
   *    zigzag, zero-run / EOB-after-zero rule, cat1–cat6 extra bits,
   *    per-block above+left nonzero contexts;
   *  - the FULL 4×4 inverse WHT (Y2 → the 16 per-block Y DCs), the
-  *    DC-only IDCT add `(dc+4)>>3`, and 16×16 DC_PRED intra
-  *    prediction with reconstructed-neighbor chaining.
+  *    FULL 4×4 inverse DCT (§14.3: the 35468/20091 fixed-point
+  *    multipliers, columns unshifted, rows `(v+4)>>3`) for luma AC,
+  *    with the `(dc+4)>>3` fast path on AC-free blocks;
+  *  - all four 16×16 intra modes — DC / V / H / TM — chained through
+  *    reconstructed neighbors with the §12.2 edge rules (missing
+  *    above row reads 127, missing left column 129).
   *
-  * The DC-ONLY PROFILE (everything else refuses, never guesses):
-  * key frames only, version 0, one token partition, segmentation and
+  * The PROFILE (everything else refuses, never guesses): key frames
+  * only, version 0, one token partition, segmentation and
   * loop-filter deltas off, filter level 0, quant index 0 with no
   * deltas (dc_qlookup[0]=4 / ac_qlookup[0]=4 are the two table
-  * entries this profile needs), 16×16 DC_PRED luma+chroma modes only
-  * (B_PRED/V/H/TM refuse), and Y blocks must be AC-free (their DC
-  * arrives through Y2; a nonzero Y token refuses — the full IDCT is
+  * entries this profile needs), and 16×16 luma modes only — B_PRED
+  * refuses (per-sub-block modes need the 900-entry kf_bmode tables,
   * the next staged step, as q57's stub retirement was staged).
   *
   * THE HONESTY GATE: no reference VP8 decoder exists in this
@@ -95,6 +98,7 @@ object Vp8Eval {
   // dequant at the profile's pinned quant index 0
   private final val QY2Dc = 8 // 2 * dc_qlookup[0]
   private final val QY2Ac = 8 // max(8, ac_qlookup[0]*155/100)
+  private final val QYAc = 4 // ac_qlookup[0]
 
   // ------------------------------------------------- boolean decoder
 
@@ -269,6 +273,42 @@ object Vp8Eval {
     }
   }
 
+  /** vp8_short_idct4x4llm (RFC 6386 §14.3): columns without shift,
+    * rows with `(v + 4) >> 3`; the two fixed multipliers are
+    * sinpi8sqrt2 = 35468 and cospi8sqrt2minus1 = 20091, both >> 16. */
+  private def idct4x4(in: Array[Int], outv: Array[Int]): Unit = {
+    val tmp = new Array[Int](16)
+    var i = 0
+    while (i < 4) {
+      val a1 = in(i) + in(8 + i)
+      val b1 = in(i) - in(8 + i)
+      var t1 = (in(4 + i) * 35468) >> 16
+      var t2 = in(12 + i) + ((in(12 + i) * 20091) >> 16)
+      val c1 = t1 - t2
+      t1 = in(4 + i) + ((in(4 + i) * 20091) >> 16)
+      t2 = (in(12 + i) * 35468) >> 16
+      val d1 = t1 + t2
+      tmp(i) = a1 + d1; tmp(12 + i) = a1 - d1
+      tmp(4 + i) = b1 + c1; tmp(8 + i) = b1 - c1
+      i += 1
+    }
+    i = 0
+    while (i < 4) {
+      val o = i * 4
+      val a1 = tmp(o) + tmp(o + 2)
+      val b1 = tmp(o) - tmp(o + 2)
+      var t1 = (tmp(o + 1) * 35468) >> 16
+      var t2 = tmp(o + 3) + ((tmp(o + 3) * 20091) >> 16)
+      val c1 = t1 - t2
+      t1 = tmp(o + 1) + ((tmp(o + 1) * 20091) >> 16)
+      t2 = (tmp(o + 3) * 35468) >> 16
+      val d1 = t1 + t2
+      outv(o) = (a1 + d1 + 4) >> 3; outv(o + 3) = (a1 - d1 + 4) >> 3
+      outv(o + 1) = (b1 + c1 + 4) >> 3; outv(o + 2) = (b1 - c1 + 4) >> 3
+      i += 1
+    }
+  }
+
   // ------------------------------------------------------ token walk
 
   /** Decode one 4×4 coefficient block into `coefs` (natural order,
@@ -436,10 +476,13 @@ object Vp8Eval {
 
     val mbW = (w + 15) / 16
     val mbH = (h + 15) / 16
+    val ymodes = new Array[Int](mbW * mbH)
     var mi = 0
     while (mi < mbW * mbH) {
-      if (bd.tree(KfYTree, KfYProb, 0) != ModeDc) return null
-      if (bd.tree(UvTree, KfUvProb, 0) != ModeDc) return null
+      val ym = bd.tree(KfYTree, KfYProb, 0)
+      if (ym > 3) return null // B_PRED: sub-modes + bmode tables, scope
+      ymodes(mi) = ym
+      bd.tree(UvTree, KfUvProb, 0) // chroma mode: parse-only (luma stats)
       mi += 1
     }
     if (bd.overread > 0) return null
@@ -474,19 +517,20 @@ object Vp8Eval {
           coefs(i) *= (if (i == 0) QY2Dc else QY2Ac); i += 1
         }
         iwht(coefs, wht)
-        // 16 Y blocks: AC-free in this profile (DC came through Y2)
-        val scratch = new Array[Int](16)
+        // 16 Y blocks: the DC arrives through Y2, the ACs (r17's
+        // staged step) through each block's own tokens
+        val yBlocks = Array.ofDim[Int](16, 16)
         var sb = 0
         while (sb < 16) {
           val colI = sb & 3; val rowI = sb >> 2
-          java.util.Arrays.fill(scratch, 0)
           val ynz = decodeBlock(td, work, 0,
-            aboveY(mx)(colI) + leftY(rowI), 1, scratch)
-          if (ynz != 0) return null // AC luma: the next staged step
-          aboveY(mx)(colI) = 0; leftY(rowI) = 0
+            aboveY(mx)(colI) + leftY(rowI), 1, yBlocks(sb))
+          if (ynz < 0) return null
+          aboveY(mx)(colI) = ynz; leftY(rowI) = ynz
           sb += 1
         }
         // chroma: parsed for bitstream sync, not reconstructed
+        val scratch = new Array[Int](16)
         sb = 0
         while (sb < 8) {
           val (above, left) = if (sb < 4) (aboveU, leftU) else (aboveV, leftV)
@@ -499,37 +543,106 @@ object Vp8Eval {
           above(mx)(colI) = cnz; left(rowI) = cnz
           sb += 1
         }
-        // reconstruct: 16x16 DC_PRED from reconstructed neighbors
+        // ---- 16x16 intra prediction from reconstructed neighbors.
+        // Edge rules (RFC §12.2): a missing above row reads 127, a
+        // missing left column 129; the above-left corner follows the
+        // above row when that row is missing, else the left rule.
         val x0 = mx * 16; val y0 = my * 16
-        var pred = 128
-        if (my > 0 && mx > 0) {
-          var s = 0
-          var j = 0
-          while (j < 16) {
-            s += plane((y0 - 1) * wp + x0 + j) + plane((y0 + j) * wp + x0 - 1)
-            j += 1
-          }
-          pred = (s + 16) >> 5
-        } else if (mx > 0) {
-          var s = 0; var j = 0
-          while (j < 16) { s += plane((y0 + j) * wp + x0 - 1); j += 1 }
-          pred = (s + 8) >> 4
-        } else if (my > 0) {
-          var s = 0; var j = 0
-          while (j < 16) { s += plane((y0 - 1) * wp + x0 + j); j += 1 }
-          pred = (s + 8) >> 4
+        val mode = ymodes(my * mbW + mx)
+        val above16 = new Array[Int](16)
+        val left16 = new Array[Int](16)
+        var j = 0
+        while (j < 16) {
+          above16(j) = if (my > 0) plane((y0 - 1) * wp + x0 + j) else 127
+          left16(j) = if (mx > 0) plane((y0 + j) * wp + x0 - 1) else 129
+          j += 1
         }
+        val aboveLeft =
+          if (my == 0) 127
+          else if (mx == 0) 129
+          else plane((y0 - 1) * wp + x0 - 1)
+        val pred = new Array[Int](256)
+        mode match {
+          case 0 => // DC: availability-dependent average
+            var dc = 128
+            if (my > 0 && mx > 0) {
+              var su = 0; j = 0
+              while (j < 16) { su += above16(j) + left16(j); j += 1 }
+              dc = (su + 16) >> 5
+            } else if (mx > 0) {
+              var su = 0; j = 0
+              while (j < 16) { su += left16(j); j += 1 }
+              dc = (su + 8) >> 4
+            } else if (my > 0) {
+              var su = 0; j = 0
+              while (j < 16) { su += above16(j); j += 1 }
+              dc = (su + 8) >> 4
+            }
+            java.util.Arrays.fill(pred, dc)
+          case 1 => // V: copy the above row down
+            var r = 0
+            while (r < 16) {
+              System.arraycopy(above16, 0, pred, r * 16, 16); r += 1
+            }
+          case 2 => // H: copy the left column across
+            var r = 0
+            while (r < 16) {
+              java.util.Arrays.fill(pred, r * 16, r * 16 + 16, left16(r))
+              r += 1
+            }
+          case _ => // TM: clamp(left + above - aboveLeft)
+            var r = 0
+            while (r < 16) {
+              var c = 0
+              while (c < 16) {
+                val v = left16(r) + above16(c) - aboveLeft
+                pred(r * 16 + c) =
+                  if (v < 0) 0 else if (v > 255) 255 else v
+                c += 1
+              }
+              r += 1
+            }
+        }
+        // ---- residual add per 4x4 block (DC fast path when AC-free)
+        val residual = new Array[Int](16)
         sb = 0
         while (sb < 16) {
-          val resid = (wht(sb) + 4) >> 3
-          val v0 = pred + resid
-          val v = if (v0 < 0) 0 else if (v0 > 255) 255 else v0
-          val bx = x0 + (sb & 3) * 4; val by = y0 + (sb >> 2) * 4
-          var r = 0
-          while (r < 4) {
-            var c = 0
-            while (c < 4) { plane((by + r) * wp + bx + c) = v; c += 1 }
-            r += 1
+          val blk = yBlocks(sb)
+          var anyAc = false
+          var i2 = 1
+          while (i2 < 16) { if (blk(i2) != 0) anyAc = true; i2 += 1 }
+          val bx = (sb & 3) * 4; val by = (sb >> 2) * 4
+          if (!anyAc) {
+            val resid = (wht(sb) + 4) >> 3
+            var r = 0
+            while (r < 4) {
+              var c = 0
+              while (c < 4) {
+                val pi = (by + r) * 16 + bx + c
+                val v0 = pred(pi) + resid
+                plane((y0 + by + r) * wp + x0 + bx + c) =
+                  if (v0 < 0) 0 else if (v0 > 255) 255 else v0
+                c += 1
+              }
+              r += 1
+            }
+          } else {
+            i2 = 1
+            while (i2 < 16) { blk(i2) *= QYAc; i2 += 1 }
+            blk(0) = wht(sb)
+            idct4x4(blk, residual)
+            var r = 0
+            while (r < 4) {
+              var c = 0
+              while (c < 4) {
+                val pi = (by + r) * 16 + bx + c
+                val v0 = pred(pi) + residual(r * 4 + c)
+                plane((y0 + by + r) * wp + x0 + bx + c) =
+                  if (v0 < 0) 0 else if (v0 > 255) 255 else v0
+                c += 1
+              }
+              r += 1
+            }
           }
           sb += 1
         }
@@ -576,11 +689,15 @@ object Vp8Eval {
     if (m < 4) (m - 4).toInt else (m - 3).toInt
   }
 
-  /** Encode one key frame: `mbKs(my)(mx)` holds each MB's Y2 DC token
-    * premultiplied luma offset k (token = 8k); `whtAc` optionally adds
-    * the class-2 position-1 Y2 coefficient per MB. */
-  private def encodeFrame(w: Int, h: Int, y2dc: Array[Array[Int]],
-                          y2ac1: Array[Array[Int]]): Array[Byte] = {
+  /** Encode one key frame: `y2dc`/`y2ac1` hold each MB's Y2 tokens
+    * (position 0 and 1); `ymodes` optionally picks per-MB 16x16 modes
+    * (0 DC / 1 V / 2 H / 3 TM, default DC); `yAc` optionally supplies
+    * per-block quantized Y AC coefficients (natural order, positions
+    * 1..15) keyed by (mbRow, mbCol, subBlock). */
+  private[graft] def encodeFrame(w: Int, h: Int, y2dc: Array[Array[Int]],
+                                 y2ac1: Array[Array[Int]],
+                                 ymodes: Array[Array[Int]] = null,
+                                 yAc: (Int, Int, Int) => Array[Int] = null): Array[Byte] = {
     val mbW = (w + 15) / 16
     val mbH = (h + 15) / 16
     val work = profileWork()
@@ -618,7 +735,8 @@ object Vp8Eval {
     e1.literal(0, 1) // mb_no_coeff_skip = 0
     var mi = 0
     while (mi < mbW * mbH) {
-      e1.tree(KfYTree, KfYProb, ModeDc, 0)
+      val ym = if (ymodes == null) ModeDc else ymodes(mi / mbW)(mi % mbW)
+      e1.tree(KfYTree, KfYProb, ym, 0)
       e1.tree(UvTree, KfUvProb, ModeDc, 0)
       mi += 1
     }
@@ -643,14 +761,23 @@ object Vp8Eval {
         coefs(1) = y2ac1(my)(mx)
         val nz2 = encodeBlock(e2, work, 1, aboveY2(mx) + leftY2, 0, coefs)
         aboveY2(mx) = nz2; leftY2 = nz2
-        java.util.Arrays.fill(coefs, 0)
         var sb = 0
-        while (sb < 16) { // AC-free Y blocks: immediate EOB
+        while (sb < 16) { // Y blocks: AC tokens when supplied, else EOB
           val colI = sb & 3; val rowI = sb >> 2
-          encodeBlock(e2, work, 0, aboveY(mx)(colI) + leftY(rowI), 1, coefs)
-          aboveY(mx)(colI) = 0; leftY(rowI) = 0
+          java.util.Arrays.fill(coefs, 0)
+          if (yAc != null) {
+            val ac = yAc(my, mx, sb)
+            if (ac != null) {
+              var i2 = 1
+              while (i2 < 16) { coefs(i2) = ac(i2); i2 += 1 }
+            }
+          }
+          val ynz = encodeBlock(e2, work, 0,
+            aboveY(mx)(colI) + leftY(rowI), 1, coefs)
+          aboveY(mx)(colI) = ynz; leftY(rowI) = ynz
           sb += 1
         }
+        java.util.Arrays.fill(coefs, 0)
         sb = 0
         while (sb < 8) { // chroma: all-zero blocks
           val (above, left) = if (sb < 4) (aboveU, leftU) else (aboveV, leftV)
