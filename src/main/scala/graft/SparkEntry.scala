@@ -3433,7 +3433,7 @@ object SparkEntry {
         "FROM p LEFT JOIN g ON p.doc_id = g.doc_id " +
         "LEFT JOIN c ON p.doc_id = c.doc_id"),
     // q196: the oracle replays each class's luma algebra (cumulative
-    // DC-pred chain, corner average, WHT half-split) from doc_id
+    // DC-pred chain, corner average, WHT half-split, V/H mode chains) from doc_id
     // alone — it never touches a VP8 bit — so a boolean-decoder,
     // context-bookkeeping, WHT, or prediction slip cannot cancel; the
     // truncated and RFC-default-probs classes must keep dims while
@@ -3454,30 +3454,37 @@ object SparkEntry {
         "WHEN 2 THEN 1 ELSE 2 END AS s1 FROM documents), " +
         "c0 AS (SELECT doc_id, 128 + k0 AS l0, 128 + k0 + k1 AS l1, " +
         "128 + k0 + k1 + k2 AS l2, 128 + k0 + k1 + k2 + k3 AS l3 " +
-        "FROM ks WHERE doc_id % 5 = 0), " +
+        "FROM ks WHERE doc_id % 7 = 0), " +
         "c1 AS (SELECT doc_id, l00, l01, l10, " +
         "(l01 + l10 + 1) // 2 + k3 AS l11 FROM (SELECT doc_id, k3, " +
         "128 + k0 AS l00, 128 + k0 + k1 AS l01, 128 + k0 + k2 AS l10 " +
-        "FROM ks WHERE doc_id % 5 = 1)), " +
+        "FROM ks WHERE doc_id % 7 = 1)), " +
         "c2 AS (SELECT doc_id, 128 + s0 + s1 AS lft, 128 + s0 - s1 AS rgt " +
-        "FROM ks WHERE doc_id % 5 = 2) " +
+        "FROM ks WHERE doc_id % 7 = 2), " +
+        "vh AS (SELECT doc_id, 128 + k0 AS l0, 128 + k0 + k1 AS l1 " +
+        "FROM ks WHERE doc_id % 7 IN (5, 6)) " +
         "SELECT d.doc_id, 'webp' AS format, " +
-        "CAST(CASE d.doc_id % 5 WHEN 0 THEN 64 WHEN 1 THEN 32 " +
-        "WHEN 2 THEN 16 WHEN 3 THEN 64 ELSE 16 END AS INTEGER) AS width, " +
-        "CAST(CASE d.doc_id % 5 WHEN 0 THEN 16 WHEN 1 THEN 32 " +
-        "ELSE 16 END AS INTEGER) AS height, " +
+        "CAST(CASE d.doc_id % 7 WHEN 0 THEN 64 WHEN 1 THEN 32 " +
+        "WHEN 2 THEN 16 WHEN 3 THEN 64 WHEN 5 THEN 16 WHEN 6 THEN 32 " +
+        "ELSE 16 END AS INTEGER) AS width, " +
+        "CAST(CASE d.doc_id % 7 WHEN 0 THEN 16 WHEN 1 THEN 32 " +
+        "WHEN 5 THEN 32 ELSE 16 END AS INTEGER) AS height, " +
         "CAST(coalesce(least(c0.l0, c0.l1, c0.l2, c0.l3), " +
         "least(c1.l00, c1.l01, c1.l10, c1.l11), " +
-        "least(c2.lft, c2.rgt)) AS INTEGER) AS min_luma, " +
+        "least(c2.lft, c2.rgt), least(vh.l0, vh.l1)) AS INTEGER) " +
+        "AS min_luma, " +
         "CAST(coalesce(greatest(c0.l0, c0.l1, c0.l2, c0.l3), " +
         "greatest(c1.l00, c1.l01, c1.l10, c1.l11), " +
-        "greatest(c2.lft, c2.rgt)) AS INTEGER) AS max_luma, " +
+        "greatest(c2.lft, c2.rgt), greatest(vh.l0, vh.l1)) AS INTEGER) " +
+        "AS max_luma, " +
         "CAST(coalesce(256*(c0.l0 + c0.l1 + c0.l2 + c0.l3), " +
         "256*(c1.l00 + c1.l01 + c1.l10 + c1.l11), " +
-        "128*(c2.lft + c2.rgt)) AS BIGINT) AS sum_luma " +
+        "128*(c2.lft + c2.rgt), 256*(vh.l0 + vh.l1)) AS BIGINT) " +
+        "AS sum_luma " +
         "FROM documents d LEFT JOIN c0 ON d.doc_id = c0.doc_id " +
         "LEFT JOIN c1 ON d.doc_id = c1.doc_id " +
-        "LEFT JOIN c2 ON d.doc_id = c2.doc_id"),
+        "LEFT JOIN c2 ON d.doc_id = c2.doc_id " +
+        "LEFT JOIN vh ON d.doc_id = vh.doc_id"),
     // q195: one formula against three decode stacks + the
     // passthrough — the inner tar is identical across wrappers, so a
     // wrapper-routing or decode slip breaks exactly its class

@@ -701,6 +701,18 @@ object Vp8Eval {
     val mbW = (w + 15) / 16
     val mbH = (h + 15) / 16
     val work = profileWork()
+    // the first partition depends ONLY on (mb count, mode plan): for a
+    // query synthesizing 60k frames of a handful of shapes, the ~1.2 KB
+    // probability walk re-encoded per row dominated q196's cost — memo
+    // it per thread by shape+modes
+    val modeKey =
+      if (ymodes == null) "dc"
+      else ymodes.map(_.mkString(",")).mkString(";")
+    val p1Key = (mbW, mbH, modeKey)
+    val memo = part1Memo.get()
+    val cached = memo.get(p1Key)
+    if (cached != null) return assemble(w, h, cached, encodePart2(
+      mbW, mbH, work, y2dc, y2ac1, yAc))
     val e1 = new BoolEnc
     e1.literal(0, 1) // color space
     e1.literal(0, 1) // clamping
@@ -741,7 +753,20 @@ object Vp8Eval {
       mi += 1
     }
     val part1 = e1.flush()
+    memo.put(p1Key, part1)
+    assemble(w, h, part1, encodePart2(mbW, mbH, work, y2dc, y2ac1, yAc))
+  }
 
+  private val part1Memo =
+    new ThreadLocal[java.util.HashMap[(Int, Int, String), Array[Byte]]] {
+      override def initialValue() =
+        new java.util.HashMap[(Int, Int, String), Array[Byte]]()
+    }
+
+  private def encodePart2(mbW: Int, mbH: Int,
+                          work: Array[Array[Array[Array[Int]]]],
+                          y2dc: Array[Array[Int]], y2ac1: Array[Array[Int]],
+                          yAc: (Int, Int, Int) => Array[Int]): Array[Byte] = {
     val e2 = new BoolEnc
     val aboveY2 = new Array[Int](mbW)
     val aboveY = Array.ofDim[Int](mbW, 4)
@@ -791,8 +816,11 @@ object Vp8Eval {
       }
       my += 1
     }
-    val part2 = e2.flush()
+    e2.flush()
+  }
 
+  private def assemble(w: Int, h: Int, part1: Array[Byte],
+                       part2: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(part1.length + part2.length + 16)
     val tag = (part1.length << 5) | (1 << 4) | 0 // keyframe, ver 0, shown
     out.write(tag & 0xFF); out.write((tag >> 8) & 0xFF)
@@ -805,17 +833,20 @@ object Vp8Eval {
     WebpPixelEval.wrapLossyRiff(out.toByteArray)
   }
 
-  /** Synthesize a q196 residue class (%5):
+  /** Synthesize a q196 residue class (%7):
     * 0 → a 64×16 four-MB strip, per-MB DC offsets chained through
     *     left-only DC_PRED (cumulative luma);
     * 1 → a 32×32 2×2 grid drilling the corner `(a+b+1)>>1` average;
     * 2 → one MB with a position-1 Y2 coefficient: the full inverse
     *     WHT splits the MB into left/right luma halves;
+    * 5 → a 16×32 V-chain: the lower MB V_PREDs the upper's bottom row
+    *     (the r17 mode widening, oracle-backed);
+    * 6 → a 32×16 H-chain: the right MB H_PREDs the left's right column;
     * 3 → class 0 truncated after the dims (meta parses, stats refuse);
     * 4 → a frame relying on RFC-DEFAULT probabilities (first update
     *     flag 0): the profile gate must refuse it (dims still parse).
     */
-  def synth(seed: Long, cls: Long): Array[Byte] = (cls % 5).toInt match {
+  def synth(seed: Long, cls: Long): Array[Byte] = (cls % 7).toInt match {
     case 0 =>
       val ks = Array(Array.tabulate(4)(j => 8 * kOf(seed, j)))
       encodeFrame(64, 16, ks, Array(Array(0, 0, 0, 0)))
@@ -825,6 +856,14 @@ object Vp8Eval {
     case 2 =>
       val s0 = sOf(seed); val s1 = sOf(seed / 4)
       encodeFrame(16, 16, Array(Array(8 * s0)), Array(Array(8 * s1)))
+    case 5 =>
+      encodeFrame(16, 32,
+        Array(Array(8 * kOf(seed, 0)), Array(8 * kOf(seed, 1))),
+        Array(Array(0), Array(0)), ymodes = Array(Array(0), Array(1)))
+    case 6 =>
+      encodeFrame(32, 16,
+        Array(Array(8 * kOf(seed, 0), 8 * kOf(seed, 1))),
+        Array(Array(0, 0)), ymodes = Array(Array(0, 2)))
     case 3 =>
       val whole = synth(seed, 0)
       java.util.Arrays.copyOf(whole, math.min(34, whole.length))

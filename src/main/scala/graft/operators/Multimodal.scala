@@ -2055,12 +2055,14 @@ object Multimodal {
     * rely on the RFC-DEFAULT probability tables refuse at the
     * explicit-probs gate — the honesty boundary the kernel documents.
     *
-    * Residue classes (%5): 0 → a 64×16 four-MB strip whose per-MB DC
+    * Residue classes (%7): 0 → a 64×16 four-MB strip whose per-MB DC
     * offsets chain CUMULATIVELY through left-only DC prediction; 1 → a
     * 32×32 2×2 grid drilling the corner `(above+left+1)>>1` average;
     * 2 → one MB with a position-1 Y2 coefficient: the inverse WHT
     * splits it into left/right luma halves (cat2/cat3 tokens on the
-    * wire); 3 → truncated after the dims (meta parses, stats refuse —
+    * wire); 5 → a 16×32 V_PRED chain and 6 → a 32×16 H_PRED chain
+    * (the r17 mode widening under the t2 gate); 3 → truncated after
+    * the dims (meta parses, stats refuse —
     * the q39 split); 4 → an RFC-default-probs frame (gate refusal,
     * dims still parse). The oracle replays each class's luma algebra
     * from doc_id alone — it never touches a VP8 bit — so a boolean-
@@ -2074,7 +2076,7 @@ object Multimodal {
   def q196Vp8PixelsOn(docs: DataFrame): DataFrame = {
     import graft.functions.{Vp8Ops, WebpPixelOps}
     val id = col("doc_id")
-    val staged = docs.select(id, Vp8Ops.vp8Synth(id, id % 5).as("_p"))
+    val staged = docs.select(id, Vp8Ops.vp8Synth(id, id % 7).as("_p"))
       .withColumn("_m", decodeImageMeta(col("_p")))
       .withColumn("_l", WebpPixelOps.webpLuma(col("_p")))
     staged.select(id,
