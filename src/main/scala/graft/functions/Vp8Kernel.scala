@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{BinaryType, DataType}
 
-/** Lossy-VP8 key-frame LUMA decode, DC-only profile (q196) — the
+/** Lossy-VP8 key-frame LUMA decode (q196) — the
   * dominant WebP variant on the real web, and until now the one image
   * family whose pixel plane was a documented refusal (q135's class 5).
   * Built the JpegPixelKernel way: scope stated, stop-don't-guess.

@@ -2048,10 +2048,11 @@ object Multimodal {
 
   /** Q196: lossy-VP8 PIXEL decode — the DOMINANT WebP variant on the
     * real web, retiring q135's class-5 refusal for frames inside the
-    * DC-only key-frame profile of [[graft.functions.Vp8Eval]] (RFC
-    * 6386 boolean decoder, 4×8×3×11 probability walk, coefficient
-    * token trees with cat extra bits, the full inverse WHT, 16×16
-    * DC_PRED chaining through reconstructed neighbors). Frames that
+    * key-frame profile of [[graft.functions.Vp8Eval]] (RFC 6386
+    * boolean decoder, 4×8×3×11 probability walk, coefficient token
+    * trees with cat extra bits, the full inverse WHT AND inverse DCT,
+    * all four 16×16 intra modes chained through reconstructed
+    * neighbors). Frames that
     * rely on the RFC-DEFAULT probability tables refuse at the
     * explicit-probs gate — the honesty boundary the kernel documents.
     *

@@ -688,7 +688,9 @@ class ScaleSpec extends AnyFunSuite {
     decade("q196",
       n => Multimodal.q196Vp8PixelsOn(synthMix(n))
         .agg(sum(col("width")) + count(col("min_luma"))).head.getLong(0),
-      n => n / 5 * 192 + n / 5 * 3)
+      // %7 classes: widths 64+32+16+64+16+16+32 per 7 docs, and 5 of 7
+      // classes carry a decoded luma plane
+      n => n / 7 * 240 + n / 7 * 5)
   }
 
   test("q197 tiff pixels: 10x docs, encode+decode per row, ~linear", Slow) {

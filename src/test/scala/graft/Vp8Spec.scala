@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.{Vp8Eval, WebpPixelEval}
 
-/** The lossy-VP8 DC-only profile, drilled the family way. The RFC
+/** The lossy-VP8 profile (DC + luma AC + all four 16x16 modes), drilled the family way. The RFC
   * 6386 §7.3 boolean decoder is the NORMATIVE side: hand vectors pin
   * it against arithmetic done on paper; the §7.2 encoder is then
   * proven by round trip through it (no reference VP8 decoder exists
