@@ -368,7 +368,7 @@ object TiffPixelEval {
     if (nEntries <= 0 || nEntries > 512) return null
     if (!r.ok(i0 + 2, nEntries * 12)) return null
     var width = -1L; var height = -1L
-    var bitsPerSample = 8L; var compression = 1L
+    var compression = 1L
     var photometric = -1L; var spp = 1L
     var rowsPerStrip = 0xFFFFFFFFL; var predictor = 1L; var planar = 1L
     var offs: Array[Long] = null

@@ -294,9 +294,24 @@ class XzContentSpec extends AnyFunSuite {
     val garbage = fix ++ "tail bytes".getBytes(utf8)
     val rg = XzContentEval.decode(garbage)
     assert(rg != null && rg.truncated === 1 && rg.content.length === 839 + 888)
-    // 4-byte-aligned zero stream padding between and after streams is clean
+    // 4-byte-aligned zero stream padding between and after streams is
+    // clean; misaligned padding flags
     val padded = fix ++ Array[Byte](0, 0, 0, 0)
     val rp = XzContentEval.decode(padded)
     assert(rp != null && rp.truncated === 0 && rp.nBlocks === 2)
+    // find the first stream's end (the second stream's magic) and pad
+    // BETWEEN the streams
+    val secondAt = (6 until fix.length).find(i => fix(i) == 0xFD.toByte &&
+      fix(i + 1) == '7' && fix(i + 2) == 'z').get
+    val between = fix.take(secondAt) ++ Array[Byte](0, 0, 0, 0) ++
+      fix.drop(secondAt)
+    val rb = XzContentEval.decode(between)
+    assert(rb != null && rb.truncated === 0 && rb.nBlocks === 2,
+      "inter-stream padding must be transparent")
+    val misaligned = fix.take(secondAt) ++ Array[Byte](0, 0, 0) ++
+      fix.drop(secondAt)
+    val rm = XzContentEval.decode(misaligned)
+    assert(rm != null && rm.truncated === 1,
+      "misaligned padding must flag, not pass")
   }
 }
