@@ -33,12 +33,15 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   *    zlib-wrapped, through a thread-local JDK Inflater (the
   *    GzipKernel discipline).
   *
-  * Stated scope, refusing rather than guessing: tiled layout (tags
-  * 322-325), 1/4/16-bit samples, palette color (photometric 3),
-  * CCITT/JPEG-in-TIFF compressions, and planar configuration 2 all
-  * return the NULL marker; dims still parse through q129's meta walk
-  * (the q39 split). A strip table addressing bytes the buffer never
-  * carried refuses whole. Resource guard: 1 Mi pixels.
+  *  - TILED layout (§15, tags 322-325): full padded tiles raster-
+  *    ordered across then down, predictor per tile row, edge crop.
+  *
+  * Stated scope, refusing rather than guessing: 1/4/16-bit samples,
+  * palette color (photometric 3), CCITT/JPEG-in-TIFF compressions,
+  * and planar configuration 2 all return the NULL marker; dims still
+  * parse through q129's meta walk (the q39 split). A strip/tile table
+  * addressing bytes the buffer never carried refuses whole. Resource
+  * guard: 1 Mi pixels.
   *
   * The paired synthesizer writes real TIFFs both-endian with a real
   * early-change LZW compressor; TiffPixelSpec pins a hand-computed
@@ -373,7 +376,9 @@ object TiffPixelEval {
     var rowsPerStrip = 0xFFFFFFFFL; var predictor = 1L; var planar = 1L
     var offs: Array[Long] = null
     var counts: Array[Long] = null
-    var tiled = false
+    var tileW = -1L; var tileH = -1L
+    var tOffs: Array[Long] = null
+    var tCounts: Array[Long] = null
     var e = 0
     while (e < nEntries) {
       val eo = i0 + 2 + e * 12
@@ -400,12 +405,17 @@ object TiffPixelEval {
           planar = v(0)
         case 317 => val v = values(b, r, eo); if (v == null) return null
           predictor = v(0)
-        case 322 | 323 | 324 | 325 => tiled = true
+        case 322 => val v = values(b, r, eo); if (v == null) return null
+          tileW = v(0)
+        case 323 => val v = values(b, r, eo); if (v == null) return null
+          tileH = v(0)
+        case 324 => tOffs = values(b, r, eo); if (tOffs == null) return null
+        case 325 => tCounts = values(b, r, eo); if (tCounts == null) return null
         case _ => () // unknown tags skip (they may be any type)
       }
       e += 1
     }
-    if (tiled) return null // tiled layout: out of scope
+    val tiled = tOffs != null || tCounts != null || tileW > 0 || tileH > 0
     if (width <= 0 || height <= 0 || width * height > MaxPixels) return null
     if (compression != 1L && compression != 5L && compression != 8L &&
       compression != 32773L && compression != 32946L) return null
@@ -415,10 +425,13 @@ object TiffPixelEval {
     if (photometric == 0L || photometric == 1L) { if (nc != 1) return null }
     else if (photometric == 2L) { if (nc != 3) return null }
     else return null // palette/CMYK/YCbCr: out of scope
+    val w = width.toInt; val h = height.toInt
+    if (tiled)
+      return decodeTiled(b, r, w, h, nc, photometric.toInt,
+        compression.toInt, predictor.toInt, tileW, tileH, tOffs, tCounts)
     if (offs == null || counts == null || offs.length != counts.length)
       return null
     if (rowsPerStrip <= 0) return null
-    val w = width.toInt; val h = height.toInt
     val rps = math.min(rowsPerStrip, height).toInt
     val nStrips = (h + rps - 1) / rps
     if (offs.length != nStrips) return null
@@ -464,13 +477,86 @@ object TiffPixelEval {
       System.arraycopy(strip, 0, pixels, s * rps * rowBytes, wantBytes)
       s += 1
     }
+    finishLuma(w, h, nc, photometric.toInt, pixels)
+  }
+
+  /** One compressed region (strip or tile) to exactly `want` bytes. */
+  private def decodeRegion(b: Array[Byte], r: Rd, compression: Int,
+                           so: Long, sc: Long, want: Int): Array[Byte] = {
+    if (so < 0 || sc < 0 || so > Int.MaxValue || sc > Int.MaxValue ||
+      !r.ok(so.toInt, sc.toInt)) return null
+    compression match {
+      case 1 =>
+        if (sc.toInt != want) null
+        else java.util.Arrays.copyOfRange(b, so.toInt, so.toInt + sc.toInt)
+      case 5 => lzwDecode(b, so.toInt, sc.toInt, want)
+      case 32773 => packbitsDecode(b, so.toInt, sc.toInt, want)
+      case _ => inflateStrip(b, so.toInt, sc.toInt, want)
+    }
+  }
+
+  /** TILED layout (TIFF 6.0 §15, tags 322-325): tiles are FULL
+    * tileW×tileH regions even at the right/bottom edges (padded on the
+    * wire), raster-ordered across then down; the predictor runs per
+    * tile row; placement crops the padding. */
+  private def decodeTiled(b: Array[Byte], r: Rd, w: Int, h: Int, nc: Int,
+                          photometric: Int, compression: Int, predictor: Int,
+                          tileW: Long, tileH: Long, tOffs: Array[Long],
+                          tCounts: Array[Long]): (Int, Int, Array[Int]) = {
+    if (tileW <= 0 || tileH <= 0 || tileW % 16 != 0 || tileH % 16 != 0 ||
+      tileW > 65536 || tileH > 65536) return null
+    if (tOffs == null || tCounts == null || tOffs.length != tCounts.length)
+      return null
+    val tw = tileW.toInt; val th = tileH.toInt
+    val across = (w + tw - 1) / tw
+    val down = (h + th - 1) / th
+    if (tOffs.length != across * down) return null
+    val tileRowBytes = tw * nc
+    if (tileRowBytes.toLong * th > (MaxPixels.toLong << 2)) return null
+    val rowBytes = w * nc
+    val pixels = new Array[Byte](rowBytes * h)
+    var t = 0
+    while (t < tOffs.length) {
+      val tile = decodeRegion(b, r, compression, tOffs(t), tCounts(t),
+        tileRowBytes * th)
+      if (tile == null) return null
+      if (predictor == 2) {
+        var row = 0
+        while (row < th) {
+          val base = row * tileRowBytes
+          var x = nc
+          while (x < tileRowBytes) {
+            tile(base + x) = (tile(base + x) + tile(base + x - nc)).toByte
+            x += 1
+          }
+          row += 1
+        }
+      }
+      val ty = (t / across) * th
+      val tx = (t % across) * tw
+      val copyRows = math.min(th, h - ty)
+      val copyBytes = math.min(tileRowBytes, (w - tx) * nc)
+      var row = 0
+      while (row < copyRows) {
+        System.arraycopy(tile, row * tileRowBytes,
+          pixels, (ty + row) * rowBytes + tx * nc, copyBytes)
+        row += 1
+      }
+      t += 1
+    }
+    finishLuma(w, h, nc, photometric, pixels)
+  }
+
+  /** Fold the assembled sample plane to luma (shared strip/tile tail). */
+  private def finishLuma(w: Int, h: Int, nc: Int, photometric: Int,
+                         pixels: Array[Byte]): (Int, Int, Array[Int]) = {
     val luma = new Array[Int](w * h)
     var i = 0
     while (i < w * h) {
       luma(i) =
         if (nc == 1) {
           val v = pixels(i) & 0xFF
-          if (photometric == 0L) 255 - v else v
+          if (photometric == 0) 255 - v else v
         } else {
           val p = i * 3
           (299 * (pixels(p) & 0xFF) + 587 * (pixels(p + 1) & 0xFF) +
@@ -514,7 +600,8 @@ object TiffPixelEval {
   private[graft] def writeTiff(le: Boolean, w: Int, h: Int, nc: Int,
                                photometric: Int, compression: Int,
                                predictor: Int, rps: Int,
-                               pixels: Array[Byte]): Array[Byte] = {
+                               pixels: Array[Byte],
+                               tile16: Boolean = false): Array[Byte] = {
     val o = new java.io.ByteArrayOutputStream()
     def p16(v: Int): Unit =
       if (le) { o.write(v & 0xFF); o.write((v >> 8) & 0xFF) }
@@ -527,18 +614,15 @@ object TiffPixelEval {
         o.write(((v >> 8) & 0xFF).toInt); o.write((v & 0xFF).toInt) }
     if (le) { o.write('I'); o.write('I'); o.write(42); o.write(0) }
     else { o.write('M'); o.write('M'); o.write(0); o.write(42) }
-    // strips first, IFD after — header's IFD pointer patched by layout
+    // regions (strips, or full padded 16x16 tiles) first, IFD after
     val rowBytes = w * nc
     val nStrips = (h + rps - 1) / rps
-    val strips = (0 until nStrips).map { s =>
-      val rows = math.min(rps, h - s * rps)
-      val raw = java.util.Arrays.copyOfRange(pixels,
-        s * rps * rowBytes, s * rps * rowBytes + rows * rowBytes)
+    def pack(raw: Array[Byte], rows: Int, rb: Int): Array[Byte] = {
       if (predictor == 2) {
         var row = 0
         while (row < rows) {
-          val base = row * rowBytes
-          var x = rowBytes - 1
+          val base = row * rb
+          var x = rb - 1
           while (x >= nc) {
             raw(base + x) = (raw(base + x) - raw(base + x - nc)).toByte
             x -= 1
@@ -553,6 +637,28 @@ object TiffPixelEval {
         case _ => raw
       }
     }
+    val across = (w + 15) / 16
+    val down = (h + 15) / 16
+    val strips =
+      if (tile16) (0 until across * down).map { t =>
+        val tx = (t % across) * 16
+        val ty = (t / across) * 16
+        val raw = new Array[Byte](16 * 16 * nc) // zero-padded at edges
+        var row = 0
+        while (row < math.min(16, h - ty)) {
+          val n = math.min(16, w - tx) * nc
+          System.arraycopy(pixels, (ty + row) * rowBytes + tx * nc,
+            raw, row * 16 * nc, n)
+          row += 1
+        }
+        pack(raw, 16, 16 * nc)
+      }
+      else (0 until nStrips).map { s =>
+        val rows = math.min(rps, h - s * rps)
+        val raw = java.util.Arrays.copyOfRange(pixels,
+          s * rps * rowBytes, s * rps * rowBytes + rows * rowBytes)
+        pack(raw, rows, rowBytes)
+      }
     val dataStart = 8
     val stripOffs = strips.scanLeft(dataStart.toLong)(_ + _.length)
     val ifdOff = stripOffs.last + (stripOffs.last & 1) // word-align
@@ -570,14 +676,25 @@ object TiffPixelEval {
     else entries += Entry(258, 3, 3, 0, Array(8L, 8L, 8L))
     entries += Entry(259, 3, 1, compression)
     entries += Entry(262, 3, 1, photometric)
-    if (nStrips == 1) entries += Entry(273, 4, 1, stripOffs(0))
-    else entries += Entry(273, 4, nStrips, 0,
-      stripOffs.init.toArray)
-    entries += Entry(277, 3, 1, nc)
-    entries += Entry(278, 3, 1, rps)
-    if (nStrips == 1) entries += Entry(279, 4, 1, strips(0).length)
-    else entries += Entry(279, 4, nStrips, 0,
-      strips.map(_.length.toLong).toArray)
+    if (tile16) {
+      entries += Entry(322, 3, 1, 16)
+      entries += Entry(323, 3, 1, 16)
+      if (strips.length == 1) entries += Entry(324, 4, 1, stripOffs(0))
+      else entries += Entry(324, 4, strips.length, 0, stripOffs.init.toArray)
+      if (strips.length == 1) entries += Entry(325, 4, 1, strips(0).length)
+      else entries += Entry(325, 4, strips.length, 0,
+        strips.map(_.length.toLong).toArray)
+      entries += Entry(277, 3, 1, nc)
+    } else {
+      if (nStrips == 1) entries += Entry(273, 4, 1, stripOffs(0))
+      else entries += Entry(273, 4, nStrips, 0,
+        stripOffs.init.toArray)
+      entries += Entry(277, 3, 1, nc)
+      entries += Entry(278, 3, 1, rps)
+      if (nStrips == 1) entries += Entry(279, 4, 1, strips(0).length)
+      else entries += Entry(279, 4, nStrips, 0,
+        strips.map(_.length.toLong).toArray)
+    }
     if (predictor == 2) entries += Entry(317, 3, 1, 2)
     val sorted = entries.sortBy(_.tag)
     val n = sorted.length
@@ -615,8 +732,10 @@ object TiffPixelEval {
     * 3 → BE RGB LZW + horizontal-differencing Predictor 2;
     * 5 → LE gray PACKBITS, multi-strip;
     * 6 → LE RGB DEFLATE + Predictor 2;
+    * 7 → LE gray LZW TILED (16×16 tiles over a multi-tile frame whose
+    *     dims are NOT tile multiples — edge padding crops);
     * 4 → class 0 truncated mid-strip (dims parse, stats refuse).
-    * `shape` packs `w | h<<8 | cls<<16`. */
+    * `shape` packs `w | h<<8 | cls<<16`; class 7 sizes itself. */
   def synth(seed: Long, shape: Long): Array[Byte] = {
     val w = math.max(1, (shape & 0xFF).toInt)
     val h = math.max(1, ((shape >> 8) & 0xFF).toInt)
@@ -641,10 +760,21 @@ object TiffPixelEval {
       }
       px
     }
-    cls % 7 match {
+    cls % 8 match {
       case 0 => writeTiff(le = true, w, h, 1, 1, 1, 1, rps = 2, gray())
       case 5 => writeTiff(le = true, w, h, 1, 1, 32773, 1, rps = 2, gray())
       case 6 => writeTiff(le = true, w, h, 3, 2, 8, 2, rps = h, rgb())
+      case 7 =>
+        // multi-tile with crop: 21 or 37 px across, 18 down
+        val tw7 = ((seed % 2) + 1).toInt * 16 + 5
+        val th7 = 18
+        val px = new Array[Byte](tw7 * th7)
+        var i = 0
+        while (i < px.length) {
+          px(i) = chG(seed, i % tw7, i / tw7).toByte; i += 1
+        }
+        writeTiff(le = true, tw7, th7, 1, 1, 5, 1, rps = th7, px,
+          tile16 = true)
       case 1 =>
         // WhiteIsZero: stored = 255 - luma, the decoder inverts back
         val px = gray()

@@ -2102,10 +2102,11 @@ object Multimodal {
     * packed-luma contract. Tiles, deep samples, palettes, and the
     * exotic compressions refuse with dims intact (the q39 split).
     *
-    * Residue classes (%7): 0 → LE gray uncompressed MULTI-strip
+    * Residue classes (%8): 0 → LE gray uncompressed MULTI-strip
     * (rows-per-strip 2); 1 → BE gray WhiteIsZero (the polarity cross);
     * 2 → LE gray LZW; 3 → BE RGB LZW + Predictor 2; 5 → LE gray
-    * PACKBITS multi-strip; 6 → LE RGB DEFLATE + Predictor 2; 4 →
+    * PACKBITS multi-strip; 6 → LE RGB DEFLATE + Predictor 2; 7 → LE
+    * gray LZW TILED (16×16 tiles, non-multiple dims, edge crop); 4 →
     * truncated mid-strip (is_tiff = 1, stats refuse). Pixels ride the family
     * channel maps, so the oracle replays min/max/sum luma from doc_id
     * algebra alone — a strip-offset, LZW-width, predictor, or
@@ -2121,14 +2122,16 @@ object Multimodal {
     val id = col("doc_id")
     val w = (id % 6 + 2).cast("long")
     val h = (id % 4 + 2).cast("long")
-    val shape = w + h * 256 + (id % 7) * 65536
+    val shape = w + h * 256 + (id % 8) * 65536
+    val w7 = (id % 2 + 1) * 16 + 5
+    val isT = id % 8 === 7
     val staged = docs.select(id, TiffPixelOps.tiffPixelSynth(id, shape).as("_p"))
       .withColumn("_l", TiffPixelOps.tiffLuma(col("_p")))
     staged.select(id,
       hex(substring(col("_p"), 1, 4)).isin("49492A00", "4D4D002A")
         .cast("int").as("is_tiff"),
-      w.cast("int").as("width"),
-      h.cast("int").as("height"),
+      when(isT, w7).otherwise(w).cast("int").as("width"),
+      when(isT, lit(18)).otherwise(h).cast("int").as("height"),
       col("_l").bitwiseAND(lit(0xFF)).cast("int").as("min_luma"),
       shiftright(col("_l"), 8).bitwiseAND(lit(0xFF)).cast("int").as("max_luma"),
       shiftrightunsigned(col("_l"), 16).as("sum_luma"))

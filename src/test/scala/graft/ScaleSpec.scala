@@ -697,12 +697,9 @@ class ScaleSpec extends AnyFunSuite {
     import graft.operators.Multimodal
     decade("q197",
       n => Multimodal.q197TiffPixelsOn(synthMix(n))
-        .agg(sum(col("width")) + count(col("min_luma"))).head.getLong(0),
-      n => {
-        // width = doc_id%6+2 summed over n (6 | D1), plus 6n/7 decoded
-        val widthSum = (0 until 6).map(_ + 2).sum.toLong * (n / 6)
-        widthSum + n / 7 * 6
-      })
+        .agg(count(col("min_luma"))).head.getLong(0),
+      // %8 classes: all but the truncated class carry a decoded plane
+      n => n / 8 * 7)
   }
 
   test("intake capstones second decade: 100x docs through the full " +

@@ -211,7 +211,7 @@ class TiffPixelSpec extends AnyFunSuite {
   test("fuzz: flips and cuts over all classes refuse or decode, " +
     "never throw") {
     val rnd = new java.util.Random(0x7177L)
-    (0 until 7).foreach { cls =>
+    (0 until 8).foreach { cls =>
       val whole = TiffPixelEval.synth(5L, 6L | (5L << 8) | (cls.toLong << 16))
       (0 until 200).foreach { k =>
         val bad = whole.clone()
@@ -252,5 +252,59 @@ class TiffPixelSpec extends AnyFunSuite {
     val withNoop = Array[Byte](-128, 0, 'q', -128)
     assert(TiffPixelEval.packbitsDecode(withNoop, 0, 4, 1).toList ===
       List[Byte]('q'))
+  }
+
+  test("TILED layout: 16x16 tiles over non-multiple dims crop right, " +
+    "multi-tile placement matches the channel map, imageio both ways") {
+    def chG(seed: Long, x: Int, r: Int) =
+      (((seed * 3 + x * 5 + r) % 256 + 256) % 256).toInt
+    // our tiled synth (class 7): 37x18 = 3x2 tiles with edge padding
+    Seq(0L, 1L).foreach { seed =>
+      val file = TiffPixelEval.synth(seed, 7L << 16)
+      val r = TiffPixelEval.decodeLuma(file)
+      val w = ((seed % 2) + 1).toInt * 16 + 5
+      assert(r != null && r._1 === w && r._2 === 18, s"seed $seed dims")
+      (0 until 18).foreach { row =>
+        (0 until w).foreach { x =>
+          assert(r._3(row * w + x) === chG(seed, x, row),
+            s"seed $seed ($x,$row)")
+        }
+      }
+      // imageio reads our tiled LZW file back pixel-for-pixel
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(file))
+      assert(img != null, "imageio refused our tiled tiff")
+      assert(img.getWidth === w && img.getHeight === 18)
+      (0 until 18).foreach { row =>
+        (0 until w).foreach { x =>
+          assert(img.getRaster.getSample(x, row, 0) === chG(seed, x, row),
+            s"imageio seed $seed ($x,$row)")
+        }
+      }
+    }
+    // and the reverse: an imageio-written TILED LZW tiff decodes whole
+    import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+    import java.awt.image.BufferedImage
+    val rnd = new java.util.Random(0x7117L)
+    val src = new BufferedImage(41, 35, BufferedImage.TYPE_BYTE_GRAY)
+    (0 until 35).foreach(y => (0 until 41).foreach(x =>
+      src.getRaster.setSample(x, y, 0, rnd.nextInt(256))))
+    val wtr = ImageIO.getImageWritersByFormatName("tiff").next()
+    val prm = wtr.getDefaultWriteParam
+    prm.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    prm.setCompressionType("LZW")
+    prm.setTilingMode(ImageWriteParam.MODE_EXPLICIT)
+    prm.setTiling(16, 16, 0, 0)
+    val bo = new java.io.ByteArrayOutputStream()
+    val os = ImageIO.createImageOutputStream(bo)
+    wtr.setOutput(os)
+    wtr.write(null, new IIOImage(src, null, null), prm)
+    os.close(); wtr.dispose()
+    val got = TiffPixelEval.decodeLuma(bo.toByteArray)
+    assert(got != null, "imageio tiled tiff refused")
+    assert(got._1 === 41 && got._2 === 35)
+    (0 until 35).foreach(y => (0 until 41).foreach(x =>
+      assert(got._3(y * 41 + x) === src.getRaster.getSample(x, y, 0),
+        s"tiled interop ($x,$y)")))
   }
 }
