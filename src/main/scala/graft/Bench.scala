@@ -20,6 +20,29 @@ object Bench {
   private def loadAvg: Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
+  /** Single-rep outlier amnesty (r18, judge task #4): r17's driver
+    * artifact went rc=1 on q44 reps 4.02/4.51/43.53 — min and median in
+    * line with every prior round, ONE rep eaten by a co-tenant/GC burst.
+    * When exactly the largest rep is > `ratio`× the median AND the
+    * remaining reps are mutually tight (max/min ≤ `ratio` without it),
+    * run ONE extra rep and drop the single largest of the n+1: a
+    * transient spike vanishes, while a genuine bimodal distribution
+    * keeps its second-largest spike and still trips the guard.
+    * Returns (kept reps sorted, whether amnesty fired). Pure for the
+    * BenchSpec synthetic-rep-set pin. */
+  private[graft] def dropOutlier(times: Vector[Double], extra: () => Double,
+                                 ratio: Double = 3.0): (Vector[Double], Boolean) = {
+    val sorted = times.sorted
+    if (sorted.size < 2) return (sorted, false)
+    val med = sorted(sorted.size / 2)
+    val rest = sorted.init
+    val restTight = rest.last <= ratio * math.max(rest.head, 1e-9)
+    if (sorted.last > ratio * math.max(med, 1e-9) && restTight) {
+      val all = (sorted :+ extra()).sorted
+      (all.init, true)
+    } else (sorted, false)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -55,6 +78,7 @@ object Bench {
     }
     val loadBefore = loadAvg
     var failed = Vector.empty[(String, String)]
+    var amnesty = Vector.empty[String]
     // name -> (min, median, max) over `reps` timed runs after one warmup
     def measure(name: String,
                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
@@ -73,7 +97,14 @@ object Bench {
         // reproducible 4-7x max/min outlier on q37, the query with the
         // most driver jobs (iterative), and none when run alone
         System.gc()
-        val times = Vector.fill(nReps)(once()).sorted
+        val raw = Vector.fill(nReps)(once())
+        val (times, amnestied) = dropOutlier(raw, () => once())
+        if (amnestied) {
+          amnesty :+= name
+          System.err.println(
+            f"[bench] $name: dropped single-rep outlier ${raw.max}%.2f s " +
+              f"(other reps ${times.head}%.2f-${times.last}%.2f s) after one confirming extra rep")
+        }
         Some((times.head, times(times.size / 2), times.last))
       } catch {
         case e: Throwable =>
@@ -263,7 +294,8 @@ object Bench {
         s""""retries":$retries,"violations":${vmap(hardViolations)},""" +
         s""""soft":${vmap(softViolations)},""" +
         s""""quiet_load":$quietLoad,"pre_wait_sec":$preWait,""" +
-        s""""quiet_rewaits":${pendingHard.size},"quiet_wait_sec":$quietWaitSec}"""
+        s""""quiet_rewaits":${pendingHard.size},"quiet_wait_sec":$quietWaitSec,""" +
+        s""""outlier_amnesty":${amnesty.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     hardViolations.foreach { case (k, r) =>
       System.err.println(
         f"[bench] VARIANCE GUARD (after $retries retries): $k max/min = $r%.2fx > ${varThreshold}x")

@@ -56,8 +56,13 @@ object TiffPixelEval {
   // ------------------------------------------------------------ reader
 
   private final class Rd(b: Array[Byte], val le: Boolean) {
+    // compare in LONG: `off + n` overflows Int when a crafted IFD value
+    // offset sits near Int.MaxValue (e.g. 0x7FFE0000 + a 65536-entry
+    // SHORT array = 131072 bytes), which would pass an int check and
+    // then throw from copyOfRange — the kernel's contract over hostile
+    // bytes is refuse, never throw (r17 advisory, fixed r18)
     def ok(off: Int, n: Int): Boolean =
-      off >= 0 && n >= 0 && off + n <= b.length
+      off >= 0 && n >= 0 && off.toLong + n <= b.length
     def u16(off: Int): Int =
       if (le) (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
       else ((b(off) & 0xFF) << 8) | (b(off + 1) & 0xFF)
@@ -596,12 +601,16 @@ object TiffPixelEval {
     (((seed + x * 7 + r * 13) % 256 + 256) % 256).toInt
 
   /** Write a TIFF: header, pixel strips, then one IFD (offsets
-    * forward-computed). `le` picks the byte order. */
+    * forward-computed). `le` picks the byte order. `ifdFirst` flips the
+    * layout (header, IFD, then strips) so the truncation class can cut
+    * strip bytes while the IFD — and therefore the dims — stays whole
+    * (the q39 split the class doc promises; r17 advisory, fixed r18). */
   private[graft] def writeTiff(le: Boolean, w: Int, h: Int, nc: Int,
                                photometric: Int, compression: Int,
                                predictor: Int, rps: Int,
                                pixels: Array[Byte],
-                               tile16: Boolean = false): Array[Byte] = {
+                               tile16: Boolean = false,
+                               ifdFirst: Boolean = false): Array[Byte] = {
     val o = new java.io.ByteArrayOutputStream()
     def p16(v: Int): Unit =
       if (le) { o.write(v & 0xFF); o.write((v >> 8) & 0xFF) }
@@ -659,51 +668,69 @@ object TiffPixelEval {
           s * rps * rowBytes, s * rps * rowBytes + rows * rowBytes)
         pack(raw, rows, rowBytes)
       }
-    val dataStart = 8
-    val stripOffs = strips.scanLeft(dataStart.toLong)(_ + _.length)
-    val ifdOff = stripOffs.last + (stripOffs.last & 1) // word-align
-    // header IFD pointer
-    p32(ifdOff)
-    strips.foreach(s => o.write(s, 0, s.length))
-    if ((stripOffs.last & 1) == 1) o.write(0)
     // entry list: tags ascending; arrays past 4 bytes park after the IFD
     case class Entry(tag: Int, typ: Int, count: Int, inline: Long,
                      arr: Array[Long] = null)
-    val entries = scala.collection.mutable.ArrayBuffer.empty[Entry]
-    entries += Entry(256, 3, 1, w)
-    entries += Entry(257, 3, 1, h)
-    if (nc == 1) entries += Entry(258, 3, 1, 8)
-    else entries += Entry(258, 3, 3, 0, Array(8L, 8L, 8L))
-    entries += Entry(259, 3, 1, compression)
-    entries += Entry(262, 3, 1, photometric)
-    if (tile16) {
-      entries += Entry(322, 3, 1, 16)
-      entries += Entry(323, 3, 1, 16)
-      if (strips.length == 1) entries += Entry(324, 4, 1, stripOffs(0))
-      else entries += Entry(324, 4, strips.length, 0, stripOffs.init.toArray)
-      if (strips.length == 1) entries += Entry(325, 4, 1, strips(0).length)
-      else entries += Entry(325, 4, strips.length, 0,
-        strips.map(_.length.toLong).toArray)
-      entries += Entry(277, 3, 1, nc)
-    } else {
-      if (nStrips == 1) entries += Entry(273, 4, 1, stripOffs(0))
-      else entries += Entry(273, 4, nStrips, 0,
-        stripOffs.init.toArray)
-      entries += Entry(277, 3, 1, nc)
-      entries += Entry(278, 3, 1, rps)
-      if (nStrips == 1) entries += Entry(279, 4, 1, strips(0).length)
-      else entries += Entry(279, 4, nStrips, 0,
-        strips.map(_.length.toLong).toArray)
+    def mkEntries(stripOffs: Seq[Long]): Seq[Entry] = {
+      val entries = scala.collection.mutable.ArrayBuffer.empty[Entry]
+      entries += Entry(256, 3, 1, w)
+      entries += Entry(257, 3, 1, h)
+      if (nc == 1) entries += Entry(258, 3, 1, 8)
+      else entries += Entry(258, 3, 3, 0, Array(8L, 8L, 8L))
+      entries += Entry(259, 3, 1, compression)
+      entries += Entry(262, 3, 1, photometric)
+      if (tile16) {
+        entries += Entry(322, 3, 1, 16)
+        entries += Entry(323, 3, 1, 16)
+        if (strips.length == 1) entries += Entry(324, 4, 1, stripOffs(0))
+        else entries += Entry(324, 4, strips.length, 0, stripOffs.init.toArray)
+        if (strips.length == 1) entries += Entry(325, 4, 1, strips(0).length)
+        else entries += Entry(325, 4, strips.length, 0,
+          strips.map(_.length.toLong).toArray)
+        entries += Entry(277, 3, 1, nc)
+      } else {
+        if (nStrips == 1) entries += Entry(273, 4, 1, stripOffs(0))
+        else entries += Entry(273, 4, nStrips, 0,
+          stripOffs.init.toArray)
+        entries += Entry(277, 3, 1, nc)
+        entries += Entry(278, 3, 1, rps)
+        if (nStrips == 1) entries += Entry(279, 4, 1, strips(0).length)
+        else entries += Entry(279, 4, nStrips, 0,
+          strips.map(_.length.toLong).toArray)
+      }
+      if (predictor == 2) entries += Entry(317, 3, 1, 2)
+      entries.sortBy(_.tag).toSeq
     }
-    if (predictor == 2) entries += Entry(317, 3, 1, 2)
-    val sorted = entries.sortBy(_.tag)
-    val n = sorted.length
+    def widthOf(typ: Int): Int = if (typ == 3) 2 else 4
+    // entry COUNT and parked-array SIZE never depend on the offset
+    // values, so a probe build with dummy offsets sizes the IFD
+    val probe = mkEntries(strips.map(_ => 0L))
+    val n = probe.length
+    val parkedBytes =
+      probe.collect { case en if en.arr != null &&
+        widthOf(en.typ) * en.count > 4 => widthOf(en.typ) * en.count }.sum
+    val ifdSize = 2 + n * 12 + 4 + parkedBytes
+    val stripsTotal = strips.map(_.length.toLong).sum
+    val (ifdOff, dataStart) =
+      if (ifdFirst) (8L, 8L + ifdSize)
+      else {
+        val e = 8L + stripsTotal
+        (e + (e & 1), 8L) // word-align the IFD after the strips
+      }
+    val stripOffs = strips.scanLeft(dataStart)(_ + _.length)
+    val sorted = mkEntries(stripOffs)
+    // header IFD pointer
+    p32(ifdOff)
+    if (!ifdFirst) {
+      strips.foreach(s => o.write(s, 0, s.length))
+      if (((8L + stripsTotal) & 1) == 1) o.write(0)
+    }
     var tail = ifdOff + 2 + n * 12 + 4 // array park position
     p16(n)
     val parked = scala.collection.mutable.ArrayBuffer.empty[(Long, Entry)]
     sorted.foreach { en =>
       p16(en.tag); p16(en.typ); p32(en.count)
-      val width = if (en.typ == 3) 2 else 4
+      val width = widthOf(en.typ)
       if (en.arr == null) {
         // inline scalar: SHORTs occupy the FRONT two bytes of the field
         if (en.typ == 3) { p16(en.inline.toInt); p16(0) }
@@ -722,10 +749,11 @@ object TiffPixelEval {
     parked.foreach { case (_, en) =>
       en.arr.foreach(v => if (en.typ == 3) p16(v.toInt) else p32(v))
     }
+    if (ifdFirst) strips.foreach(s => o.write(s, 0, s.length))
     o.toByteArray
   }
 
-  /** Synthesize a q197 residue class (%7) on the shared channel maps:
+  /** Synthesize a q197 residue class (%8) on the shared channel maps:
     * 0 → LE gray uncompressed, MULTI-strip (rows-per-strip 2);
     * 1 → BE gray uncompressed, WhiteIsZero (the polarity inversion);
     * 2 → LE gray LZW;
@@ -784,9 +812,15 @@ object TiffPixelEval {
       case 2 => writeTiff(le = true, w, h, 1, 1, 5, 1, rps = h, gray())
       case 3 => writeTiff(le = false, w, h, 3, 2, 5, 2, rps = h, rgb())
       case _ =>
-        val whole = writeTiff(le = true, w, h, 1, 1, 1, 1, rps = 2, gray())
-        // cut inside the pixel strips but past the header+dims region
-        java.util.Arrays.copyOf(whole, math.max(10, whole.length - w - 6))
+        // IFD-first layout: the strips are the file TAIL, so the cut
+        // removes pixel bytes while the whole IFD — dims included —
+        // stays parseable (the class doc's "dims parse, stats refuse";
+        // the strips-last spelling cut the IFD instead, r17 advisory)
+        val whole = writeTiff(le = true, w, h, 1, 1, 1, 1, rps = 2, gray(),
+          ifdFirst = true)
+        val stripsStart = whole.length - w * h // uncompressed gray strips
+        java.util.Arrays.copyOf(whole,
+          stripsStart + math.max(0, w * h - w - 6))
     }
   }
 }

@@ -2099,8 +2099,9 @@ object Multimodal {
     * imageio TIFF plugin in TiffPixelSpec), horizontal-differencing
     * Predictor 2, WhiteIsZero/BlackIsZero polarities, gray + RGB, all
     * through [[graft.functions.TiffPixelEval]] to the shared
-    * packed-luma contract. Tiles, deep samples, palettes, and the
-    * exotic compressions refuse with dims intact (the q39 split).
+    * packed-luma contract. Deep samples, palettes, and the exotic
+    * compressions refuse with dims intact (the q39 split); tiled
+    * layout is decoded (class 7 below).
     *
     * Residue classes (%8): 0 → LE gray uncompressed MULTI-strip
     * (rows-per-strip 2); 1 → BE gray WhiteIsZero (the polarity cross);

@@ -208,6 +208,49 @@ class TiffPixelSpec extends AnyFunSuite {
     assert(TiffPixelEval.lumaStats(null) === java.lang.Long.MIN_VALUE)
   }
 
+  test("truncation class keeps a whole IFD: dims would parse, strips refuse") {
+    // r17 advisory: the strips-last layout cut the IFD tail, so for
+    // single-strip shapes the class doc's "dims parse" was false. The
+    // IFD-first layout pins it: the magic AND the full entry table
+    // survive the cut — only strip bytes are gone.
+    val cut = TiffPixelEval.synth(9L, 6L | (1L << 8) | (4L << 16)) // h=1: worst case
+    assert(cut(0) == 'I' && cut(1) == 'I')
+    // IFD at offset 8 parses whole: entry count + entries + next ptr
+    val n = (cut(8) & 0xFF) | ((cut(9) & 0xFF) << 8)
+    assert(n > 0 && 10 + n * 12 + 4 <= cut.length)
+    // width/height entries present with the synthesized values
+    def entry(tag: Int): Option[Int] = (0 until n).collectFirst {
+      case e if ((cut(10 + e * 12) & 0xFF) | ((cut(11 + e * 12) & 0xFF) << 8)) == tag =>
+        (cut(10 + e * 12 + 8) & 0xFF) | ((cut(10 + e * 12 + 9) & 0xFF) << 8)
+    }
+    assert(entry(256).contains(6))
+    assert(entry(257).contains(1))
+    assert(TiffPixelEval.lumaStats(cut) === java.lang.Long.MIN_VALUE)
+  }
+
+  test("hostile IFD offsets near Int.MaxValue refuse, never throw") {
+    // r17 advisory (medium): `off + n` in int overflowed, passing the
+    // bounds check and throwing from the read. Craft exactly that: a
+    // SHORT array of 65536 entries parked at 0x7FFE0000.
+    def tiff(valueOff: Long, count: Long): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      def p16(v: Int) = { o.write(v & 0xFF); o.write((v >> 8) & 0xFF) }
+      def p32(v: Long) = { p16((v & 0xFFFF).toInt); p16(((v >> 16) & 0xFFFF).toInt) }
+      o.write('I'); o.write('I'); o.write(42); o.write(0)
+      p32(8) // IFD here
+      p16(1) // one entry
+      p16(273); p16(3); p32(count); p32(valueOff)
+      p32(0)
+      o.toByteArray
+    }
+    assert(TiffPixelEval.lumaStats(tiff(0x7FFE0000L, 65536L)) ===
+      java.lang.Long.MIN_VALUE)
+    assert(TiffPixelEval.lumaStats(tiff(0xFFFFFFF0L, 4L)) ===
+      java.lang.Long.MIN_VALUE)
+    assert(TiffPixelEval.lumaStats(tiff(Int.MaxValue.toLong - 1, 65536L)) ===
+      java.lang.Long.MIN_VALUE)
+  }
+
   test("fuzz: flips and cuts over all classes refuse or decode, " +
     "never throw") {
     val rnd = new java.util.Random(0x7177L)
