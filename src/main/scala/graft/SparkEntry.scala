@@ -3407,17 +3407,21 @@ object SparkEntry {
     "q189_zstd_intake" -> fullStackOracle,
     // q197: the oracle replays min/max/sum luma from the family
     // channel maps per class (the gray map for the uncompressed, BE,
-    // polarity, LZW, PackBits, and TILED classes; the RGB fold for
-    // the two predictor classes) — it never touches a TIFF byte, so a strip-offset,
-    // LZW-width, predictor, or polarity slip cannot cancel
+    // polarity, LZW, PackBits, TILED, and 16-bit classes; the RGB fold
+    // for the two predictor classes; the NESTED gray-into-RGB fold for
+    // the palette class) — it never touches a TIFF byte, so a
+    // strip-offset, LZW-width, predictor, polarity, ColorMap, or
+    // sample-endian slip cannot cancel
     "q197_tiff_pixels" ->
       ("WITH p AS (SELECT doc_id, doc_id % 6 + 2 AS w, doc_id % 4 + 2 AS h, " +
         "(doc_id % 2 + 1) * 16 + 5 AS w7, " +
-        "doc_id % 8 AS cls FROM documents), " +
+        "doc_id % 10 AS cls FROM documents), " +
         "g AS (SELECT doc_id, min(luma) AS mn, max(luma) AS mx, " +
         "sum(luma) AS s FROM (SELECT doc_id, " +
         "(doc_id*3 + (i % w)*5 + (i // w)) % 256 AS luma " +
-        "FROM p, UNNEST(range(0, w * h)) AS t(i) WHERE cls IN (0, 1, 2, 5)) " +
+        // class 9 stores gray<<8 | blue as a 16-bit BE sample; the
+        // high-byte fold lands back on the gray map
+        "FROM p, UNNEST(range(0, w * h)) AS t(i) WHERE cls IN (0, 1, 2, 5, 9)) " +
         "GROUP BY doc_id), " +
         "c AS (SELECT doc_id, min(luma) AS mn, max(luma) AS mx, " +
         "sum(luma) AS s FROM (SELECT doc_id, " +
@@ -3430,16 +3434,26 @@ object SparkEntry {
         "sum(luma) AS s FROM (SELECT doc_id, " +
         "(doc_id*3 + (i % w7)*5 + (i // w7)) % 256 AS luma " +
         "FROM p, UNNEST(range(0, w7 * 18)) AS t(i) WHERE cls = 7) " +
+        "GROUP BY doc_id), " +
+        // palette: the pixel is a gray-map INDEX, the ColorMap's high
+        // bytes are the RGB maps at (index, row 0) — a nested fold
+        "pal AS (SELECT doc_id, min(luma) AS mn, max(luma) AS mx, " +
+        "sum(luma) AS s FROM (SELECT doc_id, " +
+        "(299 * ((doc_id*2 + g) % 256) + 587 * ((doc_id*3 + g*5) % 256) + " +
+        "114 * ((doc_id + g*7) % 256)) // 1000 AS luma " +
+        "FROM (SELECT doc_id, (doc_id*3 + (i % w)*5 + (i // w)) % 256 AS g " +
+        "FROM p, UNNEST(range(0, w * h)) AS t(i) WHERE cls = 8)) " +
         "GROUP BY doc_id) " +
         "SELECT p.doc_id, CAST(1 AS INTEGER) AS is_tiff, " +
         "CAST(CASE WHEN cls = 7 THEN w7 ELSE w END AS INTEGER) AS width, " +
         "CAST(CASE WHEN cls = 7 THEN 18 ELSE h END AS INTEGER) AS height, " +
-        "CAST(coalesce(g.mn, c.mn, g7.mn) AS INTEGER) AS min_luma, " +
-        "CAST(coalesce(g.mx, c.mx, g7.mx) AS INTEGER) AS max_luma, " +
-        "CAST(coalesce(g.s, c.s, g7.s) AS BIGINT) AS sum_luma " +
+        "CAST(coalesce(g.mn, c.mn, g7.mn, pal.mn) AS INTEGER) AS min_luma, " +
+        "CAST(coalesce(g.mx, c.mx, g7.mx, pal.mx) AS INTEGER) AS max_luma, " +
+        "CAST(coalesce(g.s, c.s, g7.s, pal.s) AS BIGINT) AS sum_luma " +
         "FROM p LEFT JOIN g ON p.doc_id = g.doc_id " +
         "LEFT JOIN c ON p.doc_id = c.doc_id " +
-        "LEFT JOIN g7 ON p.doc_id = g7.doc_id"),
+        "LEFT JOIN g7 ON p.doc_id = g7.doc_id " +
+        "LEFT JOIN pal ON p.doc_id = pal.doc_id"),
     // q196: the oracle replays each class's luma algebra (cumulative
     // DC-pred chain, corner average, WHT half-split, V/H mode chains) from doc_id
     // alone — it never touches a VP8 bit — so a boolean-decoder,

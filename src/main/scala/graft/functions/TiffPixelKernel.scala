@@ -34,11 +34,19 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   *    GzipKernel discipline).
   *
   *  - TILED layout (§15, tags 322-325): full padded tiles raster-
-  *    ordered across then down, predictor per tile row, edge crop.
+  *    ordered across then down, predictor per tile row, edge crop;
   *
-  * Stated scope, refusing rather than guessing: 1/4/16-bit samples,
-  * palette color (photometric 3), CCITT/JPEG-in-TIFF compressions,
-  * and planar configuration 2 all return the NULL marker; dims still
+  *  - PALETTE color (photometric 3, r18): 8-bit indices through the
+  *    ColorMap's 16-bit components (high byte = the 8-bit component),
+  *    out-of-map indices refuse;
+  *  - 16-BIT grayscale (r18): samples follow the FILE byte order
+  *    (the deep-sample endian drill), luma is the high byte — both
+  *    cross-validated against javax.imageio (ImageIoCrossSpec).
+  *
+  * Stated scope, refusing rather than guessing: 1/4-bit samples,
+  * 16-bit RGB/palette, CCITT/JPEG-in-TIFF compressions, Predictor 2
+  * on 16-bit samples (it differences VALUES, not bytes), and planar
+  * configuration 2 all return the NULL marker; dims still
   * parse through q129's meta walk (the q39 split). A strip/tile table
   * addressing bytes the buffer never carried refuses whole. Resource
   * guard: 1 Mi pixels.
@@ -377,13 +385,14 @@ object TiffPixelEval {
     if (!r.ok(i0 + 2, nEntries * 12)) return null
     var width = -1L; var height = -1L
     var compression = 1L
-    var photometric = -1L; var spp = 1L
+    var photometric = -1L; var spp = 1L; var bps = 8L
     var rowsPerStrip = 0xFFFFFFFFL; var predictor = 1L; var planar = 1L
     var offs: Array[Long] = null
     var counts: Array[Long] = null
     var tileW = -1L; var tileH = -1L
     var tOffs: Array[Long] = null
     var tCounts: Array[Long] = null
+    var cmap: Array[Long] = null
     var e = 0
     while (e < nEntries) {
       val eo = i0 + 2 + e * 12
@@ -394,8 +403,9 @@ object TiffPixelEval {
         case 257 => val v = values(b, r, eo); if (v == null) return null
           height = v(0)
         case 258 => val v = values(b, r, eo); if (v == null) return null
-          // all samples must be 8-bit in this profile
-          if (v.exists(_ != 8L)) return null
+          // all samples the same width; 8- and 16-bit are in scope
+          if (v.exists(_ != v(0))) return null
+          bps = v(0)
         case 259 => val v = values(b, r, eo); if (v == null) return null
           compression = v(0)
         case 262 => val v = values(b, r, eo); if (v == null) return null
@@ -410,6 +420,7 @@ object TiffPixelEval {
           planar = v(0)
         case 317 => val v = values(b, r, eo); if (v == null) return null
           predictor = v(0)
+        case 320 => cmap = values(b, r, eo); if (cmap == null) return null
         case 322 => val v = values(b, r, eo); if (v == null) return null
           tileW = v(0)
         case 323 => val v = values(b, r, eo); if (v == null) return null
@@ -426,21 +437,32 @@ object TiffPixelEval {
       compression != 32773L && compression != 32946L) return null
     if (planar != 1L) return null
     if (predictor != 1L && predictor != 2L) return null
+    if (bps != 8L && bps != 16L) return null
     val nc = spp.toInt
     if (photometric == 0L || photometric == 1L) { if (nc != 1) return null }
     else if (photometric == 2L) { if (nc != 3) return null }
-    else return null // palette/CMYK/YCbCr: out of scope
+    else if (photometric == 3L) {
+      // palette color: 8-bit indices into a 3×2^bps SHORT ColorMap
+      if (nc != 1 || bps != 8L || cmap == null) return null
+      if (cmap.length % 3 != 0 || cmap.length < 3) return null
+    } else return null // CMYK/YCbCr: out of scope
+    // 16-bit scope: grayscale, no predictor (differencing runs on
+    // 16-bit VALUES per spec — the byte-wise pass below would corrupt)
+    if (bps == 16L && (nc != 1 || photometric == 3L || predictor == 2L))
+      return null
+    val bppx = nc * (bps.toInt / 8) // bytes per pixel
     val w = width.toInt; val h = height.toInt
     if (tiled)
-      return decodeTiled(b, r, w, h, nc, photometric.toInt,
-        compression.toInt, predictor.toInt, tileW, tileH, tOffs, tCounts)
+      return decodeTiled(b, r, w, h, nc, bppx, photometric.toInt,
+        compression.toInt, predictor.toInt, tileW, tileH, tOffs, tCounts,
+        bps.toInt, cmap)
     if (offs == null || counts == null || offs.length != counts.length)
       return null
     if (rowsPerStrip <= 0) return null
     val rps = math.min(rowsPerStrip, height).toInt
     val nStrips = (h + rps - 1) / rps
     if (offs.length != nStrips) return null
-    val rowBytes = w * nc
+    val rowBytes = w * bppx
     val pixels = new Array[Byte](rowBytes * h)
     var s = 0
     while (s < nStrips) {
@@ -482,7 +504,7 @@ object TiffPixelEval {
       System.arraycopy(strip, 0, pixels, s * rps * rowBytes, wantBytes)
       s += 1
     }
-    finishLuma(w, h, nc, photometric.toInt, pixels)
+    finishLuma(w, h, nc, photometric.toInt, pixels, bps.toInt, le, cmap)
   }
 
   /** One compressed region (strip or tile) to exactly `want` bytes. */
@@ -505,9 +527,11 @@ object TiffPixelEval {
     * wire), raster-ordered across then down; the predictor runs per
     * tile row; placement crops the padding. */
   private def decodeTiled(b: Array[Byte], r: Rd, w: Int, h: Int, nc: Int,
+                          bppx: Int,
                           photometric: Int, compression: Int, predictor: Int,
                           tileW: Long, tileH: Long, tOffs: Array[Long],
-                          tCounts: Array[Long]): (Int, Int, Array[Int]) = {
+                          tCounts: Array[Long], bps: Int,
+                          cmap: Array[Long]): (Int, Int, Array[Int]) = {
     if (tileW <= 0 || tileH <= 0 || tileW % 16 != 0 || tileH % 16 != 0 ||
       tileW > 65536 || tileH > 65536) return null
     if (tOffs == null || tCounts == null || tOffs.length != tCounts.length)
@@ -516,9 +540,9 @@ object TiffPixelEval {
     val across = (w + tw - 1) / tw
     val down = (h + th - 1) / th
     if (tOffs.length != across * down) return null
-    val tileRowBytes = tw * nc
+    val tileRowBytes = tw * bppx
     if (tileRowBytes.toLong * th > (MaxPixels.toLong << 2)) return null
-    val rowBytes = w * nc
+    val rowBytes = w * bppx
     val pixels = new Array[Byte](rowBytes * h)
     var t = 0
     while (t < tOffs.length) {
@@ -540,26 +564,46 @@ object TiffPixelEval {
       val ty = (t / across) * th
       val tx = (t % across) * tw
       val copyRows = math.min(th, h - ty)
-      val copyBytes = math.min(tileRowBytes, (w - tx) * nc)
+      val copyBytes = math.min(tileRowBytes, (w - tx) * bppx)
       var row = 0
       while (row < copyRows) {
         System.arraycopy(tile, row * tileRowBytes,
-          pixels, (ty + row) * rowBytes + tx * nc, copyBytes)
+          pixels, (ty + row) * rowBytes + tx * bppx, copyBytes)
         row += 1
       }
       t += 1
     }
-    finishLuma(w, h, nc, photometric, pixels)
+    finishLuma(w, h, nc, photometric, pixels, bps, r.le, cmap)
   }
 
-  /** Fold the assembled sample plane to luma (shared strip/tile tail). */
+  /** Fold the assembled sample plane to luma (shared strip/tile tail):
+    * 8-bit gray in either polarity, 8-bit RGB (Rec.601 integer fold),
+    * palette indices through the 16-bit-component ColorMap (high byte
+    * is the 8-bit component, then the same Rec.601 fold), and 16-bit
+    * gray — samples follow the FILE byte order, luma is the high byte. */
   private def finishLuma(w: Int, h: Int, nc: Int, photometric: Int,
-                         pixels: Array[Byte]): (Int, Int, Array[Int]) = {
+                         pixels: Array[Byte], bps: Int, le: Boolean,
+                         cmap: Array[Long]): (Int, Int, Array[Int]) = {
     val luma = new Array[Int](w * h)
+    val cmapN = if (cmap == null) 0 else cmap.length / 3
     var i = 0
     while (i < w * h) {
       luma(i) =
-        if (nc == 1) {
+        if (photometric == 3) {
+          val idx = pixels(i) & 0xFF
+          if (idx >= cmapN) return null // index past the ColorMap: refuse
+          (299 * (cmap(idx).toInt >> 8) +
+            587 * (cmap(cmapN + idx).toInt >> 8) +
+            114 * (cmap(2 * cmapN + idx).toInt >> 8)) / 1000
+        } else if (bps == 16) {
+          val p = i * 2
+          val v =
+            if (le) (pixels(p) & 0xFF) | ((pixels(p + 1) & 0xFF) << 8)
+            else ((pixels(p) & 0xFF) << 8) | (pixels(p + 1) & 0xFF)
+          // (65535 - v) >> 8 == 255 - (v >> 8), so the WhiteIsZero
+          // inversion commutes with the high-byte fold
+          if (photometric == 0) 255 - (v >> 8) else v >> 8
+        } else if (nc == 1) {
           val v = pixels(i) & 0xFF
           if (photometric == 0) 255 - v else v
         } else {
@@ -610,7 +654,9 @@ object TiffPixelEval {
                                predictor: Int, rps: Int,
                                pixels: Array[Byte],
                                tile16: Boolean = false,
-                               ifdFirst: Boolean = false): Array[Byte] = {
+                               ifdFirst: Boolean = false,
+                               bps: Int = 8,
+                               cmap: Array[Long] = null): Array[Byte] = {
     val o = new java.io.ByteArrayOutputStream()
     def p16(v: Int): Unit =
       if (le) { o.write(v & 0xFF); o.write((v >> 8) & 0xFF) }
@@ -624,7 +670,8 @@ object TiffPixelEval {
     if (le) { o.write('I'); o.write('I'); o.write(42); o.write(0) }
     else { o.write('M'); o.write('M'); o.write(0); o.write(42) }
     // regions (strips, or full padded 16x16 tiles) first, IFD after
-    val rowBytes = w * nc
+    val bppx = nc * (bps / 8)
+    val rowBytes = w * bppx
     val nStrips = (h + rps - 1) / rps
     def pack(raw: Array[Byte], rows: Int, rb: Int): Array[Byte] = {
       if (predictor == 2) {
@@ -652,15 +699,15 @@ object TiffPixelEval {
       if (tile16) (0 until across * down).map { t =>
         val tx = (t % across) * 16
         val ty = (t / across) * 16
-        val raw = new Array[Byte](16 * 16 * nc) // zero-padded at edges
+        val raw = new Array[Byte](16 * 16 * bppx) // zero-padded at edges
         var row = 0
         while (row < math.min(16, h - ty)) {
-          val n = math.min(16, w - tx) * nc
-          System.arraycopy(pixels, (ty + row) * rowBytes + tx * nc,
-            raw, row * 16 * nc, n)
+          val n = math.min(16, w - tx) * bppx
+          System.arraycopy(pixels, (ty + row) * rowBytes + tx * bppx,
+            raw, row * 16 * bppx, n)
           row += 1
         }
-        pack(raw, 16, 16 * nc)
+        pack(raw, 16, 16 * bppx)
       }
       else (0 until nStrips).map { s =>
         val rows = math.min(rps, h - s * rps)
@@ -675,10 +722,12 @@ object TiffPixelEval {
       val entries = scala.collection.mutable.ArrayBuffer.empty[Entry]
       entries += Entry(256, 3, 1, w)
       entries += Entry(257, 3, 1, h)
-      if (nc == 1) entries += Entry(258, 3, 1, 8)
-      else entries += Entry(258, 3, 3, 0, Array(8L, 8L, 8L))
+      if (nc == 1) entries += Entry(258, 3, 1, bps)
+      else entries += Entry(258, 3, 3, 0,
+        Array(bps.toLong, bps.toLong, bps.toLong))
       entries += Entry(259, 3, 1, compression)
       entries += Entry(262, 3, 1, photometric)
+      if (cmap != null) entries += Entry(320, 3, cmap.length, 0, cmap)
       if (tile16) {
         entries += Entry(322, 3, 1, 16)
         entries += Entry(323, 3, 1, 16)
@@ -753,7 +802,7 @@ object TiffPixelEval {
     o.toByteArray
   }
 
-  /** Synthesize a q197 residue class (%8) on the shared channel maps:
+  /** Synthesize a q197 residue class (%10) on the shared channel maps:
     * 0 → LE gray uncompressed, MULTI-strip (rows-per-strip 2);
     * 1 → BE gray uncompressed, WhiteIsZero (the polarity inversion);
     * 2 → LE gray LZW;
@@ -762,6 +811,12 @@ object TiffPixelEval {
     * 6 → LE RGB DEFLATE + Predictor 2;
     * 7 → LE gray LZW TILED (16×16 tiles over a multi-tile frame whose
     *     dims are NOT tile multiples — edge padding crops);
+    * 8 → LE PALETTE (photometric 3) PackBits multi-strip: 8-bit
+    *     indices through a 256-entry 16-bit-component ColorMap whose
+    *     high bytes ride the family RGB channel maps (r18);
+    * 9 → BE 16-BIT gray LZW multi-strip: the high byte is the gray
+    *     map, the low byte the blue map — samples follow the FILE
+    *     byte order, the classic deep-sample endian drill (r18);
     * 4 → class 0 truncated mid-strip (dims parse, stats refuse).
     * `shape` packs `w | h<<8 | cls<<16`; class 7 sizes itself. */
   def synth(seed: Long, shape: Long): Array[Byte] = {
@@ -788,9 +843,37 @@ object TiffPixelEval {
       }
       px
     }
-    cls % 8 match {
+    cls % 10 match {
       case 0 => writeTiff(le = true, w, h, 1, 1, 1, 1, rps = 2, gray())
       case 5 => writeTiff(le = true, w, h, 1, 1, 32773, 1, rps = 2, gray())
+      case 8 =>
+        // palette: indices are the gray map; the ColorMap's high bytes
+        // are the family RGB maps sampled at (index, row 0), so luma is
+        // the Rec.601 fold of a nested channel-map application
+        // components as c*257 (= c<<8 | c): exact under BOTH our
+        // high-byte fold and imageio's rounding 16->8 mapping
+        val cm = new Array[Long](768)
+        var ci = 0
+        while (ci < 256) {
+          cm(ci) = chR(seed, ci, 0).toLong * 257
+          cm(256 + ci) = chG(seed, ci, 0).toLong * 257
+          cm(512 + ci) = chB(seed, ci, 0).toLong * 257
+          ci += 1
+        }
+        writeTiff(le = true, w, h, 1, 3, 32773, 1, rps = 2, gray(),
+          cmap = cm)
+      case 9 =>
+        // 16-bit gray, BIG-endian file: sample = gray<<8 | blue, so a
+        // decoder that reads samples LE (or folds the wrong byte)
+        // reproduces the blue map instead and misses the oracle
+        val px = new Array[Byte](w * h * 2)
+        var i = 0
+        while (i < w * h) {
+          px(2 * i) = chG(seed, i % w, i / w).toByte
+          px(2 * i + 1) = chB(seed, i % w, i / w).toByte
+          i += 1
+        }
+        writeTiff(le = false, w, h, 1, 1, 5, 1, rps = 2, px, bps = 16)
       case 6 => writeTiff(le = true, w, h, 3, 2, 8, 2, rps = h, rgb())
       case 7 =>
         // multi-tile with crop: 21 or 37 px across, 18 down

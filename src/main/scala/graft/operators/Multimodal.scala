@@ -2099,20 +2099,24 @@ object Multimodal {
     * imageio TIFF plugin in TiffPixelSpec), horizontal-differencing
     * Predictor 2, WhiteIsZero/BlackIsZero polarities, gray + RGB, all
     * through [[graft.functions.TiffPixelEval]] to the shared
-    * packed-luma contract. Deep samples, palettes, and the exotic
+    * packed-luma contract. 1/4-bit samples and the exotic
     * compressions refuse with dims intact (the q39 split); tiled
-    * layout is decoded (class 7 below).
+    * layout, palette color, and 16-bit gray are decoded (classes 7-9).
     *
-    * Residue classes (%8): 0 → LE gray uncompressed MULTI-strip
+    * Residue classes (%10): 0 → LE gray uncompressed MULTI-strip
     * (rows-per-strip 2); 1 → BE gray WhiteIsZero (the polarity cross);
     * 2 → LE gray LZW; 3 → BE RGB LZW + Predictor 2; 5 → LE gray
     * PACKBITS multi-strip; 6 → LE RGB DEFLATE + Predictor 2; 7 → LE
-    * gray LZW TILED (16×16 tiles, non-multiple dims, edge crop); 4 →
+    * gray LZW TILED (16×16 tiles, non-multiple dims, edge crop); 8 →
+    * LE PALETTE PackBits (8-bit indices through a 256-entry ColorMap
+    * whose high bytes ride the RGB maps — scanned-corpus staple, r18);
+    * 9 → BE 16-BIT gray LZW (samples in FILE byte order, luma = high
+    * byte — the deep-sample endian drill, r18); 4 →
     * truncated mid-strip (is_tiff = 1, stats refuse). Pixels ride the family
     * channel maps, so the oracle replays min/max/sum luma from doc_id
-    * algebra alone — a strip-offset, LZW-width, predictor, or
-    * polarity slip cannot cancel. One narrow map, kernel once per
-    * row, zero exchanges.
+    * algebra alone — a strip-offset, LZW-width, predictor, polarity,
+    * ColorMap, or sample-endian slip cannot cancel. One narrow map,
+    * kernel once per row, zero exchanges.
     */
   def q197TiffPixels(spark: SparkSession, dir: String): DataFrame =
     q197TiffPixelsOn(Tables.load(spark, dir, "documents"))
@@ -2123,9 +2127,9 @@ object Multimodal {
     val id = col("doc_id")
     val w = (id % 6 + 2).cast("long")
     val h = (id % 4 + 2).cast("long")
-    val shape = w + h * 256 + (id % 8) * 65536
+    val shape = w + h * 256 + (id % 10) * 65536
     val w7 = (id % 2 + 1) * 16 + 5
-    val isT = id % 8 === 7
+    val isT = id % 10 === 7
     val staged = docs.select(id, TiffPixelOps.tiffPixelSynth(id, shape).as("_p"))
       .withColumn("_l", TiffPixelOps.tiffLuma(col("_p")))
     staged.select(id,

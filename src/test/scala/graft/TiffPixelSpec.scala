@@ -200,6 +200,92 @@ class TiffPixelSpec extends AnyFunSuite {
     }
   }
 
+  test("PALETTE and 16-BIT classes reproduce the channel maps and " +
+    "cross-validate against imageio both directions") {
+    import javax.imageio.ImageIO
+    import java.awt.image.BufferedImage
+    def chR(seed: Long, x: Int, r: Int) =
+      (((seed * 2 + x + r * 11) % 256 + 256) % 256).toInt
+    def chG(seed: Long, x: Int, r: Int) =
+      (((seed * 3 + x * 5 + r) % 256 + 256) % 256).toInt
+    def chB(seed: Long, x: Int, r: Int) =
+      (((seed + x * 7 + r * 13) % 256 + 256) % 256).toInt
+    // class 8: palette index = gray map; luma = Rec.601 of the RGB
+    // maps sampled at (index, 0) — the nested fold the oracle replays
+    val pal = TiffPixelEval.decodeLuma(
+      TiffPixelEval.synth(11L, 7L | (5L << 8) | (8L << 16)))
+    assert(pal != null && pal._1 === 7 && pal._2 === 5)
+    (0 until 5).foreach(r => (0 until 7).foreach { x =>
+      val g = chG(11L, x, r)
+      val want = (299 * chR(11L, g, 0) + 587 * chG(11L, g, 0) +
+        114 * chB(11L, g, 0)) / 1000
+      assert(pal._3(r * 7 + x) === want, s"palette ($x,$r)")
+    })
+    // class 9: 16-bit BE sample = gray<<8 | blue; high-byte fold
+    val deep = TiffPixelEval.decodeLuma(
+      TiffPixelEval.synth(12L, 6L | (4L << 8) | (9L << 16)))
+    assert(deep != null && deep._1 === 6 && deep._2 === 4)
+    (0 until 4).foreach(r => (0 until 6).foreach(x =>
+      assert(deep._3(r * 6 + x) === chG(12L, x, r), s"16-bit ($x,$r)")))
+
+    // reverse: imageio reads OUR palette file (through the ColorMap)
+    // and OUR 16-bit file (raw raster samples) pixel-for-pixel
+    val mine8 = TiffPixelEval.synth(11L, 7L | (5L << 8) | (8L << 16))
+    val img8 = ImageIO.read(new java.io.ByteArrayInputStream(mine8))
+    assert(img8 != null, "imageio refused our palette tiff")
+    assert(img8.getColorModel.isInstanceOf[java.awt.image.IndexColorModel])
+    (0 until 5).foreach(r => (0 until 7).foreach { x =>
+      val v = img8.getRGB(x, r) // IndexColorModel maps, no gamma
+      val luma = (299 * ((v >> 16) & 0xFF) + 587 * ((v >> 8) & 0xFF) +
+        114 * (v & 0xFF)) / 1000
+      assert(pal._3(r * 7 + x) === luma, s"palette reverse ($x,$r)")
+    })
+    val mine9 = TiffPixelEval.synth(12L, 6L | (4L << 8) | (9L << 16))
+    val img9 = ImageIO.read(new java.io.ByteArrayInputStream(mine9))
+    assert(img9 != null, "imageio refused our 16-bit tiff")
+    (0 until 4).foreach(r => (0 until 6).foreach { x =>
+      val v = img9.getRaster.getSample(x, r, 0) // 16-bit sample
+      assert(deep._3(r * 6 + x) === (v >> 8), s"16-bit reverse ($x,$r)")
+    })
+
+    // forward: imageio WRITES palette and 16-bit tiffs, we decode them
+    val icm = {
+      val rr = new Array[Byte](256); val gg = new Array[Byte](256)
+      val bb = new Array[Byte](256)
+      val rnd = new java.util.Random(0xA11L)
+      (0 until 256).foreach { i =>
+        rr(i) = rnd.nextInt(256).toByte; gg(i) = rnd.nextInt(256).toByte
+        bb(i) = rnd.nextInt(256).toByte
+      }
+      new java.awt.image.IndexColorModel(8, 256, rr, gg, bb)
+    }
+    val src = new BufferedImage(13, 9, BufferedImage.TYPE_BYTE_INDEXED, icm)
+    val rnd = new java.util.Random(0xA12L)
+    (0 until 9).foreach(y => (0 until 13).foreach(x =>
+      src.getRaster.setSample(x, y, 0, rnd.nextInt(256))))
+    val bo = new java.io.ByteArrayOutputStream()
+    assert(ImageIO.write(src, "tiff", bo), "no imageio tiff writer")
+    val oursP = TiffPixelEval.decodeLuma(bo.toByteArray)
+    assert(oursP != null, "our kernel refused an imageio palette tiff")
+    (0 until 9).foreach(y => (0 until 13).foreach { x =>
+      val v = src.getRGB(x, y)
+      val want = (299 * ((v >> 16) & 0xFF) + 587 * ((v >> 8) & 0xFF) +
+        114 * (v & 0xFF)) / 1000
+      assert(oursP._3(y * 13 + x) === want, s"imageio palette ($x,$y)")
+    })
+    val deep16 = new BufferedImage(11, 7, BufferedImage.TYPE_USHORT_GRAY)
+    (0 until 7).foreach(y => (0 until 11).foreach(x =>
+      deep16.getRaster.setSample(x, y, 0, rnd.nextInt(65536))))
+    val bo2 = new java.io.ByteArrayOutputStream()
+    assert(ImageIO.write(deep16, "tiff", bo2), "no imageio tiff writer")
+    val ours16 = TiffPixelEval.decodeLuma(bo2.toByteArray)
+    assert(ours16 != null, "our kernel refused an imageio 16-bit tiff")
+    (0 until 7).foreach(y => (0 until 11).foreach { x =>
+      val v = deep16.getRaster.getSample(x, y, 0)
+      assert(ours16._3(y * 11 + x) === (v >> 8), s"imageio 16-bit ($x,$y)")
+    })
+  }
+
   test("truncation and scope refusals: stats refuse, never throw") {
     val cut = TiffPixelEval.synth(9L, 6L | (4L << 8) | (4L << 16))
     assert(TiffPixelEval.lumaStats(cut) === java.lang.Long.MIN_VALUE)
@@ -254,7 +340,7 @@ class TiffPixelSpec extends AnyFunSuite {
   test("fuzz: flips and cuts over all classes refuse or decode, " +
     "never throw") {
     val rnd = new java.util.Random(0x7177L)
-    (0 until 8).foreach { cls =>
+    (0 until 10).foreach { cls =>
       val whole = TiffPixelEval.synth(5L, 6L | (5L << 8) | (cls.toLong << 16))
       (0 until 200).foreach { k =>
         val bad = whole.clone()
