@@ -27,31 +27,31 @@ import org.apache.spark.sql.types.{BinaryType, DataType}
   *    with the `(dc+4)>>3` fast path on AC-free blocks;
   *  - all four 16×16 intra modes — DC / V / H / TM — chained through
   *    reconstructed neighbors with the §12.2 edge rules (missing
-  *    above row reads 127, missing left column 129).
+  *    above row reads 127, missing left column 129);
+  *  - B_PRED macroblocks (r18): per-sub-block modes read through the
+  *    §11.4 kf_bmode context chain, all TEN §12.3 sub-block
+  *    predictors, sequential reconstruct-then-predict within the MB,
+  *    own-DC residuals (no Y2, contexts untouched per §13.3);
+  *  - the RFC §13.4/§13.5 probability machinery (r18, gate retired):
+  *    update flags coded with coeff_update_probs; clear flags keep
+  *    the default_coeff_probs — the path every organic encoder's
+  *    frame takes. See [[Vp8Tables]] for the transcription-fidelity
+  *    statement: oracle classes are immune (the paired encoder shares
+  *    the tables, and the oracle replays pixel algebra from doc_id),
+  *    while organic-file fidelity awaits an offline fixture.
   *
   * The PROFILE (everything else refuses, never guesses): key frames
   * only, version 0, one token partition, segmentation and
   * loop-filter deltas off, filter level 0, quant index 0 with no
   * deltas (dc_qlookup[0]=4 / ac_qlookup[0]=4 are the two table
-  * entries this profile needs), and 16×16 luma modes only — B_PRED
-  * refuses (per-sub-block modes need the 900-entry kf_bmode tables,
-  * the next staged step, as q57's stub retirement was staged).
+  * entries this profile needs).
   *
-  * THE HONESTY GATE: no reference VP8 decoder exists in this
-  * container (no libvpx/ffmpeg/PIL — see q135's scope note), so the
-  * RFC's default coefficient-probability tables cannot be
-  * cross-validated here. This profile therefore requires the frame to
-  * carry ALL 1056 coefficient probabilities EXPLICITLY (every update
-  * flag set); a frame that relies on the RFC defaults — i.e. any
-  * real-world encoder's output — fails the gate within a few flags
-  * and refuses CLEANLY instead of desyncing into silent garbage. The
-  * update-flag probabilities and the in-stream working tables are
-  * profile constants shared by the paired synthesizer, which is a
-  * real encoder (RFC §7.2 bool encoder with carry propagation, tree
-  * writes, token emission through the same context machinery), so
-  * every decode stage faces bytes produced by the genuine algorithm;
-  * Vp8Spec round-trips thousands of random bool/prob pairs and pins
-  * decoded pixel grids by hand. Resource guard: 1 Mi pixels.
+  * The paired synthesizer is a real encoder (RFC §7.2 bool encoder
+  * with carry propagation, tree writes, token emission through the
+  * same context machinery), so every decode stage faces bytes
+  * produced by the genuine algorithm; Vp8Spec round-trips thousands
+  * of random bool/prob pairs and pins decoded pixel grids by hand.
+  * Resource guard: 1 Mi pixels.
   */
 object Vp8Eval {
 
@@ -69,14 +69,21 @@ object Vp8Eval {
   private val UvTree = Array(-1, 2, -2, 4, -3, -4)
   private val KfUvProb = Array(142, 114, 183)
 
+  // bmode_tree (RFC §11.4); sub-mode order DC,TM,VE,HE,LD,RD,VR,VL,HD,HU
+  private val BModeTree = Array(
+    -1, 2, -2, 4, -3, 6, 8, 12, -4, 10, -6, -7, -5, 14, -8, 16, -9, -10)
+  // a 16x16-coded neighbor contributes a fixed sub-mode to the
+  // kf_bmode context (RFC §11.4): DC->B_DC, V->B_VE, H->B_HE, TM->B_TM
+  private val ImpliedSub = Array(0, 2, 3, 1)
+
   // coefficient token tree (RFC §13.2); leaves -(token+1); tokens:
   // 0..4 literal values, 5..10 cat1..cat6, 11 EOB
   private final val TokEob = 11
   private val CoefTree = Array(
     -12, 2, -1, 4, -2, 6, 8, 12, -3, 10, -4, -5,
     14, 16, -6, -7, 18, 20, -8, -9, -10, -11)
-  // cat extra-bit probabilities + bases (RFC §13.2 Pcat tables;
-  // enc/dec-shared, see the honesty gate above)
+  // cat extra-bit probabilities + bases (RFC §13.2 Pcat tables,
+  // enc/dec-shared)
   private val CatProbs: Array[Array[Int]] = Array(
     Array(159), Array(165, 145), Array(173, 148, 140),
     Array(176, 155, 140, 135), Array(180, 157, 141, 134, 130),
@@ -86,12 +93,11 @@ object Vp8Eval {
   private val CoeffBands = Array(0, 1, 2, 3, 6, 4, 5, 6, 6, 6, 6, 6, 6, 6, 6, 7)
   private val Zigzag = Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
 
-  // profile tables: update-flag probs (constants both sides share) and
-  // the working probs the synthesizer transmits in-stream — varied by
-  // (plane, band, ctx, position) so a context-bookkeeping slip on either
-  // side desyncs the round trip instead of cancelling
-  private def updProb(p: Int, b: Int, c: Int, l: Int): Int =
-    (p * 59 + b * 17 + c * 29 + l * 7) % 200 + 28
+  // the explicit-profile working probs the synthesizer transmits
+  // in-stream (classes 0-6) — varied by (plane, band, ctx, position) so
+  // a context-bookkeeping slip on either side desyncs the round trip
+  // instead of cancelling; the update FLAGS themselves are always coded
+  // with the RFC §13.4 coeff_update_probs (r18: the gate retirement)
   private def workProb(p: Int, b: Int, c: Int, l: Int): Int =
     (p * 31 + b * 13 + c * 41 + l * 11) % 200 + 28
 
@@ -99,6 +105,7 @@ object Vp8Eval {
   private final val QY2Dc = 8 // 2 * dc_qlookup[0]
   private final val QY2Ac = 8 // max(8, ac_qlookup[0]*155/100)
   private final val QYAc = 4 // ac_qlookup[0]
+  private final val QYDc = 4 // dc_qlookup[0] (B_PRED blocks carry own DC)
 
   // ------------------------------------------------- boolean decoder
 
@@ -393,6 +400,11 @@ object Vp8Eval {
     nz
   }
 
+  /** RFC §13.4: walk all 1056 token probabilities; each update flag is
+    * coded with coeff_update_probs, a set flag is followed by the 8-bit
+    * replacement, a clear flag keeps the §13.5 default. The r17 honesty
+    * gate (which refused any clear flag) is retired per VERDICT r17
+    * task #1 — see the provenance note on [[Vp8Tables]]. */
   private def buildWork(fromStream: BoolDec): Array[Array[Array[Array[Int]]]] = {
     val w = Array.ofDim[Int](4, 8, 3, 11)
     var p = 0
@@ -403,8 +415,10 @@ object Vp8Eval {
         while (c < 3) {
           var l = 0
           while (l < 11) {
-            if (fromStream.bool(updProb(p, b, c, l)) != 1) return null
-            w(p)(b)(c)(l) = fromStream.literal(8)
+            w(p)(b)(c)(l) =
+              if (fromStream.bool(Vp8Tables.CoeffUpdateProbs(p)(b)(c)(l)) == 1)
+                fromStream.literal(8)
+              else Vp8Tables.DefaultCoeffProbs(p)(b)(c)(l)
             l += 1
           }
           c += 1
@@ -433,6 +447,188 @@ object Vp8Eval {
       p += 1
     }
     w
+  }
+
+  /** RFC §12.2-12.3 sub-block intra reconstruction for a B_PRED
+    * macroblock: predict each 4×4 sub-block from ALREADY-reconstructed
+    * neighbors in raster order within the MB, add its residual (own
+    * DC — plane-3 tokens), write back so later sub-blocks see the
+    * result. Edge rules: a missing above row reads 127, a missing left
+    * column 129, the above-left corner follows the above rule first.
+    * The above-right four pixels come from the row directly above for
+    * interior columns (their up-right sub-block is already
+    * reconstructed); for the RIGHTMOST column they come from the row
+    * above the MACROBLOCK — the next MB is not yet decoded, the
+    * normative VP8 substitution — replicating that row's last pixel
+    * past the frame edge. */
+  private def reconstructBPred(plane: Array[Int], wp: Int, x0: Int,
+                               y0: Int, sub: Array[Int],
+                               yBlocks: Array[Array[Int]]): Unit = {
+    @inline def avg2(x: Int, y: Int) = (x + y + 1) >> 1
+    @inline def avg3(x: Int, y: Int, z: Int) = (x + 2 * y + z + 2) >> 2
+    val a = new Array[Int](8)
+    val l = new Array[Int](4)
+    val pred = new Array[Int](16)
+    val residual = new Array[Int](16)
+    var sb = 0
+    while (sb < 16) {
+      val ci = sb & 3; val ri = sb >> 2
+      val px = x0 + ci * 4; val py = y0 + ri * 4
+      var k = 0
+      while (k < 4) {
+        a(k) = if (py > 0) plane((py - 1) * wp + px + k) else 127
+        l(k) = if (px > 0) plane((py + k) * wp + px - 1) else 129
+        k += 1
+      }
+      while (k < 8) { // above-right (see the method doc)
+        a(k) =
+          if (py == 0) 127
+          else if (ci == 3) {
+            if (y0 > 0) {
+              val xx = x0 + 16 + (k - 4)
+              if (xx < wp) plane((y0 - 1) * wp + xx)
+              else plane((y0 - 1) * wp + wp - 1)
+            } else 127
+          } else plane((py - 1) * wp + px + k)
+        k += 1
+      }
+      val p0 =
+        if (py == 0) 127
+        else if (px == 0) 129
+        else plane((py - 1) * wp + px - 1)
+      sub(sb) match {
+        case 0 => // B_DC: average of the four above + four left
+          var s = 4
+          k = 0
+          while (k < 4) { s += a(k) + l(k); k += 1 }
+          java.util.Arrays.fill(pred, s >> 3)
+        case 1 => // B_TM: clamp(left + above - corner) per pixel
+          var r = 0
+          while (r < 4) {
+            var c = 0
+            while (c < 4) {
+              val v = l(r) + a(c) - p0
+              pred(r * 4 + c) = if (v < 0) 0 else if (v > 255) 255 else v
+              c += 1
+            }
+            r += 1
+          }
+        case 2 => // B_VE: 3-tap-filtered above row, constant down columns
+          val row = Array(avg3(p0, a(0), a(1)), avg3(a(0), a(1), a(2)),
+            avg3(a(1), a(2), a(3)), avg3(a(2), a(3), a(4)))
+          var r = 0
+          while (r < 4) { System.arraycopy(row, 0, pred, r * 4, 4); r += 1 }
+        case 3 => // B_HE: 3-tap-filtered left column, constant across
+          val colv = Array(avg3(p0, l(0), l(1)), avg3(l(0), l(1), l(2)),
+            avg3(l(1), l(2), l(3)), avg3(l(2), l(3), l(3)))
+          var r = 0
+          while (r < 4) {
+            java.util.Arrays.fill(pred, r * 4, r * 4 + 4, colv(r)); r += 1
+          }
+        case 4 => // B_LD: down-left diagonal over above + above-right
+          var r = 0
+          while (r < 4) {
+            var c = 0
+            while (c < 4) {
+              val i2 = r + c
+              pred(r * 4 + c) =
+                if (i2 < 6) avg3(a(i2), a(i2 + 1), a(i2 + 2))
+                else avg3(a(6), a(7), a(7))
+              c += 1
+            }
+            r += 1
+          }
+        case 5 => // B_RD: down-right over the L3..L0,P,A0..A3 edge
+          val e9 = Array(l(3), l(2), l(1), l(0), p0, a(0), a(1), a(2), a(3))
+          var r = 0
+          while (r < 4) {
+            var c = 0
+            while (c < 4) {
+              val i2 = c - r + 3
+              pred(r * 4 + c) = avg3(e9(i2), e9(i2 + 1), e9(i2 + 2))
+              c += 1
+            }
+            r += 1
+          }
+        case 6 => // B_VR: vertical-right
+          val r0 = Array(avg2(p0, a(0)), avg2(a(0), a(1)),
+            avg2(a(1), a(2)), avg2(a(2), a(3)))
+          val r1 = Array(avg3(l(0), p0, a(0)), avg3(p0, a(0), a(1)),
+            avg3(a(0), a(1), a(2)), avg3(a(1), a(2), a(3)))
+          val grid = Array(
+            r0(0), r0(1), r0(2), r0(3),
+            r1(0), r1(1), r1(2), r1(3),
+            avg3(l(1), l(0), p0), r0(0), r0(1), r0(2),
+            avg3(l(2), l(1), l(0)), r1(0), r1(1), r1(2))
+          System.arraycopy(grid, 0, pred, 0, 16)
+        case 7 => // B_VL: vertical-left
+          val r0 = Array(avg2(a(0), a(1)), avg2(a(1), a(2)),
+            avg2(a(2), a(3)), avg2(a(3), a(4)))
+          val r1 = Array(avg3(a(0), a(1), a(2)), avg3(a(1), a(2), a(3)),
+            avg3(a(2), a(3), a(4)), avg3(a(3), a(4), a(5)))
+          val grid = Array(
+            r0(0), r0(1), r0(2), r0(3),
+            r1(0), r1(1), r1(2), r1(3),
+            r0(1), r0(2), r0(3), avg3(a(4), a(5), a(6)),
+            r1(1), r1(2), r1(3), avg3(a(5), a(6), a(7)))
+          System.arraycopy(grid, 0, pred, 0, 16)
+        case 8 => // B_HD: horizontal-down
+          val g00 = avg2(l(0), p0); val g01 = avg3(l(0), p0, a(0))
+          val g10 = avg2(l(1), l(0)); val g11 = avg3(l(1), l(0), p0)
+          val g20 = avg2(l(2), l(1)); val g21 = avg3(l(2), l(1), l(0))
+          val grid = Array(
+            g00, g01, avg3(p0, a(0), a(1)), avg3(a(0), a(1), a(2)),
+            g10, g11, g00, g01,
+            g20, g21, g10, g11,
+            avg2(l(3), l(2)), avg3(l(3), l(2), l(1)), g20, g21)
+          System.arraycopy(grid, 0, pred, 0, 16)
+        case _ => // B_HU: horizontal-up
+          val g02 = avg2(l(1), l(2)); val g03 = avg3(l(1), l(2), l(3))
+          val g12 = avg2(l(2), l(3)); val g13 = avg3(l(2), l(3), l(3))
+          val grid = Array(
+            avg2(l(0), l(1)), avg3(l(0), l(1), l(2)), g02, g03,
+            g02, g03, g12, g13,
+            g12, g13, l(3), l(3),
+            l(3), l(3), l(3), l(3))
+          System.arraycopy(grid, 0, pred, 0, 16)
+      }
+      // residual add: own DC at QYDc, ACs at QYAc, DC-only fast path
+      val blk = yBlocks(sb)
+      var anyAc = false
+      var i2 = 1
+      while (i2 < 16) { if (blk(i2) != 0) anyAc = true; i2 += 1 }
+      if (!anyAc) {
+        val resid = (blk(0) * QYDc + 4) >> 3
+        var r = 0
+        while (r < 4) {
+          var c = 0
+          while (c < 4) {
+            val v0 = pred(r * 4 + c) + resid
+            plane((py + r) * wp + px + c) =
+              if (v0 < 0) 0 else if (v0 > 255) 255 else v0
+            c += 1
+          }
+          r += 1
+        }
+      } else {
+        blk(0) *= QYDc
+        i2 = 1
+        while (i2 < 16) { blk(i2) *= QYAc; i2 += 1 }
+        idct4x4(blk, residual)
+        var r = 0
+        while (r < 4) {
+          var c = 0
+          while (c < 4) {
+            val v0 = pred(r * 4 + c) + residual(r * 4 + c)
+            plane((py + r) * wp + px + c) =
+              if (v0 < 0) 0 else if (v0 > 255) 255 else v0
+            c += 1
+          }
+          r += 1
+        }
+      }
+      sb += 1
+    }
   }
 
   // ----------------------------------------------------------- decode
@@ -471,19 +667,50 @@ object Vp8Eval {
     while (k < 5) { if (bd.literal(1) != 0) return null; k += 1 } // no deltas
     bd.literal(1) // refresh_entropy_probs
     val work = buildWork(bd)
-    if (work == null) return null // RFC-default-probs frame: the gate
     if (bd.literal(1) != 0) return null // mb_no_coeff_skip: profile 0
 
     val mbW = (w + 15) / 16
     val mbH = (h + 15) / 16
     val ymodes = new Array[Int](mbW * mbH)
+    val bmodes = new Array[Array[Int]](mbW * mbH) // non-null for B_PRED
+    // kf_bmode contexts chain across MBs: the above row's bottom
+    // sub-modes per MB column, the left MB's right column per row
+    val aboveSub = Array.ofDim[Int](mbW, 4) // B_DC outside the frame
     var mi = 0
-    while (mi < mbW * mbH) {
-      val ym = bd.tree(KfYTree, KfYProb, 0)
-      if (ym > 3) return null // B_PRED: sub-modes + bmode tables, scope
-      ymodes(mi) = ym
-      bd.tree(UvTree, KfUvProb, 0) // chroma mode: parse-only (luma stats)
-      mi += 1
+    var myM = 0
+    while (myM < mbH) {
+      val leftSub = new Array[Int](4)
+      var mxM = 0
+      while (mxM < mbW) {
+        val ym = bd.tree(KfYTree, KfYProb, 0)
+        ymodes(mi) = ym
+        if (ym == 4) { // B_PRED: 16 sub-modes, each contexted above/left
+          val sub = new Array[Int](16)
+          var sb = 0
+          while (sb < 16) {
+            val ci = sb & 3; val ri = sb >> 2
+            val a = if (ri == 0) aboveSub(mxM)(ci) else sub(sb - 4)
+            val l = if (ci == 0) leftSub(ri) else sub(sb - 1)
+            sub(sb) = bd.tree(BModeTree, Vp8Tables.KfBModeProb(a)(l), 0)
+            sb += 1
+          }
+          bmodes(mi) = sub
+          var k = 0
+          while (k < 4) {
+            aboveSub(mxM)(k) = sub(12 + k)
+            leftSub(k) = sub(k * 4 + 3)
+            k += 1
+          }
+        } else {
+          val implied = ImpliedSub(ym)
+          java.util.Arrays.fill(aboveSub(mxM), implied)
+          java.util.Arrays.fill(leftSub, implied)
+        }
+        bd.tree(UvTree, KfUvProb, 0) // chroma mode: parse-only (luma stats)
+        mi += 1
+        mxM += 1
+      }
+      myM += 1
     }
     if (bd.overread > 0) return null
 
@@ -507,24 +734,30 @@ object Vp8Eval {
       java.util.Arrays.fill(leftV, 0)
       var mx = 0
       while (mx < mbW) {
-        // Y2
-        java.util.Arrays.fill(coefs, 0)
-        val nz2 = decodeBlock(td, work, 1, aboveY2(mx) + leftY2, 0, coefs)
-        if (nz2 < 0) return null
-        aboveY2(mx) = nz2; leftY2 = nz2
-        var i = 0
-        while (i < 16) {
-          coefs(i) *= (if (i == 0) QY2Dc else QY2Ac); i += 1
+        val isB = bmodes(my * mbW + mx) != null
+        // Y2 — B_PRED macroblocks have none, and their above/left Y2
+        // nonzero contexts are left UNTOUCHED (RFC §13.3: only
+        // macroblocks with a Y2 block update them)
+        if (!isB) {
+          java.util.Arrays.fill(coefs, 0)
+          val nz2 = decodeBlock(td, work, 1, aboveY2(mx) + leftY2, 0, coefs)
+          if (nz2 < 0) return null
+          aboveY2(mx) = nz2; leftY2 = nz2
+          var i = 0
+          while (i < 16) {
+            coefs(i) *= (if (i == 0) QY2Dc else QY2Ac); i += 1
+          }
+          iwht(coefs, wht)
         }
-        iwht(coefs, wht)
-        // 16 Y blocks: the DC arrives through Y2, the ACs (r17's
-        // staged step) through each block's own tokens
+        // 16 Y blocks: 16x16 modes take the DC through Y2 (plane 0,
+        // coefficients from 1); B_PRED blocks carry their own DC
+        // (plane 3, coefficients from 0)
         val yBlocks = Array.ofDim[Int](16, 16)
         var sb = 0
         while (sb < 16) {
           val colI = sb & 3; val rowI = sb >> 2
-          val ynz = decodeBlock(td, work, 0,
-            aboveY(mx)(colI) + leftY(rowI), 1, yBlocks(sb))
+          val ynz = decodeBlock(td, work, if (isB) 3 else 0,
+            aboveY(mx)(colI) + leftY(rowI), if (isB) 0 else 1, yBlocks(sb))
           if (ynz < 0) return null
           aboveY(mx)(colI) = ynz; leftY(rowI) = ynz
           sb += 1
@@ -543,11 +776,16 @@ object Vp8Eval {
           above(mx)(colI) = cnz; left(rowI) = cnz
           sb += 1
         }
+        val x0 = mx * 16; val y0 = my * 16
+        if (isB) {
+          reconstructBPred(plane, wp, x0, y0,
+            bmodes(my * mbW + mx), yBlocks)
+          mx += 1
+        } else {
         // ---- 16x16 intra prediction from reconstructed neighbors.
         // Edge rules (RFC §12.2): a missing above row reads 127, a
         // missing left column 129; the above-left corner follows the
         // above row when that row is missing, else the left rule.
-        val x0 = mx * 16; val y0 = my * 16
         val mode = ymodes(my * mbW + mx)
         val above16 = new Array[Int](16)
         val left16 = new Array[Int](16)
@@ -647,6 +885,7 @@ object Vp8Eval {
           sb += 1
         }
         mx += 1
+        } // end 16x16 branch
       }
       my += 1
     }
@@ -692,27 +931,40 @@ object Vp8Eval {
   /** Encode one key frame: `y2dc`/`y2ac1` hold each MB's Y2 tokens
     * (position 0 and 1); `ymodes` optionally picks per-MB 16x16 modes
     * (0 DC / 1 V / 2 H / 3 TM, default DC); `yAc` optionally supplies
-    * per-block quantized Y AC coefficients (natural order, positions
-    * 1..15) keyed by (mbRow, mbCol, subBlock). */
+    * per-block quantized Y coefficients (natural order) keyed by
+    * (mbRow, mbCol, subBlock) — positions 1..15 for 16x16 MBs,
+    * 0..15 for B_PRED MBs (they carry their own DC). `useDefaults`
+    * emits every update flag CLEAR so the decoder reads the RFC §13.5
+    * default tables — the path every organic encoder's frame takes.
+    * `bmodes` (indexed [mbRow*mbW+mbCol], null entries = not B_PRED)
+    * switches an MB to B_PRED with the given 16 sub-modes, coded
+    * through the kf_bmode context chain like the decoder reads them. */
   private[graft] def encodeFrame(w: Int, h: Int, y2dc: Array[Array[Int]],
                                  y2ac1: Array[Array[Int]],
                                  ymodes: Array[Array[Int]] = null,
-                                 yAc: (Int, Int, Int) => Array[Int] = null): Array[Byte] = {
+                                 yAc: (Int, Int, Int) => Array[Int] = null,
+                                 useDefaults: Boolean = false,
+                                 bmodes: Array[Array[Int]] = null): Array[Byte] = {
     val mbW = (w + 15) / 16
     val mbH = (h + 15) / 16
-    val work = profileWork()
-    // the first partition depends ONLY on (mb count, mode plan): for a
-    // query synthesizing 60k frames of a handful of shapes, the ~1.2 KB
-    // probability walk re-encoded per row dominated q196's cost — memo
-    // it per thread by shape+modes
+    val work =
+      if (useDefaults) Vp8Tables.DefaultCoeffProbs else profileWork()
+    // the first partition depends ONLY on (mb count, mode plan, table
+    // mode): for a query synthesizing 60k frames of a handful of
+    // shapes, the ~1.2 KB probability walk re-encoded per row dominated
+    // q196's cost — memo it per thread by shape+modes
     val modeKey =
-      if (ymodes == null) "dc"
-      else ymodes.map(_.mkString(",")).mkString(";")
+      (if (useDefaults) "D|" else "E|") +
+        (if (ymodes == null) "dc"
+        else ymodes.map(_.mkString(",")).mkString(";")) +
+        (if (bmodes == null) ""
+        else "|B" + bmodes.map(b => if (b == null) "." else b.mkString(","))
+          .mkString(";"))
     val p1Key = (mbW, mbH, modeKey)
     val memo = part1Memo.get()
     val cached = memo.get(p1Key)
     if (cached != null) return assemble(w, h, cached, encodePart2(
-      mbW, mbH, work, y2dc, y2ac1, yAc))
+      mbW, mbH, work, y2dc, y2ac1, yAc, bmodes))
     val e1 = new BoolEnc
     e1.literal(0, 1) // color space
     e1.literal(0, 1) // clamping
@@ -734,8 +986,14 @@ object Vp8Eval {
         while (c < 3) {
           var l = 0
           while (l < 11) {
-            e1.bool(updProb(p, bn, c, l), 1) // every prob explicit
-            e1.literal(workProb(p, bn, c, l), 8)
+            // the FLAG is always coded with the RFC update prob; the
+            // explicit profile then transmits its working prob
+            if (useDefaults)
+              e1.bool(Vp8Tables.CoeffUpdateProbs(p)(bn)(c)(l), 0)
+            else {
+              e1.bool(Vp8Tables.CoeffUpdateProbs(p)(bn)(c)(l), 1)
+              e1.literal(workProb(p, bn, c, l), 8)
+            }
             l += 1
           }
           c += 1
@@ -745,16 +1003,48 @@ object Vp8Eval {
       p += 1
     }
     e1.literal(0, 1) // mb_no_coeff_skip = 0
+    // mode emission mirrors the decoder's kf_bmode context chain
+    val aboveSub = Array.ofDim[Int](mbW, 4)
     var mi = 0
-    while (mi < mbW * mbH) {
-      val ym = if (ymodes == null) ModeDc else ymodes(mi / mbW)(mi % mbW)
-      e1.tree(KfYTree, KfYProb, ym, 0)
-      e1.tree(UvTree, KfUvProb, ModeDc, 0)
-      mi += 1
+    var myM = 0
+    while (myM < mbH) {
+      val leftSub = new Array[Int](4)
+      var mxM = 0
+      while (mxM < mbW) {
+        val sub = if (bmodes == null) null else bmodes(mi)
+        if (sub != null) {
+          e1.tree(KfYTree, KfYProb, 4, 0) // B_PRED
+          var sb = 0
+          while (sb < 16) {
+            val ci = sb & 3; val ri = sb >> 2
+            val a = if (ri == 0) aboveSub(mxM)(ci) else sub(sb - 4)
+            val l = if (ci == 0) leftSub(ri) else sub(sb - 1)
+            e1.tree(BModeTree, Vp8Tables.KfBModeProb(a)(l), sub(sb), 0)
+            sb += 1
+          }
+          var k2 = 0
+          while (k2 < 4) {
+            aboveSub(mxM)(k2) = sub(12 + k2)
+            leftSub(k2) = sub(k2 * 4 + 3)
+            k2 += 1
+          }
+        } else {
+          val ym = if (ymodes == null) ModeDc else ymodes(myM)(mxM)
+          e1.tree(KfYTree, KfYProb, ym, 0)
+          val implied = ImpliedSub(ym)
+          java.util.Arrays.fill(aboveSub(mxM), implied)
+          java.util.Arrays.fill(leftSub, implied)
+        }
+        e1.tree(UvTree, KfUvProb, ModeDc, 0)
+        mi += 1
+        mxM += 1
+      }
+      myM += 1
     }
     val part1 = e1.flush()
     memo.put(p1Key, part1)
-    assemble(w, h, part1, encodePart2(mbW, mbH, work, y2dc, y2ac1, yAc))
+    assemble(w, h, part1, encodePart2(mbW, mbH, work, y2dc, y2ac1, yAc,
+      bmodes))
   }
 
   private val part1Memo =
@@ -766,7 +1056,8 @@ object Vp8Eval {
   private def encodePart2(mbW: Int, mbH: Int,
                           work: Array[Array[Array[Array[Int]]]],
                           y2dc: Array[Array[Int]], y2ac1: Array[Array[Int]],
-                          yAc: (Int, Int, Int) => Array[Int]): Array[Byte] = {
+                          yAc: (Int, Int, Int) => Array[Int],
+                          bmodes: Array[Array[Int]] = null): Array[Byte] = {
     val e2 = new BoolEnc
     val aboveY2 = new Array[Int](mbW)
     val aboveY = Array.ofDim[Int](mbW, 4)
@@ -781,24 +1072,27 @@ object Vp8Eval {
       val leftV = new Array[Int](2)
       var mx = 0
       while (mx < mbW) {
-        java.util.Arrays.fill(coefs, 0)
-        coefs(0) = y2dc(my)(mx)
-        coefs(1) = y2ac1(my)(mx)
-        val nz2 = encodeBlock(e2, work, 1, aboveY2(mx) + leftY2, 0, coefs)
-        aboveY2(mx) = nz2; leftY2 = nz2
+        val isB = bmodes != null && bmodes(my * mbW + mx) != null
+        if (!isB) { // B_PRED MBs have no Y2 and leave its contexts alone
+          java.util.Arrays.fill(coefs, 0)
+          coefs(0) = y2dc(my)(mx)
+          coefs(1) = y2ac1(my)(mx)
+          val nz2 = encodeBlock(e2, work, 1, aboveY2(mx) + leftY2, 0, coefs)
+          aboveY2(mx) = nz2; leftY2 = nz2
+        }
         var sb = 0
-        while (sb < 16) { // Y blocks: AC tokens when supplied, else EOB
+        while (sb < 16) { // Y blocks: coefficients when supplied, else EOB
           val colI = sb & 3; val rowI = sb >> 2
           java.util.Arrays.fill(coefs, 0)
           if (yAc != null) {
             val ac = yAc(my, mx, sb)
             if (ac != null) {
-              var i2 = 1
+              var i2 = if (isB) 0 else 1 // B_PRED carries its own DC
               while (i2 < 16) { coefs(i2) = ac(i2); i2 += 1 }
             }
           }
-          val ynz = encodeBlock(e2, work, 0,
-            aboveY(mx)(colI) + leftY(rowI), 1, coefs)
+          val ynz = encodeBlock(e2, work, if (isB) 3 else 0,
+            aboveY(mx)(colI) + leftY(rowI), if (isB) 0 else 1, coefs)
           aboveY(mx)(colI) = ynz; leftY(rowI) = ynz
           sb += 1
         }
@@ -833,7 +1127,7 @@ object Vp8Eval {
     WebpPixelEval.wrapLossyRiff(out.toByteArray)
   }
 
-  /** Synthesize a q196 residue class (%7):
+  /** Synthesize a q196 residue class (%9):
     * 0 → a 64×16 four-MB strip, per-MB DC offsets chained through
     *     left-only DC_PRED (cumulative luma);
     * 1 → a 32×32 2×2 grid drilling the corner `(a+b+1)>>1` average;
@@ -842,14 +1136,36 @@ object Vp8Eval {
     * 5 → a 16×32 V-chain: the lower MB V_PREDs the upper's bottom row
     *     (the r17 mode widening, oracle-backed);
     * 6 → a 32×16 H-chain: the right MB H_PREDs the left's right column;
+    * 7 → class 0's DC chain coded over the RFC-DEFAULT tables (all
+    *     update flags clear — the path organic frames take; r18);
+    * 8 → an 8×8 B_PRED MB, all sub-modes B_TM, DC residuals in the
+    *     four visible sub-blocks: the TM corner rule chains them
+    *     cumulatively (l11 = 129 + k0 + k1 + k2 + k3; r18);
     * 3 → class 0 truncated after the dims (meta parses, stats refuse);
-    * 4 → a frame relying on RFC-DEFAULT probabilities (first update
-    *     flag 0): the profile gate must refuse it (dims still parse).
+    * 4 → a first partition truncated inside the probability walk
+    *     (formerly the honesty-gate drill; the walk overreads and
+    *     refuses, dims still parse).
     */
-  def synth(seed: Long, cls: Long): Array[Byte] = (cls % 7).toInt match {
+  def synth(seed: Long, cls: Long): Array[Byte] = (cls % 9).toInt match {
     case 0 =>
       val ks = Array(Array.tabulate(4)(j => 8 * kOf(seed, j)))
       encodeFrame(64, 16, ks, Array(Array(0, 0, 0, 0)))
+    case 7 =>
+      val ks = Array(Array.tabulate(4)(j => 8 * kOf(seed, j)))
+      encodeFrame(64, 16, ks, Array(Array(0, 0, 0, 0)), useDefaults = true)
+    case 8 =>
+      // visible sub-blocks of the 8×8 crop are 0,1 (top) and 4,5
+      // (second row); DC coefficient 2k dequantizes to 8k and the
+      // DC-only path lands (8k+4)>>3 = k on the pixels
+      val dcOf = Map(0 -> kOf(seed, 0), 1 -> kOf(seed, 1),
+        4 -> kOf(seed, 2), 5 -> kOf(seed, 3))
+      encodeFrame(8, 8, Array(Array(0)), Array(Array(0)),
+        bmodes = Array(Array.fill(16)(1)), // all B_TM
+        yAc = (_, _, sb) => dcOf.get(sb) match {
+          case Some(k) =>
+            val c = new Array[Int](16); c(0) = 2 * k; c
+          case None => null
+        })
     case 1 =>
       val ks = Array.tabulate(2, 2)((r, c) => 8 * kOf(seed, r * 2 + c))
       encodeFrame(32, 32, ks, Array(Array(0, 0), Array(0, 0)))
@@ -868,10 +1184,11 @@ object Vp8Eval {
       val whole = synth(seed, 0)
       java.util.Arrays.copyOf(whole, math.min(34, whole.length))
     case _ =>
-      // the profile gate drill: header fields in-profile, but the very
-      // first coefficient-probability update flag is 0 — a frame that
-      // relies on the RFC default tables, which this container cannot
-      // cross-validate, must refuse rather than guess
+      // a first partition that ENDS inside the probability walk: the
+      // decoder's 1056-flag read overruns the partition bound and the
+      // overread check refuses while the dims still parse. (Until r18
+      // this class doubled as the honesty-gate drill; the gate is
+      // retired, the truncation refusal remains.)
       val e = new BoolEnc
       e.literal(0, 1); e.literal(0, 1); e.literal(0, 1); e.literal(0, 1)
       e.literal(0, 6); e.literal(0, 3); e.literal(0, 1); e.literal(0, 2)
@@ -879,7 +1196,7 @@ object Vp8Eval {
       var k = 0
       while (k < 5) { e.literal(0, 1); k += 1 }
       e.literal(1, 1)
-      e.bool(updProb(0, 0, 0, 0), 0) // the refusal trigger
+      e.bool(Vp8Tables.CoeffUpdateProbs(0)(0)(0)(0), 0) // then: nothing
       val part1 = e.flush()
       val out = new java.io.ByteArrayOutputStream(part1.length + 16)
       val tag = (part1.length << 5) | (1 << 4)

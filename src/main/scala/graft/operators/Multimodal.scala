@@ -2052,23 +2052,28 @@ object Multimodal {
     * boolean decoder, 4×8×3×11 probability walk, coefficient token
     * trees with cat extra bits, the full inverse WHT AND inverse DCT,
     * all four 16×16 intra modes chained through reconstructed
-    * neighbors). Frames that
-    * rely on the RFC-DEFAULT probability tables refuse at the
-    * explicit-probs gate — the honesty boundary the kernel documents.
+    * neighbors, and — r18 — the RFC default/update probability tables
+    * plus B_PRED 4×4 intra, so frames keeping the default tables
+    * decode instead of refusing at the retired honesty gate).
     *
-    * Residue classes (%7): 0 → a 64×16 four-MB strip whose per-MB DC
+    * Residue classes (%9): 0 → a 64×16 four-MB strip whose per-MB DC
     * offsets chain CUMULATIVELY through left-only DC prediction; 1 → a
     * 32×32 2×2 grid drilling the corner `(above+left+1)>>1` average;
     * 2 → one MB with a position-1 Y2 coefficient: the inverse WHT
     * splits it into left/right luma halves (cat2/cat3 tokens on the
     * wire); 5 → a 16×32 V_PRED chain and 6 → a 32×16 H_PRED chain
-    * (the r17 mode widening under the t2 gate); 3 → truncated after
+    * (the r17 mode widening under the t2 gate); 7 → class 0's DC
+    * chain coded over the RFC-DEFAULT tables, every update flag clear
+    * (the organic-encoder path; r18); 8 → an 8×8 B_PRED macroblock,
+    * all sub-modes B_TM, whose corner rule chains the four visible
+    * sub-blocks cumulatively (r18); 3 → truncated after
     * the dims (meta parses, stats refuse —
-    * the q39 split); 4 → an RFC-default-probs frame (gate refusal,
+    * the q39 split); 4 → a first partition truncated inside the
+    * probability walk (refuses by overread,
     * dims still parse). The oracle replays each class's luma algebra
     * from doc_id alone — it never touches a VP8 bit — so a boolean-
-    * decoder, context, WHT, or prediction slip cannot cancel.
-    * One narrow map, kernel once per row, zero exchanges.
+    * decoder, context, table-indexing, WHT, or prediction slip cannot
+    * cancel. One narrow map, kernel once per row, zero exchanges.
     */
   def q196Vp8Pixels(spark: SparkSession, dir: String): DataFrame =
     q196Vp8PixelsOn(Tables.load(spark, dir, "documents"))
@@ -2077,7 +2082,7 @@ object Multimodal {
   def q196Vp8PixelsOn(docs: DataFrame): DataFrame = {
     import graft.functions.{Vp8Ops, WebpPixelOps}
     val id = col("doc_id")
-    val staged = docs.select(id, Vp8Ops.vp8Synth(id, id % 7).as("_p"))
+    val staged = docs.select(id, Vp8Ops.vp8Synth(id, id % 9).as("_p"))
       .withColumn("_m", decodeImageMeta(col("_p")))
       .withColumn("_l", WebpPixelOps.webpLuma(col("_p")))
     staged.select(id,

@@ -688,9 +688,19 @@ class ScaleSpec extends AnyFunSuite {
     decade("q196",
       n => Multimodal.q196Vp8PixelsOn(synthMix(n))
         .agg(sum(col("width")) + count(col("min_luma"))).head.getLong(0),
-      // %7 classes: widths 64+32+16+64+16+16+32 per 7 docs, and 5 of 7
-      // classes carry a decoded luma plane
-      n => n / 7 * 240 + n / 7 * 5)
+      // %9 classes (r18 adds default-table + B_PRED): per-class widths
+      // below, and 7 of 9 classes carry a decoded luma plane (the two
+      // truncation classes refuse); exact per-residue counts because
+      // the decade sizes are not multiples of 9
+      n => {
+        val widths = Array(64L, 32, 16, 64, 16, 16, 32, 64, 8)
+        val hasLuma = Array(true, true, true, false, false, true, true,
+          true, true)
+        (0 until 9).map { c =>
+          val cnt = n / 9 + (if (c < n % 9) 1L else 0L)
+          cnt * widths(c) + (if (hasLuma(c)) cnt else 0L)
+        }.sum
+      })
   }
 
   test("q197 tiff pixels: 10x docs, encode+decode per row, ~linear", Slow) {
@@ -698,8 +708,12 @@ class ScaleSpec extends AnyFunSuite {
     decade("q197",
       n => Multimodal.q197TiffPixelsOn(synthMix(n))
         .agg(count(col("min_luma"))).head.getLong(0),
-      // %8 classes: all but the truncated class carry a decoded plane
-      n => n / 8 * 7)
+      // %10 classes (r18 adds palette + 16-bit): all but the truncated
+      // class (4) carry a decoded plane
+      n => (0 until 10).map { c =>
+        val cnt = n / 10 + (if (c < n % 10) 1L else 0L)
+        if (c == 4) 0L else cnt
+      }.sum)
   }
 
   test("intake capstones second decade: 100x docs through the full " +

@@ -3,12 +3,16 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.{Vp8Eval, WebpPixelEval}
 
-/** The lossy-VP8 profile (DC + luma AC + all four 16x16 modes), drilled the family way. The RFC
-  * 6386 §7.3 boolean decoder is the NORMATIVE side: hand vectors pin
-  * it against arithmetic done on paper; the §7.2 encoder is then
-  * proven by round trip through it (no reference VP8 decoder exists
-  * in this container — the kernel's honesty gate exists for exactly
-  * that reason, and the gate itself is drilled here).
+/** The lossy-VP8 profile (DC + luma AC + all four 16x16 modes + the
+  * r18 RFC default tables and B_PRED 4x4 intra), drilled the family
+  * way. The RFC 6386 §7.3 boolean decoder is the NORMATIVE side: hand
+  * vectors pin it against arithmetic done on paper; the §7.2 encoder
+  * is then proven by round trip through it. No reference VP8 decoder
+  * exists in this container, so the transcribed §13.4/§13.5/§11.4
+  * tables carry a fidelity caveat ([[graft.functions.Vp8Tables]]) —
+  * every pixel assertion here is table-independent algebra (the same
+  * the q196 oracle replays), so a table-INDEXING or context slip
+  * still fails these tests even though a table-VALUE slip cannot.
   */
 class Vp8Spec extends AnyFunSuite {
 
@@ -146,13 +150,98 @@ class Vp8Spec extends AnyFunSuite {
     assert(wdim === 64)
   }
 
-  test("the honesty gate: a frame relying on RFC-default coefficient " +
-    "probabilities refuses cleanly") {
+  test("a first partition truncated inside the probability walk " +
+    "refuses cleanly (formerly the honesty-gate drill)") {
     val foreign = Vp8Eval.synth(9L, 4)
     assert(WebpPixelEval.lumaStats(foreign) === NoStats)
-    // dims still parse (refusal is the gate, not a parse crash)
+    // dims still parse (refusal is the overread check, not a crash)
     val wdim = ((foreign(26) & 0xFF) | ((foreign(27) & 0xFF) << 8)) & 0x3FFF
     assert(wdim === 16)
+  }
+
+  test("class 7: the DC chain coded over the RFC-DEFAULT tables (all " +
+    "update flags clear) decodes to the same grid as class 0") {
+    val seed = 23L
+    val file = Vp8Eval.synth(seed, 7)
+    val (w, h, px) = lumaOf(file)
+    assert(w === 64 && h === 16)
+    var expect = 128
+    (0 until 4).foreach { j =>
+      expect += kOf(seed, j)
+      (0 until 16).foreach(y => (0 until 16).foreach(x =>
+        assert(px(y * 64 + j * 16 + x) === expect, s"mb $j px ($x,$y)")))
+    }
+    // the default-table stream is genuinely different machinery: it
+    // must be SHORTER than the explicit-profile stream (no 1056
+    // transmitted bytes) yet decode identically
+    assert(file.length < Vp8Eval.synth(seed, 0).length - 800)
+  }
+
+  test("class 8: B_PRED all-TM chains the four visible sub-blocks " +
+    "through the corner rule") {
+    val seed = 31L
+    val file = Vp8Eval.synth(seed, 8)
+    val (w, h, px) = lumaOf(file)
+    assert(w === 8 && h === 8)
+    val l00 = 129 + kOf(seed, 0)
+    val l10 = l00 + kOf(seed, 1)
+    val l01 = l00 + kOf(seed, 2)
+    val l11 = 129 + kOf(seed, 0) + kOf(seed, 1) + kOf(seed, 2) + kOf(seed, 3)
+    (0 until 8).foreach { y =>
+      (0 until 8).foreach { x =>
+        val want =
+          if (y < 4) { if (x < 4) l00 else l10 }
+          else { if (x < 4) l01 else l11 }
+        assert(px(y * 8 + x) === want, s"bpred ($x,$y)")
+      }
+    }
+  }
+
+  test("B_PRED hand grids: all ten sub-block predictors at the edge " +
+    "constants (A=127, L=129, P=127)") {
+    // one 16x16 B_PRED MB, uniform sub-mode, zero residual; the
+    // TOP-LEFT sub-block sees only the §12.2 edge constants, so its
+    // 4x4 grid is paper arithmetic per predictor
+    def grid(mode: Int): Array[Array[Int]] = {
+      val file = Vp8Eval.encodeFrame(16, 16, Array(Array(0)),
+        Array(Array(0)), bmodes = Array(Array.fill(16)(mode)))
+      val (w, h, px) = lumaOf(file)
+      assert(w === 16 && h === 16, s"mode $mode dims")
+      Array.tabulate(4, 4)((r, c) => px(r * 16 + c))
+    }
+    def const(v: Int) = Array.fill(4, 4)(v)
+    assert(grid(0).map(_.toSeq).toSeq === const(128).map(_.toSeq).toSeq, "B_DC")
+    assert(grid(1).map(_.toSeq).toSeq === const(129).map(_.toSeq).toSeq, "B_TM")
+    assert(grid(2).map(_.toSeq).toSeq === const(127).map(_.toSeq).toSeq, "B_VE")
+    assert(grid(3).map(_.toSeq).toSeq === const(129).map(_.toSeq).toSeq, "B_HE")
+    assert(grid(4).map(_.toSeq).toSeq === const(127).map(_.toSeq).toSeq, "B_LD")
+    // B_RD: 128 on the diagonal (avg3(L0,P,A0)), 127 above, 129 below
+    assert(grid(5).map(_.toSeq).toSeq === Array.tabulate(4, 4)((r, c) =>
+      if (c > r) 127 else if (c == r) 128 else 129)
+      .map(_.toSeq).toSeq, "B_RD")
+    assert(grid(6).map(_.toSeq).toSeq === Array(
+      Seq(127, 127, 127, 127), Seq(128, 127, 127, 127),
+      Seq(129, 127, 127, 127), Seq(129, 128, 127, 127)).map(_.toSeq).toSeq,
+      "B_VR")
+    assert(grid(7).map(_.toSeq).toSeq === const(127).map(_.toSeq).toSeq, "B_VL")
+    assert(grid(8).map(_.toSeq).toSeq === Array(
+      Seq(128, 128, 127, 127), Seq(129, 129, 128, 128),
+      Seq(129, 129, 129, 129), Seq(129, 129, 129, 129)).map(_.toSeq).toSeq,
+      "B_HD")
+    assert(grid(9).map(_.toSeq).toSeq === const(129).map(_.toSeq).toSeq, "B_HU")
+  }
+
+  test("composition: a B_PRED frame over the DEFAULT tables decodes " +
+    "to the same pixels as over the explicit profile") {
+    val bm = Array(Array.fill(16)(1)) // all B_TM
+    val exp = Vp8Eval.encodeFrame(16, 16, Array(Array(0)), Array(Array(0)),
+      bmodes = bm)
+    val dft = Vp8Eval.encodeFrame(16, 16, Array(Array(0)), Array(Array(0)),
+      bmodes = bm, useDefaults = true)
+    val (we, he, pe) = lumaOf(exp)
+    val (wd, hd, pd) = lumaOf(dft)
+    assert(we === wd && he === hd)
+    assert(pe.toSeq === pd.toSeq) // the tables change bits, not pixels
   }
 
   test("the q135 lossy shell (header-only frame) still refuses") {
@@ -163,18 +252,20 @@ class Vp8Spec extends AnyFunSuite {
   }
 
   test("fuzz: bit flips over a real frame refuse or decode, never throw") {
-    val file = Vp8Eval.synth(13L, 1)
-    val rnd = new java.util.Random(0x196L)
-    (0 until 600).foreach { k =>
-      val bad = file.clone()
-      bad(rnd.nextInt(bad.length)) = rnd.nextInt(256).toByte
-      try WebpPixelEval.lumaStats(bad)
-      catch { case e: Throwable => fail(s"threw on fuzz $k: $e") }
-    }
-    (0 until file.length by 7).foreach { cut =>
-      val bad = java.util.Arrays.copyOf(file, cut)
-      try WebpPixelEval.lumaStats(bad)
-      catch { case e: Throwable => fail(s"threw on cut $cut: $e") }
+    Seq(1L, 7L, 8L).foreach { cls => // explicit, default-table, B_PRED
+      val file = Vp8Eval.synth(13L, cls)
+      val rnd = new java.util.Random(0x196L + cls)
+      (0 until 600).foreach { k =>
+        val bad = file.clone()
+        bad(rnd.nextInt(bad.length)) = rnd.nextInt(256).toByte
+        try WebpPixelEval.lumaStats(bad)
+        catch { case e: Throwable => fail(s"cls $cls threw on fuzz $k: $e") }
+      }
+      (0 until file.length by 7).foreach { cut =>
+        val bad = java.util.Arrays.copyOf(file, cut)
+        try WebpPixelEval.lumaStats(bad)
+        catch { case e: Throwable => fail(s"cls $cls threw on cut $cut: $e") }
+      }
     }
   }
 
