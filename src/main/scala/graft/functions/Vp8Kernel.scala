@@ -40,11 +40,17 @@ import org.apache.spark.sql.types.{BinaryType, DataType}
   *    the tables, and the oracle replays pixel algebra from doc_id),
   *    while organic-file fidelity awaits an offline fixture.
   *
+  *  - r18 widenings toward organic streams: ANY quant index with the
+  *    five sign-magnitude deltas (§14.1 dc/ac lookup tables in
+  *    [[Vp8Tables]]), 1/2/4/8 TOKEN PARTITIONS (3-byte-LE size table,
+  *    MB row r reads partition r mod n, nonzero contexts stay
+  *    frame-global), and the §15 LOOP FILTER (normal and simple
+  *    types, MB + sub-block edges, hev logic, sharpness limits) run
+  *    over the finished luma plane — VP8 intra prediction reads
+  *    unfiltered neighbors, so filtering is a post-pass.
+  *
   * The PROFILE (everything else refuses, never guesses): key frames
-  * only, version 0, one token partition, segmentation and
-  * loop-filter deltas off, filter level 0, quant index 0 with no
-  * deltas (dc_qlookup[0]=4 / ac_qlookup[0]=4 are the two table
-  * entries this profile needs).
+  * only, version 0, segmentation and loop-filter deltas off.
   *
   * The paired synthesizer is a real encoder (RFC §7.2 bool encoder
   * with carry propagation, tree writes, token emission through the
@@ -101,7 +107,9 @@ object Vp8Eval {
   private def workProb(p: Int, b: Int, c: Int, l: Int): Int =
     (p * 31 + b * 13 + c * 41 + l * 11) % 200 + 28
 
-  // dequant at the profile's pinned quant index 0
+  // dequant values at quant index 0 (r18: decode derives per-frame
+  // values from the §14.1 lookup tables; these remain the encoder-side
+  // constants for the qi=0 synthesis classes)
   private final val QY2Dc = 8 // 2 * dc_qlookup[0]
   private final val QY2Ac = 8 // max(8, ac_qlookup[0]*155/100)
   private final val QYAc = 4 // ac_qlookup[0]
@@ -449,6 +457,132 @@ object Vp8Eval {
     w
   }
 
+  // ------------------------------------------------------ loop filter
+
+  /** RFC 6386 §15 in-loop deblocking over the LUMA plane (chroma is
+    * not reconstructed here). VP8 intra prediction reads UNFILTERED
+    * neighbors, so this runs after the whole plane is reconstructed,
+    * in macroblock raster order: left MB edge, inner vertical edges,
+    * top MB edge, inner horizontal edges — later edges read
+    * earlier-filtered pixels. Inner edges are filtered only for MBs
+    * carrying coefficients or coded B_PRED (`mbInner`); MB edges are
+    * always filtered. All arithmetic is the spec's signed-8-bit
+    * pipeline on (pixel − 128) with saturating clamps; Vp8Spec pins
+    * each primitive with paper vectors and the q196 filter class pins
+    * the exact filtered step profile. */
+  private def loopFilterLuma(plane: Array[Int], wp: Int, mbW: Int,
+                             mbH: Int, level: Int, sharpness: Int,
+                             simple: Boolean,
+                             mbInner: Array[Boolean]): Unit = {
+    var interior = level
+    if (sharpness > 0) {
+      interior = level >> (if (sharpness > 4) 2 else 1)
+      if (interior > 9 - sharpness) interior = 9 - sharpness
+    }
+    if (interior < 1) interior = 1
+    val mbLimit = (level + 2) * 2 + interior
+    val subLimit = level * 2 + interior
+    val hevT = if (level >= 40) 2 else if (level >= 15) 1 else 0
+
+    @inline def cs(v: Int): Int =
+      if (v < -128) -128 else if (v > 127) 127 else v
+    @inline def cu(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+    // one 8-pixel segment across an edge: pixels at i-4d .. i+3d
+    // (d = 1 for a vertical edge, wp for a horizontal one)
+    def filterSeg(i: Int, d: Int, mbEdge: Boolean): Unit = {
+      val p3 = plane(i - 4 * d); val p2 = plane(i - 3 * d)
+      val p1 = plane(i - 2 * d); val p0 = plane(i - d)
+      val q0 = plane(i); val q1 = plane(i + d)
+      val q2 = plane(i + 2 * d); val q3 = plane(i + 3 * d)
+      val edgeLimit = if (mbEdge) mbLimit else subLimit
+      if (math.abs(p0 - q0) * 2 + math.abs(p1 - q1) / 2 > edgeLimit) return
+      val sp1 = p1 - 128; val sp0 = p0 - 128
+      val sq0 = q0 - 128; val sq1 = q1 - 128
+      // §15.2 common adjustment: p0/q0 via the 4/3-rounded taps
+      def commonAdjust(useOuter: Boolean): Int = {
+        val a = cs((if (useOuter) cs(sp1 - sq1) else 0) + 3 * (sq0 - sp0))
+        val f1 = cs(a + 4) >> 3
+        val f2 = cs(a + 3) >> 3
+        plane(i) = cu(sq0 - f1 + 128)
+        plane(i - d) = cu(sp0 + f2 + 128)
+        f1
+      }
+      if (simple) { commonAdjust(true); return }
+      if (math.abs(p3 - p2) > interior || math.abs(p2 - p1) > interior ||
+        math.abs(p1 - p0) > interior || math.abs(q1 - q0) > interior ||
+        math.abs(q2 - q1) > interior || math.abs(q3 - q2) > interior) return
+      val hev = math.abs(p1 - p0) > hevT || math.abs(q1 - q0) > hevT
+      if (mbEdge && !hev) {
+        // §15.3 macroblock-edge filter: the 27/18/9 tap triple moves
+        // three pixels each side, symmetrically (sum-preserving)
+        val sp2 = p2 - 128; val sq2 = q2 - 128
+        val w = cs(cs(sp1 - sq1) + 3 * (sq0 - sp0))
+        val a0 = cs((27 * w + 63) >> 7)
+        plane(i) = cu(sq0 - a0 + 128)
+        plane(i - d) = cu(sp0 + a0 + 128)
+        val a1 = cs((18 * w + 63) >> 7)
+        plane(i + d) = cu(sq1 - a1 + 128)
+        plane(i - 2 * d) = cu(sp1 + a1 + 128)
+        val a2 = cs((9 * w + 63) >> 7)
+        plane(i + 2 * d) = cu(sq2 - a2 + 128)
+        plane(i - 3 * d) = cu(sp2 + a2 + 128)
+      } else {
+        // sub-block edges (and MB edges under high edge variance):
+        // outer taps only when hev; p1/q1 nudged by (F1+1)>>1 when not
+        val f1 = commonAdjust(hev)
+        if (!hev) {
+          val a3 = (f1 + 1) >> 1
+          plane(i + d) = cu(sq1 - a3 + 128)
+          plane(i - 2 * d) = cu(sp1 + a3 + 128)
+        }
+      }
+    }
+
+    var my = 0
+    while (my < mbH) {
+      var mx = 0
+      while (mx < mbW) {
+        val x0 = mx * 16; val y0 = my * 16
+        val inner = mbInner(my * mbW + mx)
+        if (mx > 0) {
+          var y = 0
+          while (y < 16) {
+            filterSeg((y0 + y) * wp + x0, 1, mbEdge = true); y += 1
+          }
+        }
+        if (inner) {
+          var dx = 4
+          while (dx <= 12) {
+            var y = 0
+            while (y < 16) {
+              filterSeg((y0 + y) * wp + x0 + dx, 1, mbEdge = false); y += 1
+            }
+            dx += 4
+          }
+        }
+        if (my > 0) {
+          var x = 0
+          while (x < 16) {
+            filterSeg(y0 * wp + x0 + x, wp, mbEdge = true); x += 1
+          }
+        }
+        if (inner) {
+          var dy = 4
+          while (dy <= 12) {
+            var x = 0
+            while (x < 16) {
+              filterSeg((y0 + dy) * wp + x0 + x, wp, mbEdge = false); x += 1
+            }
+            dy += 4
+          }
+        }
+        mx += 1
+      }
+      my += 1
+    }
+  }
+
   /** RFC §12.2-12.3 sub-block intra reconstruction for a B_PRED
     * macroblock: predict each 4×4 sub-block from ALREADY-reconstructed
     * neighbors in raster order within the MB, add its residual (own
@@ -463,7 +597,8 @@ object Vp8Eval {
     * past the frame edge. */
   private def reconstructBPred(plane: Array[Int], wp: Int, x0: Int,
                                y0: Int, sub: Array[Int],
-                               yBlocks: Array[Array[Int]]): Unit = {
+                               yBlocks: Array[Array[Int]],
+                               qYDc: Int, qYAc: Int): Unit = {
     @inline def avg2(x: Int, y: Int) = (x + y + 1) >> 1
     @inline def avg3(x: Int, y: Int, z: Int) = (x + 2 * y + z + 2) >> 2
     val a = new Array[Int](8)
@@ -592,13 +727,13 @@ object Vp8Eval {
             l(3), l(3), l(3), l(3))
           System.arraycopy(grid, 0, pred, 0, 16)
       }
-      // residual add: own DC at QYDc, ACs at QYAc, DC-only fast path
+      // residual add: own DC at qYDc, ACs at qYAc, DC-only fast path
       val blk = yBlocks(sb)
       var anyAc = false
       var i2 = 1
       while (i2 < 16) { if (blk(i2) != 0) anyAc = true; i2 += 1 }
       if (!anyAc) {
-        val resid = (blk(0) * QYDc + 4) >> 3
+        val resid = (blk(0) * qYDc + 4) >> 3
         var r = 0
         while (r < 4) {
           var c = 0
@@ -611,9 +746,9 @@ object Vp8Eval {
           r += 1
         }
       } else {
-        blk(0) *= QYDc
+        blk(0) *= qYDc
         i2 = 1
-        while (i2 < 16) { blk(i2) *= QYAc; i2 += 1 }
+        while (i2 < 16) { blk(i2) *= qYAc; i2 += 1 }
         idct4x4(blk, residual)
         var r = 0
         while (r < 4) {
@@ -657,14 +792,34 @@ object Vp8Eval {
     if (bd.literal(1) != 0) return null // color space must be 0
     bd.literal(1) // clamping type: either is fine (we clamp)
     if (bd.literal(1) != 0) return null // segmentation: out of scope
-    bd.literal(1) // filter type
-    if (bd.literal(6) != 0) return null // filter level 0 (we don't filter)
-    bd.literal(3) // sharpness (irrelevant at level 0)
+    val filterSimple = bd.literal(1) == 1 // filter type (1 = simple)
+    val filterLevel = bd.literal(6) // r18: the §15 loop filter runs
+    val sharpness = bd.literal(3)
     if (bd.literal(1) != 0) return null // lf delta adjust: out of scope
-    if (bd.literal(2) != 0) return null // exactly one token partition
-    if (bd.literal(7) != 0) return null // y_ac_qi: profile pins 0
-    var k = 0
-    while (k < 5) { if (bd.literal(1) != 0) return null; k += 1 } // no deltas
+    // token partitions (r18): 1/2/4/8; sizes ride a 3-byte-LE table
+    // between the first partition and the token data
+    val nParts = 1 << bd.literal(2)
+    // quant header (r18): any base index; the five deltas are
+    // sign-magnitude 4-bit offsets clamped into the table
+    val yAcQi = bd.literal(7)
+    def qDelta(): Int =
+      if (bd.literal(1) == 1) {
+        val mag = bd.literal(4)
+        if (bd.literal(1) == 1) -mag else mag
+      } else 0
+    val yDcDelta = qDelta()
+    val y2DcDelta = qDelta()
+    val y2AcDelta = qDelta()
+    qDelta() // uvdc: chroma is parse-only, dequant unused
+    qDelta() // uvac
+    def clampQ(v: Int): Int = if (v < 0) 0 else if (v > 127) 127 else v
+    val qYDc = Vp8Tables.DcQLookup(clampQ(yAcQi + yDcDelta))
+    val qYAc = Vp8Tables.AcQLookup(clampQ(yAcQi))
+    val qY2Dc = Vp8Tables.DcQLookup(clampQ(yAcQi + y2DcDelta)) * 2
+    val qY2Ac = {
+      val v = Vp8Tables.AcQLookup(clampQ(yAcQi + y2AcDelta)) * 155 / 100
+      if (v < 8) 8 else v
+    }
     bd.literal(1) // refresh_entropy_probs
     val work = buildWork(bd)
     if (bd.literal(1) != 0) return null // mb_no_coeff_skip: profile 0
@@ -714,7 +869,27 @@ object Vp8Eval {
     }
     if (bd.overread > 0) return null
 
-    val td = new BoolDec(b, p1 + firstPartSize, end)
+    // token partitions: MB row r reads partition r % nParts; the size
+    // table ((nParts-1) 3-byte-LE entries) sits after the first
+    // partition, the partitions follow back-to-back
+    val tableOff = p1 + firstPartSize
+    val tableLen = (nParts - 1) * 3
+    if (tableOff + tableLen > end) return null
+    val tds = new Array[BoolDec](nParts)
+    var pOff = tableOff + tableLen
+    var pi = 0
+    while (pi < nParts) {
+      val pLen =
+        if (pi < nParts - 1) {
+          (b(tableOff + pi * 3) & 0xFF) |
+            ((b(tableOff + pi * 3 + 1) & 0xFF) << 8) |
+            ((b(tableOff + pi * 3 + 2) & 0xFF) << 16)
+        } else end - pOff
+      if (pLen < 0 || pOff + pLen > end) return null
+      tds(pi) = new BoolDec(b, pOff, pOff + pLen)
+      pOff += pLen
+      pi += 1
+    }
     val wp = mbW * 16
     val plane = new Array[Int](wp * mbH * 16)
     val aboveY2 = new Array[Int](mbW)
@@ -726,8 +901,12 @@ object Vp8Eval {
     val leftV = new Array[Int](2)
     val coefs = new Array[Int](16)
     val wht = new Array[Int](16)
+    // per-MB flag for the loop filter's inner-edge rule: inner edges
+    // are filtered only when the MB carries coefficients or is B_PRED
+    val mbInner = new Array[Boolean](mbW * mbH)
     var my = 0
     while (my < mbH) {
+      val td = tds(my % nParts)
       var leftY2 = 0
       java.util.Arrays.fill(leftY, 0)
       java.util.Arrays.fill(leftU, 0)
@@ -735,6 +914,7 @@ object Vp8Eval {
       var mx = 0
       while (mx < mbW) {
         val isB = bmodes(my * mbW + mx) != null
+        var anyCoeff = false
         // Y2 — B_PRED macroblocks have none, and their above/left Y2
         // nonzero contexts are left UNTOUCHED (RFC §13.3: only
         // macroblocks with a Y2 block update them)
@@ -743,9 +923,10 @@ object Vp8Eval {
           val nz2 = decodeBlock(td, work, 1, aboveY2(mx) + leftY2, 0, coefs)
           if (nz2 < 0) return null
           aboveY2(mx) = nz2; leftY2 = nz2
+          if (nz2 != 0) anyCoeff = true
           var i = 0
           while (i < 16) {
-            coefs(i) *= (if (i == 0) QY2Dc else QY2Ac); i += 1
+            coefs(i) *= (if (i == 0) qY2Dc else qY2Ac); i += 1
           }
           iwht(coefs, wht)
         }
@@ -760,6 +941,7 @@ object Vp8Eval {
             aboveY(mx)(colI) + leftY(rowI), if (isB) 0 else 1, yBlocks(sb))
           if (ynz < 0) return null
           aboveY(mx)(colI) = ynz; leftY(rowI) = ynz
+          if (ynz != 0) anyCoeff = true
           sb += 1
         }
         // chroma: parsed for bitstream sync, not reconstructed
@@ -774,12 +956,14 @@ object Vp8Eval {
             above(mx)(colI) + left(rowI), 0, scratch)
           if (cnz < 0) return null
           above(mx)(colI) = cnz; left(rowI) = cnz
+          if (cnz != 0) anyCoeff = true
           sb += 1
         }
+        mbInner(my * mbW + mx) = anyCoeff || isB
         val x0 = mx * 16; val y0 = my * 16
         if (isB) {
           reconstructBPred(plane, wp, x0, y0,
-            bmodes(my * mbW + mx), yBlocks)
+            bmodes(my * mbW + mx), yBlocks, qYDc, qYAc)
           mx += 1
         } else {
         // ---- 16x16 intra prediction from reconstructed neighbors.
@@ -866,7 +1050,7 @@ object Vp8Eval {
             }
           } else {
             i2 = 1
-            while (i2 < 16) { blk(i2) *= QYAc; i2 += 1 }
+            while (i2 < 16) { blk(i2) *= qYAc; i2 += 1 }
             blk(0) = wht(sb)
             idct4x4(blk, residual)
             var r = 0
@@ -889,7 +1073,13 @@ object Vp8Eval {
       }
       my += 1
     }
-    if (td.overread > 0) return null
+    pi = 0
+    while (pi < nParts) { if (tds(pi).overread > 0) return null; pi += 1 }
+    // §15 loop filter (r18): VP8 intra prediction reads UNFILTERED
+    // neighbors, so the filter runs over the completed luma plane
+    if (filterLevel > 0)
+      loopFilterLuma(plane, wp, mbW, mbH, filterLevel, sharpness,
+        filterSimple, mbInner)
     // crop to the declared dims
     val luma = new Array[Int](w * h)
     var y = 0
@@ -944,7 +1134,12 @@ object Vp8Eval {
                                  ymodes: Array[Array[Int]] = null,
                                  yAc: (Int, Int, Int) => Array[Int] = null,
                                  useDefaults: Boolean = false,
-                                 bmodes: Array[Array[Int]] = null): Array[Byte] = {
+                                 bmodes: Array[Array[Int]] = null,
+                                 qi: Int = 0,
+                                 nParts: Int = 1,
+                                 filterLevel: Int = 0,
+                                 sharpness: Int = 0,
+                                 filterSimple: Boolean = false): Array[Byte] = {
     val mbW = (w + 15) / 16
     val mbH = (h + 15) / 16
     val work =
@@ -955,6 +1150,7 @@ object Vp8Eval {
     // q196's cost — memo it per thread by shape+modes
     val modeKey =
       (if (useDefaults) "D|" else "E|") +
+        s"q$qi,p$nParts,f$filterLevel,s$sharpness,t$filterSimple|" +
         (if (ymodes == null) "dc"
         else ymodes.map(_.mkString(",")).mkString(";")) +
         (if (bmodes == null) ""
@@ -964,17 +1160,17 @@ object Vp8Eval {
     val memo = part1Memo.get()
     val cached = memo.get(p1Key)
     if (cached != null) return assemble(w, h, cached, encodePart2(
-      mbW, mbH, work, y2dc, y2ac1, yAc, bmodes))
+      mbW, mbH, work, y2dc, y2ac1, yAc, bmodes, nParts), nParts)
     val e1 = new BoolEnc
     e1.literal(0, 1) // color space
     e1.literal(0, 1) // clamping
     e1.literal(0, 1) // segmentation off
-    e1.literal(0, 1) // filter type
-    e1.literal(0, 6) // filter level 0
-    e1.literal(0, 3) // sharpness
+    e1.literal(if (filterSimple) 1 else 0, 1) // filter type
+    e1.literal(filterLevel, 6)
+    e1.literal(sharpness, 3)
     e1.literal(0, 1) // lf deltas off
-    e1.literal(0, 2) // one token partition
-    e1.literal(0, 7) // y_ac_qi = 0
+    e1.literal(Integer.numberOfTrailingZeros(nParts), 2) // partitions
+    e1.literal(qi, 7) // y_ac_qi
     var k = 0
     while (k < 5) { e1.literal(0, 1); k += 1 } // no quant deltas
     e1.literal(1, 1) // refresh entropy probs
@@ -1044,7 +1240,7 @@ object Vp8Eval {
     val part1 = e1.flush()
     memo.put(p1Key, part1)
     assemble(w, h, part1, encodePart2(mbW, mbH, work, y2dc, y2ac1, yAc,
-      bmodes))
+      bmodes, nParts), nParts)
   }
 
   private val part1Memo =
@@ -1057,8 +1253,12 @@ object Vp8Eval {
                           work: Array[Array[Array[Array[Int]]]],
                           y2dc: Array[Array[Int]], y2ac1: Array[Array[Int]],
                           yAc: (Int, Int, Int) => Array[Int],
-                          bmodes: Array[Array[Int]] = null): Array[Byte] = {
-    val e2 = new BoolEnc
+                          bmodes: Array[Array[Int]] = null,
+                          nParts: Int = 1): Array[Array[Byte]] = {
+    // one token encoder per partition; MB row r writes partition
+    // r % nParts (the bitstream is split, the nonzero CONTEXTS are
+    // frame-global — shared arrays below, both sides)
+    val encs = Array.fill(nParts)(new BoolEnc)
     val aboveY2 = new Array[Int](mbW)
     val aboveY = Array.ofDim[Int](mbW, 4)
     val aboveU = Array.ofDim[Int](mbW, 2)
@@ -1066,6 +1266,7 @@ object Vp8Eval {
     val coefs = new Array[Int](16)
     var my = 0
     while (my < mbH) {
+      val e2 = encs(my % nParts)
       var leftY2 = 0
       val leftY = new Array[Int](4)
       val leftU = new Array[Int](2)
@@ -1110,12 +1311,14 @@ object Vp8Eval {
       }
       my += 1
     }
-    e2.flush()
+    encs.map(_.flush())
   }
 
   private def assemble(w: Int, h: Int, part1: Array[Byte],
-                       part2: Array[Byte]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(part1.length + part2.length + 16)
+                       parts: Array[Array[Byte]],
+                       nParts: Int = 1): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(
+      part1.length + parts.map(_.length).sum + 16 + nParts * 3)
     val tag = (part1.length << 5) | (1 << 4) | 0 // keyframe, ver 0, shown
     out.write(tag & 0xFF); out.write((tag >> 8) & 0xFF)
     out.write((tag >> 16) & 0xFF)
@@ -1123,7 +1326,15 @@ object Vp8Eval {
     out.write(w & 0xFF); out.write((w >> 8) & 0x3F)
     out.write(h & 0xFF); out.write((h >> 8) & 0x3F)
     out.write(part1, 0, part1.length)
-    out.write(part2, 0, part2.length)
+    // all but the last partition announce their size (3-byte LE)
+    var i = 0
+    while (i < nParts - 1) {
+      val n = parts(i).length
+      out.write(n & 0xFF); out.write((n >> 8) & 0xFF)
+      out.write((n >> 16) & 0xFF)
+      i += 1
+    }
+    parts.foreach(pt => out.write(pt, 0, pt.length))
     WebpPixelEval.wrapLossyRiff(out.toByteArray)
   }
 
@@ -1141,12 +1352,22 @@ object Vp8Eval {
     * 8 → an 8×8 B_PRED MB, all sub-modes B_TM, DC residuals in the
     *     four visible sub-blocks: the TM corner rule chains them
     *     cumulatively (l11 = 129 + k0 + k1 + k2 + k3; r18);
+    * 9 → a 16×32 vertical DC chain at QUANT INDEX 4 over TWO token
+    *     partitions (row 0 → partition 0, row 1 → partition 1): the
+    *     §14.1 dequant lookup and the partition-table walk both sit
+    *     on the oracle path (tokens 4k dequantize through
+    *     dc_qlookup[4]*2 = 16 back to per-MB offsets k; r18);
+    * 10 → a 32×16 left-chained DC step under LOOP FILTER level 10
+    *     (normal type): the §15 MB-edge filter smooths the step —
+    *     sum-preserving and min/max-conservative by construction, so
+    *     the oracle algebra is unchanged while Vp8Spec pins the exact
+    *     filtered column profile (r18);
     * 3 → class 0 truncated after the dims (meta parses, stats refuse);
     * 4 → a first partition truncated inside the probability walk
     *     (formerly the honesty-gate drill; the walk overreads and
     *     refuses, dims still parse).
     */
-  def synth(seed: Long, cls: Long): Array[Byte] = (cls % 9).toInt match {
+  def synth(seed: Long, cls: Long): Array[Byte] = (cls % 11).toInt match {
     case 0 =>
       val ks = Array(Array.tabulate(4)(j => 8 * kOf(seed, j)))
       encodeFrame(64, 16, ks, Array(Array(0, 0, 0, 0)))
@@ -1176,6 +1397,18 @@ object Vp8Eval {
       encodeFrame(16, 32,
         Array(Array(8 * kOf(seed, 0)), Array(8 * kOf(seed, 1))),
         Array(Array(0), Array(0)), ymodes = Array(Array(0), Array(1)))
+    case 9 =>
+      // tokens 4k at qi=4: qY2Dc = dc_qlookup[4]*2 = 16 -> iwht 8k ->
+      // per-MB offset k, the same c0/vh luma algebra — a decoder that
+      // ignores the quant index (or misreads the partition table)
+      // lands on (k+1)/2-style offsets and misses the oracle
+      encodeFrame(16, 32,
+        Array(Array(4 * kOf(seed, 0)), Array(4 * kOf(seed, 1))),
+        Array(Array(0), Array(0)), qi = 4, nParts = 2)
+    case 10 =>
+      encodeFrame(32, 16,
+        Array(Array(8 * kOf(seed, 0), 8 * kOf(seed, 1))),
+        Array(Array(0, 0)), filterLevel = 10)
     case 6 =>
       encodeFrame(32, 16,
         Array(Array(8 * kOf(seed, 0), 8 * kOf(seed, 1))),

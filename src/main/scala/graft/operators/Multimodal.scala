@@ -2056,7 +2056,7 @@ object Multimodal {
     * plus B_PRED 4×4 intra, so frames keeping the default tables
     * decode instead of refusing at the retired honesty gate).
     *
-    * Residue classes (%9): 0 → a 64×16 four-MB strip whose per-MB DC
+    * Residue classes (%11): 0 → a 64×16 four-MB strip whose per-MB DC
     * offsets chain CUMULATIVELY through left-only DC prediction; 1 → a
     * 32×32 2×2 grid drilling the corner `(above+left+1)>>1` average;
     * 2 → one MB with a position-1 Y2 coefficient: the inverse WHT
@@ -2066,7 +2066,13 @@ object Multimodal {
     * chain coded over the RFC-DEFAULT tables, every update flag clear
     * (the organic-encoder path; r18); 8 → an 8×8 B_PRED macroblock,
     * all sub-modes B_TM, whose corner rule chains the four visible
-    * sub-blocks cumulatively (r18); 3 → truncated after
+    * sub-blocks cumulatively (r18); 9 → a 16×32 DC chain at QUANT
+    * INDEX 4 split over TWO token partitions (the §14.1 dequant
+    * lookup and the partition table both on the oracle path; r18);
+    * 10 → a 32×16 DC step under LOOP FILTER level 10 (the §15
+    * MB-edge filter is sum-preserving and min/max-conservative on
+    * the step, so the oracle algebra is unchanged while Vp8Spec pins
+    * the exact filtered columns; r18); 3 → truncated after
     * the dims (meta parses, stats refuse —
     * the q39 split); 4 → a first partition truncated inside the
     * probability walk (refuses by overread,
@@ -2082,7 +2088,7 @@ object Multimodal {
   def q196Vp8PixelsOn(docs: DataFrame): DataFrame = {
     import graft.functions.{Vp8Ops, WebpPixelOps}
     val id = col("doc_id")
-    val staged = docs.select(id, Vp8Ops.vp8Synth(id, id % 9).as("_p"))
+    val staged = docs.select(id, Vp8Ops.vp8Synth(id, id % 11).as("_p"))
       .withColumn("_m", decodeImageMeta(col("_p")))
       .withColumn("_l", WebpPixelOps.webpLuma(col("_p")))
     staged.select(id,

@@ -231,6 +231,93 @@ class Vp8Spec extends AnyFunSuite {
     assert(grid(9).map(_.toSeq).toSeq === const(129).map(_.toSeq).toSeq, "B_HU")
   }
 
+  test("class 9: quant index 4 over two token partitions lands the " +
+    "same per-MB offsets through the dequant lookup") {
+    val seed = 17L
+    val file = Vp8Eval.synth(seed, 9)
+    val (w, h, px) = lumaOf(file)
+    assert(w === 16 && h === 32)
+    // tokens 4k at qY2Dc = dc_qlookup[4]*2 = 16: iwht 8k, offset k —
+    // a decoder ignoring the quant index or the partition table
+    // cannot land these values
+    val l0 = 128 + kOf(seed, 0)
+    val l1 = l0 + kOf(seed, 1)
+    (0 until 32).foreach(y => (0 until 16).foreach { x =>
+      val want = if (y < 16) l0 else l1
+      assert(px(y * 16 + x) === want, s"qi4 ($x,$y)")
+    })
+    // the partition table is real: 3-byte size entry between the
+    // first partition and the token data — cutting the SECOND token
+    // partition must refuse, not desync
+    val cut = java.util.Arrays.copyOf(file, file.length - 2)
+    assert(WebpPixelEval.lumaStats(cut) === NoStats)
+  }
+
+  test("class 10: the loop filter smooths the MB-edge step exactly " +
+    "(27/18/9 taps) and preserves min/max/sum") {
+    // seed 6: k0 = -2, k1 = 4 -> l0 = 126, l1 = 130, step s = 4;
+    // w = 2s = 8, taps u = (27*8+63)>>7 = 2, v = (18*8+63)>>7 = 1,
+    // z = (9*8+63)>>7 = 1 — paper arithmetic
+    val file = Vp8Eval.synth(6L, 10)
+    val (w, h, px) = lumaOf(file)
+    assert(w === 32 && h === 16)
+    val want = Array.tabulate(32) {
+      case x if x <= 12 => 126
+      case 13 => 127 // p2 + z
+      case 14 => 127 // p1 + v
+      case 15 => 128 // p0 + u
+      case 16 => 128 // q0 - u
+      case 17 => 129 // q1 - v
+      case 18 => 129 // q2 - z
+      case _ => 130
+    }
+    (0 until 16).foreach(y => (0 until 32).foreach(x =>
+      assert(px(y * 32 + x) === want(x), s"filtered ($x,$y)")))
+    // the invariants the oracle leans on, verified on the decoded plane
+    assert(px.min === 126 && px.max === 130)
+    assert(px.sum === 16 * (13 * 126 + 127 + 127 + 128 + 128 + 129 +
+      129 + 13 * 130))
+    assert(px.sum === 256 * (126 + 130)) // sum-preserving filter
+  }
+
+  test("simple-type loop filter: only p0/q0 move, by the 4/3-rounded " +
+    "common adjustment") {
+    // same step frame, simple filter: a = c(p1-q1 + 3(q0-p0)) = 2s = 8,
+    // F1 = (8+4)>>3 = 1 off q0, F2 = (8+3)>>3 = 1 onto p0
+    val file = Vp8Eval.encodeFrame(32, 16,
+      Array(Array(8 * kOf(6L, 0), 8 * kOf(6L, 1))), Array(Array(0, 0)),
+      filterLevel = 10, filterSimple = true)
+    val (w, h, px) = lumaOf(file)
+    assert(w === 32 && h === 16)
+    (0 until 16).foreach { y =>
+      (0 until 32).foreach { x =>
+        val want =
+          if (x <= 14) 126 else if (x == 15) 127
+          else if (x == 16) 129 else 130
+        assert(px(y * 32 + x) === want, s"simple ($x,$y)")
+      }
+    }
+  }
+
+  test("loop filter no-ops: a uniform plane is untouched and a " +
+    "too-large step fails the edge mask") {
+    // uniform frame at level 10 (MB1 DC-chains to MB0's value):
+    // every difference is 0, no pixel moves
+    val flat = Vp8Eval.encodeFrame(32, 16,
+      Array(Array(16, 0)), Array(Array(0, 0)), filterLevel = 10)
+    val (_, _, pf) = lumaOf(flat)
+    assert(pf.forall(_ === 130)) // 128 + token 16 -> offset 2
+    // step 16 (token 128 -> offset 16) at level 10: the mask needs
+    // 2|s| + |s|/2 <= 33 and 40 fails — the step survives unfiltered
+    val steep = Vp8Eval.encodeFrame(32, 16,
+      Array(Array(0, 128)), Array(Array(0, 0)), filterLevel = 10)
+    val (_, _, ps) = lumaOf(steep)
+    (0 until 16).foreach(y => (0 until 32).foreach { x =>
+      val want = if (x < 16) 128 else 144
+      assert(ps(y * 32 + x) === want, s"steep ($x,$y)")
+    })
+  }
+
   test("composition: a B_PRED frame over the DEFAULT tables decodes " +
     "to the same pixels as over the explicit profile") {
     val bm = Array(Array.fill(16)(1)) // all B_TM
