@@ -3478,29 +3478,30 @@ object SparkEntry {
         // tables — same luma algebra, different bitstream machinery
         "c0 AS (SELECT doc_id, 128 + k0 AS l0, 128 + k0 + k1 AS l1, " +
         "128 + k0 + k1 + k2 AS l2, 128 + k0 + k1 + k2 + k3 AS l3 " +
-        "FROM ks WHERE doc_id % 11 IN (0, 7)), " +
+        "FROM ks WHERE doc_id % 12 IN (0, 7)), " +
         "c1 AS (SELECT doc_id, l00, l01, l10, " +
         "(l01 + l10 + 1) // 2 + k3 AS l11 FROM (SELECT doc_id, k3, " +
         "128 + k0 AS l00, 128 + k0 + k1 AS l01, 128 + k0 + k2 AS l10 " +
-        "FROM ks WHERE doc_id % 11 = 1)), " +
+        "FROM ks WHERE doc_id % 12 = 1)), " +
         "c2 AS (SELECT doc_id, 128 + s0 + s1 AS lft, 128 + s0 - s1 AS rgt " +
-        "FROM ks WHERE doc_id % 11 = 2), " +
+        "FROM ks WHERE doc_id % 12 = 2), " +
         // classes 9 (quant-index-4 + two partitions) and 10 (loop-
         // filtered step) land on the SAME two-MB chain algebra as the
         // V/H classes: offsets k through different decode machinery
         "vh AS (SELECT doc_id, 128 + k0 AS l0, 128 + k0 + k1 AS l1 " +
-        "FROM ks WHERE doc_id % 11 IN (5, 6, 9, 10)), " +
+        "FROM ks WHERE doc_id % 12 IN (5, 6, 9, 10, 11)), " +
         // class 8: the B_TM corner rule (left + above - corner) chains
         // the four visible sub-blocks of the 8x8 B_PRED macroblock
         "b8 AS (SELECT doc_id, 129 + k0 AS l00, 129 + k0 + k1 AS l10, " +
         "129 + k0 + k2 AS l01, 129 + k0 + k1 + k2 + k3 AS l11 " +
-        "FROM ks WHERE doc_id % 11 = 8) " +
+        "FROM ks WHERE doc_id % 12 = 8) " +
         "SELECT d.doc_id, 'webp' AS format, " +
-        "CAST(CASE d.doc_id % 11 WHEN 0 THEN 64 WHEN 1 THEN 32 " +
+        "CAST(CASE d.doc_id % 12 WHEN 0 THEN 64 WHEN 1 THEN 32 " +
         "WHEN 2 THEN 16 WHEN 3 THEN 64 WHEN 5 THEN 16 WHEN 6 THEN 32 " +
         "WHEN 7 THEN 64 WHEN 8 THEN 8 WHEN 9 THEN 16 WHEN 10 THEN 32 " +
+        "WHEN 11 THEN 32 " +
         "ELSE 16 END AS INTEGER) AS width, " +
-        "CAST(CASE d.doc_id % 11 WHEN 0 THEN 16 WHEN 1 THEN 32 " +
+        "CAST(CASE d.doc_id % 12 WHEN 0 THEN 16 WHEN 1 THEN 32 " +
         "WHEN 5 THEN 32 WHEN 8 THEN 8 WHEN 9 THEN 32 " +
         "ELSE 16 END AS INTEGER) AS height, " +
         "CAST(coalesce(least(c0.l0, c0.l1, c0.l2, c0.l3), " +

@@ -78,6 +78,8 @@ object Vp8Eval {
   // bmode_tree (RFC §11.4); sub-mode order DC,TM,VE,HE,LD,RD,VR,VL,HD,HU
   private val BModeTree = Array(
     -1, 2, -2, 4, -3, 6, 8, 12, -4, 10, -6, -7, -5, 14, -8, 16, -9, -10)
+  // mb_segment_tree (RFC §10): two levels over the 3 transmitted probs
+  private val SegTree = Array(2, 4, -1, -2, -3, -4)
   // a 16x16-coded neighbor contributes a fixed sub-mode to the
   // kf_bmode context (RFC §11.4): DC->B_DC, V->B_VE, H->B_HE, TM->B_TM
   private val ImpliedSub = Array(0, 2, 3, 1)
@@ -471,18 +473,28 @@ object Vp8Eval {
     * each primitive with paper vectors and the q196 filter class pins
     * the exact filtered step profile. */
   private def loopFilterLuma(plane: Array[Int], wp: Int, mbW: Int,
-                             mbH: Int, level: Int, sharpness: Int,
+                             mbH: Int, mbLevels: Array[Int],
+                             sharpness: Int,
                              simple: Boolean,
                              mbInner: Array[Boolean]): Unit = {
-    var interior = level
-    if (sharpness > 0) {
-      interior = level >> (if (sharpness > 4) 2 else 1)
-      if (interior > 9 - sharpness) interior = 9 - sharpness
+    // limits derive from the PROCESSED MB's level (per-MB since
+    // segmentation / lf deltas; an MB at level 0 filters none of its
+    // edges) — recomputed per MB below
+    var interior = 1
+    var mbLimit = 0
+    var subLimit = 0
+    var hevT = 0
+    def setLimits(level: Int): Unit = {
+      interior = level
+      if (sharpness > 0) {
+        interior = level >> (if (sharpness > 4) 2 else 1)
+        if (interior > 9 - sharpness) interior = 9 - sharpness
+      }
+      if (interior < 1) interior = 1
+      mbLimit = (level + 2) * 2 + interior
+      subLimit = level * 2 + interior
+      hevT = if (level >= 40) 2 else if (level >= 15) 1 else 0
     }
-    if (interior < 1) interior = 1
-    val mbLimit = (level + 2) * 2 + interior
-    val subLimit = level * 2 + interior
-    val hevT = if (level >= 40) 2 else if (level >= 15) 1 else 0
 
     @inline def cs(v: Int): Int =
       if (v < -128) -128 else if (v > 127) 127 else v
@@ -544,6 +556,10 @@ object Vp8Eval {
       var mx = 0
       while (mx < mbW) {
         val x0 = mx * 16; val y0 = my * 16
+        val level = mbLevels(my * mbW + mx)
+        if (level == 0) { mx += 1 }
+        else {
+        setLimits(level)
         val inner = mbInner(my * mbW + mx)
         if (mx > 0) {
           var y = 0
@@ -578,6 +594,7 @@ object Vp8Eval {
           }
         }
         mx += 1
+        }
       }
       my += 1
     }
@@ -791,11 +808,62 @@ object Vp8Eval {
     val bd = new BoolDec(b, p1, p1 + firstPartSize)
     if (bd.literal(1) != 0) return null // color space must be 0
     bd.literal(1) // clamping type: either is fine (we clamp)
-    if (bd.literal(1) != 0) return null // segmentation: out of scope
+    // SEGMENTATION (r18): per-MB segment ids select per-segment quant
+    // and filter levels — libwebp's default output uses 4 segments
+    // with quantizer deltas, so organic frames need this path
+    val segEnabled = bd.literal(1) == 1
+    var segUpdateMap = false
+    var segAbs = false
+    val segTreeProbs = Array(255, 255, 255)
+    val segQ = new Array[Int](4)
+    val segLf = new Array[Int](4)
+    if (segEnabled) {
+      segUpdateMap = bd.literal(1) == 1
+      val updateData = bd.literal(1) == 1
+      if (updateData) {
+        segAbs = bd.literal(1) == 1
+        var i = 0
+        while (i < 8) { // 4 quantizer (7-bit) then 4 lf (6-bit) deltas
+          if (bd.literal(1) == 1) {
+            val m = bd.literal(if (i < 4) 7 else 6)
+            val v = if (bd.literal(1) == 1) -m else m
+            if (i < 4) segQ(i) = v else segLf(i - 4) = v
+          }
+          i += 1
+        }
+      }
+      if (segUpdateMap) {
+        var i = 0
+        while (i < 3) {
+          if (bd.literal(1) == 1) segTreeProbs(i) = bd.literal(8)
+          i += 1
+        }
+      }
+    }
     val filterSimple = bd.literal(1) == 1 // filter type (1 = simple)
     val filterLevel = bd.literal(6) // r18: the §15 loop filter runs
     val sharpness = bd.literal(3)
-    if (bd.literal(1) != 0) return null // lf delta adjust: out of scope
+    // loop-filter adjustments (r18): reference deltas (intra = index
+    // 0 on key frames) and mode deltas (B_PRED = index 0) shift the
+    // per-MB filter level; un-updated deltas are zero for a
+    // single-frame decode
+    var lfDeltaEnabled = false
+    val refLfDelta = new Array[Int](4)
+    val modeLfDelta = new Array[Int](4)
+    if (bd.literal(1) == 1) {
+      lfDeltaEnabled = true
+      if (bd.literal(1) == 1) { // update flag
+        var i = 0
+        while (i < 8) {
+          if (bd.literal(1) == 1) {
+            val m = bd.literal(6)
+            val v = if (bd.literal(1) == 1) -m else m
+            if (i < 4) refLfDelta(i) = v else modeLfDelta(i - 4) = v
+          }
+          i += 1
+        }
+      }
+    }
     // token partitions (r18): 1/2/4/8; sizes ride a 3-byte-LE table
     // between the first partition and the token data
     val nParts = 1 << bd.literal(2)
@@ -813,12 +881,27 @@ object Vp8Eval {
     qDelta() // uvdc: chroma is parse-only, dequant unused
     qDelta() // uvac
     def clampQ(v: Int): Int = if (v < 0) 0 else if (v > 127) 127 else v
-    val qYDc = Vp8Tables.DcQLookup(clampQ(yAcQi + yDcDelta))
-    val qYAc = Vp8Tables.AcQLookup(clampQ(yAcQi))
-    val qY2Dc = Vp8Tables.DcQLookup(clampQ(yAcQi + y2DcDelta)) * 2
-    val qY2Ac = {
-      val v = Vp8Tables.AcQLookup(clampQ(yAcQi + y2AcDelta)) * 155 / 100
-      if (v < 8) 8 else v
+    // per-SEGMENT dequant sets (segment 0 == the frame values when
+    // segmentation is off or the feature data carries zeros)
+    val segQYDc = new Array[Int](4)
+    val segQYAc = new Array[Int](4)
+    val segQY2Dc = new Array[Int](4)
+    val segQY2Ac = new Array[Int](4)
+    var sgi = 0
+    while (sgi < 4) {
+      val base =
+        if (!segEnabled) yAcQi
+        else if (segAbs) segQ(sgi)
+        else yAcQi + segQ(sgi)
+      val q = clampQ(base)
+      segQYDc(sgi) = Vp8Tables.DcQLookup(clampQ(q + yDcDelta))
+      segQYAc(sgi) = Vp8Tables.AcQLookup(q)
+      segQY2Dc(sgi) = Vp8Tables.DcQLookup(clampQ(q + y2DcDelta)) * 2
+      segQY2Ac(sgi) = {
+        val v = Vp8Tables.AcQLookup(clampQ(q + y2AcDelta)) * 155 / 100
+        if (v < 8) 8 else v
+      }
+      sgi += 1
     }
     bd.literal(1) // refresh_entropy_probs
     val work = buildWork(bd)
@@ -828,6 +911,7 @@ object Vp8Eval {
     val mbH = (h + 15) / 16
     val ymodes = new Array[Int](mbW * mbH)
     val bmodes = new Array[Array[Int]](mbW * mbH) // non-null for B_PRED
+    val segIds = new Array[Int](mbW * mbH) // 0 when the map is absent
     // kf_bmode contexts chain across MBs: the above row's bottom
     // sub-modes per MB column, the left MB's right column per row
     val aboveSub = Array.ofDim[Int](mbW, 4) // B_DC outside the frame
@@ -837,6 +921,8 @@ object Vp8Eval {
       val leftSub = new Array[Int](4)
       var mxM = 0
       while (mxM < mbW) {
+        if (segUpdateMap) // segment id precedes the mode (RFC §10)
+          segIds(mi) = bd.tree(SegTree, segTreeProbs, 0)
         val ym = bd.tree(KfYTree, KfYProb, 0)
         ymodes(mi) = ym
         if (ym == 4) { // B_PRED: 16 sub-modes, each contexted above/left
@@ -914,6 +1000,9 @@ object Vp8Eval {
       var mx = 0
       while (mx < mbW) {
         val isB = bmodes(my * mbW + mx) != null
+        val seg = segIds(my * mbW + mx)
+        val qYDc = segQYDc(seg); val qYAc = segQYAc(seg)
+        val qY2Dc = segQY2Dc(seg); val qY2Ac = segQY2Ac(seg)
         var anyCoeff = false
         // Y2 — B_PRED macroblocks have none, and their above/left Y2
         // nonzero contexts are left UNTOUCHED (RFC §13.3: only
@@ -1076,9 +1165,29 @@ object Vp8Eval {
     pi = 0
     while (pi < nParts) { if (tds(pi).overread > 0) return null; pi += 1 }
     // §15 loop filter (r18): VP8 intra prediction reads UNFILTERED
-    // neighbors, so the filter runs over the completed luma plane
-    if (filterLevel > 0)
-      loopFilterLuma(plane, wp, mbW, mbH, filterLevel, sharpness,
+    // neighbors, so the filter runs over the completed luma plane.
+    // Per-MB level = segment level, adjusted by the intra reference
+    // delta and (for B_PRED) the mode delta, clamped to 0..63.
+    val mbLevels = new Array[Int](mbW * mbH)
+    var lfi = 0
+    var anyLf = false
+    while (lfi < mbW * mbH) {
+      var lf =
+        if (!segEnabled) filterLevel
+        else if (segAbs) segLf(segIds(lfi))
+        else filterLevel + segLf(segIds(lfi))
+      if (lfDeltaEnabled) {
+        lf += refLfDelta(0) // key frame: always the INTRA reference
+        if (bmodes(lfi) != null) lf += modeLfDelta(0) // B_PRED delta
+      }
+      if (lf < 0) lf = 0
+      if (lf > 63) lf = 63
+      mbLevels(lfi) = lf
+      if (lf > 0) anyLf = true
+      lfi += 1
+    }
+    if (anyLf)
+      loopFilterLuma(plane, wp, mbW, mbH, mbLevels, sharpness,
         filterSimple, mbInner)
     // crop to the declared dims
     val luma = new Array[Int](w * h)
@@ -1139,7 +1248,11 @@ object Vp8Eval {
                                  nParts: Int = 1,
                                  filterLevel: Int = 0,
                                  sharpness: Int = 0,
-                                 filterSimple: Boolean = false): Array[Byte] = {
+                                 filterSimple: Boolean = false,
+                                 segQiAbs: Array[Int] = null,
+                                 segMap: Array[Int] = null,
+                                 lfDeltaOn: Boolean = false,
+                                 lfDeltaIntra: Int = 0): Array[Byte] = {
     val mbW = (w + 15) / 16
     val mbH = (h + 15) / 16
     val work =
@@ -1150,7 +1263,10 @@ object Vp8Eval {
     // q196's cost — memo it per thread by shape+modes
     val modeKey =
       (if (useDefaults) "D|" else "E|") +
-        s"q$qi,p$nParts,f$filterLevel,s$sharpness,t$filterSimple|" +
+        s"q$qi,p$nParts,f$filterLevel,s$sharpness,t$filterSimple," +
+        s"g${if (segQiAbs == null) "-" else segQiAbs.mkString(",")}:" +
+        s"${if (segMap == null) "-" else segMap.mkString(",")}," +
+        s"d$lfDeltaOn:$lfDeltaIntra|" +
         (if (ymodes == null) "dc"
         else ymodes.map(_.mkString(",")).mkString(";")) +
         (if (bmodes == null) ""
@@ -1164,11 +1280,40 @@ object Vp8Eval {
     val e1 = new BoolEnc
     e1.literal(0, 1) // color space
     e1.literal(0, 1) // clamping
-    e1.literal(0, 1) // segmentation off
+    if (segQiAbs == null) e1.literal(0, 1) // segmentation off
+    else {
+      // segmentation on, map updated, ABSOLUTE per-segment quant;
+      // flat 128 tree probs keep the map cheap and unbiased
+      e1.literal(1, 1) // enabled
+      e1.literal(1, 1) // update map
+      e1.literal(1, 1) // update feature data
+      e1.literal(1, 1) // absolute mode
+      var i = 0
+      while (i < 4) { // quantizer values
+        if (i < segQiAbs.length) {
+          e1.literal(1, 1); e1.literal(segQiAbs(i), 7); e1.literal(0, 1)
+        } else e1.literal(0, 1)
+        i += 1
+      }
+      i = 0
+      while (i < 4) { e1.literal(0, 1); i += 1 } // lf values absent (0)
+      i = 0
+      while (i < 3) { e1.literal(1, 1); e1.literal(128, 8); i += 1 }
+    }
     e1.literal(if (filterSimple) 1 else 0, 1) // filter type
     e1.literal(filterLevel, 6)
     e1.literal(sharpness, 3)
-    e1.literal(0, 1) // lf deltas off
+    if (!lfDeltaOn) e1.literal(0, 1) // lf deltas off
+    else {
+      e1.literal(1, 1) // enabled
+      e1.literal(1, 1) // update
+      // ref delta 0 (INTRA) carries the value; the other 7 are absent
+      e1.literal(1, 1)
+      e1.literal(math.abs(lfDeltaIntra), 6)
+      e1.literal(if (lfDeltaIntra < 0) 1 else 0, 1)
+      var i = 0
+      while (i < 7) { e1.literal(0, 1); i += 1 }
+    }
     e1.literal(Integer.numberOfTrailingZeros(nParts), 2) // partitions
     e1.literal(qi, 7) // y_ac_qi
     var k = 0
@@ -1207,6 +1352,8 @@ object Vp8Eval {
       val leftSub = new Array[Int](4)
       var mxM = 0
       while (mxM < mbW) {
+        if (segMap != null)
+          e1.tree(SegTree, Array(128, 128, 128), segMap(mi), 0)
         val sub = if (bmodes == null) null else bmodes(mi)
         if (sub != null) {
           e1.tree(KfYTree, KfYProb, 4, 0) // B_PRED
@@ -1362,12 +1509,17 @@ object Vp8Eval {
     *     sum-preserving and min/max-conservative by construction, so
     *     the oracle algebra is unchanged while Vp8Spec pins the exact
     *     filtered column profile (r18);
+    * 11 → a 32×16 SEGMENTATION drill: per-MB segment ids map the two
+    *     MBs to ABSOLUTE quant indices {4, 0}, so each MB's tokens
+    *     (4k0 / 8k1) dequantize back to offsets k only through its
+    *     own segment's §14.1 lookup — a decoder that drops the
+    *     segment map or its quant misses the oracle (r18);
     * 3 → class 0 truncated after the dims (meta parses, stats refuse);
     * 4 → a first partition truncated inside the probability walk
     *     (formerly the honesty-gate drill; the walk overreads and
     *     refuses, dims still parse).
     */
-  def synth(seed: Long, cls: Long): Array[Byte] = (cls % 11).toInt match {
+  def synth(seed: Long, cls: Long): Array[Byte] = (cls % 12).toInt match {
     case 0 =>
       val ks = Array(Array.tabulate(4)(j => 8 * kOf(seed, j)))
       encodeFrame(64, 16, ks, Array(Array(0, 0, 0, 0)))
@@ -1409,6 +1561,10 @@ object Vp8Eval {
       encodeFrame(32, 16,
         Array(Array(8 * kOf(seed, 0), 8 * kOf(seed, 1))),
         Array(Array(0, 0)), filterLevel = 10)
+    case 11 =>
+      encodeFrame(32, 16,
+        Array(Array(4 * kOf(seed, 0), 8 * kOf(seed, 1))),
+        Array(Array(0, 0)), segQiAbs = Array(4, 0), segMap = Array(0, 1))
     case 6 =>
       encodeFrame(32, 16,
         Array(Array(8 * kOf(seed, 0), 8 * kOf(seed, 1))),

@@ -318,6 +318,40 @@ class Vp8Spec extends AnyFunSuite {
     })
   }
 
+  test("class 11: per-MB segmentation routes each MB through its own " +
+    "segment's quant lookup") {
+    val seed = 29L
+    val file = Vp8Eval.synth(seed, 11)
+    val (w, h, px) = lumaOf(file)
+    assert(w === 32 && h === 16)
+    // MB0 (segment 0, ABSOLUTE qi 4): tokens 4k0 -> offset k0 only
+    // through dc_qlookup[4]*2 = 16; MB1 (segment 1, qi 0): tokens
+    // 8k1 -> offset k1 through dc_qlookup[0]*2 = 8. A decoder that
+    // ignores the segment map dequantizes one MB with the wrong table.
+    val l0 = 128 + kOf(seed, 0)
+    val l1 = l0 + kOf(seed, 1)
+    (0 until 16).foreach(y => (0 until 32).foreach { x =>
+      val want = if (x < 16) l0 else l1
+      assert(px(y * 32 + x) === want, s"seg ($x,$y)")
+    })
+  }
+
+  test("loop-filter deltas: the intra reference delta shifts the " +
+    "effective level (to zero here), leaving the step unfiltered") {
+    // the class-10 step frame filters at level 10 (previous test);
+    // the SAME frame with lf deltas enabled and ref_delta[INTRA] =
+    // -10 has effective level 0 — the step must survive clean
+    val file = Vp8Eval.encodeFrame(32, 16,
+      Array(Array(8 * kOf(6L, 0), 8 * kOf(6L, 1))), Array(Array(0, 0)),
+      filterLevel = 10, lfDeltaOn = true, lfDeltaIntra = -10)
+    val (w, h, px) = lumaOf(file)
+    assert(w === 32 && h === 16)
+    (0 until 16).foreach(y => (0 until 32).foreach { x =>
+      val want = if (x < 16) 126 else 130 // seed 6: k0=-2, k1=4
+      assert(px(y * 32 + x) === want, s"lfdelta ($x,$y)")
+    })
+  }
+
   test("composition: a B_PRED frame over the DEFAULT tables decodes " +
     "to the same pixels as over the explicit profile") {
     val bm = Array(Array.fill(16)(1)) // all B_TM
@@ -339,7 +373,8 @@ class Vp8Spec extends AnyFunSuite {
   }
 
   test("fuzz: bit flips over a real frame refuse or decode, never throw") {
-    Seq(1L, 7L, 8L).foreach { cls => // explicit, default-table, B_PRED
+    // explicit, default-table, B_PRED, partitions+qi, filter, segments
+    Seq(1L, 7L, 8L, 9L, 10L, 11L).foreach { cls =>
       val file = Vp8Eval.synth(13L, cls)
       val rnd = new java.util.Random(0x196L + cls)
       (0 until 600).foreach { k =>
