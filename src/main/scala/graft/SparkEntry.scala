@@ -3478,52 +3478,56 @@ object SparkEntry {
         // tables — same luma algebra, different bitstream machinery
         "c0 AS (SELECT doc_id, 128 + k0 AS l0, 128 + k0 + k1 AS l1, " +
         "128 + k0 + k1 + k2 AS l2, 128 + k0 + k1 + k2 + k3 AS l3 " +
-        "FROM ks WHERE doc_id % 12 IN (0, 7)), " +
+        "FROM ks WHERE doc_id % 13 IN (0, 7)), " +
         "c1 AS (SELECT doc_id, l00, l01, l10, " +
         "(l01 + l10 + 1) // 2 + k3 AS l11 FROM (SELECT doc_id, k3, " +
         "128 + k0 AS l00, 128 + k0 + k1 AS l01, 128 + k0 + k2 AS l10 " +
-        "FROM ks WHERE doc_id % 12 = 1)), " +
+        "FROM ks WHERE doc_id % 13 = 1)), " +
         "c2 AS (SELECT doc_id, 128 + s0 + s1 AS lft, 128 + s0 - s1 AS rgt " +
-        "FROM ks WHERE doc_id % 12 = 2), " +
+        "FROM ks WHERE doc_id % 13 = 2), " +
         // classes 9 (quant-index-4 + two partitions) and 10 (loop-
         // filtered step) land on the SAME two-MB chain algebra as the
         // V/H classes: offsets k through different decode machinery
         "vh AS (SELECT doc_id, 128 + k0 AS l0, 128 + k0 + k1 AS l1 " +
-        "FROM ks WHERE doc_id % 12 IN (5, 6, 9, 10, 11)), " +
+        "FROM ks WHERE doc_id % 13 IN (5, 6, 9, 10, 11)), " +
+        // class 12: the skipped MB chains to MB0's value — uniform l0
+        "sk AS (SELECT doc_id, 128 + k0 AS l0 " +
+        "FROM ks WHERE doc_id % 13 = 12), " +
         // class 8: the B_TM corner rule (left + above - corner) chains
         // the four visible sub-blocks of the 8x8 B_PRED macroblock
         "b8 AS (SELECT doc_id, 129 + k0 AS l00, 129 + k0 + k1 AS l10, " +
         "129 + k0 + k2 AS l01, 129 + k0 + k1 + k2 + k3 AS l11 " +
-        "FROM ks WHERE doc_id % 12 = 8) " +
+        "FROM ks WHERE doc_id % 13 = 8) " +
         "SELECT d.doc_id, 'webp' AS format, " +
-        "CAST(CASE d.doc_id % 12 WHEN 0 THEN 64 WHEN 1 THEN 32 " +
+        "CAST(CASE d.doc_id % 13 WHEN 0 THEN 64 WHEN 1 THEN 32 " +
         "WHEN 2 THEN 16 WHEN 3 THEN 64 WHEN 5 THEN 16 WHEN 6 THEN 32 " +
         "WHEN 7 THEN 64 WHEN 8 THEN 8 WHEN 9 THEN 16 WHEN 10 THEN 32 " +
-        "WHEN 11 THEN 32 " +
+        "WHEN 11 THEN 32 WHEN 12 THEN 32 " +
         "ELSE 16 END AS INTEGER) AS width, " +
-        "CAST(CASE d.doc_id % 12 WHEN 0 THEN 16 WHEN 1 THEN 32 " +
+        "CAST(CASE d.doc_id % 13 WHEN 0 THEN 16 WHEN 1 THEN 32 " +
         "WHEN 5 THEN 32 WHEN 8 THEN 8 WHEN 9 THEN 32 " +
         "ELSE 16 END AS INTEGER) AS height, " +
         "CAST(coalesce(least(c0.l0, c0.l1, c0.l2, c0.l3), " +
         "least(c1.l00, c1.l01, c1.l10, c1.l11), " +
         "least(c2.lft, c2.rgt), least(vh.l0, vh.l1), " +
-        "least(b8.l00, b8.l10, b8.l01, b8.l11)) AS INTEGER) " +
+        "least(b8.l00, b8.l10, b8.l01, b8.l11), sk.l0) AS INTEGER) " +
         "AS min_luma, " +
         "CAST(coalesce(greatest(c0.l0, c0.l1, c0.l2, c0.l3), " +
         "greatest(c1.l00, c1.l01, c1.l10, c1.l11), " +
         "greatest(c2.lft, c2.rgt), greatest(vh.l0, vh.l1), " +
-        "greatest(b8.l00, b8.l10, b8.l01, b8.l11)) AS INTEGER) " +
+        "greatest(b8.l00, b8.l10, b8.l01, b8.l11), sk.l0) AS INTEGER) " +
         "AS max_luma, " +
         "CAST(coalesce(256*(c0.l0 + c0.l1 + c0.l2 + c0.l3), " +
         "256*(c1.l00 + c1.l01 + c1.l10 + c1.l11), " +
         "128*(c2.lft + c2.rgt), 256*(vh.l0 + vh.l1), " +
-        "16*(b8.l00 + b8.l10 + b8.l01 + b8.l11)) AS BIGINT) " +
+        "16*(b8.l00 + b8.l10 + b8.l01 + b8.l11), 512*sk.l0) AS BIGINT) " +
         "AS sum_luma " +
         "FROM documents d LEFT JOIN c0 ON d.doc_id = c0.doc_id " +
         "LEFT JOIN c1 ON d.doc_id = c1.doc_id " +
         "LEFT JOIN c2 ON d.doc_id = c2.doc_id " +
         "LEFT JOIN vh ON d.doc_id = vh.doc_id " +
-        "LEFT JOIN b8 ON d.doc_id = b8.doc_id"),
+        "LEFT JOIN b8 ON d.doc_id = b8.doc_id " +
+        "LEFT JOIN sk ON d.doc_id = sk.doc_id"),
     // q195: one formula against three decode stacks + the
     // passthrough — the inner tar is identical across wrappers, so a
     // wrapper-routing or decode slip breaks exactly its class

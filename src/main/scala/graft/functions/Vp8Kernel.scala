@@ -600,6 +600,120 @@ object Vp8Eval {
     }
   }
 
+  /** 16×16-mode macroblock reconstruction (RFC §12.2 edge rules:
+    * missing above row 127, missing left column 129, corner follows
+    * the above rule first): predict, then add the per-4×4 residuals
+    * (Y2-supplied DCs in `wht`, AC dequant at `qYAc`, DC fast path on
+    * AC-free blocks). Shared by the token path and the r18 skip path
+    * (where `wht` and `yBlocks` arrive zeroed). */
+  private def reconstruct16(plane: Array[Int], wp: Int, x0: Int, y0: Int,
+                            my: Int, mx: Int, mode: Int,
+                            wht: Array[Int], yBlocks: Array[Array[Int]],
+                            qYAc: Int): Unit = {
+    // ---- 16x16 intra prediction from reconstructed neighbors.
+    // Edge rules (RFC §12.2): a missing above row reads 127, a
+    // missing left column 129; the above-left corner follows the
+    // above row when that row is missing, else the left rule.
+    
+    val above16 = new Array[Int](16)
+    val left16 = new Array[Int](16)
+    var j = 0
+    while (j < 16) {
+      above16(j) = if (my > 0) plane((y0 - 1) * wp + x0 + j) else 127
+      left16(j) = if (mx > 0) plane((y0 + j) * wp + x0 - 1) else 129
+      j += 1
+    }
+    val aboveLeft =
+      if (my == 0) 127
+      else if (mx == 0) 129
+      else plane((y0 - 1) * wp + x0 - 1)
+    val pred = new Array[Int](256)
+    mode match {
+      case 0 => // DC: availability-dependent average
+        var dc = 128
+        if (my > 0 && mx > 0) {
+          var su = 0; j = 0
+          while (j < 16) { su += above16(j) + left16(j); j += 1 }
+          dc = (su + 16) >> 5
+        } else if (mx > 0) {
+          var su = 0; j = 0
+          while (j < 16) { su += left16(j); j += 1 }
+          dc = (su + 8) >> 4
+        } else if (my > 0) {
+          var su = 0; j = 0
+          while (j < 16) { su += above16(j); j += 1 }
+          dc = (su + 8) >> 4
+        }
+        java.util.Arrays.fill(pred, dc)
+      case 1 => // V: copy the above row down
+        var r = 0
+        while (r < 16) {
+          System.arraycopy(above16, 0, pred, r * 16, 16); r += 1
+        }
+      case 2 => // H: copy the left column across
+        var r = 0
+        while (r < 16) {
+          java.util.Arrays.fill(pred, r * 16, r * 16 + 16, left16(r))
+          r += 1
+        }
+      case _ => // TM: clamp(left + above - aboveLeft)
+        var r = 0
+        while (r < 16) {
+          var c = 0
+          while (c < 16) {
+            val v = left16(r) + above16(c) - aboveLeft
+            pred(r * 16 + c) =
+              if (v < 0) 0 else if (v > 255) 255 else v
+            c += 1
+          }
+          r += 1
+        }
+    }
+    // ---- residual add per 4x4 block (DC fast path when AC-free)
+    val residual = new Array[Int](16)
+    var sb = 0
+    while (sb < 16) {
+      val blk = yBlocks(sb)
+      var anyAc = false
+      var i2 = 1
+      while (i2 < 16) { if (blk(i2) != 0) anyAc = true; i2 += 1 }
+      val bx = (sb & 3) * 4; val by = (sb >> 2) * 4
+      if (!anyAc) {
+        val resid = (wht(sb) + 4) >> 3
+        var r = 0
+        while (r < 4) {
+          var c = 0
+          while (c < 4) {
+            val pi = (by + r) * 16 + bx + c
+            val v0 = pred(pi) + resid
+            plane((y0 + by + r) * wp + x0 + bx + c) =
+              if (v0 < 0) 0 else if (v0 > 255) 255 else v0
+            c += 1
+          }
+          r += 1
+        }
+      } else {
+        i2 = 1
+        while (i2 < 16) { blk(i2) *= qYAc; i2 += 1 }
+        blk(0) = wht(sb)
+        idct4x4(blk, residual)
+        var r = 0
+        while (r < 4) {
+          var c = 0
+          while (c < 4) {
+            val pi = (by + r) * 16 + bx + c
+            val v0 = pred(pi) + residual(r * 4 + c)
+            plane((y0 + by + r) * wp + x0 + bx + c) =
+              if (v0 < 0) 0 else if (v0 > 255) 255 else v0
+            c += 1
+          }
+          r += 1
+        }
+      }
+      sb += 1
+    }
+  }
+
   /** RFC §12.2-12.3 sub-block intra reconstruction for a B_PRED
     * macroblock: predict each 4×4 sub-block from ALREADY-reconstructed
     * neighbors in raster order within the MB, add its residual (own
@@ -905,13 +1019,18 @@ object Vp8Eval {
     }
     bd.literal(1) // refresh_entropy_probs
     val work = buildWork(bd)
-    if (bd.literal(1) != 0) return null // mb_no_coeff_skip: profile 0
+    // mb_no_coeff_skip (r18): when enabled, each MB carries a skip
+    // flag coded with prob_skip_false; a skipped MB has NO tokens in
+    // the stream and resets its nonzero contexts (§13.3)
+    val skipEnabled = bd.literal(1) == 1
+    val probSkipFalse = if (skipEnabled) bd.literal(8) else 0
 
     val mbW = (w + 15) / 16
     val mbH = (h + 15) / 16
     val ymodes = new Array[Int](mbW * mbH)
     val bmodes = new Array[Array[Int]](mbW * mbH) // non-null for B_PRED
     val segIds = new Array[Int](mbW * mbH) // 0 when the map is absent
+    val skips = new Array[Boolean](mbW * mbH)
     // kf_bmode contexts chain across MBs: the above row's bottom
     // sub-modes per MB column, the left MB's right column per row
     val aboveSub = Array.ofDim[Int](mbW, 4) // B_DC outside the frame
@@ -923,6 +1042,7 @@ object Vp8Eval {
       while (mxM < mbW) {
         if (segUpdateMap) // segment id precedes the mode (RFC §10)
           segIds(mi) = bd.tree(SegTree, segTreeProbs, 0)
+        if (skipEnabled) skips(mi) = bd.bool(probSkipFalse) == 1
         val ym = bd.tree(KfYTree, KfYProb, 0)
         ymodes(mi) = ym
         if (ym == 4) { // B_PRED: 16 sub-modes, each contexted above/left
@@ -1000,10 +1120,36 @@ object Vp8Eval {
       var mx = 0
       while (mx < mbW) {
         val isB = bmodes(my * mbW + mx) != null
+        val skip = skips(my * mbW + mx)
         val seg = segIds(my * mbW + mx)
         val qYDc = segQYDc(seg); val qYAc = segQYAc(seg)
         val qY2Dc = segQY2Dc(seg); val qY2Ac = segQY2Ac(seg)
         var anyCoeff = false
+        // a SKIPPED MB reads no tokens: residuals are zero and the
+        // nonzero contexts reset (Y2 only when the MB has one)
+        if (skip) {
+          var i = 0
+          while (i < 4) { aboveY(mx)(i) = 0; leftY(i) = 0; i += 1 }
+          i = 0
+          while (i < 2) {
+            aboveU(mx)(i) = 0; leftU(i) = 0
+            aboveV(mx)(i) = 0; leftV(i) = 0
+            i += 1
+          }
+          if (!isB) { aboveY2(mx) = 0; leftY2 = 0 }
+          java.util.Arrays.fill(wht, 0)
+          val yBlocks = Array.ofDim[Int](16, 16)
+          mbInner(my * mbW + mx) = isB
+          val x0 = mx * 16; val y0 = my * 16
+          if (isB) {
+            reconstructBPred(plane, wp, x0, y0,
+              bmodes(my * mbW + mx), yBlocks, qYDc, qYAc)
+          } else {
+            reconstruct16(plane, wp, x0, y0, my, mx,
+              ymodes(my * mbW + mx), wht, yBlocks, qYAc)
+          }
+          mx += 1
+        } else {
         // Y2 — B_PRED macroblocks have none, and their above/left Y2
         // nonzero contexts are left UNTOUCHED (RFC §13.3: only
         // macroblocks with a Y2 block update them)
@@ -1053,112 +1199,12 @@ object Vp8Eval {
         if (isB) {
           reconstructBPred(plane, wp, x0, y0,
             bmodes(my * mbW + mx), yBlocks, qYDc, qYAc)
-          mx += 1
         } else {
-        // ---- 16x16 intra prediction from reconstructed neighbors.
-        // Edge rules (RFC §12.2): a missing above row reads 127, a
-        // missing left column 129; the above-left corner follows the
-        // above row when that row is missing, else the left rule.
-        val mode = ymodes(my * mbW + mx)
-        val above16 = new Array[Int](16)
-        val left16 = new Array[Int](16)
-        var j = 0
-        while (j < 16) {
-          above16(j) = if (my > 0) plane((y0 - 1) * wp + x0 + j) else 127
-          left16(j) = if (mx > 0) plane((y0 + j) * wp + x0 - 1) else 129
-          j += 1
-        }
-        val aboveLeft =
-          if (my == 0) 127
-          else if (mx == 0) 129
-          else plane((y0 - 1) * wp + x0 - 1)
-        val pred = new Array[Int](256)
-        mode match {
-          case 0 => // DC: availability-dependent average
-            var dc = 128
-            if (my > 0 && mx > 0) {
-              var su = 0; j = 0
-              while (j < 16) { su += above16(j) + left16(j); j += 1 }
-              dc = (su + 16) >> 5
-            } else if (mx > 0) {
-              var su = 0; j = 0
-              while (j < 16) { su += left16(j); j += 1 }
-              dc = (su + 8) >> 4
-            } else if (my > 0) {
-              var su = 0; j = 0
-              while (j < 16) { su += above16(j); j += 1 }
-              dc = (su + 8) >> 4
-            }
-            java.util.Arrays.fill(pred, dc)
-          case 1 => // V: copy the above row down
-            var r = 0
-            while (r < 16) {
-              System.arraycopy(above16, 0, pred, r * 16, 16); r += 1
-            }
-          case 2 => // H: copy the left column across
-            var r = 0
-            while (r < 16) {
-              java.util.Arrays.fill(pred, r * 16, r * 16 + 16, left16(r))
-              r += 1
-            }
-          case _ => // TM: clamp(left + above - aboveLeft)
-            var r = 0
-            while (r < 16) {
-              var c = 0
-              while (c < 16) {
-                val v = left16(r) + above16(c) - aboveLeft
-                pred(r * 16 + c) =
-                  if (v < 0) 0 else if (v > 255) 255 else v
-                c += 1
-              }
-              r += 1
-            }
-        }
-        // ---- residual add per 4x4 block (DC fast path when AC-free)
-        val residual = new Array[Int](16)
-        sb = 0
-        while (sb < 16) {
-          val blk = yBlocks(sb)
-          var anyAc = false
-          var i2 = 1
-          while (i2 < 16) { if (blk(i2) != 0) anyAc = true; i2 += 1 }
-          val bx = (sb & 3) * 4; val by = (sb >> 2) * 4
-          if (!anyAc) {
-            val resid = (wht(sb) + 4) >> 3
-            var r = 0
-            while (r < 4) {
-              var c = 0
-              while (c < 4) {
-                val pi = (by + r) * 16 + bx + c
-                val v0 = pred(pi) + resid
-                plane((y0 + by + r) * wp + x0 + bx + c) =
-                  if (v0 < 0) 0 else if (v0 > 255) 255 else v0
-                c += 1
-              }
-              r += 1
-            }
-          } else {
-            i2 = 1
-            while (i2 < 16) { blk(i2) *= qYAc; i2 += 1 }
-            blk(0) = wht(sb)
-            idct4x4(blk, residual)
-            var r = 0
-            while (r < 4) {
-              var c = 0
-              while (c < 4) {
-                val pi = (by + r) * 16 + bx + c
-                val v0 = pred(pi) + residual(r * 4 + c)
-                plane((y0 + by + r) * wp + x0 + bx + c) =
-                  if (v0 < 0) 0 else if (v0 > 255) 255 else v0
-                c += 1
-              }
-              r += 1
-            }
-          }
-          sb += 1
+          reconstruct16(plane, wp, x0, y0, my, mx,
+            ymodes(my * mbW + mx), wht, yBlocks, qYAc)
         }
         mx += 1
-        } // end 16x16 branch
+        } // end non-skip branch
       }
       my += 1
     }
@@ -1252,7 +1298,8 @@ object Vp8Eval {
                                  segQiAbs: Array[Int] = null,
                                  segMap: Array[Int] = null,
                                  lfDeltaOn: Boolean = false,
-                                 lfDeltaIntra: Int = 0): Array[Byte] = {
+                                 lfDeltaIntra: Int = 0,
+                                 skipMap: Array[Int] = null): Array[Byte] = {
     val mbW = (w + 15) / 16
     val mbH = (h + 15) / 16
     val work =
@@ -1266,7 +1313,8 @@ object Vp8Eval {
         s"q$qi,p$nParts,f$filterLevel,s$sharpness,t$filterSimple," +
         s"g${if (segQiAbs == null) "-" else segQiAbs.mkString(",")}:" +
         s"${if (segMap == null) "-" else segMap.mkString(",")}," +
-        s"d$lfDeltaOn:$lfDeltaIntra|" +
+        s"d$lfDeltaOn:$lfDeltaIntra," +
+        s"k${if (skipMap == null) "-" else skipMap.mkString(",")}|" +
         (if (ymodes == null) "dc"
         else ymodes.map(_.mkString(",")).mkString(";")) +
         (if (bmodes == null) ""
@@ -1276,7 +1324,7 @@ object Vp8Eval {
     val memo = part1Memo.get()
     val cached = memo.get(p1Key)
     if (cached != null) return assemble(w, h, cached, encodePart2(
-      mbW, mbH, work, y2dc, y2ac1, yAc, bmodes, nParts), nParts)
+      mbW, mbH, work, y2dc, y2ac1, yAc, bmodes, nParts, skipMap), nParts)
     val e1 = new BoolEnc
     e1.literal(0, 1) // color space
     e1.literal(0, 1) // clamping
@@ -1343,7 +1391,8 @@ object Vp8Eval {
       }
       p += 1
     }
-    e1.literal(0, 1) // mb_no_coeff_skip = 0
+    if (skipMap == null) e1.literal(0, 1) // mb_no_coeff_skip off
+    else { e1.literal(1, 1); e1.literal(128, 8) } // prob_skip_false
     // mode emission mirrors the decoder's kf_bmode context chain
     val aboveSub = Array.ofDim[Int](mbW, 4)
     var mi = 0
@@ -1354,6 +1403,7 @@ object Vp8Eval {
       while (mxM < mbW) {
         if (segMap != null)
           e1.tree(SegTree, Array(128, 128, 128), segMap(mi), 0)
+        if (skipMap != null) e1.bool(128, skipMap(mi))
         val sub = if (bmodes == null) null else bmodes(mi)
         if (sub != null) {
           e1.tree(KfYTree, KfYProb, 4, 0) // B_PRED
@@ -1387,7 +1437,7 @@ object Vp8Eval {
     val part1 = e1.flush()
     memo.put(p1Key, part1)
     assemble(w, h, part1, encodePart2(mbW, mbH, work, y2dc, y2ac1, yAc,
-      bmodes, nParts), nParts)
+      bmodes, nParts, skipMap), nParts)
   }
 
   private val part1Memo =
@@ -1401,7 +1451,8 @@ object Vp8Eval {
                           y2dc: Array[Array[Int]], y2ac1: Array[Array[Int]],
                           yAc: (Int, Int, Int) => Array[Int],
                           bmodes: Array[Array[Int]] = null,
-                          nParts: Int = 1): Array[Array[Byte]] = {
+                          nParts: Int = 1,
+                          skipMap: Array[Int] = null): Array[Array[Byte]] = {
     // one token encoder per partition; MB row r writes partition
     // r % nParts (the bitstream is split, the nonzero CONTEXTS are
     // frame-global — shared arrays below, both sides)
@@ -1421,6 +1472,20 @@ object Vp8Eval {
       var mx = 0
       while (mx < mbW) {
         val isB = bmodes != null && bmodes(my * mbW + mx) != null
+        if (skipMap != null && skipMap(my * mbW + mx) == 1) {
+          // skipped MB: no tokens on the wire; contexts reset exactly
+          // as the decoder resets them
+          var i = 0
+          while (i < 4) { aboveY(mx)(i) = 0; leftY(i) = 0; i += 1 }
+          i = 0
+          while (i < 2) {
+            aboveU(mx)(i) = 0; leftU(i) = 0
+            aboveV(mx)(i) = 0; leftV(i) = 0
+            i += 1
+          }
+          if (!isB) { aboveY2(mx) = 0; leftY2 = 0 }
+          mx += 1
+        } else {
         if (!isB) { // B_PRED MBs have no Y2 and leave its contexts alone
           java.util.Arrays.fill(coefs, 0)
           coefs(0) = y2dc(my)(mx)
@@ -1455,6 +1520,7 @@ object Vp8Eval {
           sb += 1
         }
         mx += 1
+        } // end non-skip branch
       }
       my += 1
     }
@@ -1514,12 +1580,16 @@ object Vp8Eval {
     *     (4k0 / 8k1) dequantize back to offsets k only through its
     *     own segment's §14.1 lookup — a decoder that drops the
     *     segment map or its quant misses the oracle (r18);
+    * 12 → a 32×16 mb_no_coeff_skip drill: MB0 carries tokens, MB1 is
+    *     SKIPPED (no tokens on the wire, contexts reset) and DC-chains
+    *     to MB0's value — a decoder that reads tokens for the skipped
+    *     MB desyncs the partition (r18);
     * 3 → class 0 truncated after the dims (meta parses, stats refuse);
     * 4 → a first partition truncated inside the probability walk
     *     (formerly the honesty-gate drill; the walk overreads and
     *     refuses, dims still parse).
     */
-  def synth(seed: Long, cls: Long): Array[Byte] = (cls % 12).toInt match {
+  def synth(seed: Long, cls: Long): Array[Byte] = (cls % 13).toInt match {
     case 0 =>
       val ks = Array(Array.tabulate(4)(j => 8 * kOf(seed, j)))
       encodeFrame(64, 16, ks, Array(Array(0, 0, 0, 0)))
@@ -1565,6 +1635,10 @@ object Vp8Eval {
       encodeFrame(32, 16,
         Array(Array(4 * kOf(seed, 0), 8 * kOf(seed, 1))),
         Array(Array(0, 0)), segQiAbs = Array(4, 0), segMap = Array(0, 1))
+    case 12 =>
+      encodeFrame(32, 16,
+        Array(Array(8 * kOf(seed, 0), 0)),
+        Array(Array(0, 0)), skipMap = Array(0, 1))
     case 6 =>
       encodeFrame(32, 16,
         Array(Array(8 * kOf(seed, 0), 8 * kOf(seed, 1))),

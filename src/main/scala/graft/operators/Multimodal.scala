@@ -2056,7 +2056,7 @@ object Multimodal {
     * plus B_PRED 4×4 intra, so frames keeping the default tables
     * decode instead of refusing at the retired honesty gate).
     *
-    * Residue classes (%12): 0 → a 64×16 four-MB strip whose per-MB DC
+    * Residue classes (%13): 0 → a 64×16 four-MB strip whose per-MB DC
     * offsets chain CUMULATIVELY through left-only DC prediction; 1 → a
     * 32×32 2×2 grid drilling the corner `(above+left+1)>>1` average;
     * 2 → one MB with a position-1 Y2 coefficient: the inverse WHT
@@ -2075,6 +2075,8 @@ object Multimodal {
     * the exact filtered columns; r18); 11 → a 32×16 SEGMENTATION
     * drill (per-MB segment ids onto absolute quant {4, 0}, each MB's
     * tokens dequantizing through its own segment's lookup; r18);
+    * 12 → a 32×16 mb_no_coeff_skip drill (MB1 skipped: no tokens on
+    * the wire, contexts reset, DC-chains to MB0's value; r18);
     * 3 → truncated after
     * the dims (meta parses, stats refuse —
     * the q39 split); 4 → a first partition truncated inside the
@@ -2091,7 +2093,7 @@ object Multimodal {
   def q196Vp8PixelsOn(docs: DataFrame): DataFrame = {
     import graft.functions.{Vp8Ops, WebpPixelOps}
     val id = col("doc_id")
-    val staged = docs.select(id, Vp8Ops.vp8Synth(id, id % 12).as("_p"))
+    val staged = docs.select(id, Vp8Ops.vp8Synth(id, id % 13).as("_p"))
       .withColumn("_m", decodeImageMeta(col("_p")))
       .withColumn("_l", WebpPixelOps.webpLuma(col("_p")))
     staged.select(id,

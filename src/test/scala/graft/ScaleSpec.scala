@@ -688,17 +688,18 @@ class ScaleSpec extends AnyFunSuite {
     decade("q196",
       n => Multimodal.q196Vp8PixelsOn(synthMix(n))
         .agg(sum(col("width")) + count(col("min_luma"))).head.getLong(0),
-      // %12 classes (r18 adds default-table, B_PRED, quant-index +
-      // partitions, loop filter, segmentation): per-class widths
-      // below, and 10 of 12 classes carry a decoded luma plane (the
-      // two truncation classes refuse); exact per-residue counts
-      // because the decade sizes are not multiples of 12
+      // %13 classes (r18 adds default-table, B_PRED, quant-index +
+      // partitions, loop filter, segmentation, skip): per-class
+      // widths below, and 11 of 13 classes carry a decoded luma plane
+      // (the two truncation classes refuse); exact per-residue counts
+      // because the decade sizes are not multiples of 13
       n => {
-        val widths = Array(64L, 32, 16, 64, 16, 16, 32, 64, 8, 16, 32, 32)
+        val widths =
+          Array(64L, 32, 16, 64, 16, 16, 32, 64, 8, 16, 32, 32, 32)
         val hasLuma = Array(true, true, true, false, false, true, true,
-          true, true, true, true, true)
-        (0 until 12).map { c =>
-          val cnt = n / 12 + (if (c < n % 12) 1L else 0L)
+          true, true, true, true, true, true)
+        (0 until 13).map { c =>
+          val cnt = n / 13 + (if (c < n % 13) 1L else 0L)
           cnt * widths(c) + (if (hasLuma(c)) cnt else 0L)
         }.sum
       })

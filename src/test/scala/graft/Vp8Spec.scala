@@ -336,6 +336,21 @@ class Vp8Spec extends AnyFunSuite {
     })
   }
 
+  test("class 12: a skipped MB reads no tokens and DC-chains to its " +
+    "neighbor's value") {
+    val seed = 37L
+    val file = Vp8Eval.synth(seed, 12)
+    val (w, h, px) = lumaOf(file)
+    assert(w === 32 && h === 16)
+    // MB1 is skipped: residual zero, DC prediction from MB0's right
+    // column — the whole frame sits at l0; a decoder that reads
+    // tokens for the skipped MB desyncs the (empty remainder of the)
+    // partition instead
+    val l0 = 128 + kOf(seed, 0)
+    (0 until 16).foreach(y => (0 until 32).foreach(x =>
+      assert(px(y * 32 + x) === l0, s"skip ($x,$y)")))
+  }
+
   test("loop-filter deltas: the intra reference delta shifts the " +
     "effective level (to zero here), leaving the step unfiltered") {
     // the class-10 step frame filters at level 10 (previous test);
@@ -373,8 +388,9 @@ class Vp8Spec extends AnyFunSuite {
   }
 
   test("fuzz: bit flips over a real frame refuse or decode, never throw") {
-    // explicit, default-table, B_PRED, partitions+qi, filter, segments
-    Seq(1L, 7L, 8L, 9L, 10L, 11L).foreach { cls =>
+    // explicit, default-table, B_PRED, partitions+qi, filter,
+    // segments, skip
+    Seq(1L, 7L, 8L, 9L, 10L, 11L, 12L).foreach { cls =>
       val file = Vp8Eval.synth(13L, cls)
       val rnd = new java.util.Random(0x196L + cls)
       (0 until 600).foreach { k =>
