@@ -3415,7 +3415,7 @@ object SparkEntry {
     "q197_tiff_pixels" ->
       ("WITH p AS (SELECT doc_id, doc_id % 6 + 2 AS w, doc_id % 4 + 2 AS h, " +
         "(doc_id % 2 + 1) * 16 + 5 AS w7, " +
-        "doc_id % 10 AS cls FROM documents), " +
+        "doc_id % 13 AS cls FROM documents), " +
         "g AS (SELECT doc_id, min(luma) AS mn, max(luma) AS mx, " +
         "sum(luma) AS s FROM (SELECT doc_id, " +
         "(doc_id*3 + (i % w)*5 + (i // w)) % 256 AS luma " +
@@ -3437,6 +3437,19 @@ object SparkEntry {
         "GROUP BY doc_id), " +
         // palette: the pixel is a gray-map INDEX, the ColorMap's high
         // bytes are the RGB maps at (index, row 0) — a nested fold
+        // bilevel (uncompressed + G4) and 4-bit classes fold the
+        // gray map through threshold / nibble scaling
+        "bl AS (SELECT doc_id, min(luma) AS mn, max(luma) AS mx, " +
+        "sum(luma) AS s FROM (SELECT doc_id, " +
+        "CASE WHEN (doc_id*3 + (i % w)*5 + (i // w)) % 256 >= 128 " +
+        "THEN 0 ELSE 255 END AS luma " +
+        "FROM p, UNNEST(range(0, w * h)) AS t(i) WHERE cls IN (10, 11)) " +
+        "GROUP BY doc_id), " +
+        "n4 AS (SELECT doc_id, min(luma) AS mn, max(luma) AS mx, " +
+        "sum(luma) AS s FROM (SELECT doc_id, " +
+        "(((doc_id*3 + (i % w)*5 + (i // w)) % 256) // 16) * 17 AS luma " +
+        "FROM p, UNNEST(range(0, w * h)) AS t(i) WHERE cls = 12) " +
+        "GROUP BY doc_id), " +
         "pal AS (SELECT doc_id, min(luma) AS mn, max(luma) AS mx, " +
         "sum(luma) AS s FROM (SELECT doc_id, " +
         "(299 * ((doc_id*2 + g) % 256) + 587 * ((doc_id*3 + g*5) % 256) + " +
@@ -3447,13 +3460,18 @@ object SparkEntry {
         "SELECT p.doc_id, CAST(1 AS INTEGER) AS is_tiff, " +
         "CAST(CASE WHEN cls = 7 THEN w7 ELSE w END AS INTEGER) AS width, " +
         "CAST(CASE WHEN cls = 7 THEN 18 ELSE h END AS INTEGER) AS height, " +
-        "CAST(coalesce(g.mn, c.mn, g7.mn, pal.mn) AS INTEGER) AS min_luma, " +
-        "CAST(coalesce(g.mx, c.mx, g7.mx, pal.mx) AS INTEGER) AS max_luma, " +
-        "CAST(coalesce(g.s, c.s, g7.s, pal.s) AS BIGINT) AS sum_luma " +
+        "CAST(coalesce(g.mn, c.mn, g7.mn, pal.mn, bl.mn, n4.mn) " +
+        "AS INTEGER) AS min_luma, " +
+        "CAST(coalesce(g.mx, c.mx, g7.mx, pal.mx, bl.mx, n4.mx) " +
+        "AS INTEGER) AS max_luma, " +
+        "CAST(coalesce(g.s, c.s, g7.s, pal.s, bl.s, n4.s) " +
+        "AS BIGINT) AS sum_luma " +
         "FROM p LEFT JOIN g ON p.doc_id = g.doc_id " +
         "LEFT JOIN c ON p.doc_id = c.doc_id " +
         "LEFT JOIN g7 ON p.doc_id = g7.doc_id " +
-        "LEFT JOIN pal ON p.doc_id = pal.doc_id"),
+        "LEFT JOIN pal ON p.doc_id = pal.doc_id " +
+        "LEFT JOIN bl ON p.doc_id = bl.doc_id " +
+        "LEFT JOIN n4 ON p.doc_id = n4.doc_id"),
     // q196: the oracle replays each class's luma algebra (cumulative
     // DC-pred chain, corner average, WHT half-split, V/H mode chains) from doc_id
     // alone — it never touches a VP8 bit — so a boolean-decoder,

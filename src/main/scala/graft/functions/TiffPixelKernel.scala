@@ -41,11 +41,19 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   *    out-of-map indices refuse;
   *  - 16-BIT grayscale (r18): samples follow the FILE byte order
   *    (the deep-sample endian drill), luma is the high byte — both
-  *    cross-validated against javax.imageio (ImageIoCrossSpec).
+  *    cross-validated against javax.imageio (ImageIoCrossSpec);
+  *  - BILEVEL and 4-BIT grayscale (r18): MSB-first packed rows,
+  *    byte-padded per row, values scaled to full range (×255 / ×17),
+  *    BitsPerSample DEFAULTING TO 1 per the spec when absent;
+  *  - CCITT GROUP 4 / T.6 (compression 4, r18): the full 2D coding
+  *    procedure with T.4 run tables in [[CcittEval]], per-strip
+  *    reference-line restarts — cross-validated against imageio's
+  *    own "CCITT T.6" codec in BOTH directions.
   *
-  * Stated scope, refusing rather than guessing: 1/4-bit samples,
-  * 16-bit RGB/palette, CCITT/JPEG-in-TIFF compressions, Predictor 2
-  * on 16-bit samples (it differences VALUES, not bytes), and planar
+  * Stated scope, refusing rather than guessing: 16-bit RGB/palette,
+  * Group 3 / JPEG-in-TIFF compressions, Predictor 2
+  * on sub-byte or 16-bit samples (it differences VALUES, not bytes),
+  * sub-byte tiles, and planar
   * configuration 2 all return the NULL marker; dims still
   * parse through q129's meta walk (the q39 split). A strip/tile table
   * addressing bytes the buffer never carried refuses whole. Resource
@@ -385,7 +393,9 @@ object TiffPixelEval {
     if (!r.ok(i0 + 2, nEntries * 12)) return null
     var width = -1L; var height = -1L
     var compression = 1L
-    var photometric = -1L; var spp = 1L; var bps = 8L
+    // BitsPerSample DEFAULTS TO 1 per TIFF 6.0 (imageio's T.6 writer
+    // omits the tag for bilevel and relies on it — found r18)
+    var photometric = -1L; var spp = 1L; var bps = 1L
     var rowsPerStrip = 0xFFFFFFFFL; var predictor = 1L; var planar = 1L
     var offs: Array[Long] = null
     var counts: Array[Long] = null
@@ -433,11 +443,12 @@ object TiffPixelEval {
     }
     val tiled = tOffs != null || tCounts != null || tileW > 0 || tileH > 0
     if (width <= 0 || height <= 0 || width * height > MaxPixels) return null
-    if (compression != 1L && compression != 5L && compression != 8L &&
+    if (compression != 1L && compression != 4L && compression != 5L &&
+      compression != 8L &&
       compression != 32773L && compression != 32946L) return null
     if (planar != 1L) return null
     if (predictor != 1L && predictor != 2L) return null
-    if (bps != 8L && bps != 16L) return null
+    if (bps != 1L && bps != 4L && bps != 8L && bps != 16L) return null
     val nc = spp.toInt
     if (photometric == 0L || photometric == 1L) { if (nc != 1) return null }
     else if (photometric == 2L) { if (nc != 3) return null }
@@ -450,7 +461,12 @@ object TiffPixelEval {
     // 16-bit VALUES per spec — the byte-wise pass below would corrupt)
     if (bps == 16L && (nc != 1 || photometric == 3L || predictor == 2L))
       return null
-    val bppx = nc * (bps.toInt / 8) // bytes per pixel
+    // sub-byte scope (r18): bilevel and 4-bit grayscale, strip layout,
+    // no predictor; CCITT G4 (compression 4) demands bilevel
+    if (bps < 8L && (nc != 1 || photometric > 1L || predictor == 2L ||
+      tiled)) return null
+    if (compression == 4L && bps != 1L) return null
+    val bppx = nc * (bps.toInt / 8) // bytes per pixel (0 for sub-byte)
     val w = width.toInt; val h = height.toInt
     if (tiled)
       return decodeTiled(b, r, w, h, nc, bppx, photometric.toInt,
@@ -462,7 +478,7 @@ object TiffPixelEval {
     val rps = math.min(rowsPerStrip, height).toInt
     val nStrips = (h + rps - 1) / rps
     if (offs.length != nStrips) return null
-    val rowBytes = w * bppx
+    val rowBytes = (w * nc * bps.toInt + 7) / 8 // rows are byte-padded
     val pixels = new Array[Byte](rowBytes * h)
     var s = 0
     while (s < nStrips) {
@@ -475,6 +491,11 @@ object TiffPixelEval {
         if (compression == 1L) {
           if (sc.toInt != wantBytes) return null
           java.util.Arrays.copyOfRange(b, so.toInt, so.toInt + sc.toInt)
+        } else if (compression == 4L) {
+          val d = CcittEval.g4Decode(b, so.toInt, sc.toInt, w, rows,
+            rowBytes)
+          if (d == null) return null
+          d
         } else if (compression == 5L) {
           val d = lzwDecode(b, so.toInt, sc.toInt, wantBytes)
           if (d == null) return null
@@ -586,6 +607,28 @@ object TiffPixelEval {
                          cmap: Array[Long]): (Int, Int, Array[Int]) = {
     val luma = new Array[Int](w * h)
     val cmapN = if (cmap == null) 0 else cmap.length / 3
+    if (bps < 8) {
+      // bilevel / 4-bit gray: MSB-first packed, rows byte-padded;
+      // values scale to full range (1-bit ×255, 4-bit ×17)
+      val rowBytes = (w * bps + 7) / 8
+      val scale = if (bps == 1) 255 else 17
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val bitPos = x * bps
+          val by = pixels(y * rowBytes + (bitPos >> 3)) & 0xFF
+          val v =
+            if (bps == 1) (by >> (7 - (bitPos & 7))) & 1
+            else (by >> (4 - (bitPos & 7))) & 0xF
+          val v8 = v * scale
+          luma(y * w + x) = if (photometric == 0) 255 - v8 else v8
+          x += 1
+        }
+        y += 1
+      }
+      return (w, h, luma)
+    }
     var i = 0
     while (i < w * h) {
       luma(i) =
@@ -670,8 +713,8 @@ object TiffPixelEval {
     if (le) { o.write('I'); o.write('I'); o.write(42); o.write(0) }
     else { o.write('M'); o.write('M'); o.write(0); o.write(42) }
     // regions (strips, or full padded 16x16 tiles) first, IFD after
-    val bppx = nc * (bps / 8)
-    val rowBytes = w * bppx
+    val bppx = nc * (bps / 8) // whole bytes; sub-byte uses rowBytes
+    val rowBytes = (w * nc * bps + 7) / 8
     val nStrips = (h + rps - 1) / rps
     def pack(raw: Array[Byte], rows: Int, rb: Int): Array[Byte] = {
       if (predictor == 2) {
@@ -687,6 +730,7 @@ object TiffPixelEval {
         }
       }
       compression match {
+        case 4 => CcittEval.g4Encode(raw, w, rows, rb)
         case 5 => lzwEncode(raw)
         case 32773 => packbitsEncode(raw)
         case 8 => deflateStrip(raw)
@@ -802,7 +846,7 @@ object TiffPixelEval {
     o.toByteArray
   }
 
-  /** Synthesize a q197 residue class (%10) on the shared channel maps:
+  /** Synthesize a q197 residue class (%13) on the shared channel maps:
     * 0 → LE gray uncompressed, MULTI-strip (rows-per-strip 2);
     * 1 → BE gray uncompressed, WhiteIsZero (the polarity inversion);
     * 2 → LE gray LZW;
@@ -817,6 +861,13 @@ object TiffPixelEval {
     * 9 → BE 16-BIT gray LZW multi-strip: the high byte is the gray
     *     map, the low byte the blue map — samples follow the FILE
     *     byte order, the classic deep-sample endian drill (r18);
+    * 10 → LE 1-BIT uncompressed multi-strip, WhiteIsZero (the fax
+    *     polarity): ink where the gray map reads ≥ 128 (r18);
+    * 11 → the same bilevel plane under CCITT GROUP 4 (compression 4)
+    *     with rows-per-strip 2 — every strip restarts the T.6
+    *     reference line (r18, imageio-cross-validated);
+    * 12 → LE 4-BIT gray LZW multi-strip: nibbles MSB-first, value =
+    *     gray map >> 4, luma ×17 (r18);
     * 4 → class 0 truncated mid-strip (dims parse, stats refuse).
     * `shape` packs `w | h<<8 | cls<<16`; class 7 sizes itself. */
   def synth(seed: Long, shape: Long): Array[Byte] = {
@@ -843,7 +894,23 @@ object TiffPixelEval {
       }
       px
     }
-    cls % 10 match {
+    def bilevel(): Array[Byte] = {
+      val rowBytes = (w + 7) / 8
+      val px = new Array[Byte](rowBytes * h)
+      var rr = 0
+      while (rr < h) {
+        var x = 0
+        while (x < w) {
+          if (chG(seed, x, rr) >= 128) // ink
+            px(rr * rowBytes + (x >> 3)) =
+              (px(rr * rowBytes + (x >> 3)) | (1 << (7 - (x & 7)))).toByte
+          x += 1
+        }
+        rr += 1
+      }
+      px
+    }
+    cls % 13 match {
       case 0 => writeTiff(le = true, w, h, 1, 1, 1, 1, rps = 2, gray())
       case 5 => writeTiff(le = true, w, h, 1, 1, 32773, 1, rps = 2, gray())
       case 8 =>
@@ -894,6 +961,24 @@ object TiffPixelEval {
         writeTiff(le = false, w, h, 1, 0, 1, 1, rps = h, px)
       case 2 => writeTiff(le = true, w, h, 1, 1, 5, 1, rps = h, gray())
       case 3 => writeTiff(le = false, w, h, 3, 2, 5, 2, rps = h, rgb())
+      case 10 =>
+        writeTiff(le = true, w, h, 1, 0, 1, 1, rps = 2, bilevel(), bps = 1)
+      case 11 =>
+        writeTiff(le = true, w, h, 1, 0, 4, 1, rps = 2, bilevel(), bps = 1)
+      case 12 =>
+        val rowBytes = (w * 4 + 7) / 8
+        val px = new Array[Byte](rowBytes * h)
+        var i = 0
+        while (i < w * h) {
+          val x = i % w; val rr = i / w
+          val v = chG(seed, x, rr) >> 4
+          val pos = x * 4
+          px(rr * rowBytes + (pos >> 3)) =
+            (px(rr * rowBytes + (pos >> 3)) |
+              (v << (4 - (pos & 7)))).toByte
+          i += 1
+        }
+        writeTiff(le = true, w, h, 1, 1, 5, 1, rps = 2, px, bps = 4)
       case _ =>
         // IFD-first layout: the strips are the file TAIL, so the cut
         // removes pixel bytes while the whole IFD — dims included —

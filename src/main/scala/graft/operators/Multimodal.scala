@@ -2119,7 +2119,7 @@ object Multimodal {
     * compressions refuse with dims intact (the q39 split); tiled
     * layout, palette color, and 16-bit gray are decoded (classes 7-9).
     *
-    * Residue classes (%10): 0 → LE gray uncompressed MULTI-strip
+    * Residue classes (%13): 0 → LE gray uncompressed MULTI-strip
     * (rows-per-strip 2); 1 → BE gray WhiteIsZero (the polarity cross);
     * 2 → LE gray LZW; 3 → BE RGB LZW + Predictor 2; 5 → LE gray
     * PACKBITS multi-strip; 6 → LE RGB DEFLATE + Predictor 2; 7 → LE
@@ -2127,11 +2127,16 @@ object Multimodal {
     * LE PALETTE PackBits (8-bit indices through a 256-entry ColorMap
     * whose high bytes ride the RGB maps — scanned-corpus staple, r18);
     * 9 → BE 16-BIT gray LZW (samples in FILE byte order, luma = high
-    * byte — the deep-sample endian drill, r18); 4 →
+    * byte — the deep-sample endian drill, r18); 10 → 1-BIT bilevel
+    * uncompressed WhiteIsZero (fax polarity, r18); 11 → the same
+    * bilevel plane under CCITT GROUP 4 with per-strip T.6 restarts
+    * (r18, imageio-cross-validated); 12 → 4-BIT gray LZW (MSB-first
+    * nibbles ×17, r18); 4 →
     * truncated mid-strip (is_tiff = 1, stats refuse). Pixels ride the family
     * channel maps, so the oracle replays min/max/sum luma from doc_id
     * algebra alone — a strip-offset, LZW-width, predictor, polarity,
-    * ColorMap, or sample-endian slip cannot cancel. One narrow map,
+    * ColorMap, sample-endian, T.6-mode, or nibble-order slip cannot
+    * cancel. One narrow map,
     * kernel once per row, zero exchanges.
     */
   def q197TiffPixels(spark: SparkSession, dir: String): DataFrame =
@@ -2143,9 +2148,9 @@ object Multimodal {
     val id = col("doc_id")
     val w = (id % 6 + 2).cast("long")
     val h = (id % 4 + 2).cast("long")
-    val shape = w + h * 256 + (id % 10) * 65536
+    val shape = w + h * 256 + (id % 13) * 65536
     val w7 = (id % 2 + 1) * 16 + 5
-    val isT = id % 10 === 7
+    val isT = id % 13 === 7
     val staged = docs.select(id, TiffPixelOps.tiffPixelSynth(id, shape).as("_p"))
       .withColumn("_l", TiffPixelOps.tiffLuma(col("_p")))
     staged.select(id,

@@ -710,10 +710,10 @@ class ScaleSpec extends AnyFunSuite {
     decade("q197",
       n => Multimodal.q197TiffPixelsOn(synthMix(n))
         .agg(count(col("min_luma"))).head.getLong(0),
-      // %10 classes (r18 adds palette + 16-bit): all but the truncated
-      // class (4) carry a decoded plane
-      n => (0 until 10).map { c =>
-        val cnt = n / 10 + (if (c < n % 10) 1L else 0L)
+      // %13 classes (r18 adds palette, 16-bit, bilevel, G4, 4-bit):
+      // all but the truncated class (4) carry a decoded plane
+      n => (0 until 13).map { c =>
+        val cnt = n / 13 + (if (c < n % 13) 1L else 0L)
         if (c == 4) 0L else cnt
       }.sum)
   }

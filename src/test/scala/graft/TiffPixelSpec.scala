@@ -286,6 +286,69 @@ class TiffPixelSpec extends AnyFunSuite {
     })
   }
 
+  test("BILEVEL, CCITT G4, and 4-BIT classes reproduce the channel " +
+    "maps and G4 cross-validates against imageio both directions") {
+    import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+    import java.awt.image.BufferedImage
+    def chG(seed: Long, x: Int, r: Int) =
+      (((seed * 3 + x * 5 + r) % 256 + 256) % 256).toInt
+    // classes 10 (uncompressed) and 11 (G4) share the bilevel plane:
+    // ink (luma 0) where the gray map reads >= 128, WhiteIsZero
+    Seq(10L, 11L).foreach { cls =>
+      val dec = TiffPixelEval.decodeLuma(
+        TiffPixelEval.synth(19L, 21L | (7L << 8) | (cls << 16)))
+      assert(dec != null, s"class $cls refused")
+      assert(dec._1 === 21 && dec._2 === 7)
+      (0 until 7).foreach(r => (0 until 21).foreach { x =>
+        val want = if (chG(19L, x, r) >= 128) 0 else 255
+        assert(dec._3(r * 21 + x) === want, s"cls $cls ($x,$r)")
+      })
+    }
+    // class 12: 4-bit nibbles, value = gray >> 4, luma x17
+    val n4 = TiffPixelEval.decodeLuma(
+      TiffPixelEval.synth(23L, 9L | (5L << 8) | (12L << 16)))
+    assert(n4 != null && n4._1 === 9 && n4._2 === 5)
+    (0 until 5).foreach(r => (0 until 9).foreach { x =>
+      assert(n4._3(r * 9 + x) === (chG(23L, x, r) >> 4) * 17,
+        s"4-bit ($x,$r)")
+    })
+
+    // reverse: imageio reads OUR G4 file pixel-for-pixel
+    val mine = TiffPixelEval.synth(19L, 21L | (7L << 8) | (11L << 16))
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(mine))
+    assert(img != null, "imageio refused our G4 tiff")
+    assert(img.getWidth === 21 && img.getHeight === 7)
+    val ours = TiffPixelEval.decodeLuma(mine)
+    (0 until 7).foreach(r => (0 until 21).foreach { x =>
+      // TYPE_BYTE_BINARY raster: sample 1 = black after imageio's
+      // WhiteIsZero handling? compare through getRGB luminance
+      val v = img.getRGB(x, r) & 0xFF
+      assert(ours._3(r * 21 + x) === v, s"g4 reverse ($x,$r)")
+    })
+
+    // forward: imageio WRITES a CCITT T.6 tiff, we decode it
+    val rnd = new java.util.Random(0xCC17L)
+    val src = new BufferedImage(43, 17, BufferedImage.TYPE_BYTE_BINARY)
+    (0 until 17).foreach(y => (0 until 43).foreach(x =>
+      src.getRaster.setSample(x, y, 0, rnd.nextInt(2))))
+    val wtr = ImageIO.getImageWritersByFormatName("tiff").next()
+    val prm = wtr.getDefaultWriteParam
+    prm.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    prm.setCompressionType("CCITT T.6")
+    val bo = new java.io.ByteArrayOutputStream()
+    val os = ImageIO.createImageOutputStream(bo)
+    wtr.setOutput(os)
+    wtr.write(null, new IIOImage(src, null, null), prm)
+    os.close(); wtr.dispose()
+    val oursF = TiffPixelEval.decodeLuma(bo.toByteArray)
+    assert(oursF != null, "our kernel refused an imageio T.6 tiff")
+    assert(oursF._1 === 43 && oursF._2 === 17)
+    (0 until 17).foreach(y => (0 until 43).foreach { x =>
+      val v = src.getRGB(x, y) & 0xFF // 0 or 255
+      assert(oursF._3(y * 43 + x) === v, s"imageio g4 ($x,$y)")
+    })
+  }
+
   test("truncation and scope refusals: stats refuse, never throw") {
     val cut = TiffPixelEval.synth(9L, 6L | (4L << 8) | (4L << 16))
     assert(TiffPixelEval.lumaStats(cut) === java.lang.Long.MIN_VALUE)
@@ -340,7 +403,7 @@ class TiffPixelSpec extends AnyFunSuite {
   test("fuzz: flips and cuts over all classes refuse or decode, " +
     "never throw") {
     val rnd = new java.util.Random(0x7177L)
-    (0 until 10).foreach { cls =>
+    (0 until 13).foreach { cls =>
       val whole = TiffPixelEval.synth(5L, 6L | (5L << 8) | (cls.toLong << 16))
       (0 until 200).foreach { k =>
         val bad = whole.clone()
