@@ -349,6 +349,63 @@ class TiffPixelSpec extends AnyFunSuite {
     })
   }
 
+  test("G4 edge shapes vs imageio: all-black, all-white, alternating " +
+    "columns, diagonal stripes, byte-boundary widths") {
+    import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+    import java.awt.image.BufferedImage
+    // shapes chosen to stress the T.6 mode selection: pure vertical
+    // runs, pass modes on disappearing runs, single-pixel horizontal
+    // runs, and widths that straddle row byte padding (1, 3, 129)
+    val shapes = Seq((64, 3), (8, 8), (1, 5), (3, 1), (129, 2))
+    shapes.foreach { case (w, h) =>
+      (0 until 4).foreach { pat =>
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_BINARY)
+        (0 until h).foreach(y => (0 until w).foreach { x =>
+          val v = pat match {
+            case 0 => 1 // all black
+            case 1 => 0 // all white
+            case 2 => x & 1 // alternating columns: 1-px runs all row
+            case _ => if ((x + y) % 3 == 0) 1 else 0 // moving stripes
+          }
+          img.getRaster.setSample(x, y, 0, v)
+        })
+        val wr = ImageIO.getImageWritersByFormatName("tiff").next()
+        val p = wr.getDefaultWriteParam
+        p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+        p.setCompressionType("CCITT T.6")
+        val bo = new java.io.ByteArrayOutputStream()
+        val os = ImageIO.createImageOutputStream(bo)
+        wr.setOutput(os)
+        wr.write(null, new IIOImage(img, null, null), p)
+        os.close(); wr.dispose()
+        val ours = TiffPixelEval.decodeLuma(bo.toByteArray)
+        assert(ours != null, s"${w}x$h pat$pat refused")
+        assert(ours._1 === w && ours._2 === h)
+        (0 until h).foreach(y => (0 until w).foreach { x =>
+          assert(ours._3(y * w + x) === (img.getRGB(x, y) & 0xFF),
+            s"${w}x$h pat$pat ($x,$y)")
+        })
+        // and the mirror: our encoder's bytes, their decoder
+        val rowBytes = (w + 7) / 8
+        val px = new Array[Byte](rowBytes * h)
+        (0 until h).foreach(y => (0 until w).foreach { x =>
+          if ((img.getRaster.getSample(x, y, 0) & 1) == 1)
+            px(y * rowBytes + (x >> 3)) =
+              (px(y * rowBytes + (x >> 3)) | (1 << (7 - (x & 7)))).toByte
+        })
+        val mine = TiffPixelEval.writeTiff(le = true, w, h, 1, 0, 4, 1,
+          rps = h, px, bps = 1)
+        val their = ImageIO.read(new java.io.ByteArrayInputStream(mine))
+        assert(their != null, s"imageio refused our ${w}x$h pat$pat G4")
+        (0 until h).foreach(y => (0 until w).foreach { x =>
+          val want = if ((img.getRaster.getSample(x, y, 0) & 1) == 1) 0 else 255
+          assert((their.getRGB(x, y) & 0xFF) === want,
+            s"reverse ${w}x$h pat$pat ($x,$y)")
+        })
+      }
+    }
+  }
+
   test("truncation and scope refusals: stats refuse, never throw") {
     val cut = TiffPixelEval.synth(9L, 6L | (4L << 8) | (4L << 16))
     assert(TiffPixelEval.lumaStats(cut) === java.lang.Long.MIN_VALUE)
