@@ -3415,7 +3415,7 @@ object SparkEntry {
     "q197_tiff_pixels" ->
       ("WITH p AS (SELECT doc_id, doc_id % 6 + 2 AS w, doc_id % 4 + 2 AS h, " +
         "(doc_id % 2 + 1) * 16 + 5 AS w7, " +
-        "doc_id % 13 AS cls FROM documents), " +
+        "doc_id % 15 AS cls FROM documents), " +
         "g AS (SELECT doc_id, min(luma) AS mn, max(luma) AS mx, " +
         "sum(luma) AS s FROM (SELECT doc_id, " +
         "(doc_id*3 + (i % w)*5 + (i // w)) % 256 AS luma " +
@@ -3443,7 +3443,7 @@ object SparkEntry {
         "sum(luma) AS s FROM (SELECT doc_id, " +
         "CASE WHEN (doc_id*3 + (i % w)*5 + (i // w)) % 256 >= 128 " +
         "THEN 0 ELSE 255 END AS luma " +
-        "FROM p, UNNEST(range(0, w * h)) AS t(i) WHERE cls IN (10, 11)) " +
+        "FROM p, UNNEST(range(0, w * h)) AS t(i) WHERE cls IN (10, 11, 13, 14)) " +
         "GROUP BY doc_id), " +
         "n4 AS (SELECT doc_id, min(luma) AS mn, max(luma) AS mx, " +
         "sum(luma) AS s FROM (SELECT doc_id, " +

@@ -1,9 +1,11 @@
 package graft.functions
 
-/** CCITT Group 4 (ITU-T T.6) bilevel codec for TIFF compression 4
-  * (q197's scanned-document classes) — the fax coding scanned-corpus
-  * TIFFs overwhelmingly use. Implemented from the T.4/T.6 tables and
-  * the 2D coding procedure:
+/** CCITT bilevel codecs for the TIFF fax compressions (q197's
+  * scanned-document classes): Group 4 / T.6 (compression 4), Group 3
+  * / T.4 in both 1D and 2D-with-tag-bit spellings (compression 3 —
+  * imageio's writer emits T4Options=1, i.e. MR 2D), and Modified
+  * Huffman with byte-aligned rows (compression 2, "CCITT RLE").
+  * Implemented from the T.4/T.6 tables and coding procedures:
   *
   *  - the T.4 WHITE and BLACK run-length codes (terminating 0..63 +
   *    makeup 64..1728) and the shared extended makeups 1792..2560,
@@ -253,6 +255,7 @@ object CcittEval {
       pos += 1
       v
     }
+    def align(): Unit = pos = (pos + 7) & ~7
   }
 
   /** One T.4 run length (makeups accumulate until a terminating code);
@@ -279,6 +282,114 @@ object CcittEval {
     run
   }
 
+  /** One 2D-coded row (shared by T.6 and T.4-2D): fills `cur` with
+    * transition positions against the reference line; returns the
+    * transition count, or -1 on refusal. */
+  private def row2D(rd: BitRd, w: Int, ref: Array[Int], refLen: Int,
+                    cur: Array[Int]): Int = {
+    var curLen = 0
+    var a0 = -1
+    var color = 0 // 0 = white
+    while (a0 < w) {
+      // locate b1/b2 on the reference line
+      var i = 0
+      while (i < refLen && ref(i) <= (if (a0 < 0) -1 else a0)) i += 1
+      // need a transition TO the opposite of `color`: white->black
+      // transitions sit at even indices
+      if ((i & 1) != color) i += 1
+      val b1 = if (i < refLen) ref(i) else w
+      val b2 = if (i + 1 < refLen) ref(i + 1) else w
+      // mode code
+      var mode = -99 // vertical offset, or HOR/PASS markers
+      val bt0 = rd.bit()
+      if (bt0 < 0) return -1
+      if (bt0 == 1) mode = 0 // V0
+      else {
+        val bt1 = rd.bit(); val bt2 = rd.bit()
+        if (bt1 < 0 || bt2 < 0) return -1
+        if (bt1 == 1) mode = if (bt2 == 1) 1 else -1 // VR1 / VL1
+        else if (bt2 == 1) mode = 100 // 001: horizontal
+        else {
+          val bt3 = rd.bit()
+          if (bt3 < 0) return -1
+          if (bt3 == 1) mode = 200 // 0001: pass
+          else {
+            val bt4 = rd.bit(); val bt5 = rd.bit()
+            if (bt4 < 0 || bt5 < 0) return -1
+            if (bt4 == 1) mode = if (bt5 == 1) 2 else -2 // VR2 / VL2
+            else if (bt5 == 1) {
+              val bt6 = rd.bit()
+              if (bt6 < 0) return -1
+              mode = if (bt6 == 1) 3 else -3 // VR3 / VL3
+            } else return -1 // EOL/EOFB inside the image: refuse
+          }
+        }
+      }
+      if (mode == 200) { // pass: color runs through b2
+        a0 = b2
+      } else if (mode == 100) { // horizontal: two explicit runs
+        val a0s = if (a0 < 0) 0 else a0
+        val r1 = readRun(rd, color == 1)
+        if (r1 < 0) return -1
+        val r2 = readRun(rd, color == 0)
+        if (r2 < 0) return -1
+        val a1 = a0s + r1
+        val a2 = a1 + r2
+        if (a2 > w || curLen + 2 > cur.length) return -1
+        cur(curLen) = a1; cur(curLen + 1) = a2
+        curLen += 2
+        a0 = a2
+      } else { // vertical
+        val a1 = b1 + mode
+        if (a1 < 0 || a1 > w || curLen >= cur.length) return -1
+        cur(curLen) = a1
+        curLen += 1
+        a0 = a1
+        color ^= 1
+      }
+    }
+    curLen
+  }
+
+  /** One 1D (Modified Huffman) row: alternating white-first runs that
+    * must sum exactly to `w`; fills `cur`, returns the transition
+    * count or -1. Zero-length runs are legal (a row starting black
+    * opens with a white run of 0). */
+  private def row1D(rd: BitRd, w: Int, cur: Array[Int]): Int = {
+    var curLen = 0
+    var x = 0
+    var color = 0
+    while (x < w) {
+      val run = readRun(rd, color == 1)
+      if (run < 0) return -1
+      x += run
+      if (x > w || curLen >= cur.length) return -1
+      cur(curLen) = x
+      curLen += 1
+      color ^= 1
+    }
+    curLen
+  }
+
+  /** transitions -> packed row bits (1 = black: odd-index segments). */
+  private def writeRow(out: Array[Byte], base: Int, cur: Array[Int],
+                       curLen: Int, w: Int): Unit = {
+    var seg = 0
+    while (seg < curLen) {
+      if ((seg & 1) == 0) { // black starts at even transition index
+        val from = cur(seg)
+        val until = if (seg + 1 < curLen) cur(seg + 1) else w
+        var x = from
+        while (x < until) {
+          out(base + (x >> 3)) =
+            (out(base + (x >> 3)) | (1 << (7 - (x & 7)))).toByte
+          x += 1
+        }
+      }
+      seg += 1
+    }
+  }
+
   /** Decode a T.6 strip of `rows` rows of width `w` into MSB-first
     * packed rows (1 = black) of `rowBytes` each; null on refusal. */
   private[graft] def g4Decode(b: Array[Byte], off: Int, len: Int,
@@ -293,83 +404,72 @@ object CcittEval {
     val cur = new Array[Int](w + 2)
     var row = 0
     while (row < rows) {
-      var curLen = 0
-      var a0 = -1
-      var color = 0 // 0 = white
-      while (a0 < w) {
-        // locate b1/b2 on the reference line
-        var i = 0
-        while (i < refLen && ref(i) <= (if (a0 < 0) -1 else a0)) i += 1
-        // need a transition TO the opposite of `color`: white->black
-        // transitions sit at even indices
-        if ((i & 1) != color) i += 1
-        val b1 = if (i < refLen) ref(i) else w
-        val b2 = if (i + 1 < refLen) ref(i + 1) else w
-        // mode code
-        var mode = -99 // vertical offset, or HOR/PASS markers
-        val bt0 = rd.bit()
-        if (bt0 < 0) return null
-        if (bt0 == 1) mode = 0 // V0
+      val curLen = row2D(rd, w, ref, refLen, cur)
+      if (curLen < 0) return null
+      writeRow(out, row * rowBytes, cur, curLen, w)
+      ref = java.util.Arrays.copyOf(cur, curLen + 2)
+      ref(curLen) = w; ref(curLen + 1) = w
+      refLen = curLen
+      row += 1
+    }
+    out
+  }
+
+  /** Decode a compression-2 ("CCITT RLE" / Modified Huffman) strip:
+    * 1D rows, each starting on a BYTE boundary. */
+  private[graft] def mhDecode(b: Array[Byte], off: Int, len: Int,
+                              w: Int, rows: Int,
+                              rowBytes: Int): Array[Byte] = {
+    if (w <= 0 || rows <= 0 || off < 0 || len < 0 ||
+      off.toLong + len > b.length) return null
+    val out = new Array[Byte](rows * rowBytes)
+    val rd = new BitRd(b, off, len)
+    val cur = new Array[Int](w + 2)
+    var row = 0
+    while (row < rows) {
+      val curLen = row1D(rd, w, cur)
+      if (curLen < 0) return null
+      writeRow(out, row * rowBytes, cur, curLen, w)
+      rd.align()
+      row += 1
+    }
+    out
+  }
+
+  /** Decode a compression-3 (Group 3 / T.4) strip: an EOL before each
+    * row (fill zeros tolerated), and — when `twoD` (T4Options bit 0,
+    * what imageio writes) — a tag bit after each EOL choosing 1D or
+    * 2D coding for that row, 2D rows running the T.6 mode machinery
+    * against the previous row. */
+  private[graft] def t4Decode(b: Array[Byte], off: Int, len: Int,
+                              w: Int, rows: Int, rowBytes: Int,
+                              twoD: Boolean): Array[Byte] = {
+    if (w <= 0 || rows <= 0 || off < 0 || len < 0 ||
+      off.toLong + len > b.length) return null
+    val out = new Array[Byte](rows * rowBytes)
+    val rd = new BitRd(b, off, len)
+    var ref = Array(w, w)
+    var refLen = 0
+    val cur = new Array[Int](w + 2)
+    var row = 0
+    while (row < rows) {
+      // EOL: >= 11 zeros then a 1 (leading fill zeros fold in)
+      var zeros = 0
+      var bt = rd.bit()
+      while (bt == 0) { zeros += 1; bt = rd.bit() }
+      if (bt < 0 || zeros < 11) return null
+      val use1D =
+        if (!twoD) true
         else {
-          val bt1 = rd.bit(); val bt2 = rd.bit()
-          if (bt1 < 0 || bt2 < 0) return null
-          if (bt1 == 1) mode = if (bt2 == 1) 1 else -1 // VR1 / VL1
-          else if (bt2 == 1) mode = 100 // 001: horizontal
-          else {
-            val bt3 = rd.bit()
-            if (bt3 < 0) return null
-            if (bt3 == 1) mode = 200 // 0001: pass
-            else {
-              val bt4 = rd.bit(); val bt5 = rd.bit()
-              if (bt4 < 0 || bt5 < 0) return null
-              if (bt4 == 1) mode = if (bt5 == 1) 2 else -2 // VR2 / VL2
-              else if (bt5 == 1) {
-                val bt6 = rd.bit()
-                if (bt6 < 0) return null
-                mode = if (bt6 == 1) 3 else -3 // VR3 / VL3
-              } else return null // EOL/EOFB inside the image: refuse
-            }
-          }
+          val tag = rd.bit()
+          if (tag < 0) return null
+          tag == 1
         }
-        if (mode == 200) { // pass: color runs through b2
-          a0 = b2
-        } else if (mode == 100) { // horizontal: two explicit runs
-          val a0s = if (a0 < 0) 0 else a0
-          val r1 = readRun(rd, color == 1)
-          if (r1 < 0) return null
-          val r2 = readRun(rd, color == 0)
-          if (r2 < 0) return null
-          val a1 = a0s + r1
-          val a2 = a1 + r2
-          if (a2 > w || curLen + 2 > cur.length) return null
-          cur(curLen) = a1; cur(curLen + 1) = a2
-          curLen += 2
-          a0 = a2
-        } else { // vertical
-          val a1 = b1 + mode
-          if (a1 < 0 || a1 > w || curLen >= cur.length) return null
-          cur(curLen) = a1
-          curLen += 1
-          a0 = a1
-          color ^= 1
-        }
-      }
-      // transitions -> packed row (1 = black): odd segments are black
-      val base = row * rowBytes
-      var seg = 0
-      while (seg < curLen) {
-        if ((seg & 1) == 0) { // black starts at even transition index
-          val from = cur(seg)
-          val until = if (seg + 1 < curLen) cur(seg + 1) else w
-          var x = from
-          while (x < until) {
-            out(base + (x >> 3)) =
-              (out(base + (x >> 3)) | (1 << (7 - (x & 7)))).toByte
-            x += 1
-          }
-        }
-        seg += 1
-      }
+      val curLen =
+        if (use1D) row1D(rd, w, cur)
+        else row2D(rd, w, ref, refLen, cur)
+      if (curLen < 0) return null
+      writeRow(out, row * rowBytes, cur, curLen, w)
       ref = java.util.Arrays.copyOf(cur, curLen + 2)
       ref(curLen) = w; ref(curLen + 1) = w
       refLen = curLen
@@ -393,8 +493,10 @@ object CcittEval {
         i -= 1
       }
     }
-    def finish(): Array[Byte] = {
+    def alignPad(): Unit =
       if (n > 0) { o.write(acc << (8 - n)); acc = 0; n = 0 }
+    def finish(): Array[Byte] = {
+      alignPad()
       o.toByteArray
     }
   }
@@ -481,6 +583,61 @@ object CcittEval {
     }
     // EOFB: two EOLs
     wr.put(1, 12); wr.put(1, 12)
+    wr.finish()
+  }
+
+  private def runsOfRow(rowsData: Array[Byte], w: Int, rowBytes: Int,
+                        row: Int): Array[Int] = {
+    // white-first run lengths summing to w (leading 0 when row starts
+    // black)
+    def bitAt(x: Int): Int =
+      (rowsData(row * rowBytes + (x >> 3)) >> (7 - (x & 7))) & 1
+    val runs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var color = 0
+    var x = 0
+    while (x < w) {
+      var n = 0
+      while (x < w && bitAt(x) == color) { n += 1; x += 1 }
+      runs += n
+      color ^= 1
+    }
+    if (runs.isEmpty) runs += w // all-white degenerate
+    runs.toArray
+  }
+
+  /** Encode compression-2 (Modified Huffman) rows: white-first runs,
+    * each row padded to a BYTE boundary. */
+  private[graft] def mhEncode(rowsData: Array[Byte], w: Int, rows: Int,
+                              rowBytes: Int): Array[Byte] = {
+    val wr = new BitWr
+    var row = 0
+    while (row < rows) {
+      var color = 0
+      runsOfRow(rowsData, w, rowBytes, row).foreach { run =>
+        writeRun(wr, color == 1, run)
+        color ^= 1
+      }
+      wr.alignPad()
+      row += 1
+    }
+    wr.finish()
+  }
+
+  /** Encode compression-3 (Group 3) rows in the PURE-1D spelling
+    * (T4Options = 0: an EOL before each row, no tag bits). */
+  private[graft] def t4Encode(rowsData: Array[Byte], w: Int, rows: Int,
+                              rowBytes: Int): Array[Byte] = {
+    val wr = new BitWr
+    var row = 0
+    while (row < rows) {
+      wr.put(1, 12) // EOL
+      var color = 0
+      runsOfRow(rowsData, w, rowBytes, row).foreach { run =>
+        writeRun(wr, color == 1, run)
+        color ^= 1
+      }
+      row += 1
+    }
     wr.finish()
   }
 }

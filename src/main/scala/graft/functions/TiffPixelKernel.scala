@@ -403,6 +403,7 @@ object TiffPixelEval {
     var tOffs: Array[Long] = null
     var tCounts: Array[Long] = null
     var cmap: Array[Long] = null
+    var t4Options = 0L; var t6Options = 0L
     var e = 0
     while (e < nEntries) {
       val eo = i0 + 2 + e * 12
@@ -430,6 +431,10 @@ object TiffPixelEval {
           planar = v(0)
         case 317 => val v = values(b, r, eo); if (v == null) return null
           predictor = v(0)
+        case 292 => val v = values(b, r, eo); if (v == null) return null
+          t4Options = v(0)
+        case 293 => val v = values(b, r, eo); if (v == null) return null
+          t6Options = v(0)
         case 320 => cmap = values(b, r, eo); if (cmap == null) return null
         case 322 => val v = values(b, r, eo); if (v == null) return null
           tileW = v(0)
@@ -443,9 +448,15 @@ object TiffPixelEval {
     }
     val tiled = tOffs != null || tCounts != null || tileW > 0 || tileH > 0
     if (width <= 0 || height <= 0 || width * height > MaxPixels) return null
-    if (compression != 1L && compression != 4L && compression != 5L &&
+    if (compression != 1L && compression != 2L && compression != 3L &&
+      compression != 4L && compression != 5L &&
       compression != 8L &&
       compression != 32773L && compression != 32946L) return null
+    // fax option gates: T4Options may set 2D (bit 0) and fill (bit 2,
+    // folded into the EOL zero-skip); uncompressed mode (bit 1) and
+    // any T6Options bit refuse
+    if (compression == 3L && (t4Options & ~5L) != 0L) return null
+    if (compression == 4L && t6Options != 0L) return null
     if (planar != 1L) return null
     if (predictor != 1L && predictor != 2L) return null
     if (bps != 1L && bps != 4L && bps != 8L && bps != 16L) return null
@@ -465,7 +476,7 @@ object TiffPixelEval {
     // no predictor; CCITT G4 (compression 4) demands bilevel
     if (bps < 8L && (nc != 1 || photometric > 1L || predictor == 2L ||
       tiled)) return null
-    if (compression == 4L && bps != 1L) return null
+    if (compression >= 2L && compression <= 4L && bps != 1L) return null
     val bppx = nc * (bps.toInt / 8) // bytes per pixel (0 for sub-byte)
     val w = width.toInt; val h = height.toInt
     if (tiled)
@@ -494,6 +505,16 @@ object TiffPixelEval {
         } else if (compression == 4L) {
           val d = CcittEval.g4Decode(b, so.toInt, sc.toInt, w, rows,
             rowBytes)
+          if (d == null) return null
+          d
+        } else if (compression == 2L) {
+          val d = CcittEval.mhDecode(b, so.toInt, sc.toInt, w, rows,
+            rowBytes)
+          if (d == null) return null
+          d
+        } else if (compression == 3L) {
+          val d = CcittEval.t4Decode(b, so.toInt, sc.toInt, w, rows,
+            rowBytes, (t4Options & 1L) != 0L)
           if (d == null) return null
           d
         } else if (compression == 5L) {
@@ -730,6 +751,8 @@ object TiffPixelEval {
         }
       }
       compression match {
+        case 2 => CcittEval.mhEncode(raw, w, rows, rb)
+        case 3 => CcittEval.t4Encode(raw, w, rows, rb)
         case 4 => CcittEval.g4Encode(raw, w, rows, rb)
         case 5 => lzwEncode(raw)
         case 32773 => packbitsEncode(raw)
@@ -846,7 +869,7 @@ object TiffPixelEval {
     o.toByteArray
   }
 
-  /** Synthesize a q197 residue class (%13) on the shared channel maps:
+  /** Synthesize a q197 residue class (%15) on the shared channel maps:
     * 0 → LE gray uncompressed, MULTI-strip (rows-per-strip 2);
     * 1 → BE gray uncompressed, WhiteIsZero (the polarity inversion);
     * 2 → LE gray LZW;
@@ -868,6 +891,10 @@ object TiffPixelEval {
     *     reference line (r18, imageio-cross-validated);
     * 12 → LE 4-BIT gray LZW multi-strip: nibbles MSB-first, value =
     *     gray map >> 4, luma ×17 (r18);
+    * 13 → the bilevel plane under CCITT RLE (compression 2): Modified
+    *     Huffman 1D rows, each BYTE-ALIGNED (r18);
+    * 14 → the same under GROUP 3 (compression 3) in the pure-1D
+    *     spelling: an EOL before every row, T4Options omitted (r18);
     * 4 → class 0 truncated mid-strip (dims parse, stats refuse).
     * `shape` packs `w | h<<8 | cls<<16`; class 7 sizes itself. */
   def synth(seed: Long, shape: Long): Array[Byte] = {
@@ -910,7 +937,7 @@ object TiffPixelEval {
       }
       px
     }
-    cls % 13 match {
+    cls % 15 match {
       case 0 => writeTiff(le = true, w, h, 1, 1, 1, 1, rps = 2, gray())
       case 5 => writeTiff(le = true, w, h, 1, 1, 32773, 1, rps = 2, gray())
       case 8 =>
@@ -965,6 +992,10 @@ object TiffPixelEval {
         writeTiff(le = true, w, h, 1, 0, 1, 1, rps = 2, bilevel(), bps = 1)
       case 11 =>
         writeTiff(le = true, w, h, 1, 0, 4, 1, rps = 2, bilevel(), bps = 1)
+      case 13 =>
+        writeTiff(le = true, w, h, 1, 0, 2, 1, rps = 2, bilevel(), bps = 1)
+      case 14 =>
+        writeTiff(le = true, w, h, 1, 0, 3, 1, rps = 2, bilevel(), bps = 1)
       case 12 =>
         val rowBytes = (w * 4 + 7) / 8
         val px = new Array[Byte](rowBytes * h)

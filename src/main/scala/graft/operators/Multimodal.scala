@@ -2119,7 +2119,7 @@ object Multimodal {
     * compressions refuse with dims intact (the q39 split); tiled
     * layout, palette color, and 16-bit gray are decoded (classes 7-9).
     *
-    * Residue classes (%13): 0 → LE gray uncompressed MULTI-strip
+    * Residue classes (%15): 0 → LE gray uncompressed MULTI-strip
     * (rows-per-strip 2); 1 → BE gray WhiteIsZero (the polarity cross);
     * 2 → LE gray LZW; 3 → BE RGB LZW + Predictor 2; 5 → LE gray
     * PACKBITS multi-strip; 6 → LE RGB DEFLATE + Predictor 2; 7 → LE
@@ -2131,7 +2131,9 @@ object Multimodal {
     * uncompressed WhiteIsZero (fax polarity, r18); 11 → the same
     * bilevel plane under CCITT GROUP 4 with per-strip T.6 restarts
     * (r18, imageio-cross-validated); 12 → 4-BIT gray LZW (MSB-first
-    * nibbles ×17, r18); 4 →
+    * nibbles ×17, r18); 13 → the bilevel plane under CCITT RLE
+    * (byte-aligned Modified Huffman rows, r18); 14 → the same under
+    * GROUP 3 pure-1D (EOL per row, r18); 4 →
     * truncated mid-strip (is_tiff = 1, stats refuse). Pixels ride the family
     * channel maps, so the oracle replays min/max/sum luma from doc_id
     * algebra alone — a strip-offset, LZW-width, predictor, polarity,
@@ -2148,9 +2150,9 @@ object Multimodal {
     val id = col("doc_id")
     val w = (id % 6 + 2).cast("long")
     val h = (id % 4 + 2).cast("long")
-    val shape = w + h * 256 + (id % 13) * 65536
+    val shape = w + h * 256 + (id % 15) * 65536
     val w7 = (id % 2 + 1) * 16 + 5
-    val isT = id % 13 === 7
+    val isT = id % 15 === 7
     val staged = docs.select(id, TiffPixelOps.tiffPixelSynth(id, shape).as("_p"))
       .withColumn("_l", TiffPixelOps.tiffLuma(col("_p")))
     staged.select(id,

@@ -710,10 +710,11 @@ class ScaleSpec extends AnyFunSuite {
     decade("q197",
       n => Multimodal.q197TiffPixelsOn(synthMix(n))
         .agg(count(col("min_luma"))).head.getLong(0),
-      // %13 classes (r18 adds palette, 16-bit, bilevel, G4, 4-bit):
-      // all but the truncated class (4) carry a decoded plane
-      n => (0 until 13).map { c =>
-        val cnt = n / 13 + (if (c < n % 13) 1L else 0L)
+      // %15 classes (r18 adds palette, 16-bit, bilevel, G4, 4-bit,
+      // CCITT RLE, Group 3): all but the truncated class (4) carry a
+      // decoded plane
+      n => (0 until 15).map { c =>
+        val cnt = n / 15 + (if (c < n % 15) 1L else 0L)
         if (c == 4) 0L else cnt
       }.sum)
   }
