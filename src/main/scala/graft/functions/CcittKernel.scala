@@ -248,7 +248,6 @@ object CcittEval {
   private final class BitRd(b: Array[Byte], off: Int, len: Int) {
     private var pos = 0
     private val total = len * 8
-    def eof: Boolean = pos >= total
     def bit(): Int = {
       if (pos >= total) { pos += 1; return -1 }
       val v = (b(off + (pos >> 3)) >> (7 - (pos & 7))) & 1

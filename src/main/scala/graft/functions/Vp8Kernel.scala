@@ -109,14 +109,6 @@ object Vp8Eval {
   private def workProb(p: Int, b: Int, c: Int, l: Int): Int =
     (p * 31 + b * 13 + c * 41 + l * 11) % 200 + 28
 
-  // dequant values at quant index 0 (r18: decode derives per-frame
-  // values from the §14.1 lookup tables; these remain the encoder-side
-  // constants for the qi=0 synthesis classes)
-  private final val QY2Dc = 8 // 2 * dc_qlookup[0]
-  private final val QY2Ac = 8 // max(8, ac_qlookup[0]*155/100)
-  private final val QYAc = 4 // ac_qlookup[0]
-  private final val QYDc = 4 // dc_qlookup[0] (B_PRED blocks carry own DC)
-
   // ------------------------------------------------- boolean decoder
 
   /** RFC 6386 §7.3, verbatim semantics. Reads past `end` return zero
