@@ -18,7 +18,78 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Scan-parallelism floor for the KERNEL-PIPELINE tables (guide §2.5
+    * "input skew: one huge unsplittable file", §6 `minPartitionNum`):
+    * `documents`/`embeddings` feed per-row CPU (hash/codec/pixel kernels,
+    * shingle md5s, vector math), and a scan with fewer partitions than the
+    * cluster has cores serializes ALL of it — measured at sf0.1: every
+    * corpus table is ONE single-row-group file, so the q35 minhash stage
+    * ran its full 2.2 s of md5 work on one of 32 cores (q102: 5.9 s, q73:
+    * ~4 s, profiled in OPTIMIZATION_r18.md). A single row group cannot be
+    * range-split (`spark.sql.files.maxPartitionBytes` / `minPartitionNum`
+    * assign byte ranges, but the one task holding the row-group midpoint
+    * reads everything), so the floor must be a repartition after the read.
+    *
+    * Scale-adaptive, not local-tuned: the spread fires ONLY when the
+    * scan's estimated split count cannot fill `defaultParallelism` — at
+    * lake scale these tables are thousands of splits and the plan is
+    * byte-identical to before; on any cluster it is the generic "file
+    * layout under-parallelizes the machine" repair. Deterministic hash
+    * partitioning on the table's primary key (never round-robin: no
+    * sort-before-repartition pass, and re-run tasks reproduce the exact
+    * assignment, SPARK-38388). Conf: `spark.graft.scan.spread=off`
+    * disables; `spark.graft.scan.spreadMinBytes` (default 512 KiB) keeps
+    * broadcast-bound dims out.
+    */
+  private val SpreadKeys = Map("documents" -> "doc_id", "embeddings" -> "vec_id")
+
+  private def spread(spark: SparkSession, dir: String, name: String,
+                     df: DataFrame): DataFrame =
+    SpreadKeys.get(name) match {
+      case Some(key) if !spark.conf.get("spark.graft.scan.spread", "auto")
+          .equalsIgnoreCase("off") =>
+        val target = spark.sparkContext.defaultParallelism
+        // env fallback so harness mains (Verify) can force the spread at
+        // tiny SFs for an oracle equivalence run without a code change
+        val floor = spark.conf.get("spark.graft.scan.spreadMinBytes",
+          sys.env.getOrElse("SPARK_GRAFT_SPREAD_MIN",
+            (512L * 1024).toString)).toLong
+        val maxSplit = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+          .takeWhile(_.isDigit) match { case "" => 134217728L; case s => s.toLong }
+        val len = try {
+          val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .getFileStatus(p).getLen
+        } catch { case _: Throwable => 0L }
+        val estSplits = math.max(1L, (len + maxSplit - 1) / maxSplit)
+        // DETACHED deterministic spread key (xxhash64 of the primary key,
+        // not the key itself): partitioning by the raw key would SATISFY a
+        // downstream groupBy(key)'s required distribution and delete that
+        // aggregation's exchange — which is exactly the exchange identical
+        // self-join sides reuse (measured on q35: key-aligned spread made
+        // both band-join sides recompute the whole minhash pipeline,
+        // 28 s + 19 s of task time where the baseline computed it once).
+        // A detached key keeps every downstream exchange (and its reuse
+        // semantics) byte-identical to the unspread plan.
+        if (len >= floor && estSplits < target)
+          df.repartition(target, xxhash64(col(key)))
+        else df
+      case _ => df
+    }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    loadRaw(spark, dir, name)
+
+  /** Opt-in spread variant — callers whose downstream is ONE heavy
+    * narrow pass (kernel decode, shingle hashing) opt in; iterative
+    * trainers (every driver action would re-execute the exchange),
+    * multi-branch consumers, and cheap aggregations must not (measured
+    * regressions, OPTIMIZATION_r18.md).
+    */
+  def loadSpread(spark: SparkSession, dir: String, name: String): DataFrame =
+    spread(spark, dir, name, loadRaw(spark, dir, name))
+
+  private def loadRaw(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // The corpus generator has stored events.ts two ways across driver
       // versions: INT64 TIMESTAMP(NANOS) — which Spark 4 rejects outright

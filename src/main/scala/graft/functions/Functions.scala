@@ -71,6 +71,17 @@ object VectorOps {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** In-bucket near-dup pair enumeration via the [[BucketDupPairs]]
+    * kernel over `array<struct<vec_id bigint, v array<double>, nrm
+    * double>>` — one native i<j loop per bucket replacing the dense-
+    * regime HOF projection (PairKernelSpec pins set equality against
+    * the retained `Dedup.denseHofPairs` twin).
+    */
+  def bucketDupPairs(ms: Column, threshold: Double): Column =
+    ColumnBridge.column(BucketDupPairs(
+      ColumnBridge.expression(ms),
+      ColumnBridge.expression(lit(threshold))))
+
   /** Random-hyperplane LSH signature ('0'/'1' chars, one per plane) via
     * the codegen'd [[LshBits]] kernel — bit-for-bit the HOF formulation
     * it replaced (see LshKernelSpec), ~100× cheaper per row.

@@ -40,7 +40,7 @@ import graft.functions.TextOps.words
 object Bpe {
 
   def q85BpeTrain(spark: SparkSession, dir: String): DataFrame =
-    bpeTrainOn(Tables.load(spark, dir, "documents"), 10)
+    bpeTrainOn(Tables.loadSpread(spark, dir, "documents"), 10)
 
   /** Train `merges` BPE merges over the words of `docs(text)`; returns
     * (round, left, right, merged, pair_count) — round is 1-based merge
@@ -56,9 +56,118 @@ object Bpe {
   /** The merge loop over any prepared `(freq, syms)` vocabulary frame —
     * shared by the character-level (q85) and byte-level (q123) trainers;
     * the alphabet is whatever `syms` holds.
+    *
+    * TWO regimes (r18 optimization; the PqTrainTarget/centroidTable
+    * driver-side discipline applied to the merge rounds): the CORPUS
+    * contributes exactly one distributed pass either way — the word-
+    * frequency aggregation that produced `wf0`. The merge rounds ride the
+    * VOCABULARY frame only, and a vocabulary that fits the driver
+    * (`spark.graft.bpe.localVocabMax` rows, default 262144 — the q64
+    * saturation premise made checkable: the probe is `limit(max+1)`, so
+    * the regime is decided by the ACTUAL row count, never by assumption)
+    * runs all rounds as plain local compute: zero extra jobs, where the
+    * distributed loop paid ~2 driver-job latencies per round (argmax
+    * fetch + vocabulary re-checkpoint; profiled at 1.9 s wall for 10
+    * rounds of sub-3-KiB shuffles at sf0.1, OPTIMIZATION_r18.md). Above
+    * the cap the distributed loop below is UNCHANGED — same argmax, same
+    * leftmost-greedy fold, vocabulary never collected.
+    *
+    * The local replay is exact, not approximate: pair counts are the
+    * same freq-weighted adjacency sums, the argmax tie-break compares
+    * UTF-8 BYTES (Spark string order is UTF8String binary order —
+    * Scala's String.compareTo orders UTF-16 code units, which differs
+    * for supplementary characters), and the merge fold is the identical
+    * no-remerge leftmost-greedy scan. BpeSpec's independent replay and
+    * the q85/q86/q123 oracles gate both regimes.
     */
   private def mergeLoop(wf0: DataFrame, merges: Int): DataFrame = {
     val spark = wf0.sparkSession
+    val localMax = spark.conf.get("spark.graft.bpe.localVocabMax",
+      (1 << 18).toString).toInt
+    val probe = wf0.limit(localMax + 1).collect()
+    if (probe.length <= localMax) {
+      val vocab = probe.map(r =>
+        (r.getLong(0), r.getSeq[String](1).toArray))
+      return localMergeLoop(spark, vocab, merges)
+    }
+    distributedMergeLoop(spark, wf0, merges)
+  }
+
+  /** UTF-8 byte order — the exact comparator behind Spark's string
+    * sort (UTF8String.compareTo): unsigned byte-wise, shorter-is-less
+    * on a shared prefix.
+    */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** The in-driver merge rounds over a collected vocabulary — value-
+    * identical to [[distributedMergeLoop]] by construction (same counts,
+    * same UTF-8 tie order, same no-remerge fold).
+    */
+  private def localMergeLoop(spark: SparkSession,
+                             vocab0: Array[(Long, Array[String])],
+                             merges: Int): DataFrame = {
+    var vocab = vocab0
+    val out = Seq.newBuilder[(Int, String, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= merges && !exhausted) {
+      val cnt = new java.util.HashMap[(String, String), Long]()
+      vocab.foreach { case (f, s) =>
+        var i = 0
+        while (i < s.length - 1) {
+          cnt.merge((s(i), s(i + 1)), f, (a, b) => a + b)
+          i += 1
+        }
+      }
+      if (cnt.isEmpty) exhausted = true
+      else {
+        var best: ((String, String), Long) = null
+        val it = cnt.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val k = e.getKey
+          if (best == null || e.getValue > best._2 ||
+            (e.getValue == best._2 &&
+              (utf8Lt(k._1, best._1._1) ||
+                (k._1 == best._1._1 && utf8Lt(k._2, best._1._2)))))
+            best = (k, e.getValue)
+        }
+        val ((l, r), c) = best
+        val m = l + r
+        out += ((round, l, r, m, c))
+        vocab = vocab.map { case (f, s) =>
+          if (s.length < 2) (f, s)
+          else {
+            val b = Array.newBuilder[String]
+            var i = 0
+            while (i < s.length) {
+              if (i + 1 < s.length && s(i) == l && s(i + 1) == r) {
+                b += m; i += 2
+              } else { b += s(i); i += 1 }
+            }
+            (f, b.result())
+          }
+        }
+      }
+      round += 1
+    }
+    import spark.implicits._
+    out.result().toDF("round", "left", "right", "merged", "pair_count")
+  }
+
+  private def distributedMergeLoop(spark: SparkSession, wf0: DataFrame,
+                                   merges: Int): DataFrame = {
     val sc = spark.sparkContext
     var wf = ColumnBridge.freshStats(wf0.localCheckpoint(true))
     var ckIds = ColumnBridge.checkpointRddIds(wf)
@@ -115,7 +224,7 @@ object Bpe {
     * encodes with the shipped table.
     */
   def q86BpeTokens(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     val flat = trainedMerges(docs, 10)
     docs.select(col("doc_id"),
       coalesce(size(words(col("text"))), lit(0)).cast("long").as("n_words"),
@@ -174,7 +283,7 @@ object Bpe {
     * Zero joins, zero exchanges at encode time.
     */
   def q123ByteBpe(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     val flat = byteBpeTrainOn(docs, 10).collect()
       .sortBy(_.getInt(0))
       .flatMap(r => Seq(r.getString(1), r.getString(2))).toSeq

@@ -43,7 +43,7 @@ object Dedup {
     * the contract checks the signature computation itself.
     */
   def q22MinHashBands(spark: SparkSession, dir: String): DataFrame =
-    minHashBandsOn(Tables.load(spark, dir, "documents"))
+    minHashBandsOn(Tables.loadSpread(spark, dir, "documents"))
 
   /** The band computation over any (doc_id, text) frame — frame-
     * parameterized so the q51 pipeline can run the identical scheme over
@@ -83,7 +83,7 @@ object Dedup {
     * is a band hash, uniformly distributed by construction.
     */
   def q35LshPairs(spark: SparkSession, dir: String): DataFrame =
-    lshPairsOn(Tables.load(spark, dir, "documents"))
+    lshPairsOn(Tables.loadSpread(spark, dir, "documents"))
 
   /** The full bands→candidate-pairs flow over any (doc_id, text) frame. */
   def lshPairsOn(docs: DataFrame): DataFrame =
@@ -111,6 +111,52 @@ object Dedup {
   private def edgeSig(e: DataFrame): (Long, Long) = {
     val r = e.agg(count(lit(1)), coalesce(expr("bit_xor(xxhash64(hi, lo))"), lit(0L))).head()
     (r.getLong(0), r.getLong(1))
+  }
+
+  /** In-driver union-find over a collected edge list — the local-finish
+    * regime of [[connectedComponents]]. Returns one (vertex, min-id-of-
+    * component) pair per distinct vertex of a real edge, plus identity
+    * labels for `extraVerts` members with no edge (the includeSingletons
+    * contract: identity labels never override a component minimum, the
+    * minimum is ≤ every member id).
+    */
+  private def localComponentLabels(
+      edges: Array[(Long, Long)],
+      extraVerts: Option[Array[Long]]): Array[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.get(x)
+      while (p != x) { // path-halving
+        val gp = parent.get(p)
+        parent.put(x, gp)
+        x = gp
+        p = parent.get(x)
+      }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    val minOf = new java.util.HashMap[Long, Long]()
+    val vertIt = parent.keySet().iterator()
+    while (vertIt.hasNext) {
+      val v = vertIt.next()
+      val r = find(v)
+      if (!minOf.containsKey(r) || v < minOf.get(r)) minOf.put(r, v)
+    }
+    val out = Array.newBuilder[(Long, Long)]
+    val it2 = parent.keySet().iterator()
+    while (it2.hasNext) {
+      val v = it2.next()
+      out += ((v, minOf.get(find(v))))
+    }
+    extraVerts.foreach(_.foreach(v =>
+      if (!parent.containsKey(v)) out += ((v, v))))
+    out.result()
   }
 
   /** Connected components over a pair list via alternating large-star /
@@ -216,6 +262,39 @@ object Dedup {
     } else materialize(canonical.filter(col("hi") =!= col("lo")))
     live += eCk
     var prevSig = edgeSig(e)
+    // LOCAL FINISH (r18 optimization): the canonical edge set is
+    // materialized and its exact cardinality is in hand (the signature
+    // count, computed anyway to gate convergence). A graph that fits the
+    // driver — `spark.graft.cc.localEdgeMax` edges, default 2^20 (two
+    // longs per edge ≈ 16 MB raw; the same driver-width discipline as
+    // the PQ training slice) — resolves by plain union-find right here:
+    // the distributed star-contraction rounds exist for graphs that do
+    // NOT fit, and each round costs two materialization jobs plus a
+    // signature job (profiled ~0.25 s/round of pure driver-job latency
+    // at sf0.1 on 10-KiB label frames, ×4-6 rounds per call,
+    // OPTIMIZATION_r18.md). Same labels by construction: every vertex
+    // of a real edge gets the minimum id reachable in the pair graph,
+    // exactly the contraction fixed point; singleton identity labels
+    // ride the collected vertex set when requested. Above the cap the
+    // loop below is UNCHANGED — nothing was wasted deciding (the probe
+    // is the signature already computed), and the 100 TB pair list
+    // never sees a driver-sized collect.
+    val localEdgeMax = caller.conf.get("spark.graft.cc.localEdgeMax",
+      (1L << 20).toString).toLong
+    if (prevSig._1 <= localEdgeMax) {
+      val dt = e.schema("hi").dataType
+      val edgeRows = e.select(col("hi").cast("long"), col("lo").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val vertRows = verts.map(_.select(col("doc_id").cast("long"))
+        .collect().map(_.getLong(0)))
+      val labels = localComponentLabels(edgeRows, vertRows)
+      import caller.implicits._
+      return labels.toSeq.toDF("doc_id", "cluster")
+        .select(col("doc_id").cast(dt).as("doc_id"),
+          col("cluster").cast(dt).as("cluster"))
+      // the finally drain releases every checkpoint — the LocalRelation
+      // result references none of them
+    }
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -406,6 +485,15 @@ object Dedup {
     //    allocations (a sequence + lambda frame + output array per
     //    member, times ~75k bucket groups × 24 bands at the 100×
     //    corpus) measured 654 s where this spelling runs 33 s.
+    //
+    // r18: the dense-regime HOF projection is retired from the hot path —
+    // the r18 profile measured its lambda machinery at 34 s of task time
+    // for q44's ~2M pairs where the dot arithmetic itself is ~0.2 s. The
+    // [[graft.functions.BucketDupPairs]] kernel emits the IDENTICAL pair
+    // set (PairKernelSpec pins it against the HOF twin, retained below as
+    // `denseHofPairs`) from one native i<j loop per bucket, zero per-pair
+    // allocation. Same in-bucket discipline: the member array is consumed
+    // inside the kernel, never carried per exploded row.
     val pairs = (if (cappedRegime) {
       Similarity.bandAssignments(vectors, "v", nbits, bands, bucketCap)
         .join(en, "vec_id")
@@ -418,27 +506,36 @@ object Dedup {
         .select(least(col("a.vec_id"), col("b.vec_id")).as("doc_a"),
           greatest(col("a.vec_id"), col("b.vec_id")).as("doc_b"))
     } else {
-      val ms = col("ms")
-      val survivors = flatten(transform(sequence(lit(0), size(ms) - 2), i => {
-        val a = get(ms, i)
-        filter(
-          transform(sequence(i + 1, size(ms) - 1), j => {
-            val b = get(ms, j)
-            when(dot(a("v"), b("v")) / (a("nrm") * b("nrm")) >= threshold,
-              struct(least(a("vec_id"), b("vec_id")).as("doc_a"),
-                greatest(a("vec_id"), b("vec_id")).as("doc_b")))
-          }),
-          p => p.isNotNull)
-      }))
       Similarity.bandAssignments(vectors, "v", nbits, bands, bucketCap)
         .join(en, "vec_id")
         .groupBy("band", "bucket")
-        .agg(collect_list(struct(col("vec_id"), col("v"), col("nrm"))).as("ms"))
-        .filter(size(ms) >= 2)
-        .select(explode(survivors).as("p"))
+        .agg(collect_list(struct(col("vec_id").cast("long").as("vec_id"),
+          col("v"), col("nrm"))).as("ms"))
+        .filter(size(col("ms")) >= 2)
+        .select(explode(bucketDupPairs(col("ms"), threshold)).as("p"))
         .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
     }).distinct()
     pairs
+  }
+
+  /** The retired dense-regime HOF pair projection — kept ONLY as the
+    * independent oracle for PairKernelSpec (it is the exact expression
+    * the dense regime shipped through r17). Emits the same pair structs
+    * from `ms` = array<struct<vec_id, v, nrm>>.
+    */
+  private[graft] def denseHofPairs(ms: Column, threshold: Double): Column = {
+    import graft.functions.VectorOps.dot
+    flatten(transform(sequence(lit(0), size(ms) - 2), i => {
+      val a = get(ms, i)
+      filter(
+        transform(sequence(i + 1, size(ms) - 1), j => {
+          val b = get(ms, j)
+          when(dot(a("v"), b("v")) / (a("nrm") * b("nrm")) >= threshold,
+            struct(least(a("vec_id"), b("vec_id")).as("doc_a"),
+              greatest(a("vec_id"), b("vec_id")).as("doc_b")))
+        }),
+        p => p.isNotNull)
+    }))
   }
 
   /** Q44: embedding near-dup clusters over the FULL embeddings table —
@@ -582,7 +679,7 @@ object Dedup {
     * rounding.
     */
   def q70SubstringDedup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     val withWords = docs.select(col("doc_id"), words(col("text")).as("ws"))
     val inst = withWords
       .filter(size(col("ws")) >= 8)
@@ -654,14 +751,23 @@ object Dedup {
     val home = Similarity.homeCells(vectors, nCells, cellCap, kmeansRounds)
     val en = vectors.withColumn("nrm", norm(col("v")))
     val m = home.join(en, "vec_id")
-    val a = m.select(col("cell_id"), col("vec_id").as("doc_a"),
-      col("v").as("va"), col("nrm").as("na"))
-    val b = m.select(col("cell_id"), col("vec_id").as("doc_b"),
-      col("v").as("vb"), col("nrm").as("nb"))
-    val pairs = a.join(b, Seq("cell_id"))
-      .filter(col("doc_a") < col("doc_b"))
-      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= eps)
-      .select("doc_a", "doc_b")
+    // r18: the within-cell pair stage runs CELL-LOCALLY through the
+    // [[graft.functions.BucketDupPairs]] kernel (q44's dense-regime
+    // discipline): members co-locate by cell ONCE, the i<j fan-out and
+    // the cosines stay inside the kernel, and only surviving dup-pair
+    // ids leave the stage — the previous cell_id self-join shipped
+    // member-volume × vector-width rows through BOTH join sides and
+    // materialized every candidate pair as a row before the filter.
+    // Identical pair set (same predicate, same min/max id order;
+    // PairKernelSpec pins the kernel, SemDedupSpec gates the operator).
+    val pairs = m
+      .groupBy("cell_id")
+      .agg(collect_list(struct(col("vec_id").cast("long").as("vec_id"),
+        col("v"), col("nrm"))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+      .select(explode(graft.functions.VectorOps.bucketDupPairs(col("ms"), eps))
+        .as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
     val comp = connectedComponents(pairs)
       .withColumnRenamed("doc_id", "vec_id")
     val wKeep = Window.partitionBy("cluster")
@@ -757,7 +863,7 @@ object Dedup {
     * WITHIN-doc dup: later index loses to earlier).
     */
   def q148ParaDedup(spark: SparkSession, dir: String): DataFrame =
-    paraDedupOn(Tables.load(spark, dir, "documents"))
+    paraDedupOn(Tables.loadSpread(spark, dir, "documents"))
 
   /** The q148 computation over any (doc_id, text) frame. */
   def paraDedupOn(docs: DataFrame): DataFrame = {

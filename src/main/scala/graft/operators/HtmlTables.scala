@@ -27,7 +27,7 @@ import graft.functions.HtmlTableOps
 object HtmlTables {
 
   def q147HtmlTables(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     val id = col("doc_id")
     val mode = when(id % 7 === 1, 1L).when(id % 7 === 2, 2L)
       .when(id % 7 === 3, 3L).when(id % 7 === 4, 4L)

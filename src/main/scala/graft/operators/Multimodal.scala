@@ -22,7 +22,7 @@ object Multimodal {
     * expressions over the binary column; at scale this is a pure map stage.
     */
   def q33BinaryMeta(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     docs.select(
       col("doc_id"),
       md5(col("text").cast("binary")).as("fp"),
@@ -255,7 +255,7 @@ object Multimodal {
       le24hex(width - 1), le24hex(height - 1))
 
   def q39PngMeta(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     val width = (col("doc_id") % 1920 + 1).cast("int")
     val height = (col("doc_id") % 1080 + 1).cast("int")
     val pngHex = synthPngHex(width, height)
@@ -382,7 +382,7 @@ object Multimodal {
     * 3 → raw text.
     */
   def q62WavPcm(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     val id = col("doc_id")
     val n = (id % 50 + 1).cast("int")
     val payload = when(id % 4 === 3, col("text").cast("binary"))
@@ -401,7 +401,7 @@ object Multimodal {
   }
 
   def q56AvMeta(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     // WAV parameters from residues: 1-2 channels, 8000-36000 Hz, 8/16 bit
     val channels = (col("doc_id") % 2 + 1).cast("int")
     val rate = (lit(8000) + (col("doc_id") % 8).cast("int") * 4000).cast("int")
@@ -469,7 +469,7 @@ object Multimodal {
   def q57FrameSample(spark: SparkSession, dir: String): DataFrame = {
     val maxFrames = 8
     val fps = 30
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     val n = (col("doc_id") % 240 + 1).cast("int")
     val stride = ceil(n.cast("double") / maxFrames).cast("int")
     docs.select(col("doc_id"), n.as("n_frames"), stride.as("_s"))
@@ -585,7 +585,7 @@ object Multimodal {
     * 3 → raw text (not a BMP at all).
     */
   def q59BmpPixels(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     val id = col("doc_id")
     val w = (id % 7 + 1).cast("int")
     val h = (id % 5 + 1).cast("int")
@@ -632,7 +632,7 @@ object Multimodal {
     */
   def q61BmpResample(spark: SparkSession, dir: String): DataFrame = {
     val maxEdge = 8
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     val id = col("doc_id")
     val smW = (id % 7 + 1).cast("int")
     val smH = (id % 5 + 1).cast("int")
@@ -705,7 +705,7 @@ object Multimodal {
     */
   def q60Y4mFrames(spark: SparkSession, dir: String): DataFrame = {
     val maxFrames = 4
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     val id = col("doc_id")
     val w = ((id % 4 + 1) * 2).cast("int")
     val h = ((id % 3 + 1) * 2).cast("int")
@@ -839,7 +839,7 @@ object Multimodal {
     */
   def q90Mp4Frames(spark: SparkSession, dir: String): DataFrame = {
     val maxFrames = 4
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     val id = col("doc_id")
     val w = (id % 5 + 1).cast("int")
     val h = (id % 4 + 1).cast("int")
@@ -951,7 +951,7 @@ object Multimodal {
     * oracle recomputes every column from the residue arithmetic.
     */
   def q58MediaManifest(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     val id = col("doc_id")
     val imgW = (id % 1920 + 1).cast("int")
     val imgH = (id % 1080 + 1).cast("int")
@@ -1042,7 +1042,7 @@ object Multimodal {
     */
   def q101ImageDedup(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     val id = col("doc_id")
     val sid = when(id % 6 === 5, id - 1).otherwise(id)
     val w = (sid % 13 + 4).cast("int")
@@ -1085,7 +1085,7 @@ object Multimodal {
     * collisions.
     */
   def q102ImageNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     val id = col("doc_id")
     // partner classes use %7 residues so a copy's SOURCE always renders
     // its own image (id%7==5 pairs with id-1 ≡ 4, id%7==3 with id-1 ≡ 2 —
@@ -1157,7 +1157,7 @@ object Multimodal {
     */
   def q118JpegPixels(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.JpegPixelOps
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     val id = col("doc_id")
     val bw = (id % 3 + 1).cast("long")
     val bh = (id % 2 + 1).cast("long")
@@ -1221,7 +1221,7 @@ object Multimodal {
     */
   def q121PngPixels(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.PngPixelOps
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     val id = col("doc_id")
     val w = (id % 6 + 1).cast("long")
     val h = (id % 4 + 1).cast("long")
@@ -1282,7 +1282,7 @@ object Multimodal {
     */
   def q124GifPixels(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.GifPixelOps
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     val id = col("doc_id")
     val w = (id % 6 + 1).cast("long")
     val h = (id % 4 + 1).cast("long")
@@ -1337,7 +1337,7 @@ object Multimodal {
     */
   def q127ImageIntake(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.{GifPixelOps, JpegPixelOps, PngPixelOps, TiffOps, TiffPixelOps, Vp8Ops, WebpPixelOps}
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     val id = col("doc_id")
     val jw = (id % 3 + 1).cast("long")
     val jh = (id % 2 + 1).cast("long")
@@ -1404,7 +1404,7 @@ object Multimodal {
     */
   def q129TiffMeta(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TiffOps
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     val id = col("doc_id")
     val w = ((id % 7 + 1) * 3).cast("long")
     val h = ((id % 6 + 1) * 4).cast("long") // mod 6: decorrelated from %5
@@ -1457,7 +1457,7 @@ object Multimodal {
     */
   def q130Mp3Meta(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Mp3Ops
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     val id = col("doc_id")
     val br = (id % 14 + 1).cast("long")
     val sr = (id % 3).cast("long")
@@ -1517,7 +1517,7 @@ object Multimodal {
     */
   def q131ExifIntake(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.ExifOps
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     val id = col("doc_id")
     val sid = when(id % 9 === 7, id - 1).otherwise(id)
     val bwU = sid % 3 + 2 // upright block grid: 2..4 wide,
@@ -1569,7 +1569,7 @@ object Multimodal {
     */
   def q135WebpPixels(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.WebpPixelOps
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     val id = col("doc_id")
     val w = (id % 6 + 2).cast("long") // >= 2: the copy class needs a row,
     val h = (id % 4 + 2).cast("long") // the cache class a second pixel
@@ -1616,7 +1616,7 @@ object Multimodal {
     */
   def q139FlacMeta(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.FlacOps
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     val id = col("doc_id")
     val mode = when(id % 5 === 1, 1L).when(id % 5 === 2, 2L)
       .when(id % 5 === 3, 3L).otherwise(0L)
@@ -1655,7 +1655,7 @@ object Multimodal {
     */
   def q149OggMeta(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.OggOps
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     val id = col("doc_id")
     val mode = when(id % 6 === 1, 1L).when(id % 6 === 2, 2L)
       .when(id % 6 === 3, 3L).when(id % 6 === 4, 4L).otherwise(0L)
@@ -1691,7 +1691,7 @@ object Multimodal {
     */
   def q152AviMeta(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.AviOps
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     val id = col("doc_id")
     val mode = when(id % 5 === 1, 1L).when(id % 5 === 2, 2L)
       .when(id % 5 === 3, 3L).otherwise(0L)
@@ -1733,7 +1733,7 @@ object Multimodal {
     */
   def q158Id3Tags(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Id3Ops
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     val id = col("doc_id")
     val mode = when(id % 5 === 1, 1L).when(id % 5 === 2, 2L)
       .when(id % 5 === 3, 3L).otherwise(0L)
@@ -1769,7 +1769,7 @@ object Multimodal {
     */
   def q159SvgMeta(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.SvgOps
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     val id = col("doc_id")
     val mode = when(id % 5 === 1, 1L).when(id % 5 === 2, 2L)
       .when(id % 5 === 3, 3L).otherwise(0L)
@@ -1805,7 +1805,7 @@ object Multimodal {
     */
   def q162EbmlMeta(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.EbmlOps
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     val id = col("doc_id")
     val mode = when(id % 5 === 1, 1L).when(id % 5 === 2, 2L)
       .when(id % 5 === 3, 3L).otherwise(0L)
@@ -1849,7 +1849,7 @@ object Multimodal {
     */
   def q176IcoMeta(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.IcoOps
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     val id = col("doc_id")
     val mode = when(id % 5 === 1, 1L).when(id % 5 === 2, 2L)
       .when(id % 5 === 3, 3L).otherwise(0L)
@@ -1894,7 +1894,7 @@ object Multimodal {
     */
   def q171G711Audio(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.G711Ops
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     val id = col("doc_id")
     val mode = when(id % 5 === 1, 1L).when(id % 5 === 2, 2L)
       .when(id % 5 === 3, 3L).otherwise(0L)
@@ -1937,7 +1937,7 @@ object Multimodal {
     */
   def q172PnmPixels(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.PnmOps
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     val id = col("doc_id")
     val mode = when(id % 6 === 1, 1L).when(id % 6 === 2, 2L)
       .when(id % 6 === 3, 3L).when(id % 6 === 4, 4L).otherwise(0L)
@@ -1992,7 +1992,7 @@ object Multimodal {
     */
   def q168DataUriHarvest(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.{GifPixelOps, JpegPixelOps, PngPixelOps}
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     val id = col("doc_id")
     val jw = (id % 3 + 1).cast("long")
     val jh = (id % 2 + 1).cast("long")
@@ -2087,7 +2087,7 @@ object Multimodal {
     * cancel. One narrow map, kernel once per row, zero exchanges.
     */
   def q196Vp8Pixels(spark: SparkSession, dir: String): DataFrame =
-    q196Vp8PixelsOn(Tables.load(spark, dir, "documents"))
+    q196Vp8PixelsOn(Tables.loadSpread(spark, dir, "documents"))
 
   /** [[q196Vp8Pixels]] over an explicit corpus (the ScaleSpec decade hook). */
   def q196Vp8PixelsOn(docs: DataFrame): DataFrame = {
@@ -2142,7 +2142,7 @@ object Multimodal {
     * kernel once per row, zero exchanges.
     */
   def q197TiffPixels(spark: SparkSession, dir: String): DataFrame =
-    q197TiffPixelsOn(Tables.load(spark, dir, "documents"))
+    q197TiffPixelsOn(Tables.loadSpread(spark, dir, "documents"))
 
   /** [[q197TiffPixels]] over an explicit corpus (ScaleSpec hook). */
   def q197TiffPixelsOn(docs: DataFrame): DataFrame = {

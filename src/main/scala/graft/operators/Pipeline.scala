@@ -220,5 +220,5 @@ object Pipeline {
     * lockstep with Oracles.corpusPipeline).
     */
   def q51CorpusPipeline(spark: SparkSession, dir: String): DataFrame =
-    corpusPipelineOn(Tables.load(spark, dir, "documents"), scrub = q51Scrub)
+    corpusPipelineOn(Tables.loadSpread(spark, dir, "documents"), scrub = q51Scrub)
 }

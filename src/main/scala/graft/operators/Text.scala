@@ -402,7 +402,7 @@ object Text {
     * source-cardinality and broadcast back.
     */
   def q88AdaptiveQuality(spark: SparkSession, dir: String): DataFrame =
-    adaptiveQualityOn(Tables.load(spark, dir, "documents"))
+    adaptiveQualityOn(Tables.loadSpread(spark, dir, "documents"))
 
   /** The q88 gate over any (doc_id, source, text) frame; the floor is
     * the value at ascending rank ceil(n·num/den) per source.
@@ -564,7 +564,7 @@ object Text {
 
   def q46PiiScrub(spark: SparkSession, dir: String): DataFrame = {
     val raw = synthContacts(col("doc_id"), col("text"))
-    Tables.load(spark, dir, "documents")
+    Tables.loadSpread(spark, dir, "documents")
       .select(col("doc_id"),
         regexp_count(raw, lit(emailRe)).cast("long").as("n_emails"),
         regexp_count(raw, lit(phoneRe)).cast("long").as("n_phones"),
@@ -813,7 +813,10 @@ object Text {
           "i -> struct(ws[i] AS prev, ws[i+1] AS cur))")).as("p"))
       .select(col("doc_id"), col("p.prev").as("prev"), col("p.cur").as("cur"))
     val big = pairs.groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
-    val ctx = pairs.groupBy("prev").agg(count(lit(1)).as("cp"))
+    // cp = Σ_cur cb: derived from the bigram model table (vocabulary-
+    // sized) instead of re-exploding the corpus — identical integers,
+    // one fewer corpus pass + shuffle (guide §2.3)
+    val ctx = big.groupBy("prev").agg(sum("cb").as("cp"))
     val scored = modelJoin(modelJoin(modelJoin(pairs,
         big, Seq("prev", "cur")),
         ctx, Seq("prev")),
@@ -883,7 +886,11 @@ object Text {
         "i -> struct(ws[i] AS w2, ws[i+1] AS w3))")).as("p"))
       .select(col("p.w2").as("w2"), col("p.w3").as("w3"))
     val bi = bg.groupBy("w2", "w3").agg(count(lit(1)).as("c2"))
-    val ctx2 = bg.groupBy("w2").agg(count(lit(1)).as("k2"))
+    // context counts DERIVE from the bigram table (k2 = Σ_w3 c2 — the
+    // identical integer), a vocabulary-sized re-aggregation instead of a
+    // second corpus-sized explode+shuffle (guide §2.3 "aggregate before
+    // you shuffle"; r18: two fewer corpus passes here and two below)
+    val ctx2 = bi.groupBy("w2").agg(sum("c2").as("k2"))
     def tgrams(df: DataFrame, withId: Boolean): DataFrame = {
       val cols = (if (withId) Seq(col("doc_id")) else Nil) ++ Seq(
         col("p.w1").as("w1"), col("p.w2").as("w2"), col("p.w3").as("w3"))
@@ -895,7 +902,7 @@ object Text {
     }
     val tg = tgrams(train, withId = false)
     val tri = tg.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
-    val ctx3 = tg.groupBy("w1", "w2").agg(count(lit(1)).as("k3"))
+    val ctx3 = tri.groupBy("w1", "w2").agg(sum("c3").as("k3"))
     val stream = tgrams(base, withId = true)
     val joined = stream
       .join(broadcast(tri), Seq("w1", "w2", "w3"), "left")
@@ -954,7 +961,7 @@ object Text {
     */
   def q157SentenceSplit(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.SentenceOps
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     val id = col("doc_id")
     val mode = when(id % 5 === 1, 1L).when(id % 5 === 2, 2L)
       .when(id % 5 === 3, 3L).otherwise(0L)
@@ -1383,7 +1390,7 @@ object Text {
     * the oracle replays scan + checksum + fold independently in DuckDB.
     */
   def q92PiiChecksum(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     val id = col("doc_id")
     val validArr = array(ValidPans.map(lit): _*)
     val invalidArr = array(InvalidPans.map(lit): _*)
@@ -1736,7 +1743,7 @@ object Text {
     * One narrow pass, zero exchanges.
     */
   def q177Readability(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     val id = col("doc_id")
     val ws = split(lower(coalesce(col("text"), lit(""))), "[^a-z0-9]+")
     val toks = filter(ws, w => length(w) > 0)

@@ -30,7 +30,7 @@ import graft.functions.{GzipOps, XzOps, ZstdBlockOps, ZstdOps}
 object Compress {
 
   def q184CompressRouter(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     val id = col("doc_id")
     val ws = filter(split(lower(coalesce(col("text"), lit(""))),
       "[^a-z0-9]+"), w => length(w) > 0)
@@ -111,7 +111,7 @@ object Compress {
     * zero exchanges.
     */
   def q191Bzip2Decode(spark: SparkSession, dir: String): DataFrame =
-    q191Bzip2DecodeOn(Tables.load(spark, dir, "documents"))
+    q191Bzip2DecodeOn(Tables.loadSpread(spark, dir, "documents"))
 
   /** [[q191Bzip2Decode]] over an explicit corpus (the ScaleSpec decade hook). */
   def q191Bzip2DecodeOn(docs: DataFrame): DataFrame = {
@@ -163,7 +163,7 @@ object Compress {
     * stacks. One narrow map, zero exchanges.
     */
   def q193UniversalDecode(spark: SparkSession, dir: String): DataFrame =
-    q193UniversalDecodeOn(Tables.load(spark, dir, "documents"))
+    q193UniversalDecodeOn(Tables.loadSpread(spark, dir, "documents"))
 
   /** [[q193UniversalDecode]] over an explicit corpus (the ScaleSpec decade hook). */
   def q193UniversalDecodeOn(docs: DataFrame): DataFrame = {
@@ -251,7 +251,7 @@ object Compress {
     * bytes); 4 → plain text (not xz). One narrow map, zero exchanges.
     */
   def q192XzDecode(spark: SparkSession, dir: String): DataFrame =
-    q192XzDecodeOn(Tables.load(spark, dir, "documents"))
+    q192XzDecodeOn(Tables.loadSpread(spark, dir, "documents"))
 
   /** [[q192XzDecode]] over an explicit corpus (the ScaleSpec decade hook). */
   def q192XzDecodeOn(docs: DataFrame): DataFrame = {
@@ -283,7 +283,7 @@ object Compress {
   }
 
   def q190Lz4Decode(spark: SparkSession, dir: String): DataFrame =
-    q190Lz4DecodeOn(Tables.load(spark, dir, "documents"))
+    q190Lz4DecodeOn(Tables.loadSpread(spark, dir, "documents"))
 
   /** [[q190Lz4Decode]] over an explicit corpus (the ScaleSpec decade hook). */
   def q190Lz4DecodeOn(docs: DataFrame): DataFrame = {

@@ -22,7 +22,7 @@ import graft.functions.TextOps.words
 object Docx {
 
   def q133DocxExtract(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     val id = col("doc_id")
     val mode = when(id % 5 === 4, lit(0L)).otherwise(id % 5)
     val whole = DocxOps.docxSynth(words(coalesce(col("text"), lit(""))), mode)

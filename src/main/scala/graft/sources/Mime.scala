@@ -26,7 +26,7 @@ import graft.functions.MimeOps
 object Mime {
 
   def q137MimeExtract(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     val id = col("doc_id")
     val mode = (id % 6).cast("long")
     val params = id + mode * lit(1L << 40)

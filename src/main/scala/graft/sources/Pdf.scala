@@ -38,7 +38,7 @@ import graft.functions.TextOps.words
 object Pdf {
 
   def q125PdfExtract(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     val id = col("doc_id")
     val mode = when(id % 7 === 1, 1).when(id % 7 === 2, 2)
       .when(id % 7 === 3, 3).when(id % 7 === 6, 4).otherwise(0)

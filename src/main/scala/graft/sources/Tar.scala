@@ -25,7 +25,7 @@ import graft.functions.TarOps
 object Tar {
 
   def q136TarExtract(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     val id = col("doc_id")
     val mode = when(id % 5 === 1, 2L).when(id % 5 === 2, 1L).otherwise(0L)
     val params = id + mode * lit(1L << 40)
@@ -66,7 +66,7 @@ object Tar {
     * stacks plus the passthrough. One narrow map, zero exchanges.
     */
   def q195TarballIntake(spark: SparkSession, dir: String): DataFrame =
-    q195TarballIntakeOn(Tables.load(spark, dir, "documents"))
+    q195TarballIntakeOn(Tables.loadSpread(spark, dir, "documents"))
 
   /** [[q195TarballIntake]] over an explicit corpus (the ScaleSpec decade hook). */
   def q195TarballIntakeOn(docs: DataFrame): DataFrame = {

@@ -31,7 +31,7 @@ import graft.functions.{Bzip2Ops, WikiOps}
 object Wiki {
 
   def q194WikiDump(spark: SparkSession, dir: String): DataFrame =
-    q194WikiDumpOn(Tables.load(spark, dir, "documents"))
+    q194WikiDumpOn(Tables.loadSpread(spark, dir, "documents"))
 
   /** [[q194WikiDump]] over an explicit corpus (the ScaleSpec decade hook). */
   def q194WikiDumpOn(docs: DataFrame): DataFrame = {

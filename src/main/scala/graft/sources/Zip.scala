@@ -26,7 +26,7 @@ import graft.functions.ZipOps
 object Zip {
 
   def q132ZipExtract(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     val id = col("doc_id")
     val mode = when(id % 8 === 2, 1L).when(id % 8 === 3, 2L).otherwise(0L)
     val params = id + mode * lit(1L << 40)

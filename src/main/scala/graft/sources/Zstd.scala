@@ -30,7 +30,7 @@ import graft.functions.{ZstdBlockOps, ZstdOps}
 object Zstd {
 
   def q165ZstdTriage(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     val id = col("doc_id")
     val mode = when(id % 5 === 1, 1L).when(id % 5 === 2, 2L)
       .when(id % 5 === 3, 3L).otherwise(0L)
@@ -83,7 +83,7 @@ object Zstd {
     * closes md5 itself. One narrow map, zero exchanges.
     */
   def q188ZstdDecode(spark: SparkSession, dir: String): DataFrame =
-    q188ZstdDecodeOn(Tables.load(spark, dir, "documents"))
+    q188ZstdDecodeOn(Tables.loadSpread(spark, dir, "documents"))
 
   /** [[q188ZstdDecode]] over an explicit corpus (the ScaleSpec decade hook). */
   def q188ZstdDecodeOn(docs: DataFrame): DataFrame = {

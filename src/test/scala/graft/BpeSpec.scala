@@ -44,6 +44,27 @@ class BpeSpec extends AnyFunSuite {
     assert(got === Seq((1, "a", "a", "aa", 3L), (2, "aa", "aa", "aaaa", 1L)))
   }
 
+  test("local merge rounds equal the distributed loop on fixture and corpus") {
+    // r18: vocabularies within spark.graft.bpe.localVocabMax train
+    // in-driver; the merge table must be identical to the distributed
+    // loop's (same counts, same UTF-8 tie order, same greedy fold)
+    import spark.implicits._
+    def distributed[T](body: => T): T = {
+      spark.conf.set("spark.graft.bpe.localVocabMax", "0")
+      try body finally spark.conf.unset("spark.graft.bpe.localVocabMax")
+    }
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    assert(table(Bpe.bpeTrainOn(docs, 5)) ===
+      distributed(table(Bpe.bpeTrainOn(docs, 5))))
+    assert(table(Bpe.q85BpeTrain(spark, TestSpark.Sf0001)) ===
+      distributed(table(Bpe.q85BpeTrain(spark, TestSpark.Sf0001))))
+    // byte-level rung too (hex-pair alphabet)
+    assert(table(Bpe.byteBpeTrainOn(docs, 6)) ===
+      distributed(table(Bpe.byteBpeTrainOn(docs, 6))))
+  }
+
   test("operator matches an independent imperative replay on the corpus") {
     import spark.implicits._
     val freqs = Tables.load(spark, TestSpark.Sf0001, "documents")

@@ -34,6 +34,10 @@ class ComponentScaleSpec extends AnyFunSuite {
   }
 
   test("one skewed component: 10x edges, logarithmic rounds, ~linear time", Slow) {
+    // the round-count bound pins the DISTRIBUTED contraction loop — force
+    // it (r18: graphs under spark.graft.cc.localEdgeMax otherwise finish
+    // by in-driver union-find and never run a round)
+    spark.conf.set("spark.graft.cc.localEdgeMax", "0")
     def run(n: Int): Double = {
       val t0 = System.nanoTime()
       // maxIter = 18 IS the round-count assertion: contraction needs
@@ -48,6 +52,7 @@ class ComponentScaleSpec extends AnyFunSuite {
     }
     val tSmall = run(20000)
     val tBig = run(200000)
+    spark.conf.unset("spark.graft.cc.localEdgeMax")
     // rounds grow by ~log2(10) ≈ 3 and per-round work by ≤ 10×; allow
     // generous headroom for fixed per-job overhead and machine noise,
     // while still refusing anything superlinear-squared

@@ -120,6 +120,19 @@ class CrawlSpec extends AnyFunSuite {
       .count() === 0)
   }
 
+  test("q96: in-driver rank rounds equal the distributed loop bit-for-bit") {
+    // r18: host/edge tables within the local caps run the five power-
+    // iteration rounds in-driver; the integer arithmetic must reproduce
+    // the distributed loop's exact floors on every host
+    val local = Crawl.q96LinkRank(spark, TestSpark.Sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    spark.conf.set("spark.graft.rank.localHostMax", "0")
+    val dist = try Crawl.q96LinkRank(spark, TestSpark.Sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    finally spark.conf.unset("spark.graft.rank.localHostMax")
+    assert(local.toSeq === dist.toSeq)
+  }
+
   test("q96: rank mass conserves within floor slack; dangling hosts still earn rank") {
     val r = Crawl.q96LinkRank(spark, TestSpark.Sf0001).collect()
     val n = r.length

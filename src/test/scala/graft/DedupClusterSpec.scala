@@ -14,6 +14,33 @@ class DedupClusterSpec extends AnyFunSuite {
     Dedup.connectedComponents(pairs.toDF("doc_a", "doc_b"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  /** Force the distributed star-contraction loop (r18: graphs within
+    * `spark.graft.cc.localEdgeMax` finish by in-driver union-find, which
+    * every sf0.001 test graph otherwise takes) for the tests that pin the
+    * LOOP itself.
+    */
+  private def forcingDistributed[T](body: => T): T = {
+    spark.conf.set("spark.graft.cc.localEdgeMax", "0")
+    try body finally spark.conf.unset("spark.graft.cc.localEdgeMax")
+  }
+
+  test("local union-find finish equals the distributed contraction labels") {
+    // chain + triangle + pair + a redundant edge — run BOTH regimes over
+    // the same pair list and require identical label maps
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L), (2L, 4L))
+    val local = cc(pairs: _*)
+    val dist = forcingDistributed(cc(pairs: _*))
+    assert(local === dist)
+    // and through the real producer: q40's pair graph at sf0.001
+    val viaLocal = Dedup.q40EmbedNearDup(spark, TestSpark.Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDist = forcingDistributed(
+      Dedup.q40EmbedNearDup(spark, TestSpark.Sf0001)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    assert(viaLocal === viaDist)
+  }
+
   test("chains, triangles and singleton pairs resolve to min-id components") {
     // chain 1-2-3-4, triangle 10-11-12 (+ redundant edge), pair 20-21
     val labels = cc((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
@@ -49,9 +76,9 @@ class DedupClusterSpec extends AnyFunSuite {
     def rev12(i: Long): Long =
       (0 until 12).foldLeft(0L)((a, b) => a | (((i >> b) & 1L) << (11 - b)))
     val edges = (0L until 4095L).map(i => (rev12(i), rev12(i + 1)))
-    val labels = Dedup.connectedComponents(
+    val labels = forcingDistributed(Dedup.connectedComponents(
       edges.toDF("doc_a", "doc_b"), maxIter = 14)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
     assert(labels.values.toSet === Set(0L))
     assert(labels.size === 4096)
   }
@@ -66,12 +93,23 @@ class DedupClusterSpec extends AnyFunSuite {
     // concurrently reap persisted RDDs left by EARLIER tests, which would
     // skew a count comparison
     val before = spark.sparkContext.getPersistentRDDs.keySet
-    val labels = Dedup.connectedComponents(
-      (0L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b"))
-    labels.collect()
+    val labels = forcingDistributed {
+      val l = Dedup.connectedComponents(
+        (0L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b"))
+      l.collect()
+      l
+    }
     val fresh = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(fresh.size === 1,
       s"expected 1 surviving checkpoint, got ${fresh.size}")
+    // the LOCAL regime must leak NOTHING: the union-find result is a
+    // LocalRelation and every loop checkpoint is drained on return
+    val before2 = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.connectedComponents(
+      (0L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")).collect()
+    val fresh2 = spark.sparkContext.getPersistentRDDs.keySet -- before2
+    assert(fresh2.isEmpty,
+      s"local-finish regime leaked checkpoints: $fresh2")
   }
 
   test("canonical-keeper property: exactly one member per cluster keeps itself") {
@@ -108,6 +146,10 @@ class DedupClusterSpec extends AnyFunSuite {
       def rev12(i: Long): Long =
         (0 until 12).foldLeft(0L)((a, b) => a | (((i >> b) & 1L) << (11 - b)))
       val edges = (0L until 4095L).map(i => (rev12(i), rev12(i + 1)))
+      // localEdgeMax=0 via the caller conf INSIDE the future would race
+      // the concurrent-planning assertion below; set it around the whole
+      // test body instead
+      spark.conf.set("spark.graft.cc.localEdgeMax", "0")
       val fut = Future(
         Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"), maxIter = 14))
       val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
@@ -124,7 +166,10 @@ class DedupClusterSpec extends AnyFunSuite {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(labels.values.toSet === Set(0L))
       assert(labels.size === 4096)
-    } finally spark.sparkContext.removeSparkListener(listener)
+    } finally {
+      spark.conf.unset("spark.graft.cc.localEdgeMax")
+      spark.sparkContext.removeSparkListener(listener)
+    }
     // every sample of the caller's conf taken during the run must equal
     // the originals — the toggles were never visible outside the clone
     val seen = samples.iterator().asScala.toSet
