@@ -22,7 +22,7 @@ import graft.functions.MojibakeOps
 object Mojibake {
 
   def q143MojibakeRepair(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.loadSpread(spark, dir, "documents")
+    val docs = Tables.load(spark, dir, "documents")
     val id = col("doc_id")
     val payload = MojibakeOps.mojibakeSynth(col("text"), (id % 5).cast("int"))
     docs.select(id, payload.as("_p"))

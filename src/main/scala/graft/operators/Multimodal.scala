@@ -22,7 +22,7 @@ object Multimodal {
     * expressions over the binary column; at scale this is a pure map stage.
     */
   def q33BinaryMeta(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.loadSpread(spark, dir, "documents")
+    val docs = Tables.load(spark, dir, "documents")
     docs.select(
       col("doc_id"),
       md5(col("text").cast("binary")).as("fp"),
@@ -255,7 +255,7 @@ object Multimodal {
       le24hex(width - 1), le24hex(height - 1))
 
   def q39PngMeta(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.loadSpread(spark, dir, "documents")
+    val docs = Tables.load(spark, dir, "documents")
     val width = (col("doc_id") % 1920 + 1).cast("int")
     val height = (col("doc_id") % 1080 + 1).cast("int")
     val pngHex = synthPngHex(width, height)
@@ -382,7 +382,7 @@ object Multimodal {
     * 3 → raw text.
     */
   def q62WavPcm(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.loadSpread(spark, dir, "documents")
+    val docs = Tables.load(spark, dir, "documents")
     val id = col("doc_id")
     val n = (id % 50 + 1).cast("int")
     val payload = when(id % 4 === 3, col("text").cast("binary"))
@@ -401,7 +401,7 @@ object Multimodal {
   }
 
   def q56AvMeta(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.loadSpread(spark, dir, "documents")
+    val docs = Tables.load(spark, dir, "documents")
     // WAV parameters from residues: 1-2 channels, 8000-36000 Hz, 8/16 bit
     val channels = (col("doc_id") % 2 + 1).cast("int")
     val rate = (lit(8000) + (col("doc_id") % 8).cast("int") * 4000).cast("int")
@@ -469,7 +469,7 @@ object Multimodal {
   def q57FrameSample(spark: SparkSession, dir: String): DataFrame = {
     val maxFrames = 8
     val fps = 30
-    val docs = Tables.loadSpread(spark, dir, "documents")
+    val docs = Tables.load(spark, dir, "documents")
     val n = (col("doc_id") % 240 + 1).cast("int")
     val stride = ceil(n.cast("double") / maxFrames).cast("int")
     docs.select(col("doc_id"), n.as("n_frames"), stride.as("_s"))
@@ -585,7 +585,7 @@ object Multimodal {
     * 3 → raw text (not a BMP at all).
     */
   def q59BmpPixels(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.loadSpread(spark, dir, "documents")
+    val docs = Tables.load(spark, dir, "documents")
     val id = col("doc_id")
     val w = (id % 7 + 1).cast("int")
     val h = (id % 5 + 1).cast("int")
@@ -705,7 +705,7 @@ object Multimodal {
     */
   def q60Y4mFrames(spark: SparkSession, dir: String): DataFrame = {
     val maxFrames = 4
-    val docs = Tables.loadSpread(spark, dir, "documents")
+    val docs = Tables.load(spark, dir, "documents")
     val id = col("doc_id")
     val w = ((id % 4 + 1) * 2).cast("int")
     val h = ((id % 3 + 1) * 2).cast("int")
@@ -839,7 +839,7 @@ object Multimodal {
     */
   def q90Mp4Frames(spark: SparkSession, dir: String): DataFrame = {
     val maxFrames = 4
-    val docs = Tables.loadSpread(spark, dir, "documents")
+    val docs = Tables.load(spark, dir, "documents")
     val id = col("doc_id")
     val w = (id % 5 + 1).cast("int")
     val h = (id % 4 + 1).cast("int")
@@ -951,7 +951,7 @@ object Multimodal {
     * oracle recomputes every column from the residue arithmetic.
     */
   def q58MediaManifest(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.loadSpread(spark, dir, "documents")
+    val docs = Tables.load(spark, dir, "documents")
     val id = col("doc_id")
     val imgW = (id % 1920 + 1).cast("int")
     val imgH = (id % 1080 + 1).cast("int")
@@ -1042,7 +1042,7 @@ object Multimodal {
     */
   def q101ImageDedup(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.loadSpread(spark, dir, "documents")
+    val docs = Tables.load(spark, dir, "documents")
     val id = col("doc_id")
     val sid = when(id % 6 === 5, id - 1).otherwise(id)
     val w = (sid % 13 + 4).cast("int")
@@ -1109,14 +1109,27 @@ object Multimodal {
         shiftrightunsigned(col("ahash"), 16 * i)
           .bitwiseAND(lit(0xFFFFL)).as("bval"))): _*)).as("b"))
       .select(id, col("ahash"), col("b.band").as("band"), col("b.bval").as("bval"))
-    val a = bands.select(col("doc_id").as("id_a"), col("ahash").as("_ha"),
-      col("band"), col("bval"))
-    val b2 = bands.select(col("doc_id").as("id_b"), col("ahash").as("_hb"),
-      col("band"), col("bval"))
-    a.join(b2, Seq("band", "bval"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("_ha").bitwiseXOR(col("_hb"))).as("hamming"))
+    // r18: candidates are enumerated INSIDE the (band, bval) group (the
+    // q44 in-bucket discipline, posexplode+slice spelling — fingerprints
+    // are 16 bytes/member, so the carried-array copy tax is immaterial
+    // and the whole pipeline stays in whole-stage codegen) instead of a
+    // band self-join: the join's two sides each re-ran the full BMP
+    // synthesis + aHash kernel pass (profiled at 2.5 s + 3.4 s of
+    // single-task time — ReusedExchange cannot fire across a broadcast
+    // build), where the grouped spelling hashes each payload exactly
+    // once. Pair set unchanged: same (band, bval) meet, same id_a < id_b
+    // canonicalization (least/greatest over the in-bucket i<j), same
+    // distinct-then-threshold order — oracle hash-green.
+    bands
+      .groupBy("band", "bval")
+      .agg(collect_list(struct(col("doc_id"), col("ahash"))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+      .select(col("ms"), posexplode(col("ms")).as(Seq("_i", "a")))
+      .select(col("a"), explode(expr("slice(ms, _i + 2, size(ms))")).as("b"))
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"),
+        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).as("hamming"))
       .distinct()
       .where(col("hamming") <= 10)
   }
@@ -1221,7 +1234,7 @@ object Multimodal {
     */
   def q121PngPixels(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.PngPixelOps
-    val docs = Tables.loadSpread(spark, dir, "documents")
+    val docs = Tables.load(spark, dir, "documents")
     val id = col("doc_id")
     val w = (id % 6 + 1).cast("long")
     val h = (id % 4 + 1).cast("long")
@@ -1282,7 +1295,7 @@ object Multimodal {
     */
   def q124GifPixels(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.GifPixelOps
-    val docs = Tables.loadSpread(spark, dir, "documents")
+    val docs = Tables.load(spark, dir, "documents")
     val id = col("doc_id")
     val w = (id % 6 + 1).cast("long")
     val h = (id % 4 + 1).cast("long")
@@ -1404,7 +1417,7 @@ object Multimodal {
     */
   def q129TiffMeta(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TiffOps
-    val docs = Tables.loadSpread(spark, dir, "documents")
+    val docs = Tables.load(spark, dir, "documents")
     val id = col("doc_id")
     val w = ((id % 7 + 1) * 3).cast("long")
     val h = ((id % 6 + 1) * 4).cast("long") // mod 6: decorrelated from %5
@@ -1457,7 +1470,7 @@ object Multimodal {
     */
   def q130Mp3Meta(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Mp3Ops
-    val docs = Tables.loadSpread(spark, dir, "documents")
+    val docs = Tables.load(spark, dir, "documents")
     val id = col("doc_id")
     val br = (id % 14 + 1).cast("long")
     val sr = (id % 3).cast("long")
@@ -1616,7 +1629,7 @@ object Multimodal {
     */
   def q139FlacMeta(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.FlacOps
-    val docs = Tables.loadSpread(spark, dir, "documents")
+    val docs = Tables.load(spark, dir, "documents")
     val id = col("doc_id")
     val mode = when(id % 5 === 1, 1L).when(id % 5 === 2, 2L)
       .when(id % 5 === 3, 3L).otherwise(0L)
@@ -1655,7 +1668,7 @@ object Multimodal {
     */
   def q149OggMeta(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.OggOps
-    val docs = Tables.loadSpread(spark, dir, "documents")
+    val docs = Tables.load(spark, dir, "documents")
     val id = col("doc_id")
     val mode = when(id % 6 === 1, 1L).when(id % 6 === 2, 2L)
       .when(id % 6 === 3, 3L).when(id % 6 === 4, 4L).otherwise(0L)
@@ -1691,7 +1704,7 @@ object Multimodal {
     */
   def q152AviMeta(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.AviOps
-    val docs = Tables.loadSpread(spark, dir, "documents")
+    val docs = Tables.load(spark, dir, "documents")
     val id = col("doc_id")
     val mode = when(id % 5 === 1, 1L).when(id % 5 === 2, 2L)
       .when(id % 5 === 3, 3L).otherwise(0L)
@@ -1733,7 +1746,7 @@ object Multimodal {
     */
   def q158Id3Tags(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Id3Ops
-    val docs = Tables.loadSpread(spark, dir, "documents")
+    val docs = Tables.load(spark, dir, "documents")
     val id = col("doc_id")
     val mode = when(id % 5 === 1, 1L).when(id % 5 === 2, 2L)
       .when(id % 5 === 3, 3L).otherwise(0L)
@@ -1769,7 +1782,7 @@ object Multimodal {
     */
   def q159SvgMeta(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.SvgOps
-    val docs = Tables.loadSpread(spark, dir, "documents")
+    val docs = Tables.load(spark, dir, "documents")
     val id = col("doc_id")
     val mode = when(id % 5 === 1, 1L).when(id % 5 === 2, 2L)
       .when(id % 5 === 3, 3L).otherwise(0L)
@@ -1805,7 +1818,7 @@ object Multimodal {
     */
   def q162EbmlMeta(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.EbmlOps
-    val docs = Tables.loadSpread(spark, dir, "documents")
+    val docs = Tables.load(spark, dir, "documents")
     val id = col("doc_id")
     val mode = when(id % 5 === 1, 1L).when(id % 5 === 2, 2L)
       .when(id % 5 === 3, 3L).otherwise(0L)
@@ -1849,7 +1862,7 @@ object Multimodal {
     */
   def q176IcoMeta(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.IcoOps
-    val docs = Tables.loadSpread(spark, dir, "documents")
+    val docs = Tables.load(spark, dir, "documents")
     val id = col("doc_id")
     val mode = when(id % 5 === 1, 1L).when(id % 5 === 2, 2L)
       .when(id % 5 === 3, 3L).otherwise(0L)
@@ -1894,7 +1907,7 @@ object Multimodal {
     */
   def q171G711Audio(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.G711Ops
-    val docs = Tables.loadSpread(spark, dir, "documents")
+    val docs = Tables.load(spark, dir, "documents")
     val id = col("doc_id")
     val mode = when(id % 5 === 1, 1L).when(id % 5 === 2, 2L)
       .when(id % 5 === 3, 3L).otherwise(0L)
@@ -1937,7 +1950,7 @@ object Multimodal {
     */
   def q172PnmPixels(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.PnmOps
-    val docs = Tables.loadSpread(spark, dir, "documents")
+    val docs = Tables.load(spark, dir, "documents")
     val id = col("doc_id")
     val mode = when(id % 6 === 1, 1L).when(id % 6 === 2, 2L)
       .when(id % 6 === 3, 3L).when(id % 6 === 4, 4L).otherwise(0L)
@@ -1992,7 +2005,7 @@ object Multimodal {
     */
   def q168DataUriHarvest(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.{GifPixelOps, JpegPixelOps, PngPixelOps}
-    val docs = Tables.loadSpread(spark, dir, "documents")
+    val docs = Tables.load(spark, dir, "documents")
     val id = col("doc_id")
     val jw = (id % 3 + 1).cast("long")
     val jh = (id % 2 + 1).cast("long")
@@ -2142,7 +2155,7 @@ object Multimodal {
     * kernel once per row, zero exchanges.
     */
   def q197TiffPixels(spark: SparkSession, dir: String): DataFrame =
-    q197TiffPixelsOn(Tables.loadSpread(spark, dir, "documents"))
+    q197TiffPixelsOn(Tables.load(spark, dir, "documents"))
 
   /** [[q197TiffPixels]] over an explicit corpus (ScaleSpec hook). */
   def q197TiffPixelsOn(docs: DataFrame): DataFrame = {

@@ -151,7 +151,21 @@ object Pipeline {
     // generation and the final keep-join below; without this, stages 1-3
     // (scan + shingle join + dedup window) replay per consumer
     val exdedupCk = survivorPlan(docs, holdout, qualityFloor).localCheckpoint(true)
-    val exdedup = org.apache.spark.sql.graft.ColumnBridge.freshStats(exdedupCk)
+    val ckFresh = org.apache.spark.sql.graft.ColumnBridge.freshStats(exdedupCk)
+    // r18 parallelism floor (the Tables.loadSpread rule applied to the
+    // checkpoint): AQE coalesces the survivor frame's closing shuffle to
+    // ONE partition at small corpus sizes, which serialized the entire
+    // downstream half of the pipeline — LSH pair generation, TF-IDF,
+    // packing — into ~10 sequential single-task jobs (profiled ~1.9 s at
+    // sf0.1). When the checkpoint under-fills the cluster, respread it by
+    // a DETACHED key (consumers re-run this exchange from the checkpoint,
+    // a few thousand rows — never the survivor plan itself); at corpus
+    // scale the checkpoint already carries ≥ cores partitions and the
+    // condition never fires.
+    val dp = docs.sparkSession.sparkContext.defaultParallelism
+    val exdedup = if (ckFresh.rdd.getNumPartitions < dp)
+      ckFresh.repartition(dp, xxhash64(col("doc_id")))
+    else ckFresh
 
     // 4. LSH near-dup components over the survivors (q22/q35/q37's exact
     //    scheme, frame-parameterized): keep singletons (no candidate

@@ -29,7 +29,7 @@ import graft.functions.{TarOps, WdsOps}
 object Wds {
 
   def q163WdsSamples(spark: SparkSession, dir: String): DataFrame =
-    wdsSamplesOn(Tables.loadSpread(spark, dir, "documents"))
+    wdsSamplesOn(Tables.load(spark, dir, "documents"))
 
   /** The q163 computation over any (doc_id, text) frame (ScaleSpec
     * runs the decade over synthetic corpora). */
@@ -87,7 +87,7 @@ object Wds {
     * image blob map-side), decode narrow after it.
     */
   def q174MediaShards(spark: SparkSession, dir: String): DataFrame =
-    mediaShardsOn(Tables.loadSpread(spark, dir, "documents"))
+    mediaShardsOn(Tables.load(spark, dir, "documents"))
 
   /** The q174 computation over any (doc_id, text) frame. */
   def mediaShardsOn(docs: DataFrame): DataFrame = {

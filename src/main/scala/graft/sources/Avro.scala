@@ -31,7 +31,7 @@ import graft.functions.AvroOps
 object Avro {
 
   def q164AvroIngest(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.loadSpread(spark, dir, "documents")
+    val docs = Tables.load(spark, dir, "documents")
     val id = col("doc_id")
     val mode = when(id % 5 === 1, 1L).when(id % 5 === 2, 2L)
       .when(id % 5 === 3, 3L).otherwise(0L)

@@ -30,7 +30,7 @@ import graft.functions.{GzipOps, XzOps, ZstdBlockOps, ZstdOps}
 object Compress {
 
   def q184CompressRouter(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.loadSpread(spark, dir, "documents")
+    val docs = Tables.load(spark, dir, "documents")
     val id = col("doc_id")
     val ws = filter(split(lower(coalesce(col("text"), lit(""))),
       "[^a-z0-9]+"), w => length(w) > 0)
@@ -111,7 +111,7 @@ object Compress {
     * zero exchanges.
     */
   def q191Bzip2Decode(spark: SparkSession, dir: String): DataFrame =
-    q191Bzip2DecodeOn(Tables.loadSpread(spark, dir, "documents"))
+    q191Bzip2DecodeOn(Tables.load(spark, dir, "documents"))
 
   /** [[q191Bzip2Decode]] over an explicit corpus (the ScaleSpec decade hook). */
   def q191Bzip2DecodeOn(docs: DataFrame): DataFrame = {
@@ -283,7 +283,7 @@ object Compress {
   }
 
   def q190Lz4Decode(spark: SparkSession, dir: String): DataFrame =
-    q190Lz4DecodeOn(Tables.loadSpread(spark, dir, "documents"))
+    q190Lz4DecodeOn(Tables.load(spark, dir, "documents"))
 
   /** [[q190Lz4Decode]] over an explicit corpus (the ScaleSpec decade hook). */
   def q190Lz4DecodeOn(docs: DataFrame): DataFrame = {

@@ -78,7 +78,7 @@ object Csv {
       val corrupt = spark.createDataset(Seq(
         "this line was never csv",
         "### neither was this one"))
-      Tables.loadSpread(spark, dir, "documents")
+      Tables.load(spark, dir, "documents")
         .select(to_csv(struct(col("doc_id"), decorated.as("dec"),
           col("lang"), col("source"), col("n_chars")),
           csvOpts.asJava).as("line"))

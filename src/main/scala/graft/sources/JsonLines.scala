@@ -72,7 +72,7 @@ object JsonLines {
       val corrupt = spark.createDataset(Seq(
         """{"doc_id": broken""",
         "this line was never JSON"))
-      Tables.loadSpread(spark, dir, "documents").toJSON
+      Tables.load(spark, dir, "documents").toJSON
         .union(corrupt)
         .write.mode("overwrite").text(twin.getAbsolutePath)
     }

@@ -25,7 +25,7 @@ import graft.functions.TarOps
 object Tar {
 
   def q136TarExtract(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.loadSpread(spark, dir, "documents")
+    val docs = Tables.load(spark, dir, "documents")
     val id = col("doc_id")
     val mode = when(id % 5 === 1, 2L).when(id % 5 === 2, 1L).otherwise(0L)
     val params = id + mode * lit(1L << 40)

@@ -96,7 +96,7 @@ object Warc {
     // trusting a generator invariant
     val stream = when(d % 10 === 9, concat(lit("!"), col("text")).cast("binary"))
       .otherwise(synthStream(d, d % 3 + 1).cast("binary"))
-    Tables.loadSpread(spark, dir, "documents")
+    Tables.load(spark, dir, "documents")
       .select(d, stream.as("_p"))
       // ONE walk per stream: the offsets table carries every record's
       // byte offset PLUS the packed verdict as its trailer element, and
