@@ -56,11 +56,13 @@ object Tables {
             (512L * 1024).toString)).toLong
         val maxSplit = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
           .takeWhile(_.isDigit) match { case "" => 134217728L; case s => s.toLong }
+        // NonFatal only (ADVICE r18): a Throwable catch would swallow
+        // OutOfMemoryError/InterruptedException into "spread skipped"
         val len = try {
           val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
           p.getFileSystem(spark.sparkContext.hadoopConfiguration)
             .getFileStatus(p).getLen
-        } catch { case _: Throwable => 0L }
+        } catch { case scala.util.control.NonFatal(_) => 0L }
         val estSplits = math.max(1L, (len + maxSplit - 1) / maxSplit)
         // DETACHED deterministic spread key (xxhash64 of the primary key,
         // not the key itself): partitioning by the raw key would SATISFY a

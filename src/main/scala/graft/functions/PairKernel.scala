@@ -30,6 +30,24 @@ import org.apache.spark.sql.types._
   * contract) or whose norm is NULL fails the `>=` predicate and is simply
   * not emitted; a NULL member list yields NULL (BinaryExpression gate).
   *
+  * NaN/zero-divisor semantics mirror the HOF twin too (ADVICE r18, which
+  * flagged a silent divergence here). Two cases, both now bit-identical
+  * to the SQL spelling under the session's own config:
+  *
+  *  - NaN ratio with a NON-zero divisor (NaN vector elements — the norm
+  *    is then NaN too, so the divisor is NaN, not 0): Spark compares
+  *    doubles NaN-as-largest (`nanSafeCompareDoubles`), so the SQL
+  *    `>= threshold` SATISFIES and the pair is emitted. A plain Java
+  *    `NaN >= t` is false, so the loop emits on `ratio >= t || isNaN`.
+  *  - ZERO divisor (a zero-norm vector): under ANSI mode (the Spark 4
+  *    default, and what every graft session runs) Catalyst's `Divide`
+  *    THROWS DIVIDE_BY_ZERO before any comparison happens — the kernel
+  *    raises the same error; with ANSI off the division yields NaN/±Inf
+  *    and falls into the comparison rule above.
+  *
+  * PairKernelSpec pins both against the HOF twin (zero-norm and
+  * NaN-element member fixtures).
+  *
   * CodegenFallback is deliberate and cheap here: the expression is
   * invoked once per BUCKET GROUP (thousands of rows), never per pair —
   * the hot loop below is already compiled Scala over UnsafeArrayData, so
@@ -51,6 +69,7 @@ case class BucketDupPairs(left: Expression, right: Expression)
   override protected def nullSafeEval(msAny: Any, tAny: Any): Any = {
     val ms = msAny.asInstanceOf[ArrayData]
     val t = tAny.asInstanceOf[Double]
+    val ansi = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
     val n = ms.numElements()
     if (n < 2) return new GenericArrayData(Array.empty[Any])
     // unpack once per bucket: ids, vectors, norms
@@ -85,7 +104,16 @@ case class BucketDupPairs(left: Expression, right: Expression)
               else s += vi.getDouble(k) * vj.getDouble(k)
               k += 1
             }
-            if (!nullElem && s / (nrms(i) * nrms(j)) >= t) {
+            val div = nrms(i) * nrms(j)
+            // ANSI Divide: a zero divisor throws before any comparison —
+            // exactly what the SQL twin does on a zero-norm vector
+            if (!nullElem && ansi && div == 0.0)
+              throw org.apache.spark.sql.graft.ColumnBridge
+                .divideByZeroError(origin.context)
+            val ratio = s / div
+            // Spark's nanSafeCompareDoubles: NaN is the LARGEST double,
+            // so a NaN ratio passes any threshold — match it exactly
+            if (!nullElem && (ratio >= t || java.lang.Double.isNaN(ratio))) {
               val row = new org.apache.spark.sql.catalyst.expressions
                 .GenericInternalRow(2)
               row.setLong(0, math.min(ids(i), ids(j)))

@@ -281,7 +281,20 @@ object Dedup {
     // never sees a driver-sized collect.
     val localEdgeMax = caller.conf.get("spark.graft.cc.localEdgeMax",
       (1L << 20).toString).toLong
-    if (prevSig._1 <= localEdgeMax) {
+    // the vertex set must pass its own cap (ADVICE r18): the edge gate
+    // bounds NON-SELF pairs, but with includeSingletons the collected
+    // vertex set also carries self-pair-only vertices, which edge
+    // cardinality does not bound — probe the (already materialized)
+    // vertex checkpoint before committing to a driver collect. 2× the
+    // edge cap ≈ the two-endpoints-per-edge width the edge collect
+    // already implies. Both probes read checkpoints; nothing upstream
+    // re-executes, and a failed probe falls through to the unchanged
+    // distributed loop.
+    def localVertsOk: Boolean = verts.forall { v =>
+      val cap = math.min(2L * localEdgeMax, Int.MaxValue.toLong - 1)
+      v.limit(cap.toInt + 1).collect().length <= cap
+    }
+    if (prevSig._1 <= localEdgeMax && localVertsOk) {
       val dt = e.schema("hi").dataType
       val edgeRows = e.select(col("hi").cast("long"), col("lo").cast("long"))
         .collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -549,6 +562,10 @@ object Dedup {
     * vectors; clustered embeddings lose little, AnnScaleSpec).
     */
   def q44EmbedNearDupFull(spark: SparkSession, dir: String): DataFrame = {
+    // left UNmaterialized (r19 A/B): the only re-executions are the
+    // footer-cheap count and the components loop's single pair
+    // materialization — both checkpoint variants measured neutral at
+    // best (ck+spread 1.55 → 1.94, ck-only 1.55 → 1.70 vs noise)
     val v = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"),
         graft.functions.VectorOps.toDoubleArray(col("embedding")).as("v"))
@@ -680,7 +697,11 @@ object Dedup {
     */
   def q70SubstringDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.loadSpread(spark, dir, "documents")
-    val withWords = docs.select(col("doc_id"), words(col("text")).as("ws"))
+    // tokenize ONCE (r18 verdict task #5): the shingle-instance explode
+    // and the final reconstruction join both consumed the tokenized frame
+    // as duplicated subtrees — scan + split ran twice per query
+    val withWords = Materialize.once("q70.tokens",
+      docs.select(col("doc_id"), words(col("text")).as("ws")))
     val inst = withWords
       .filter(size(col("ws")) >= 8)
       .select(col("doc_id"), explode(
@@ -735,10 +756,13 @@ object Dedup {
     * stay visible with their group).
     */
   def q79SemDedup(spark: SparkSession, dir: String): DataFrame =
-    semDedupOn(
+    // materialize-once (r19): semDedupOn consumes the vector frame from
+    // many driver actions (centroid seed + Lloyd collects, the cell
+    // co-location, the components loop) — each re-ran the parquet scan
+    semDedupOn(Materialize.once("q79.vectors",
       Tables.load(spark, dir, "embeddings")
         .select(col("vec_id"),
-          graft.functions.VectorOps.toDoubleArray(col("embedding")).as("v")))
+          graft.functions.VectorOps.toDoubleArray(col("embedding")).as("v"))))
 
   /** SemDeDup over any (vec_id, v) frame. `nCells` trades pruning cost
     * against cross-cell recall; `eps` is the semantic-duplicate bar
@@ -866,12 +890,16 @@ object Dedup {
     paraDedupOn(Tables.loadSpread(spark, dir, "documents"))
 
   /** The q148 computation over any (doc_id, text) frame. */
-  def paraDedupOn(docs: DataFrame): DataFrame = {
+  def paraDedupOn(docs0: DataFrame): DataFrame = {
     val id = col("doc_id")
     val b1 = "all rights reserved contact the publisher for permissions"
     val b2 = "distributed under a creative commons attribution license"
     val none = typedLit(Seq.empty[String])
-    val ws = words(col("text"))
+    // tokenize ONCE (r18 verdict task #5): the paragraph explode and the
+    // arithmetic n_paras side both re-ran scan + split per branch
+    val docs = Materialize.once("q148.tokens",
+      docs0.select(id, words(col("text")).as("ws")))
+    val ws = col("ws")
     val nChunks = ceil(size(ws).cast("double") / 8.0).cast("int")
     val chunks = transform(sequence(lit(0), nChunks - 1),
       i => array_join(slice(ws, i * 8 + 1, lit(8)), " "))

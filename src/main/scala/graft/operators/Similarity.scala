@@ -299,11 +299,35 @@ object Similarity {
     Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
 
+  /** Materialize-once vectors + exact count for the TRAINING-LOOP entry
+    * points (r18 verdict task #3). These operators consume the vector
+    * frame from MANY driver actions — the corpus count, centroid seeding,
+    * each Lloyd round's collect, the PQ training-slice collect, and the
+    * final query's own branches — and exchange reuse never crosses an
+    * action, so every action re-ran the scan (+ decode) from parquet.
+    * That re-execution is also exactly why the r18 scan spread REGRESSED
+    * here (q73 +0.43 s, q26 +0.26 s measured) and was left off: each
+    * action re-ran the spread exchange too. Materializing once removes
+    * the re-execution AND lets the parallelism floor finally apply (the
+    * spread rides BELOW the checkpoint, so consumers read
+    * already-spread blocks). The count comes from the checkpointed
+    * blocks — a metadata-cheap job instead of a second scan.
+    */
+  private def loadVectorsOnce(spark: SparkSession, dir: String, tag: String,
+                              spread: Boolean = true): (DataFrame, Long) = {
+    val v = Materialize.once(tag, loadVectors(spark, dir),
+      if (spread) Some(col("vec_id")) else None)
+    (v, v.count())
+  }
+
   /** queries()-shaped wrapper for the quantized ANN path (rows-only check;
     * recall spec-gated in AnnRecallSpec like q26/q36). Auto-scale: the
     * bucket cap binds above [[AnnDenseMax]].
     */
   def q53AnnQuantized(spark: SparkSession, dir: String): DataFrame = {
+    // count + ONE final action only — the count is footer-metadata-cheap,
+    // so there is no re-execution worth a checkpoint here (measured r19:
+    // materialize+spread regressed 2.17 → 2.79; ck-only 2.17 → 2.38)
     val v = loadVectors(spark, dir)
     val n = v.count()
     annCosineQuantizedOn(v, nbits = autoLshBits(n, 3),
@@ -315,6 +339,8 @@ object Similarity {
     * above [[AnnDenseMax]].
     */
   def q26AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    // count + ONE final action only — see q53AnnQuantized (measured r19:
+    // materialize+spread regressed 2.04 → 2.80)
     val v = loadVectors(spark, dir)
     val n = v.count()
     annCosineOn(v, nbits = autoLshBits(n, 3), bands = 8, k = 5,
@@ -529,8 +555,8 @@ object Similarity {
     * scaled cells + binding cellCap above [[AnnDenseMax]].
     */
   def q36AnnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val v = loadVectors(spark, dir)
-    val (nCells, nProbe, cellCap) = autoIvfParams(v.count())
+    val (v, n) = loadVectorsOnce(spark, dir, "q36.vectors", spread = false)
+    val (nCells, nProbe, cellCap) = autoIvfParams(n)
     ivfCosineOn(v, nCells, nProbe, k = 5, cellCap)
   }
 
@@ -617,9 +643,16 @@ object Similarity {
     // (d2, code) tie-break, and empty-cluster drops replicate the old
     // aggregation-tree arithmetic step for step (PqDriverParitySpec
     // would-be: the AnnRecallSpec gates pin the result).
+    // sortBy(vec_id): driverLloyd's mean accumulation folds in array
+    // order, and float addition is order-sensitive in the last ulp — the
+    // single-split scan collected ascending by construction, but the r19
+    // materialized/spread frame collects in partition order. Sorting
+    // restores the exact pre-spread fold order, so the codebook (and
+    // every ADC ranking derived from it) is bit-identical either way.
     val train = pqTrainSet(vectors, size)
       .select(col("vec_id"), col("v")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
     val rows = driverLloyd(train, m, ks, rounds, dim / m)
     val spark = vectors.sparkSession
     import spark.implicits._
@@ -795,8 +828,7 @@ object Similarity {
     * candidate volume stays linear.
     */
   def q73AnnPq(spark: SparkSession, dir: String): DataFrame = {
-    val v = loadVectors(spark, dir)
-    val n = v.count()
+    val (v, n) = loadVectorsOnce(spark, dir, "q73.vectors")
     annCosinePQOn(v, nbits = autoLshBits(n, 3), bucketCap = autoBucketCap(n),
       n = n)
   }

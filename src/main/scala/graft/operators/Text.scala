@@ -296,12 +296,17 @@ object Text {
     */
   def q77RepetitionChars(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val raw = Tables.load(spark, dir, "documents")
+    val raw = Tables.loadSpread(spark, dir, "documents")
       .select(col("doc_id"), words(col("text")).as("_w"))
-    val base = raw.select(col("doc_id"),
-      when(pmod(col("doc_id"), lit(10)) === 3 && size(col("_w")) >= 5,
-        concat(col("_w"), slice(col("_w"), lit(1), lit(5)), slice(col("_w"), lit(1), lit(5))))
-        .otherwise(col("_w")).as("ws"))
+    // tokenize ONCE (r18 verdict task #5): the 2-gram branch, the 5-gram
+    // branch, and the final coverage fold each re-ran scan + split + the
+    // residue concat as duplicated subtrees; the loadSpread runs the one
+    // remaining tokenize pass cluster-wide
+    val base = Materialize.once("q77.tokens",
+      raw.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(10)) === 3 && size(col("_w")) >= 5,
+          concat(col("_w"), slice(col("_w"), lit(1), lit(5)), slice(col("_w"), lit(1), lit(5))))
+          .otherwise(col("_w")).as("ws")))
     val g2 = base.filter(size(col("ws")) >= 2)
       .select(col("doc_id"),
         explode(transform(sequence(lit(0), size(col("ws")) - 2),
@@ -506,8 +511,15 @@ object Text {
     * [0, -1, ...] range, not an empty one.
     */
   private[graft] def shingles8(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), col("source"), words(col("text")).as("ws"))
+    shingles8Ws(docs
+      .select(col("doc_id"), col("source"), words(col("text")).as("ws")))
+
+  /** [[shingles8]] over an already-tokenized (doc_id, source, ws) frame —
+    * the r19 tokenize-once rewrites build the token frame once per query
+    * (Materialize.once) and derive every shingle branch from it.
+    */
+  private[graft] def shingles8Ws(toks: DataFrame): DataFrame =
+    toks
       .filter(size(col("ws")) >= 8)
       .select(col("doc_id"), col("source"), explode(
         transform(sequence(lit(0), size(col("ws")) - 8),
@@ -628,15 +640,23 @@ object Text {
 
   def q45Decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val holdout = col("source").isin("src18", "src19")
-    val docs = Tables.load(spark, dir, "documents")
-    val sh = shingles8(docs)
+    // tokenize ONCE (r18 verdict task #5): the holdout shingle branch,
+    // the train shingle branch, and the final train-id spine each re-ran
+    // the scan + word split per branch (subtree duplication — exchange
+    // reuse never covered it); the loadSpread means the one tokenize
+    // pass that remains runs cluster-wide, which is exactly where the
+    // plain spread lost in r18 (it re-executed per branch)
+    val toks = Materialize.once("q45.tokens",
+      Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), words(col("text")).as("ws")))
+    val sh = shingles8Ws(toks)
     val holdShingles = sh.filter(holdout).select("sh8").distinct()
     // distinct per (doc_id, shingle) BEFORE the join: n_overlapping counts
     // contaminated shingles, not their repetitions inside one doc
     val trainShingles = sh.filter(!holdout).select("doc_id", "sh8").distinct()
     val counts = trainShingles.join(broadcast(holdShingles), "sh8")
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
-    docs.filter(!holdout).select("doc_id")
+    toks.filter(!holdout).select("doc_id")
       .join(counts, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n"), lit(0L)).as("n_overlapping_shingles"),
@@ -671,8 +691,14 @@ object Text {
   def q63BloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.SketchOps
     val holdout = col("source").isin("src18", "src19")
-    val docs = Tables.load(spark, dir, "documents")
-    val sh = shingles8(docs)
+    // tokenize ONCE (r18 verdict task #5): the sketch build is a driver
+    // ACTION, so before this the scan + word split ran once for the
+    // sketch and again (twice — holdout AND train branches) in the final
+    // plan; the checkpointed token frame pays the pass once
+    val toks = Materialize.once("q63.tokens",
+      Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), words(col("text")).as("ws")))
+    val sh = shingles8Ws(toks)
     val holdShingles = sh.filter(holdout).select("sh8").distinct()
     val sketch = holdShingles
       .agg(SketchOps.bloomFilterAgg(xxhash64(col("sh8")), 1000000L, 8388608L)
@@ -685,7 +711,7 @@ object Text {
         SketchOps.mightContain(sketch, xxhash64(col("sh8"))))
     val counts = candidates.join(holdShingles.hint("shuffle_hash"), "sh8")
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
-    docs.filter(!holdout).select("doc_id")
+    toks.filter(!holdout).select("doc_id")
       .join(counts, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n"), lit(0L)).as("n_overlapping_shingles"),
@@ -722,8 +748,12 @@ object Text {
     * frame-parameterized form scale tests and pipeline composition use.
     */
   def unigramSurprisalOn(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode_outer(words(col("text"))).as("tok"))
+    // tokenize ONCE (r18 verdict task #5): the vocabulary branch and the
+    // scoring join consumed the exploded token stream as two duplicated
+    // subtrees — scan + split + explode each ran twice per query
+    val toks = Materialize.once("q64.tokens",
+      docs.select(col("doc_id"),
+        explode_outer(words(col("text"))).as("tok")))
     val vocab = toks.filter(col("tok").isNotNull)
       .groupBy("tok").agg(count(lit(1)).as("tf"))
       .withColumn("n_total", sum("tf").over(
@@ -800,7 +830,10 @@ object Text {
         case VocabMeet.Broadcast => l.join(broadcast(r), k)
         case _ => l.join(r.hint("shuffle_hash"), k)
       }
-    val base = docs.select(col("doc_id"), words(col("text")).as("ws"))
+    // tokenize ONCE (r18 verdict task #5): nt, the unigram model, and
+    // the pair stream each re-ran scan + split as duplicated subtrees
+    val base = Materialize.once("q81.tokens",
+      docs.select(col("doc_id"), words(col("text")).as("ws")))
     val nt = base.select(col("doc_id"),
       coalesce(size(col("ws")), lit(0)).cast("long").as("n_tokens"))
     val uni = base.select(explode(col("ws")).as("tok"))
@@ -873,7 +906,11 @@ object Text {
     * applies unchanged when the model outgrows the driver).
     */
   def trigramBackoffOn(docs: DataFrame, alpha: Double = 0.4): DataFrame = {
-    val base = docs.select(col("doc_id"), words(col("text")).as("ws"))
+    // tokenize ONCE (r18 verdict task #5): five consumers — the unigram/
+    // bigram/trigram model passes over the train half, nt, and the
+    // scoring stream — each re-ran scan + split as duplicated subtrees
+    val base = Materialize.once("q150.tokens",
+      docs.select(col("doc_id"), words(col("text")).as("ws")))
     val train = base.filter(col("doc_id") % 2 === 0)
     val nt = base.select(col("doc_id"),
       coalesce(size(col("ws")), lit(0)).cast("long").as("n_tokens"))

@@ -77,6 +77,14 @@ object ColumnBridge {
   def releaseCheckpointIds(sc: org.apache.spark.SparkContext, ids: Seq[Int]): Unit =
     ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
 
+  /** The ANSI DIVIDE_BY_ZERO error Catalyst's `Divide` raises — hosted
+    * here because `QueryExecutionErrors` is `private[sql]` in Spark 4.
+    * [[graft.functions.BucketDupPairs]] raises it to stay bit-identical
+    * with the SQL division it replaces on zero-norm vectors.
+    */
+  def divideByZeroError(context: org.apache.spark.QueryContext): ArithmeticException =
+    org.apache.spark.sql.errors.QueryExecutionErrors.divideByZeroError(context)
+
   /** A session clone: shares the SparkContext and SharedState (so cached
     * data, checkpoint blocks, and the warehouse are common) but carries an
     * independent COPY of the SessionState — runtime confs, temp views,

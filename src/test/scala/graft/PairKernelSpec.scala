@@ -54,6 +54,46 @@ class PairKernelSpec extends AnyFunSuite {
     ), Seq(-2.0, -1.0, 0.0, 0.34, 0.8, 1.0, 1.1))
   }
 
+  test("kernel equals the HOF twin on NaN-element cosines") {
+    // ADVICE r18: Spark compares doubles NaN-as-largest, so a NaN cosine
+    // whose divisor is NOT zero (NaN vector elements make both the dot
+    // and the norm NaN) satisfies the SQL `>= threshold` and the HOF
+    // emits the pair — the kernel must too, at every threshold.
+    pairSets(Seq(
+      1L -> Some(Seq(Double.NaN, 1.0)),        // NaN dot AND NaN norm
+      2L -> Some(Seq(1.0, 0.0)),
+      3L -> Some(Seq(0.6, 0.8))
+    ), Seq(-1.0, 0.0, 0.34, 1.0, 1.1))
+  }
+
+  test("kernel refuses a zero-norm member exactly like the HOF twin (ANSI)") {
+    // under ANSI mode (the Spark 4 default every graft session runs)
+    // Catalyst's Divide throws DIVIDE_BY_ZERO on the 0/0 cosine before
+    // any comparison — the kernel must raise the same error, not
+    // silently drop (r17 kernel) or emit the pair
+    val en = Seq(1L -> Some(Seq(0.0, 0.0)), 2L -> Some(Seq(1.0, 0.0)))
+      .toDF("vec_id", "v")
+      .select(col("vec_id"), col("v").cast("array<double>").as("v"))
+      .withColumn("nrm", VectorOps.norm(col("v")))
+    val ms = en.agg(collect_list(struct(col("vec_id"), col("v"), col("nrm")))
+      .as("ms")).filter(size(col("ms")) >= 2)
+    def msg(t: Throwable): String = {
+      var c = t; val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append('\n'); c = c.getCause }
+      sb.toString
+    }
+    val eKernel = intercept[Throwable] {
+      ms.select(explode(VectorOps.bucketDupPairs(col("ms"), 0.34)).as("p"))
+        .collect()
+    }
+    val eHof = intercept[Throwable] {
+      ms.select(explode(Dedup.denseHofPairs(col("ms"), 0.34)).as("p"))
+        .collect()
+    }
+    assert(msg(eKernel).contains("DIVIDE_BY_ZERO"), msg(eKernel).take(300))
+    assert(msg(eHof).contains("DIVIDE_BY_ZERO"), msg(eHof).take(300))
+  }
+
   test("kernel equals the HOF twin on a pseudo-random 60-member bucket") {
     // deterministic pseudo-vectors (no RNG): dims from a hash recurrence
     val vecs = (0L until 60L).map { id =>

@@ -10,6 +10,37 @@ import graft.operators.Scale
 class ScaleSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  /** Load-robust ~linear gate (r18 verdict task #1): these decade ratios
+    * are WALL-CLOCK, and one co-tenant burst landing inside a big-side
+    * rep flipped a ratio over its limit on the driver's loaded run while
+    * the same code measured green twice when quiet. Seeds are the call
+    * site's existing min-of-two measurements — when they already satisfy
+    * the limit nothing more runs (the quiet path is byte-identical to
+    * before). On a breach, BOTH sides re-sample and min-fold up to three
+    * more times: a transient burst is absorbed (min is monotone
+    * non-increasing and the burst is not reproducible), while a genuinely
+    * super-linear cost keeps every big-side sample over the limit and
+    * still fails.
+    */
+  private def assertRatioLinear(label: String, t1First: Double,
+                                t10First: Double, small: () => Double,
+                                big: () => Double,
+                                limit: Double = 10.0): Unit = {
+    var t1 = t1First
+    var t10 = t10First
+    var extra = 0
+    while (t10 / t1 > limit && extra < 3) {
+      extra += 1
+      info(f"$label: ratio ${t10 / t1}%.1fx > $limit%.0fx — re-sampling " +
+        f"both decades (attempt $extra/3) under suspected co-tenant load")
+      t1 = math.min(t1, small())
+      t10 = math.min(t10, big())
+    }
+    assert(t10 / t1 <= limit,
+      f"$label: 10x cost ${t10 / t1}%.1fx the time ($t1%.2fs -> $t10%.2fs, " +
+        f"persisting through $extra re-samples)")
+  }
+
   test("salted aggregation is exact on a pathologically skewed key") {
     import spark.implicits._
     // 90% of rows on one key — the hot-key shape
@@ -62,8 +93,8 @@ class ScaleSpec extends AnyFunSuite {
     timeOf(n) // warmup
     val t1 = math.min(timeOf(n), timeOf(n))
     val t10 = math.min(timeOf(n * 10), timeOf(n * 10))
-    assert(t10 / t1 <= 10.0,
-      f"10x hot-key rows cost ${t10 / t1}%.1fx the time ($t1%.2fs -> $t10%.2fs)")
+    assertRatioLinear("q55 salted aggregate", t1, t10,
+      () => timeOf(n), () => timeOf(n * 10))
   }
 
   test("unigram surprisal: 10x docs, saturating vocabulary, ~linear time", Slow) {
@@ -92,8 +123,8 @@ class ScaleSpec extends AnyFunSuite {
     timeOf(20000) // warmup
     val t1 = math.min(timeOf(20000), timeOf(20000))
     val t10 = math.min(timeOf(200000), timeOf(200000))
-    assert(t10 / t1 <= 10.0,
-      f"10x docs cost ${t10 / t1}%.1fx the time ($t1%.2fs -> $t10%.2fs)")
+    assertRatioLinear("q64 unigram surprisal", t1, t10,
+      () => timeOf(20000), () => timeOf(200000))
   }
 
   test("two-phase shard assignment reproduces the one-task global order") {
@@ -155,8 +186,8 @@ class ScaleSpec extends AnyFunSuite {
     run(100000L) // warmup
     val t1 = math.min(run(100000L), run(100000L))
     val t10 = math.min(run(1000000L), run(1000000L))
-    assert(t10 / t1 <= 10.0,
-      f"10x docs cost ${t10 / t1}%.1fx the time ($t1%.2fs -> $t10%.2fs)")
+    assertRatioLinear("q80 shard assignment", t1, t10,
+      () => run(100000L), () => run(1000000L))
   }
 
   test("shard append continues the history layout without disturbing it") {
@@ -359,8 +390,8 @@ class ScaleSpec extends AnyFunSuite {
     timeOf(20000) // warmup
     val t1 = math.min(timeOf(20000), timeOf(20000))
     val t10 = math.min(timeOf(200000), timeOf(200000))
-    assert(t10 / t1 <= 10.0,
-      f"10x docs cost ${t10 / t1}%.1fx the time ($t1%.2fs -> $t10%.2fs)")
+    assertRatioLinear("q122 classifier", t1, t10,
+      () => timeOf(20000), () => timeOf(200000))
   }
 
   test("q170 fuzzy dedup: 10x titles, banding exact, ~linear", Slow) {
@@ -391,8 +422,8 @@ class ScaleSpec extends AnyFunSuite {
     timeOf(3000) // warmup
     val t1 = math.min(timeOf(3000), timeOf(3000))
     val t10 = math.min(timeOf(30000), timeOf(30000))
-    assert(t10 / t1 <= 10.0,
-      f"10x titles cost ${t10 / t1}%.1fx the time ($t1%.2fs -> $t10%.2fs)")
+    assertRatioLinear("q170 fuzzy dedup", t1, t10,
+      () => timeOf(3000), () => timeOf(30000))
   }
 
   test("q148 paragraph dedup: 10x docs, exact under the boilerplate hot key", Slow) {
@@ -428,8 +459,8 @@ class ScaleSpec extends AnyFunSuite {
     val (_, _, t10b) = kept(200000)
     val t10 = math.min(t10a, t10b)
     assert(k10 === d10 + 2)
-    assert(t10 / t1 <= 10.0,
-      f"10x docs cost ${t10 / t1}%.1fx the time ($t1%.2fs -> $t10%.2fs)")
+    assertRatioLinear("q148 para dedup", t1, t10,
+      () => kept(20000)._3, () => kept(200000)._3)
   }
 
   test("q150 trigram backoff: 10x docs, saturating model, ~linear", Slow) {
@@ -458,8 +489,9 @@ class ScaleSpec extends AnyFunSuite {
     val (s1, t1a) = run(20000); val (_, t1b) = run(20000)
     val (s10, t10a) = run(200000); val (_, t10b) = run(200000)
     assert(s10 > s1 * 9, "the scoring stream itself is corpus-sized")
-    val ratio = math.min(t10a, t10b) / math.min(t1a, t1b)
-    assert(ratio <= 10.0, f"10x docs cost $ratio%.1fx the time")
+    assertRatioLinear("q150 trigram backoff",
+      math.min(t1a, t1b), math.min(t10a, t10b),
+      () => run(20000)._2, () => run(200000)._2)
   }
 
   test("q156 postings build: 10x docs, vocabulary-bounded terms, ~linear", Slow) {
@@ -476,8 +508,9 @@ class ScaleSpec extends AnyFunSuite {
     assert(terms10 <= terms1 * 2,
       s"the term dimension must saturate: $terms1 -> $terms10")
     assert(cf10 > cf1 * 9, "cf counts every token: corpus-sized by design")
-    val ratio = math.min(t10a, t10b) / math.min(t1a, t1b)
-    assert(ratio <= 10.0, f"10x docs cost $ratio%.1fx the time")
+    assertRatioLinear("q156 postings build",
+      math.min(t1a, t1b), math.min(t10a, t10b),
+      () => run(20000)._3, () => run(200000)._3)
   }
 
   test("q122/q123 second decade: 100x docs, models still constant", Slow) {
@@ -568,10 +601,8 @@ class ScaleSpec extends AnyFunSuite {
     val (v10, t10a) = timed(D10)
     val (_, t10b) = timed(D10)
     assert(v10 === expect(D10), s"$label 10x invariant: $v10")
-    val ratio = math.min(t10a, t10b) / math.min(t1a, t1b)
-    assert(ratio <= 10.0,
-      f"$label: 10x docs cost $ratio%.1fx the time " +
-        f"(${math.min(t1a, t1b)}%.2fs -> ${math.min(t10a, t10b)}%.2fs)")
+    assertRatioLinear(label, math.min(t1a, t1b), math.min(t10a, t10b),
+      () => timed(D1)._2, () => timed(D10)._2)
   }
 
   test("q163 WebDataset assembly: 10x shards, one keyed exchange, ~linear", Slow) {
