@@ -1709,6 +1709,41 @@ object Crawl {
 
   def q178HostGraph(spark: SparkSession, dir: String): DataFrame = {
     val edges = hostEdges(spark, dir)
+    // LOCAL FINISH (r19 — the q96/CC small-graph gate generalized, per
+    // the r18 verdict's suggestion): the metrics are four aggregates
+    // over a HOST-cardinality edge list, and the distributed spelling
+    // below costs ~19 driver jobs (two more eager checkpoints, four
+    // aggregate/crossJoin legs, broadcast builds) — profiled at sf0.1
+    // as 22 jobs × ≤0.3 s of pure scheduling latency for a 41-host
+    // graph. The probe reads the ALREADY-MATERIALIZED edges checkpoint
+    // (never the upstream extraction); within the cap every metric is
+    // exact integer arithmetic: mutual pairs by set membership,
+    // triangles counted once per a<b<c triple (the count the
+    // degree-ordered orientation computes, orientation-invariantly —
+    // the oracle's own spelling), reciprocity the same integer floor.
+    // An empty edge list falls through so the degenerate `div 0`
+    // behaves exactly as the SQL plan would.
+    val edgeMax = spark.conf.get("spark.graft.graph.localEdgeMax",
+      (1 << 20).toString).toInt
+    val probe = edges.limit(edgeMax + 1).collect()
+    if (probe.nonEmpty && probe.length <= edgeMax) {
+      val el = probe.map(r => (r.getString(0), r.getString(1)))
+      val nEdges = el.length.toLong
+      val nHosts = (el.map(_._1) ++ el.map(_._2)).distinct.length.toLong
+      val eset = el.toSet
+      val nMutual = el.count { case (s, d) => s < d && eset((d, s)) }.toLong
+      val und = el.map { case (s, d) => if (s < d) (s, d) else (d, s) }.distinct
+      val nbrs = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (h, xs) => h -> xs.map(_._2).toSet }
+      var tri = 0L
+      und.foreach { case (a, b) =>
+        tri += nbrs(a).intersect(nbrs(b)).count(c => c > b)
+      }
+      import spark.implicits._
+      return Seq((nHosts, nEdges, nMutual, tri, 200L * nMutual / nEdges))
+        .toDF("n_hosts", "n_edges", "n_mutual", "n_triangles",
+          "reciprocity_x100")
+    }
     val nHosts = edges.select(col("src").as("h"))
       .union(edges.select(col("dst").as("h"))).distinct()
       .agg(count(lit(1)).as("n_hosts"))

@@ -832,7 +832,16 @@ object Dedup {
     * makes incremental dedup necessary at all).
     */
   def q74IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents").select(col("doc_id"), col("text"))
+    // materialize-once (r19): the history/incoming splits fan the corpus
+    // into SIX subtree copies (two minhash band pipelines, two exact-md5
+    // join sides, the re-crawl union, the verdict spine) — each re-ran
+    // the parquet scan. The r18 plain-spread A/B regressed here (+0.69 s)
+    // precisely because those copies re-executed the spread exchange;
+    // with the rows checkpointed once (spread below the checkpoint) the
+    // minhash kernels read 32-way blocks instead.
+    val docs = Materialize.once("q74.docs",
+      Tables.load(spark, dir, "documents").select(col("doc_id"), col("text")),
+      Some(col("doc_id")))
     val history = docs.filter(col("doc_id") % 5 < 4)
     val incoming = docs.filter(col("doc_id") % 5 === 4)
       .unionAll(history.filter(col("doc_id") % 7 === 0)

@@ -199,7 +199,10 @@ object Lake {
     * (<= 4 exchanges pinned, no NLJ).
     */
   def q173DeltaLogReplay(spark: SparkSession, dir: String): DataFrame =
-    deltaLogReplayOn(graft.Tables.load(spark, dir, "documents"))
+    // loadSpread so the one remaining parse pass (see the q173.lines
+    // checkpoint below) runs cluster-wide — the spread exchange sits
+    // BELOW the synthesis + JSON walk, inside the checkpoint build
+    deltaLogReplayOn(graft.Tables.loadSpread(spark, dir, "documents"))
 
   /** The q173 computation over any (doc_id, text) frame. */
   def deltaLogReplayOn(docs: DataFrame): DataFrame = {
@@ -227,17 +230,30 @@ object Lake {
       when(id % 3 === 0, concat(rmLine(2, 0), addLine(2, 1), addLine(2, 4)))
         .otherwise(""))
 
-    val lines = docs.select(id, posexplode(split(blob, "\n")).as(Seq("idx", "l")))
-      .filter(length(col("l")) > 0)
-      .select(id, col("idx"),
-        substring_index(col("l"), "|", 1).cast("int").as("version"),
-        expr("substring(l, instr(l, '|') + 1, 1000000)").as("json"))
-      .withColumn("bad", get_json_object(col("json"), "$").isNull.cast("int"))
-      .withColumn("add_path", get_json_object(col("json"), "$.add.path"))
-      .withColumn("add_size",
-        get_json_object(col("json"), "$.add.size").cast("long"))
-      .withColumn("rm_path", get_json_object(col("json"), "$.remove.path"))
-      .withColumn("meta_id", get_json_object(col("json"), "$.metaData.id"))
+    // parse ONCE (r19, the tokenize-once discipline): the audit rollup
+    // and the per-path winner branch both consumed this frame as
+    // duplicated subtrees — the blob synthesis + line explode + five
+    // get_json_object walks ran twice, single-task each (profiled as two
+    // back-to-back ~0.7 s one-task map jobs at sf0.1). The checkpoint
+    // build runs the parse exactly once, spread cluster-wide — exactly
+    // why r18's plain scan spread REGRESSED here and was reverted (each
+    // branch re-executed the spread exchange).
+    val lines = Materialize.once("q173.lines",
+      docs.select(id, posexplode(split(blob, "\n")).as(Seq("idx", "l")))
+        .filter(length(col("l")) > 0)
+        .select(id, col("idx"),
+          substring_index(col("l"), "|", 1).cast("int").as("version"),
+          expr("substring(l, instr(l, '|') + 1, 1000000)").as("json"))
+        .withColumn("bad", get_json_object(col("json"), "$").isNull.cast("int"))
+        .withColumn("add_path", get_json_object(col("json"), "$.add.path"))
+        .withColumn("add_size",
+          get_json_object(col("json"), "$.add.size").cast("long"))
+        .withColumn("rm_path", get_json_object(col("json"), "$.remove.path"))
+        .withColumn("meta_id", get_json_object(col("json"), "$.metaData.id"))
+        // json carried no further: the two consumers read only the
+        // parsed columns, so the checkpoint stores 5 narrow columns,
+        // never the raw line text
+        .drop("l", "json"))
 
     // per-table audit: versions, corrupt lines, latest metaData
     val audit = lines.groupBy(col("doc_id"))

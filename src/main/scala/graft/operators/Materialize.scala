@@ -31,10 +31,23 @@ import org.apache.spark.sql.graft.ColumnBridge
   * This is WITHIN-invocation materialization, not cross-run caching:
   * every bench/oracle invocation rebuilds the frame from the parquet
   * inputs (the checkpoint lives and dies inside the timed region), and
-  * the registry below releases the previous invocation's blocks on
-  * re-invoke exactly like `Pipeline.outstanding` — at most ONE
-  * outstanding checkpoint per (session, tag) no matter how many times a
-  * sweep re-runs the builder.
+  * the registry below releases a DISPLACED invocation's blocks as soon
+  * as nothing can still read them — at most ONE reachable checkpoint per
+  * (session, tag) no matter how many times a sweep re-runs the builder.
+  *
+  * Release is DEFERRED, not eager (r19 test catch): a temp view, a spec
+  * twin, or any caller-held handle from an EARLIER invocation still
+  * references the earlier LogicalRDD — releasing its blocks on re-invoke
+  * made those frames throw CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (a
+  * truncated-lineage checkpoint cannot recompute; observed live in
+  * SqlSurfaceSpec's view-vs-twin hash comparisons). So a displaced
+  * generation parks in a queue holding only a WEAK reference to its
+  * checkpoint RDD, and its blocks are released on a later `once` call
+  * once GC proves the frame unreachable — the same contract as Spark's
+  * own ContextCleaner (which also unpersists GC'd persistent RDDs),
+  * just prompt: the bench re-invokes builders hundreds of times per
+  * sweep, so the sweep happens ~every query instead of "whenever the
+  * cleaner thread polls its queue next".
   *
   * Kill-switch: `spark.graft.materialize=off` returns the frame
   * untouched (the pre-r19 plan, for A/B and for deployments that would
@@ -42,18 +55,28 @@ import org.apache.spark.sql.graft.ColumnBridge
   */
 private[graft] object Materialize {
 
-  // WeakHashMap discipline (see Pipeline.outstanding): keys are sessions,
-  // values must never strongly reference their key — release closures
-  // capture only the shared SparkContext and persistent-RDD ids.
-  private val outstanding = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, () => Unit]]())
+  // release captures only the shared SparkContext and persistent-RDD ids;
+  // ref is WEAK so a parked generation never keeps its own frame alive
+  private final case class Displaced(
+      ref: java.lang.ref.WeakReference[AnyRef], release: () => Unit)
 
-  /** Eagerly materialize `df` for this invocation, releasing the previous
-    * invocation's blocks registered under the same `tag`. When
-    * `spreadKey` is given and the planned partition count under-fills
-    * `defaultParallelism`, the rows are hash-spread by the DETACHED
-    * `xxhash64(spreadKey)` before materializing.
+  private final class SessionReg {
+    val current = new java.util.concurrent.ConcurrentHashMap[String, Displaced]()
+    val parked = new java.util.concurrent.ConcurrentLinkedQueue[Displaced]()
+  }
+
+  // WeakHashMap discipline (see Pipeline.outstanding): keys are sessions,
+  // values must never strongly reference their key — Displaced holds the
+  // RDD only weakly and the closures capture the context, never a Dataset.
+  private val outstanding = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, SessionReg]())
+
+  /** Eagerly materialize `df` for this invocation; the previous
+    * invocation's blocks under the same `tag` are released once they are
+    * no longer reachable (see above). When `spreadKey` is given and the
+    * planned partition count under-fills `defaultParallelism`, the rows
+    * are hash-spread by the DETACHED `xxhash64(spreadKey)` before
+    * materializing.
     */
   def once(tag: String, df: DataFrame, spreadKey: Option[Column] = None): DataFrame = {
     val spark = df.sparkSession
@@ -68,11 +91,21 @@ private[graft] object Materialize {
     val ck = spread.localCheckpoint(true)
     val sc = spark.sparkContext
     val ids = ColumnBridge.checkpointRddIds(ck)
-    val release: () => Unit = () => ColumnBridge.releaseCheckpointIds(sc, ids)
-    val m = outstanding.computeIfAbsent(spark,
-      _ => new java.util.concurrent.ConcurrentHashMap[String, () => Unit]())
-    val prev = m.put(tag, release)
-    if (prev != null) prev()
+    val reg = outstanding.computeIfAbsent(spark, _ => new SessionReg)
+    // sweep: free every parked generation GC has proven unreachable
+    val it = reg.parked.iterator()
+    while (it.hasNext) {
+      val d = it.next()
+      if (d.ref.get() == null) { d.release(); it.remove() }
+    }
+    val entry = Displaced(
+      new java.lang.ref.WeakReference[AnyRef](
+        ColumnBridge.checkpointRdd(ck).orNull),
+      () => ColumnBridge.releaseCheckpointIds(sc, ids))
+    val prev = reg.current.put(tag, entry)
+    if (prev != null) {
+      if (prev.ref.get() == null) prev.release() else reg.parked.add(prev)
+    }
     ck
   }
 }

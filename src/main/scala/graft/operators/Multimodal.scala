@@ -1101,8 +1101,22 @@ object Multimodal {
         unhex(concat(synthBmpHeaderHex(lit(55), w, h, lit(24)), lit("00"))))
         .when(id % 2 === 0, unhex(synthBmp24ImgHex(sid, w, h, nudge)))
         .otherwise(unhex(synthBmp32ImgHex(sid, w, h, nudge)))
-    val hashes = docs.select(id, payload.as("_p"))
-      .select(id, graft.functions.ImageOps.bmpAHash(col("_p")).as("ahash"))
+    // fingerprint checkpoint (r18 verdict task #6), with a plan subtlety
+    // the profile exposed: `.where(ahash.isNotNull)` on the derived
+    // column is PUSHED BELOW the scan-spread exchange, where it
+    // re-evaluates the whole synthesis + aHash per row ON THE SINGLE
+    // SCAN TASK (guide §4.4's duplicated-expensive-expression pushdown,
+    // spelled in pure Catalyst: before-plan node (2) Filter
+    // isnotnull(graft_bmp_ahash(...)) below Exchange (3), then Project
+    // (4) computes the same graft_bmp_ahash again above it — profiled
+    // 1.27 s single-task + 14.6 s of 32-way task time for the second
+    // copy). Materializing the UNFILTERED fingerprint frame gives the
+    // build plan nothing to push a filter below — synth + aHash run
+    // exactly once, 32-way — and the isNotNull applies over the
+    // checkpointed 16-byte rows.
+    val hashes = Materialize.once("q102.fingerprints",
+      docs.select(id, payload.as("_p"))
+        .select(id, graft.functions.ImageOps.bmpAHash(col("_p")).as("ahash")))
       .where(col("ahash").isNotNull)
     val bands = hashes.select(id, col("ahash"), explode(array(
       (0 until 4).map(i => struct(lit(i).as("band"),

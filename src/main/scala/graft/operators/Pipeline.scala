@@ -163,9 +163,26 @@ object Pipeline {
     // scale the checkpoint already carries ≥ cores partitions and the
     // condition never fires.
     val dp = docs.sparkSession.sparkContext.defaultParallelism
-    val exdedup = if (ckFresh.rdd.getNumPartitions < dp)
-      ckFresh.repartition(dp, xxhash64(col("doc_id")))
-    else ckFresh
+    // r19: CHECKPOINT THE RESPREAD TOO. The bare repartition above the
+    // checkpoint re-executed its exchange once per consumer — profiled as
+    // ~4 back-to-back single-task ~0.3 s map-side jobs (the survivor
+    // frame re-read per consumer) before the pair generation, the
+    // TF-IDF branches, and the keep-join each time. Materializing the
+    // spread copy costs one extra survivor-sized write (few MB at sf0.1;
+    // at corpus scale the under-fill condition is false and neither the
+    // respread nor this second checkpoint exists) and makes every
+    // consumer read 32-way blocks directly. The first checkpoint's
+    // blocks release immediately — only the spread copy stays.
+    val (exdedup, liveCkIds) = if (ckFresh.rdd.getNumPartitions < dp) {
+      val spreadCk = ckFresh.repartition(dp, xxhash64(col("doc_id")))
+        .localCheckpoint(true)
+      val spreadIds =
+        org.apache.spark.sql.graft.ColumnBridge.checkpointRddIds(spreadCk)
+      org.apache.spark.sql.graft.ColumnBridge.releaseCheckpoint(exdedupCk)
+      (org.apache.spark.sql.graft.ColumnBridge.freshStats(spreadCk), spreadIds)
+    } else
+      (ckFresh,
+        org.apache.spark.sql.graft.ColumnBridge.checkpointRddIds(exdedupCk))
 
     // 4. LSH near-dup components over the survivors (q22/q35/q37's exact
     //    scheme, frame-parameterized): keep singletons (no candidate
@@ -217,9 +234,8 @@ object Pipeline {
     // RDD ids — no path back to the session, so the weak registry above
     // (and any caller-held handle) can outlive the session harmlessly
     val sc = docs.sparkSession.sparkContext
-    val ckIds = org.apache.spark.sql.graft.ColumnBridge.checkpointRddIds(exdedupCk)
     (manifest,
-      () => org.apache.spark.sql.graft.ColumnBridge.releaseCheckpointIds(sc, ckIds))
+      () => org.apache.spark.sql.graft.ColumnBridge.releaseCheckpointIds(sc, liveCkIds))
   }
 
   /** Q51's scrub stage: q46's PII synthesis ahead of the redaction, so the
@@ -234,5 +250,10 @@ object Pipeline {
     * lockstep with Oracles.corpusPipeline).
     */
   def q51CorpusPipeline(spark: SparkSession, dir: String): DataFrame =
-    corpusPipelineOn(Tables.loadSpread(spark, dir, "documents"), scrub = q51Scrub)
+    // materialize the spread corpus once (r19): the survivor plan's
+    // quality branch, holdout-shingle branch, and decontamination-shingle
+    // branch each re-ran the scan + spread exchange map side (profiled as
+    // three back-to-back ~0.6 s single-task jobs at sf0.1)
+    corpusPipelineOn(Materialize.once("q51.docs",
+      Tables.loadSpread(spark, dir, "documents")), scrub = q51Scrub)
 }

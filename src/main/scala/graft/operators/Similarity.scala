@@ -828,7 +828,7 @@ object Similarity {
     * candidate volume stays linear.
     */
   def q73AnnPq(spark: SparkSession, dir: String): DataFrame = {
-    val (v, n) = loadVectorsOnce(spark, dir, "q73.vectors")
+    val (v, n) = loadVectorsOnce(spark, dir, "q73.vectors", spread = false)
     annCosinePQOn(v, nbits = autoLshBits(n, 3), bucketCap = autoBucketCap(n),
       n = n)
   }

@@ -742,7 +742,11 @@ object Text {
     * the whole query is two exchanges, both unavoidable.
     */
   def q64UnigramSurprisal(spark: SparkSession, dir: String): DataFrame =
-    unigramSurprisalOn(Tables.load(spark, dir, "documents"))
+    // loadSpread (r19): the one tokenize pass that remains after the
+    // q64.tokens checkpoint runs cluster-wide; the r18 spread regression
+    // here was per-branch exchange re-execution, which the checkpoint
+    // removed
+    unigramSurprisalOn(Tables.loadSpread(spark, dir, "documents"))
 
   /** The q64 computation over any (doc_id, text) frame — the
     * frame-parameterized form scale tests and pipeline composition use.
@@ -810,7 +814,8 @@ object Text {
     * DECIMAL(18,6) before the per-doc sum, one final division.
     */
   def q81BigramSurprisal(spark: SparkSession, dir: String): DataFrame =
-    bigramSurprisalOn(Tables.load(spark, dir, "documents"))
+    // loadSpread (r19): see q64 — one spread tokenize pass, checkpointed
+    bigramSurprisalOn(Tables.loadSpread(spark, dir, "documents"))
 
   /** The q81 computation over any (doc_id, text) frame. `meet` picks how
     * the token/pair stream joins the three model tables: [[VocabMeet
@@ -899,7 +904,8 @@ object Text {
     * read a perplexity-filter rollout watches.
     */
   def q150TrigramBackoff(spark: SparkSession, dir: String): DataFrame =
-    trigramBackoffOn(Tables.load(spark, dir, "documents"))
+    // loadSpread (r19): see q64 — one spread tokenize pass, checkpointed
+    trigramBackoffOn(Tables.loadSpread(spark, dir, "documents"))
 
   /** The q150 computation over any (doc_id, text) frame. Model joins
     * broadcast (vocabulary-sized — the q81 VocabMeet discipline

@@ -70,6 +70,20 @@ object ColumnBridge {
     }
   }
 
+  /** The checkpoint RDD OBJECT behind a `localCheckpoint`ed DataFrame —
+    * the reachability handle a deferred-release registry tracks weakly:
+    * every frame that can still read the checkpoint (temp views, spec
+    * twins, caller-held Datasets) strongly references this object through
+    * its `LogicalRDD`, so "the weak ref cleared" is exactly "no plan can
+    * touch these blocks anymore" (the contract ContextCleaner uses).
+    */
+  def checkpointRdd(df: org.apache.spark.sql.DataFrame): Option[AnyRef] = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    ds.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+  }
+
   /** Release checkpoint storage by persistent-RDD id on the SHARED context.
     * A no-op for ids already unpersisted (or collected) — the idempotence
     * that makes a deferred/registry-driven release safe to run late.

@@ -492,6 +492,19 @@ class CrawlSpec extends AnyFunSuite {
     assert(delays === expected)
   }
 
+  test("q178: local finish equals the distributed spelling row-for-row") {
+    // the r19 local-finish gate (spark.graft.graph.localEdgeMax): the
+    // CC/BPE/q96 equality discipline — same integers from both regimes
+    val local = graft.operators.Crawl
+      .q178HostGraph(spark, TestSpark.Sf0001).collect()(0)
+    spark.conf.set("spark.graft.graph.localEdgeMax", "0")
+    val dist = try graft.operators.Crawl
+      .q178HostGraph(spark, TestSpark.Sf0001).collect()(0)
+    finally spark.conf.unset("spark.graft.graph.localEdgeMax")
+    assert(local.toSeq === dist.toSeq,
+      s"local $local vs distributed $dist")
+  }
+
   test("q178: degree-ordered triangle count equals the brute-force " +
     "recount, with the hub present and out-wedge-free") {
     val row = graft.operators.Crawl

@@ -382,22 +382,32 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("q64 joins the vocabulary broadcast; only the two training shuffles") {
+    // DEFAULT (materialized) shape first: tokens come from the r19
+    // checkpoint, so the final plan must carry ZERO tokenization passes —
+    // both consumers read the materialized (doc_id, tok) blocks
     val df = graft.operators.Text.q64UnigramSurprisal(spark, TestSpark.Sf0001)
     val p = plan(df)
-    // the token-instance stream (corpus-sized) must meet the vocabulary
-    // (vocabulary-sized) via broadcast — a shuffled tok-join would move
-    // the whole corpus a third time at 100 TB
     assert(p.contains("BroadcastHashJoin"), s"vocab join not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), "a q64 join degraded to sort-merge")
-    // exchanges: the vocab tf groupBy, the vocabulary-sized (never
-    // corpus-sized) single-partition window that stamps N, and the
-    // per-doc fold — nothing else; in particular NO doc_id-keyed re-join
-    // with `documents` (explode_outer keeps token-less docs in-frame)
-    assert(shuffles(df) === 3, s"q64 grew a shuffle:\n$p")
-    // exactly two corpus passes (score stream + vocab build): a third
-    // tokenization means the N fold regrew its own subtree
-    val scans = "Generate explode".r.findAllIn(p).length
-    assert(scans === 2, s"expected 2 tokenization passes, found $scans:\n$p")
+    assert("Generate explode".r.findAllIn(p).isEmpty,
+      s"a consumer re-tokenized past the q64.tokens checkpoint:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"q64 lost the tokens checkpoint:\n$p")
+    // the UNDERLYING audit on the pre-materialization plan (kill-switch
+    // off-path, and what the checkpoint build itself executes upstream):
+    // exactly two corpus passes (score stream + vocab build) and the
+    // three training shuffles — a third tokenization or a doc_id-keyed
+    // re-join with `documents` means a signal regrew its own subtree
+    spark.conf.set("spark.graft.materialize", "off")
+    try {
+      val df0 = graft.operators.Text.q64UnigramSurprisal(spark, TestSpark.Sf0001)
+      val p0 = plan(df0)
+      assert(p0.contains("BroadcastHashJoin"), s"vocab join not broadcast:\n$p0")
+      assert(!p0.contains("SortMergeJoin"), "a q64 join degraded to sort-merge")
+      assert(shuffles(df0) === 3, s"q64 grew a shuffle:\n$p0")
+      val scans = "Generate explode".r.findAllIn(p0).length
+      assert(scans === 2, s"expected 2 tokenization passes, found $scans:\n$p0")
+    } finally spark.conf.unset("spark.graft.materialize")
   }
 
   test("q65 rule filter is one narrow stage: zero exchanges") {
@@ -537,19 +547,31 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("vw_doc_quality composes signals without re-deriving scans") {
+    // DEFAULT (materialized) shape: q64's two passes read the tokens
+    // checkpoint, so only the narrow rule/score projection still scans
+    // parquet — exactly ONE corpus scan in the final plan
     val df = graft.operators.Text.docQuality(spark, TestSpark.Sf0001)
     val p = plan(df)
     // one deflate for the ratio column — the carried-column pattern must
     // not let a later projection duplicate the kernel walk
     val kernels = "graft_deflate_len".r.findAllIn(p).length
     assert(kernels === 1, s"expected 1 deflate walk, found $kernels")
-    // corpus passes: the narrow rule/score projection + q64's score
-    // stream and vocab build — a fourth means some signal regrew its own
-    // scan (textual split() occurrences over-count here: qualityScore's
-    // two words() uses inside ONE projection collapse via codegen
-    // subexpression elimination, so scans are the honest metric)
     val scans = "FileScan parquet".r.findAllIn(p).length
-    assert(scans === 3, s"expected 3 corpus scans, found $scans:\n$p")
+    assert(scans === 1, s"expected 1 corpus scan beside the tokens " +
+      s"checkpoint, found $scans:\n$p")
+    assert(p.contains("Scan ExistingRDD"), s"lost the tokens checkpoint:\n$p")
+    // UNDERLYING audit (kill-switch off-path — the full unfolded plan):
+    // the rule/score projection + q64's score stream and vocab build —
+    // a fourth scan means some signal regrew its own subtree (textual
+    // split() occurrences over-count here: qualityScore's two words()
+    // uses inside ONE projection collapse via codegen subexpression
+    // elimination, so scans are the honest metric)
+    spark.conf.set("spark.graft.materialize", "off")
+    try {
+      val p0 = plan(graft.operators.Text.docQuality(spark, TestSpark.Sf0001))
+      val scans0 = "FileScan parquet".r.findAllIn(p0).length
+      assert(scans0 === 3, s"expected 3 corpus scans, found $scans0:\n$p0")
+    } finally spark.conf.unset("spark.graft.materialize")
   }
 
   test("q63 probes the bloom sketch below a SHUFFLED exact-confirm join") {
@@ -1251,7 +1273,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // a join CONDITION instead of a post-join filter, the quadratic
     // spelling the degree ordering exists to avoid. The four crossJoins
     // assembling the ONE-row result are broadcast singles.
-    val df = graft.operators.Crawl.q178HostGraph(spark, TestSpark.Sf0001)
+    // force the DISTRIBUTED spelling: the r19 local finish would
+    // otherwise collapse this sf0.001 graph to a LocalTableScan and the
+    // audit would pass vacuously
+    spark.conf.set("spark.graft.graph.localEdgeMax", "0")
+    val df = try graft.operators.Crawl.q178HostGraph(spark, TestSpark.Sf0001)
+    finally spark.conf.unset("spark.graft.graph.localEdgeMax")
     val p = plan(df)
     assert(!p.contains("CartesianProduct"),
       s"q178 must never cartesian corpus-sized sides:\n$p")
