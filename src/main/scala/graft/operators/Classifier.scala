@@ -74,14 +74,19 @@ object Classifier {
     */
   def classifierOn(docs: DataFrame): DataFrame = {
     // one narrow pass: the q65 rule gate (the weak label) + the token
-    // array, computed together so training adds no second tokenization
-    // localCheckpoint: the frame feeds the two training jobs AND the
-    // scoring plan — without it each re-derives the tokenization scan
-    // (the q51 survivor-frame discipline)
-    val base = Text.ruleFrame(docs, Seq("ws2" -> words(col("text"))))
-      .select(col("doc_id"), col("keep").cast("long").as("keep"),
-        col("ws2").as("ws"))
-      .localCheckpoint()
+    // array, computed together so training adds no second tokenization.
+    // Materialize.once (r19, was a bare localCheckpoint): the frame
+    // feeds the two training jobs AND the scoring plan — and the spread
+    // rides below the checkpoint, so the training collect and the
+    // scoring map stop running single-task on the 1-split scan
+    // (profiled: a 0.29 s + 0.78 s serial pair at sf0.1); the release
+    // registry also frees the previous invocation's blocks, which the
+    // bare checkpoint leaked until GC.
+    val base = Materialize.once("q122.base",
+      Text.ruleFrame(docs, Seq("ws2" -> words(col("text"))))
+        .select(col("doc_id"), col("keep").cast("long").as("keep"),
+          col("ws2").as("ws")),
+      Some(col("doc_id")))
 
     // unigram + bigram feature instances (multiplicity kept — NB counts
     // instances, not types); '_' is outside words()' [a-z0-9] alphabet,

@@ -1042,7 +1042,10 @@ object Multimodal {
     */
   def q101ImageDedup(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.load(spark, dir, "documents")
+    // loadSpread (r19): one heavy single-consumer kernel pass (BMP synth
+    // + aHash, profiled 0.81 s single-task at sf0.1) — the canonical r18
+    // spread profile; the hash shuffle above is key-detached as always
+    val docs = Tables.loadSpread(spark, dir, "documents")
     val id = col("doc_id")
     val sid = when(id % 6 === 5, id - 1).otherwise(id)
     val w = (sid % 13 + 4).cast("int")

@@ -87,7 +87,22 @@ object Similarity {
       posexplode(array(bucketCols: _*)).as(Seq("band", "bucket")))
     val w = Window.partitionBy("band", "bucket")
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-    banded.withColumn("rnb", row_number().over(w))
+    // PIN the (band, bucket) exchange's partition count (r19, guide §2.6):
+    // AQE's coalescer sizes partitions from the exchange's OWN bytes —
+    // ~40 B/row of (vec_id, band, bucket), well under minPartitionSize —
+    // and folds the whole stage to ONE task; but every consumer of this
+    // frame ENUMERATES in-bucket pairs directly above it (a ~40×
+    // fan-out), so the window + self-join + explosion all ran serially
+    // (profiled on q26/q53/q73: a single-task 714 KiB→26.5 MB job of
+    // ~1 s each). An explicit count is exactly the non-AQE planner's
+    // shuffle.partitions and AQE must honor it; the window's required
+    // clustering is satisfied, so the plan still carries ONE exchange
+    // here. Row_number's (md5, vec_id) order is a total order within
+    // every bucket, so the kept members — and every result downstream —
+    // are identical under any partitioning.
+    val sp = vectors.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    banded.repartition(sp, col("band"), col("bucket"))
+      .withColumn("rnb", row_number().over(w))
       .filter(col("rnb") <= bucketCap)
       .drop("rnb")
   }
@@ -743,16 +758,32 @@ object Similarity {
   def pqEncode(vectors: DataFrame, m: Int = 16, ks: Int = 8,
                rounds: Int = 2, dim: Int = 64, n: Long = -1L): DataFrame = {
     val (subs, codebook) = pqTrain(vectors, m, ks, rounds, dim, n)
-    pqEncodeWith(subs, codebook, vectors, ks)
+    pqEncodeWith(subs, codebook, vectors, ks,
+      pin = n >= 0 && n <= AnnDenseMax)
   }
 
   private def pqEncodeWith(subs: DataFrame, codebook: DataFrame,
-                           vectors: DataFrame, ks: Int): DataFrame =
-    pqAssign(subs, codebook)
+                           vectors: DataFrame, ks: Int,
+                           pin: Boolean): DataFrame = {
+    // DENSE-regime pin of the packing fold's exchange (the
+    // bandAssignments rationale): its input is ~25 B/row so AQE folds it
+    // to 1–3 tasks, serializing the norm join and everything above. The
+    // pin is a USER repartition, which forfeits the map-side partial sum
+    // (m pre-agg rows per vector cross the wire instead of 1) — free at
+    // dense scale, a 16× shuffle-byte regression at corpus scale, so the
+    // caller gates it on the same n <= AnnDenseMax switch as the
+    // broadcast regime. The packed sum is integer arithmetic: identical
+    // under any partitioning.
+    val agged = if (pin) {
+      val sp = subs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      pqAssign(subs, codebook).repartition(sp, col("vec_id"))
+    } else pqAssign(subs, codebook)
+    agged
       .groupBy("vec_id")
       .agg(sum(col("code").cast("long") *
         pow(lit(ks.toDouble), col("sub")).cast("long")).as("pq_packed"))
       .join(vectors.select(col("vec_id"), norm(col("v")).as("nrm")), "vec_id")
+  }
 
   /** Candidate width, MEASURED (r15): the 16× oversample is
     * recall-load-bearing, not slack — 3-bit codewords mis-rank this
@@ -769,13 +800,20 @@ object Similarity {
                    oversample: Int = 16, n: Long = -1L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (subs, codebook) = pqTrain(vectors, m, ks, rounds, 64, n)
+    val dense = n >= 0 && n <= AnnDenseMax
     // the stored representation: one packed long of m codes + the norm
-    val enc = pqEncodeWith(subs, codebook, vectors, ks)
+    val enc = pqEncodeWith(subs, codebook, vectors, ks, pin = dense)
     // one FLAT m·ks-entry LUT per query (position = sub·ks + code): built
     // once per query via a map detour — the per-query 128-step transform
     // is noise; what must never be interpreted is the per-PAIR walk, which
     // the graft_pq_adc kernel keeps in whole-stage codegen
+    // pinned like pqEncodeWith: AQE folded this exchange to ~3 tasks and
+    // the m·ks dot products per query ran there; collect_list order feeds
+    // map_from_entries over UNIQUE keys read back positionally by
+    // element_at, so the LUT array is insertion-order-independent
+    val spLut = subs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val luts = subs.join(broadcast(codebook), "sub")
+      .repartition(spLut, col("vec_id"))
       .groupBy("vec_id")
       .agg(map_from_entries(collect_list(struct(
         col("sub") * ks + col("code"), dot(col("sv"), col("cv"))))).as("lutm"))
@@ -797,7 +835,6 @@ object Similarity {
     // window sort, two full exchanges cheaper (r14: q73 quiet median
     // 8.5 -> ~6 s). At scale both tables are corpus-sized and the
     // exchanges are the honest cost of cap-bounded candidate volume.
-    val dense = n >= 0 && n <= AnnDenseMax
     val encSel = enc.select(col("vec_id").as("cand_id"), col("pq_packed"),
       col("nrm").as("cnrm"))
     val shortlist = pairIds

@@ -594,7 +594,11 @@ object Text {
     */
   def q47RepNgrams(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val grams = docs
+    // spread the EXPLODE branch only (r19): it is this query's one heavy
+    // single-consumer pass (profiled 0.65 s single-task at sf0.1), so the
+    // r18 multi-consumer spread-re-execution trap does not apply — the
+    // doc_id spine keeps the plain pruned scan
+    val grams = Tables.loadSpread(spark, dir, "documents")
       .select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(
@@ -1272,6 +1276,11 @@ object Text {
     * removed-char fraction folds exact BIGINT lengths before the single
     * final rounding, so the result is order-independent.
     */
+  // r19 examined-and-reverted: materializing the (doc_id, lines) frame
+  // (the tokenize-once shape — the df build and scoring stream do re-run
+  // the synthesis as two ~0.25 s single-task jobs) measured 1.18 → 1.55 s
+  // in the profiler: checkpointing the line-ARRAY rows costs more than
+  // the duplicated synthesis it saves. Left on the plain loader.
   def q67LineDedup(spark: SparkSession, dir: String): DataFrame =
     lineDedupOn(Tables.load(spark, dir, "documents")
       .select(col("doc_id"), words(col("text")).as("_ws"))
@@ -1743,15 +1752,24 @@ object Text {
     val docs = Tables.load(spark, dir, "documents")
     val id = col("doc_id")
     val base = regexp_replace(coalesce(col("text"), lit("")), "[0-9]", "")
-    def d(i: Int) = (id * 7 + i * 3) % 10
-    val s15 = (0 until 15).map { i =>
-      if (i % 2 == 0) {
-        val t = d(i) * 2
-        when(t > 9, t - 9).otherwise(t)
-      } else d(i)
-    }.reduce(_ + _)
+    // digits as ONE lambda over sequence(0,14) instead of 15 repeated
+    // expression subtrees (r19): the unrolled spelling planned ~200
+    // when/concat nodes and cost ~1.0 s of driver optimize+codegen per
+    // invocation (profiled as a 1.04 s inter-job gap on a 0.3 s query).
+    // Same integer arithmetic term for term: d(i) = (id·7 + 3i) mod 10,
+    // even positions Luhn-doubled with the >9 fold, s15 their sum —
+    // identical digits, check digit, and layouts (oracle hash-green).
+    val digits = transform(sequence(lit(0), lit(14)),
+      i => (id * 7 + i * 3) % 10)
+    val s15 = aggregate(
+      transform(sequence(lit(0), lit(14)), i => {
+        val dI = (id * 7 + i * 3) % 10
+        when(i % 2 === 0,
+          when(dI * 2 > 9, dI * 2 - 9).otherwise(dI * 2)).otherwise(dI)
+      }),
+      lit(0L), (acc, x) => acc + x)
     val check = (lit(10) - s15 % 10) % 10
-    val prefix = concat((0 until 15).map(i => d(i).cast("string")): _*)
+    val prefix = array_join(transform(digits, dd => dd.cast("string")), "")
     val card = concat(prefix, check.cast("string"))
     val dashed = concat(substring(card, 1, 4), lit("-"),
       substring(card, 5, 4), lit("-"), substring(card, 9, 4), lit("-"),
